@@ -1,0 +1,54 @@
+"""Table IO for the driver's parquet fixtures (TESTDATA.md).
+
+Batch scan = ``spark.read.parquet`` (SURVEY.md §2.1 S7): Catalyst pushes
+filters and prunes columns into the vectorized parquet reader, so loaders
+stay dumb — no manual partition logic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. ``name`` must be in TABLES.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; with spark.sql.legacy.parquet.nanosAsLong it arrives as
+    raw nanos — converted here to a true timestamp (ns→µs floor, bit-matching
+    DuckDB's ns→µs truncation so oracles compare cleanly).
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register all fixture tables as temp views for ``spark.sql`` queries."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
