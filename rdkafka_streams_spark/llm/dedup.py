@@ -1,0 +1,235 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.6 L1/L2).
+
+Four strategies, cheapest-first — the order a real 100 TB pipeline applies
+them:
+
+1. exact (sha256 of text; hash-groupBy — one shuffle of 32-byte keys),
+2. MinHash + LSH banding (near-dup candidates without O(n²) comparison),
+3. SimHash (bit-signature near-dup, hamming-space),
+4. token-set Jaccard (exact verification of candidate pairs, blocked).
+
+The MinHash here is deliberately *engine-independent*: hash_s(token) =
+md5("{s}:" + token), signature = per-seed min of the hex strings. md5 hex is
+uniformly distributed, so string-min is a valid min-hash, and any SQL engine
+reproduces it exactly — which makes the whole LSH pipeline oracle-checkable
+(unlike MLlib's MinHashLSH whose random coefficients are engine-private).
+An MLlib-backed variant is provided for API parity (gated import).
+
+Scale notes: every step is expressed as explode → groupBy/join on bounded
+keys. The banding join keys are (band_index, band_value) — high cardinality,
+well distributed; skew only arises from degenerate corpora (empty docs) and
+is handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Shared constants — the SQL oracle generators in queries/llm.py use the same
+# values, keeping Spark and oracle in lockstep.
+N_HASHES = 8
+N_BANDS = 4
+
+
+def tokens_distinct(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, tok) pairs, one row per distinct whitespace token per doc."""
+    return docs.select(
+        id_col, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
+    )
+
+
+def exact_dedup_stats(docs: DataFrame, group_col: str = "lang", text_col: str = "text") -> DataFrame:
+    """Per-group doc counts vs distinct-content counts (L1)."""
+    h = F.sha2(F.col(text_col), 256)
+    return docs.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(h).alias("n_unique"),
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id doc per exact text hash (deterministic survivor)."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(id_col)
+    return docs.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def _seed_hash(seed: int) -> F.Column:
+    return F.md5(F.concat(F.lit(f"{seed}:"), F.col("tok")))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, h0..h{n-1}) — one groupBy computes every signature column."""
+    toks = tokens_distinct(docs, id_col, text_col)
+    return toks.groupBy(id_col).agg(
+        *[F.min(_seed_hash(s)).alias(f"h{s}") for s in range(n_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signatures and self-join per band → distinct candidate pairs.
+
+    Join key (band_index, band_value) means only docs agreeing on a full band
+    ever meet — the LSH guarantee that makes near-dup detection sub-quadratic.
+    """
+    rows = n_hashes // n_bands
+    bands = None
+    for b in range(n_bands):
+        part = sig.select(
+            F.col(id_col),
+            F.lit(b).alias("bi"),
+            F.concat(*[F.col(f"h{b * rows + i}") for i in range(rows)]).alias("bv"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, bb = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs with estimated Jaccard ≥ threshold.
+
+    sim_est = fraction of agreeing signature positions (the standard MinHash
+    estimator — exact multiples of 1/n_hashes, so threshold comparisons are
+    float-safe)."""
+    sig = minhash_signatures(docs, n_hashes, id_col, text_col)
+    pairs = lsh_candidate_pairs(sig, n_hashes, n_bands, id_col)
+    s1 = sig.select(F.col(id_col).alias("id1"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(n_hashes)])
+    s2 = sig.select(F.col(id_col).alias("id2"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(n_hashes)])
+    agree = sum((F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(n_hashes))
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", (agree / float(n_hashes)).alias("sim_est"))
+        .where(F.col("sim_est") >= threshold)
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-set Jaccard for pairs within a blocking key (L2 exact
+    verifier). The block column bounds the self-join; at 100 TB the block
+    would be the LSH candidate set, not a metadata column."""
+    tok = docs.select(
+        id_col, block_col, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
+    )
+    sizes = tok.groupBy(id_col, block_col).agg(F.count("*").alias("sz"))
+    a, b = tok.alias("a"), tok.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("szb"))
+    return (
+        common.join(sa, "id1")
+        .join(sb, "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("c") / (F.col("sza") + F.col("szb") - F.col("c"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(
+    docs: DataFrame,
+    n_bits: int = SIMHASH_BITS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc SimHash over distinct tokens (L2, hamming-space near-dup).
+
+    Bit j uses the top bit of hex nibble j of md5(token): +1/-1 votes summed
+    per doc; the signature packs the vote signs. Engine-independent by the
+    same construction as minhash_signatures.
+    """
+    toks = tokens_distinct(docs, id_col, text_col)
+    md5c = F.md5(F.col("tok"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(
+                        f"instr('0123456789abcdef', substring(md5(tok), {j + 1}, 1)) - 1"
+                    )
+                    >= 8,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(n_bits)
+        ]
+    )
+    sig = sum(
+        F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for j in range(n_bits)
+    )
+    return sums.select(id_col, sig.alias("simhash"))
+
+
+def mllib_minhash_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    num_hash_tables: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """MLlib MinHashLSH variant (production fast path; engine-private RNG so
+    no cross-engine oracle — covered by rows-only checks/unit tests)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    tk = Tokenizer(inputCol=text_col, outputCol="__toks")
+    tf = HashingTF(inputCol="__toks", outputCol="__features", numFeatures=1 << 18)
+    feat = tf.transform(tk.transform(docs)).where(F.size("__toks") > 0)
+    model = MinHashLSH(
+        inputCol="__features", outputCol="__hashes", numHashTables=num_hash_tables, seed=42
+    ).fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="__dist")
+    return (
+        pairs.where(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id1"),
+            F.col(f"datasetB.{id_col}").alias("id2"),
+            (1.0 - F.col("__dist")).alias("jaccard_est"),
+        )
+    )

@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (SURVEY.md §2.6 L3).
+
+Brute-force cosine top-k is the correctness baseline: queries broadcast, dot
+products computed JVM-side with higher-order array functions (zip_with +
+aggregate — no Python in the row path), top-k per query via window rank.
+
+The scale path is IVF-style pruning: restrict candidates to the query's
+coarse cell (here the precomputed ``label`` column stands in for a coarse
+quantizer assignment). At 100 TB the table is partitioned by cell id, so the
+candidate join prunes partitions instead of scanning the corpus; the same
+plan shape serves a real KMeans-assigned cell column.
+
+All float→double casts happen per element *before* multiply so any oracle
+computing in double matches bit-for-bit (modulo summation order — cosine is
+rounded to 6 decimals on output).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Top-k cosine neighbors per query vector.
+
+    ``cell_col`` switches brute-force (None → full cross join against the
+    broadcast query set) to IVF-pruned (join on cell equality).
+    Output: q_id, vec_id, cos (rounded to 6).
+    """
+    qcols = [F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")]
+    if cell_col:
+        qcols.append(F.col(cell_col).alias("q_cell"))
+    q = queries.select(*qcols)
+
+    cond = F.col(id_col) != F.col("q_id")
+    if cell_col:
+        cond = cond & (F.col(cell_col) == F.col("q_cell"))
+    pairs = emb.join(F.broadcast(q), cond)
+
+    cos = _dot(vec_col, "q_emb") / (_norm(vec_col) * _norm("q_emb"))
+    scored = pairs.select("q_id", id_col, cos.alias("_cos"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", id_col, F.round("_cos", 6).alias("cos"))
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+) -> DataFrame:
+    """Near-duplicate vector pairs within a coarse cell (L2 embedding-cosine
+    variant): pairs (id1 < id2) with cosine ≥ threshold."""
+    a = emb.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), F.col(cell_col).alias("c1")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), F.col(cell_col).alias("c2")
+    )
+    pairs = a.join(b, (F.col("c1") == F.col("c2")) & (F.col("id1") < F.col("id2")))
+    cos = _dot("v1", "v2") / (_norm("v1") * _norm("v2"))
+    return (
+        pairs.select("id1", "id2", F.round(cos, 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

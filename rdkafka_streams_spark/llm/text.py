@@ -1,0 +1,117 @@
+"""Text analysis for training-data pipelines (SURVEY.md §2.6 L4).
+
+Language-ID, quality scoring, token counting, fingerprinting — all pure
+column expressions (whole-stage codegen; zero Python on the row path).
+The language detector is profile-based (Cavnar–Trenkle shape): build top-N
+token profiles per language from the corpus, score each doc by profile
+overlap, pick the argmax. On real prose the profile would be char n-grams;
+the fixture corpus is token soup, so token profiles are the honest analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a")
+BPE_ISH_RE = "[a-z]+|[0-9]+"
+FINGERPRINT_NGRAM = 8
+PROFILE_TOP_N = 10
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace + regex ("BPE-ish") token counts and density."""
+    toks = F.split(text_col, " ")
+    n_ws = F.size(toks)
+    n_chars = F.length(text_col)
+    return docs.select(
+        id_col,
+        n_ws.alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_RE), 0)).alias("n_re_tokens"),
+        F.length(F.regexp_replace(F.col(text_col), " ", "")).alias("n_chars_nospace"),
+        F.round(n_ws * 100.0 / n_chars, 6).alias("tokens_per_100_chars"),
+    )
+
+
+def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / stopword-ratio / mean-token-length quality heuristics plus a
+    composite score — the classic cheap pre-filter before expensive dedup."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    stop_cond = " OR ".join(f"x = '{s}'" for s in STOPWORDS)
+    n_stop = F.size(F.expr(f"filter(split({text_col}, ' '), x -> {stop_cond})"))
+    sum_len = F.aggregate(F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x)
+    stop_ratio = n_stop / n
+    return docs.select(
+        id_col,
+        "lang",
+        n.alias("n_tokens"),
+        F.round(sum_len / n, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.least(F.lit(1.0), n / F.lit(50.0)) * (F.lit(1.0) - stop_ratio), 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+def _distinct_tokens(docs: DataFrame, id_col: str, text_col: str, *extra: str) -> DataFrame:
+    return docs.select(
+        id_col, *extra, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
+    )
+
+
+def language_profiles(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    top_n: int = PROFILE_TOP_N,
+) -> DataFrame:
+    """Top-N tokens per language by document frequency (ties → token asc)."""
+    tok = _distinct_tokens(docs, "doc_id", text_col, lang_col)
+    tc = tok.groupBy(lang_col, "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy(lang_col).orderBy(F.col("c").desc(), F.col("tok"))
+    return (
+        tc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top_n)
+        .select(F.col(lang_col).alias("plang"), "tok")
+    )
+
+
+def detect_language(
+    docs: DataFrame,
+    profiles: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc detected language = argmax profile overlap (ties → lang asc);
+    'unknown' when a doc shares no token with any profile. Profiles are tiny
+    (languages × top_n rows) and broadcast."""
+    if profiles is None:
+        profiles = language_profiles(docs, text_col=text_col)
+    tok = _distinct_tokens(docs, id_col, text_col)
+    score = (
+        tok.join(F.broadcast(profiles), "tok")
+        .groupBy(id_col, "plang")
+        .agg(F.count("*").alias("s"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("s").desc(), F.col("plang"))
+    pick = score.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return docs.join(pick.select(id_col, "plang"), id_col, "left").select(
+        docs["*"], F.coalesce("plang", F.lit("unknown")).alias("detected")
+    )
+
+
+def fingerprint(
+    docs: DataFrame,
+    ngram: int = FINGERPRINT_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint: min md5 over all character
+    n-gram windows — a stable content id robust to token reordering at the
+    edges. One expression, no explode (the sequence lives inside the row)."""
+    expr = (
+        f"array_min(transform(sequence(1, greatest(length({text_col}) - {ngram - 1}, 1)), "
+        f"i -> md5(substring({text_col}, i, {ngram}))))"
+    )
+    return docs.select(id_col, F.expr(expr).alias("fp"))

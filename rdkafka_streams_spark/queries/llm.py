@@ -1,0 +1,375 @@
+"""LLM-data-pipeline operator queries (SURVEY.md §2.6 L1–L5).
+
+The dedup/similarity constructions are engine-independent by design (md5-based
+hashing, double math with declared cast points), so even MinHash LSH and
+SimHash get full DuckDB oracles — the oracle SQL is *generated from the same
+constants* as the Spark implementation (rdkafka_streams_spark.llm.dedup) so
+they cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdkafka_streams_spark.core.io import load_table
+from rdkafka_streams_spark.llm.dedup import (
+    N_BANDS,
+    N_HASHES,
+    SIMHASH_BITS,
+    exact_dedup_stats,
+    jaccard_pairs,
+    minhash_near_dups,
+    simhash,
+)
+from rdkafka_streams_spark.llm.multimodal import attach_media, decode_media
+from rdkafka_streams_spark.llm.similarity import cosine_topk, embedding_near_dups
+from rdkafka_streams_spark.llm.text import (
+    BPE_ISH_RE,
+    FINGERPRINT_NGRAM,
+    PROFILE_TOP_N,
+    STOPWORDS,
+    detect_language,
+    fingerprint,
+    text_quality,
+    token_stats,
+)
+from rdkafka_streams_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+EMB_DIM = 64  # fixture embedding dimensionality (FIXTURES.md)
+
+
+# ------------------------------------------------------------------------ L1
+@query(
+    "q50_exact_dedup",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT sha256(text)) AS n_unique
+FROM documents GROUP BY lang
+""",
+    tags=("L1",),
+)
+def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup stats by sha256(text) — the cheapest dedup pass;
+    only 32-byte digests ever shuffle."""
+    return exact_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------------ L2
+def _minhash_oracle() -> str:
+    rows = N_HASHES // N_BANDS
+    mins = ",\n       ".join(
+        f"MIN(md5('{s}:' || tok)) AS h{s}" for s in range(N_HASHES)
+    )
+    bands = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS bi, {expr} AS bv FROM sig".format(
+            b=b, expr=" || ".join(f"h{b * rows + i}" for i in range(rows))
+        )
+        for b in range(N_BANDS)
+    )
+    agree = " + ".join(f"CAST(s1.h{s} = s2.h{s} AS INT)" for s in range(N_HASHES))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+sig AS (
+  SELECT doc_id,
+       {mins}
+  FROM tok GROUP BY doc_id),
+band AS (
+  {bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM band a JOIN band b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT id1, id2, sim_est FROM (
+  SELECT c.id1, c.id2, ({agree}) / {N_HASHES}.0 AS sim_est
+  FROM cand c
+  JOIN sig s1 ON c.id1 = s1.doc_id
+  JOIN sig s2 ON c.id2 = s2.doc_id)
+WHERE sim_est >= 0.5
+"""
+
+
+@query("q51_minhash_lsh", oracle=_minhash_oracle(), tags=("L2",))
+def q51_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates (llm/dedup.py): 8 md5-seeded
+    min-hashes, 4 bands × 2 rows, estimator = agreeing-signature fraction.
+    Engine-independent construction → fully oracle-checked."""
+    return minhash_near_dups(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query(
+    "q52_jaccard_pairs",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk
+  FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, blk, tok FROM (
+    SELECT doc_id, blk, unnest(string_split(text, ' ')) AS tok FROM d)),
+sizes AS (SELECT doc_id, blk, COUNT(*) AS sz FROM tok GROUP BY 1, 2),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id1, id2, jaccard FROM (
+  SELECT co.id1, co.id2, co.c / (sa.sz + sb.sz - co.c) AS jaccard
+  FROM common co
+  JOIN sizes sa ON co.id1 = sa.doc_id
+  JOIN sizes sb ON co.id2 = sb.doc_id)
+WHERE jaccard >= 0.8
+""",
+    tags=("L2",),
+)
+def q52_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ 0.8 within (lang, length-bucket) blocks —
+    the verification stage after LSH candidate generation. Blocking keeps the
+    self-join subquadratic; at 100 TB the block is the LSH bucket itself."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", F.col("lang"), F.expr("n_chars div 100").cast("string"))
+    )
+    return jaccard_pairs(d, threshold=0.8, block_col="blk")
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n       ".join(
+        "SUM(CASE WHEN instr('0123456789abcdef', substring(md5(tok), {p}, 1)) - 1 >= 8 "
+        "THEN 1 ELSE -1 END) AS s{j}".format(p=j + 1, j=j)
+        for j in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+s AS (
+  SELECT doc_id,
+       {sums}
+  FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM s
+"""
+
+
+@query("q53_simhash", oracle=_simhash_oracle(), tags=("L2",))
+def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc (md5-nibble votes over distinct tokens) —
+    hamming-space near-dup signature, engine-independent."""
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------------ L3
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+@query(
+    "q54_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+pr AS (
+  SELECT q.q_id, e.vec_id,
+         {_dot_sql('e.embedding', 'q.q_emb')} AS dot,
+         sqrt({_dot_sql('e.embedding', 'e.embedding')}) AS na,
+         sqrt({_dot_sql('q.q_emb', 'q.q_emb')}) AS nq
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id)
+SELECT q_id, vec_id, ROUND(cos, 6) AS cos FROM (
+  SELECT q_id, vec_id, dot / (na * nq) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot / (na * nq) DESC, vec_id) AS rn
+  FROM pr)
+WHERE rn <= 3
+""",
+    tags=("L3",),
+)
+def q54_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for 5 query vectors (llm/similarity.py):
+    queries broadcast, dot products via zip_with/aggregate (JVM-side), top-k
+    via per-query window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
+
+
+@query(
+    "q55_ann_ivf",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label FROM embeddings WHERE vec_id < 20),
+pr AS (
+  SELECT q.q_id, e.vec_id,
+         {_dot_sql('e.embedding', 'q.q_emb')} AS dot,
+         sqrt({_dot_sql('e.embedding', 'e.embedding')}) AS na,
+         sqrt({_dot_sql('q.q_emb', 'q.q_emb')}) AS nq
+  FROM embeddings e JOIN q ON e.label = q.label AND e.vec_id <> q.q_id)
+SELECT q_id, vec_id, ROUND(cos, 6) AS cos FROM (
+  SELECT q_id, vec_id, dot / (na * nq) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot / (na * nq) DESC, vec_id) AS rn
+  FROM pr)
+WHERE rn <= 3
+""",
+    tags=("L3",),
+)
+def q55_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style pruned ANN: candidates restricted to the query's coarse cell
+    (label column = precomputed quantizer assignment). At 100 TB the corpus is
+    partitioned by cell → partition-pruned search instead of a full scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.where(F.col("vec_id") < 20), k=3, cell_col="label")
+
+
+@query(
+    "q62_embedding_neardup",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         {_dot_sql('a.embedding', 'b.embedding')} AS dot,
+         sqrt({_dot_sql('a.embedding', 'a.embedding')}) AS na,
+         sqrt({_dot_sql('b.embedding', 'b.embedding')}) AS nb
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+SELECT id1, id2, cos FROM (
+  SELECT id1, id2, ROUND(dot / (na * nb), 6) AS cos FROM pairs)
+WHERE cos >= 0.3
+""",
+    tags=("L2", "L3"),
+)
+def q62_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a coarse cell (cos ≥ 0.3 —
+    threshold tuned to the random fixture's cosine distribution)."""
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+# ------------------------------------------------------------------------ L4
+_STOP_SQL = " OR ".join(f"x = '{s}'" for s in STOPWORDS)
+
+
+@query(
+    "q56_text_quality",
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       ROUND(list_sum(list_transform(string_split(text, ' '), x -> length(x)))
+             / len(string_split(text, ' ')), 6) AS mean_token_len,
+       ROUND(len(list_filter(string_split(text, ' '), x -> {_STOP_SQL}))
+             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       ROUND(least(1.0, len(string_split(text, ' ')) / 50.0)
+             * (1.0 - len(list_filter(string_split(text, ' '), x -> {_STOP_SQL}))
+                      / len(string_split(text, ' '))), 6) AS quality_score
+FROM documents
+""",
+    tags=("L4",),
+)
+def q56_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: token count, mean token length, stopword ratio,
+    composite score (llm/text.py)."""
+    return text_quality(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q57_lang_confusion",
+    oracle=f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, lang, tok FROM (
+    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)),
+tc AS (SELECT lang, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+prof AS (
+  SELECT lang AS plang, tok FROM (
+    SELECT lang, tok, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rn
+    FROM tc)
+  WHERE rn <= {PROFILE_TOP_N}),
+score AS (
+  SELECT t.doc_id, p.plang, COUNT(*) AS s
+  FROM (SELECT DISTINCT doc_id, tok FROM tok) t JOIN prof p ON t.tok = p.tok
+  GROUP BY 1, 2),
+pick AS (
+  SELECT doc_id, plang AS detected FROM (
+    SELECT doc_id, plang, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, plang) AS rn
+    FROM score)
+  WHERE rn = 1)
+SELECT d.lang, COALESCE(p.detected, 'unknown') AS detected, COUNT(*) AS n
+FROM documents d LEFT JOIN pick p ON d.doc_id = p.doc_id
+GROUP BY 1, 2
+""",
+    tags=("L4",),
+)
+def q57_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-based language ID (Cavnar–Trenkle shape, llm/text.py) —
+    confusion matrix of labeled vs detected language."""
+    d = _t(spark, sf_dir, "documents")
+    det = detect_language(d)
+    return det.groupBy("lang", "detected").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q58_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_RE}')) AS INT) AS n_re_tokens,
+       CAST(length(regexp_replace(text, ' ', '', 'g')) AS INT) AS n_chars_nospace,
+       ROUND(len(string_split(text, ' ')) * 100.0 / length(text), 6) AS tokens_per_100_chars
+FROM documents
+""",
+    tags=("L4",),
+)
+def q58_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + regex token counting and density (llm/text.py)."""
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q59_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       list_sort(list_transform(range(1, greatest(length(text) - {FINGERPRINT_NGRAM - 1}, 1) + 1),
+                 i -> md5(substring(text, i, {FINGERPRINT_NGRAM}))))[1] AS fp
+FROM documents
+""",
+    tags=("L4",),
+)
+def q59_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min md5 over char 8-gram windows
+    (winnowing-style, llm/text.py)."""
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------------ L5
+@query(
+    "q60_multimodal_meta",
+    oracle="""
+SELECT doc_id, 'image/fake' AS media_type,
+       CAST(octet_length(encode(text)) AS INT) AS byte_len,
+       upper(hex(encode(substring(text, 1, 8)))) AS head_hex
+FROM documents
+""",
+    tags=("L5",),
+)
+def q60_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary media columns with typed metadata (llm/multimodal.py):
+    blobs never interpreted during scan/filter — metadata prunes first."""
+    m = attach_media(_t(spark, sf_dir, "documents"))
+    return m.select(
+        "doc_id",
+        "media_type",
+        "byte_len",
+        F.upper(F.hex(F.substring(F.col("content"), 1, 8))).alias("head_hex"),
+    )
+
+
+@query("q61_multimodal_decode", oracle=None, tags=("L5", "rows-only"))
+def q61_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media decode via mapInPandas (stubbed deterministic
+    decoder — see llm/multimodal.py; real codecs absent in this container).
+    Rows-only check: pandas-UDF path has no SQL equivalent."""
+    m = attach_media(_t(spark, sf_dir, "documents"))
+    out = decode_media(m, decode_fn="fake")
+    return out.select(
+        "doc_id", "byte_len", "fake_width", "fake_height",
+        F.element_at("feat", 1).alias("feat0"),
+    )
