@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners cover each operator family's heaviest plan shape: full-table
+aggregate, fact-fact shuffle join, star join, windows, as-of, session
+windows, MinHash LSH, cosine top-k, language ID — the ones whose plans must
+survive a 100×-scale-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rdkafka_streams_spark import get_spark, tune_for_bench  # noqa: E402
+from rdkafka_streams_spark.queries import REGISTRY  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",   # scan + 2-key agg over the fact table
+    "q04_join_inner",        # fact⋈fact shuffle join + agg
+    "q12_revenue_by_nation", # star join (1 shuffle join + 3 broadcasts)
+    "q14_agg_stats",         # statistical aggregates + exact percentiles
+    "q22_window_rank",       # partitioned window rank over the fact table
+    "q38_asof_join",         # union+carry-forward as-of join
+    "q42_session_window",    # session windows (gaps-and-islands state)
+    "q51_minhash_lsh",       # shingle→minhash→band→self-join
+    "q54_cosine_topk",       # brute-force vector search
+    "q57_lang_confusion",    # profile build + detect + confusion agg
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    tune_for_bench(spark, cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a trivial plan (not a headline query).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        n = q.fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "rows": rows,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,12 @@ from pyspark.sql import functions as F
 # values, keeping Spark and oracle in lockstep.
 N_HASHES = 8
 N_BANDS = 4
+# LSH buckets larger than this are skipped: a band value shared by thousands
+# of docs means boilerplate/degenerate content, and emitting its pairs is
+# quadratic — the standard production cap that keeps LSH subquadratic on
+# adversarial corpora (observed: the fixture's token-soup makes ~all docs
+# collide → 9.4M pairs at sf0.1 without the cap).
+MAX_BUCKET = 50
 
 
 def tokens_distinct(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -76,11 +82,14 @@ def lsh_candidate_pairs(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     id_col: str = "doc_id",
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
     """Band the signatures and self-join per band → distinct candidate pairs.
 
     Join key (band_index, band_value) means only docs agreeing on a full band
     ever meet — the LSH guarantee that makes near-dup detection sub-quadratic.
+    Buckets larger than ``max_bucket`` are dropped before the join (see
+    MAX_BUCKET) so one degenerate band value can never go quadratic.
     """
     rows = n_hashes // n_bands
     bands = None
@@ -91,6 +100,12 @@ def lsh_candidate_pairs(
             F.concat(*[F.col(f"h{b * rows + i}") for i in range(rows)]).alias("bv"),
         )
         bands = part if bands is None else bands.unionByName(part)
+    bucket_sz = Window.partitionBy("bi", "bv")
+    bands = (
+        bands.withColumn("bsz", F.count("*").over(bucket_sz))
+        .where(F.col("bsz") <= max_bucket)
+        .drop("bsz")
+    )
     a, bb = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from rdkafka_streams_spark.core.io import load_table
 from rdkafka_streams_spark.llm.dedup import (
+    MAX_BUCKET,
     N_BANDS,
     N_HASHES,
     SIMHASH_BITS,
@@ -80,8 +81,12 @@ sig AS (
   SELECT doc_id,
        {mins}
   FROM tok GROUP BY doc_id),
-band AS (
+band0 AS (
   {bands}),
+band AS (
+  SELECT doc_id, bi, bv FROM (
+    SELECT doc_id, bi, bv, COUNT(*) OVER (PARTITION BY bi, bv) AS bsz FROM band0)
+  WHERE bsz <= {MAX_BUCKET}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
   FROM band a JOIN band b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)

@@ -1,0 +1,16 @@
+from rdkafka_streams_spark.streaming.consumer import KConsumer, decode_values
+from rdkafka_streams_spark.streaming.producer import KProducer, encode_records
+from rdkafka_streams_spark.streaming.duplex import Duplex, get_duplex
+from rdkafka_streams_spark.streaming.listeners import DeliveryListener
+from rdkafka_streams_spark.streaming.stateful import running_count_stateful
+
+__all__ = [
+    "DeliveryListener",
+    "Duplex",
+    "KConsumer",
+    "KProducer",
+    "decode_values",
+    "encode_records",
+    "get_duplex",
+    "running_count_stateful",
+]

@@ -1,0 +1,111 @@
+"""KConsumer — the reference Consumer re-expressed on Structured Streaming.
+
+Reference behavior being replicated (SURVEY.md §2.1 S1, §3.1):
+
+- subscribe to one or many Kafka topics          (src/Consumer.coffee:45)
+- JSON-decode each message value                 (src/Consumer.coffee:91)
+- emit the full envelope (topic/partition/offset/key/timestamp) with the
+  decoded value merged in                        (src/Consumer.coffee:96)
+- malformed JSON is a hard stream error          (src/Consumer.coffee:84-94,
+  106-108) → FAILFAST parse mode
+- `fromOffset` → auto.offset.reset               (src/Consumer.coffee:26)
+- pull-batch bound (16 msgs/loop)                (src/Consumer.coffee:57)
+  → maxOffsetsPerTrigger (per-micro-batch cap); backpressure itself is
+  built into the micro-batch engine (§2.2 F2/F4).
+
+Divergence by design: the reference is schemaless (whatever JSON.parse
+yields); at 100 TB a declared schema is non-negotiable, so KConsumer takes a
+StructType/DDL string. ``infer_schema_from_sample`` covers migration from
+schemaless topics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: Columns of Spark's Kafka source — the analog of the reference's message
+#: envelope (src/Consumer.coffee:96 keeps all of these alongside `value`).
+ENVELOPE_COLUMNS = ("key", "topic", "partition", "offset", "timestamp", "timestampType")
+
+
+def decode_values(
+    raw: DataFrame,
+    schema: StructType | str,
+    mode: str = "FAILFAST",
+    value_col: str = "value",
+) -> DataFrame:
+    """Envelope-preserving JSON decode: binary/string value → typed struct.
+
+    FAILFAST reproduces the reference's error-on-bad-JSON (a malformed record
+    aborts the stream, src/Consumer.coffee:106-108); PERMISSIVE is the
+    dead-letter-friendly alternative the reference lacks.
+    """
+    envelope = [c for c in raw.columns if c != value_col]
+    return raw.select(
+        *envelope,
+        F.from_json(
+            F.col(value_col).cast("string"), schema, {"mode": mode}
+        ).alias(value_col),
+    )
+
+
+def infer_schema_from_sample(spark: SparkSession, sample_values: Sequence[str]) -> str:
+    """Schema migration helper for schemaless topics: schema inferred from a
+    bounded JSON sample (schema_of_json needs a literal, so samples are read
+    via the JSON datasource's inference — driver-side, never the full stream).
+    """
+    df = spark.read.json(spark.createDataFrame([(v,) for v in sample_values], ["v"]).rdd.map(lambda r: r.v))
+    return df.schema.simpleString()[7:-1]  # strip struct<...> wrapper
+
+
+@dataclass
+class KConsumer:
+    """Kafka topic(s) → streaming DataFrame of envelope + decoded value.
+
+    Mirrors ``new Consumer({host, topic, groupId, fromOffset})``
+    (src/Consumer.coffee:9-27). ``batch_size`` mirrors the ≤16-message pull
+    loop as a per-trigger offset cap.
+    """
+
+    host: str
+    topic: str | Sequence[str]
+    group_id: str | None = None
+    from_offset: str = "latest"  # "earliest" | "latest" (src/Consumer.coffee:26)
+    schema: StructType | str | None = None
+    mode: str = "FAILFAST"
+    batch_size: int | None = None
+    options: dict[str, str] = field(default_factory=dict)
+
+    def _topics(self) -> str:
+        t = self.topic
+        return t if isinstance(t, str) else ",".join(t)  # src/Consumer.coffee:45
+
+    def stream(self, spark: SparkSession) -> DataFrame:
+        """Build the streaming DataFrame (the Readable-stream analog)."""
+        reader = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.host)
+            .option("subscribe", self._topics())
+            .option("startingOffsets", self.from_offset)
+        )
+        if self.group_id:
+            reader = reader.option("kafka.group.id", self.group_id)
+        if self.batch_size is not None:
+            reader = reader.option("maxOffsetsPerTrigger", str(self.batch_size))
+        for k, v in self.options.items():
+            reader = reader.option(k, v)
+        raw = reader.load()
+        return self.decode(raw)
+
+    def decode(self, raw: DataFrame) -> DataFrame:
+        """Apply the envelope-preserving decode to any Kafka-shaped frame —
+        the broker-free seam used by tests (memory/file sources provide the
+        same columns)."""
+        if self.schema is None:
+            return raw
+        return decode_values(raw, self.schema, self.mode)

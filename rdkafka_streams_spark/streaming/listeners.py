@@ -1,0 +1,44 @@
+"""Delivery/lifecycle eventing (SURVEY.md §2.2 F7).
+
+The reference Producer emits ``dr`` per delivery report and a periodic
+``total-delivered`` count (src/Producer.coffee:42-61 — whose poll loop is
+buggy and fires once, SURVEY.md §1.4.2; intended semantics implemented here).
+Spark's equivalent signal is the micro-batch progress event: numInputRows of
+a committed batch IS the delivery confirmation (batch commit ≈ dr barrier).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class DeliveryListener(StreamingQueryListener):
+    """Counts delivered (committed) rows per query; optional callback mirrors
+    the reference's ``total-delivered`` event consumer."""
+
+    def __init__(self, on_total: Callable[[str, int], None] | None = None):
+        self.totals: dict[str, int] = {}
+        self._on_total = on_total
+
+    # -- StreamingQueryListener interface ---------------------------------
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        self.totals.setdefault(str(event.id), 0)
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        qid = str(event.progress.id)
+        n = int(event.progress.numInputRows or 0)
+        self.totals[qid] = self.totals.get(qid, 0) + n
+        if self._on_total is not None:
+            self._on_total(qid, self.totals[qid])
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    @property
+    def total_delivered(self) -> int:
+        return sum(self.totals.values())

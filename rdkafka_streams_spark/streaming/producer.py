@@ -1,0 +1,91 @@
+"""KProducer — the reference Producer re-expressed on Structured Streaming.
+
+Reference behavior being replicated (SURVEY.md §2.1 S2, §3.2):
+
+- serialize the whole record to JSON bytes          (src/Producer.coffee:77)
+- produce to a fixed topic                          (src/Producer.coffee:73-78)
+- partition routing by a record's `partition` field (src/Producer.coffee:71 —
+  buggy in the reference: CoffeeScript `?` makes it a boolean; implemented
+  here with the *intended* semantics, SURVEY.md §1.4.1)
+- queue-full retry / delivery buffering is the Kafka producer's own
+  buffering inside Spark's sink (§2.2 F3) — no user code
+- delivery tracking (`dr` / `total-delivered`, src/Producer.coffee:42-61) →
+  micro-batch commits + DeliveryListener (listeners.py)
+
+Delivery semantics match the reference's at-least-once (it calls cb() on
+enqueue, src/Producer.coffee:87); Spark's checkpointing adds effective
+exactly-once per micro-batch into idempotent/transactional sinks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def encode_records(
+    df: DataFrame,
+    key: str | Column | None = None,
+    partition: str | None = None,
+) -> DataFrame:
+    """Record → Kafka sink frame: JSON-encode all payload columns into
+    ``value`` (the JSON.stringify analog), optionally keeping a key and an
+    explicit partition column (intended semantics of src/Producer.coffee:71).
+    """
+    payload = [c for c in df.columns if c != partition]
+    out = [F.to_json(F.struct(*payload)).alias("value")]
+    if key is not None:
+        k = F.col(key) if isinstance(key, str) else key
+        out.insert(0, k.cast("string").alias("key"))
+    if partition is not None:
+        out.append(F.col(partition).cast("int").alias("partition"))
+    return df.select(*out)
+
+
+@dataclass
+class KProducer:
+    """Writable-stream analog: ``df → Kafka topic`` with JSON values.
+
+    Mirrors ``new Producer({host, topic})`` (src/Producer.coffee:8-27).
+    """
+
+    host: str
+    topic: str
+    key: str | None = None
+    partition_col: str | None = None
+    checkpoint: str | None = None
+    options: dict[str, str] = field(default_factory=dict)
+
+    def encode(self, df: DataFrame) -> DataFrame:
+        """The pure serialization stage (broker-free testable seam)."""
+        return encode_records(df, key=self.key, partition=self.partition_col)
+
+    def write(self, df: DataFrame, trigger: str | None = None) -> StreamingQuery:
+        """Start the streaming write (the `.write(obj)` loop analog)."""
+        writer = (
+            self.encode(df)
+            .writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.host)
+            .option("topic", self.topic)
+        )
+        if self.checkpoint:
+            writer = writer.option("checkpointLocation", self.checkpoint)
+        for k, v in self.options.items():
+            writer = writer.option(k, v)
+        if trigger:
+            writer = writer.trigger(processingTime=trigger)
+        return writer.start()
+
+    def write_batch(self, df: DataFrame) -> None:
+        """One-shot batch produce (the reference has no analog — its tests
+        hand-pump records; this is the availableNow-style convenience)."""
+        (
+            self.encode(df)
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", self.host)
+            .option("topic", self.topic)
+            .save()
+        )

@@ -1,0 +1,112 @@
+"""Unit tests for the custom operator compositions (asof/topk/sample/dedup)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from rdkafka_streams_spark.llm.dedup import exact_dedup, minhash_signatures
+from rdkafka_streams_spark.llm.text import fingerprint
+from rdkafka_streams_spark.operators import asof_join, hash_sample, top_k, top_k_per_group
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_backward_strict(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "L1"), (1, _ts("2024-01-01 12:00:00"), "L2"),
+         (2, _ts("2024-01-01 10:30:00"), "L3")],
+        "k int, ts timestamp, who string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 10.0), (1, _ts("2024-01-01 11:00:00"), 20.0),
+         (2, _ts("2024-01-01 10:30:00"), 30.0)],
+        "k int, ts timestamp, v double",
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", payload=["v"])
+    got = {r["who"]: r["v_asof"] for r in out.collect()}
+    # L1: only 09:00 is prior → 10.0; L2: 11:00 → 20.0;
+    # L3: right at the SAME instant — strict means not visible → None
+    assert got == {"L1": 10.0, "L2": 20.0, "L3": None}
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(2, _ts("2024-01-01 10:30:00"), "L3")], "k int, ts timestamp, who string"
+    )
+    right = spark.createDataFrame(
+        [(2, _ts("2024-01-01 10:30:00"), 30.0)], "k int, ts timestamp, v double"
+    )
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    payload=["v"], strict=False)
+    assert out.collect()[0]["v_asof"] == 30.0
+
+
+def test_asof_no_match_keeps_left_row(spark):
+    left = spark.createDataFrame([(9, _ts("2024-01-01 10:00:00"))], "k int, ts timestamp")
+    right = spark.createDataFrame([(1, _ts("2024-01-01 09:00:00"), 1.0)],
+                                  "k int, ts timestamp, v double")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts", payload=["v"])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["v_asof"] is None
+
+
+def test_top_k_deterministic(spark, sf_dir):
+    from rdkafka_streams_spark.core.io import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    a = top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 5).collect()
+    b = top_k(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 5).collect()
+    assert [r["o_orderkey"] for r in a] == [r["o_orderkey"] for r in b]
+    assert len(a) == 5
+
+
+def test_top_k_per_group_sizes(spark, sf_dir):
+    from rdkafka_streams_spark.core.io import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    out = top_k_per_group(
+        c, ["c_mktsegment"], [F.col("c_acctbal").desc(), F.col("c_custkey")], 2
+    )
+    sizes = out.groupBy("c_mktsegment").count().collect()
+    assert all(r["count"] <= 2 for r in sizes)
+
+
+def test_hash_sample_deterministic_and_sized(spark, sf_dir):
+    from rdkafka_streams_spark.core.io import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    n1 = hash_sample(l, "l_orderkey", 10).count()
+    n2 = hash_sample(l, "l_orderkey", 10).count()
+    total = l.count()
+    assert n1 == n2
+    assert 0.02 * total < n1 < 0.25 * total  # ~10%, generous bounds
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    d = spark.createDataFrame(
+        [(3, "same text"), (1, "same text"), (2, "other")], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(d).collect())
+    assert kept == [1, 2]
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: tuple(r[f"h{s}"] for s in range(8))
+           for r in minhash_signatures(d).collect()}
+    assert sig[1] == sig[2]  # token-set equality ⇒ identical signatures
+    assert sig[1] != sig[3]
+
+
+def test_fingerprint_stable_under_identity(spark):
+    d = spark.createDataFrame([(1, "hello world document"), (2, "hello world document")],
+                              "doc_id long, text string")
+    fps = [r["fp"] for r in fingerprint(d).collect()]
+    assert fps[0] == fps[1]
