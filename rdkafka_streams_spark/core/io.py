@@ -52,3 +52,29 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
     """Register all fixture tables as temp views for ``spark.sql`` queries."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --- generic format IO (SURVEY.md §2.1 S7: parquet is primary; csv/json for
+# --- interchange; json mirrors the reference's record encoding) -------------
+
+def read_any(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options):
+    """Format-dispatching reader. A declared schema is strongly recommended
+    for csv/json at scale (schema inference = an extra full pass)."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_any(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite", **options):
+    """Format-dispatching writer (csv gets headers by default)."""
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)

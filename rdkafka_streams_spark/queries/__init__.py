@@ -10,5 +10,6 @@ from rdkafka_streams_spark.queries import scalar_funcs  # noqa: E402,F401
 from rdkafka_streams_spark.queries import windows  # noqa: E402,F401
 from rdkafka_streams_spark.queries import events_streaming  # noqa: E402,F401
 from rdkafka_streams_spark.queries import llm  # noqa: E402,F401
+from rdkafka_streams_spark.queries import extras  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

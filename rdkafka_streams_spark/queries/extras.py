@@ -1,0 +1,100 @@
+"""Coverage extras: UDF surface (E34), approximate percentiles (E11),
+additional analytic window functions (E19/E20), min_by/max_by (E10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rdkafka_streams_spark.core.io import load_table
+from rdkafka_streams_spark.functions.udfs import vector_norm
+from rdkafka_streams_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------------- E34
+@query(
+    "q63_pandas_udf_norm",
+    oracle="""
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(range(1, 65),
+             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))), 6) AS norm
+FROM embeddings
+""",
+    tags=("E34",),
+)
+def q63_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF (functions/udfs.py) — the vectorized
+    user-transform surface. Rounded to 6: numpy pairwise summation vs a
+    sequential fold differ only in the last ulp."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select("vec_id", F.round(vector_norm("embedding"), 6).alias("norm"))
+
+
+# ----------------------------------------------------------------- E11 (approx)
+@query("q64_percentile_approx", oracle=None, tags=("E11", "rows-only"))
+def q64_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GK sketch) — THE percentile at 100 TB (bounded
+    memory, mergeable). Sketch internals are engine-specific → rows-only;
+    the exact `percentile` variant is oracle-checked in q14_agg_stats."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("price_pcts"),
+        F.count("*").alias("n"),
+    )
+
+
+# ------------------------------------------------------------------ E19/E20
+@query(
+    "q65_window_analytic2",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(CUME_DIST() OVER (PARTITION BY user_id ORDER BY value), 6) AS cd,
+       NTH_VALUE(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_value
+FROM events
+""",
+    tags=("E19", "E20"),
+)
+def q65_window_analytic2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value (full frame)."""
+    e = _t(spark, sf_dir, "events")
+    w_val = Window.partitionBy("user_id").orderBy("value")
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.cume_dist().over(w_val), 6).alias("cd"),
+        F.nth_value("value", 2).over(w_full).alias("second_value"),
+    )
+
+
+# ----------------------------------------------------------------------- E10
+@query(
+    "q66_min_max_by",
+    oracle="""
+SELECT user_id,
+       max_by(event_id, ts) AS latest_event,
+       min_by(event_id, ts) AS earliest_event,
+       max_by(event_type, ts) AS latest_type
+FROM events GROUP BY user_id
+""",
+    tags=("E10",),
+)
+def q66_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by argmin-aggregates (latest/earliest record per key —
+    the streaming 'last value per key' pattern in batch form)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.max_by("event_id", "ts").alias("latest_event"),
+        F.min_by("event_id", "ts").alias("earliest_event"),
+        F.max_by("event_type", "ts").alias("latest_type"),
+    )

@@ -99,7 +99,17 @@ class KConsumer:
             reader = reader.option("maxOffsetsPerTrigger", str(self.batch_size))
         for k, v in self.options.items():
             reader = reader.option(k, v)
-        raw = reader.load()
+        try:
+            raw = reader.load()
+        except Exception as e:  # connector jar not on the classpath
+            if "kafka" in str(e).lower():
+                raise RuntimeError(
+                    "Kafka source requires the spark-sql-kafka connector on the "
+                    "classpath (spark-submit --packages "
+                    "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>); "
+                    "for broker-free use, call .decode(df) on any Kafka-shaped frame"
+                ) from e
+            raise
         return self.decode(raw)
 
     def decode(self, raw: DataFrame) -> DataFrame:

@@ -222,6 +222,56 @@ def test_stateful_running_count(spark, sf_dir, event_stream_dir, tmp_path):
     assert final == expect
 
 
+def test_stream_static_join(spark, sf_dir, event_stream_dir, tmp_path):
+    """T6 (stream-static): streaming events enriched against a static dim;
+    availableNow replay equals the batch join."""
+    from rdkafka_streams_spark.core.io import load_table
+
+    schema = load_table(spark, sf_dir, "events").schema
+    static_dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id").count().withColumnRenamed("count", "user_total")
+    )
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    joined = stream.join(static_dim, "user_id").where(F.col("user_total") > 0)
+    q = (
+        joined.writeStream.format("memory").queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM ss_join").collect()[0]["n"]
+    assert got == load_table(spark, sf_dir, "events").count()
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, event_stream_dir, tmp_path):
+    """T5: streaming dropDuplicates on a key subset keeps exactly one row per
+    key across micro-batches (state-store backed)."""
+    from rdkafka_streams_spark.core.io import load_table
+
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_dd"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT user_id || '|' || event_type) AS d FROM dedup_stream"
+    ).collect()[0]
+    expect = (
+        load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct().count()
+    )
+    assert got["n"] == got["d"] == expect
+
+
 def test_delivery_listener_counts_rows(spark, sf_dir, event_stream_dir, tmp_path):
     """F7: listener totals == rows delivered (the total-delivered event)."""
     from rdkafka_streams_spark.core.io import load_table
