@@ -1,0 +1,46 @@
+"""Physical-plan introspection.
+
+At 100 TB the plan IS the performance: one avoidable Exchange is petabytes of
+network traffic. These helpers let tests assert plan shape (shuffle count,
+broadcast presence, pushdown) at tiny scale — the properties that survive a
+100× scale-up, unlike wall-clock timings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan (broadcast exchanges excluded)."""
+    plan = plan_string(df, "simple")
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in plan_string(df, "simple") or "BroadcastNestedLoopJoin" in plan_string(df, "simple")
+
+
+def has_operator(df: DataFrame, name: str) -> bool:
+    return name in plan_string(df, "simple")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """The filter predicates that reached the parquet scan."""
+    out = []
+    for line in plan_string(df, "formatted").splitlines():
+        line = line.strip()
+        if line.startswith("PushedFilters:"):
+            out.append(line[len("PushedFilters:") :].strip())
+    return out

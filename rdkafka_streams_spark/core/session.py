@@ -90,7 +90,12 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
 
 
 def tune_for_bench(spark: SparkSession, cpus: int) -> SparkSession:
-    """Bench posture: shuffle parallelism sized to the machine."""
+    """Bench posture: shuffle parallelism sized to the machine, and scans
+    split to at least the core count — a single small parquet file would
+    otherwise occupy one 128 MB split = one task = one core (at 100 TB the
+    file count makes this moot; locally it's the difference between 1 and 32
+    cores scanning)."""
     tune_runtime(spark)
     spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+    spark.conf.set("spark.sql.files.minPartitionNum", str(cpus * 2))
     return spark

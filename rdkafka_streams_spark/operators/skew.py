@@ -1,0 +1,45 @@
+"""Skew-handling joins (SURVEY.md §4 "100 TB posture").
+
+First line of defense is AQE's skew-join splitting (on by default in
+core.session). ``salted_join`` is the explicit fallback for the case AQE
+can't fix: a *single* hot key on the build side of a shuffle join (AQE splits
+oversized partitions, but a hash join still routes one key to one task unless
+the key space itself is widened).
+
+Mechanics: the probe (large) side gets a deterministic salt in [0, n);
+the build side is replicated n times (one copy per salt value); the join key
+becomes (key, salt) → the hot key fans out over n tasks. Cost: build side
+×n — use only when the build side is small relative to the skew win.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str | Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with the key space widened by a salt to defeat single-key skew.
+
+    Result equals ``large.join(small, on, how)`` for inner/left joins (the
+    salt is internal). The large side's salt is derived from xxhash64 of all
+    its columns — deterministic, uniformly spread, no RNG.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_large = large.withColumn(
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salts)).cast("int")
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    replicated_small = small.withColumn(_SALT, salts)
+    out = salted_large.join(replicated_small, [*keys, _SALT], how)
+    return out.drop(_SALT)

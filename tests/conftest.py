@@ -14,8 +14,14 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark("tests", master="local[8]", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        "tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        **{"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
     s.stop()
 

@@ -1,0 +1,68 @@
+"""Plan-shape assertions: the scale properties that survive a 100× scale-up,
+verified at the physical-plan level (wall-clock at sf0.001 proves nothing;
+shuffle counts and pushdown do)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rdkafka_streams_spark.core.io import load_table
+from rdkafka_streams_spark.core.plan import (
+    count_exchanges,
+    has_broadcast_join,
+    has_operator,
+    pushed_filters,
+)
+from rdkafka_streams_spark.operators.asof import asof_join
+from rdkafka_streams_spark.queries import REGISTRY
+
+
+def test_q01_filter_pushed_to_scan(spark, sf_dir):
+    df = REGISTRY["q01_pricing_summary"].fn(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf, f"shipdate filter not pushed: {pf}"
+
+
+def test_q01_single_agg_shuffle(spark, sf_dir):
+    # partial agg → 1 exchange → final agg; the sort for orderBy adds 1 more.
+    df = REGISTRY["q01_pricing_summary"].fn(spark, sf_dir)
+    assert count_exchanges(df) <= 2
+
+
+def test_q11_broadcasts_dimension(spark, sf_dir):
+    df = REGISTRY["q11_broadcast_join"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # fact side never shuffles for the join; only the groupBy exchanges.
+    assert count_exchanges(df) <= 1
+
+
+def test_q12_star_join_single_shuffle_join(spark, sf_dir):
+    df = REGISTRY["q12_revenue_by_nation"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    # lineitem⋈orders (2 exchanges) + final agg (1); dims must add none.
+    assert count_exchanges(df) <= 3
+
+
+def test_q21_topk_uses_bounded_heap(spark, sf_dir):
+    df = REGISTRY["q21_top_k"].fn(spark, sf_dir)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase")
+    right = ev.where(F.col("event_type") == "error").select("user_id", "ts", "value")
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts", payload=["value"])
+    # union + one window = exactly one shuffle on the key
+    assert count_exchanges(out) == 1
+
+
+def test_whole_stage_codegen_on_scalar_queries(spark, sf_dir):
+    # "*(n)" prefixes mark WholeStageCodegen stages in simple explain mode.
+    # (Higher-order-function queries like q30 run interpreted-but-JVM-side —
+    # lambdas are not codegen-fused by design.)
+    from rdkafka_streams_spark.core.plan import plan_string
+
+    for name in ("q26_string_funcs", "q28_math_funcs", "q29_conditional"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert "*(" in plan_string(df, "simple"), f"{name} fell out of codegen"

@@ -1,0 +1,59 @@
+"""Scale-operator tests: salted join equivalence, bucketed join shuffle
+elimination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdkafka_streams_spark.core.io import load_table
+from rdkafka_streams_spark.core.plan import count_exchanges
+from rdkafka_streams_spark.operators.bucketing import read_bucketed, write_bucketed
+from rdkafka_streams_spark.operators.skew import salted_join
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    plain = l.join(o, "l_orderkey").groupBy("o_orderstatus").count()
+    salted = salted_join(l, o, "l_orderkey").groupBy("o_orderstatus").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    big = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c"), (9, "x")], "k int, v string")
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k int, name string")
+    out = salted_join(big, dim, "k", n_salts=4, how="left").collect()
+    got = {(r["k"], r["v"]): r["name"] for r in out}
+    assert got == {(1, "a"): "one", (1, "b"): "one", (2, "c"): "two", (9, "x"): None}
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(o, "orders_b", "o_orderkey", 8, sort_cols="o_orderkey")
+    write_bucketed(l, "lineitem_b", "l_orderkey", 8, sort_cols="l_orderkey")
+    yield "orders_b", "lineitem_b"
+    for t in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, bucketed_tables):
+    ot, lt = bucketed_tables
+    o, l = read_bucketed(spark, ot), read_bucketed(spark, lt)
+    joined = o.join(l, o.o_orderkey == l.l_orderkey).select("o_orderkey", "l_quantity")
+    # co-located buckets: the join itself requires NO exchange
+    assert count_exchanges(joined) == 0
+    # and it still computes the right thing
+    plain = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    assert joined.count() == plain
