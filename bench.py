@@ -46,8 +46,12 @@ def main() -> None:
     tune_for_bench(spark, cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on a trivial plan (not a headline query).
+    # JVM/codegen warmup on a trivial plan (not a headline query), plus one
+    # touch of the parquet read path (footer decode, vectorized reader, FS
+    # metadata) so the first measured query reflects query work, not cold IO.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "orders", "documents", "embeddings", "events"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}

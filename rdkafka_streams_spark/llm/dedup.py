@@ -70,7 +70,13 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, h0..h{n-1}) — one groupBy computes every signature column."""
+    """(id, h0..h{n-1}) — one groupBy computes every signature column.
+
+    The md5s are computed per (doc, token) pair inside whole-stage codegen —
+    pure CPU, no extra shuffle. (A distinct-vocab + join-back variant was
+    measured and rejected: it trades codegen-cheap hashing for two more
+    shuffles of the pair table, a loss at every scale.)
+    """
     toks = tokens_distinct(docs, id_col, text_col)
     return toks.groupBy(id_col).agg(
         *[F.min(_seed_hash(s)).alias(f"h{s}") for s in range(n_hashes)]
@@ -92,29 +98,34 @@ def lsh_candidate_pairs(
     MAX_BUCKET) so one degenerate band value can never go quadratic.
     """
     rows = n_hashes // n_bands
-    bands = None
-    for b in range(n_bands):
-        part = sig.select(
-            F.col(id_col),
-            F.lit(b).alias("bi"),
-            F.concat(*[F.col(f"h{b * rows + i}") for i in range(rows)]).alias("bv"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    bucket_sz = Window.partitionBy("bi", "bv")
-    bands = (
-        bands.withColumn("bsz", F.count("*").over(bucket_sz))
-        .where(F.col("bsz") <= max_bucket)
-        .drop("bsz")
+    # Single-pass banding: explode an array of (bi, bv) structs instead of a
+    # union of n_bands selects — the union form scans/recomputes `sig` once
+    # per band, which at 100 TB is n_bands redundant passes over the corpus.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bi"),
+                F.concat(*[F.col(f"h{b * rows + i}") for i in range(rows)]).alias("bv"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    a, bb = bands.alias("a"), bands.alias("b")
+    bands = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("band")
+    ).select(id_col, F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv"))
+    # One shuffle builds the buckets (groupBy collect_list), then in-bucket
+    # pairs come from a double explode — no bucket-size window pass, no
+    # self-join shuffle. The max_bucket cap bounds every collected array (and
+    # so executor memory + pair quadratic blowup) regardless of corpus skew.
+    buckets = (
+        bands.groupBy("bi", "bv")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
     return (
-        a.join(
-            bb,
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        buckets.select(F.col("ids"), F.explode("ids").alias("id1"))
+        .select("id1", F.explode("ids").alias("id2"))
+        .where(F.col("id1") < F.col("id2"))
         .distinct()
     )
 
@@ -132,7 +143,12 @@ def minhash_near_dups(
     sim_est = fraction of agreeing signature positions (the standard MinHash
     estimator — exact multiples of 1/n_hashes, so threshold comparisons are
     float-safe)."""
-    sig = minhash_signatures(docs, n_hashes, id_col, text_col)
+    # The signature table feeds three consumers (banding + both sides of the
+    # estimator join); without persist each one recomputes the full
+    # tokenize→explode→min-hash aggregation over the corpus. Signatures are
+    # n_docs × n_hashes digests — tiny relative to the corpus — so
+    # MEMORY_AND_DISK is the right trade at any scale.
+    sig = minhash_signatures(docs, n_hashes, id_col, text_col).persist()
     pairs = lsh_candidate_pairs(sig, n_hashes, n_bands, id_col)
     s1 = sig.select(F.col(id_col).alias("id1"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(n_hashes)])
     s2 = sig.select(F.col(id_col).alias("id2"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(n_hashes)])
