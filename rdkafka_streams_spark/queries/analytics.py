@@ -1,0 +1,170 @@
+"""Coverage round 2: GROUPING SETS (E14 complete), unpivot/melt, time-series
+gap-fill with LOCF, and an oracle-checked equivalence proof for the salted
+skew join (operators/skew.py).
+
+Gap-fill is the classic warehouse "densify the calendar" operator: generate
+the full per-key day range, left-join the sparse facts, carry the last
+observation forward. At 100 TB the generated calendar is tiny relative to the
+fact table (keys × days), the join key (user, day) is well distributed, and
+the LOCF window is a per-key sort — all shuffle-friendly shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rdkafka_streams_spark.core.io import load_table
+from rdkafka_streams_spark.functions.money import money
+from rdkafka_streams_spark.operators.skew import salted_join
+from rdkafka_streams_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ----------------------------------------------------------------------- E14
+@query(
+    "q67_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority), ())
+""",
+    tags=("E14",),
+)
+def q67_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube in q17/q18) with GROUPING()
+    null-vs-subtotal markers. One pass over the fact table computes all four
+    groupings (Spark expands sets map-side before a single shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], ["o_orderstatus", "o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        F.sum(money("o_totalprice")).cast("double").alias("total_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# ------------------------------------------------------------------ E1 (melt)
+@query(
+    "q68_unpivot",
+    oracle="""
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS base_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_items
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, metric, value FROM (
+  SELECT l_returnflag, 'qty' AS metric, qty AS value FROM agg
+  UNION ALL SELECT l_returnflag, 'base_price', base_price FROM agg
+  UNION ALL SELECT l_returnflag, 'n_items', n_items FROM agg)
+""",
+    tags=("E1",),
+)
+def q68_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide metrics → long (metric, value) rows) — the inverse
+    of q36_pivot. Runs on a pre-aggregated frame so the melt itself is
+    narrow; Spark's native `unpivot` is a zero-shuffle projection."""
+    l = _t(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("double").alias("qty"),
+        F.sum(money("l_extendedprice")).cast("double").alias("base_price"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "base_price", "n_items"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# ------------------------------------------------------- E24/E27 + windows
+@query(
+    "q69_gapfill_locf",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         ROUND(SUM(value), 6) AS day_value
+  FROM events GROUP BY 1, 2),
+spans AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+calendar AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans)
+SELECT c.user_id, c.day,
+       CAST(d.day_value IS NULL AS BIGINT) AS filled,
+       LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY c.user_id ORDER BY c.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value_locf
+FROM calendar c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+""",
+    tags=("E24", "E27", "E20"),
+)
+def q69_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: densify each user's day range (sequence +
+    explode), left-join the sparse daily aggregate, carry the last
+    observation forward (last(ignorenulls) window). The densified calendar
+    is keys × days — tiny next to the fact table — and every step shuffles
+    on the same (user, day)-ish keys."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("day_value"))
+    )
+    spans = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    calendar = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    locf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        calendar.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("day_value").isNull().cast("bigint").alias("filled"),
+            F.last("day_value", ignorenulls=True).over(locf).alias("day_value_locf"),
+        )
+    )
+
+
+# ------------------------------------------------------------ skew (E3 proof)
+@query(
+    "q70_salted_join_equiv",
+    oracle="""
+SELECT s.s_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_name
+""",
+    tags=("E3", "skew"),
+)
+def q70_salted_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted skew join (operators/skew.py) against a plain-join oracle —
+    proves the salt is semantically invisible. The build side is replicated
+    n_salts× so one hot l_suppkey fans out over n_salts tasks instead of
+    serializing on one."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = salted_join(l.withColumnRenamed("l_suppkey", "s_suppkey"), s, on="s_suppkey", n_salts=8)
+    return joined.groupBy("s_name").agg(
+        F.sum(money("l_extendedprice")).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
