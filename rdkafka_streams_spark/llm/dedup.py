@@ -174,6 +174,43 @@ def jaccard_pairs(
     tok = docs.select(
         id_col, block_col, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
     )
+    return _jaccard_from_elements(tok, threshold, block_col, id_col)
+
+
+def char_shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct character n-gram (shingle) array of a string column — pure
+    higher-order functions, zero Python on the row path."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.col(text_col).substr(i, F.lit(n))))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    block_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact character-n-gram Jaccard within a blocking key — near-dup
+    detection robust to token-boundary edits (the classic shingle measure;
+    token-set Jaccard is `jaccard_pairs`)."""
+    sh = docs.select(
+        id_col, block_col, F.explode(char_shingles(text_col, n)).alias("tok")
+    )
+    return _jaccard_from_elements(sh, threshold, block_col, id_col)
+
+
+def _jaccard_from_elements(
+    tok: DataFrame,
+    threshold: float,
+    block_col: str,
+    id_col: str,
+) -> DataFrame:
+    """|A∩B| / |A∪B| over (id, block, element) rows: per-id set sizes, a
+    block-and-element self-join counting common elements, then
+    inclusion–exclusion. Every shuffle keys on the element or the id —
+    high-cardinality, well-spread; the block bounds the quadratic term."""
     sizes = tok.groupBy(id_col, block_col).agg(F.count("*").alias("sz"))
     a, b = tok.alias("a"), tok.alias("b")
     common = (

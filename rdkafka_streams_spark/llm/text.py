@@ -115,3 +115,43 @@ def fingerprint(
         f"i -> md5(substring({text_col}, i, {ngram}))))"
     )
     return docs.select(id_col, F.expr(expr).alias("fp"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k terms per doc by TF-IDF (keyword extraction for corpus triage).
+
+    tf = in-doc occurrences; idf = ln((N+1)/(df+1)) (smoothed), rounded to 6
+    so the irrational ln is engine-stable; score = tf · idf. Ranking tiebreak
+    on the term itself makes the top-k total-ordered. Shuffles key on the
+    term (df) and the doc id (tf, rank) — both high-cardinality; the corpus
+    size N is a 1-row broadcast."""
+    toks = docs.select(id_col, F.explode(F.split(text_col, " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            "tok",
+            "tf",
+            (
+                F.col("tf")
+                * F.round(F.ln((F.col("n_docs") + 1) / (F.col("df") + 1)), 6)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(id_col, "tok", "tf", F.round("score", 6).alias("score"), "rn")
+    )

@@ -21,6 +21,7 @@ from rdkafka_streams_spark.llm.dedup import (
     exact_dedup_stats,
     jaccard_pairs,
     minhash_near_dups,
+    ngram_jaccard_pairs,
     simhash,
 )
 from rdkafka_streams_spark.llm.multimodal import attach_media, decode_media
@@ -31,6 +32,7 @@ from rdkafka_streams_spark.llm.text import (
     PROFILE_TOP_N,
     STOPWORDS,
     detect_language,
+    tfidf_top_terms,
     fingerprint,
     text_quality,
     token_stats,
@@ -378,3 +380,70 @@ def q61_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "byte_len", "fake_width", "fake_height",
         F.element_at("feat", 1).alias("feat0"),
     )
+
+
+# ------------------------------------------------------------------------ L2
+@query(
+    "q72_ngram_jaccard",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text, source || '|' || lang AS blk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, blk, tok FROM (
+    SELECT doc_id, blk,
+           unnest(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+                                 i -> substring(text, i, 3))) AS tok
+    FROM d)),
+sizes AS (SELECT doc_id, blk, COUNT(*) AS sz FROM sh GROUP BY 1, 2),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id1, id2, jaccard FROM (
+  SELECT co.id1, co.id2, co.c / (sa.sz + sb.sz - co.c) AS jaccard
+  FROM common co
+  JOIN sizes sa ON co.id1 = sa.doc_id
+  JOIN sizes sb ON co.id2 = sb.doc_id)
+WHERE jaccard >= 0.6
+""",
+    tags=("L2",),
+)
+def q72_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram (shingle) Jaccard ≥ 0.6 within (source, lang) blocks
+    (llm/dedup.py ngram_jaccard_pairs) — the boundary-robust complement to
+    token-set Jaccard (q52). Shingles come from a higher-order transform
+    (no Python); the finer source|lang block keeps the self-join linear in
+    block size."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", F.col("source"), F.col("lang"))
+    )
+    return ngram_jaccard_pairs(d, threshold=0.6, n=3, block_col="blk")
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q71_tfidf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+total AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf,
+         tf.tf * ROUND(ln((n_docs + 1) / (df + 1)), 6) AS score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN total)
+SELECT doc_id, tok, tf, ROUND(score, 6) AS score, rn FROM (
+  SELECT doc_id, tok, tf, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+  FROM scored)
+WHERE rn <= 3
+""",
+    tags=("L4",),
+)
+def q71_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per doc by smoothed TF-IDF (llm/text.py tfidf_top_terms)
+    — keyword extraction for corpus triage. idf rounded to 6 before the
+    product so the ln is engine-stable; term tiebreak totalizes the rank."""
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
