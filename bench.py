@@ -53,14 +53,20 @@ def main() -> None:
     for t in ("lineitem", "orders", "documents", "embeddings", "events"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
+    # Two passes, report the per-query minimum: pass 1 absorbs one-time JIT /
+    # codegen-cache / FS-cache effects, the min is the steady-state cost —
+    # run-to-run noise on a shared box otherwise dominates sub-second queries.
+    RUNS = 2
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name in HEADLINE:
-        q = REGISTRY[name]
-        t0 = time.perf_counter()
-        n = q.fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        rows[name] = n
+    for _ in range(RUNS):
+        for name in HEADLINE:
+            q = REGISTRY[name]
+            t0 = time.perf_counter()
+            n = q.fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
+            rows[name] = n
 
     total = round(sum(times.values()), 3)
     print(
@@ -73,6 +79,8 @@ def main() -> None:
                 "rows": rows,
                 "sf": sf,
                 "cpus": cpus,
+                "runs_per_query": RUNS,
+                "aggregation": "min",
             }
         )
     )
