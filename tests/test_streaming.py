@@ -295,3 +295,46 @@ def test_delivery_listener_counts_rows(spark, sf_dir, event_stream_dir, tmp_path
         assert listener.total_delivered == expect
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_stream_stream_join_with_watermarks(spark, sf_dir, event_stream_dir, tmp_path):
+    """T6 (stream-stream): purchases⋈errors per user within a 1-hour lookback,
+    watermarks on BOTH sides (required for state cleanup in stream-stream
+    joins); availableNow replay emits exactly the batch join's matches."""
+    from rdkafka_streams_spark.core.io import load_table
+
+    schema = load_table(spark, sf_dir, "events").schema
+
+    def side(event_type, prefix):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(event_stream_dir)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("event_id").alias(f"{prefix}_id"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    cond = (
+        "p_user = e_user AND "
+        "e_ts BETWEEN p_ts - interval 1 hour AND p_ts"
+    )
+    joined = side("purchase", "p").join(side("error", "e"), F.expr(cond), "inner")
+    q = (
+        joined.writeStream.format("memory").queryName("sss_join")
+        .option("checkpointLocation", str(tmp_path / "ck_sssj"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM sss_join").collect()[0]["n"]
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+    expect = p.join(e, F.expr("p_user = e_user AND e_ts BETWEEN p_ts - interval 1 hour AND p_ts")).count()
+    assert got == expect and expect > 0
