@@ -78,3 +78,60 @@ def write_any(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overw
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+# --- partitioned-layout IO (the 100 TB table layout) -------------------------
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: str | list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    target_files_per_partition: int | None = None,
+) -> None:
+    """Write hive-partitioned (dir-per-value) layout — the layout that makes
+    time/tenant filters *partition-pruning* (skip whole directories) instead
+    of row filters at 100 TB.
+
+    ``target_files_per_partition`` repartitions by the partition columns
+    first so each output dir holds that many files instead of one file per
+    input task — the standard small-files guard (a 100k-task job writing 365
+    date partitions would otherwise emit 36.5M files).
+    """
+    cols = [partition_cols] if isinstance(partition_cols, str) else list(partition_cols)
+    if target_files_per_partition is not None:
+        parts = [F.col(c) for c in cols]
+        # salt spreads one partition's rows over N writer tasks
+        salt = F.pmod(F.xxhash64(*df.columns), F.lit(target_files_per_partition)).cast("int")
+        df = df.repartition(*parts, salt)
+    df.write.format(fmt).mode(mode).partitionBy(*cols).save(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a directory to ~target-sized files (small-file compaction —
+    streaming sinks and over-parallel writers fragment tables; scan cost at
+    100 TB is dominated by file count once files are small). Returns the new
+    file count. Non-atomic (stage-and-swap belongs to a table format like
+    Iceberg/Delta; this is the raw-dir equivalent)."""
+    import math
+    import shutil
+    import tempfile
+
+    df = spark.read.format(fmt).load(path)
+    total_bytes = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(path).rglob("*")
+        if f.is_file() and not f.name.startswith(("_", "."))
+    )
+    n = max(1, math.ceil(total_bytes / target_file_bytes))
+    tmp = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path.rstrip("/")) or ".")
+    df.repartition(n).write.format(fmt).mode("overwrite").save(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n

@@ -44,3 +44,13 @@ def pushed_filters(df: DataFrame) -> list[str]:
         if line.startswith("PushedFilters:"):
             out.append(line[len("PushedFilters:") :].strip())
     return out
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """The predicates applied as directory-level partition pruning."""
+    out = []
+    for line in plan_string(df, "formatted").splitlines():
+        line = line.strip()
+        if line.startswith("PartitionFilters:"):
+            out.append(line[len("PartitionFilters:") :].strip())
+    return out

@@ -57,3 +57,54 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, bucketed_tables):
         .count()
     )
     assert joined.count() == plain
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout + day filter → directory-level pruning
+    (PartitionFilters on the scan), the 100 TB time-filter fast path."""
+    from rdkafka_streams_spark.core.io import load_table, write_partitioned
+    from rdkafka_streams_spark.core.plan import partition_filters
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(ev, path, "day")
+
+    back = spark.read.parquet(path)
+    one_day = back.where(F.col("day") == "2024-01-05")
+    pf = " ".join(partition_filters(one_day))
+    assert "day" in pf, f"no partition pruning in plan: {pf}"
+    expect = ev.where(F.col("day") == "2024-01-05").count()
+    assert one_day.count() == expect and expect > 0
+
+
+def test_partitioned_write_bounds_files_per_partition(spark, sf_dir, tmp_path):
+    from pathlib import Path
+
+    from rdkafka_streams_spark.core.io import load_table, write_partitioned
+
+    ev = load_table(spark, sf_dir, "events").repartition(8).withColumn(
+        "day", F.date_trunc("day", "ts").cast("date")
+    )
+    path = str(tmp_path / "events_capped")
+    write_partitioned(ev, path, "day", target_files_per_partition=2)
+    for d in Path(path).glob("day=*"):
+        n = len([f for f in d.glob("*.parquet")])
+        assert 1 <= n <= 2, f"{d.name} has {n} files"
+
+
+def test_compact_rewrites_to_target_count(spark, sf_dir, tmp_path):
+    from pathlib import Path
+
+    from rdkafka_streams_spark.core.io import compact, load_table
+
+    path = str(tmp_path / "fragmented")
+    ev = load_table(spark, sf_dir, "events")
+    before = ev.count()
+    ev.repartition(64).write.parquet(path)  # 64 tiny files
+    assert len(list(Path(path).glob("*.parquet"))) == 64
+    n = compact(spark, path, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(list(Path(path).glob("*.parquet"))) == 1
+    assert spark.read.parquet(path).count() == before
