@@ -168,3 +168,84 @@ def q70_salted_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(money("l_extendedprice")).cast("double").alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+# ------------------------------------------------- event analytics (T-family)
+@query(
+    "q73_funnel",
+    oracle="""
+WITH stage1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+stage2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN stage1 s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.t1 GROUP BY e.user_id),
+stage3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN stage2 s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.t2 GROUP BY e.user_id)
+SELECT 'view' AS stage, COUNT(*) AS users FROM stage1
+UNION ALL SELECT 'view>click', COUNT(*) FROM stage2
+UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM stage3
+""",
+    tags=("T-analytics", "E10", "E3"),
+)
+def q73_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): each stage keeps
+    users whose stage event strictly follows their previous stage's first
+    event. Three per-user min-aggregations + joins on user_id — every shuffle
+    keys on the (high-cardinality) user, and each stage's frame shrinks, so
+    the funnel is cheaper than any single full-table pass at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, prev_t: str, out_t: str) -> DataFrame:
+        nxt = e.where(F.col("event_type") == etype).select("user_id", "ts")
+        return (
+            nxt.join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    s1 = e.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = first_after(s1, "click", "t1", "t2")
+    s3 = first_after(s2, "purchase", "t2", "t3")
+    return (
+        s1.agg(F.lit("view").alias("stage"), F.count("*").alias("users"))
+        .unionAll(s2.agg(F.lit("view>click").alias("stage"), F.count("*").alias("users")))
+        .unionAll(s3.agg(F.lit("view>click>purchase").alias("stage"), F.count("*").alias("users")))
+    )
+
+
+@query(
+    "q74_retention_cohorts",
+    oracle="""
+WITH firstday AS (
+  SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS cohort FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         datediff('day', f.cohort, CAST(date_trunc('day', e.ts) AS DATE)) AS day_k
+  FROM events e JOIN firstday f ON e.user_id = f.user_id)
+SELECT cohort, day_k, COUNT(*) AS active_users
+FROM activity WHERE day_k <= 7 GROUP BY cohort, day_k
+""",
+    tags=("T-analytics", "E10", "E24"),
+)
+def q74_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity counted
+    per day-offset k ≤ 7. The cohort join broadcasts nothing exotic — it's a
+    user-keyed equi-join; the distinct bounds each (user, day) to one row
+    before the small (cohort, k) rollup."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    firstday = e.groupBy("user_id").agg(F.min(day).alias("cohort"))
+    activity = (
+        e.join(firstday, "user_id")
+        .select("user_id", "cohort", F.datediff(day, F.col("cohort")).alias("day_k"))
+        .distinct()
+    )
+    return (
+        activity.where(F.col("day_k") <= 7)
+        .groupBy("cohort", "day_k")
+        .agg(F.count("*").alias("active_users"))
+    )
