@@ -47,3 +47,55 @@ def running_count_stateful(
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf wire format for its
+    driver↔worker state channel; without a working google.protobuf the TWS
+    python worker crashes at startup. Gate callers on this."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_stats_tws(df: DataFrame, key: str, value_col: str = "value") -> DataFrame:
+    """Running (count, mean) per key on Spark 4's transformWithStateInPandas —
+    the successor API to applyInPandasWithState (typed state variables,
+    timers, RocksDB-backed). Functionally equivalent to
+    ``running_count_stateful`` + a mean; provided for the newer surface.
+
+    Requires the protobuf python package (see ``tws_available``) and
+    ``spark.sql.streaming.stateStore.providerClass =
+    ...RocksDBStateStoreProvider``.
+    """
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas requires the google.protobuf package; "
+            "use running_count_stateful (applyInPandasWithState) instead"
+        )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n LONG, total DOUBLE")
+
+        def handleInputRows(self, key_, rows, timer_values):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame({key: [key_[0]], "n": [n], "mean_value": [total / n]})
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key).transformWithStateInPandas(
+        _RunningStats(),
+        outputStructType=f"{key} string, n long, mean_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -338,3 +338,35 @@ def test_stream_stream_join_with_watermarks(spark, sf_dir, event_stream_dir, tmp
         F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
     expect = p.join(e, F.expr("p_user = e_user AND e_ts BETWEEN p_ts - interval 1 hour AND p_ts")).count()
     assert got == expect and expect > 0
+
+
+def test_transform_with_state_running_stats(spark, sf_dir, event_stream_dir, tmp_path):
+    """T7 on the newer transformWithStateInPandas API — skipped where the
+    protobuf wire dependency is absent (this container); the
+    applyInPandasWithState path above is the tested equivalent."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.streaming.stateful import running_stats_tws, tws_available
+
+    if not tws_available():
+        pytest.skip("google.protobuf not available: TWS python worker cannot start")
+
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    out = running_stats_tws(stream, "event_type")
+    q = (
+        out.writeStream.format("memory").queryName("tws_stats").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_tws"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: r["n"]
+        for r in spark.sql(
+            "SELECT event_type, max(n) AS n FROM tws_stats GROUP BY event_type"
+        ).collect()
+    }
+    expect = {
+        r["event_type"]: r["count"]
+        for r in load_table(spark, sf_dir, "events").groupBy("event_type").count().collect()
+    }
+    assert got == expect
