@@ -3,6 +3,7 @@ from rdkafka_streams_spark.streaming.producer import KProducer, encode_records
 from rdkafka_streams_spark.streaming.duplex import Duplex, get_duplex
 from rdkafka_streams_spark.streaming.listeners import DeliveryListener
 from rdkafka_streams_spark.streaming.stateful import running_count_stateful
+from rdkafka_streams_spark.streaming.sinks import foreach_batch_overwrite, write_batch_overwrite
 
 __all__ = [
     "DeliveryListener",
@@ -11,6 +12,8 @@ __all__ = [
     "KProducer",
     "decode_values",
     "encode_records",
+    "foreach_batch_overwrite",
     "get_duplex",
     "running_count_stateful",
+    "write_batch_overwrite",
 ]

@@ -370,3 +370,34 @@ def test_transform_with_state_running_stats(spark, sf_dir, event_stream_dir, tmp
         for r in load_table(spark, sf_dir, "events").groupBy("event_type").count().collect()
     }
     assert got == expect
+
+
+def test_foreach_batch_idempotent_sink(spark, sf_dir, event_stream_dir, tmp_path):
+    """T8: foreachBatch per-batch-id overwrite sink — a replayed batch
+    replaces its own output instead of duplicating it (effectively-exactly-
+    once for file sinks over the engine's at-least-once replay)."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.streaming.sinks import (
+        foreach_batch_overwrite,
+        write_batch_overwrite,
+    )
+
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        event_stream_dir
+    )
+    out = str(tmp_path / "sink_out")
+    q = foreach_batch_overwrite(stream, out, str(tmp_path / "ck_fbo"))
+    q.awaitTermination(120)
+
+    expect = load_table(spark, sf_dir, "events").count()
+    got = spark.read.parquet(out).count()
+    assert got == expect
+
+    # simulate an at-least-once redelivery: re-write batch 0 with the same id
+    # (materialized first — a real redelivery comes from the source, not from
+    # the directory being overwritten)
+    src0 = spark.read.parquet(f"{out}/batch_id=0").drop("batch_id")
+    batch0 = spark.createDataFrame(src0.collect(), src0.schema)
+    write_batch_overwrite(batch0, 0, out)
+    assert spark.read.parquet(out).count() == expect  # replaced, not duplicated
