@@ -249,3 +249,61 @@ def q74_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", "day_k")
         .agg(F.count("*").alias("active_users"))
     )
+
+
+@query(
+    "q75_timeseries_similarity",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS d,
+         ROUND(SUM(value), 6) AS v
+  FROM events GROUP BY 1, 2),
+norms AS (SELECT user_id, sqrt(SUM(v * v)) AS nrm FROM daily GROUP BY user_id),
+dots AS (
+  SELECT a.user_id AS u1, b.user_id AS u2, SUM(a.v * b.v) AS dot
+  FROM daily a JOIN daily b ON a.d = b.d AND a.user_id <> b.user_id
+  GROUP BY 1, 2)
+SELECT u1, u2, cos FROM (
+  SELECT d.u1, d.u2, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY d.u1 ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.u2) AS rn
+  FROM dots d
+  JOIN norms na ON d.u1 = na.user_id
+  JOIN norms nb ON d.u2 = nb.user_id)
+WHERE rn <= 3
+""",
+    tags=("T-analytics", "L3", "E20"),
+)
+def q75_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (cf. EDBT'19 distributed ts-similarity,
+    PAPERS.md): each user's daily-sum series as a sparse vector, cosine
+    between users via a day-aligned self-join (absent days contribute 0 so
+    the sparse dot product is exact), top-3 neighbors per user. Scale path:
+    the day-join keys on the (bounded) day domain — at 100 TB you'd block by
+    coarse series signature (an LSH over normalized shapes) exactly like the
+    document near-dup pipeline; plan shape is identical."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "user_id",
+            F.datediff(F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("d"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    norms = daily.groupBy("user_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
+    a, b = daily.alias("a"), daily.alias("b")
+    dots = (
+        a.join(b, (F.col("a.d") == F.col("b.d")) & (F.col("a.user_id") != F.col("b.user_id")))
+        .groupBy(F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2"))
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("dot"))
+    )
+    na = norms.select(F.col("user_id").alias("u1"), F.col("nrm").alias("n1"))
+    nb = norms.select(F.col("user_id").alias("u2"), F.col("nrm").alias("n2"))
+    cos = F.col("dot") / (F.col("n1") * F.col("n2"))
+    w = Window.partitionBy("u1").orderBy(cos.desc(), "u2")
+    return (
+        dots.join(na, "u1")
+        .join(nb, "u2")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("u1", "u2", F.round(cos, 6).alias("cos"))
+    )
