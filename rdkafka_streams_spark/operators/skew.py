@@ -35,6 +35,10 @@ def salted_join(
     salt is internal). The large side's salt is derived from xxhash64 of all
     its columns — deterministic, uniformly spread, no RNG.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right/full would emit one row per salt for unmatched build rows;
+        # semi/anti have no payload to salt — plain join is already cheap.
+        raise ValueError(f"salted_join preserves semantics only for inner/left joins, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     salted_large = large.withColumn(
         _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(n_salts)).cast("int")

@@ -108,3 +108,15 @@ def test_compact_rewrites_to_target_count(spark, sf_dir, tmp_path):
     assert n == 1
     assert len(list(Path(path).glob("*.parquet"))) == 1
     assert spark.read.parquet(path).count() == before
+
+
+def test_salted_join_rejects_right_full(spark, sf_dir):
+    import pytest
+
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(l.withColumnRenamed("l_suppkey", "s_suppkey"), s, "s_suppkey", how="full")
