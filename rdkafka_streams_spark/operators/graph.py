@@ -1,0 +1,71 @@
+"""Connected components — dedup-cluster assignment (SURVEY.md §2.6 L1/L2).
+
+Near-dup detection (MinHash/Jaccard/SimHash) emits *pairs*; a pipeline needs
+*clusters* ("keep one doc per component"). Components come from iterative
+min-label propagation over the (symmetrized) edge set:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated to fixpoint. Every iteration is one shuffle join + one groupBy on
+the node key — fully distributed; the driver only checks the scalar
+"did any label change" count per round. Rounds needed = graph diameter;
+near-dup graphs are dense clumps (tiny diameter), so a handful of rounds.
+At extreme scale the alternating small-star/large-star variant (Kiveris et
+al., "Connected Components in MapReduce") halves rounds to O(log n) — same
+join shapes, noted here as the upgrade path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges`` (undirected);
+    component = the minimum node id in the node's connected component.
+
+    Raises after ``max_iters`` non-converged rounds (a correctness guard —
+    the result is only meaningful at fixpoint).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.where(F.col("a") != F.col("b")).distinct().persist()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            sym.unpersist()
+            return labels.select(F.col("node"), F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")

@@ -447,3 +447,51 @@ def q71_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     — keyword extraction for corpus triage. idf rounded to 6 before the
     product so the ln is engine-stable; term tiebreak totalizes the rank."""
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+# ------------------------------------------------------------------- L1/L2
+@query(
+    "q76_dedup_clusters",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, text, lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk
+  FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, blk, tok FROM (
+    SELECT doc_id, blk, unnest(string_split(text, ' ')) AS tok FROM d)),
+sizes AS (SELECT doc_id, blk, COUNT(*) AS sz FROM tok GROUP BY 1, 2),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id1, id2 FROM (
+    SELECT co.id1, co.id2, co.c / (sa.sz + sb.sz - co.c) AS jaccard
+    FROM common co
+    JOIN sizes sa ON co.id1 = sa.doc_id
+    JOIN sizes sb ON co.id2 = sb.doc_id)
+  WHERE jaccard >= 0.8),
+edges2 AS (
+  SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges2
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+""",
+    tags=("L1", "L2", "graph"),
+)
+def q76_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters: connected components (iterative
+    min-label propagation, operators/graph.py) over the q52 Jaccard-pair
+    graph. The step every dedup pipeline needs between pair detection and
+    "keep one per cluster"; oracle = transitive closure via recursive CTE."""
+    from rdkafka_streams_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", F.col("lang"), F.expr("n_chars div 100").cast("string"))
+    )
+    pairs = jaccard_pairs(d, threshold=0.8, block_col="blk").select("id1", "id2")
+    return connected_components(pairs, "id1", "id2").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

@@ -120,3 +120,23 @@ def test_salted_join_rejects_right_full(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(l.withColumnRenamed("l_suppkey", "s_suppkey"), s, "s_suppkey", how="full")
+
+
+def test_connected_components_chain_and_islands(spark):
+    from rdkafka_streams_spark.operators.graph import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 ⇒ needs multiple rounds), island 10-11,
+    # self-contained triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long",
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
