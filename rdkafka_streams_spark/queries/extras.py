@@ -98,3 +98,58 @@ def q66_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_id", "ts").alias("earliest_event"),
         F.max_by("event_type", "ts").alias("latest_type"),
     )
+
+
+# ----------------------------------------------------------------- E34 (UDAF)
+@query(
+    "q77_pandas_udaf",
+    oracle="""
+SELECT label,
+       ROUND(AVG(sqrt(list_sum(list_transform(range(1, 65),
+             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))), 6) AS mean_norm
+FROM embeddings GROUP BY label
+""",
+    tags=("E34",),
+)
+def q77_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF surface): mean L2 norm per
+    label, Arrow-batched per group. Rounded to 6 — numpy pairwise vs
+    sequential summation differ only in the last ulp."""
+    from rdkafka_streams_spark.functions.udfs import mean_norm_grouped
+
+    e = _t(spark, sf_dir, "embeddings")
+    # NB: Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates
+    # in one agg() — the UDAF stands alone here.
+    return e.groupBy("label").agg(
+        F.round(mean_norm_grouped("embedding"), 6).alias("mean_norm"),
+    )
+
+
+# ----------------------------------------------------------------- E34 (UDTF)
+@query(
+    "q78_udtf_tokens",
+    oracle="""
+SELECT doc_id, pos, toks[pos] AS tok FROM (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  unnest(generate_series(1, least(len(toks), 5))) AS t(pos)
+""",
+    tags=("E34",),
+)
+def q78_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: first-5 tokens with positions
+    via a lateral join. Row-at-a-time Python — kept as the E34 API demo
+    only; the production equivalent is posexplode(slice(split(...)))
+    (JVM-side), per the built-ins-first policy."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, tok string")
+    class TopTokens:
+        def eval(self, text: str):
+            for i, t in enumerate((text or "").split(" ")[:5], start=1):
+                yield i, t
+
+    spark.udtf.register("top_tokens", TopTokens)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.tok FROM __docs_udtf, LATERAL top_tokens(text) t"
+    )
