@@ -31,3 +31,30 @@ def top_k_per_group(
     """Top-k rows per group via row_number over a total order."""
     w = Window.partitionBy(*group).orderBy(*order)
     return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def top_k_per_group_salted(
+    df: DataFrame,
+    group: Sequence[str],
+    order: Sequence[Column],
+    k: int,
+    n_salts: int = 16,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Two-phase top-k per group for *hot* groups (low-cardinality or skewed
+    group keys, where the plain window serializes each group onto one task).
+
+    Phase 1 ranks within (group, salt) — n_salts-way parallel per group —
+    keeping each shard's top-k; phase 2 re-ranks the surviving ≤ n_salts·k
+    rows per group. Identical result to ``top_k_per_group`` under a total
+    order; the final sort touches O(groups · n_salts · k) rows instead of
+    the whole table."""
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
+    w1 = Window.partitionBy(*group, F.col("__salt")).orderBy(*order)
+    partial = (
+        df.withColumn("__salt", salt)
+        .withColumn("__r", F.row_number().over(w1))
+        .where(F.col("__r") <= k)
+        .drop("__salt", "__r")
+    )
+    return top_k_per_group(partial, group, order, k, rank_col)

@@ -140,3 +140,17 @@ def test_connected_components_chain_and_islands(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_topk_per_group_salted_equals_plain(spark, sf_dir):
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.operators.topk import top_k_per_group, top_k_per_group_salted
+
+    l = load_table(spark, sf_dir, "lineitem")
+    order = [F.col("l_quantity").desc(), F.col("l_orderkey"), F.col("l_linenumber")]
+    plain = top_k_per_group(l, ["l_returnflag"], order, 10)
+    salted = top_k_per_group_salted(l, ["l_returnflag"], order, 10, n_salts=8)
+    key = ["l_returnflag", "rn"]
+    assert sorted(map(tuple, plain.select(*key, "l_orderkey").collect())) == sorted(
+        map(tuple, salted.select(*key, "l_orderkey").collect())
+    )
