@@ -307,3 +307,66 @@ def q75_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("u1", "u2", F.round(cos, 6).alias("cos"))
     )
+
+
+@query(
+    "q79_histogram",
+    oracle="""
+SELECT bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM (
+  SELECT LEAST(GREATEST(CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT), 0), 11) AS bucket,
+         l_extendedprice
+  FROM lineitem)
+GROUP BY bucket
+""",
+    tags=("E25", "E10"),
+)
+def q79_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound histogram binning (12 × 5000-wide buckets, clamped) —
+    engine-neutral floor arithmetic instead of width_bucket, so the bin
+    edges are bit-identical everywhere. One map-side pass + a 12-key agg:
+    the shape that histograms a 100 TB column for free."""
+    l = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("l_extendedprice") / 5000.0).cast("bigint"), F.lit(0)),
+        F.lit(11),
+    )
+    return l.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(money("l_extendedprice")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "q80_rolling_time_window",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)
+         RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW), 6) AS rolling_3d,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)
+         RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW) AS n_3d
+FROM events
+""",
+    tags=("E21", "E24"),
+)
+def q80_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range rolling window (true RANGE frame over epoch seconds, not a
+    row frame — q24 covers ROWS): per-user 3-day rolling sum/count. The
+    range frame's state is bounded by the time span, not the row count —
+    the frame that survives bursty keys at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-259200, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 6).alias("rolling_3d"),
+        F.count("*").over(w).alias("n_3d"),
+    )
