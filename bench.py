@@ -68,6 +68,8 @@ def main() -> None:
             times[name] = min(times.get(name, dt), dt)
             rows[name] = n
 
+    stream_rps = _stream_decode_throughput(spark)
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -81,9 +83,50 @@ def main() -> None:
                 "cpus": cpus,
                 "runs_per_query": RUNS,
                 "aggregation": "min",
+                "stream_decode_rows_per_sec": stream_rps,
             }
         )
     )
+
+
+def _stream_decode_throughput(spark, seconds: float = 8.0) -> int:
+    """Micro-batch JSON encode→decode round-trip throughput on the rate
+    source (broker-free stand-in for the reference's Consumer loop, whose
+    own test harness tops out near 1e3 msg/s — BASELINE.md). Returns decoded
+    rows/sec sustained over ~``seconds`` of processing-time triggers."""
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.streaming import decode_values
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 5_000_000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    # reference record shape {count, source} (FIXTURES.md A)
+    as_json = rate.select(
+        F.to_json(
+            F.struct(F.col("value").alias("count"), F.lit("origin").alias("source"))
+        ).alias("value")
+    )
+    decoded = decode_values(as_json, "count long, source string")
+    q = (
+        decoded.writeStream.format("noop")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_stream_ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    _t.sleep(seconds)
+    q.stop()
+    q.awaitTermination(30)
+    progress = q.recentProgress
+    n = sum(p["numInputRows"] for p in progress)
+    dur = sum(p["batchDuration"] for p in progress) / 1000.0
+    return int(n / dur) if dur > 0 else 0
 
 
 if __name__ == "__main__":
