@@ -1,9 +1,12 @@
 from rdkafka_streams_spark.llm.dedup import (
+    char_shingles,
+    exact_dedup,
     exact_dedup_stats,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_near_dups,
     minhash_signatures,
+    ngram_jaccard_pairs,
     simhash,
 )
 from rdkafka_streams_spark.llm.similarity import cosine_topk, embedding_near_dups
@@ -11,20 +14,25 @@ from rdkafka_streams_spark.llm.text import (
     detect_language,
     fingerprint,
     text_quality,
+    tfidf_top_terms,
     token_stats,
 )
 
 __all__ = [
+    "char_shingles",
     "cosine_topk",
     "detect_language",
     "embedding_near_dups",
+    "exact_dedup",
     "exact_dedup_stats",
     "fingerprint",
     "jaccard_pairs",
     "lsh_candidate_pairs",
     "minhash_near_dups",
     "minhash_signatures",
+    "ngram_jaccard_pairs",
     "simhash",
     "text_quality",
+    "tfidf_top_terms",
     "token_stats",
 ]

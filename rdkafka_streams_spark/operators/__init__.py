@@ -1,5 +1,22 @@
 from rdkafka_streams_spark.operators.asof import asof_join
-from rdkafka_streams_spark.operators.topk import top_k, top_k_per_group
+from rdkafka_streams_spark.operators.bucketing import read_bucketed, write_bucketed
+from rdkafka_streams_spark.operators.graph import connected_components
 from rdkafka_streams_spark.operators.sampling import hash_sample
+from rdkafka_streams_spark.operators.skew import salted_join
+from rdkafka_streams_spark.operators.topk import (
+    top_k,
+    top_k_per_group,
+    top_k_per_group_salted,
+)
 
-__all__ = ["asof_join", "top_k", "top_k_per_group", "hash_sample"]
+__all__ = [
+    "asof_join",
+    "connected_components",
+    "hash_sample",
+    "read_bucketed",
+    "salted_join",
+    "top_k",
+    "top_k_per_group",
+    "top_k_per_group_salted",
+    "write_bucketed",
+]
