@@ -54,6 +54,45 @@ def decode_values(
     )
 
 
+def decode_with_dlq(
+    raw: DataFrame,
+    schema: StructType | str,
+    value_col: str = "value",
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter decode: (good, bad) split of the stream.
+
+    The reference aborts the whole stream on one malformed record
+    (src/Consumer.coffee:106-108) — unacceptable when one poisoned message
+    can stall a 100 TB/day topic. Here a malformed value yields a NULL
+    struct (PERMISSIVE), and the raw record is routed to the dead-letter
+    frame (original bytes + envelope intact for replay) while good records
+    flow on. Both frames share one source scan; sinks attach to each.
+    """
+    # PERMISSIVE from_json yields a struct of NULL fields for bad input (not
+    # a NULL struct), so malformedness is detected the supported way: a
+    # corrupt-record column inside the parse schema.
+    corrupt = "__corrupt"
+    if isinstance(schema, str):
+        aug = f"{schema}, {corrupt} string"
+    else:
+        aug = schema.add(corrupt, "string")
+    decoded = raw.withColumn(
+        "__parsed",
+        F.from_json(
+            F.col(value_col).cast("string"),
+            aug,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt},
+        ),
+    )
+    is_bad = F.col(f"__parsed.{corrupt}").isNotNull()
+    envelope = [c for c in raw.columns if c != value_col]
+    good = decoded.where(~is_bad).select(
+        *envelope, F.col("__parsed").dropFields(corrupt).alias(value_col)
+    )
+    bad = decoded.where(is_bad).drop("__parsed")
+    return good, bad
+
+
 def infer_schema_from_sample(spark: SparkSession, sample_values: Sequence[str]) -> str:
     """Schema migration helper for schemaless topics: schema inferred from a
     bounded JSON sample (schema_of_json needs a literal, so samples are read

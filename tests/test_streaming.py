@@ -401,3 +401,24 @@ def test_foreach_batch_idempotent_sink(spark, sf_dir, event_stream_dir, tmp_path
     batch0 = spark.createDataFrame(src0.collect(), src0.schema)
     write_batch_overwrite(batch0, 0, out)
     assert spark.read.parquet(out).count() == expect  # replaced, not duplicated
+
+
+def test_decode_with_dlq_splits_good_and_bad(spark):
+    """Dead-letter decode: malformed records keep their raw bytes + envelope
+    on the DLQ side; good records decode; nothing is dropped or aborts."""
+    from rdkafka_streams_spark.streaming.consumer import decode_with_dlq
+
+    records = [{"count": i, "source": "origin"} for i in range(10)]
+    raw = _kafka_shaped(spark, records)
+    # poison two records
+    poisoned = raw.withColumn(
+        "value",
+        F.when(F.col("offset").isin(3, 7), F.lit(b"{not json")).otherwise(F.col("value")),
+    )
+    good, bad = decode_with_dlq(poisoned, VALUE_SCHEMA)
+    assert good.count() == 8
+    assert {r["offset"] for r in bad.collect()} == {3, 7}
+    # DLQ keeps original bytes for replay
+    assert bad.collect()[0]["value"] == b"{not json"
+    # good side fully decoded
+    assert all(r["value"]["source"] == "origin" for r in good.collect())
