@@ -92,3 +92,31 @@ def decode_media(
             )
 
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_ts double, frame binary"
+
+
+def sample_frames(
+    media: DataFrame,
+    fps: float = 1.0,
+    duration_s: float = 8.0,
+) -> DataFrame:
+    """Frame sampling for video blobs: one output row per sampled timestamp.
+
+    The sample grid (``frame_idx``, ``frame_ts``) is computed JVM-side with
+    ``explode(sequence(...))`` — the blob is carried, not decoded, so Spark
+    only duplicates a column reference per row, and downstream decode
+    (``decode_media``) sees per-frame rows. Real frame extraction (av/ffmpeg)
+    is stubbed for the same reason as image decode: the container has no
+    media libs. Frame bytes here = the blob (the decode stub is a pure
+    function of bytes, so per-frame features stay deterministic).
+    """
+    n = max(1, int(fps * duration_s))
+    idx = F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("frame_idx")
+    return media.select("doc_id", idx, F.col("content")).select(
+        "doc_id",
+        "frame_idx",
+        (F.col("frame_idx") / F.lit(fps)).alias("frame_ts"),
+        F.col("content").alias("frame"),
+    )

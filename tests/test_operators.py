@@ -110,3 +110,22 @@ def test_fingerprint_stable_under_identity(spark):
                               "doc_id long, text string")
     fps = [r["fp"] for r in fingerprint(d).collect()]
     assert fps[0] == fps[1]
+
+
+def test_sample_frames_grid_and_carry(spark, sf_dir):
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.multimodal import attach_media, decode_media, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = attach_media(docs)
+    frames = sample_frames(media, fps=2.0, duration_s=3.0)
+    assert frames.count() == 10 * 6  # 6 frames per blob
+    one = frames.where(F.col("doc_id") == frames.select("doc_id").first()[0])
+    ts = [r["frame_ts"] for r in one.orderBy("frame_idx").collect()]
+    assert ts == [0.0, 0.5, 1.0, 1.5, 2.0, 2.5]
+    # per-frame rows feed the decode stage unchanged (schema contract)
+    decoded = decode_media(
+        frames.select("doc_id", F.octet_length("frame").alias("byte_len"),
+                      F.col("frame").alias("content"))
+    )
+    assert decoded.count() == 60
