@@ -66,3 +66,27 @@ def test_whole_stage_codegen_on_scalar_queries(spark, sf_dir):
     for name in ("q26_string_funcs", "q28_math_funcs", "q29_conditional"):
         df = REGISTRY[name].fn(spark, sf_dir)
         assert "*(" in plan_string(df, "simple"), f"{name} fell out of codegen"
+
+
+def test_new_ops_shuffle_budgets(spark, sf_dir):
+    """Pin the shuffle budget of the round-2 operators — a plan regression
+    (lost broadcast, extra exchange) fails here long before it shows up as
+    a wall-clock problem at scale."""
+    budgets = {
+        "q68_unpivot": 1,            # agg only; the melt is a projection
+        "q69_gapfill_locf": 2,       # daily agg + LOCF window (calendar broadcasts)
+        "q79_histogram": 1,          # partial agg → 12-key exchange
+        "q80_rolling_time_window": 1,  # one (user) window sort
+        "q74_retention_cohorts": 3,  # firstday agg + distinct + rollup
+    }
+    for name, budget in budgets.items():
+        df = REGISTRY[name].fn(spark, sf_dir)
+        got = count_exchanges(df)
+        assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
+
+
+def test_gapfill_calendar_broadcasts(spark, sf_dir):
+    # the densified calendar must broadcast against the daily aggregate —
+    # a shuffle join here would move the fact-sized side twice
+    df = REGISTRY["q69_gapfill_locf"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
