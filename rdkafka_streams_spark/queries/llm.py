@@ -495,3 +495,37 @@ def q76_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "id1", "id2").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+# ------------------------------------------------------------------- L2/E23
+@query(
+    "q81_edit_distance",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, substring(text, 1, 40) AS head, source || '|' || lang AS blk
+  FROM documents)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       levenshtein(a.head, b.head) AS dist
+FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 15
+""",
+    tags=("L2", "E23"),
+)
+def q81_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching by Levenshtein distance on 40-char prefixes within
+    (source, lang) blocks — the character-level near-dup check (integer DP
+    distance, bit-identical across engines). Edit distance is O(len²) per
+    pair, so at scale it is strictly a *verifier* behind blocking/LSH, never
+    a full self-join — exactly how it is scoped here."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("head"),
+        F.concat_ws("|", "source", "lang").alias("blk"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(dist <= 15)
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"), dist.alias("dist"))
+    )
