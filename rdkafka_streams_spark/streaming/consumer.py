@@ -48,6 +48,9 @@ def decode_values(
     envelope = [c for c in raw.columns if c != value_col]
     return raw.select(
         *envelope,
+        # node-rdkafka's message struct carries the value byte length as
+        # `size`; the reference keeps it in the envelope (src/Consumer.coffee:96)
+        F.octet_length(F.col(value_col)).alias("size"),
         F.from_json(
             F.col(value_col).cast("string"), schema, {"mode": mode}
         ).alias(value_col),
@@ -115,6 +118,7 @@ class KConsumer:
     topic: str | Sequence[str]
     group_id: str | None = None
     from_offset: str = "latest"  # "earliest" | "latest" (src/Consumer.coffee:26)
+    pattern: bool = False  # subscribe to a topic regex instead of a list
     schema: StructType | str | None = None
     mode: str = "FAILFAST"
     batch_size: int | None = None
@@ -129,7 +133,7 @@ class KConsumer:
         reader = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", self.host)
-            .option("subscribe", self._topics())
+            .option("subscribePattern" if self.pattern else "subscribe", self._topics())
             .option("startingOffsets", self.from_offset)
         )
         if self.group_id:

@@ -52,7 +52,8 @@ def test_decode_preserves_envelope_and_parses_value(spark):
     rows = out.collect()
     assert len(rows) == 100  # produce N → consume N (test_Consumer.coffee:55-69)
     assert set(out.columns) == {"key", "topic", "partition", "offset",
-                                "timestamp", "timestampType", "value"}
+                                "timestamp", "timestampType", "size", "value"}
+    assert rows[0]["size"] == len(json.dumps(records[0]).encode())
     assert rows[0]["value"]["source"] == "origin"
     assert rows[0]["offset"] == 0 and rows[0]["topic"] == "bus"
 
