@@ -423,3 +423,26 @@ def test_decode_with_dlq_splits_good_and_bad(spark):
     assert bad.collect()[0]["value"] == b"{not json"
     # good side fully decoded
     assert all(r["value"]["source"] == "origin" for r in good.collect())
+
+
+def test_micro_batch_cap_bounds_batches(spark, sf_dir, tmp_path):
+    """F1: the reference pulls ≤16 messages per loop iteration
+    (src/Consumer.coffee:57); the Spark analog caps per-trigger intake.
+    With maxFilesPerTrigger=1 over N files the replay must take exactly N
+    micro-batches — the pacing contract backpressure relies on."""
+    from rdkafka_streams_spark.core.io import load_table
+
+    n_files = 5
+    d = str(tmp_path / "paced")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(n_files).write.parquet(d)
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    q = (
+        stream.writeStream.format("memory").queryName("paced")
+        .option("checkpointLocation", str(tmp_path / "ck_paced"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == n_files
+    assert sum(p["numInputRows"] for p in batches) == ev.count()
