@@ -4,6 +4,7 @@ from rdkafka_streams_spark.streaming.duplex import Duplex, get_duplex
 from rdkafka_streams_spark.streaming.listeners import DeliveryListener
 from rdkafka_streams_spark.streaming.stateful import running_count_stateful
 from rdkafka_streams_spark.streaming.sinks import foreach_batch_overwrite, write_batch_overwrite
+from rdkafka_streams_spark.streaming.lifecycle import shutdown, shutdown_all
 
 __all__ = [
     "DeliveryListener",
@@ -15,5 +16,7 @@ __all__ = [
     "foreach_batch_overwrite",
     "get_duplex",
     "running_count_stateful",
+    "shutdown",
+    "shutdown_all",
     "write_batch_overwrite",
 ]

@@ -446,3 +446,21 @@ def test_micro_batch_cap_bounds_batches(spark, sf_dir, tmp_path):
     batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
     assert len(batches) == n_files
     assert sum(p["numInputRows"] for p in batches) == ev.count()
+
+
+def test_shutdown_idempotent_and_complete(spark, sf_dir, event_stream_dir, tmp_path):
+    """F6: graceful shutdown is idempotent (double-destroy safe, unlike the
+    reference's §1.4.3 bug) and leaves no active query behind."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.streaming import shutdown, shutdown_all
+
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(event_stream_dir)
+    q = (
+        stream.writeStream.format("memory").queryName("lc")
+        .option("checkpointLocation", str(tmp_path / "ck_lc"))
+        .trigger(processingTime="1 second").start()
+    )
+    assert shutdown(q) and shutdown(q)  # idempotent
+    assert not q.isActive
+    assert shutdown_all(spark) == 0  # nothing left running
