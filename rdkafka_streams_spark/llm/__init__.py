@@ -9,7 +9,12 @@ from rdkafka_streams_spark.llm.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from rdkafka_streams_spark.llm.similarity import cosine_topk, embedding_near_dups
+from rdkafka_streams_spark.llm.similarity import (
+    build_ivf_index,
+    cosine_topk,
+    embedding_near_dups,
+    ivf_search,
+)
 from rdkafka_streams_spark.llm.text import (
     detect_language,
     fingerprint,
@@ -19,6 +24,7 @@ from rdkafka_streams_spark.llm.text import (
 )
 
 __all__ = [
+    "build_ivf_index",
     "char_shingles",
     "cosine_topk",
     "detect_language",
@@ -26,6 +32,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_stats",
     "fingerprint",
+    "ivf_search",
     "jaccard_pairs",
     "lsh_candidate_pairs",
     "minhash_near_dups",

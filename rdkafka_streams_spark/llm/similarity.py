@@ -97,3 +97,72 @@ def embedding_near_dups(
         pairs.select("id1", "id2", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= threshold)
     )
+
+
+# --------------------------------------------------------------- IVF (real)
+def build_ivf_index(
+    emb: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: KMeans over the corpus → (assignments, centroids).
+
+    assignments = emb + ``__cell`` (the inverted lists); centroids =
+    (cell, centroid array). At 100 TB: train on a sample, assign in one pass,
+    and *write the table partitioned by cell* — then a search touching
+    nprobe cells is partition pruning, not a filter. KMeans internals are
+    engine-private (seeded but not SQL-reproducible) → the recall contract
+    is unit-tested against brute force instead of a SQL oracle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = emb.withColumn("__features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__features", predictionCol="__cell").fit(feat)
+    assigned = model.transform(feat).drop("__features")
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(centroids, f"__cell int, centroid array<double>")
+    return assigned, cent
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe the ``nprobe`` nearest cells per query, brute-force
+    only inside them.
+
+    Candidate fraction ≈ nprobe/n_cells of the corpus — the knob trading
+    recall for scan cost. Centroids and queries are broadcast (tiny); the
+    candidate join hits the inverted lists on the cell key (partition
+    pruning when the table is written partitioned by cell).
+    """
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"))
+    qcos = _dot(F.col("q_emb"), F.col("centroid")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("centroid"))
+    )
+    probe_w = Window.partitionBy("q_id").orderBy(F.col("_c").desc(), F.col("__cell"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("q_id", "q_emb", "__cell", qcos.alias("_c"))
+        .withColumn("pr", F.row_number().over(probe_w))
+        .where(F.col("pr") <= nprobe)
+        .select("q_id", "q_emb", "__cell")
+    )
+    cand = assigned.join(F.broadcast(probes), "__cell").where(F.col(id_col) != F.col("q_id"))
+    cos = _dot(vec_col, "q_emb") / (_norm(vec_col) * _norm("q_emb"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col(id_col))
+    return (
+        cand.select("q_id", id_col, cos.alias("_cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", id_col, F.round("_cos", 6).alias("cos"))
+    )
