@@ -120,13 +120,14 @@ def compact(
     file count. Non-atomic (stage-and-swap belongs to a table format like
     Iceberg/Delta; this is the raw-dir equivalent)."""
     import math
+    import pathlib
     import shutil
     import tempfile
 
     df = spark.read.format(fmt).load(path)
     total_bytes = sum(
         f.stat().st_size
-        for f in __import__("pathlib").Path(path).rglob("*")
+        for f in pathlib.Path(path).rglob("*")
         if f.is_file() and not f.name.startswith(("_", "."))
     )
     n = max(1, math.ceil(total_bytes / target_file_bytes))

@@ -370,3 +370,41 @@ def q80_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 6).alias("rolling_3d"),
         F.count("*").over(w).alias("n_3d"),
     )
+
+
+@query(
+    "q82_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT event_id, user_id,
+       CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+FROM flagged
+""",
+    tags=("T3", "E20"),
+)
+def q82_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session assignment (gaps-and-islands, 30-min gap): lag to
+    flag session starts, running sum to number them — every event gets its
+    (user, session_idx) identity. Complements q42, which aggregates whole
+    sessions; this keeps row grain for downstream joins. One (user)-keyed
+    window sort, same cost class as any per-user window at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_timestamp("ts")).over(w)
+    new_session = (
+        prev.isNull() | ((F.unix_timestamp("ts") - prev) > 1800)
+    ).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(new_session).over(run).cast("bigint").alias("session_idx"),
+    )
