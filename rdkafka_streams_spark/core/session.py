@@ -29,6 +29,11 @@ BUILD_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # 128 MB input splits: good parquet scan granularity at scale.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # local-mode JVM hosts driver AND all executor threads; Spark's 1g
+    # default heap OOMs iterative/cached workloads long before the machine
+    # does (observed: connected-components at sf0.1). On a real cluster
+    # spark-submit overrides this.
+    "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
 }
 

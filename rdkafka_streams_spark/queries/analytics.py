@@ -262,6 +262,7 @@ norms AS (SELECT user_id, sqrt(SUM(v * v)) AS nrm FROM daily GROUP BY user_id),
 dots AS (
   SELECT a.user_id AS u1, b.user_id AS u2, SUM(a.v * b.v) AS dot
   FROM daily a JOIN daily b ON a.d = b.d AND a.user_id <> b.user_id
+  WHERE a.user_id < 30
   GROUP BY 1, 2)
 SELECT u1, u2, cos FROM (
   SELECT d.u1, d.u2, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos,
@@ -277,10 +278,14 @@ def q75_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity search (cf. EDBT'19 distributed ts-similarity,
     PAPERS.md): each user's daily-sum series as a sparse vector, cosine
     between users via a day-aligned self-join (absent days contribute 0 so
-    the sparse dot product is exact), top-3 neighbors per user. Scale path:
-    the day-join keys on the (bounded) day domain — at 100 TB you'd block by
-    coarse series signature (an LSH over normalized shapes) exactly like the
-    document near-dup pipeline; plan shape is identical."""
+    the sparse dot product is exact), top-3 neighbors per query user.
+
+    The query side is a bounded cohort (users < 30), NOT all-pairs: an
+    unrestricted u×u day-join is quadratic in users-per-day (measured 30 s
+    at sf0.1 before this bound — the degenerate shape the q54/q55 query-set
+    pattern exists to avoid). For all-pairs at scale, block by a coarse
+    series signature (LSH over normalized shapes) exactly like the document
+    near-dup pipeline."""
     e = _t(spark, sf_dir, "events")
     daily = (
         e.groupBy(
@@ -290,7 +295,8 @@ def q75_timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("value"), 6).alias("v"))
     )
     norms = daily.groupBy("user_id").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm"))
-    a, b = daily.alias("a"), daily.alias("b")
+    a = daily.where(F.col("user_id") < 30).alias("a")
+    b = daily.alias("b")
     dots = (
         a.join(b, (F.col("a.d") == F.col("b.d")) & (F.col("a.user_id") != F.col("b.user_id")))
         .groupBy(F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2"))
