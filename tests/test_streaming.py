@@ -464,3 +464,40 @@ def test_shutdown_idempotent_and_complete(spark, sf_dir, event_stream_dir, tmp_p
     assert shutdown(q) and shutdown(q)  # idempotent
     assert not q.isActive
     assert shutdown_all(spark) == 0  # nothing left running
+
+
+def test_streaming_duplex_loopback_drains(spark, tmp_path):
+    """§3.3 end-to-end in STREAMING mode (file dir as the shared topic):
+    run 1 filters source=origin, re-tags, writes back to the same dir;
+    run 2 (same checkpoint) sees only re-tagged records → the guard drops
+    them all and writes nothing; run 3 confirms the fixpoint. This is the
+    reference's 500-of-1000 round-trip with real micro-batches."""
+    topic_dir = str(tmp_path / "topic")
+    ck = str(tmp_path / "ck_loop")
+    records = [
+        (i, "origin" if i % 2 else "transform") for i in range(1000)
+    ]
+    spark.createDataFrame(records, "count long, source string").coalesce(2).write.parquet(topic_dir)
+
+    def run_once() -> None:
+        stream = spark.readStream.schema("count long, source string").parquet(topic_dir)
+        hop = stream.where(F.col("source") == "origin").withColumn("source", F.lit("transform"))
+        q = (
+            hop.writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(topic_dir)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # 500 origin records re-tagged and written back
+    assert spark.read.parquet(topic_dir).count() == 1500
+    run_once()  # loop-back records all fail the guard → nothing new
+    assert spark.read.parquet(topic_dir).count() == 1500
+    run_once()  # fixpoint stable
+    counts = dict(
+        spark.read.parquet(topic_dir).groupBy("source").count().collect()
+    )
+    assert counts == {"origin": 500, "transform": 1000}
