@@ -207,20 +207,25 @@ def _jaccard_from_elements(
     block_col: str,
     id_col: str,
 ) -> DataFrame:
-    """|A∩B| / |A∪B| over (id, block, element) rows: per-id set sizes, a
-    block-and-element self-join counting common elements, then
-    inclusion–exclusion. Every shuffle keys on the element or the id —
-    high-cardinality, well-spread; the block bounds the quadratic term."""
+    """|A∩B| / |A∪B| over (id, block, element) rows: per-id set sizes, then
+    per-element posting lists (groupBy collect + double explode) counting
+    common elements, then inclusion–exclusion.
+
+    The posting-list form replaces a (block, element) self-join with one
+    groupBy — same output pairs, one less shuffle of the big pair table,
+    and the sorted-list explode emits each ordered pair once. The block
+    bounds the quadratic term (posting list length ≤ block size)."""
     sizes = tok.groupBy(id_col, block_col).agg(F.count("*").alias("sz"))
-    a, b = tok.alias("a"), tok.alias("b")
+    postings = (
+        tok.groupBy(block_col, "tok")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     common = (
-        a.join(
-            b,
-            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-            & (F.col("a.tok") == F.col("b.tok"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2"))
+        postings.select(F.col("ids"), F.explode("ids").alias("id1"))
+        .select("id1", F.explode("ids").alias("id2"))
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
         .agg(F.count("*").alias("c"))
     )
     sa = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sza"))
