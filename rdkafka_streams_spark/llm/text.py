@@ -155,3 +155,21 @@ def tfidf_top_terms(
         .where(F.col("rn") <= k)
         .select(id_col, "tok", "tf", F.round("score", 6).alias("score"), "rn")
     )
+
+
+#: PII patterns for corpus scrubbing — ordered; applied sequentially.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d{1,2}[ -]?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}", "<PHONE>"),
+    (r"https?://[^ ]+", "<URL>"),
+)
+
+
+def redact_pii(text_col: str | F.Column) -> F.Column:
+    """Regex-chain PII scrub (emails, phone numbers, URLs) — pure
+    regexp_replace, whole-stage codegen, no Python. The pattern list is the
+    policy surface; order matters (URLs may contain @)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

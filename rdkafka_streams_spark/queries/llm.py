@@ -529,3 +529,41 @@ def q81_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 15)
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"), dist.alias("dist"))
     )
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q83_pii_redaction",
+    oracle=r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             'contact u' || CAST(doc_id AS VARCHAR) || '@mail-' || lang || '.com or +1 555-'
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234 via https://d'
+               || CAST(doc_id AS VARCHAR) || '.example/x ' || substring(text, 1, 20),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?\d{1,2}[ -]?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}', '<PHONE>', 'g'),
+         'https?://[^ ]+', '<URL>', 'g') AS clean
+FROM documents
+""",
+    tags=("L4",),
+)
+def q83_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (llm/text.py redact_pii): email/phone/URL regex chain.
+    The fixture corpus is PII-free token soup, so the query synthesizes a
+    deterministic contaminated column per doc (id-derived email, phone, URL
+    + a text prefix) and asserts both engines scrub it identically —
+    exercising the exact expressions a corpus-cleaning pass runs at 100 TB
+    (regexp_replace chain, codegen, no Python)."""
+    from rdkafka_streams_spark.llm.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    contaminated = F.concat(
+        F.lit("contact u"), F.col("doc_id").cast("string"),
+        F.lit("@mail-"), F.col("lang"), F.lit(".com or +1 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-1234 via https://d"), F.col("doc_id").cast("string"),
+        F.lit(".example/x "), F.substring("text", 1, 20),
+    )
+    return d.select("doc_id", redact_pii(contaminated).alias("clean"))

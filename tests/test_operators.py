@@ -161,3 +161,30 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert r16 == 1.0, f"full probe must equal brute force, got {r16}"
     assert r4 <= r8 <= r16, f"recall not monotone: {r4} {r8} {r16}"
     assert r4 >= 0.3, f"quantizer degenerate: recall@4/16 = {r4}"
+
+
+def test_sql_string_surface_matches_dataframe(spark, sf_dir):
+    """The engine's SQL-text surface: register_views + spark.sql of the
+    flagship produces exactly the DataFrame API's result (same Catalyst
+    plan space — proves a SQL-string user loses nothing)."""
+    from rdkafka_streams_spark.core.io import register_views
+    from rdkafka_streams_spark.queries import REGISTRY
+
+    register_views(spark, sf_dir)
+    sql_rows = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    df_rows = (
+        REGISTRY["q01_pricing_summary"].fn(spark, sf_dir)
+        .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+        .collect()
+    )
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
