@@ -9,7 +9,7 @@ they cannot drift.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rdkafka_streams_spark.core.io import load_table
@@ -567,3 +567,43 @@ def q83_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".example/x "), F.substring("text", 1, 20),
     )
     return d.select("doc_id", redact_pii(contaminated).alias("clean"))
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q84_balanced_sample",
+    oracle="""
+SELECT lang, source, n_kept, n_total FROM (
+  SELECT lang, source, COUNT(*) AS n_kept, MAX(n_total) AS n_total FROM (
+    SELECT lang, source,
+           ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY lang, source) AS n_total
+    FROM documents)
+  WHERE rn <= 5
+  GROUP BY lang, source)
+""",
+    tags=("L4", "E33"),
+)
+def q84_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: keep ≤5 docs per (lang, source) stratum, chosen
+    by md5-of-id order — deterministic in any engine, uniform within the
+    stratum (a seeded reservoir without engine-private RNG). The per-stratum
+    cap is THE knob against source domination in a 100 TB training mix;
+    the window sorts only within strata."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wt = Window.partitionBy("lang", "source")
+    return (
+        d.select(
+            "lang",
+            "source",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wt).alias("n_total"),
+        )
+        .where(F.col("rn") <= 5)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_kept"), F.max("n_total").alias("n_total"))
+        .select("lang", "source", "n_kept", "n_total")
+    )
