@@ -90,3 +90,17 @@ def test_gapfill_calendar_broadcasts(spark, sf_dir):
     # a shuffle join here would move the fact-sized side twice
     df = REGISTRY["q69_gapfill_locf"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A projection must prune the parquet ReadSchema — scanning all 11
+    lineitem columns for a 7-column query reads ~40% more bytes than needed
+    at any scale."""
+    from rdkafka_streams_spark.core.plan import plan_string
+
+    df = REGISTRY["q02_select_project"].fn(spark, sf_dir)
+    read = [
+        l.strip() for l in plan_string(df, "formatted").splitlines() if "ReadSchema" in l
+    ][0]
+    assert "l_shipdate" not in read and "l_suppkey" not in read, read
+    assert "l_extendedprice" in read
