@@ -56,17 +56,22 @@ def cosine_topk(
     broadcast query set) to IVF-pruned (join on cell equality).
     Output: q_id, vec_id, cos (rounded to 6).
     """
-    qcols = [F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb")]
+    # Norms are per-VECTOR, not per-pair: factor them out before the join so
+    # each |Q|×|corpus| candidate row does one dot product, not a dot plus
+    # two redundant 64-element norm folds (~3× the interpreted-lambda work).
+    qcols = [F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"),
+             _norm(vec_col).alias("q_nrm")]
     if cell_col:
         qcols.append(F.col(cell_col).alias("q_cell"))
     q = queries.select(*qcols)
+    emb = emb.withColumn("__nrm", _norm(vec_col))
 
     cond = F.col(id_col) != F.col("q_id")
     if cell_col:
         cond = cond & (F.col(cell_col) == F.col("q_cell"))
     pairs = emb.join(F.broadcast(q), cond)
 
-    cos = _dot(vec_col, "q_emb") / (_norm(vec_col) * _norm("q_emb"))
+    cos = _dot(vec_col, "q_emb") / (F.col("__nrm") * F.col("q_nrm"))
     scored = pairs.select("q_id", id_col, cos.alias("_cos"))
     w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col(id_col))
     return (
@@ -85,14 +90,23 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Near-duplicate vector pairs within a coarse cell (L2 embedding-cosine
     variant): pairs (id1 < id2) with cosine ≥ threshold."""
-    a = emb.select(
-        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), F.col(cell_col).alias("c1")
+    # per-vector norm factored out of the pair stage (see cosine_topk)
+    withn = emb.withColumn("__nrm", _norm(vec_col))
+    a = withn.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"),
+        F.col(cell_col).alias("c1"), F.col("__nrm").alias("n1"),
     )
-    b = emb.select(
-        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), F.col(cell_col).alias("c2")
+    b = withn.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"),
+        F.col(cell_col).alias("c2"), F.col("__nrm").alias("n2"),
     )
     pairs = a.join(b, (F.col("c1") == F.col("c2")) & (F.col("id1") < F.col("id2")))
-    cos = _dot("v1", "v2") / (_norm("v1") * _norm("v2"))
+    # Arrow-vectorized dot for the pair-dense stage: the HOF fold is
+    # interpreted per row and 6× slower here (functions/udfs.py pair_dot).
+    # Last-ulp summation-order differences vanish under the round-to-6.
+    from rdkafka_streams_spark.functions.udfs import pair_dot
+
+    cos = pair_dot("v1", "v2") / (F.col("n1") * F.col("n2"))
     return (
         pairs.select("id1", "id2", F.round(cos, 6).alias("cos"))
         .where(F.col("cos") >= threshold)
