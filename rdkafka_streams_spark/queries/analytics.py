@@ -414,3 +414,35 @@ def q82_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(new_session).over(run).cast("bigint").alias("session_idx"),
     )
+
+
+@query(
+    "q85_zscore_standardize",
+    oracle="""
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - s.m) / s.sd, 6) AS z
+FROM events e
+JOIN (SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type) s
+ON e.event_type = s.event_type
+""",
+    tags=("E11", "E3"),
+)
+def q85_zscore_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization (feature engineering): group stats
+    once (tiny aggregate, broadcast back), then a map-side normalize — the
+    two-pass shape that standardizes a 100 TB feature column with one
+    shuffle of group-count rows. Rounded to 6 (mean/stddev are
+    order-of-summation doubles)."""
+    e = _t(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("m")) / F.col("sd"), 6).alias("z"),
+        )
+    )
