@@ -42,3 +42,15 @@ class DeliveryListener(StreamingQueryListener):
     @property
     def total_delivered(self) -> int:
         return sum(self.totals.values())
+
+
+def with_observed_count(df, name: str = "delivered"):
+    """Attach an in-plan observation (``df.observe``): the engine aggregates
+    the metric DURING the batch (no extra pass) and reports it in
+    ``QueryProgress.observedMetrics[name]`` — the per-batch analog of the
+    reference's ``dr`` delivery reports, but exact and transactional with
+    the batch commit. Works on batch frames too (metrics via
+    ``Observation``)."""
+    from pyspark.sql import functions as F
+
+    return df.observe(name, F.count(F.lit(1)).alias("rows"))

@@ -501,3 +501,28 @@ def test_streaming_duplex_loopback_drains(spark, tmp_path):
         spark.read.parquet(topic_dir).groupBy("source").count().collect()
     )
     assert counts == {"origin": 500, "transform": 1000}
+
+
+def test_observed_metrics_report_per_batch(spark, sf_dir, event_stream_dir, tmp_path):
+    """F7 via in-plan observation: observedMetrics carries the exact
+    delivered-row count per committed batch (dr-report analog, no extra
+    aggregation pass over the stream)."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.streaming.listeners import with_observed_count
+
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = with_observed_count(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(event_stream_dir)
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck_obs"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    observed = sum(
+        int(p["observedMetrics"]["delivered"]["rows"])
+        for p in q.recentProgress
+        if "delivered" in (p.get("observedMetrics") or {})
+    )
+    assert observed == load_table(spark, sf_dir, "events").count()
