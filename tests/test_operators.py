@@ -188,3 +188,42 @@ def test_sql_string_surface_matches_dataframe(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
+
+
+def test_map_in_arrow_surface(spark, sf_dir):
+    """E34: mapInArrow — the zero-copy batch API under the pandas UDFs
+    (RecordBatch in/out, no pandas conversion). Demo: per-batch byte-length
+    column computed with pyarrow.compute."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rdkafka_streams_spark.core.io import load_table
+
+    def add_len(batches):
+        for batch in batches:
+            arr = pc.binary_length(batch.column(batch.schema.get_field_index("text")))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), arr], names=["doc_id", "text_len"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = docs.mapInArrow(add_len, schema="doc_id long, text_len int")
+    got = {r["doc_id"]: r["text_len"] for r in out.limit(50).collect()}
+    expect = {
+        r["doc_id"]: r["n"]
+        for r in docs.select("doc_id", F.octet_length("text").alias("n")).limit(50).collect()
+    }
+    assert got == expect
+
+
+def test_redact_pii_patterns(spark):
+    from rdkafka_streams_spark.llm.text import redact_pii
+
+    d = spark.createDataFrame(
+        [("mail bob@x.io or +1 555-123-4567 see https://a.b/c end",),
+         ("clean text stays",)],
+        "text string",
+    )
+    got = [r["clean"] for r in d.select(redact_pii("text").alias("clean")).collect()]
+    assert got[0] == "mail <EMAIL> or <PHONE> see <URL> end"
+    assert got[1] == "clean text stays"
