@@ -526,3 +526,40 @@ def test_observed_metrics_report_per_batch(spark, sf_dir, event_stream_dir, tmp_
         if "delivered" in (p.get("observedMetrics") or {})
     )
     assert observed == load_table(spark, sf_dir, "events").count()
+
+
+def test_streaming_dlq_single_pass_fanout(spark, tmp_path):
+    """DLQ in streaming: ONE foreachBatch splits each micro-batch into good
+    and dead-letter sinks (single source pass — two writeStreams would scan
+    the topic twice). Poisoned records land raw+replayable in the DLQ."""
+    import json as _json
+
+    from rdkafka_streams_spark.streaming.consumer import decode_with_dlq
+
+    src_dir = str(tmp_path / "src")
+    rows = []
+    for i in range(100):
+        payload = b"{broken" if i % 10 == 0 else _json.dumps(
+            {"count": i, "source": "origin"}
+        ).encode()
+        rows.append((payload, i))
+    spark.createDataFrame(rows, "value binary, offset long").write.parquet(src_dir)
+
+    good_dir, bad_dir = str(tmp_path / "good"), str(tmp_path / "bad")
+
+    def split(batch, batch_id):
+        good, bad = decode_with_dlq(batch, VALUE_SCHEMA)
+        good.write.mode("append").parquet(good_dir)
+        bad.write.mode("append").parquet(bad_dir)
+
+    q = (
+        spark.readStream.schema("value binary, offset long").parquet(src_dir)
+        .writeStream.foreachBatch(split)
+        .option("checkpointLocation", str(tmp_path / "ck_dlqs"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(good_dir).count() == 90
+    bad = spark.read.parquet(bad_dir)
+    assert bad.count() == 10
+    assert bad.first()["value"] == b"{broken"  # raw bytes kept for replay
