@@ -48,20 +48,35 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
+    for i in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
-            .localCheckpoint()
+        stepped = labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
+        if i >= 6:
+            # Pointer doubling: label ← label(label). Labels only decrease
+            # toward the component min, so the parent's label is ≤ ours —
+            # the extra self-join halves the remaining distance per round,
+            # i.e. O(log diameter) rounds on chains (which plain propagation
+            # would never finish inside max_iters). Dense near-dup graphs
+            # converge in a handful of plain rounds, so the join (which is
+            # per-round overhead, not data cost, at label-table sizes) only
+            # switches on once the easy rounds are done.
+            parent = stepped.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
+            )
+            stepped = stepped.join(
+                parent, stepped["label"] == parent["p_node"], "left"
+            ).select(
+                "node",
+                F.least(F.col("label"), F.coalesce("p_label", "label")).alias("label"),
+            )
+        new_labels = stepped.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
