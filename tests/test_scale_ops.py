@@ -154,3 +154,17 @@ def test_topk_per_group_salted_equals_plain(spark, sf_dir):
     assert sorted(map(tuple, plain.select(*key, "l_orderkey").collect())) == sorted(
         map(tuple, salted.select(*key, "l_orderkey").collect())
     )
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """A 200-link chain (diameter ≫ the handful of rounds dense graphs
+    need) must converge via the pointer-doubling rounds — plain propagation
+    alone would need 200 rounds and trip max_iters."""
+    from rdkafka_streams_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    out = connected_components(chain)
+    assert out.where(F.col("component") != 0).count() == 0
+    assert out.count() == 201
