@@ -120,17 +120,26 @@ def _stream_decode_throughput(spark, seconds: float = 8.0) -> int:
         .trigger(processingTime="1 second")
         .start()
     )
+
+    def rates() -> list[float]:
+        return [
+            p["numInputRows"] / (p["batchDuration"] / 1000.0)
+            for p in q.recentProgress
+            if p["numInputRows"] and p["batchDuration"]
+        ]
+
+    # wait for ≥3 COMPLETED batches (a fixed sleep can elapse before any
+    # batch finishes when the box is loaded → bogus 0), hard cap 5×seconds
+    deadline = _t.monotonic() + 5 * seconds
     _t.sleep(seconds)
+    while len(rates()) < 3 and _t.monotonic() < deadline:
+        _t.sleep(2)
     q.stop()
     q.awaitTermination(30)
-    rates = [
-        p["numInputRows"] / (p["batchDuration"] / 1000.0)
-        for p in q.recentProgress
-        if p["numInputRows"] and p["batchDuration"]
-    ]
+    got = rates()
     # best sustained batch = steady-state capability; the mean smears in
     # warm-up batches and whatever else the shared box is doing
-    return int(max(rates)) if rates else 0
+    return int(max(got)) if got else 0
 
 
 if __name__ == "__main__":
