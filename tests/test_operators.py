@@ -227,3 +227,30 @@ def test_redact_pii_patterns(spark):
     got = [r["clean"] for r in d.select(redact_pii("text").alias("clean")).collect()]
     assert got[0] == "mail <EMAIL> or <PHONE> see <URL> end"
     assert got[1] == "clean text stays"
+
+
+def test_dedup_pipeline_empty_and_degenerate_inputs(spark):
+    """Empty corpus and single-doc corpus flow through the whole dedup
+    pipeline (signatures -> LSH -> jaccard -> components) without errors —
+    the edge every distributed operator must survive (empty partitions are
+    routine at 100 TB)."""
+    from rdkafka_streams_spark.llm.dedup import (
+        jaccard_pairs,
+        minhash_near_dups,
+        minhash_signatures,
+        simhash,
+    )
+    from rdkafka_streams_spark.operators.graph import connected_components
+
+    empty = spark.createDataFrame([], "doc_id long, text string, lang string")
+    assert minhash_signatures(empty).count() == 0
+    assert minhash_near_dups(empty).count() == 0
+    assert simhash(empty).count() == 0
+    assert jaccard_pairs(empty).count() == 0
+
+    one = spark.createDataFrame([(1, "solo doc", "en")], "doc_id long, text string, lang string")
+    assert minhash_near_dups(one).count() == 0  # no pair partner
+    assert simhash(one).count() == 1
+
+    no_edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(no_edges).count() == 0
