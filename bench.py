@@ -89,57 +89,60 @@ def main() -> None:
     )
 
 
-def _stream_decode_throughput(spark, seconds: float = 8.0) -> int:
-    """Micro-batch JSON encode→decode round-trip throughput on the rate
-    source (broker-free stand-in for the reference's Consumer loop, whose
-    own test harness tops out near 1e3 msg/s — BASELINE.md). Returns decoded
-    rows/sec sustained over ~``seconds`` of processing-time triggers."""
+def _stream_decode_throughput(spark, target_rows: int = 24_000_000) -> int:
+    """Micro-batch JSON encode→decode round-trip throughput (broker-free
+    stand-in for the reference's Consumer loop, whose own test harness tops
+    out near 1e3 msg/s — BASELINE.md).
+
+    Graceful by construction: a BOUNDED file-backed stream drained with
+    ``trigger(availableNow=True)`` terminates at its own batch boundary, so
+    teardown never aborts an in-flight commit (the rate-source + ``stop()``
+    variant sprayed 'Aborted commit' ERRORs into the bench tail). Returns
+    the best sustained completed-batch decode rate in rows/sec."""
+    import shutil
     import tempfile
-    import time as _t
 
     from pyspark.sql import functions as F
 
     from rdkafka_streams_spark.streaming import decode_values
 
-    rate = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", 5_000_000)
-        .option("numPartitions", 8)
-        .load()
-    )
-    # reference record shape {count, source} (FIXTURES.md A)
-    as_json = rate.select(
-        F.to_json(
-            F.struct(F.col("value").alias("count"), F.lit("origin").alias("source"))
-        ).alias("value")
-    )
-    decoded = decode_values(as_json, "count long, source string")
-    q = (
-        decoded.writeStream.format("noop")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_stream_ck"))
-        .trigger(processingTime="1 second")
-        .start()
-    )
+    src = tempfile.mkdtemp(prefix="bench_stream_src")
+    ck = tempfile.mkdtemp(prefix="bench_stream_ck")
+    try:
+        # bounded source corpus (not part of the measured stream path)
+        spark.range(target_rows).repartition(32).write.mode("overwrite").parquet(src)
 
-    def rates() -> list[float]:
-        return [
+        stream = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 4)  # 8 batches → sustained-rate samples
+            .parquet(src)
+        )
+        # reference record shape {count, source} (FIXTURES.md A): encode and
+        # decode both inside the streaming plan, as the rate variant did
+        as_json = stream.select(
+            F.to_json(
+                F.struct(F.col("id").alias("count"), F.lit("origin").alias("source"))
+            ).alias("value")
+        )
+        decoded = decode_values(as_json, "count long, source string")
+        q = (
+            decoded.writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rates = [
             p["numInputRows"] / (p["batchDuration"] / 1000.0)
             for p in q.recentProgress
             if p["numInputRows"] and p["batchDuration"]
         ]
-
-    # wait for ≥3 COMPLETED batches (a fixed sleep can elapse before any
-    # batch finishes when the box is loaded → bogus 0), hard cap 5×seconds
-    deadline = _t.monotonic() + 5 * seconds
-    _t.sleep(seconds)
-    while len(rates()) < 3 and _t.monotonic() < deadline:
-        _t.sleep(2)
-    q.stop()
-    q.awaitTermination(30)
-    got = rates()
-    # best sustained batch = steady-state capability; the mean smears in
-    # warm-up batches and whatever else the shared box is doing
-    return int(max(got)) if got else 0
+        # best sustained batch = steady-state capability; the mean smears in
+        # warm-up batches and whatever else the shared box is doing
+        return int(max(rates)) if rates else 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -159,20 +159,32 @@ def ivf_search(
     candidate join hits the inverted lists on the cell key (partition
     pruning when the table is written partitioned by cell).
     """
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_emb"))
+    # Norms are per-VECTOR: compute q_nrm once per query and __nrm once per
+    # corpus row BEFORE the candidate join, so each (candidate, query) pair
+    # does a single dot fold — not a dot plus two redundant interpreted-lambda
+    # norm folds (the ~3× overhead cosine_topk already factors out).
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_emb"),
+        _norm(vec_col).alias("q_nrm"),
+    )
     qcos = _dot(F.col("q_emb"), F.col("centroid")) / (
-        _norm(F.col("q_emb")) * _norm(F.col("centroid"))
+        F.col("q_nrm") * _norm(F.col("centroid"))
     )
     probe_w = Window.partitionBy("q_id").orderBy(F.col("_c").desc(), F.col("__cell"))
     probes = (
         q.crossJoin(F.broadcast(centroids))
-        .select("q_id", "q_emb", "__cell", qcos.alias("_c"))
+        .select("q_id", "q_emb", "q_nrm", "__cell", qcos.alias("_c"))
         .withColumn("pr", F.row_number().over(probe_w))
         .where(F.col("pr") <= nprobe)
-        .select("q_id", "q_emb", "__cell")
+        .select("q_id", "q_emb", "q_nrm", "__cell")
     )
-    cand = assigned.join(F.broadcast(probes), "__cell").where(F.col(id_col) != F.col("q_id"))
-    cos = _dot(vec_col, "q_emb") / (_norm(vec_col) * _norm("q_emb"))
+    cand = (
+        assigned.withColumn("__nrm", _norm(vec_col))
+        .join(F.broadcast(probes), "__cell")
+        .where(F.col(id_col) != F.col("q_id"))
+    )
+    cos = _dot(vec_col, "q_emb") / (F.col("__nrm") * F.col("q_nrm"))
     w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col(id_col))
     return (
         cand.select("q_id", id_col, cos.alias("_cos"))

@@ -92,6 +92,26 @@ def test_gapfill_calendar_broadcasts(spark, sf_dir):
     assert has_broadcast_join(df)
 
 
+def test_ivf_search_norms_factored_below_candidate_join(spark, sf_dir):
+    """ivf_search computes per-vector norms BELOW the candidate join (once
+    per corpus row / per query), never per (candidate, query) pair: the
+    scored projection above the join must contain exactly one interpreted
+    fold (the dot) and zero norm folds. Per-pair norm recompute tripled the
+    interpreted-lambda work of the pair-dense stage."""
+    from rdkafka_streams_spark.llm.similarity import build_ivf_index, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    assigned, cent = build_ivf_index(emb, n_cells=4)
+    df = ivf_search(assigned, cent, queries, k=3, nprobe=2)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    join_idx = next(i for i, l in enumerate(lines) if "Join" in l)
+    above = "\n".join(lines[:join_idx])
+    assert above.count("aggregate(") == 1, f"extra folds above candidate join:\n{above}"
+    assert "transform(" not in above, f"norm fold above candidate join:\n{above}"
+
+
 def test_column_pruning_reaches_scan(spark, sf_dir):
     """A projection must prune the parquet ReadSchema — scanning all 11
     lineitem columns for a 7-column query reads ~40% more bytes than needed
