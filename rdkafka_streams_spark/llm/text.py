@@ -65,10 +65,23 @@ def language_profiles(
     lang_col: str = "lang",
     text_col: str = "text",
     top_n: int = PROFILE_TOP_N,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
+    _tok: DataFrame | None = None,
 ) -> DataFrame:
-    """Top-N tokens per language by document frequency (ties → token asc)."""
-    tok = _distinct_tokens(docs, "doc_id", text_col, lang_col)
-    tc = tok.groupBy(lang_col, "tok").agg(F.count("*").alias("c"))
+    """Top-N tokens per language by document frequency (ties → token asc).
+
+    ``sample_fraction`` < 1.0 builds the profiles from a seeded Bernoulli
+    sample of the corpus: at 100 TB the top-N-by-document-frequency profile
+    converges long before a full pass, so sampling turns the profile build
+    from a corpus scan into a bounded one. ``_tok`` (internal) lets a caller
+    that already exploded tokens share that frame instead of re-exploding.
+    """
+    if _tok is None:
+        if sample_fraction < 1.0:
+            docs = docs.sample(fraction=sample_fraction, seed=seed)
+        _tok = _distinct_tokens(docs, "doc_id", text_col, lang_col)
+    tc = _tok.groupBy(lang_col, "tok").agg(F.count("*").alias("c"))
     w = Window.partitionBy(lang_col).orderBy(F.col("c").desc(), F.col("tok"))
     return (
         tc.withColumn("rn", F.row_number().over(w))
@@ -82,13 +95,33 @@ def detect_language(
     profiles: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lang_col: str = "lang",
+    profile_sample_fraction: float = 1.0,
+    seed: int = 42,
 ) -> DataFrame:
     """Per-doc detected language = argmax profile overlap (ties → lang asc);
     'unknown' when a doc shares no token with any profile. Profiles are tiny
-    (languages × top_n rows) and broadcast."""
+    (languages × top_n rows) and broadcast.
+
+    When profiles are built internally from the full corpus, the token
+    explode is materialized ONCE (persist) and shared between the profile
+    build and the scoring pass — the former double-explode was the slowest
+    head of the correctness gate. ``profile_sample_fraction`` < 1.0 instead
+    builds profiles from a corpus sample (the 100 TB posture) and keeps the
+    scoring explode separate."""
     if profiles is None:
-        profiles = language_profiles(docs, text_col=text_col)
-    tok = _distinct_tokens(docs, id_col, text_col)
+        if profile_sample_fraction < 1.0:
+            profiles = language_profiles(
+                docs, lang_col, text_col,
+                sample_fraction=profile_sample_fraction, seed=seed,
+            )
+            tok = _distinct_tokens(docs, id_col, text_col)
+        else:
+            tok_l = _distinct_tokens(docs, id_col, text_col, lang_col).persist()
+            profiles = language_profiles(docs, lang_col, text_col, _tok=tok_l)
+            tok = tok_l.select(id_col, "tok")
+    else:
+        tok = _distinct_tokens(docs, id_col, text_col)
     score = (
         tok.join(F.broadcast(profiles), "tok")
         .groupBy(id_col, "plang")

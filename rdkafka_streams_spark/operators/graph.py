@@ -26,6 +26,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 50,
+    double_from: int = 2,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges`` (undirected);
     component = the minimum node id in the node's connected component.
@@ -54,19 +55,23 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the pre-step label so convergence is a filter over the
+        # checkpointed result, not an extra shuffle join per round (at
+        # label-table sizes the loop is per-round-overhead-bound)
         stepped = labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left").select(
             "node",
+            F.col("label").alias("old"),
             F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
         )
-        if i >= 6:
+        if i >= double_from:
             # Pointer doubling: label ← label(label). Labels only decrease
             # toward the component min, so the parent's label is ≤ ours —
             # the extra self-join halves the remaining distance per round,
             # i.e. O(log diameter) rounds on chains (which plain propagation
-            # would never finish inside max_iters). Dense near-dup graphs
-            # converge in a handful of plain rounds, so the join (which is
-            # per-round overhead, not data cost, at label-table sizes) only
-            # switches on once the easy rounds are done.
+            # would never finish inside max_iters). Each round's fixed cost
+            # (plan + checkpoint + shuffle) dominates at label-table sizes,
+            # so doubling kicks in after round ``double_from``: early enough
+            # that total rounds — not per-round joins — set the wall clock.
             parent = stepped.select(
                 F.col("node").alias("p_node"), F.col("label").alias("p_label")
             )
@@ -74,16 +79,12 @@ def connected_components(
                 parent, stepped["label"] == parent["p_node"], "left"
             ).select(
                 "node",
+                "old",
                 F.least(F.col("label"), F.coalesce("p_label", "label")).alias("label"),
             )
         new_labels = stepped.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             sym.unpersist()
             return labels.select(F.col("node"), F.col("label").alias("component"))

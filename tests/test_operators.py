@@ -112,6 +112,34 @@ def test_fingerprint_stable_under_identity(spark):
     assert fps[0] == fps[1]
 
 
+def test_language_profiles_sample_fraction(spark, sf_dir):
+    """fraction=1.0 is bit-identical to the default full-corpus build (the
+    knob must be a pure no-op when off); fraction<1 still yields a valid
+    top-N-per-language profile and a full detect pass (one row per doc,
+    detected ∈ langs ∪ {unknown})."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.text import PROFILE_TOP_N, detect_language, language_profiles
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {(r["plang"], r["tok"]) for r in language_profiles(docs).collect()}
+    at_1 = {(r["plang"], r["tok"])
+            for r in language_profiles(docs, sample_fraction=1.0).collect()}
+    assert at_1 == full
+
+    sampled = language_profiles(docs, sample_fraction=0.5).collect()
+    per_lang: dict[str, int] = {}
+    for r in sampled:
+        per_lang[r["plang"]] = per_lang.get(r["plang"], 0) + 1
+    assert per_lang and all(n <= PROFILE_TOP_N for n in per_lang.values())
+
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    det = detect_language(docs, profile_sample_fraction=0.5)
+    assert det.count() == docs.count()
+    assert {r["detected"] for r in det.select("detected").distinct().collect()} <= (
+        langs | {"unknown"}
+    )
+
+
 def test_sample_frames_grid_and_carry(spark, sf_dir):
     from rdkafka_streams_spark.core.io import load_table
     from rdkafka_streams_spark.llm.multimodal import attach_media, decode_media, sample_frames
