@@ -5,16 +5,20 @@ from rdkafka_streams_spark.streaming.listeners import DeliveryListener
 from rdkafka_streams_spark.streaming.stateful import running_count_stateful
 from rdkafka_streams_spark.streaming.sinks import foreach_batch_overwrite, write_batch_overwrite
 from rdkafka_streams_spark.streaming.lifecycle import shutdown, shutdown_all
+from rdkafka_streams_spark.streaming.topiclog import TopicLog, TopicLogDataSource, read_topic
 
 __all__ = [
     "DeliveryListener",
     "Duplex",
     "KConsumer",
     "KProducer",
+    "TopicLog",
+    "TopicLogDataSource",
     "decode_values",
     "encode_records",
     "foreach_batch_overwrite",
     "get_duplex",
+    "read_topic",
     "running_count_stateful",
     "shutdown",
     "shutdown_all",

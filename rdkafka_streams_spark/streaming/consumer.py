@@ -123,6 +123,10 @@ class KConsumer:
     mode: str = "FAILFAST"
     batch_size: int | None = None
     options: dict[str, str] = field(default_factory=dict)
+    #: "kafka" (production; needs the connector jar) or "topiclog" (the
+    #: in-repo durable log, streaming/topiclog.py — ``host`` is the log root
+    #: dir). Same envelope either way; queries don't change.
+    transport: str = "kafka"
 
     def _topics(self) -> str:
         t = self.topic
@@ -130,6 +134,19 @@ class KConsumer:
 
     def stream(self, spark: SparkSession) -> DataFrame:
         """Build the streaming DataFrame (the Readable-stream analog)."""
+        if self.transport == "topiclog":
+            from rdkafka_streams_spark.streaming import topiclog
+
+            topiclog.register(spark)
+            reader = (
+                spark.readStream.format(topiclog.FORMAT_NAME)
+                .option("path", self.host)
+                .option("subscribePattern" if self.pattern else "subscribe", self._topics())
+                .option("startingOffsets", self.from_offset)
+            )
+            if self.batch_size is not None:
+                reader = reader.option("batchSize", str(self.batch_size))
+            return self.decode(reader.load())
         reader = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", self.host)

@@ -41,16 +41,18 @@ class Duplex:
         transform: Transform,
         guard: Column,
         trigger: str | None = None,
+        available_now: bool = False,
     ) -> StreamingQuery:
         """read(T) → filter(guard) → transform → write(T).
 
         ``guard`` must select only records the transform has NOT produced
         (e.g. ``col("value.source") == "origin"``), mirroring the reference
-        test's re-tag-and-filter convergence contract.
+        test's re-tag-and-filter convergence contract. ``available_now``
+        drains what exists and stops at a batch boundary (one loop hop).
         """
         src = self.consumer.stream(spark)
         out = transform(src.where(guard))
-        return self.producer.write(out, trigger=trigger)
+        return self.producer.write(out, trigger=trigger, available_now=available_now)
 
     def apply_batch(self, batch: DataFrame, transform: Transform, guard: Column) -> DataFrame:
         """One loop-back hop on a batch frame (what one micro-batch does) —
@@ -65,15 +67,19 @@ def get_duplex(
     schema=None,
     from_offset: str = "earliest",
     checkpoint: str | None = None,
+    transport: str = "kafka",
 ) -> Duplex:
     """``getDuplex(options)`` analog (src/index.coffee:7-11): same options
     feed both halves. The reference's dead ``awaitPartitions`` option
     (SURVEY.md §1.4.4) has no analog — Spark's sink handles metadata
-    readiness."""
+    readiness. ``transport="topiclog"`` runs the loop against the in-repo
+    durable log (streaming/topiclog.py) when no broker exists."""
     return Duplex(
         consumer=KConsumer(
             host=host, topic=topic, group_id=group_id,
-            from_offset=from_offset, schema=schema,
+            from_offset=from_offset, schema=schema, transport=transport,
         ),
-        producer=KProducer(host=host, topic=topic, checkpoint=checkpoint),
+        producer=KProducer(
+            host=host, topic=topic, checkpoint=checkpoint, transport=transport,
+        ),
     )

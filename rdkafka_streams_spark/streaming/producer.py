@@ -58,34 +58,45 @@ class KProducer:
     partition_col: str | None = None
     checkpoint: str | None = None
     options: dict[str, str] = field(default_factory=dict)
+    #: "kafka" (production) or "topiclog" (in-repo durable log; ``host`` is
+    #: the log root dir). Identical sink contract (value/key/partition cols).
+    transport: str = "kafka"
 
     def encode(self, df: DataFrame) -> DataFrame:
         """The pure serialization stage (broker-free testable seam)."""
         return encode_records(df, key=self.key, partition=self.partition_col)
 
-    def write(self, df: DataFrame, trigger: str | None = None) -> StreamingQuery:
+    def _sink_format(self, df: DataFrame):
+        if self.transport == "topiclog":
+            from rdkafka_streams_spark.streaming import topiclog
+
+            topiclog.register(df.sparkSession)
+            return topiclog.FORMAT_NAME, {"path": self.host, "topic": self.topic}
+        return "kafka", {"kafka.bootstrap.servers": self.host, "topic": self.topic}
+
+    def write(
+        self, df: DataFrame, trigger: str | None = None, available_now: bool = False
+    ) -> StreamingQuery:
         """Start the streaming write (the `.write(obj)` loop analog)."""
-        writer = (
-            self.encode(df)
-            .writeStream.format("kafka")
-            .option("kafka.bootstrap.servers", self.host)
-            .option("topic", self.topic)
-        )
+        fmt, base_opts = self._sink_format(df)
+        writer = self.encode(df).writeStream.format(fmt)
+        for k, v in base_opts.items():
+            writer = writer.option(k, v)
         if self.checkpoint:
             writer = writer.option("checkpointLocation", self.checkpoint)
         for k, v in self.options.items():
             writer = writer.option(k, v)
         if trigger:
             writer = writer.trigger(processingTime=trigger)
+        elif available_now:
+            writer = writer.trigger(availableNow=True)
         return writer.start()
 
     def write_batch(self, df: DataFrame) -> None:
         """One-shot batch produce (the reference has no analog — its tests
         hand-pump records; this is the availableNow-style convenience)."""
-        (
-            self.encode(df)
-            .write.format("kafka")
-            .option("kafka.bootstrap.servers", self.host)
-            .option("topic", self.topic)
-            .save()
-        )
+        fmt, base_opts = self._sink_format(df)
+        writer = self.encode(df).write.format(fmt).mode("append")
+        for k, v in base_opts.items():
+            writer = writer.option(k, v)
+        writer.save()

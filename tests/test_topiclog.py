@@ -1,0 +1,312 @@
+"""Integration tests: the reference's broker end-to-end scenarios executed
+against the in-repo durable log transport (streaming/topiclog.py).
+
+The container has no Kafka broker or connector jar (ADVICE.md), so these run
+the SAME consumer/producer/duplex surface over ``transport="topiclog"`` —
+real persisted topics, partitions, offsets, checkpointed restarts. Scenario
+mapping:
+
+- count-through with envelope:   test/test_Consumer.coffee:55-69
+- bursty produce, offsets go on: test/test_Producer.coffee:52-64
+- filtered same-topic loop-back: test/test_getDuplex.coffee:57-76
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdkafka_streams_spark.streaming.consumer import KConsumer
+from rdkafka_streams_spark.streaming.duplex import get_duplex
+from rdkafka_streams_spark.streaming.producer import KProducer
+from rdkafka_streams_spark.streaming.topiclog import (
+    TopicLog,
+    _publish_segment,
+    read_topic,
+)
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "broker")
+
+
+def _drain_to_memory(spark, df, name, checkpoint):
+    """Drain a finite topiclog stream into an in-memory table.
+
+    Python micro-batch sources don't implement Trigger.AvailableNow (Spark
+    falls back to one single batch), so the faithful multi-batch drain is
+    processAllAvailable() — it blocks until the source is exhausted across
+    however many capped triggers that takes — then a graceful stop at the
+    idle boundary."""
+    from rdkafka_streams_spark.streaming.lifecycle import shutdown
+
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    shutdown(q, 60)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _drain_to_parquet(spark, df, path, checkpoint):
+    """Checkpoint-recoverable drain (memory sink can't restart from a
+    checkpoint): parquet sink + processAllAvailable + graceful stop.
+    Returns the rows written across ALL drains into ``path`` so far."""
+    import glob
+
+    from rdkafka_streams_spark.streaming.lifecycle import shutdown
+
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    shutdown(q, 60)
+    if not glob.glob(f"{path}/*.parquet"):
+        return None
+    return spark.read.parquet(path)
+
+
+def test_count_through_with_envelope(spark, root, tmp_path):
+    """Reference Consumer scenario: produce N JSON messages, consume them
+    all, and get the full envelope (topic/partition/offset/timestamp/size)
+    alongside the decoded value (src/Consumer.coffee:96)."""
+    log = TopicLog(root)
+    log.create_topic("events", partitions=3)
+    log.append_json("events", [{"count": i, "source": "origin"} for i in range(30)])
+
+    c = KConsumer(
+        host=root, topic="events", from_offset="earliest",
+        schema="count long, source string", transport="topiclog",
+    )
+    got = _drain_to_memory(spark, c.stream(spark), "ct", str(tmp_path / "ck")).collect()
+
+    assert len(got) == 30
+    assert {r["value"]["count"] for r in got} == set(range(30))
+    assert all(r["topic"] == "events" and r["value"]["source"] == "origin" for r in got)
+    # size = value byte length, like node-rdkafka's message.size
+    one = next(r for r in got if r["value"]["count"] == 7)
+    assert one["size"] == len(json.dumps({"count": 7, "source": "origin"}, separators=(",", ":")))
+    # offsets are dense per partition, starting at 0 — real log semantics
+    by_part: dict[int, list[int]] = {}
+    for r in got:
+        by_part.setdefault(r["partition"], []).append(r["offset"])
+    assert set(by_part) <= {0, 1, 2}
+    for offs in by_part.values():
+        assert sorted(offs) == list(range(len(offs)))
+
+
+def test_bursty_produce_offsets_continue(spark, root, tmp_path):
+    """Reference Producer scenario: bursts of writes land, offsets continue
+    monotonically across bursts, and a checkpointed consumer restart picks
+    up ONLY the new burst (no replay, no loss)."""
+    log = TopicLog(root)
+    log.create_topic("burst", partitions=2)
+    p = KProducer(host=root, topic="burst", transport="topiclog")
+
+    burst1 = spark.range(10).select(F.col("id").alias("count"), F.lit("origin").alias("source"))
+    p.write_batch(burst1)
+    ends1 = log.end_offsets("burst")
+    assert sum(ends1.values()) == 10
+
+    c = KConsumer(
+        host=root, topic="burst", from_offset="earliest",
+        schema="count long, source string", transport="topiclog",
+    )
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    got1 = _drain_to_parquet(spark, c.stream(spark), out, ck).collect()
+    assert {r["value"]["count"] for r in got1} == set(range(10))
+
+    burst2 = spark.range(10, 25).select(F.col("id").alias("count"), F.lit("origin").alias("source"))
+    p.write_batch(burst2)
+    ends2 = log.end_offsets("burst")
+    assert sum(ends2.values()) == 25
+    assert all(ends2[k] >= ends1.get(k, 0) for k in ends2)  # offsets only grow
+
+    # same checkpoint → second drain resumes from committed offsets: the
+    # sink dir now holds exactly both bursts, no replay of burst 1
+    got2 = _drain_to_parquet(spark, c.stream(spark), out, ck).collect()
+    assert len(got2) == 25
+    assert {r["value"]["count"] for r in got2} == set(range(25))
+
+
+def test_duplex_loopback_converges(spark, root, tmp_path):
+    """Reference getDuplex scenario: read the bus, transform records tagged
+    source='origin' into source='processed', write them back to the SAME
+    topic. The guard filter is what terminates the loop — after one hop the
+    bus holds originals + processed copies, and a second hop produces
+    nothing new."""
+    log = TopicLog(root)
+    log.create_topic("bus", partitions=2)
+    log.append_json("bus", [{"count": i, "source": "origin"} for i in range(12)])
+
+    dup = get_duplex(
+        host=root, topic="bus", schema="count long, source string",
+        from_offset="earliest", checkpoint=str(tmp_path / "ck"),
+        transport="topiclog",
+    )
+
+    def retag(df):
+        return df.select(
+            F.col("value.count").alias("count"), F.lit("processed").alias("source")
+        )
+
+    guard = F.col("value.source") == "origin"
+
+    q = dup.pipe(spark, retag, guard, available_now=True)
+    assert q.awaitTermination(120)
+    vals = [
+        json.loads(bytes(r["value"]).decode())
+        for r in read_topic(spark, root, "bus").collect()
+    ]
+    assert len(vals) == 24
+    assert sum(v["source"] == "origin" for v in vals) == 12
+    assert sum(v["source"] == "processed" for v in vals) == 12
+    assert sorted(v["count"] for v in vals if v["source"] == "processed") == list(range(12))
+
+    # hop 2: the 12 'processed' records fail the guard; the 12 'origin' ones
+    # are behind the committed offset — the loop has converged
+    q2 = dup.pipe(spark, retag, guard, available_now=True)
+    assert q2.awaitTermination(120)
+    assert read_topic(spark, root, "bus").count() == 24
+
+
+def test_multi_topic_and_pattern_subscribe(spark, root, tmp_path):
+    """S5: list subscribe and regex-pattern subscribe over the transport."""
+    log = TopicLog(root)
+    log.create_topic("sensor-1")
+    log.create_topic("sensor-2")
+    log.create_topic("other")
+    log.append_json("sensor-1", [{"count": 1, "source": "a"}] * 3)
+    log.append_json("sensor-2", [{"count": 2, "source": "b"}] * 4)
+    log.append_json("other", [{"count": 3, "source": "c"}] * 5)
+
+    c = KConsumer(
+        host=root, topic=["sensor-1", "sensor-2"], from_offset="earliest",
+        schema="count long, source string", transport="topiclog",
+    )
+    got = _drain_to_memory(spark, c.stream(spark), "mt", str(tmp_path / "ck1")).collect()
+    assert len(got) == 7 and {r["topic"] for r in got} == {"sensor-1", "sensor-2"}
+
+    cp = KConsumer(
+        host=root, topic="sensor-.*", pattern=True, from_offset="earliest",
+        schema="count long, source string", transport="topiclog",
+    )
+    gotp = _drain_to_memory(spark, cp.stream(spark), "pt", str(tmp_path / "ck2")).collect()
+    assert len(gotp) == 7 and {r["topic"] for r in gotp} == {"sensor-1", "sensor-2"}
+
+
+def test_batch_size_caps_each_trigger(spark, root, tmp_path):
+    """F1: the ≤batch_size pull loop (src/Consumer.coffee:57) — with a cap
+    of 5 on a 20-message partition, the drain needs ≥4 micro-batches and no
+    batch exceeds the cap."""
+    log = TopicLog(root)
+    log.create_topic("capped", partitions=1)
+    log.append_json("capped", [{"count": i, "source": "x"} for i in range(20)])
+
+    c = KConsumer(
+        host=root, topic="capped", from_offset="earliest", batch_size=5,
+        schema="count long, source string", transport="topiclog",
+    )
+    from rdkafka_streams_spark.streaming.lifecycle import shutdown
+
+    q = (
+        c.stream(spark)
+        .writeStream.format("memory").queryName("capq")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    sizes = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"]]
+    shutdown(q, 60)
+    assert spark.sql("SELECT count(*) c FROM capq").first()["c"] == 20
+    assert sizes and max(sizes) <= 5 and len(sizes) >= 4
+
+
+def test_partition_routing(spark, root):
+    """Producer partition semantics: explicit partition column wins
+    (intended src/Producer.coffee:71 behavior); keyed records of the same
+    key land in the same partition; keys round-trip."""
+    log = TopicLog(root)
+    log.create_topic("routed", partitions=4)
+    df = spark.createDataFrame(
+        [(i, f"user{i % 3}", i % 4) for i in range(20)], "count long, k string, part int"
+    )
+    p = KProducer(host=root, topic="routed", key="k", partition_col="part", transport="topiclog")
+    p.write_batch(df)
+
+    rows = read_topic(spark, root, "routed").collect()
+    assert len(rows) == 20
+    for r in rows:
+        v = json.loads(bytes(r["value"]).decode())
+        assert r["partition"] == v["count"] % 4  # explicit routing respected
+        assert bytes(r["key"]).decode() == f"user{v['count'] % 3}"  # key round-trip
+
+    # keyed-only routing: same key → same partition
+    log.create_topic("keyed", partitions=4)
+    pk = KProducer(host=root, topic="keyed", key="k", transport="topiclog")
+    pk.write_batch(df.drop("part"))
+    by_key: dict[str, set[int]] = {}
+    for r in read_topic(spark, root, "keyed").collect():
+        by_key.setdefault(bytes(r["key"]).decode(), set()).add(r["partition"])
+    assert all(len(parts) == 1 for parts in by_key.values())
+
+
+def test_offset_reset_latest_vs_earliest(spark, root, tmp_path):
+    """S4: fromOffset semantics (src/Consumer.coffee:26) — 'latest' skips
+    history; the checkpointed continuation then sees only post-start data."""
+    log = TopicLog(root)
+    log.create_topic("hist", partitions=1)
+    log.append_json("hist", [{"count": i, "source": "old"} for i in range(5)])
+
+    c = KConsumer(
+        host=root, topic="hist", from_offset="latest",
+        schema="count long, source string", transport="topiclog",
+    )
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    first = _drain_to_parquet(spark, c.stream(spark), out, ck)
+    assert first is None or first.count() == 0  # history skipped
+
+    log.append_json("hist", [{"count": i, "source": "new"} for i in range(5, 8)])
+    got = _drain_to_parquet(spark, c.stream(spark), out, ck).collect()
+    assert {r["value"]["count"] for r in got} == {5, 6, 7}
+    assert all(r["value"]["source"] == "new" for r in got)
+
+
+def test_concurrent_appends_offsets_dense(root):
+    """The os.link publish protocol serializes concurrent producers per
+    partition: 8 threads × 5 segments land with dense, non-overlapping
+    offsets (broker-free analog of a multi-producer topic)."""
+    log = TopicLog(root)
+    log.create_topic("hot", partitions=1)
+
+    def pump(t: int) -> None:
+        for i in range(5):
+            log.append_json("hot", [{"count": t * 100 + i, "source": "x"}], partition=0)
+
+    threads = [threading.Thread(target=pump, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert log.end_offsets("hot") == {0: 40}
+
+    # offsets are exactly 0..39 with no gaps or duplicates
+    from rdkafka_streams_spark.streaming.topiclog import _part_dir, _read_range
+
+    offs = [rec[4] for rec in _read_range(root, "hot", 0, 0, 40)]
+    assert sorted(offs) == list(range(40))
+    counts = [json.loads(rec[1].decode())["count"] for rec in _read_range(root, "hot", 0, 0, 40)]
+    assert len(set(counts)) == 40
