@@ -69,6 +69,7 @@ def main() -> None:
             rows[name] = n
 
     stream_rps = _stream_decode_throughput(spark)
+    produce_rps, consume_rps = _topiclog_roundtrip_throughput(spark)
 
     total = round(sum(times.values()), 3)
     print(
@@ -84,6 +85,8 @@ def main() -> None:
                 "runs_per_query": RUNS,
                 "aggregation": "min",
                 "stream_decode_rows_per_sec": stream_rps,
+                "topiclog_produce_rows_per_sec": produce_rps,
+                "topiclog_consume_rows_per_sec": consume_rps,
             }
         )
     )
@@ -142,6 +145,54 @@ def _stream_decode_throughput(spark, target_rows: int = 24_000_000) -> int:
         return int(max(rates)) if rates else 0
     finally:
         shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+def _topiclog_roundtrip_throughput(spark, n: int = 100_000) -> tuple[int, int]:
+    """End-to-end rate through the durable topiclog transport
+    (streaming/topiclog.py): batch-produce ``n`` reference-shaped records,
+    then stream-consume + JSON-decode them to exhaustion. This is the
+    Python-DataSource integration path — orders of magnitude slower than the
+    JVM decode path measured above, but it is a REAL produce→persist→consume
+    loop (the reference's harness tops out near 1e3 msg/s on the same
+    shape). Returns (produce_rows_per_sec, consume_rows_per_sec)."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+
+    root = tempfile.mkdtemp(prefix="bench_topiclog")
+    ck = tempfile.mkdtemp(prefix="bench_topiclog_ck")
+    try:
+        TopicLog(root).create_topic("bench", partitions=8)
+        df = spark.range(n).select(
+            F.col("id").alias("count"), F.lit("origin").alias("source")
+        )
+        t0 = _t.perf_counter()
+        KProducer(host=root, topic="bench", transport="topiclog").write_batch(df)
+        produce_s = _t.perf_counter() - t0
+
+        c = KConsumer(
+            host=root, topic="bench", from_offset="earliest",
+            schema="count long, source string", transport="topiclog",
+        )
+        q = (
+            c.stream(spark)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0.2 seconds")
+            .start()
+        )
+        t1 = _t.perf_counter()
+        q.processAllAvailable()
+        consume_s = _t.perf_counter() - t1
+        shutdown(q, 60)
+        return int(n / produce_s), int(n / consume_s)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
 
 

@@ -177,6 +177,63 @@ def jaccard_pairs(
     return _jaccard_from_elements(tok, threshold, block_col, id_col)
 
 
+def token_shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct token n-gram array (word shingles) — pure higher-order
+    functions, zero Python on the row path. Docs shorter than ``n`` tokens
+    yield an empty array (guarded: Spark's ``sequence(1, 0)`` would count
+    DOWN, not return empty)."""
+    t = f"split({text_col}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({t}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({t}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({t}, i, {n})))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    min_shared: int = 3,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval contamination pairs: (eval_id, train_id, n_shared) where
+    the two docs share ≥ ``min_shared`` distinct token ``n``-grams — the
+    benchmark-decontamination sweep every training-data pipeline runs before
+    shipping an eval set.
+
+    Scale shape: shingle posting lists over the TRAIN side (one groupBy),
+    joined by the eval side's shingles — never a doc×doc join. ``max_df``
+    drops shingles appearing in more than that many train docs: boilerplate
+    n-grams are uninformative for contamination and their posting lists are
+    the quadratic term (same production cap as MinHash's MAX_BUCKET). Three
+    shuffles total (train postings, eval join, pair count), all on
+    high-cardinality keys."""
+    tr = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(token_shingles(text_col, n)).alias("sh"),
+    )
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(token_shingles(text_col, n)).alias("sh"),
+    )
+    posts = (
+        tr.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("train_id")).alias("train_ids"))
+        .where(F.size("train_ids") <= max_df)
+    )
+    return (
+        ev.join(posts, "sh")
+        .select("eval_id", F.explode("train_ids").alias("train_id"))
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def char_shingles(text_col: str, n: int = 3) -> F.Column:
     """Distinct character n-gram (shingle) array of a string column — pure
     higher-order functions, zero Python on the row path."""

@@ -54,6 +54,33 @@ def text_quality(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repetition (the Gopher/MassiveText-style duplicate
+    n-gram filter): token ``n``-gram count, distinct count, and a
+    ``is_repetitive`` flag when >10% of n-grams are duplicates. Integer
+    arithmetic only (``dup*10 >= total``), so the flag is bit-exact across
+    engines — no float-rounding boundary. Pure column expressions."""
+    t = f"split({text_col}, ' ')"
+    ng = (
+        f"CASE WHEN size({t}) >= {n} THEN transform(sequence(1, size({t}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({t}, i, {n}))) ELSE cast(array() as array<string>) END"
+    )
+    return docs.select(
+        id_col,
+        F.expr(f"cast(size({ng}) as bigint)").alias("n_ngrams"),
+        F.expr(f"cast(size(array_distinct({ng})) as bigint)").alias("n_distinct"),
+        F.expr(
+            f"size({ng}) > 0 AND "
+            f"(size({ng}) - size(array_distinct({ng}))) * 10 >= size({ng})"
+        ).alias("is_repetitive"),
+    )
+
+
 def _distinct_tokens(docs: DataFrame, id_col: str, text_col: str, *extra: str) -> DataFrame:
     return docs.select(
         id_col, *extra, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")

@@ -607,3 +607,59 @@ def q84_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"), F.max("n_total").alias("n_total"))
         .select("lang", "source", "n_kept", "n_total")
     )
+
+
+# ------------------------------------------------------------------------ L1
+@query(
+    "q86_decontamination",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+    FROM toks, unnest(range(1, greatest(len(t)-2, 0) + 1)) AS u(i))),
+tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 10 <> 0),
+ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 10 = 0),
+keep AS (SELECT sh FROM tr GROUP BY sh HAVING COUNT(*) <= 50)
+SELECT eval_id, train_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM ev JOIN keep USING (sh) JOIN tr USING (sh)
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+""",
+    tags=("L1", "L2"),
+)
+def q86_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (llm/dedup.py decontaminate): every 10th
+    doc plays the eval set, the rest the training corpus; emit (eval,
+    train) pairs sharing >=3 distinct token 3-grams. Posting-list join on
+    the shingle — never doc x doc — with a doc-frequency cap dropping
+    boilerplate shingles (the quadratic term) exactly as the SQL mirror
+    does."""
+    from rdkafka_streams_spark.llm.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.where(F.expr("doc_id % 10 <> 0"))
+    ev = d.where(F.expr("doc_id % 10 = 0"))
+    return decontaminate(train, ev, n=3, min_shared=3, max_df=50)
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q87_repetition_filter",
+    oracle="""
+WITH g AS (SELECT doc_id, list_transform(range(1, greatest(len(string_split(text,' '))-1, 0) + 1),
+           i -> array_to_string(string_split(text,' ')[i:i+1], ' ')) AS ng FROM documents)
+SELECT doc_id,
+       CAST(len(ng) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(ng)) AS BIGINT) AS n_distinct,
+       len(ng) > 0 AND (len(ng) - len(list_distinct(ng))) * 10 >= len(ng) AS is_repetitive
+FROM g
+""",
+    tags=("L4",),
+)
+def q87_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition stats (llm/text.py repetition_stats): token
+    bigram total vs distinct counts and the Gopher-style >10%-duplicate
+    flag, in exact integer arithmetic (no float boundary between engines)."""
+    from rdkafka_streams_spark.llm.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=2)

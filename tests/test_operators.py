@@ -112,6 +112,52 @@ def test_fingerprint_stable_under_identity(spark):
     assert fps[0] == fps[1]
 
 
+def test_decontaminate_and_shingles(spark):
+    from rdkafka_streams_spark.llm.dedup import decontaminate, token_shingles
+
+    # short/empty docs yield no shingles (no descending-sequence bug)
+    d = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three")],
+        "doc_id long, text string",
+    )
+    sizes = {r["doc_id"]: r["n"] for r in d.select(
+        "doc_id", F.size(token_shingles("text", 3)).alias("n")).collect()}
+    assert sizes == {1: 0, 2: 0, 3: 0, 4: 1}
+
+    # contamination: eval doc 100 shares a 3-shingle run with train doc 1
+    # only; 'common noise phrase' appears in EVERY train doc and must be
+    # df-capped out, so doc 200 (only boilerplate overlap) reports nothing
+    train = spark.createDataFrame(
+        [(i, f"common noise phrase unique{i} a b") for i in range(1, 10)]
+        + [(1, "alpha beta gamma delta epsilon common noise phrase")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zzz"),
+         (200, "common noise phrase only here")],
+        "doc_id long, text string",
+    )
+    got = {(r["eval_id"], r["train_id"]): r["n_shared"]
+           for r in decontaminate(train, ev, n=3, min_shared=3, max_df=5).collect()}
+    assert got == {(100, 1): 3}  # alpha-beta-gamma, beta-gamma-delta, gamma-delta-epsilon
+
+
+def test_repetition_stats_flag(spark):
+    from rdkafka_streams_spark.llm.text import repetition_stats
+
+    d = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),       # all bigrams identical
+         (2, "a b c d e f g h"),                # no repeats
+         (3, "solo")],                          # too short for bigrams
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_ngrams"], r["n_distinct"], r["is_repetitive"])
+           for r in repetition_stats(d, n=2).collect()}
+    assert got[1] == (4, 1, True)
+    assert got[2] == (7, 7, False)
+    assert got[3] == (0, 0, False)
+
+
 def test_language_profiles_sample_fraction(spark, sf_dir):
     """fraction=1.0 is bit-identical to the default full-corpus build (the
     knob must be a pure no-op when off); fraction<1 still yields a valid
