@@ -27,17 +27,26 @@ def connected_components(
     dst: str = "dst",
     max_iters: int = 50,
     double_from: int = 2,
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges`` (undirected);
     component = the minimum node id in the node's connected component.
 
     Raises after ``max_iters`` non-converged rounds (a correctness guard —
-    the result is only meaningful at fixpoint).
+    the result is only meaningful at fixpoint). ``dedupe_edges=False`` skips
+    the edge-distinct shuffle: min-label propagation is idempotent under
+    duplicate edges (they only inflate the per-round join input), so callers
+    whose pair source is unique by construction — LSH/Jaccard emit each
+    (id1 < id2) pair once — save a full shuffle + materialization of the
+    edge table.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
-    sym = sym.where(F.col("a") != F.col("b")).distinct().persist()
+    sym = sym.where(F.col("a") != F.col("b"))
+    if dedupe_edges:
+        sym = sym.distinct()
+    sym = sym.persist()
     # localCheckpoint (not persist) each round: caching keeps the DATA hot
     # but the logical plan still nests one join deeper per iteration, and by
     # ~iteration 5 optimizer+codegen over the accumulated plan dominates —

@@ -492,7 +492,9 @@ def q76_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "blk", F.concat_ws("|", F.col("lang"), F.expr("n_chars div 100").cast("string"))
     )
     pairs = jaccard_pairs(d, threshold=0.8, block_col="blk").select("id1", "id2")
-    return connected_components(pairs, "id1", "id2").select(
+    # jaccard_pairs emits each (id1 < id2) pair exactly once → skip the
+    # edge-distinct shuffle inside the components loop
+    return connected_components(pairs, "id1", "id2", dedupe_edges=False).select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
 
