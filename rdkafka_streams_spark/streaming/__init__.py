@@ -2,7 +2,10 @@ from rdkafka_streams_spark.streaming.consumer import KConsumer, decode_values
 from rdkafka_streams_spark.streaming.producer import KProducer, encode_records
 from rdkafka_streams_spark.streaming.duplex import Duplex, get_duplex
 from rdkafka_streams_spark.streaming.listeners import DeliveryListener
-from rdkafka_streams_spark.streaming.stateful import running_count_stateful
+from rdkafka_streams_spark.streaming.stateful import (
+    running_count_stateful,
+    running_count_with_ttl,
+)
 from rdkafka_streams_spark.streaming.sinks import foreach_batch_overwrite, write_batch_overwrite
 from rdkafka_streams_spark.streaming.lifecycle import shutdown, shutdown_all
 from rdkafka_streams_spark.streaming.topiclog import TopicLog, TopicLogDataSource, read_topic
@@ -20,6 +23,7 @@ __all__ = [
     "get_duplex",
     "read_topic",
     "running_count_stateful",
+    "running_count_with_ttl",
     "shutdown",
     "shutdown_all",
     "write_batch_overwrite",

@@ -49,6 +49,52 @@ def running_count_stateful(
     )
 
 
+def running_count_with_ttl(
+    df: DataFrame,
+    keys: Sequence[str],
+    ttl_ms: int = 60_000,
+    output_mode: str = "update",
+) -> DataFrame:
+    """Running count per key with idle-TTL eviction
+    (``ProcessingTimeTimeout``): each update re-arms a per-key timer; a key
+    idle for ``ttl_ms`` emits one final ``expired=true`` row and its state
+    is REMOVED from the store.
+
+    The reference's per-key closure state (test/test_getDuplex.coffee:60,69)
+    lives as long as the process and never evicts — fine for a test harness,
+    fatal at 100 TB where keys churn: unbounded state is the classic
+    streaming OOM. This is the eviction discipline every production stateful
+    operator needs; timer semantics mirror what
+    ``transformWithStateInPandas`` timers would provide (gated off in this
+    container — see ``tws_available``).
+    """
+    key_cols = list(keys)
+    out_schema = ", ".join(f"{k} string" for k in key_cols) + ", n long, expired boolean"
+
+    def update(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame([{**dict(zip(key_cols, key)), "n": n, "expired": True}])
+            return
+        (prev,) = state.get if state.exists else (0,)
+        n = prev + sum(len(b) for b in batches)
+        state.update((n,))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame([{**dict(zip(key_cols, key)), "n": n, "expired": False}])
+
+    grouped = df.select([*(c for c in key_cols)]).groupBy(*key_cols)
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n long",
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def tws_available() -> bool:
     """transformWithStateInPandas needs the protobuf wire format for its
     driver↔worker state channel; without a working google.protobuf the TWS

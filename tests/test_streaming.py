@@ -223,6 +223,62 @@ def test_stateful_running_count(spark, sf_dir, event_stream_dir, tmp_path):
     assert final == expect
 
 
+def test_stateful_ttl_evicts_idle_keys(spark, tmp_path):
+    """T7 eviction: a key idle past its TTL emits a final expired=true row
+    and its state leaves the store — the discipline unbounded-key streams
+    need at scale (the reference's closure state never evicts)."""
+    import time
+
+    from rdkafka_streams_spark.streaming.lifecycle import shutdown
+    from rdkafka_streams_spark.streaming.stateful import running_count_with_ttl
+
+    src = tmp_path / "ttl_src"
+    src.mkdir()
+    spark.createDataFrame([("a",), ("a",), ("b",)], "k string").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = spark.readStream.schema("k string").parquet(str(src))
+    q = (
+        running_count_with_ttl(stream, ["k"], ttl_ms=2000)
+        .writeStream.format("memory").queryName("ttlq").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0.3 seconds")
+        .start()
+    )
+
+    # NOTE: processAllAvailable() never returns for queries with
+    # processing-time timers (pending timers keep work "available"), so the
+    # drain pattern here is poll-until-condition with a deadline.
+    def wait_for(cond, deadline_s=90):
+        end = time.monotonic() + deadline_s
+        while time.monotonic() < end:
+            rows = spark.sql("SELECT * FROM ttlq").collect()
+            if cond(rows):
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"condition not reached; table = {rows}")
+
+    rows = wait_for(lambda rs: len(rs) >= 2)
+    live = {(r["k"], r["expired"]): r["n"] for r in rows}
+    assert live[("a", False)] == 2 and live[("b", False)] == 1
+
+    time.sleep(4)  # let both keys sit idle past the 2 s TTL
+    # new data (a different key) guarantees a batch in which timers fire
+    spark.createDataFrame([("c",), ("c",), ("c",)], "k string").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    rows = wait_for(
+        lambda rs: sum(1 for r in rs if r["expired"]) >= 2
+        and any(r["k"] == "c" for r in rs)
+    )
+    shutdown(q, 60)
+    expired = {r["k"]: r["n"] for r in rows if r["expired"]}
+    assert expired == {"a": 2, "b": 1}  # final counts flushed on eviction
+    assert {r["k"]: r["n"] for r in rows if not r["expired"]}["c"] == 3
+
+
 def test_stream_static_join(spark, sf_dir, event_stream_dir, tmp_path):
     """T6 (stream-static): streaming events enriched against a static dim;
     availableNow replay equals the batch join."""

@@ -285,6 +285,60 @@ def test_offset_reset_latest_vs_earliest(spark, root, tmp_path):
     assert all(r["value"]["source"] == "new" for r in got)
 
 
+def test_windowed_agg_over_topiclog_matches_batch(spark, root, tmp_path):
+    """Composition: a tumbling-window event-time aggregate (T1) runs over
+    the topiclog transport like over any Kafka-shaped stream, and the
+    streaming replay equals the batch computation on the same records."""
+    from rdkafka_streams_spark.streaming.lifecycle import shutdown
+
+    log = TopicLog(root)
+    log.create_topic("evt", partitions=2)
+    base = 1_700_000_000  # epoch seconds
+    objs = [
+        {"user": f"u{i % 3}", "ts": base + i * 37, "v": i}  # spans ~6 minutes
+        for i in range(100)
+    ]
+    log.append_json("evt", objs)
+
+    c = KConsumer(
+        host=root, topic="evt", from_offset="earliest",
+        schema="user string, ts long, v long", transport="topiclog",
+    )
+    evt = c.stream(spark).select(
+        F.col("value.user").alias("user"),
+        F.timestamp_seconds(F.col("value.ts")).alias("ts"),
+        F.col("value.v").alias("v"),
+    )
+    agg = (
+        evt.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "2 minutes"), "user")
+        .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("tl_win").outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    shutdown(q, 60)
+
+    got = {
+        (r["window"]["start"], r["user"]): (r["sv"], r["n"])
+        for r in spark.sql("SELECT * FROM tl_win").collect()
+    }
+    batch = spark.createDataFrame(
+        [(o["user"], o["ts"], o["v"]) for o in objs], "user string, ts long, v long"
+    ).select("user", F.timestamp_seconds("ts").alias("ts"), "v")
+    expect = {
+        (r["window"]["start"], r["user"]): (r["sv"], r["n"])
+        for r in batch.groupBy(F.window("ts", "2 minutes"), "user")
+        .agg(F.sum("v").alias("sv"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect
+
+
 def test_concurrent_appends_offsets_dense(root):
     """The os.link publish protocol serializes concurrent producers per
     partition: 8 threads × 5 segments land with dense, non-overlapping
