@@ -81,6 +81,66 @@ def repetition_stats(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split docs into overlapping token windows — the context-window
+    chunking step of every training/RAG ingestion pipeline. Chunk ``i``
+    covers tokens ``[i·stride, i·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens − overlap``; the final partial window is kept.
+
+    One generate-and-explode per doc (no shuffle at all — chunking is
+    embarrassingly parallel); downstream repartitioning is the caller's
+    choice. Output: (id, chunk_id, chunk, chunk_tokens)."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    t = f"split({text_col}, ' ')"
+    piece = (
+        f"transform(sequence(0, (size({t}) - 1) div {stride}), "
+        f"i -> struct(i as chunk_id, "
+        f"concat_ws(' ', slice({t}, i * {stride} + 1, {chunk_tokens})) as chunk, "
+        f"size(slice({t}, i * {stride} + 1, {chunk_tokens})) as nt))"
+    )
+    return docs.select(id_col, F.explode(F.expr(piece)).alias("c")).select(
+        id_col,
+        F.col("c.chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.chunk").alias("chunk"),
+        F.col("c.nt").cast("long").alias("chunk_tokens"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 256,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing: concatenate docs (in deterministic ``id``
+    order within a group) into fixed-token-budget training sequences —
+    ``seq_id = floor(cum_tokens_before / seq_len)``. The streaming-friendly
+    packing every pretraining data loader performs; a running-sum window per
+    group, so one shuffle on the group key. Integer-exact across engines."""
+    n = F.size(F.split(text_col, " ")).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_cum = F.coalesce(F.sum(n).over(w), F.lit(0))
+    return docs.select(
+        id_col,
+        group_col,
+        n.alias("n_tokens"),
+        F.floor(prev_cum / seq_len).cast("long").alias("seq_id"),
+    )
+
+
 def _distinct_tokens(docs: DataFrame, id_col: str, text_col: str, *extra: str) -> DataFrame:
     return docs.select(
         id_col, *extra, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")

@@ -665,3 +665,48 @@ def q87_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.text import repetition_stats
 
     return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q88_chunking",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(t[i*48+1:i*48+64], ' ') AS chunk,
+       CAST(len(t[i*48+1:i*48+64]) AS BIGINT) AS chunk_tokens
+FROM toks, unnest(range(0, ((len(t)-1)//48) + 1)) AS u(i)
+""",
+    tags=("L4",),
+)
+def q88_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (llm/text.py chunk_documents): 64-token
+    windows, 16-token overlap (stride 48), final partial window kept. Pure
+    generate-and-explode — zero shuffles; chunking is embarrassingly
+    parallel at any corpus size."""
+    from rdkafka_streams_spark.llm.text import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16)
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q89_sequence_packing",
+    oracle="""
+WITH n AS (SELECT doc_id, lang, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+      FROM n)
+SELECT doc_id, lang, n_tokens, CAST(prev_cum // 256 AS BIGINT) AS seq_id
+FROM c
+""",
+    tags=("L4", "E21"),
+)
+def q89_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (llm/text.py pack_sequences): docs assigned
+    to 256-token training sequences by running-token-sum within language —
+    one shuffle on the group key, integer-exact across engines."""
+    from rdkafka_streams_spark.llm.text import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=256, group_col="lang")

@@ -142,6 +142,39 @@ def test_decontaminate_and_shingles(spark):
     assert got == {(100, 1): 3}  # alpha-beta-gamma, beta-gamma-delta, gamma-delta-epsilon
 
 
+def test_chunk_documents_windows(spark):
+    from rdkafka_streams_spark.llm.text import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk"], r["chunk_tokens"])
+           for r in chunk_documents(d, chunk_tokens=4, overlap=1).collect()}
+    # doc 1: stride 3 → windows at 0,3,6,9; last is the 1-token remainder
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert got[(1, 3)] == ("t9", 1)
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert got[(1, 0)][0].split()[-1:] == got[(1, 1)][0].split()[:1]
+    assert got[(2, 0)] == ("a b", 2) and got[(3, 0)] == ("x", 1)
+    assert len(got) == 6
+
+
+def test_pack_sequences_budget(spark):
+    from rdkafka_streams_spark.llm.text import pack_sequences
+
+    d = spark.createDataFrame(
+        [(1, "en", "a " * 99 + "a"), (2, "en", "b " * 49 + "b"),
+         (3, "en", "c " * 99 + "c"), (4, "de", "d " * 9 + "d")],
+        "doc_id long, lang string, text string",
+    )
+    got = {r["doc_id"]: r["seq_id"] for r in pack_sequences(d, seq_len=128, group_col="lang").collect()}
+    # en: cum-before = 0, 100, 150 → seqs 0, 0, 1; de restarts at 0
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
 def test_repetition_stats_flag(spark):
     from rdkafka_streams_spark.llm.text import repetition_stats
 

@@ -78,6 +78,8 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q79_histogram": 1,          # partial agg → 12-key exchange
         "q80_rolling_time_window": 1,  # one (user) window sort
         "q74_retention_cohorts": 3,  # firstday agg + distinct + rollup
+        "q88_chunking": 0,           # generate-and-explode only — no shuffle
+        "q89_sequence_packing": 1,   # one running-sum window on the group key
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
@@ -90,6 +92,26 @@ def test_gapfill_calendar_broadcasts(spark, sf_dir):
     # a shuffle join here would move the fact-sized side twice
     df = REGISTRY["q69_gapfill_locf"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
+
+
+def test_ivf_partitioned_by_cell_prunes(spark, sf_dir, tmp_path):
+    """The IVF scale contract (llm/similarity.py build_ivf_index docstring):
+    written partitioned by cell, an nprobe search becomes directory-level
+    partition pruning — the scan must carry a PartitionFilters entry on
+    __cell, so probing 2 of N cells reads 2/N of the corpus."""
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.core.plan import partition_filters
+    from rdkafka_streams_spark.llm.similarity import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _cent = build_ivf_index(emb, n_cells=4)
+    path = str(tmp_path / "ivf_cells")
+    assigned.write.partitionBy("__cell").parquet(path)
+
+    probe = spark.read.parquet(path).where(F.col("__cell").isin(0, 1))
+    pf = " ".join(partition_filters(probe))
+    assert "__cell" in pf, f"no partition pruning on cell: {pf}"
 
 
 def test_ivf_search_norms_factored_below_candidate_join(spark, sf_dir):
