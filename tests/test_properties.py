@@ -152,3 +152,54 @@ def test_char_shingles_match_python(spark, text, n):
                 seen.add(s)
                 expect.append(s)
     assert got["sh"] == expect
+
+
+# docs: token counts 0-12 from a 3-token alphabet (forces dup ngrams + short docs)
+doc_rows = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+@PROP
+@given(docs=doc_rows, chunk=st.integers(2, 6), overlap=st.integers(0, 4))
+def test_chunking_reconstructs_documents(spark, docs, chunk, overlap):
+    """Losslessness: stripping each chunk's leading `overlap` tokens (except
+    chunk 0) and concatenating reconstructs the original document exactly —
+    no token lost or duplicated at any window boundary."""
+    from rdkafka_streams_spark.llm.text import chunk_documents
+
+    if overlap >= chunk:
+        return
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk"]))
+    for doc_id, text in rows:
+        chunks = [c for _, c in sorted(by_doc[doc_id])]
+        rebuilt: list[str] = []
+        for i, c in enumerate(chunks):
+            toks = c.split(" ") if c else [""]
+            rebuilt.extend(toks if i == 0 else toks[overlap:])
+        assert " ".join(rebuilt) == text, (doc_id, chunks)
+
+
+@PROP
+@given(docs=doc_rows, seq_len=st.integers(2, 20))
+def test_packing_matches_greedy_reference(spark, docs, seq_len):
+    """seq_id equals a pure-Python greedy running-sum packer over the same
+    id order; sequence ids are dense and non-decreasing."""
+    from rdkafka_streams_spark.llm.text import pack_sequences
+
+    rows = [(i, "g", " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r["seq_id"]
+           for r in pack_sequences(df, seq_len=seq_len, group_col="lang").collect()}
+    cum = 0
+    for i, toks in enumerate(docs):
+        n = len(" ".join(toks).split(" "))  # split semantics: empty text → 1 token
+        assert got[i] == cum // seq_len, (i, cum, got)
+        cum += n

@@ -339,6 +339,43 @@ def test_windowed_agg_over_topiclog_matches_batch(spark, root, tmp_path):
     assert got == expect
 
 
+def test_dlq_split_over_topiclog(spark, root, tmp_path):
+    """R3+T8 over the transport: one poisoned message on a real topic routes
+    to the dead-letter frame (raw bytes + envelope intact) while good
+    records decode and flow — the reference would abort the whole stream
+    (src/Consumer.coffee:106-108)."""
+    from rdkafka_streams_spark.streaming.consumer import decode_with_dlq
+    from rdkafka_streams_spark.streaming.lifecycle import shutdown
+
+    log = TopicLog(root)
+    log.create_topic("dirty", partitions=1)
+    log.append("dirty", [json.dumps({"count": i, "source": "x"}) for i in range(5)]
+               + ["{not json", "also-not-json"])
+
+    c = KConsumer(host=root, topic="dirty", from_offset="earliest", transport="topiclog")
+    raw = c.stream(spark)  # no schema → raw envelope frame
+    good, bad = decode_with_dlq(raw, "count long, source string")
+
+    qs = []
+    for name, df in (("dlq_good", good), ("dlq_bad", bad)):
+        qs.append(
+            df.writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / name))
+            .trigger(processingTime="0.2 seconds").start()
+        )
+    for q in qs:
+        q.processAllAvailable()
+        shutdown(q, 60)
+
+    good_rows = spark.sql("SELECT * FROM dlq_good").collect()
+    bad_rows = spark.sql("SELECT * FROM dlq_bad").collect()
+    assert {r["value"]["count"] for r in good_rows} == set(range(5))
+    assert sorted(bytes(r["value"]).decode() for r in bad_rows) == [
+        "also-not-json", "{not json"
+    ]
+    assert all(r["topic"] == "dirty" and r["offset"] >= 0 for r in bad_rows)
+
+
 def test_concurrent_appends_offsets_dense(root):
     """The os.link publish protocol serializes concurrent producers per
     partition: 8 threads × 5 segments land with dense, non-overlapping
