@@ -710,3 +710,31 @@ def q89_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.text import pack_sequences
 
     return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=256, group_col="lang")
+
+
+# ------------------------------------------------------------------- S1/S2
+@query(
+    "q90_topiclog_roundtrip",
+    oracle="SELECT doc_id, text FROM documents",
+    tags=("S1", "S2", "R3", "R4"),
+)
+def q90_topiclog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end transport round trip INSIDE the correctness gate: every
+    document is JSON-encoded and produced to a fresh topiclog topic
+    (streaming/topiclog.py — durable partitioned log on the Python
+    DataSource API), then batch-consumed, envelope-checked and JSON-decoded
+    back. The oracle is the identity: a lossless produce→persist→consume
+    loop returns exactly the source table (reference scenario
+    test/test_Consumer.coffee:55-69 with a correctness oracle attached)."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+
+    root = tempfile.mkdtemp(prefix="q90_bus")
+    TopicLog(root).create_topic("docs", partitions=4)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    KProducer(host=root, topic="docs", key="doc_id", transport="topiclog").write_batch(d)
+    raw = read_topic(spark, root, "docs")
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), "doc_id long, text string").alias("v")
+    ).select(F.col("v.doc_id").alias("doc_id"), F.col("v.text").alias("text"))
