@@ -112,6 +112,23 @@ def test_fingerprint_stable_under_identity(spark):
     assert fps[0] == fps[1]
 
 
+def test_cli_list_and_run(spark, capsys):
+    from rdkafka_streams_spark.__main__ import main
+
+    assert main(["list", "q01"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "[oracle]" in out
+
+    assert main(["run", "q13_agg_basic", "--limit", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "only showing top 2 rows" in out or "n_orders" in out
+
+    assert main(["explain", "q01", "--mode", "simple"]) == 0
+    assert "AdaptiveSparkPlan" in capsys.readouterr().out
+
+    assert main(["run", "nonexistent_query"]) == 2
+
+
 def test_decontaminate_and_shingles(spark):
     from rdkafka_streams_spark.llm.dedup import decontaminate, token_shingles
 
