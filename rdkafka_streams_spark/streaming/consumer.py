@@ -146,6 +146,8 @@ class KConsumer:
             )
             if self.batch_size is not None:
                 reader = reader.option("batchSize", str(self.batch_size))
+            for k, v in self.options.items():
+                reader = reader.option(k, v)
             return self.decode(reader.load())
         reader = (
             spark.readStream.format("kafka")

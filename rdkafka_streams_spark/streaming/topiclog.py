@@ -448,6 +448,11 @@ def _stage_rows(
     by_pid: dict[int, list[str]] = {}
     for row in rows:
         v = row["value"]
+        if v is None:
+            # Kafka null-value tombstones only mean something under log
+            # compaction, which this log doesn't model — fail loudly rather
+            # than persist an ambiguous record.
+            raise ValueError("topiclog sink: null 'value' not supported")
         vb = v.encode() if isinstance(v, str) else bytes(v)
         kb = None
         if has_key and row["key"] is not None:
