@@ -1,6 +1,6 @@
 from rdkafka_streams_spark.operators.asof import asof_join
 from rdkafka_streams_spark.operators.bucketing import read_bucketed, write_bucketed
-from rdkafka_streams_spark.operators.graph import connected_components
+from rdkafka_streams_spark.operators.graph import connected_components, connected_components_star
 from rdkafka_streams_spark.operators.sampling import hash_sample
 from rdkafka_streams_spark.operators.skew import salted_join
 from rdkafka_streams_spark.operators.topk import (
@@ -12,6 +12,7 @@ from rdkafka_streams_spark.operators.topk import (
 __all__ = [
     "asof_join",
     "connected_components",
+    "connected_components_star",
     "hash_sample",
     "read_bucketed",
     "salted_join",

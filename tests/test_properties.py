@@ -203,3 +203,22 @@ def test_packing_matches_greedy_reference(spark, docs, seq_len):
         n = len(" ".join(toks).split(" "))  # split semantics: empty text → 1 token
         assert got[i] == cum // seq_len, (i, cum, got)
         cum += n
+
+
+@PROP
+@given(edges=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=15))
+def test_connected_components_star_matches_label_propagation(spark, edges):
+    """The alternating small-star/large-star variant computes exactly the
+    same (node, component=min-id) labeling as min-label propagation on
+    randomized multigraphs with self-loops, parallel edges, and hubs."""
+    from rdkafka_streams_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    if all(a == b for a, b in edges):
+        return
+    df = spark.createDataFrame(edges, "src int, dst int")
+    via_prop = {(r["node"], r["component"]) for r in connected_components(df).collect()}
+    via_star = {(r["node"], r["component"]) for r in connected_components_star(df).collect()}
+    assert via_star == via_prop

@@ -168,3 +168,17 @@ def test_connected_components_deep_chain_converges(spark):
     out = connected_components(chain)
     assert out.where(F.col("component") != 0).count() == 0
     assert out.count() == 201
+
+
+def test_connected_components_star_deep_chain_converges(spark):
+    """The alternating small-star/large-star variant collapses the same
+    200-link chain within its O(log n) round bound (max_iters=20 ≫ log₂ 200
+    but ≪ the 200 rounds plain propagation would need)."""
+    from rdkafka_streams_spark.operators.graph import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    out = connected_components_star(chain, max_iters=20)
+    assert out.where(F.col("component") != 0).count() == 0
+    assert out.count() == 201
