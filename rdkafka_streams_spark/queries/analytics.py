@@ -446,3 +446,77 @@ def q85_zscore_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("value") - F.col("m")) / F.col("sd"), 6).alias("z"),
         )
     )
+
+
+@query(
+    "q91_timeseries_allpairs",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, datediff('day', DATE '2024-01-01', CAST(date_trunc('day', ts) AS DATE)) AS d,
+         ROUND(SUM(value), 6) AS v
+  FROM events GROUP BY 1, 2),
+peak AS (
+  SELECT user_id, d AS blk FROM (
+    SELECT user_id, d, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v DESC, d) AS rn FROM daily)
+  WHERE rn = 1),
+norms AS (SELECT user_id, sqrt(SUM(v * v)) AS nrm FROM daily GROUP BY user_id),
+da AS (SELECT daily.*, blk FROM daily JOIN peak USING (user_id)),
+dots AS (
+  SELECT a.user_id AS u1, b.user_id AS u2, SUM(a.v * b.v) AS dot
+  FROM da a JOIN da b ON a.blk = b.blk AND a.d = b.d AND a.user_id < b.user_id
+  GROUP BY 1, 2)
+SELECT u1, u2, cos FROM (
+  SELECT d.u1, d.u2, ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos
+  FROM dots d JOIN norms na ON d.u1 = na.user_id JOIN norms nb ON d.u2 = nb.user_id)
+WHERE cos >= 0.5
+""",
+    tags=("T-analytics", "L3", "L2"),
+)
+def q91_timeseries_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-PAIRS time-series similarity, signature-blocked (the q75
+    docstring's promised scale path): users are blocked by their peak-day
+    signature (argmax of the daily series, ties to the earliest day), the
+    day-aligned dot product runs only between same-block users, and pairs
+    with cosine ≥ 0.5 are emitted. The join key is (block, day) — the
+    quadratic term drops from users-per-day (q75's unbounded shape, 30 s at
+    sf0.1) to same-peak-users-per-day, exactly how the document near-dup
+    pipeline bounds its self-join with LSH buckets."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    wpk = Window.partitionBy("user_id").orderBy(F.col("v").desc(), "d")
+    peak = (
+        daily.withColumn("rn", F.row_number().over(wpk))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("d").alias("blk"))
+    )
+    norms = daily.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nrm")
+    )
+    da = daily.join(peak, "user_id")
+    a, b = da.alias("a"), da.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2"))
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("dot"))
+    )
+    na = norms.select(F.col("user_id").alias("u1"), F.col("nrm").alias("n1"))
+    nb = norms.select(F.col("user_id").alias("u2"), F.col("nrm").alias("n2"))
+    return (
+        dots.join(na, "u1")
+        .join(nb, "u2")
+        .select("u1", "u2", F.round(F.col("dot") / (F.col("n1") * F.col("n2")), 6).alias("cos"))
+        .where(F.col("cos") >= 0.5)
+    )
