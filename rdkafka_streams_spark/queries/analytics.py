@@ -491,6 +491,10 @@ def q91_timeseries_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("value"), 6).alias("v"))
     )
+    # `daily` feeds four branches (peak, both self-join sides, norms); each
+    # re-aggregates from the scan here. At 100 TB persist it (or write it
+    # out) — measured locally the recompute is cheaper than materialization
+    # (1.6 s vs 5.0 s at sf0.1), so the plan stays unpersisted at test scale.
     wpk = Window.partitionBy("user_id").orderBy(F.col("v").desc(), "d")
     peak = (
         daily.withColumn("rn", F.row_number().over(wpk))

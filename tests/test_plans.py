@@ -80,6 +80,12 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q74_retention_cohorts": 3,  # firstday agg + distinct + rollup
         "q88_chunking": 0,           # generate-and-explode only — no shuffle
         "q89_sequence_packing": 1,   # one running-sum window on the group key
+        "q87_repetition_filter": 0,  # pure column expressions — no shuffle
+        "q86_decontamination": 3,    # train postings + eval join + pair count
+        # daily agg ×4 branches (no cross-branch reuse in Catalyst), peak
+        # window, self-join sides, pair agg — persisting `daily` trades
+        # these for one materialization at 100 TB (see q91 docstring)
+        "q91_timeseries_allpairs": 11,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
