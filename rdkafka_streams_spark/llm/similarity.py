@@ -113,6 +113,89 @@ def embedding_near_dups(
     )
 
 
+# ------------------------------------------------- random-hyperplane LSH
+def hyperplanes(n_planes: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1): component (j, d)
+    derives from md5(f"{j}:{d}") — engine-independent, so the whole LSH
+    construction is SQL-oracle-able (the same trick as the MinHash seeds).
+    The oracle generator in queries/llm.py consumes THIS function, so Spark
+    and SQL literally share the constants."""
+    import hashlib
+
+    return [
+        [
+            round(
+                (int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[:8], 16) / 0xFFFFFFFF)
+                * 2
+                - 1,
+                6,
+            )
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def hyperplane_signature(vec_col: str | Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit_j = (v · h_j ≥ 0); packed little-endian."""
+    sig = None
+    for j, p in enumerate(planes):
+        dot = _dot(vec_col, F.array(*[F.lit(x) for x in p]))
+        bit = F.when(dot >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("long")
+
+
+def hyperplane_lsh_pairs(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Angular-LSH candidate pairs with exact cosine scores: vectors sharing
+    the full sign-bit signature (cos θ likely high ⇒ all planes agree) are
+    candidates; each candidate pair gets one exact Arrow-vectorized cosine.
+
+    The classic random-hyperplane scheme (Charikar'02) — the third ANN
+    blocking strategy here beside the KMeans-cell IVF and the coarse-label
+    cells, and the one needing no training pass. Scale shape is identical
+    to MinHash LSH: signature groupBy → sorted posting-list explode (each
+    unordered pair once, no self-join) → per-pair verify; degenerate-bucket
+    caps from llm/dedup.py apply verbatim at corpus scale. Output:
+    (id1, id2, cos) — thresholding is the caller's policy."""
+    planes = hyperplanes(n_planes, dim)
+    withn = (
+        emb.select(id_col, vec_col)
+        .withColumn("__sig", hyperplane_signature(vec_col, planes))
+        .withColumn("__nrm", _norm(vec_col))
+    )
+    posts = (
+        withn.groupBy("__sig")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = (
+        posts.select(F.col("ids"), F.explode("ids").alias("id1"))
+        .select("id1", F.explode("ids").alias("id2"))
+        .where(F.col("id1") < F.col("id2"))
+    )
+    a = withn.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"), F.col("__nrm").alias("n1")
+    )
+    b = withn.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"), F.col("__nrm").alias("n2")
+    )
+    from rdkafka_streams_spark.functions.udfs import pair_dot
+
+    cos = pair_dot("v1", "v2") / (F.col("n1") * F.col("n2"))
+    return (
+        pairs.join(a, "id1")
+        .join(b, "id2")
+        .select("id1", "id2", F.round(cos, 6).alias("cos"))
+    )
+
+
 # --------------------------------------------------------------- IVF (real)
 def build_ivf_index(
     emb: DataFrame,

@@ -738,3 +738,38 @@ def q90_topiclog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(
         F.from_json(F.col("value").cast("string"), "doc_id long, text string").alias("v")
     ).select(F.col("v.doc_id").alias("doc_id"), F.col("v.text").alias("text"))
+
+
+# ------------------------------------------------------------------- L2/L3
+def _hyperplane_oracle() -> str:
+    from rdkafka_streams_spark.llm.similarity import hyperplanes
+
+    planes = hyperplanes(8, EMB_DIM)
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> embedding[i]::DOUBLE * {p}[i])) >= 0 THEN {2**j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH sig AS (SELECT vec_id, CAST({bits} AS BIGINT) AS sig FROM embeddings)
+SELECT s1.vec_id AS id1, s2.vec_id AS id2,
+       ROUND({_dot_sql('a.embedding', 'b.embedding')} /
+             (sqrt({_dot_sql('a.embedding', 'a.embedding')}) *
+              sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6) AS cos
+FROM sig s1 JOIN sig s2 ON s1.sig = s2.sig AND s1.vec_id < s2.vec_id
+JOIN embeddings a ON a.vec_id = s1.vec_id
+JOIN embeddings b ON b.vec_id = s2.vec_id
+"""
+
+
+@query("q92_hyperplane_lsh", oracle=_hyperplane_oracle(), tags=("L2", "L3"))
+def q92_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (angular) LSH over embeddings (llm/similarity.py
+    hyperplane_lsh_pairs): 8 deterministic md5-derived hyperplanes pack a
+    sign-bit signature; same-signature vectors become candidate pairs with
+    exact cosine scores. The training-free ANN blocking path beside IVF
+    (q55) and coarse cells (q62); construction is engine-independent so the
+    full pipeline is oracle-checked."""
+    from rdkafka_streams_spark.llm.similarity import hyperplane_lsh_pairs
+
+    return hyperplane_lsh_pairs(_t(spark, sf_dir, "embeddings"), n_planes=8, dim=EMB_DIM)
