@@ -400,7 +400,11 @@ class _TopicLogStreamReader(DataSourceStreamReader):
             self._planned = self._start_offsets()
         planned = {}
         for k, end in ends.items():
-            base = self._planned.get(k, end if self.from_latest else 0)
+            # a key absent from the seeded baseline is a partition/topic
+            # discovered AFTER the stream started: consume it from 0 even
+            # under startingOffsets=latest (Kafka's new-partition semantics —
+            # "latest" describes the subscription start, not data loss later)
+            base = self._planned.get(k, 0)
             capped = min(end, base + self.cap) if self.cap is not None else end
             planned[k] = max(base, capped)
         self._planned = planned

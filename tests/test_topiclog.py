@@ -339,6 +339,42 @@ def test_windowed_agg_over_topiclog_matches_batch(spark, root, tmp_path):
     assert got == expect
 
 
+def test_new_topic_discovered_mid_stream_reads_from_zero(spark, root, tmp_path):
+    """Kafka new-partition semantics: under startingOffsets=latest, a topic
+    that appears AFTER the stream starts (pattern subscription) is consumed
+    from offset 0 — 'latest' describes the subscription start, it must not
+    silently drop a new partition's history."""
+    from rdkafka_streams_spark.streaming.lifecycle import shutdown
+
+    log = TopicLog(root)
+    log.create_topic("sensor-1")
+    log.append_json("sensor-1", [{"count": i, "source": "old"} for i in range(4)])
+
+    c = KConsumer(
+        host=root, topic="sensor-.*", pattern=True, from_offset="latest",
+        schema="count long, source string", transport="topiclog",
+    )
+    q = (
+        c.stream(spark)
+        .writeStream.format("memory").queryName("dyn")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    assert spark.sql("SELECT count(*) c FROM dyn").first()["c"] == 0  # history skipped
+
+    log.create_topic("sensor-2")
+    log.append_json("sensor-2", [{"count": i, "source": "new"} for i in range(3)])
+    q.processAllAvailable()
+    shutdown(q, 60)
+
+    rows = spark.sql("SELECT * FROM dyn").collect()
+    assert {(r["topic"], r["value"]["count"]) for r in rows} == {
+        ("sensor-2", 0), ("sensor-2", 1), ("sensor-2", 2)
+    }
+
+
 def test_dlq_split_over_topiclog(spark, root, tmp_path):
     """R3+T8 over the transport: one poisoned message on a real topic routes
     to the dead-letter frame (raw bytes + envelope intact) while good
