@@ -2,7 +2,7 @@ from rdkafka_streams_spark.operators.asof import asof_join
 from rdkafka_streams_spark.operators.bucketing import read_bucketed, write_bucketed
 from rdkafka_streams_spark.operators.graph import connected_components, connected_components_star
 from rdkafka_streams_spark.operators.sampling import hash_sample
-from rdkafka_streams_spark.operators.skew import salted_join
+from rdkafka_streams_spark.operators.skew import key_skew_profile, salted_join
 from rdkafka_streams_spark.operators.topk import (
     top_k,
     top_k_per_group,
@@ -15,6 +15,7 @@ __all__ = [
     "connected_components_star",
     "hash_sample",
     "read_bucketed",
+    "key_skew_profile",
     "salted_join",
     "top_k",
     "top_k_per_group",

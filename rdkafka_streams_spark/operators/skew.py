@@ -47,3 +47,35 @@ def salted_join(
     replicated_small = small.withColumn(_SALT, salts)
     out = salted_large.join(replicated_small, [*keys, _SALT], how)
     return out.drop(_SALT)
+
+
+def key_skew_profile(
+    df: DataFrame,
+    on: str | Sequence[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """The diagnostic that decides whether ``salted_join`` is needed: top-k
+    hottest join keys with their row share and skew factor (count ÷ mean
+    count per key). skew_factor ≈ 1 means uniform; a key at 50× the mean is
+    the single-task straggler AQE's partition splitting can't fix.
+
+    One aggregation shuffle on the key plus a 1-row broadcast of the totals
+    — safe to run on the full fact table at any scale. Output:
+    (*keys, n, share, skew_factor), hottest first.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total"), F.count("*").alias("__nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("n") * F.col("__nkeys") / F.col("__total"), 3).alias("skew_factor"),
+        )
+        .orderBy(F.col("n").desc(), *keys)
+        .limit(top_k)
+    )

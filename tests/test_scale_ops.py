@@ -182,3 +182,18 @@ def test_connected_components_star_deep_chain_converges(spark):
     out = connected_components_star(chain, max_iters=20)
     assert out.where(F.col("component") != 0).count() == 0
     assert out.count() == 201
+
+
+def test_key_skew_profile_ranks_hot_keys(spark):
+    """X2 diagnostic: the hot key tops the profile with the right share and
+    skew factor (count ÷ mean-per-key), uniform keys sit near 1."""
+    from rdkafka_streams_spark.operators.skew import key_skew_profile
+
+    rows = [("hot",)] * 80 + [(f"k{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string")
+    prof = key_skew_profile(df, "k", top_k=3).collect()
+    assert prof[0]["k"] == "hot" and prof[0]["n"] == 80
+    assert prof[0]["share"] == 0.8
+    # 21 distinct keys, mean = 100/21 ≈ 4.76 → hot factor = 80/4.76 = 16.8
+    assert prof[0]["skew_factor"] == 16.8
+    assert all(r["skew_factor"] == 0.21 for r in prof[1:])
