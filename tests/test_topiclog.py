@@ -14,6 +14,7 @@ mapping:
 from __future__ import annotations
 
 import json
+import os
 import threading
 
 import pytest
@@ -410,6 +411,40 @@ def test_dlq_split_over_topiclog(spark, root, tmp_path):
         "also-not-json", "{not json"
     ]
     assert all(r["topic"] == "dirty" and r["offset"] >= 0 for r in bad_rows)
+
+
+def test_stream_writer_commit_abort_protocol(root):
+    """Engine-free protocol check: staged files become visible segments only
+    on commit; abort leaves the log untouched; a replayed (re-written) batch
+    appends after the committed one (at-least-once, like the reference's
+    cb-on-enqueue)."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog, _TopicLogStreamWriter
+
+    TopicLog(root).create_topic("proto", partitions=1)
+    schema = StructType([StructField("value", StringType())])
+    w = _TopicLogStreamWriter({"path": root, "topic": "proto"}, schema)
+
+    # abort path: stage then abort → nothing visible, staging cleaned
+    msg = w.write(iter([Row(value="a"), Row(value="b")]))
+    assert all(os.path.exists(p) for _pid, p in msg.files)
+    assert TopicLog(root).end_offsets("proto") == {0: 0}
+    w.abort([msg], batchId=0)
+    assert not any(os.path.exists(p) for _pid, p in msg.files)
+    assert TopicLog(root).end_offsets("proto") == {0: 0}
+
+    # commit path: stage then commit → segment visible, staging cleaned
+    msg1 = w.write(iter([Row(value="a"), Row(value="b")]))
+    w.commit([msg1], batchId=0)
+    assert TopicLog(root).end_offsets("proto") == {0: 2}
+    assert not any(os.path.exists(p) for _pid, p in msg1.files)
+
+    # replay of the same batch appends (at-least-once, never lost)
+    msg2 = w.write(iter([Row(value="a"), Row(value="b")]))
+    w.commit([msg2], batchId=0)
+    assert TopicLog(root).end_offsets("proto") == {0: 4}
 
 
 def test_concurrent_appends_offsets_dense(root):
