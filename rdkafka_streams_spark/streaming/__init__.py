@@ -1,4 +1,4 @@
-from rdkafka_streams_spark.streaming.consumer import KConsumer, decode_values
+from rdkafka_streams_spark.streaming.consumer import KConsumer, consume_n, decode_values
 from rdkafka_streams_spark.streaming.producer import KProducer, encode_records
 from rdkafka_streams_spark.streaming.duplex import Duplex, get_duplex
 from rdkafka_streams_spark.streaming.listeners import DeliveryListener
@@ -17,6 +17,7 @@ __all__ = [
     "KProducer",
     "TopicLog",
     "TopicLogDataSource",
+    "consume_n",
     "decode_values",
     "encode_records",
     "foreach_batch_overwrite",

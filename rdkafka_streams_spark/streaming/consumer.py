@@ -105,6 +105,47 @@ def infer_schema_from_sample(spark: SparkSession, sample_values: Sequence[str]) 
     return df.schema.simpleString()[7:-1]  # strip struct<...> wrapper
 
 
+def consume_n(
+    stream_df: DataFrame,
+    n: int,
+    timeout_s: float = 60.0,
+    checkpoint: str | None = None,
+) -> list:
+    """Consume exactly ``n`` records from a stream, then stop the query —
+    the reference's take-N-and-destroy pattern (``++count === total →
+    @destroy()``, test/test_Consumer.coffee:65-66; SURVEY.md §2.3 R6).
+
+    Driver-side accumulation is bounded by ``n`` (never the stream), the
+    query is stopped gracefully at a batch boundary, and the checkpoint (if
+    given) records only fully processed batches — a restarted consumer
+    re-reads anything beyond ``n`` from the interrupted batch
+    (at-least-once, matching the reference). Returns the first ``n`` rows.
+    """
+    import tempfile
+    import time
+
+    from rdkafka_streams_spark.streaming.lifecycle import shutdown
+
+    rows: list = []
+
+    def sink(batch: DataFrame, _bid: int) -> None:
+        needed = n - len(rows)
+        if needed > 0:
+            rows.extend(batch.limit(needed).collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint or tempfile.mkdtemp(prefix="consume_n_ck"))
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    deadline = time.monotonic() + timeout_s
+    while len(rows) < n and time.monotonic() < deadline:
+        time.sleep(0.2)
+    shutdown(q, timeout_s)
+    return rows[:n]
+
+
 @dataclass
 class KConsumer:
     """Kafka topic(s) → streaming DataFrame of envelope + decoded value.

@@ -413,6 +413,27 @@ def test_dlq_split_over_topiclog(spark, root, tmp_path):
     assert all(r["topic"] == "dirty" and r["offset"] >= 0 for r in bad_rows)
 
 
+def test_consume_n_take_and_destroy(spark, root, tmp_path):
+    """R6 over the transport: the reference's take-N-and-destroy loop
+    (test_Consumer.coffee:65-66) — consume exactly N records from a live
+    topic, stop, and leave the stream stoppable cleanly."""
+    from rdkafka_streams_spark.streaming.consumer import consume_n
+
+    log = TopicLog(root)
+    log.create_topic("firehose", partitions=2)
+    log.append_json("firehose", [{"count": i, "source": "x"} for i in range(50)])
+
+    c = KConsumer(
+        host=root, topic="firehose", from_offset="earliest",
+        schema="count long, source string", transport="topiclog",
+    )
+    got = consume_n(c.stream(spark), 7, checkpoint=str(tmp_path / "ck"))
+    assert len(got) == 7
+    assert all(r["topic"] == "firehose" for r in got)
+    assert len({r["value"]["count"] for r in got}) == 7  # distinct records
+    assert not spark.streams.active  # destroyed, not leaked
+
+
 def test_stream_writer_commit_abort_protocol(root):
     """Engine-free protocol check: staged files become visible segments only
     on commit; abort leaves the log untouched; a replayed (re-written) batch
