@@ -141,6 +141,34 @@ def pack_sequences(
     )
 
 
+def build_vocabulary(
+    docs: DataFrame,
+    min_count: int = 5,
+    max_vocab: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency vocabulary: (tok, freq, token_id) with contiguous ids by
+    (freq desc, token asc) — the deterministic precursor to tokenizer
+    training (BPE seeding, embedding-table sizing, OOV policy).
+
+    Scale shape: the token count is one shuffled aggregate; the global rank
+    that assigns ids runs AFTER the ``min_count`` cut, so the single-sort
+    input is the kept vocabulary (≤ tens of millions of rows at any corpus
+    size — Zipf does the work), never the raw token tail."""
+    toks = docs.select(F.explode(F.split(text_col, " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    kept = toks.groupBy("tok").agg(F.count("*").alias("freq")).where(
+        F.col("freq") >= min_count
+    )
+    w = Window.orderBy(F.col("freq").desc(), "tok")
+    return (
+        kept.withColumn("token_id", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("token_id") < max_vocab)
+        .select("tok", F.col("freq").cast("long").alias("freq"), "token_id")
+    )
+
+
 def _distinct_tokens(docs: DataFrame, id_col: str, text_col: str, *extra: str) -> DataFrame:
     return docs.select(
         id_col, *extra, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")

@@ -773,3 +773,26 @@ def q92_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.similarity import hyperplane_lsh_pairs
 
     return hyperplane_lsh_pairs(_t(spark, sf_dir, "embeddings"), n_planes=8, dim=EMB_DIM)
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q93_vocabulary",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+tc AS (SELECT tok, COUNT(*) AS freq FROM tok WHERE tok <> '' GROUP BY tok),
+kept AS (SELECT tok, freq FROM tc WHERE freq >= 5)
+SELECT tok, CAST(freq AS BIGINT) AS freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) - 1 AS BIGINT) AS token_id
+FROM kept QUALIFY ROW_NUMBER() OVER (ORDER BY freq DESC, tok) <= 1000
+""",
+    tags=("L4",),
+)
+def q93_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency vocabulary with contiguous token ids (llm/text.py
+    build_vocabulary): min_count=5, max_vocab=1000 — the deterministic
+    tokenizer-training precursor. The global id-assigning sort runs on the
+    post-cutoff vocabulary, never the raw token tail."""
+    from rdkafka_streams_spark.llm.text import build_vocabulary
+
+    return build_vocabulary(_t(spark, sf_dir, "documents"), min_count=5, max_vocab=1000)

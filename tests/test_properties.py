@@ -222,3 +222,40 @@ def test_connected_components_star_matches_label_propagation(spark, edges):
     via_prop = {(r["node"], r["component"]) for r in connected_components(df).collect()}
     via_star = {(r["node"], r["component"]) for r in connected_components_star(df).collect()}
     assert via_star == via_prop
+
+
+@PROP
+@given(docs=doc_rows, min_shared=st.integers(1, 3), max_df=st.integers(1, 5))
+def test_decontaminate_matches_python_reference(spark, docs, min_shared, max_df):
+    """decontaminate == a pure-Python shingle-overlap computation with the
+    same df cap, on randomized corpora (docs alternate train/eval by id)."""
+    from rdkafka_streams_spark.llm.dedup import decontaminate
+
+    n = 2  # token bigram shingles keep tiny docs productive
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train_df = df.where(F.col("doc_id") % 2 == 0)
+    eval_df = df.where(F.col("doc_id") % 2 == 1)
+    got = {(r["eval_id"], r["train_id"]): r["n_shared"]
+           for r in decontaminate(train_df, eval_df, n=n, min_shared=min_shared,
+                                  max_df=max_df).collect()}
+
+    def shingles(toks):
+        joined = " ".join(toks).split(" ")  # mirror split semantics
+        return {" ".join(joined[i:i + n]) for i in range(len(joined) - n + 1)} \
+            if len(joined) >= n else set()
+
+    train = {i: shingles(t) for i, t in enumerate(docs) if i % 2 == 0}
+    evald = {i: shingles(t) for i, t in enumerate(docs) if i % 2 == 1}
+    df_count: dict[str, int] = {}
+    for sh in train.values():
+        for s in sh:
+            df_count[s] = df_count.get(s, 0) + 1
+    keep = {s for s, c in df_count.items() if c <= max_df}
+    expect = {}
+    for ei, es in evald.items():
+        for ti, ts in train.items():
+            c = len(es & ts & keep)
+            if c >= min_shared:
+                expect[(ei, ti)] = c
+    assert got == expect
