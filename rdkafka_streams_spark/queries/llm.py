@@ -775,6 +775,51 @@ def q92_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_pairs(_t(spark, sf_dir, "embeddings"), n_planes=8, dim=EMB_DIM)
 
 
+# ------------------------------------------------------------------------ L3
+@query(
+    "q94_quantized_topk",
+    oracle=f"""
+WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(
+           x::DOUBLE / (greatest(list_aggregate(
+             list_transform(embedding, y -> abs(y::DOUBLE)), 'max'), 1e-12) / 127.0)
+           + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+n AS (
+  SELECT vec_id, qv,
+         sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+  FROM s),
+q AS (SELECT vec_id AS q_id, qv AS q_qv, nrm AS q_nrm FROM n WHERE vec_id < 5),
+pr AS (
+  SELECT q.q_id, e.vec_id,
+         CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                                      i -> e.qv[i] * q.q_qv[i])) AS DOUBLE) AS dot,
+         e.nrm, q.q_nrm
+  FROM n e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+SELECT q_id, vec_id, ROUND(cos, 6) AS qcos FROM (
+  SELECT q_id, vec_id, dot / (nrm * q_nrm) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY dot / (nrm * q_nrm) DESC, vec_id) AS rn
+  FROM pr)
+WHERE rn <= 3
+""",
+    tags=("L3",),
+)
+def q94_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-3 for 5 query vectors (llm/similarity.py
+    quantize_embeddings + quantized_topk): symmetric per-vector scalar
+    quantization (scale = max|v|/127), then integer dot / sum-of-squares —
+    exact, summation-order-free — with one float sqrt/divide at the end.
+    The 4×-memory-compression ANN path beside brute force (q54), IVF (q55)
+    and angular LSH (q92); quantization arithmetic is engine-independent so
+    the full pipeline is oracle-checked."""
+    from rdkafka_streams_spark.llm.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
+
+
 # ------------------------------------------------------------------------ L4
 @query(
     "q93_vocabulary",

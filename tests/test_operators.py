@@ -378,3 +378,32 @@ def test_dedup_pipeline_empty_and_degenerate_inputs(spark):
 
     no_edges = spark.createDataFrame([], "src long, dst long")
     assert connected_components(no_edges).count() == 0
+
+
+def test_quantized_topk_vs_exact(spark, sf_dir):
+    """Int8 scalar quantization: values bounded to [-127, 127], max-magnitude
+    component hits exactly ±127, and quantized top-3 recalls nearly all of
+    the exact brute-force top-3 (the 64-dim fixture loses < 2e-3 cosine to
+    quantization, far smaller than typical neighbor gaps — but ties can
+    flip, so the contract is high recall, not equality)."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.similarity import (
+        cosine_topk,
+        quantize_embeddings,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = quantize_embeddings(emb, "embedding")
+    stats = qv.select(
+        F.max(F.array_max(F.transform("qvec", lambda x: F.abs(x)))).alias("mx"),
+        F.min(F.array_max(F.transform("qvec", lambda x: F.abs(x)))).alias("mn"),
+    ).first()
+    assert stats["mx"] == 127, "largest component must quantize to ±127"
+    assert stats["mn"] == 127, "every vector's max-|.| component is ±127 by construction"
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["q_id"], r["vec_id"]) for r in cosine_topk(emb, queries, k=3).collect()}
+    quant = {(r["q_id"], r["vec_id"]) for r in quantized_topk(emb, queries, k=3).collect()}
+    assert len(quant) == len(exact) == 30
+    assert len(quant & exact) / len(exact) >= 0.9
