@@ -321,3 +321,162 @@ def redact_pii(text_col: str | F.Column) -> F.Column:
     for pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+# ------------------------------------------------- data-selection / LM score
+DSIR_BUCKETS = 4096  # hashed-feature space: 3 md5 hex nibbles
+
+
+def _md5_bucket(col: str, n_nibbles: int = 3) -> F.Column:
+    """Engine-independent feature hash: the first ``n_nibbles`` hex nibbles
+    of md5 interpreted as an integer (0..16^n-1). Same instr-on-hex trick as
+    the SimHash bit votes (llm/dedup.py) — reproducible verbatim in SQL."""
+    parts = [
+        f"(instr('0123456789abcdef', substring(md5({col}), {i + 1}, 1)) - 1) * {16 ** (n_nibbles - 1 - i)}"
+        for i in range(n_nibbles)
+    ]
+    return F.expr(" + ".join(parts))
+
+
+def _doc_features(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unigram + bigram features per doc, with multiplicity: (id, feat).
+
+    Bigrams via zip_with over two slices of the token array — no explode of
+    an index sequence, no Python; a doc with < 2 tokens contributes no
+    bigrams (slice length ``greatest(size-1, 0)`` keeps the lambda total)."""
+    toks = F.split(F.col(text_col), " ")
+    uni = docs.select(id_col, F.explode(toks).alias("feat")).where(F.col("feat") != "")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda x, y: F.concat(x, F.lit("_"), y),
+    )
+    bi = docs.select(id_col, F.explode(bigrams).alias("feat"))
+    return uni.unionByName(bi)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_filter: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): hashed
+    unigram+bigram features, per-bucket log-likelihood ratio between the
+    target slice and the raw corpus (Laplace-smoothed), per-doc weight =
+    sum of its features' log-ratios. Docs scoring high look like the
+    target distribution — the standard cheap filter for "give me more data
+    shaped like this seed set".
+
+    Determinism: each bucket's log-ratio is snapped to integer micro-nats
+    (floor(lr·1e6 + 0.5)), so the per-doc sum is exact integer arithmetic —
+    summation order cannot move the output. Scale shape: the bucket table
+    is ≤ n_buckets rows (broadcast); the only per-token shuffles are the
+    bucket-count aggregations and the final per-doc sum.
+
+    Output: (id, n_feats, weight) — weight in nats, rounded to 6.
+    """
+    feats = _doc_features(docs, id_col, text_col)
+    fb = feats.withColumn("bkt", _md5_bucket("feat"))
+    tgt_ids = docs.where(target_filter).select(id_col)
+    raw = fb.groupBy("bkt").agg(F.count("*").alias("c_raw"))
+    tgt = fb.join(tgt_ids, id_col).groupBy("bkt").agg(F.count("*").alias("c_tgt"))
+    totals = fb.agg(F.count("*").alias("t_raw"))
+    t_tgt = fb.join(tgt_ids, id_col).agg(F.count("*").alias("t_tgt"))
+    lr = (
+        raw.join(tgt, "bkt", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(t_tgt))
+        .select(
+            "bkt",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1)
+                        / (F.col("t_tgt") + F.lit(float(n_buckets)))
+                    )
+                    - F.log((F.col("c_raw") + 1) / (F.col("t_raw") + F.lit(float(n_buckets))))
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        fb.join(F.broadcast(lr), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("lr_micro") / 1000000.0, 6).alias("weight"),
+        )
+    )
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus bigram-LM cross-entropy per doc — the KenLM-style perplexity
+    quality signal every production corpus filter runs (CCNet et al.),
+    self-trained here: P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V) with add-one
+    smoothing over the corpus vocabulary V; per-doc score = mean negative
+    log-likelihood over its bigrams. Repetitive/templated text scores low,
+    token soup scores high; both tails get filtered in practice.
+
+    Determinism: per-bigram NLL snapped to integer micro-nats, per-doc mean
+    computed as floor(sum/n + 0.5) on the exact integer sum — engine- and
+    order-independent. Scale shape: two count aggregations keyed on the
+    bigram/context (high-cardinality, well-spread), a keyed join of doc
+    bigrams to the NLL table, one per-doc sum; nothing is collected and
+    the only broadcast is the 1-row vocab size.
+
+    Output: (id, n_bigrams, xent) — mean NLL in nats, rounded to 6.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    db = docs.select(id_col, F.explode(bigrams).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    cbg = db.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    cctx = db.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .where(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    nll = (
+        cbg.join(cctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                -F.log((F.col("c_bg") + 1) / (F.col("c_ctx") + F.col("v"))) * 1000000 + 0.5
+            )
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    return (
+        db.join(nll, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.sum("nll_micro").alias("s"))
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                F.floor(F.col("s") / F.col("n_bigrams") + 0.5) / 1000000.0, 6
+            ).alias("xent"),
+        )
+    )

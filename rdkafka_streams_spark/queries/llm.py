@@ -841,3 +841,82 @@ def q93_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.text import build_vocabulary
 
     return build_vocabulary(_t(spark, sf_dir, "documents"), min_count=5, max_vocab=1000)
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q95_dsir_weights",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT doc_id, unnest(t) AS feat FROM tk),
+bi AS (SELECT doc_id, t[i] || '_' || t[i+1] AS feat
+       FROM tk, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+feats AS (SELECT doc_id, feat FROM uni WHERE feat <> ''
+          UNION ALL SELECT doc_id, feat FROM bi),
+fb AS (SELECT doc_id,
+              (instr('0123456789abcdef', substring(md5(feat), 1, 1)) - 1) * 256
+            + (instr('0123456789abcdef', substring(md5(feat), 2, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substring(md5(feat), 3, 1)) - 1) AS bkt
+       FROM feats),
+raw AS (SELECT bkt, COUNT(*) AS c_raw FROM fb GROUP BY bkt),
+tgt AS (SELECT bkt, COUNT(*) AS c_tgt FROM fb JOIN documents USING (doc_id)
+        WHERE lang = 'en' GROUP BY bkt),
+tot AS (SELECT (SELECT COUNT(*) FROM fb) AS t_raw,
+               (SELECT COUNT(*) FROM fb JOIN documents USING (doc_id)
+                WHERE lang = 'en') AS t_tgt),
+lr AS (SELECT r.bkt,
+              CAST(floor((ln((COALESCE(g.c_tgt, 0) + 1) / (t.t_tgt + 4096.0))
+                        - ln((r.c_raw + 1) / (t.t_raw + 4096.0))) * 1000000 + 0.5)
+                   AS BIGINT) AS lr_micro
+       FROM raw r LEFT JOIN tgt g USING (bkt) CROSS JOIN tot t)
+SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       ROUND(CAST(SUM(l.lr_micro) AS BIGINT) / 1000000.0, 6) AS weight
+FROM fb f JOIN lr l USING (bkt)
+GROUP BY f.doc_id
+""",
+    tags=("L4",),
+)
+def q95_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (llm/text.py dsir_weights): hashed
+    unigram+bigram features (md5-nibble buckets, 4096), Laplace-smoothed
+    per-bucket log-likelihood ratio of the lang='en' target slice vs the
+    raw corpus, per-doc weight = integer micro-nat sum of its features'
+    ratios. The data-selection scorer ("find more data shaped like this
+    seed set"); bucket table broadcast, weights summation-order-free."""
+    from rdkafka_streams_spark.llm.text import dsir_weights
+
+    return dsir_weights(_t(spark, sf_dir, "documents"), F.col("lang") == "en")
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q96_bigram_lm",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       FROM tk, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+cbg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY w1, w2),
+cctx AS (SELECT w1, COUNT(*) AS c_ctx FROM bg GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(t) AS tok FROM tk) WHERE tok <> ''),
+nll AS (SELECT c.w1, c.w2,
+               CAST(floor(-ln((c.c_bg + 1) / (x.c_ctx + v.v * 1.0)) * 1000000 + 0.5)
+                    AS BIGINT) AS nll_micro
+        FROM cbg c JOIN cctx x USING (w1) CROSS JOIN v)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(floor(CAST(SUM(n.nll_micro) AS BIGINT) * 1.0 / COUNT(*) + 0.5)
+             / 1000000.0, 6) AS xent
+FROM bg b JOIN nll n ON b.w1 = n.w1 AND b.w2 = n.w2
+GROUP BY b.doc_id
+""",
+    tags=("L4",),
+)
+def q96_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained corpus bigram-LM cross-entropy per doc (llm/text.py
+    bigram_lm_scores) — the KenLM-style perplexity quality filter: add-one
+    smoothed P(w2|w1), per-doc mean NLL in exact integer micro-nats.
+    Counts shuffle on bigram/context keys; the only broadcast is the 1-row
+    vocabulary size."""
+    from rdkafka_streams_spark.llm.text import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))

@@ -407,3 +407,36 @@ def test_quantized_topk_vs_exact(spark, sf_dir):
     quant = {(r["q_id"], r["vec_id"]) for r in quantized_topk(emb, queries, k=3).collect()}
     assert len(quant) == len(exact) == 30
     assert len(quant & exact) / len(exact) >= 0.9
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs sharing the target slice's vocabulary must outscore docs that
+    don't: DSIR's defining property, on a corpus tiny enough to eyeball."""
+    from rdkafka_streams_spark.llm.text import dsir_weights
+
+    rows = [
+        (0, "alpha beta alpha beta gamma", "en"),
+        (1, "alpha beta gamma alpha beta", "en"),
+        (2, "alpha beta alpha gamma beta", "xx"),  # target-shaped, not in slice
+        (3, "zeta eta theta iota kappa", "xx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {r["doc_id"]: r["weight"] for r in dsir_weights(docs, F.col("lang") == "en").collect()}
+    assert w[2] > w[3], f"target-shaped doc must outscore off-target: {w}"
+    assert w[0] > w[3] and w[1] > w[3]
+
+
+def test_bigram_lm_scores_repetition_vs_novelty(spark):
+    """A doc made of the corpus's dominant bigram scores lower cross-entropy
+    than one of bigrams seen nowhere else (add-one smoothing keeps novel
+    transitions finite but expensive)."""
+    from rdkafka_streams_spark.llm.text import bigram_lm_scores
+
+    rows = [
+        (0, "a b a b a b a b"),
+        (1, "a b a b a b a b"),
+        (2, "q r s t u v w x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    x = {r["doc_id"]: r["xent"] for r in bigram_lm_scores(docs).collect()}
+    assert x[0] == x[1] < x[2], f"dominant-bigram docs must score lower NLL: {x}"
