@@ -524,3 +524,76 @@ def q91_timeseries_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u1", "u2", F.round(F.col("dot") / (F.col("n1") * F.col("n2")), 6).alias("cos"))
         .where(F.col("cos") >= 0.5)
     )
+
+
+# --------------------------------------------------------------- CDC / SCD2
+@query(
+    "q97_scd2_intervals",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events),
+chg AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM chg
+""",
+    tags=("X-cdc", "E20", "T-analytics"),
+)
+def q97_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 build over the event log (operators/cdc.py scd2_build): per
+    user, consecutive same-event_type records compact away (CDC no-op
+    drop), each surviving version gets valid_from/valid_to effective
+    dating, open interval = current. The append-log → warehouse-dimension
+    transform; one window shuffle on the entity key."""
+    from rdkafka_streams_spark.operators.cdc import scd2_build
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_build(ev, key="user_id", ts="ts", attrs=["event_type"], tiebreak="event_id")
+
+
+# ---------------------------------------------------------- robust trimming
+@query(
+    "q98_quantile_trim",
+    oracle="""
+WITH r AS (
+  SELECT lang, n_chars, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents),
+kept AS (
+  SELECT lang, n_chars, n FROM r
+  WHERE rn > n * 5 // 100 AND rn <= n - n * 5 // 100)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(n_chars) AS BIGINT) AS min_kept, CAST(MAX(n_chars) AS BIGINT) AS max_kept
+FROM kept GROUP BY lang
+""",
+    tags=("L4", "E19"),
+)
+def q98_quantile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based 5%/95% length-outlier trim per language — the robust
+    corpus filter that drops truncated fragments and boilerplate walls
+    without estimating quantiles: exact integer rank bounds
+    (rn in (n*5//100, n - n*5//100]), so the cut is deterministic on every
+    engine. One window shuffle per language partition."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    r = d.select(
+        "lang",
+        "n_chars",
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    lo = F.floor(F.col("n") * 5 / 100)
+    kept = r.where((F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo))
+    return kept.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        F.count("*").alias("n_kept"),
+        F.min("n_chars").alias("min_kept"),
+        F.max("n_chars").alias("max_kept"),
+    )

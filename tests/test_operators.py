@@ -440,3 +440,47 @@ def test_bigram_lm_scores_repetition_vs_novelty(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     x = {r["doc_id"]: r["xent"] for r in bigram_lm_scores(docs).collect()}
     assert x[0] == x[1] < x[2], f"dominant-bigram docs must score lower NLL: {x}"
+
+
+def test_scd2_build_compacts_and_dates(spark):
+    from rdkafka_streams_spark.operators.cdc import scd2_build
+
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), 100, "A"),
+        (1, _ts("2024-01-02 00:00:00"), 101, "A"),  # no-op change → compacted
+        (1, _ts("2024-01-03 00:00:00"), 102, "B"),
+        (2, _ts("2024-01-01 12:00:00"), 103, "C"),
+    ]
+    log = spark.createDataFrame(rows, "k long, ts timestamp, eid long, v string")
+    out = scd2_build(log, key="k", ts="ts", attrs=["v"], tiebreak="eid")
+    got = {(r["k"], r["v"]): (r["valid_from"], r["valid_to"], r["is_current"]) for r in out.collect()}
+    assert len(got) == 3  # the no-op row vanished
+    assert got[(1, "A")] == (_ts("2024-01-01 00:00:00"), _ts("2024-01-03 00:00:00"), False)
+    assert got[(1, "B")] == (_ts("2024-01-03 00:00:00"), None, True)
+    assert got[(2, "C")][2] is True
+
+
+def test_scd2_merge_matches_full_rebuild_and_is_idempotent(spark):
+    from rdkafka_streams_spark.operators.cdc import scd2_build, scd2_merge
+
+    schema = "k long, ts timestamp, eid long, v string"
+    part1 = [
+        (1, _ts("2024-01-01 00:00:00"), 1, "A"),
+        (1, _ts("2024-01-05 00:00:00"), 2, "B"),
+        (2, _ts("2024-01-02 00:00:00"), 3, "X"),
+    ]
+    part2 = [
+        (1, _ts("2024-01-09 00:00:00"), 4, "C"),
+        (2, _ts("2024-01-07 00:00:00"), 5, "X"),  # no-op image → must not fork a version
+        (3, _ts("2024-01-08 00:00:00"), 6, "N"),  # brand-new key
+    ]
+    full = spark.createDataFrame(part1 + part2, schema)
+    dim1 = scd2_build(spark.createDataFrame(part1, schema), "k", "ts", ["v"], tiebreak="eid")
+    merged = scd2_merge(dim1, spark.createDataFrame(part2, schema), "k", "ts", ["v"], tiebreak="eid")
+    want = {tuple(r) for r in scd2_build(full, "k", "ts", ["v"], tiebreak="eid").collect()}
+    got = {tuple(r) for r in merged.collect()}
+    assert got == want
+
+    # merging the same changeset again must change nothing (re-delivery safety)
+    again = scd2_merge(merged, spark.createDataFrame(part2, schema), "k", "ts", ["v"], tiebreak="eid")
+    assert {tuple(r) for r in again.collect()} == want
