@@ -86,6 +86,11 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # window, self-join sides, pair agg — persisting `daily` trades
         # these for one materialization at 100 TB (see q91 docstring)
         "q91_timeseries_allpairs": 11,
+        "q94_quantized_topk": 1,     # queries broadcast; one top-k window sort
+        "q95_dsir_weights": 5,       # bucket counts ×2 + target join + doc sum (lr broadcast)
+        "q96_bigram_lm": 5,          # bigram/context counts + NLL join + per-doc mean
+        "q97_scd2_intervals": 1,     # compaction + interval windows share one key exchange
+        "q98_quantile_trim": 1,      # rank + count windows share one per-lang exchange
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
@@ -152,3 +157,13 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     ][0]
     assert "l_shipdate" not in read and "l_suppkey" not in read, read
     assert "l_extendedprice" in read
+
+
+def test_quantized_topk_broadcasts_queries(spark, sf_dir):
+    """The quantized ANN path must keep the query side broadcast (no shuffle
+    of the corpus against the query set) — same contract as cosine_topk."""
+    from rdkafka_streams_spark.core.plan import has_broadcast_join
+
+    df = REGISTRY["q94_quantized_topk"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 1
