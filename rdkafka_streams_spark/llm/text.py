@@ -338,22 +338,24 @@ def _md5_bucket(col: str, n_nibbles: int = 3) -> F.Column:
     return F.expr(" + ".join(parts))
 
 
-def _doc_features(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _doc_features(docs: DataFrame, id_col: str, text_col: str, *extra: str) -> DataFrame:
     """Unigram + bigram features per doc, with multiplicity: (id, feat).
 
-    Bigrams via zip_with over two slices of the token array — no explode of
-    an index sequence, no Python; a doc with < 2 tokens contributes no
-    bigrams (slice length ``greatest(size-1, 0)`` keeps the lambda total)."""
+    One scan, one explode: unigrams (non-empty) and bigrams concatenate
+    into a single feature array per doc before exploding — a two-branch
+    union would scan and tokenize the corpus twice. Bigrams via zip_with
+    over two slices of the token array — no explode of an index sequence,
+    no Python; a doc with < 2 tokens contributes no bigrams (slice length
+    ``greatest(size-1, 0)`` keeps the lambda total)."""
     toks = F.split(F.col(text_col), " ")
-    uni = docs.select(id_col, F.explode(toks).alias("feat")).where(F.col("feat") != "")
     n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     bigrams = F.zip_with(
         F.slice(toks, 1, n1),
         F.slice(toks, 2, n1),
         lambda x, y: F.concat(x, F.lit("_"), y),
     )
-    bi = docs.select(id_col, F.explode(bigrams).alias("feat"))
-    return uni.unionByName(bi)
+    allfeats = F.concat(F.filter(toks, lambda x: x != F.lit("")), bigrams)
+    return docs.select(id_col, *extra, F.explode(allfeats).alias("feat"))
 
 
 def dsir_weights(
@@ -379,13 +381,22 @@ def dsir_weights(
 
     Output: (id, n_feats, weight) — weight in nats, rounded to 6.
     """
-    feats = _doc_features(docs, id_col, text_col)
+    # Target membership rides along as a column (evaluated pre-explode), so
+    # no membership join ever happens — a doc-id join would shuffle the
+    # corpus when the target slice is a large fraction of it.
+    feats = _doc_features(
+        docs.withColumn("__tgt", target_filter), id_col, text_col, "__tgt"
+    )
+    # The feature explode is map-only and recomputed per count branch —
+    # cheaper than materializing the token-level frame (measured at sf0.1:
+    # persisting it doubled wall time). The count aggregations partial-agg
+    # map-side down to ≤n_buckets rows before shuffling; totals derive from
+    # those tiny aggregates, never a corpus rescan.
     fb = feats.withColumn("bkt", _md5_bucket("feat"))
-    tgt_ids = docs.where(target_filter).select(id_col)
     raw = fb.groupBy("bkt").agg(F.count("*").alias("c_raw"))
-    tgt = fb.join(tgt_ids, id_col).groupBy("bkt").agg(F.count("*").alias("c_tgt"))
-    totals = fb.agg(F.count("*").alias("t_raw"))
-    t_tgt = fb.join(tgt_ids, id_col).agg(F.count("*").alias("t_tgt"))
+    tgt = fb.where("__tgt").groupBy("bkt").agg(F.count("*").alias("c_tgt"))
+    totals = raw.agg(F.coalesce(F.sum("c_raw"), F.lit(0)).alias("t_raw"))
+    t_tgt = tgt.agg(F.coalesce(F.sum("c_tgt"), F.lit(0)).alias("t_tgt"))
     lr = (
         raw.join(tgt, "bkt", "left")
         .crossJoin(F.broadcast(totals))

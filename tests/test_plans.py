@@ -87,7 +87,11 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # these for one materialization at 100 TB (see q91 docstring)
         "q91_timeseries_allpairs": 11,
         "q94_quantized_topk": 1,     # queries broadcast; one top-k window sort
-        "q95_dsir_weights": 5,       # bucket counts ×2 + target join + doc sum (lr broadcast)
+        # one explode scan; raw/tgt bucket counts + per-doc sum are the only
+        # corpus-sized shuffles (≤4096-row partial aggs); totals are two
+        # 1-row aggregates of the bucket counts; lr broadcast; target
+        # membership is a pre-explode column, never a join
+        "q95_dsir_weights": 7,
         "q96_bigram_lm": 5,          # bigram/context counts + NLL join + per-doc mean
         "q97_scd2_intervals": 1,     # compaction + interval windows share one key exchange
         "q98_quantile_trim": 1,      # rank + count windows share one per-lang exchange
