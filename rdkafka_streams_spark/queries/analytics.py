@@ -597,3 +597,54 @@ def q98_quantile_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_kept"),
         F.max("n_chars").alias("max_kept"),
     )
+
+
+# ----------------------------------------------------- streaming CDC (X7/S1)
+@query(
+    "q99_cdc_roundtrip",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events),
+chg AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM chg
+""",
+    tags=("X-cdc", "S1", "S2", "R3", "R4"),
+)
+def q99_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC pipeline over the transport, inside the correctness gate:
+    the event log is JSON-produced to a fresh topiclog topic (timestamps
+    as explicit unix micros — the envelope must not round event time),
+    batch-consumed, decoded, and rebuilt into the q97 SCD2 dimension.
+    Proves the change-stream → warehouse-dimension path end-to-end:
+    transport envelope, decode, compaction, effective dating — one oracle."""
+    import tempfile
+
+    from rdkafka_streams_spark.operators.cdc import scd2_build
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+
+    root = tempfile.mkdtemp(prefix="q99_bus")
+    TopicLog(root).create_topic("changes", partitions=4)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    KProducer(host=root, topic="changes", key="user_id", transport="topiclog").write_batch(ev)
+    raw = read_topic(spark, root, "changes")
+    decoded = raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            "event_id long, user_id long, event_type string, ts_us long",
+        ).alias("v")
+    ).select(
+        F.col("v.event_id").alias("event_id"),
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.event_type").alias("event_type"),
+        F.timestamp_micros(F.col("v.ts_us")).alias("ts"),
+    )
+    return scd2_build(decoded, key="user_id", ts="ts", attrs=["event_type"], tiebreak="event_id")
