@@ -88,3 +88,63 @@ def scd2_merge(
         current.unionByName(delta), key, ts, attrs, tiebreak=tiebreak, compact=True
     )
     return history.unionByName(rebuilt.select(*history.columns))
+
+
+# ------------------------------------------------- streaming (micro-batch)
+def latest_scd2_version(dim_root: str) -> str | None:
+    """Newest ``v{batch_id}`` snapshot dir under ``dim_root``, or None."""
+    import os
+    import re
+
+    if not os.path.isdir(dim_root):
+        return None
+    versions = [d for d in os.listdir(dim_root) if re.fullmatch(r"v\d+", d)]
+    if not versions:
+        return None
+    return os.path.join(dim_root, max(versions, key=lambda d: int(d[1:])))
+
+
+def read_scd2(spark, dim_root: str, schema: str) -> DataFrame:
+    """Load the current SCD2 dimension snapshot (empty frame if none yet)."""
+    path = latest_scd2_version(dim_root)
+    if path is None:
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(path)
+
+
+def scd2_foreach_batch(
+    dim_root: str,
+    key: str,
+    ts: str,
+    attrs: list[str],
+    tiebreak: str | None = None,
+):
+    """foreachBatch sink maintaining an SCD2 dimension from a change stream.
+
+    Each micro-batch merges into the latest snapshot and writes a new
+    ``v{batch_id}`` dir — snapshot-isolation the poor man's way (readers
+    always see a complete version; the reference point for the Delta/
+    Iceberg writer this container can't host, see ADVICE). Batch ids are
+    monotonically increasing and replay-stable, so a batch re-delivered
+    after a crash overwrites its own versioned dir instead of forking
+    history — the same idempotent-sink contract as the engine's
+    write-ahead commit. Empty batches write nothing.
+
+    The first batch bootstraps the dimension with ``scd2_build``; later
+    batches run ``scd2_merge`` (closed history never reshuffles)."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        import os
+
+        if not batch.take(1):
+            return
+        prior = latest_scd2_version(dim_root)
+        if prior is None:
+            merged = scd2_build(batch, key, ts, attrs, tiebreak=tiebreak)
+        else:
+            dim = batch.sparkSession.read.parquet(prior)
+            merged = scd2_merge(dim, batch, key, ts, attrs, tiebreak=tiebreak)
+        out = os.path.join(dim_root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+
+    return apply

@@ -541,3 +541,62 @@ def test_concurrent_appends_offsets_dense(root):
     assert sorted(offs) == list(range(40))
     counts = [json.loads(rec[1].decode())["count"] for rec in _read_range(root, "hot", 0, 0, 40)]
     assert len(set(counts)) == 40
+
+
+def test_streaming_scd2_merge_matches_batch_rebuild(spark, root, tmp_path):
+    """CDC over the bus, incrementally: change bursts stream off a topiclog
+    topic in micro-batches; scd2_foreach_batch merges each into a versioned
+    dimension snapshot. After two separately-produced-and-drained bursts
+    (the second resuming from the checkpoint), the final snapshot must
+    equal a from-scratch scd2_build over the full change log."""
+    from rdkafka_streams_spark.operators.cdc import (
+        read_scd2,
+        scd2_build,
+        scd2_foreach_batch,
+    )
+
+    log = TopicLog(root)
+    log.create_topic("cdc", partitions=2)
+    p = KProducer(host=root, topic="cdc", key="k", transport="topiclog")
+
+    schema = "k long, ts_us long, eid long, v string"
+    burst1 = [(1, 1000, 1, "A"), (1, 2000, 2, "A"), (1, 3000, 3, "B"), (2, 1500, 4, "X")]
+    burst2 = [(1, 9000, 5, "C"), (2, 7000, 6, "X"), (3, 8000, 7, "N")]
+    dim_root = str(tmp_path / "dim")
+    ck = str(tmp_path / "ck")
+    c = KConsumer(
+        host=root, topic="cdc", from_offset="earliest", schema=schema,
+        transport="topiclog",
+    )
+
+    def drain():
+        decoded = c.stream(spark).select(
+            F.col("value.k").alias("k"),
+            F.timestamp_micros(F.col("value.ts_us")).alias("ts"),
+            F.col("value.eid").alias("eid"),
+            F.col("value.v").alias("v"),
+        )
+        (
+            decoded.writeStream.foreachBatch(
+                scd2_foreach_batch(dim_root, key="k", ts="ts", attrs=["v"], tiebreak="eid")
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    p.write_batch(spark.createDataFrame(burst1, schema))
+    drain()
+    p.write_batch(spark.createDataFrame(burst2, schema))
+    drain()
+
+    full = spark.createDataFrame(burst1 + burst2, schema).select(
+        "k", F.timestamp_micros("ts_us").alias("ts"), "eid", "v"
+    )
+    want = {tuple(r) for r in scd2_build(full, "k", "ts", ["v"], tiebreak="eid").collect()}
+    got_df = read_scd2(spark, dim_root, "k long, v string, valid_from timestamp, valid_to timestamp, is_current boolean")
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == want
+    # the no-op image (2, "X") must not have forked a second version
+    assert sum(1 for r in got if r[0] == 2) == 1
