@@ -2,7 +2,7 @@ from rdkafka_streams_spark.operators.asof import asof_join
 from rdkafka_streams_spark.operators.bucketing import read_bucketed, write_bucketed
 from rdkafka_streams_spark.operators.cdc import scd2_build, scd2_merge
 from rdkafka_streams_spark.operators.graph import connected_components, connected_components_star
-from rdkafka_streams_spark.operators.sampling import hash_sample
+from rdkafka_streams_spark.operators.sampling import hash_sample, temperature_sample
 from rdkafka_streams_spark.operators.skew import key_skew_profile, salted_join
 from rdkafka_streams_spark.operators.topk import (
     top_k,
@@ -20,6 +20,7 @@ __all__ = [
     "salted_join",
     "scd2_build",
     "scd2_merge",
+    "temperature_sample",
     "top_k",
     "top_k_per_group",
     "top_k_per_group_salted",

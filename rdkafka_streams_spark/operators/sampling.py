@@ -24,3 +24,45 @@ def hash_sample(df: DataFrame, key: str | Column, percent: int, modulus: int = 9
 def bernoulli_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     """Engine-native Bernoulli sampling (fast path, not cross-engine stable)."""
     return df.sample(fraction=fraction, seed=seed)
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    total: int,
+    tau: float = 0.5,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling across sources: group ``s``
+    gets a quota k_s ∝ n_s^tau (tau < 1 flattens the mixture toward rare
+    sources, tau = 1 is proportional — the multilingual/multi-source
+    rebalancing rule from the mBERT/XLM-R lineage), filled deterministically
+    by hash order within the group.
+
+    Determinism across engines: per-group weights snap to integer
+    micro-units (floor(n^tau·1e6 + 0.5)); quotas are exact integer
+    arithmetic ``total·m_s div Σm``; selection ranks by md5(id). Scale
+    shape: group counts are a partial agg to ≤|groups| rows (broadcast
+    back); the only corpus-sized work is one window rank per group.
+
+    Output: sampled rows as (id, group, k_target).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_grp"))
+    m = counts.withColumn(
+        "m", F.floor(F.pow(F.col("n_grp"), F.lit(tau)) * 1000000 + 0.5).cast("long")
+    )
+    tot = m.agg(F.sum("m").alias("tm"))
+    quota = (
+        m.crossJoin(F.broadcast(tot))
+        .withColumn("k_target", F.expr(f"CAST({total} AS BIGINT) * m div tm"))
+        .select(group_col, "k_target")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    ranked = df.select(id_col, group_col).withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quota), group_col)
+        .where(F.col("rn") <= F.col("k_target"))
+        .select(id_col, group_col, "k_target")
+    )

@@ -920,3 +920,38 @@ def q96_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.text import bigram_lm_scores
 
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q100_temperature_mixture",
+    oracle="""
+WITH c AS (SELECT source, COUNT(*) AS n_grp FROM documents GROUP BY source),
+m AS (SELECT source, n_grp,
+             CAST(floor(pow(n_grp, 0.5) * 1000000 + 0.5) AS BIGINT) AS m
+      FROM c),
+t AS (SELECT CAST(SUM(m) AS BIGINT) AS tm FROM m),
+k AS (SELECT source, CAST(200 * m // tm AS BIGINT) AS k_target
+      FROM m CROSS JOIN t),
+r AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+SELECT r.doc_id, r.source, k.k_target
+FROM r JOIN k USING (source) WHERE r.rn <= k.k_target
+""",
+    tags=("L4", "E33"),
+)
+def q100_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sample over sources (operators/
+    sampling.py temperature_sample, tau=0.5, total=200): quotas ∝ n^0.5
+    flatten the source mixture toward rare sources — the standard
+    multi-source rebalancing rule — with integer-exact quota arithmetic
+    and deterministic hash-order fill, so the whole sample is
+    oracle-checked row for row."""
+    from rdkafka_streams_spark.operators.sampling import temperature_sample
+
+    return temperature_sample(
+        _t(spark, sf_dir, "documents"), group_col="source", id_col="doc_id",
+        total=200, tau=0.5,
+    )
