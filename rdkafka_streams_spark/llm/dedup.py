@@ -363,3 +363,50 @@ def mllib_minhash_pairs(
             (1.0 - F.col("__dist")).alias("jaccard_est"),
         )
     )
+
+
+def duplicate_span_coverage(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-span coverage: hash every ``n``-token
+    window (stride 1), count how many of a doc's windows also occur in at
+    least one OTHER doc, and report the duplicated fraction in exact ppm.
+
+    The doc-level triage signal of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): docs with
+    high coverage are boilerplate/mirror candidates for removal or span
+    clipping. Complements q86 (train/eval contamination) and q87
+    (intra-doc repetition) — this one is corpus-wide and cross-doc
+    (``countDistinct(doc)`` ≥ 2, so intra-doc repeats alone don't count).
+
+    Scale shape: windows shuffle once on the 32-hex hash for the
+    document-frequency count and once more for the coverage join — both
+    keyed on md5 output, perfectly spread; per-doc totals are one more
+    keyed agg. Integer arithmetic end to end (ppm = dup·1e6 div total).
+    """
+    t = f"split({text_col}, ' ')"
+    wins = F.expr(
+        f"CASE WHEN size({t}) >= {n} THEN "
+        f"transform(sequence(1, size({t}) - {n - 1}), "
+        f"i -> md5(concat_ws(' ', slice({t}, i, {n})))) "
+        f"ELSE cast(array() as array<string>) END"
+    )
+    w = docs.select(id_col, F.explode(wins).alias("h"))
+    dfreq = w.groupBy("h").agg(F.countDistinct(id_col).alias("nd"))
+    return (
+        w.join(dfreq, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup",
+            F.expr("n_dup * 1000000 div n_windows").alias("dup_ppm"),
+        )
+    )

@@ -955,3 +955,34 @@ def q100_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), group_col="source", id_col="doc_id",
         total=200, tau=0.5,
     )
+
+
+# ------------------------------------------------------------------------ L2
+@query(
+    "q101_span_coverage",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+      FROM tk, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)),
+df AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h),
+per AS (SELECT w.doc_id, COUNT(*) AS n_windows,
+               SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM w JOIN df USING (h) GROUP BY w.doc_id)
+SELECT doc_id, CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(n_dup AS BIGINT) AS n_dup,
+       CAST(n_dup * 1000000 // n_windows AS BIGINT) AS dup_ppm
+FROM per
+""",
+    tags=("L2", "L4"),
+)
+def q101_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicated-span coverage (llm/dedup.py
+    duplicate_span_coverage): every 8-token window hashed, document
+    frequency counted corpus-wide, per-doc duplicated fraction in exact
+    ppm — the doc-level triage signal of exact-substring dedup (high
+    coverage = mirror/boilerplate candidate). Corpus-wide and cross-doc,
+    complementing intra-doc repetition (q87) and train/eval
+    decontamination (q86)."""
+    from rdkafka_streams_spark.llm.dedup import duplicate_span_coverage
+
+    return duplicate_span_coverage(_t(spark, sf_dir, "documents"), n=8)
