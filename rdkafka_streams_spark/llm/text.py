@@ -491,3 +491,57 @@ def bigram_lm_scores(
             ).alias("xent"),
         )
     )
+
+
+def corpus_filter_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    max_dup_ppm: int = 500000,
+) -> DataFrame:
+    """The composed keep/drop corpus filter every pretraining pipeline runs
+    (the FineWeb/RefinedWeb-style chain), built from this repo's own
+    signals: token-length band, stopword-ratio cap (integer compare:
+    2·n_stop ≤ n_tokens), intra-doc duplicate-bigram flag
+    (repetition_stats), and cross-doc duplicated-span coverage below
+    ``max_dup_ppm`` (duplicate_span_coverage). Every signal is integer
+    arithmetic — the whole decision is bit-exact across engines.
+
+    Returns per-(lang, source) retention stats: n_docs, n_kept, kept_ppm.
+    Scale shape: two doc-keyed joins fold the repetition and span frames
+    onto the base signals (all partial-agg'd or map-only before joining);
+    the final rollup is one small keyed agg.
+    """
+    from rdkafka_streams_spark.llm.dedup import duplicate_span_coverage
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    stop_cond = " OR ".join(f"x = '{s}'" for s in STOPWORDS)
+    n_stop = F.size(F.expr(f"filter(split({text_col}, ' '), x -> {stop_cond})"))
+    base = docs.select(
+        id_col, "lang", "source", n.alias("n_tokens"), n_stop.alias("n_stop")
+    )
+    rep = repetition_stats(docs, n=2, id_col=id_col, text_col=text_col).select(
+        id_col, "is_repetitive"
+    )
+    spans = duplicate_span_coverage(docs, n=8, id_col=id_col, text_col=text_col).select(
+        id_col, "dup_ppm"
+    )
+    joined = base.join(rep, id_col).join(spans, id_col, "left")
+    keep = (
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & (F.col("n_stop") * 2 <= F.col("n_tokens"))
+        & ~F.col("is_repetitive")
+        & (F.coalesce(F.col("dup_ppm"), F.lit(0)) < max_dup_ppm)
+    )
+    return (
+        joined.withColumn("keep", keep)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+        .withColumn("kept_ppm", F.expr("n_kept * 1000000 div n_docs"))
+    )

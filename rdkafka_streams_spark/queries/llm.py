@@ -986,3 +986,50 @@ def q101_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.dedup import duplicate_span_coverage
 
     return duplicate_span_coverage(_t(spark, sf_dir, "documents"), n=8)
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q102_corpus_filter",
+    oracle="""
+WITH tk AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t FROM documents),
+base AS (
+  SELECT doc_id, lang, source, len(t) AS n_tokens,
+         len(list_filter(t, x -> x = 'the' OR x = 'a')) AS n_stop
+  FROM tk),
+bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+       FROM tk, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+rep AS (SELECT doc_id, COUNT(*) AS n_ng, COUNT(DISTINCT g) AS n_di FROM bg GROUP BY doc_id),
+w AS (SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+      FROM tk, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)),
+dfq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM w GROUP BY h),
+spans AS (SELECT w.doc_id,
+                 CAST(SUM(CASE WHEN dfq.nd >= 2 THEN 1 ELSE 0 END) * 1000000
+                      // COUNT(*) AS BIGINT) AS dup_ppm
+          FROM w JOIN dfq USING (h) GROUP BY w.doc_id),
+dec AS (
+  SELECT b.lang, b.source,
+         (b.n_tokens BETWEEN 20 AND 1000
+          AND b.n_stop * 2 <= b.n_tokens
+          AND NOT (r.n_ng > 0 AND (r.n_ng - r.n_di) * 10 >= r.n_ng)
+          AND COALESCE(s.dup_ppm, 0) < 500000) AS keep
+  FROM base b
+  JOIN rep r USING (doc_id)
+  LEFT JOIN spans s USING (doc_id))
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS kept_ppm
+FROM dec GROUP BY lang, source
+""",
+    tags=("L4", "L2"),
+)
+def q102_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus keep/drop filter (llm/text.py
+    corpus_filter_pipeline): token-length band + stopword-ratio cap +
+    intra-doc duplicate-bigram flag + cross-doc span coverage, rolled up
+    to per-(lang, source) retention. Every signal is integer arithmetic,
+    so the composite decision is oracle-checked bit for bit — the
+    FineWeb-style filtering chain as one query."""
+    from rdkafka_streams_spark.llm.text import corpus_filter_pipeline
+
+    return corpus_filter_pipeline(_t(spark, sf_dir, "documents"))
