@@ -324,3 +324,30 @@ def q34_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("int").alias("bal_int"),
         F.col("c_acctbal").cast("decimal(12,2)").cast("decimal(14,4)").cast("string").alias("bal_wide"),
     )
+
+
+# ------------------------------------------------------------------ E29/R3
+@query(
+    "q103_variant_extract",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1
+""",
+    tags=("E29", "R3"),
+)
+def q103_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4's native VariantType: parse_json
+    once into the binary variant encoding, then typed variant_get paths —
+    the modern engine-native answer to the reference's schemaless
+    JSON.parse records (src/Consumer.coffee:91): no declared StructType,
+    no per-query re-parse of the string, shreddable at the storage layer.
+    Complements q33's from_json/get_json_object (string-at-a-time) path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select((k / 10).cast("int").alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), F.sum("k").cast("long").alias("sum_k"))
+    )
