@@ -85,7 +85,8 @@ def main() -> None:
     # LLM-pipeline shape: MinHash LSH banding over replicated documents with
     # disjoint doc_ids — the near-dup candidate plan must hold its shuffle
     # count as the corpus grows (the bucket cap bounds the quadratic term).
-    from rdkafka_streams_spark.llm.dedup import minhash_near_dups
+    from rdkafka_streams_spark.llm.dedup import duplicate_span_coverage, minhash_near_dups
+    from rdkafka_streams_spark.llm.text import dsir_weights
 
     d1 = load_table(spark, SF_DIR, "documents")
     dx = d1
@@ -99,6 +100,11 @@ def main() -> None:
         ("agg", q01_shape(l1), q01_shape(l8)),
         ("join", join_shape(l1, o1), join_shape(l8, o8)),
         ("lsh", minhash_near_dups(d1, threshold=0.5), minhash_near_dups(d8, threshold=0.5)),
+        # round-4 shapes: the DSIR scorer (bucket-count aggs + broadcast
+        # log-ratio table) and the windowed-hash span-coverage join must
+        # also hold their plan as the corpus grows
+        ("dsir", dsir_weights(d1, F.col("lang") == "en"), dsir_weights(d8, F.col("lang") == "en")),
+        ("spans", duplicate_span_coverage(d1), duplicate_span_coverage(d8)),
     ):
         ex_s, ex_b = count_exchanges(small), count_exchanges(big)
         # warm then measure
@@ -116,7 +122,7 @@ def main() -> None:
             # pushdown check only applies to the filtered agg shape; the join
             # has no filter and the LSH scan sits under a cached signature
             # relation whose formatted plan elides scan details
-            assert "PushedFilters" in plan_string(df, "formatted") or name in ("join", "lsh"), tag
+            assert "PushedFilters" in plan_string(df, "formatted") or name in ("join", "lsh", "dsir", "spans"), tag
     print(json.dumps(out))
 
 
