@@ -545,3 +545,70 @@ def corpus_filter_pipeline(
         )
         .withColumn("kept_ppm", F.expr("n_kept * 1000000 div n_docs"))
     )
+
+
+def encode_with_vocabulary(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Apply a trained vocabulary (build_vocabulary output) to the corpus:
+    every token becomes its ``token_id`` or ``oov_id`` — the
+    tokenizer-application step between vocabulary training and sequence
+    packing. The vocabulary broadcasts (it is capped by construction), so
+    encoding is a map-side join: no corpus shuffle at any scale beyond the
+    per-doc stat aggregation.
+
+    Output per doc: n_tokens, n_oov, sum_ids (exact integers — sum of
+    assigned ids with OOV as ``oov_id``, a cheap order-free checksum of
+    the encoding)."""
+    toks = docs.select(
+        id_col, F.explode(F.split(text_col, " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    enc = toks.join(
+        F.broadcast(vocab.select("tok", "token_id")), "tok", "left"
+    )
+    return enc.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("token_id").isNull().cast("long")).alias("n_oov"),
+        F.sum(F.coalesce(F.col("token_id"), F.lit(oov_id))).alias("sum_ids"),
+    )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ordered (center, context) co-occurrence counts within ±``window``
+    token positions — the word2vec/GloVe training-pair generation step.
+    Both directions are emitted per distance (center→right and
+    center→left), built as per-doc struct arrays via zip_with over offset
+    slices (map-only; the only shuffle is the final pair count, keyed on
+    the high-cardinality pair itself). ``min_count`` prunes the long tail
+    exactly — the same cutoff vocabulary training applies.
+
+    Output: (center, context, n) with n ≥ min_count."""
+    toks = F.split(F.col(text_col), " ")
+    arrays = []
+    for d in range(1, window + 1):
+        n = F.greatest(F.size(toks) - d, F.lit(0))
+        left = F.slice(toks, 1, n)
+        right = F.slice(toks, d + 1, n)
+        arrays.append(
+            F.zip_with(left, right, lambda a, b: F.struct(a.alias("center"), b.alias("context")))
+        )
+        arrays.append(
+            F.zip_with(right, left, lambda a, b: F.struct(a.alias("center"), b.alias("context")))
+        )
+    pairs = docs.select(F.explode(F.concat(*arrays)).alias("p")).select(
+        F.col("p.center").alias("center"), F.col("p.context").alias("context")
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_count)
+    )

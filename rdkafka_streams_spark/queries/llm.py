@@ -1033,3 +1033,69 @@ def q102_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.text import corpus_filter_pipeline
 
     return corpus_filter_pipeline(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q104_tokenize_encode",
+    oracle="""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+tc AS (SELECT tok, COUNT(*) AS freq FROM tok WHERE tok <> '' GROUP BY tok),
+kept AS (SELECT tok, freq FROM tc WHERE freq >= 5),
+vocab AS (
+  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) - 1 AS BIGINT) AS token_id
+  FROM kept QUALIFY ROW_NUMBER() OVER (ORDER BY freq DESC, tok) <= 1000),
+dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+enc AS (SELECT d.doc_id, v.token_id FROM dt d LEFT JOIN vocab v USING (tok)
+        WHERE d.tok <> '')
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(COALESCE(token_id, -1)) AS BIGINT) AS sum_ids
+FROM enc GROUP BY doc_id
+""",
+    tags=("L4",),
+)
+def q104_tokenize_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application (llm/text.py encode_with_vocabulary): encode
+    the corpus with the q93-trained vocabulary (min_count=5, max_vocab=1000,
+    OOV → -1) and report per-doc token/OOV counts plus an order-free
+    integer checksum of the assigned ids. The vocabulary broadcasts, so
+    encoding is map-side at any corpus size."""
+    from rdkafka_streams_spark.llm.text import build_vocabulary, encode_with_vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocabulary(docs, min_count=5, max_vocab=1000)
+    return encode_with_vocabulary(docs, vocab)
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q105_skipgram_pairs",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+p AS (
+  SELECT t[i] AS center, t[i+1] AS context FROM tk,
+    unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+  UNION ALL
+  SELECT t[i+1], t[i] FROM tk,
+    unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+  UNION ALL
+  SELECT t[i], t[i+2] FROM tk,
+    unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+  UNION ALL
+  SELECT t[i+2], t[i] FROM tk,
+    unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i))
+SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY center, context HAVING COUNT(*) >= 5
+""",
+    tags=("L4",),
+)
+def q105_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training-pair generation (llm/text.py skipgram_pairs):
+    ordered (center, context) co-occurrences within ±2 positions, counted
+    corpus-wide with an exact min-count cutoff — the word2vec/GloVe prep
+    step. Pair construction is map-only struct arrays; the single shuffle
+    is the pair-count aggregation."""
+    from rdkafka_streams_spark.llm.text import skipgram_pairs
+
+    return skipgram_pairs(_t(spark, sf_dir, "documents"), window=2, min_count=5)
