@@ -612,3 +612,46 @@ def skipgram_pairs(
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= min_count)
     )
+
+
+def pmi_scores(
+    docs: DataFrame,
+    window: int = 2,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pointwise mutual information over skip-gram co-occurrences:
+    pmi(c,x) = ln(n(c,x)·T / (n(c·)·n(·x))) — the word-association
+    statistic under every count-based embedding (PPMI-SVD lineage) and a
+    collocation detector for corpus triage. Marginals and the grand total
+    come from the FULL pair distribution; ``min_count`` only prunes which
+    pairs are reported.
+
+    Determinism: the count ratio is exact integer→double; the single ln
+    snaps to integer micro-nats. Scale shape: pair counts shuffle once;
+    the marginals are ≤|vocab| rows (broadcast); no corpus rescan.
+    """
+    pairs = skipgram_pairs(docs, window=window, min_count=1, text_col=text_col)
+    cc = pairs.groupBy("center").agg(F.sum("n").alias("n_c"))
+    xx = pairs.groupBy("context").agg(F.sum("n").alias("n_x"))
+    tot = pairs.agg(F.sum("n").alias("t_all"))
+    return (
+        pairs.where(F.col("n") >= min_count)
+        .join(F.broadcast(cc), "center")
+        .join(F.broadcast(xx), "context")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "center",
+            "context",
+            "n",
+            F.round(
+                F.floor(
+                    F.log((F.col("n") * F.col("t_all")) / (F.col("n_c") * F.col("n_x")))
+                    * 1000000
+                    + 0.5
+                )
+                / 1000000.0,
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -1099,3 +1099,42 @@ def q105_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.text import skipgram_pairs
 
     return skipgram_pairs(_t(spark, sf_dir, "documents"), window=2, min_count=5)
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q106_pmi_collocations",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+p AS (
+  SELECT t[i] AS center, t[i+1] AS context FROM tk,
+    unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+  UNION ALL
+  SELECT t[i+1], t[i] FROM tk,
+    unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+  UNION ALL
+  SELECT t[i], t[i+2] FROM tk,
+    unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+  UNION ALL
+  SELECT t[i+2], t[i] FROM tk,
+    unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+pc AS (SELECT center, context, COUNT(*) AS n FROM p GROUP BY center, context),
+cc AS (SELECT center, CAST(SUM(n) AS BIGINT) AS n_c FROM pc GROUP BY center),
+xx AS (SELECT context, CAST(SUM(n) AS BIGINT) AS n_x FROM pc GROUP BY context),
+tt AS (SELECT CAST(SUM(n) AS BIGINT) AS t_all FROM pc)
+SELECT pc.center, pc.context, CAST(pc.n AS BIGINT) AS n,
+       ROUND(floor(ln((pc.n * tt.t_all)::DOUBLE / (cc.n_c * xx.n_x)) * 1000000 + 0.5)
+             / 1000000.0, 6) AS pmi
+FROM pc JOIN cc USING (center) JOIN xx USING (context) CROSS JOIN tt
+WHERE pc.n >= 5
+""",
+    tags=("L4",),
+)
+def q106_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation scores over ±2-window skip-gram pairs (llm/text.py
+    pmi_scores): marginals and grand total from the full pair
+    distribution, reported for pairs with n ≥ 5, ln snapped to integer
+    micro-nats — the PPMI-lineage association statistic, oracle-checked."""
+    from rdkafka_streams_spark.llm.text import pmi_scores
+
+    return pmi_scores(_t(spark, sf_dir, "documents"), window=2, min_count=5)
