@@ -619,3 +619,65 @@ def test_streaming_dlq_single_pass_fanout(spark, tmp_path):
     bad = spark.read.parquet(bad_dir)
     assert bad.count() == 10
     assert bad.first()["value"] == b"{broken"  # raw bytes kept for replay
+
+
+def test_observe_metrics_on_stream(spark, sf_dir, event_stream_dir, tmp_path):
+    """F7/T8 via the engine's own metric channel: DataFrame.observe attaches
+    named aggregates that surface per-batch in QueryProgress.observedMetrics
+    — in-flight row counts and value sums without a second query (the
+    engine-native form of the reference's periodic total-delivered event,
+    src/Producer.coffee:54-61, measured on the data plane itself)."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from rdkafka_streams_spark.core.io import load_table
+
+    seen: dict[str, int] = {"rows": 0, "purchases": 0}
+
+    class Collect(StreamingQueryListener):
+        def onQueryStarted(self, e):  # noqa: N802
+            pass
+
+        def onQueryProgress(self, e):  # noqa: N802
+            m = e.progress.observedMetrics.get("delivery")
+            if m is not None:
+                seen["rows"] += m["n_rows"]
+                seen["purchases"] += m["n_purchases"]
+
+        def onQueryIdle(self, e):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, e):  # noqa: N802
+            pass
+
+    listener = Collect()
+    spark.streams.addListener(listener)
+    try:
+        schema = load_table(spark, sf_dir, "events").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(event_stream_dir)
+            .observe(
+                "delivery",
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchases"),
+            )
+        )
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck_obs"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ev = load_table(spark, sf_dir, "events")
+        want_rows = ev.count()
+        want_purch = ev.where(F.col("event_type") == "purchase").count()
+        deadline = time.time() + 30
+        while seen["rows"] < want_rows and time.time() < deadline:
+            time.sleep(0.5)  # listener events are async
+        assert seen["rows"] == want_rows
+        assert seen["purchases"] == want_purch
+    finally:
+        spark.streams.removeListener(listener)
