@@ -259,3 +259,62 @@ def test_decontaminate_matches_python_reference(spark, docs, min_shared, max_df)
             if c >= min_shared:
                 expect[(ei, ti)] = c
     assert got == expect
+
+
+# change logs: (key, ts, value) in tiny spaces to force same-key runs,
+# same-ts ties (broken by the synthetic eid), and single-row keys
+change_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 5), st.integers(0, 2)),
+    min_size=1,
+    max_size=10,
+)
+
+
+@PROP
+@given(rows=change_rows, split=st.integers(0, 10))
+def test_scd2_matches_python_and_merge_equals_rebuild(spark, rows, split):
+    """scd2_build vs an independent pure-Python SCD2 (sort per key, drop
+    consecutive no-ops, chain valid_to), AND scd2_merge(earlier part,
+    later part) vs the one-shot rebuild. The split is on time order —
+    scd2_merge's contract is in-order CDC delivery per key (a change
+    older than closed history would silently rewrite it); inside a part,
+    keys, ties and no-op runs stay adversarial."""
+    from rdkafka_streams_spark.operators.cdc import scd2_build, scd2_merge
+
+    recs = [(k, t, eid, str(v)) for eid, (k, t, v) in enumerate(rows)]
+    schema = "k long, ts long, eid long, v string"
+
+    def py_scd2(items):
+        bykey: dict[int, list] = {}
+        for k, t, eid, v in items:
+            bykey.setdefault(k, []).append((t, eid, v))
+        out = []
+        for k, seq in bykey.items():
+            seq.sort()
+            versions = []
+            for t, eid, v in seq:
+                if not versions or versions[-1][2] != v:
+                    versions.append((t, eid, v))
+            for i, (t, eid, v) in enumerate(versions):
+                nxt = versions[i + 1][0] if i + 1 < len(versions) else None
+                out.append((k, v, t, nxt, nxt is None))
+        return set(out)
+
+    want = py_scd2(recs)
+    df = spark.createDataFrame(recs, schema)
+    got = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_build(df, "k", "ts", ["v"], tiebreak="eid").collect()
+    }
+    assert got == want
+
+    ordered = sorted(recs, key=lambda r: (r[1], r[2]))
+    part1, part2 = ordered[:split], ordered[split:]
+    if part1 and part2:
+        dim = scd2_build(spark.createDataFrame(part1, schema), "k", "ts", ["v"], tiebreak="eid")
+        merged = scd2_merge(dim, spark.createDataFrame(part2, schema), "k", "ts", ["v"], tiebreak="eid")
+        got_m = {
+            (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in merged.collect()
+        }
+        assert got_m == want
