@@ -363,3 +363,32 @@ def ivf_search(
         .where(F.col("rn") <= k)
         .select("q_id", id_col, F.round("_cos", 6).alias("cos"))
     )
+
+
+def embedding_dim_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension corpus statistics (mean, std, min, max) — the
+    mean-centering/whitening precursor every embedding pipeline computes
+    before indexing (and the sanity check that catches dead or exploding
+    dimensions after a model change).
+
+    posexplode flattens (row, dim) pairs; one aggregation keyed on the
+    dimension index (64 groups — trivially balanced). At corpus scale the
+    partial aggs collapse each partition to ≤dim rows before the shuffle,
+    so the network cost is executors×dim, independent of row count."""
+    flat = emb.select(F.posexplode(F.col(vec_col)).alias("dim", "x")).select(
+        "dim", F.col("x").cast("double").alias("x")
+    )
+    return (
+        flat.groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("x"), 6).alias("mu"),
+            F.round(F.stddev_pop("x"), 6).alias("sigma"),
+            F.round(F.min("x"), 6).alias("lo"),
+            F.round(F.max("x"), 6).alias("hi"),
+        )
+        .withColumn("dim", F.col("dim").cast("long"))
+    )

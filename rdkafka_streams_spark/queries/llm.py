@@ -1138,3 +1138,29 @@ def q106_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.text import pmi_scores
 
     return pmi_scores(_t(spark, sf_dir, "documents"), window=2, min_count=5)
+
+
+# ------------------------------------------------------------------------ L3
+@query(
+    "q107_embedding_dim_stats",
+    oracle="""
+WITH flat AS (
+  SELECT u.i - 1 AS dim, embedding[u.i]::DOUBLE AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i))
+SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(x), 6) AS mu,
+       ROUND(sqrt(SUM(x * x) / COUNT(*) - AVG(x) * AVG(x)), 6) AS sigma,
+       ROUND(MIN(x), 6) AS lo, ROUND(MAX(x), 6) AS hi
+FROM flat GROUP BY dim
+""",
+    tags=("L3", "E11"),
+)
+def q107_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (llm/similarity.py
+    embedding_dim_stats): mean / population std / min / max per dimension
+    index — the whitening precursor and dead-dimension detector. One
+    64-group aggregation; partial aggs make shuffle cost independent of
+    corpus size."""
+    from rdkafka_streams_spark.llm.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
