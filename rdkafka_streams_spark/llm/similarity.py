@@ -392,3 +392,164 @@ def embedding_dim_stats(
         )
         .withColumn("dim", F.col("dim").cast("long"))
     )
+
+
+# ------------------------------------------------- product quantization (PQ)
+def pq_codebooks(m: int = 8, n_codes: int = 16, dim: int = 64) -> list[list[list[float]]]:
+    """Deterministic pseudo-random PQ codebooks: centroid component
+    (j, c, i) derives from md5(f"pq:{j}:{c}:{i}") in [-1, 1), rounded to 6
+    — engine-independent, so encode AND search are SQL-oracle-able (the
+    hyperplanes() trick applied to product quantization). Training-free
+    stand-in for KMeans codebooks: same shapes, same plan, lower recall."""
+    import hashlib
+
+    sub = dim // m
+    return [
+        [
+            [
+                round(
+                    (int(hashlib.md5(f"pq:{j}:{c}:{i}".encode()).hexdigest()[:8], 16) / 0xFFFFFFFF)
+                    * 2
+                    - 1,
+                    6,
+                )
+                for i in range(sub)
+            ]
+            for c in range(n_codes)
+        ]
+        for j in range(m)
+    ]
+
+
+def _cb_sql(codebooks: list[list[list[float]]]) -> str:
+    """The codebooks as ONE nested array literal in SQL-expression text.
+
+    Keeping the constants inside a single literal (≈8 KB of data) and
+    doing the arithmetic with higher-order functions keeps the expression
+    tree tiny; inlining per-centroid terms instead builds a million-node
+    tree that costs more to analyze/serialize than to execute (measured:
+    5.8 MiB task binaries, ~17 s of plan overhead at sf0.01)."""
+    return (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join("array(" + ", ".join(repr(x) for x in c) + ")" for c in cbj)
+            + ")"
+            for cbj in codebooks
+        )
+        + ")"
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as m nearest-centroid codes (array<int>): the
+    64-float vector becomes m small ints — 32× smaller than float32 at
+    m=8, which is what lets a 100 TB embedding corpus live in executor
+    memory for the candidate sweep. Ties break to the first minimal
+    centroid (array_position of array_min), identically in SQL.
+
+    Zero Python on the row path: one nested-literal codebook constant and
+    higher-order functions (transform/zip_with/aggregate) do the
+    m·n_codes·sub multiply-adds per row."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cb = _cb_sql(codebooks)
+    dists = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(element_at({cb}, CAST(j + 1 AS INT)), c -> "
+        f"aggregate(zip_with(slice({vec_col}, CAST(j * {sub} + 1 AS INT), {sub}), c, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST(0.0 AS DOUBLE), (a, b) -> a + b)))"
+    )
+    codes = f"transform({dists}, ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"
+    return emb.select(id_col, F.expr(codes).alias("codes"))
+
+
+def pq_search_adc(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact; each database vector is its reconstruction from the codebooks.
+    approx_cos = Σ_j q_j·cb_j[code_j] / (‖q‖ · sqrt(Σ_j ‖cb_j[code_j]‖²)).
+
+    The centroid lookup is element_at into one nested-literal array (an
+    O(m) probe per pair, no fold over the raw 64-float vector — ADC's
+    whole point); queries broadcast; top-k is the usual per-query window.
+    Output: (q_id, vec_id, approx_cos rounded to 6)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cb = _cb_sql(codebooks)
+    n2 = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(repr(round(sum(x * x for x in c), 6)) for c in cbj) + ")"
+            for cbj in codebooks
+        )
+        + ")"
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_emb"),
+        _norm(vec_col).alias("q_nrm"),
+    )
+    pairs = codes.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+    adot = (
+        f"aggregate(transform(sequence(0, {m - 1}), j -> "
+        f"aggregate(zip_with(slice(q_emb, CAST(j * {sub} + 1 AS INT), {sub}), "
+        f"element_at(element_at({cb}, CAST(j + 1 AS INT)), element_at(codes, CAST(j + 1 AS INT)) + 1), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (a, b) -> a + b)), "
+        f"CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    anrm2 = (
+        f"aggregate(transform(sequence(0, {m - 1}), j -> "
+        f"element_at(element_at({n2}, CAST(j + 1 AS INT)), element_at(codes, CAST(j + 1 AS INT)) + 1)), "
+        f"CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    cos = F.expr(adot) / (F.col("q_nrm") * F.sqrt(F.expr(anrm2)))
+    w = Window.partitionBy("q_id").orderBy(F.col("_c").desc(), F.col(id_col))
+    return (
+        pairs.select("q_id", id_col, cos.alias("_c"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", id_col, F.round("_c", 6).alias("approx_cos"))
+    )
+
+
+def build_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """KMeans-trained PQ codebooks (the production path): one KMeans per
+    subvector block. At 100 TB: train on a sample (codebooks are tiny and
+    converge fast), encode in one pass with pq_encode. Returns the same
+    nested-list shape as pq_codebooks, so encode/search are shared —
+    KMeans internals are engine-private, so this path is recall-tested
+    against brute force instead of SQL-oracled (same contract as IVF)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(emb.select(vec_col).first()[0])
+    sub = dim // m
+    out = []
+    for j in range(m):
+        block = emb.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), j * sub + 1, sub).cast("array<double>")
+            ).alias("__f")
+        )
+        model = KMeans(k=n_codes, seed=seed + j, featuresCol="__f").fit(block)
+        out.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return out

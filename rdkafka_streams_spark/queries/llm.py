@@ -1164,3 +1164,77 @@ def q107_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.similarity import embedding_dim_stats
 
     return embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
+# ------------------------------------------------------------------------ L3
+def _pq_oracle() -> str:
+    # Same compactness rule as the Spark side (see similarity._cb_sql):
+    # the codebooks live in a 128-row VALUES table that the code lookup
+    # JOINs — indexing a nested-list literal inside a lambda rebuilt the
+    # literal per evaluated element (~10 s at sf0.01 for 2.5k pairs).
+    from rdkafka_streams_spark.llm.similarity import pq_codebooks
+
+    m, n_codes, dim = 8, 16, EMB_DIM
+    cb = pq_codebooks(m, n_codes, dim)
+    sub = dim // m
+    cbj_lit = [
+        "[" + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in cbj) + "]"
+        for cbj in cb
+    ]
+    d_cols = ", ".join(
+        f"list_transform({cbj_lit[j]}, c -> list_sum(list_transform(range(1, {sub + 1}), "
+        f"i -> (embedding[{j * sub}+i]::DOUBLE - c[i]) * (embedding[{j * sub}+i]::DOUBLE - c[i])))) AS d{j}"
+        for j in range(m)
+    )
+    code_cols = ", ".join(
+        f"list_indexof(d{j}, list_min(d{j})) - 1 AS c{j}" for j in range(m)
+    )
+    cb_rows = ", ".join(
+        f"({j}, {c}, [" + ", ".join(repr(x) for x in cb[j][c]) + "], "
+        + repr(round(sum(x * x for x in cb[j][c]), 6)) + ")"
+        for j in range(m)
+        for c in range(n_codes)
+    )
+    code_list = "[" + ", ".join(f"c{j}" for j in range(m)) + "]"
+    return f"""
+WITH enc0 AS (SELECT vec_id, {d_cols} FROM embeddings),
+enc AS (SELECT vec_id, {code_cols} FROM enc0),
+cbt(j, c, vec, n2) AS (SELECT * FROM (VALUES {cb_rows})),
+encl AS (SELECT vec_id, u.j, {code_list}[u.j + 1] AS code
+         FROM enc, unnest(range(0, {m})) AS u(j)),
+q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+             sqrt({_dot_sql('embedding', 'embedding')}) AS q_nrm
+      FROM embeddings WHERE vec_id < 5),
+pr0 AS (
+  SELECT q.q_id, e.vec_id, q.q_nrm, t.n2,
+         list_sum(list_transform(range(1, {sub + 1}),
+                                 i -> q.q_emb[e.j * {sub} + i]::DOUBLE * t.vec[i])) AS dj
+  FROM encl e
+  JOIN cbt t ON t.j = e.j AND t.c = e.code
+  CROSS JOIN q WHERE e.vec_id <> q.q_id),
+pr AS (SELECT q_id, vec_id, SUM(dj) / (MAX(q_nrm) * sqrt(SUM(n2))) AS ac
+       FROM pr0 GROUP BY q_id, vec_id)
+SELECT q_id, vec_id, ROUND(ac, 6) AS approx_cos FROM (
+  SELECT q_id, vec_id, ac,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ac DESC, vec_id) AS rn
+  FROM pr)
+WHERE rn <= 3
+"""
+
+
+@query("q108_pq_adc_topk", oracle=_pq_oracle(), tags=("L3",))
+def q108_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance search
+    (llm/similarity.py pq_encode / pq_search_adc): vectors collapse to
+    m=8 nearest-centroid codes (32× smaller than float32), queries stay
+    exact, and each candidate costs an O(m) centroid lookup instead of a
+    64-element fold. Codebooks here are the deterministic md5-derived set
+    (pq_codebooks) so encode AND search are fully oracle-checked; the
+    KMeans-trained production path (build_pq_codebooks) shares this exact
+    plan and is recall-tested in tests/test_operators.py."""
+    from rdkafka_streams_spark.llm.similarity import pq_codebooks, pq_encode, pq_search_adc
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(8, 16, EMB_DIM)
+    codes = pq_encode(emb, cb)
+    return pq_search_adc(codes, cb, emb.where(F.col("vec_id") < 5), k=3)

@@ -484,3 +484,45 @@ def test_scd2_merge_matches_full_rebuild_and_is_idempotent(spark):
     # merging the same changeset again must change nothing (re-delivery safety)
     again = scd2_merge(merged, spark.createDataFrame(part2, schema), "k", "ts", ["v"], tiebreak="eid")
     assert {tuple(r) for r in again.collect()} == want
+
+
+def test_pq_trained_recall_vs_random_codebooks(spark, sf_dir):
+    """Product quantization: KMeans-trained codebooks (build_pq_codebooks)
+    must reconstruct the corpus better than the md5-random set — measured
+    as recall@3 of ADC search against exact brute force on 10 queries.
+    Both paths share pq_encode/pq_search_adc, so this also pins that the
+    trained path produces valid codes and complete top-k output."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.similarity import (
+        build_pq_codebooks,
+        cosine_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_search_adc,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["q_id"], r["vec_id"]) for r in cosine_topk(emb, queries, k=3).collect()}
+
+    def recall(cb):
+        codes = pq_encode(emb, cb)
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in pq_search_adc(codes, cb, queries, k=3).collect()
+        }
+        assert len(got) == len(exact) == 30
+        cr = codes.select(F.array_min("codes").alias("lo"), F.array_max("codes").alias("hi"))
+        lo, hi = cr.agg(F.min("lo"), F.max("hi")).first()
+        assert 0 <= lo and hi <= 15, "codes out of range"
+        return len(got & exact) / len(exact)
+
+    r_rand = recall(pq_codebooks(8, 16, 64))
+    r_trained = recall(build_pq_codebooks(emb, m=8, n_codes=16))
+    # Near-random fixture vectors are PQ's adversarial case (8 bits per
+    # 8-dim subvector cannot compress white noise well — measured ~0.13
+    # recall@3 trained, ~0.03 random), so the contract is the ORDERING
+    # plus a non-degeneracy floor, not a high absolute recall; on real
+    # clustered embeddings the same operator recalls far higher.
+    assert r_trained > r_rand, f"trained {r_trained} <= random {r_rand}"
+    assert r_trained >= 0.1, f"trained recall degenerate: {r_trained}"
