@@ -95,6 +95,14 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q96_bigram_lm": 5,          # bigram/context counts + NLL join + per-doc mean
         "q97_scd2_intervals": 1,     # compaction + interval windows share one key exchange
         "q98_quantile_trim": 1,      # rank + count windows share one per-lang exchange
+        "q100_temperature_mixture": 4,  # group counts + quota bcast + per-group rank window
+        "q101_span_coverage": 3,     # window-hash dfreq + coverage join + per-doc agg
+        "q102_corpus_filter": 4,     # repetition map-only; spans (3) + final rollup
+        "q104_tokenize_encode": 3,   # vocab count + post-cutoff rank + per-doc stats (vocab bcast)
+        "q105_skipgram_pairs": 1,    # map-only pair arrays; one pair-count agg
+        "q106_pmi_collocations": 7,  # pair counts + two marginals + total (all small) + report join
+        "q107_embedding_dim_stats": 1,  # posexplode + one 64-group agg
+        "q108_pq_adc_topk": 1,       # encode map-only; queries bcast; one top-k window
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
