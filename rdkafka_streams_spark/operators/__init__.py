@@ -4,6 +4,7 @@ from rdkafka_streams_spark.operators.cdc import scd2_build, scd2_merge
 from rdkafka_streams_spark.operators.graph import connected_components, connected_components_star
 from rdkafka_streams_spark.operators.sampling import hash_sample, temperature_sample
 from rdkafka_streams_spark.operators.skew import key_skew_profile, salted_join
+from rdkafka_streams_spark.operators.zorder import morton_key, zorder_by
 from rdkafka_streams_spark.operators.topk import (
     top_k,
     top_k_per_group,
@@ -15,6 +16,7 @@ __all__ = [
     "connected_components",
     "connected_components_star",
     "hash_sample",
+    "morton_key",
     "read_bucketed",
     "key_skew_profile",
     "salted_join",
@@ -25,4 +27,5 @@ __all__ = [
     "top_k_per_group",
     "top_k_per_group_salted",
     "write_bucketed",
+    "zorder_by",
 ]

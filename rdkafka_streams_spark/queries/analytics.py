@@ -648,3 +648,37 @@ def q99_cdc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("v.ts_us")).alias("ts"),
     )
     return scd2_build(decoded, key="user_id", ts="ts", attrs=["event_type"], tiebreak="event_id")
+
+
+# ------------------------------------------------------------ layout (X8)
+@query(
+    "q109_zorder_key",
+    oracle="""
+WITH d AS (
+  SELECT event_id,
+         user_id % 256 AS xb,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 256 AS yb
+  FROM events),
+bits AS (SELECT event_id, xb, yb, i FROM d, unnest(range(0, 8)) AS u(i))
+SELECT event_id, CAST(MAX(xb) AS BIGINT) AS xb, CAST(MAX(yb) AS BIGINT) AS yb,
+       CAST(SUM(((xb >> i) & 1) << (i * 2)) +
+            SUM(((yb >> i) & 1) << (i * 2 + 1)) AS BIGINT) AS zkey
+FROM bits GROUP BY event_id
+""",
+    tags=("X8", "E25"),
+)
+def q109_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over two event dimensions
+    (operators/zorder.py morton_key): bit-interleave user bucket and
+    payload bucket so one sort order clusters BOTH — written z-ordered,
+    parquet row-group min/max pruning then works for filters on either
+    column (the OPTIMIZE ZORDER technique on raw parquet). Pure integer
+    bit arithmetic, exact on every engine."""
+    from rdkafka_streams_spark.operators.zorder import morton_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 256).alias("xb"),
+        (F.get_json_object("props", "$.k").cast("long") % 256).alias("yb"),
+    )
+    return ev.select("event_id", "xb", "yb", morton_key("xb", "yb", bits=8).alias("zkey"))

@@ -197,3 +197,48 @@ def test_key_skew_profile_ranks_hot_keys(spark):
     # 21 distinct keys, mean = 100/21 ≈ 4.76 → hot factor = 80/4.76 = 16.8
     assert prof[0]["skew_factor"] == 16.8
     assert all(r["skew_factor"] == 0.21 for r in prof[1:])
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_dir):
+    """The data-skipping claim behind morton_key, measured directly: split
+    the sorted table into contiguous chunks (stand-ins for parquet row
+    groups) and compare per-chunk value spans. Sorting by x alone leaves
+    chunk spans on y at ~the full domain (no pruning possible on y);
+    z-order keeps BOTH mean spans well under the domain, which is exactly
+    what makes min/max row-group pruning work on either filter column."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.operators.zorder import morton_key
+
+    # both dims need real entropy for the comparison to mean anything:
+    # event_id%256 is dense-uniform, props.k spans its own 0..99 domain
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 256).alias("x"),
+        (F.get_json_object("props", "$.k").cast("long") % 256).alias("y"),
+    )
+
+    def mean_spans(order_col):
+        rows = ev.withColumn("__o", order_col).orderBy("__o").collect()
+        n_chunks = 16
+        sz = math.ceil(len(rows) / n_chunks)
+        spans_x, spans_y = [], []
+        for i in range(0, len(rows), sz):
+            chunk = rows[i : i + sz]
+            spans_x.append(max(r["x"] for r in chunk) - min(r["x"] for r in chunk))
+            spans_y.append(max(r["y"] for r in chunk) - min(r["y"] for r in chunk))
+        return sum(spans_x) / len(spans_x), sum(spans_y) / len(spans_y)
+
+    dom = ev.agg(
+        (F.max("x") - F.min("x")).alias("dx"), (F.max("y") - F.min("y")).alias("dy")
+    ).first()
+
+    x_sort_x, x_sort_y = mean_spans(F.col("x"))
+    z_x, z_y = mean_spans(morton_key("x", "y", bits=8))
+
+    # under x-sort, y within a chunk is unconstrained — ~the full domain
+    assert x_sort_y > dom["dy"] * 0.8, f"fixture degenerate: {x_sort_y} vs dy={dom['dy']}"
+    assert z_y < x_sort_y * 0.5, f"z-order didn't cluster y: {z_y} vs {x_sort_y}"
+    assert z_x < dom["dx"] * 0.8, f"z-order lost x locality entirely: {z_x} vs dx={dom['dx']}"
