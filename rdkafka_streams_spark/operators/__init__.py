@@ -2,6 +2,7 @@ from rdkafka_streams_spark.operators.asof import asof_join
 from rdkafka_streams_spark.operators.bucketing import read_bucketed, write_bucketed
 from rdkafka_streams_spark.operators.cdc import scd2_build, scd2_merge
 from rdkafka_streams_spark.operators.graph import connected_components, connected_components_star
+from rdkafka_streams_spark.operators.profiling import profile_table
 from rdkafka_streams_spark.operators.sampling import hash_sample, temperature_sample
 from rdkafka_streams_spark.operators.skew import key_skew_profile, salted_join
 from rdkafka_streams_spark.operators.zorder import morton_key, zorder_by
@@ -17,6 +18,7 @@ __all__ = [
     "connected_components_star",
     "hash_sample",
     "morton_key",
+    "profile_table",
     "read_bucketed",
     "key_skew_profile",
     "salted_join",

@@ -682,3 +682,46 @@ def q109_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.get_json_object("props", "$.k").cast("long") % 256).alias("yb"),
     )
     return ev.select("event_id", "xb", "yb", morton_key("xb", "yb", bits=8).alias("zkey"))
+
+
+# ---------------------------------------------------------- profiling (X9)
+@query(
+    "q110_table_profile",
+    oracle="""
+WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+SELECT 'o_orderkey' AS col_name, n.n_rows,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+FROM orders, n GROUP BY n.n_rows
+UNION ALL
+SELECT 'o_custkey', n.n_rows, CAST(COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders, n GROUP BY n.n_rows
+UNION ALL
+SELECT 'o_orderpriority', n.n_rows, CAST(COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders, n GROUP BY n.n_rows
+UNION ALL
+SELECT 'o_orderstatus', n.n_rows, CAST(COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+FROM orders, n GROUP BY n.n_rows
+""",
+    tags=("X9", "E10"),
+)
+def q110_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style table profile (operators/profiling.py profile_table):
+    null/distinct/min/max for four orders columns in ONE table pass (the
+    multi-distinct plans via expand — no per-column rescan). The
+    ingestion pre-flight that catches all-null columns and cardinality
+    collapse before compute is spent."""
+    from rdkafka_streams_spark.operators.profiling import profile_table
+
+    return profile_table(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"],
+    )
