@@ -318,3 +318,42 @@ def test_scd2_matches_python_and_merge_equals_rebuild(spark, rows, split):
             for r in merged.collect()
         }
         assert got_m == want
+
+
+# (group, id) memberships; tiny group space forces skewed + singleton groups
+mix_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 30)), min_size=1, max_size=20, unique=True
+)
+
+
+@PROP
+@given(rows=mix_rows, total=st.integers(1, 15))
+def test_temperature_sample_quota_invariants(spark, rows, total):
+    """temperature_sample on adversarial mixtures: per-group output is
+    exactly min(quota, group size); quotas are integer floor shares so the
+    grand total never exceeds the request; the selection is deterministic
+    (same input → same rows, it's hash-ranked, not RNG)."""
+    import math
+
+    from rdkafka_streams_spark.operators.sampling import temperature_sample
+
+    df = spark.createDataFrame(rows, "grp int, id long")
+    out = temperature_sample(df, group_col="grp", id_col="id", total=total, tau=0.5).collect()
+
+    sizes: dict[int, int] = {}
+    for g, _ in rows:
+        sizes[g] = sizes.get(g, 0) + 1
+    m = {g: math.floor(math.sqrt(n) * 1e6 + 0.5) for g, n in sizes.items()}
+    tm = sum(m.values())
+    want_quota = {g: (total * m[g]) // tm for g in sizes}
+
+    got_per_group: dict[int, int] = {}
+    for r in out:
+        got_per_group[r["grp"]] = got_per_group.get(r["grp"], 0) + 1
+        assert r["k_target"] == want_quota[r["grp"]]
+    for g, n in sizes.items():
+        assert got_per_group.get(g, 0) == min(want_quota[g], n)
+    assert len(out) <= total
+
+    again = temperature_sample(df, group_col="grp", id_col="id", total=total, tau=0.5).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
