@@ -725,3 +725,46 @@ def q110_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus"],
     )
+
+
+# ------------------------------------------------- anomaly detection (E21)
+@query(
+    "q111_rolling_zscore",
+    oracle="""
+WITH w AS (
+  SELECT event_id, user_id, value,
+         AVG(value) OVER pw AS mu,
+         STDDEV_SAMP(value) OVER pw AS sigma,
+         COUNT(*) OVER pw AS n_prev
+  FROM events
+  WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, ROUND((value - mu) / sigma, 6) AS z
+FROM w WHERE n_prev >= 5 AND sigma > 0
+""",
+    tags=("E21", "E11", "T-analytics"),
+)
+def q111_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against its
+    user's trailing 10-event window (strictly prior rows — no
+    self-inclusion leak), emitted once ≥5 priors exist. The standard
+    online metrics-monitoring pattern; one window shuffle on the user
+    key, frame evaluation is sequential so even the float sums agree
+    across engines under round-6."""
+    ev = load_table(spark, sf_dir, "events")
+    pw = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(pw).alias("mu"),
+        F.stddev_samp("value").over(pw).alias("sigma"),
+        F.count("*").over(pw).alias("n_prev"),
+    )
+    return w.where((F.col("n_prev") >= 5) & (F.col("sigma") > 0)).select(
+        "event_id", "user_id", F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("z")
+    )
