@@ -179,3 +179,33 @@ def test_quantized_topk_broadcasts_queries(spark, sf_dir):
     df = REGISTRY["q94_quantized_topk"].fn(spark, sf_dir)
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 1
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """Catalyst injects a bloom-filter semi-join under the fact side of a
+    selective shuffle join (spark.sql.optimizer.runtime.bloomFilter, on by
+    default) — at 100 TB this is the difference between shuffling the
+    whole fact table and shuffling only rows that can match. Size
+    thresholds are relaxed here because the fixture is tiny; production
+    defaults trigger on real sizes."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+        j = l.join(o, l.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no runtime bloom filter injected"
+        assert "might_contain" in plan, "fact side not filtered by the bloom"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
