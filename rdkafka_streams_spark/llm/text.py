@@ -655,3 +655,58 @@ def pmi_scores(
             ).alias("pmi"),
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed term set — the
+    retrieval scorer behind reference-corpus matching and search-style
+    corpus triage. idf = ln((N - df + 0.5)/(df + 0.5) + 1) snapped to
+    integer micro-nats (engine-stable); the tf saturation and length
+    normalization use exact integer inputs (tf, dl) and the corpus-level
+    N/avgdl, so both engines evaluate identical doubles.
+
+    Scale shape: one token explode filtered to the query terms (the
+    filter prunes before any shuffle), per-(doc, term) tf counts, a
+    ≤|terms|-row df table broadcast back, one per-doc sum. Output:
+    (id, score rounded to 6) for docs matching ≥1 term."""
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(id_col, F.size(toks).alias("dl"), F.explode(toks).alias("tok"))
+    hits = base.where(F.col("tok").isin(*terms))
+    tf = hits.groupBy(id_col, "tok", "dl").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("total_len"),
+    )
+    idf = F.floor(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0) * 1000000
+        + 0.5
+    ) / 1000000.0
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            (
+                idf
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        1.0
+                        - b
+                        + b * F.col("dl") / (F.col("total_len") / F.col("n_docs"))
+                    )
+                )
+            ).alias("term_score"),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.round(F.sum("term_score"), 6).alias("score"))

@@ -1238,3 +1238,38 @@ def q108_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_codebooks(8, 16, EMB_DIM)
     codes = pq_encode(emb, cb)
     return pq_search_adc(codes, cb, emb.where(F.col("vec_id") < 5), k=3)
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q112_bm25",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM tk),
+hits AS (SELECT * FROM base WHERE tok IN ('scan', 'window', 'merge')),
+tf AS (SELECT doc_id, tok, dl, COUNT(*) AS tf FROM hits GROUP BY doc_id, tok, dl),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(t)) AS BIGINT) AS total_len FROM tk),
+scored AS (
+  SELECT tf.doc_id,
+         (floor(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * 1000000 + 0.5)
+          / 1000000.0)
+         * (tf.tf * (1.2 + 1)) /
+         (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (s.total_len / s.n_docs)))
+         AS term_score
+  FROM tf JOIN dfreq d USING (tok) CROSS JOIN stats s)
+SELECT doc_id, ROUND(SUM(term_score), 6) AS score
+FROM scored GROUP BY doc_id
+""",
+    tags=("L4",),
+)
+def q112_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance to a fixed 3-term query (llm/text.py
+    bm25_scores, k1=1.2, b=0.75) — the retrieval scorer for
+    reference-corpus matching and search-style triage. idf in exact
+    micro-nats; tf/length inputs are integers, so both engines evaluate
+    identical doubles. The term filter prunes the explode before any
+    shuffle; df table broadcasts."""
+    from rdkafka_streams_spark.llm.text import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), ["scan", "window", "merge"])
