@@ -66,3 +66,46 @@ def temperature_sample(
         .where(F.col("rn") <= F.col("k_target"))
         .select(id_col, group_col, "k_target")
     )
+
+
+SPLIT_BUCKETS = 256  # 2 md5 hex nibbles
+
+
+def hash_bucket(key: str | Column, n_nibbles: int = 2) -> Column:
+    """Deterministic 0..16^n-1 bucket from the leading md5 nibbles of the
+    key (cast to string). Same instr-on-hex trick as llm/text.py so any SQL
+    engine reproduces it bit-for-bit."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(c.cast("string"))
+    expr = None
+    for i in range(n_nibbles):
+        nib = (F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1) * (
+            16 ** (n_nibbles - 1 - i)
+        )
+        expr = nib if expr is None else expr + nib
+    return expr.cast("int")
+
+
+def hash_split(df: DataFrame, key: str, splits: dict[str, int]) -> DataFrame:
+    """Deterministic train/val/test split assignment.
+
+    ``splits`` maps split name → percent (must sum to 100). Rows are routed
+    by their md5 bucket (0..255), so the assignment is a pure map-side
+    function of the key: stable across runs, engines, partitionings, and
+    re-shards — the property a 100 TB corpus split must have (re-running
+    the pipeline after appending data never moves an existing doc between
+    splits). Adds a ``split`` column; no shuffle.
+    """
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percents must sum to 100, got {splits}")
+    b = hash_bucket(key)
+    expr = None
+    hi = 0
+    items = list(splits.items())
+    for name, pct in items[:-1]:
+        hi += pct * SPLIT_BUCKETS // 100
+        cond = b < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

@@ -768,3 +768,52 @@ def q111_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.where((F.col("n_prev") >= 5) & (F.col("sigma") > 0)).select(
         "event_id", "user_id", F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias("z")
     )
+
+
+# ------------------------------------------------------- interval merge (X4)
+@query(
+    "q114_interval_merge",
+    oracle="""
+WITH base AS (
+  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship,
+         CAST(l_shipdate AS DATE) + (CAST(l_quantity AS INTEGER) % 30) AS receipt
+  FROM lineitem),
+m AS (
+  SELECT l_suppkey, ship, receipt,
+         MAX(receipt) OVER (PARTITION BY l_suppkey ORDER BY ship, receipt
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM base),
+f AS (
+  SELECT l_suppkey, ship, receipt,
+         CASE WHEN pmax IS NULL OR ship > pmax THEN 1 ELSE 0 END AS brk
+  FROM m),
+i AS (
+  SELECT l_suppkey, ship, receipt,
+         SUM(brk) OVER (PARTITION BY l_suppkey ORDER BY ship, receipt
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM f)
+SELECT l_suppkey, CAST(island_id AS BIGINT) AS island_id,
+       MIN(ship) AS island_start, MAX(receipt) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM i GROUP BY l_suppkey, island_id
+""",
+    tags=("X4", "E21"),
+)
+def q114_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval coalesce (operators/intervals.py
+    merge_intervals): each lineitem carries a [ship, receipt] delivery
+    interval (receipt derived as ship + quantity%30 days — the synthetic
+    lineitem has no receiptdate column); per supplier, intervals that
+    overlap merge into covered spans — the calendar-coalesce op behind
+    validity windows and coverage reporting, distinct from q82's
+    point-event sessionize. One window shuffle on the supplier key; island
+    boundaries are independent of the sort tiebreak because the running
+    max(end) only grows."""
+    from rdkafka_streams_spark.operators.intervals import merge_intervals
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("ship"),
+        F.date_add(F.to_date("l_shipdate"), F.col("l_quantity").cast("int") % 30).alias("receipt"),
+    )
+    return merge_intervals(li, "l_suppkey", "ship", "receipt")

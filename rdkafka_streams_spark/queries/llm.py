@@ -1273,3 +1273,42 @@ def q112_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.text import bm25_scores
 
     return bm25_scores(_t(spark, sf_dir, "documents"), ["scan", "window", "merge"])
+
+
+# ------------------------------------------------------------------ L4/E33
+@query(
+    "q113_hash_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang,
+         (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bkt
+  FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         CASE WHEN bkt < 204 THEN 'train' WHEN bkt < 229 THEN 'val' ELSE 'test' END AS split
+  FROM b)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM s GROUP BY split, lang
+""",
+    tags=("L4", "E33"),
+)
+def q113_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sampling.py
+    hash_split): md5-bucket routing (80/10/10) that is a pure function of
+    doc_id — appending data or re-sharding the corpus never moves an
+    existing doc across splits, the invariant that keeps a 100 TB eval
+    set uncontaminated across pipeline re-runs. Map-only; the only shuffle
+    is the tiny per-(split, lang) audit aggregate emitted here."""
+    from rdkafka_streams_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", {"train": 80, "val": 10, "test": 10})
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )

@@ -526,3 +526,48 @@ def test_pq_trained_recall_vs_random_codebooks(spark, sf_dir):
     # clustered embeddings the same operator recalls far higher.
     assert r_trained > r_rand, f"trained {r_trained} <= random {r_rand}"
     assert r_trained >= 0.1, f"trained recall degenerate: {r_trained}"
+
+
+def test_merge_intervals_islands_and_slack(spark):
+    """Merged islands are disjoint, ordered, cover their inputs; slack
+    bridges gaps ≤ slack (operators/intervals.py)."""
+    from rdkafka_streams_spark.operators.intervals import merge_intervals
+
+    rows = [
+        # key a: [0,10] [5,8] [9,12] overlap into one; [20,25] separate
+        ("a", 0, 10), ("a", 5, 8), ("a", 9, 12), ("a", 20, 25),
+        # key b: touching endpoints merge ([0,5] start 5 <= prev end 5)
+        ("b", 0, 5), ("b", 5, 7),
+    ]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    got = {
+        (r.k, r.island_id, r.island_start, r.island_end, r.n_merged)
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    }
+    assert got == {
+        ("a", 1, 0, 12, 3),
+        ("a", 2, 20, 25, 1),
+        ("b", 1, 0, 7, 2),
+    }
+    # slack=8 bridges a's [12..20] gap
+    slacked = {
+        (r.k, r.island_id, r.n_merged)
+        for r in merge_intervals(df, "k", "s", "e", slack=8).collect()
+    }
+    assert slacked == {("a", 1, 4), ("b", 1, 2)}
+
+
+def test_hash_split_is_stable_and_partitions(spark):
+    """Every row gets exactly one split; assignment is a pure function of
+    the key (subset invariance — the no-eval-contamination property)."""
+    from rdkafka_streams_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    full = hash_split(df, "k", {"train": 80, "val": 10, "test": 10})
+    counts = {r["split"]: r["n"] for r in full.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 1600) < 200  # ~80% of 2000
+    # subset invariance: computing on a filtered frame never flips a split
+    sub = hash_split(df.where(F.col("k") % 3 == 0), "k", {"train": 80, "val": 10, "test": 10})
+    joined = full.alias("f").join(sub.alias("s"), "k").where(F.col("f.split") != F.col("s.split"))
+    assert joined.count() == 0
