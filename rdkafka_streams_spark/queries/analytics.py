@@ -817,3 +817,156 @@ def q114_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(F.to_date("l_shipdate"), F.col("l_quantity").cast("int") % 30).alias("receipt"),
     )
     return merge_intervals(li, "l_suppkey", "ship", "receipt")
+
+
+# -------------------------------------------------- attribution (E9/E20)
+@query(
+    "q115_attribution",
+    oracle="""
+WITH touch AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+           OVER w AS src_type,
+         last_value(CASE WHEN event_type IN ('click','view') THEN ts END IGNORE NULLS)
+           OVER w AS src_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+attr AS (
+  SELECT CASE WHEN src_ts IS NOT NULL AND epoch(ts) - epoch(src_ts) <= 604800
+              THEN src_type ELSE 'direct' END AS channel,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro
+  FROM touch WHERE event_type = 'purchase')
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(CAST(SUM(v_micro) AS BIGINT) / 1000000.0, 6) AS revenue
+FROM attr GROUP BY channel
+""",
+    tags=("E9", "E20", "T-analytics"),
+)
+def q115_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the user's
+    most recent prior click/view within a 7-day lookback, else 'direct'.
+    The as-of-join shape expressed as one ignore-nulls window over the
+    user timeline — no self-join, one shuffle on the user key. Revenue
+    snaps to integer micro-units pre-sum so the rollup is
+    summation-order-free (exact across engines and partitionings)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    touch = ev.select(
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True).over(w).alias("src_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True).over(w).alias("src_ts"),
+    )
+    attr = touch.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("src_ts").isNotNull()
+            & ((F.unix_timestamp("ts") - F.unix_timestamp("src_ts")) <= 604800),
+            F.col("src_type"),
+        )
+        .otherwise("direct")
+        .alias("channel"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("v_micro"),
+    )
+    return attr.groupBy("channel").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.round(F.sum("v_micro") / 1000000.0, 6).alias("revenue"),
+    )
+
+
+# ------------------------------------------------- M4 downsample (E10/E21)
+@query(
+    "q116_m4_downsample",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket, ts, event_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro,
+         ROW_NUMBER() OVER (PARTITION BY CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                            ORDER BY ts, event_id) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                            ORDER BY ts DESC, event_id DESC) AS rn_last
+  FROM events)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(v_micro) AS BIGINT) AS v_min,
+       CAST(MAX(v_micro) AS BIGINT) AS v_max,
+       CAST(MAX(CASE WHEN rn_first = 1 THEN v_micro END) AS BIGINT) AS v_first,
+       CAST(MAX(CASE WHEN rn_last = 1 THEN v_micro END) AS BIGINT) AS v_last
+FROM b GROUP BY bucket
+""",
+    tags=("E10", "E21", "T-analytics"),
+)
+def q116_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB'14): per pixel
+    bucket (hourly), keep min/max/first/last — the lossless-for-rendering
+    reduction that turns a 100 TB metric stream into a plottable series.
+    One shuffle on the bucket key (window + agg share it); values snap to
+    integer micro-units so every engine agrees bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / F.lit(3600)).cast("bigint")
+    v_micro = F.floor(F.col("value") * 1000000 + 0.5).cast("bigint")
+    base = ev.select(
+        bucket.alias("bucket"),
+        "ts",
+        "event_id",
+        v_micro.alias("v_micro"),
+    )
+    wf = Window.partitionBy("bucket").orderBy("ts", "event_id")
+    wl = Window.partitionBy("bucket").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = base.select(
+        "bucket",
+        "v_micro",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+    )
+    return ranked.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("v_micro").alias("v_min"),
+        F.max("v_micro").alias("v_max"),
+        F.max(F.when(F.col("rn_first") == 1, F.col("v_micro"))).alias("v_first"),
+        F.max(F.when(F.col("rn_last") == 1, F.col("v_micro"))).alias("v_last"),
+    )
+
+
+# -------------------------------------------- sequence pattern (E27/L4)
+@query(
+    "q117_sequence_pattern",
+    oracle="""
+WITH path AS (
+  SELECT user_id,
+         string_agg(event_type, ' ' ORDER BY ts, event_id) AS p,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events
+FROM path
+WHERE regexp_matches(p, 'signup.* click.* purchase')
+""",
+    tags=("E27", "L4", "T-analytics"),
+)
+def q117_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern match (the MATCH_RECOGNIZE shape): each
+    user's timeline collapses to an ordered type path, then a regex finds
+    signup → (eventually) click → (eventually) purchase. Generalizes q73's
+    fixed funnel to arbitrary patterns; one groupBy shuffle, path strings
+    stay distributed (no driver collect). The (ts, event_id) sort key is
+    total, so both engines build the identical path string."""
+    ev = _t(spark, sf_dir, "events")
+    path = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            " ",
+        ).alias("p"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    return path.where(F.col("p").rlike("signup.* click.* purchase")).select(
+        "user_id", "n_events"
+    )
