@@ -553,3 +553,56 @@ def build_pq_codebooks(
         model = KMeans(k=n_codes, seed=seed + j, featuresCol="__f").fit(block)
         out.append([[float(x) for x in c] for c in model.clusterCenters()])
     return out
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Mutual k-nearest-neighbor graph (the edge set behind near-dup
+    clustering, diversity filtering, and graph-based corpus curation):
+    per vector, its top-k cosine neighbors *within its block*, then keep
+    only edges both endpoints agree on (i in knn(j) AND j in knn(i)) —
+    the standard mutual-kNN symmetrization that drops hub-induced edges.
+
+    Blocking keeps the pair count at Σ|block|² rather than N²; at 100 TB
+    the block column is an LSH bucket or IVF cell from this module, so
+    the same code path scales by construction. Norms factor out per
+    vector before the join (one dot per pair); top-k is one window rank
+    per source vector; the mutual check self-joins the top-k edge list —
+    a frame already k·N small, so at 100 TB either recompute it (default)
+    or pre-persist it caller-side before symmetrizing. Output: src < dst,
+    cos (rounded 6) — deterministic because ranking orders by the rounded
+    cosine with the neighbor id as tiebreak.
+    """
+    e = emb.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("src"),
+        F.col(vec_col).alias("__v"),
+        _norm(vec_col).alias("__n1"),
+    )
+    f = emb.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("dst"),
+        F.col(vec_col).alias("__w"),
+        _norm(vec_col).alias("__n2"),
+    )
+    pairs = e.join(f, "__blk").where(F.col("src") != F.col("dst"))
+    cos = F.round(_dot("__v", "__w") / (F.col("__n1") * F.col("__n2")), 6)
+    scored = pairs.select("src", "dst", cos.alias("cos"))
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    topk = scored.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") <= k
+    ).drop("__rk")
+    a, b = topk.alias("a"), topk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
+        )
+        .where(F.col("a.src") < F.col("a.dst"))
+        .select(F.col("a.src").alias("src"), F.col("a.dst").alias("dst"), F.col("a.cos").alias("cos"))
+    )

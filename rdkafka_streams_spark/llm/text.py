@@ -710,3 +710,31 @@ def bm25_scores(
         )
     )
     return scored.groupBy(id_col).agg(F.round(F.sum("term_score"), 6).alias("score"))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical text normalization (the pre-dedup/pre-tokenize scrub):
+    lowercase, map every non-[a-z0-9 space] char to a space, collapse runs
+    of spaces, trim. Emits per-doc audit columns instead of the (large)
+    normalized text itself: an md5 content hash (joins the exact-dedup
+    path on normalized content), normalized length, token count, and a
+    changed flag. Pure codegen'd column expressions — zero Python, zero
+    shuffle; the regexes avoid ``\\s``/unicode classes so Java and RE2
+    engines agree byte-for-byte."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            "  +",
+            " ",
+        )
+    )
+    return df.select(
+        id_col,
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+        F.when(norm == "", F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("bigint")
+        .alias("n_tokens"),
+        (norm != F.col(text_col)).cast("bigint").alias("changed"),
+    )

@@ -970,3 +970,47 @@ def q117_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return path.where(F.col("p").rlike("signup.* click.* purchase")).select(
         "user_id", "n_events"
     )
+
+
+# ------------------------------------------ equi-depth histogram (E19/E11)
+@query(
+    "q118_equidepth_histogram",
+    oracle="""
+WITH r AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders)
+SELECT CAST(floor((rn - 1) * 10.0 / n) AS BIGINT) + 1 AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM r GROUP BY decile
+""",
+    tags=("E19", "E11", "X-scale"),
+)
+def q118_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth decile histogram via distributed global ranking
+    (operators/ranking.py global_rank): range-partition on the sort key,
+    rank locally in parallel, add prefix offsets — the scalable form of
+    the single-task `row_number() OVER (ORDER BY ...)` trap. Decile
+    assignment is pure integer arithmetic on the exact rank, so both
+    engines agree row-for-row; per-decile bounds/totals in DECIMAL."""
+    from rdkafka_streams_spark.operators.ranking import global_rank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_rank(o, ["o_totalprice", "o_orderkey"])
+    n = o.agg(F.count("*").alias("__n"))
+    dec = ranked.crossJoin(F.broadcast(n)).select(
+        (F.floor((F.col("rn") - 1) * 10.0 / F.col("__n")) + 1)
+        .cast("bigint")
+        .alias("decile"),
+        "o_totalprice",
+    )
+    return dec.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.min(money("o_totalprice")).cast("double").alias("lo"),
+        F.max(money("o_totalprice")).cast("double").alias("hi"),
+        F.sum(money("o_totalprice")).cast("double").alias("total"),
+    )

@@ -1312,3 +1312,68 @@ def q113_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q119_text_normalize",
+    oracle="""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             '  +', ' ', 'g')) AS norm
+  FROM documents)
+SELECT doc_id, md5(norm) AS norm_hash,
+       CAST(length(norm) AS BIGINT) AS norm_len,
+       CAST(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens,
+       CAST(norm <> text AS BIGINT) AS changed
+FROM n
+""",
+    tags=("L4",),
+)
+def q119_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization scrub (llm/text.py normalize_text):
+    lowercase → non-alphanumeric-to-space → collapse runs → trim, emitted
+    as audit columns (md5 of the normalized content, lengths, changed
+    flag). The md5 feeds exact dedup on *normalized* text — catching
+    casing/punctuation near-identicals that byte-level sha misses. All
+    codegen'd column expressions; regexes avoid engine-specific classes
+    so Java regex and RE2 produce identical bytes."""
+    from rdkafka_streams_spark.llm.text import normalize_text
+
+    return normalize_text(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------------ L3
+@query(
+    "q120_knn_graph",
+    oracle=f"""
+WITH nv AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS nrm
+  FROM embeddings),
+p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROUND({_dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cos
+  FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id <> b.vec_id),
+t AS (
+  SELECT src, dst, cos,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+  FROM p)
+SELECT t1.src, t1.dst, t1.cos
+FROM t t1 JOIN t t2 ON t1.src = t2.dst AND t1.dst = t2.src
+WHERE t1.rk <= 3 AND t2.rk <= 3 AND t1.src < t1.dst
+""",
+    tags=("L3", "L2"),
+)
+def q120_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph (llm/similarity.py knn_graph): top-3 cosine
+    neighbors per vector within its label block, keeping only edges both
+    endpoints rank — the hub-resistant edge set for graph-based curation
+    and SemDeDup-style cluster pruning. Blocked pairs (Σ|block|², never
+    N²); per-vector norms factored out pre-join; the mutual check
+    self-joins an exchange Catalyst reuses. At 100 TB the block column is
+    an LSH bucket / IVF cell from this module — same code path."""
+    from rdkafka_streams_spark.llm.similarity import knn_graph
+
+    return knn_graph(_t(spark, sf_dir, "embeddings"), k=3)

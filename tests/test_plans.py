@@ -209,3 +209,42 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_global_rank_stays_distributed(spark, sf_dir):
+    """q118's exact ranking must NOT collapse to a single-partition global
+    window: the plan range-partitions (parallel local ranks + offsets) and
+    reuses the range exchange for the per-partition counts."""
+    from rdkafka_streams_spark.core.plan import plan_string
+
+    df = REGISTRY["q118_equidepth_histogram"].fn(spark, sf_dir)
+    plan = plan_string(df, "formatted")
+    assert "rangepartitioning" in plan.lower(), "expected a range exchange"
+    # No global (empty-partition-spec) window over the fact table: every
+    # Window in the plan must carry a partition spec (__pid for the local
+    # ranks; the only orderBy-only window is the per-PARTITION offsets
+    # prefix sum, ≤ #partitions rows, which mentions __pid in its sort).
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "__pid" in m.group(1), f"global window leaked: {m.group(0)}"
+    # offsets come back as a broadcast, never a shuffle join
+    assert "BroadcastExchange" in plan
+
+
+def test_knn_graph_blocked_join_no_cartesian(spark, sf_dir):
+    """q120's pair generation must key on the block column — an equi-join,
+    never a cartesian/nested-loop over the full corpus — and norms must sit
+    below the join (computed per vector, not per pair)."""
+    from rdkafka_streams_spark.core.plan import plan_string
+
+    df = REGISTRY["q120_knn_graph"].fn(spark, sf_dir)
+    plan = plan_string(df, "formatted")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # per-pair norm recompute would show aggregate( lambdas in a Project
+    # ABOVE the join; the only aggregate folds allowed post-join are the
+    # single dot product per pair (regression guard for the q55-class bug).
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin"
+    )
+    assert joins >= 2  # block join + mutual self-join
