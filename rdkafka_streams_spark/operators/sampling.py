@@ -79,11 +79,12 @@ def hash_bucket(key: str | Column, n_nibbles: int = 2) -> Column:
     h = F.md5(c.cast("string"))
     expr = None
     for i in range(n_nibbles):
-        nib = (F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1) * (
-            16 ** (n_nibbles - 1 - i)
-        )
+        # bigint arithmetic throughout: 8 nibbles (2^32 values) overflows int32
+        nib = (F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1).cast(
+            "bigint"
+        ) * F.lit(16 ** (n_nibbles - 1 - i)).cast("bigint")
         expr = nib if expr is None else expr + nib
-    return expr.cast("int")
+    return expr.cast("bigint")
 
 
 def hash_split(df: DataFrame, key: str, splits: dict[str, int]) -> DataFrame:
@@ -109,3 +110,33 @@ def hash_split(df: DataFrame, key: str, splits: dict[str, int]) -> DataFrame:
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis A-ES): each row draws u ~ Uniform(0,1) from its md5 hash and
+    ranks by u^(1/w) — the top-k ranks are a weight-proportional sample.
+
+    Engine-independent determinism: u = (md5_bucket8(id)+1)/2^32 is an
+    exact rational; ln(u) snaps to integer micro-nats (the established
+    log-domain trick in this repo); the sort key floor(lnu_micro·1e6 / w)
+    is a floor of a double computed from two exact integers — bit-identical
+    in any engine. Ranking by key DESC ≡ ranking by u^(1/w) DESC because
+    ln is monotone and w > 0.
+
+    Scale: one map pass + a global top-k (TakeOrdered heap, no full sort).
+    Output: id, weight, key_scaled.
+    """
+    w = F.col(weight_col).cast("bigint")
+    u = (hash_bucket(id_col, n_nibbles=8).cast("bigint") + 1) / F.lit(4294967297.0)
+    lnu_micro = F.floor(F.log(u) * 1000000 + 0.5).cast("bigint")
+    key = F.floor(lnu_micro * F.lit(1000000.0) / w).cast("bigint")
+    scored = df.select(
+        id_col, w.alias("weight"), key.alias("key_scaled")
+    )
+    return scored.orderBy(F.col("key_scaled").desc(), F.col(id_col)).limit(k)

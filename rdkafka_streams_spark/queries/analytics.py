@@ -1014,3 +1014,104 @@ def q118_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(money("o_totalprice")).cast("double").alias("hi"),
         F.sum(money("o_totalprice")).cast("double").alias("total"),
     )
+
+
+# --------------------------------------------- per-group OLS trend (E11)
+@query(
+    "q121_trend_regression",
+    oracle="""
+WITH p AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM p GROUP BY user_id)
+SELECT user_id, n AS n_events,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) / 1000000.0, 6) AS slope_per_day,
+       ROUND(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+             / CAST(n * (n * sxx - sx * sx) AS DOUBLE) / 1000000.0, 6) AS intercept
+FROM m WHERE n >= 5 AND n * sxx - sx * sx > 0
+""",
+    tags=("E11", "T-analytics"),
+)
+def q121_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend (slope/intercept of value over day index) from
+    integer moments: x in days since the epoch origin, y snapped to
+    micro-units, all five sufficient statistics exact BIGINT sums — the
+    closed-form regression is then a ratio of exact integers, identical
+    in any engine (the float-free form of regr_slope/regr_intercept).
+    One partial-agg shuffle of 5 numbers per user; moments stay within
+    int64 for day-scale x and micro-unit y up to ~10^5 rows/key (use a
+    narrower y unit beyond that)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("bigint").alias("x"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("y"),
+    )
+    m = p.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.where((F.col("n") >= 5) & (den > 0)).select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        F.round(num.cast("double") / den.cast("double") / 1000000.0, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy") * den - num * F.col("sx")).cast("double")
+            / (F.col("n") * den).cast("double")
+            / 1000000.0,
+            6,
+        ).alias("intercept"),
+    )
+
+
+# ------------------------------------------ time-hierarchy rollup (E14)
+@query(
+    "q123_time_rollup",
+    oracle="""
+SELECT CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR) AS month,
+       CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+       CAST(GROUPING(date_trunc('month', ts)) AS BIGINT) AS g_month,
+       CAST(GROUPING(date_trunc('day', ts)) AS BIGINT) AS g_day,
+       CAST(GROUPING(date_trunc('hour', ts)) AS BIGINT) AS g_hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS v_micro
+FROM events
+GROUP BY ROLLUP (date_trunc('month', ts), date_trunc('day', ts), date_trunc('hour', ts))
+""",
+    tags=("E14", "E24", "T-analytics"),
+)
+def q123_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the hypertable continuous-aggregate
+    shape): month ⊃ day ⊃ hour totals in ONE pass via ROLLUP — Spark
+    expands the grouping sets map-side before a single shuffle, so the
+    three granularities cost one aggregate, not three scans. Values sum
+    in integer micro-units (order-free); GROUPING flags disambiguate
+    subtotal rows from genuine NULLs."""
+    ev = _t(spark, sf_dir, "events")
+    month = F.date_trunc("month", "ts").cast("date").cast("string")
+    day = F.date_trunc("day", "ts").cast("date").cast("string")
+    hour = F.date_trunc("hour", "ts").cast("string")
+    v = F.floor(F.col("value") * 1000000 + 0.5).cast("bigint")
+    base = ev.select(
+        month.alias("month"), day.alias("day"), hour.alias("hour"), v.alias("v")
+    )
+    return base.rollup("month", "day", "hour").agg(
+        F.grouping("month").cast("bigint").alias("g_month"),
+        F.grouping("day").cast("bigint").alias("g_day"),
+        F.grouping("hour").cast("bigint").alias("g_hour"),
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").alias("v_micro"),
+    )

@@ -1377,3 +1377,42 @@ def q120_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.similarity import knn_graph
 
     return knn_graph(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+# ------------------------------------------------------------------ L4/E33
+@query(
+    "q122_weighted_sample",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456
+       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1) * 1 AS h
+  FROM documents),
+s AS (
+  SELECT doc_id, weight,
+         CAST(floor(floor(ln((h + 1) / 4294967297.0) * 1000000 + 0.5)
+                    * 1000000.0 / weight) AS BIGINT) AS key_scaled
+  FROM b)
+SELECT doc_id, weight, key_scaled
+FROM s ORDER BY key_scaled DESC, doc_id LIMIT 50
+""",
+    tags=("L4", "E33", "E18"),
+)
+def q122_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (operators/sampling.py
+    weighted_sample — Efraimidis & Spirakis A-ES): rank by u^(1/w) with
+    u drawn deterministically from md5(doc_id), w = n_chars, keep top-50.
+    Length-proportional corpus subsampling with zero RNG state: the
+    md5-uniform is an exact rational, ln snaps to micro-nats, and the
+    sort key is a floor of a double built from two exact integers —
+    bit-reproducible in any engine. One map pass + a TakeOrdered heap;
+    no full sort, no shuffle beyond the top-k gather."""
+    from rdkafka_streams_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(_t(spark, sf_dir, "documents"), "n_chars", "doc_id", k=50)
