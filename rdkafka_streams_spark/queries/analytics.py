@@ -1115,3 +1115,36 @@ def q123_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("v").alias("v_micro"),
     )
+
+
+# ------------------------------------------- rolling distinct users (E24)
+@query(
+    "q125_rolling_wau",
+    oracle="""
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT CAST(d.day AS VARCHAR) AS wday,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+""",
+    tags=("E24", "E10", "T-analytics"),
+)
+def q125_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU): distinct count over a sliding
+    window cannot use a frame (distinct doesn't decompose), so each
+    (user, day) activity pair EXPLODES to the ≤7 window-end days it
+    serves, then one distinct count per day — O(7·|user-days|) after the
+    daily dedup, shuffle-keyed on the day. The engine-idiomatic rewrite
+    of the range self-join the oracle runs; both count the same pairs."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct()
+    expanded = ud.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("wday"),
+        "user_id",
+    )
+    bounded = expanded.join(days.withColumnRenamed("day", "wday"), "wday", "left_semi")
+    return bounded.groupBy("wday").agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    ).select(F.col("wday").cast("string").alias("wday"), "wau")

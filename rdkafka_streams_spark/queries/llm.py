@@ -1416,3 +1416,118 @@ def q122_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.operators.sampling import weighted_sample
 
     return weighted_sample(_t(spark, sf_dir, "documents"), "n_chars", "doc_id", k=50)
+
+
+# ------------------------------------------------------------------ L4/E18
+@query(
+    "q124_rrf_fusion",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM tk),
+hits AS (SELECT * FROM base WHERE tok IN ('scan', 'window', 'merge')),
+tf AS (SELECT doc_id, tok, dl, COUNT(*) AS tf FROM hits GROUP BY doc_id, tok, dl),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(t)) AS BIGINT) AS total_len FROM tk),
+scored AS (
+  SELECT tf.doc_id,
+         (floor(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * 1000000 + 0.5)
+          / 1000000.0)
+         * (tf.tf * (1.2 + 1)) /
+         (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (s.total_len / s.n_docs)))
+         AS term_score
+  FROM tf JOIN dfreq d USING (tok) CROSS JOIN stats s),
+bm25 AS (SELECT doc_id, ROUND(SUM(term_score), 6) AS score FROM scored GROUP BY doc_id),
+ra AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM bm25 QUALIFY r <= 100),
+lens AS (SELECT doc_id, len(t) AS dl FROM tk),
+rb AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dl DESC, doc_id) AS r
+       FROM lens QUALIFY r <= 100),
+fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         COALESCE(CAST(floor(1000000000.0 / (60 + ra.r)) AS BIGINT), 0)
+       + COALESCE(CAST(floor(1000000000.0 / (60 + rb.r)) AS BIGINT), 0) AS rrf
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+""",
+    tags=("L4", "E18"),
+)
+def q124_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): merge a BM25 keyword
+    ranking (llm/text.py bm25_scores) with a length ranking by summing
+    floor(1e9/(60+rank)) — the integer form of the standard RRF constant,
+    exact in any engine. Scale shape: each input ranking reduces to its
+    top-100 via a TakeOrdered heap BEFORE any windowing, so the
+    single-partition rank assignment touches 100 rows regardless of
+    corpus size; fusion is a full outer join of two 100-row frames."""
+    from rdkafka_streams_spark.llm.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    bm25 = bm25_scores(docs, ["scan", "window", "merge"])
+    top_a = bm25.orderBy(F.col("score").desc(), "doc_id").limit(100)
+    ra = top_a.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("r"),
+    )
+    lens = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    top_b = lens.orderBy(F.col("dl").desc(), "doc_id").limit(100)
+    rb = top_b.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.col("dl").desc(), "doc_id")).alias("r"),
+    )
+    term = lambda r: F.coalesce(
+        F.floor(F.lit(1000000000.0) / (60 + r)).cast("bigint"), F.lit(0)
+    )
+    fused = (
+        ra.alias("a")
+        .join(rb.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            (term(F.col("a.r")) + term(F.col("b.r"))).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(20)
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q126_posting_deltas",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT tok, doc_id FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok, doc_id FROM documents)
+  WHERE tok <> ''),
+pl AS (SELECT tok, list_sort(list(doc_id)) AS l FROM tok GROUP BY tok)
+SELECT tok, CAST(len(l) AS BIGINT) AS df, CAST(l[1] AS BIGINT) AS base_doc,
+       array_to_string(list_transform(range(2, len(l) + 1), i -> l[i] - l[i-1]), ',') AS deltas
+FROM pl WHERE len(l) >= 20
+""",
+    tags=("L4",),
+)
+def q126_posting_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting lists with gap (delta) encoding — the
+    storage layout of every search index: per frequent token (df ≥ 20),
+    the sorted doc_id list becomes (base_doc, deltas) where gaps are
+    small reusable integers. One distinct + one groupBy shuffle; the
+    delta transform is a JVM-side higher-order function over the
+    collected posting array (bounded by the df cap at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"), "doc_id")
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    pl = tok.groupBy("tok").agg(F.array_sort(F.collect_list("doc_id")).alias("l"))
+    return pl.where(F.size("l") >= 20).select(
+        "tok",
+        F.size("l").cast("bigint").alias("df"),
+        F.element_at("l", 1).cast("bigint").alias("base_doc"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(2), F.size("l")),
+                lambda i: F.element_at(F.col("l"), i) - F.element_at(F.col("l"), i - 1),
+            ),
+            ",",
+        ).alias("deltas"),
+    )
