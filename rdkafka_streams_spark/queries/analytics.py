@@ -1148,3 +1148,121 @@ def q125_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounded.groupBy("wday").agg(
         F.count_distinct("user_id").cast("bigint").alias("wau")
     ).select(F.col("wday").cast("string").alias("wday"), "wau")
+
+
+# ------------------------------------------- exact quantiles (E11/E19)
+@query(
+    "q127_exact_quantiles",
+    oracle="""
+WITH b AS (SELECT event_type AS g, CAST(floor(value*1000000+0.5) AS BIGINT) AS v FROM events),
+c AS (SELECT g, COUNT(*) AS n FROM b GROUP BY g),
+r AS (SELECT b.g, b.v, ROW_NUMBER() OVER (PARTITION BY b.g ORDER BY b.v) AS rn, c.n
+      FROM b JOIN c USING (g)),
+agg AS (
+  SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+         ROUND(SUM(v * CASE WHEN rn = floor((n-1)*0.25)+1 THEN 1.0-((n-1)*0.25-floor((n-1)*0.25)) WHEN (n-1)*0.25-floor((n-1)*0.25) > 0 AND rn = floor((n-1)*0.25)+2 THEN (n-1)*0.25-floor((n-1)*0.25) ELSE 0.0 END) / 1000000.0, 6) AS p25,
+         ROUND(SUM(v * CASE WHEN rn = floor((n-1)*0.5)+1 THEN 1.0-((n-1)*0.5-floor((n-1)*0.5)) WHEN (n-1)*0.5-floor((n-1)*0.5) > 0 AND rn = floor((n-1)*0.5)+2 THEN (n-1)*0.5-floor((n-1)*0.5) ELSE 0.0 END) / 1000000.0, 6) AS p50,
+         ROUND(SUM(v * CASE WHEN rn = floor((n-1)*0.75)+1 THEN 1.0-((n-1)*0.75-floor((n-1)*0.75)) WHEN (n-1)*0.75-floor((n-1)*0.75) > 0 AND rn = floor((n-1)*0.75)+2 THEN (n-1)*0.75-floor((n-1)*0.75) ELSE 0.0 END) / 1000000.0, 6) AS p75
+  FROM r GROUP BY g)
+SELECT g AS event_type, n, p25, p50, p75, ROUND(p75 - p25, 6) AS iqr FROM agg
+""",
+    tags=("E11", "E19"),
+)
+def q127_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile_cont per group without a sketch (operators/
+    quantiles.py exact_group_quantiles) — the ground-truth complement of
+    q64's GK percentile_approx: one parallel rank window + a weighted sum
+    over only the ≤2 bracketing rows per quantile (map-side pruned).
+    Quarter quantiles on micro-unit integers make every interpolation
+    product IEEE-exact, so engines agree bit-for-bit."""
+    from rdkafka_streams_spark.operators.quantiles import exact_group_quantiles
+
+    return exact_group_quantiles(
+        _t(spark, sf_dir, "events"), "event_type", "value", (0.25, 0.5, 0.75)
+    )
+
+
+# ------------------------------------------ table reconciliation (X-scale)
+@query(
+    "q128_table_diff",
+    oracle="""
+WITH prep AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+  FROM orders),
+hashed AS (
+  SELECT o_orderkey % 256 AS bucket,
+         (instr('0123456789abcdef', substring(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))), 1, 1)) - 1) * 268435456
+       + (instr('0123456789abcdef', substring(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))), 2, 1)) - 1) * 16777216
+       + (instr('0123456789abcdef', substring(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))), 3, 1)) - 1) * 1048576
+       + (instr('0123456789abcdef', substring(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))), 4, 1)) - 1) * 65536
+       + (instr('0123456789abcdef', substring(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))), 5, 1)) - 1) * 4096
+       + (instr('0123456789abcdef', substring(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))), 6, 1)) - 1) * 256
+       + (instr('0123456789abcdef', substring(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))), 7, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substring(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus, CAST(cents AS VARCHAR))), 8, 1)) - 1) * 1 AS h,
+         o_orderkey
+  FROM prep),
+l AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_left,
+             CAST(SUM(h) AS BIGINT) AS digest_left
+      FROM hashed GROUP BY bucket),
+r AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_right,
+             CAST(SUM(h) AS BIGINT) AS digest_right
+      FROM hashed WHERE o_orderkey % 97 <> 0 GROUP BY bucket)
+SELECT l.bucket, l.n_left, COALESCE(r.n_right, 0) AS n_right,
+       l.digest_left, COALESCE(r.digest_right, 0) AS digest_right
+FROM l FULL OUTER JOIN r ON l.bucket = r.bucket
+WHERE l.n_left <> COALESCE(r.n_right, 0) OR l.digest_left <> COALESCE(r.digest_right, 0)
+""",
+    tags=("X-scale", "E10"),
+)
+def q128_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style table reconciliation (operators/reconcile.py): both
+    sides reduce to 256 (count, hash-sum) bucket digests — order-free,
+    partially aggregated, so comparing two 100 TB tables shuffles ≤256
+    rows per side — then a full-outer digest join localizes drift. Here
+    the right side simulates replica loss (every 97th order missing);
+    the output is exactly the buckets a re-sync would ship."""
+    from rdkafka_streams_spark.operators.reconcile import bucket_digest, digest_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (money("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cols = ["o_orderkey", "o_orderstatus", "cents"]
+    left = bucket_digest(o, "o_orderkey", cols)
+    right = bucket_digest(o.where(F.col("o_orderkey") % 97 != 0), "o_orderkey", cols)
+    return digest_diff(left, right)
+
+
+# -------------------------------------------- banded time join (E8/T6)
+@query(
+    "q129_time_proximity_join",
+    oracle="""
+SELECT e.event_id AS err_id, p.event_id AS pur_id,
+       CAST(epoch_us(p.ts) - epoch_us(e.ts) AS BIGINT) AS gap_us
+FROM events e JOIN events p ON e.user_id = p.user_id
+WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+  AND epoch_us(p.ts) >= epoch_us(e.ts)
+  AND epoch_us(p.ts) - epoch_us(e.ts) <= 600000000
+""",
+    tags=("E8", "T6", "T-analytics"),
+)
+def q129_time_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error→purchase pairs within 10 minutes per user via the banded
+    time join (operators/timejoin.py): Δ-width time bands turn the range
+    join into an equi-join on (user, band) — each qualifying pair
+    examined exactly once, no nested loop, and the band in the shuffle
+    key de-skews hot users. The oracle runs the plain theta join; both
+    produce the identical pair set."""
+    from rdkafka_streams_spark.operators.timejoin import time_proximity_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = time_proximity_join(errors, purchases, "user_id", max_gap_seconds=600)
+    return out.select(
+        F.col("event_id").alias("err_id"),
+        F.col("r_event_id").alias("pur_id"),
+        "gap_us",
+    )

@@ -571,3 +571,56 @@ def test_hash_split_is_stable_and_partitions(spark):
     sub = hash_split(df.where(F.col("k") % 3 == 0), "k", {"train": 80, "val": 10, "test": 10})
     joined = full.alias("f").join(sub.alias("s"), "k").where(F.col("f.split") != F.col("s.split"))
     assert joined.count() == 0
+
+
+def test_time_proximity_join_matches_naive(spark):
+    """Banded equi-join produces exactly the naive theta-join pair set,
+    including pairs that straddle a band boundary."""
+    from rdkafka_streams_spark.operators.timejoin import time_proximity_join
+
+    rows = [
+        # (id, key, seconds) — gap 600 exactly, straddling bands, same-ts
+        (1, 1, 0), (2, 1, 600), (3, 1, 1201), (4, 1, 1800),
+        (5, 2, 100), (6, 2, 100), (7, 2, 799),
+    ]
+    df = spark.createDataFrame(
+        [(i, k, s) for i, k, s in rows], "event_id long, user_id long, sec long"
+    ).withColumn("ts", F.timestamp_seconds("sec"))
+    got = {
+        (r.event_id, r.r_event_id, r.gap_us)
+        for r in time_proximity_join(df, df, "user_id", max_gap_seconds=600).collect()
+    }
+    naive = set()
+    for i, k, s in rows:
+        for j, k2, s2 in rows:
+            if k == k2 and 0 <= s2 - s <= 600:
+                naive.add((i, j, (s2 - s) * 1_000_000))
+    assert got == naive
+
+
+def test_digest_diff_empty_on_identical_tables(spark):
+    from rdkafka_streams_spark.operators.reconcile import bucket_digest, digest_diff
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 13).alias("v")
+    )
+    d1 = bucket_digest(df, "k", ["k", "v"], n_buckets=32)
+    d2 = bucket_digest(df, "k", ["k", "v"], n_buckets=32)
+    assert digest_diff(d1, d2).count() == 0
+    # a single-row mutation is localized to exactly one bucket
+    mut = df.withColumn("v", F.when(F.col("k") == 123, 999).otherwise(F.col("v")))
+    d3 = bucket_digest(mut, "k", ["k", "v"], n_buckets=32)
+    diff = digest_diff(d1, d3).collect()
+    assert len(diff) == 1 and diff[0]["bucket"] == 123 % 32
+
+
+def test_exact_group_quantiles_vs_numpy(spark):
+    import numpy as np
+
+    from rdkafka_streams_spark.operators.quantiles import exact_group_quantiles
+
+    vals = [1.25, 9.5, 2.0, 7.75, 3.5, 0.25, 8.0, 5.5]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    row = exact_group_quantiles(df, "g", "v", (0.25, 0.5, 0.75)).first()
+    for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+        assert abs(row[name] - np.quantile(vals, q)) < 1e-9, name
