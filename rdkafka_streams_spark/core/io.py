@@ -35,6 +35,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; with spark.sql.legacy.parquet.nanosAsLong it arrives as
     raw nanos — converted here to a true timestamp (ns→µs floor, bit-matching
     DuckDB's ns→µs truncation so oracles compare cleanly).
+
+    Depending on the parquet writer's isAdjustedToUTC flag the reader may
+    instead surface TIMESTAMP_NTZ; with the session timezone pinned to UTC
+    (core/session.py) an NTZ→LTZ cast is the identity on the underlying
+    micros, so event-time is canonicalized to TIMESTAMP here — one choke
+    point — and every downstream operator (unix_micros, session_window,
+    as-of) sees a single type. Matches the Kafka source, whose timestamp
+    column is TIMESTAMP.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -45,6 +53,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 
