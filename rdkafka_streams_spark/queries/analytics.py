@@ -1266,3 +1266,299 @@ def q129_time_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id").alias("pur_id"),
         "gap_us",
     )
+
+
+# ------------------------------------------------- Gini concentration (E11)
+@query(
+    "q131_gini_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT n.n_name, c.c_custkey,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, c.c_custkey),
+r AS (SELECT n_name, cents,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY cents, c_custkey) AS rk
+      FROM rev),
+m AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS s0,
+             CAST(SUM(rk * cents) AS BIGINT) AS s1
+      FROM r GROUP BY n_name)
+SELECT n_name, n_customers,
+       CAST((2 * s1 - (n_customers + 1) * s0) * 1000000 // (n_customers * s0) AS BIGINT)
+         AS gini_ppm
+FROM m WHERE n_customers >= 2 AND s0 > 0
+""",
+    tags=("E11", "E19", "T-analytics"),
+)
+def q131_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer revenue — the inequality /
+    concentration measure behind "top 1% of keys hold X% of bytes" skew
+    dashboards. Closed form over the ascending rank sum:
+    G = (2·Σ rk·x − (n+1)·Σx) / (n·Σx), all terms exact BIGINT (revenue in
+    cents, ranks total-ordered by (cents, custkey)), emitted in ppm via
+    integer floor-div — bit-identical on any engine. One fact shuffle
+    (orders→customer agg), dims broadcast, one rank window per nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum((money("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("cents", "c_custkey")
+    r = rev.withColumn("rk", F.row_number().over(w))
+    m = r.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("s0"),
+        F.sum(F.col("rk") * F.col("cents")).cast("bigint").alias("s1"),
+    )
+    gini = F.expr("(2 * s1 - (n_customers + 1) * s0) * 1000000 div (n_customers * s0)")
+    return m.where((F.col("n_customers") >= 2) & (F.col("s0") > 0)).select(
+        "n_name", "n_customers", gini.cast("bigint").alias("gini_ppm")
+    )
+
+
+# --------------------------------------------------- winsorized mean (E11)
+@query(
+    "q132_winsorized_stats",
+    oracle="""
+WITH b AS (SELECT event_type, event_id,
+                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+r AS (SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM b),
+bounds AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                  CAST(MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN v END) AS BIGINT) AS lo,
+                  CAST(MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN v END) AS BIGINT) AS hi
+           FROM r GROUP BY event_type)
+SELECT r.event_type, b.n,
+       ROUND(b.lo / 1000000.0, 6) AS lo,
+       ROUND(b.hi / 1000000.0, 6) AS hi,
+       ROUND(CAST(SUM(CASE WHEN r.v < b.lo THEN b.lo
+                           WHEN r.v > b.hi THEN b.hi ELSE r.v END) AS BIGINT)
+             // b.n / 1000000.0, 6) AS wins_mean
+FROM r JOIN bounds b USING (event_type)
+GROUP BY r.event_type, b.n, b.lo, b.hi
+""",
+    tags=("E11", "E19", "T-analytics"),
+)
+def q132_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type (clamp to the exact p05/p95 order
+    statistics, then average) — the robust-mean complement of q98's trim
+    (which drops the tails; clamping keeps row count). Bounds come from
+    one rank window (ranks total-ordered by (v, event_id); the k-th value
+    is tie-independent), the clamped mean from integer micro-unit sums
+    with floor-div before the float display round, so engines agree
+    bit-for-bit. The bounds frame is one tiny row per group — broadcast
+    back, no second fact shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("v"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = b.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    bounds = r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 5 + 99) div 100"), F.col("v")))
+        .cast("bigint")
+        .alias("lo"),
+        F.max(F.when(F.col("rn") == F.expr("(n * 95 + 99) div 100"), F.col("v")))
+        .cast("bigint")
+        .alias("hi"),
+    )
+    clamped = F.when(F.col("v") < F.col("lo"), F.col("lo")).when(
+        F.col("v") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("v"))
+    return (
+        r.select("event_type", "v")
+        .join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "n", "lo", "hi")
+        .agg(F.sum(clamped).cast("bigint").alias("s"))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("lo") / 1000000.0, 6).alias("lo"),
+            F.round(F.col("hi") / 1000000.0, 6).alias("hi"),
+            F.round(F.expr("s div n") / 1000000.0, 6).alias("wins_mean"),
+        )
+    )
+
+
+# ------------------------------------------------------ MAD outliers (E11)
+@query(
+    "q141_mad_outliers",
+    oracle="""
+WITH b AS (SELECT event_type, event_id,
+                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+r1 AS (SELECT event_type, v,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS n
+       FROM b),
+med AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS BIGINT) AS med
+        FROM r1 GROUP BY event_type),
+d AS (SELECT r1.event_type, m.n, m.med, abs(r1.v - m.med) AS dev, r1.v, r1.rn
+      FROM r1 JOIN med m USING (event_type)),
+r2 AS (SELECT event_type, n, med, dev, v,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, rn) AS drn
+       FROM d),
+mad AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(med) AS BIGINT) AS med,
+               CAST(MAX(CASE WHEN drn = (n + 1) // 2 THEN dev END) AS BIGINT) AS mad
+        FROM r2 GROUP BY event_type)
+SELECT d.event_type, m.n,
+       ROUND(m.med / 1000000.0, 6) AS median,
+       ROUND(m.mad / 1000000.0, 6) AS mad,
+       CAST(SUM(CASE WHEN abs(d.v - m.med) > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN mad m USING (event_type)
+GROUP BY d.event_type, m.n, m.med, m.mad
+""",
+    tags=("E11", "E19", "T-analytics"),
+)
+def q141_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per event type — the
+    robust alternative to z-scores (q111) whose cut doesn't move when the
+    outliers themselves inflate the spread. Exact lower medians by rank
+    (integer micro-units, tie-broken deterministically), flag = |v−med| >
+    3·MAD in pure integer arithmetic. Two rank windows on the same
+    partition key — the second window and both small-frame joins reuse the
+    event_type hash partitioning, so the fact table shuffles once."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("v"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    r1 = b.withColumn("rn", F.row_number().over(wr)).withColumn("n", F.count("*").over(wn))
+    med = r1.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v")))
+        .cast("bigint")
+        .alias("med"),
+    )
+    d = r1.drop("n").join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n",
+        "med",
+        (F.abs(F.col("v") - F.col("med"))).alias("dev"),
+        "v",
+        "rn",
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "rn")
+    r2 = d.withColumn("drn", F.row_number().over(wd))
+    mad = r2.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max("med").cast("bigint").alias("med"),
+        F.max(F.when(F.col("drn") == F.expr("(n + 1) div 2"), F.col("dev")))
+        .cast("bigint")
+        .alias("mad"),
+    )
+    return (
+        d.select("event_type", "v")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med", "mad")
+        .agg(
+            F.sum(
+                (F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.col("med") / 1000000.0, 6).alias("median"),
+            F.round(F.col("mad") / 1000000.0, 6).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+# --------------------------------------------------- basket affinity (E10)
+@query(
+    "q138_basket_affinity",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nt AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+singles AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY l_partkey),
+pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey)
+SELECT p.part_a, p.part_b, p.n_ab,
+       CAST(p.n_ab * t.n_orders * 1000000 // (sa.n * sb.n) AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN singles sa ON p.part_a = sa.l_partkey
+JOIN singles sb ON p.part_b = sb.l_partkey
+CROSS JOIN nt t
+WHERE p.n_ab >= 2
+""",
+    tags=("E10", "E27", "T-analytics"),
+)
+def q138_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: which parts ship together
+    more than independence predicts. The pair generation is map-side —
+    per-order sorted item arrays expand to C(k,2) ordered pairs via
+    nested higher-order transforms (bounded by basket size, vs the
+    oracle's self-join which shuffles the fact table twice and explodes
+    on large baskets); one shuffle counts pairs. Lift is exact integer
+    ppm: n_ab·N·10⁶ div (n_a·n_b). Support floor n_ab ≥ 2 keeps the
+    output the interesting tail."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda a, i: F.transform(
+                        F.slice(
+                            "parts", i + 2, F.greatest(F.size("parts") - i - 1, F.lit(0))
+                        ),
+                        lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    pair_counts = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    singles = li.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n"))
+    n_orders = li.agg(F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"))
+    out = (
+        pair_counts.join(
+            F.broadcast(singles.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(singles.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return out.select(
+        "part_a",
+        "part_b",
+        "n_ab",
+        F.expr("n_ab * n_orders * 1000000 div (na * nb)").cast("bigint").alias("lift_ppm"),
+    )

@@ -1,0 +1,145 @@
+"""Table-maintenance operators for the 100 TB layout: compaction planning,
+incremental rollup maintenance, zonemap data skipping.
+
+These run against *metadata-scale* or *pre-aggregated* inputs by
+construction — the defining property of maintenance work at 100 TB is that
+it must not re-read the table. The fixtures stand in for the metadata
+tables (part = a file listing; orders shards = two ingest batches)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdkafka_streams_spark.core.io import load_table
+from rdkafka_streams_spark.functions.money import money
+from rdkafka_streams_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------- compaction plan (X)
+@query(
+    "q133_compaction_plan",
+    oracle="""
+WITH files AS (
+  SELECT p_brand AS dir, p_partkey AS file_id,
+         CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS bytes
+  FROM part),
+o AS (
+  SELECT dir, file_id, bytes,
+         COALESCE(SUM(bytes) OVER (PARTITION BY dir ORDER BY file_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS start_offset
+  FROM files)
+SELECT dir, CAST(start_offset // 1000000 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes
+FROM o GROUP BY dir, start_offset // 1000000
+""",
+    tags=("X-scale", "E21"),
+)
+def q133_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (operators/binpack.py): per directory,
+    files map to ~target-byte rewrite bins by their running byte offset
+    (offset div target) — contiguous in file order (preserves clustering),
+    bin count ≤ ceil(dir_bytes/target). Planning runs on the file-listing
+    metadata only (1 row per file; here part stands in: dir=brand,
+    bytes=price cents, target 1 MB), windowed per directory so no global
+    single-partition sort exists."""
+    from rdkafka_streams_spark.operators.binpack import plan_compaction_bins, summarize_bins
+
+    files = _t(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("dir"),
+        F.col("p_partkey").alias("file_id"),
+        (money("p_retailprice") * 100).cast("bigint").alias("bytes"),
+    )
+    plan = plan_compaction_bins(files, "dir", "file_id", "bytes", 1_000_000)
+    return summarize_bins(plan, "dir")
+
+
+# ------------------------------------------------- rollup maintenance (E10)
+@query(
+    "q134_rollup_merge",
+    oracle="""
+SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+       CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS min_cents,
+       CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS max_cents
+FROM orders GROUP BY date_trunc('month', o_orderdate)
+""",
+    tags=("E10", "X-scale"),
+)
+def q134_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: the monthly summary is kept as
+    algebraic state (count/sum/min/max), each ingest batch reduces to its
+    own partial state, and refresh = merging partials — count→sum,
+    sum→sum, min→min, max→max — touching only summary rows, never
+    re-scanning history. Here two hash-split shards of orders simulate
+    two batches; the oracle aggregates the full table directly, proving
+    merge(partials) ≡ recompute. (AVG decomposes via (sum, count); exact
+    quantiles/distincts do not — that's q64's sketch territory.)"""
+    o = _t(spark, sf_dir, "orders").select(
+        F.trunc("o_orderdate", "month").cast("string").alias("month"),
+        (money("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderkey"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    batch_a = partial(o.where(F.col("o_orderkey") % 2 == 0))
+    batch_b = partial(o.where(F.col("o_orderkey") % 2 == 1))
+    return (
+        batch_a.unionByName(batch_b)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.min("min_cents").cast("bigint").alias("min_cents"),
+            F.max("max_cents").cast("bigint").alias("max_cents"),
+        )
+    )
+
+
+# ----------------------------------------------------- zonemap skip (X)
+@query(
+    "q135_zonemap_pruning",
+    oracle="""
+WITH p AS (SELECT o_orderkey // 4096 AS chunk,
+                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+           FROM orders),
+z AS (SELECT chunk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(cents) AS BIGINT) AS cents_lo,
+             CAST(MAX(cents) AS BIGINT) AS cents_hi
+      FROM p GROUP BY chunk)
+SELECT chunk, n_rows, cents_lo, cents_hi,
+       CASE WHEN cents_hi >= 25000000 AND cents_lo <= 30000000 THEN 1 ELSE 0 END AS candidate
+FROM z
+""",
+    tags=("X-scale", "E10"),
+)
+def q135_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonemap build + pruning estimate (operators/zonemap.py): one
+    partially-aggregated shuffle reduces each 4096-key chunk (a file
+    stand-in) to (count, min, max); a planner then marks scan candidates
+    for `totalprice ∈ [250k, 300k]` against stats only. With Z-order
+    clustering (q109) upstream, `candidate=1` chunks shrink from ~all to
+    ~range/keyspace — the zonemap is what turns clustering into skipped
+    IO. Output is the zonemap itself (#chunks rows, data-size-free)."""
+    from rdkafka_streams_spark.operators.zonemap import build_zonemap, prune_with_zonemap
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.expr("o_orderkey div 4096").cast("bigint").alias("chunk"),
+        (money("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    z = build_zonemap(o, "chunk", ["cents"])
+    return prune_with_zonemap(z, "cents", 25_000_000, 30_000_000)
