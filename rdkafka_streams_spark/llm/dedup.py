@@ -410,3 +410,86 @@ def duplicate_span_coverage(
             F.expr("n_dup * 1000000 div n_windows").alias("dup_ppm"),
         )
     )
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    tau_ppm: int = 400_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """All-pairs set-similarity join via prefix filtering (the PPJoin
+    family), the *exact* complement of MinHash-LSH: every pair with
+    shingle-set Jaccard ≥ τ is returned, none missed, without an
+    all-pairs join. Sets are ``shingle_n``-token shingles (the same
+    universe q51's MinHash signs) — unigram token sets saturate on a
+    shared vocabulary, shingles isolate genuine near-dups.
+
+    Key idea: order each doc's distinct shingles by ascending global
+    document frequency (rarest first; ties by value). Two sets with
+    Jaccard ≥ τ must overlap in ≥ ceil(τ·m) elements, so each must expose
+    a *prefix* of its first m − ceil(τ·m) + 1 ordered elements containing
+    at least one shared element — pairs are generated only from docs
+    sharing a prefix element. Rare-first ordering makes prefix postings
+    short (the head of the frequency distribution never enters a prefix
+    unless the doc is tiny), which keeps the candidate count near-linear.
+
+    All arithmetic is integer (τ in ppm; ceil via (m·τ + 1e6 − 1) div
+    1e6), so the candidate bound and the final cross-multiplied Jaccard
+    test are engine-exact. Shuffles: element-df join, per-doc sort, prefix
+    posting join, verify join — all equi-joins on well-spread keys.
+    """
+    tok = docs.select(
+        id_col, F.explode(token_shingles(text_col, shingle_n)).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    per_doc = (
+        tok.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("__o"))
+        .select(
+            F.col(id_col),
+            F.transform("__o", lambda x: x["tok"]).alias("toks"),
+            F.size("__o").alias("m"),
+        )
+        .withColumn(
+            "p",
+            F.col("m")
+            - F.expr(f"(m * {tau_ppm} + 999999) div 1000000").cast("int")
+            + 1,
+        )
+    )
+    prefix = per_doc.select(
+        F.col(id_col), "m", F.explode(F.slice("toks", 1, F.col("p"))).alias("ptok")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.ptok") == F.col("b.ptok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .distinct()
+    )
+    left = per_doc.select(
+        F.col(id_col).alias("id1"), F.col("toks").alias("t1"), F.col("m").alias("m1")
+    )
+    right = per_doc.select(
+        F.col(id_col).alias("id2"), F.col("toks").alias("t2"), F.col("m").alias("m2")
+    )
+    verified = (
+        cand.join(left, "id1")
+        .join(right, "id2")
+        .withColumn("inter", F.size(F.array_intersect("t1", "t2")).cast("bigint"))
+        .withColumn("un", F.col("m1") + F.col("m2") - F.col("inter"))
+        .where(F.col("inter") * 1_000_000 >= F.lit(tau_ppm) * F.col("un"))
+    )
+    return verified.select(
+        "id1",
+        "id2",
+        F.expr("inter * 1000000 div un").cast("bigint").alias("jacc_ppm"),
+    )

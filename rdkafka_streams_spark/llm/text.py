@@ -738,3 +738,36 @@ def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         .alias("n_tokens"),
         (norm != F.col(text_col)).cast("bigint").alias("changed"),
     )
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy — the cheap gibberish
+    / mojibake / binary-spill detector (natural text sits ~2.8–3.2 nats;
+    base64 blobs and repeated-char junk fall far outside).
+
+    H = ln(n) − (Σ c·ln c)/n over character counts c. Each c·ln c term is
+    snapped to integer micro-nats *before* the sum (floats sum in
+    shuffle-dependent order; integers don't — same trick as the bigram LM
+    q96), and the division is integer floor-div, so the result is
+    bit-identical on any engine. Two shuffles, both keyed on doc_id."""
+    ch = docs.select(id_col, F.explode(F.split(text_col, "")).alias("ch"))
+    counts = ch.groupBy(id_col, "ch").agg(F.count("*").cast("bigint").alias("c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(
+            F.floor(F.col("c") * F.log(F.col("c").cast("double")) * 1_000_000 + 0.5)
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    h_micro = (
+        F.floor(F.log(F.col("n").cast("double")) * 1_000_000 + 0.5).cast("bigint")
+        - F.expr("s div n")
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n").alias("n_chars_counted"),
+        F.round(h_micro / 1_000_000.0, 6).alias("entropy_nats"),
+    )

@@ -1531,3 +1531,67 @@ def q126_posting_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("deltas"),
     )
+
+
+# ------------------------------------------------------------------------ L2
+@query(
+    "q136_ppjoin_similarity",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' '))) AS tok
+    FROM t WHERE len(t) >= 3)),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m FROM tok GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS i
+          FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT id1, id2,
+       CAST(i * 1000000 // (sa.m + sb.m - i) AS BIGINT) AS jacc_ppm
+FROM inter
+JOIN sz sa ON inter.id1 = sa.doc_id
+JOIN sz sb ON inter.id2 = sb.doc_id
+WHERE i * 1000000 >= 400000 * (sa.m + sb.m - i)
+""",
+    tags=("L2", "E10"),
+)
+def q136_ppjoin_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs shingle-Jaccard ≥ 0.4 via prefix filtering
+    (llm/dedup.py ppjoin_pairs, the PPJoin family) — same guarantee as
+    the oracle's brute-force shingle self-join but candidates come only
+    from docs sharing an element of their rarest-first prefix
+    (m − ceil(τm) + 1 elements), so the pair space stays near-linear
+    instead of quadratic. The exact counterpart to q51's probabilistic
+    MinHash-LSH over the same 3-token shingle universe; integer ppm
+    arithmetic end to end."""
+    from rdkafka_streams_spark.llm.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(_t(spark, sf_dir, "documents"), tau_ppm=400_000)
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q137_char_entropy",
+    oracle="""
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+counts AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM ch GROUP BY doc_id, ch),
+per_doc AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(c * ln(c) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+            FROM counts GROUP BY doc_id)
+SELECT doc_id, n AS n_chars_counted,
+       ROUND((CAST(floor(ln(n) * 1000000 + 0.5) AS BIGINT) - s // n) / 1000000.0, 6)
+         AS entropy_nats
+FROM per_doc
+""",
+    tags=("L4",),
+)
+def q137_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (llm/text.py char_entropy): the
+    gibberish/base64/mojibake detector every corpus filter front-loads.
+    Per-term micro-nat snapping before the sum makes the float-log metric
+    order-free and engine-exact; both shuffles key on doc_id."""
+    from rdkafka_streams_spark.llm.text import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))

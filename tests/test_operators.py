@@ -624,3 +624,101 @@ def test_exact_group_quantiles_vs_numpy(spark):
     row = exact_group_quantiles(df, "g", "v", (0.25, 0.5, 0.75)).first()
     for name, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
         assert abs(row[name] - np.quantile(vals, q)) < 1e-9, name
+
+
+def test_binpack_bins_contiguous_and_bounded(spark):
+    from rdkafka_streams_spark.operators.binpack import plan_compaction_bins, summarize_bins
+
+    files = spark.createDataFrame(
+        [("d1", i, 30 + (i * 37) % 50) for i in range(40)]
+        + [("d2", i, 120) for i in range(5)],
+        "dir string, file_id int, bytes long",
+    )
+    target = 100
+    plan = plan_compaction_bins(files, "dir", "file_id", "bytes", target).collect()
+    # a file's bin is its start-offset range: bins are contiguous in file order
+    for d in ("d1", "d2"):
+        rows = sorted((r for r in plan if r["dir"] == d), key=lambda r: r["file_id"])
+        bins = [r["bin"] for r in rows]
+        assert bins == sorted(bins)
+        total = sum(r["bytes"] for r in rows)
+        assert max(bins) + 1 <= -(-total // target)  # ≤ ceil(total/target)
+    summary = summarize_bins(
+        plan_compaction_bins(files, "dir", "file_id", "bytes", target), "dir"
+    ).collect()
+    assert sum(r["total_bytes"] for r in summary) == sum(
+        r["bytes"] for r in plan
+    )
+
+
+def test_zonemap_never_prunes_a_matching_row(spark):
+    from rdkafka_streams_spark.operators.zonemap import build_zonemap, prune_with_zonemap
+
+    df = spark.createDataFrame(
+        [(i, (i * 7919) % 1000) for i in range(2000)], "k long, v long"
+    ).withColumn("chunk", F.expr("k div 128"))
+    z = prune_with_zonemap(build_zonemap(df, "chunk", ["v"]), "v", 100, 120)
+    cand = {r["chunk"] for r in z.collect() if r["candidate"] == 1}
+    matching = {
+        r["chunk"] for r in df.where("v between 100 and 120").select("chunk").distinct().collect()
+    }
+    assert matching <= cand  # no false prune (correctness); candidates may over-approximate
+
+
+def test_funnel_ordered_semantics(spark):
+    from rdkafka_streams_spark.operators.funnel import funnel_steps
+
+    rows = [
+        # u1 completes a>b>c in order
+        (1, "a", _ts("2024-01-01 10:00:00")),
+        (1, "b", _ts("2024-01-01 11:00:00")),
+        (1, "c", _ts("2024-01-01 12:00:00")),
+        # u2 has b before a and no b after → depth 1
+        (2, "b", _ts("2024-01-01 09:00:00")),
+        (2, "a", _ts("2024-01-01 10:00:00")),
+        # u3 same-instant a and b: strict ordering → depth 1
+        (3, "a", _ts("2024-01-01 10:00:00")),
+        (3, "b", _ts("2024-01-01 10:00:00")),
+        # u4 never does step a → depth 0
+        (4, "c", _ts("2024-01-01 10:00:00")),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, et string, ts timestamp")
+    out = {r["step"]: r["n_users"] for r in
+           funnel_steps(ev, "user_id", "et", "ts", ["a", "b", "c"]).collect()}
+    assert out == {1: 3, 2: 1, 3: 1}
+
+
+def test_ppjoin_matches_bruteforce(spark):
+    from rdkafka_streams_spark.llm.dedup import ppjoin_pairs, token_shingles
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),  # near-dup of 1
+        (3, "an entirely different sentence about spark shuffles and joins"),
+        (4, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+        (5, "spark shuffles and joins require careful partitioning choices"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id int, text string")
+    got = {
+        (r["id1"], r["id2"]): r["jacc_ppm"]
+        for r in ppjoin_pairs(docs, tau_ppm=400_000).collect()
+    }
+    # brute force over the same shingle universe
+    sh = docs.select("doc_id", F.explode(token_shingles("text", 3)).alias("s"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count("*").alias("i"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("m"))
+    expect = {}
+    szm = {r["doc_id"]: r["m"] for r in sz.collect()}
+    for r in inter.collect():
+        un = szm[r["id1"]] + szm[r["id2"]] - r["i"]
+        if r["i"] * 1_000_000 >= 400_000 * un:
+            expect[(r["id1"], r["id2"])] = r["i"] * 1_000_000 // un
+    assert got == expect
+    assert (1, 4) in got and got[(1, 4)] == 1_000_000  # exact dup
+    assert (1, 2) in got  # near-dup survives
