@@ -182,3 +182,71 @@ def connected_components_star(
             return stars.union(roots.select("node", F.col("node").alias("component")))
         fp = nfp
     raise RuntimeError(f"connected_components_star did not converge in {max_iters} rounds")
+
+
+def count_triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Global triangle count + clustering coefficient over an undirected
+    edge set (rows normalized ``a < b``, distinct).
+
+    The naive 3-way self-join enumerates every triangle 6× and — worse —
+    builds wedges at hub nodes (a degree-d node contributes d² wedge
+    candidates). The scalable form orients each edge from its
+    lower-(degree, id) endpoint to the higher one: every node's
+    *out*-degree is then O(√m) regardless of hubs, each triangle has
+    exactly one node with two out-edges (counted once), and the wedge
+    self-join is bounded by Σ outdeg² ≤ m^1.5 — the standard
+    degree-ordered wedge-check bound.
+
+    Returns one row: n_nodes, n_edges, n_triangles, n_wedges,
+    global_clustering_ppm = 3·triangles·10⁶ div wedges (exact integers).
+    """
+    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).where(
+        F.col(a) != F.col(b)
+    ).distinct()
+    deg = (
+        e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    keyed = e.join(du, "u").join(dv, "v")
+    # orient low-(deg, id) → high-(deg, id); total order, so no edge is lost
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    w1 = oriented.select("src", F.col("dst").alias("x"), F.col("ddst").alias("dx"))
+    w2 = oriented.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
+    # wedge (x, y) ordered by the same (deg, id) order the orientation uses,
+    # so the closing edge — if present — is oriented exactly x→y.
+    wedges = w1.join(w2, "src").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    # wedge rows are unique per (src, x, y), so after the semi-join each
+    # surviving row is one closed wedge = one triangle.
+    tri = wedges.join(closing, ["x", "y"], "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    stats = (
+        deg.agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("bigint").alias("n_wedges"),
+        )
+        .crossJoin(e.agg(F.count("*").cast("bigint").alias("n_edges")))
+    )
+    return stats.crossJoin(tri).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.expr("3 * n_triangles * 1000000 div n_wedges").cast("bigint").alias(
+            "global_clustering_ppm"
+        ),
+    )

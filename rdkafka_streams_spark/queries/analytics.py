@@ -1562,3 +1562,301 @@ def q138_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ab",
         F.expr("n_ab * n_orders * 1000000 div (na * nb)").cast("bigint").alias("lift_ppm"),
     )
+
+
+# -------------------------------------------------------------- EWMA (E21)
+@query(
+    "q142_ewma_decay",
+    oracle="""
+WITH b AS (SELECT user_id, event_id, ts,
+                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+l AS (SELECT user_id, event_id,
+             COALESCE(lag(v, 0) OVER w, 0) * 512 + COALESCE(lag(v, 1) OVER w, 0) * 256
+           + COALESCE(lag(v, 2) OVER w, 0) * 128 + COALESCE(lag(v, 3) OVER w, 0) * 64
+           + COALESCE(lag(v, 4) OVER w, 0) * 32  + COALESCE(lag(v, 5) OVER w, 0) * 16
+           + COALESCE(lag(v, 6) OVER w, 0) * 8   + COALESCE(lag(v, 7) OVER w, 0) * 4
+           + COALESCE(lag(v, 8) OVER w, 0) * 2   + COALESCE(lag(v, 9) OVER w, 0) AS num,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS cnt
+      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, event_id,
+       ROUND(CAST(num // (1024 - (1 << (10 - cnt))) AS BIGINT) / 1000000.0, 6) AS ewma
+FROM l
+""",
+    tags=("E21", "E20", "T-analytics"),
+)
+def q142_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed moving average (α = 1/2, depth 10) per user —
+    the smoothing operator behind rate limiters and anomaly baselines.
+    EWMA's recurrence is sequential, which distributes badly; bounding the
+    tail at 10 terms (weight < 0.1% beyond) turns it into a fixed lag
+    combination inside ONE per-user window sort — weights are powers of
+    two and the normalizer is 2¹⁰ − 2^(10−cnt), so the whole thing is
+    exact integer arithmetic at any parallelism."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = sum(
+        F.coalesce(F.lag("v", k).over(w), F.lit(0)) * (1 << (9 - k)) for k in range(10)
+    )
+    cnt = F.count("*").over(w.rowsBetween(-9, 0))
+    return b.select(
+        "user_id",
+        "event_id",
+        (num.alias("num")),
+        cnt.alias("cnt"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.round(F.expr("num div (1024 - shiftleft(1, 10 - cnt))") / 1000000.0, 6).alias("ewma"),
+    )
+
+
+# ------------------------------------------------------- A/B t-test (E11)
+@query(
+    "q143_ab_ttest",
+    oracle="""
+WITH b AS (SELECT event_type, user_id % 2 AS arm,
+                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+m AS (SELECT event_type, arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s1, CAST(SUM(v * v) AS BIGINT) AS s2
+      FROM b GROUP BY event_type, arm),
+p AS (SELECT a.event_type,
+             a.n AS n_a, b.n AS n_b, a.s1 AS s1a, b.s1 AS s1b, a.s2 AS s2a, b.s2 AS s2b
+      FROM m a JOIN m b ON a.event_type = b.event_type AND a.arm = 0 AND b.arm = 1)
+SELECT event_type, n_a, n_b,
+       ROUND(s1a * 1.0 / n_a / 1000000.0, 6) AS mean_a,
+       ROUND(s1b * 1.0 / n_b / 1000000.0, 6) AS mean_b,
+       ROUND((s1a * 1.0 / n_a - s1b * 1.0 / n_b)
+             / sqrt(CAST(CAST(n_a AS HUGEINT) * s2a - CAST(s1a AS HUGEINT) * s1a AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1))
+                  + CAST(CAST(n_b AS HUGEINT) * s2b - CAST(s1b AS HUGEINT) * s1b AS DOUBLE)
+                      / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1))), 6)
+         AS t_stat
+FROM p WHERE n_a >= 2 AND n_b >= 2
+""",
+    tags=("E11", "T-analytics"),
+)
+def q143_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t-statistic per metric between two experiment arms (users
+    hash-split by id): each arm reduces to three exact integer moments
+    (n, Σv, Σv²) — one partial-agg shuffle of 3 numbers per (metric, arm)
+    regardless of corpus size — and the t ratio is evaluated once per
+    group from identical int64 inputs, so the rounded doubles agree on
+    any engine. The experiment-analysis shape every event pipeline ships."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("v"),
+    )
+    m = b.groupBy("event_type", "arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s2"),
+    )
+    a = m.where(F.col("arm") == 0).select(
+        "event_type", F.col("n").alias("n_a"), F.col("s1").alias("s1a"), F.col("s2").alias("s2a")
+    )
+    c = m.where(F.col("arm") == 1).select(
+        "event_type", F.col("n").alias("n_b"), F.col("s1").alias("s1b"), F.col("s2").alias("s2b")
+    )
+    p = a.join(c, "event_type").where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    mean_a = F.col("s1a") * 1.0 / F.col("n_a")
+    mean_b = F.col("s1b") * 1.0 / F.col("n_b")
+    # moment products exceed int64 (n·Σv² ~ 10¹⁹ at sf0.1) → exact
+    # decimal(38,0) arithmetic, converted to double only at the ratio
+    # (the oracle mirrors with HUGEINT; both round-nearest to the same double)
+    dec = "decimal(38,0)"
+    var_term = (
+        (
+            F.col("n_a").cast(dec) * F.col("s2a").cast(dec)
+            - F.col("s1a").cast(dec) * F.col("s1a").cast(dec)
+        ).cast("double")
+        / (F.col("n_a").cast("double") * F.col("n_a") * (F.col("n_a") - 1))
+        + (
+            F.col("n_b").cast(dec) * F.col("s2b").cast(dec)
+            - F.col("s1b").cast(dec) * F.col("s1b").cast(dec)
+        ).cast("double")
+        / (F.col("n_b").cast("double") * F.col("n_b") * (F.col("n_b") - 1))
+    )
+    return p.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a / 1000000.0, 6).alias("mean_a"),
+        F.round(mean_b / 1000000.0, 6).alias("mean_b"),
+        F.round((mean_a - mean_b) / F.sqrt(var_term), 6).alias("t_stat"),
+    )
+
+
+# ----------------------------------------------------- triangle count (X)
+@query(
+    "q144_triangle_count",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b, COUNT(*) AS n_ab
+          FROM items a
+          JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey),
+e AS (SELECT a, b FROM pairs WHERE n_ab >= 2),
+deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY n),
+tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+              CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+SELECT st.n_nodes, ne.n_edges, tri.n_triangles, st.n_wedges,
+       CAST(3 * tri.n_triangles * 1000000 // st.n_wedges AS BIGINT) AS global_clustering_ppm
+FROM st CROSS JOIN ne CROSS JOIN tri
+""",
+    tags=("X-graph", "E10"),
+)
+def q144_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the co-purchase
+    graph (operators/graph.py count_triangles): edges orient from the
+    lower-(degree, id) endpoint, capping every out-degree at O(√m) so
+    the wedge join is bounded Σoutdeg² ≤ m^1.5 even with hub nodes —
+    versus the oracle's naive 3-way self-join, which each triangle once
+    only because the toy graph fits. Co-purchase edges = part pairs
+    sharing ≥2 orders (q138's support floor)."""
+    from rdkafka_streams_spark.operators.graph import count_triangles
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+        .select("a", "b")
+    )
+    return count_triangles(edges, "a", "b")
+
+
+# ---------------------------------------------------- CUSUM change (E21)
+@query(
+    "q145_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY event_type, date_trunc('day', ts)),
+tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t
+        FROM daily GROUP BY event_type),
+pre AS (SELECT d.event_type, d.d, tt.n,
+               CAST(tt.n * SUM(d.x) OVER (PARTITION BY d.event_type ORDER BY d.d)
+                    - ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.d) * tt.t
+                 AS BIGINT) AS s
+        FROM daily d JOIN tot tt USING (event_type)),
+mx AS (SELECT event_type, CAST(MAX(abs(s)) AS BIGINT) AS score FROM pre GROUP BY event_type)
+SELECT pre.event_type, CAST(MAX(pre.n) AS BIGINT) AS n_days,
+       CAST(MIN(pre.d) AS VARCHAR) AS change_day, CAST(MAX(mx.score) AS BIGINT) AS score
+FROM pre JOIN mx ON pre.event_type = mx.event_type AND abs(pre.s) = mx.score
+GROUP BY pre.event_type
+""",
+    tags=("E21", "T-analytics"),
+)
+def q145_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per metric: the day k maximizing |Σ_{i≤k}(x_i −
+    mean)| over the daily series — mean-shift detection for pipeline
+    monitoring. Scaling by n (S_k = n·prefix_k − k·total) clears the
+    division, so scores are exact BIGINT and the argmax (earliest day on
+    ties) is engine-exact. Events reduce to one row per (metric, day)
+    BEFORE any window — the prefix sort runs on the tiny daily frame."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.sum(F.floor(F.col("value") * 1000000 + 0.5).cast("bigint")).cast("bigint").alias("x"))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("x").cast("bigint").alias("t")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    pre = (
+        daily.join(tot, "event_type")
+        .withColumn(
+            "s",
+            (
+                F.col("n") * F.sum("x").over(w)
+                - F.row_number().over(w) * F.col("t")
+            ).cast("bigint"),
+        )
+    )
+    mx = pre.groupBy("event_type").agg(F.max(F.abs("s")).cast("bigint").alias("score"))
+    return (
+        pre.join(mx, "event_type")
+        .where(F.abs("s") == F.col("score"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            F.min("d").cast("string").alias("change_day"),
+            F.max("score").cast("bigint").alias("score"),
+        )
+    )
+
+
+# ------------------------------------------- SCD2 point-in-time join (X-cdc)
+@query(
+    "q146_scd2_pointintime",
+    oracle="""
+WITH chg0 AS (
+  SELECT user_id, ts, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rv
+  FROM events WHERE event_type IN ('signup', 'error')),
+chg1 AS (SELECT user_id, ts, event_id, event_type FROM chg0 WHERE rv = 1),
+chg2 AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM chg1),
+dim AS (
+  SELECT user_id, event_type AS state, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM chg2 WHERE prev_type IS NULL OR prev_type <> event_type),
+facts AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, CAST(epoch_us(f.ts) AS BIGINT) AS ts_us, d.state
+FROM facts f JOIN dim d
+  ON f.user_id = d.user_id AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR d.valid_to > f.ts)
+""",
+    tags=("X-cdc", "E9", "T-analytics"),
+)
+def q146_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time fact→dimension lookup against an SCD2 dimension —
+    the other half of q97's build: each purchase joins the user-state
+    version (last signup/error) valid at its event time. Planned as the
+    as-of join (operators/asof.py union+carry-forward: ONE shuffle, no
+    per-key range scan) rather than the oracle's interval theta-join;
+    same-instant duplicate changes collapse (latest event_id wins) so
+    intervals have positive width and both formulations agree exactly.
+    Facts whose user has no prior state drop (inner semantics)."""
+    from rdkafka_streams_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    w_same_ts = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    changes = (
+        ev.where(F.col("event_type").isin("signup", "error"))
+        .withColumn("rv", F.row_number().over(w_same_ts))
+        .where(F.col("rv") == 1)
+        .select("user_id", "ts", F.col("event_type").alias("state"))
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        facts, changes, on="user_id", left_ts="ts", right_ts="ts",
+        payload=["state"], strict=False,
+    )
+    return out.where(F.col("state_asof").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("state_asof").alias("state"),
+    )
