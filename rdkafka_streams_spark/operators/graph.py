@@ -200,9 +200,17 @@ def count_triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     Returns one row: n_nodes, n_edges, n_triangles, n_wedges,
     global_clustering_ppm = 3·triangles·10⁶ div wedges (exact integers).
     """
-    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v")).where(
-        F.col(a) != F.col(b)
-    ).distinct()
+    # e/deg/oriented each feed several output branches; without
+    # materialization Catalyst re-derives the (possibly expensive) edge
+    # lineage once per branch — 74 exchanges on the co-purchase graph vs 9
+    # with reuse. persist() is the lazy form: computed once at the first
+    # action, shared by every branch.
+    e = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col(a) != F.col(b))
+        .distinct()
+        .persist()
+    )
     deg = (
         e.select(F.col("u").alias("n")).unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
@@ -219,7 +227,7 @@ def count_triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-    )
+    ).persist()
     w1 = oriented.select("src", F.col("dst").alias("x"), F.col("ddst").alias("dx"))
     w2 = oriented.select("src", F.col("dst").alias("y"), F.col("ddst").alias("dy"))
     # wedge (x, y) ordered by the same (deg, id) order the orientation uses,

@@ -722,3 +722,20 @@ def test_ppjoin_matches_bruteforce(spark):
     assert got == expect
     assert (1, 4) in got and got[(1, 4)] == 1_000_000  # exact dup
     assert (1, 2) in got  # near-dup survives
+
+
+def test_count_triangles_known_graph(spark):
+    from rdkafka_streams_spark.operators.graph import count_triangles
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant 5-1 + isolated edge 6-7
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5), (6, 7)],
+        "a long, b long",
+    )
+    r = count_triangles(edges).collect()[0]
+    assert r["n_nodes"] == 7
+    assert r["n_edges"] == 8
+    assert r["n_triangles"] == 4
+    # wedges: deg(1)=4→6, deg(2)=deg(3)=deg(4)=3→3 each, deg5/6/7=1→0 ⇒ 15
+    assert r["n_wedges"] == 15
+    assert r["global_clustering_ppm"] == 3 * 4 * 1_000_000 // 15
