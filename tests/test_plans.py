@@ -103,6 +103,20 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q106_pmi_collocations": 7,  # pair counts + two marginals + total (all small) + report join
         "q107_embedding_dim_stats": 1,  # posexplode + one 64-group agg
         "q108_pq_adc_topk": 1,       # encode map-only; queries bcast; one top-k window
+        "q130_funnel_steps": 3,      # per-user collect + tiny depth hist + step join
+        "q131_gini_concentration": 2,  # fact⋈customer agg + per-nation rank window
+        "q132_winsorized_stats": 2,  # rank window + bounds-broadcast clamp agg
+        "q133_compaction_plan": 1,   # one per-dir window over file metadata
+        "q134_rollup_merge": 2,      # two shard partials merge on the month key
+        "q135_zonemap_pruning": 1,   # one partial-agg chunk reduction
+        "q137_char_entropy": 2,      # char counts + per-doc reduction, both on doc_id
+        "q139_first_path_trigrams": 2,  # prefix window + path count (user key reused)
+        "q140_retention_cohorts": 3, # first-week agg + distinct + cohort rollup
+        "q141_mad_outliers": 4,      # two rank windows + two broadcast-join aggs
+        "q142_ewma_decay": 1,        # ONE per-user window carries all 10 lags
+        "q143_ab_ttest": 2,          # moment partial-agg + arm pivot join
+        "q145_cusum_changepoint": 6, # daily agg branches + prefix window + argmax join
+        "q146_scd2_pointintime": 2,  # change dedup window + one as-of union shuffle
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
