@@ -1860,3 +1860,116 @@ def q146_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.col("state_asof").alias("state"),
     )
+
+
+# ------------------------------------------------- chi-square test (E11)
+@query(
+    "q147_chi_square",
+    oracle="""
+WITH o AS (SELECT event_type, user_id % 7 AS seg, CAST(COUNT(*) AS BIGINT) AS o
+           FROM events GROUP BY event_type, user_id % 7),
+r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM o GROUP BY event_type),
+c AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS c FROM o GROUP BY seg),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
+cells AS (
+  SELECT CAST((CAST(n.n * o.o - r.r * c.c AS HUGEINT)
+             * (n.n * o.o - r.r * c.c) * 1000000)
+             // (CAST(n.n AS HUGEINT) * r.r * c.c) AS BIGINT) AS cell_micro
+  FROM o JOIN r USING (event_type) JOIN c USING (seg) CROSS JOIN n),
+df AS (SELECT (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT seg) - 1) AS df FROM o)
+SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM n) AS n,
+       CAST(df.df AS BIGINT) AS df,
+       ROUND(CAST(SUM(cell_micro) AS BIGINT) / 1000000.0, 6) AS chi2
+FROM cells CROSS JOIN df GROUP BY df.df
+""",
+    tags=("E11", "T-analytics"),
+)
+def q147_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test (event_type × user segment):
+    the contingency table reduces map-side to one row per cell, margins
+    are cell-table aggregates (never a second fact scan), and each cell's
+    contribution (n·o − r·c)²·10⁶ div (n·r·c) is computed in exact
+    decimal(38,0) / HUGEINT arithmetic and snapped to integer micro
+    BEFORE the sum — the float chi² would depend on summation order.
+    Shuffle cost is the cell count, independent of table size."""
+    ev = _t(spark, sf_dir, "events")
+    o = ev.groupBy("event_type", (F.col("user_id") % 7).alias("seg")).agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    r = o.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r"))
+    c = o.groupBy("seg").agg(F.sum("o").cast("bigint").alias("c"))
+    n = o.agg(F.sum("o").cast("bigint").alias("n"))
+    dec = "decimal(19,0)"
+    d = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast(dec)
+    denom = (
+        F.col("n").cast(dec) * (F.col("r") * F.col("c")).cast(dec)
+    )
+    cell = (
+        (d * d * F.lit(1000000).cast("decimal(7,0)"))
+        .alias("num")
+    )
+    cells = (
+        o.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(c), "seg")
+        .crossJoin(F.broadcast(n))
+        .select((cell.cast("decimal(38,0)")).alias("num"), denom.alias("den"))
+        .select(F.expr("num div den").cast("bigint").alias("cell_micro"))
+    )
+    dims = o.agg(
+        (
+            (F.count_distinct("event_type") - 1) * (F.count_distinct("seg") - 1)
+        ).cast("bigint").alias("df")
+    )
+    return (
+        cells.agg(F.sum("cell_micro").cast("bigint").alias("s"))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(dims))
+        .select("n", "df", F.round(F.col("s") / 1000000.0, 6).alias("chi2"))
+    )
+
+
+# ------------------------------------------------- Benford screen (E25)
+@query(
+    "q148_benford_digits",
+    oracle="""
+WITH cents AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+               FROM orders WHERE o_totalprice > 0),
+d AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM cents),
+h AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_d FROM d GROUP BY digit),
+t AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM h)
+SELECT h.digit, h.n_d,
+       CAST(h.n_d * 1000000 // t.n AS BIGINT) AS share_ppm,
+       CAST(floor(log10(1.0 + 1.0 / h.digit) * 1000000 + 0.5) AS BIGINT) AS benford_ppm,
+       CAST(h.n_d * 1000000 // t.n
+            - CAST(floor(log10(1.0 + 1.0 / h.digit) * 1000000 + 0.5) AS BIGINT) AS BIGINT)
+         AS dev_ppm
+FROM h CROSS JOIN t
+""",
+    tags=("E25", "E11", "T-analytics"),
+)
+def q148_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over order totals — the forensic
+    data-quality test for fabricated or truncated numeric columns. The
+    leading digit comes from the canonical BIGINT→string rendering (no
+    float log10 on data values, whose power-of-ten boundaries are
+    libm-dependent); the Benford reference log10(1+1/d) is evaluated on
+    nine literal constants only. One partial-agg shuffle of ≤9 rows."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    cents = o.select((money("o_totalprice") * 100).cast("bigint").alias("v"))
+    h = cents.select(
+        F.substring(F.col("v").cast("string"), 1, 1).cast("bigint").alias("digit")
+    ).groupBy("digit").agg(F.count("*").cast("bigint").alias("n_d"))
+    t = h.agg(F.sum("n_d").cast("bigint").alias("n"))
+    benford = F.floor(
+        F.log10(1.0 + 1.0 / F.col("digit")) * 1000000 + 0.5
+    ).cast("bigint")
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n_d",
+            F.expr("n_d * 1000000 div n").cast("bigint").alias("share_ppm"),
+            benford.alias("benford_ppm"),
+            (F.expr("n_d * 1000000 div n") - benford).cast("bigint").alias("dev_ppm"),
+        )
+    )
