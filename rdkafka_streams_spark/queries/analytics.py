@@ -1973,3 +1973,54 @@ def q148_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("n_d * 1000000 div n") - benford).cast("bigint").alias("dev_ppm"),
         )
     )
+
+
+# ------------------------------------------------- weighted median (E11)
+@query(
+    "q151_weighted_median",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag AS flag,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS w,
+         l_orderkey, l_linenumber
+  FROM lineitem),
+c AS (SELECT flag, v, w,
+             SUM(w) OVER (PARTITION BY flag ORDER BY v, l_orderkey, l_linenumber) AS cumw,
+             SUM(w) OVER (PARTITION BY flag) AS tw
+      FROM b)
+SELECT flag, CAST(MAX(tw) AS BIGINT) AS total_weight,
+       CAST(MIN(v) AS BIGINT) AS wmedian_cents
+FROM c WHERE 2 * cumw >= tw GROUP BY flag
+""",
+    tags=("E11", "E19", "T-analytics"),
+)
+def q151_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-aware median (quantity-weighted price per return flag) —
+    the aggregation q127's unweighted quantiles can't express: the
+    median unit shipped, not the median line. One rank-ordered
+    cumulative-weight window (total order via the line's unique key), the
+    crossing row found by integer comparison 2·cumw ≥ W — no floats
+    anywhere, so engines agree exactly. Both windows share one per-flag
+    exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (money("l_extendedprice") * 100).cast("bigint").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wo = Window.partitionBy("flag").orderBy("v", "l_orderkey", "l_linenumber")
+    wt = Window.partitionBy("flag")
+    c = b.withColumn("cumw", F.sum("w").over(wo)).withColumn(
+        "tw", F.sum("w").over(wt)
+    )
+    return (
+        c.where(2 * F.col("cumw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.max("tw").cast("bigint").alias("total_weight"),
+            F.min("v").cast("bigint").alias("wmedian_cents"),
+        )
+    )

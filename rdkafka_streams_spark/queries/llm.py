@@ -1595,3 +1595,78 @@ def q137_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.text import char_entropy
 
     return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------------ L3
+@query(
+    "q149_embedding_whiten",
+    oracle="""
+WITH el AS (
+  SELECT vec_id,
+         unnest(list_transform(range(1, len(embedding) + 1),
+                               i -> {'d': i, 'x': embedding[i]})) AS u
+  FROM embeddings),
+e AS (SELECT vec_id, u.d AS d,
+             CAST(floor(CAST(u.x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v FROM el),
+st AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(v) AS BIGINT) AS s1, CAST(SUM(v * v) AS BIGINT) AS s2
+       FROM e GROUP BY d),
+sd AS (SELECT d, s1 * 1.0 / n AS mean,
+              sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * n)) AS std
+       FROM st),
+terms AS (SELECT e.vec_id,
+                 CAST(floor(((e.v - sd.mean) / sd.std) * ((e.v - sd.mean) / sd.std)
+                            * 1000000 + 0.5) AS BIGINT) AS t
+          FROM e JOIN sd USING (d) WHERE sd.std > 0)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+       CAST(SUM(t) AS BIGINT) AS wnorm2_micro
+FROM terms GROUP BY vec_id
+""",
+    tags=("L3", "E11"),
+)
+def q149_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization (whitening) applied to every vector —
+    the preprocessing step q107's stats exist for. Stats come from exact
+    integer micro-moments (variance numerator in decimal(38,0)/HUGEINT);
+    each standardized element is snapped to integer micro BEFORE the
+    per-vector reduction, so the whitened norm is summation-order-free
+    and engine-exact. The 64-row stats frame broadcasts back onto the
+    exploded elements; both big shuffles key on (dim) then (vec_id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).select(
+        "vec_id",
+        "d",
+        # float32 must widen to double BEFORE scaling — float*int stays
+        # single-precision in some engines and the floor boundary drifts
+        F.floor(F.col("x").cast("double") * 1000000 + 0.5).cast("bigint").alias("v"),
+    )
+    st = e.groupBy("d").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("s2"),
+    )
+    dec = "decimal(38,0)"
+    sd = st.select(
+        "d",
+        (F.col("s1") * 1.0 / F.col("n")).alias("mean"),
+        F.sqrt(
+            (
+                F.col("n").cast(dec) * F.col("s2").cast(dec)
+                - F.col("s1").cast(dec) * F.col("s1").cast(dec)
+            ).cast("double")
+            / (F.col("n").cast("double") * F.col("n"))
+        ).alias("std"),
+    ).where(F.col("std") > 0)
+    z = (F.col("v") - F.col("mean")) / F.col("std")
+    return (
+        e.join(F.broadcast(sd), "d")
+        .select("vec_id", F.floor(z * z * 1000000 + 0.5).cast("bigint").alias("t"))
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dims"),
+            F.sum("t").cast("bigint").alias("wnorm2_micro"),
+        )
+    )

@@ -143,3 +143,102 @@ def q135_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = build_zonemap(o, "chunk", ["cents"])
     return prune_with_zonemap(z, "cents", 25_000_000, 30_000_000)
+
+
+# ------------------------------------------- consistent hashing (X-scale)
+@query(
+    "q150_consistent_rebalance",
+    oracle="""
+WITH vn AS (
+  SELECT s.range AS shard, v.range AS vnode,
+         ('0x' || substring(md5(CAST(s.range AS VARCHAR) || ':' || CAST(v.range AS VARCHAR)),
+                            1, 8))::BIGINT AS token
+  FROM range(0, 9) s, range(0, 16) v),
+k AS (SELECT o_orderkey AS key,
+             ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM orders),
+a8 AS (
+  SELECT key, shard FROM (
+    SELECT k.key, vn.shard,
+           ROW_NUMBER() OVER (PARTITION BY k.key ORDER BY
+             CASE WHEN vn.token >= k.h THEN vn.token ELSE vn.token + 4294967296 END,
+             vn.shard, vn.vnode) AS rn
+    FROM k JOIN vn ON vn.shard < 8) WHERE rn = 1),
+a9 AS (
+  SELECT key, shard FROM (
+    SELECT k.key, vn.shard,
+           ROW_NUMBER() OVER (PARTITION BY k.key ORDER BY
+             CASE WHEN vn.token >= k.h THEN vn.token ELSE vn.token + 4294967296 END,
+             vn.shard, vn.vnode) AS rn
+    FROM k JOIN vn ON vn.shard < 9) WHERE rn = 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN a8.shard <> a9.shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       CAST(SUM(CASE WHEN a8.shard <> a9.shard THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS moved_ppm
+FROM a8 JOIN a9 USING (key)
+""",
+    tags=("X-scale", "E10"),
+)
+def q150_consistent_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring rebalancing plan: assign every key to a shard
+    on a 16-vnode-per-shard md5 ring at 8 shards and again at 9, and
+    measure the moved fraction — the property that makes consistent
+    hashing THE resharding strategy (≈1/(n+1) of keys move, vs ~100% for
+    mod-n). The ring (144 vnodes) broadcasts; assignment is a per-key
+    min-over-ring (successor vnode, wrapping) — map-side, no shuffle of
+    the key table beyond the final count. Token/key hashes are the
+    hex-prefix-of-md5 uint32 both engines reproduce bit-for-bit."""
+    o = _t(spark, sf_dir, "orders")
+    keys = o.select(
+        F.col("o_orderkey").alias("key"),
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    spark_ = o.sparkSession
+    vn = (
+        spark_.range(0, 9).select(F.col("id").alias("shard"))
+        .crossJoin(spark_.range(0, 16).select(F.col("id").alias("vnode")))
+        .select(
+            "shard",
+            "vnode",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("shard"), F.col("vnode"))), 1, 8
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("token"),
+        )
+    )
+
+    def assign(n_shards: int, out: str):
+        ring = vn.where(F.col("shard") < n_shards)
+        adj = F.when(F.col("token") >= F.col("h"), F.col("token")).otherwise(
+            F.col("token") + 4294967296
+        )
+        return (
+            keys.join(F.broadcast(ring))
+            .select("key", adj.alias("adj"), "shard", "vnode")
+            .groupBy("key")
+            .agg(F.min(F.struct("adj", "shard", "vnode")).alias("m"))
+            .select("key", F.col("m.shard").alias(out))
+        )
+
+    a8 = assign(8, "s8")
+    a9 = assign(9, "s9")
+    moved = F.sum((F.col("s8") != F.col("s9")).cast("int")).cast("bigint")
+    return (
+        a8.join(a9, "key")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            moved.alias("n_moved"),
+        )
+        .select(
+            "n_keys",
+            "n_moved",
+            F.expr("n_moved * 1000000 div n_keys").cast("bigint").alias("moved_ppm"),
+        )
+    )
