@@ -1893,9 +1893,11 @@ def q147_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the sum — the float chi² would depend on summation order.
     Shuffle cost is the cell count, independent of table size."""
     ev = _t(spark, sf_dir, "events")
+    # the cell table feeds margins, total, df, and the contribution join —
+    # persist so the fact table reduces once, not once per branch
     o = ev.groupBy("event_type", (F.col("user_id") % 7).alias("seg")).agg(
         F.count("*").cast("bigint").alias("o")
-    )
+    ).persist()
     r = o.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r"))
     c = o.groupBy("seg").agg(F.sum("o").cast("bigint").alias("c"))
     n = o.agg(F.sum("o").cast("bigint").alias("n"))

@@ -117,6 +117,10 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q143_ab_ttest": 2,          # moment partial-agg + arm pivot join
         "q145_cusum_changepoint": 6, # daily agg branches + prefix window + argmax join
         "q146_scd2_pointintime": 2,  # change dedup window + one as-of union shuffle
+        "q148_benford_digits": 3,    # digit partial-agg + total broadcast
+        "q149_embedding_whiten": 2,  # per-dim stats + per-vector reduction
+        "q150_consistent_rebalance": 3,  # ring broadcast; per-key min + diff join
+        "q151_weighted_median": 1,   # ONE per-flag cumulative-weight window
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
