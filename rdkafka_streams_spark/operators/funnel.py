@@ -27,7 +27,9 @@ def funnel_steps(
     """Returns (step, step_name, n_users): users whose events contain the
     step sequence in timestamp order (strictly increasing across steps).
     Ties inside one step don't matter (any occurrence works); cross-step
-    ties are resolved strictly (same-instant events don't chain)."""
+    ties are resolved strictly (same-instant events don't chain).
+    Every requested step appears in the output — a step no user reached
+    reports n_users = 0 rather than vanishing (ADVICE r3)."""
     ev = events.where(F.col(type_col).isin(steps))
     aggs = [
         F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"__ts_{i}")
@@ -56,7 +58,7 @@ def funnel_steps(
         [(i + 1, s) for i, s in enumerate(steps)], ["step", "step_name"]
     )
     return (
-        steps_df.join(hist, hist["__depth"] >= steps_df["step"])
+        steps_df.join(hist, hist["__depth"] >= steps_df["step"], "left")
         .groupBy("step", "step_name")
-        .agg(F.sum("__n").cast("bigint").alias("n_users"))
+        .agg(F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("n_users"))
     )

@@ -203,8 +203,9 @@ def count_triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     # e/deg/oriented each feed several output branches; without
     # materialization Catalyst re-derives the (possibly expensive) edge
     # lineage once per branch — 74 exchanges on the co-purchase graph vs 9
-    # with reuse. persist() is the lazy form: computed once at the first
-    # action, shared by every branch.
+    # with reuse. The result is a single row, so the caches are released
+    # in `finally` after the eager compute below — nothing pins executor
+    # storage past the call (ADVICE r3).
     e = (
         edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .where(F.col(a) != F.col(b))
@@ -249,7 +250,7 @@ def count_triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         )
         .crossJoin(e.agg(F.count("*").cast("bigint").alias("n_edges")))
     )
-    return stats.crossJoin(tri).select(
+    out = stats.crossJoin(tri).select(
         "n_nodes",
         "n_edges",
         "n_triangles",
@@ -258,3 +259,11 @@ def count_triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
             "global_clustering_ppm"
         ),
     )
+    # single-row result: materialize eagerly so the shared frames can be
+    # released before returning (mirrors connected_components cleanup)
+    try:
+        rows = out.collect()
+    finally:
+        e.unpersist(blocking=False)
+        oriented.unpersist(blocking=False)
+    return edges.sparkSession.createDataFrame(rows, schema=out.schema)

@@ -1501,7 +1501,8 @@ pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
           GROUP BY a.l_partkey, b.l_partkey)
 SELECT p.part_a, p.part_b, p.n_ab,
-       CAST(p.n_ab * t.n_orders * 1000000 // (sa.n * sb.n) AS BIGINT) AS lift_ppm
+       CAST(CAST(p.n_ab AS HUGEINT) * t.n_orders * 1000000
+            // (CAST(sa.n AS HUGEINT) * sb.n) AS BIGINT) AS lift_ppm
 FROM pairs p
 JOIN singles sa ON p.part_a = sa.l_partkey
 JOIN singles sb ON p.part_b = sb.l_partkey
@@ -1545,22 +1546,32 @@ def q138_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     singles = li.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n"))
     n_orders = li.agg(F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"))
+    # singles is one row per DISTINCT part — unbounded in |parts|, so a
+    # forced broadcast would OOM the driver at catalog scale; shuffle
+    # equi-joins on the pair keys instead (AQE still demotes them to
+    # broadcast when the actual size is small). Only the 1-row n_orders
+    # broadcasts unconditionally. (ADVICE r3)
     out = (
         pair_counts.join(
-            F.broadcast(singles.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))),
+            singles.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na")),
             "part_a",
         )
         .join(
-            F.broadcast(singles.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))),
+            singles.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb")),
             "part_b",
         )
         .crossJoin(F.broadcast(n_orders))
     )
+    # n_ab·N·10⁶ in BIGINT wraps past int64 once n_ab·N > 9.2e12 — widen
+    # to decimal(38,0) before multiplying, matching the q143/q147 pattern
     return out.select(
         "part_a",
         "part_b",
         "n_ab",
-        F.expr("n_ab * n_orders * 1000000 div (na * nb)").cast("bigint").alias("lift_ppm"),
+        F.expr(
+            "cast(n_ab as decimal(38,0)) * cast(n_orders as decimal(38,0))"
+            " * 1000000 div (cast(na as decimal(38,0)) * cast(nb as decimal(38,0)))"
+        ).cast("bigint").alias("lift_ppm"),
     )
 
 
@@ -1889,32 +1900,41 @@ def q147_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     the contingency table reduces map-side to one row per cell, margins
     are cell-table aggregates (never a second fact scan), and each cell's
     contribution (n·o − r·c)²·10⁶ div (n·r·c) is computed in exact
-    decimal(38,0) / HUGEINT arithmetic and snapped to integer micro
-    BEFORE the sum — the float chi² would depend on summation order.
-    Shuffle cost is the cell count, independent of table size."""
+    decimal(38,0) / HUGEINT arithmetic (operands widened BEFORE any
+    multiply — valid to the same 38-digit bound as the oracle's HUGEINT)
+    and snapped to integer micro BEFORE the sum — the float chi² would
+    depend on summation order. The fact table is scanned exactly once:
+    the domain-bounded cell table is materialized locally, so no
+    persist() pins executor storage across the session."""
     ev = _t(spark, sf_dir, "events")
-    # the cell table feeds margins, total, df, and the contribution join —
-    # persist so the fact table reduces once, not once per branch
-    o = ev.groupBy("event_type", (F.col("user_id") % 7).alias("seg")).agg(
+    # The cell table feeds margins, total, df, AND the contribution join.
+    # It is domain-bounded (|event_type| × 7 cells), not data-bounded, so
+    # materialize it ONCE into a local relation: the fact table reduces in
+    # a single pass, and — unlike persist() — nothing pins executor
+    # storage for the session lifetime (ADVICE r3).
+    o_lazy = ev.groupBy("event_type", (F.col("user_id") % 7).alias("seg")).agg(
         F.count("*").cast("bigint").alias("o")
-    ).persist()
+    )
+    o = spark.createDataFrame(o_lazy.collect(), schema=o_lazy.schema)
     r = o.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r"))
     c = o.groupBy("seg").agg(F.sum("o").cast("bigint").alias("c"))
     n = o.agg(F.sum("o").cast("bigint").alias("n"))
-    dec = "decimal(19,0)"
-    d = (F.col("n") * F.col("o") - F.col("r") * F.col("c")).cast(dec)
-    denom = (
-        F.col("n").cast(dec) * (F.col("r") * F.col("c")).cast(dec)
-    )
-    cell = (
-        (d * d * F.lit(1000000).cast("decimal(7,0)"))
-        .alias("num")
-    )
+    # cast every operand to decimal(38,0) BEFORE multiplying — n·o and r·c
+    # in BIGINT silently wrap past int64 at large event counts (ADVICE r3;
+    # same hazard q143/q149 already guard against)
+    dec = "decimal(38,0)"
+    d = F.col("n").cast(dec) * F.col("o").cast(dec) - F.col("r").cast(dec) * F.col(
+        "c"
+    ).cast(dec)
+    denom = F.col("n").cast(dec) * F.col("r").cast(dec) * F.col("c").cast(dec)
     cells = (
         o.join(F.broadcast(r), "event_type")
         .join(F.broadcast(c), "seg")
         .crossJoin(F.broadcast(n))
-        .select((cell.cast("decimal(38,0)")).alias("num"), denom.alias("den"))
+        .select(
+            (d * d * F.lit(1000000).cast("decimal(7,0)")).cast(dec).alias("num"),
+            denom.alias("den"),
+        )
         .select(F.expr("num div den").cast("bigint").alias("cell_micro"))
     )
     dims = o.agg(

@@ -51,8 +51,8 @@ d AS (SELECT CAST(t0 IS NOT NULL AS INT) + CAST(t1 IS NOT NULL AS INT)
 h AS (SELECT depth, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY depth),
 s AS (SELECT * FROM (VALUES (1, 'signup'), (2, 'view'), (3, 'click'), (4, 'purchase'))
       AS v(step, step_name))
-SELECT s.step, s.step_name, CAST(SUM(h.n) AS BIGINT) AS n_users
-FROM s JOIN h ON h.depth >= s.step
+SELECT s.step, s.step_name, CAST(COALESCE(SUM(h.n), 0) AS BIGINT) AS n_users
+FROM s LEFT JOIN h ON h.depth >= s.step
 GROUP BY s.step, s.step_name
 """,
     tags=("E10", "E27", "T-analytics"),
