@@ -2046,3 +2046,158 @@ def q151_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("v").cast("bigint").alias("wmedian_cents"),
         )
     )
+
+
+# ------------------------------------------- concurrent-load sweep (E21)
+@query(
+    "q154_concurrent_load",
+    oracle="""
+WITH deltas AS (
+  SELECT event_type, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT event_type, ts + INTERVAL 300 SECOND AS t, -1 AS delta FROM events),
+run AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM deltas)
+SELECT event_type, CAST(MAX(c) AS BIGINT) AS peak_concurrent
+FROM run GROUP BY event_type
+""",
+    tags=("E21", "T-analytics"),
+)
+def q154_concurrent_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type (each event occupies
+    [ts, ts+300 s)): the classic sweep line — +1/−1 deltas, running sum,
+    global max. A literal translation is ONE ordered window per type
+    (the oracle's shape): a single sort task per type at any scale. The
+    scalable form is two-phase: a per-(type, day) local sweep in
+    parallel, then each day's peak lifted by the exclusive prefix sum of
+    whole-day delta totals (a per-type window over #days rows) —
+    identical result, sort parallelism grows with the time range. Ends
+    sort before starts at the same instant (ORDER BY t, delta), so
+    touching intervals don't overlap."""
+    ev = _t(spark, sf_dir, "events")
+    deltas = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("ts") + F.expr("INTERVAL 300 SECOND")).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("x"),
+    ).select("event_type", F.col("x.t").alias("t"), F.col("x.delta").alias("delta"))
+    day = F.to_date("t")
+    wloc = (
+        Window.partitionBy("event_type", day)
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = deltas.select(
+        "event_type",
+        day.alias("d"),
+        F.sum("delta").over(wloc).alias("lr"),
+        "delta",
+    )
+    per_day = loc.groupBy("event_type", "d").agg(
+        F.max("lr").alias("local_peak"), F.sum("delta").alias("day_sum")
+    )
+    woff = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    peaks = per_day.select(
+        "event_type",
+        (
+            F.col("local_peak") + F.coalesce(F.sum("day_sum").over(woff), F.lit(0))
+        ).alias("peak"),
+    )
+    return peaks.groupBy("event_type").agg(
+        F.max("peak").cast("bigint").alias("peak_concurrent")
+    )
+
+
+# ---------------------------------------------- integer PageRank (X-graph)
+@query(
+    "q156_pagerank",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= 2),
+e AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT node, CAST(1000000000000 // n.n AS BIGINT) AS r FROM deg CROSS JOIN n),
+b AS (SELECT CAST((15 * (1000000000000 // n.n)) // 100 AS BIGINT) AS b FROM n),
+r1 AS (SELECT e.dst AS node, CAST(b.b + (85 * SUM(r0.r // d.deg)) // 100 AS BIGINT) AS r
+       FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.node CROSS JOIN b
+       GROUP BY e.dst, b.b),
+r2 AS (SELECT e.dst AS node, CAST(b.b + (85 * SUM(r1.r // d.deg)) // 100 AS BIGINT) AS r
+       FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.node CROSS JOIN b
+       GROUP BY e.dst, b.b),
+r3 AS (SELECT e.dst AS node, CAST(b.b + (85 * SUM(r2.r // d.deg)) // 100 AS BIGINT) AS r
+       FROM e JOIN r2 ON e.src = r2.node JOIN deg d ON e.src = d.node CROSS JOIN b
+       GROUP BY e.dst, b.b)
+SELECT node, r AS rank_e12 FROM r3 ORDER BY r DESC, node LIMIT 20
+""",
+    tags=("X-graph", "E10"),
+)
+def q156_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three damped PageRank iterations (d = 0.85) over the undirected
+    co-purchase graph, entirely in integer 1e-12 units: contribution =
+    r div deg, next = base + (85·Σcontrib) div 100 — bit-identical at
+    any parallelism (float PageRank sums are order-dependent). Edges +
+    degrees persist across the three joins and are released after the
+    top-20 is materialized (the count_triangles pattern); per iteration
+    the only corpus-sized shuffles are the contribution join and the
+    dst aggregate. Undirected edges mean no dangling mass. Top-20 by
+    (rank, node) keeps the output bounded."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("b"))
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+        .select("a", "b")
+    )
+    e = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("deg")).persist()
+    try:
+        n = deg.count()  # bounded scalar (node count), drives the literals
+        r0_val = 10**12 // n
+        base = (15 * r0_val) // 100
+        r = deg.select(F.col("src").alias("node"), F.lit(r0_val).cast("bigint").alias("r"))
+        for _ in range(3):
+            contrib = (
+                e.join(r, e["src"] == r["node"])
+                .join(deg, "src")
+                .select("dst", F.expr("r div deg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            r = contrib.select(
+                F.col("dst").alias("node"),
+                (F.lit(base) + F.expr("(85 * s) div 100")).cast("bigint").alias("r"),
+            )
+        top = r.orderBy(F.col("r").desc(), F.col("node").asc()).limit(20).select(
+            "node", F.col("r").alias("rank_e12")
+        )
+        rows = top.collect()
+        out = spark.createDataFrame(rows, schema=top.schema)
+    finally:
+        e.unpersist(blocking=False)
+        deg.unpersist(blocking=False)
+    return out

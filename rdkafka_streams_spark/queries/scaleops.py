@@ -242,3 +242,98 @@ def q150_consistent_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_moved * 1000000 div n_keys").cast("bigint").alias("moved_ppm"),
         )
     )
+
+
+# ----------------------------------------------------- skew audit (X2/E10)
+@query(
+    "q158_skew_audit",
+    oracle="""
+WITH k AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM lineitem GROUP BY l_orderkey),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM k),
+h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hot_keys
+      FROM k CROSS JOIN s WHERE k.cnt * s.n_keys > 10 * s.total_rows)
+SELECT s.n_keys, s.total_rows, s.max_cnt,
+       CAST(s.total_rows * 1000000 // s.n_keys AS BIGINT) AS mean_cnt_micro,
+       CAST(s.max_cnt * s.n_keys * 1000000 // s.total_rows AS BIGINT) AS skew_ppm,
+       h.hot_keys
+FROM s CROSS JOIN h
+""",
+    tags=("X2", "E10"),
+)
+def q158_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit for lineitem.l_orderkey — the measurement that
+    decides between a plain shuffle join, AQE skew splitting, and the
+    explicit salted join (operators/skew.py, q70). One key-count shuffle
+    (map-side combined), one 1-row reduction; skew_ppm = max/mean in
+    ppm and hot_keys counts keys >10× the mean — exact integers, no
+    quantile sketches, so the audit itself is shuffle-cheap at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_orderkey").agg(F.count("*").cast("bigint").alias("cnt"))
+    s = k.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    h = (
+        k.crossJoin(F.broadcast(s))
+        .where(F.col("cnt") * F.col("n_keys") > 10 * F.col("total_rows"))
+        .agg(F.count("*").cast("bigint").alias("hot_keys"))
+    )
+    return s.crossJoin(h).select(
+        "n_keys",
+        "total_rows",
+        "max_cnt",
+        F.expr("total_rows * 1000000 div n_keys").cast("bigint").alias("mean_cnt_micro"),
+        F.expr("max_cnt * n_keys * 1000000 div total_rows").cast("bigint").alias("skew_ppm"),
+        "hot_keys",
+    )
+
+
+# ------------------------------------------- bloom-pruned join (X14/E3)
+@query(
+    "q159_bloom_pruned_join",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 2)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+""",
+    tags=("X14", "E3"),
+)
+def q159_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of urgent-order line items, with the fact side pruned by a
+    Bloom bit-vector of the filtered orders BEFORE the join shuffle
+    (operators/bloomjoin.py): the filter is an m/64-row (word, bits)
+    frame — broadcastable at ANY build-side key count, unlike an exact
+    key broadcast — probed map-side with xxhash64/pmod/bit tests. False
+    positives are killed by the real join, so the result is exactly the
+    oracle's plain join; what changes at 100 TB is the shuffle, which
+    carries ~fpp of the non-matching fact rows instead of all of them."""
+    from rdkafka_streams_spark.operators.bloomjoin import bloom_build, bloom_prune
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    bloom = bloom_build(urgent, "o_orderkey")
+    pruned = bloom_prune(li, "l_orderkey", bloom)
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    return (
+        pruned.join(urgent, pruned["l_orderkey"] == urgent["o_orderkey"])
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))).cast("double"), 2
+            ).alias("revenue"),
+        )
+    )

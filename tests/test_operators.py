@@ -739,3 +739,54 @@ def test_count_triangles_known_graph(spark):
     # wedges: deg(1)=4→6, deg(2)=deg(3)=deg(4)=3→3 each, deg5/6/7=1→0 ⇒ 15
     assert r["n_wedges"] == 15
     assert r["global_clustering_ppm"] == 3 * 4 * 1_000_000 // 15
+
+
+def test_fuzzy_join_dist1_matches_bruteforce(spark):
+    """Deletion-neighborhood candidates must reproduce the exact dist≤1
+    pair set: substitutions, insert/delete (length ±1), equal strings,
+    and non-matches across blocks."""
+    from rdkafka_streams_spark.operators.editdist import fuzzy_join_dist1
+
+    rows = [
+        (1, 1, "kitten"), (2, 1, "mitten"),   # substitution
+        (3, 1, "kitte"),                        # deletion of id 1
+        (4, 1, "kittenn"),                      # insertion on id 1
+        (5, 1, "kitten"),                       # exact duplicate of id 1
+        (6, 2, "kitten"),                       # same text, other block
+        (7, 1, "sitting"),                      # dist 5 from kitten
+        (8, 1, "aa"), (9, 1, "a"), (10, 1, ""),  # short strings + empty
+    ]
+    df = spark.createDataFrame(rows, "id int, blk int, s string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_join_dist1(df, key="id", text="s", block="blk").collect()
+    }
+    a = df.select(F.col("id").alias("ia"), F.col("blk").alias("ba"), F.col("s").alias("sa"))
+    b = df.select(F.col("id").alias("ib"), F.col("blk").alias("bb"), F.col("s").alias("sb"))
+    want = {
+        (r["ia"], r["ib"], r["d"])
+        for r in a.join(b, (F.col("ba") == F.col("bb")) & (F.col("ia") < F.col("ib")))
+        .select("ia", "ib", F.levenshtein("sa", "sb").cast("bigint").alias("d"))
+        .where(F.col("d") <= 1)
+        .collect()
+    }
+    assert got == want and (1, 2, 1) in want and (9, 10, 1) in want
+
+
+def test_bloom_prune_no_false_negatives_and_exact_join(spark):
+    """Every true key survives pruning (no false negatives), and the
+    post-prune join equals the plain join exactly."""
+    from rdkafka_streams_spark.operators.bloomjoin import bloom_build, bloom_prune
+
+    build = spark.range(0, 500, 7).select(F.col("id").alias("k"))  # 72 keys
+    fact = spark.range(0, 2000).select(F.col("id").alias("k"))
+    bloom = bloom_build(build, "k", n_bits=1 << 14, k=2)
+    pruned = bloom_prune(fact, "k", bloom, n_bits=1 << 14, k=2)
+    surviving = {r["k"] for r in pruned.collect()}
+    true_keys = {r["k"] for r in build.collect()}
+    assert true_keys <= surviving, "bloom dropped a true key (false negative)"
+    joined = sorted(
+        r["k"] for r in pruned.join(build, "k").select(pruned["k"]).collect()
+    )
+    plain = sorted(r["k"] for r in fact.join(build, "k").select(fact["k"]).collect())
+    assert joined == plain

@@ -128,6 +128,16 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q149_embedding_whiten": 2,  # per-dim stats + per-vector reduction
         "q150_consistent_rebalance": 3,  # ring broadcast; per-key min + diff join
         "q151_weighted_median": 1,   # ONE per-flag cumulative-weight window
+        "q152_stratified_split": 1,  # stratum window + agg share one (lang,source) exchange
+        "q153_fuzzy_linkage": 3,     # variant explode map-side; candidate join + 2 distincts
+        "q154_concurrent_load": 3,   # (type,day) local sweep + day agg + tiny per-type window
+        "q155_corpus_divergence": 4, # token count + totals (1-row bcast) + final reduce
+        # global_rank's offsets + ranked branches re-consume the range
+        # exchange (documented in operators/ranking.py; materialize=True
+        # collapses this at 100 TB) + bin agg + totals + WOE join
+        "q157_woe_binning": 21,
+        "q158_skew_audit": 6,        # key count + 1-row stats reused by hot-key screen
+        "q159_bloom_pruned_join": 3, # bloom words bcast; fact stays unshuffled pre-join
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
