@@ -2201,3 +2201,157 @@ def q156_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.unpersist(blocking=False)
         deg.unpersist(blocking=False)
     return out
+
+
+# ------------------------------------------- time-weighted average (E21)
+@query(
+    "q163_twap",
+    oracle="""
+WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+l AS (SELECT user_id, v,
+             LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t AS dur
+      FROM b)
+SELECT user_id,
+       CAST(SUM(CAST(v AS HUGEINT) * dur) // SUM(dur) AS BIGINT) AS twap_micro,
+       CAST(SUM(dur) AS BIGINT) AS span_us
+FROM l WHERE dur IS NOT NULL
+GROUP BY user_id HAVING SUM(dur) > 0
+""",
+    tags=("E21", "E24", "T-analytics"),
+)
+def q163_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP/telemetry-integral
+    operator): each observation holds until the next one, so the mean is
+    Σ v·Δt ÷ ΣΔt — ONE per-user lead window, exact integer micro-units ×
+    microsecond durations (a float Riemann sum would drift with order).
+    Same-instant duplicates contribute zero width; single-event users
+    have no span and drop (HAVING Σdur > 0)."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    l = b.select(
+        "user_id", "v", (F.lead("t").over(w) - F.col("t")).alias("dur")
+    ).where(F.col("dur").isNotNull())
+    return (
+        l.groupBy("user_id")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("dur")).alias("num"),
+            F.sum("dur").alias("den"),
+        )
+        .where(F.col("den") > 0)
+        .select(
+            "user_id",
+            F.expr("num div den").cast("bigint").alias("twap_micro"),
+            F.col("den").cast("bigint").alias("span_us"),
+        )
+    )
+
+
+# --------------------------------------- linear-interp resample (E21/X4)
+@query(
+    "q164_resample_interp",
+    oracle="""
+WITH dedup AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM (SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        FROM events) WHERE rn = 1),
+bounds AS (SELECT user_id, MIN(t) AS t0, MAX(t) AS t1 FROM dedup GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(t0, t1, 21600000000)) AS g
+         FROM bounds),
+u AS (
+  SELECT user_id, t, v, 0 AS is_grid FROM dedup
+  UNION ALL
+  SELECT user_id, g AS t, NULL AS v, 1 AS is_grid FROM grid),
+w AS (
+  SELECT user_id, t, is_grid,
+         LAST_VALUE(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY t, is_grid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY t, is_grid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         FIRST_VALUE(v IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY t, is_grid
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY t, is_grid
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM u)
+SELECT user_id, CAST(t AS BIGINT) AS grid_ts_us,
+       CAST(CASE WHEN nv IS NULL OR nt = pt THEN pv
+                 ELSE pv + (CAST(nv - pv AS HUGEINT) * (t - pt)) // (nt - pt) END AS BIGINT)
+         AS v_interp_micro
+FROM w WHERE is_grid = 1
+""",
+    tags=("E21", "X4", "T-analytics"),
+)
+def q164_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular series onto a regular 6-hour grid
+    with LINEAR interpolation — the alignment step before any
+    cross-series model; the interpolating complement of q69's LOCF
+    gap-fill. No join: grid points union into the event stream and ONE
+    pair of ignore-nulls windows per direction recovers the bracketing
+    observations (the as-of union trick, operators/asof.py), then
+    v = v₀ + (v₁−v₀)·(g−t₀) div (t₁−t₀) in exact integers. Same-instant
+    duplicates are pre-deduped (min event_id) so brackets are total."""
+    ev = _t(spark, sf_dir, "events")
+    wd = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    dedup = (
+        ev.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("v"),
+        )
+    )
+    bounds = dedup.groupBy("user_id").agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.lit(21600000000))).alias("t"),
+    )
+    u = dedup.select("user_id", "t", "v", F.lit(0).alias("is_grid")).unionAll(
+        grid.select("user_id", "t", F.lit(None).cast("bigint").alias("v"), F.lit(1))
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_grid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    et = F.when(F.col("v").isNotNull(), F.col("t"))
+    w = u.select(
+        "user_id",
+        "t",
+        "is_grid",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(et, ignorenulls=True).over(wb).alias("pt"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(et, ignorenulls=True).over(wf).alias("nt"),
+    )
+    return w.where(F.col("is_grid") == 1).select(
+        "user_id",
+        F.col("t").cast("bigint").alias("grid_ts_us"),
+        F.when(
+            F.col("nv").isNull() | (F.col("nt") == F.col("pt")), F.col("pv")
+        )
+        .otherwise(
+            F.col("pv")
+            + F.expr("(cast(nv - pv as decimal(38,0)) * (t - pt)) div (nt - pt)")
+        )
+        .cast("bigint")
+        .alias("v_interp_micro"),
+    )

@@ -264,3 +264,102 @@ def q157_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.5
         ).cast("bigint").alias("woe_micro"),
     )
+
+
+# ----------------------------------------------- integer k-means (L3/E11)
+@query(
+    "q160_kmeans_clusters",
+    oracle="""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                                  AS BIGINT)) AS e
+  FROM embeddings),
+c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+       FROM v ORDER BY vec_id LIMIT 8),
+d1 AS (SELECT vec_id, cid, e, SUM((ve - ce) * (ve - ce)) AS d
+       FROM (SELECT v.vec_id, c0.cid, v.e,
+                    unnest(v.e) AS ve, unnest(c0.ce) AS ce
+             FROM v CROSS JOIN c0) u
+       GROUP BY vec_id, cid, e),
+a1 AS (SELECT vec_id, e, cid FROM (
+         SELECT vec_id, e, cid,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d1) WHERE rn = 1),
+m1 AS (SELECT cid, dim, CAST(SUM(val) // COUNT(*) AS BIGINT) AS c
+       FROM (SELECT cid, unnest(e) AS val, unnest(range(1, 65)) AS dim FROM a1)
+       GROUP BY cid, dim),
+c1 AS (SELECT cid, list(c ORDER BY dim) AS ce FROM m1 GROUP BY cid),
+d2 AS (SELECT vec_id, cid, SUM((ve - ce) * (ve - ce)) AS d
+       FROM (SELECT v.vec_id, c1.cid,
+                    unnest(v.e) AS ve, unnest(c1.ce) AS ce
+             FROM v CROSS JOIN c1) u
+       GROUP BY vec_id, cid),
+a2 AS (SELECT vec_id, cid, d FROM (
+         SELECT vec_id, cid, d,
+                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d2) WHERE rn = 1)
+SELECT CAST(cid AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(d) AS BIGINT) AS inertia
+FROM a2 GROUP BY cid
+""",
+    tags=("L3", "E11"),
+)
+def q160_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k = 8) over the embedding table in
+    EXACT integer arithmetic: coordinates snap to micro-units once, so
+    squared distances, argmin assignment (ties → lower cluster id) and
+    the truncated-mean centroid update are bit-identical at any
+    parallelism — float k-means drifts with reduction order, this
+    doesn't. Deterministic seeding (the 8 lowest vec_ids). Per
+    iteration: ONE map-side broadcast cross of the k×64 centroids (dist
+    via JVM zip_with/aggregate, no Python), one argmin agg, one
+    (cluster, dim) mean shuffle. The clustering pass behind corpus
+    curation / diversity sampling."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast("bigint"),
+        ).alias("e"),
+    )
+    w8 = Window.orderBy("vec_id")
+    cents = (
+        v.orderBy("vec_id")
+        .limit(8)
+        .select((F.row_number().over(w8) - 1).cast("bigint").alias("cid"), F.col("e").alias("ce"))
+    )
+
+    def assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+        j = points.crossJoin(F.broadcast(centroids))
+        d = F.aggregate(
+            F.zip_with("e", "ce", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            j.select("vec_id", "e", "cid", d.alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d", "cid", "e")).alias("m"))
+            .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.e").alias("e"),
+                    F.col("m.d").alias("d"))
+        )
+
+    a1 = assign(v, cents)
+    m1 = (
+        a1.select("cid", F.posexplode("e").alias("dim", "val"))
+        .groupBy("cid", "dim")
+        .agg(F.expr("sum(val) div count(*)").cast("bigint").alias("c"))
+    )
+    c1 = m1.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("ce")
+    )
+    a2 = assign(v, c1)
+    return a2.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("d").cast("bigint").alias("inertia"),
+    ).select(F.col("cid").cast("bigint").alias("cluster"), "n_vecs", "inertia")

@@ -1670,3 +1670,119 @@ def q149_embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("t").cast("bigint").alias("wnorm2_micro"),
         )
     )
+
+
+# --------------------------------------------------- sentence stats (L4)
+@query(
+    "q161_sentence_stats",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]'),
+                                    x -> trim(x)),
+                     x -> length(x) > 0) AS sents
+  FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(sents) AS BIGINT) AS n_sentences,
+             CAST(COALESCE(list_sum(list_transform(sents, x -> length(x))), 0)
+                  AS BIGINT) AS sent_chars
+      FROM s)
+SELECT doc_id, n_sentences, sent_chars,
+       CASE WHEN n_sentences > 0
+            THEN CAST(sent_chars * 1000000 // n_sentences AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS mean_sent_chars_micro
+FROM m
+""",
+    tags=("L4", "E23"),
+)
+def q161_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation statistics per document — the shape/length
+    profile quality filters cut on (too-few or degenerate-length
+    sentences flag boilerplate and OCR noise). Regex split on [.!?],
+    trim, drop empties: all JVM higher-order functions, zero shuffles
+    until nothing (it's map-only); the mean is exact integer micro."""
+    d = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split("text", r"[.!?]"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    m = d.select(
+        "doc_id",
+        F.size(sents).cast("bigint").alias("n_sentences"),
+        F.coalesce(
+            F.aggregate(
+                sents, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("sent_chars"),
+    )
+    return m.select(
+        "doc_id",
+        "n_sentences",
+        "sent_chars",
+        F.when(
+            F.col("n_sentences") > 0,
+            F.expr("sent_chars * 1000000 div n_sentences"),
+        ).otherwise(0).cast("bigint").alias("mean_sent_chars_micro"),
+    )
+
+
+# ------------------------------------------ cross-source overlap (L1/L4)
+@query(
+    "q162_source_overlap",
+    oracle="""
+WITH f AS (SELECT DISTINCT source,
+                  md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp
+           FROM documents),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY source),
+inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+          GROUP BY a.source, b.source)
+SELECT i.source_a, i.source_b, i.n_common,
+       CAST(i.n_common * 1000000 // (sa.n + sb.n - i.n_common) AS BIGINT)
+         AS jaccard_ppm
+FROM inter i
+JOIN sz sa ON i.source_a = sa.source
+JOIN sz sb ON i.source_b = sb.source
+""",
+    tags=("L1", "L4"),
+)
+def q162_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise duplicate-opening overlap between sources (Jaccard over
+    md5 fingerprints of the first 5 tokens) — the corpus-composition
+    audit that decides which sources to drop or decontaminate against
+    each other before mixing (shared openings flag mirrored/boilerplate
+    content long before full-text equality would). One distinct + one
+    fp-keyed self-join (each fingerprint bucket holds ≤|sources| rows
+    after the distinct), source sizes broadcast back; exact ppm."""
+    d = _t(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 5), " ")
+    f = d.select("source", F.md5(prefix.cast("binary")).alias("fp")).distinct()
+    sz = f.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a = f.select(F.col("source").alias("source_a"), "fp")
+    b = f.select(F.col("source").alias("source_b"), "fp")
+    inter = (
+        a.join(b, "fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.expr("n_common * 1000000 div (na + nb - n_common)").cast("bigint").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )

@@ -138,6 +138,13 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q157_woe_binning": 21,
         "q158_skew_audit": 6,        # key count + 1-row stats reused by hot-key screen
         "q159_bloom_pruned_join": 3, # bloom words bcast; fact stays unshuffled pre-join
+        # per iteration: centroids broadcast (map-side dist) + argmin agg +
+        # (cluster,dim) mean; 2 iterations + seed limit
+        "q160_kmeans_clusters": 5,
+        "q161_sentence_stats": 0,    # pure higher-order expressions, map-only
+        "q162_source_overlap": 7,    # fp distinct + self-join + sizes bcast back
+        "q163_twap": 1,              # ONE per-user lead window; agg co-partitioned
+        "q164_resample_interp": 4,   # dedup window + bounds agg + union sweep window
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
