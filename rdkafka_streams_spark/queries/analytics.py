@@ -2355,3 +2355,179 @@ def q164_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v_interp_micro"),
     )
+
+
+# ------------------------------------- seasonal baseline anomaly (E21/E24)
+@query(
+    "q165_seasonal_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         dayofweek(CAST(date_trunc('day', ts) AS DATE)) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT event_type, d, dow, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type, dow ORDER BY n, d) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, dow) AS cnt
+  FROM daily),
+med AS (SELECT event_type, dow, n AS med_n
+        FROM ranked WHERE rn = (cnt + 1) // 2)
+SELECT dd.event_type, dd.d, dd.n, m.med_n,
+       CAST((dd.n - m.med_n) * 1000000 // GREATEST(m.med_n, 1) AS BIGINT)
+         AS dev_ppm
+FROM daily dd JOIN med m
+  ON dd.event_type = m.event_type AND dd.dow = m.dow
+""",
+    tags=("E21", "E24", "T-analytics"),
+)
+def q165_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal baseline screen: each (event_type, day)'s
+    volume is compared against the LOWER MEDIAN of same-weekday volumes
+    — the robust seasonal baseline that a mean would let one outage day
+    poison. Exact throughout: daily counts are one fact shuffle; the
+    median is a rank pick over ≤⌈days/7⌉ rows per (type, dow) cell;
+    deviation is integer ppm. Lower median (position (n+1) div 2 by
+    (n, d)) keeps every step integer-deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+    ).agg(F.count("*").cast("bigint").alias("n")).withColumn(
+        "dow", F.dayofweek("d")
+    )
+    wr = Window.partitionBy("event_type", "dow").orderBy("n", "d")
+    wc = Window.partitionBy("event_type", "dow")
+    ranked = daily.select(
+        "event_type", "dow", "n",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    med = ranked.where(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
+        "event_type", "dow", F.col("n").alias("med_n")
+    )
+    return daily.join(F.broadcast(med), ["event_type", "dow"]).select(
+        "event_type",
+        "d",
+        "n",
+        "med_n",
+        F.expr("(n - med_n) * 1000000 div greatest(med_n, 1)").cast("bigint").alias(
+            "dev_ppm"
+        ),
+    )
+
+
+# --------------------------------------- time-to-convert quantiles (E11)
+@query(
+    "q166_time_to_convert",
+    oracle="""
+WITH s AS (SELECT user_id, MIN(ts) AS t0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, MIN(epoch_us(e.ts) - epoch_us(s.t0)) AS dur_us
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY e.user_id),
+r AS (SELECT dur_us, ROW_NUMBER() OVER (ORDER BY dur_us, user_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM p)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN dur_us END) AS BIGINT) AS p50_us,
+       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN dur_us END) AS BIGINT) AS p90_us
+FROM r
+""",
+    tags=("E11", "E10", "T-analytics"),
+)
+def q166_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion-latency distribution: earliest signup
+    per user (one agg), earliest strictly-later purchase (one join +
+    agg), then EXACT lower-median and p90 picked by integer rank
+    positions ((n+1) div 2, (9n+9) div 10) — rank-pick order includes
+    user_id so ties are total. The per-user frame is small (converted
+    users), so the global rank window is a deliberate single-partition
+    pick over an already-reduced set, not a fact-table sort."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.unix_micros("ts") - F.unix_micros("t0")).alias("dur_us")
+        )
+    )
+    wr = Window.orderBy("dur_us", "user_id")
+    r = p.select(
+        "dur_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return r.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("dur_us")))
+        .cast("bigint").alias("p50_us"),
+        F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("dur_us")))
+        .cast("bigint").alias("p90_us"),
+    )
+
+
+# ------------------------------------------------ session summary (T3/E20)
+@query(
+    "q167_session_summary",
+    oracle="""
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us,
+       MIN(struct_pack(t := ts, i := event_id, e := event_type)).e AS entry_type,
+       MAX(struct_pack(t := ts, i := event_id, e := event_type)).e AS exit_type,
+       CAST(COUNT(*) = 1 AS BIGINT) AS is_bounce
+FROM sess GROUP BY user_id, session_idx
+""",
+    tags=("T3", "E20", "T-analytics"),
+)
+def q167_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-session rollup on top of q82's gaps-and-islands assignment:
+    per (user, session) the event count, wall duration, ENTRY and EXIT
+    event types (min/max over (ts, event_id, type) structs — argmin/max
+    without a second window pass) and the bounce flag. Session numbering
+    and the rollup share one (user)-keyed sort, so the whole summary is
+    a single fact shuffle."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_timestamp("ts")).over(w)
+    new_session = (
+        prev.isNull() | ((F.unix_timestamp("ts") - prev) > 1800)
+    ).cast("int")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(new_session).over(run).cast("bigint").alias("session_idx"),
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("bigint").alias("duration_us"),
+        F.min(key).getField("event_type").alias("entry_type"),
+        F.max(key).getField("event_type").alias("exit_type"),
+        (F.count("*") == 1).cast("bigint").alias("is_bounce"),
+    )

@@ -145,6 +145,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q162_source_overlap": 7,    # fp distinct + self-join + sizes bcast back
         "q163_twap": 1,              # ONE per-user lead window; agg co-partitioned
         "q164_resample_interp": 4,   # dedup window + bounds agg + union sweep window
+        "q165_seasonal_anomaly": 3,  # daily agg + (type,dow) rank + median bcast join
+        "q166_time_to_convert": 3,   # signup agg + purchase join + reduced rank pick
+        "q167_session_summary": 1,   # sessionize + rollup share ONE (user) sort
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
