@@ -147,7 +147,12 @@ def minhash_near_dups(
     # estimator join); without persist each one recomputes the full
     # tokenize→explode→min-hash aggregation over the corpus. Signatures are
     # n_docs × n_hashes digests — tiny relative to the corpus — so
-    # MEMORY_AND_DISK is the right trade at any scale.
+    # MEMORY_AND_DISK is the right trade at any scale. LIFETIME: the
+    # returned (lazy) frame reads through this cache, so the CALLER owns
+    # the release — `out.unpersist()` is not possible here without
+    # materializing a corpus-sized result; long-lived sessions should
+    # consume the result and then `spark.catalog.clearCache()` or keep a
+    # handle via minhash_signatures() themselves.
     sig = minhash_signatures(docs, n_hashes, id_col, text_col).persist()
     pairs = lsh_candidate_pairs(sig, n_hashes, n_bands, id_col)
     s1 = sig.select(F.col(id_col).alias("id1"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(n_hashes)])

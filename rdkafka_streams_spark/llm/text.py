@@ -232,6 +232,10 @@ def detect_language(
             )
             tok = _distinct_tokens(docs, id_col, text_col)
         else:
+            # shared by the profile build AND the scoring join; the lazy
+            # result reads through this cache, so the CALLER owns the
+            # release (session-scoped by design; sample_fraction < 1 is
+            # the cache-free 100 TB path)
             tok_l = _distinct_tokens(docs, id_col, text_col, lang_col).persist()
             profiles = language_profiles(docs, lang_col, text_col, _tok=tok_l)
             tok = tok_l.select(id_col, "tok")

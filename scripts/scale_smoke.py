@@ -53,6 +53,19 @@ def join_shape(l, o):
     )
 
 
+def bloom_shape(l, o):
+    from rdkafka_streams_spark.operators.bloomjoin import bloom_build, bloom_prune
+
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    pruned = bloom_prune(
+        l.select("l_orderkey", "l_extendedprice"), "l_orderkey",
+        bloom_build(urgent, "o_orderkey"),
+    )
+    return pruned.join(urgent, pruned["l_orderkey"] == urgent["o_orderkey"]).agg(
+        F.count("*").alias("n")
+    )
+
+
 def timed(df) -> float:
     t0 = time.perf_counter()
     df.count()
@@ -105,6 +118,10 @@ def main() -> None:
         # also hold their plan as the corpus grows
         ("dsir", dsir_weights(d1, F.col("lang") == "en"), dsir_weights(d8, F.col("lang") == "en")),
         ("spans", duplicate_span_coverage(d1), duplicate_span_coverage(d8)),
+        # round-5 shape: bloom semi-join reduction — the (word, bits)
+        # broadcast and map-side probe must not flip to a shuffle as the
+        # build side's key count grows
+        ("bloom", bloom_shape(l1, o1), bloom_shape(l8, o8)),
     ):
         ex_s, ex_b = count_exchanges(small), count_exchanges(big)
         # warm then measure
