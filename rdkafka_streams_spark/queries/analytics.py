@@ -2531,3 +2531,86 @@ def q167_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(key).getField("event_type").alias("exit_type"),
         (F.count("*") == 1).cast("bigint").alias("is_bounce"),
     )
+
+
+# ---------------------------------------- two-sample KS test (E11/E21)
+@query(
+    "q170_ks_test",
+    oracle="""
+WITH b AS (SELECT user_id % 2 AS arm,
+                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+per_v AS (SELECT v,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM b GROUP BY v),
+t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM per_v),
+cum AS (SELECT v,
+               SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+               SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb
+        FROM per_v)
+SELECT t.na, t.nb,
+       CAST(MAX(abs(CAST(cum.fa AS HUGEINT) * t.nb - CAST(cum.fb AS HUGEINT) * t.na))
+            * 1000000 // (CAST(t.na AS HUGEINT) * t.nb) AS BIGINT) AS ks_ppm
+FROM cum CROSS JOIN t GROUP BY t.na, t.nb
+""",
+    tags=("E11", "E21", "T-analytics"),
+)
+def q170_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the hash-split A/B
+    arms of q143: KS = max |F_a − F_b| over the pooled support, computed
+    as exact integers (|Fa·nb − Fb·na| over na·nb, in ppm). The oracle's
+    single `OVER (ORDER BY v)` cumulative is one sort task at any scale;
+    here the prefix sums are two-phase — per-bucket local cumsums
+    (v div 2²⁰ buckets sort in parallel) lifted by broadcast bucket
+    offsets, the q154/global_rank pattern — identical result, sort
+    parallelism grows with the value range."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("v"),
+    )
+    per_v = b.groupBy("v").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("ca"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("cb"),
+    ).withColumn("bkt", F.expr("v div 1048576"))
+    t = per_v.agg(
+        F.sum("ca").cast("bigint").alias("na"), F.sum("cb").cast("bigint").alias("nb")
+    )
+    wloc = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = per_v.select(
+        "bkt", "v",
+        F.sum("ca").over(wloc).alias("la"),
+        F.sum("cb").over(wloc).alias("lb"),
+    )
+    btot = per_v.groupBy("bkt").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    woff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = btot.select(
+        "bkt",
+        F.coalesce(F.sum("ta").over(woff), F.lit(0)).alias("oa"),
+        F.coalesce(F.sum("tb").over(woff), F.lit(0)).alias("ob"),
+    )
+    cum = loc.join(F.broadcast(offs), "bkt").select(
+        (F.col("la") + F.col("oa")).alias("fa"),
+        (F.col("lb") + F.col("ob")).alias("fb"),
+    )
+    dev = cum.crossJoin(F.broadcast(t)).select(
+        F.abs(
+            F.col("fa").cast("decimal(38,0)") * F.col("nb")
+            - F.col("fb").cast("decimal(38,0)") * F.col("na")
+        ).alias("d"),
+        "na",
+        "nb",
+    )
+    return dev.groupBy("na", "nb").agg(
+        F.expr(
+            "cast(max(d) * 1000000 div (cast(na as decimal(38,0)) * nb) as bigint)"
+        ).alias("ks_ppm")
+    ).select("na", "nb", "ks_ppm")

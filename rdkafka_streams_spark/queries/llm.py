@@ -1786,3 +1786,183 @@ def q162_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------- end-to-end dedup pipeline (L1/L2/X6)
+@query(
+    "q168_dedup_pipeline",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, text, lang, n_chars,
+         lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk
+  FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, blk, tok FROM (
+    SELECT doc_id, blk, unnest(string_split(text, ' ')) AS tok FROM d)),
+sizes AS (SELECT doc_id, blk, COUNT(*) AS sz FROM tok GROUP BY 1, 2),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id1, id2 FROM (
+    SELECT co.id1, co.id2, co.c / (sa.sz + sb.sz - co.c) AS jaccard
+    FROM common co
+    JOIN sizes sa ON co.id1 = sa.doc_id
+    JOIN sizes sb ON co.id2 = sb.doc_id)
+  WHERE jaccard >= 0.8),
+edges2 AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges2
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+assign AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         COALESCE(comp.cluster_id, d.doc_id) AS cluster_id
+  FROM d LEFT JOIN comp ON d.doc_id = comp.doc_id),
+kept AS (
+  SELECT lang, n_chars FROM (
+    SELECT lang, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM assign) WHERE rn = 1)
+SELECT a.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) - COUNT(DISTINCT a.cluster_id) AS BIGINT) AS n_dropped,
+       CAST((SELECT SUM(k.n_chars) FROM kept k WHERE k.lang = a.lang) AS BIGINT)
+         AS kept_chars
+FROM assign a GROUP BY a.lang
+""",
+    tags=("L1", "L2", "X6"),
+)
+def q168_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE dedup pipeline in one query: blocked exact-Jaccard
+    pairs (q52's generator) → connected components (operators/graph.py)
+    → keep the best document per cluster (longest, then lowest id) →
+    per-language audit (docs/clusters/dropped/kept chars). Singleton
+    docs are their own cluster via the left join, so the audit covers
+    the whole corpus, not just the near-dup subgraph. This is the
+    composed path a curation run executes; each stage is individually
+    oracle-checked elsewhere (q52/q76), this pins the composition."""
+    from rdkafka_streams_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", F.col("lang"), F.expr("n_chars div 100").cast("string"))
+    )
+    pairs = jaccard_pairs(d, threshold=0.8, block_col="blk").select("id1", "id2")
+    comp = connected_components(pairs, "id1", "id2", dedupe_edges=False)
+    assign = d.join(
+        comp.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+    )
+    wk = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    kept = (
+        assign.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(F.sum("n_chars").cast("bigint").alias("kept_chars"))
+    )
+    audit = assign.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("cluster_id").cast("bigint").alias("n_clusters"),
+        (F.count("*") - F.count_distinct("cluster_id")).cast("bigint").alias("n_dropped"),
+    )
+    return audit.join(kept, "lang").select(
+        "lang", "n_docs", "n_clusters", "n_dropped", "kept_chars"
+    )
+
+
+# ---------------------------------------- sparse cosine join (L2/L3)
+@query(
+    "q169_sparse_cosine_join",
+    oracle="""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''),
+df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY tok),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+w AS (SELECT df.tok,
+             CAST(floor(ln(CAST(n.n AS DOUBLE) / df.df) * 1000 + 0.5) AS BIGINT) AS idf
+      FROM df CROSS JOIN n
+      WHERE df.df BETWEEN 2 AND 50),
+wt AS (SELECT t.doc_id, t.tok, w.idf FROM tok t JOIN w ON t.tok = w.tok),
+ssq AS (SELECT doc_id, CAST(SUM(idf * idf) AS BIGINT) AS ssq FROM wt GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                CAST(SUM(a.idf * a.idf) AS BIGINT) AS dot
+         FROM wt a JOIN wt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id),
+cos AS (SELECT d.id1, d.id2,
+               CAST(CAST(d.dot AS HUGEINT) * d.dot * 1000000
+                    // (CAST(sa.ssq AS HUGEINT) * sb.ssq) AS BIGINT) AS cos2_ppm
+        FROM dots d
+        JOIN ssq sa ON d.id1 = sa.doc_id
+        JOIN ssq sb ON d.id2 = sb.doc_id)
+SELECT id1, id2, cos2_ppm FROM (
+  SELECT id1, id2, cos2_ppm,
+         ROW_NUMBER() OVER (PARTITION BY id1 ORDER BY cos2_ppm DESC, id2) AS rn
+  FROM cos WHERE cos2_ppm > 0) WHERE rn <= 5
+""",
+    tags=("L2", "L3"),
+)
+def q169_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join with document-frequency
+    capping (the DISCO/DIMSUM insight: tokens appearing in >cap docs
+    generate quadratic candidate pairs AND carry the least IDF signal —
+    drop them and the token-keyed self-join is subquadratic). Binary tf;
+    idf in milli-nats; cos² as exact rational dot²·10⁶ div (ssq·ssq) —
+    no irrational sqrt, so the DuckDB oracle hash-matches. Top-5 per
+    doc by a per-doc window (key cardinality grows with the corpus).
+    Sparse complement of the dense-embedding paths (q54/q55/q94)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    dfreq = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    n = tok.agg(F.count_distinct("doc_id").cast("bigint").alias("n"))
+    w = (
+        dfreq.crossJoin(F.broadcast(n))
+        .where(F.col("df").between(2, 50))
+        .select(
+            "tok",
+            F.floor(
+                F.log(F.col("n").cast("double") / F.col("df")) * 1000 + 0.5
+            ).cast("bigint").alias("idf"),
+        )
+    )
+    wt = tok.join(w, "tok")
+    ssq = wt.groupBy("doc_id").agg(F.sum(F.col("idf") * F.col("idf")).cast("bigint").alias("ssq"))
+    a = wt.select(F.col("doc_id").alias("id1"), "tok", F.col("idf").alias("ia"))
+    b = wt.select(F.col("doc_id").alias("id2"), "tok", F.col("idf").alias("ib"))
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.col("ia") * F.col("ib")).cast("bigint").alias("dot"))
+    )
+    cos = (
+        dots.join(ssq.select(F.col("doc_id").alias("id1"), F.col("ssq").alias("sa")), "id1")
+        .join(ssq.select(F.col("doc_id").alias("id2"), F.col("ssq").alias("sb")), "id2")
+        .select(
+            "id1",
+            "id2",
+            F.expr(
+                "cast(cast(dot as decimal(38,0)) * dot * 1000000"
+                " div (cast(sa as decimal(38,0)) * sb) as bigint)"
+            ).alias("cos2_ppm"),
+        )
+        .where(F.col("cos2_ppm") > 0)
+    )
+    wr = Window.partitionBy("id1").orderBy(F.col("cos2_ppm").desc(), F.col("id2").asc())
+    return cos.withColumn("rn", F.row_number().over(wr)).where(F.col("rn") <= 5).select(
+        "id1", "id2", "cos2_ppm"
+    )

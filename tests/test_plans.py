@@ -148,6 +148,11 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q165_seasonal_anomaly": 3,  # daily agg + (type,dow) rank + median bcast join
         "q166_time_to_convert": 3,   # signup agg + purchase join + reduced rank pick
         "q167_session_summary": 1,   # sessionize + rollup share ONE (user) sort
+        # pair gen + CC fixpoint residue + cluster argmax + audit joins
+        "q168_dedup_pipeline": 8,
+        # df-capped token join + ssq/doc + dot agg + two ssq joins + top-5
+        "q169_sparse_cosine_join": 18,
+        "q170_ks_test": 8,           # value agg + bucketed cumsum + offsets bcast
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
