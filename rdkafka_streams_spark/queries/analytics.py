@@ -2614,3 +2614,177 @@ def q170_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(max(d) * 1000000 div (cast(na as decimal(38,0)) * nb) as bigint)"
         ).alias("ks_ppm")
     ).select("na", "nb", "ks_ppm")
+
+
+# ------------------------------------ Theil-Sen robust trend (E11/E27)
+@query(
+    "q171_theilsen_trend",
+    oracle="""
+WITH dedup AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+  FROM (SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        FROM events) WHERE rn = 1),
+recent AS (
+  SELECT user_id, t, v FROM (
+    SELECT user_id, t, v,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t DESC) AS rd
+    FROM dedup) WHERE rd <= 32),
+slopes AS (
+  SELECT a.user_id,
+         CAST((b.v - a.v) * 1000000 // (b.t - a.t) AS BIGINT) AS s
+  FROM recent a JOIN recent b
+    ON a.user_id = b.user_id AND a.t < b.t),
+ranked AS (
+  SELECT user_id, s,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM slopes)
+SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_pairs,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN s END) AS BIGINT)
+         AS theil_slope_micro_per_s
+FROM ranked GROUP BY user_id
+""",
+    tags=("E11", "E27", "T-analytics"),
+)
+def q171_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per user — the median of all pairwise
+    slopes over the last 32 observations, immune to the outliers that
+    wreck the q121 OLS fit. Bounding the window at 32 points caps the
+    pairwise set at C(32,2) = 496 slopes per user, generated MAP-SIDE by
+    nested higher-order transforms over one collected struct array (no
+    self-join, no second shuffle — the oracle's per-user self-join is
+    the naive plan). Slopes are exact integers (Δv_micro·10⁶ div Δt_us,
+    i.e. micro-units/second): the double division + bigint cast
+    truncates onto the same integer as the oracle's `//` because
+    |q − n| ≥ 1/Δt always exceeds the double ULP at q (operands ≤
+    2e15). Median = lower-median element pick of the sorted array."""
+    ev = _t(spark, sf_dir, "events")
+    wd = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    dedup = (
+        ev.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("v"),
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.col("t").desc())
+    recent = (
+        dedup.withColumn("rd", F.row_number().over(wr))
+        .where(F.col("rd") <= 32)
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("t", "v"))).alias("pts"))
+    )
+    pair_slopes = F.flatten(
+        F.transform(
+            "pts",
+            lambda a, i: F.transform(
+                F.slice("pts", i + 2, F.greatest(F.size("pts") - i - 1, F.lit(0))),
+                lambda b: (
+                    ((b["v"] - a["v"]) * 1000000) / (b["t"] - a["t"])
+                ).cast("bigint"),
+            ),
+        )
+    )
+    out = recent.select("user_id", F.array_sort(pair_slopes).alias("s"))
+    return out.where(F.size("s") > 0).select(
+        "user_id",
+        F.size("s").cast("bigint").alias("n_pairs"),
+        F.element_at("s", ((F.size("s") + 1) / 2).cast("int"))
+        .cast("bigint").alias("theil_slope_micro_per_s"),
+    )
+
+
+# --------------------------------------- transition matrix (E19/E20)
+@query(
+    "q172_transition_matrix",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+c AS (SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM r WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type),
+t AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY prev_type)
+SELECT c.prev_type, c.next_type, c.n,
+       CAST(c.n * 1000000 // t.tot AS BIGINT) AS share_ppm
+FROM c JOIN t ON c.prev_type = t.prev_type
+""",
+    tags=("E19", "E20", "T-analytics"),
+)
+def q172_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (the Sankey/Markov view of user
+    behavior): one per-user lag window yields consecutive-event bigrams,
+    one count shuffle builds the matrix, row totals broadcast back for
+    exact ppm shares. The |types|² output is tiny at any corpus size —
+    all the mass is in the single fact-table window sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    c = r.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("tot"))
+    return c.join(F.broadcast(t), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n * 1000000 div tot").cast("bigint").alias("share_ppm"),
+    )
+
+
+# ------------------------------------- daily percentile bands (E11/E19)
+@query(
+    "q173_daily_bands",
+    oracle="""
+WITH b AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+                  event_id
+           FROM events),
+r AS (SELECT d, v,
+             ROW_NUMBER() OVER (PARTITION BY d ORDER BY v, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d) AS n
+      FROM b)
+SELECT d, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN rn = (n + 9) // 10 THEN v END) AS BIGINT) AS p10_micro,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS BIGINT) AS p50_micro,
+       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN v END) AS BIGINT) AS p90_micro
+FROM r GROUP BY d
+""",
+    tags=("E11", "E19", "T-analytics"),
+)
+def q173_daily_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p10/p50/p90 bands of the value distribution — the
+    percentile-ribbon chart behind every monitoring dashboard, computed
+    EXACTLY: one rank window per day partition (day cardinality grows
+    with the time range, so sort parallelism scales), percentiles picked
+    at integer rank positions, values in snapped micro-units. The
+    ground-truth complement of sketch-based bands (q64 GK)."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("v"),
+        "event_id",
+    )
+    wr = Window.partitionBy("d").orderBy("v", "event_id")
+    wn = Window.partitionBy("d")
+    r = b.select(
+        "d", "v",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return r.groupBy("d").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 9) div 10"), F.col("v")))
+        .cast("bigint").alias("p10_micro"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v")))
+        .cast("bigint").alias("p50_micro"),
+        F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("v")))
+        .cast("bigint").alias("p90_micro"),
+    )

@@ -153,6 +153,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # df-capped token join + ssq/doc + dot agg + two ssq joins + top-5
         "q169_sparse_cosine_join": 18,
         "q170_ks_test": 8,           # value agg + bucketed cumsum + offsets bcast
+        "q171_theilsen_trend": 2,    # dedup + recent windows share the user key; pairs map-side
+        "q172_transition_matrix": 5, # ONE user window + bigram count + row totals bcast
+        "q173_daily_bands": 1,       # one per-day rank window; agg co-partitioned
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
