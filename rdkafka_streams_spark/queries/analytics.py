@@ -2788,3 +2788,280 @@ def q173_daily_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("v")))
         .cast("bigint").alias("p90_micro"),
     )
+
+
+# ---------------------------------- quantile (rank) transform (E19/E11)
+@query(
+    "q174_quantile_transform",
+    oracle="""
+WITH r AS (
+  SELECT event_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, date_trunc('day', ts)) AS n
+  FROM events)
+SELECT event_id, event_type, d,
+       CAST(CASE WHEN n > 1 THEN (rn - 1) * 1000000 // (n - 1)
+                 ELSE 0 END AS BIGINT) AS u_ppm
+FROM r
+""",
+    tags=("E19", "E11", "T-analytics"),
+)
+def q174_quantile_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based quantile transform (map values onto a uniform [0, 1e6]
+    ppm grid) per (event_type, day) — the distribution-free
+    normalization for heavy-tailed features. Partitioning includes the
+    DAY so the window key's cardinality grows with the data (the q22
+    lesson); one rank window, exact integer grid positions, ties broken
+    by event_id so the output is total."""
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date(F.date_trunc("day", "ts"))
+    wr = Window.partitionBy("event_type", d).orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type", d)
+    return ev.select(
+        "event_id",
+        "event_type",
+        d.alias("d"),
+        F.when(
+            F.count("*").over(wn) > 1,
+            (F.row_number().over(wr) - 1)
+            * 1000000
+            / (F.count("*").over(wn) - 1),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("u_ppm"),
+    )
+
+
+# ------------------------------- per-class embedding dispersion (L3/E11)
+@query(
+    "q175_embedding_dispersion",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))) AS v,
+         unnest(range(1, 65)) AS dim
+  FROM embeddings),
+s AS (SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS s1,
+             CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+      FROM e GROUP BY label, dim),
+c AS (SELECT label, dim, n, s1, s2, CAST(s1 // n AS BIGINT) AS cd FROM s),
+w AS (SELECT label, MAX(n) AS n,
+             CAST(SUM(s2 - 2 * CAST(cd AS HUGEINT) * s1
+                      + CAST(n AS HUGEINT) * cd * cd) AS HUGEINT) AS wss,
+             CAST(SUM(CAST(cd AS HUGEINT) * cd) AS HUGEINT) AS cnorm2
+      FROM c GROUP BY label)
+SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n_vecs,
+       CAST(wss // (n * 64) AS BIGINT) AS mean_within_ss,
+       CAST(cnorm2 AS BIGINT) AS centroid_norm2
+FROM w
+""",
+    tags=("L3", "E11"),
+)
+def q175_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding dispersion: the truncated-integer centroid of
+    each label's vectors, its squared norm, and the mean within-class
+    squared scatter Σ‖e−c‖² / (n·d) — the compactness audit run before
+    trusting labels for curation or stratified ANN. Exact throughout:
+    Σ(v−c)² expands to s2 − 2c·s1 + n·c² over per-(label, dim) integer
+    moments, so ONE posexplode shuffle of (label, dim) cells carries the
+    whole computation — never a second pass joining vectors against
+    centroids. HUGEINT/decimal(38,0) guards the squared sums."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000000 + 0.5).cast("bigint"),
+            )
+        ).alias("dim", "v"),
+    )
+    s = e.groupBy("label", "dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s1"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("s2"),
+    )
+    c = s.select(
+        "label", "n", "s1", "s2", F.expr("s1 div n").cast("bigint").alias("cd")
+    )
+    dec = "decimal(38,0)"
+    w = c.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.sum(
+            F.col("s2")
+            - 2 * F.col("cd").cast(dec) * F.col("s1")
+            + F.col("n").cast(dec) * F.col("cd").cast(dec) * F.col("cd")
+        ).alias("wss"),
+        F.sum(F.col("cd").cast(dec) * F.col("cd")).alias("cnorm2"),
+    )
+    return w.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("n").cast("bigint").alias("n_vecs"),
+        F.expr("wss div (cast(n as decimal(38,0)) * 64)").cast("bigint").alias(
+            "mean_within_ss"
+        ),
+        F.col("cnorm2").cast("bigint").alias("centroid_norm2"),
+    )
+
+
+# ----------------------------------------- TF-IDF keyterms (L4/E19)
+@query(
+    "q176_doc_keyterms",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, tok),
+df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY tok),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+w AS (SELECT t.doc_id, t.tok,
+             CAST(t.tf * CAST(floor(ln(CAST(n.n AS DOUBLE) / d.df) * 1000 + 0.5)
+                              AS BIGINT) AS BIGINT) AS w
+      FROM tok t JOIN df d ON t.tok = d.tok CROSS JOIN n
+      WHERE d.df < n.n)
+SELECT doc_id, tok, w FROM (
+  SELECT doc_id, tok, w,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, tok) AS rn
+  FROM w WHERE w > 0) WHERE rn <= 5
+""",
+    tags=("L4", "E19"),
+)
+def q176_doc_keyterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keyterms per document — the keyword-extraction pass
+    behind indexing, routing and topic audits. Term frequency × IDF in
+    milli-nats (corpus-wide tokens where df = N carry zero weight and
+    drop), top-5 by a per-doc window. One token-count shuffle + the df
+    broadcast; integer weights make the ranking reproducible."""
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dfreq = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    n = tok.agg(F.count_distinct("doc_id").cast("bigint").alias("n"))
+    w = (
+        tok.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") < F.col("n"))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log(F.col("n").cast("double") / F.col("df")) * 1000 + 0.5
+                ).cast("bigint")
+            ).cast("bigint").alias("w"),
+        )
+        .where(F.col("w") > 0)
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("tok").asc())
+    return w.withColumn("rn", F.row_number().over(wr)).where(F.col("rn") <= 5).select(
+        "doc_id", "tok", "w"
+    )
+
+
+# ------------------------------------------- burst detection (E21/E24)
+@query(
+    "q177_burst_detection",
+    oracle="""
+WITH m AS (SELECT event_type, epoch_us(date_trunc('hour', ts)) // 3600000000 AS hour,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+w AS (SELECT event_type, hour, cnt,
+             CAST(COALESCE(SUM(cnt) OVER tr, 0) AS BIGINT) AS trailing_sum,
+             CAST(COUNT(*) OVER tr AS BIGINT) AS n_prev
+      FROM m WINDOW tr AS (PARTITION BY event_type ORDER BY hour
+                           RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, CAST(hour AS BIGINT) AS hour, cnt, trailing_sum, n_prev
+FROM w WHERE n_prev >= 6 AND cnt * n_prev * 2 >= 3 * trailing_sum
+""",
+    tags=("E21", "E24", "T-analytics"),
+)
+def q177_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-burst screen: hours whose event count is ≥1.5× the trailing
+    day's per-hour average (integer cross-multiplied — no float rates),
+    with a ≥6-hour history floor to suppress cold starts. The fact
+    table reduces to per-(type, hour) counts FIRST, so the trailing
+    range-window runs over metadata-scale rows; the 1.5× threshold is
+    the exact inequality cnt·n_prev·2 ≥ 3·trailing_sum."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .cast("bigint").alias("hour"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    tr = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rangeBetween(-24, -1)
+    )
+    w = m.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(tr), F.lit(0)).cast("bigint").alias("trailing_sum"),
+        F.count("*").over(tr).cast("bigint").alias("n_prev"),
+    )
+    return w.where(
+        (F.col("n_prev") >= 6)
+        & (F.col("cnt") * F.col("n_prev") * 2 >= 3 * F.col("trailing_sum"))
+    )
+
+
+# --------------------------------------- inter-event gap stats (E21/E11)
+@query(
+    "q178_gap_stats",
+    oracle="""
+WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+g AS (SELECT user_id,
+             (LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t)
+               // 1000 AS d_ms
+      FROM b),
+s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d_ms) AS BIGINT) AS s1,
+             CAST(SUM(CAST(d_ms AS HUGEINT) * d_ms) AS HUGEINT) AS s2
+      FROM g WHERE d_ms IS NOT NULL GROUP BY user_id HAVING COUNT(*) >= 2)
+SELECT user_id, n AS n_gaps,
+       CAST(s1 // n AS BIGINT) AS mean_gap_ms,
+       CAST((n * s2 - CAST(s1 AS HUGEINT) * s1) // (CAST(n AS HUGEINT) * (n - 1))
+            AS BIGINT) AS var_gap_ms2
+FROM s
+""",
+    tags=("E21", "E11", "T-analytics"),
+)
+def q178_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per user (mean + sample variance of
+    millisecond gaps): the cadence fingerprint that separates humans,
+    cron jobs and replay attacks. ONE per-user lead window; variance
+    from exact integer moments (n·Σd² − (Σd)²) div (n·(n−1)) in
+    decimal(38,0)/HUGEINT — no float accumulation anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select("user_id", "event_id", F.unix_micros("ts").alias("t"))
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    g = b.select(
+        "user_id",
+        F.expr("(lead(t) over (partition by user_id order by t, event_id) - t) div 1000")
+        .alias("d_ms"),
+    ).where(F.col("d_ms").isNotNull())
+    dec = "decimal(38,0)"
+    s = g.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("d_ms").cast("bigint").alias("s1"),
+        F.sum(F.col("d_ms").cast(dec) * F.col("d_ms")).alias("s2"),
+    ).where(F.col("n") >= 2)
+    return s.select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.expr("s1 div n").cast("bigint").alias("mean_gap_ms"),
+        F.expr(
+            "(cast(n as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1)"
+            " div (cast(n as decimal(38,0)) * (n - 1))"
+        ).cast("bigint").alias("var_gap_ms2"),
+    )

@@ -156,6 +156,11 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q171_theilsen_trend": 2,    # dedup + recent windows share the user key; pairs map-side
         "q172_transition_matrix": 5, # ONE user window + bigram count + row totals bcast
         "q173_daily_bands": 1,       # one per-day rank window; agg co-partitioned
+        "q174_quantile_transform": 1,  # ONE (type,day) rank window
+        "q175_embedding_dispersion": 2,  # (label,dim) moments + label rollup
+        "q176_doc_keyterms": 6,      # tf counts + df join + per-doc top-5 window
+        "q177_burst_detection": 2,   # hourly reduce + metadata-scale range window
+        "q178_gap_stats": 1,         # lead window + agg share the user key
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
