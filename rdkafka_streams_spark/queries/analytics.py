@@ -3065,3 +3065,61 @@ def q178_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (cast(n as decimal(38,0)) * (n - 1))"
         ).cast("bigint").alias("var_gap_ms2"),
     )
+
+
+# ------------------------------------- compacted-state topic (S1/S2/X7)
+@query(
+    "q179_compacted_state",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn
+  FROM events)
+SELECT user_id, event_type, ts_us FROM r WHERE rn = 1
+""",
+    tags=("S1", "S2", "X7", "T-streaming"),
+)
+def q179_compacted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka compacted-topic state recovery through the transport: every
+    event is produced KEYED by user in event-time order, the topic is
+    compacted (TopicLog.compact — latest record per key survives with
+    its original offset, Kafka cleaner semantics), and the consumer
+    rebuilds current per-user state from the compacted log alone. The
+    produce is a single ordered producer per the broker contract
+    (per-partition order = produce order); the oracle derives the same
+    state relationally. Proves the state-topic pattern — changelog in,
+    table out — end-to-end on durable storage."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = tempfile.mkdtemp(prefix="q179_bus")
+    log = TopicLog(root)
+    log.create_topic("state", partitions=4)
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id")
+        .orderBy("ts_us", "event_id")
+        .collect()
+    )
+    log.append(
+        "state",
+        [
+            f'{{"user_id":{r["user_id"]},"event_type":"{r["event_type"]}","ts_us":{r["ts_us"]}}}'
+            for r in rows
+        ],
+        keys=[str(r["user_id"]) for r in rows],
+    )
+    log.compact("state")
+    raw = read_topic(spark, root, "state")
+    return raw.select(
+        F.from_json(
+            F.col("value").cast("string"),
+            "user_id long, event_type string, ts_us long",
+        ).alias("v")
+    ).select(
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.event_type").alias("event_type"),
+        F.col("v.ts_us").alias("ts_us"),
+    )

@@ -20,7 +20,10 @@ Storage model (one directory tree = one "broker"):
 
     <root>/<topic>/p<partition>/seg-<start offset, 20 digits>-<count>.jsonl
 
-Each segment line is ``{"k": base64|null, "v": base64, "ts": epoch_ms}``.
+Each segment line is ``{"k": base64|null, "v": base64|null, "ts": epoch_ms}``
+(null ``v`` = Kafka tombstone, sink option ``tombstones=true``); compacted
+segments add an explicit per-line offset ``"o"`` so original offsets survive
+compaction with gaps, exactly like a broker's cleaner (``TopicLog.compact``).
 Segments are immutable and published atomically: written to a hidden temp
 file, then ``os.link``ed to their final name (link fails if the name exists,
 so two concurrent producers can never claim the same offset range — the
@@ -117,13 +120,14 @@ def _b64(b: bytes | None) -> str | None:
     return None if b is None else base64.b64encode(b).decode("ascii")
 
 
-def _encode_line(key: bytes | None, value: bytes, ts_ms: int) -> str:
+def _encode_line(key: bytes | None, value: bytes | None, ts_ms: int) -> str:
     # f-string assembly, not json.dumps: base64 output is JSON-safe by
     # construction (no escaping possible), and this encoder sits on the
     # per-record produce hot path (~2× cheaper than dict + dumps).
+    # value None = tombstone (Kafka delete marker for compacted topics).
     k = "null" if key is None else f'"{base64.b64encode(key).decode("ascii")}"'
-    v = base64.b64encode(value).decode("ascii")
-    return f'{{"k":{k},"v":"{v}","ts":{ts_ms}}}'
+    v = "null" if value is None else f'"{base64.b64encode(value).decode("ascii")}"'
+    return f'{{"k":{k},"v":{v},"ts":{ts_ms}}}'
 
 
 def _publish_segment(part_dir: str, lines: list[str], max_retries: int = 1000) -> int:
@@ -163,16 +167,18 @@ def _read_range(
             break
         with open(path, encoding="utf-8") as f:
             for i, line in enumerate(f):
-                off = seg_start + i
+                rec = json.loads(line)
+                # compacted segments carry explicit, possibly-gapped
+                # offsets ("o"); append segments stay dense
+                off = rec.get("o", seg_start + i)
                 if off < start:
                     continue
                 if off >= end:
                     break
-                rec = json.loads(line)
                 key = None if rec["k"] is None else base64.b64decode(rec["k"])
                 yield (
                     key,
-                    base64.b64decode(rec["v"]),
+                    None if rec["v"] is None else base64.b64decode(rec["v"]),
                     topic,
                     pid,
                     off,
@@ -231,14 +237,14 @@ def _read_range_arrow(
             break
         with open(path, encoding="utf-8") as f:
             for i, line in enumerate(f):
-                off = seg_start + i
+                rec = json.loads(line)
+                off = rec.get("o", seg_start + i)
                 if off < start:
                     continue
                 if off >= end:
                     break
-                rec = json.loads(line)
                 keys.append(None if rec["k"] is None else base64.b64decode(rec["k"]))
-                vals.append(base64.b64decode(rec["v"]))
+                vals.append(None if rec["v"] is None else base64.b64decode(rec["v"]))
                 offs.append(off)
                 tss.append(rec["ts"] * 1000)  # ms → µs
                 if len(offs) >= batch_rows:
@@ -292,6 +298,8 @@ class TopicLog:
             vb = v.encode() if isinstance(v, str) else v
             k = keys[i] if keys is not None else None
             kb = k.encode() if isinstance(k, str) else k
+            if vb is None and kb is None:
+                raise ValueError("tombstone (None value) requires a key")
             pid = partition if partition is not None else _route(kb, vb, len(pids))
             by_pid.setdefault(pids[pid % len(pids)], []).append(_encode_line(kb, vb, ts))
         for pid, lines in by_pid.items():
@@ -300,6 +308,60 @@ class TopicLog:
     def append_json(self, topic: str, objs: Sequence[dict], **kw) -> None:
         """JSON.stringify-and-produce, the reference's record shape."""
         self.append(topic, [json.dumps(o, separators=(",", ":")) for o in objs], **kw)
+
+    def compact(self, topic: str) -> dict[str, int]:
+        """Kafka-style log compaction: per partition, keep only the
+        highest-offset record for each key; a key whose latest record is
+        a tombstone (null value) is removed outright (Kafka would retain
+        the tombstone for ``delete.retention.ms`` — this drops it
+        immediately, documented divergence). ORIGINAL OFFSETS ARE
+        PRESERVED: the compacted segment covers the full [0, end) range
+        and carries an explicit ``"o"`` per line, so consumer positions
+        and startingOffsets semantics survive compaction exactly like a
+        broker's. Requires every record keyed (Kafka's own precondition
+        for ``cleanup.policy=compact``). Offline maintenance op: run it
+        while no producer is appending to the topic. Returns
+        {kept, superseded, tombstoned} counts."""
+        kept = superseded = tombstoned = 0
+        for pid in _list_partitions(self.root, topic):
+            pdir = _part_dir(self.root, topic, pid)
+            segs = _list_segments(pdir)
+            if not segs:
+                continue
+            end = _end_offset(pdir)
+            latest: dict[str, dict] = {}  # key b64 → raw record (+ "o")
+            n_records = 0
+            for seg_start, _count, path in segs:
+                with open(path, encoding="utf-8") as f:
+                    for i, line in enumerate(f):
+                        rec = json.loads(line)
+                        rec["o"] = rec.get("o", seg_start + i)
+                        if rec["k"] is None:
+                            raise ValueError(
+                                "compact() requires every record keyed "
+                                f"(keyless record at {topic}/p{pid} offset {rec['o']})"
+                            )
+                        n_records += 1
+                        latest[rec["k"]] = rec
+            survivors = [r for r in latest.values() if r["v"] is not None]
+            survivors.sort(key=lambda r: r["o"])
+            tombstoned += len(latest) - len(survivors)
+            superseded += n_records - len(latest)
+            kept += len(survivors)
+            lines = [
+                f'{{"k":"{r["k"]}","v":"{r["v"]}","ts":{r["ts"]},"o":{r["o"]}}}'
+                for r in survivors
+            ]
+            tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write("\n".join(lines) + "\n" if lines else "")
+            # old segments out, one range-covering compacted segment in —
+            # single-writer maintenance window, like a broker's cleaner
+            for _s, _c, path in segs:
+                os.unlink(path)
+            os.link(tmp, os.path.join(pdir, f"seg-{0:020d}-{end}.jsonl"))
+            os.unlink(tmp)
+        return {"kept": kept, "superseded": superseded, "tombstoned": tombstoned}
 
 
 def _route(key: bytes | None, value: bytes, n: int) -> int:
@@ -456,7 +518,8 @@ class _Staged(WriterCommitMessage):
 
 
 def _stage_rows(
-    rows: Iterator[Row], root: str, topic: str, fields: list[str]
+    rows: Iterator[Row], root: str, topic: str, fields: list[str],
+    tombstones: bool = False,
 ) -> _Staged:
     """Executor side: bucket rows by partition, write one staged file per
     bucket. Nothing becomes visible until driver-side commit links it in."""
@@ -466,16 +529,23 @@ def _stage_rows(
     by_pid: dict[int, list[str]] = {}
     for row in rows:
         v = row["value"]
-        if v is None:
-            # Kafka null-value tombstones only mean something under log
-            # compaction, which this log doesn't model — fail loudly rather
-            # than persist an ambiguous record.
-            raise ValueError("topiclog sink: null 'value' not supported")
-        vb = v.encode() if isinstance(v, str) else bytes(v)
         kb = None
         if has_key and row["key"] is not None:
             k = row["key"]
             kb = k.encode() if isinstance(k, str) else bytes(k)
+        if v is None:
+            # Kafka null-value tombstone: only meaningful on a compacted,
+            # keyed topic — reject unless the sink opted in AND the record
+            # carries a key to tombstone.
+            if not tombstones:
+                raise ValueError(
+                    "topiclog sink: null 'value' requires option tombstones=true"
+                )
+            if kb is None:
+                raise ValueError("topiclog sink: tombstone requires a key")
+            vb = None
+        else:
+            vb = v.encode() if isinstance(v, str) else bytes(v)
         if has_part and row["partition"] is not None:
             pid = int(row["partition"]) % n_parts
         else:
@@ -496,7 +566,9 @@ def _write_staged(root: str, topic: str, by_pid: dict[int, list[str]]) -> _Stage
     return _Staged(files)
 
 
-def _stage_batches(batches, root: str, topic: str, fields: list[str]) -> _Staged:
+def _stage_batches(
+    batches, root: str, topic: str, fields: list[str], tombstones: bool = False
+) -> _Staged:
     """Arrow-batched staging (the produce-path twin of _read_range_arrow):
     columns come out of the RecordBatch as plain Python lists in one call,
     skipping the engine's per-row pickle → Row materialization (measured
@@ -515,12 +587,19 @@ def _stage_batches(batches, root: str, topic: str, fields: list[str]) -> _Staged
         keys = cols["key"].to_pylist() if has_key else None
         parts = cols["partition"].to_pylist() if has_part else None
         for i, v in enumerate(vals):
-            if v is None:
-                raise ValueError("topiclog sink: null 'value' not supported")
-            vb = v.encode() if isinstance(v, str) else v
             kb = keys[i] if keys is not None else None
             if isinstance(kb, str):
                 kb = kb.encode()
+            if v is None:
+                if not tombstones:
+                    raise ValueError(
+                        "topiclog sink: null 'value' requires option tombstones=true"
+                    )
+                if kb is None:
+                    raise ValueError("topiclog sink: tombstone requires a key")
+                vb = None
+            else:
+                vb = v.encode() if isinstance(v, str) else v
             if parts is not None and parts[i] is not None:
                 pid = int(parts[i]) % n_parts
             else:
@@ -563,11 +642,12 @@ class _TopicLogBatchWriter(DataSourceWriter):
         self.root = options.get("path") or options.get("root")
         self.topic = options["topic"]
         self.fields = [f.name for f in schema.fields]
+        self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 
     def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
-        return _stage_rows(iterator, self.root, self.topic, self.fields)
+        return _stage_rows(iterator, self.root, self.topic, self.fields, self.tombstones)
 
     def commit(self, messages) -> None:
         _commit_staged(messages, self.root, self.topic)
@@ -581,11 +661,12 @@ class _TopicLogStreamWriter(DataSourceStreamWriter):
         self.root = options.get("path") or options.get("root")
         self.topic = options["topic"]
         self.fields = [f.name for f in schema.fields]
+        self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 
     def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
-        return _stage_rows(iterator, self.root, self.topic, self.fields)
+        return _stage_rows(iterator, self.root, self.topic, self.fields, self.tombstones)
 
     def commit(self, messages, batchId: int) -> None:
         _commit_staged(messages, self.root, self.topic)
@@ -602,11 +683,12 @@ class _TopicLogArrowWriter(DataSourceArrowWriter):
         self.root = options.get("path") or options.get("root")
         self.topic = options["topic"]
         self.fields = [f.name for f in schema.fields]
+        self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 
     def write(self, iterator) -> WriterCommitMessage:
-        return _stage_batches(iterator, self.root, self.topic, self.fields)
+        return _stage_batches(iterator, self.root, self.topic, self.fields, self.tombstones)
 
     def commit(self, messages) -> None:
         _commit_staged(messages, self.root, self.topic)
@@ -620,11 +702,12 @@ class _TopicLogStreamArrowWriter(DataSourceStreamArrowWriter):
         self.root = options.get("path") or options.get("root")
         self.topic = options["topic"]
         self.fields = [f.name for f in schema.fields]
+        self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 
     def write(self, iterator) -> WriterCommitMessage:
-        return _stage_batches(iterator, self.root, self.topic, self.fields)
+        return _stage_batches(iterator, self.root, self.topic, self.fields, self.tombstones)
 
     def commit(self, messages, batchId: int) -> None:
         _commit_staged(messages, self.root, self.topic)

@@ -600,3 +600,70 @@ def test_streaming_scd2_merge_matches_batch_rebuild(spark, root, tmp_path):
     assert got == want
     # the no-op image (2, "X") must not have forked a second version
     assert sum(1 for r in got if r[0] == 2) == 1
+
+
+def test_compaction_keeps_latest_and_drops_tombstones(spark, root):
+    """Kafka cleaner semantics: latest record per key survives with its
+    ORIGINAL offset; keys whose latest record is a tombstone vanish;
+    consumers positioned by offset still read correctly post-compaction."""
+    log = TopicLog(root)
+    log.create_topic("state", partitions=2)
+    # three generations of updates for k0/k1/k2, then tombstone k1
+    log.append("state", ["v0", "v1", "v2"], keys=["k0", "k1", "k2"], partition=0)
+    log.append("state", ["v0b", "v1b"], keys=["k0", "k1"], partition=0)
+    log.append("state", ["v0c", None], keys=["k0", "k1"], partition=0)
+    log.append("state", ["w0"], keys=["z0"], partition=1)
+    stats = log.compact("state")
+    assert stats == {"kept": 3, "superseded": 4, "tombstoned": 1}
+
+    rows = read_topic(spark, root, "state").collect()
+    got = {
+        bytes(r["key"]).decode(): (bytes(r["value"]).decode(), r["offset"], r["partition"])
+        for r in rows
+    }
+    # k0's latest was offset 5 (3rd gen), k2 kept its original offset 2
+    assert got == {"k0": ("v0c", 5, 0), "k2": ("v2", 2, 0), "z0": ("w0", 0, 1)}
+    # end offsets unchanged — compaction never rewinds the log's clock
+    assert log.end_offsets("state") == {0: 7, 1: 1}
+    # offset-bounded re-read honours the preserved (gapped) offsets
+    sub = read_topic(spark, root, "state").where(
+        (F.col("partition") == 0) & (F.col("offset") >= 3)
+    )
+    assert {bytes(r["key"]).decode() for r in sub.collect()} == {"k0"}
+
+
+def test_compaction_requires_keys(root):
+    log = TopicLog(root)
+    log.create_topic("plain", partitions=1)
+    log.append("plain", ["a", "b"])  # keyless
+    with pytest.raises(ValueError, match="keyed"):
+        log.compact("plain")
+
+
+def test_tombstone_sink_roundtrip(spark, root, tmp_path):
+    """The sink persists null-value tombstones only when opted in; the
+    envelope surfaces them as null values (Kafka source parity)."""
+    log = TopicLog(root)
+    log.create_topic("kv", partitions=1)
+    df = spark.createDataFrame(
+        [("k0", "x"), ("k1", None)], "key string, value string"
+    )
+    from rdkafka_streams_spark.streaming.topiclog import register
+
+    register(spark)
+    with pytest.raises(Exception, match="tombstones"):
+        df.write.format("topiclog").option("path", root).option("topic", "kv").mode(
+            "append"
+        ).save()
+    df.write.format("topiclog").option("path", root).option("topic", "kv").option(
+        "tombstones", "true"
+    ).mode("append").save()
+    rows = {
+        bytes(r["key"]).decode(): r["value"]
+        for r in read_topic(spark, root, "kv").collect()
+    }
+    assert rows["k0"] is not None and rows["k1"] is None
+    # after compaction the tombstoned key is gone
+    log.compact("kv")
+    left = {bytes(r["key"]).decode() for r in read_topic(spark, root, "kv").collect()}
+    assert left == {"k0"}
