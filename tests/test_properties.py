@@ -357,3 +357,54 @@ def test_temperature_sample_quota_invariants(spark, rows, total):
 
     again = temperature_sample(df, group_col="grp", id_col="id", total=total, tau=0.5).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+@given(
+    words=st.lists(st.text(alphabet="ab", min_size=0, max_size=5), min_size=1, max_size=12)
+)
+def test_fuzzy_join_dist1_matches_python_levenshtein(spark, words):
+    """Deletion-neighborhood join == brute-force dist≤1 pairs on random
+    short strings (covers equal strings, substitutions, insert/delete
+    across lengths, and the empty string)."""
+    from rdkafka_streams_spark.operators.editdist import fuzzy_join_dist1
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "id int, s string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_join_dist1(df, key="id", text="s").collect()
+    }
+    want = {
+        (i, j)
+        for i, (_, wa) in enumerate(rows)
+        for j in range(i + 1, len(rows))
+        if lev(wa, rows[j][1]) <= 1
+    }
+    assert got == want
+
+
+@given(
+    build=st.sets(st.integers(0, 500), min_size=0, max_size=40),
+    probe=st.sets(st.integers(0, 500), min_size=1, max_size=60),
+)
+def test_bloom_prune_never_drops_true_keys(spark, build, probe):
+    from rdkafka_streams_spark.operators.bloomjoin import bloom_build, bloom_prune
+
+    bdf = spark.createDataFrame([(k,) for k in build] or [(None,)], "k int").where(
+        "k is not null"
+    )
+    pdf = spark.createDataFrame([(k,) for k in probe], "k int")
+    bloom = bloom_build(bdf, "k", n_bits=1 << 12, k=2)
+    surviving = {r["k"] for r in bloom_prune(pdf, "k", bloom, n_bits=1 << 12, k=2).collect()}
+    assert (build & probe) <= surviving
