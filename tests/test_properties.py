@@ -359,6 +359,7 @@ def test_temperature_sample_quota_invariants(spark, rows, total):
     assert {tuple(r) for r in again} == {tuple(r) for r in out}
 
 
+@PROP
 @given(
     words=st.lists(st.text(alphabet="ab", min_size=0, max_size=5), min_size=1, max_size=12)
 )
@@ -394,6 +395,7 @@ def test_fuzzy_join_dist1_matches_python_levenshtein(spark, words):
     assert got == want
 
 
+@PROP
 @given(
     build=st.sets(st.integers(0, 500), min_size=0, max_size=40),
     probe=st.sets(st.integers(0, 500), min_size=1, max_size=60),
