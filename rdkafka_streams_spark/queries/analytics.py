@@ -3123,3 +3123,130 @@ def q179_compacted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.event_type").alias("event_type"),
         F.col("v.ts_us").alias("ts_us"),
     )
+
+
+# --------------------------------------------- duplex event bus (S3)
+@query(
+    "q180_duplex_transform",
+    oracle="""
+WITH c AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+SELECT 'origin' AS source, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM c
+UNION ALL
+SELECT 'processed' AS source, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(2 * cents) AS BIGINT) AS sum_cents
+FROM c
+""",
+    tags=("S3", "S1", "S2", "R7", "T-streaming"),
+)
+def q180_duplex_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's getDuplex loop-back scenario INSIDE the correctness
+    gate (test/test_getDuplex.coffee:57-76 semantics): every event is
+    produced to the bus tagged source='origin', ONE streaming hop reads
+    the same topic, re-tags to 'processed' doubling the payload, and
+    writes back; the guard (source='origin') is what makes the feedback
+    loop converge. The bus then holds originals + processed copies, and
+    the per-source (count, sum) rollup must equal the relational oracle
+    — proving read-transform-write-same-topic end-to-end on durable
+    storage, not just in a unit test."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import TopicLog, get_duplex, read_topic
+
+    root = tempfile.mkdtemp(prefix="q180_bus")
+    ck = tempfile.mkdtemp(prefix="q180_ck")
+    log = TopicLog(root)
+    log.create_topic("bus", partitions=4)
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"))
+        .collect()
+    )
+    log.append_json(
+        "bus",
+        [{"event_id": r["event_id"], "source": "origin", "cents": r["cents"]} for r in rows],
+    )
+    dup = get_duplex(
+        host=root, topic="bus",
+        schema="event_id long, source string, cents long",
+        from_offset="earliest", checkpoint=ck, transport="topiclog",
+    )
+
+    def retag(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("value.event_id").alias("event_id"),
+            F.lit("processed").alias("source"),
+            (F.col("value.cents") * 2).alias("cents"),
+        )
+
+    q = dup.pipe(spark, retag, F.col("value.source") == "origin", available_now=True)
+    q.awaitTermination(300)
+    bus = read_topic(spark, root, "bus").select(
+        F.from_json(
+            F.col("value").cast("string"), "event_id long, source string, cents long"
+        ).alias("v")
+    )
+    return bus.groupBy(F.col("v.source").alias("source")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v.cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+# ------------------------------------- stateful running count (R5/T7)
+@query(
+    "q181_stateful_count",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+""",
+    tags=("R5", "T7", "T-streaming"),
+)
+def q181_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's running per-key counter (arbitrary stateful logic,
+    applyInPandasWithState) INSIDE the correctness gate: events stream
+    from a topiclog topic through the stateful operator in update mode;
+    the memory sink accumulates every per-batch emission and the LAST
+    update per key (counts are monotone, so max == final state) must
+    equal the relational COUNT — per-key closure state proven against
+    an oracle, not just a unit assertion."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, TopicLog, shutdown
+    from rdkafka_streams_spark.streaming.stateful import running_count_stateful
+
+    root = tempfile.mkdtemp(prefix="q181_bus")
+    ck = tempfile.mkdtemp(prefix="q181_ck")
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=4)
+    rows = load_table(spark, sf_dir, "events").select("event_id", "user_id").collect()
+    log.append_json(
+        "ev", [{"event_id": r["event_id"], "user_id": r["user_id"]} for r in rows]
+    )
+    c = KConsumer(
+        host=root, topic="ev", from_offset="earliest",
+        schema="event_id long, user_id long", transport="topiclog",
+    )
+    decoded = c.stream(spark).select(
+        F.col("value.user_id").cast("string").alias("user_id")
+    )
+    counted = running_count_stateful(decoded, keys=["user_id"])
+    name = "q181_updates"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    shutdown(q, 60)
+    # the stateful operator keys as string; restore the bigint key for the
+    # oracle comparison
+    return (
+        spark.table(name)
+        .groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(F.max("n").cast("bigint").alias("n_events"))
+    )
