@@ -3250,3 +3250,4 @@ def q181_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("user_id").cast("bigint").alias("user_id"))
         .agg(F.max("n").cast("bigint").alias("n_events"))
     )
+
