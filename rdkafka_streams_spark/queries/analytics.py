@@ -3251,3 +3251,111 @@ def q181_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n").cast("bigint").alias("n_events"))
     )
 
+
+# ------------------------------------------- max drawdown (E21/E11)
+@query(
+    "q182_max_drawdown",
+    oracle="""
+WITH b AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+c1 AS (SELECT user_id, t, event_id,
+              SUM(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+       FROM b),
+c AS (SELECT user_id, cum,
+             MAX(cum) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) AS peak
+      FROM c1)
+SELECT user_id,
+       CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_micro,
+       CAST(MAX(peak) AS BIGINT) AS peak_micro
+FROM c GROUP BY user_id
+""",
+    tags=("E21", "E11", "T-analytics"),
+)
+def q182_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the cumulative value series — the
+    peak-to-trough risk measure, computed exactly: ONE per-user window
+    sort carries the running sum, its running max (a window over a
+    window, same sort), and the max gap — no second shuffle, no float
+    accumulation. The drawdown of a monotone series is 0 by
+    construction, not epsilon."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = b.select(
+        "user_id", "t", "event_id", F.sum("v").over(w).alias("cum")
+    ).select("user_id", "cum", F.max("cum").over(w).alias("peak"))
+    return c.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("cum")).cast("bigint").alias("max_drawdown_micro"),
+        F.max("peak").cast("bigint").alias("peak_micro"),
+    )
+
+
+# -------------------------------- clamped running balance (E34/T7)
+@query(
+    "q183_clamped_balance",
+    oracle="""
+WITH RECURSIVE b AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) - 500000 AS v
+  FROM events),
+n AS (SELECT user_id, CAST(MAX(rn) AS BIGINT) AS n FROM b GROUP BY user_id),
+rec(user_id, rn, bal) AS (
+  SELECT user_id, rn, LEAST(100000000, GREATEST(0, v)) FROM b WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, LEAST(100000000, GREATEST(0, rec.bal + b.v))
+  FROM rec JOIN b ON b.user_id = rec.user_id AND b.rn = rec.rn + 1)
+SELECT r.user_id, n.n AS n_events, CAST(r.bal AS BIGINT) AS final_balance_micro
+FROM rec r JOIN n ON r.user_id = n.user_id AND r.rn = n.n
+""",
+    tags=("E34", "T7", "R7"),
+)
+def q183_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped (saturating) running balance per user — credits/debits
+    accumulate but the balance saturates at [0, 100] units. The clamp
+    makes the recurrence NON-LINEAR: unlike a running sum it has no
+    window-function closed form (the whole prefix matters), which is
+    exactly when the engine's escape hatch is an Arrow-batched
+    `applyInPandas` per key — the grouped-map path the multimodal and
+    stateful operators also ride. Values stay integer micro inside the
+    pandas loop, so the result is exact and the DuckDB oracle is a
+    recursive CTE stepping the same recurrence. Per-user state is one
+    scalar; the shuffle is the single groupBy(user)."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        (F.floor(F.col("value") * 1000000 + 0.5).cast("bigint") - 500000).alias("v"),
+    )
+
+    def clamp_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "event_id"])
+        bal = 0
+        for v in pdf["v"]:
+            bal = min(100000000, max(0, bal + int(v)))
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "final_balance_micro": [bal],
+            }
+        )
+
+    return b.groupBy("user_id").applyInPandas(
+        clamp_group, "user_id long, n_events long, final_balance_micro long"
+    )

@@ -161,6 +161,8 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q176_doc_keyterms": 6,      # tf counts + df join + per-doc top-5 window
         "q177_burst_detection": 2,   # hourly reduce + metadata-scale range window
         "q178_gap_stats": 1,         # lead window + agg share the user key
+        "q182_max_drawdown": 1,      # cum + peak + final agg share ONE user sort
+        "q183_clamped_balance": 1,   # single groupBy(user) Arrow grouped-map
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
