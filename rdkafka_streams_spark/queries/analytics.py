@@ -3359,3 +3359,111 @@ def q183_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.groupBy("user_id").applyInPandas(
         clamp_group, "user_id long, n_events long, final_balance_micro long"
     )
+
+
+# ---------------------------------------- rolling Hampel filter (E21)
+@query(
+    "q184_hampel_filter",
+    oracle="""
+WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+           FROM events),
+w AS (SELECT user_id, event_id, v,
+             list(v) OVER (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nb
+      FROM b),
+m AS (SELECT user_id, event_id, v,
+             list_sort(nb)[(len(nb) + 1) // 2] AS med, nb
+      FROM w),
+d AS (SELECT user_id, event_id, v, med,
+             list_sort(list_transform(nb, x -> abs(x - med)))[(len(nb) + 1) // 2]
+               AS mad
+      FROM m)
+SELECT user_id, event_id, v AS v_micro, CAST(med AS BIGINT) AS med_micro,
+       CAST(mad AS BIGINT) AS mad_micro,
+       CAST(abs(v - med) > 3 * mad AS BIGINT) AS is_outlier
+FROM d
+""",
+    tags=("E21", "E11", "T-analytics"),
+)
+def q184_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Hampel outlier screen per user: each point is compared
+    against the LOWER MEDIAN and MAD of its ±3-row neighborhood —
+    the robust rolling filter that a rolling mean/stddev cannot be
+    (one spike poisons a mean window; it barely moves a median). The
+    neighborhood is collected by one frame window and both medians are
+    element picks from sorted arrays (JVM higher-order functions) —
+    exact integers end-to-end, ONE per-user sort. The rolling
+    complement of q141's global MAD screen."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.floor(F.col("value") * 1000000 + 0.5).cast("bigint").alias("v"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    w = b.select(
+        "user_id", "event_id", "v", F.collect_list("v").over(wf).alias("nb")
+    )
+    med = F.element_at(F.array_sort("nb"), ((F.size("nb") + 1) / 2).cast("int"))
+    m = w.select("user_id", "event_id", "v", "nb", med.alias("med"))
+    mad = F.element_at(
+        F.array_sort(F.transform("nb", lambda x: F.abs(x - F.col("med")))),
+        ((F.size("nb") + 1) / 2).cast("int"),
+    )
+    return m.select(
+        "user_id",
+        "event_id",
+        F.col("v").alias("v_micro"),
+        F.col("med").cast("bigint").alias("med_micro"),
+        mad.cast("bigint").alias("mad_micro"),
+        (F.abs(F.col("v") - F.col("med")) > 3 * mad).cast("bigint").alias("is_outlier"),
+    )
+
+
+# ------------------------------------------- activity streaks (E19/E24)
+@query(
+    "q185_activity_streaks",
+    oracle="""
+WITH days AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+              FROM events),
+g AS (SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS island
+      FROM days),
+s AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(d) AS streak_start
+      FROM g GROUP BY user_id, island)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM s GROUP BY user_id
+""",
+    tags=("E19", "E24", "T-analytics"),
+)
+def q185_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands identity (date minus its per-user rank is constant
+    exactly along a consecutive run). Distinct active days first (the
+    corpus reduces to ≤ users×days rows), then one rank window and two
+    small aggregates; everything after the distinct is metadata-scale."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    wr = Window.partitionBy("user_id").orderBy("d")
+    g = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(wr)).alias("island"),
+    )
+    s = g.groupBy("user_id", "island").agg(F.count("*").cast("bigint").alias("len"))
+    return s.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak_days"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )

@@ -163,6 +163,8 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q178_gap_stats": 1,         # lead window + agg share the user key
         "q182_max_drawdown": 1,      # cum + peak + final agg share ONE user sort
         "q183_clamped_balance": 1,   # single groupBy(user) Arrow grouped-map
+        "q184_hampel_filter": 1,     # ONE ±3-row frame window per user
+        "q185_activity_streaks": 2,  # day distinct + island rank share user key
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
