@@ -3467,3 +3467,91 @@ def q185_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak_days"),
         F.count("*").cast("bigint").alias("n_streaks"),
     )
+
+
+# ------------------------------------------- related items (E10/E19)
+@query(
+    "q186_related_items",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT a.l_partkey AS a, b.l_partkey AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sym AS (SELECT a AS part, b AS rel, n_ab FROM pairs
+        UNION ALL SELECT b, a, n_ab FROM pairs),
+singles AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY 1),
+nt AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+scored AS (
+  SELECT s.part, s.rel, s.n_ab,
+         CAST(CAST(s.n_ab AS HUGEINT) * t.n_orders * 1000000
+              // (CAST(sa.n AS HUGEINT) * sb.n) AS BIGINT) AS lift_ppm
+  FROM sym s
+  JOIN singles sa ON s.part = sa.l_partkey
+  JOIN singles sb ON s.rel = sb.l_partkey
+  CROSS JOIN nt t)
+SELECT part, rel, n_ab, lift_ppm FROM (
+  SELECT part, rel, n_ab, lift_ppm,
+         ROW_NUMBER() OVER (PARTITION BY part
+                            ORDER BY lift_ppm DESC, n_ab DESC, rel) AS rn
+  FROM scored) WHERE rn <= 3
+""",
+    tags=("E10", "E19", "T-analytics"),
+)
+def q186_related_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"People also bought": top-3 co-purchased parts per part ranked by
+    exact integer lift — the SERVING view of q138's market-basket
+    statistics (q138 audits pairs globally; this materializes the
+    per-item recommendation list a lookup service ships). Pair
+    generation is the same map-side basket expansion; the per-part
+    window key's cardinality grows with the catalog, so the top-3 rank
+    parallelizes; ties break (lift, support, id) so the list is total."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "parts",
+                        lambda a, i: F.transform(
+                            F.slice(
+                                "parts", i + 2,
+                                F.greatest(F.size("parts") - i - 1, F.lit(0)),
+                            ),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    sym = pairs.select(F.col("a").alias("part"), F.col("b").alias("rel"), "n_ab").unionAll(
+        pairs.select(F.col("b").alias("part"), F.col("a").alias("rel"), "n_ab")
+    )
+    singles = li.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n"))
+    nt = li.agg(F.count_distinct("l_orderkey").cast("bigint").alias("n_orders"))
+    scored = (
+        sym.join(singles.select(F.col("l_partkey").alias("part"), F.col("n").alias("na")), "part")
+        .join(singles.select(F.col("l_partkey").alias("rel"), F.col("n").alias("nb")), "rel")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "part", "rel", "n_ab",
+            F.expr(
+                "cast(cast(n_ab as decimal(38,0)) * n_orders * 1000000"
+                " div (cast(na as decimal(38,0)) * nb) as bigint)"
+            ).alias("lift_ppm"),
+        )
+    )
+    wr = Window.partitionBy("part").orderBy(
+        F.col("lift_ppm").desc(), F.col("n_ab").desc(), F.col("rel").asc()
+    )
+    return scored.withColumn("rn", F.row_number().over(wr)).where(F.col("rn") <= 3).select(
+        "part", "rel", "n_ab", "lift_ppm"
+    )

@@ -165,6 +165,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q183_clamped_balance": 1,   # single groupBy(user) Arrow grouped-map
         "q184_hampel_filter": 1,     # ONE ±3-row frame window per user
         "q185_activity_streaks": 2,  # day distinct + island rank share user key
+        # basket expand + pair agg + sym union + two singles joins +
+        # per-part top-3 window (same no-forced-broadcast posture as q138)
+        "q186_related_items": 11,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
