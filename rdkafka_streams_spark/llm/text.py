@@ -151,19 +151,25 @@ def build_vocabulary(
     (freq desc, token asc) — the deterministic precursor to tokenizer
     training (BPE seeding, embedding-table sizing, OOV policy).
 
-    Scale shape: the token count is one shuffled aggregate; the global rank
-    that assigns ids runs AFTER the ``min_count`` cut, so the single-sort
-    input is the kept vocabulary (≤ tens of millions of rows at any corpus
-    size — Zipf does the work), never the raw token tail."""
+    Scale shape: the token count is one shuffled aggregate; id assignment
+    is an exact distributed rank (operators/ranking.py ``global_rank``:
+    range partition on (-freq, tok) + parallel local ranks + broadcast
+    offsets) — unconditionally parallel, no single-sort task even when the
+    post-``min_count`` vocabulary is large."""
+    from ..operators.ranking import global_rank
+
     toks = docs.select(F.explode(F.split(text_col, " ")).alias("tok")).where(
         F.col("tok") != ""
     )
-    kept = toks.groupBy("tok").agg(F.count("*").alias("freq")).where(
-        F.col("freq") >= min_count
+    kept = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") >= min_count)
+        .withColumn("__negfreq", -F.col("freq"))
     )
-    w = Window.orderBy(F.col("freq").desc(), "tok")
     return (
-        kept.withColumn("token_id", (F.row_number().over(w) - 1).cast("long"))
+        global_rank(kept, ["__negfreq", "tok"], rank_col="__rn")
+        .withColumn("token_id", (F.col("__rn") - 1).cast("long"))
         .where(F.col("token_id") < max_vocab)
         .select("tok", F.col("freq").cast("long").alias("freq"), "token_id")
     )

@@ -16,8 +16,11 @@ but not as a user-directed operator; this is the declarative form:
    ``pmod`` into m bits) → group bit masks into m/64 words
    (``bit_or(1 << pos%64)``) — the whole filter is an (word → bits)
    DataFrame of m/64 rows, broadcastable at any build-side row count;
-2. probe: for each hash i, a broadcast join on the word index + a bitwise
-   AND test — map-side only, the fact table never shuffles to be probed;
+2. probe: pack the words into ONE ``map<word, bits>`` row (≤ m/64
+   entries — 16 KiB per Mbit of filter), broadcast it once, and test all
+   k positions with map lookups — the build aggregation is referenced
+   exactly once (never recomputed per hash), the probe adds zero joins,
+   and the fact table never shuffles to be probed;
 3. the caller then runs the real join on the survivors.
 
 Everything is JVM expressions (xxhash64 / pmod / shiftleft / bit_or);
@@ -51,32 +54,25 @@ def bloom_prune(
     fact: DataFrame, key: str, bloom: DataFrame, n_bits: int = 1 << 20, k: int = 2
 ) -> DataFrame:
     """Keep only fact rows whose key MIGHT be in the bloom (no false
-    negatives). ``k`` broadcast word-lookups + bit tests, zero fact
-    shuffles; survivors feed the caller's exact join."""
-    out = fact
+    negatives). The bloom words are packed into a single ``map<word,bits>``
+    row and broadcast once (the repo's 1-row stat-join pattern), so the
+    build-side aggregation runs exactly once however many hashes probe it;
+    all k bit tests are map lookups on the fact side — zero fact shuffles,
+    zero per-hash joins. Survivors feed the caller's exact join."""
+    packed = bloom.agg(
+        F.map_from_arrays(
+            F.collect_list("__word"), F.collect_list("__bits")
+        ).alias("__bloom")
+    )
+    hit = F.lit(True)
     for i in range(k):
         pos = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
-        w = bloom.select(
-            F.col("__word").alias(f"__w{i}"), F.col("__bits").alias(f"__b{i}")
+        bits = F.element_at(
+            F.col("__bloom"), (pos / 64).cast("bigint")
         )
-        out = (
-            out.withColumn(f"__p{i}", pos)
-            .join(
-                F.broadcast(w),
-                (F.col(f"__p{i}") / 64).cast("bigint") == F.col(f"__w{i}"),
-                "left",
-            )
-            .where(
-                F.col(f"__b{i}").isNotNull()
-                & (
-                    F.col(f"__b{i}").bitwiseAND(
-                        F.expr(
-                            f"shiftleft(cast(1 as bigint), cast(__p{i} % 64 as int))"
-                        )
-                    )
-                    != 0
-                )
-            )
-            .drop(f"__p{i}", f"__w{i}", f"__b{i}")
+        mask = F.expr(
+            f"shiftleft(cast(1 as bigint), cast("
+            f"pmod(xxhash64({key}, {i}), {n_bits}) % 64 as int))"
         )
-    return out
+        hit = hit & bits.isNotNull() & (bits.bitwiseAND(mask) != 0)
+    return fact.crossJoin(F.broadcast(packed)).where(hit).drop("__bloom")

@@ -30,8 +30,15 @@ from pyspark.sql import functions as F
 def deletion_variants(col: Column) -> Column:
     """``array(s, delete(s,1), …, delete(s,len))`` — every string produced
     by removing at most one character, built JVM-side."""
+    # guard the empty string: sequence(1, 0) yields the DESCENDING [1, 0],
+    # whose index-0 entry would build a spurious variant via negative-length
+    # substr — keeping only 1 <= i <= len makes the variant set exactly {s}
+    # for the empty string and changes nothing otherwise
     one_gone = F.transform(
-        F.sequence(F.lit(1), F.length(col)),
+        F.filter(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: (i >= 1) & (i <= F.length(col)),
+        ),
         lambda i: F.concat(
             col.substr(F.lit(1), i - 1),
             col.substr(i + 1, F.length(col)),

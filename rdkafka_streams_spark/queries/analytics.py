@@ -2442,9 +2442,13 @@ def q166_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user (one agg), earliest strictly-later purchase (one join +
     agg), then EXACT lower-median and p90 picked by integer rank
     positions ((n+1) div 2, (9n+9) div 10) — rank-pick order includes
-    user_id so ties are total. The per-user frame is small (converted
-    users), so the global rank window is a deliberate single-partition
-    pick over an already-reduced set, not a fact-table sort."""
+    user_id so ties are total. The converted-user frame grows linearly
+    with users, so the exact rank goes through operators/ranking.py
+    global_rank (range partition + parallel local ranks + broadcast
+    offsets) and the global count arrives as a broadcast 1-row join —
+    no partition-less window anywhere in the plan."""
+    from rdkafka_streams_spark.operators.ranking import global_rank
+
     ev = _t(spark, sf_dir, "events")
     s = (
         ev.where(F.col("event_type") == "signup")
@@ -2460,12 +2464,9 @@ def q166_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.unix_micros("ts") - F.unix_micros("t0")).alias("dur_us")
         )
     )
-    wr = Window.orderBy("dur_us", "user_id")
-    r = p.select(
-        "dur_us",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    ranked = global_rank(p, ["dur_us", "user_id"], rank_col="rn")
+    n_df = p.agg(F.count("*").alias("n"))
+    r = ranked.crossJoin(F.broadcast(n_df)).select("dur_us", "rn", "n")
     return r.agg(
         F.max("n").cast("bigint").alias("n_converted"),
         F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("dur_us")))
@@ -3086,31 +3087,36 @@ def q179_compacted_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted (TopicLog.compact — latest record per key survives with
     its original offset, Kafka cleaner semantics), and the consumer
     rebuilds current per-user state from the compacted log alone. The
-    produce is a single ordered producer per the broker contract
-    (per-partition order = produce order); the oracle derives the same
-    state relationally. Proves the state-topic pattern — changelog in,
-    table out — end-to-end on durable storage."""
+    produce is DISTRIBUTED and partition-ordered: the seed frame is
+    pre-partitioned on the topic partition id (crc32(key) mod P — the
+    sink's own keyed route), sorted by event time within each task, and
+    written through KProducer.write_batch with an explicit partition
+    column, so every topic partition is staged by exactly one executor
+    task in event-time order and no row ever crosses the driver. The
+    oracle derives the same state relationally. Proves the state-topic
+    pattern — changelog in, table out — end-to-end on durable storage."""
     import tempfile
 
-    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
 
     root = tempfile.mkdtemp(prefix="q179_bus")
+    n_parts = 4
     log = TopicLog(root)
-    log.create_topic("state", partitions=4)
-    rows = (
-        load_table(spark, sf_dir, "events")
-        .select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id")
-        .orderBy("ts_us", "event_id")
-        .collect()
+    log.create_topic("state", partitions=n_parts)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
     )
-    log.append(
-        "state",
-        [
-            f'{{"user_id":{r["user_id"]},"event_type":"{r["event_type"]}","ts_us":{r["ts_us"]}}}'
-            for r in rows
-        ],
-        keys=[str(r["user_id"]) for r in rows],
+    tp = (F.crc32(F.col("user_id").cast("string").cast("binary")) % n_parts).cast("int")
+    seed = (
+        ev.withColumn("__tp", tp)
+        .repartition(n_parts, "__tp")
+        .sortWithinPartitions("ts_us", "event_id")
+        .select("user_id", "event_type", "ts_us", "__tp")
     )
+    KProducer(
+        host=root, topic="state", key="user_id", partition_col="__tp",
+        transport="topiclog",
+    ).write_batch(seed)
     log.compact("state")
     raw = read_topic(spark, root, "state")
     return raw.select(
@@ -3152,21 +3158,19 @@ def q180_duplex_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage, not just in a unit test."""
     import tempfile
 
-    from rdkafka_streams_spark.streaming import TopicLog, get_duplex, read_topic
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, get_duplex, read_topic
 
     root = tempfile.mkdtemp(prefix="q180_bus")
     ck = tempfile.mkdtemp(prefix="q180_ck")
     log = TopicLog(root)
     log.create_topic("bus", partitions=4)
-    rows = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"))
-        .collect()
+    # distributed seed: executor-side staged produce, no driver collect
+    seed = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.lit("origin").alias("source"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
     )
-    log.append_json(
-        "bus",
-        [{"event_id": r["event_id"], "source": "origin", "cents": r["cents"]} for r in rows],
-    )
+    KProducer(host=root, topic="bus", transport="topiclog").write_batch(seed)
     dup = get_duplex(
         host=root, topic="bus",
         schema="event_id long, source string, cents long",
@@ -3212,17 +3216,16 @@ def q181_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     an oracle, not just a unit assertion."""
     import tempfile
 
-    from rdkafka_streams_spark.streaming import KConsumer, TopicLog, shutdown
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
     from rdkafka_streams_spark.streaming.stateful import running_count_stateful
 
     root = tempfile.mkdtemp(prefix="q181_bus")
     ck = tempfile.mkdtemp(prefix="q181_ck")
     log = TopicLog(root)
     log.create_topic("ev", partitions=4)
-    rows = load_table(spark, sf_dir, "events").select("event_id", "user_id").collect()
-    log.append_json(
-        "ev", [{"event_id": r["event_id"], "user_id": r["user_id"]} for r in rows]
-    )
+    # distributed seed: executor-side staged produce, no driver collect
+    seed = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    KProducer(host=root, topic="ev", transport="topiclog").write_batch(seed)
     c = KConsumer(
         host=root, topic="ev", from_offset="earliest",
         schema="event_id long, user_id long", transport="topiclog",
@@ -3554,4 +3557,147 @@ def q186_related_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.withColumn("rn", F.row_number().over(wr)).where(F.col("rn") <= 3).select(
         "part", "rel", "n_ab", "lift_ppm"
+    )
+
+
+# ------------------------------------- stream-stream join (T6)
+@query(
+    "q187_stream_stream_join",
+    oracle="""
+WITH p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+           FROM events WHERE event_type = 'purchase'),
+e AS (SELECT user_id, event_id AS e_id, epoch_us(ts) AS e_us
+      FROM events WHERE event_type = 'error')
+SELECT p.user_id, p.p_id, e.e_id,
+       CAST(p.p_us - e.e_us AS BIGINT) AS delta_us
+FROM p JOIN e ON p.user_id = e.user_id
+ AND e.e_us BETWEEN p.p_us - 3600000000 AND p.p_us
+""",
+    tags=("T6", "S1", "S5", "T-streaming"),
+)
+def q187_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream windowed equi-join THROUGH the transport (T6 promoted
+    to the oracle tier): purchases and errors are produced to two topiclog
+    topics (distributed write_batch — no driver collect), two independent
+    streaming consumers read them back, and the engine's stateful
+    stream-stream join matches each purchase to same-user errors in the
+    preceding hour, watermarked on BOTH sides so join state is evicted as
+    event time advances (the unbounded-state guard that matters at 100 TB).
+    The emitted pairs must equal the relational band join the oracle
+    computes — the reference's two-consumer composition
+    (test/test_getDuplex.coffee:57-76 topology) with real join semantics."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog
+
+    root = tempfile.mkdtemp(prefix="q187_bus")
+    ck = tempfile.mkdtemp(prefix="q187_ck")
+    log = TopicLog(root)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    for et, topic in (("purchase", "purchases"), ("error", "errors")):
+        log.create_topic(topic, partitions=4)
+        KProducer(host=root, topic=topic, transport="topiclog").write_batch(
+            ev.where(F.col("event_type") == et).select("user_id", "event_id", "ts_us")
+        )
+
+    def side(topic: str, prefix: str) -> DataFrame:
+        c = KConsumer(
+            host=root, topic=topic, from_offset="earliest",
+            schema="user_id long, event_id long, ts_us long", transport="topiclog",
+        )
+        return (
+            c.stream(spark)
+            .select(
+                F.col("value.user_id").alias(f"{prefix}_user"),
+                F.col("value.event_id").alias(f"{prefix}_id"),
+                F.timestamp_micros(F.col("value.ts_us")).alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    joined = side("purchases", "p").join(
+        side("errors", "e"),
+        F.expr("p_user = e_user AND e_ts BETWEEN p_ts - interval 1 hour AND p_ts"),
+        "inner",
+    )
+    name = "q187_pairs"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("p_user").alias("user_id"),
+        "p_id",
+        "e_id",
+        (F.unix_micros("p_ts") - F.unix_micros("e_ts")).cast("bigint").alias("delta_us"),
+    )
+
+
+# ------------------------------------- stream-static join (T6)
+@query(
+    "q188_stream_static_join",
+    oracle="""
+WITH d AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS user_total
+           FROM events GROUP BY user_id)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(d.user_total) AS BIGINT) AS sum_user_total
+FROM events e JOIN d ON e.user_id = d.user_id
+GROUP BY e.event_type
+""",
+    tags=("T6", "S1", "T-streaming"),
+)
+def q188_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment THROUGH the transport (T6's second half in
+    the oracle tier): the full event stream is produced to a topiclog
+    topic (distributed write_batch), streamed back, and every micro-batch
+    is enriched against a STATIC per-user dimension under a broadcast
+    hint — the stateless lookup-table join (map-side, re-planned per
+    micro-batch, no shuffle of the stream) that backs every streaming
+    enrichment pipeline. The per-type rollup of the enriched stream must
+    equal the relational oracle."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog
+
+    root = tempfile.mkdtemp(prefix="q188_bus")
+    ck = tempfile.mkdtemp(prefix="q188_ck")
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=4)
+    ev = load_table(spark, sf_dir, "events")
+    KProducer(host=root, topic="ev", transport="topiclog").write_batch(
+        ev.select("event_id", "user_id", "event_type")
+    )
+    static_dim = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("user_total")
+    )
+    c = KConsumer(
+        host=root, topic="ev", from_offset="earliest",
+        schema="event_id long, user_id long, event_type string",
+        transport="topiclog",
+    )
+    enriched = (
+        c.stream(spark)
+        .select("value.event_id", "value.user_id", "value.event_type")
+        .join(F.broadcast(static_dim), "user_id")
+    )
+    name = "q188_enriched"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("user_total").cast("bigint").alias("sum_user_total"),
     )

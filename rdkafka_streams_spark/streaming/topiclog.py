@@ -320,11 +320,19 @@ class TopicLog:
         and startingOffsets semantics survive compaction exactly like a
         broker's. Requires every record keyed (Kafka's own precondition
         for ``cleanup.policy=compact``). Offline maintenance op: run it
-        while no producer is appending to the topic. Returns
-        {kept, superseded, tombstoned} counts."""
+        while no producer is appending AND no reader is scanning the
+        topic — mid-swap a concurrent reader can observe a partially
+        emptied partition (a broker's cleaner holds a lock for the same
+        reason). CRASH-SAFE: the compacted replacement is hard-linked
+        under a reader-invisible ``cleaner-`` marker name BEFORE any old
+        segment is unlinked, so a crash at any point loses nothing — the
+        next ``compact()`` call finishes the interrupted swap from the
+        marker (the marker always holds the complete compacted state).
+        Returns {kept, superseded, tombstoned} counts."""
         kept = superseded = tombstoned = 0
         for pid in _list_partitions(self.root, topic):
             pdir = _part_dir(self.root, topic, pid)
+            _recover_compaction(pdir)
             segs = _list_segments(pdir)
             if not segs:
                 continue
@@ -355,13 +363,42 @@ class TopicLog:
             tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w", encoding="utf-8") as f:
                 f.write("\n".join(lines) + "\n" if lines else "")
-            # old segments out, one range-covering compacted segment in —
-            # single-writer maintenance window, like a broker's cleaner
+            # Crash-safe swap: publish the full compacted state under a
+            # marker name readers never match FIRST, then retire the old
+            # segments, then promote the marker to its final segment name.
+            # A crash anywhere in between leaves either the old segments or
+            # the marker (or both) on disk — never a data loss window.
+            marker = os.path.join(pdir, f"cleaner-{end:020d}.jsonl")
+            os.link(tmp, marker)
+            os.unlink(tmp)
             for _s, _c, path in segs:
                 os.unlink(path)
-            os.link(tmp, os.path.join(pdir, f"seg-{0:020d}-{end}.jsonl"))
-            os.unlink(tmp)
+            os.link(marker, os.path.join(pdir, f"seg-{0:020d}-{end}.jsonl"))
+            os.unlink(marker)
         return {"kept": kept, "superseded": superseded, "tombstoned": tombstoned}
+
+
+_CLEANER_RE = re.compile(r"^cleaner-(\d{20})\.jsonl$")
+
+
+def _recover_compaction(pdir: str) -> None:
+    """Finish an interrupted ``compact()`` swap. A ``cleaner-`` marker always
+    holds the COMPLETE compacted state for its partition (it is linked before
+    any old segment is unlinked), so recovery is unconditional: retire
+    whatever segments remain, promote the marker, drop it."""
+    if not os.path.isdir(pdir):
+        return
+    markers = [n for n in os.listdir(pdir) if _CLEANER_RE.match(n)]
+    for name in markers:
+        end = int(_CLEANER_RE.match(name).group(1))
+        marker = os.path.join(pdir, name)
+        final = os.path.join(pdir, f"seg-{0:020d}-{end}.jsonl")
+        for _s, _c, path in _list_segments(pdir):
+            if path != final:
+                os.unlink(path)
+        if not os.path.exists(final):
+            os.link(marker, final)
+        os.unlink(marker)
 
 
 def _route(key: bytes | None, value: bytes, n: int) -> int:

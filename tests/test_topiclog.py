@@ -632,6 +632,53 @@ def test_compaction_keeps_latest_and_drops_tombstones(spark, root):
     assert {bytes(r["key"]).decode() for r in sub.collect()} == {"k0"}
 
 
+def test_compaction_crash_recovery(spark, root):
+    """A crash mid-swap (old segments unlinked, marker not yet promoted)
+    loses nothing: the cleaner- marker holds the complete compacted state
+    and the next compact() finishes the swap from it."""
+    import os
+
+    from rdkafka_streams_spark.streaming.topiclog import (
+        _list_segments,
+        _part_dir,
+    )
+
+    log = TopicLog(root)
+    log.create_topic("state", partitions=1)
+    log.append("state", ["v0", "v1"], keys=["k0", "k1"], partition=0)
+    log.append("state", ["v0b"], keys=["k0"], partition=0)
+    pdir = _part_dir(root, "state", 0)
+
+    # simulate the worst crash point by hand: marker linked, ALL old
+    # segments unlinked, final segment never published
+    segs = _list_segments(pdir)
+    lines = []
+    for seg_start, _c, path in segs:
+        with open(path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                import json as _json
+
+                rec = _json.loads(line)
+                rec["o"] = rec.get("o", seg_start + i)
+                lines.append(_json.dumps(rec, separators=(",", ":")))
+    with open(os.path.join(pdir, f"cleaner-{3:020d}.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    for _s, _c, path in segs:
+        os.unlink(path)
+    assert _list_segments(pdir) == []  # the partition LOOKS empty...
+
+    # ...but compact() recovers the marker, then re-compacts normally
+    stats = log.compact("state")
+    assert stats == {"kept": 2, "superseded": 1, "tombstoned": 0}
+    rows = {
+        bytes(r["key"]).decode(): bytes(r["value"]).decode()
+        for r in read_topic(spark, root, "state").collect()
+    }
+    assert rows == {"k0": "v0b", "k1": "v1"}
+    assert log.end_offsets("state") == {0: 3}
+    assert not any(n.startswith("cleaner-") for n in os.listdir(pdir))
+
+
 def test_compaction_requires_keys(root):
     log = TopicLog(root)
     log.create_topic("plain", partitions=1)
