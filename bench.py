@@ -69,7 +69,8 @@ def main() -> None:
             rows[name] = n
 
     stream_rps = _stream_decode_throughput(spark)
-    produce_rps, consume_rps = _topiclog_roundtrip_throughput(spark)
+    produce_rps, consume_wall_rps, consume_best_rps = _topiclog_roundtrip_throughput(spark)
+    calibration = _calibration_marker(spark)
 
     total = round(sum(times.values()), 3)
     print(
@@ -84,12 +85,33 @@ def main() -> None:
                 "cpus": cpus,
                 "runs_per_query": RUNS,
                 "aggregation": "min",
+                # fixed CPU-bound probe: compare this across rounds to
+                # normalize machine-load drift before reading query deltas
+                "calibration_sec": calibration,
                 "stream_decode_rows_per_sec": stream_rps,
-                "topiclog_produce_rows_per_sec": produce_rps,
-                "topiclog_consume_rows_per_sec": consume_rps,
+                # produce = end-to-end wall; consume reported both ways so
+                # the JSON is self-describing (wall includes trigger idle
+                # time, best_batch is the sustained micro-batch capability)
+                "topiclog_produce_wall_rows_per_sec": produce_rps,
+                "topiclog_consume_wall_rows_per_sec": consume_wall_rps,
+                "topiclog_consume_best_batch_rows_per_sec": consume_best_rps,
             }
         )
     )
+
+
+def _calibration_marker(spark, runs: int = 3) -> float:
+    """Fixed CPU-bound probe (no IO, no shuffle): min wall over ``runs`` of
+    a 50M-row codegen hash-fold (bit_xor cannot overflow under ANSI).
+    Round-over-round bench comparisons divide by this to separate
+    machine-load drift from real plan regressions (build notes record
+    7→14 s swings between idle runs on this box)."""
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        spark.range(50_000_000).selectExpr("bit_xor(xxhash64(id)) as s").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def _stream_decode_throughput(spark, target_rows: int = 24_000_000) -> int:
@@ -148,14 +170,23 @@ def _stream_decode_throughput(spark, target_rows: int = 24_000_000) -> int:
         shutil.rmtree(ck, ignore_errors=True)
 
 
-def _topiclog_roundtrip_throughput(spark, n: int = 100_000) -> tuple[int, int]:
+def _topiclog_roundtrip_throughput(spark, n: int = 400_000) -> tuple[int, int, int]:
     """End-to-end rate through the durable topiclog transport
     (streaming/topiclog.py): batch-produce ``n`` reference-shaped records,
     then stream-consume + JSON-decode them to exhaustion. This is the
     Python-DataSource integration path — orders of magnitude slower than the
     JVM decode path measured above, but it is a REAL produce→persist→consume
     loop (the reference's harness tops out near 1e3 msg/s on the same
-    shape). Returns (produce_rows_per_sec, consume_rows_per_sec)."""
+    shape).
+
+    Both directions are measured in the steady-state regime a long-lived
+    pipeline sees: a small warm-up produce AND a warm-up consume absorb the
+    one-time Python-worker spawn + datasource pickling (~2 s), and the timed
+    consume caps offsets per trigger so the rate comes from several
+    sustained micro-batches, not one giant batch whose duration is mostly
+    fixed per-batch engine overhead. Returns (produce_wall_rps,
+    consume_wall_rps, consume_best_batch_rps) — wall includes trigger idle
+    gaps, best-batch is the sustained per-micro-batch capability."""
     import shutil
     import tempfile
     import time as _t
@@ -166,53 +197,65 @@ def _topiclog_roundtrip_throughput(spark, n: int = 100_000) -> tuple[int, int]:
 
     root = tempfile.mkdtemp(prefix="bench_topiclog")
     ck = tempfile.mkdtemp(prefix="bench_topiclog_ck")
+    ckw = tempfile.mkdtemp(prefix="bench_topiclog_ckw")
     try:
         TopicLog(root).create_topic("bench", partitions=8)
         df = spark.range(n).select(
             F.col("id").alias("count"), F.lit("origin").alias("source")
         )
-        # warm-up: a small produce through a throwaway topic so the timed
-        # run measures the transport, not one-time Python-worker startup
-        # (~9 s of interpreter spawn + datasource pickling on first use;
-        # steady-state is what a long-lived pipeline sees)
+        # warm-up produce: every worker slot spawns its interpreter once
         TopicLog(root).create_topic("warmup", partitions=8)
         par = spark.sparkContext.defaultParallelism
         warm = spark.range(0, 4_000, 1, par).select(
             F.col("id").alias("count"), F.lit("origin").alias("source")
-        )  # one input partition per worker slot → every interpreter spawns
+        )
         KProducer(host=root, topic="warmup", transport="topiclog").write_batch(warm)
         t0 = _t.perf_counter()
         KProducer(host=root, topic="bench", transport="topiclog").write_batch(df)
         produce_s = _t.perf_counter() - t0
 
+        # warm-up consume: the stream-read path spawns its own workers
+        qw = (
+            KConsumer(
+                host=root, topic="warmup", from_offset="earliest",
+                schema="count long, source string", transport="topiclog",
+            )
+            .stream(spark)
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckw)
+            .trigger(processingTime="0.1 seconds")
+            .start()
+        )
+        qw.processAllAvailable()
+        shutdown(qw, 60)
+
         c = KConsumer(
             host=root, topic="bench", from_offset="earliest",
             schema="count long, source string", transport="topiclog",
+            batch_size=8192,  # ≥6 sustained micro-batches at n=400k
         )
         q = (
             c.stream(spark)
             .writeStream.format("noop")
             .option("checkpointLocation", ck)
-            .trigger(processingTime="0.2 seconds")
+            .trigger(processingTime="0.1 seconds")
             .start()
         )
         t1 = _t.perf_counter()
         q.processAllAvailable()
         consume_s = _t.perf_counter() - t1
-        # best sustained micro-batch = steady-state capability (same metric
-        # the JSON-decode path uses); wall-clock fallback if progress is
-        # empty covers the degenerate zero-batch case
         rates = [
             p["numInputRows"] / (p["batchDuration"] / 1000.0)
             for p in q.recentProgress
             if p["numInputRows"] and p["batchDuration"]
         ]
-        consume_rps = int(max(rates)) if rates else int(n / consume_s)
+        consume_best = int(max(rates)) if rates else int(n / consume_s)
         shutdown(q, 60)
-        return int(n / produce_s), consume_rps
+        return int(n / produce_s), int(n / consume_s), consume_best
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(ckw, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -3701,3 +3701,545 @@ def q188_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("user_total").cast("bigint").alias("sum_user_total"),
     )
+
+
+# ------------------------------- idempotent-sink replay (T8/F6)
+@query(
+    "q189_idempotent_replay",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY user_id
+""",
+    tags=("T8", "F6", "S1", "T-streaming"),
+)
+def q189_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery semantics (T8) in the oracle tier: the event stream is
+    consumed from the transport TWICE — a full run, then a full replay
+    from a fresh checkpoint — through the idempotent per-batch-overwrite
+    sink (streaming/sinks.py: each micro-batch owns its batch_id=<n>
+    directory, replays replace instead of duplicate). Offset planning is
+    deterministic (earliest + fixed per-trigger cap), so the replay
+    regenerates the same (batch_id, data) pairs and the sink must equal
+    ONE copy of the input — the at-least-once → effectively-exactly-once
+    upgrade the reference's delivery callback cannot express
+    (src/Producer.coffee:87 fires on enqueue). The per-user rollup of
+    the sink must equal the relational oracle."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog
+    from rdkafka_streams_spark.streaming.sinks import foreach_batch_overwrite
+
+    root = tempfile.mkdtemp(prefix="q189_bus")
+    sink = tempfile.mkdtemp(prefix="q189_sink")
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=4)
+    seed = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    KProducer(host=root, topic="ev", transport="topiclog").write_batch(seed)
+
+    def run() -> None:
+        from rdkafka_streams_spark.streaming import shutdown
+
+        c = KConsumer(
+            host=root, topic="ev", from_offset="earliest",
+            schema="event_id long, user_id long, cents long",
+            transport="topiclog", batch_size=1024,
+        )
+        dec = c.stream(spark).select(
+            "value.event_id", "value.user_id", "value.cents"
+        )
+        # processingTime + processAllAvailable (not availableNow): the
+        # per-trigger cap must keep planning batches until caught up, so
+        # both runs produce the identical [k*1024, (k+1)*1024) splits
+        q = foreach_batch_overwrite(
+            dec, sink, tempfile.mkdtemp(prefix="q189_ck"),
+            trigger_available_now=False,
+        )
+        q.processAllAvailable()
+        shutdown(q, 60)
+
+    run()
+    run()  # full replay: same batch ids, overwrite → zero duplicates
+    out = spark.read.parquet(sink)
+    return out.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+# ------------------------------------- cohort retention (E24/E10)
+@query(
+    "q190_cohort_retention",
+    oracle="""
+WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id, f.cohort_week,
+             (epoch_us(date_trunc('week', e.ts)) - epoch_us(f.cohort_week))
+               // 604800000000 AS week_offset
+      FROM events e JOIN f ON e.user_id = f.user_id)
+SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM a GROUP BY cohort_week, week_offset
+""",
+    tags=("E24", "E10", "T-analytics"),
+)
+def q190_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by first-activity
+    week, activity counted per whole weeks elapsed — the product
+    analytics staple. Week arithmetic is integer-exact (both engines
+    truncate to Monday and the offset is a µs difference div one week).
+    Scale shape: first-event agg (user-keyed), join back, then the
+    DISTINCT (user, cohort, offset) reduction BEFORE the cell count —
+    the exact two-phase form of COUNT(DISTINCT) that spreads the
+    distinct across the cluster instead of widening one agg's state."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    a = (
+        ev.join(f, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "(unix_micros(date_trunc('week', ts)) - unix_micros(cohort_week))"
+                " div 604800000000"
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return a.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("bigint").alias("active_users")
+    )
+
+
+# ------------------------------------- RFM segmentation (E11/X3)
+@query(
+    "q192_rfm_segments",
+    oracle="""
+WITH m AS (SELECT user_id,
+                  MAX(epoch_us(ts)) AS last_us,
+                  CAST(COUNT(*) AS BIGINT) AS freq,
+                  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS monetary
+           FROM events GROUP BY user_id),
+q AS (SELECT user_id,
+             NTILE(5) OVER (ORDER BY last_us DESC, user_id) AS r_q,
+             NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f_q,
+             NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m_q,
+             monetary
+      FROM m)
+SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+       CAST(m_q AS BIGINT) AS m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(monetary) AS BIGINT) AS sum_monetary
+FROM q GROUP BY r_q, f_q, m_q
+""",
+    tags=("E11", "X3", "T-analytics"),
+)
+def q192_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classic CRM cut. Each dimension is an EXACT NTILE(5), computed at
+    scale by replicating NTILE's bucket arithmetic on top of
+    operators/ranking.global_rank (range partition + parallel local
+    ranks): the first n%5 buckets take ceil(n/5) rows, the rest take
+    floor(n/5) — bit-identical to the oracle's partition-less NTILE
+    without ever sorting the user universe in one task. The three
+    dimensions rank as INDEPENDENT branches re-joined on user_id (flat
+    plan depth — nesting them would re-evaluate the upstream agg 2^3
+    times through global_rank's documented double-consumption). Ties
+    break on user_id so every rank (and thus every bucket) is total."""
+    from rdkafka_streams_spark.operators.ranking import global_rank
+
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)"))
+        .cast("bigint").alias("monetary"),
+    )
+    n_df = m.agg(F.count("*").alias("__n"))
+
+    def ntile5(metric: str, out: str, keep: list[str]) -> DataFrame:
+        # NTILE(5) from an exact global rank: desc metric, user tiebreak
+        ranked = global_rank(
+            m.select("user_id", *keep, metric).withColumn("__neg", -F.col(metric)),
+            ["__neg", "user_id"],
+            rank_col="__rn",
+        )
+        return (
+            ranked.crossJoin(F.broadcast(n_df))
+            .withColumn(
+                out,
+                F.expr(
+                    "cast(case when __rn <= (__n % 5) * ((__n div 5) + 1)"
+                    " then (__rn - 1) div ((__n div 5) + 1)"
+                    " else (__n % 5) + (__rn - (__n % 5) * ((__n div 5) + 1) - 1)"
+                    "      div greatest(__n div 5, 1) end + 1 as bigint)"
+                ),
+            )
+            .select("user_id", *keep, out)
+        )
+
+    q = (
+        ntile5("last_us", "r_q", [])
+        .join(ntile5("freq", "f_q", []), "user_id")
+        .join(ntile5("monetary", "m_q", ["monetary"]), "user_id")
+    )
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("monetary").cast("bigint").alias("sum_monetary"),
+    )
+
+
+# -------------------------------- pattern multi-topic subscribe (S5)
+@query(
+    "q193_multi_topic_pattern",
+    oracle="""
+SELECT 'ev_' || CAST(user_id % 3 AS VARCHAR) AS topic, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2
+""",
+    tags=("S5", "S4", "S1", "T-streaming"),
+)
+def q193_multi_topic_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex multi-topic subscription (S5) in the oracle tier: events are
+    sharded across THREE topics by user (distributed write_batch per
+    shard), one consumer subscribes by PATTERN ``ev_.*`` from earliest
+    (S4), and the per-(topic, type) rollup — the topic name read from
+    the ENVELOPE, not the payload — must equal the oracle's derivation
+    of the same sharding. Mirrors the reference's array-subscribe
+    (src/Consumer.coffee:45 `asArray topic`) generalized to the pattern
+    form the Kafka source offers."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+
+    root = tempfile.mkdtemp(prefix="q193_bus")
+    ck = tempfile.mkdtemp(prefix="q193_ck")
+    log = TopicLog(root)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    for i in range(3):
+        log.create_topic(f"ev_{i}", partitions=2)
+        KProducer(host=root, topic=f"ev_{i}", transport="topiclog").write_batch(
+            ev.where(F.col("user_id") % 3 == i).select("event_type", "cents")
+        )
+    c = KConsumer(
+        host=root, topic="ev_.*", pattern=True, from_offset="earliest",
+        schema="event_type string, cents long", transport="topiclog",
+    )
+    dec = c.stream(spark).select(
+        "topic", "value.event_type", "value.cents"
+    )
+    name = "q193_sharded"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        dec.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).groupBy("topic", "event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+# ------------------------------------- session entry paths (T3/E12)
+@query(
+    "q194_session_paths",
+    oracle="""
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged),
+p AS (SELECT user_id, session_idx,
+             list(event_type ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, session_idx)
+SELECT array_to_string(path[1:3], '>') AS path3,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path3 HAVING COUNT(*) >= 5
+""",
+    tags=("T3", "E12", "T-analytics"),
+)
+def q194_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the first three event types of every session
+    (q167's gaps-and-islands assignment) concatenated into an entry path,
+    counted corpus-wide — the "how do users start" funnel-discovery view.
+    Ordered collection is exact: collect_list of (ts, event_id, type)
+    structs array_sorted then truncated, so the per-session path needs no
+    second window pass; sessionize + collect share ONE user-keyed sort
+    and the path count is a second small shuffle."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_timestamp("ts")).over(w)
+    new_session = (
+        prev.isNull() | ((F.unix_timestamp("ts") - prev) > 1800)
+    ).cast("int")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(new_session).over(run).alias("session_idx"),
+    )
+    paths = sess.groupBy("user_id", "session_idx").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    1,
+                    3,
+                ),
+                lambda s: s.getField("event_type"),
+            ),
+        ).alias("path3")
+    )
+    return (
+        paths.groupBy("path3")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .where(F.col("n_sessions") >= 5)
+    )
+
+
+# --------------------------------- point-in-time SCD2 lookup (X7/E9)
+@query(
+    "q196_pit_lookup",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events),
+chg AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type),
+versions AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM chg),
+nz AS (SELECT * FROM versions WHERE valid_to IS NULL OR valid_to > valid_from),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+j AS (SELECT p.event_id, v.event_type AS prior_state, v.valid_from,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY v.valid_from DESC NULLS LAST) AS rn
+      FROM p LEFT JOIN nz v
+        ON p.user_id = v.user_id AND v.valid_from < p.ts)
+SELECT event_id, prior_state,
+       CAST(epoch_us(valid_from) AS BIGINT) AS state_since_us
+FROM j WHERE rn = 1
+""",
+    tags=("X7", "E9", "T-analytics"),
+)
+def q196_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the warehouse op SCD2 exists FOR:
+    every purchase is joined to the user-state version that was valid
+    strictly before it (what state was the user in when they bought).
+    Composition of two shipped operators: cdc.scd2_build produces the
+    interval dimension (zero-length versions dropped — a version
+    superseded in the same instant was never observable), then
+    operators/asof.asof_join attaches the latest prior version in ONE
+    union + user-keyed window sort — never the interval range join whose
+    candidate count is O(|fact|·|versions-per-user|). The oracle derives
+    the same lookup relationally with a rank over the interval table."""
+    from rdkafka_streams_spark.operators.asof import asof_join
+    from rdkafka_streams_spark.operators.cdc import scd2_build
+
+    ev = load_table(spark, sf_dir, "events")
+    versions = scd2_build(
+        ev, key="user_id", ts="ts", attrs=["event_type"], tiebreak="event_id"
+    ).where(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        purchases,
+        versions.select("user_id", "event_type", "valid_from"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        payload=["event_type"],
+        strict=True,
+    )
+    return j.select(
+        "event_id",
+        F.col("event_type_asof").alias("prior_state"),
+        F.unix_micros("valid_from_asof").cast("bigint").alias("state_since_us"),
+    )
+
+
+# --------------------------------- co-purchase degree histogram (E10)
+@query(
+    "q197_degree_histogram",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+          FROM items a JOIN items b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (SELECT part, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+          SELECT a AS part FROM pairs UNION ALL SELECT b FROM pairs)
+        s(part) GROUP BY part)
+SELECT CAST(floor(log2(degree)) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MIN(degree) AS BIGINT) AS min_degree,
+       CAST(MAX(degree) AS BIGINT) AS max_degree
+FROM deg GROUP BY bin
+""",
+    tags=("E10", "X12", "T-analytics"),
+)
+def q197_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned degree distribution of the co-purchase graph — the
+    power-law sanity check run before any graph algorithm (it predicts
+    whether skew salting / hub capping will be needed). Pair generation
+    is q186's map-side basket expansion (never an items self-join);
+    degree = distinct-partner count via one symmetric union + aggregate.
+    floor(log2) on exact integers is boundary-safe: powers of two are
+    exact in double, non-powers never land on an integer."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "parts",
+                        lambda a, i: F.transform(
+                            F.slice(
+                                "parts", i + 2,
+                                F.greatest(F.size("parts") - i - 1, F.lit(0)),
+                            ),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("a").alias("part"))
+        .unionAll(pairs.select(F.col("b").alias("part")))
+        .groupBy("part")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return deg.groupBy(
+        F.floor(F.log2("degree")).cast("bigint").alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.min("degree").cast("bigint").alias("min_degree"),
+        F.max("degree").cast("bigint").alias("max_degree"),
+    )
+
+
+# ------------------------------------- JSONL source round-trip (S7)
+@query(
+    "q198_jsonl_roundtrip",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+""",
+    tags=("S7", "R3", "R4", "T-analytics"),
+)
+def q198_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-delimited-JSON source/sink round-trip (S7 beyond parquet):
+    events are written to a JSONL dataset and read back with an EXPLICIT
+    schema — no inference pass, so the read plans a single scan exactly
+    like the production path for JSON feeds (the reference's record
+    format is JSON lines over the wire; this is the at-rest equivalent).
+    The rollup of the round-tripped data must match the oracle on the
+    original table — proving the encode/decode loses nothing."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="q198_jsonl")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    ev.write.mode("overwrite").json(tmp)
+    back = spark.read.schema("event_id long, event_type string, cents long").json(tmp)
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+# ----------------------------- supplier reliability Wilson LB (E11/E3)
+@query(
+    "q199_supplier_reliability",
+    oracle="""
+WITH f AS (SELECT l_suppkey,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS r
+           FROM lineitem GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, f.n AS n_lines, f.r AS n_returns,
+       ROUND((r * 1.0 / n + 3.8416 / (2 * n)
+              - 1.96 * sqrt((r * 1.0 / n * (1 - r * 1.0 / n)
+                             + 3.8416 / (4 * n)) / n))
+             / (1 + 3.8416 / n), 6) AS wilson_lb
+FROM f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+WHERE f.n >= 20
+""",
+    tags=("E11", "E3", "T-analytics"),
+)
+def q199_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier return-rate ranking by the Wilson score LOWER bound — the
+    estimator that stops a 2-observation supplier from outranking a
+    2000-observation one (what naive rate sorting gets wrong). Counts
+    reduce exactly per supplier (one partial-agg shuffle of two integers
+    each); the bound is evaluated once per supplier from identical int64
+    inputs with a textually identical formula in both engines (z = 1.96,
+    z² inlined), so the rounded doubles agree bit-for-bit — the
+    q143/q148 float-parity discipline. Supplier dim joins broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    f = li.groupBy("l_suppkey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint").alias("r"),
+    ).where(F.col("n") >= 20)
+    return (
+        f.join(F.broadcast(s.select("s_suppkey", "s_name")),
+               f.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n").alias("n_lines"),
+            F.col("r").alias("n_returns"),
+            # double literals (3.8416D): Spark parses bare decimal literals
+            # as DECIMAL and its scaled division would diverge from the
+            # oracle's double math in the 5th decimal
+            F.expr(
+                "round((cast(r as double) / n + 3.8416D / (2 * n)"
+                " - 1.96D * sqrt((cast(r as double) / n * (1D - cast(r as double) / n)"
+                " + 3.8416D / (4 * n)) / n))"
+                " / (1D + 3.8416D / n), 6)"
+            ).alias("wilson_lb"),
+        )
+    )

@@ -1966,3 +1966,132 @@ def q169_sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cos.withColumn("rn", F.row_number().over(wr)).where(F.col("rn") <= 5).select(
         "id1", "id2", "cos2_ppm"
     )
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q191_inverted_index",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, t[i] AS tok, CAST(i - 1 AS BIGINT) AS pos
+        FROM tk, unnest(range(1, len(t) + 1)) AS u(i)
+        WHERE t[i] <> ''),
+p AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+             CAST(MIN(pos) AS BIGINT) AS first_pos,
+             CAST(MAX(pos) AS BIGINT) AS last_pos
+      FROM tok GROUP BY tok, doc_id),
+d AS (SELECT tok, doc_id, n_occ, first_pos, last_pos,
+             CAST(COUNT(*) OVER (PARTITION BY tok) AS BIGINT) AS df
+      FROM p)
+SELECT tok, doc_id, n_occ, first_pos, last_pos, df
+FROM d WHERE df BETWEEN 5 AND 50
+""",
+    tags=("L4",),
+)
+def q191_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index build for the mid-frequency retrieval
+    band: per (token, doc) the occurrence count and first/last positions
+    (enough for phrase- and proximity-scoring), kept only for tokens
+    with document frequency in [5, 50] — the df-cap that bounds posting
+    lists exactly like the decontamination queries bound theirs (head
+    stopwords and hapax tail carry no retrieval signal but all the
+    volume). Scale shape: map-side posexplode, ONE (tok, doc) aggregate,
+    then the df screen as a window over the already-reduced postings —
+    the token key's cardinality grows with the corpus, so both shuffles
+    parallelize; no driver materialization anywhere."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    postings = toks.groupBy("tok", "doc_id").agg(
+        F.count("*").cast("bigint").alias("n_occ"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+        F.max("pos").cast("bigint").alias("last_pos"),
+    )
+    w = Window.partitionBy("tok")
+    return (
+        postings.withColumn("df", F.count("*").over(w).cast("bigint"))
+        .where(F.col("df").between(5, 50))
+        .select("tok", "doc_id", "n_occ", "first_pos", "last_pos", "df")
+    )
+
+
+# ------------------------------------------------------------------------ L3
+@query(
+    "q195_embedding_covariance",
+    oracle="""
+WITH x AS (SELECT vec_id, i,
+                  CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                       AS BIGINT) AS xi
+           FROM embeddings, unnest(range(1, 17)) AS u(i)),
+s AS (SELECT a.i AS i, b.i AS j,
+             SUM(CAST(a.xi AS HUGEINT) * b.xi) AS sxy,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2),
+m AS (SELECT i, SUM(CAST(xi AS HUGEINT)) AS sx FROM x GROUP BY i)
+SELECT s.i, s.j,
+       CAST((CAST(s.n AS HUGEINT) * s.sxy - ma.sx * mb.sx)
+            // (CAST(s.n AS HUGEINT) * s.n) AS BIGINT) AS cov_micro2
+FROM s JOIN m ma ON s.i = ma.i JOIN m mb ON s.j = mb.i
+""",
+    tags=("L3",),
+)
+def q195_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance block of the first 16 embedding dims in
+    exact integer micro²-units — the input PCA/whitening actually needs
+    (q149 computes per-dim variances; this is the cross-dim extension).
+    Scale shape: each row emits its 136 (i<=j) products MAP-SIDE via
+    nested higher-order transforms (never a self-join of the exploded
+    dims — the oracle's join form would shuffle 16 rows per vector), so
+    the only shuffles are one 136-group aggregate and one 16-row
+    marginal, joined back broadcast. Tiling d²/2 blocks of 16 dims at a
+    time covers a full 64-dim (or larger) covariance at any corpus size
+    with the same bounded plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    xs = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(1, 16), i -> cast(floor("
+            "cast(element_at(embedding, i) as double) * 1000000 + 0.5) as bigint))"
+        ).alias("x"),
+    )
+    pairs = xs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, 16), i ->"
+                " transform(sequence(i, 16), j -> struct("
+                "cast(i as bigint) as i, cast(j as bigint) as j,"
+                " x[i-1] * x[j-1] as xy))))"
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xy")
+    s = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("xy").cast("decimal(38,0)")).alias("sxy"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    marg = (
+        xs.select(F.posexplode("x").alias("pos", "xi"))
+        .select((F.col("pos") + 1).cast("bigint").alias("i"), "xi")
+        .groupBy("i")
+        .agg(F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx"))
+    )
+    return (
+        s.join(F.broadcast(marg.select(F.col("i"), F.col("sx").alias("sxi"))), "i")
+        .join(
+            F.broadcast(marg.select(F.col("i").alias("j"), F.col("sx").alias("sxj"))),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "cast((cast(n as decimal(38,0)) * sxy - sxi * sxj)"
+                " div (cast(n as decimal(38,0)) * n) as bigint)"
+            ).alias("cov_micro2"),
+        )
+    )

@@ -174,6 +174,27 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # basket expand + pair agg + sym union + two singles joins +
         # per-part top-3 window (same no-forced-broadcast posture as q138)
         "q186_related_items": 11,
+        # first-event agg + join back + distinct + cell count
+        "q190_cohort_retention": 3,
+        # (tok,doc) agg + df window share the token key
+        "q191_inverted_index": 2,
+        # 3 INDEPENDENT ntile branches (each a global_rank whose offsets +
+        # ranked sides re-consume the range exchange, ranking.py) + 2
+        # user-key joins + segment rollup; nesting the branches instead
+        # would cube the re-evaluation (46 exchanges measured)
+        "q192_rfm_segments": 28,
+        # sessionize + ordered path collect share the user sort + path count
+        "q194_session_paths": 2,
+        # map-side 136-pair explode + (i,j) agg + 16-row marginal (bcast)
+        "q195_embedding_covariance": 3,
+        # scd2 window + asof union-carry share the user key
+        "q196_pit_lookup": 2,
+        # basket expand + pair distinct + degree agg + bin agg
+        "q197_degree_histogram": 6,
+        # jsonl write is side work; read rollup is ONE shuffle
+        "q198_jsonl_roundtrip": 1,
+        # per-supplier count agg + broadcast dim join
+        "q199_supplier_reliability": 2,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
