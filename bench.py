@@ -232,7 +232,10 @@ def _topiclog_roundtrip_throughput(spark, n: int = 400_000) -> tuple[int, int, i
         c = KConsumer(
             host=root, topic="bench", from_offset="earliest",
             schema="count long, source string", transport="topiclog",
-            batch_size=8192,  # ≥6 sustained micro-batches at n=400k
+            batch_size=16384,  # ≥4 sustained micro-batches at n=400k; below
+            # this the ~120 ms fixed per-trigger cost (checkpoint WAL +
+            # offset commit + planning) dominates the wall rate and the
+            # measurement stops being about the transport
         )
         q = (
             c.stream(spark)

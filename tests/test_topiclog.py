@@ -714,3 +714,68 @@ def test_tombstone_sink_roundtrip(spark, root, tmp_path):
     log.compact("kv")
     left = {bytes(r["key"]).decode() for r in read_topic(spark, root, "kv").collect()}
     assert left == {"k0"}
+
+
+def test_wire_format_legacy_binary_and_mixed_segments(spark, root):
+    """The r5 fast wire fields (``ks``/``vs``) interop with everything the
+    log can contain: legacy base64-only segments (pre-r5 data on disk),
+    non-UTF-8 binary payloads (b64 fallback), and segments mixing both —
+    all through the Arrow read path, byte-for-byte."""
+    from rdkafka_streams_spark.streaming.topiclog import _part_dir
+
+    log = TopicLog(root)
+    log.create_topic("mix", partitions=1)
+    pdir = _part_dir(root, "mix", 0)
+
+    # segment 1: legacy base64-only lines, written by hand (old format)
+    import base64 as b64
+
+    legacy = [
+        '{"k":"%s","v":"%s","ts":1000}'
+        % (b64.b64encode(b"k0").decode(), b64.b64encode(b"v0").decode()),
+        '{"k":null,"v":"%s","ts":1001}' % b64.b64encode(b"v1").decode(),
+    ]
+    _publish_segment(pdir, legacy)
+
+    # segment 2: current producer — UTF-8 (fast fields), raw binary
+    # (b64 fallback), and a unicode + JSON-escaping stress value
+    binary = bytes([0xFF, 0x00, 0x9C])  # invalid UTF-8
+    stress = 'line\nbreak "quoted" café'
+    log.append("mix", values=[b"v2", binary, stress.encode()],
+               keys=[b"k2", binary, "café"], partition=0)
+
+    rows = sorted(
+        [
+            (
+                (None if r["key"] is None else bytes(r["key"])),
+                bytes(r["value"]),
+                r["offset"],
+            )
+            for r in read_topic(spark, root, "mix").collect()
+        ],
+        key=lambda t: t[2],
+    )
+    assert rows == [
+        (b"k0", b"v0", 0),
+        (None, b"v1", 1),
+        (b"k2", b"v2", 2),
+        (binary, binary, 3),
+        ("café".encode(), stress.encode(), 4),
+    ]
+
+    # compaction on a fully keyed topic preserves every representation
+    # (binary keys/values round-trip through the compacted rewrite)
+    log.create_topic("mixkv", partitions=1)
+    log.append("mixkv", values=[b"a", binary, stress.encode(), b"a2"],
+               keys=[b"ka", binary, "café", b"ka"], partition=0)
+    stats = log.compact("mixkv")
+    assert stats == {"kept": 3, "superseded": 1, "tombstoned": 0}
+    compacted = {
+        bytes(r["key"]): (bytes(r["value"]), r["offset"])
+        for r in read_topic(spark, root, "mixkv").collect()
+    }
+    assert compacted == {
+        b"ka": (b"a2", 3),
+        binary: (binary, 1),
+        "café".encode(): (stress.encode(), 2),
+    }
