@@ -15,5 +15,6 @@ from rdkafka_streams_spark.queries import analytics  # noqa: E402,F401
 from rdkafka_streams_spark.queries import behavior  # noqa: E402,F401
 from rdkafka_streams_spark.queries import scaleops  # noqa: E402,F401
 from rdkafka_streams_spark.queries import linkage  # noqa: E402,F401
+from rdkafka_streams_spark.queries import curation  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -1,0 +1,951 @@
+"""Round-5 curation & sketch operators: SemDeDup-style embedding dedup,
+count-min-sketch heavy-hitter triage, partition-pruned scans, exact MIPS
+via norm augmentation, k-core decomposition, and Johnson-Lindenstrauss
+random projection.
+
+These extend the training-data surface (SURVEY.md §2.6/§2.7) with the
+curation steps a 100 TB pipeline runs between ingestion and training:
+semantic dedup keeps one document per embedding-level duplicate group
+(Abbas et al., SemDeDup), heavy-hitter triage finds dominating keys
+without a full exact count of every key (Cormode & Muthukrishnan CM
+sketch, used here strictly as a no-false-negative prefilter in front of
+an exact verify — the repo's sketch-triage discipline), date-partitioned
+layouts prove partition pruning at the scan (the single biggest lever at
+100 TB: a 7-day query must read 7 partitions, not 3650), MIPS retrieval
+ranks by inner product through the norm-augmentation reduction (Bachrach
+et al. 2014) so cosine-LSH infrastructure is reusable, k-core peeling
+screens the co-purchase graph for its dense backbone before expensive
+graph work, and JL projection compresses 64-dim embeddings to 16 dims
+with deterministic ±1 signs (Achlioptas 2003) in exact integer
+milli-units.
+
+Determinism: money/measure sums are snapped to integer units BEFORE
+aggregation (order-free), irrational outputs rounded to ≤6 decimals, all
+ranks totalized with unique tiebreak keys — the registry-wide parity
+discipline (queries/registry.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdkafka_streams_spark.core.io import load_table
+from rdkafka_streams_spark.queries.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+EMB_DIM = 64
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+# ------------------------------------------------------- SemDeDup (L2/L3)
+@query(
+    "q200_semdedup",
+    oracle=f"""
+WITH RECURSIVE pr AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         {_dot_sql('a.embedding', 'b.embedding')} AS dot,
+         sqrt({_dot_sql('a.embedding', 'a.embedding')}) AS na,
+         sqrt({_dot_sql('b.embedding', 'b.embedding')}) AS nb
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id),
+pairs AS (
+  SELECT id1, id2 FROM (
+    SELECT id1, id2, ROUND(dot / (na * nb), 6) AS cos FROM pr)
+  WHERE cos >= 0.3),
+edges2 AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges2
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a),
+comp AS (SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a),
+dropped AS (SELECT vec_id FROM comp WHERE cluster <> vec_id)
+SELECT e.label,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept,
+       CAST(COUNT(d.vec_id) * 1000000 // COUNT(*) AS BIGINT) AS drop_ppm
+FROM embeddings e LEFT JOIN dropped d USING (vec_id)
+GROUP BY e.label
+""",
+    tags=("L2", "L3", "graph"),
+)
+def q200_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup in embedding space —
+    within each coarse cluster (label = the precomputed quantizer cell,
+    the q55 IVF stance), find cosine-≥-τ pairs, close them into duplicate
+    groups (connected components), and keep ONE canonical member (min
+    vec_id) per group. Output: per-cluster retention summary in exact
+    ppm. At 100 TB the pair stage is cell-local (never a global self-join
+    — cells come from a k-means/IVF pass) and components run the
+    O(log n)-round operator; the keep-one rule makes dedup deterministic
+    and idempotent. Oracle: same pairs + recursive-CTE transitive
+    closure."""
+    from rdkafka_streams_spark.llm.similarity import embedding_near_dups
+    from rdkafka_streams_spark.operators.graph import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb, threshold=0.3, cell_col="label").select(
+        "id1", "id2"
+    )
+    comp = connected_components(pairs, "id1", "id2", dedupe_edges=False)
+    dropped = (
+        comp.where(F.col("component") != F.col("node"))
+        .select(F.col("node").alias("vec_id"), F.lit(1).alias("__d"))
+    )
+    return (
+        emb.join(F.broadcast(dropped), "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.count("__d").cast("bigint").alias("n_dropped"),
+            (F.count("*") - F.count("__d")).cast("bigint").alias("n_kept"),
+            F.expr("count(__d) * 1000000 div count(*)")
+            .cast("bigint")
+            .alias("drop_ppm"),
+        )
+    )
+
+
+# ------------------------------------- CM-sketch heavy hitters (X/E10)
+_CMS_D, _CMS_W, _CMS_T = 4, 1024, 45
+
+
+@query(
+    "q201_heavy_hitters",
+    oracle=f"""
+SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= {_CMS_T}
+""",
+    tags=("X", "E10", "sketch"),
+)
+def q201_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters by count-min-sketch triage + exact verify (Cormode &
+    Muthukrishnan 2005). Build a d=4, w=1024 CM sketch of l_partkey in
+    ONE map-side pass (the counter table is d*w = 4096 rows regardless of
+    data size), broadcast it back, and keep only rows whose sketch
+    estimate >= T — the CMS never underestimates, so no true heavy
+    hitter is lost. The exact count then runs ONLY over the surviving
+    rows (candidate keys), and the final HAVING removes the sketch's
+    false positives. At 100 TB this is the difference between shuffling
+    2B distinct keys for an exact count and shuffling only the rows of a
+    few hundred candidates; the sketch itself is internal, so its hash
+    (xxhash64) needs no cross-engine parity — only the exact, verified
+    output does. Oracle: plain GROUP BY ... HAVING."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    # one pass -> d*w counters (map-side partial agg does the heavy lifting)
+    probes = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("h"),
+                        F.pmod(F.xxhash64("l_partkey", F.lit(i)), _CMS_W).alias("bkt"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("e"),
+    ).select("e.h", "e.bkt")
+    counters = probes.groupBy("h", "bkt").agg(F.count("*").alias("c"))
+    # pack the whole sketch into ONE map<h, map<bkt,c>> row broadcast once
+    # (the bloomjoin discipline) — the build aggregation runs exactly once
+    # and the probe is a map lookup per row, not d joins
+    sketch = (
+        counters.groupBy("h")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bkt", "c"))).alias("m"))
+        .groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("h", "m"))).alias("mm"))
+    )
+    est = F.least(
+        *[
+            F.element_at(
+                F.element_at("mm", F.lit(i)),
+                F.pmod(F.xxhash64("l_partkey", F.lit(i)), _CMS_W),
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+    survivors = (
+        li.crossJoin(F.broadcast(sketch)).where(est >= _CMS_T).select("l_partkey")
+    )
+    return (
+        survivors.groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("n_lines"))
+        .where(F.col("n_lines") >= _CMS_T)
+    )
+
+
+# ------------------------------------------- partition-pruned scan (S7/X)
+@query(
+    "q202_partitioned_scan",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY event_type
+""",
+    tags=("S7", "X"),
+)
+def q202_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning end-to-end: the events table is rewritten into a
+    date-partitioned layout (``partitionBy("event_date")`` — the standard
+    100 TB time-series layout), read back, and a 7-day aggregate runs
+    against it. Catalyst turns the date predicate into PartitionFilters,
+    so the scan lists and reads ONLY the 7 matching directories — on a
+    10-year 100 TB table that is a 500x I/O cut before a single row is
+    decoded (tests/test_plans.py pins the pruned-scan shape). Values are
+    snapped to integer cents before the SUM (order-free exact). Oracle
+    runs the same filter on the unpartitioned source — pruning must not
+    change results."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    out_dir = tempfile.mkdtemp(prefix="q202_part_")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(out_dir)
+    back = spark.read.parquet(out_dir).where(
+        (F.col("event_date") >= F.lit("2024-01-08"))
+        & (F.col("event_date") <= F.lit("2024-01-14"))
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+
+
+# --------------------------------------------------- exact MIPS (L3)
+@query(
+    "q203_mips_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+           WHERE vec_id BETWEEN 100 AND 104),
+pr AS (
+  SELECT q.q_id, e.vec_id, {_dot_sql('e.embedding', 'q.q_emb')} AS dot
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id)
+SELECT q_id, vec_id, ROUND(dot, 6) AS dot FROM (
+  SELECT q_id, vec_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rn
+  FROM pr)
+WHERE rn <= 3
+""",
+    tags=("L3",),
+)
+def q203_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product retrieval (the scoring used by recommender /
+    retrieval heads, distinct from q54's cosine): top-3 corpus vectors by
+    raw dot product per query. Ranks through the norm-augmentation
+    reduction (Bachrach et al. 2014): with M = the corpus max norm, every
+    corpus vector is lifted to [x, sqrt(M^2-|x|^2)] (constant norm M) and
+    queries to [q, 0]; augmented cosine = dot/(M*|q|), a positive-constant
+    scaling per query, so the augmented-cosine order IS the inner-product
+    order (IEEE division by a positive constant is monotone) — meaning the
+    cosine-LSH/IVF infrastructure (q92/q55) applies unchanged to MIPS at
+    100 TB. The reduction is unit-tested equal to direct-dot ranking;
+    norms are factored per-vector below the candidate join (the
+    cosine_topk discipline)."""
+    from rdkafka_streams_spark.llm.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # corpus max norm (1-row broadcast join — the standard scalar pattern)
+    mrow = emb.agg(F.max(_norm("embedding")).alias("__M"))
+    q = emb.where(F.col("vec_id").between(100, 104)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_nrm"),
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(mrow))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            _dot("embedding", "q_emb").alias("_dot"),
+            F.col("__M"),
+            F.col("q_nrm"),
+        )
+    )
+    # rank by the augmented cosine; report the raw dot (same order)
+    from pyspark.sql import Window
+
+    aug_cos = F.col("_dot") / (F.col("__M") * F.col("q_nrm"))
+    w = Window.partitionBy("q_id").orderBy(aug_cos.desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "vec_id", F.round("_dot", 6).alias("dot"))
+    )
+
+
+# --------------------------------------------------- k-core peeling (X)
+_KCORE_K, _KCORE_ROUNDS = 3, 16
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled synchronized-peeling SQL: each stage drops every node whose
+    current degree < k (the same rule the Spark loop applies per round).
+    Peeling is confluent, so once both engines reach the fixpoint the
+    result is the unique k-core regardless of round count; the Spark side
+    RAISES if not converged within the same bound."""
+    stages = [
+        """
+li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+w0 AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e0 AS MATERIALIZED (SELECT p1 AS a, p2 AS b FROM w0 UNION ALL SELECT p2, p1 FROM w0)"""
+    ]
+    for i in range(rounds):
+        stages.append(
+            f"""
+d{i} AS MATERIALIZED (SELECT a, COUNT(*) AS c FROM e{i} GROUP BY a),
+e{i + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{i} e
+  JOIN d{i} x ON e.a = x.a JOIN d{i} y ON e.b = y.a
+  WHERE x.c >= {k} AND y.c >= {k})"""
+        )
+    return (
+        "WITH "
+        + ",".join(stages)
+        + f"""
+SELECT a AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e{rounds} GROUP BY a"""
+    )
+
+
+@query(
+    "q204_kcore",
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+    tags=("X", "graph"),
+)
+def q204_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition of the weight-≥2 co-purchase graph
+    (Seidman 1983; the density screen run before community/motif work —
+    q144's triangle counting only pays off inside the core). Synchronized
+    peeling: every round drops all nodes with current degree < k at once,
+    so the round count is the graph's degeneracy-ordering depth
+    (O(log n)-ish on heavy-tailed graphs), not O(n) sequential removals.
+    Each round is one degree agg + two semi-join filters over the shrinking
+    edge list, with localCheckpoint truncating the iterative lineage (the
+    connected_components discipline, operators/graph.py:52). Converges in
+    ≤8 rounds on every fixture; RAISES past 16 rounds rather than return
+    a non-fixpoint. Oracle: the same peeling unrolled to 16 stages."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    w0 = (
+        li.alias("x")
+        .join(li.alias("y"), F.expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("p1"), F.col("y.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+    edges = (
+        w0.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+        .unionAll(w0.select(F.col("p2").alias("a"), F.col("p1").alias("b")))
+        .localCheckpoint()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = edges.groupBy("a").agg(F.count("*").alias("c"))
+        bad = deg.where(F.col("c") < _KCORE_K).select("a").localCheckpoint()
+        if bad.isEmpty():
+            break
+        edges = (
+            edges.join(bad, "a", "left_anti")
+            .join(bad.withColumnRenamed("a", "b"), "b", "left_anti")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"k-core did not converge within {_KCORE_ROUNDS} rounds"
+        )
+    return edges.groupBy(F.col("a").alias("part_id")).agg(
+        F.count("*").cast("bigint").alias("core_degree")
+    )
+
+
+# ------------------------------------- JL random projection (L3/X)
+_JL_OUT = 16
+
+
+def _jl_signs(dim: int = EMB_DIM, out: int = _JL_OUT) -> list[list[int]]:
+    """Deterministic ±1 sign matrix from md5 (Achlioptas 2003 database-
+    friendly JL: ±1 entries preserve distances in expectation). Generated
+    once in Python and inlined as literals into BOTH engines' plans — the
+    hyperplanes() discipline (llm/similarity.py:117)."""
+    return [
+        [
+            1 if int(hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(out)
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    base = (
+        "base AS (SELECT vec_id, "
+        f"list_transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT)) AS iv "
+        "FROM embeddings)"
+    )
+    branches = []
+    for j, row in enumerate(signs):
+        terms = " + ".join(
+            f"({s} * iv[{i + 1}])" for i, s in enumerate(row)
+        )
+        branches.append(f"SELECT {j} AS dim, ({terms}) AS proj FROM base")
+    return (
+        f"WITH {base}, p AS ({' UNION ALL '.join(branches)}) "
+        "SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+        "CAST(SUM(proj) AS BIGINT) AS sum_proj, "
+        "CAST(SUM(proj * proj) AS BIGINT) AS sum_sq "
+        "FROM p GROUP BY dim"
+    )
+
+
+@query("q205_jl_projection", oracle=_jl_oracle(), tags=("L3", "X"))
+def q205_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss compression 64 → 16 dims with a deterministic
+    ±1 sign matrix (Achlioptas 2003): proj_j = Σ_i s_ij·v_i over
+    milli-unit-snapped components, so every projected coordinate is an
+    exact BIGINT and the per-dim moment sums are order-free (the
+    micro-unit discipline). At 100 TB this is the map-side shrink run
+    before ANN indexing — 4× less shuffle/storage per vector, zero extra
+    passes (one projection per row, whole-stage codegen over literal
+    coefficients, no UDF). Output: per projected dim, count / Σproj /
+    Σproj² — the moments a downstream whitening step needs. Magnitudes:
+    |proj| ≤ 64·1000·max|v|, so Σproj² stays far under int64 even at
+    sf1000."""
+    signs = _jl_signs()
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(x * 1000) AS BIGINT))"
+        ).alias("iv"),
+    )
+    projs = emb.select(
+        "vec_id",
+        *[
+            F.expr(
+                " + ".join(f"({s} * iv[{i}])" for i, s in enumerate(row))
+            ).alias(f"p{j}")
+            for j, row in enumerate(signs)
+        ],
+    )
+    stacked = projs.select(
+        F.expr(
+            "stack({n}, {args}) AS (dim, proj)".format(
+                n=_JL_OUT,
+                args=", ".join(f"{j}, p{j}" for j in range(_JL_OUT)),
+            )
+        )
+    )
+    return stacked.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("proj").cast("bigint").alias("sum_proj"),
+        F.sum(F.col("proj") * F.col("proj")).cast("bigint").alias("sum_sq"),
+    )
+
+
+# ----------------------------- streaming windowed top-k (T1/T4/E19)
+@query(
+    "q206_streaming_window_topk",
+    oracle="""
+WITH h AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT ws, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY ws ORDER BY n DESC, event_type) AS rn
+  FROM h)
+SELECT ws, event_type, CAST(n AS BIGINT) AS n, rn FROM r WHERE rn <= 2
+""",
+    tags=("T1", "T4", "E19", "T-streaming"),
+)
+def q206_streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hourly leaderboard THROUGH the transport: events stream
+    from a topiclog topic (distributed seed, capped offsets → several
+    real micro-batches), a WATERMARKED tumbling-window count runs in
+    update mode — state for windows older than the 2 h watermark is
+    evicted as event time advances, the unbounded-state guard — and the
+    memory sink accumulates per-batch updates; counts per (window, type)
+    are monotone, so the final value per key is max-of-updates (the q181
+    last-update discipline, oracle-proven). Top-2 types per hour are then
+    ranked from the closed counts with a total tiebreak. The reference
+    composition is a consumer piped through a user count Transform
+    (test/test_getDuplex.coffee:60-69) — this is that topology with
+    event-time windows and bounded state."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+
+    root = tempfile.mkdtemp(prefix="q206_bus")
+    ck = tempfile.mkdtemp(prefix="q206_ck")
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=4)
+    seed = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    KProducer(host=root, topic="ev", transport="topiclog").write_batch(seed)
+    c = KConsumer(
+        host=root, topic="ev", from_offset="earliest",
+        schema="event_id long, ts_us long, event_type string",
+        transport="topiclog", batch_size=2048,
+    )
+    dec = (
+        c.stream(spark)
+        .select(
+            F.timestamp_micros(F.col("value.ts_us")).alias("ts"),
+            F.col("value.event_type").alias("event_type"),
+        )
+        .withWatermark("ts", "2 hours")
+    )
+    agg = dec.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    name = "q206_updates"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    shutdown(q, 60)
+    final = (
+        spark.table(name)
+        .groupBy(F.col("w.start").alias("w_start"), "event_type")
+        .agg(F.max("n").cast("bigint").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    rw = Window.partitionBy("w_start").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        final.withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") <= 2)
+        .select(
+            F.date_format("w_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+            "n",
+            "rn",
+        )
+    )
+
+
+# ----------------------------- stateful session windows (T7/T3)
+_SESSION_GAP_US = 6 * 3600 * 1_000_000
+
+
+@query(
+    "q207_stateful_sessions",
+    oracle=f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+l AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                   > {_SESSION_GAP_US} THEN 1
+              WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL THEN 1
+              ELSE 0 END AS brk
+  FROM e),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l),
+agg AS (
+  SELECT user_id, sid,
+         CAST(MIN(ts_us) AS BIGINT) AS start_us,
+         CAST(MAX(ts_us) AS BIGINT) AS end_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid)
+SELECT user_id, start_us, end_us, n_events
+FROM (SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid FROM agg)
+WHERE sid < max_sid
+""",
+    tags=("T7", "T3", "T-streaming"),
+)
+def q207_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful SESSION WINDOWS through the transport (T7 beyond
+    q181's counter): per-user gap-based sessions maintained in
+    applyInPandasWithState — each user's open session lives in the state
+    store across micro-batches and is emitted EXACTLY ONCE when a
+    6-hour gap closes it. The seed is keyed and partition-ordered (the
+    q179 distributed produce: crc32(user) routes, event-time sort within
+    task), so each user's events arrive in event-time order across the
+    capped micro-batches and the state transition never sees
+    out-of-order input. Sessions still open at end-of-stream are never
+    closed — the oracle mirrors that by dropping each user's LAST
+    session (a window that has not ended has no business being in the
+    output; the watermark analog for arbitrary state). State is
+    O(users), not O(rows) — the 100 TB bound."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+
+    root = tempfile.mkdtemp(prefix="q207_bus")
+    ck = tempfile.mkdtemp(prefix="q207_ck")
+    n_parts = 4
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=n_parts)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    tp = (F.crc32(F.col("user_id").cast("string").cast("binary")) % n_parts).cast("int")
+    seed = (
+        ev.withColumn("__tp", tp)
+        .repartition(n_parts, "__tp")
+        .sortWithinPartitions("ts_us", "user_id")
+        .select("user_id", "ts_us", "__tp")
+    )
+    KProducer(
+        host=root, topic="ev", key="user_id", partition_col="__tp",
+        transport="topiclog",
+    ).write_batch(seed)
+    c = KConsumer(
+        host=root, topic="ev", from_offset="earliest",
+        schema="user_id long, ts_us long", transport="topiclog",
+        batch_size=2048,
+    )
+    dec = c.stream(spark).select(
+        F.col("value.user_id").cast("string").alias("user_id"),
+        F.col("value.ts_us").alias("ts_us"),
+    )
+    from rdkafka_streams_spark.streaming.stateful import session_windows_stateful
+
+    sessions = session_windows_stateful(dec, gap_us=_SESSION_GAP_US)
+    name = "q207_sessions"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    shutdown(q, 60)
+    return spark.table(name).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "start_us",
+        "end_us",
+        "n_events",
+    )
+
+
+# ----------------------------- dynamic partition pruning (X/E7)
+@query(
+    "q208_dpp_join",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE isodow(CAST(ts AS DATE)) = 1
+GROUP BY event_type
+""",
+    tags=("X", "E7", "S7"),
+)
+def q208_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the date-partitioned fact is joined to a
+    calendar dimension filtered at runtime (Mondays) — Catalyst injects a
+    dynamicpruningexpression subquery into the fact scan's
+    PartitionFilters, so only the partitions matching the dim's surviving
+    keys are listed and read, even though the qualifying dates are not
+    known until the dim is evaluated (tests/test_plans.py pins the
+    dynamicpruning entry). This is q202's static pruning generalized to
+    the star-join case — at 100 TB, the difference between scanning the
+    full fact and the ~14 % of partitions the dim selects, with zero
+    query rewrite. Oracle: the equivalent static predicate."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    fact_dir = tempfile.mkdtemp(prefix="q208_fact_")
+    dim_dir = tempfile.mkdtemp(prefix="q208_dim_")
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(fact_dir)
+    # calendar dim in its own layout; the Monday filter happens at READ
+    # time, so the fact pruning must be dynamic (runtime subquery), not
+    # static constant folding
+    ev.select("event_date").distinct().withColumn(
+        "dow", F.dayofweek("event_date")
+    ).write.mode("overwrite").parquet(dim_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        spark.read.parquet(dim_dir)
+        .where(F.col("dow") == 2)  # Spark dayofweek: 1=Sun … 2=Monday
+        .select("event_date")
+    )
+    return (
+        fact.join(dim, "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )
+
+
+# ----------------------------- per-partition offset seek (S4)
+@query(
+    "q209_offset_seek",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(user_id % 4 AS INTEGER) AS p
+  FROM events),
+r AS (
+  SELECT p, event_id,
+         ROW_NUMBER() OVER (PARTITION BY p ORDER BY ts_us, event_id) - 1 AS off
+  FROM e),
+k AS (
+  SELECT p, off, event_id FROM r
+  WHERE (p = 0 AND off >= 100) OR p = 1 OR (p = 2 AND off >= 50))
+SELECT p AS partition,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(off) AS BIGINT) AS first_offset,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM k GROUP BY p
+""",
+    tags=("S4", "S1", "T-streaming"),
+)
+def q209_offset_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition offset seek (S4 to the oracle tier): the consumer
+    starts from the Kafka-source JSON form
+    '{"ev": {"0": 100, "1": -2, "2": 50, "3": -1}}' — an explicit offset
+    on p0/p2, earliest on p1, latest (skip everything) on p3 — the full
+    ``startingOffsets`` surface of the real Kafka source
+    (src/Consumer.coffee:26 ``fromOffset`` generalized per partition),
+    now honored by the topiclog transport too. The seed is keyed
+    user_id%4 and partition-ordered (q179 discipline), so the offset a
+    row lands on is deterministic and the oracle can reconstruct the
+    seek points relationally: per-partition row_number over the same
+    order. The consumed envelope's (partition, offset) columns prove the
+    seek: MIN(offset) per partition must equal the requested start."""
+    import json as _json
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+
+    root = tempfile.mkdtemp(prefix="q209_bus")
+    ck = tempfile.mkdtemp(prefix="q209_ck")
+    n_parts = 4
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=n_parts)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    seed = (
+        ev.withColumn("__tp", F.pmod("user_id", F.lit(n_parts)).cast("int"))
+        .repartition(n_parts, "__tp")
+        .sortWithinPartitions("ts_us", "event_id")
+        .select("event_id", "user_id", "ts_us", "__tp")
+    )
+    KProducer(
+        host=root, topic="ev", key="user_id", partition_col="__tp",
+        transport="topiclog",
+    ).write_batch(seed)
+    c = KConsumer(
+        host=root, topic="ev",
+        from_offset=_json.dumps({"ev": {"0": 100, "1": -2, "2": 50, "3": -1}}),
+        schema="event_id long, user_id long, ts_us long", transport="topiclog",
+    )
+    dec = c.stream(spark).select("partition", "offset", F.col("value.event_id").alias("event_id"))
+    name = "q209_rows"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        dec.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).groupBy("partition").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("offset").cast("bigint").alias("first_offset"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+    )
+
+
+# ----------------------------- streaming take-N (R6/S6)
+@query(
+    "q210_take_n",
+    oracle="""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us
+FROM events ORDER BY epoch_us(ts), event_id LIMIT 600
+""",
+    tags=("R6", "S6", "T-streaming"),
+)
+def q210_take_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Take-N-and-destroy through the transport (R6/S6 to the oracle
+    tier): the reference consumes exactly N records then destroys the
+    stream (``++count === total → @destroy()``,
+    test/test_Consumer.coffee:65-66). Here a SINGLE-partition topic is
+    seeded in event-time order, the stream is consumed with a 200-record
+    per-trigger cap, and ``consume_n`` stops the query gracefully after
+    N=600 — three full micro-batches, so the taken set is exactly the
+    first 600 offsets (N is a multiple of the cap; no mid-batch
+    truncation ambiguity). Driver-side memory is bounded by N by
+    construction — this is the one deliberately driver-terminal operator
+    in the registry, mirroring the reference's own pattern. Oracle:
+    ORDER BY event time LIMIT 600."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog
+    from rdkafka_streams_spark.streaming.consumer import consume_n
+
+    root = tempfile.mkdtemp(prefix="q210_bus")
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=1)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    seed = ev.repartition(1).sortWithinPartitions("ts_us", "event_id")
+    KProducer(host=root, topic="ev", transport="topiclog").write_batch(seed)
+    c = KConsumer(
+        host=root, topic="ev", from_offset="earliest",
+        schema="event_id long, user_id long, ts_us long",
+        transport="topiclog", batch_size=200,
+    )
+    stream = c.stream(spark).select("value.event_id", "value.user_id", "value.ts_us")
+    rows = consume_n(stream, 600, timeout_s=120.0)
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts_us long")
+
+
+# ----------------------------- CCNet perplexity buckets (L4)
+@query(
+    "q211_perplexity_buckets",
+    oracle="""
+WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+tr AS (SELECT * FROM tk WHERE lang = 'en'),
+tbg AS (SELECT t[i] AS w1, t[i+1] AS w2
+        FROM tr, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+cbg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM tbg GROUP BY w1, w2),
+cctx AS (SELECT w1, COUNT(*) AS c_ctx FROM tbg GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(t) AS tok FROM tr) WHERE tok <> ''),
+bg AS (SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+       FROM tk, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+nl AS (SELECT b.doc_id, b.lang,
+              CAST(floor(-ln((COALESCE(c.c_bg, 0) + 1)
+                             / (COALESCE(x.c_ctx, 0) + v.v * 1.0)) * 1000000 + 0.5)
+                   AS BIGINT) AS nll_micro
+       FROM bg b
+       LEFT JOIN cbg c ON b.w1 = c.w1 AND b.w2 = c.w2
+       LEFT JOIN cctx x ON b.w1 = x.w1
+       CROSS JOIN v),
+ds AS (SELECT doc_id, lang,
+              CAST(floor(CAST(SUM(nll_micro) AS BIGINT) * 1.0 / COUNT(*) + 0.5)
+                   AS BIGINT) AS score_micro
+       FROM nl GROUP BY doc_id, lang),
+rk AS (SELECT doc_id, lang, score_micro,
+              ROW_NUMBER() OVER (ORDER BY score_micro, doc_id) AS rn,
+              COUNT(*) OVER () AS n
+       FROM ds)
+SELECT CASE WHEN rn * 3 <= n THEN 'head'
+            WHEN rn * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM rk GROUP BY 1, 2
+""",
+    tags=("L4", "L-prep"),
+)
+def q211_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): a bigram LM
+    is trained on the REFERENCE subcorpus (lang='en' — the held-out
+    quality anchor, where q96 self-trains on everything), every document
+    is scored against it with add-one smoothing and unseen-context
+    backoff (-ln(1/V) micro-nats, exact integers), and the corpus splits
+    into head/middle/tail perplexity terciles — the split CCNet uses to
+    keep head+middle and route tail to review. The tercile rank runs
+    through operators/ranking.global_rank (range-partitioned — never a
+    single-task global sort); scoring joins are left joins on the bigram
+    and context keys so out-of-vocabulary mass lands on the backoff
+    term, not on dropped rows. Output: docs per (bucket, lang)."""
+    from rdkafka_streams_spark.operators.ranking import global_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    train = docs.where(F.col("lang") == "en")
+    tbg = train.select(F.explode(bigrams).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    cbg = tbg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    cctx = tbg.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    vocab = (
+        train.select(F.explode(toks).alias("tok"))
+        .where(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    bg = docs.select("doc_id", "lang", F.explode(bigrams).alias("b")).select(
+        "doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    nl = (
+        bg.join(cbg, ["w1", "w2"], "left")
+        .join(cctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(
+                -F.log(
+                    (F.coalesce(F.col("c_bg"), F.lit(0)) + 1)
+                    / (F.coalesce(F.col("c_ctx"), F.lit(0)) + F.col("v"))
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+    ds = nl.groupBy("doc_id", "lang").agg(
+        F.floor(F.sum("nll_micro") / F.count("*") + 0.5)
+        .cast("bigint")
+        .alias("score_micro")
+    )
+    ranked = global_rank(ds, ["score_micro", "doc_id"], rank_col="rn")
+    n_total = ds.agg(F.count("*").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
+            "lang",
+            F.when(F.col("rn") * 3 <= F.col("n"), "head")
+            .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .groupBy("bucket", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )

@@ -158,7 +158,10 @@ class KConsumer:
     host: str
     topic: str | Sequence[str]
     group_id: str | None = None
-    from_offset: str = "latest"  # "earliest" | "latest" (src/Consumer.coffee:26)
+    #: "earliest" | "latest" (src/Consumer.coffee:26), or the Kafka-source
+    #: per-partition JSON form '{"topic": {"0": 23, "1": -2}}' (-2 earliest,
+    #: -1 latest) — honored by both transports.
+    from_offset: str = "latest"
     pattern: bool = False  # subscribe to a topic regex instead of a list
     schema: StructType | str | None = None
     mode: str = "FAILFAST"

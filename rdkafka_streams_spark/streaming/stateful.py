@@ -145,3 +145,58 @@ def running_stats_tws(df: DataFrame, key: str, value_col: str = "value") -> Data
         outputMode="Update",
         timeMode="None",
     )
+
+
+def session_windows_stateful(
+    df: DataFrame,
+    gap_us: int,
+    key: str = "user_id",
+    ts_col: str = "ts_us",
+    output_mode: str = "update",
+) -> DataFrame:
+    """Gap-based session windows as arbitrary per-key state (T7): the open
+    session (start, last, n) lives in the state store across micro-batches;
+    a record more than ``gap_us`` after the open session's last event CLOSES
+    it (emitted exactly once) and opens a new one. Input must arrive in
+    event-time order per key (keyed, partition-ordered produce — the q179
+    discipline); within a batch rows are sorted before folding, so only
+    cross-batch order is the caller's contract. Sessions still open when the
+    stream ends are never emitted — an unfinished window has no final form.
+    State is O(keys); there is no per-event retention (the 100 TB bound).
+    Reference anchor: user Transform closure state
+    (test/test_getDuplex.coffee:60,69) generalized to windowed emission.
+    """
+
+    def update(
+        key_t: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed: list[dict] = []
+        ts_all: list[int] = []
+        for b in batches:
+            ts_all.extend(int(t) for t in b[ts_col])
+        ts_all.sort()
+        for t in ts_all:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_us:
+                closed.append(
+                    {key: key_t[0], "start_us": start, "end_us": last, "n_events": n}
+                )
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return df.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=f"{key} string, start_us long, end_us long, n_events long",
+        stateStructType="start_us long, last_us long, n long",
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -559,7 +559,21 @@ class _TopicLogStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.root, self.topics = _resolve_topics(options)
         self.pattern = options.get("subscribepattern")
-        self.from_latest = options.get("startingoffsets", "latest").lower() == "latest"
+        raw_start = options.get("startingoffsets", "latest")
+        # Kafka-source parity (S4): startingOffsets accepts the JSON form
+        # {"topic": {"0": 23, "1": -2}} with -2 = earliest and -1 = latest
+        # per partition, alongside the "earliest"/"latest" strings.
+        self.explicit_start: dict[str, int] | None = None
+        if raw_start.strip().startswith("{"):
+            parsed = json.loads(raw_start)
+            self.explicit_start = {
+                f"{t}/{pid}": int(off)
+                for t, parts in parsed.items()
+                for pid, off in parts.items()
+            }
+            self.from_latest = False
+        else:
+            self.from_latest = raw_start.lower() == "latest"
         self.cap = int(options["batchsize"]) if "batchsize" in options else None
         self._planned: dict[str, int] | None = None
 
@@ -578,6 +592,20 @@ class _TopicLogStreamReader(DataSourceStreamReader):
 
     def _start_offsets(self) -> dict[str, int]:
         ends = self._ends()
+        if self.explicit_start is not None:
+            out = {}
+            for k, end in ends.items():
+                off = self.explicit_start.get(k, -2)
+                if off == -2:
+                    out[k] = 0
+                elif off == -1:
+                    out[k] = end
+                else:
+                    # clamp to the valid range (Kafka raises on OOR by
+                    # default; the analog here is the failOnDataLoss=false
+                    # posture — start at the nearest valid offset)
+                    out[k] = max(0, min(off, end))
+            return out
         return ends if self.from_latest else {k: 0 for k in ends}
 
     def initialOffset(self) -> dict:

@@ -790,3 +790,39 @@ def test_bloom_prune_no_false_negatives_and_exact_join(spark):
     )
     plain = sorted(r["k"] for r in fact.join(build, "k").select(fact["k"]).collect())
     assert joined == plain
+
+
+def test_mips_norm_augmentation_order_matches_dot(spark, sf_dir):
+    """q203's scale contract: ranking by the norm-augmented cosine
+    (constant-norm lift, Bachrach et al. 2014) must equal ranking by the
+    raw inner product for every query — the reduction that lets cosine
+    LSH/IVF infrastructure serve MIPS."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.similarity import _dot, _norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.agg(F.max(_norm("embedding")).alias("M"))
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm("embedding").alias("q_nrm"),
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(m))
+        .join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", _dot("embedding", "q_emb").alias("dot"),
+            (_dot("embedding", "q_emb") / (F.col("M") * F.col("q_nrm"))).alias("aug_cos"),
+        )
+    )
+    by_dot = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), "vec_id")
+    by_aug = Window.partitionBy("q_id").orderBy(F.col("aug_cos").desc(), "vec_id")
+    ranked = pairs.select(
+        "q_id", "vec_id",
+        F.row_number().over(by_dot).alias("r1"),
+        F.row_number().over(by_aug).alias("r2"),
+    )
+    assert ranked.where(F.col("r1") != F.col("r2")).isEmpty()

@@ -195,6 +195,28 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q198_jsonl_roundtrip": 1,
         # per-supplier count agg + broadcast dim join
         "q199_supplier_reliability": 2,
+        # pair stage/components materialize behind localCheckpoint; the
+        # residual plan is one per-label rollup with the drop set broadcast
+        "q200_semdedup": 1,
+        # sketch build agg + 2 metadata-scale pack aggs (≤4096 rows) +
+        # exact count of the candidate rows; the fact probe is a broadcast
+        # map lookup, never a shuffle
+        "q201_heavy_hitters": 4,
+        # pruned scan + ONE type agg
+        "q202_partitioned_scan": 1,
+        # 1-row max-norm agg (broadcast) + one top-k window per query
+        "q203_mips_topk": 2,
+        # peel rounds materialize behind localCheckpoint; residual =
+        # final core-degree agg
+        "q204_kcore": 1,
+        # map-side 16-way projection + stack; ONE 16-group agg
+        "q205_jl_projection": 1,
+        # dim broadcasts into the pruned fact scan; ONE type agg
+        "q208_dpp_join": 1,
+        # train bigram/context/vocab counts + left scoring joins + per-doc
+        # agg + global_rank's range exchange re-consumed by offsets+ranked
+        # branches (ranking.py) + bucket rollup
+        "q211_perplexity_buckets": 19,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
@@ -385,3 +407,36 @@ def test_knn_graph_blocked_join_no_cartesian(spark, sf_dir):
         "BroadcastHashJoin"
     )
     assert joins >= 2  # block join + mutual self-join
+
+
+def test_q202_partition_pruning_at_scan(spark, sf_dir):
+    """q202's 7-day predicate must reach the scan as PartitionFilters on the
+    date partition column — directory-level pruning, the 100 TB time-series
+    contract (reads 7 partitions of the table, not all of them)."""
+    from rdkafka_streams_spark.core.plan import partition_filters
+
+    df = REGISTRY["q202_partitioned_scan"].fn(spark, sf_dir)
+    pf = " ".join(partition_filters(df))
+    assert "event_date" in pf, f"no partition pruning on event_date: {pf}"
+
+
+def test_q201_sketch_probe_is_broadcast_map_lookup(spark, sf_dir):
+    """The CMS probe must be a broadcast of the packed one-row sketch over
+    the fact rows — a shuffle join on the bucket key would move the whole
+    fact table for a 4096-row counter lookup."""
+    from rdkafka_streams_spark.core.plan import has_broadcast_join, plan_string
+
+    df = REGISTRY["q201_heavy_hitters"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan_string(df, "simple")
+
+
+def test_q208_dynamic_partition_pruning(spark, sf_dir):
+    """q208's fact scan must carry a dynamicpruningexpression in its
+    PartitionFilters — runtime subquery pruning driven by the filtered
+    calendar dim, not a static predicate."""
+    from rdkafka_streams_spark.core.plan import plan_string
+
+    df = REGISTRY["q208_dpp_join"].fn(spark, sf_dir)
+    plan = plan_string(df, "formatted")
+    assert "dynamicpruning" in plan.lower(), "no DPP subquery in the fact scan"

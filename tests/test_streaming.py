@@ -681,3 +681,45 @@ def test_observe_metrics_on_stream(spark, sf_dir, event_stream_dir, tmp_path):
         assert seen["purchases"] == want_purch
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_session_windows_stateful_cross_batch(spark, tmp_path):
+    """T7: session_windows_stateful closes sessions across MICRO-BATCH
+    boundaries — an open session carried in state must merge with the next
+    batch's continuation rows, and only closed sessions are ever emitted."""
+    import pandas as pd
+
+    from rdkafka_streams_spark.streaming.stateful import session_windows_stateful
+
+    gap = 100
+    # user a: [0, 50, 80] | gap | [300] | gap | [600]  -> closes (0..80), (300..300)
+    # user b: [10] | gap | [400, 450]                  -> closes (10..10)
+    batches = [
+        [("a", 0), ("a", 50), ("b", 10)],
+        [("a", 80), ("a", 300)],
+        [("b", 400), ("a", 600), ("b", 450)],
+    ]
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        pd.DataFrame(rows, columns=["user_id", "ts_us"]).to_parquet(
+            src / f"b{i}.parquet"
+        )
+    stream = spark.readStream.schema("user_id string, ts_us long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    out = session_windows_stateful(stream, gap_us=gap)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in spark.table("sess_out").collect()
+    }
+    assert got == {("a", 0, 80, 3), ("a", 300, 300, 1), ("b", 10, 10, 1)}
