@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rdkafka_streams_spark.core.io import load_table
+from rdkafka_streams_spark.functions.money import SQL_DISC_PRICE
 from rdkafka_streams_spark.queries.registry import query
 
 
@@ -948,4 +949,281 @@ def q211_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket", "lang")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+# ----------------------------- bitmap exact distinct (E13/X)
+@query(
+    "q212_bitmap_distinct",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+    tags=("E13", "X", "sketch"),
+)
+def q212_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps (the RoaringBitmap
+    warehouse pattern, Spark's bitmap_* aggregate family): user ids are
+    bucketed into fixed 32k-bit bitmap segments
+    (bitmap_bucket_number/bitmap_bit_position), each (type, bucket) group
+    reduces to ONE bitmap via bitmap_construct_agg — a map-side-combining,
+    constant-size partial — and the per-type distinct count is the SUM of
+    per-bucket bitmap_count. Unlike COUNT(DISTINCT), whose partials carry
+    every distinct value through the shuffle (O(distinct) bytes per
+    group), the bitmap partial is ≤4 KB per (group, bucket) no matter how
+    many rows hit it, and OR-merge is associative — the same structure a
+    10-stage incremental rollup (q134) can persist and re-merge. Exact,
+    not approximate: the complement of q16's HLL++ tradeoff."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    per_bucket = (
+        ev.groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bk"),
+        )
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+        .select("event_type", F.expr("bitmap_count(bm)").alias("c"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_users")
+    )
+
+
+# ----------------------------- bucketed co-located join (X1)
+@query(
+    "q213_bucketed_join",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    tags=("X1", "E3", "E10"),
+)
+def q213_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (X1 promoted to the oracle tier): both
+    sides are written as 8-bucket tables keyed and sorted on the order
+    key (operators/bucketing.py write_bucketed, external tables in a
+    temp layout), and the recurring lineitem⋈orders join then reads
+    matching buckets in the same task — NO Exchange on either side
+    (tests/test_scale_ops.py pins the plan; only the final rollup
+    shuffles). At 100 TB this converts the star schema's single largest
+    network cost into a local merge: pay the bucketed write once, join
+    for free on every subsequent query. Results must equal the plain
+    shuffled join — bucketing is a layout choice, never a semantics
+    choice."""
+    import tempfile
+
+    from rdkafka_streams_spark.functions.money import disc_price_expr, sum_money
+    from rdkafka_streams_spark.operators.bucketing import write_bucketed
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="q213_buckets_")
+    for name, df, key, sort in (
+        ("q213_lineitem_b", li, "l_orderkey", "l_orderkey"),
+        ("q213_orders_b", o, "o_orderkey", "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        bc = [key]
+        writer = (
+            df.write.mode("overwrite")
+            .bucketBy(8, *bc)
+            .sortBy(sort)
+            .option("path", f"{base}/{name}")
+        )
+        writer.saveAsTable(name)
+    lb = spark.table("q213_lineitem_b")
+    ob = spark.table("q213_orders_b")
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            sum_money(disc_price_expr(), "revenue"),
+        )
+    )
+
+
+# ----------------------------- SQL API surface (E/SQL)
+@query(
+    "q214_sql_api_tpch_q3",
+    oracle=f"""
+SELECT l.l_orderkey,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+""",
+    tags=("E-SQL", "E3", "E10", "E18"),
+)
+def q214_sql_api_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority) expressed through the ``spark.sql``
+    SURFACE over registered temp views — the engine's second first-class
+    query language next to the DataFrame API (SURVEY §1.3: declare the
+    logical plan, let Catalyst pick the physical one; both APIs compile
+    to the same plan, and this query would hit the same broadcast-dim +
+    single-shuffle shape as q12). Adapted to the fixture's schema
+    (o_orderpriority for the absent o_shippriority). Exact decimal
+    revenue; total-ordered top-10 with the order key as tiebreak."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"q214_{t}")
+    return spark.sql(
+        f"""
+SELECT l.l_orderkey,
+       CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+       date_format(o.o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS o_orderdate,
+       o.o_orderpriority
+FROM q214_customer c
+JOIN q214_orders o   ON c.c_custkey = o.o_custkey
+JOIN q214_lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+"""
+    )
+
+
+# ----------------------------- dataset card (L4/L-prep)
+@query(
+    "q215_dataset_card",
+    oracle="""
+WITH tk AS (
+  SELECT doc_id, source, lang, md5(text) AS h,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks,
+         n_chars
+  FROM documents),
+dup AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+         COUNT(DISTINCT h) AS n_unique_texts,
+         COUNT(DISTINCT lang) AS n_langs
+  FROM tk GROUP BY source),
+med AS (
+  SELECT source, CAST(MIN(n_chars) AS BIGINT) AS p50_chars FROM (
+    SELECT source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM tk)
+  WHERE rn * 2 >= n + 1 AND rn * 2 <= n + 2
+  GROUP BY source)
+SELECT d.source,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       d.total_tokens,
+       CAST(d.n_docs - d.n_unique_texts AS BIGINT) AS n_exact_dups,
+       CAST(d.n_langs AS BIGINT) AS n_langs,
+       m.p50_chars
+FROM dup d JOIN med m USING (source)
+""",
+    tags=("L4", "L-prep", "X9"),
+)
+def q215_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary per source — the per-subcorpus fact sheet a
+    training-data release ships (docs, token mass, exact-dup burden,
+    language spread, median length): one corpus pass for the counters +
+    one bounded per-source rank for the exact median (lower median =
+    deterministic; the q127 exact-quantile discipline). Exact-dup count
+    is hash-grouped (md5 of the full text, the q50 canonical-keep rule).
+    At 100 TB every stat here is a partial-aggregable counter except the
+    median, which range-partitions per source."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_toks"),
+    )
+    counters = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        (F.count("*") - F.countDistinct("h")).cast("bigint").alias("n_exact_dups"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    cw = Window.partitionBy("source")
+    med = (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(cw))
+        .where((F.col("rn") * 2 >= F.col("n") + 1) & (F.col("rn") * 2 <= F.col("n") + 2))
+        .groupBy("source")
+        .agg(F.min("n_chars").cast("bigint").alias("p50_chars"))
+    )
+    return counters.join(med, "source")
+
+
+# ----------------------------- streaming dedup over the wire (T5)
+@query(
+    "q216_streaming_dedup",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+    tags=("T5", "T-streaming"),
+)
+def q216_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates THROUGH the transport (T5 to the oracle
+    tier): the keyed event stream deduplicates on (user_id, event_type)
+    in the state store — first arrival per key is emitted exactly once
+    in append mode, every later arrival is suppressed — and the emitted
+    KEY SET is rolled up per type. The output is deliberately keys-only:
+    which physical record survives depends on arrival interleaving, but
+    the surviving key set is arrival-order-independent, so the oracle is
+    exact (COUNT(DISTINCT)). State here is O(distinct keys) and held for
+    the stream's lifetime — the bounded-retention variant
+    (dropDuplicatesWithinWatermark, which trades exactness across the
+    horizon for eviction) is covered by
+    tests/test_streaming.py::test_streaming_dedup_within_watermark.
+    q212 computes the same answer as a batch bitmap — this is the
+    streaming-state path."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+
+    root = tempfile.mkdtemp(prefix="q216_bus")
+    ck = tempfile.mkdtemp(prefix="q216_ck")
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=4)
+    seed = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    KProducer(host=root, topic="ev", transport="topiclog").write_batch(seed)
+    c = KConsumer(
+        host=root, topic="ev", from_offset="earliest",
+        schema="event_id long, user_id long, event_type string, ts_us long",
+        transport="topiclog", batch_size=4096,
+    )
+    dec = (
+        c.stream(spark)
+        .select(
+            F.col("value.user_id").alias("user_id"),
+            F.col("value.event_type").alias("event_type"),
+        )
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    name = "q216_keys"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        dec.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutdown(q, 60)
+    return spark.table(name).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_users")
     )

@@ -217,6 +217,15 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # agg + global_rank's range exchange re-consumed by offsets+ranked
         # branches (ranking.py) + bucket rollup
         "q211_perplexity_buckets": 19,
+        # (type,bucket) bitmap agg + per-type sum of bucket counts
+        "q212_bitmap_distinct": 2,
+        # bucketed layout: the join adds NO exchange; only the rollup
+        "q213_bucketed_join": 1,
+        # customer dim broadcasts; lineitem⋈orders + agg share the
+        # order-key exchange; TakeOrdered caps the top-10
+        "q214_sql_api_tpch_q3": 1,
+        # counter agg + per-source median rank window + tiny join
+        "q215_dataset_card": 3,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
@@ -440,3 +449,17 @@ def test_q208_dynamic_partition_pruning(spark, sf_dir):
     df = REGISTRY["q208_dpp_join"].fn(spark, sf_dir)
     plan = plan_string(df, "formatted")
     assert "dynamicpruning" in plan.lower(), "no DPP subquery in the fact scan"
+
+
+def test_q213_bucketed_join_no_exchange_even_without_broadcast(spark, sf_dir):
+    """The bucketed-join contract must not depend on AQE demoting the join
+    to broadcast (it does at tiny SF): with broadcast disabled, the
+    lineitem⋈orders join over the 8-bucket tables must STILL plan with no
+    Exchange on either input — only the final rollup shuffles."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = REGISTRY["q213_bucketed_join"].fn(spark, sf_dir)
+        assert count_exchanges(df) <= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
