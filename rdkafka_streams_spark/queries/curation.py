@@ -1227,3 +1227,339 @@ def q216_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_users")
     )
+
+
+# ----------------------------- LSH quality audit (L2/X)
+def _lsh_audit_oracle() -> str:
+    from rdkafka_streams_spark.llm.dedup import MAX_BUCKET, N_BANDS, N_HASHES
+
+    rows = N_HASHES // N_BANDS
+    mins = ",\n       ".join(f"MIN(md5('{s}:' || tok)) AS h{s}" for s in range(N_HASHES))
+    bands = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS bi, {expr} AS bv FROM sig".format(
+            b=b, expr=" || ".join(f"h{b * rows + i}" for i in range(rows))
+        )
+        for b in range(N_BANDS)
+    )
+    agree = " + ".join(f"CAST(s1.h{s} = s2.h{s} AS INT)" for s in range(N_HASHES))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+sig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id),
+band0 AS (
+  {bands}),
+band AS (
+  SELECT doc_id, bi, bv FROM (
+    SELECT doc_id, bi, bv, COUNT(*) OVER (PARTITION BY bi, bv) AS bsz FROM band0)
+  WHERE bsz <= {MAX_BUCKET}),
+cand0 AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM band a JOIN band b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+cand AS (
+  SELECT id1, id2 FROM (
+    SELECT c.id1, c.id2, ({agree}) / {N_HASHES}.0 AS sim_est
+    FROM cand0 c JOIN sig s1 ON c.id1 = s1.doc_id JOIN sig s2 ON c.id2 = s2.doc_id)
+  WHERE sim_est >= 0.5),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+verify AS (
+  SELECT c.id1, c.id2, cm.c * 1.0 / (sa.sz + sb.sz - cm.c) AS jac
+  FROM cand c
+  JOIN (SELECT ca.id1, ca.id2, COUNT(*) AS c
+        FROM cand ca
+        JOIN tok t1 ON t1.doc_id = ca.id1
+        JOIN tok t2 ON t2.doc_id = ca.id2 AND t1.tok = t2.tok
+        GROUP BY ca.id1, ca.id2) cm ON c.id1 = cm.id1 AND c.id2 = cm.id2
+  JOIN sizes sa ON c.id1 = sa.doc_id
+  JOIN sizes sb ON c.id2 = sb.doc_id),
+d AS (
+  SELECT doc_id, lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk FROM documents),
+btok AS (SELECT t.doc_id, d.blk, t.tok FROM tok t JOIN d ON t.doc_id = d.doc_id),
+bsizes AS (SELECT doc_id, blk, COUNT(*) AS sz FROM btok GROUP BY 1, 2),
+truth AS (
+  SELECT id1, id2 FROM (
+    SELECT co.id1, co.id2, co.c * 1.0 / (sa.sz + sb.sz - co.c) AS jaccard
+    FROM (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+          FROM btok a JOIN btok b ON a.blk = b.blk AND a.tok = b.tok
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) co
+    JOIN bsizes sa ON co.id1 = sa.doc_id
+    JOIN bsizes sb ON co.id2 = sb.doc_id)
+  WHERE jaccard >= 0.8),
+hit AS (SELECT t.id1 FROM truth t JOIN cand c ON t.id1 = c.id1 AND t.id2 = c.id2),
+prec AS (SELECT COUNT(*) AS n_precise FROM verify WHERE jac >= 0.5)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+       CAST((SELECT COUNT(*) FROM hit) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_ppm,
+       CAST((SELECT n_precise FROM prec) AS BIGINT) AS n_precise,
+       CAST((SELECT n_precise FROM prec) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM cand), 1) AS BIGINT) AS precision_ppm
+"""
+
+
+@query("q217_lsh_recall_audit", oracle=_lsh_audit_oracle(), tags=("L2", "X"))
+def q217_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality audit of the approximate dedup path — the measurement every
+    production LSH deployment ships with: RECALL of the q51 MinHash-LSH
+    candidates against the exact blocked Jaccard-≥0.8 ground truth (q52's
+    set), and PRECISION of the candidates against exact Jaccard ≥ 0.5
+    computed ONLY on candidate pairs (the verify stage is bounded by
+    |candidates| — never quadratic). One summary row in exact counts +
+    integer ppm, so tuning n_bands/rows has a measurable, oracle-checked
+    effect. The sketch construction is md5-based and engine-independent,
+    which is what makes a full cross-engine audit possible at all."""
+    from rdkafka_streams_spark.llm.dedup import jaccard_pairs, minhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = minhash_near_dups(docs, threshold=0.5).select("id1", "id2")
+    blocked = docs.withColumn(
+        "blk", F.concat_ws("|", F.col("lang"), F.expr("n_chars div 100").cast("string"))
+    )
+    truth = jaccard_pairs(blocked, threshold=0.8, block_col="blk").select("id1", "id2")
+    # exact verify on candidate pairs only
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    t1 = tok.select(F.col("doc_id").alias("id1"), F.col("tok").alias("tk1"))
+    t2 = tok.select(F.col("doc_id").alias("id2r"), F.col("tok").alias("tk2"))
+    common = (
+        cand.join(t1, "id1")
+        .join(t2, (F.col("id2") == F.col("id2r")) & (F.col("tk1") == F.col("tk2")))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("c"))
+    )
+    verify = (
+        common.join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sa"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sb"), "id2")
+        .where(F.col("c") * 1.0 / (F.col("sa") + F.col("sb") - F.col("c")) >= 0.5)
+    )
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_hit = truth.join(cand, ["id1", "id2"]).count()
+    n_precise = verify.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_cand,
+                n_hit,
+                n_hit * 1000000 // max(n_truth, 1),
+                n_precise,
+                n_precise * 1000000 // max(n_cand, 1),
+            )
+        ],
+        "n_truth long, n_candidates long, n_hit long, recall_ppm long, "
+        "n_precise long, precision_ppm long",
+    )
+
+
+# ----------------------------- SQL LATERAL join (E-SQL/E31/E18)
+@query(
+    "q218_lateral_topn",
+    oracle="""
+SELECT o.o_orderkey, t.l_linenumber,
+       CAST(CAST(t.l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+FROM orders o JOIN LATERAL (
+  SELECT l_linenumber, l_extendedprice FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t ON TRUE
+WHERE o.o_orderpriority = '1-URGENT'
+""",
+    tags=("E-SQL", "E31", "E18"),
+)
+def q218_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the SQL
+    spelling of top-N-per-group (q39's window form): for every urgent
+    order, its 2 most expensive line items. Catalyst decorrelates the
+    lateral into the same ranked-window/join shape a hand-written q39
+    produces — proving the engine's subquery surface covers the
+    correlated-limit case both DuckDB and Postgres users write. Price
+    emitted through exact DECIMAL; line number totalizes the per-order
+    order."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"q218_{t}")
+    return spark.sql(
+        """
+SELECT o.o_orderkey, t.l_linenumber,
+       CAST(CAST(t.l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+FROM q218_orders o JOIN LATERAL (
+  SELECT l_linenumber, l_extendedprice FROM q218_lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t
+WHERE o.o_orderpriority = '1-URGENT'
+"""
+    )
+
+
+# ----------------------------- CSV source/sink round-trip (S7)
+@query(
+    "q219_csv_roundtrip",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us
+FROM events GROUP BY event_type
+""",
+    tags=("S7", "R3", "R4"),
+)
+def q219_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + explicit-schema CSV source round-trip (S7 beyond parquet
+    and q198's JSONL): events serialize to headered CSV shards —
+    timestamps carried as integer epoch-µs so the text format is
+    timezone- and precision-exact — and the read-back declares the
+    schema (no inference scan: at 100 TB, schema inference is a full
+    extra pass). The rollup over the round-tripped frame must equal the
+    oracle over the original parquet; cents snapped before the SUM."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="q219_csv_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ev.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.schema("event_id long, event_type string, ts_us long, cents long")
+        .option("header", True)
+        .csv(out)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.min("ts_us").cast("bigint").alias("first_us"),
+    )
+
+
+# ----------------------------- schema evolution (S7/X)
+@query(
+    "q220_schema_evolution",
+    oracle="""
+WITH unioned AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         CASE WHEN event_id % 2 = 1 THEN event_type ELSE NULL END AS channel
+  FROM events)
+SELECT COALESCE(channel, '__missing__') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM unioned GROUP BY 1
+""",
+    tags=("S7", "X"),
+)
+def q220_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across ingest batches — the layout reality of any
+    long-lived 100 TB table: batch 1 was written BEFORE the ``channel``
+    column existed, batch 2 after. ``mergeSchema`` unifies the footers at
+    read time (old files surface NULL for the new column — no rewrite of
+    petabytes of history), and the rollup routes pre-evolution rows to a
+    sentinel bucket. The oracle reconstructs the same union relationally.
+    mergeSchema is a per-read opt-in because footer-merging every query
+    is an O(files) planning cost — turn it on for evolving prefixes
+    only."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="q220_evo_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "event_type",
+    )
+    ev.where(F.col("event_id") % 2 == 0).select("user_id", "cents").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/batch=1")
+    ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id", "cents", F.col("event_type").alias("channel")
+    ).write.mode("overwrite").parquet(f"{out}/batch=2")
+    back = spark.read.option("mergeSchema", True).parquet(out)
+    return back.groupBy(
+        F.coalesce(F.col("channel"), F.lit("__missing__")).alias("channel")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+
+
+# ----------------------------- k-hop BFS (X/graph)
+_BFS_HOPS = 3
+
+
+def _bfs_oracle(hops: int) -> str:
+    stages = [
+        """
+li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+w0 AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e AS MATERIALIZED (SELECT p1 AS a, p2 AS b FROM w0 UNION ALL SELECT p2, p1 FROM w0),
+src AS (SELECT MIN(a) AS s FROM e),
+d0 AS (SELECT s AS node, 0 AS dist FROM src)"""
+    ]
+    for i in range(hops):
+        stages.append(
+            f"""
+d{i + 1} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i}
+    UNION ALL
+    SELECT e.b AS node, d.dist + 1 AS dist FROM d{i} d JOIN e ON e.a = d.node)
+  GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",".join(stages)
+        + f"""
+SELECT node AS part_id, CAST(dist AS BIGINT) AS dist FROM d{hops}"""
+    )
+
+
+@query("q221_bfs_hops", oracle=_bfs_oracle(_BFS_HOPS), tags=("X", "graph"))
+def q221_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS frontier expansion from the minimum node of the weight-≥2
+    co-purchase graph — the reachability primitive under impact analysis
+    ("what does this product touch within 3 recommendation hops?") and
+    the building block of distributed shortest paths (Pregel's roundwise
+    relax). Each round is ONE frontier⋈edges join + a min-dist rollup,
+    localCheckpoint-truncated (the q204/connected-components iterative
+    discipline); k rounds touch k·|frontier-adjacent| edges, never the
+    whole graph per round. Fixed k keeps the oracle an unrolled k-stage
+    relaxation — same rule, same result."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    w0 = (
+        li.alias("x")
+        .join(li.alias("y"), F.expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
+        .groupBy(F.col("x.l_partkey").alias("p1"), F.col("y.l_partkey").alias("p2"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+    edges = (
+        w0.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+        .unionAll(w0.select(F.col("p2").alias("a"), F.col("p1").alias("b")))
+        .localCheckpoint()
+    )
+    dist = (
+        edges.agg(F.min("a").alias("node"))
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    for _ in range(_BFS_HOPS):
+        expanded = dist.join(edges, dist.node == edges.a).select(
+            F.col("b").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionAll(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select(F.col("node").alias("part_id"), F.col("dist").cast("bigint").alias("dist"))

@@ -226,6 +226,15 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q214_sql_api_tpch_q3": 1,
         # counter agg + per-source median rank window + tiny join
         "q215_dataset_card": 3,
+        # decorrelated lateral = per-order ranked window; orders broadcast
+        "q218_lateral_topn": 1,
+        # csv write is side work; read rollup is ONE shuffle
+        "q219_csv_roundtrip": 1,
+        # mergeSchema read + ONE channel rollup
+        "q220_schema_evolution": 1,
+        # frontier rounds materialize behind localCheckpoint; final frame
+        # is already reduced
+        "q221_bfs_hops": 0,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
