@@ -1563,3 +1563,194 @@ def q221_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return dist.select(F.col("node").alias("part_id"), F.col("dist").cast("bigint").alias("dist"))
+
+
+# ----------------------------- HLL mergeable-sketch rollup (E13/X10)
+@query(
+    "q222_hll_merge_audit",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS est_within_5pct
+FROM events GROUP BY event_type
+""",
+    tags=("E13", "X10", "sketch"),
+)
+def q222_hll_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch ROLLUP with an in-query accuracy audit: daily
+    per-type sketches (hll_sketch_agg — the persistable partial an
+    incremental pipeline stores per partition/day, the q134 merge
+    discipline applied to distincts) union into a monthly estimate
+    (hll_union_agg), which is then audited against the exact count
+    computed in the same query. The emitted verdict — |est − exact| ≤ 5 %
+    — is DETERMINISTIC: HLL registers are per-bucket maxima, so the
+    merged sketch is a function of the SET, not of arrival or merge
+    order; DataSketches' standard error at default lgK=12 is ~1.6 %, so
+    the 5 % gate has wide margin. The oracle asserts the exact counts and
+    the audit verdict (an engine cannot fake the flag without an estimate
+    inside the bound). Pattern: q16's HLL++ is fire-and-forget
+    approximate; THIS is the production shape — sketches as stored,
+    mergeable state with a measured error contract."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact")) * 20 <= F.col("n_exact")
+        ).alias("est_within_5pct"),
+    )
+
+
+# ----------------------------- tombstone compaction state (S1/S2/X7)
+@query(
+    "q223_tombstone_state",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM latest
+WHERE rn = 1 AND user_id % 5 <> 0
+GROUP BY event_type
+""",
+    tags=("S1", "S2", "X7", "T-streaming"),
+)
+def q223_tombstone_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka DELETE-marker semantics end-to-end (the half of compacted-
+    topic state q179 left out): every event is produced keyed by user in
+    event-time order, then a NULL-value TOMBSTONE is appended for every
+    user_id % 5 == 0 (the sink requires the explicit ``tombstones=true``
+    opt-in — a silent null would otherwise corrupt state), the topic is
+    compacted (latest record per key survives at its ORIGINAL offset;
+    keys whose latest record is a tombstone VANISH — Kafka cleaner
+    semantics, topiclog.py:396), and per-type state counts are rebuilt
+    from the surviving log. The oracle derives the same from the events
+    table: latest event per user, deleted users excluded. This is the
+    GDPR-deletion / entity-retirement path of the changelog-as-table
+    pattern."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+    from rdkafka_streams_spark.streaming.topiclog import register
+
+    root = tempfile.mkdtemp(prefix="q223_bus")
+    n_parts = 4
+    log = TopicLog(root)
+    log.create_topic("state", partitions=n_parts)
+    register(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    upd = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.to_json(F.struct("user_id", "event_type", "ts_us")).alias("value"),
+        F.col("ts_us").alias("__ord"),
+        F.col("event_id").alias("__tie"),
+    )
+    # tombstones sort AFTER every update of their key (max ts + 1)
+    from pyspark.sql import Window as _W
+
+    maxts = ev.agg(F.max("ts_us").alias("m"))
+    tomb = (
+        ev.where(F.col("user_id") % 5 == 0)
+        .select("user_id").distinct()
+        .crossJoin(F.broadcast(maxts))
+        .select(
+            F.col("user_id").cast("string").alias("key"),
+            F.lit(None).cast("string").alias("value"),
+            (F.col("m") + 1).alias("__ord"),
+            F.lit(0).alias("__tie"),
+        )
+    )
+    seed = (
+        upd.unionAll(tomb)
+        .withColumn(
+            "partition",
+            F.pmod(F.col("key").cast("long"), F.lit(n_parts)).cast("int"),
+        )
+        .repartition(n_parts, "partition")
+        .sortWithinPartitions("__ord", "__tie")
+        .select("key", "value", "partition")
+    )
+    seed.write.format("topiclog").option("path", root).option("topic", "state").option(
+        "tombstones", "true"
+    ).mode("append").save()
+    log.compact("state")
+    raw = read_topic(spark, root, "state")
+    return (
+        raw.select(
+            F.from_json(
+                F.col("value").cast("string"),
+                "user_id long, event_type string, ts_us long",
+            ).alias("v")
+        )
+        .groupBy(F.col("v.event_type").alias("event_type"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+# ----------------------------- content checksum reconciliation (X)
+@query(
+    "q224_table_checksum",
+    oracle="""
+WITH rows_c AS (
+  SELECT event_type,
+         md5(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR) || '|'
+             || event_type || '|' || CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
+             || '|' || CAST(epoch_us(ts) AS VARCHAR)) AS h
+  FROM events),
+v AS (
+  SELECT event_type,
+         list_sum(list_transform(range(1, 11),
+           p -> CAST(instr('0123456789abcdef', substring(h, p, 1)) - 1 AS BIGINT)
+                * CAST(power(16, 10 - p) AS BIGINT))) AS chk
+  FROM rows_c)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(chk) AS BIGINT) AS checksum
+FROM v GROUP BY event_type
+""",
+    tags=("X", "X9"),
+)
+def q224_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-free content checksums for table reconciliation (the
+    anti-entropy primitive behind replica comparison, migration
+    validation, and cross-engine copies — literally what this repo's own
+    oracle gate does, exposed as an operator): every row folds to a
+    canonical pipe-joined string, its md5 prefix becomes a 40-bit
+    integer, and the per-group SUM is an order-independent content
+    fingerprint — two tables match iff (n, checksum) match per group,
+    with any difference localized to the group. 40-bit terms keep the
+    BIGINT sum overflow-free past 10^7 rows per group; both engines
+    compute the identical fold from the identical md5 hex. One map-side
+    pass + one small agg."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                F.round(F.col("value") * 100).cast("bigint").cast("string"),
+                F.unix_micros("ts").cast("string"),
+            )
+        ).alias("h"),
+    )
+    chk = F.conv(F.substring("h", 1, 10), 16, 10).cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(chk).cast("bigint").alias("checksum"),
+    )

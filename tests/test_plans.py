@@ -235,6 +235,10 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # frontier rounds materialize behind localCheckpoint; final frame
         # is already reduced
         "q221_bfs_hops": 0,
+        # daily sketch agg + monthly union + exact-distinct branch + join
+        "q222_hll_merge_audit": 4,
+        # one map-side md5 fold + per-type agg
+        "q224_table_checksum": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
