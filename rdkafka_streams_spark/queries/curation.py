@@ -1754,3 +1754,202 @@ def q224_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum(chk).cast("bigint").alias("checksum"),
     )
+
+
+# ----------------------------- streaming session_window (T3)
+@query(
+    "q225_streaming_sessions",
+    oracle="""
+WITH l AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+              THEN 1
+              WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                   IS NULL THEN 1
+              ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts_us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l)
+SELECT user_id,
+       CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    tags=("T3", "T-streaming"),
+)
+def q225_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation as a STREAM through the
+    transport (T3 over the wire; q42 is the batch form, q207 the
+    custom-state form): 30-minute-gap sessions per user. The engine
+    restricts session-window streaming aggs to append/complete output
+    (update is rejected — session identities can merge, so per-key
+    updates are not well-defined in general); append + watermark is the
+    production mode but only emits sessions the watermark has passed —
+    the trailing-session truncation that makes an exact oracle
+    engine-timing-dependent (the T4 negative result, SURVEY §8.4). For a
+    bounded replay the COMPLETE snapshot is the exact answer: the memory
+    sink's final state is the full session set, which must equal the
+    gaps-and-islands oracle. The seed stays keyed and event-time-ordered
+    per partition (q179 discipline) so multi-batch session extension is
+    exercised, not just one-shot aggregation."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+
+    root = tempfile.mkdtemp(prefix="q225_bus")
+    ck = tempfile.mkdtemp(prefix="q225_ck")
+    n_parts = 4
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=n_parts)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    tp = (F.crc32(F.col("user_id").cast("string").cast("binary")) % n_parts).cast("int")
+    seed = (
+        ev.withColumn("__tp", tp)
+        .repartition(n_parts, "__tp")
+        .sortWithinPartitions("ts_us", "event_id")
+        .select("user_id", "ts_us", "__tp")
+    )
+    KProducer(
+        host=root, topic="ev", key="user_id", partition_col="__tp",
+        transport="topiclog",
+    ).write_batch(seed)
+    c = KConsumer(
+        host=root, topic="ev", from_offset="earliest",
+        schema="user_id long, ts_us long", transport="topiclog",
+        batch_size=2048,
+    )
+    dec = c.stream(spark).select(
+        F.col("value.user_id").alias("user_id"),
+        F.timestamp_micros(F.col("value.ts_us")).alias("ts"),
+    )
+    agg = dec.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n"))
+    name = "q225_sessions"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    shutdown(q, 60)
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        F.col("n").cast("bigint").alias("n_events"),
+    )
+
+
+# ----------------------------- two-hop stream pipeline (S1+S2+R7)
+@query(
+    "q226_two_hop_pipeline",
+    oracle="""
+WITH enr AS (
+  SELECT user_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+  FROM events
+  WHERE event_type IN ('purchase', 'refund')),
+agg AS (
+  SELECT day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM enr GROUP BY day)
+SELECT day, n, cents FROM agg
+""",
+    tags=("S1", "S2", "R7", "R1", "T-streaming"),
+)
+def q226_two_hop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's CANONICAL topology, two hops deep: consumer →
+    user transform → producer feeding a SECOND consumer → aggregate
+    (README.md:41-64 pipes a Consumer through Transforms into a
+    Producer; test/test_getDuplex.coffee:57-76 chains them). Hop 1
+    consumes the raw topic, filters to money events and reshapes the
+    record (the reference's per-record Transform — R1+R7 as one
+    map-side stage), and STREAMS the result into an intermediate
+    'enriched' topic via the streaming sink (checkpointed — each hop is
+    independently restartable, the real reason multi-hop topologies use
+    a durable intermediate instead of one long query). Hop 2 consumes
+    'enriched' and maintains the per-day rollup in update mode (q181
+    closure). The oracle collapses both hops relationally."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+
+    root = tempfile.mkdtemp(prefix="q226_bus")
+    log = TopicLog(root)
+    log.create_topic("raw", partitions=4)
+    log.create_topic("enriched", partitions=4)
+    seed = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    )
+    KProducer(host=root, topic="raw", transport="topiclog").write_batch(seed)
+    # hop 1: raw -> transform -> enriched (streaming, checkpointed)
+    c1 = KConsumer(
+        host=root, topic="raw", from_offset="earliest",
+        schema="event_id long, user_id long, event_type string, cents long, day string",
+        transport="topiclog", batch_size=4096,
+    )
+    hop1 = (
+        c1.stream(spark)
+        .where(F.col("value.event_type").isin("purchase", "refund"))
+        .select(
+            F.col("value.user_id").alias("user_id"),
+            F.col("value.cents").alias("cents"),
+            F.col("value.day").alias("day"),
+        )
+    )
+    q1 = KProducer(
+        host=root, topic="enriched", transport="topiclog",
+        checkpoint=tempfile.mkdtemp(prefix="q226_ck1"),
+    ).write(hop1, trigger="0.2 seconds")
+    q1.processAllAvailable()
+    shutdown(q1, 60)
+    # hop 2: enriched -> per-day rollup (update mode, last-value closure)
+    c2 = KConsumer(
+        host=root, topic="enriched", from_offset="earliest",
+        schema="user_id long, cents long, day string",
+        transport="topiclog", batch_size=4096,
+    )
+    agg = (
+        c2.stream(spark)
+        .groupBy(F.col("value.day").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value.cents").alias("cents"),
+        )
+    )
+    name = "q226_rollup"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q2 = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="q226_ck2"))
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    q2.processAllAvailable()
+    shutdown(q2, 60)
+    return (
+        spark.table(name)
+        .groupBy("day")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max("cents").cast("bigint").alias("cents"),
+        )
+    )
