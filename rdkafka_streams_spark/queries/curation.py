@@ -1953,3 +1953,265 @@ def q226_two_hop_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").cast("bigint").alias("cents"),
         )
     )
+
+
+# ----------------------------- checkpoint resume (S4/F6/T8)
+@query(
+    "q227_checkpoint_resume",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY event_type
+""",
+    tags=("S4", "F6", "T8", "T-streaming"),
+)
+def q227_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed offset resume across RESTARTS — the consumer-group
+    semantics behind the reference's ``groupId`` (src/Consumer.coffee:22,
+    where librdkafka tracks committed offsets): run 1 consumes everything
+    produced so far and SHUTS DOWN; more data lands on the topic; run 2
+    starts from the SAME checkpoint and consumes exactly the delta — the
+    committed offsets, not startingOffsets, decide where it resumes (the
+    checkpoint is the real progress tracker, SURVEY §1.3). Both runs
+    write through the idempotent batch-id-overwrite sink (q189's), and
+    the final table must hold every event EXACTLY once — no replays of
+    run 1's range, no gaps at the restart boundary."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+    from rdkafka_streams_spark.streaming.sinks import foreach_batch_overwrite
+
+    root = tempfile.mkdtemp(prefix="q227_bus")
+    sink = tempfile.mkdtemp(prefix="q227_sink")
+    ck = tempfile.mkdtemp(prefix="q227_ck")
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=4)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    prod = KProducer(host=root, topic="ev", transport="topiclog")
+
+    def run() -> None:
+        c = KConsumer(
+            host=root, topic="ev", from_offset="earliest",
+            schema="event_id long, event_type string, cents long",
+            transport="topiclog", batch_size=1024,
+        )
+        dec = c.stream(spark).select(
+            "value.event_id", "value.event_type", "value.cents"
+        )
+        q = foreach_batch_overwrite(dec, sink, ck, trigger_available_now=False)
+        q.processAllAvailable()
+        shutdown(q, 60)
+
+    prod.write_batch(ev.where(F.col("event_id") % 2 == 0))
+    run()  # consumes the first half, commits offsets, stops
+    prod.write_batch(ev.where(F.col("event_id") % 2 == 1))
+    run()  # resumes from the committed offsets: delta only
+    out = spark.read.parquet(sink)
+    return out.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+
+
+# ----------------------------- dead-letter split (R3/T8)
+@query(
+    "q228_dlq_split",
+    oracle="""
+SELECT CASE WHEN event_id % 97 = 0 THEN '__dlq__' ELSE event_type END AS route,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""",
+    tags=("R3", "T8", "T-streaming"),
+)
+def q228_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing THROUGH the transport (R3's error path to the
+    oracle tier): every 97th record is poisoned with malformed JSON at
+    produce time, and the consumer splits ONE source scan into a good
+    stream (typed records flow on) and a DLQ stream (original bytes +
+    envelope intact for replay) via decode_with_dlq — the
+    PERMISSIVE/corrupt-record alternative to the reference's
+    abort-the-whole-stream-on-one-bad-record semantics
+    (src/Consumer.coffee:106-108), which is unacceptable when one
+    poisoned message can stall a 100 TB/day topic. Both routes land in
+    the same rollup keyed by route; the oracle reconstructs the poison
+    rule relationally. FAILFAST (the reference's exact behavior) remains
+    the default elsewhere."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import TopicLog, shutdown
+    from rdkafka_streams_spark.streaming.consumer import decode_with_dlq
+    from rdkafka_streams_spark.streaming.topiclog import register
+
+    root = tempfile.mkdtemp(prefix="q228_bus")
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=4)
+    register(spark)
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    seed = ev.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.concat(F.lit('{"bad'), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.to_json(F.struct("event_id", "event_type", "user_id")))
+        .alias("value"),
+        F.pmod("event_id", F.lit(4)).cast("int").alias("partition"),
+    )
+    seed.write.format("topiclog").option("path", root).option("topic", "ev").mode(
+        "append"
+    ).save()
+    raw = (
+        spark.readStream.format("topiclog")
+        .option("path", root)
+        .option("subscribe", "ev")
+        .option("startingOffsets", "earliest")
+        .option("batchSize", "4096")
+        .load()
+    )
+    good, bad = decode_with_dlq(raw, "event_id long, event_type string, user_id long")
+    for name, df in (("q228_good", good), ("q228_bad", bad)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{name}_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        shutdown(q, 60)
+    good_n = spark.table("q228_good").groupBy(
+        F.col("value.event_type").alias("route")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    bad_n = spark.table("q228_bad").groupBy(
+        F.lit("__dlq__").alias("route")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return good_n.unionAll(bad_n)
+
+
+# ----------------------------- hard-negative mining (L3)
+@query(
+    "q229_hard_negatives",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+           FROM embeddings WHERE vec_id < 10),
+pr AS (
+  SELECT q.q_id, e.vec_id,
+         {_dot_sql('e.embedding', 'q.q_emb')} AS dot,
+         sqrt({_dot_sql('e.embedding', 'e.embedding')}) AS na,
+         sqrt({_dot_sql('q.q_emb', 'q.q_emb')}) AS nq
+  FROM embeddings e CROSS JOIN q
+  WHERE e.label <> q.q_label)
+SELECT q_id, vec_id, ROUND(cos, 6) AS cos FROM (
+  SELECT q_id, vec_id, dot / (na * nq) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot / (na * nq) DESC, vec_id) AS rn
+  FROM pr)
+WHERE rn <= 2
+""",
+    tags=("L3", "L-prep"),
+)
+def q229_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the data-prep step
+    behind embedding-model fine-tuning): for each anchor, the 2 most
+    cosine-similar vectors with a DIFFERENT label — maximally confusing
+    negatives. The label-inequality predicate rides the candidate join
+    (per-vector norms factored below it, the cosine_topk discipline);
+    at 100 TB the candidate set comes from the ANN index (q55/q92) with
+    the label filter applied post-prune — same shape, pruned scan.
+    Total-ordered top-2 per anchor."""
+    from pyspark.sql import Window
+
+    from rdkafka_streams_spark.llm.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn("__nrm", _norm("embedding"))
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+        F.col("__nrm").alias("q_nrm"),
+    )
+    pairs = emb.join(F.broadcast(q), F.col("label") != F.col("q_label")).select(
+        "q_id",
+        "vec_id",
+        (_dot("embedding", "q_emb") / (F.col("__nrm") * F.col("q_nrm"))).alias("_cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("_cos").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("q_id", "vec_id", F.round("_cos", 6).alias("cos"))
+    )
+
+
+# ----------------------------- compaction preserves content (X10)
+@query(
+    "q230_compaction_rewrite",
+    oracle="""
+WITH rows_c AS (
+  SELECT event_type,
+         md5(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR) || '|'
+             || event_type || '|' || CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR))
+           AS h
+  FROM events),
+v AS (
+  SELECT event_type,
+         list_sum(list_transform(range(1, 11),
+           p -> CAST(instr('0123456789abcdef', substring(h, p, 1)) - 1 AS BIGINT)
+                * CAST(power(16, 10 - p) AS BIGINT))) AS chk
+  FROM rows_c)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(chk) AS BIGINT) AS checksum
+FROM v GROUP BY event_type
+""",
+    tags=("X10", "X"),
+)
+def q230_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction EXECUTED, with content proven preserved: the
+    table is first fragmented into ~64 shard files (what an
+    over-parallel streaming sink leaves behind — at 100 TB, scan cost is
+    dominated by file COUNT once files are small: open/footer/seek per
+    file), rewritten by core/io.compact() to target-sized files, and the
+    q224 order-free checksum of the compacted copy must equal the
+    oracle's checksum of the ORIGINAL data — maintenance must be
+    invisible to readers, byte-for-byte. q133 plans this maintenance
+    from metadata; this query performs it."""
+    import tempfile
+
+    from rdkafka_streams_spark.core.io import compact as compact_dir
+
+    frag = tempfile.mkdtemp(prefix="q230_frag_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_dir(spark, frag, target_file_bytes=4 * 1024 * 1024)
+    back = spark.read.parquet(frag)
+    chk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("event_id").cast("string"),
+                    F.col("user_id").cast("string"),
+                    F.col("event_type"),
+                    F.col("cents").cast("string"),
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(chk).cast("bigint").alias("checksum"),
+    )

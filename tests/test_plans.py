@@ -239,6 +239,10 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q222_hll_merge_audit": 4,
         # one map-side md5 fold + per-type agg
         "q224_table_checksum": 1,
+        # queries broadcast; one top-2 window per anchor
+        "q229_hard_negatives": 1,
+        # compaction is side work; the checksum is one map fold + agg
+        "q230_compaction_rewrite": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
