@@ -57,6 +57,12 @@ class KProducer:
     key: str | None = None
     partition_col: str | None = None
     checkpoint: str | None = None
+    #: transactional producer id (Kafka ``transactional.id`` analog): on the
+    #: topiclog transport, streaming commits marked with (txn_id, batchId)
+    #: dedup replayed micro-batches sink-side — at-least-once upgrades to
+    #: effectively-exactly-once across restarts (topiclog.py
+    #: _commit_staged_txn; restart-window caveat documented there).
+    txn_id: str | None = None
     options: dict[str, str] = field(default_factory=dict)
     #: "kafka" (production) or "topiclog" (in-repo durable log; ``host`` is
     #: the log root dir). Identical sink contract (value/key/partition cols).
@@ -71,8 +77,14 @@ class KProducer:
             from rdkafka_streams_spark.streaming import topiclog
 
             topiclog.register(df.sparkSession)
-            return topiclog.FORMAT_NAME, {"path": self.host, "topic": self.topic}
-        return "kafka", {"kafka.bootstrap.servers": self.host, "topic": self.topic}
+            opts = {"path": self.host, "topic": self.topic}
+            if self.txn_id is not None:
+                opts["txnId"] = self.txn_id
+            return topiclog.FORMAT_NAME, opts
+        opts = {"kafka.bootstrap.servers": self.host, "topic": self.topic}
+        if self.txn_id is not None:
+            opts["kafka.transactional.id"] = self.txn_id
+        return "kafka", opts
 
     def write(
         self, df: DataFrame, trigger: str | None = None, available_now: bool = False

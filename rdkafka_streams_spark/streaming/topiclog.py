@@ -777,6 +777,38 @@ def _commit_staged(messages, root: str, topic: str) -> None:
             os.unlink(path)
 
 
+def _commit_staged_txn(
+    messages, root: str, topic: str, txn_id: str | None, batch_id: int
+) -> None:
+    """Streaming commit with optional transactional batch dedup (the
+    ``transactional.id`` analog of the Kafka producer): when ``txnId`` is
+    set, each committed micro-batch leaves a marker under
+    ``<topic>/.txn-<id>/<batchId>``; a REPLAYED batch (restart re-running
+    an epoch the sink already published) finds its marker and discards the
+    staged files instead of appending duplicates — at-least-once upgrades
+    to effectively-exactly-once per (txnId, batchId). The marker lands
+    AFTER the publish, so a crash in between still degrades to
+    at-least-once (a real Kafka transaction closes that window with
+    broker-side txn state; this is the single-writer file-log equivalent,
+    and the remaining window is restart-only, not steady-state). Markers
+    are scoped by txnId because Spark batch ids are per-query — two
+    queries sharing a topic must not dedup against each other."""
+    if txn_id is not None:
+        marker_dir = os.path.join(root, topic, f".txn-{txn_id}")
+        os.makedirs(marker_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, str(batch_id))
+        if os.path.exists(marker):
+            _abort_staged(messages)
+            return
+        _commit_staged(messages, root, topic)
+        tmp = marker + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write("")
+        os.replace(tmp, marker)
+        return
+    _commit_staged(messages, root, topic)
+
+
 def _abort_staged(messages) -> None:
     for m in messages or []:
         if m is None:
@@ -813,6 +845,7 @@ class _TopicLogStreamWriter(DataSourceStreamWriter):
         self.topic = options["topic"]
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
+        self.txn_id = options.get("txnid")
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 
@@ -820,7 +853,7 @@ class _TopicLogStreamWriter(DataSourceStreamWriter):
         return _stage_rows(iterator, self.root, self.topic, self.fields, self.tombstones)
 
     def commit(self, messages, batchId: int) -> None:
-        _commit_staged(messages, self.root, self.topic)
+        _commit_staged_txn(messages, self.root, self.topic, self.txn_id, batchId)
 
     def abort(self, messages, batchId: int) -> None:
         _abort_staged(messages)
@@ -854,6 +887,7 @@ class _TopicLogStreamArrowWriter(DataSourceStreamArrowWriter):
         self.topic = options["topic"]
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
+        self.txn_id = options.get("txnid")
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 
@@ -861,7 +895,7 @@ class _TopicLogStreamArrowWriter(DataSourceStreamArrowWriter):
         return _stage_batches(iterator, self.root, self.topic, self.fields, self.tombstones)
 
     def commit(self, messages, batchId: int) -> None:
-        _commit_staged(messages, self.root, self.topic)
+        _commit_staged_txn(messages, self.root, self.topic, self.txn_id, batchId)
 
     def abort(self, messages, batchId: int) -> None:
         _abort_staged(messages)

@@ -779,3 +779,51 @@ def test_wire_format_legacy_binary_and_mixed_segments(spark, root):
         binary: (binary, 1),
         "café".encode(): (stress.encode(), 2),
     }
+
+
+def test_txn_sink_dedups_replayed_batch(spark, root):
+    """Transactional produce (txnId option): a replayed micro-batch commit
+    with an already-seen (txnId, batchId) must discard its staged files
+    instead of appending duplicates; a different txnId sharing the topic
+    must NOT dedup against it (markers are per-producer)."""
+    from pyspark.sql.types import StructType
+
+    from rdkafka_streams_spark.streaming.topiclog import (
+        TopicLog,
+        _TopicLogStreamWriter,
+        read_topic,
+    )
+
+    log = TopicLog(root)
+    log.create_topic("tx", partitions=2)
+    schema = StructType.fromDDL("key string, value string")
+    opts = {"path": root, "topic": "tx", "txnid": "prod-A"}
+    w = _TopicLogStreamWriter(opts, schema)
+
+    def stage(rows):
+        from pyspark.sql import Row
+
+        return w.write(iter([Row(key=k, value=v) for k, v in rows]))
+
+    # epoch 0 commits once...
+    w.commit([stage([("k0", "a"), ("k1", "b")])], 0)
+    assert sum(log.end_offsets("tx").values()) == 2
+    # ...and its replay (same txnId + batchId) is a no-op
+    w.commit([stage([("k0", "a"), ("k1", "b")])], 0)
+    assert sum(log.end_offsets("tx").values()) == 2
+    # a later epoch appends normally
+    w.commit([stage([("k2", "c")])], 1)
+    assert sum(log.end_offsets("tx").values()) == 3
+    # a DIFFERENT producer id re-using batchId 0 is not deduped
+    w2 = _TopicLogStreamWriter({**opts, "txnid": "prod-B"}, schema)
+    w2.commit([stage([("k3", "d")])], 0)
+    assert sum(log.end_offsets("tx").values()) == 4
+    # no staged leftovers, and the data reads back exactly once
+    import os
+
+    staging = os.path.join(root, "tx", ".staging")
+    assert not os.path.isdir(staging) or not os.listdir(staging)
+    vals = sorted(
+        bytes(r["value"]).decode() for r in read_topic(spark, root, "tx").collect()
+    )
+    assert vals == ["a", "b", "c", "d"]
