@@ -2215,3 +2215,160 @@ def q230_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum(chk).cast("bigint").alias("checksum"),
     )
+
+
+# ----------------------------- ORC round-trip (S7)
+@query(
+    "q231_orc_roundtrip",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(l_quantity) AS BIGINT) AS qty
+FROM lineitem GROUP BY 1, 2
+""",
+    tags=("S7",),
+)
+def q231_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (S7 format breadth: parquet, JSONL
+    q198, CSV q219, ORC here — the second columnar format a lakehouse
+    actually encounters, with its own predicate-pushdown/statistics
+    stack). The rollup over the round-tripped copy must equal the
+    oracle over the original parquet — the storage format is a layout
+    choice, never a semantics choice (the q213 rule applied to
+    formats). Quantity snapped to BIGINT (fixture quantities are
+    integral)."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="q231_orc_")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("qty").cast("bigint").alias("qty"),
+    )
+
+
+# ----------------------------- null-safe join (E3/E26)
+@query(
+    "q232_null_safe_join",
+    oracle="""
+WITH a AS (
+  SELECT event_id, CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS uk
+  FROM events WHERE event_type = 'purchase'),
+b AS (
+  SELECT event_id, CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS uk
+  FROM events WHERE event_type = 'error')
+SELECT CASE WHEN a.uk IS NULL THEN -1 ELSE a.uk END AS user_key,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.uk IS NOT DISTINCT FROM b.uk
+GROUP BY 1
+""",
+    tags=("E3", "E26"),
+)
+def q232_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM) — the
+    semantics corner every entity-resolution pipeline hits: records with
+    an UNKNOWN key (nulled-out here for user_id % 7 = 0) must match EACH
+    OTHER under null-safe equality, where ordinary ``=`` silently drops
+    them from the join entirely. Spark plans ``<=>`` as a hash join on
+    the null-safe key (nulls hash to one bucket — a documented skew
+    hazard when the null fraction is high; salt or pre-split the null
+    class at 100 TB, q70's remedy). The null match-group is surfaced as
+    sentinel -1."""
+    ev = _t(spark, sf_dir, "events")
+    uk = F.when(F.col("user_id") % 7 == 0, None).otherwise(F.col("user_id"))
+    a = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"), uk.alias("a_uk")
+    )
+    b = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"), uk.alias("b_uk")
+    )
+    return (
+        a.join(b, F.col("a_uk").eqNullSafe(F.col("b_uk")))
+        .groupBy(
+            F.when(F.col("a_uk").isNull(), F.lit(-1))
+            .otherwise(F.col("a_uk"))
+            .alias("user_key")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
+# ----------------------------- deleteRecords truncation (S-admin)
+@query(
+    "q233_delete_records",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(user_id % 4 AS INTEGER) AS p
+  FROM events),
+r AS (
+  SELECT p, event_id,
+         ROW_NUMBER() OVER (PARTITION BY p ORDER BY ts_us, event_id) - 1 AS off,
+         COUNT(*) OVER (PARTITION BY p) AS n_part
+  FROM e),
+k AS (
+  SELECT p, off, event_id FROM r
+  WHERE (p = 0 AND off >= 120) OR p = 1 OR (p = 2 AND off >= 60))
+SELECT p AS partition,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(off) AS BIGINT) AS first_offset,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM k GROUP BY p
+""",
+    tags=("S4", "X10", "admin"),
+)
+def q233_delete_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka ``AdminClient.deleteRecords`` semantics end-to-end — the
+    retention / right-to-forget truncation path: after a keyed, ordered
+    seed (q209 discipline), records below an explicit per-partition
+    cutoff are deleted (p0 < 120, p2 < 60, ALL of p3; p1 untouched), and
+    a from-earliest batch read of the truncated log must see exactly the
+    surviving offsets — first offset per partition EQUALS the cutoff
+    (logStartOffset advanced), end offsets NEVER move (positions of
+    live consumers stay valid), fully-truncated partitions vanish from
+    the result. The oracle reconstructs the cutoffs as per-partition
+    row_numbers over the same deterministic order."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+
+    root = tempfile.mkdtemp(prefix="q233_bus")
+    n_parts = 4
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=n_parts)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    seed = (
+        ev.withColumn("__tp", F.pmod("user_id", F.lit(n_parts)).cast("int"))
+        .repartition(n_parts, "__tp")
+        .sortWithinPartitions("ts_us", "event_id")
+        .select("event_id", "user_id", "ts_us", "__tp")
+    )
+    KProducer(
+        host=root, topic="ev", key="user_id", partition_col="__tp",
+        transport="topiclog",
+    ).write_batch(seed)
+    ends = log.end_offsets("ev")
+    log.delete_records("ev", {0: 120, 2: 60, 3: ends.get(3, 0)})
+    assert log.end_offsets("ev") == ends, "deleteRecords must not move end offsets"
+    raw = read_topic(spark, root, "ev")
+    return (
+        raw.select(
+            "partition",
+            "offset",
+            F.from_json(
+                F.col("value").cast("string"), "event_id long, user_id long, ts_us long"
+            ).alias("v"),
+        )
+        .groupBy("partition")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("offset").cast("bigint").alias("first_offset"),
+            F.sum("v.event_id").cast("bigint").alias("sum_event_id"),
+        )
+    )

@@ -363,6 +363,63 @@ class TopicLog:
             for pid in _list_partitions(self.root, topic)
         }
 
+    def delete_records(self, topic: str, before: dict[int, int]) -> dict[str, int]:
+        """Kafka ``AdminClient.deleteRecords`` analog: per partition, drop
+        every record with offset < ``before[pid]`` (the retention /
+        right-to-forget truncation path — Kafka advances logStartOffset and
+        reaps whole segments). Segments entirely below the cutoff unlink;
+        the spanning segment is rewritten trimmed — its new name
+        ``seg-<cutoff>-<kept>`` keeps the dense-offset invariant, so
+        end_offsets never move and consumer positions stay valid: a read
+        from earliest simply starts at the cutoff, exactly like a broker
+        after deleteRecords. Cutoffs clamp to [0, end]. Offline maintenance
+        op (same single-writer window as compact()). Returns
+        {deleted, kept}."""
+        deleted = kept = 0
+        for pid in _list_partitions(self.root, topic):
+            cutoff = before.get(pid)
+            if cutoff is None:
+                continue
+            pdir = _part_dir(self.root, topic, pid)
+            end = _end_offset(pdir)
+            cutoff = max(0, min(int(cutoff), end))
+            for seg_start, count, path in _list_segments(pdir):
+                if seg_start + count <= cutoff:
+                    os.unlink(path)
+                    deleted += count
+                elif seg_start < cutoff:
+                    with open(path, encoding="utf-8") as f:
+                        lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+                    keep: list[str] = []
+                    for i, ln in enumerate(lines):
+                        rec = json.loads(ln)
+                        off = rec.get("o", seg_start + i)
+                        if off >= cutoff:
+                            keep.append(ln)
+                    tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+                    with open(tmp, "w", encoding="utf-8") as f:
+                        f.write("\n".join(keep) + "\n")
+                    # segment names carry the LOGICAL span (compacted
+                    # segments are gapped: span >= line count), so end
+                    # offsets never move
+                    span = seg_start + count - cutoff
+                    final = os.path.join(pdir, f"seg-{cutoff:020d}-{span}.jsonl")
+                    os.link(tmp, final)
+                    os.unlink(tmp)
+                    os.unlink(path)
+                    deleted += count - len(keep)
+                    kept += len(keep)
+                else:
+                    kept += count
+            if _end_offset(pdir) < end:
+                # everything was below the cutoff: leave an EMPTY segment at
+                # the cutoff (Kafka's empty active segment) so the log end
+                # offset — the partition's clock — never rewinds
+                empty = os.path.join(pdir, f"seg-{cutoff:020d}-0.jsonl")
+                with open(empty, "w", encoding="utf-8"):
+                    pass
+        return {"deleted": deleted, "kept": kept}
+
     def append(
         self,
         topic: str,

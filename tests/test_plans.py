@@ -243,6 +243,10 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q229_hard_negatives": 1,
         # compaction is side work; the checksum is one map fold + agg
         "q230_compaction_rewrite": 1,
+        # orc write is side work; read rollup is ONE shuffle
+        "q231_orc_roundtrip": 1,
+        # null-safe hash join (one side broadcast at this SF) + agg
+        "q232_null_safe_join": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

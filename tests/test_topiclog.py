@@ -827,3 +827,36 @@ def test_txn_sink_dedups_replayed_batch(spark, root):
         bytes(r["value"]).decode() for r in read_topic(spark, root, "tx").collect()
     )
     assert vals == ["a", "b", "c", "d"]
+
+
+def test_delete_records_truncates_and_preserves_offsets(spark, root):
+    """deleteRecords: whole segments below the cutoff unlink; the spanning
+    segment trims in place; end offsets never move; a compacted (gapped)
+    segment trims by its explicit offsets; reads from earliest start at
+    the cutoff."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog, read_topic
+
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    # three segments of 3: offsets 0-8
+    for base in range(3):
+        log.append("t", [f"v{base * 3 + i}" for i in range(3)],
+                   keys=[f"k{base * 3 + i}" for i in range(3)], partition=0)
+    stats = log.delete_records("t", {0: 4})  # drops seg-0 fully, trims seg-1
+    assert stats == {"deleted": 4, "kept": 5}
+    assert log.end_offsets("t") == {0: 9}
+    got = [(r["offset"], bytes(r["value"]).decode())
+           for r in read_topic(spark, root, "t").collect()]
+    assert sorted(got) == [(o, f"v{o}") for o in range(4, 9)]
+    # now compact (gapped explicit offsets) and truncate inside the gap
+    log.append("t", ["v4b"], keys=["k4"], partition=0)  # supersede k4 @9
+    log.compact("t")
+    log.delete_records("t", {0: 6})
+    assert log.end_offsets("t") == {0: 10}
+    left = sorted(
+        (r["offset"], bytes(r["value"]).decode())
+        for r in read_topic(spark, root, "t").collect()
+    )
+    # offsets 4 (superseded -> gone), 5 (< cutoff -> deleted); survivors:
+    # 6,7,8 originals + k4's latest at 9
+    assert left == [(6, "v6"), (7, "v7"), (8, "v8"), (9, "v4b")]
