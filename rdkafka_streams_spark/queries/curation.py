@@ -2372,3 +2372,50 @@ def q233_delete_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v.event_id").cast("bigint").alias("sum_event_id"),
         )
     )
+
+
+# ----------------------------- pandas-on-Spark API surface (E-API)
+@query(
+    "q234_pandas_api",
+    oracle="""
+WITH j AS (
+  SELECT o.o_orderpriority, CAST(l.l_quantity AS BIGINT) AS qty
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(qty) AS BIGINT) AS qty
+FROM j GROUP BY o_orderpriority
+""",
+    tags=("E-API", "E3", "E10"),
+)
+def q234_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas-on-Spark surface (``pyspark.pandas``) — the engine's
+    THIRD query language after DataFrame (everything else) and SQL
+    (q214/q218): a pandas-shaped merge + groupby that compiles to the
+    same Catalyst plan a native join/agg produces, so the pandas idiom a
+    data scientist writes scales without a rewrite. ``index_col`` is
+    pinned on both read and to_spark (the default attached index is an
+    extra column AND a distributed-sequence shuffle hazard — the
+    documented pandas-API scale trap). Result proven equal to the
+    relational oracle."""
+    import pyspark.pandas as pso
+
+    o = pso.read_parquet(f"{sf_dir}/orders.parquet", index_col="o_orderkey")
+    li = pso.read_parquet(f"{sf_dir}/lineitem.parquet", index_col="l_linenumber")
+    li = li[["l_orderkey", "l_quantity"]]
+    li["qty"] = li["l_quantity"].astype("int64")
+    merged = li.merge(
+        o[["o_orderpriority"]].reset_index(),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    out = (
+        merged.groupby("o_orderpriority")
+        .agg(n_lines=("qty", "count"), qty=("qty", "sum"))
+        .reset_index()
+    )
+    return out.to_spark().select(
+        "o_orderpriority",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("qty").cast("bigint").alias("qty"),
+    )

@@ -410,3 +410,50 @@ def test_bloom_prune_never_drops_true_keys(spark, build, probe):
     bloom = bloom_build(bdf, "k", n_bits=1 << 12, k=2)
     surviving = {r["k"] for r in bloom_prune(pdf, "k", bloom, n_bits=1 << 12, k=2).collect()}
     assert (build & probe) <= surviving
+
+
+@PROP
+@given(
+    seg_sizes=st.lists(st.integers(1, 4), min_size=1, max_size=5),
+    cutoff_frac=st.integers(0, 12),
+    do_compact=st.booleans(),
+)
+def test_delete_records_matches_reference_model(seg_sizes, cutoff_frac, do_compact):
+    """delete_records ≡ the one-line model "drop offsets < cutoff" on any
+    segment layout — including gapped compacted segments and cutoffs at,
+    inside, past, and beyond every boundary — and the end offset is
+    invariant."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog, _read_range
+
+    root = tempfile.mkdtemp(prefix="dr_prop_")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    off = 0
+    for size in seg_sizes:
+        # key reuse (key = offset % 3) makes compaction produce real gaps
+        log.append(
+            "t",
+            [f"v{off + i}" for i in range(size)],
+            keys=[f"k{(off + i) % 3}" for i in range(size)],
+            partition=0,
+        )
+        off += size
+    end = off
+    if do_compact:
+        log.compact("t")
+    surviving = {
+        o: v.decode()
+        for _k, v, _t, _p, o, _ts, _tt in _read_range(root, "t", 0, 0, end)
+    }
+    cutoff = min(cutoff_frac, end + 1)
+    log.delete_records("t", {0: cutoff})
+    eff = min(cutoff, end)
+    expect = {o: v for o, v in surviving.items() if o >= eff}
+    got = {
+        o: v.decode()
+        for _k, v, _t, _p, o, _ts, _tt in _read_range(root, "t", 0, 0, end)
+    }
+    assert got == expect
+    assert log.end_offsets("t") == {0: end}
