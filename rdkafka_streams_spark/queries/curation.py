@@ -2419,3 +2419,112 @@ def q234_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines").cast("bigint").alias("n_lines"),
         F.col("qty").cast("bigint").alias("qty"),
     )
+
+
+# ----------------------------- cogrouped pandas (E34/T6)
+@query(
+    "q235_cogroup_reconcile",
+    oracle="""
+WITH p AS (
+  SELECT user_id, COUNT(*) AS n_p,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents_p
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+e AS (
+  SELECT user_id, COUNT(*) AS n_e FROM events WHERE event_type = 'error'
+  GROUP BY user_id),
+u AS (SELECT user_id FROM p UNION SELECT user_id FROM e)
+SELECT u.user_id,
+       CAST(COALESCE(p.n_p, 0) AS BIGINT) AS n_purchases,
+       CAST(COALESCE(p.cents_p, 0) AS BIGINT) AS purchase_cents,
+       CAST(COALESCE(e.n_e, 0) AS BIGINT) AS n_errors
+FROM u LEFT JOIN p ON u.user_id = p.user_id LEFT JOIN e ON u.user_id = e.user_id
+""",
+    tags=("E34", "R7"),
+)
+def q235_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas (``groupBy().cogroup().applyInPandas``) — the
+    two-sided grouped-map surface (E34's fourth member after scalar
+    UDF / grouped UDAF / UDTF): both per-user frames — purchases and
+    errors — arrive in ONE Arrow batch pair per key, the shape custom
+    reconciliation logic needs (ledger-vs-ledger diffs, order-vs-
+    shipment matching) where a join would force the pairing logic into
+    SQL. Each side is cogroup-partitioned on the key — one shuffle per
+    input, state bounded by the per-key group. The pandas body computes
+    per-user counts/sums; the oracle reconstructs it as a full outer
+    reconciliation."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").groupBy("user_id")
+    errors = ev.where(F.col("event_type") == "error").groupBy("user_id")
+
+    def reconcile(key, pdf_p: pd.DataFrame, pdf_e: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_purchases": len(pdf_p),
+                    "purchase_cents": int(pdf_p["cents"].sum()) if len(pdf_p) else 0,
+                    "n_errors": len(pdf_e),
+                }
+            ]
+        )
+
+    return purchases.cogroup(errors).applyInPandas(
+        reconcile,
+        "user_id long, n_purchases long, purchase_cents long, n_errors long",
+    )
+
+
+# ----------------------------- XML round-trip (S7)
+@query(
+    "q236_xml_roundtrip",
+    oracle="""
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n_name
+""",
+    tags=("S7", "R3", "R4"),
+)
+def q236_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source round-trip (S7 breadth: parquet / JSONL q198 /
+    CSV q219 / ORC q231 / XML here — the Spark-4 built-in StaxXML
+    source, the format enterprise feeds still arrive in): suppliers
+    serialize to rowTag-framed XML with money pre-snapped to integer
+    cents (text formats get integers, the q219 rule), read back with an
+    EXPLICIT schema (no inference pass), and the per-nation rollup must
+    equal the oracle over the original parquet."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="q236_xml_")
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        (F.col("s_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("acctbal_cents"),
+    )
+    s.write.format("xml").option("rootTag", "suppliers").option(
+        "rowTag", "supplier"
+    ).mode("overwrite").save(out)
+    back = (
+        spark.read.format("xml")
+        .schema("s_suppkey long, s_nationkey long, acctbal_cents long")
+        .option("rowTag", "supplier")
+        .load(out)
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        back.join(F.broadcast(n), back.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum("acctbal_cents").cast("bigint").alias("acctbal_cents"),
+        )
+    )

@@ -247,6 +247,10 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q231_orc_roundtrip": 1,
         # null-safe hash join (one side broadcast at this SF) + agg
         "q232_null_safe_join": 1,
+        # one cogroup exchange per input side
+        "q235_cogroup_reconcile": 2,
+        # xml write is side work; nation broadcasts; ONE rollup shuffle
+        "q236_xml_roundtrip": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
