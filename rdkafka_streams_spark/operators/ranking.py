@@ -8,17 +8,19 @@ identical exact rank with bounded parallelism:
    split points, data stays distributed);
 2. local ``row_number`` within each range partition (window keyed on
    ``spark_partition_id()`` — every partition ranks in parallel);
-3. add each partition's exclusive prefix count (a per-partition count
-   aggregate — ≤ #partitions rows — broadcast back).
+3. add each partition's exclusive prefix count — the per-partition counts
+   are ≤ #partitions rows, so they collect to the driver (one eager job,
+   the ``RDD.zipWithIndex`` protocol) and fold back into the plan as a
+   literal pid→offset map: no partition-less window, no extra exchange.
 
-The offsets and the ranked rows both consume the range exchange; Catalyst
-cannot always dedup the two (column pruning gives them different
-projections), so by default the scan + range shuffle may evaluate twice —
-deterministic either way, because the RangePartitioner samples with a
-fixed seed. For a 100 TB input pass ``materialize=True`` to localCheckpoint
-the partitioned frame once instead of paying the second scan. Ranks are
-exact as long as the sort key is total (pass a unique tiebreak column);
-split-point sampling only moves partition boundaries, never the order.
+The counts job and the ranked rows both consume the range exchange, so by
+default the scan + range shuffle evaluate twice — deterministic either
+way, because the RangePartitioner samples with a fixed seed (identical
+split points, identical pids, both times). For a 100 TB input pass
+``materialize=True`` to localCheckpoint the partitioned frame once instead
+of paying the second scan. Ranks are exact as long as the sort key is
+total (pass a unique tiebreak column); split-point sampling only moves
+partition boundaries, never the order.
 """
 
 from __future__ import annotations
@@ -45,16 +47,36 @@ def global_rank(
     if materialize:
         with_pid = with_pid.localCheckpoint(eager=True)
 
-    counts = with_pid.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__pid", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0)).alias("__off")
+    # Exclusive prefix counts the RDD.zipWithIndex way: the per-partition
+    # counts are ≤ #partitions rows — METADATA scale — so they collect to
+    # the driver (one eager job over the range exchange) and come back as
+    # a literal pid→offset map folded into the plan. This is strictly
+    # better than the earlier window/join formulations of the prefix sum:
+    # no partition-less WindowExec (the engine's single-partition warning
+    # fired once per consumer), no extra exchanges, and Catalyst sees the
+    # offsets as constants. The pids of the eager counts job and the lazy
+    # ranked job agree because the RangePartitioner samples with a fixed
+    # seed (same split points both times).
+    counts = sorted(
+        (r["__pid"], r["__cnt"])
+        for r in with_pid.groupBy("__pid").agg(F.count("*").alias("__cnt")).collect()
     )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+        )
+        off_col = F.coalesce(F.element_at(off_map, F.col("__pid")), F.lit(0))
+    else:
+        off_col = F.lit(0)
 
     local_w = Window.partitionBy("__pid").orderBy(*order_cols)
-    ranked = with_pid.withColumn("__lrn", F.row_number().over(local_w))
     return (
-        ranked.join(F.broadcast(offsets), "__pid")
-        .withColumn(rank_col, (F.col("__off") + F.col("__lrn")).cast("bigint"))
-        .drop("__pid", "__lrn", "__off")
+        with_pid.withColumn("__lrn", F.row_number().over(local_w))
+        .withColumn(rank_col, (off_col + F.col("__lrn")).cast("bigint"))
+        .drop("__pid", "__lrn")
     )

@@ -98,10 +98,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q100_temperature_mixture": 4,  # group counts + quota bcast + per-group rank window
         "q101_span_coverage": 3,     # window-hash dfreq + coverage join + per-doc agg
         "q102_corpus_filter": 4,     # repetition map-only; spans (3) + final rollup
-        # vocab count + global_rank id assignment (offsets + ranked branches
-        # re-consume the range exchange, see operators/ranking.py) + per-doc
-        # stats (vocab bcast)
-        "q104_tokenize_encode": 8,
+        # vocab count + global_rank id assignment (driver-side zipWithIndex
+        # offsets, operators/ranking.py) + per-doc stats (vocab bcast)
+        "q104_tokenize_encode": 4,
         "q105_skipgram_pairs": 1,    # map-only pair arrays; one pair-count agg
         "q106_pmi_collocations": 7,  # pair counts + two marginals + total (all small) + report join
         "q107_embedding_dim_stats": 1,  # posexplode + one 64-group agg
@@ -135,10 +134,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q153_fuzzy_linkage": 3,     # variant explode map-side; candidate join + 2 distincts
         "q154_concurrent_load": 3,   # (type,day) local sweep + day agg + tiny per-type window
         "q155_corpus_divergence": 4, # token count + totals (1-row bcast) + final reduce
-        # global_rank's offsets + ranked branches re-consume the range
-        # exchange (documented in operators/ranking.py; materialize=True
-        # collapses this at 100 TB) + bin agg + totals + WOE join
-        "q157_woe_binning": 21,
+        # global_rank range exchange (zipWithIndex offsets are driver-side
+        # literals) + bin agg + totals + WOE join
+        "q157_woe_binning": 11,
         "q158_skew_audit": 6,        # key count + 1-row stats reused by hot-key screen
         "q159_bloom_pruned_join": 3, # bloom words bcast; fact stays unshuffled pre-join
         # per iteration: centroids broadcast (map-side dist) + argmin agg +
@@ -149,10 +147,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q163_twap": 1,              # ONE per-user lead window; agg co-partitioned
         "q164_resample_interp": 4,   # dedup window + bounds agg + union sweep window
         "q165_seasonal_anomaly": 3,  # daily agg + (type,dow) rank + median bcast join
-        # signup agg + purchase join, then global_rank's range exchange
-        # consumed by both the offsets and ranked branches (ranking.py) +
+        # signup agg + purchase join + global_rank range exchange +
         # broadcast count join
-        "q166_time_to_convert": 13,
+        "q166_time_to_convert": 8,
         "q167_session_summary": 1,   # sessionize + rollup share ONE (user) sort
         # pair gen + CC fixpoint residue + cluster argmax + audit joins
         "q168_dedup_pipeline": 8,
@@ -178,11 +175,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q190_cohort_retention": 3,
         # (tok,doc) agg + df window share the token key
         "q191_inverted_index": 2,
-        # 3 INDEPENDENT ntile branches (each a global_rank whose offsets +
-        # ranked sides re-consume the range exchange, ranking.py) + 2
-        # user-key joins + segment rollup; nesting the branches instead
-        # would cube the re-evaluation (46 exchanges measured)
-        "q192_rfm_segments": 28,
+        # 3 INDEPENDENT ntile branches (one global_rank range exchange
+        # each, zipWithIndex offsets) + 2 user-key joins + segment rollup
+        "q192_rfm_segments": 16,
         # sessionize + ordered path collect share the user sort + path count
         "q194_session_paths": 2,
         # map-side 136-pair explode + (i,j) agg + 16-row marginal (bcast)
@@ -214,9 +209,8 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # dim broadcasts into the pruned fact scan; ONE type agg
         "q208_dpp_join": 1,
         # train bigram/context/vocab counts + left scoring joins + per-doc
-        # agg + global_rank's range exchange re-consumed by offsets+ranked
-        # branches (ranking.py) + bucket rollup
-        "q211_perplexity_buckets": 19,
+        # agg + global_rank range exchange + bucket rollup
+        "q211_perplexity_buckets": 11,
         # (type,bucket) bitmap agg + per-type sum of bucket counts
         "q212_bitmap_distinct": 2,
         # bucketed layout: the join adds NO exchange; only the rollup
