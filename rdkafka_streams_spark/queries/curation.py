@@ -2635,3 +2635,66 @@ FROM q238_events
 |> SELECT event_type, n, cents
 """
     )
+
+
+# ----------------------------- state store as a table (T7/T8/X)
+@query(
+    "q239_state_store_read",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+""",
+    tags=("T7", "T8", "X", "T-streaming"),
+)
+def q239_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING STATE STORE read back as a batch table (Spark 4's
+    ``statestore`` data source) — the observability primitive streaming
+    operations teams need: after a checkpointed stateful aggregation
+    consumes the topic, the checkpoint's state files themselves are
+    opened as a DataFrame (key struct, value struct, partition_id) and
+    the per-type counts IN STATE must equal the relational oracle —
+    state is not a black box, it is a queryable table (debugging skewed
+    keys, auditing what survived a watermark, right-sizing state before
+    a 100 TB deploy). The stream side is the q181 topology (transport →
+    groupBy count, update mode); the assertion here is on the
+    CHECKPOINT, not the sink."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+
+    root = tempfile.mkdtemp(prefix="q239_bus")
+    ck = tempfile.mkdtemp(prefix="q239_ck")
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=4)
+    seed = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    KProducer(host=root, topic="ev", transport="topiclog").write_batch(seed)
+    c = KConsumer(
+        host=root, topic="ev", from_offset="earliest",
+        schema="event_id long, event_type string", transport="topiclog",
+        batch_size=4096,
+    )
+    # select BEFORE groupBy: an expression key would land in the state
+    # store under the synthetic `_groupingexpression` field name
+    agg = (
+        c.stream(spark)
+        .select(F.col("value.event_type").alias("event_type"))
+        .groupBy("event_type")
+        .count()
+    )
+    name = "q239_sink"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    shutdown(q, 60)
+    state = spark.read.format("statestore").load(ck)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("bigint").alias("n"),
+    )
