@@ -1736,23 +1736,23 @@ def q224_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT sum overflow-free past 10^7 rows per group; both engines
     compute the identical fold from the identical md5 hex. One map-side
     pass + one small agg."""
+    from rdkafka_streams_spark.functions.checksum import content_checksum
+
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.col("event_id").cast("string"),
-                F.col("user_id").cast("string"),
-                F.col("event_type"),
-                F.round(F.col("value") * 100).cast("bigint").cast("string"),
-                F.unix_micros("ts").cast("string"),
-            )
-        ).alias("h"),
+        content_checksum(
+            [
+                "event_id",
+                "user_id",
+                "event_type",
+                F.round(F.col("value") * 100).cast("bigint"),
+                F.unix_micros("ts"),
+            ]
+        ).alias("chk"),
     )
-    chk = F.conv(F.substring("h", 1, 10), 16, 10).cast("bigint")
     return ev.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(chk).cast("bigint").alias("checksum"),
+        F.sum("chk").cast("bigint").alias("checksum"),
     )
 
 
@@ -2194,23 +2194,9 @@ def q230_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(64).write.mode("overwrite").parquet(frag)
     compact_dir(spark, frag, target_file_bytes=4 * 1024 * 1024)
     back = spark.read.parquet(frag)
-    chk = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("event_id").cast("string"),
-                    F.col("user_id").cast("string"),
-                    F.col("event_type"),
-                    F.col("cents").cast("string"),
-                )
-            ),
-            1,
-            10,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    from rdkafka_streams_spark.functions.checksum import content_checksum
+
+    chk = content_checksum(["event_id", "user_id", "event_type", "cents"])
     return back.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(chk).cast("bigint").alias("checksum"),
