@@ -2684,3 +2684,120 @@ def q239_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("bigint").alias("n"),
     )
+
+
+# ----------------------------- multi-topic list subscribe (S5)
+@query(
+    "q240_multi_topic_list",
+    oracle="""
+SELECT CASE WHEN event_type IN ('purchase', 'refund') THEN 'money' ELSE 'ops' END
+         AS topic,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+""",
+    tags=("S5", "S1", "T-streaming"),
+)
+def q240_multi_topic_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comma-list multi-topic subscribe (the OTHER half of S5 — q193
+    covers the regex-pattern form; the reference's ``asArray
+    options.topic`` list form, src/Consumer.coffee:45, was unit-only):
+    events are sharded to a 'money' and an 'ops' topic at produce time,
+    ONE consumer subscribes to the explicit list, and the rollup keys on
+    the ENVELOPE topic column — proving both topics flow through one
+    subscription with their origin preserved. The oracle reconstructs
+    the sharding rule."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+
+    root = tempfile.mkdtemp(prefix="q240_bus")
+    ck = tempfile.mkdtemp(prefix="q240_ck")
+    log = TopicLog(root)
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    for topic, cond in (
+        ("money", F.col("event_type").isin("purchase", "refund")),
+        ("ops", ~F.col("event_type").isin("purchase", "refund")),
+    ):
+        log.create_topic(topic, partitions=2)
+        KProducer(host=root, topic=topic, transport="topiclog").write_batch(
+            ev.where(cond)
+        )
+    c = KConsumer(
+        host=root, topic=["money", "ops"], from_offset="earliest",
+        schema="event_id long, event_type string", transport="topiclog",
+    )
+    dec = c.stream(spark).select("topic", F.col("value.event_type").alias("event_type"))
+    name = "q240_rows"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        dec.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutdown(q, 60)
+    return spark.table(name).groupBy("topic", "event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+# ----------------------------- union of independent streams (T6/S1)
+@query(
+    "q241_union_streams",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE event_type IN ('purchase', 'error')
+GROUP BY user_id
+""",
+    tags=("T6", "S1", "E22", "T-streaming"),
+)
+def q241_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION of two INDEPENDENT streaming sources in one query (the
+    engine-level stream merge — distinct from q240's one-subscription
+    multi-topic and q187's stream-stream join): purchases and errors
+    arrive on separate topics with separate consumers, ``unionByName``
+    fuses them into one unbounded frame, and a single stateful count
+    aggregates across BOTH sources — the fan-in topology every
+    multi-source ingest pipeline needs (each source keeps its own
+    offsets in the one checkpoint). Update-mode max-closure (q181)."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+
+    root = tempfile.mkdtemp(prefix="q241_bus")
+    ck = tempfile.mkdtemp(prefix="q241_ck")
+    log = TopicLog(root)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    for et, topic in (("purchase", "purchases"), ("error", "errors")):
+        log.create_topic(topic, partitions=2)
+        KProducer(host=root, topic=topic, transport="topiclog").write_batch(
+            ev.where(F.col("event_type") == et).select("event_id", "user_id")
+        )
+
+    def side(topic: str) -> DataFrame:
+        c = KConsumer(
+            host=root, topic=topic, from_offset="earliest",
+            schema="event_id long, user_id long", transport="topiclog",
+        )
+        return c.stream(spark).select(F.col("value.user_id").alias("user_id"))
+
+    unioned = side("purchases").unionByName(side("errors"))
+    agg = unioned.groupBy("user_id").count()
+    name = "q241_counts"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    shutdown(q, 60)
+    return spark.table(name).groupBy("user_id").agg(
+        F.max("count").cast("bigint").alias("n")
+    )
