@@ -369,16 +369,50 @@ def q60_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q61_multimodal_decode", oracle=None, tags=("L5", "rows-only"))
+def _hexbyte_sql(h: str, i: int) -> str:
+    """SQL for byte ``i`` (0-based) of a hex digest string."""
+    hi = f"(instr('0123456789abcdef', substring({h}, {2 * i + 1}, 1)) - 1)"
+    lo = f"(instr('0123456789abcdef', substring({h}, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+@query(
+    "q61_multimodal_decode",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
+         sha256(text) AS h
+  FROM documents)
+SELECT doc_id, CAST(byte_len AS BIGINT) AS byte_len,
+       CAST(64 + {_hexbyte_sql('h', 0)} % 64 AS INTEGER) AS fake_width,
+       CAST(64 + {_hexbyte_sql('h', 1)} % 64 AS INTEGER) AS fake_height,
+       CAST(ROUND(ROUND({_hexbyte_sql('h', 2)} / 255.0, 6) * 1000000) AS BIGINT)
+         AS feat0_ppm
+FROM m
+""",
+    tags=("L5",),
+)
 def q61_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched media decode via mapInPandas (stubbed deterministic
-    decoder — see llm/multimodal.py; real codecs absent in this container).
-    Rows-only check: pandas-UDF path has no SQL equivalent."""
+    """Arrow-batched media decode via mapInPandas (llm/multimodal.py:
+    the deterministic digest-derived decoder stands in for PIL/av, which
+    this container does not ship — the Spark-side plumbing, schema,
+    batching, and partitioning behavior are the real thing). PROMOTED
+    from rows-only to the oracle tier (r5): the stub decoder is
+    sha256-derived, and sha256 is cross-engine, so the oracle recomputes
+    dims and the first feature from the digest hex in pure SQL — the
+    pandas-UDF path is value-checked end-to-end, not just row-counted.
+    The first feature is emitted in exact integer ppm (float32 storage
+    error ≤6e-8 abs, two decimal orders inside the snap)."""
     m = attach_media(_t(spark, sf_dir, "documents"))
     out = decode_media(m, decode_fn="fake")
     return out.select(
-        "doc_id", "byte_len", "fake_width", "fake_height",
-        F.element_at("feat", 1).alias("feat0"),
+        "doc_id",
+        F.col("byte_len").cast("bigint").alias("byte_len"),
+        "fake_width",
+        "fake_height",
+        F.round(F.element_at("feat", 1) * 1000000)
+        .cast("bigint")
+        .alias("feat0_ppm"),
     )
 
 
