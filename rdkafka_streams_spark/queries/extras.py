@@ -36,15 +36,64 @@ def q63_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------- E11 (approx)
-@query("q64_percentile_approx", oracle=None, tags=("E11", "rows-only"))
+@query(
+    "q64_percentile_approx",
+    oracle="""
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS rank_ok_p50, TRUE AS rank_ok_p90, TRUE AS rank_ok_p99
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("E11", "sketch"),
+)
 def q64_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx (GK sketch) — THE percentile at 100 TB (bounded
-    memory, mergeable). Sketch internals are engine-specific → rows-only;
-    the exact `percentile` variant is oracle-checked in q14_agg_stats."""
-    l = _t(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("price_pcts"),
+    memory, mergeable) — WITH an in-query rank-error audit (promoted
+    rows-only → oracle in r5, the q222 audited-sketch discipline): the
+    sketch values themselves are engine-private, but the GK guarantee is
+    a RANK bound — the returned value's exact rank must sit within
+    ~n/accuracy of the target rank — and exact ranks are computable in
+    the same query (count of values ≤ the estimate, per group). The
+    emitted verdicts use 10× the advertised accuracy=10000 bound (ties
+    widen the rank interval; the slack keeps the audit deterministic),
+    and the oracle asserts them: an engine cannot emit TRUE without an
+    estimate inside the bound. Exact-value percentiles remain
+    oracle-checked in q14/q127."""
+    l = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    g = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("arr"),
         F.count("*").alias("n"),
+    )
+    a = g.select(
+        "l_returnflag",
+        "n",
+        F.element_at("arr", 1).alias("a50"),
+        F.element_at("arr", 2).alias("a90"),
+        F.element_at("arr", 3).alias("a99"),
+    )
+    j = l.join(F.broadcast(a), "l_returnflag")
+
+    def rank_of(est: str):
+        return F.sum((F.col("l_extendedprice") <= F.col(est)).cast("long"))
+
+    r = j.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        rank_of("a50").alias("r50"),
+        rank_of("a90").alias("r90"),
+        rank_of("a99").alias("r99"),
+    )
+    margin = F.col("n") / 1000.0 + 1
+
+    def ok(rank_col: str, p: float):
+        return (F.abs(F.col(rank_col) - F.lit(p) * F.col("n")) <= margin).alias(
+            f"rank_ok_p{int(p * 100)}"
+        )
+
+    return r.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        ok("r50", 0.5),
+        ok("r90", 0.9),
+        ok("r99", 0.99),
     )
 
 
