@@ -2801,3 +2801,57 @@ def q241_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).groupBy("user_id").agg(
         F.max("count").cast("bigint").alias("n")
     )
+
+
+# ----------------------------- log-line parsing (R3/E23)
+@query(
+    "q242_log_parse",
+    oracle="""
+WITH raw AS (
+  SELECT 'ts=' || CAST(epoch_us(ts) AS VARCHAR)
+         || ' user=' || CAST(user_id AS VARCHAR)
+         || ' type=' || event_type
+         || ' cents=' || CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
+           AS line
+  FROM events),
+parsed AS (
+  SELECT CAST(regexp_extract(line, 'user=(\\d+)', 1) AS BIGINT) AS user_id,
+         regexp_extract(line, 'type=(\\w+)', 1) AS event_type,
+         CAST(regexp_extract(line, 'cents=(-?\\d+)', 1) AS BIGINT) AS cents
+  FROM raw)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM parsed GROUP BY event_type
+""",
+    tags=("R3", "E23"),
+)
+def q242_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unstructured-log parsing — the classic ingest-edge transform (the
+    reference's decode stage for the world where the payload is a text
+    line, not JSON): events round-trip through a ``k=v``-style log line
+    and are re-structured with anchored regex extraction
+    (``regexp_extract`` stays inside whole-stage codegen — no Python on
+    the parse path; contrast q33's from_json for structured payloads).
+    Numeric fields ride as integers end-to-end (epoch-µs, cents) so the
+    text round-trip is precision-exact; the oracle performs the
+    identical serialize→extract→rollup in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("ts="), F.unix_micros("ts").cast("string"),
+        F.lit(" user="), F.col("user_id").cast("string"),
+        F.lit(" type="), F.col("event_type"),
+        F.lit(" cents="), F.round(F.col("value") * 100).cast("bigint").cast("string"),
+    )
+    raw = ev.select(line.alias("line"))
+    parsed = raw.select(
+        F.regexp_extract("line", r"user=(\d+)", 1).cast("bigint").alias("user_id"),
+        F.regexp_extract("line", r"type=(\w+)", 1).alias("event_type"),
+        F.regexp_extract("line", r"cents=(-?\d+)", 1).cast("bigint").alias("cents"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
