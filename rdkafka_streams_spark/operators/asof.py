@@ -36,14 +36,20 @@ def asof_join(
     payload: Sequence[str],
     strict: bool = True,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row with
     right_ts < left_ts (strict) or <= (inclusive), matching on the key(s).
+    ``direction="forward"`` flips the lookup: the EARLIEST right row with
+    right_ts > left_ts (strict) — the time-to-next-event join — via the
+    same one-shuffle union-carry with the sort reversed.
 
-    Left rows with no prior right row keep NULL payload (left-outer
-    semantics). Output columns: all left columns + ``{p}{suffix}`` for each
-    payload column + ``{right_ts}{suffix}``.
+    Left rows with no prior (resp. later) right row keep NULL payload
+    (left-outer semantics). Output columns: all left columns +
+    ``{p}{suffix}`` for each payload column + ``{right_ts}{suffix}``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     carried = list(payload) + [right_ts]
 
@@ -67,9 +73,16 @@ def asof_join(
     )
 
     u = lt.unionByName(rt, allowMissingColumns=True)
+    # forward = the same carry walked from the time-reversed end: order ts
+    # DESC so "last non-null preceding" means "nearest following"
+    order = (
+        [F.col(_TS), F.col(_SIDE)]
+        if direction == "backward"
+        else [F.col(_TS).desc(), F.col(_SIDE)]
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(_TS, _SIDE)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for c in carried:

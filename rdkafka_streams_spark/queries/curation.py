@@ -2855,3 +2855,94 @@ def q242_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.sum("cents").cast("bigint").alias("cents"),
     )
+
+
+# ----------------------------- forward as-of join (E9)
+@query(
+    "q243_asof_forward",
+    oracle="""
+WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+           WHERE event_type = 'purchase'),
+e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'error')
+SELECT p.user_id, p.event_id,
+       CAST(MIN(e.ts_us) - p.ts_us AS BIGINT) AS wait_us
+FROM p LEFT JOIN e ON p.user_id = e.user_id AND e.ts_us > p.ts_us
+GROUP BY p.user_id, p.event_id, p.ts_us
+""",
+    tags=("E9", "E21"),
+)
+def q243_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py direction='forward'): for
+    every purchase, the user's NEXT error and the wait until it — the
+    time-to-next-event join behind incident attribution and
+    next-action analyses, the mirror of q38's backward lookup. Same
+    one-shuffle union-carry plan (the ordering is reversed, nothing
+    else); strict (> not >=), NULL wait when no later error exists.
+    Oracle: correlated MIN over the later events."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    from rdkafka_streams_spark.operators.asof import asof_join
+
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us"
+    )
+    right = ev.where(F.col("event_type") == "error").select("user_id", "ts_us")
+    out = asof_join(
+        left, right, on="user_id", left_ts="ts_us", right_ts="ts_us",
+        payload=[], direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        (F.col("ts_us_asof") - F.col("ts_us")).cast("bigint").alias("wait_us"),
+    )
+
+
+# ----------------------------- salted top-k per hot group (E18/X2)
+@query(
+    "q244_topk_salted",
+    oracle="""
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price, rn
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+           AS rn
+  FROM lineitem)
+WHERE rn <= 10
+""",
+    tags=("E18", "E19", "X2"),
+)
+def q244_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED top-k per hot group (operators/topk.py
+    top_k_per_group_salted, promoted to the oracle tier): l_returnflag
+    has 3 values, so the plain per-group window serializes the whole
+    table onto 3 tasks at any cluster size — the constant-cardinality
+    window trap (the q22 verdict item, from the other side). Phase 1
+    ranks within (group, salt) — 8-way parallel per group — keeping each
+    shard's top-10; phase 2 re-ranks the ≤ 8·10 survivors per group.
+    Identical result to the single window under the total order
+    (price DESC, orderkey, linenumber — unique), which is exactly what
+    the oracle's plain window asserts."""
+    from rdkafka_streams_spark.operators.topk import top_k_per_group_salted
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = top_k_per_group_salted(
+        li,
+        ["l_returnflag"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        k=10,
+        n_salts=8,
+    )
+    return out.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("double").alias("price"),
+        "rn",
+    )

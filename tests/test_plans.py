@@ -245,6 +245,10 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q235_cogroup_reconcile": 2,
         # xml write is side work; nation broadcasts; ONE rollup shuffle
         "q236_xml_roundtrip": 1,
+        # forward as-of: union + ONE reversed (key, ts) window sort
+        "q243_asof_forward": 1,
+        # phase-1 (group, salt) window + phase-2 re-rank of survivors
+        "q244_topk_salted": 2,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

@@ -457,3 +457,39 @@ def test_delete_records_matches_reference_model(seg_sizes, cutoff_frac, do_compa
     }
     assert got == expect
     assert log.end_offsets("t") == {0: end}
+
+
+@PROP
+@given(lrows=left_rows, rrows=right_rows)
+def test_asof_forward_matches_pandas_merge_asof(spark, lrows, rrows):
+    """direction='forward' ≡ pandas merge_asof(direction='forward',
+    allow_exact_matches=False) on every randomized (key, ts) layout —
+    ties and no-later-match cases included."""
+    from rdkafka_streams_spark.operators.asof import asof_join
+
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lrows)]
+    if not lrows or not rrows:
+        return
+    left = spark.createDataFrame(lrows, "k int, ts int, lid int")
+    right = spark.createDataFrame(rrows, "k int, ts int, payload int")
+    rp = pd.DataFrame(rrows, columns=["k", "ts", "payload"]).sort_values(
+        ["ts", "payload"], kind="stable"
+    )
+    if bool(rp.duplicated(subset=["k", "ts"], keep=False).any()):
+        return  # ambiguous tiebreak — engine-specific, skip (as backward does)
+    got = {
+        (r["lid"], r["payload_asof"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            payload=["payload"], direction="forward",
+        ).collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["k", "ts", "lid"]).sort_values("ts", kind="stable")
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", allow_exact_matches=False, direction="forward"
+    )
+    expect = {
+        (int(r.lid), None if pd.isna(r.payload) else int(r.payload))
+        for r in merged.itertuples()
+    }
+    assert got == expect
