@@ -493,3 +493,32 @@ def test_asof_forward_matches_pandas_merge_asof(spark, lrows, rrows):
         for r in merged.itertuples()
     }
     assert got == expect
+
+
+@PROP
+@given(
+    rows=st.lists(st.integers(0, 20), min_size=1, max_size=40),
+    nparts=st.integers(1, 6),
+)
+def test_global_rank_equals_partitionless_row_number(spark, rows, nparts):
+    """global_rank (range partition + local ranks + driver-side
+    zipWithIndex offsets) ≡ a plain partition-less row_number over the
+    same total order — on randomized data with heavy duplicates and
+    every partition-count shape (including more partitions than rows)."""
+    from pyspark.sql import Window
+
+    from rdkafka_streams_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(rows)], "v int, uid int"
+    )
+    got = {
+        (r["uid"], r["rn"])
+        for r in global_rank(df, ["v", "uid"], num_partitions=nparts).collect()
+    }
+    w = Window.orderBy("v", "uid")
+    expect = {
+        (r["uid"], r["rn"])
+        for r in df.withColumn("rn", F.row_number().over(w).cast("bigint")).collect()
+    }
+    assert got == expect
