@@ -2946,3 +2946,89 @@ def q244_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(12,2)").cast("double").alias("price"),
         "rn",
     )
+
+
+# ----------------------------- partition modularity (X/graph)
+@query(
+    "q245_brand_modularity",
+    oracle="""
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+w0 AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+m AS (SELECT COUNT(*) AS m FROM w0),
+lbl AS (SELECT p_partkey, p_brand FROM part),
+e AS (
+  SELECT la.p_brand AS b1, lb.p_brand AS b2
+  FROM w0 JOIN lbl la ON w0.p1 = la.p_partkey
+          JOIN lbl lb ON w0.p2 = lb.p_partkey),
+intra AS (
+  SELECT b1 AS brand, COUNT(*) AS e_c FROM e WHERE b1 = b2 GROUP BY b1),
+deg AS (
+  SELECT brand, CAST(SUM(d) AS BIGINT) AS d_c FROM (
+    SELECT b1 AS brand, COUNT(*) AS d FROM e GROUP BY b1
+    UNION ALL
+    SELECT b2 AS brand, COUNT(*) AS d FROM e GROUP BY b2) u
+  GROUP BY brand)
+SELECT d.brand,
+       CAST(COALESCE(i.e_c, 0) AS BIGINT) AS intra_edges,
+       d.d_c AS degree_sum,
+       CAST(4 * m.m * COALESCE(i.e_c, 0) - d.d_c * d.d_c AS BIGINT)
+         AS contrib_scaled
+FROM deg d LEFT JOIN intra i ON d.brand = i.brand CROSS JOIN m
+""",
+    tags=("X", "graph", "E10"),
+)
+def q245_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the co-purchase graph under the BRAND
+    partition — "do same-brand products co-purchase more than chance?"
+    (the community-quality score run before investing in graph-based
+    recommendations; Newman 2006). Exact integer arithmetic: each
+    brand's contribution is emitted scaled by 4m² — contrib = 4·m·e_c −
+    d_c², so Q = Σ contrib / 4m² — keeping the oracle bit-exact with no
+    float division anywhere (the repo's micro-unit discipline applied to
+    a graph statistic). One pair-gen join + broadcast brand labels +
+    two small aggs; no recursion — the partition is given, not
+    discovered (q76/q168 discover partitions; this SCORES one)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    w0 = (
+        li.alias("x")
+        .join(li.alias("y"), F.expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
+        .groupBy(F.col("x.l_partkey").alias("p1"), F.col("y.l_partkey").alias("p2"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+    lbl = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    e = (
+        w0.join(F.broadcast(lbl.withColumnRenamed("p_brand", "b1")), w0.p1 == F.col("p_partkey"))
+        .drop("p_partkey")
+        .join(F.broadcast(lbl.withColumnRenamed("p_brand", "b2")), w0.p2 == F.col("p_partkey"))
+        .select("b1", "b2")
+        .localCheckpoint()
+    )
+    m = e.count()
+    intra = e.where(F.col("b1") == F.col("b2")).groupBy(
+        F.col("b1").alias("brand")
+    ).agg(F.count("*").alias("e_c"))
+    deg = (
+        e.select(F.col("b1").alias("brand"))
+        .unionAll(e.select(F.col("b2").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count("*").cast("bigint").alias("d_c"))
+    )
+    return (
+        deg.join(F.broadcast(intra), "brand", "left")
+        .select(
+            "brand",
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint").alias("intra_edges"),
+            F.col("d_c").alias("degree_sum"),
+            (
+                4 * F.lit(m) * F.coalesce(F.col("e_c"), F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            )
+            .cast("bigint")
+            .alias("contrib_scaled"),
+        )
+    )
