@@ -267,3 +267,34 @@ def count_triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         e.unpersist(blocking=False)
         oriented.unpersist(blocking=False)
     return edges.sparkSession.createDataFrame(rows, schema=out.schema)
+
+
+def copurchase_edges(
+    lineitem: DataFrame,
+    min_weight: int = 2,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+) -> DataFrame:
+    """Symmetric (a, b) edge list of the co-purchase graph: items appearing
+    in the same order, kept when the pair recurs in ≥ ``min_weight``
+    orders (the noise screen that keeps the graph sparse — see the q204
+    degree profile: the unweighted graph's MIN degree is 42). One
+    self-join keyed on the order (bounded by lines-per-order²), one pair
+    agg; callers checkpoint per their iteration discipline."""
+    li = lineitem.select(order_col, item_col)
+    w0 = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            F.expr(
+                f"x.{order_col} = y.{order_col} AND x.{item_col} < y.{item_col}"
+            ),
+        )
+        .groupBy(F.col(f"x.{item_col}").alias("p1"), F.col(f"y.{item_col}").alias("p2"))
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= min_weight)
+        .select("p1", "p2")
+    )
+    return w0.select(F.col("p1").alias("a"), F.col("p2").alias("b")).unionAll(
+        w0.select(F.col("p2").alias("a"), F.col("p1").alias("b"))
+    )

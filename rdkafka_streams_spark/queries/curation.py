@@ -347,22 +347,11 @@ def q204_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected_components discipline, operators/graph.py:52). Converges in
     ≤8 rounds on every fixture; RAISES past 16 rounds rather than return
     a non-fixpoint. Oracle: the same peeling unrolled to 16 stages."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    w0 = (
-        li.alias("x")
-        .join(li.alias("y"), F.expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
-        .groupBy(
-            F.col("x.l_partkey").alias("p1"), F.col("y.l_partkey").alias("p2")
-        )
-        .agg(F.count("*").alias("w"))
-        .where(F.col("w") >= 2)
-        .select("p1", "p2")
-    )
-    edges = (
-        w0.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
-        .unionAll(w0.select(F.col("p2").alias("a"), F.col("p1").alias("b")))
-        .localCheckpoint()
-    )
+    from rdkafka_streams_spark.operators.graph import copurchase_edges
+
+    edges = copurchase_edges(
+        _t(spark, sf_dir, "lineitem"), min_weight=2
+    ).localCheckpoint()
     for _ in range(_KCORE_ROUNDS):
         deg = edges.groupBy("a").agg(F.count("*").alias("c"))
         bad = deg.where(F.col("c") < _KCORE_K).select("a").localCheckpoint()
@@ -1533,20 +1522,11 @@ def q221_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline); k rounds touch k·|frontier-adjacent| edges, never the
     whole graph per round. Fixed k keeps the oracle an unrolled k-stage
     relaxation — same rule, same result."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    w0 = (
-        li.alias("x")
-        .join(li.alias("y"), F.expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
-        .groupBy(F.col("x.l_partkey").alias("p1"), F.col("y.l_partkey").alias("p2"))
-        .agg(F.count("*").alias("w"))
-        .where(F.col("w") >= 2)
-        .select("p1", "p2")
-    )
-    edges = (
-        w0.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
-        .unionAll(w0.select(F.col("p2").alias("a"), F.col("p1").alias("b")))
-        .localCheckpoint()
-    )
+    from rdkafka_streams_spark.operators.graph import copurchase_edges
+
+    edges = copurchase_edges(
+        _t(spark, sf_dir, "lineitem"), min_weight=2
+    ).localCheckpoint()
     dist = (
         edges.agg(F.min("a").alias("node"))
         .withColumn("dist", F.lit(0))
@@ -2558,20 +2538,11 @@ def q237_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1; the residual cost is the recursion engine's fixed
     per-iteration planning, which is why q221's explicit loop remains
     the 100 TB shape)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    w0 = (
-        li.alias("x")
-        .join(li.alias("y"), F.expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
-        .groupBy(F.col("x.l_partkey").alias("p1"), F.col("y.l_partkey").alias("p2"))
-        .agg(F.count("*").alias("w"))
-        .where(F.col("w") >= 2)
-        .select("p1", "p2")
-    )
-    edges = (
-        w0.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
-        .unionAll(w0.select(F.col("p2").alias("a"), F.col("p1").alias("b")))
-        .localCheckpoint()
-    )
+    from rdkafka_streams_spark.operators.graph import copurchase_edges
+
+    edges = copurchase_edges(
+        _t(spark, sf_dir, "lineitem"), min_weight=2
+    ).localCheckpoint()
     edges.createOrReplaceTempView("q237_edges")
     return spark.sql(
         """
