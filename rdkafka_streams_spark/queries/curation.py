@@ -3003,3 +3003,48 @@ def q245_brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contrib_scaled"),
         )
     )
+
+
+# ----------------------------- join-view incremental maintenance (X10)
+@query(
+    "q246_join_view_delta",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+""",
+    tags=("X10", "E3", "E10"),
+)
+def q246_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (the IVM identity that q134
+    applies to aggregates): with A = orders, B = lineitem arriving as
+    base + delta batches, the view delta is EXACTLY
+    ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — three joins touching only delta-sized
+    left/right inputs against the base, never base⋈base again. At
+    100 TB this is the nightly-load path: the base⋈base result is
+    already materialized; each refresh pays |Δ|-proportional work. The
+    maintained view (base view ∪ the three delta terms) must equal the
+    full recompute — which is the oracle. Splits are by key parity, so
+    both engines reconstruct identical batches."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("qty"), "l_linenumber"
+    )
+    a0 = o.where(F.col("o_orderkey") % 2 == 0)
+    da = o.where(F.col("o_orderkey") % 2 == 1)
+    b0 = li.where(F.col("l_linenumber") % 2 == 0)
+    db = li.where(F.col("l_linenumber") % 2 == 1)
+    cond = F.col("o_orderkey") == F.col("l_orderkey")
+    view0 = a0.join(b0, cond)  # the already-materialized base view
+    delta = (
+        da.join(b0, cond)
+        .unionByName(a0.join(db, cond))
+        .unionByName(da.join(db, cond))
+    )
+    view = view0.unionByName(delta)
+    return view.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("qty").cast("bigint").alias("qty"),
+    )
