@@ -3048,3 +3048,98 @@ def q246_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum("qty").cast("bigint").alias("qty"),
     )
+
+
+# ----------------------------- linear multi-touch attribution (E8/E10)
+@query(
+    "q247_linear_attribution",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id, event_id AS t_id, event_type, epoch_us(ts) AS t_us
+  FROM events WHERE event_type IN ('click', 'view')),
+j AS (
+  SELECT p.p_id, p.cents, t.t_id, t.event_type,
+         ROW_NUMBER() OVER (PARTITION BY p.p_id ORDER BY t.t_us, t.t_id) AS rn,
+         COUNT(*) OVER (PARTITION BY p.p_id) AS n_touch
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND t.t_us >= p.p_us - 604800000000 AND t.t_us < p.p_us),
+credits AS (
+  SELECT event_type,
+         cents // n_touch + CASE WHEN rn = 1 THEN cents % n_touch ELSE 0 END
+           AS credit
+  FROM j
+  UNION ALL
+  SELECT 'direct' AS event_type, p.cents AS credit
+  FROM p LEFT JOIN j ON p.p_id = j.p_id
+  WHERE j.p_id IS NULL)
+SELECT event_type AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_credits,
+       CAST(SUM(credit) AS BIGINT) AS credited_cents
+FROM credits GROUP BY event_type
+""",
+    tags=("E8", "E10", "E21"),
+)
+def q247_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution (the equal-credit model next to
+    q115's last-touch): every purchase's cents split equally across ALL
+    of the user's click/view touchpoints in the 7-day lookback — with
+    the division kept EXACT in integers: each touch gets cents div n and
+    the earliest touch absorbs the remainder (a deterministic rule, so
+    credited cents sum to revenue TO THE CENT — the reconciliation
+    property finance teams actually require of an attribution model).
+    Touchless purchases credit 'direct' in full. The candidate join is
+    keyed on user_id with the time band as a residual predicate — a
+    keyed shuffle join, never a cross join."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    t = ev.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+    )
+    lookback = 7 * 24 * 3600 * 1_000_000
+    j = p.join(
+        t,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_us") >= F.col("p_us") - lookback)
+        & (F.col("t_us") < F.col("p_us")),
+    )
+    w_rn = Window.partitionBy("p_id").orderBy("t_us", "t_id")
+    w_n = Window.partitionBy("p_id")
+    touched = (
+        j.withColumn("rn", F.row_number().over(w_rn))
+        .withColumn("n_touch", F.count("*").over(w_n))
+        .select(
+            "p_id",
+            "event_type",
+            (
+                F.expr("cents div n_touch")
+                + F.when(F.col("rn") == 1, F.col("cents") % F.col("n_touch")).otherwise(0)
+            ).alias("credit"),
+        )
+    )
+    direct = (
+        p.join(touched.select("p_id").distinct(), "p_id", "left_anti")
+        .select(F.lit("direct").alias("event_type"), F.col("cents").alias("credit"))
+    )
+    return (
+        touched.select("event_type", "credit")
+        .unionByName(direct)
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_credits"),
+            F.sum("credit").cast("bigint").alias("credited_cents"),
+        )
+    )
