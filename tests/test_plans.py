@@ -249,6 +249,15 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q243_asof_forward": 1,
         # phase-1 (group, salt) window + phase-2 re-rank of survivors
         "q244_topk_salted": 2,
+        # map-only serialize+extract; distinct-count agg pair
+        "q242_log_parse": 2,
+        # edge labels materialize behind localCheckpoint; intra agg +
+        # degree agg (intra broadcasts into the join)
+        "q245_brand_modularity": 2,
+        # one order-key exchange shared by all three delta joins + rollup
+        "q246_join_view_delta": 1,
+        # user-key candidate join + per-purchase windows + channel rollup
+        "q247_linear_attribution": 3,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
