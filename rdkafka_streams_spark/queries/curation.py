@@ -3143,3 +3143,80 @@ def q247_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit").cast("bigint").alias("credited_cents"),
         )
     )
+
+
+# ----------------------------- Holt linear smoothing (R7/E34/TS)
+@query(
+    "q248_holt_linear",
+    oracle="""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2),
+d AS MATERIALIZED (
+  SELECT user_id, v,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS mx
+  FROM daily),
+rec(user_id, rn, l, b) AS (
+  SELECT user_id, 1, v, CAST(0 AS BIGINT) FROM d WHERE rn = 1
+  UNION ALL
+  SELECT r.user_id, r.rn + 1,
+         (2 * d.v + 8 * (r.l + r.b)) // 10,
+         (3 * (((2 * d.v + 8 * (r.l + r.b)) // 10) - r.l) + 7 * r.b) // 10
+  FROM rec r JOIN d ON d.user_id = r.user_id AND d.rn = r.rn + 1)
+SELECT rec.user_id,
+       CAST(rec.l AS BIGINT) AS level_cents,
+       CAST(rec.b AS BIGINT) AS trend_cents,
+       CAST(rec.rn AS BIGINT) AS n_days
+FROM rec JOIN (SELECT user_id, MAX(mx) AS mx FROM d GROUP BY user_id) n
+  ON rec.user_id = n.user_id AND rec.rn = n.mx
+""",
+    tags=("R7", "E34", "TS"),
+)
+def q248_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per user over
+    daily spend — the forecasting recurrence no window function can
+    express (state feeds back through BOTH equations), extending q183's
+    clamped-balance pattern to 2-dimensional state: one
+    ``applyInPandas`` group pass per user, arithmetic kept in EXACT
+    integer cents with truncating division (α=0.2, β=0.3 as rational
+    2/10, 3/10 — Spark ``div``, DuckDB ``//``, and the pandas fold all
+    truncate toward zero, so three engines agree bit-for-bit; Python's
+    ``//`` FLOORS and would diverge on negative trends — measured and
+    documented). Oracle: the identical recurrence as a recursive CTE
+    stepping each user's day index."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.sum("cents").alias("v"))
+
+    def trunc_div10(x: int) -> int:
+        return x // 10 if x >= 0 else -((-x) // 10)
+
+    def holt(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day")
+        vs = [int(v) for v in pdf["v"]]
+        l, b = vs[0], 0
+        for v in vs[1:]:
+            l_new = trunc_div10(2 * v + 8 * (l + b))
+            b = trunc_div10(3 * (l_new - l) + 7 * b)
+            l = l_new
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "level_cents": l,
+                    "trend_cents": b,
+                    "n_days": len(vs),
+                }
+            ]
+        )
+
+    return daily.groupBy("user_id").applyInPandas(
+        holt, "user_id long, level_cents long, trend_cents long, n_days long"
+    )
