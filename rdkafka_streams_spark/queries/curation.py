@@ -3220,3 +3220,93 @@ def q248_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("user_id").applyInPandas(
         holt, "user_id long, level_cents long, trend_cents long, n_days long"
     )
+
+
+# ----------------------------- dead-letter repair & replay (R3/T8)
+@query(
+    "q249_dlq_replay",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY event_type
+""",
+    tags=("R3", "T8", "T-streaming"),
+)
+def q249_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dead-letter REPLAY loop (q228 routes poison out; this closes
+    the loop): every 97th record is produced malformed, the consumer
+    splits good/DLQ in one pass, and the dead letters are then REPAIRED
+    — their envelope KEY survived intact, so the repair job joins DLQ
+    keys back to the source of truth and re-emits the true records —
+    and merged with the good stream. The final rollup must equal the
+    oracle over ALL events: nothing lost to poisoning, nothing double
+    counted (the DLQ keys are distinct and anti-joined by
+    construction). This is why the DLQ contract keeps the envelope:
+    a dead letter without its key is unrecoverable."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import TopicLog, shutdown
+    from rdkafka_streams_spark.streaming.consumer import decode_with_dlq
+    from rdkafka_streams_spark.streaming.topiclog import register
+
+    root = tempfile.mkdtemp(prefix="q249_bus")
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=4)
+    register(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    seed = ev.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.when(
+            F.col("event_id") % 97 == 0,
+            F.concat(F.lit('{"bad'), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.to_json(F.struct("event_id", "event_type", "cents")))
+        .alias("value"),
+        F.pmod("event_id", F.lit(4)).cast("int").alias("partition"),
+    )
+    seed.write.format("topiclog").option("path", root).option("topic", "ev").mode(
+        "append"
+    ).save()
+    raw = (
+        spark.readStream.format("topiclog")
+        .option("path", root)
+        .option("subscribe", "ev")
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    good, bad = decode_with_dlq(raw, "event_id long, event_type string, cents long")
+    for name, df in (("q249_good", good), ("q249_bad", bad)):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{name}_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        shutdown(q, 60)
+    recovered = spark.table("q249_good").select(
+        F.col("value.event_id").alias("event_id"),
+        F.col("value.event_type").alias("event_type"),
+        F.col("value.cents").alias("cents"),
+    )
+    # repair: the DLQ envelope key identifies the record; re-emit from the
+    # source of truth
+    dlq_keys = spark.table("q249_bad").select(
+        F.col("key").cast("string").cast("bigint").alias("event_id")
+    )
+    repaired = ev.join(F.broadcast(dlq_keys), "event_id")
+    return (
+        recovered.unionByName(repaired)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
