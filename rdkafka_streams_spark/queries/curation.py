@@ -3310,3 +3310,63 @@ def q249_dlq_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("cents"),
         )
     )
+
+
+# ----------------------------- cross-format parity certificate (S7/X)
+@query(
+    "q250_format_parity",
+    oracle="""
+WITH rows_c AS (
+  SELECT md5(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR) || '|'
+             || event_type || '|' || CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR))
+           AS h
+  FROM events),
+per_row AS (
+  SELECT list_sum(list_transform(range(1, 11),
+           p -> CAST(instr('0123456789abcdef', substring(h, p, 1)) - 1 AS BIGINT)
+                * CAST(power(16, 10 - p) AS BIGINT))) AS chk
+  FROM rows_c),
+v AS (SELECT COUNT(*) AS n, CAST(SUM(chk) AS BIGINT) AS chk FROM per_row)
+SELECT fmt, CAST(n AS BIGINT) AS n, CAST(chk AS BIGINT) AS checksum
+FROM v CROSS JOIN (VALUES ('orc'), ('csv')) AS f(fmt)
+""",
+    tags=("S7", "X"),
+)
+def q250_format_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format parity CERTIFICATE: the same table written to ORC and
+    to CSV, read back through each format's own reader, and reduced to
+    the q224 order-free content checksum — both rows must carry the
+    IDENTICAL checksum, and the oracle computes that checksum from the
+    original parquet, so the assertion is three-way (parquet ≡ orc ≡
+    csv). This is the executable form of the q213/q231 principle —
+    storage format is a layout choice, never a semantics choice — and
+    the migration-validation recipe in one query: land the copy, compare
+    (n, checksum) per partition, done. Integer-cents columns keep the
+    text format exact."""
+    import tempfile
+
+    from rdkafka_streams_spark.functions.checksum import content_checksum
+
+    base = tempfile.mkdtemp(prefix="q250_fmt_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    ev.write.mode("overwrite").orc(f"{base}/orc")
+    ev.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+    schema = "event_id long, user_id long, event_type string, cents long"
+    backs = {
+        "orc": spark.read.schema(schema).orc(f"{base}/orc"),
+        "csv": spark.read.schema(schema).option("header", True).csv(f"{base}/csv"),
+    }
+    chk = content_checksum(["event_id", "user_id", "event_type", "cents"])
+    outs = [
+        df.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(chk).cast("bigint").alias("checksum"),
+        ).select(F.lit(fmt).alias("fmt"), "n", "checksum")
+        for fmt, df in backs.items()
+    ]
+    return outs[0].unionByName(outs[1])
