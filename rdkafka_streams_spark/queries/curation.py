@@ -3370,3 +3370,136 @@ def q250_format_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         for fmt, df in backs.items()
     ]
     return outs[0].unionByName(outs[1])
+
+
+# ----------------------------- change data feed between snapshots (X7)
+@query(
+    "q251_change_feed",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+    FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-15')
+  WHERE rn = 1),
+s2 AS (
+  SELECT user_id, event_type FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+    FROM events)
+  WHERE rn = 1)
+SELECT s2.user_id,
+       CASE WHEN s1.user_id IS NULL THEN 'insert' ELSE 'update' END AS op,
+       s1.event_type AS old_state,
+       s2.event_type AS new_state
+FROM s2 LEFT JOIN s1 ON s2.user_id = s1.user_id
+WHERE s1.user_id IS NULL OR s1.event_type <> s2.event_type
+""",
+    tags=("X7", "E4"),
+)
+def q251_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED between two dimension snapshots — the inverse of
+    q97 (changelog → dimension): given the mid-month and end-of-month
+    current-state tables, emit exactly the delta a downstream consumer
+    must apply — 'insert' for keys new since the first snapshot,
+    'update' with (old, new) for keys whose state moved, silence for
+    unchanged keys (the property that makes a feed cheaper than a full
+    re-copy: |feed| = |changed|, not |table|). One outer join of two
+    latest-per-key reductions; this is the snapshot-diff protocol
+    table formats call CDF, runnable on plain parquet."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id",
+        F.to_date("ts").alias("day"),
+    )
+    from pyspark.sql import Window
+
+    def snapshot(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_type")
+        )
+
+    s1 = snapshot(ev.where(F.col("day") <= F.lit("2024-01-15"))).withColumnRenamed(
+        "event_type", "old_state"
+    )
+    s2 = snapshot(ev).withColumnRenamed("event_type", "new_state")
+    return (
+        s2.join(s1, "user_id", "left")
+        .where(F.col("old_state").isNull() | (F.col("old_state") != F.col("new_state")))
+        .select(
+            "user_id",
+            F.when(F.col("old_state").isNull(), "insert").otherwise("update").alias("op"),
+            "old_state",
+            "new_state",
+        )
+    )
+
+
+# ----------------------------- late-data quarantine policy (T4/R1)
+@query(
+    "q252_late_quarantine",
+    oracle="""
+WITH arr AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         md5(CAST(event_id AS VARCHAR)) AS akey
+  FROM events),
+w AS (
+  SELECT event_type, ts_us,
+         MAX(ts_us) OVER (PARTITION BY user_id ORDER BY akey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS frontier
+  FROM arr)
+SELECT event_type,
+       CASE WHEN frontier IS NOT NULL AND frontier - ts_us > 7200000000
+            THEN 'quarantined' ELSE 'applied' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY 1, 2
+""",
+    tags=("T4", "R1", "T-streaming"),
+)
+def q252_late_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LATE-DATA POLICY, made batch-deterministic (the semantics
+    behind T4's watermark drop, finally in the oracle gate): replaying
+    the per-user event stream in a deterministic md5 arrival order —
+    arrival ≠ event time, exactly the disorder watermarks exist for —
+    each event compares against the key's running event-time FRONTIER
+    (max event time of everything that arrived before it); more than
+    2 h behind the frontier → quarantined, else applied. This is what
+    ``withWatermark`` DOES, minus the engine's batch-boundary timing
+    (which is why the exact streaming variant stays unit-tier, SURVEY
+    §8.4) — the policy itself is pure relational logic over the arrival
+    order and both engines agree exactly. Per-user frontier = per-key
+    watermark; one window per user key."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.md5(F.col("event_id").cast("string")).alias("akey"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("akey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lateness = 2 * 3600 * 1_000_000
+    flagged = ev.withColumn("frontier", F.max("ts_us").over(w)).select(
+        "event_type",
+        F.when(
+            F.col("frontier").isNotNull()
+            & (F.col("frontier") - F.col("ts_us") > lateness),
+            "quarantined",
+        )
+        .otherwise("applied")
+        .alias("status"),
+    )
+    return flagged.groupBy("event_type", "status").agg(
+        F.count("*").cast("bigint").alias("n")
+    )

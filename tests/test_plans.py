@@ -258,6 +258,14 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q246_join_view_delta": 1,
         # user-key candidate join + per-purchase windows + channel rollup
         "q247_linear_attribution": 3,
+        # per-user daily agg + ONE grouped-map pass
+        "q248_holt_linear": 2,
+        # orc/csv checksum aggs (one per format); writes are side work
+        "q250_format_parity": 2,
+        # two latest-per-key windows share the user key; diff join local
+        "q251_change_feed": 2,
+        # one per-user arrival window + status rollup
+        "q252_late_quarantine": 2,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
