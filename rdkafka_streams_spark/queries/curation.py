@@ -3503,3 +3503,77 @@ def q252_late_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("event_type", "status").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+# ----------------------------- batch-cap offset planning (F1)
+@query(
+    "q253_batch_cap_planning",
+    oracle="""
+WITH p AS (
+  SELECT CAST(user_id % 4 AS INTEGER) AS pid, COUNT(*) AS n_p
+  FROM events GROUP BY 1),
+k AS (SELECT UNNEST(range(0, 100)) AS batch_id),
+s AS (
+  SELECT k.batch_id,
+         CAST(SUM(LEAST(1000, GREATEST(p.n_p - k.batch_id * 1000, 0))) AS BIGINT)
+           AS n_rows
+  FROM k CROSS JOIN p GROUP BY k.batch_id)
+SELECT CAST(batch_id AS BIGINT) AS batch_id, n_rows FROM s WHERE n_rows > 0
+""",
+    tags=("F1", "F2", "T-streaming"),
+)
+def q253_batch_cap_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pull-batch BOUND as checkable arithmetic (F1 to the oracle
+    tier — the reference's ≤16-message pull loop,
+    src/Consumer.coffee:57, generalized to maxOffsetsPerTrigger): with
+    a deterministic keyed seed and a 1000-offset-per-partition cap,
+    micro-batch k MUST contain exactly
+    Σ_p min(cap, max(n_p − k·cap, 0)) rows — offset planning is not
+    best-effort, it is an arithmetic contract, and that is what makes
+    q189's replay determinism and q227's restart exactness possible at
+    all. The query records every (batch_id, count) through foreachBatch
+    and the oracle computes the same series in closed form. Also the
+    backpressure story (F2): the cap is the knob that converts burst
+    arrival into bounded, evenly-paced batches."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+
+    root = tempfile.mkdtemp(prefix="q253_bus")
+    ck = tempfile.mkdtemp(prefix="q253_ck")
+    n_parts = 4
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=n_parts)
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    seed = (
+        ev.withColumn("__tp", F.pmod("user_id", F.lit(n_parts)).cast("int"))
+        .repartition(n_parts, "__tp")
+        .sortWithinPartitions("event_id")
+        .select("event_id", "user_id", "__tp")
+    )
+    KProducer(
+        host=root, topic="ev", key="user_id", partition_col="__tp",
+        transport="topiclog",
+    ).write_batch(seed)
+    c = KConsumer(
+        host=root, topic="ev", from_offset="earliest",
+        schema="event_id long, user_id long", transport="topiclog",
+        batch_size=1000,
+    )
+    sizes: list[tuple[int, int]] = []
+
+    def record(batch, bid: int) -> None:
+        n = batch.count()
+        if n:
+            sizes.append((bid, n))
+
+    q = (
+        c.stream(spark)
+        .writeStream.foreachBatch(record)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    shutdown(q, 60)
+    return spark.createDataFrame(sorted(sizes), "batch_id long, n_rows long")
