@@ -3577,3 +3577,50 @@ def q253_batch_cap_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     shutdown(q, 60)
     return spark.createDataFrame(sorted(sizes), "batch_id long, n_rows long")
+
+
+# ----------------------------- multi-aggregate pivot (E32/E10)
+@query(
+    "q254_pivot_multi_agg",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+         AS purchase_n,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT)
+         AS purchase_cents,
+       CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+         AS error_n,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+                         THEN CAST(ROUND(value * 100) AS BIGINT) END), 0) AS BIGINT)
+         AS error_cents
+FROM events GROUP BY user_id
+""",
+    tags=("E32", "E10"),
+)
+def q254_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (q36 pivots one
+    measure; real metric tables want several) — the wide per-entity
+    feature table every ML feature store materializes: one row per
+    user, (count, cents) per event type, built in ONE pass with
+    explicit pivot values (always list them: without the list Spark
+    runs an extra distinct scan just to discover the columns — an
+    O(table) planning cost at 100 TB). Pivot compiles to conditional
+    aggregation, which is exactly how the oracle spells it."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["purchase", "error"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    return wide.select(
+        "user_id",
+        F.col("purchase_n").cast("bigint").alias("purchase_n"),
+        F.coalesce(F.col("purchase_cents"), F.lit(0)).cast("bigint").alias("purchase_cents"),
+        F.col("error_n").cast("bigint").alias("error_n"),
+        F.coalesce(F.col("error_cents"), F.lit(0)).cast("bigint").alias("error_cents"),
+    )
