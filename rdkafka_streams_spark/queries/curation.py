@@ -3624,3 +3624,95 @@ def q254_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("error_n").cast("bigint").alias("error_n"),
         F.coalesce(F.col("error_cents"), F.lit(0)).cast("bigint").alias("error_cents"),
     )
+
+
+# ----------------------------- streaming upsert view (T8/X7)
+@query(
+    "q255_upsert_view",
+    oracle="""
+SELECT user_id, event_type AS last_type, ts_us AS last_ts_us FROM (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+""",
+    tags=("T8", "X7", "T-streaming"),
+)
+def q255_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT into a keyed materialized view — the MERGE-shaped
+    sink every CDC consumer builds when the store is plain parquet (no
+    Delta/Iceberg in this container): each micro-batch folds into the
+    current view as union → latest-per-key → atomic swap (write to a
+    new generation dir, then repoint — readers never see a half-written
+    view). Arrival is keyed and event-time-ordered (q179 discipline)
+    with capped batches, so after the last batch the view holds exactly
+    the latest record per user — the oracle's latest-per-key reduction.
+    Complements q179 (compaction builds the same state INSIDE the log)
+    and q189 (idempotent append): this is idempotent REPLACE, keyed."""
+    import os
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+
+    root = tempfile.mkdtemp(prefix="q255_bus")
+    ck = tempfile.mkdtemp(prefix="q255_ck")
+    view_root = tempfile.mkdtemp(prefix="q255_view")
+    n_parts = 4
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=n_parts)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    tp = (F.crc32(F.col("user_id").cast("string").cast("binary")) % n_parts).cast("int")
+    seed = (
+        ev.withColumn("__tp", tp)
+        .repartition(n_parts, "__tp")
+        .sortWithinPartitions("ts_us", "event_id")
+        .select("user_id", "event_type", "ts_us", "event_id", "__tp")
+    )
+    KProducer(
+        host=root, topic="ev", key="user_id", partition_col="__tp",
+        transport="topiclog",
+    ).write_batch(seed)
+    c = KConsumer(
+        host=root, topic="ev", from_offset="earliest",
+        schema="user_id long, event_type string, ts_us long, event_id long",
+        transport="topiclog", batch_size=2048,
+    )
+    dec = c.stream(spark).select("value.user_id", "value.event_type", "value.ts_us", "value.event_id")
+    from pyspark.sql import Window
+
+    state = {"gen": -1}
+
+    def upsert(batch, bid: int) -> None:
+        cur_dir = os.path.join(view_root, f"gen={state['gen']}")
+        new_dir = os.path.join(view_root, f"gen={bid}")
+        incoming = batch
+        if state["gen"] >= 0:
+            incoming = spark.read.parquet(cur_dir).unionByName(batch)
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            incoming.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        latest.write.mode("overwrite").parquet(new_dir)
+        state["gen"] = bid
+
+    q = (
+        dec.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0.2 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    shutdown(q, 60)
+    view = spark.read.parquet(os.path.join(view_root, f"gen={state['gen']}"))
+    return view.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("ts_us").alias("last_ts_us"),
+    )
