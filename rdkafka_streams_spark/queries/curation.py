@@ -3716,3 +3716,120 @@ def q255_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_type"),
         F.col("ts_us").alias("last_ts_us"),
     )
+
+
+# ----------------------------- activity heatmap (E24/E10)
+@query(
+    "q256_hour_type_heatmap",
+    oracle="""
+WITH c AS (
+  SELECT EXTRACT(hour FROM ts) AS hour_of_day, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT CAST(hour_of_day AS INTEGER) AS hour_of_day, event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+FROM c CROSS JOIN t
+""",
+    tags=("E24", "E10"),
+)
+def q256_hour_type_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type activity heatmap with exact ppm shares —
+    the operational load profile that sizes trigger intervals and
+    autoscaling schedules (which hours carry the burst the F1 cap must
+    absorb). Two-key partial agg + a 1-row total broadcast; UTC session
+    timezone makes EXTRACT(hour) engine-identical."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.hour("ts").alias("hour_of_day"), "event_type"
+    )
+    c = ev.groupBy("hour_of_day", "event_type").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "hour_of_day",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("n * 1000000 div total").cast("bigint").alias("share_ppm"),
+    )
+
+
+# ----------------------------- data-contract audit (X9)
+@query(
+    "q257_data_contract",
+    oracle="""
+SELECT 'lineitem_orphan_orderkey' AS rule,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+         AS n_violations
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_null_keys',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey IS NULL OR l_partkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+UNION ALL
+SELECT 'events_value_nonneg',
+       CAST((SELECT COUNT(*) FROM events WHERE value < 0) AS BIGINT)
+UNION ALL
+SELECT 'documents_nchars_consistent',
+       CAST((SELECT COUNT(*) FROM documents
+             WHERE n_chars <> length(text)) AS BIGINT)
+""",
+    tags=("X9", "E5"),
+)
+def q257_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit — the dbt-test / great-expectations layer as
+    ONE query: referential integrity (orphan foreign keys via anti
+    joins — broadcast the key side, never shuffle the fact), null-key,
+    range, and derived-column-consistency rules, each reduced to an
+    exact violation count. At 100 TB this runs as the gate between
+    landing and publishing a partition: all-zeros (or a documented
+    allowance) is the publish condition, and any non-zero row localizes
+    the broken contract. Six rules, six violation counts, one frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+    d = _t(spark, sf_dir, "documents")
+
+    def rule(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("n_violations")).select(
+            F.lit(name).alias("rule"), "n_violations"
+        )
+
+    checks = [
+        rule(
+            "lineitem_orphan_orderkey",
+            li.join(F.broadcast(o.select("o_orderkey")),
+                    li.l_orderkey == F.col("o_orderkey"), "left_anti"),
+        ),
+        rule(
+            "orders_orphan_custkey",
+            o.join(F.broadcast(cu.select("c_custkey")),
+                   o.o_custkey == F.col("c_custkey"), "left_anti"),
+        ),
+        rule(
+            "lineitem_null_keys",
+            li.where(F.col("l_orderkey").isNull() | F.col("l_partkey").isNull()),
+        ),
+        rule(
+            "lineitem_discount_range",
+            li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+        rule("events_value_nonneg", ev.where(F.col("value") < 0)),
+        rule(
+            "documents_nchars_consistent",
+            d.where(F.col("n_chars") != F.length("text")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
