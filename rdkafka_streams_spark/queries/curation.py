@@ -3833,3 +3833,91 @@ def q257_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# ----------------------------- point-in-time features (E21/L-prep)
+@query(
+    "q258_pit_features",
+    oracle="""
+WITH tl AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+f AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS n_prior_events,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_prior_purchases,
+         SUM(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+                          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+           - cents AS cents_7d_excl,
+         ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS us_since_last
+  FROM tl)
+SELECT user_id, event_id,
+       CAST(n_prior_events AS BIGINT) AS n_prior_events,
+       CAST(n_prior_purchases AS BIGINT) AS n_prior_purchases,
+       CAST(cents_7d_excl AS BIGINT) AS cents_7d_excl,
+       CAST(us_since_last AS BIGINT) AS us_since_last
+FROM f WHERE event_type = 'purchase'
+""",
+    tags=("E21", "L-prep", "E9"),
+)
+def q258_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature engineering — the leakage-free contract every
+    training pipeline must honor (features computed from STRICTLY before
+    the label event; q196 does this for dimensions, this does it for
+    behavioral aggregates): for each purchase, the user's prior event
+    count, prior purchase count, trailing-7-day spend EXCLUDING the
+    current row (RANGE frame minus self — the standard
+    exclude-current-row idiom since RANGE frames are inclusive), and
+    recency. ALL features ride ONE (user, time) window sort — four
+    frames, one shuffle; a per-feature self-join formulation would pay
+    the shuffle four times. Ties totalized by event_id everywhere a
+    ROWS frame depends on order; the RANGE frame keys on ts alone (peer
+    rows aggregate identically, order-free)."""
+    from pyspark.sql import Window
+
+    tl = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    rows_prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    range_7d = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-7 * 24 * 3600 * 1_000_000, 0)
+    )
+    order_w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    f = tl.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.count("*").over(rows_prior).cast("bigint").alias("n_prior_events"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
+                rows_prior
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_prior_purchases"),
+        (F.sum("cents").over(range_7d) - F.col("cents"))
+        .cast("bigint")
+        .alias("cents_7d_excl"),
+        (F.col("ts_us") - F.lag("ts_us").over(order_w))
+        .cast("bigint")
+        .alias("us_since_last"),
+    )
+    return f.where(F.col("event_type") == "purchase").drop("event_type")

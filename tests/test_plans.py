@@ -266,6 +266,14 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q251_change_feed": 2,
         # one per-user arrival window + status rollup
         "q252_late_quarantine": 2,
+        # ONE user-key exchange carries both pivot measures
+        "q254_pivot_multi_agg": 2,
+        # (hour,type) agg + 1-row total broadcast back
+        "q256_hour_type_heatmap": 3,
+        # six rules, each a broadcast anti-join/filter + tiny count agg
+        "q257_data_contract": 6,
+        # ALL four PIT features share ONE (user, time) window sort
+        "q258_pit_features": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
