@@ -3921,3 +3921,147 @@ def q258_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("us_since_last"),
     )
     return f.where(F.col("event_type") == "purchase").drop("event_type")
+
+
+# ----------------------------- growth accounting (E24/E21)
+@query(
+    "q259_growth_accounting",
+    oracle="""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST((CAST(ts AS DATE) - DATE '2024-01-01') // 7 AS INTEGER) AS wk
+  FROM events),
+f AS (SELECT user_id, MIN(wk) AS first_wk FROM uw GROUP BY user_id),
+lagd AS (
+  SELECT uw.user_id, uw.wk, f.first_wk,
+         LAG(uw.wk) OVER (PARTITION BY uw.user_id ORDER BY uw.wk) AS prev_wk
+  FROM uw JOIN f ON uw.user_id = f.user_id),
+status AS (
+  SELECT wk,
+         CASE WHEN wk = first_wk THEN 'new'
+              WHEN prev_wk = wk - 1 THEN 'retained'
+              ELSE 'resurrected' END AS status
+  FROM lagd),
+churn AS (
+  SELECT wk + 1 AS wk, 'churned' AS status
+  FROM lagd l
+  WHERE NOT EXISTS (SELECT 1 FROM uw n
+                    WHERE n.user_id = l.user_id AND n.wk = l.wk + 1)
+    AND wk + 1 <= (SELECT MAX(wk) FROM uw)),
+allrows AS (SELECT wk, status FROM status UNION ALL SELECT wk, status FROM churn)
+SELECT CAST(wk AS INTEGER) AS wk, status, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM allrows GROUP BY wk, status
+""",
+    tags=("E24", "E21", "E10"),
+)
+def q259_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING — the new/retained/resurrected/churned weekly
+    decomposition (the Social-Capital framework every growth team
+    reports): a user's week is 'new' on their first week, 'retained'
+    when the previous week was active, 'resurrected' after a gap;
+    'churned' counts into the FOLLOWING week for users who go silent
+    (bounded by the observation horizon, so the last week never accrues
+    phantom churn). The identity new+retained+resurrected = WAU and
+    WAU_t − WAU_{t−1} = new + resurrected − churned falls out by
+    construction. One distinct (user, week) reduction, one lag window
+    on the user key, one anti-join for churn."""
+    from pyspark.sql import Window
+
+    uw = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7)
+            .cast("int")
+            .alias("wk"),
+        )
+        .distinct()
+    )
+    f = uw.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    w = Window.partitionBy("user_id").orderBy("wk")
+    lagd = uw.join(f, "user_id").withColumn("prev_wk", F.lag("wk").over(w))
+    status = lagd.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("prev_wk") == F.col("wk") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("status"),
+    )
+    max_wk = uw.agg(F.max("wk").alias("mx"))
+    # anti-join against the user's ACTUAL active weeks: churned into wk+1
+    # means wk+1 itself is absent (a shifted copy here would compare
+    # wk+1 = active_wk+1 <=> active in wk — vacuously true; caught by the
+    # sf0.01 oracle, invisible at sf0.001 where nobody churns)
+    nxt = uw.select(F.col("user_id").alias("uid_n"), F.col("wk").alias("wk_n"))
+    churn = (
+        lagd.select("user_id", (F.col("wk") + 1).alias("wk"))
+        .join(nxt,
+              (F.col("user_id") == F.col("uid_n")) & (F.col("wk") == F.col("wk_n")),
+              "left_anti")
+        .crossJoin(F.broadcast(max_wk))
+        .where(F.col("wk") <= F.col("mx"))
+        .select("wk", F.lit("churned").alias("status"))
+    )
+    return (
+        status.unionByName(churn)
+        .groupBy("wk", "status")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+# ----------------------------- audience overlap matrix (E10/L2)
+@query(
+    "q260_audience_overlap",
+    oracle="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+sz AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT p.type_a, p.type_b,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(p.n_both * 1000000 // (sa.n + sb.n - p.n_both) AS BIGINT)
+         AS jaccard_ppm
+FROM pairs p
+JOIN sz sa ON p.type_a = sa.event_type
+JOIN sz sb ON p.type_b = sb.event_type
+""",
+    tags=("E10", "L2"),
+)
+def q260_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix — exact Jaccard of USER SETS between every
+    pair of event types (the audience-similarity question behind
+    cross-sell targeting and dedup of marketing segments; the same
+    set-similarity machinery as L2's document Jaccard, applied to
+    behavioral cohorts): distinct (user, type) reduction, self-join on
+    the user key bounded by types-per-user (≤5 here — never quadratic
+    in users), sizes broadcast back, overlap in exact integer ppm. The
+    type_a < type_b canonical order halves the matrix."""
+    ut = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    sz = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id").alias("uid_b"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, (a.user_id == F.col("uid_b")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sz.withColumnRenamed("event_type", "type_a").withColumnRenamed("n", "na")),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sz.withColumnRenamed("event_type", "type_b").withColumnRenamed("n", "nb")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.expr("n_both * 1000000 div (na + nb - n_both)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
