@@ -4065,3 +4065,54 @@ def q260_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_ppm"),
         )
     )
+
+
+# ----------------------------- experiment power analysis (E11)
+@query(
+    "q261_power_analysis",
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                  * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s2
+  FROM events GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       ROUND((s2 - s1 * 1.0 * s1 / n) / (n - 1) / 10000.0, 6) AS var_dollars,
+       CAST(CEIL(2 * 7.849 * ((s2 - s1 * 1.0 * s1 / n) / (n - 1) / 10000.0)
+                 / (5.0 * 5.0)) AS BIGINT) AS n_per_arm
+FROM m
+""",
+    tags=("E11", "E10"),
+)
+def q261_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment POWER ANALYSIS from observed variance — the question
+    asked before q143's t-test is ever run: to detect a $5 shift in
+    mean order value at α=0.05 / power=0.80, how many users per arm?
+    n = 2(z_α/2+z_β)²·σ²/δ² with (1.96+0.8416)² = 7.849 inlined as the
+    same literal in both engines (the q199 float-parity discipline).
+    Variance comes from exact integer cent moments (Σx, Σx² as BIGINT —
+    order-free), converted to dollars² only at the final expression;
+    CEIL of identical double math agrees bit-for-bit. The planning op
+    that decides whether an experiment is even worth launching."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    var_d = (
+        (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+        / 10000.0
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(var_d, 6).alias("var_dollars"),
+        F.ceil(2 * 7.849 * var_d / (5.0 * 5.0)).cast("bigint").alias("n_per_arm"),
+    )
