@@ -4116,3 +4116,81 @@ def q261_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_d, 6).alias("var_dollars"),
         F.ceil(2 * 7.849 * var_d / (5.0 * 5.0)).cast("bigint").alias("n_per_arm"),
     )
+
+
+# ----------------------------- deterministic bootstrap (E11/E33)
+_BOOT_B = 32
+
+
+@query(
+    "q262_bootstrap_ci",
+    oracle=f"""
+WITH p AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rid
+  FROM events WHERE event_type = 'purchase'),
+n AS (SELECT COUNT(*) AS n FROM p),
+draws AS (
+  SELECT CAST(u // n.n AS INTEGER) AS b,
+         list_sum(list_transform(range(1, 13),
+           k -> CAST(instr('0123456789abcdef',
+                     substring(md5(CAST(u AS VARCHAR)), k, 1)) - 1 AS BIGINT)
+                * CAST(power(16, 12 - k) AS BIGINT))) % n.n AS rid
+  FROM (SELECT UNNEST(range(0, {_BOOT_B} * (SELECT n FROM n))) AS u) CROSS JOIN n),
+sums AS (
+  SELECT d.b, CAST(SUM(p.c) AS BIGINT) AS s
+  FROM draws d JOIN p ON d.rid = p.rid GROUP BY d.b),
+o AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS r FROM sums)
+SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
+       CAST((SELECT MIN(s) FROM sums) AS BIGINT) AS boot_min_sum,
+       CAST((SELECT s FROM o WHERE r = {_BOOT_B // 2}) AS BIGINT) AS boot_med_sum,
+       CAST((SELECT MAX(s) FROM sums) AS BIGINT) AS boot_max_sum
+""",
+    tags=("E11", "E33"),
+)
+def q262_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC bootstrap — resampling without a random number
+    generator: the b-th resample's j-th draw picks row
+    md5(b·n + j) mod n (the md5-uniform discipline the sampling
+    operators already use, q37/q122), so every engine regenerates the
+    IDENTICAL 32 resamples and the bootstrap distribution is
+    oracle-checkable — reproducible uncertainty quantification, the
+    property regulated model validation actually demands. Resample
+    statistics stay integer (SUMS of cents, order stats over the 32),
+    never touching float math. Scale shape: the draw table is B·n rows
+    (generated, never collected), joined to the global_rank-indexed
+    data on the draw index — linear in B·n, one shuffle."""
+    from rdkafka_streams_spark.operators.ranking import global_rank
+
+    p = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.round(F.col("value") * 100).cast("bigint").alias("c"), "event_id"
+        )
+    )
+    indexed = global_rank(p, ["event_id"], rank_col="rn").select(
+        "c", (F.col("rn") - 1).alias("rid")
+    )
+    n = indexed.count()
+    draws = spark.range(_BOOT_B * n).select(
+        (F.col("id") / n).cast("int").alias("b"),
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10)
+         .cast("bigint") % n).alias("rid"),
+    )
+    sums = (
+        draws.join(indexed, "rid")
+        .groupBy("b")
+        .agg(F.sum("c").cast("bigint").alias("s"))
+    )
+    # order stats over the B=32 resample sums via one sorted-array agg —
+    # no window at all (keeps the repo's zero-partition-less-window
+    # invariant; the frame is 32 rows, the sort is a literal-size array)
+    return sums.agg(
+        F.sort_array(F.collect_list("s")).alias("arr")
+    ).select(
+        F.lit(n).cast("bigint").alias("n"),
+        F.element_at("arr", 1).cast("bigint").alias("boot_min_sum"),
+        F.element_at("arr", _BOOT_B // 2).cast("bigint").alias("boot_med_sum"),
+        F.element_at("arr", _BOOT_B).cast("bigint").alias("boot_max_sum"),
+    )
