@@ -4194,3 +4194,106 @@ def q262_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("arr", _BOOT_B // 2).cast("bigint").alias("boot_med_sum"),
         F.element_at("arr", _BOOT_B).cast("bigint").alias("boot_max_sum"),
     )
+
+
+# ----------------------------- per-group OLS slope (E11/E10)
+@query(
+    "q263_brand_elasticity",
+    oracle="""
+WITH x AS (
+  SELECT p.p_brand,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS px,
+         CAST(l.l_quantity AS BIGINT) AS qy
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+m AS (
+  SELECT p_brand, COUNT(*) AS n,
+         CAST(SUM(px) AS DOUBLE) AS sx, CAST(SUM(qy) AS DOUBLE) AS sy,
+         CAST(SUM(px * qy) AS DOUBLE) AS sxy,
+         CAST(SUM(px * px) AS DOUBLE) AS sxx
+  FROM x GROUP BY p_brand)
+SELECT p_brand, CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000, 6)
+         AS slope_qty_per_cent_x1e6
+FROM m WHERE n * sxx - sx * sx <> 0
+""",
+    tags=("E11", "E10"),
+)
+def q263_brand_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP least-squares slope — quantity-vs-price within each brand
+    (q121 fits one global trend; pricing teams want the per-segment
+    sensitivity): the OLS slope from four integer moments
+    (Σx, Σy, Σxy, Σx² as exact BIGINT over cents — order-free), one
+    grouped aggregation, no per-group iteration. The closed form
+    (n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) is evaluated once per brand from
+    identical int64 inputs in both engines (q199 parity discipline),
+    scaled ×1e6 and rounded to 6. Degenerate (zero-variance) groups are
+    filtered by the same predicate on both sides."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_quantity")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        "p_brand",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("px"),
+        F.col("l_quantity").cast("bigint").alias("qy"),
+    )
+    # per-row products fit int64 (px <= ~1e7 -> px^2 ~ 1e14) but their
+    # SUMS and n*Sxx do not at scale: accumulate in DECIMAL(38,0) (exact,
+    # like DuckDB's HUGEINT) and convert the exact integers to double only
+    # inside the closed form — both engines round-to-nearest from the same
+    # integers, so the doubles agree bit-for-bit
+    m = x.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("px").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("qy").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((F.col("px") * F.col("qy")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("px") * F.col("px")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.where(denom != 0).select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom * 1000000,
+            6,
+        ).alias("slope_qty_per_cent_x1e6"),
+    )
+
+
+# ----------------------------- GROUP BY ALL syntax (E-SQL)
+@query(
+    "q264_group_by_all",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+""",
+    tags=("E-SQL", "E10", "E17"),
+)
+def q264_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (the analyst shorthand both
+    engines adopted from DuckDB's dialect — every non-aggregate output
+    column becomes a grouping key, every output column an order key):
+    the SAME text runs as the Spark query and the oracle, which is the
+    point — dialect-level convergence means one query serves
+    interactive DuckDB exploration and the production cluster
+    unchanged. Compiles to the identical hash-aggregate plan as the
+    explicit-columns spelling."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q264_lineitem")
+    return spark.sql(
+        """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM q264_lineitem
+GROUP BY ALL
+ORDER BY ALL
+"""
+    )
