@@ -4297,3 +4297,51 @@ GROUP BY ALL
 ORDER BY ALL
 """
     )
+
+
+# ----------------------------- column-level encryption (X/R7)
+@query(
+    "q265_column_crypto",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+    tags=("X", "R7", "E26"),
+)
+def q265_column_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption at rest (the PII pattern compliance
+    requires when the lake's storage perimeter is not trusted): the
+    user identifier is AES-GCM-encrypted BEFORE the table lands in
+    parquet — each ciphertext carries a random IV, so equal plaintexts
+    land as different bytes (no frequency analysis on the stored
+    column, which is exactly why the GCM default beats deterministic
+    ECB for PII) — and analytics on the protected copy decrypt
+    in-flight with the key, never rewriting the table. The decrypted
+    rollup must equal the plaintext oracle: crypto is a storage
+    transform, invisible to query semantics. Key management is the
+    deployment's concern (KMS); a literal key here stands in."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="q265_enc_")
+    key = "0123456789abcdef"  # 16-byte AES-128 stand-in for a KMS secret
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr(
+            f"aes_encrypt(cast(user_id as string), '{key}')"
+        ).alias("user_id_enc"),
+    )
+    ev.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    dec = back.select(
+        "event_type",
+        F.expr(f"cast(aes_decrypt(user_id_enc, '{key}') as string)")
+        .cast("bigint")
+        .alias("user_id"),
+    )
+    return dec.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
