@@ -4345,3 +4345,59 @@ def q265_column_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# ----------------------------- k-anonymity profile (X9/L-prep)
+@query(
+    "q266_k_anonymity",
+    oracle="""
+WITH qi AS (
+  SELECT user_id, event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_rows
+  FROM events GROUP BY 1, 2, 3),
+cls AS (
+  SELECT event_type, day, COUNT(*) AS class_size, CAST(SUM(n_rows) AS BIGINT) AS rows_in
+  FROM qi GROUP BY event_type, day),
+banded AS (
+  SELECT CASE WHEN class_size < 5 THEN 'k_lt_5'
+              WHEN class_size < 20 THEN 'k_5_19'
+              ELSE 'k_ge_20' END AS k_band,
+         class_size, rows_in
+  FROM cls)
+SELECT k_band,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(rows_in) AS BIGINT) AS n_rows
+FROM banded GROUP BY k_band
+""",
+    tags=("X9", "L-prep"),
+)
+def q266_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY profile over quasi-identifiers — the re-identification
+    risk audit run before a dataset release (Sweeney 2002; the privacy
+    counterpart of q257's contract gate): with (event_type, day) as the
+    quasi-identifier, each equivalence class counts its DISTINCT users
+    (class_size = how many people hide in this combination), and the
+    release decision reads off the banded profile — rows sitting in
+    classes below k=5 are the re-identifiable mass that must be
+    generalized or suppressed. Two grouped aggregations; the per-class
+    user reduction is the only user-cardinality shuffle."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("day")
+    )
+    qi = ev.groupBy("user_id", "event_type", "day").agg(
+        F.count("*").alias("n_rows")
+    )
+    cls = qi.groupBy("event_type", "day").agg(
+        F.count("*").alias("class_size"),
+        F.sum("n_rows").cast("bigint").alias("rows_in"),
+    )
+    banded = cls.select(
+        F.when(F.col("class_size") < 5, "k_lt_5")
+        .when(F.col("class_size") < 20, "k_5_19")
+        .otherwise("k_ge_20")
+        .alias("k_band"),
+        "rows_in",
+    )
+    return banded.groupBy("k_band").agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum("rows_in").cast("bigint").alias("n_rows"),
+    )
