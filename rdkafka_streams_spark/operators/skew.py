@@ -79,3 +79,30 @@ def key_skew_profile(
         .orderBy(F.col("n").desc(), *keys)
         .limit(top_k)
     )
+
+
+def hybrid_skew_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    hot_keys: DataFrame,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """The production skew recipe: SPLIT the fact by key temperature —
+    rows on ``hot_keys`` (a tiny frame, e.g. the q158/key_skew_profile
+    output filtered by skew_factor) take the salted path (each hot key
+    widened over n_salts tasks), everything else takes the plain shuffled
+    join — then union. Salting everything would replicate the ENTIRE
+    build side n_salts times; salting nothing leaves the hot keys as
+    single-task stragglers; the hybrid pays replication only for the keys
+    that need it. Result ≡ ``large.join(small, on, how)`` for inner/left
+    (both branches preserve per-row semantics; the split is a partition
+    of the input). ``hot_keys`` must have exactly the join column."""
+    hot = F.broadcast(hot_keys.select(on))
+    large_hot = large.join(hot, on, "left_semi")
+    large_cold = large.join(hot, on, "left_anti")
+    small_hot = small.join(hot, on, "left_semi")
+    hot_joined = salted_join(large_hot, small_hot, on, n_salts=n_salts, how=how)
+    cold_joined = large_cold.join(small, on, how)
+    return hot_joined.unionByName(cold_joined)

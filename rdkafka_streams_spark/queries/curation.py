@@ -4401,3 +4401,47 @@ def q266_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_classes"),
         F.sum("rows_in").cast("bigint").alias("n_rows"),
     )
+
+
+# ----------------------------- hybrid hot/cold skew join (X2)
+@query(
+    "q267_hybrid_skew_join",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    tags=("X2", "E3", "E10"),
+)
+def q267_hybrid_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID hot/cold skew join (operators/skew.py hybrid_skew_join —
+    the production recipe q70's uniform salting approximates): the
+    key-skew profile (q158's operator) nominates the hottest join keys,
+    ONLY their rows take the salted path (replicating the build side
+    n_salts ways for just those keys), the cold majority joins plainly,
+    and the union must equal the ordinary join — which is the oracle.
+    Salting everything replicates the whole build side; salting nothing
+    leaves single-task stragglers; the hybrid pays replication
+    proportional to the skew, which is the only posture that survives
+    both a uniform AND a power-law keyspace at 100 TB."""
+    from rdkafka_streams_spark.operators.skew import hybrid_skew_join, key_skew_profile
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    prof = key_skew_profile(li, "l_orderkey", top_k=64)
+    hot = prof.where(F.col("skew_factor") >= 2.0).select(
+        F.col("l_orderkey")
+    )
+    joined = hybrid_skew_join(
+        li,
+        o.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey",
+        hot_keys=hot,
+        n_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+    )

@@ -242,3 +242,21 @@ def test_zorder_clusters_both_dimensions(spark, sf_dir):
     assert x_sort_y > dom["dy"] * 0.8, f"fixture degenerate: {x_sort_y} vs dy={dom['dy']}"
     assert z_y < x_sort_y * 0.5, f"z-order didn't cluster y: {z_y} vs {x_sort_y}"
     assert z_x < dom["dx"] * 0.8, f"z-order lost x locality entirely: {z_x} vs dx={dom['dx']}"
+
+
+def test_hybrid_skew_join_equals_plain_join(spark):
+    """hybrid_skew_join ≡ plain join on a deliberately skewed keyspace —
+    one key carrying half the rows routes through the salted branch, the
+    rest through the cold branch, and the union must lose/duplicate
+    nothing (including rows of keys absent from the dim on how='left')."""
+    from rdkafka_streams_spark.operators.skew import hybrid_skew_join
+
+    rows = [(1, i) for i in range(50)] + [(k, k) for k in range(2, 30)] + [(99, 0)]
+    big = spark.createDataFrame(rows, "k int, v int")
+    dim = spark.createDataFrame([(k, f"n{k}") for k in range(1, 30)], "k int, name string")
+    hot = spark.createDataFrame([(1,)], "k int")
+    plain = sorted(map(tuple, big.join(dim, "k", "left").collect()))
+    hybrid = sorted(
+        map(tuple, hybrid_skew_join(big, dim, "k", hot_keys=hot, n_salts=4, how="left").collect())
+    )
+    assert plain == hybrid
