@@ -4445,3 +4445,74 @@ def q267_hybrid_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_lines"),
         F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
     )
+
+
+# ----------------------------- dedup-cluster size profile (X6/L1)
+@query(
+    "q268_cluster_size_profile",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, text, lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk
+  FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, blk, tok FROM (
+    SELECT doc_id, blk, unnest(string_split(text, ' ')) AS tok FROM d)),
+sizes AS (SELECT doc_id, blk, COUNT(*) AS sz FROM tok GROUP BY 1, 2),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id1, id2 FROM (
+    SELECT co.id1, co.id2, co.c / (sa.sz + sb.sz - co.c) AS jaccard
+    FROM common co
+    JOIN sizes sa ON co.id1 = sa.doc_id
+    JOIN sizes sb ON co.id2 = sb.doc_id)
+  WHERE jaccard >= 0.8),
+edges2 AS (SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges2
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+cs AS (SELECT cluster_id, COUNT(*) AS csize FROM comp GROUP BY cluster_id)
+SELECT CAST(FLOOR(LN(csize) / LN(2)) AS INTEGER) AS log2_size_band,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(csize) AS BIGINT) AS n_docs,
+       CAST(SUM(csize - 1) AS BIGINT) AS n_removable
+FROM cs GROUP BY 1
+""",
+    tags=("X6", "L1", "L2"),
+)
+def q268_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster SIZE distribution (the report read before executing a
+    dedup: how much mass sits in big near-dup families, and what
+    fraction of the corpus is removable = Σ(size−1)): q76's connected
+    components reduced to log₂ size bands. A heavy tail here (one giant
+    family) is the boilerplate/mirror signature that says fix the
+    source, don't just dedup; a flat profile says the LSH threshold is
+    doing its job. Integer band arithmetic; the removable count is the
+    exact payoff number a dedup run reports against."""
+    from rdkafka_streams_spark.llm.dedup import jaccard_pairs
+    from rdkafka_streams_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "blk", F.concat_ws("|", F.col("lang"), F.expr("n_chars div 100").cast("string"))
+    )
+    pairs = jaccard_pairs(d, threshold=0.8, block_col="blk").select("id1", "id2")
+    comp = connected_components(pairs, "id1", "id2", dedupe_edges=False)
+    cs = comp.groupBy("component").agg(F.count("*").alias("csize"))
+    return (
+        cs.select(
+            F.floor(F.log(F.col("csize")) / F.log(F.lit(2.0)))
+            .cast("int")
+            .alias("log2_size_band"),
+            "csize",
+        )
+        .groupBy("log2_size_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("csize").cast("bigint").alias("n_docs"),
+            F.sum(F.col("csize") - 1).cast("bigint").alias("n_removable"),
+        )
+    )
