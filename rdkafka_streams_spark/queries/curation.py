@@ -4516,3 +4516,65 @@ def q268_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("csize") - 1).cast("bigint").alias("n_removable"),
         )
     )
+
+
+# ----------------------------- revenue bridge (E10/E24)
+@query(
+    "q269_revenue_bridge",
+    oracle="""
+WITH h AS (
+  SELECT event_type,
+         CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 1 ELSE 2 END AS half,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT a.event_type,
+         a.n AS n1, b.n AS n2,
+         a.rev AS rev1, b.rev AS rev2
+  FROM h a JOIN h b ON a.event_type = b.event_type AND a.half = 1 AND b.half = 2)
+SELECT event_type,
+       CAST(rev2 - rev1 AS BIGINT) AS delta_cents,
+       ROUND((n2 - n1) * (rev1 * 1.0 / n1), 6) AS volume_effect_cents,
+       ROUND(n2 * (rev2 * 1.0 / n2 - rev1 * 1.0 / n1), 6) AS rate_effect_cents
+FROM w
+""",
+    tags=("E10", "E24"),
+)
+def q269_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period REVENUE BRIDGE — the finance decomposition of a
+    revenue delta into volume effect ((Δn)·avg₁) and rate effect
+    (n₂·Δavg), which sum exactly to the total change (the identity the
+    bridge chart is built on): first half of January vs second, per
+    event type. The delta itself is exact integer cents; the two effects
+    divide by counts, so they are evaluated from the identical
+    int64-derived doubles in both engines and rounded to 6 (the q199
+    literal-parity discipline). One two-key aggregation + a self-join of
+    a 10-row frame."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.to_date("ts") <= F.lit("2024-01-15"), 1).otherwise(2).alias("half"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    h = ev.groupBy("event_type", "half").agg(
+        F.count("*").alias("n"), F.sum("cents").cast("bigint").alias("rev")
+    )
+    a = h.where(F.col("half") == 1).select(
+        "event_type", F.col("n").alias("n1"), F.col("rev").alias("rev1")
+    )
+    b = h.where(F.col("half") == 2).select(
+        F.col("event_type").alias("et2"), F.col("n").alias("n2"), F.col("rev").alias("rev2")
+    )
+    w = a.join(b, a.event_type == F.col("et2"))
+    return w.select(
+        "event_type",
+        (F.col("rev2") - F.col("rev1")).cast("bigint").alias("delta_cents"),
+        F.round(
+            (F.col("n2") - F.col("n1")) * (F.col("rev1") * 1.0 / F.col("n1")), 6
+        ).alias("volume_effect_cents"),
+        F.round(
+            F.col("n2")
+            * (F.col("rev2") * 1.0 / F.col("n2") - F.col("rev1") * 1.0 / F.col("n1")),
+            6,
+        ).alias("rate_effect_cents"),
+    )
