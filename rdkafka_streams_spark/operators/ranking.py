@@ -37,7 +37,19 @@ def global_rank(
     materialize: bool = False,
 ) -> DataFrame:
     """Exact 1-based global row number by ``order_cols`` (must be a total
-    order — include a unique key as the last column). Adds ``rank_col``."""
+    order — include a unique key as the last column). Adds ``rank_col``.
+
+    CONTRACT — eager job over a static input: calling this runs ONE Spark
+    job immediately (the per-partition counts collect) and freezes the
+    pid→offset map as plan literals; the returned frame is NOT a lazy
+    transformation of a live source. The input must therefore be
+    re-derivable deterministically between the counts job and any later
+    action on the result — a non-deterministic upstream (sampling without
+    a seed, changing files, a shuffled UUID column) silently corrupts
+    ranks with no error. For any input not deterministically re-derivable,
+    pass ``materialize=True`` (localCheckpoints the range-partitioned
+    frame once, so both jobs read the identical snapshot — also saves the
+    second scan on a 100 TB input)."""
     parts = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions

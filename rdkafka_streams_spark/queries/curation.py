@@ -4174,7 +4174,9 @@ def q262_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = indexed.count()
     draws = spark.range(_BOOT_B * n).select(
-        (F.col("id") / n).cast("int").alias("b"),
+        # integer division, matching the oracle's u // n exactly — double
+        # division is only bit-exact while B·n stays inside 2^53
+        F.expr(f"id div {n}").cast("int").alias("b"),
         (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 12), 16, 10)
          .cast("bigint") % n).alias("rid"),
     )

@@ -98,11 +98,22 @@ def decode_with_dlq(
 
 def infer_schema_from_sample(spark: SparkSession, sample_values: Sequence[str]) -> str:
     """Schema migration helper for schemaless topics: schema inferred from a
-    bounded JSON sample (schema_of_json needs a literal, so samples are read
-    via the JSON datasource's inference — driver-side, never the full stream).
-    """
-    df = spark.read.json(spark.createDataFrame([(v,) for v in sample_values], ["v"]).rdd.map(lambda r: r.v))
-    return df.schema.simpleString()[7:-1]  # strip struct<...> wrapper
+    bounded JSON sample via the JSON datasource's own cross-row schema merge
+    (schema_of_json needs a single foldable literal, so it can't union a
+    sample). The sample is spooled to a temp JSONL file and read back —
+    inference is eager, so the file is removed as soon as the schema exists.
+    DataFrame-only: no RDD in the path (SURVEY §7.0)."""
+    import os
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".jsonl")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write("\n".join(sample_values))
+        schema = spark.read.json(path).schema
+    finally:
+        os.unlink(path)
+    return schema.simpleString()[7:-1]  # strip struct<...> wrapper
 
 
 def consume_n(

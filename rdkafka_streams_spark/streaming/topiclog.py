@@ -121,6 +121,13 @@ def _end_offset(part_dir: str) -> int:
     return segs[-1][0] + segs[-1][1] if segs else 0
 
 
+def _count_lines(path: str) -> int:
+    """Actual record count of a segment file (≤ the name's logical span
+    once compaction has opened offset gaps)."""
+    with open(path, encoding="utf-8") as f:
+        return sum(1 for ln in f if ln.strip())
+
+
 def _encode_line(
     key: bytes | None, value: bytes | None, ts_ms: int, off: int | None = None
 ) -> str:
@@ -374,19 +381,25 @@ class TopicLog:
         from earliest simply starts at the cutoff, exactly like a broker
         after deleteRecords. Cutoffs clamp to [0, end]. Offline maintenance
         op (same single-writer window as compact()). Returns
-        {deleted, kept}."""
+        {deleted, kept}; counts are actual record counts (a compacted
+        segment's name carries its logical SPAN, which exceeds its line
+        count once compaction opens gaps)."""
         deleted = kept = 0
         for pid in _list_partitions(self.root, topic):
             cutoff = before.get(pid)
             if cutoff is None:
                 continue
             pdir = _part_dir(self.root, topic, pid)
+            # finish any interrupted compact() swap first: truncating live
+            # segments while a stale cleaner- marker exists would let the
+            # next compact() resurrect the deleted records
+            _recover_compaction(pdir)
             end = _end_offset(pdir)
             cutoff = max(0, min(int(cutoff), end))
             for seg_start, count, path in _list_segments(pdir):
                 if seg_start + count <= cutoff:
+                    deleted += _count_lines(path)
                     os.unlink(path)
-                    deleted += count
                 elif seg_start < cutoff:
                     with open(path, encoding="utf-8") as f:
                         lines = [ln.rstrip("\n") for ln in f if ln.strip()]
@@ -398,7 +411,11 @@ class TopicLog:
                             keep.append(ln)
                     tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
                     with open(tmp, "w", encoding="utf-8") as f:
-                        f.write("\n".join(keep) + "\n")
+                        # a gapped compacted segment can have every survivor
+                        # below the cutoff; a lone "\n" would poison
+                        # _read_range's json.loads (compact() guards the
+                        # same case)
+                        f.write("\n".join(keep) + "\n" if keep else "")
                     # segment names carry the LOGICAL span (compacted
                     # segments are gapped: span >= line count), so end
                     # offsets never move
@@ -407,10 +424,10 @@ class TopicLog:
                     os.link(tmp, final)
                     os.unlink(tmp)
                     os.unlink(path)
-                    deleted += count - len(keep)
+                    deleted += len(lines) - len(keep)
                     kept += len(keep)
                 else:
-                    kept += count
+                    kept += _count_lines(path)
             if _end_offset(pdir) < end:
                 # everything was below the cutoff: leave an EMPTY segment at
                 # the cutoff (Kafka's empty active segment) so the log end
