@@ -100,19 +100,31 @@ def infer_schema_from_sample(spark: SparkSession, sample_values: Sequence[str]) 
     """Schema migration helper for schemaless topics: schema inferred from a
     bounded JSON sample via the JSON datasource's own cross-row schema merge
     (schema_of_json needs a single foldable literal, so it can't union a
-    sample). The sample is spooled to a temp JSONL file and read back —
-    inference is eager, so the file is removed as soon as the schema exists.
-    DataFrame-only: no RDD in the path (SURVEY §7.0)."""
-    import os
-    import tempfile
+    sample).
 
-    fd, path = tempfile.mkstemp(suffix=".jsonl")
-    try:
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            f.write("\n".join(sample_values))
-        schema = spark.read.json(path).schema
-    finally:
-        os.unlink(path)
+    Cluster-safe (ADVICE r6): the sample ships INSIDE the job via a
+    distributed dataset of strings — never a driver-local tempfile path,
+    which executors on a real cluster (or with fs.defaultFS=HDFS) cannot
+    resolve. Each value is compacted (``json.dumps(json.loads(v))``) first
+    so pretty-printed/multiline documents stay one logical record instead
+    of shattering into malformed JSONL lines; unparseable values pass
+    through untouched and surface as ``_corrupt_record``, same as the
+    decode path would classify them. The bounded driver-side sample is the
+    one sanctioned RDD use in the repo (SURVEY §7.0 exception): it is the
+    documented Spark API for multi-document JSON inference and the data is
+    O(sample), not O(topic)."""
+    import json
+
+    compacted = []
+    for v in sample_values:
+        try:
+            compacted.append(json.dumps(json.loads(v), ensure_ascii=False))
+        except ValueError:
+            compacted.append(v)
+    strings = spark.createDataFrame(
+        [(v,) for v in compacted], "value string"
+    ).rdd.map(lambda r: r[0])
+    schema = spark.read.json(strings).schema
     return schema.simpleString()[7:-1]  # strip struct<...> wrapper
 
 

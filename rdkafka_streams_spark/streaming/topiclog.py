@@ -128,6 +128,23 @@ def _count_lines(path: str) -> int:
         return sum(1 for ln in f if ln.strip())
 
 
+def _segment_record_count(path: str, span: int) -> int:
+    """Record count of a segment WITHOUT a full scan when possible: a dense
+    append segment's name count equals its line count by construction, so
+    only segments that can be gapped need a real count. Gapped segments are
+    exactly those whose records carry an explicit ``"o"`` offset field
+    (compact() and the trimmed-from-compacted path of delete_records() write
+    it; the append path never does), so one JSON parse of the first line
+    decides. Keeps delete_records at O(touched records), not O(partition)."""
+    with open(path, encoding="utf-8") as f:
+        first = f.readline()
+        if not first.strip():
+            return 0
+        if "o" not in json.loads(first):
+            return span
+        return 1 + sum(1 for ln in f if ln.strip())
+
+
 def _encode_line(
     key: bytes | None, value: bytes | None, ts_ms: int, off: int | None = None
 ) -> str:
@@ -248,6 +265,11 @@ def _seg_table(path: str, seg_start: int, start: int, end: int):
             pa.field("o", pa.int64()),
         ]
     )
+    if os.path.getsize(path) == 0:
+        # delete_records can leave a zero-record spanning/active segment
+        # (its name still carries the logical span); Arrow's JSON reader
+        # rejects empty input outright
+        return None
     tbl = pj.read_json(
         path,
         read_options=pj.ReadOptions(use_threads=False),
@@ -398,7 +420,7 @@ class TopicLog:
             cutoff = max(0, min(int(cutoff), end))
             for seg_start, count, path in _list_segments(pdir):
                 if seg_start + count <= cutoff:
-                    deleted += _count_lines(path)
+                    deleted += _segment_record_count(path, count)
                     os.unlink(path)
                 elif seg_start < cutoff:
                     with open(path, encoding="utf-8") as f:
@@ -427,7 +449,7 @@ class TopicLog:
                     deleted += len(lines) - len(keep)
                     kept += len(keep)
                 else:
-                    kept += _count_lines(path)
+                    kept += _segment_record_count(path, count)
             if _end_offset(pdir) < end:
                 # everything was below the cutoff: leave an EMPTY segment at
                 # the cutoff (Kafka's empty active segment) so the log end

@@ -86,6 +86,20 @@ def test_infer_schema_from_sample(spark):
     assert "count" in ddl and "source" in ddl
 
 
+def test_infer_schema_from_multiline_and_mixed_sample(spark):
+    """ADVICE r6: pretty-printed (embedded-newline) sample values must stay
+    one logical document each — cross-row merge still unions fields — and a
+    malformed value surfaces as _corrupt_record instead of shattering the
+    whole sample."""
+    pretty = '{\n  "count": 1,\n  "nested": {\n    "a": 2\n  }\n}'
+    ddl = infer_schema_from_sample(spark, [pretty, '{"source": "x"}'])
+    assert "count" in ddl and "nested" in ddl and "source" in ddl
+    assert "_corrupt_record" not in ddl
+
+    ddl_bad = infer_schema_from_sample(spark, [pretty, "not json at all"])
+    assert "count" in ddl_bad and "_corrupt_record" in ddl_bad
+
+
 # ------------------------------------------------- encode (Producer semantics)
 def test_encode_roundtrip_and_partition_routing(spark):
     df = spark.createDataFrame(

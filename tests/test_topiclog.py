@@ -860,3 +860,116 @@ def test_delete_records_truncates_and_preserves_offsets(spark, root):
     # offsets 4 (superseded -> gone), 5 (< cutoff -> deleted); survivors:
     # 6,7,8 originals + k4's latest at 9
     assert left == [(6, "v6"), (7, "v7"), (8, "v8"), (9, "v4b")]
+
+
+def test_delete_records_empty_spanning_segment_stays_readable(spark, root):
+    """VERDICT r6 regression (a): a tombstone-compacted TAIL gap means every
+    survivor of the spanning segment sits below the cutoff — the rewrite
+    must produce a readable EMPTY segment (no poison blank line), the end
+    offset must hold, and subsequent appends must land past it."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog, read_topic
+
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.append("t", [f"v{i}" for i in range(4)],
+               keys=[f"k{i}" for i in range(4)], partition=0)
+    # tombstone the two HIGHEST keys -> after compact the segment spans
+    # [0, 6) but its surviving records sit only at offsets 0 and 1
+    log.append("t", [None, None], keys=["k2", "k3"], partition=0)
+    log.compact("t")
+    stats = log.delete_records("t", {0: 3})  # cutoff inside the tail gap
+    assert stats == {"deleted": 2, "kept": 0}
+    assert log.end_offsets("t") == {0: 6}
+    assert read_topic(spark, root, "t").count() == 0  # readable, just empty
+    log.append("t", ["v6"], keys=["k6"], partition=0)
+    got = [(r["offset"], bytes(r["value"]).decode())
+           for r in read_topic(spark, root, "t").collect()]
+    assert got == [(6, "v6")]
+
+
+def test_delete_records_recovers_stale_cleaner_marker_first(spark, root):
+    """VERDICT r6 regression (b): a stale ``cleaner-`` marker (interrupted
+    compact swap) must be recovered BEFORE truncation, else the next
+    compact() resurrects the deleted records from the marker."""
+    import os
+
+    from rdkafka_streams_spark.streaming.topiclog import (
+        TopicLog,
+        _encode_line,
+        read_topic,
+    )
+
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.append("t", [f"v{i}" for i in range(6)],
+               keys=[f"k{i}" for i in range(6)], partition=0)
+    log.append("t", ["v0b"], keys=["k0"], partition=0)  # supersede k0 @6
+    pdir = os.path.join(root, "t", "p0")
+    # fabricate exactly what an interrupted compact() leaves behind: the
+    # complete compacted snapshot under the reader-invisible marker name,
+    # with the old segments still on disk
+    lines = [_encode_line(f"k{i}".encode(), f"v{i}".encode(), 1, off=i)
+             for i in range(1, 6)] + [_encode_line(b"k0", b"v0b", 1, off=6)]
+    with open(os.path.join(pdir, f"cleaner-{7:020d}.jsonl"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    log.delete_records("t", {0: 4})
+    log.compact("t")  # must NOT resurrect offsets 1-3 from the stale marker
+    got = sorted((r["offset"], bytes(r["value"]).decode())
+                 for r in read_topic(spark, root, "t").collect())
+    assert got == [(4, "v4"), (5, "v5"), (6, "v0b")]
+    assert log.end_offsets("t") == {0: 7}
+
+
+def test_delete_records_stats_are_record_accurate_on_gapped_segments(root):
+    """VERDICT r6 regression (c) + ADVICE r6: {deleted, kept} must equal
+    ACTUAL record counts even when compaction opened offset gaps (segment
+    names carry the logical span, which then exceeds the line count) — and
+    the count must come from the fast path (name count) for dense append
+    segments, falling back to a scan only for gapped ones."""
+    from rdkafka_streams_spark.streaming.topiclog import (
+        TopicLog,
+        _list_segments,
+        _segment_record_count,
+    )
+
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.append("t", [f"v{i}" for i in range(6)],
+               keys=[f"k{i}" for i in range(6)], partition=0)
+    log.append("t", [None, None], keys=["k0", "k1"], partition=0)  # tombstones
+    log.compact("t")  # seg-0-8, 4 records at offsets 2..5
+    log.append("t", [f"w{i}" for i in range(4)],
+               keys=[f"m{i}" for i in range(4)], partition=0)  # seg-8-4 dense
+    import os
+    pdir = os.path.join(root, "t", "p0")
+    spans = {s: (c, _segment_record_count(p, c)) for s, c, p in _list_segments(pdir)}
+    assert spans == {0: (8, 4), 8: (4, 4)}  # gapped scans, dense trusts name
+    # cutoff 0: nothing deleted; kept must be 8 actual records, not 12 spans
+    assert log.delete_records("t", {0: 0}) == {"deleted": 0, "kept": 8}
+    # cutoff 9: gapped seg fully below (4 actual records), dense seg trims 1
+    assert log.delete_records("t", {0: 9}) == {"deleted": 5, "kept": 3}
+    assert log.end_offsets("t") == {0: 12}
+
+
+def test_segment_record_count_fast_path(tmp_path):
+    """_segment_record_count: dense append segments return the name's count
+    WITHOUT scanning; gapped (explicit-"o") segments scan; empty files are 0;
+    payloads containing the literal string '"o"' don't fool the probe."""
+    import os
+
+    from rdkafka_streams_spark.streaming.topiclog import (
+        _encode_line,
+        _segment_record_count,
+    )
+
+    dense = str(tmp_path / "seg-00000000000000000000-3.jsonl")
+    with open(dense, "w") as f:
+        f.write("\n".join(_encode_line(b"k", b'has "o" inside', 1) for _ in range(3)) + "\n")
+    gapped = str(tmp_path / "seg-00000000000000000000-9.jsonl")
+    with open(gapped, "w") as f:
+        f.write("\n".join(_encode_line(b"k", b"v", 1, off=o) for o in (2, 5)) + "\n")
+    empty = str(tmp_path / "seg-00000000000000000005-0.jsonl")
+    open(empty, "w").close()
+    assert _segment_record_count(dense, 3) == 3
+    assert _segment_record_count(gapped, 9) == 2
+    assert _segment_record_count(empty, 0) == 0
