@@ -69,7 +69,8 @@ def main() -> None:
             rows[name] = n
 
     stream_rps = _stream_decode_throughput(spark)
-    produce_rps, consume_wall_rps, consume_best_rps = _topiclog_roundtrip_throughput(spark)
+    (produce_rps, consume_wall_rps, consume_best_rps,
+     consume_latency, produce_latency) = _topiclog_roundtrip_throughput(spark)
     calibration = _calibration_marker(spark)
 
     total = round(sum(times.values()), 3)
@@ -95,6 +96,13 @@ def main() -> None:
                 "topiclog_produce_wall_rows_per_sec": produce_rps,
                 "topiclog_consume_wall_rows_per_sec": consume_wall_rps,
                 "topiclog_consume_best_batch_rows_per_sec": consume_best_rps,
+                # per-micro-batch latency percentiles (nearest-rank over
+                # row-moving batches; durationMs from QueryProgress) — the
+                # latency dimension of the reference's 1 s delivery
+                # heartbeat (src/Producer.coffee:54-60). triggerExecution =
+                # full trigger incl. planning + WAL; addBatch = sink write.
+                "topiclog_consume_latency_ms": consume_latency,
+                "topiclog_produce_latency_ms": produce_latency,
             }
         )
     )
@@ -185,8 +193,14 @@ def _topiclog_roundtrip_throughput(spark, n: int = 400_000) -> tuple[int, int, i
     consume caps offsets per trigger so the rate comes from several
     sustained micro-batches, not one giant batch whose duration is mostly
     fixed per-batch engine overhead. Returns (produce_wall_rps,
-    consume_wall_rps, consume_best_batch_rps) — wall includes trigger idle
-    gaps, best-batch is the sustained per-micro-batch capability."""
+    consume_wall_rps, consume_best_batch_rps, consume_latency_pcts,
+    produce_latency_pcts) — wall includes trigger idle gaps, best-batch is
+    the sustained per-micro-batch capability, and the latency dicts carry
+    p50/p95 triggerExecution/addBatch millis (listeners.py
+    progress_latency_percentiles). Produce latencies come from a STREAMING
+    produce of the same records through the topiclog sink (the one-shot
+    batch produce that feeds the rps number has no micro-batches to
+    measure)."""
     import shutil
     import tempfile
     import time as _t
@@ -194,6 +208,7 @@ def _topiclog_roundtrip_throughput(spark, n: int = 400_000) -> tuple[int, int, i
     from pyspark.sql import functions as F
 
     from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+    from rdkafka_streams_spark.streaming.listeners import progress_latency_percentiles
 
     root = tempfile.mkdtemp(prefix="bench_topiclog")
     ck = tempfile.mkdtemp(prefix="bench_topiclog_ck")
@@ -253,8 +268,37 @@ def _topiclog_roundtrip_throughput(spark, n: int = 400_000) -> tuple[int, int, i
             if p["numInputRows"] and p["batchDuration"]
         ]
         consume_best = int(max(rates)) if rates else int(n / consume_s)
+        consume_latency = progress_latency_percentiles(q.recentProgress)
         shutdown(q, 60)
-        return int(n / produce_s), int(n / consume_s), consume_best
+
+        # streaming produce latency: the same record shape flows through
+        # the topiclog SINK in bounded micro-batches (file source), giving
+        # addBatch/triggerExecution a produce-side meaning
+        src = tempfile.mkdtemp(prefix="bench_topiclog_psrc")
+        ckp = tempfile.mkdtemp(prefix="bench_topiclog_ckp")
+        try:
+            spark.range(n // 4).select(
+                F.col("id").alias("count"), F.lit("origin").alias("source")
+            ).repartition(16).write.mode("overwrite").parquet(src)
+            TopicLog(root).create_topic("bench_latency", partitions=8)
+            stream = (
+                spark.readStream.schema("count long, source string")
+                .option("maxFilesPerTrigger", 2)  # ≥8 produce micro-batches
+                .parquet(src)
+            )
+            qp = KProducer(
+                host=root, topic="bench_latency", transport="topiclog",
+                checkpoint=ckp,
+            ).write(stream, trigger="0.1 seconds")
+            qp.processAllAvailable()
+            produce_latency = progress_latency_percentiles(qp.recentProgress)
+            shutdown(qp, 60)
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckp, ignore_errors=True)
+
+        return (int(n / produce_s), int(n / consume_s), consume_best,
+                consume_latency, produce_latency)
     finally:
         shutil.rmtree(root, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)

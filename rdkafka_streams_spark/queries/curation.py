@@ -4580,3 +4580,109 @@ def q269_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rate_effect_cents"),
     )
+
+
+# ----------------------------- Avro wire-format roundtrip (S1/S2/R3/R4)
+@query(
+    "q270_avro_roundtrip",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us
+FROM events GROUP BY event_type
+""",
+    tags=("S1", "S2", "R3", "R4", "codec"),
+)
+def q270_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO wire-format round trip through the transport (the q90 loop with
+    binary schema'd values instead of JSON): every event is encoded as an
+    Avro binary record — streaming/avro_codec.py, the spec-pinned pure-
+    Python codec standing in for the absent spark-avro datasource
+    (ENVPROBE_r07) — produced to a fresh topiclog topic, batch-consumed,
+    decoded through KConsumer's avro path (schema-first, nullable-union
+    fields, timestamp-micros logical type), and aggregated. The oracle is
+    the same rollup straight off the table: a lossless
+    encode→wire→decode loop must be invisible to the aggregate. At 100 TB
+    the codec is a map-side Arrow-batched pandas UDF — no shuffle is added
+    over the JSON path; the one aggregate shuffle carries 3 columns."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+    from rdkafka_streams_spark.streaming.avro_codec import spark_to_avro_schema
+    from rdkafka_streams_spark.streaming.consumer import KConsumer
+
+    root = tempfile.mkdtemp(prefix="q270_bus")
+    TopicLog(root).create_topic("ev_avro", partitions=4)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        "ts",
+    )
+    schema = spark_to_avro_schema(ev.schema, name="event")
+    KProducer(
+        host=root, topic="ev_avro", key="event_id", transport="topiclog",
+        value_format="avro", avro_schema=schema,
+    ).write_batch(ev)
+    raw = read_topic(spark, root, "ev_avro")
+    dec = KConsumer(
+        host=root, topic="ev_avro", schema=schema, value_format="avro",
+        transport="topiclog",
+    ).decode(raw)
+    return dec.groupBy(F.col("value.event_type").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("value.cents").cast("bigint").alias("cents"),
+        F.min(F.unix_micros("value.ts")).cast("bigint").alias("first_us"),
+    )
+
+
+@query(
+    "q271_avro_nested",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+       MIN(toks[1]) AS first_tok
+FROM t GROUP BY lang
+""",
+    tags=("S1", "S2", "R3", "R4", "codec"),
+)
+def q271_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro NESTED-type wire roundtrip: each document travels as a record
+    {doc_id, meta: {lang, source}, toks: array<string>} — nested record +
+    array under nullable unions, the shape a real Kafka estate's Avro
+    subjects actually have (flat q270 covers scalars + timestamps). Encode
+    → topiclog → decode → per-lang rollup reading THROUGH the nested
+    struct; the oracle computes the same rollup straight off the table, so
+    any corruption in union indices, block-encoded arrays, or nested field
+    order breaks the hash match. Same scale shape as q270: codec is
+    map-side, one rollup exchange."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+    from rdkafka_streams_spark.streaming.avro_codec import spark_to_avro_schema
+    from rdkafka_streams_spark.streaming.consumer import KConsumer
+
+    root = tempfile.mkdtemp(prefix="q271_bus")
+    TopicLog(root).create_topic("docs_avro", partitions=4)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct("lang", "source").alias("meta"),
+        F.split("text", " ").alias("toks"),
+    )
+    schema = spark_to_avro_schema(d.schema, name="doc")
+    KProducer(
+        host=root, topic="docs_avro", key="doc_id", transport="topiclog",
+        value_format="avro", avro_schema=schema,
+    ).write_batch(d)
+    dec = KConsumer(
+        host=root, topic="docs_avro", schema=schema, value_format="avro",
+        transport="topiclog",
+    ).decode(read_topic(spark, root, "docs_avro"))
+    return dec.groupBy(F.col("value.meta.lang").alias("lang")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size("value.toks")).cast("bigint").alias("n_tokens"),
+        F.min(F.col("value.toks")[0]).alias("first_tok"),
+    )

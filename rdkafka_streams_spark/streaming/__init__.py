@@ -9,6 +9,12 @@ from rdkafka_streams_spark.streaming.stateful import (
 from rdkafka_streams_spark.streaming.sinks import foreach_batch_overwrite, write_batch_overwrite
 from rdkafka_streams_spark.streaming.lifecycle import shutdown, shutdown_all
 from rdkafka_streams_spark.streaming.topiclog import TopicLog, TopicLogDataSource, read_topic
+from rdkafka_streams_spark.streaming.avro_codec import (
+    avro_functions,
+    from_avro_py,
+    spark_to_avro_schema,
+    to_avro_py,
+)
 
 __all__ = [
     "DeliveryListener",
@@ -28,4 +34,8 @@ __all__ = [
     "shutdown",
     "shutdown_all",
     "write_batch_overwrite",
+    "avro_functions",
+    "from_avro_py",
+    "spark_to_avro_schema",
+    "to_avro_py",
 ]

@@ -194,6 +194,9 @@ class KConsumer:
     #: in-repo durable log, streaming/topiclog.py — ``host`` is the log root
     #: dir). Same envelope either way; queries don't change.
     transport: str = "kafka"
+    #: value deserialization: "json" (src/Consumer.coffee:91) or "avro"
+    #: (streaming/avro_codec.py; ``schema`` is then the Avro schema JSON).
+    value_format: str = "json"
 
     def _topics(self) -> str:
         t = self.topic
@@ -247,4 +250,13 @@ class KConsumer:
         same columns)."""
         if self.schema is None:
             return raw
+        if self.value_format == "avro":
+            from rdkafka_streams_spark.streaming.avro_codec import from_avro_py
+
+            envelope = [c for c in raw.columns if c != "value"]
+            return raw.select(
+                *envelope,
+                F.octet_length(F.col("value")).alias("size"),
+                from_avro_py(F.col("value"), self.schema).alias("value"),
+            )
         return decode_values(raw, self.schema, self.mode)

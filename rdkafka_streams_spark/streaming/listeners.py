@@ -44,6 +44,43 @@ class DeliveryListener(StreamingQueryListener):
         return sum(self.totals.values())
 
 
+def progress_latency_percentiles(
+    progresses,
+    keys: tuple[str, ...] = ("triggerExecution", "addBatch"),
+    pcts: tuple[int, ...] = (50, 95),
+) -> dict[str, float | int]:
+    """Micro-batch latency percentiles from StreamingQuery progress events —
+    the latency analog of the reference Producer's 1 s delivery heartbeat
+    (src/Producer.coffee:54-60 reports COUNT per second; this reports how
+    LONG each delivery barrier took). ``progresses`` is ``recentProgress``
+    (dicts) or live ``StreamingQueryProgress`` objects; only batches that
+    moved rows count (idle ticks would flatter the numbers). Percentiles are
+    nearest-rank on the sorted durations — deterministic, no interpolation.
+    Returns {"<key>_p<pct>_ms": ..., "batches": n}."""
+    samples: dict[str, list[float]] = {k: [] for k in keys}
+    n = 0
+    for p in progresses:
+        if not isinstance(p, dict):
+            import json as _json
+
+            p = _json.loads(p.json)
+        if not p.get("numInputRows"):
+            continue
+        n += 1
+        dur = p.get("durationMs") or {}
+        for k in keys:
+            if k in dur:
+                samples[k].append(float(dur[k]))
+    out: dict[str, float | int] = {"batches": n}
+    for k, vals in samples.items():
+        vals.sort()
+        for pct in pcts:
+            if vals:
+                idx = max(0, -(-pct * len(vals) // 100) - 1)  # nearest-rank
+                out[f"{k}_p{pct}_ms"] = vals[idx]
+    return out
+
+
 def with_observed_count(df, name: str = "delivered"):
     """Attach an in-plan observation (``df.observe``): the engine aggregates
     the metric DURING the batch (no extra pass) and reports it in

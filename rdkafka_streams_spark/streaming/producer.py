@@ -30,13 +30,33 @@ def encode_records(
     df: DataFrame,
     key: str | Column | None = None,
     partition: str | None = None,
+    value_format: str = "json",
+    avro_schema: str | None = None,
 ) -> DataFrame:
-    """Record → Kafka sink frame: JSON-encode all payload columns into
-    ``value`` (the JSON.stringify analog), optionally keeping a key and an
-    explicit partition column (intended semantics of src/Producer.coffee:71).
-    """
+    """Record → Kafka sink frame: serialize all payload columns into
+    ``value``, optionally keeping a key and an explicit partition column
+    (intended semantics of src/Producer.coffee:71).
+
+    ``value_format="json"`` is the reference's JSON.stringify analog
+    (JVM-side ``to_json``). ``"avro"`` emits Avro binary records via
+    streaming/avro_codec.py — schema auto-derived from the payload columns
+    when ``avro_schema`` is None (spark-avro SchemaConverters rule:
+    nullable fields → ``["null", T]`` unions)."""
     payload = [c for c in df.columns if c != partition]
-    out = [F.to_json(F.struct(*payload)).alias("value")]
+    if value_format == "avro":
+        from rdkafka_streams_spark.streaming.avro_codec import (
+            spark_to_avro_schema,
+            to_avro_py,
+        )
+
+        schema = avro_schema or spark_to_avro_schema(
+            df.select(*payload).schema, name="value"
+        )
+        out = [to_avro_py(F.struct(*payload), schema).alias("value")]
+    elif value_format == "json":
+        out = [F.to_json(F.struct(*payload)).alias("value")]
+    else:
+        raise ValueError(f"unknown value_format {value_format!r}")
     if key is not None:
         k = F.col(key) if isinstance(key, str) else key
         out.insert(0, k.cast("string").alias("key"))
@@ -67,10 +87,21 @@ class KProducer:
     #: "kafka" (production) or "topiclog" (in-repo durable log; ``host`` is
     #: the log root dir). Identical sink contract (value/key/partition cols).
     transport: str = "kafka"
+    #: value serialization: "json" (reference-faithful) or "avro" (binary
+    #: records via streaming/avro_codec.py; schema auto-derived when
+    #: ``avro_schema`` is None).
+    value_format: str = "json"
+    avro_schema: str | None = None
 
     def encode(self, df: DataFrame) -> DataFrame:
         """The pure serialization stage (broker-free testable seam)."""
-        return encode_records(df, key=self.key, partition=self.partition_col)
+        return encode_records(
+            df,
+            key=self.key,
+            partition=self.partition_col,
+            value_format=self.value_format,
+            avro_schema=self.avro_schema,
+        )
 
     def _sink_format(self, df: DataFrame):
         if self.transport == "topiclog":

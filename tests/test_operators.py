@@ -254,10 +254,14 @@ def test_detect_language_cache_hygiene(spark, sf_dir):
     assert eager == legacy
     spark.catalog.clearCache()  # release the legacy path's deliberate persist
 
+    # delta-based: other tests in the session may hold their own legitimate
+    # persists; the contract here is that q57 itself adds NONE
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     rows = q57_lang_confusion(spark, sf_dir).collect()
     assert rows
-    assert spark.sparkContext._jsc.getPersistentRDDs().isEmpty(), (
-        "q57 pinned a session cache after materialization"
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, (
+        f"q57 pinned a session cache after materialization: {after - before}"
     )
 
 

@@ -274,6 +274,11 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q257_data_contract": 6,
         # ALL four PIT features share ONE (user, time) window sort
         "q258_pit_features": 1,
+        # avro encode/decode are map-side pandas UDFs; the only exchange
+        # is the event_type rollup over the consumed topic
+        "q270_avro_roundtrip": 1,
+        # nested-record/array variant, same single-rollup shape
+        "q271_avro_nested": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

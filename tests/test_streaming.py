@@ -737,3 +737,29 @@ def test_session_windows_stateful_cross_batch(spark, tmp_path):
         for r in spark.table("sess_out").collect()
     }
     assert got == {("a", 0, 80, 3), ("a", 300, 300, 1), ("b", 10, 10, 1)}
+
+
+def test_progress_latency_percentiles_nearest_rank():
+    """VERDICT r6 item 5: p50/p95 extraction from QueryProgress dicts —
+    nearest-rank percentiles over row-moving batches only; idle ticks and
+    missing duration keys are skipped, not zero-filled."""
+    from rdkafka_streams_spark.streaming.listeners import progress_latency_percentiles
+
+    progresses = [
+        {"numInputRows": 10,
+         "durationMs": {"triggerExecution": ms, "addBatch": ms - 5}}
+        for ms in (10, 20, 30, 40, 50, 60, 70, 80, 90, 100)
+    ]
+    progresses.insert(3, {"numInputRows": 0,
+                          "durationMs": {"triggerExecution": 9999}})  # idle tick
+    progresses.append({"numInputRows": 5, "durationMs": {}})  # no durations
+    got = progress_latency_percentiles(progresses)
+    assert got["batches"] == 11  # 10 with durations + 1 without, idle excluded
+    # nearest-rank over [10..100]: p50 = 5th value = 50, p95 = 10th = 100
+    assert got["triggerExecution_p50_ms"] == 50.0
+    assert got["triggerExecution_p95_ms"] == 100.0
+    assert got["addBatch_p50_ms"] == 45.0
+    assert got["addBatch_p95_ms"] == 95.0
+
+    empty = progress_latency_percentiles([])
+    assert empty == {"batches": 0}
