@@ -4686,3 +4686,151 @@ def q271_avro_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size("value.toks")).cast("bigint").alias("n_tokens"),
         F.min(F.col("value.toks")[0]).alias("first_tok"),
     )
+
+
+# ----------------------------- consumer-group lag monitoring (S4/F7)
+@query(
+    "q272_consumer_lag",
+    oracle="""
+WITH p AS (
+  SELECT CAST(event_id % 4 AS INTEGER) AS partition,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1)
+SELECT partition,
+       n AS end_offset,
+       CASE WHEN partition < 3 THEN CAST((3 * n) // 5 AS BIGINT) END AS committed,
+       n - COALESCE(CASE WHEN partition < 3 THEN CAST((3 * n) // 5 AS BIGINT) END,
+                    0) AS lag
+FROM p
+""",
+    tags=("S4", "F7", "T-streaming"),
+)
+def q272_consumer_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-GROUP LAG monitoring — librdkafka's statistics callback
+    reports per-partition ``consumer_lag`` and the committed/position
+    offsets behind it (the reference's Consumer rides those semantics via
+    auto-commit; its delivery heartbeat src/Producer.coffee:54-60 is the
+    producer-side twin). TopicLog now carries the __consumer_offsets
+    analog (commit_offsets/committed, atomic JSON per group under
+    <root>/.groups): events are produced partitioned by event_id%4, a
+    group commits exactly 3n/5 of partitions 0-2 and never touches p3,
+    and consumer_lag() reports end_offset/committed/lag per partition —
+    the uncommitted partition shows committed NULL and lags by its whole
+    log, the earliest-reset posture. The oracle reconstructs all three
+    relationally from the table. Lag state is metadata-sized (one row per
+    partition, regardless of data volume), so the driver-side build is
+    the honest 100 TB shape — the log scan behind end_offsets reads
+    segment NAMES, not records."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog
+
+    root = tempfile.mkdtemp(prefix="q272_bus")
+    n_parts = 4
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=n_parts)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod("event_id", F.lit(n_parts)).cast("int").alias("__tp"),
+    )
+    KProducer(
+        host=root, topic="ev", key="event_id", partition_col="__tp",
+        transport="topiclog",
+    ).write_batch(ev)
+    ends = log.end_offsets("ev")
+    log.commit_offsets(
+        "graft-group", "ev",
+        {pid: (3 * end) // 5 for pid, end in ends.items() if pid < 3},
+    )
+    lag = log.consumer_lag("graft-group", "ev")
+    return spark.createDataFrame(
+        [
+            (pid, v["end_offset"], v["committed"], v["lag"])
+            for pid, v in sorted(lag.items())
+        ],
+        "partition int, end_offset bigint, committed bigint, lag bigint",
+    )
+
+
+# ----------------------------- seek by timestamp (S4: offsetsForTimes)
+@query(
+    "q273_seek_by_timestamp",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(user_id % 4 AS INTEGER) AS p
+  FROM events),
+r AS (
+  SELECT p, event_id, ts_us,
+         ROW_NUMBER() OVER (PARTITION BY p ORDER BY ts_us, event_id) - 1 AS off
+  FROM e)
+SELECT p AS partition,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(off) AS BIGINT) AS first_offset,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM r WHERE ts_us >= 1705708800000000
+GROUP BY p
+""",
+    tags=("S4", "S1", "T-streaming"),
+)
+def q273_seek_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEEK-BY-TIMESTAMP (``Consumer.offsetsForTimes`` → the Kafka source's
+    ``startingTimestamp``): events are produced with their EVENT TIME as the
+    record's CreateTime (the sink's ``timestamp`` column, new alongside
+    key/partition), partition-ordered by (ts, event_id) so CreateTime is
+    monotonic per partition; the consumer then starts from epoch-ms
+    2024-01-20T00:00:00Z via ``from_timestamp`` — resolved driver-side
+    through TopicLog.offsets_for_times exactly like the real source's
+    offsetsForTimes lookup. Under monotonic CreateTime, seek ≡ filter, so
+    the oracle reconstructs the consumed set relationally and MIN(offset)
+    per partition must equal the count of records before the cutoff — the
+    value-level proof that the seek landed on the EARLIEST qualifying
+    offset rather than merely filtering. ms-vs-µs is exact: the cutoff is
+    whole-second, so floor-to-ms record stamps qualify iff the µs event
+    time does. The time→offset resolution reads O(records before the
+    cutoff) driver-side at build, the same metadata walk a broker's time
+    index does."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+
+    root = tempfile.mkdtemp(prefix="q273_bus")
+    ck = tempfile.mkdtemp(prefix="q273_ck")
+    n_parts = 4
+    TopicLog(root).create_topic("ev", partitions=n_parts)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("ts_us")
+    )
+    seed = (
+        ev.withColumn("__tp", F.pmod("user_id", F.lit(n_parts)).cast("int"))
+        .repartition(n_parts, "__tp")
+        .sortWithinPartitions("ts_us", "event_id")
+        .select("event_id", "user_id", "ts", "__tp")
+    )
+    KProducer(
+        host=root, topic="ev", key="user_id", partition_col="__tp",
+        timestamp_col="ts", transport="topiclog",
+    ).write_batch(seed)
+    c = KConsumer(
+        host=root, topic="ev", from_timestamp=1705708800000,  # 2024-01-20Z
+        schema="event_id long, user_id long", transport="topiclog",
+    )
+    dec = c.stream(spark).select(
+        "partition", "offset", F.col("value.event_id").alias("event_id")
+    )
+    name = "q273_rows"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        dec.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    shutdown(q, 60)
+    return spark.table(name).groupBy("partition").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("offset").cast("bigint").alias("first_offset"),
+        F.sum("event_id").cast("bigint").alias("sum_event_id"),
+    )

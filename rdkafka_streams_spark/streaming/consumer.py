@@ -185,6 +185,11 @@ class KConsumer:
     #: per-partition JSON form '{"topic": {"0": 23, "1": -2}}' (-2 earliest,
     #: -1 latest) — honored by both transports.
     from_offset: str = "latest"
+    #: seek-by-time (``Consumer.offsetsForTimes`` / the Kafka source's
+    #: ``startingTimestamp``): epoch-ms; overrides ``from_offset``. A
+    #: partition with no record at/after the timestamp starts at LATEST
+    #: (the Kafka source's startingOffsetsByTimestampStrategy="latest").
+    from_timestamp: int | None = None
     pattern: bool = False  # subscribe to a topic regex instead of a list
     schema: StructType | str | None = None
     mode: str = "FAILFAST"
@@ -208,11 +213,27 @@ class KConsumer:
             from rdkafka_streams_spark.streaming import topiclog
 
             topiclog.register(spark)
+            starting = self.from_offset
+            if self.from_timestamp is not None:
+                # resolve time → offsets at build, like the Kafka source's
+                # driver-side offsetsForTimes lookup behind startingTimestamp
+                import json as _json
+
+                log = topiclog.TopicLog(self.host)
+                starting = _json.dumps({
+                    t: {
+                        str(pid): (-1 if off is None else off)
+                        for pid, off in log.offsets_for_times(
+                            t, self.from_timestamp
+                        ).items()
+                    }
+                    for t in self._topics().split(",")
+                })
             reader = (
                 spark.readStream.format(topiclog.FORMAT_NAME)
                 .option("path", self.host)
                 .option("subscribePattern" if self.pattern else "subscribe", self._topics())
-                .option("startingOffsets", self.from_offset)
+                .option("startingOffsets", starting)
             )
             if self.batch_size is not None:
                 reader = reader.option("batchSize", str(self.batch_size))
@@ -223,8 +244,13 @@ class KConsumer:
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", self.host)
             .option("subscribePattern" if self.pattern else "subscribe", self._topics())
-            .option("startingOffsets", self.from_offset)
         )
+        if self.from_timestamp is not None:
+            reader = reader.option(
+                "startingTimestamp", str(self.from_timestamp)
+            ).option("startingOffsetsByTimestampStrategy", "latest")
+        else:
+            reader = reader.option("startingOffsets", self.from_offset)
         if self.group_id:
             reader = reader.option("kafka.group.id", self.group_id)
         if self.batch_size is not None:

@@ -32,6 +32,7 @@ def encode_records(
     partition: str | None = None,
     value_format: str = "json",
     avro_schema: str | None = None,
+    timestamp: str | None = None,
 ) -> DataFrame:
     """Record → Kafka sink frame: serialize all payload columns into
     ``value``, optionally keeping a key and an explicit partition column
@@ -41,8 +42,13 @@ def encode_records(
     (JVM-side ``to_json``). ``"avro"`` emits Avro binary records via
     streaming/avro_codec.py — schema auto-derived from the payload columns
     when ``avro_schema`` is None (spark-avro SchemaConverters rule:
-    nullable fields → ``["null", T]`` unions)."""
-    payload = [c for c in df.columns if c != partition]
+    nullable fields → ``["null", T]`` unions).
+
+    ``timestamp`` names a column to carry as the record's CreateTime (the
+    Kafka sink's optional ``timestamp`` column; both transports honor it —
+    ``offsetsForTimes`` / ``startingTimestamp`` seek against it). It stays
+    OUT of the serialized value, like key and partition."""
+    payload = [c for c in df.columns if c not in (partition, timestamp)]
     if value_format == "avro":
         from rdkafka_streams_spark.streaming.avro_codec import (
             spark_to_avro_schema,
@@ -62,6 +68,8 @@ def encode_records(
         out.insert(0, k.cast("string").alias("key"))
     if partition is not None:
         out.append(F.col(partition).cast("int").alias("partition"))
+    if timestamp is not None:
+        out.append(F.col(timestamp).cast("timestamp").alias("timestamp"))
     return df.select(*out)
 
 
@@ -92,6 +100,9 @@ class KProducer:
     #: ``avro_schema`` is None).
     value_format: str = "json"
     avro_schema: str | None = None
+    #: column carried as the record's CreateTime (``offsetsForTimes`` /
+    #: ``startingTimestamp`` seek against it); default: produce wall-clock.
+    timestamp_col: str | None = None
 
     def encode(self, df: DataFrame) -> DataFrame:
         """The pure serialization stage (broker-free testable seam)."""
@@ -101,6 +112,7 @@ class KProducer:
             partition=self.partition_col,
             value_format=self.value_format,
             avro_schema=self.avro_schema,
+            timestamp=self.timestamp_col,
         )
 
     def _sink_format(self, df: DataFrame):

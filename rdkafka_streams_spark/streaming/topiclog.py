@@ -392,6 +392,110 @@ class TopicLog:
             for pid in _list_partitions(self.root, topic)
         }
 
+    # ------------------------------------------------- consumer-group offsets
+    # The __consumer_offsets analog: committed positions per
+    # (group, topic, partition), durable beside the log. librdkafka exposes
+    # the same triple through committed()/position() and its statistics
+    # callback's per-partition ``consumer_lag`` — the reference's Consumer
+    # rides those semantics implicitly via auto-commit. Files live under
+    # <root>/.groups/<group>/<topic>.json (dot-dir: invisible to topics()),
+    # written atomically (tmp + os.replace) so a crashed committer leaves
+    # the previous generation readable, like the compacted
+    # __consumer_offsets topic always holding the last whole record.
+
+    def _group_file(self, group: str, topic: str) -> str:
+        if not group or group.startswith(".") or "/" in group:
+            raise ValueError(f"invalid group id {group!r}")
+        return os.path.join(self.root, ".groups", group, f"{topic}.json")
+
+    def commit_offsets(self, group: str, topic: str, offsets: dict[int, int]) -> None:
+        """Merge ``{partition: offset}`` into the group's committed state.
+        Offsets are positions-to-resume-from (the NEXT offset to read, like
+        Kafka's commit contract), validated non-negative; partitions not in
+        ``offsets`` keep their previous commit. Rewinds are allowed —
+        committing a lower offset is how a group replays, same as
+        ``commitSync`` with an earlier position."""
+        for pid, off in offsets.items():
+            if int(off) < 0:
+                raise ValueError(f"negative offset {off} for partition {pid}")
+        path = self._group_file(group, topic)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        cur = self.committed(group, topic)
+        cur.update({int(p): int(o) for p, o in offsets.items()})
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({str(p): o for p, o in sorted(cur.items())}, f)
+        os.replace(tmp, path)
+
+    def committed(self, group: str, topic: str) -> dict[int, int]:
+        """The group's committed ``{partition: offset}`` (empty when the
+        group has never committed for this topic — a fresh group, which
+        Kafka resolves through auto.offset.reset)."""
+        path = self._group_file(group, topic)
+        if not os.path.exists(path):
+            return {}
+        with open(path, encoding="utf-8") as f:
+            return {int(p): int(o) for p, o in json.load(f).items()}
+
+    def groups(self) -> list[str]:
+        gdir = os.path.join(self.root, ".groups")
+        if not os.path.isdir(gdir):
+            return []
+        return sorted(
+            d for d in os.listdir(gdir)
+            if os.path.isdir(os.path.join(gdir, d))
+        )
+
+    def offsets_for_times(
+        self, topic: str, ts_ms: int | dict[int, int]
+    ) -> dict[int, int | None]:
+        """``Consumer.offsetsForTimes`` analog: per partition, the EARLIEST
+        offset whose record timestamp is >= the target (Kafka's contract for
+        both CreateTime and LogAppendTime logs), or None when every record —
+        or no record — precedes the target (Kafka returns null there; the
+        caller picks a reset strategy). ``ts_ms`` is one epoch-ms target for
+        all partitions or ``{partition: ts_ms}``. Scans records in offset
+        order with early exit — O(records before the match), the same
+        coarse-to-fine walk a broker does from its sparse time index; a
+        seek near the head costs little, a seek near the tail reads the
+        partition once, driver-side, as a metadata operation should."""
+        out: dict[int, int | None] = {}
+        for pid in _list_partitions(self.root, topic):
+            target = ts_ms.get(pid) if isinstance(ts_ms, dict) else ts_ms
+            if target is None:
+                continue
+            found = None
+            pdir = _part_dir(self.root, topic, pid)
+            for seg_start, count, path in _list_segments(pdir):
+                with open(path, encoding="utf-8") as f:
+                    for i, ln in enumerate(ln for ln in f if ln.strip()):
+                        rec = json.loads(ln)
+                        if rec["ts"] >= int(target):
+                            found = rec.get("o", seg_start + i)
+                            break
+                if found is not None:
+                    break
+            out[pid] = found
+        return out
+
+    def consumer_lag(self, group: str, topic: str) -> dict[int, dict]:
+        """Per-partition ``{end_offset, committed, lag}`` — librdkafka's
+        statistics-callback ``consumer_lag`` computed from durable state:
+        lag = end_offset − committed, with an uncommitted partition lagging
+        by the whole log (committed None, the earliest-reset posture).
+        Metadata-sized output (one row per partition), driver-side by
+        design."""
+        ends = self.end_offsets(topic)
+        comm = self.committed(group, topic)
+        return {
+            pid: {
+                "end_offset": end,
+                "committed": comm.get(pid),
+                "lag": end - comm.get(pid, 0),
+            }
+            for pid, end in ends.items()
+        }
+
     def delete_records(self, topic: str, before: dict[int, int]) -> dict[str, int]:
         """Kafka ``AdminClient.deleteRecords`` analog: per partition, drop
         every record with offset < ``before[pid]`` (the retention /
@@ -465,9 +569,12 @@ class TopicLog:
         values: Sequence[bytes | str],
         keys: Sequence[bytes | str | None] | None = None,
         partition: int | None = None,
+        timestamps: Sequence[int] | None = None,
     ) -> None:
         """Append records, routing by explicit partition, else hash(key),
-        else hash(value) — deterministic, like keyed Kafka producing."""
+        else hash(value) — deterministic, like keyed Kafka producing.
+        ``timestamps`` (epoch ms per record) sets CreateTime; default is
+        the produce wall-clock (LogAppendTime)."""
         pids = _list_partitions(self.root, topic) or [0]
         by_pid: dict[int, list[str]] = {}
         ts = int(time.time() * 1000)
@@ -477,8 +584,9 @@ class TopicLog:
             kb = k.encode() if isinstance(k, str) else k
             if vb is None and kb is None:
                 raise ValueError("tombstone (None value) requires a key")
+            rts = int(timestamps[i]) if timestamps is not None else ts
             pid = partition if partition is not None else _route(kb, vb, len(pids))
-            by_pid.setdefault(pids[pid % len(pids)], []).append(_encode_line(kb, vb, ts))
+            by_pid.setdefault(pids[pid % len(pids)], []).append(_encode_line(kb, vb, rts))
         for pid, lines in by_pid.items():
             _publish_segment(_part_dir(self.root, topic, pid), lines)
 
@@ -772,10 +880,12 @@ def _stage_rows(
     bucket. Nothing becomes visible until driver-side commit links it in."""
     n_parts = len(_list_partitions(root, topic)) or 1
     has_key, has_part = "key" in fields, "partition" in fields
+    has_ts = "timestamp" in fields
     ts = int(time.time() * 1000)
     by_pid: dict[int, list[str]] = {}
     for row in rows:
         v = row["value"]
+        rts = _to_epoch_ms(row["timestamp"], ts) if has_ts else ts
         kb = None
         if has_key and row["key"] is not None:
             k = row["key"]
@@ -797,8 +907,22 @@ def _stage_rows(
             pid = int(row["partition"]) % n_parts
         else:
             pid = _route(kb, vb, n_parts)
-        by_pid.setdefault(pid, []).append(_encode_line(kb, vb, ts))
+        by_pid.setdefault(pid, []).append(_encode_line(kb, vb, rts))
     return _write_staged(root, topic, by_pid)
+
+
+def _to_epoch_ms(v, default_ms: int) -> int:
+    """Producer-supplied record timestamp → epoch millis (the Kafka sink's
+    optional ``timestamp`` column: CreateTime semantics). Accepts datetime
+    (tz-aware or naive-UTC), int/float epoch ms, or None (falls back to the
+    batch's produce wall-clock, Kafka's broker-side LogAppendTime)."""
+    if v is None:
+        return default_ms
+    if isinstance(v, (int, float)):
+        return int(v)
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=timezone.utc)
+    return int(v.timestamp() * 1000)
 
 
 def _write_staged(root: str, topic: str, by_pid: dict[int, list[str]]) -> _Staged:
@@ -823,6 +947,7 @@ def _stage_batches(
     record by format, but runs over local bindings only."""
     n_parts = len(_list_partitions(root, topic)) or 1
     has_key, has_part = "key" in fields, "partition" in fields
+    has_ts = "timestamp" in fields
     ts = int(time.time() * 1000)
     by_pid: dict[int, list[str]] = {}
     enc = _encode_line
@@ -832,6 +957,7 @@ def _stage_batches(
         cols = {name: batch.column(i) for i, name in enumerate(names)}
         vals = cols["value"].to_pylist()
         keys = cols["key"].to_pylist() if has_key else None
+        tss = cols["timestamp"].to_pylist() if has_ts else None
         parts = cols["partition"].to_pylist() if has_part else None
         for i, v in enumerate(vals):
             kb = keys[i] if keys is not None else None
@@ -854,7 +980,7 @@ def _stage_batches(
             bucket = by_pid.get(pid)
             if bucket is None:
                 bucket = by_pid[pid] = []
-            bucket.append(enc(kb, vb, ts))
+            bucket.append(enc(kb, vb, _to_epoch_ms(tss[i], ts) if tss else ts))
     return _write_staged(root, topic, by_pid)
 
 

@@ -279,6 +279,12 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q270_avro_roundtrip": 1,
         # nested-record/array variant, same single-rollup shape
         "q271_avro_nested": 1,
+        # lag state is metadata-sized (one row per partition): the returned
+        # frame is a driver-local table, zero exchanges by design
+        "q272_consumer_lag": 0,
+        # seek resolved driver-side; the consumed memory table needs one
+        # rollup exchange
+        "q273_seek_by_timestamp": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

@@ -973,3 +973,111 @@ def test_segment_record_count_fast_path(tmp_path):
     assert _segment_record_count(dense, 3) == 3
     assert _segment_record_count(gapped, 9) == 2
     assert _segment_record_count(empty, 0) == 0
+
+
+def test_group_offsets_commit_fetch_roundtrip(tmp_path):
+    """__consumer_offsets analog: commit/fetch roundtrip, per-partition
+    merge across commits, rewind allowed, fresh group empty."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=3)
+    assert log.committed("g1", "t") == {}
+    assert log.groups() == []
+
+    log.commit_offsets("g1", "t", {0: 10, 1: 20})
+    assert log.committed("g1", "t") == {0: 10, 1: 20}
+    # merge: a later commit for p2 keeps p0/p1
+    log.commit_offsets("g1", "t", {2: 5})
+    assert log.committed("g1", "t") == {0: 10, 1: 20, 2: 5}
+    # rewind is a replay, not an error (commitSync with an earlier position)
+    log.commit_offsets("g1", "t", {0: 3})
+    assert log.committed("g1", "t")[0] == 3
+    # groups are isolated
+    log.commit_offsets("g2", "t", {0: 99})
+    assert log.committed("g1", "t")[0] == 3
+    assert log.groups() == ["g1", "g2"]
+    # the dot-dir holding group state is not a topic
+    assert log.topics() == ["t"]
+    # no stray tmp files from the atomic writes
+    gdir = tmp_path / ".groups" / "g1"
+    assert not [p for p in gdir.iterdir() if ".tmp-" in p.name]
+
+
+def test_group_offsets_validation(tmp_path):
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t")
+    with pytest.raises(ValueError, match="negative"):
+        log.commit_offsets("g", "t", {0: -1})
+    for bad in ("", ".hidden", "a/b"):
+        with pytest.raises(ValueError, match="invalid group"):
+            log.commit_offsets(bad, "t", {0: 0})
+
+
+def test_consumer_lag_per_partition(tmp_path):
+    """lag = end - committed; an uncommitted partition lags by its whole
+    log with committed None (earliest-reset posture)."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=2)
+    log.append("t", [b"a", b"b", b"c"], partition=0)
+    log.append("t", [b"x", b"y"], partition=1)
+    log.commit_offsets("g", "t", {0: 2})
+    lag = log.consumer_lag("g", "t")
+    assert lag[0] == {"end_offset": 3, "committed": 2, "lag": 1}
+    assert lag[1] == {"end_offset": 2, "committed": None, "lag": 2}
+    # fully caught-up after committing the ends
+    log.commit_offsets("g", "t", {0: 3, 1: 2})
+    assert all(v["lag"] == 0 for v in log.consumer_lag("g", "t").values())
+
+
+def test_offsets_for_times(tmp_path):
+    """Kafka offsetsForTimes contract: earliest offset with record ts >=
+    target; None when every record precedes the target or the partition is
+    empty; non-monotonic CreateTime still returns the EARLIEST qualifying
+    offset, not the first in time order."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=3)
+    log.append("t", [b"a", b"b", b"c", b"d"], partition=0,
+               timestamps=[100, 200, 300, 400])
+    # non-monotonic CreateTime on p1: offsets 0..3 carry 100, 500, 150, 600
+    log.append("t", [b"w", b"x", b"y", b"z"], partition=1,
+               timestamps=[100, 500, 150, 600])
+    # p2 stays empty
+
+    assert log.offsets_for_times("t", 250) == {0: 2, 1: 1, 2: None}
+    assert log.offsets_for_times("t", 100) == {0: 0, 1: 0, 2: None}
+    # beyond every record -> None everywhere (caller picks reset strategy)
+    assert log.offsets_for_times("t", 10_000) == {0: None, 1: None, 2: None}
+    # per-partition targets; unlisted partitions are omitted
+    assert log.offsets_for_times("t", {0: 400, 1: 501}) == {0: 3, 1: 3}
+
+
+def test_sink_timestamp_column_create_time(spark, tmp_path):
+    """The sink's optional ``timestamp`` column (Kafka CreateTime): read
+    back, the envelope's timestamp equals the produced event time, not the
+    produce wall-clock; offsets_for_times seeks against it."""
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+
+    root = str(tmp_path / "bus")
+    TopicLog(root).create_topic("t", partitions=1)
+    df = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00"), (2, "2024-01-10 00:00:00"),
+         (3, "2024-01-20 00:00:00")],
+        "id long, evt string",
+    ).select("id", F.to_timestamp("evt").alias("evt"))
+    KProducer(
+        host=root, topic="t", transport="topiclog", timestamp_col="evt",
+    ).write_batch(df.repartition(1).sortWithinPartitions("id"))
+    got = {
+        r["offset"]: r["timestamp"].strftime("%Y-%m-%d")
+        for r in read_topic(spark, root, "t").collect()
+    }
+    assert got == {0: "2024-01-05", 1: "2024-01-10", 2: "2024-01-20"}
+    cutoff_ms = 1704931200000  # 2024-01-11 UTC
+    assert TopicLog(root).offsets_for_times("t", cutoff_ms) == {0: 2}
