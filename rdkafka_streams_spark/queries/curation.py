@@ -4834,3 +4834,67 @@ def q273_seek_by_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("offset").cast("bigint").alias("first_offset"),
         F.sum("event_id").cast("bigint").alias("sum_event_id"),
     )
+
+
+# ----------------------------- record headers over the wire (S1/S2)
+@query(
+    "q274_headers_routing",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM events GROUP BY event_type
+""",
+    tags=("S1", "S2", "F7"),
+)
+def q274_headers_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECORD HEADERS over the wire (the Kafka sink/source's optional
+    ``headers array<struct<key,value>>`` column, librdkafka's
+    ``RdKafka::Headers``): every event travels with its routing metadata in
+    HEADERS — ``et`` = event_type, ``src`` = constant provenance — while
+    the serialized value carries only event_id. The consumer reads with
+    includeHeaders and aggregates BY THE HEADER value (filter the header
+    list for ``et``, cast its bytes to string), so any corruption of
+    header order, duplication, or bytes breaks the rollup against the
+    table-side oracle. Headers take the row-parse path by design (no
+    zero-copy JSONL parse for list<struct> with per-record null semantics;
+    Kafka's own includeHeaders default is false for the same
+    reason) — the fast path stays untouched for header-free topics. One
+    rollup exchange; header extraction is a map-side higher-order
+    function, JVM-side."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+    from rdkafka_streams_spark.streaming.consumer import KConsumer
+
+    root = tempfile.mkdtemp(prefix="q274_bus")
+    TopicLog(root).create_topic("ev", partitions=4)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.array(
+            F.struct(F.lit("et").alias("key"),
+                     F.col("event_type").cast("binary").alias("value")),
+            F.struct(F.lit("src").alias("key"),
+                     F.lit("events").cast("binary").alias("value")),
+        ).alias("hdr"),
+    )
+    KProducer(
+        host=root, topic="ev", key="event_id", headers_col="hdr",
+        transport="topiclog",
+    ).write_batch(ev)
+    raw = read_topic(spark, root, "ev", include_headers=True)
+    dec = KConsumer(
+        host=root, topic="ev", schema="event_id long", transport="topiclog",
+    ).decode(raw)
+    et = F.filter("headers", lambda h: h["key"] == F.lit("et"))[0]["value"]
+    return (
+        dec.select(
+            F.col("value.event_id").alias("event_id"),
+            et.cast("string").alias("event_type"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+        )
+    )

@@ -191,6 +191,9 @@ class KConsumer:
     #: (the Kafka source's startingOffsetsByTimestampStrategy="latest").
     from_timestamp: int | None = None
     pattern: bool = False  # subscribe to a topic regex instead of a list
+    #: Kafka source includeHeaders: envelope grows a
+    #: headers array<struct<key,value>> column (ordered, duplicates legal)
+    include_headers: bool = False
     schema: StructType | str | None = None
     mode: str = "FAILFAST"
     batch_size: int | None = None
@@ -235,6 +238,8 @@ class KConsumer:
                 .option("subscribePattern" if self.pattern else "subscribe", self._topics())
                 .option("startingOffsets", starting)
             )
+            if self.include_headers:
+                reader = reader.option("includeHeaders", "true")
             if self.batch_size is not None:
                 reader = reader.option("batchSize", str(self.batch_size))
             for k, v in self.options.items():
@@ -251,6 +256,8 @@ class KConsumer:
             ).option("startingOffsetsByTimestampStrategy", "latest")
         else:
             reader = reader.option("startingOffsets", self.from_offset)
+        if self.include_headers:
+            reader = reader.option("includeHeaders", "true")
         if self.group_id:
             reader = reader.option("kafka.group.id", self.group_id)
         if self.batch_size is not None:

@@ -33,6 +33,7 @@ def encode_records(
     value_format: str = "json",
     avro_schema: str | None = None,
     timestamp: str | None = None,
+    headers: str | None = None,
 ) -> DataFrame:
     """Record → Kafka sink frame: serialize all payload columns into
     ``value``, optionally keeping a key and an explicit partition column
@@ -47,8 +48,13 @@ def encode_records(
     ``timestamp`` names a column to carry as the record's CreateTime (the
     Kafka sink's optional ``timestamp`` column; both transports honor it —
     ``offsetsForTimes`` / ``startingTimestamp`` seek against it). It stays
-    OUT of the serialized value, like key and partition."""
-    payload = [c for c in df.columns if c not in (partition, timestamp)]
+    OUT of the serialized value, like key and partition.
+
+    ``headers`` names a column of Kafka record headers
+    (``array<struct<key:string, value:binary>>``, the sink contract shape —
+    ordered, duplicate keys legal); it likewise rides the envelope, not the
+    value."""
+    payload = [c for c in df.columns if c not in (partition, timestamp, headers)]
     if value_format == "avro":
         from rdkafka_streams_spark.streaming.avro_codec import (
             spark_to_avro_schema,
@@ -70,6 +76,12 @@ def encode_records(
         out.append(F.col(partition).cast("int").alias("partition"))
     if timestamp is not None:
         out.append(F.col(timestamp).cast("timestamp").alias("timestamp"))
+    if headers is not None:
+        out.append(
+            F.col(headers)
+            .cast("array<struct<key: string, value: binary>>")
+            .alias("headers")
+        )
     return df.select(*out)
 
 
@@ -103,6 +115,9 @@ class KProducer:
     #: column carried as the record's CreateTime (``offsetsForTimes`` /
     #: ``startingTimestamp`` seek against it); default: produce wall-clock.
     timestamp_col: str | None = None
+    #: column of Kafka record headers (array<struct<key,value>>), carried on
+    #: the envelope like the real sink's optional headers column.
+    headers_col: str | None = None
 
     def encode(self, df: DataFrame) -> DataFrame:
         """The pure serialization stage (broker-free testable seam)."""
@@ -113,6 +128,7 @@ class KProducer:
             value_format=self.value_format,
             avro_schema=self.avro_schema,
             timestamp=self.timestamp_col,
+            headers=self.headers_col,
         )
 
     def _sink_format(self, df: DataFrame):

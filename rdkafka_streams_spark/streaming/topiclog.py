@@ -86,6 +86,9 @@ ENVELOPE_DDL = (
     "timestamp timestamp, timestampType int"
 )
 
+#: appended when includeHeaders=true, same shape as the Kafka source's
+HEADERS_DDL = "headers array<struct<key: string, value: binary>>"
+
 _SEG_RE = re.compile(r"^seg-(\d{20})-(\d+)\.jsonl$")
 
 
@@ -145,8 +148,33 @@ def _segment_record_count(path: str, span: int) -> int:
         return 1 + sum(1 for ln in f if ln.strip())
 
 
+def _headers_to_wire(
+    headers: "Sequence[tuple[str, bytes | None]] | None",
+) -> list | None:
+    """Kafka record headers → wire form: ordered ``[[key, b64value], ...]``
+    (duplicate keys and null values are legal in Kafka; both preserved)."""
+    if not headers:
+        return None
+    out = []
+    for k, v in headers:
+        if isinstance(v, str):
+            v = v.encode()
+        out.append([str(k), None if v is None else base64.b64encode(v).decode("ascii")])
+    return out
+
+
+def _wire_to_headers(h: list | None) -> list | None:
+    """Wire form → the Kafka source's ``headers`` column rows:
+    [(key, value-bytes-or-None), ...]; None when the record has none
+    (Kafka's null headers, not an empty list)."""
+    if h is None:
+        return None
+    return [(k, None if v is None else base64.b64decode(v)) for k, v in h]
+
+
 def _encode_line(
-    key: bytes | None, value: bytes | None, ts_ms: int, off: int | None = None
+    key: bytes | None, value: bytes | None, ts_ms: int, off: int | None = None,
+    headers: list | None = None,
 ) -> str:
     """One wire line. UTF-8-clean payloads go out as plain JSON strings
     (``ks``/``vs`` — the fast columnar-parse fields, see module docstring);
@@ -168,7 +196,8 @@ def _encode_line(
         except UnicodeDecodeError:
             v = f'"v":"{base64.b64encode(value).decode("ascii")}"'
     o = "" if off is None else f',"o":{off}'
-    return f'{{{k},{v},"ts":{ts_ms}{o}}}'
+    h = "" if headers is None else f',"h":{json.dumps(headers, ensure_ascii=False)}'
+    return f'{{{k},{v},"ts":{ts_ms}{o}{h}}}'
 
 
 def _rec_key(rec: dict) -> bytes | None:
@@ -214,9 +243,12 @@ def _publish_segment(part_dir: str, lines: list[str], max_retries: int = 1000) -
 
 
 def _read_range(
-    root: str, topic: str, pid: int, start: int, end: int
+    root: str, topic: str, pid: int, start: int, end: int,
+    include_headers: bool = False,
 ) -> Iterator[tuple]:
-    """Yield envelope tuples for offsets [start, end) of one partition."""
+    """Yield envelope tuples for offsets [start, end) of one partition.
+    ``include_headers`` appends the Kafka source's headers column (ordered
+    (key, value) pairs, None when the record carries none)."""
     for seg_start, count, path in _list_segments(_part_dir(root, topic, pid)):
         if seg_start + count <= start:
             continue
@@ -232,7 +264,7 @@ def _read_range(
                     continue
                 if off >= end:
                     break
-                yield (
+                row = (
                     _rec_key(rec),
                     _rec_val(rec),
                     topic,
@@ -241,6 +273,9 @@ def _read_range(
                     datetime.fromtimestamp(rec["ts"] / 1000.0, tz=timezone.utc),
                     0,  # timestampType: CREATE_TIME, like the Kafka source
                 )
+                if include_headers:
+                    row += (_wire_to_headers(rec.get("h")),)
+                yield row
 
 
 def _seg_table(path: str, seg_start: int, start: int, end: int):
@@ -570,11 +605,14 @@ class TopicLog:
         keys: Sequence[bytes | str | None] | None = None,
         partition: int | None = None,
         timestamps: Sequence[int] | None = None,
+        headers: Sequence[Sequence[tuple[str, bytes | None]] | None] | None = None,
     ) -> None:
         """Append records, routing by explicit partition, else hash(key),
         else hash(value) — deterministic, like keyed Kafka producing.
         ``timestamps`` (epoch ms per record) sets CreateTime; default is
-        the produce wall-clock (LogAppendTime)."""
+        the produce wall-clock (LogAppendTime). ``headers`` is per-record
+        ordered (key, value) pairs or None (Kafka allows duplicates and
+        null header values)."""
         pids = _list_partitions(self.root, topic) or [0]
         by_pid: dict[int, list[str]] = {}
         ts = int(time.time() * 1000)
@@ -585,8 +623,11 @@ class TopicLog:
             if vb is None and kb is None:
                 raise ValueError("tombstone (None value) requires a key")
             rts = int(timestamps[i]) if timestamps is not None else ts
+            hdr = _headers_to_wire(headers[i]) if headers is not None else None
             pid = partition if partition is not None else _route(kb, vb, len(pids))
-            by_pid.setdefault(pids[pid % len(pids)], []).append(_encode_line(kb, vb, rts))
+            by_pid.setdefault(pids[pid % len(pids)], []).append(
+                _encode_line(kb, vb, rts, headers=hdr)
+            )
         for pid, lines in by_pid.items():
             _publish_segment(_part_dir(self.root, topic, pid), lines)
 
@@ -637,10 +678,12 @@ class TopicLog:
                                 f"(keyless record at {topic}/p{pid} offset {off})"
                             )
                         n_records += 1
-                        latest[kb] = (off, rec["ts"], _rec_val(rec))
+                        # carry headers through in wire form: the key's
+                        # latest record keeps ITS headers, like a broker
+                        latest[kb] = (off, rec["ts"], _rec_val(rec), rec.get("h"))
             survivors = [
-                (off, ts, kb, vb)
-                for kb, (off, ts, vb) in latest.items()
+                (off, ts, kb, vb, h)
+                for kb, (off, ts, vb, h) in latest.items()
                 if vb is not None
             ]
             survivors.sort()
@@ -648,7 +691,8 @@ class TopicLog:
             superseded += n_records - len(latest)
             kept += len(survivors)
             lines = [
-                _encode_line(kb, vb, ts, off=off) for off, ts, kb, vb in survivors
+                _encode_line(kb, vb, ts, off=off, headers=h)
+                for off, ts, kb, vb, h in survivors
             ]
             tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w", encoding="utf-8") as f:
@@ -700,7 +744,17 @@ def _route(key: bytes | None, value: bytes, n: int) -> int:
 
 def _read_best(partition: "_Part"):
     """Arrow-batched read when pyarrow is importable in the worker (the
-    generator defers the import, so probe eagerly), else row tuples."""
+    generator defers the import, so probe eagerly), else row tuples. A
+    headers read always takes the row path: the envelope's
+    list<struct<string,binary>> column with per-record null/ordering
+    semantics has no zero-copy JSONL parse, and headers topics opt in
+    explicitly (Kafka's includeHeaders default is false for the same
+    reason — the column costs)."""
+    if getattr(partition, "headers", False):
+        return _read_range(
+            partition.root, partition.topic, partition.pid,
+            partition.start, partition.end, include_headers=True,
+        )
     try:
         import pyarrow  # noqa: F401
 
@@ -717,8 +771,10 @@ def _read_best(partition: "_Part"):
 
 # ------------------------------------------------------------- the datasource
 class _Part(InputPartition):
-    def __init__(self, root: str, topic: str, pid: int, start: int, end: int):
+    def __init__(self, root: str, topic: str, pid: int, start: int, end: int,
+                 headers: bool = False):
         self.root, self.topic, self.pid, self.start, self.end = root, topic, pid, start, end
+        self.headers = headers
 
 
 def _resolve_topics(options: dict) -> tuple[str, list[str]]:
@@ -739,6 +795,7 @@ def _resolve_topics(options: dict) -> tuple[str, list[str]]:
 class _TopicLogBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root, self.topics = _resolve_topics(options)
+        self.headers = str(options.get("includeheaders", "false")).lower() == "true"
 
     def partitions(self) -> Sequence[InputPartition]:
         out = []
@@ -746,7 +803,7 @@ class _TopicLogBatchReader(DataSourceReader):
             for pid in _list_partitions(self.root, t):
                 end = _end_offset(_part_dir(self.root, t, pid))
                 if end > 0:
-                    out.append(_Part(self.root, t, pid, 0, end))
+                    out.append(_Part(self.root, t, pid, 0, end, headers=self.headers))
         # a scan of nothing still needs ≥0 partitions; Spark handles []
         return out
 
@@ -779,6 +836,7 @@ class _TopicLogStreamReader(DataSourceStreamReader):
         else:
             self.from_latest = raw_start.lower() == "latest"
         self.cap = int(options["batchsize"]) if "batchsize" in options else None
+        self.headers = str(options.get("includeheaders", "false")).lower() == "true"
         self._planned: dict[str, int] | None = None
 
     def _current_topics(self) -> list[str]:
@@ -851,7 +909,8 @@ class _TopicLogStreamReader(DataSourceStreamReader):
             self._planned[k] = max(self._planned.get(k, 0), s, e)
             if e > s:
                 topic, pid = k.rsplit("/", 1)
-                out.append(_Part(self.root, topic, int(pid), s, e))
+                out.append(_Part(self.root, topic, int(pid), s, e,
+                                 headers=self.headers))
         return out
 
     def read(self, partition: _Part):
@@ -881,11 +940,15 @@ def _stage_rows(
     n_parts = len(_list_partitions(root, topic)) or 1
     has_key, has_part = "key" in fields, "partition" in fields
     has_ts = "timestamp" in fields
+    has_hdr = "headers" in fields
     ts = int(time.time() * 1000)
     by_pid: dict[int, list[str]] = {}
     for row in rows:
         v = row["value"]
         rts = _to_epoch_ms(row["timestamp"], ts) if has_ts else ts
+        hdr = None
+        if has_hdr and row["headers"] is not None:
+            hdr = _headers_to_wire([(h["key"], h["value"]) for h in row["headers"]])
         kb = None
         if has_key and row["key"] is not None:
             k = row["key"]
@@ -907,7 +970,7 @@ def _stage_rows(
             pid = int(row["partition"]) % n_parts
         else:
             pid = _route(kb, vb, n_parts)
-        by_pid.setdefault(pid, []).append(_encode_line(kb, vb, rts))
+        by_pid.setdefault(pid, []).append(_encode_line(kb, vb, rts, headers=hdr))
     return _write_staged(root, topic, by_pid)
 
 
@@ -948,6 +1011,7 @@ def _stage_batches(
     n_parts = len(_list_partitions(root, topic)) or 1
     has_key, has_part = "key" in fields, "partition" in fields
     has_ts = "timestamp" in fields
+    has_hdr = "headers" in fields
     ts = int(time.time() * 1000)
     by_pid: dict[int, list[str]] = {}
     enc = _encode_line
@@ -958,6 +1022,7 @@ def _stage_batches(
         vals = cols["value"].to_pylist()
         keys = cols["key"].to_pylist() if has_key else None
         tss = cols["timestamp"].to_pylist() if has_ts else None
+        hdrs = cols["headers"].to_pylist() if has_hdr else None
         parts = cols["partition"].to_pylist() if has_part else None
         for i, v in enumerate(vals):
             kb = keys[i] if keys is not None else None
@@ -977,10 +1042,14 @@ def _stage_batches(
                 pid = int(parts[i]) % n_parts
             else:
                 pid = route(kb, vb, n_parts)
+            hdr = None
+            if hdrs is not None and hdrs[i] is not None:
+                hdr = _headers_to_wire([(h["key"], h["value"]) for h in hdrs[i]])
             bucket = by_pid.get(pid)
             if bucket is None:
                 bucket = by_pid[pid] = []
-            bucket.append(enc(kb, vb, _to_epoch_ms(tss[i], ts) if tss else ts))
+            bucket.append(enc(kb, vb, _to_epoch_ms(tss[i], ts) if tss else ts,
+                              headers=hdr))
     return _write_staged(root, topic, by_pid)
 
 
@@ -1132,6 +1201,9 @@ class TopicLogDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> str:
+        opts = {k.lower(): v for k, v in self.options.items()}
+        if str(opts.get("includeheaders", "false")).lower() == "true":
+            return f"{ENVELOPE_DDL}, {HEADERS_DDL}"
         return ENVELOPE_DDL
 
     def reader(self, schema: StructType) -> DataSourceReader:
@@ -1164,7 +1236,12 @@ def register(spark: SparkSession) -> None:
         _REGISTERED.add(sid)
 
 
-def read_topic(spark: SparkSession, root: str, topics: str) -> DataFrame:
+def read_topic(
+    spark: SparkSession, root: str, topics: str, include_headers: bool = False
+) -> DataFrame:
     """Batch-read a topic (or comma list) as a Kafka-envelope DataFrame."""
     register(spark)
-    return spark.read.format(FORMAT_NAME).option("path", root).option("subscribe", topics).load()
+    reader = spark.read.format(FORMAT_NAME).option("path", root).option("subscribe", topics)
+    if include_headers:
+        reader = reader.option("includeHeaders", "true")
+    return reader.load()

@@ -285,6 +285,8 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # seek resolved driver-side; the consumed memory table needs one
         # rollup exchange
         "q273_seek_by_timestamp": 1,
+        # header extraction is a map-side higher-order function; one rollup
+        "q274_headers_routing": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

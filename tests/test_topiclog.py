@@ -1081,3 +1081,92 @@ def test_sink_timestamp_column_create_time(spark, tmp_path):
     assert got == {0: "2024-01-05", 1: "2024-01-10", 2: "2024-01-20"}
     cutoff_ms = 1704931200000  # 2024-01-11 UTC
     assert TopicLog(root).offsets_for_times("t", cutoff_ms) == {0: 2}
+
+
+def test_headers_roundtrip_and_arrow_path_tolerance(spark, tmp_path):
+    """Kafka record headers: ordered, duplicate keys and null values legal,
+    record without headers reads back None; a reader WITHOUT includeHeaders
+    still parses a headers-bearing topic through the Arrow fast path."""
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = str(tmp_path / "bus")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.append(
+        "t", [b"v0", b"v1", b"v2"], partition=0,
+        headers=[
+            [("trace", b"abc"), ("trace", b"def"), ("nul", None)],  # dup + null
+            None,                                                   # no headers
+            [("enc", "gzip")],                                      # str value ok
+        ],
+    )
+    rows = {r["offset"]: r["headers"]
+            for r in read_topic(spark, root, "t", include_headers=True).collect()}
+    assert [(h["key"], bytes(h["value"]) if h["value"] is not None else None)
+            for h in rows[0]] == [("trace", b"abc"), ("trace", b"def"), ("nul", None)]
+    assert rows[1] is None
+    assert [(h["key"], bytes(h["value"])) for h in rows[2]] == [("enc", b"gzip")]
+
+    # reader without includeHeaders: no headers column, values intact (arrow path)
+    plain = read_topic(spark, root, "t")
+    assert "headers" not in plain.columns
+    assert {bytes(r["value"]) for r in plain.collect()} == {b"v0", b"v1", b"v2"}
+
+
+def test_headers_survive_compaction(tmp_path):
+    """compact() keeps the latest record PER KEY with ITS headers."""
+    from rdkafka_streams_spark.streaming.topiclog import (
+        TopicLog, _read_range,
+    )
+
+    root = str(tmp_path)
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.append("t", [b"old", b"other"], keys=[b"k1", b"k2"], partition=0,
+               headers=[[("gen", b"1")], [("gen", b"x")]])
+    log.append("t", [b"new"], keys=[b"k1"], partition=0,
+               headers=[[("gen", b"2")]])
+    log.compact("t")
+    got = {
+        row[0]: (row[1], row[7])
+        for row in _read_range(root, "t", 0, 0, 3, include_headers=True)
+    }
+    assert got[b"k1"][0] == b"new" and got[b"k1"][1] == [("gen", b"2")]
+    assert got[b"k2"][1] == [("gen", b"x")]
+
+
+def test_producer_headers_col_streaming_consume(spark, tmp_path):
+    """KProducer.headers_col -> sink headers column -> streaming consumer
+    with include_headers: the envelope column arrives through the stream
+    reader too (not just the batch path)."""
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+
+    root = str(tmp_path / "bus")
+    ck = str(tmp_path / "ck")
+    TopicLog(root).create_topic("t", partitions=2)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string").select(
+        "id",
+        F.array(F.struct(
+            F.lit("tag").alias("key"), F.col("tag").cast("binary").alias("value"),
+        )).alias("hdr"),
+    )
+    KProducer(
+        host=root, topic="t", key="id", headers_col="hdr", transport="topiclog",
+    ).write_batch(df)
+    dec = KConsumer(
+        host=root, topic="t", from_offset="earliest", include_headers=True,
+        schema="id long", transport="topiclog",
+    ).stream(spark)
+    name = "hdr_rows"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        dec.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ck).trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    shutdown(q, 30)
+    got = {
+        r["value"]["id"]: [(h["key"], bytes(h["value"])) for h in r["headers"]]
+        for r in spark.table(name).collect()
+    }
+    assert got == {1: [("tag", b"a")], 2: [("tag", b"b")]}
