@@ -4898,3 +4898,70 @@ def q274_headers_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("bigint").alias("sum_event_id"),
         )
     )
+
+
+# ----------------------------- bounded batch window read (S7/S4)
+@query(
+    "q275_batch_time_window",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+WHERE epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) < 1705708800000000
+GROUP BY event_type
+""",
+    tags=("S7", "S4", "T-streaming"),
+)
+def q275_batch_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED BATCH WINDOW off a topic — the Kafka batch source's
+    ``startingTimestamp``/``endingTimestamp`` options (new on the topiclog
+    batch reader beside startingOffsets/endingOffsets JSON with -2/-1
+    sentinels), i.e. the daily-ETL shape every Kafka estate runs: "read
+    yesterday's window as a batch, no streaming checkpoint". Events are
+    produced with event time as CreateTime, partition-ordered so CreateTime
+    is monotonic per partition; the batch read takes
+    [2024-01-10Z, 2024-01-20Z) — both bounds resolved through
+    offsetsForTimes driver-side, per partition — and the rollup must match
+    the table filtered by the same window (seek ≡ filter under monotonic
+    CreateTime; whole-second bounds make ms-vs-µs exact, q273 argument).
+    At 100 TB the bound resolution reads O(records before each bound) as a
+    driver metadata walk; the scan itself reads ONLY the window's offset
+    ranges — partition pruning in time, not a full scan + filter."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+    from rdkafka_streams_spark.streaming.consumer import KConsumer
+
+    root = tempfile.mkdtemp(prefix="q275_bus")
+    n_parts = 4
+    TopicLog(root).create_topic("ev", partitions=n_parts)
+    seed = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id", "event_type", "ts", "user_id",
+            F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        .withColumn("__tp", F.pmod("user_id", F.lit(n_parts)).cast("int"))
+        .repartition(n_parts, "__tp")
+        .sortWithinPartitions("ts_us", "event_id")
+        .select("event_id", "event_type", "cents", "ts", "__tp")
+    )
+    KProducer(
+        host=root, topic="ev", key="event_id", partition_col="__tp",
+        timestamp_col="ts", transport="topiclog",
+    ).write_batch(seed)
+    raw = read_topic(
+        spark, root, "ev",
+        startingTimestamp="1704844800000",  # 2024-01-10Z
+        endingTimestamp="1705708800000",    # 2024-01-20Z (exclusive)
+    )
+    dec = KConsumer(
+        host=root, topic="ev", schema="event_id long, event_type string, cents long",
+        transport="topiclog",
+    ).decode(raw)
+    return dec.groupBy(F.col("value.event_type").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("value.cents").cast("bigint").alias("cents"),
+    )

@@ -191,6 +191,10 @@ class KConsumer:
     #: (the Kafka source's startingOffsetsByTimestampStrategy="latest").
     from_timestamp: int | None = None
     pattern: bool = False  # subscribe to a topic regex instead of a list
+    #: manual partition assignment (librdkafka ``assign()``; the Kafka
+    #: source's third subscription mode): JSON '{"topic": [0, 2]}' —
+    #: overrides ``topic``/``pattern``
+    assign: str | None = None
     #: Kafka source includeHeaders: envelope grows a
     #: headers array<struct<key,value>> column (ordered, duplicates legal)
     include_headers: bool = False
@@ -223,6 +227,10 @@ class KConsumer:
                 import json as _json
 
                 log = topiclog.TopicLog(self.host)
+                seek_topics = (
+                    list(_json.loads(self.assign)) if self.assign is not None
+                    else self._topics().split(",")
+                )
                 starting = _json.dumps({
                     t: {
                         str(pid): (-1 if off is None else off)
@@ -230,14 +238,19 @@ class KConsumer:
                             t, self.from_timestamp
                         ).items()
                     }
-                    for t in self._topics().split(",")
+                    for t in seek_topics
                 })
             reader = (
                 spark.readStream.format(topiclog.FORMAT_NAME)
                 .option("path", self.host)
-                .option("subscribePattern" if self.pattern else "subscribe", self._topics())
                 .option("startingOffsets", starting)
             )
+            if self.assign is not None:
+                reader = reader.option("assign", self.assign)
+            else:
+                reader = reader.option(
+                    "subscribePattern" if self.pattern else "subscribe", self._topics()
+                )
             if self.include_headers:
                 reader = reader.option("includeHeaders", "true")
             if self.batch_size is not None:
@@ -248,8 +261,13 @@ class KConsumer:
         reader = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", self.host)
-            .option("subscribePattern" if self.pattern else "subscribe", self._topics())
         )
+        if self.assign is not None:
+            reader = reader.option("assign", self.assign)
+        else:
+            reader = reader.option(
+                "subscribePattern" if self.pattern else "subscribe", self._topics()
+            )
         if self.from_timestamp is not None:
             reader = reader.option(
                 "startingTimestamp", str(self.from_timestamp)

@@ -745,11 +745,14 @@ def _route(key: bytes | None, value: bytes, n: int) -> int:
 def _read_best(partition: "_Part"):
     """Arrow-batched read when pyarrow is importable in the worker (the
     generator defers the import, so probe eagerly), else row tuples. A
-    headers read always takes the row path: the envelope's
+    ``None`` partition is the engine's empty-scan probe (partitions()
+    returned []) — yield nothing. A headers read always takes the row path: the envelope's
     list<struct<string,binary>> column with per-record null/ordering
     semantics has no zero-copy JSONL parse, and headers topics opt in
     explicitly (Kafka's includeHeaders default is false for the same
     reason — the column costs)."""
+    if partition is None:
+        return iter(())
     if getattr(partition, "headers", False):
         return _read_range(
             partition.root, partition.topic, partition.pid,
@@ -777,33 +780,95 @@ class _Part(InputPartition):
         self.headers = headers
 
 
-def _resolve_topics(options: dict) -> tuple[str, list[str]]:
+def _resolve_topics(options: dict) -> tuple[str, list[str], dict[str, list[int]] | None]:
+    """The Kafka source's three subscription modes: ``subscribe`` (comma
+    list), ``subscribePattern`` (regex), and ``assign`` (explicit JSON
+    ``{"topic": [0, 2]}`` — consume exactly those partitions, the
+    partition-level manual assignment librdkafka's ``assign()`` does).
+    Returns (root, topics, assigned) with ``assigned`` None unless
+    ``assign`` was used."""
     root = options.get("path") or options.get("root")
     if not root:
         raise ValueError("topiclog requires option 'path' (the log root dir)")
+    if "assign" in options:
+        parsed = json.loads(options["assign"])
+        assigned = {t: [int(p) for p in pids] for t, pids in parsed.items()}
+        return root, sorted(assigned), assigned
     if "subscribepattern" in options:
         pat = re.compile(options["subscribepattern"])
         topics = [t for t in TopicLog(root).topics() if pat.fullmatch(t)]
     else:
         sub = options.get("subscribe") or options.get("topic")
         if not sub:
-            raise ValueError("topiclog requires 'subscribe', 'topic' or 'subscribePattern'")
+            raise ValueError(
+                "topiclog requires 'subscribe', 'topic', 'subscribePattern' or 'assign'"
+            )
         topics = [t.strip() for t in sub.split(",") if t.strip()]
-    return root, topics
+    return root, topics, None
 
 
 class _TopicLogBatchReader(DataSourceReader):
+    """Bounded batch scan with the Kafka batch source's option surface:
+    ``startingOffsets``/``endingOffsets`` ("earliest"/"latest" or the
+    per-partition JSON form with -2 = earliest, -1 = latest) and
+    ``startingTimestamp``/``endingTimestamp`` (epoch ms, resolved through
+    offsetsForTimes — the shape of a daily batch ETL reading yesterday's
+    window off a topic). Timestamp options win over offset options, like
+    the Kafka source rejects mixing (here: documented precedence).
+    A start timestamp with no qualifying record → that partition reads
+    nothing (startingOffsetsByTimestampStrategy=latest); an end timestamp
+    with no qualifying record → reads to the log end."""
+
     def __init__(self, options: dict):
-        self.root, self.topics = _resolve_topics(options)
+        self.root, self.topics, self.assigned = _resolve_topics(options)
         self.headers = str(options.get("includeheaders", "false")).lower() == "true"
+        self.start_off = self._parse_offsets(options.get("startingoffsets"))
+        self.end_off = self._parse_offsets(options.get("endingoffsets"))
+        self.start_ts = options.get("startingtimestamp")
+        self.end_ts = options.get("endingtimestamp")
+
+    @staticmethod
+    def _parse_offsets(raw: str | None) -> dict[str, int] | None:
+        if raw is None or not raw.strip().startswith("{"):
+            return None  # "earliest"/"latest" string forms = full range
+        parsed = json.loads(raw)
+        return {
+            f"{t}/{pid}": int(off)
+            for t, parts in parsed.items()
+            for pid, off in parts.items()
+        }
 
     def partitions(self) -> Sequence[InputPartition]:
         out = []
+        log = TopicLog(self.root)
         for t in self.topics:
-            for pid in _list_partitions(self.root, t):
+            starts_by_time = (
+                log.offsets_for_times(t, int(self.start_ts))
+                if self.start_ts is not None else None
+            )
+            ends_by_time = (
+                log.offsets_for_times(t, int(self.end_ts))
+                if self.end_ts is not None else None
+            )
+            pids = (self.assigned.get(t, []) if self.assigned is not None
+                    else _list_partitions(self.root, t))
+            for pid in pids:
                 end = _end_offset(_part_dir(self.root, t, pid))
-                if end > 0:
-                    out.append(_Part(self.root, t, pid, 0, end, headers=self.headers))
+                s, e = 0, end
+                if starts_by_time is not None:
+                    got = starts_by_time.get(pid)
+                    s = end if got is None else got  # no match -> read nothing
+                elif self.start_off is not None:
+                    raw = self.start_off.get(f"{t}/{pid}", -2)
+                    s = 0 if raw == -2 else end if raw == -1 else min(raw, end)
+                if ends_by_time is not None:
+                    got = ends_by_time.get(pid)
+                    e = end if got is None else got  # no match -> to the end
+                elif self.end_off is not None:
+                    raw = self.end_off.get(f"{t}/{pid}", -1)
+                    e = end if raw == -1 else min(raw, end)
+                if e > s:
+                    out.append(_Part(self.root, t, pid, s, e, headers=self.headers))
         # a scan of nothing still needs ≥0 partitions; Spark handles []
         return out
 
@@ -818,7 +883,7 @@ class _TopicLogStreamReader(DataSourceStreamReader):
     16-message pull loop, src/Consumer.coffee:57)."""
 
     def __init__(self, options: dict):
-        self.root, self.topics = _resolve_topics(options)
+        self.root, self.topics, self.assigned = _resolve_topics(options)
         self.pattern = options.get("subscribepattern")
         raw_start = options.get("startingoffsets", "latest")
         # Kafka-source parity (S4): startingOffsets accepts the JSON form
@@ -849,7 +914,8 @@ class _TopicLogStreamReader(DataSourceStreamReader):
         return {
             f"{t}/{pid}": _end_offset(_part_dir(self.root, t, pid))
             for t in self._current_topics()
-            for pid in _list_partitions(self.root, t)
+            for pid in (self.assigned.get(t, []) if self.assigned is not None
+                        else _list_partitions(self.root, t))
         }
 
     def _start_offsets(self) -> dict[str, int]:
@@ -1237,11 +1303,16 @@ def register(spark: SparkSession) -> None:
 
 
 def read_topic(
-    spark: SparkSession, root: str, topics: str, include_headers: bool = False
+    spark: SparkSession, root: str, topics: str, include_headers: bool = False,
+    **options: str,
 ) -> DataFrame:
-    """Batch-read a topic (or comma list) as a Kafka-envelope DataFrame."""
+    """Batch-read a topic (or comma list) as a Kafka-envelope DataFrame.
+    Extra ``options`` pass through to the batch reader (startingOffsets /
+    endingOffsets / startingTimestamp / endingTimestamp / assign)."""
     register(spark)
     reader = spark.read.format(FORMAT_NAME).option("path", root).option("subscribe", topics)
     if include_headers:
         reader = reader.option("includeHeaders", "true")
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
     return reader.load()

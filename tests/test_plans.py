@@ -287,6 +287,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q273_seek_by_timestamp": 1,
         # header extraction is a map-side higher-order function; one rollup
         "q274_headers_routing": 1,
+        # both time bounds resolve to offset ranges driver-side; the scan
+        # reads only the window, one rollup exchange
+        "q275_batch_time_window": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

@@ -1170,3 +1170,69 @@ def test_producer_headers_col_streaming_consume(spark, tmp_path):
         for r in spark.table(name).collect()
     }
     assert got == {1: [("tag", b"a")], 2: [("tag", b"b")]}
+
+
+def test_assign_partition_subset(spark, tmp_path):
+    """Kafka 'assign' subscription mode: batch and streaming readers
+    consume exactly the assigned partitions."""
+    from rdkafka_streams_spark.streaming import KConsumer, TopicLog, read_topic, shutdown
+
+    root = str(tmp_path / "bus")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=4)
+    for pid in range(4):
+        log.append("t", [f"p{pid}r{i}".encode() for i in range(3)], partition=pid)
+
+    batch = read_topic(spark, root, "t", assign='{"t": [0, 2]}')
+    assert {r["partition"] for r in batch.collect()} == {0, 2}
+    assert batch.count() == 6
+
+    dec = KConsumer(
+        host=root, topic="t", assign='{"t": [1]}', from_offset="earliest",
+        transport="topiclog",
+    ).stream(spark)
+    name = "assign_rows"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        dec.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    shutdown(q, 30)
+    rows = spark.table(name).collect()
+    assert {r["partition"] for r in rows} == {1}
+    assert len(rows) == 3
+
+
+def test_batch_read_offset_and_timestamp_bounds(spark, tmp_path):
+    """Kafka batch source bounds: startingOffsets/endingOffsets JSON with
+    -2/-1 sentinels, and startingTimestamp/endingTimestamp resolved via
+    offsetsForTimes (the daily-window batch ETL shape)."""
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = str(tmp_path / "bus")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=2)
+    log.append("t", [f"a{i}".encode() for i in range(10)], partition=0,
+               timestamps=[100 * (i + 1) for i in range(10)])  # 100..1000
+    log.append("t", [f"b{i}".encode() for i in range(4)], partition=1,
+               timestamps=[100, 200, 300, 400])
+
+    # offsets: p0 [2, 5); p1 earliest..latest
+    df = read_topic(
+        spark, root, "t",
+        startingOffsets='{"t": {"0": 2, "1": -2}}',
+        endingOffsets='{"t": {"0": 5, "1": -1}}',
+    )
+    got = {(r["partition"], r["offset"]) for r in df.collect()}
+    assert got == {(0, 2), (0, 3), (0, 4), (1, 0), (1, 1), (1, 2), (1, 3)}
+
+    # timestamps: [250, 650) -> p0 offsets 2..5 (ts 300..600), p1 offsets 2..3
+    df = read_topic(spark, root, "t", startingTimestamp="250", endingTimestamp="650")
+    got = {(r["partition"], r["offset"]) for r in df.collect()}
+    assert got == {(0, 2), (0, 3), (0, 4), (0, 5), (1, 2), (1, 3)}
+
+    # start timestamp beyond every record -> empty; end beyond -> to log end
+    assert read_topic(spark, root, "t", startingTimestamp="5000").count() == 0
+    assert read_topic(spark, root, "t", startingTimestamp="950").count() == 1
