@@ -780,6 +780,33 @@ class _Part(InputPartition):
         self.headers = headers
 
 
+def _split_parts(parts: list["_Part"], min_partitions: int | None) -> list["_Part"]:
+    """The Kafka source's ``minPartitions``: when the (topic, partition)
+    count is below the requested parallelism, split large offset ranges
+    into sub-ranges so a 4-partition topic can still feed a 32-core stage.
+    Ranges split proportionally to their size (largest first), preserving
+    per-sub-range offset order; correctness is unaffected because the
+    envelope carries (partition, offset) and downstream order never relies
+    on task boundaries."""
+    if min_partitions is None or len(parts) >= min_partitions or not parts:
+        return parts
+    total = sum(p.end - p.start for p in parts)
+    if total <= 0:
+        return parts
+    out: list[_Part] = []
+    for p in parts:
+        span = p.end - p.start
+        # at least 1 slice; proportional share of the requested parallelism
+        n = max(1, round(min_partitions * span / total))
+        step = max(1, -(-span // n))
+        s = p.start
+        while s < p.end:
+            e = min(p.end, s + step)
+            out.append(_Part(p.root, p.topic, p.pid, s, e, headers=p.headers))
+            s = e
+    return out
+
+
 def _resolve_topics(options: dict) -> tuple[str, list[str], dict[str, list[int]] | None]:
     """The Kafka source's three subscription modes: ``subscribe`` (comma
     list), ``subscribePattern`` (regex), and ``assign`` (explicit JSON
@@ -826,6 +853,9 @@ class _TopicLogBatchReader(DataSourceReader):
         self.end_off = self._parse_offsets(options.get("endingoffsets"))
         self.start_ts = options.get("startingtimestamp")
         self.end_ts = options.get("endingtimestamp")
+        self.min_partitions = (
+            int(options["minpartitions"]) if "minpartitions" in options else None
+        )
 
     @staticmethod
     def _parse_offsets(raw: str | None) -> dict[str, int] | None:
@@ -870,7 +900,7 @@ class _TopicLogBatchReader(DataSourceReader):
                 if e > s:
                     out.append(_Part(self.root, t, pid, s, e, headers=self.headers))
         # a scan of nothing still needs ≥0 partitions; Spark handles []
-        return out
+        return _split_parts(out, self.min_partitions)
 
     def read(self, partition: _Part):
         return _read_best(partition)
@@ -902,6 +932,9 @@ class _TopicLogStreamReader(DataSourceStreamReader):
             self.from_latest = raw_start.lower() == "latest"
         self.cap = int(options["batchsize"]) if "batchsize" in options else None
         self.headers = str(options.get("includeheaders", "false")).lower() == "true"
+        self.min_partitions = (
+            int(options["minpartitions"]) if "minpartitions" in options else None
+        )
         self._planned: dict[str, int] | None = None
 
     def _current_topics(self) -> list[str]:
@@ -977,7 +1010,7 @@ class _TopicLogStreamReader(DataSourceStreamReader):
                 topic, pid = k.rsplit("/", 1)
                 out.append(_Part(self.root, topic, int(pid), s, e,
                                  headers=self.headers))
-        return out
+        return _split_parts(out, self.min_partitions)
 
     def read(self, partition: _Part):
         return _read_best(partition)

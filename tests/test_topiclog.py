@@ -1236,3 +1236,25 @@ def test_batch_read_offset_and_timestamp_bounds(spark, tmp_path):
     # start timestamp beyond every record -> empty; end beyond -> to log end
     assert read_topic(spark, root, "t", startingTimestamp="5000").count() == 0
     assert read_topic(spark, root, "t", startingTimestamp="950").count() == 1
+
+
+def test_min_partitions_splits_offset_ranges(spark, tmp_path):
+    """Kafka source minPartitions: a 2-partition topic read with
+    minPartitions=8 produces >=8 Spark input partitions, complete and
+    duplicate-free data, and per-(partition,offset) integrity."""
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = str(tmp_path / "bus")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=2)
+    log.append("t", [f"a{i}".encode() for i in range(100)], partition=0)
+    log.append("t", [f"b{i}".encode() for i in range(20)], partition=1)
+
+    df = read_topic(spark, root, "t", minPartitions="8")
+    assert df.rdd.getNumPartitions() >= 8
+    rows = df.collect()
+    assert len(rows) == 120
+    assert len({(r["partition"], r["offset"]) for r in rows}) == 120
+    # proportional splitting: the 100-record partition gets more slices
+    plain = read_topic(spark, root, "t")
+    assert plain.rdd.getNumPartitions() == 2
