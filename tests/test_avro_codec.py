@@ -205,3 +205,57 @@ def test_avro_functions_prefers_available_pair(spark):
 
     to_fn, from_fn = avro_functions()
     assert (to_fn, from_fn) == (to_avro_py, from_avro_py)
+
+
+# --------------------------------------------------------- property: roundtrip
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_SCALAR_SCHEMAS_AND_VALUES = [
+    ("long", st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+    ("int", st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+    ("string", st.text(max_size=80)),
+    ("bytes", st.binary(max_size=64)),
+    ("boolean", st.booleans()),
+    ("double", st.floats(allow_nan=False)),
+]
+
+
+@st.composite
+def _record_and_value(draw):
+    """A random flat record schema (nullable-union fields over the scalar
+    types) plus a matching value dict — the shape spark_to_avro_schema
+    emits for arbitrary DataFrames."""
+    n = draw(st.integers(min_value=1, max_value=5))
+    fields, value = [], {}
+    for i in range(n):
+        typ, strat = draw(st.sampled_from(_SCALAR_SCHEMAS_AND_VALUES))
+        fields.append({"name": f"f{i}", "type": ["null", typ]})
+        value[f"f{i}"] = draw(st.none() | strat)
+    return {"type": "record", "name": "r", "fields": fields}, value
+
+
+@given(_record_and_value())
+@settings(max_examples=200, deadline=None)
+def test_property_record_roundtrip(rec_and_val):
+    """encode(decode) identity over random nullable records: union index,
+    zigzag, length prefixes, and IEEE doubles all survive byte-exactly."""
+    from rdkafka_streams_spark.streaming.avro_codec import decode_value, encode_value
+
+    schema, value = rec_and_val
+    buf = encode_value(value, schema)
+    decoded, pos = decode_value(buf, schema)
+    assert pos == len(buf)  # every byte consumed — no trailing garbage
+    assert decoded == value
+
+
+@given(st.lists(st.none() | st.text(max_size=20), max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_property_array_of_nullable_strings_roundtrip(items):
+    from rdkafka_streams_spark.streaming.avro_codec import decode_value, encode_value
+
+    schema = {"type": "array", "items": ["null", "string"]}
+    buf = encode_value(items, schema)
+    decoded, pos = decode_value(buf, schema)
+    assert pos == len(buf)
+    assert decoded == items
