@@ -423,6 +423,7 @@ def ppjoin_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    materialize: bool = False,
 ) -> DataFrame:
     """All-pairs set-similarity join via prefix filtering (the PPJoin
     family), the *exact* complement of MinHash-LSH: every pair with
@@ -444,7 +445,20 @@ def ppjoin_pairs(
     1e6), so the candidate bound and the final cross-multiplied Jaccard
     test are engine-exact. Shuffles: element-df join, per-doc sort, prefix
     posting join, verify join — all equi-joins on well-spread keys.
-    """
+
+    ``materialize`` writes the ordered-prefix frame once to a scratch dir
+    and reads it back for its THREE consumers (prefix postings,
+    verify-left, verify-right); the lazy plan instead recomputes the
+    tokenize→df-join→sort diamond three times (Spark cannot reuse the
+    exchange across differently-pruned subtrees — 8 parquet scans of the
+    corpus). MEASURED at sf0.1 the lazy recompute WINS (7.1 s vs 9.0 s
+    warm): per_doc's rows carry the full shingle arrays, and serializing
+    them to parquet costs more than re-deriving them from 9 MB of text.
+    Default False therefore; flip it when the corpus-side economics
+    invert — at 100 TB, re-reading and re-shingling the corpus three
+    times dwarfs one derived-table write to shuffle-tier storage. No
+    executor-memory pinning either way (the q57 cache lesson)."""
+    import tempfile
     tok = docs.select(
         id_col, F.explode(token_shingles(text_col, shingle_n)).alias("tok")
     )
@@ -465,6 +479,10 @@ def ppjoin_pairs(
             + 1,
         )
     )
+    if materialize:
+        spill = tempfile.mkdtemp(prefix="ppjoin_perdoc")
+        per_doc.write.mode("overwrite").parquet(spill)
+        per_doc = docs.sparkSession.read.parquet(spill)
     prefix = per_doc.select(
         F.col(id_col), "m", F.explode(F.slice("toks", 1, F.col("p"))).alias("ptok")
     )

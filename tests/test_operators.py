@@ -751,6 +751,12 @@ def test_ppjoin_matches_bruteforce(spark):
     assert got == expect
     assert (1, 4) in got and got[(1, 4)] == 1_000_000  # exact dup
     assert (1, 2) in got  # near-dup survives
+    # the scratch-materialized diamond (the 100 TB path) is result-identical
+    mat = {
+        (r["id1"], r["id2"]): r["jacc_ppm"]
+        for r in ppjoin_pairs(docs, tau_ppm=400_000, materialize=True).collect()
+    }
+    assert mat == got
 
 
 def test_count_triangles_known_graph(spark):
