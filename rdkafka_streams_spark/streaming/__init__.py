@@ -8,7 +8,12 @@ from rdkafka_streams_spark.streaming.stateful import (
 )
 from rdkafka_streams_spark.streaming.sinks import foreach_batch_overwrite, write_batch_overwrite
 from rdkafka_streams_spark.streaming.lifecycle import shutdown, shutdown_all
-from rdkafka_streams_spark.streaming.topiclog import TopicLog, TopicLogDataSource, read_topic
+from rdkafka_streams_spark.streaming.topiclog import (
+    TopicLog,
+    TopicLogDataSource,
+    commit_query_progress,
+    read_topic,
+)
 from rdkafka_streams_spark.streaming.avro_codec import (
     avro_functions,
     from_avro_py,
@@ -29,6 +34,7 @@ __all__ = [
     "foreach_batch_overwrite",
     "get_duplex",
     "read_topic",
+    "commit_query_progress",
     "running_count_stateful",
     "running_count_with_ttl",
     "shutdown",

@@ -1335,6 +1335,54 @@ def register(spark: SparkSession) -> None:
         _REGISTERED.add(sid)
 
 
+def commit_query_progress(query_or_progress, root: str, group: str) -> dict[str, dict[int, int]]:
+    """Bridge a Structured Streaming query's source positions into the
+    consumer-group store, Kafka's ``enable.auto.commit`` analog (the
+    reference Consumer auto-commits the same way, src/Consumer.coffee's
+    librdkafka defaults): after (or during) a run, the group's committed
+    offsets reflect what the streaming consumer actually processed, so
+    ``consumer_lag`` monitoring covers Spark queries — whose real progress
+    otherwise lives only inside their checkpoint — alongside hand-driven
+    consumers. Accepts a StreamingQuery (uses lastProgress) or a progress
+    dict; parses each topiclog source's ``endOffset`` flat-dict form
+    ({"topic/pid": next_offset}) and commits per topic. Returns what was
+    committed. The Kafka source's endOffset JSON ({"topic": {"pid": off}})
+    is accepted too."""
+    import json as _json
+
+    p = query_or_progress
+    if hasattr(p, "lastProgress"):
+        p = p.lastProgress
+    if p is None:
+        return {}
+    # StreamingQueryProgress subclasses dict but its nested SourceProgress
+    # stringifies endOffset with Python repr quoting — always renormalize
+    # through the canonical JSON form when available
+    if hasattr(p, "json"):
+        p = _json.loads(p.json)
+    log = TopicLog(root)
+    committed: dict[str, dict[int, int]] = {}
+    for src in p.get("sources") or []:
+        end = src.get("endOffset")
+        if isinstance(end, str):
+            try:
+                end = _json.loads(end)
+            except ValueError:
+                continue
+        if not isinstance(end, dict):
+            continue
+        for k, v in end.items():
+            if isinstance(v, dict):  # kafka-source nested form
+                for pid, off in v.items():
+                    committed.setdefault(k, {})[int(pid)] = int(off)
+            elif "/" in k:  # topiclog flat form "topic/pid"
+                topic, pid = k.rsplit("/", 1)
+                committed.setdefault(topic, {})[int(pid)] = int(v)
+    for topic, offs in committed.items():
+        log.commit_offsets(group, topic, offs)
+    return committed
+
+
 def read_topic(
     spark: SparkSession, root: str, topics: str, include_headers: bool = False,
     **options: str,

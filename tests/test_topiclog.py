@@ -1258,3 +1258,40 @@ def test_min_partitions_splits_offset_ranges(spark, tmp_path):
     # proportional splitting: the 100-record partition gets more slices
     plain = read_topic(spark, root, "t")
     assert plain.rdd.getNumPartitions() == 2
+
+
+def test_commit_query_progress_bridges_lag(spark, tmp_path):
+    """enable.auto.commit analog: a streaming consumer's processed
+    positions land in the group store, so consumer_lag reports 0 for a
+    caught-up Spark query and the true deficit after more produces."""
+    from rdkafka_streams_spark.streaming import (
+        KConsumer, TopicLog, commit_query_progress, shutdown,
+    )
+
+    root = str(tmp_path / "bus")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=2)
+    log.append("t", [b"a", b"b", b"c"], partition=0)
+    log.append("t", [b"x"], partition=1)
+
+    dec = KConsumer(host=root, topic="t", from_offset="earliest",
+                    transport="topiclog").stream(spark)
+    name = "cqp_rows"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        dec.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = commit_query_progress(q, root, "spark-app")
+    shutdown(q, 30)
+    assert got == {"t": {0: 3, 1: 1}}
+    assert all(v["lag"] == 0 for v in log.consumer_lag("spark-app", "t").values())
+
+    log.append("t", [b"d", b"e"], partition=0)
+    lag = log.consumer_lag("spark-app", "t")
+    assert lag[0]["lag"] == 2 and lag[1]["lag"] == 0
+
+    # a query with no progress yet commits nothing
+    assert commit_query_progress(None, root, "spark-app") == {}
