@@ -446,19 +446,19 @@ def ppjoin_pairs(
     test are engine-exact. Shuffles: element-df join, per-doc sort, prefix
     posting join, verify join — all equi-joins on well-spread keys.
 
-    ``materialize`` writes the ordered-prefix frame once to a scratch dir
-    and reads it back for its THREE consumers (prefix postings,
-    verify-left, verify-right); the lazy plan instead recomputes the
-    tokenize→df-join→sort diamond three times (Spark cannot reuse the
-    exchange across differently-pruned subtrees — 8 parquet scans of the
-    corpus). MEASURED at sf0.1 the lazy recompute WINS (7.1 s vs 9.0 s
-    warm): per_doc's rows carry the full shingle arrays, and serializing
-    them to parquet costs more than re-deriving them from 9 MB of text.
+    ``materialize`` snapshots the ordered-prefix frame once
+    (``localCheckpoint(eager=True)``, the repo's snapshot primitive —
+    executor-resident blocks, cluster-correct, released with the frame,
+    never a session-lifetime catalog cache) for its THREE consumers
+    (prefix postings, verify-left, verify-right); the lazy plan instead
+    recomputes the tokenize→df-join→sort diamond three times (Spark cannot
+    reuse the exchange across differently-pruned subtrees — 8 parquet
+    scans of the corpus). MEASURED at sf0.1 the lazy recompute WINS
+    (7.1 s vs ~9 s): per_doc's rows carry the full shingle arrays, and
+    serializing them costs more than re-deriving them from 9 MB of text.
     Default False therefore; flip it when the corpus-side economics
     invert — at 100 TB, re-reading and re-shingling the corpus three
-    times dwarfs one derived-table write to shuffle-tier storage. No
-    executor-memory pinning either way (the q57 cache lesson)."""
-    import tempfile
+    times dwarfs one snapshot of the derived table."""
     tok = docs.select(
         id_col, F.explode(token_shingles(text_col, shingle_n)).alias("tok")
     )
@@ -480,9 +480,7 @@ def ppjoin_pairs(
         )
     )
     if materialize:
-        spill = tempfile.mkdtemp(prefix="ppjoin_perdoc")
-        per_doc.write.mode("overwrite").parquet(spill)
-        per_doc = docs.sparkSession.read.parquet(spill)
+        per_doc = per_doc.localCheckpoint(eager=True)
     prefix = per_doc.select(
         F.col(id_col), "m", F.explode(F.slice("toks", 1, F.col("p"))).alias("ptok")
     )

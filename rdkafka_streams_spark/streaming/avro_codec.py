@@ -27,10 +27,12 @@ public spec (tests/test_avro_codec.py): zigzag(27)=0x36, string "foo" =
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import struct
 from typing import Any
 
+import numpy as np
 import pandas as pd  # module-level: pandas_udf resolves stringified hints here
 
 # ----------------------------------------------------------- primitive codec
@@ -132,9 +134,13 @@ def encode_value(value: Any, schema) -> bytes:
     if t == "boolean":
         return b"\x01" if value else b"\x00"
     if t in ("int", "long"):
-        import datetime as _dt
-
         if isinstance(value, _dt.datetime):
+            # tz-naive values are taken as UTC wall time. Spark delivers
+            # TimestampType to pandas UDFs as naive SESSION-LOCAL time, so
+            # spec-correct epoch-micros on the wire require a UTC session
+            # (this repo pins spark.sql.session.timeZone=UTC in
+            # tune_runtime; non-UTC sessions would shift instants by the
+            # session offset for external Avro consumers).
             epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
             value = (value - epoch) // _dt.timedelta(microseconds=1)
         elif isinstance(value, _dt.date):
@@ -213,9 +219,7 @@ def _matches(value: Any, branch) -> bool:
         if isinstance(branch, dict) and branch.get("logicalType") in (
             "timestamp-micros", "date",
         ):
-            import datetime as _dt
-
-            return isinstance(value, (_dt.date, _dt.datetime, int)) or hasattr(
+                return isinstance(value, (_dt.date, _dt.datetime, int)) or hasattr(
                 value, "timestamp"
             )
         return (isinstance(value, int) and not isinstance(value, bool)) or (
@@ -246,13 +250,9 @@ def decode_value(buf: bytes, schema, pos: int = 0) -> tuple[Any, int]:
     if t in ("int", "long"):
         v, pos = _zigzag_decode(buf, pos)
         if isinstance(schema, dict) and schema.get("logicalType") == "timestamp-micros":
-            import datetime as _dt
-
-            return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v), pos
+                return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v), pos
         if isinstance(schema, dict) and schema.get("logicalType") == "date":
-            import datetime as _dt
-
-            return _dt.date(1970, 1, 1) + _dt.timedelta(days=v), pos
+                return _dt.date(1970, 1, 1) + _dt.timedelta(days=v), pos
         return v, pos
     if t == "float":
         return struct.unpack_from("<f", buf, pos)[0], pos + 4
@@ -328,7 +328,12 @@ def to_avro_py(col, schema: str):
             return pd.Series(
                 [encode_value(_pyify(r), parsed) for r in rows], dtype=object
             )
-        return s.map(lambda v: None if v is None else encode_value(_pyify(v), parsed))
+        # _pyify BEFORE the null check: a null in a numeric column arrives
+        # as NaN (Arrow→pandas float64), which `is None` misses — the
+        # normalized None then short-circuits instead of crashing int(None)
+        return s.map(
+            lambda v: None if (w := _pyify(v)) is None else encode_value(w, parsed)
+        )
 
     return _enc(col)
 
@@ -364,8 +369,6 @@ def _pyify(v: Any) -> Any:
     """Normalize pandas/numpy artifacts for the codec: numpy scalars unwrap,
     NaN/NaT (pandas' null stand-ins after Arrow conversion, e.g. a nullable
     long column surfacing as float64) become None."""
-    import numpy as np
-
     if v is None:
         return None
     if isinstance(v, float) and v != v:  # NaN (also covers np case post-item)

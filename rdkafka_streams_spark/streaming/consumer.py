@@ -227,10 +227,18 @@ class KConsumer:
                 import json as _json
 
                 log = topiclog.TopicLog(self.host)
-                seek_topics = (
-                    list(_json.loads(self.assign)) if self.assign is not None
-                    else self._topics().split(",")
-                )
+                if self.assign is not None:
+                    seek_topics = list(_json.loads(self.assign))
+                elif self.pattern:
+                    # expand the regex to real topics BEFORE the time→offset
+                    # lookup; seeking on the raw pattern string would resolve
+                    # zero partitions and silently replay from earliest
+                    import re as _re
+
+                    pat = _re.compile(self._topics())
+                    seek_topics = [t for t in log.topics() if pat.fullmatch(t)]
+                else:
+                    seek_topics = self._topics().split(",")
                 starting = _json.dumps({
                     t: {
                         str(pid): (-1 if off is None else off)

@@ -124,13 +124,6 @@ def _end_offset(part_dir: str) -> int:
     return segs[-1][0] + segs[-1][1] if segs else 0
 
 
-def _count_lines(path: str) -> int:
-    """Actual record count of a segment file (≤ the name's logical span
-    once compaction has opened offset gaps)."""
-    with open(path, encoding="utf-8") as f:
-        return sum(1 for ln in f if ln.strip())
-
-
 def _segment_record_count(path: str, span: int) -> int:
     """Record count of a segment WITHOUT a full scan when possible: a dense
     append segment's name count equals its line count by construction, so
@@ -849,8 +842,21 @@ class _TopicLogBatchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.root, self.topics, self.assigned = _resolve_topics(options)
         self.headers = str(options.get("includeheaders", "false")).lower() == "true"
-        self.start_off = self._parse_offsets(options.get("startingoffsets"))
+        raw_start = options.get("startingoffsets")
+        if raw_start is not None and not raw_start.strip().startswith("{") \
+                and raw_start.strip().lower() == "latest":
+            # the Kafka batch source rejects startingOffsets=latest (an
+            # empty scan by definition); silently reading the full range
+            # instead would be worse than the error
+            raise ValueError("batch read does not accept startingOffsets=latest")
+        self.start_off = self._parse_offsets(raw_start)
         self.end_off = self._parse_offsets(options.get("endingoffsets"))
+        for k, off in (self.end_off or {}).items():
+            if off < -1:
+                raise ValueError(
+                    f"endingOffsets for {k}: {off} — only -1 (latest) or an "
+                    "absolute offset is valid (Kafka batch-source contract)"
+                )
         self.start_ts = options.get("startingtimestamp")
         self.end_ts = options.get("endingtimestamp")
         self.min_partitions = (

@@ -392,7 +392,8 @@ def main() -> int:
     result["summary"] = {
         "exchange_invariant": f"{n_inv}/{len(result['queries'])}",
         "max_growth_last_step": max(
-            (q["growth_per_step"][-1] or 0) for q in result["queries"].values()
+            ((q["growth_per_step"][-1] or 0) if q.get("growth_per_step") else 0)
+            for q in result["queries"].values()
         ),
     }
     with open(args.out, "w") as fh:

@@ -1295,3 +1295,50 @@ def test_commit_query_progress_bridges_lag(spark, tmp_path):
 
     # a query with no progress yet commits nothing
     assert commit_query_progress(None, root, "spark-app") == {}
+
+
+def test_from_timestamp_with_pattern_seeks_not_replays(spark, tmp_path):
+    """Review fix: pattern subscription + from_timestamp must expand the
+    regex to real topics before the time->offset lookup; the old code
+    seeked on the raw pattern string, resolved nothing, and silently
+    replayed from earliest."""
+    from rdkafka_streams_spark.streaming import KConsumer, TopicLog, shutdown
+
+    root = str(tmp_path / "bus")
+    log = TopicLog(root)
+    for t in ("ev_a", "ev_b"):
+        log.create_topic(t, partitions=1)
+        log.append(t, [b"old1", b"old2"], partition=0, timestamps=[100, 200])
+        log.append(t, [b"new1"], partition=0, timestamps=[900])
+
+    dec = KConsumer(
+        host=root, topic="ev_.*", pattern=True, from_timestamp=500,
+        transport="topiclog",
+    ).stream(spark)
+    name = "patseek_rows"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        dec.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    shutdown(q, 30)
+    rows = [(r["topic"], r["offset"], bytes(r["value"])) for r in spark.table(name).collect()]
+    assert sorted(rows) == [("ev_a", 2, b"new1"), ("ev_b", 2, b"new1")]
+
+
+def test_batch_read_invalid_offset_options_raise(spark, tmp_path):
+    """Review fix: endingOffsets=-2 and startingOffsets=latest must raise
+    (Kafka batch-source contract), not silently drop partitions / read the
+    full range."""
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = str(tmp_path / "bus")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.append("t", [b"a"], partition=0)
+    with pytest.raises(Exception, match="endingOffsets"):
+        read_topic(spark, root, "t", endingOffsets='{"t": {"0": -2}}').collect()
+    with pytest.raises(Exception, match="startingOffsets=latest"):
+        read_topic(spark, root, "t", startingOffsets="latest").collect()
