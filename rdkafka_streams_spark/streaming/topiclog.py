@@ -506,6 +506,27 @@ class TopicLog:
             out[pid] = found
         return out
 
+    def delete_records_before_timestamp(self, topic: str, ts_ms: int) -> dict[str, int]:
+        """Time-based retention (the ``retention.ms`` reaper's one-shot
+        form, and the right-to-forget-by-age path): drop every record whose
+        timestamp precedes ``ts_ms``. Composition of the two existing
+        primitives — ``offsets_for_times`` finds, per partition, the
+        earliest offset at/after the cutoff (None = every record is older),
+        and ``delete_records`` truncates below it with all its crash-safety
+        (stale-marker recovery, empty-spanning-segment, end-offset
+        preservation). Same offline single-writer window as compact().
+        NOTE: with non-monotonic CreateTime, records newer than the cutoff
+        that sit BELOW the boundary offset are deleted too — exactly how a
+        broker's segment-granularity retention behaves."""
+        before: dict[int, int] = {}
+        boundary = self.offsets_for_times(topic, ts_ms)
+        for pid in _list_partitions(self.root, topic):
+            off = boundary.get(pid)
+            before[pid] = (
+                _end_offset(_part_dir(self.root, topic, pid)) if off is None else off
+            )
+        return self.delete_records(topic, before)
+
     def consumer_lag(self, group: str, topic: str) -> dict[int, dict]:
         """Per-partition ``{end_offset, committed, lag}`` — librdkafka's
         statistics-callback ``consumer_lag`` computed from durable state:

@@ -1342,3 +1342,29 @@ def test_batch_read_invalid_offset_options_raise(spark, tmp_path):
         read_topic(spark, root, "t", endingOffsets='{"t": {"0": -2}}').collect()
     with pytest.raises(Exception, match="startingOffsets=latest"):
         read_topic(spark, root, "t", startingOffsets="latest").collect()
+
+
+def test_delete_records_before_timestamp(spark, tmp_path):
+    """retention.ms one-shot: records older than the cutoff vanish, the
+    boundary record survives, end offsets never rewind, and a partition
+    whose records are ALL older empties without losing its clock."""
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = str(tmp_path / "bus")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=2)
+    log.append("t", [b"a0", b"a1", b"a2", b"a3"], partition=0,
+               timestamps=[100, 200, 300, 400])
+    log.append("t", [b"b0", b"b1"], partition=1, timestamps=[100, 150])
+
+    stats = log.delete_records_before_timestamp("t", 250)
+    assert stats == {"deleted": 4, "kept": 2}  # a0,a1 + all of p1
+    rows = {(r["partition"], r["offset"]): bytes(r["value"])
+            for r in read_topic(spark, root, "t").collect()}
+    assert rows == {(0, 2): b"a2", (0, 3): b"a3"}
+    # clocks preserved: p1 is empty but its end offset did not rewind
+    assert log.end_offsets("t") == {0: 4, 1: 2}
+    # appended-after-retention records land at the preserved end offset
+    log.append("t", [b"b2"], partition=1, timestamps=[900])
+    rows = {(r["partition"], r["offset"]) for r in read_topic(spark, root, "t").collect()}
+    assert (1, 2) in rows
