@@ -1368,3 +1368,51 @@ def test_delete_records_before_timestamp(spark, tmp_path):
     log.append("t", [b"b2"], partition=1, timestamps=[900])
     rows = {(r["partition"], r["offset"]) for r in read_topic(spark, root, "t").collect()}
     assert (1, 2) in rows
+
+
+def test_offsets_for_times_after_compaction_gaps(tmp_path):
+    """offsetsForTimes over a compacted (gapped, explicit-'o') segment:
+    surviving records keep their ORIGINAL offsets, so a time seek lands on
+    the preserved offset, not a renumbered one."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=1)
+    # k1 written twice (only the later survives), k2 once
+    log.append("t", [b"v0", b"v1"], keys=[b"k1", b"k2"], partition=0,
+               timestamps=[100, 200])
+    log.append("t", [b"v2"], keys=[b"k1"], partition=0, timestamps=[300])
+    log.compact("t")
+    # survivors: k2@offset1(ts200), k1@offset2(ts300)
+    assert log.offsets_for_times("t", 150) == {0: 1}
+    assert log.offsets_for_times("t", 250) == {0: 2}
+    assert log.offsets_for_times("t", 301) == {0: None}
+
+
+def test_from_timestamp_with_assign(spark, tmp_path):
+    """from_timestamp + assign: the seek resolves over the assigned
+    topic's partitions (not the subscribe list)."""
+    from rdkafka_streams_spark.streaming import KConsumer, TopicLog, shutdown
+
+    root = str(tmp_path / "bus")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=2)
+    log.append("t", [b"old", b"new"], partition=0, timestamps=[100, 900])
+    log.append("t", [b"old", b"new"], partition=1, timestamps=[100, 900])
+
+    dec = KConsumer(
+        host=root, topic="ignored", assign='{"t": [0]}', from_timestamp=500,
+        transport="topiclog",
+    ).stream(spark)
+    name = "tsassign_rows"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        dec.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    shutdown(q, 30)
+    rows = [(r["partition"], r["offset"], bytes(r["value"]))
+            for r in spark.table(name).collect()]
+    assert rows == [(0, 1, b"new")]
