@@ -545,6 +545,38 @@ class TopicLog:
             for pid, end in ends.items()
         }
 
+    def beginning_offsets(self, topic: str) -> dict[int, int]:
+        """Kafka ``beginningOffsets`` (logStartOffset): the first readable
+        offset per partition — 0 on a fresh partition, the retention cutoff
+        after ``delete_records`` has reaped the head. Documented divergence:
+        a later ``compact()`` renames its output to span [0, end), so the
+        reported start rewinds to 0 — the reaped records stay gone (the
+        gapped segment simply omits them; a read from 0 serves identical
+        data), only the reported logStartOffset differs from a broker's."""
+        out = {}
+        for pid in _list_partitions(self.root, topic):
+            segs = _list_segments(_part_dir(self.root, topic, pid))
+            out[pid] = segs[0][0] if segs else 0
+        return out
+
+    def describe_topic(self, topic: str) -> dict[int, dict]:
+        """One-call topic description (the AdminClient describe + listOffsets
+        composite): per partition, {start, end, records, bytes} — offsets
+        from segment names, record counts via the name-or-scan rule
+        (_segment_record_count), bytes from the filesystem. Metadata-sized
+        output; reads segment names, not records, for dense logs."""
+        out: dict[int, dict] = {}
+        for pid in _list_partitions(self.root, topic):
+            pdir = _part_dir(self.root, topic, pid)
+            segs = _list_segments(pdir)
+            out[pid] = {
+                "start": segs[0][0] if segs else 0,
+                "end": _end_offset(pdir),
+                "records": sum(_segment_record_count(p, c) for _s, c, p in segs),
+                "bytes": sum(os.path.getsize(p) for _s, _c, p in segs),
+            }
+        return out
+
     def delete_records(self, topic: str, before: dict[int, int]) -> dict[str, int]:
         """Kafka ``AdminClient.deleteRecords`` analog: per partition, drop
         every record with offset < ``before[pid]`` (the retention /

@@ -1416,3 +1416,30 @@ def test_from_timestamp_with_assign(spark, tmp_path):
     rows = [(r["partition"], r["offset"], bytes(r["value"]))
             for r in spark.table(name).collect()]
     assert rows == [(0, 1, b"new")]
+
+
+def test_beginning_offsets_and_describe_topic(tmp_path):
+    """beginningOffsets tracks logStartOffset through retention; describe
+    reports start/end/records/bytes per partition, record-accurate on
+    compacted (gapped) logs."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=2)
+    log.append("t", [b"a", b"b", b"c", b"d"], partition=0,
+               keys=[b"ka", b"kb", b"kc", b"kd"])
+    log.append("t", [b"x"], keys=[b"k"], partition=1)
+    log.append("t", [b"y"], keys=[b"k"], partition=1)
+
+    assert log.beginning_offsets("t") == {0: 0, 1: 0}
+    d = log.describe_topic("t")
+    assert d[0] == {"start": 0, "end": 4, "records": 4, "bytes": d[0]["bytes"]}
+    assert d[0]["bytes"] > 0
+
+    log.compact("t")                  # collapse p1 to its latest k
+    log.delete_records("t", {0: 2})   # then reap the head of p0
+    assert log.beginning_offsets("t") == {0: 2, 1: 0}
+    d = log.describe_topic("t")
+    assert (d[0]["start"], d[0]["end"], d[0]["records"]) == (2, 4, 2)
+    # compaction preserves the span (end=2) but only 1 record survives
+    assert (d[1]["start"], d[1]["end"], d[1]["records"]) == (0, 2, 1)
