@@ -1443,3 +1443,53 @@ def test_beginning_offsets_and_describe_topic(tmp_path):
     assert (d[0]["start"], d[0]["end"], d[0]["records"]) == (2, 4, 2)
     # compaction preserves the span (end=2) but only 1 record survives
     assert (d[1]["start"], d[1]["end"], d[1]["records"]) == (0, 2, 1)
+
+
+def test_full_envelope_composite_avro_headers_timestamp(spark, tmp_path):
+    """All envelope features through ONE producer: Avro binary value,
+    record headers, CreateTime from an event-time column, explicit
+    partition routing — none leaks into the serialized value, every piece
+    survives the wire."""
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+    from rdkafka_streams_spark.streaming.consumer import KConsumer
+
+    root = str(tmp_path / "bus")
+    TopicLog(root).create_topic("t", partitions=2)
+    df = spark.createDataFrame(
+        [(1, "a", "2024-03-01 00:00:00", 0), (2, "b", "2024-03-02 00:00:00", 1)],
+        "id long, tag string, evt string, part int",
+    ).select(
+        "id", "tag", F.to_timestamp("evt").alias("evt"), "part",
+        F.array(F.struct(F.lit("h").alias("key"),
+                         F.col("tag").cast("binary").alias("value"))).alias("hdr"),
+    )
+    prod = KProducer(
+        host=root, topic="t", key="id", partition_col="part",
+        timestamp_col="evt", headers_col="hdr", value_format="avro",
+        transport="topiclog",
+    )
+    # the avro schema derives from the PAYLOAD only — partition, the
+    # CreateTime column, and headers are envelope metadata and must NOT
+    # leak into the serialized value
+    enc = prod.encode(df)
+    assert sorted(enc.columns) == ["headers", "key", "partition", "timestamp", "value"]
+    prod.write_batch(df)
+
+    raw = read_topic(spark, root, "t", include_headers=True)
+    from rdkafka_streams_spark.streaming.avro_codec import spark_to_avro_schema
+
+    schema = spark_to_avro_schema(df.select("id", "tag").schema, name="value")
+    dec = KConsumer(host=root, topic="t", schema=schema, value_format="avro",
+                    transport="topiclog").decode(raw)
+    rows = {
+        r["value"]["id"]: (
+            r["value"]["tag"], r["partition"],
+            r["timestamp"].strftime("%Y-%m-%d"),
+            [(h["key"], bytes(h["value"])) for h in r["headers"]],
+        )
+        for r in dec.collect()
+    }
+    assert rows == {
+        1: ("a", 0, "2024-03-01", [("h", b"a")]),
+        2: ("b", 1, "2024-03-02", [("h", b"b")]),
+    }
