@@ -45,10 +45,13 @@ def encode_records(
     when ``avro_schema`` is None (spark-avro SchemaConverters rule:
     nullable fields → ``["null", T]`` unions).
 
-    ``timestamp`` names a column to carry as the record's CreateTime (the
-    Kafka sink's optional ``timestamp`` column; both transports honor it —
-    ``offsetsForTimes`` / ``startingTimestamp`` seek against it). It stays
-    OUT of the serialized value, like key and partition.
+    ``timestamp`` names a column to carry as the record's CreateTime
+    (``offsetsForTimes`` / ``startingTimestamp`` seek against it). It stays
+    OUT of the serialized value, like key and partition. TOPICLOG-ONLY:
+    Spark's Kafka sink schema is key/value/headers/topic/partition — no
+    timestamp column — so on ``transport="kafka"`` the broker stamps
+    produce time instead and time seeks would run against the wrong clock;
+    KProducer raises there rather than silently drift.
 
     ``headers`` names a column of Kafka record headers
     (``array<struct<key:string, value:binary>>``, the sink contract shape —
@@ -114,6 +117,9 @@ class KProducer:
     avro_schema: str | None = None
     #: column carried as the record's CreateTime (``offsetsForTimes`` /
     #: ``startingTimestamp`` seek against it); default: produce wall-clock.
+    #: topiclog-only — the real Kafka sink has no timestamp column
+    #: (_sink_format raises rather than let the broker silently stamp
+    #: produce time under a CreateTime-seeking caller).
     timestamp_col: str | None = None
     #: column of Kafka record headers (array<struct<key,value>>), carried on
     #: the envelope like the real sink's optional headers column.
@@ -140,6 +146,13 @@ class KProducer:
             if self.txn_id is not None:
                 opts["txnId"] = self.txn_id
             return topiclog.FORMAT_NAME, opts
+        if self.timestamp_col is not None:
+            raise ValueError(
+                "timestamp_col is topiclog-only: Spark's Kafka sink schema "
+                "(key/value/headers/topic/partition) has no timestamp column, "
+                "so the broker would stamp produce time and CreateTime seeks "
+                "(offsetsForTimes/startingTimestamp) would read the wrong clock"
+            )
         opts = {"kafka.bootstrap.servers": self.host, "topic": self.topic}
         if self.txn_id is not None:
             opts["kafka.transactional.id"] = self.txn_id

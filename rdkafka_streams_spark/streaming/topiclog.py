@@ -432,8 +432,11 @@ class TopicLog:
     # __consumer_offsets topic always holding the last whole record.
 
     def _group_file(self, group: str, topic: str) -> str:
-        if not group or group.startswith(".") or "/" in group:
-            raise ValueError(f"invalid group id {group!r}")
+        # both path components are user strings — validate both, or
+        # commit_offsets(group, "../x", ...) escapes the group directory
+        for label, part in (("group id", group), ("topic", topic)):
+            if not part or part.startswith(".") or "/" in part or "\\" in part:
+                raise ValueError(f"invalid {label} {part!r}")
         return os.path.join(self.root, ".groups", group, f"{topic}.json")
 
     def commit_offsets(self, group: str, topic: str, offsets: dict[int, int]) -> None:
@@ -532,15 +535,17 @@ class TopicLog:
         statistics-callback ``consumer_lag`` computed from durable state:
         lag = end_offset − committed, with an uncommitted partition lagging
         by the whole log (committed None, the earliest-reset posture).
-        Metadata-sized output (one row per partition), driver-side by
-        design."""
+        Lag clamps at 0: a commit past the log end (stale state after a
+        log reset, or a bad commit) reads as caught-up, Kafka's clamped
+        semantics, never negative. Metadata-sized output (one row per
+        partition), driver-side by design."""
         ends = self.end_offsets(topic)
         comm = self.committed(group, topic)
         return {
             pid: {
                 "end_offset": end,
                 "committed": comm.get(pid),
-                "lag": end - comm.get(pid, 0),
+                "lag": max(0, end - comm.get(pid, 0)),
             }
             for pid, end in ends.items()
         }
@@ -909,6 +914,14 @@ class _TopicLogBatchReader(DataSourceReader):
                 raise ValueError(
                     f"endingOffsets for {k}: {off} — only -1 (latest) or an "
                     "absolute offset is valid (Kafka batch-source contract)"
+                )
+        for k, off in (self.start_off or {}).items():
+            if off < -2:
+                raise ValueError(
+                    f"startingOffsets for {k}: {off} — only -2 (earliest), -1 "
+                    "(latest) or an absolute offset is valid (Kafka batch-source "
+                    "contract; a raw negative would silently read the whole "
+                    "partition)"
                 )
         self.start_ts = options.get("startingtimestamp")
         self.end_ts = options.get("endingtimestamp")

@@ -113,6 +113,23 @@ def test_encode_roundtrip_and_partition_routing(spark):
     assert rows[0]["partition"] == 2  # intended semantics of Producer.coffee:71
 
 
+def test_timestamp_col_rejected_on_kafka_transport(spark):
+    """Advisor r7: Spark's Kafka sink schema (key/value/headers/topic/
+    partition) has no timestamp column — carrying one on transport="kafka"
+    would be silently ignored and the broker would stamp produce time, so
+    CreateTime seeks (offsetsForTimes/startingTimestamp) read the wrong
+    clock. KProducer raises instead; topiclog keeps honoring it."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "n long, s string") \
+        .withColumn("ts", F.current_timestamp())
+    p = KProducer(host="h:9092", topic="t", timestamp_col="ts", transport="kafka")
+    with pytest.raises(ValueError, match="topiclog-only"):
+        p._sink_format(df)
+    # encode itself is transport-agnostic and still carries the column
+    assert "timestamp" in p.encode(df).columns
+
+
 def test_encode_decode_roundtrip(spark):
     df = spark.createDataFrame([(7, "origin")], "count long, source string")
     enc = encode_records(df)

@@ -1014,6 +1014,11 @@ def test_group_offsets_validation(tmp_path):
     for bad in ("", ".hidden", "a/b"):
         with pytest.raises(ValueError, match="invalid group"):
             log.commit_offsets(bad, "t", {0: 0})
+    # advisor r7: topic is a path component too — "../x" used to escape the
+    # group directory as <root>/.groups/<group>/../x.json
+    for bad in ("", "../x", ".hidden", "a/b", "a\\b"):
+        with pytest.raises(ValueError, match="invalid topic"):
+            log.commit_offsets("g", bad, {0: 0})
 
 
 def test_consumer_lag_per_partition(tmp_path):
@@ -1032,6 +1037,12 @@ def test_consumer_lag_per_partition(tmp_path):
     # fully caught-up after committing the ends
     log.commit_offsets("g", "t", {0: 3, 1: 2})
     assert all(v["lag"] == 0 for v in log.consumer_lag("g", "t").values())
+    # advisor r7: a commit past the log end (stale state after a log reset)
+    # clamps to lag 0 — Kafka's clamped semantics, never negative
+    log.commit_offsets("g", "t", {0: 99})
+    assert log.consumer_lag("g", "t")[0] == {
+        "end_offset": 3, "committed": 99, "lag": 0,
+    }
 
 
 def test_offsets_for_times(tmp_path):
@@ -1342,6 +1353,11 @@ def test_batch_read_invalid_offset_options_raise(spark, tmp_path):
         read_topic(spark, root, "t", endingOffsets='{"t": {"0": -2}}').collect()
     with pytest.raises(Exception, match="startingOffsets=latest"):
         read_topic(spark, root, "t", startingOffsets="latest").collect()
+    # advisor r7: a startingOffset below -2 (e.g. -5) used to be treated as a
+    # literal start via min(raw, end) and silently read the whole partition;
+    # the Kafka batch source rejects it
+    with pytest.raises(Exception, match="startingOffsets"):
+        read_topic(spark, root, "t", startingOffsets='{"t": {"0": -5}}').collect()
 
 
 def test_delete_records_before_timestamp(spark, tmp_path):
