@@ -53,20 +53,25 @@ def main() -> None:
     for t in ("lineitem", "orders", "documents", "embeddings", "events"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
 
-    # Two passes, report the per-query minimum: pass 1 absorbs one-time JIT /
-    # codegen-cache / FS-cache effects, the min is the steady-state cost —
-    # run-to-run noise on a shared box otherwise dominates sub-second queries.
-    RUNS = 2
-    times: dict[str, float] = {}
+    # Five passes per query (round-7 verdict: min-of-2 left ±30 % run-to-run
+    # noise on sub-second queries, making round-over-round totals
+    # uninterpretable). Pass 1 absorbs one-time JIT / codegen-cache /
+    # FS-cache effects; the MIN is the steady-state cost, the MEDIAN shows
+    # how contended the box was (median >> min = noisy run, trust min).
+    RUNS = 5
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     rows: dict[str, int] = {}
     for _ in range(RUNS):
         for name in HEADLINE:
             q = REGISTRY[name]
             t0 = time.perf_counter()
             n = q.fn(spark, sf_dir).count()
-            dt = round(time.perf_counter() - t0, 3)
-            times[name] = min(times.get(name, dt), dt)
+            samples[name].append(round(time.perf_counter() - t0, 3))
             rows[name] = n
+    times = {name: min(s) for name, s in samples.items()}
+    medians = {
+        name: round(sorted(s)[len(s) // 2], 3) for name, s in samples.items()
+    }
 
     stream_rps = _stream_decode_throughput(spark)
     (produce_rps, consume_wall_rps, consume_best_rps,
@@ -74,6 +79,7 @@ def main() -> None:
     calibration = _calibration_marker(spark)
 
     total = round(sum(times.values()), 3)
+    total_median = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
@@ -81,6 +87,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_median": medians,
+                "total_median": total_median,
                 "rows": rows,
                 "sf": sf,
                 "cpus": cpus,
@@ -89,6 +97,12 @@ def main() -> None:
                 # fixed CPU-bound probe: compare this across rounds to
                 # normalize machine-load drift before reading query deltas
                 "calibration_sec": calibration,
+                # total ÷ calibration — a dimensionless, machine-speed-
+                # normalized number: compare THIS across rounds; raw totals
+                # confound box drift with plan changes (r7 verdict item)
+                "calibration_normalized_total": (
+                    round(total / calibration, 2) if calibration else None
+                ),
                 "stream_decode_rows_per_sec": stream_rps,
                 # produce = end-to-end wall; consume reported both ways so
                 # the JSON is self-describing (wall includes trigger idle
