@@ -4965,3 +4965,56 @@ def q275_batch_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("value.cents").cast("bigint").alias("cents"),
     )
+
+
+# ----------------------------- Avro decimal logical type on the wire (R4)
+@query(
+    "q276_avro_decimal_money",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+       CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+       CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("R4", "S2", "codec", "E30"),
+)
+def q276_avro_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro DECIMAL logical type end-to-end (spec §Logical Types; r7
+    verdict item 3): a DECIMAL(12,2) money column rides the wire as
+    bytes+decimal — the big-endian two's-complement UNSCALED integer, the
+    framing every Avro-speaking estate uses for money — not as a double.
+    spark_to_avro_schema auto-derives the logical type from the Spark
+    DecimalType; decode returns DECIMAL(12,2), so the post-wire aggregate
+    is EXACT decimal math and must hash-match the oracle computed straight
+    off the table (a double round-trip would drift cents and fail).
+    Scale: codec is map-side Arrow-batched; one 5-group rollup exchange."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+    from rdkafka_streams_spark.streaming.avro_codec import spark_to_avro_schema
+    from rdkafka_streams_spark.streaming.consumer import KConsumer
+
+    root = tempfile.mkdtemp(prefix="q276_bus")
+    TopicLog(root).create_topic("money_avro", partitions=4)
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+    )
+    schema = spark_to_avro_schema(li.schema, name="line")
+    KProducer(
+        host=root, topic="money_avro", key="okey", transport="topiclog",
+        value_format="avro", avro_schema=schema,
+    ).write_batch(li)
+    dec = KConsumer(
+        host=root, topic="money_avro", schema=schema, value_format="avro",
+        transport="topiclog",
+    ).decode(read_topic(spark, root, "money_avro"))
+    return dec.groupBy(F.col("value.l_returnflag").alias("l_returnflag")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("value.price").cast("double").alias("sum_price"),
+        F.min("value.price").cast("double").alias("min_price"),
+        F.max("value.price").cast("double").alias("max_price"),
+    )

@@ -18,9 +18,13 @@ available, so call sites are jar-agnostic.
 
 Spec subset: null, boolean, int, long, float, double, bytes, string,
 record (nested), enum, fixed, array, map, and unions (including the
-ubiquitous ``["null", T]`` nullable idiom). Logical types are passed
-through as their underlying primitive, like spark-avro does for unknown
-logical types. Byte-level behavior is pinned to the worked examples in the
+ubiquitous ``["null", T]`` nullable idiom). Logical types are first-class
+(r8, Avro spec §"Logical Types"): ``decimal`` (bytes or fixed carrying the
+big-endian two's-complement UNSCALED integer) ↔ Spark DecimalType(p,s),
+``date`` (int days) ↔ DateType, ``timestamp-micros``/``timestamp-millis``
+(long) ↔ TimestampType, ``uuid`` (string) ↔ StringType. Unknown logical
+types fall through to their underlying primitive, spark-avro's rule.
+Byte-level behavior is pinned to the worked examples in the
 public spec (tests/test_avro_codec.py): zigzag(27)=0x36, string "foo" =
 ``06 66 6f 6f``, record concatenation carries no field tags.
 """
@@ -28,8 +32,10 @@ public spec (tests/test_avro_codec.py): zigzag(27)=0x36, string "foo" =
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _dec
 import json
 import struct
+import uuid as _uuid
 from typing import Any
 
 import numpy as np
@@ -93,10 +99,16 @@ def avro_to_spark_ddl(schema: str | dict | list) -> str:
     ``timestamp-micros`` longs map to TIMESTAMP (spark-avro's rule)."""
     s = parse_schema(schema)
     t = _schema_type(s)
-    if isinstance(s, dict) and s.get("logicalType") == "timestamp-micros":
-        return "timestamp"
-    if isinstance(s, dict) and s.get("logicalType") == "date":
-        return "date"
+    if isinstance(s, dict):
+        lt = s.get("logicalType")
+        if lt in ("timestamp-micros", "timestamp-millis"):
+            return "timestamp"
+        if lt == "date":
+            return "date"
+        if lt == "decimal" and t in ("bytes", "fixed"):
+            return f"decimal({int(s['precision'])},{int(s.get('scale', 0))})"
+        if lt == "uuid":
+            return "string"
     prim = {
         "null": "void", "boolean": "boolean", "int": "int", "long": "bigint",
         "float": "float", "double": "double", "bytes": "binary",
@@ -134,6 +146,12 @@ def encode_value(value: Any, schema) -> bytes:
     if t == "boolean":
         return b"\x01" if value else b"\x00"
     if t in ("int", "long"):
+        _ts_unit = (
+            _dt.timedelta(milliseconds=1)
+            if isinstance(schema, dict)
+            and schema.get("logicalType") == "timestamp-millis"
+            else _dt.timedelta(microseconds=1)
+        )
         if isinstance(value, _dt.datetime):
             # tz-naive values are taken as UTC wall time. Spark delivers
             # TimestampType to pandas UDFs as naive SESSION-LOCAL time, so
@@ -142,12 +160,14 @@ def encode_value(value: Any, schema) -> bytes:
             # tune_runtime; non-UTC sessions would shift instants by the
             # session offset for external Avro consumers).
             epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
-            value = (value - epoch) // _dt.timedelta(microseconds=1)
+            value = (value - epoch) // _ts_unit
         elif isinstance(value, _dt.date):
             value = (value - _dt.date(1970, 1, 1)).days
         elif hasattr(value, "timestamp") and not isinstance(value, (int, float)):
             # pd.Timestamp and friends
-            value = int(value.timestamp() * 1_000_000)
+            value = int(value.timestamp() * 1_000_000) // (
+                1000 if _ts_unit == _dt.timedelta(milliseconds=1) else 1
+            )
         elif isinstance(value, float):
             # pandas surfaces nullable int columns as float64
             if not value.is_integer():
@@ -159,12 +179,26 @@ def encode_value(value: Any, schema) -> bytes:
     if t == "double":
         return struct.pack("<d", float(value))
     if t == "bytes":
-        b = bytes(value)
+        if isinstance(schema, dict) and schema.get("logicalType") == "decimal":
+            b = _decimal_to_unscaled_bytes(value, schema)
+        else:
+            b = bytes(value)
         return _zigzag_encode(len(b)) + b
     if t == "string":
-        b = str(value).encode("utf-8")
+        sv = str(value)
+        if isinstance(schema, dict) and schema.get("logicalType") == "uuid":
+            _uuid.UUID(sv)  # spec: must conform to RFC-4122; raises otherwise
+        b = sv.encode("utf-8")
         return _zigzag_encode(len(b)) + b
     if t == "fixed":
+        if isinstance(schema, dict) and schema.get("logicalType") == "decimal":
+            b = _decimal_to_unscaled_bytes(value, schema)
+            size = schema["size"]
+            if len(b) > size:
+                raise ValueError(f"decimal overflows fixed({size}): {value!r}")
+            # sign-extend to the fixed width (spec: two's-complement big-endian)
+            pad = b"\xff" if b and b[0] & 0x80 else b"\x00"
+            return pad * (size - len(b)) + b
         b = bytes(value)
         if len(b) != schema["size"]:
             raise ValueError(f"fixed size {schema['size']} got {len(b)} bytes")
@@ -207,6 +241,36 @@ def encode_value(value: Any, schema) -> bytes:
     raise ValueError(f"unsupported avro type: {t}")
 
 
+def _unscaled_bytes_to_decimal(raw: bytes, schema: dict) -> _dec.Decimal:
+    """Inverse of _decimal_to_unscaled_bytes; empty bytes decode as 0 (the
+    minimal encoding some writers emit for zero)."""
+    scale = int(schema.get("scale", 0))
+    unscaled = int.from_bytes(raw, "big", signed=True) if raw else 0
+    return _dec.Decimal(unscaled).scaleb(-scale)
+
+
+def _decimal_to_unscaled_bytes(value, schema: dict) -> bytes:
+    """Avro decimal logical type: the UNSCALED integer as minimal-length
+    big-endian two's-complement bytes (spec §decimal). Exactness enforced —
+    a value that doesn't fit the declared scale raises rather than silently
+    rounding money."""
+    scale = int(schema.get("scale", 0))
+    d = value if isinstance(value, _dec.Decimal) else _dec.Decimal(str(value))
+    unscaled_dec = d.scaleb(scale)
+    unscaled = int(unscaled_dec)
+    if unscaled != unscaled_dec:
+        raise ValueError(f"{value!r} does not fit scale {scale} exactly")
+    if len(str(abs(unscaled))) > int(schema["precision"]):
+        raise ValueError(
+            f"{value!r} overflows decimal({schema['precision']},{scale})"
+        )
+    # minimal two's-complement width: non-negatives need bit_length+1 bits
+    # (room for the 0 sign bit); negatives need bit_length(-x-1)+1
+    bits = (unscaled.bit_length() if unscaled >= 0
+            else (-unscaled - 1).bit_length()) + 1
+    return unscaled.to_bytes(max(1, (bits + 7) // 8), "big", signed=True)
+
+
 def _matches(value: Any, branch) -> bool:
     t = _schema_type(branch)
     if t == "null":
@@ -217,7 +281,7 @@ def _matches(value: Any, branch) -> bool:
         return isinstance(value, bool)
     if t in ("int", "long"):
         if isinstance(branch, dict) and branch.get("logicalType") in (
-            "timestamp-micros", "date",
+            "timestamp-micros", "timestamp-millis", "date",
         ):
                 return isinstance(value, (_dt.date, _dt.datetime, int)) or hasattr(
                 value, "timestamp"
@@ -230,6 +294,10 @@ def _matches(value: Any, branch) -> bool:
     if t in ("string", "enum"):
         return isinstance(value, str)
     if t in ("bytes", "fixed"):
+        if isinstance(branch, dict) and branch.get("logicalType") == "decimal":
+            return isinstance(value, (_dec.Decimal, int)) and not isinstance(
+                value, bool
+            )
         return isinstance(value, (bytes, bytearray))
     if t == "record":
         return isinstance(value, dict)
@@ -249,9 +317,13 @@ def decode_value(buf: bytes, schema, pos: int = 0) -> tuple[Any, int]:
         return buf[pos] != 0, pos + 1
     if t in ("int", "long"):
         v, pos = _zigzag_decode(buf, pos)
-        if isinstance(schema, dict) and schema.get("logicalType") == "timestamp-micros":
+        if isinstance(schema, dict):
+            lt = schema.get("logicalType")
+            if lt == "timestamp-micros":
                 return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v), pos
-        if isinstance(schema, dict) and schema.get("logicalType") == "date":
+            if lt == "timestamp-millis":
+                return _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=v), pos
+            if lt == "date":
                 return _dt.date(1970, 1, 1) + _dt.timedelta(days=v), pos
         return v, pos
     if t == "float":
@@ -260,13 +332,19 @@ def decode_value(buf: bytes, schema, pos: int = 0) -> tuple[Any, int]:
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if t == "bytes":
         n, pos = _zigzag_decode(buf, pos)
-        return bytes(buf[pos:pos + n]), pos + n
+        raw = bytes(buf[pos:pos + n])
+        if isinstance(schema, dict) and schema.get("logicalType") == "decimal":
+            return _unscaled_bytes_to_decimal(raw, schema), pos + n
+        return raw, pos + n
     if t == "string":
         n, pos = _zigzag_decode(buf, pos)
         return buf[pos:pos + n].decode("utf-8"), pos + n
     if t == "fixed":
         n = schema["size"]
-        return bytes(buf[pos:pos + n]), pos + n
+        raw = bytes(buf[pos:pos + n])
+        if isinstance(schema, dict) and schema.get("logicalType") == "decimal":
+            return _unscaled_bytes_to_decimal(raw, schema), pos + n
+        return raw, pos + n
     if t == "enum":
         i, pos = _zigzag_decode(buf, pos)
         return schema["symbols"][i], pos
@@ -395,6 +473,7 @@ def spark_to_avro_schema(schema, name: str = "value") -> str:
         BooleanType,
         DataType,
         DateType,
+        DecimalType,
         DoubleType,
         FloatType,
         IntegerType,
@@ -429,6 +508,13 @@ def spark_to_avro_schema(schema, name: str = "value") -> str:
             return {"type": "long", "logicalType": "timestamp-micros"}
         if isinstance(dt, DateType):
             return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, DecimalType):
+            # spark-avro's rule: decimal rides bytes with the decimal
+            # logical type (minimal-length unscaled two's-complement)
+            return {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": dt.precision, "scale": dt.scale,
+            }
         if isinstance(dt, StructType):
             return {
                 "type": "record",

@@ -259,3 +259,132 @@ def test_property_array_of_nullable_strings_roundtrip(items):
     decoded, pos = decode_value(buf, schema)
     assert pos == len(buf)
     assert decoded == items
+
+
+# ----------------------------------------------------- logical types (r8)
+def test_decimal_bytes_roundtrip_and_minimal_encoding():
+    """Avro spec §decimal: bytes carry the minimal-length big-endian
+    two's-complement UNSCALED integer. -1 at scale 2 is one byte 0xff
+    (unscaled -100 is two — check actual minimality per value)."""
+    import decimal
+
+    from rdkafka_streams_spark.streaming.avro_codec import decode_value, encode_value
+
+    sch = {"type": "bytes", "logicalType": "decimal", "precision": 10, "scale": 2}
+    for s in ("0.00", "0.01", "-0.01", "1.27", "-1.28", "12345678.99",
+              "-12345678.99", "42.00"):
+        v = decimal.Decimal(s)
+        buf = encode_value(v, sch)
+        out, pos = decode_value(buf, sch)
+        assert pos == len(buf) and out == v, s
+    # minimality: unscaled 127 = 1 byte body, 128 = 2 bytes (sign bit)
+    assert len(encode_value(decimal.Decimal("1.27"), sch)) == 1 + 1
+    assert len(encode_value(decimal.Decimal("1.28"), sch)) == 1 + 2
+    # exactness is enforced — no silent rounding of money
+    with pytest.raises(ValueError, match="scale"):
+        encode_value(decimal.Decimal("0.005"), sch)
+    with pytest.raises(ValueError, match="overflows"):
+        encode_value(decimal.Decimal("123456789.01"), sch)
+
+
+def test_decimal_fixed_sign_extension():
+    """fixed-backed decimal pads with the SIGN byte to the declared size."""
+    import decimal
+
+    from rdkafka_streams_spark.streaming.avro_codec import decode_value, encode_value
+
+    sch = {"type": "fixed", "name": "m", "size": 4,
+           "logicalType": "decimal", "precision": 10, "scale": 2}
+    neg = encode_value(decimal.Decimal("-0.01"), sch)
+    assert neg == b"\xff\xff\xff\xff"  # -1 sign-extended to 4 bytes
+    pos_ = encode_value(decimal.Decimal("0.01"), sch)
+    assert pos_ == b"\x00\x00\x00\x01"
+    for s in ("-21474836.48", "21474836.47", "0.00"):
+        v = decimal.Decimal(s)
+        out, p = decode_value(encode_value(v, sch), sch)
+        assert p == 4 and out == v
+
+
+def test_uuid_and_timestamp_millis():
+    import uuid
+
+    from rdkafka_streams_spark.streaming.avro_codec import decode_value, encode_value
+
+    usch = {"type": "string", "logicalType": "uuid"}
+    u = str(uuid.uuid5(uuid.NAMESPACE_DNS, "rdkafka"))
+    out, _ = decode_value(encode_value(u, usch), usch)
+    assert out == u
+    with pytest.raises(ValueError):
+        encode_value("not-a-uuid", usch)
+
+    tsch = {"type": "long", "logicalType": "timestamp-millis"}
+    t = dt.datetime(2024, 3, 1, 12, 30, 15, 250_000)
+    buf = encode_value(t, tsch)
+    # wire integer is epoch MILLIS, not micros
+    from rdkafka_streams_spark.streaming.avro_codec import _zigzag_decode
+    raw, _ = _zigzag_decode(buf, 0)
+    assert raw == int(t.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    out, _ = decode_value(buf, tsch)
+    assert out == t
+
+
+def test_logical_types_ddl_mapping():
+    from rdkafka_streams_spark.streaming.avro_codec import avro_to_spark_ddl
+
+    assert avro_to_spark_ddl(
+        {"type": "bytes", "logicalType": "decimal", "precision": 12, "scale": 2}
+    ) == "decimal(12,2)"
+    assert avro_to_spark_ddl({"type": "string", "logicalType": "uuid"}) == "string"
+    assert avro_to_spark_ddl(
+        {"type": "long", "logicalType": "timestamp-millis"}) == "timestamp"
+
+
+def test_decimal_column_through_pandas_udfs(spark):
+    """End-to-end: Spark DecimalType column → auto-derived Avro schema
+    (bytes+decimal) → encode → decode → DecimalType again, values exact.
+    This is the 'money survives the wire as decimal, not double' check."""
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.streaming.avro_codec import (
+        from_avro_py,
+        spark_to_avro_schema,
+        to_avro_py,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "12345.67"), ("b", "-0.05"), ("c", "0.00"), ("d", None)],
+        "id string, raw string",
+    ).select("id", F.col("raw").cast("decimal(12,2)").alias("money"))
+    schema = spark_to_avro_schema(df.select("id", "money").schema, name="v")
+    parsed = json.loads(schema)
+    money_branch = [f for f in parsed["fields"] if f["name"] == "money"][0]["type"]
+    assert {"type": "bytes", "logicalType": "decimal",
+            "precision": 12, "scale": 2} in money_branch
+    enc = df.select("id", to_avro_py(F.struct("id", "money"), schema).alias("v"))
+    dec = enc.select("id", from_avro_py("v", schema).alias("r")) \
+        .select("id", "r.money")
+    assert dict(dec.collect()) == {
+        k: (None if v is None else __import__("decimal").Decimal(v))
+        for k, v in [("a", "12345.67"), ("b", "-0.05"), ("c", "0.00"), ("d", None)]
+    }
+    assert dict(dec.dtypes)["money"] == "decimal(12,2)"
+
+
+from hypothesis import HealthCheck
+
+
+@given(
+    st.decimals(
+        min_value="-99999999.99", max_value="99999999.99", places=2,
+        allow_nan=False, allow_infinity=False,
+    )
+)
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_property_decimal_roundtrip(d):
+    from rdkafka_streams_spark.streaming.avro_codec import decode_value, encode_value
+
+    sch = {"type": "bytes", "logicalType": "decimal", "precision": 10, "scale": 2}
+    buf = encode_value(d, sch)
+    out, pos = decode_value(buf, sch)
+    assert pos == len(buf) and out == d

@@ -290,6 +290,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # both time bounds resolve to offset ranges driver-side; the scan
         # reads only the window, one rollup exchange
         "q275_batch_time_window": 1,
+        # decimal codec is map-side (bytes+decimal logical type); one
+        # 3-group rollup exchange over the consumed topic
+        "q276_avro_decimal_money": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
