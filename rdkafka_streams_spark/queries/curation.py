@@ -5018,3 +5018,76 @@ def q276_avro_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value.price").cast("double").alias("min_price"),
         F.max("value.price").cast("double").alias("max_price"),
     )
+
+
+# --------------------- Confluent wire format + schema evolution (S1/S2/R3/R4)
+@query(
+    "q277_schema_evolution",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN event_id % 2 = 1 THEN cents ELSE 5 END) AS BIGINT)
+         AS cents_with_defaults
+FROM ev GROUP BY event_type
+""",
+    tags=("S1", "S2", "R3", "R4", "codec", "registry"),
+)
+def q277_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent wire format + schema-registry evolution on the wire (r7
+    verdict item 2): even-id events are produced under subject version v1
+    (no ``cents`` field), odd-id events under v2 (``cents`` long, default
+    5) — each record framed as magic 0x00 + u32 schema id + Avro body and
+    the schemas registered (BACKWARD-gated) in the file-backed registry
+    beside the log. ONE consumer with the subject's latest reader schema
+    decodes BOTH generations: v1 records surface cents=5 from the v2
+    default (Avro spec §Schema Resolution), v2 records carry their real
+    value. The oracle reconstructs exactly that default-vs-value split, so
+    a framing error, id mix-up, or resolution bug breaks the hash.
+    Scale: framing is 5 bytes/record map-side; each executor resolves each
+    writer id once; one rollup exchange."""
+    import json as _json
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+    from rdkafka_streams_spark.streaming.consumer import KConsumer
+
+    v1 = _json.dumps({
+        "type": "record", "name": "ev", "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+        ],
+    })
+    v2 = _json.dumps({
+        "type": "record", "name": "ev", "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "event_type", "type": "string"},
+            {"name": "cents", "type": "long", "default": 5},
+        ],
+    })
+    root = tempfile.mkdtemp(prefix="q277_bus")
+    TopicLog(root).create_topic("ev", partitions=4)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    KProducer(
+        host=root, topic="ev", transport="topiclog",
+        value_format="avro-confluent", avro_schema=v1,
+    ).write_batch(ev.where(F.col("event_id") % 2 == 0)
+                  .select("event_id", "event_type"))
+    KProducer(
+        host=root, topic="ev", transport="topiclog",
+        value_format="avro-confluent", avro_schema=v2,
+    ).write_batch(ev.where(F.col("event_id") % 2 == 1))
+    dec = KConsumer(
+        host=root, topic="ev", transport="topiclog",
+        value_format="avro-confluent",  # reader = subject latest (v2)
+    ).decode(read_topic(spark, root, "ev"))
+    return dec.groupBy(F.col("value.event_type").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("value.cents").cast("bigint").alias("cents_with_defaults"),
+    )

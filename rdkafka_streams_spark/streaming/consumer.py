@@ -206,9 +206,19 @@ class KConsumer:
     #: in-repo durable log, streaming/topiclog.py — ``host`` is the log root
     #: dir). Same envelope either way; queries don't change.
     transport: str = "kafka"
-    #: value deserialization: "json" (src/Consumer.coffee:91) or "avro"
-    #: (streaming/avro_codec.py; ``schema`` is then the Avro schema JSON).
+    #: value deserialization: "json" (src/Consumer.coffee:91), "avro"
+    #: (streaming/avro_codec.py; ``schema`` is then the Avro schema JSON),
+    #: or "avro-confluent" (Confluent wire format: writer schema resolved by
+    #: id from the registry, decoded with Avro schema resolution against
+    #: ``schema`` as the READER schema — or the subject's latest when
+    #: ``schema`` is None; streaming/schema_registry.py).
     value_format: str = "json"
+    #: schema-registry directory for "avro-confluent"; defaults to
+    #: ``<host>/.schema_registry`` on the topiclog transport.
+    registry_root: str | None = None
+    #: registry subject for the reader-schema default (TopicNameStrategy
+    #: ``<topic>-value`` when None).
+    subject: str | None = None
 
     def _topics(self) -> str:
         t = self.topic
@@ -307,6 +317,34 @@ class KConsumer:
         """Apply the envelope-preserving decode to any Kafka-shaped frame —
         the broker-free seam used by tests (memory/file sources provide the
         same columns)."""
+        if self.value_format == "avro-confluent":
+            import os
+
+            from rdkafka_streams_spark.streaming.schema_registry import (
+                SchemaRegistry,
+                from_avro_confluent,
+            )
+
+            root = self.registry_root
+            if root is None:
+                if self.transport != "topiclog":
+                    raise ValueError(
+                        "value_format='avro-confluent' on transport='kafka' "
+                        "needs an explicit registry_root"
+                    )
+                root = os.path.join(self.host, ".schema_registry")
+            reader = self.schema
+            if reader is None:
+                t = self.topic if isinstance(self.topic, str) else self.topic[0]
+                _, reader = SchemaRegistry(root).latest(
+                    self.subject or f"{t}-value"
+                )
+            envelope = [c for c in raw.columns if c != "value"]
+            return raw.select(
+                *envelope,
+                F.octet_length(F.col("value")).alias("size"),
+                from_avro_confluent(F.col("value"), root, reader).alias("value"),
+            )
         if self.schema is None:
             return raw
         if self.value_format == "avro":

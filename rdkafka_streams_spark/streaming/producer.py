@@ -34,6 +34,7 @@ def encode_records(
     avro_schema: str | None = None,
     timestamp: str | None = None,
     headers: str | None = None,
+    schema_id: int | None = None,
 ) -> DataFrame:
     """Record → Kafka sink frame: serialize all payload columns into
     ``value``, optionally keeping a key and an explicit partition column
@@ -58,7 +59,27 @@ def encode_records(
     ordered, duplicate keys legal); it likewise rides the envelope, not the
     value."""
     payload = [c for c in df.columns if c not in (partition, timestamp, headers)]
-    if value_format == "avro":
+    if value_format == "avro-confluent":
+        # Confluent wire format: 0x00 + u32 schema id + Avro body — the
+        # framing every registry-backed estate actually ships. The caller
+        # (KProducer.encode) has already registered the schema and owns the
+        # id; this stage is pure serialization.
+        from rdkafka_streams_spark.streaming.schema_registry import (
+            to_avro_confluent,
+        )
+
+        if avro_schema is None or schema_id is None:
+            raise ValueError(
+                "value_format='avro-confluent' needs avro_schema AND "
+                "schema_id (register via SchemaRegistry, or use KProducer "
+                "which does it for you)"
+            )
+        out = [
+            to_avro_confluent(
+                F.struct(*payload), avro_schema, schema_id
+            ).alias("value")
+        ]
+    elif value_format == "avro":
         from rdkafka_streams_spark.streaming.avro_codec import (
             spark_to_avro_schema,
             to_avro_py,
@@ -110,11 +131,24 @@ class KProducer:
     #: "kafka" (production) or "topiclog" (in-repo durable log; ``host`` is
     #: the log root dir). Identical sink contract (value/key/partition cols).
     transport: str = "kafka"
-    #: value serialization: "json" (reference-faithful) or "avro" (binary
+    #: value serialization: "json" (reference-faithful), "avro" (raw binary
     #: records via streaming/avro_codec.py; schema auto-derived when
-    #: ``avro_schema`` is None).
+    #: ``avro_schema`` is None), or "avro-confluent" (Confluent wire format:
+    #: magic + schema id + body, schema auto-REGISTERED under ``subject`` in
+    #: the registry at ``registry_root`` with ``compatibility`` checking —
+    #: streaming/schema_registry.py).
     value_format: str = "json"
     avro_schema: str | None = None
+    #: schema-registry directory for "avro-confluent"; defaults to
+    #: ``<host>/.schema_registry`` on the topiclog transport (the registry
+    #: lives beside the log, like __consumer_offsets does).
+    registry_root: str | None = None
+    #: registry subject; defaults to Confluent's TopicNameStrategy
+    #: ``<topic>-value``.
+    subject: str | None = None
+    #: compatibility gate applied at auto-registration (BACKWARD / FORWARD /
+    #: FULL / NONE — Confluent's modes).
+    compatibility: str = "BACKWARD"
     #: column carried as the record's CreateTime (``offsetsForTimes`` /
     #: ``startingTimestamp`` seek against it); default: produce wall-clock.
     #: topiclog-only — the real Kafka sink has no timestamp column
@@ -125,16 +159,57 @@ class KProducer:
     #: the envelope like the real sink's optional headers column.
     headers_col: str | None = None
 
+    def _registry_root(self) -> str:
+        import os
+
+        if self.registry_root is not None:
+            return self.registry_root
+        if self.transport == "topiclog":
+            return os.path.join(self.host, ".schema_registry")
+        raise ValueError(
+            "value_format='avro-confluent' on transport='kafka' needs an "
+            "explicit registry_root (a path every executor can read)"
+        )
+
     def encode(self, df: DataFrame) -> DataFrame:
-        """The pure serialization stage (broker-free testable seam)."""
+        """The pure serialization stage (broker-free testable seam).
+
+        For ``avro-confluent`` this is also where the schema meets the
+        registry: derive (or take) the Avro schema, register it under the
+        subject (idempotent; compatibility-gated against the latest
+        version), and frame every record with the returned id — the
+        produce-time half of rolling schema evolution."""
+        schema, sid = self.avro_schema, None
+        if self.value_format == "avro-confluent":
+            from rdkafka_streams_spark.streaming.avro_codec import (
+                spark_to_avro_schema,
+            )
+            from rdkafka_streams_spark.streaming.schema_registry import (
+                SchemaRegistry,
+            )
+
+            payload = [
+                c for c in df.columns
+                if c not in (self.partition_col, self.timestamp_col,
+                             self.headers_col)
+            ]
+            if schema is None:
+                schema = spark_to_avro_schema(
+                    df.select(*payload).schema, name="value"
+                )
+            sid = SchemaRegistry(self._registry_root()).register(
+                self.subject or f"{self.topic}-value", schema,
+                compatibility=self.compatibility,
+            )
         return encode_records(
             df,
             key=self.key,
             partition=self.partition_col,
             value_format=self.value_format,
-            avro_schema=self.avro_schema,
+            avro_schema=schema,
             timestamp=self.timestamp_col,
             headers=self.headers_col,
+            schema_id=sid,
         )
 
     def _sink_format(self, df: DataFrame):

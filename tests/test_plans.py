@@ -293,6 +293,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # decimal codec is map-side (bytes+decimal logical type); one
         # 3-group rollup exchange over the consumed topic
         "q276_avro_decimal_money": 1,
+        # confluent framing + per-id schema resolution are map-side; one
+        # event_type rollup exchange
+        "q277_schema_evolution": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

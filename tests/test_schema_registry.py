@@ -1,0 +1,223 @@
+"""Confluent wire-format framing + schema-registry analog + Avro schema
+resolution (streaming/schema_registry.py) — the rolling-evolution surface
+a real Kafka estate runs on (r7 verdict item 2)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from rdkafka_streams_spark.streaming.avro_codec import encode_value
+from rdkafka_streams_spark.streaming.schema_registry import (
+    SchemaRegistry,
+    can_read,
+    frame,
+    resolve_read,
+    unframe,
+)
+
+V1 = json.dumps({
+    "type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "kind", "type": "string"},
+    ],
+})
+# v2 adds a defaulted field (BACKWARD-compatible) and widens nothing
+V2 = json.dumps({
+    "type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "kind", "type": "string"},
+        {"name": "score", "type": "int", "default": 7},
+    ],
+})
+# incompatible: new REQUIRED field (old data has no value for it)
+V_BAD = json.dumps({
+    "type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "kind", "type": "string"},
+        {"name": "must", "type": "string"},
+    ],
+})
+
+
+def test_frame_unframe_wire_layout():
+    body = b"\x36\x06foo"
+    msg = frame(17, body)
+    assert msg[:5] == b"\x00\x00\x00\x00\x11"  # magic 0x00 + u32 BE id
+    assert unframe(msg) == (17, body)
+    with pytest.raises(ValueError, match="magic"):
+        unframe(b"\x01\x00\x00\x00\x11" + body)  # raw-Avro-on-framed-topic
+    with pytest.raises(ValueError, match="short"):
+        unframe(b"\x00\x00")
+
+
+def test_register_is_idempotent_and_versions_monotonic(tmp_path):
+    reg = SchemaRegistry(str(tmp_path))
+    id1 = reg.register("t-value", V1)
+    assert reg.register("t-value", V1) == id1  # same canonical → same id
+    # doc/aliases noise doesn't mint a new version
+    noisy = json.loads(V1)
+    noisy["doc"] = "hello"
+    assert reg.register("t-value", json.dumps(noisy)) == id1
+    id2 = reg.register("t-value", V2)
+    assert id2 != id1
+    assert reg.versions("t-value") == [1, 2]
+    assert reg.latest("t-value")[0] == id2
+    assert reg.get_version("t-value", 1) == (id1, V1)
+    assert json.loads(reg.get_by_id(id2)) == json.loads(V2)
+    # same schema under ANOTHER subject reuses the global id
+    assert reg.register("other-value", V1) == id1
+    with pytest.raises(KeyError):
+        reg.get_by_id(999)
+    with pytest.raises(ValueError, match="invalid subject"):
+        reg.register("../esc", V1)
+
+
+def test_compatibility_gate(tmp_path):
+    reg = SchemaRegistry(str(tmp_path))
+    reg.register("t-value", V1)
+    with pytest.raises(ValueError, match="no default"):
+        reg.register("t-value", V_BAD)  # BACKWARD default mode
+    # NONE waives the gate
+    reg2 = SchemaRegistry(str(tmp_path / "r2"))
+    reg2.register("t-value", V1)
+    assert reg2.register("t-value", V_BAD, compatibility="NONE") > 0
+    # FORWARD: dropping a defaulted field is forward-compatible; dropping a
+    # required one is not (old reader lacks a default for it)
+    reg3 = SchemaRegistry(str(tmp_path / "r3"))
+    reg3.register("s", V2, compatibility="NONE")
+    drop_scored = V1  # score had a default in v2 -> v1 reader fills it? no:
+    # FORWARD means v2 reader reads v1-written data -> score from default: ok
+    assert reg3.register("s", drop_scored, compatibility="FORWARD") > 0
+
+
+def test_can_read_matrix():
+    assert can_read(V1, V2) == []          # defaults fill the gap
+    assert can_read(V2, V1) == []          # extra writer field is skipped
+    assert can_read(V1, V_BAD) != []       # required field missing
+    # promotions
+    assert can_read("int", "long") == []
+    assert can_read("long", "double") == []
+    assert can_read("double", "long") != []
+    assert can_read("string", "bytes") == []
+    # unions
+    assert can_read("string", ["null", "string"]) == []
+    assert can_read(["null", "string"], "string") != []  # null branch unreadable
+    # enums: reader must cover writer symbols or declare a default
+    e_w = {"type": "enum", "name": "c", "symbols": ["A", "B"]}
+    e_r = {"type": "enum", "name": "c", "symbols": ["A"]}
+    assert can_read(e_w, e_r) != []
+    assert can_read(e_w, {**e_r, "default": "A"}) == []
+
+
+def test_resolution_old_record_new_reader():
+    """v2 consumer reads a v1 record: score comes from the default."""
+    body = encode_value({"id": 5, "kind": "click"}, json.loads(V1))
+    out, pos = resolve_read(body, json.loads(V1), json.loads(V2))
+    assert pos == len(body)
+    assert out == {"id": 5, "kind": "click", "score": 7}
+
+
+def test_resolution_new_record_old_reader():
+    """v1 consumer reads a v2 record: unknown field decoded-and-dropped,
+    stream position stays exact (the next record would decode cleanly)."""
+    body = encode_value(
+        {"id": 9, "kind": "view", "score": 123}, json.loads(V2)
+    )
+    out, pos = resolve_read(body, json.loads(V2), json.loads(V1))
+    assert pos == len(body)
+    assert out == {"id": 9, "kind": "view"}
+
+
+def test_resolution_promotions_and_unions():
+    # writer int read as long/double
+    w, r = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": "int"}]}, None
+    body = encode_value({"x": 41}, w)
+    r = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "double"}]}
+    assert resolve_read(body, w, r)[0] == {"x": 41.0}
+    # writer non-union read as reader nullable union
+    r2 = {"type": "record", "name": "r",
+          "fields": [{"name": "x", "type": ["null", "long"]}]}
+    assert resolve_read(body, w, r2)[0] == {"x": 41}
+    # writer union read as plain (the written branch must match)
+    wu = {"type": "record", "name": "r",
+          "fields": [{"name": "x", "type": ["null", "int"]}]}
+    body2 = encode_value({"x": 41}, wu)
+    assert resolve_read(body2, wu, r)[0] == {"x": 41.0}
+    with pytest.raises(ValueError):
+        resolve_read(encode_value({"x": None}, wu), wu, r)  # null → double
+
+
+def test_resolution_default_materialization():
+    """Defaults: bytes are latin-1 strings, logical dates/decimals become
+    typed values, nested records fill recursively."""
+    import datetime as dt
+    import decimal
+
+    reader = {"type": "record", "name": "r", "fields": [
+        {"name": "b", "type": "bytes", "default": ""},
+        {"name": "d",
+         "type": {"type": "int", "logicalType": "date"}, "default": 19723},
+        {"name": "m",
+         "type": {"type": "bytes", "logicalType": "decimal",
+                  "precision": 9, "scale": 2},
+         "default": "Ò"},
+        {"name": "e", "type": {"type": "enum", "name": "c",
+                               "symbols": ["A", "B"]}, "default": "B"},
+    ]}
+    writer = {"type": "record", "name": "r", "fields": []}
+    out, _ = resolve_read(b"", writer, reader)
+    assert out["b"] == b"\x01\x02"
+    assert out["d"] == dt.date(1970, 1, 1) + dt.timedelta(days=19723)
+    assert out["m"] == decimal.Decimal("12.34")  # 0x04d2 = 1234, scale 2
+    assert out["e"] == "B"
+
+
+def test_end_to_end_schema_evolution_over_topiclog(spark, tmp_path):
+    """The real-estate scenario: batch 1 produced under v1, the subject
+    evolves, batch 2 produced under v2 — ONE consumer with the v2 reader
+    schema reads both (old records surface score=7 from the default), and
+    a v1-pinned consumer reads both too (new field dropped)."""
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+    from rdkafka_streams_spark.streaming.consumer import KConsumer
+
+    root = str(tmp_path / "bus")
+    TopicLog(root).create_topic("ev", partitions=2)
+    b1 = spark.createDataFrame(
+        [(1, "click"), (2, "view")], "id long, kind string"
+    )
+    KProducer(host=root, topic="ev", transport="topiclog",
+              value_format="avro-confluent", avro_schema=V1).write_batch(b1)
+    b2 = spark.createDataFrame(
+        [(3, "click", 50), (4, "buy", 99)], "id long, kind string, score int"
+    )
+    KProducer(host=root, topic="ev", transport="topiclog",
+              value_format="avro-confluent", avro_schema=V2).write_batch(b2)
+
+    reg = SchemaRegistry(f"{root}/.schema_registry")
+    assert reg.versions("ev-value") == [1, 2]
+
+    raw = read_topic(spark, root, "ev")
+    # v2 reader (subject latest, schema=None) sees all four with score filled
+    latest = KConsumer(host=root, topic="ev", transport="topiclog",
+                       value_format="avro-confluent").decode(raw)
+    got = {r["id"]: (r["kind"], r["score"])
+           for r in latest.select("value.*").collect()}
+    assert got == {1: ("click", 7), 2: ("view", 7),
+                   3: ("click", 50), 4: ("buy", 99)}
+    # v1-pinned reader sees all four without score
+    pinned = KConsumer(host=root, topic="ev", transport="topiclog",
+                       value_format="avro-confluent", schema=V1).decode(raw)
+    assert set(pinned.select("value.*").columns) == {"id", "kind"}
+    assert pinned.count() == 4
+    # incompatible evolution is refused at produce time
+    bad = spark.createDataFrame([(5, "x", "req")],
+                                "id long, kind string, must string")
+    with pytest.raises(Exception, match="incompatible"):
+        KProducer(host=root, topic="ev", transport="topiclog",
+                  value_format="avro-confluent", avro_schema=V_BAD,
+                  ).write_batch(bad)
