@@ -5091,3 +5091,97 @@ def q277_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("value.cents").cast("bigint").alias("cents_with_defaults"),
     )
+
+
+# --------------- consumer-group admin reset + zombie fencing (S4/F6)
+@query(
+    "q278_group_reset_reread",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(user_id % 4 AS INTEGER) AS p
+  FROM events),
+r AS (
+  SELECT p, event_id, ts_us,
+         ROW_NUMBER() OVER (PARTITION BY p ORDER BY ts_us, event_id) - 1 AS off
+  FROM e)
+SELECT p AS partition,
+       CAST(MIN(off) AS BIGINT) AS resumed_from,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM r WHERE ts_us >= 1705708800000000
+GROUP BY p
+""",
+    tags=("S4", "F6", "T-streaming"),
+)
+def q278_group_reset_reread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-group ADMIN RESET with zombie fencing (r7 verdict item 7 —
+    the ``kafka-consumer-groups.sh --reset-offsets --to-datetime --execute``
+    flow): events ride the log with event-time CreateTime (per-partition
+    monotonic, as q273 establishes); a generation-carrying group consumes
+    to the end and commits; the admin resets the group to the cutoff
+    timestamp (``reset_offsets`` resolves it through ``offsets_for_times``
+    and BUMPS THE GENERATION); the old member's in-flight commit-to-end is
+    then FENCED (ILLEGAL_GENERATION) instead of clobbering the reset; a
+    new-generation consumer resumes from the group's committed offsets and
+    re-reads EXACTLY the delta. The oracle reconstructs the re-read window
+    relationally — if the fence failed (stale commit applied), every
+    partition would re-read nothing and the hash breaks; if the reset
+    resolved the wrong offsets, resumed_from breaks. Scale: reset and
+    fencing are metadata ops (one file per (group,topic), one per group);
+    the re-read scans only the delta's offset ranges — segment listing
+    prunes everything below the boundary."""
+    import json as _json
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import (
+        IllegalGenerationError,
+        KProducer,
+        TopicLog,
+        read_topic,
+    )
+
+    root = tempfile.mkdtemp(prefix="q278_bus")
+    n_parts = 4
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=n_parts)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("ts_us")
+    )
+    seed = (
+        ev.withColumn("__tp", F.pmod("user_id", F.lit(n_parts)).cast("int"))
+        .repartition(n_parts, "__tp")
+        .sortWithinPartitions("ts_us", "event_id")
+        .select("event_id", "user_id", "ts", "__tp")
+    )
+    KProducer(
+        host=root, topic="ev", key="user_id", partition_col="__tp",
+        timestamp_col="ts", transport="topiclog",
+    ).write_batch(seed)
+
+    gen = log.join_group("etl")
+    ends = log.end_offsets("ev")
+    log.commit_offsets("etl", "ev", ends, generation=gen)  # fully caught up
+    log.reset_offsets("etl", "ev", to=1705708800000)  # 2024-01-20Z; fences
+    try:  # the straggler's commit-to-end MUST bounce off the fence
+        log.commit_offsets("etl", "ev", ends, generation=gen)
+        raise AssertionError("zombie commit was not fenced")
+    except IllegalGenerationError:
+        pass
+    resume = log.committed("etl", "ev")
+    delta = read_topic(
+        spark, root, "ev",
+        startingOffsets=_json.dumps(
+            {"ev": {str(p): o for p, o in resume.items()}}
+        ),
+    )
+    dec = delta.select(
+        "partition", "offset",
+        F.from_json(F.col("value").cast("string"),
+                    "event_id long, user_id long").alias("v"),
+    )
+    return dec.groupBy("partition").agg(
+        F.min("offset").cast("bigint").alias("resumed_from"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("v.event_id").cast("bigint").alias("sum_event_id"),
+    )

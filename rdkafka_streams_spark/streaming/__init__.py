@@ -9,6 +9,7 @@ from rdkafka_streams_spark.streaming.stateful import (
 from rdkafka_streams_spark.streaming.sinks import foreach_batch_overwrite, write_batch_overwrite
 from rdkafka_streams_spark.streaming.lifecycle import shutdown, shutdown_all
 from rdkafka_streams_spark.streaming.topiclog import (
+    IllegalGenerationError,
     TopicLog,
     TopicLogDataSource,
     commit_query_progress,
@@ -24,6 +25,7 @@ from rdkafka_streams_spark.streaming.avro_codec import (
 __all__ = [
     "DeliveryListener",
     "Duplex",
+    "IllegalGenerationError",
     "KConsumer",
     "KProducer",
     "TopicLog",

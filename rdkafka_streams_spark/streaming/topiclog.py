@@ -92,6 +92,11 @@ HEADERS_DDL = "headers array<struct<key: string, value: binary>>"
 _SEG_RE = re.compile(r"^seg-(\d{20})-(\d+)\.jsonl$")
 
 
+class IllegalGenerationError(RuntimeError):
+    """A commit carried a superseded group generation id — the zombie fence
+    (Kafka's ILLEGAL_GENERATION OffsetCommit error)."""
+
+
 # ---------------------------------------------------------------- log layout
 def _part_dir(root: str, topic: str, pid: int) -> str:
     return os.path.join(root, topic, f"p{pid}")
@@ -439,34 +444,161 @@ class TopicLog:
                 raise ValueError(f"invalid {label} {part!r}")
         return os.path.join(self.root, ".groups", group, f"{topic}.json")
 
-    def commit_offsets(self, group: str, topic: str, offsets: dict[int, int]) -> None:
+    def commit_offsets(
+        self,
+        group: str,
+        topic: str,
+        offsets: dict[int, int],
+        *,
+        generation: int | None = None,
+        metadata: dict[int, str] | None = None,
+    ) -> None:
         """Merge ``{partition: offset}`` into the group's committed state.
         Offsets are positions-to-resume-from (the NEXT offset to read, like
         Kafka's commit contract), validated non-negative; partitions not in
         ``offsets`` keep their previous commit. Rewinds are allowed —
         committing a lower offset is how a group replays, same as
-        ``commitSync`` with an earlier position."""
+        ``commitSync`` with an earlier position.
+
+        ``generation`` is the zombie-commit fence (Kafka's OffsetCommit
+        carries the member's generation id; the coordinator rejects commits
+        from a superseded generation with ILLEGAL_GENERATION so a member
+        that missed a rebalance — or an admin reset — cannot clobber state
+        it no longer owns). None = the standalone/``assign()`` posture
+        (Kafka's generation −1), which always commits. ``metadata`` is the
+        per-partition opaque commit-metadata string Kafka stores alongside
+        each offset (consumers stash resume context there)."""
         for pid, off in offsets.items():
             if int(off) < 0:
                 raise ValueError(f"negative offset {off} for partition {pid}")
+        if generation is not None:
+            cur_gen = self.group_generation(group)
+            if int(generation) != cur_gen:
+                raise IllegalGenerationError(
+                    f"commit from generation {generation} rejected: group "
+                    f"{group!r} is at generation {cur_gen} (zombie fenced)"
+                )
         path = self._group_file(group, topic)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        cur = self.committed(group, topic)
-        cur.update({int(p): int(o) for p, o in offsets.items()})
+        cur = self.committed_full(group, topic)
+        for p, o in offsets.items():
+            ent = {"o": int(o)}
+            m = (metadata or {}).get(p)
+            if m is None and int(p) in cur:
+                m = cur[int(p)].get("m")  # metadata survives plain commits
+            if m is not None:
+                ent["m"] = str(m)
+            cur[int(p)] = ent
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({str(p): o for p, o in sorted(cur.items())}, f)
+            json.dump({str(p): e for p, e in sorted(cur.items())}, f)
         os.replace(tmp, path)
 
     def committed(self, group: str, topic: str) -> dict[int, int]:
         """The group's committed ``{partition: offset}`` (empty when the
         group has never committed for this topic — a fresh group, which
         Kafka resolves through auto.offset.reset)."""
+        return {p: e["o"] for p, e in self.committed_full(group, topic).items()}
+
+    def committed_full(self, group: str, topic: str) -> dict[int, dict]:
+        """Committed state with commit metadata: ``{partition: {"o": offset,
+        "m": metadata?}}`` — the full OffsetFetch response shape. Reads both
+        the bare-int legacy file layout and the entry layout."""
         path = self._group_file(group, topic)
         if not os.path.exists(path):
             return {}
         with open(path, encoding="utf-8") as f:
-            return {int(p): int(o) for p, o in json.load(f).items()}
+            raw = json.load(f)
+        return {
+            int(p): (dict(e) if isinstance(e, dict) else {"o": int(e)})
+            for p, e in raw.items()
+        }
+
+    # -------------------------------------------- group membership / fencing
+    # Kafka's group coordinator bumps generation_id on every rebalance
+    # (JoinGroup); members carry it on every OffsetCommit and a stale id is
+    # fenced with ILLEGAL_GENERATION. The durable analog: one counter per
+    # group beside its offset files. No heartbeat/session machinery — the
+    # topiclog transport has no live members to time out; what matters for
+    # correctness (and what the tests + q278 exercise) is the fencing
+    # contract itself: after a bump, every commit from the old generation
+    # is rejected, so an admin reset or a rebalance can never be clobbered
+    # by a straggler's in-flight commit.
+
+    def _state_file(self, group: str) -> str:
+        return os.path.join(
+            os.path.dirname(self._group_file(group, "t")), ".state.json"
+        )
+
+    def group_generation(self, group: str) -> int:
+        """Current generation id (0 = group has never been joined)."""
+        path = self._state_file(group)
+        if not os.path.exists(path):
+            return 0
+        with open(path, encoding="utf-8") as f:
+            return int(json.load(f).get("generation", 0))
+
+    def join_group(self, group: str) -> int:
+        """Bump and return the group's generation (the rebalance analog).
+        Every member of the new generation commits with this id; commits
+        carrying any older id are fenced from then on."""
+        gen = self.group_generation(group) + 1
+        path = self._state_file(group)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"generation": gen}, f)
+        os.replace(tmp, path)
+        return gen
+
+    def reset_offsets(
+        self,
+        group: str,
+        topic: str,
+        to: str | int | dict[int, int] = "earliest",
+        *,
+        shift_by: int | None = None,
+        fence: bool = True,
+    ) -> dict[int, int]:
+        """``kafka-consumer-groups.sh --reset-offsets`` analog, ``--execute``
+        form. ``to``: ``"earliest"`` (--to-earliest: logStartOffset, i.e.
+        re-read everything retention still holds), ``"latest"``
+        (--to-latest: skip to the end), an epoch-ms int (--to-datetime via
+        ``offsets_for_times``; partitions whose every record precedes the
+        target resolve to the end offset, the tool's null→latest fallback),
+        or an explicit ``{partition: offset}`` (--to-offset). ``shift_by``
+        (--shift-by, mutually exclusive with ``to``) moves each committed
+        position by a signed delta. Out-of-range targets clamp to
+        [logStartOffset, endOffset] exactly like the tool's
+        ``checkOffsetsRange``. ``fence=True`` bumps the group generation
+        first — the real tool refuses to act on a non-empty group; with no
+        live-member registry, fencing makes the same guarantee
+        durably (any straggler's generation-carrying commit now fails)
+        rather than socially. Returns what was committed."""
+        begins = self.beginning_offsets(topic)
+        ends = self.end_offsets(topic)
+        if fence:
+            self.join_group(group)
+        if shift_by is not None:
+            cur = self.committed(group, topic)
+            target = {p: cur.get(p, begins[p]) + shift_by for p in ends}
+        elif to == "earliest":
+            target = dict(begins)
+        elif to == "latest":
+            target = dict(ends)
+        elif isinstance(to, dict):
+            target = {int(p): int(o) for p, o in to.items()}
+        elif isinstance(to, int) and not isinstance(to, bool):
+            byts = self.offsets_for_times(topic, to)
+            target = {p: (o if o is not None else ends[p]) for p, o in byts.items()}
+        else:
+            raise ValueError(f"unsupported reset target {to!r}")
+        clamped = {
+            p: min(max(off, begins.get(p, 0)), ends.get(p, off))
+            for p, off in target.items()
+        }
+        self.commit_offsets(group, topic, clamped)
+        return clamped
 
     def groups(self) -> list[str]:
         gdir = os.path.join(self.root, ".groups")

@@ -296,6 +296,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # confluent framing + per-id schema resolution are map-side; one
         # event_type rollup exchange
         "q277_schema_evolution": 1,
+        # reset/fencing are metadata file ops; the delta re-read is a
+        # pruned scan + one per-partition rollup exchange
+        "q278_group_reset_reread": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

@@ -1509,3 +1509,124 @@ def test_full_envelope_composite_avro_headers_timestamp(spark, tmp_path):
         1: ("a", 0, "2024-03-01", [("h", b"a")]),
         2: ("b", 1, "2024-03-02", [("h", b"b")]),
     }
+
+
+# ------------------------------------------- group coordination (r8: fencing,
+# commit metadata, admin reset — the kafka-consumer-groups.sh surface)
+def test_generation_fencing_zombie_commit(tmp_path):
+    """Kafka's ILLEGAL_GENERATION contract: a commit carrying a superseded
+    generation id is rejected; standalone (generation=None, Kafka's -1)
+    commits always pass; an id from the future is equally illegal."""
+    from rdkafka_streams_spark.streaming.topiclog import (
+        IllegalGenerationError,
+        TopicLog,
+    )
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=2)
+    log.append("t", [b"a", b"b", b"c"], partition=0)
+
+    assert log.group_generation("g") == 0
+    g1 = log.join_group("g")
+    assert g1 == 1
+    log.commit_offsets("g", "t", {0: 1}, generation=g1)
+    assert log.committed("g", "t") == {0: 1}
+
+    # rebalance: generation bumps, the old member becomes a zombie
+    g2 = log.join_group("g")
+    assert g2 == 2
+    with pytest.raises(IllegalGenerationError, match="generation 1"):
+        log.commit_offsets("g", "t", {0: 3}, generation=g1)
+    assert log.committed("g", "t") == {0: 1}  # fenced commit left no trace
+    log.commit_offsets("g", "t", {0: 3}, generation=g2)
+    assert log.committed("g", "t") == {0: 3}
+
+    # a generation the coordinator never issued is illegal too
+    with pytest.raises(IllegalGenerationError):
+        log.commit_offsets("g", "t", {0: 9}, generation=99)
+    # standalone/assign() posture (generation None = Kafka's -1) still works
+    log.commit_offsets("g", "t", {1: 7})
+    assert log.committed("g", "t") == {0: 3, 1: 7}
+    # generations are per group
+    assert log.group_generation("other") == 0
+
+
+def test_commit_metadata_roundtrip_and_legacy_format(tmp_path):
+    """Per-partition commit metadata (OffsetCommit's opaque string) rides
+    beside the offset, survives plain offset-only commits, and the reader
+    still accepts the pre-r8 bare-int file layout."""
+    import json as _json
+
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=2)
+    log.commit_offsets("g", "t", {0: 5, 1: 2}, metadata={0: "ckpt=abc"})
+    full = log.committed_full("g", "t")
+    assert full[0] == {"o": 5, "m": "ckpt=abc"}
+    assert full[1] == {"o": 2}
+    # a later offset-only commit does not erase metadata
+    log.commit_offsets("g", "t", {0: 6})
+    assert log.committed_full("g", "t")[0] == {"o": 6, "m": "ckpt=abc"}
+    # but a new metadata value replaces it
+    log.commit_offsets("g", "t", {0: 7}, metadata={0: "ckpt=def"})
+    assert log.committed_full("g", "t")[0] == {"o": 7, "m": "ckpt=def"}
+    assert log.committed("g", "t") == {0: 7, 1: 2}
+
+    # legacy bare-int layout written by pre-r8 code reads identically
+    legacy = tmp_path / ".groups" / "old" / "t.json"
+    legacy.parent.mkdir(parents=True)
+    legacy.write_text(_json.dumps({"0": 11, "1": 12}))
+    assert log.committed("old", "t") == {0: 11, 1: 12}
+    assert log.committed_full("old", "t") == {0: {"o": 11}, 1: {"o": 12}}
+    log.commit_offsets("old", "t", {1: 13})  # upgrade-in-place merge
+    assert log.committed("old", "t") == {0: 11, 1: 13}
+
+
+def test_reset_offsets_admin_surface(tmp_path):
+    """kafka-consumer-groups.sh --reset-offsets semantics: to-earliest /
+    to-latest / to-datetime (null -> latest fallback) / to-offset (clamped
+    to the valid range) / shift-by (clamped), and the fence: a reset bumps
+    the generation so a straggler's in-flight commit fails instead of
+    clobbering the reset."""
+    from rdkafka_streams_spark.streaming.topiclog import (
+        IllegalGenerationError,
+        TopicLog,
+    )
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=2)
+    log.append("t", [b"a", b"b", b"c", b"d"], partition=0,
+               timestamps=[100, 200, 300, 400])
+    log.append("t", [b"x", b"y"], partition=1, timestamps=[100, 150])
+
+    gen = log.join_group("g")
+    log.commit_offsets("g", "t", {0: 4, 1: 2}, generation=gen)  # caught up
+
+    # --to-datetime: p0 seeks into the log, p1 (all records older) -> latest
+    assert log.reset_offsets("g", "t", to=250) == {0: 2, 1: 2}
+    assert log.committed("g", "t") == {0: 2, 1: 2}
+    # the straggler that was caught up at the old generation is now fenced
+    with pytest.raises(IllegalGenerationError):
+        log.commit_offsets("g", "t", {0: 4}, generation=gen)
+
+    # --to-earliest / --to-latest
+    assert log.reset_offsets("g", "t", to="earliest") == {0: 0, 1: 0}
+    assert log.reset_offsets("g", "t", to="latest") == {0: 4, 1: 2}
+    # --shift-by (negative), then clamped at the range edges both ways
+    assert log.reset_offsets("g", "t", shift_by=-1) == {0: 3, 1: 1}
+    assert log.reset_offsets("g", "t", shift_by=-99) == {0: 0, 1: 0}
+    assert log.reset_offsets("g", "t", shift_by=99) == {0: 4, 1: 2}
+    # --to-offset, out-of-range values clamp like checkOffsetsRange
+    assert log.reset_offsets("g", "t", to={0: 1, 1: 99}) == {0: 1, 1: 2}
+    # after retention reaped the head, earliest respects logStartOffset
+    log.delete_records("t", {0: 2})
+    assert log.reset_offsets("g", "t", to="earliest")[0] == 2
+    assert log.reset_offsets("g", "t", to={0: 0})[0] == 2  # clamped up
+
+    # fence=False leaves the generation alone (observe-only reset flows)
+    before = log.group_generation("g")
+    log.reset_offsets("g", "t", to="latest", fence=False)
+    assert log.group_generation("g") == before
+    with pytest.raises(ValueError, match="unsupported reset"):
+        log.reset_offsets("g", "t", to="yesterday")
