@@ -279,6 +279,152 @@ def skew_variant(spark, sf_dir: str) -> dict:
     }
 
 
+def transport_cert(spark, mults: list[int], base_rows: int = 100_000) -> dict:
+    """Scale-certify the streaming TRANSPORT itself (r7 verdict item 1 —
+    the certified form of q189's per-batch-cost footnote; reference anchor:
+    the backpressure scenarios test/test_Consumer.coffee:85-121, where the
+    consumer drains a growing backlog through a FIXED pull size).
+
+    For each multiplier: produce base_rows*m reference-shaped records into
+    an 8-partition topic, then stream-consume them to exhaustion under a
+    FIXED per-trigger cap (batch_size=4096/partition -> 32,768 rows per
+    micro-batch at every size). Micro-batch COUNT grows linearly with
+    volume by construction; the certified claim is that per-micro-batch
+    latency (p50/p95 triggerExecution + addBatch) stays FLAT — the
+    transport has no per-batch cost that compounds with backlog size, so a
+    100 TB backlog drains at the same per-batch cadence as a 100 GB one,
+    just with proportionally more batches (more executors, not slower
+    ones). A produce-side streaming leg (fixed 12,500-row files, 2 files
+    per trigger -> 25,000 rows per produce micro-batch) certifies the sink
+    the same way. Flatness bound: p50 ratios vs 1x within 1.5x (the
+    measured run-to-run noise band of sub-second micro-batches on this
+    box); p95 recorded but not gated (single-batch GC outliers)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from rdkafka_streams_spark.streaming import KConsumer, KProducer, TopicLog, shutdown
+    from rdkafka_streams_spark.streaming.listeners import progress_latency_percentiles
+
+    per: dict[str, dict] = {}
+    warmed = False
+    for m in mults:
+        n = base_rows * m
+        root = tempfile.mkdtemp(prefix=f"tcert_x{m}_")
+        ck = tempfile.mkdtemp(prefix=f"tcert_ck_x{m}_")
+        try:
+            log = TopicLog(root)
+            log.create_topic("cert", partitions=8)
+            df = spark.range(n).select(
+                F.col("id").alias("count"), F.lit("origin").alias("source")
+            )
+            if not warmed:  # absorb one-time Python-worker spawn, once
+                log.create_topic("warm", partitions=8)
+                par = spark.sparkContext.defaultParallelism
+                KProducer(host=root, topic="warm", transport="topiclog").write_batch(
+                    spark.range(0, 4_000, 1, par).select(
+                        F.col("id").alias("count"), F.lit("origin").alias("source")
+                    )
+                )
+                ckw = tempfile.mkdtemp(prefix="tcert_warm_ck_")
+                qw = (
+                    KConsumer(host=root, topic="warm", from_offset="earliest",
+                              schema="count long, source string",
+                              transport="topiclog")
+                    .stream(spark).writeStream.format("noop")
+                    .option("checkpointLocation", ckw)
+                    .trigger(processingTime="0.1 seconds").start()
+                )
+                qw.processAllAvailable()
+                shutdown(qw, 60)
+                shutil.rmtree(ckw, ignore_errors=True)
+                warmed = True
+
+            t0 = _time.perf_counter()
+            KProducer(host=root, topic="cert", transport="topiclog").write_batch(df)
+            produce_s = _time.perf_counter() - t0
+
+            q = (
+                KConsumer(host=root, topic="cert", from_offset="earliest",
+                          schema="count long, source string",
+                          transport="topiclog", batch_size=4096)
+                .stream(spark).writeStream.format("noop")
+                .option("checkpointLocation", ck)
+                .trigger(processingTime="0.1 seconds").start()
+            )
+            t1 = _time.perf_counter()
+            q.processAllAvailable()
+            consume_s = _time.perf_counter() - t1
+            consume_lat = progress_latency_percentiles(q.recentProgress)
+            rates = [
+                p["numInputRows"] / (p["batchDuration"] / 1000.0)
+                for p in q.recentProgress
+                if p["numInputRows"] and p["batchDuration"]
+            ]
+            shutdown(q, 60)
+
+            # produce-side streaming leg: fixed rows-per-file, fixed
+            # files-per-trigger -> constant-size produce micro-batches
+            src = tempfile.mkdtemp(prefix=f"tcert_src_x{m}_")
+            ckp = tempfile.mkdtemp(prefix=f"tcert_ckp_x{m}_")
+            try:
+                n_files = 8 * m
+                spark.range(n_files * 12_500).select(
+                    F.col("id").alias("count"), F.lit("origin").alias("source")
+                ).repartition(n_files).write.mode("overwrite").parquet(src)
+                log.create_topic("cert_sink", partitions=8)
+                stream = (
+                    spark.readStream.schema("count long, source string")
+                    .option("maxFilesPerTrigger", 2).parquet(src)
+                )
+                qp = KProducer(host=root, topic="cert_sink",
+                               transport="topiclog", checkpoint=ckp,
+                               ).write(stream, trigger="0.1 seconds")
+                qp.processAllAvailable()
+                produce_lat = progress_latency_percentiles(qp.recentProgress)
+                shutdown(qp, 60)
+            finally:
+                shutil.rmtree(src, ignore_errors=True)
+                shutil.rmtree(ckp, ignore_errors=True)
+
+            per[str(m)] = {
+                "rows": n,
+                "produce_rps": int(n / produce_s),
+                "consume_wall_rps": int(n / consume_s),
+                "consume_best_batch_rps": int(max(rates)) if rates else None,
+                "consume_latency_ms": consume_lat,
+                "produce_latency_ms": produce_lat,
+            }
+            print(f"# transport {m}x: {per[str(m)]}", file=sys.stderr)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+            shutil.rmtree(ck, ignore_errors=True)
+
+    base = per[str(mults[0])]
+    ratios = {}
+    for leg, key in (("consume", "consume_latency_ms"),
+                     ("produce", "produce_latency_ms")):
+        for stat in ("triggerExecution_p50_ms", "addBatch_p50_ms",
+                     "triggerExecution_p95_ms", "addBatch_p95_ms"):
+            b = base[key].get(stat)
+            if not b:
+                continue
+            ratios[f"{leg}_{stat}"] = [
+                round(per[str(m)][key].get(stat, 0) / b, 2) for m in mults
+            ]
+    p50_ratios = [r for k, v in ratios.items() if "_p50_" in k for r in v]
+    return {
+        "mults": mults,
+        "base_rows": base_rows,
+        "per_trigger_cap": {"consume_rows": 4096 * 8, "produce_rows": 25_000},
+        "per_mult": per,
+        "latency_ratios_vs_1x": ratios,
+        "max_p50_ratio": max(p50_ratios) if p50_ratios else None,
+        "flat_within": 1.5,
+        "certified": bool(p50_ratios) and max(p50_ratios) <= 1.5,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -307,6 +453,13 @@ def main() -> int:
              "dirs (targeted --merge reruns; queries outside the list's "
              "reach will fail by design)",
     )
+    ap.add_argument(
+        "--transport", action="store_true",
+        help="certify the streaming transport instead of batch queries: "
+             "produce->consume at each --mults size under fixed per-trigger "
+             "caps, gate on flat per-micro-batch p50 latency; merges a "
+             "'transport' section into --out",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     names = args.queries.split(",")
@@ -322,6 +475,21 @@ def main() -> int:
     )
     tune_for_bench(spark, cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.transport:
+        section = transport_cert(spark, mults)
+        result: dict = {"base": args.base, "mults": mults, "queries": {}}
+        if os.path.exists(args.out):
+            with open(args.out) as fh:
+                result = json.load(fh)
+        result["transport"] = section
+        with open(args.out, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+        print(json.dumps({
+            "certified": section["certified"],
+            "max_p50_ratio": section["max_p50_ratio"],
+        }))
+        return 0 if section["certified"] else 1
 
     from rdkafka_streams_spark.queries import REGISTRY
 
