@@ -5185,3 +5185,93 @@ def q278_group_reset_reread(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum("v.event_id").cast("bigint").alias("sum_event_id"),
     )
+
+
+# --------------- producer transactions + isolation.level (S2/S1/T8)
+@query(
+    "q279_txn_isolation",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(user_id % 4 AS INTEGER) AS g
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(SUM(CASE WHEN g <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_committed,
+       CAST(SUM(CASE WHEN g <= 1 THEN cents ELSE 0 END) AS BIGINT)
+         AS cents_committed
+FROM e GROUP BY event_type
+""",
+    tags=("S2", "S1", "T8", "T-streaming"),
+)
+def q279_txn_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Producer TRANSACTIONS + consumer ``isolation.level`` over the
+    transport (librdkafka's transactional API — the exactly-once surface
+    the reference's at-least-once ``cb()`` producer sits below): events
+    are produced in four generations — plain (user_id%4=0), inside a
+    COMMITTED transaction (=1), inside an ABORTED transaction (=2), and
+    inside a transaction left OPEN (=3). All records ride the log and
+    consume offsets; commit/abort CONTROL markers land per touched
+    partition (offset parity with a broker, invisible to applications at
+    every isolation level). One read_uncommitted scan sees every data
+    record; one read_committed scan sees plain + committed only —
+    aborted and pending records are filtered by the executor-side
+    columnar ``is_in`` pass against the driver-resolved unresolved-txn
+    set. The oracle reconstructs both views per event_type; a marker
+    leak, a wrong filter, or a visibility flip breaks the hash.
+    Scale: txn resolution is metadata (one file per txn id, read once per
+    scan plan, shipped with the partitions); the filter is a columnar
+    mask that costs nothing on txn-free segments. A transaction belongs
+    to ONE producer session in Kafka too — the per-session append here is
+    the honest shape; the Spark Kafka sink itself has no transactional
+    produce."""
+    import json as _json
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = tempfile.mkdtemp(prefix="q279_bus")
+    n_parts = 4
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=n_parts)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        F.pmod("user_id", F.lit(4)).cast("int").alias("g"),
+        F.pmod("event_id", F.lit(n_parts)).cast("int").alias("p"),
+    )
+    groups: dict[tuple[int, int], list[str]] = {}
+    for r in ev.collect():  # bounded: the txn demo corpus; one producer
+        # session per txn is Kafka's own transactional-producer shape
+        groups.setdefault((r.g, r.p), []).append(_json.dumps(
+            {"event_id": r.event_id, "event_type": r.event_type,
+             "cents": r.cents}, separators=(",", ":")))
+    txn_of = {1: "good", 2: "bad", 3: "pending"}
+    for t in txn_of.values():
+        log.begin_txn(t)
+    for (g, p), vals in sorted(groups.items()):
+        log.append("ev", vals, partition=p, txn=txn_of.get(g))
+    log.commit_txn("good")
+    log.abort_txn("bad")  # "pending" stays open
+
+    def decoded(iso: str) -> DataFrame:
+        return read_topic(spark, root, "ev", isolation=iso).select(
+            F.from_json(
+                F.col("value").cast("string"),
+                "event_id long, event_type string, cents long",
+            ).alias("v")
+        )
+
+    allv = decoded("read_uncommitted").groupBy(
+        F.col("v.event_type").alias("event_type")
+    ).agg(F.count("*").cast("bigint").alias("n_all"))
+    comm = decoded("read_committed").groupBy(
+        F.col("v.event_type").alias("event_type")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_committed"),
+        F.sum("v.cents").cast("bigint").alias("cents_committed"),
+    )
+    return allv.join(comm, "event_type").select(
+        "event_type", "n_all", "n_committed", "cents_committed"
+    )

@@ -219,6 +219,10 @@ class KConsumer:
     #: registry subject for the reader-schema default (TopicNameStrategy
     #: ``<topic>-value`` when None).
     subject: str | None = None
+    #: Kafka ``isolation.level``: "read_uncommitted" (default — all data
+    #: records) or "read_committed" (records of aborted/open producer
+    #: transactions filtered; control records invisible at both levels).
+    isolation: str = "read_uncommitted"
 
     def _topics(self) -> str:
         t = self.topic
@@ -273,6 +277,8 @@ class KConsumer:
                 reader = reader.option("includeHeaders", "true")
             if self.batch_size is not None:
                 reader = reader.option("batchSize", str(self.batch_size))
+            if self.isolation != "read_uncommitted":
+                reader = reader.option("isolation", self.isolation)
             for k, v in self.options.items():
                 reader = reader.option(k, v)
             return self.decode(reader.load())
@@ -298,6 +304,8 @@ class KConsumer:
             reader = reader.option("kafka.group.id", self.group_id)
         if self.batch_size is not None:
             reader = reader.option("maxOffsetsPerTrigger", str(self.batch_size))
+        if self.isolation != "read_uncommitted":
+            reader = reader.option("kafka.isolation.level", self.isolation)
         for k, v in self.options.items():
             reader = reader.option(k, v)
         try:

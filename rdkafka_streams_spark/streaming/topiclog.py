@@ -172,13 +172,16 @@ def _wire_to_headers(h: list | None) -> list | None:
 
 def _encode_line(
     key: bytes | None, value: bytes | None, ts_ms: int, off: int | None = None,
-    headers: list | None = None,
+    headers: list | None = None, txn: str | None = None, ctl: str | None = None,
 ) -> str:
     """One wire line. UTF-8-clean payloads go out as plain JSON strings
     (``ks``/``vs`` — the fast columnar-parse fields, see module docstring);
     arbitrary binary as base64 (``k``/``v``). Both encoders are C-speed
     (json.dumps / b64encode); the field CHOICE is what buys the 14× on the
-    read side. value None = tombstone (Kafka delete marker)."""
+    read side. value None = tombstone (Kafka delete marker). ``txn`` tags
+    the record with its producer transaction id (``"x"``); ``ctl`` marks a
+    CONTROL record ("commit"/"abort" — Kafka's transaction markers, which
+    occupy offsets but are never delivered to applications)."""
     if key is None:
         k = '"k":null'
     else:
@@ -195,7 +198,9 @@ def _encode_line(
             v = f'"v":"{base64.b64encode(value).decode("ascii")}"'
     o = "" if off is None else f',"o":{off}'
     h = "" if headers is None else f',"h":{json.dumps(headers, ensure_ascii=False)}'
-    return f'{{{k},{v},"ts":{ts_ms}{o}{h}}}'
+    x = "" if txn is None else f',"x":{json.dumps(txn)}'
+    c = "" if ctl is None else f',"ctl":{json.dumps(ctl)}'
+    return f'{{{k},{v},"ts":{ts_ms}{o}{h}{x}{c}}}'
 
 
 def _rec_key(rec: dict) -> bytes | None:
@@ -243,10 +248,15 @@ def _publish_segment(part_dir: str, lines: list[str], max_retries: int = 1000) -
 def _read_range(
     root: str, topic: str, pid: int, start: int, end: int,
     include_headers: bool = False,
+    excluded_txns: frozenset[str] | None = None,
 ) -> Iterator[tuple]:
     """Yield envelope tuples for offsets [start, end) of one partition.
     ``include_headers`` appends the Kafka source's headers column (ordered
-    (key, value) pairs, None when the record carries none)."""
+    (key, value) pairs, None when the record carries none). CONTROL records
+    (txn markers) are never yielded — Kafka never delivers them;
+    ``excluded_txns`` additionally drops records of those transaction ids
+    (the read_committed filter). Either filter leaves offset GAPS in the
+    yielded stream, exactly as a read_committed Kafka fetch does."""
     for seg_start, count, path in _list_segments(_part_dir(root, topic, pid)):
         if seg_start + count <= start:
             continue
@@ -262,6 +272,10 @@ def _read_range(
                     continue
                 if off >= end:
                     break
+                if "ctl" in rec:
+                    continue
+                if excluded_txns is not None and rec.get("x") in excluded_txns:
+                    continue
                 row = (
                     _rec_key(rec),
                     _rec_val(rec),
@@ -276,14 +290,18 @@ def _read_range(
                 yield row
 
 
-def _seg_table(path: str, seg_start: int, start: int, end: int):
+def _seg_table(path: str, seg_start: int, start: int, end: int,
+               excluded_txns: frozenset[str] | None = None):
     """Parse one segment file with pyarrow's C++ JSONL reader and return
     (table-of-{key,value,ts_ms}, offset array) for the rows in [start, end),
     or None if the range misses. The wire format keeps UTF-8 payloads as
     plain JSON strings (``ks``/``vs``), so the hot path is a zero-Python
     columnar parse + a zero-copy string→binary cast (~14× over per-line
     ``json.loads``); only legacy/binary base64 fields drop to a per-row
-    decode loop, and only for the rows of THIS segment."""
+    decode loop, and only for the rows of THIS segment. Control records
+    are always masked out; ``excluded_txns`` adds the read_committed
+    transaction filter — both columnar ``is_in`` passes that cost nothing
+    when the segment carries no txn fields (all-null fast path)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.json as pj
@@ -296,6 +314,8 @@ def _seg_table(path: str, seg_start: int, start: int, end: int):
             pa.field("vs", pa.string()),
             pa.field("ts", pa.int64()),
             pa.field("o", pa.int64()),
+            pa.field("x", pa.string()),
+            pa.field("ctl", pa.string()),
         ]
     )
     if os.path.getsize(path) == 0:
@@ -326,6 +346,24 @@ def _seg_table(path: str, seg_start: int, start: int, end: int):
         if tbl.num_rows == 0:
             return None
         offs = tbl["o"].combine_chunks()
+    # txn visibility: drop control records always; drop excluded txn ids
+    # under read_committed. Offsets were attached above, so the surviving
+    # rows keep their true (now gapped) positions.
+    mask = None
+    if tbl["ctl"].null_count != tbl.num_rows:
+        mask = pc.is_null(tbl["ctl"])
+    if excluded_txns and tbl["x"].null_count != tbl.num_rows:
+        keep = pc.invert(
+            pc.is_in(tbl["x"], value_set=pa.array(sorted(excluded_txns),
+                                                  pa.string()))
+        )
+        # is_in is false for nulls, so invert keeps non-txn rows too
+        mask = keep if mask is None else pc.and_(mask, keep)
+    if mask is not None:
+        offs = pa.chunked_array([offs]).filter(mask).combine_chunks()
+        tbl = tbl.filter(mask)
+        if tbl.num_rows == 0:
+            return None
 
     def as_binary(b64_col, str_col):
         if b64_col.null_count == len(b64_col):
@@ -351,7 +389,8 @@ def _seg_table(path: str, seg_start: int, start: int, end: int):
 
 
 def _read_range_arrow(
-    root: str, topic: str, pid: int, start: int, end: int, batch_rows: int = 65536
+    root: str, topic: str, pid: int, start: int, end: int, batch_rows: int = 65536,
+    excluded_txns: frozenset[str] | None = None,
 ):
     """Yield Arrow RecordBatches for offsets [start, end) of one partition.
 
@@ -377,7 +416,7 @@ def _read_range_arrow(
             continue
         if seg_start >= end:
             break
-        got = _seg_table(path, seg_start, start, end)
+        got = _seg_table(path, seg_start, start, end, excluded_txns)
         if got is None:
             continue
         seg, offs = got
@@ -609,6 +648,107 @@ class TopicLog:
             if os.path.isdir(os.path.join(gdir, d))
         )
 
+    # ------------------------------------------------ producer transactions
+    # Kafka's transactional produce: records of an open transaction ride
+    # the log immediately (occupying offsets) but read_committed consumers
+    # only see them once the producer commits; an abort hides them forever.
+    # The broker tracks txn state in the coordinator's __transaction_state
+    # topic and writes per-partition CONTROL records (commit/abort markers)
+    # that consume offsets and are never delivered to applications. The
+    # durable analog: one JSON state file per txn id under <root>/.txns/
+    # (the coordinator), plus the same control records in the segments
+    # (offset parity + self-describing log). Filtering reads the state
+    # files — driver-side metadata, O(#txns), passed to executors with the
+    # scan plan — never the markers, so a crash between marker append and
+    # state flip leaves the txn open (pending, invisible to
+    # read_committed), exactly Kafka's pessimistic window.
+
+    def _txn_file(self, txn_id: str) -> str:
+        if not txn_id or txn_id.startswith(".") or "/" in txn_id or "\\" in txn_id:
+            raise ValueError(f"invalid transactional id {txn_id!r}")
+        return os.path.join(self.root, ".txns", f"{txn_id}.json")
+
+    def _txn_write(self, txn_id: str, state: dict) -> None:
+        path = self._txn_file(txn_id)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(state, f)
+        os.replace(tmp, path)
+
+    def txn_state(self, txn_id: str) -> dict | None:
+        """{"state": open|commit|abort, "partitions": {topic: [pid]}}
+        or None for an unknown id."""
+        path = self._txn_file(txn_id)
+        if not os.path.exists(path):
+            return None
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+
+    def begin_txn(self, txn_id: str) -> None:
+        """Open a transaction. Re-beginning a COMPLETED id starts a fresh
+        transaction under the same transactional.id (Kafka's epoch bump —
+        the old generation's outcome is already sealed in the log);
+        re-beginning an OPEN id is an error (the zombie producer must
+        abort or be fenced first)."""
+        st = self.txn_state(txn_id)
+        if st is not None and st["state"] == "open":
+            raise ValueError(f"transaction {txn_id!r} is already open")
+        self._txn_write(txn_id, {"state": "open", "partitions": {}})
+
+    def _txn_touch(self, txn_id: str, topic: str, pids: list[int]) -> None:
+        st = self.txn_state(txn_id)
+        cur = set(st["partitions"].get(topic, []))
+        add = set(int(p) for p in pids) - cur
+        if add:
+            st["partitions"][topic] = sorted(cur | add)
+            self._txn_write(txn_id, st)
+
+    def _txn_finish(self, txn_id: str, outcome: str) -> None:
+        st = self.txn_state(txn_id)
+        if st is None or st["state"] != "open":
+            raise ValueError(
+                f"transaction {txn_id!r} is "
+                f"{'unknown' if st is None else st['state']}; cannot {outcome}"
+            )
+        ts = int(time.time() * 1000)
+        # markers first, state flip last: see block comment above
+        for topic, pids in st["partitions"].items():
+            for pid in pids:
+                _publish_segment(
+                    _part_dir(self.root, topic, pid),
+                    [_encode_line(None, b"", ts, txn=txn_id, ctl=outcome)],
+                )
+        st["state"] = outcome
+        self._txn_write(txn_id, st)
+
+    def commit_txn(self, txn_id: str) -> None:
+        """Seal the transaction: its records become visible to
+        read_committed consumers. Appends one commit CONTROL record to
+        every partition the txn touched (offset parity with a broker)."""
+        self._txn_finish(txn_id, "commit")
+
+    def abort_txn(self, txn_id: str) -> None:
+        """Discard the transaction: its records stay in the log (offsets
+        are immutable) but read_committed consumers never see them."""
+        self._txn_finish(txn_id, "abort")
+
+    def unresolved_txn_ids(self) -> frozenset[str]:
+        """Txn ids a read_committed scan must filter: every id whose state
+        is not ``commit``-sealed (open + aborted). Metadata-sized (one
+        stat + read per txn id ever used on this log root)."""
+        tdir = os.path.join(self.root, ".txns")
+        if not os.path.isdir(tdir):
+            return frozenset()
+        out = set()
+        for name in os.listdir(tdir):
+            if not name.endswith(".json") or ".tmp-" in name:
+                continue
+            with open(os.path.join(tdir, name), encoding="utf-8") as f:
+                if json.load(f).get("state") != "commit":
+                    out.add(name[:-5])
+        return frozenset(out)
+
     def offsets_for_times(
         self, topic: str, ts_ms: int | dict[int, int]
     ) -> dict[int, int | None]:
@@ -789,13 +929,25 @@ class TopicLog:
         partition: int | None = None,
         timestamps: Sequence[int] | None = None,
         headers: Sequence[Sequence[tuple[str, bytes | None]] | None] | None = None,
+        txn: str | None = None,
     ) -> None:
         """Append records, routing by explicit partition, else hash(key),
         else hash(value) — deterministic, like keyed Kafka producing.
         ``timestamps`` (epoch ms per record) sets CreateTime; default is
         the produce wall-clock (LogAppendTime). ``headers`` is per-record
         ordered (key, value) pairs or None (Kafka allows duplicates and
-        null header values)."""
+        null header values). ``txn`` produces the records INSIDE an open
+        transaction (``begin_txn`` first): they ride the log immediately —
+        occupying offsets like any Kafka transactional write — but a
+        ``read_committed`` consumer will not see them until
+        ``commit_txn``; ``abort_txn`` hides them from it forever."""
+        if txn is not None:
+            st = self.txn_state(txn)
+            if st is None or st["state"] != "open":
+                raise ValueError(
+                    f"transaction {txn!r} is "
+                    f"{'unknown' if st is None else st['state']}; begin_txn first"
+                )
         pids = _list_partitions(self.root, topic) or [0]
         by_pid: dict[int, list[str]] = {}
         ts = int(time.time() * 1000)
@@ -809,8 +961,12 @@ class TopicLog:
             hdr = _headers_to_wire(headers[i]) if headers is not None else None
             pid = partition if partition is not None else _route(kb, vb, len(pids))
             by_pid.setdefault(pids[pid % len(pids)], []).append(
-                _encode_line(kb, vb, rts, headers=hdr)
+                _encode_line(kb, vb, rts, headers=hdr, txn=txn)
             )
+        if txn is not None:  # register touched partitions BEFORE publishing:
+            # a crash in between leaves an open txn whose records stay
+            # invisible to read_committed (Kafka's pending-txn posture)
+            self._txn_touch(txn, topic, sorted(by_pid))
         for pid, lines in by_pid.items():
             _publish_segment(_part_dir(self.root, topic, pid), lines)
 
@@ -854,6 +1010,11 @@ class TopicLog:
                     for i, line in enumerate(f):
                         rec = json.loads(line)
                         off = rec.get("o", seg_start + i)
+                        if "ctl" in rec:
+                            # txn markers: the cleaner removes resolved
+                            # control records (their offsets stay gapped,
+                            # like a broker past delete.retention.ms)
+                            continue
                         kb = _rec_key(rec)
                         if kb is None:
                             raise ValueError(
@@ -862,11 +1023,14 @@ class TopicLog:
                             )
                         n_records += 1
                         # carry headers through in wire form: the key's
-                        # latest record keeps ITS headers, like a broker
-                        latest[kb] = (off, rec["ts"], _rec_val(rec), rec.get("h"))
+                        # latest record keeps ITS headers, like a broker;
+                        # the txn tag survives too, so aborted records stay
+                        # invisible to read_committed after compaction
+                        latest[kb] = (off, rec["ts"], _rec_val(rec),
+                                      rec.get("h"), rec.get("x"))
             survivors = [
-                (off, ts, kb, vb, h)
-                for kb, (off, ts, vb, h) in latest.items()
+                (off, ts, kb, vb, h, x)
+                for kb, (off, ts, vb, h, x) in latest.items()
                 if vb is not None
             ]
             survivors.sort()
@@ -874,8 +1038,8 @@ class TopicLog:
             superseded += n_records - len(latest)
             kept += len(survivors)
             lines = [
-                _encode_line(kb, vb, ts, off=off, headers=h)
-                for off, ts, kb, vb, h in survivors
+                _encode_line(kb, vb, ts, off=off, headers=h, txn=x)
+                for off, ts, kb, vb, h, x in survivors
             ]
             tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w", encoding="utf-8") as f:
@@ -936,31 +1100,36 @@ def _read_best(partition: "_Part"):
     reason — the column costs)."""
     if partition is None:
         return iter(())
+    excl = getattr(partition, "excluded", None)
     if getattr(partition, "headers", False):
         return _read_range(
             partition.root, partition.topic, partition.pid,
             partition.start, partition.end, include_headers=True,
+            excluded_txns=excl,
         )
     try:
         import pyarrow  # noqa: F401
 
         return _read_range_arrow(
             partition.root, partition.topic, partition.pid,
-            partition.start, partition.end,
+            partition.start, partition.end, excluded_txns=excl,
         )
     except ImportError:
         return _read_range(
             partition.root, partition.topic, partition.pid,
-            partition.start, partition.end,
+            partition.start, partition.end, excluded_txns=excl,
         )
 
 
 # ------------------------------------------------------------- the datasource
 class _Part(InputPartition):
     def __init__(self, root: str, topic: str, pid: int, start: int, end: int,
-                 headers: bool = False):
+                 headers: bool = False,
+                 excluded: frozenset[str] | None = None):
         self.root, self.topic, self.pid, self.start, self.end = root, topic, pid, start, end
         self.headers = headers
+        #: txn ids a read_committed scan filters (None = read_uncommitted)
+        self.excluded = excluded
 
 
 def _split_parts(parts: list["_Part"], min_partitions: int | None) -> list["_Part"]:
@@ -985,7 +1154,8 @@ def _split_parts(parts: list["_Part"], min_partitions: int | None) -> list["_Par
         s = p.start
         while s < p.end:
             e = min(p.end, s + step)
-            out.append(_Part(p.root, p.topic, p.pid, s, e, headers=p.headers))
+            out.append(_Part(p.root, p.topic, p.pid, s, e, headers=p.headers,
+                             excluded=p.excluded))
             s = e
     return out
 
@@ -1015,6 +1185,18 @@ def _resolve_topics(options: dict) -> tuple[str, list[str], dict[str, list[int]]
             )
         topics = [t.strip() for t in sub.split(",") if t.strip()]
     return root, topics, None
+
+
+def _parse_isolation(options: dict) -> str:
+    """Kafka consumer ``isolation.level``: read_uncommitted (default, all
+    data records) or read_committed (records of aborted/open transactions
+    filtered out; control records are invisible at BOTH levels)."""
+    iso = str(options.get("isolation", "read_uncommitted")).lower()
+    if iso not in ("read_uncommitted", "read_committed"):
+        raise ValueError(
+            f"isolation={iso!r}: expected read_uncommitted or read_committed"
+        )
+    return iso
 
 
 class _TopicLogBatchReader(DataSourceReader):
@@ -1060,6 +1242,7 @@ class _TopicLogBatchReader(DataSourceReader):
         self.min_partitions = (
             int(options["minpartitions"]) if "minpartitions" in options else None
         )
+        self.isolation = _parse_isolation(options)
 
     @staticmethod
     def _parse_offsets(raw: str | None) -> dict[str, int] | None:
@@ -1075,6 +1258,8 @@ class _TopicLogBatchReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         out = []
         log = TopicLog(self.root)
+        excl = (log.unresolved_txn_ids()
+                if self.isolation == "read_committed" else None)
         for t in self.topics:
             starts_by_time = (
                 log.offsets_for_times(t, int(self.start_ts))
@@ -1102,7 +1287,8 @@ class _TopicLogBatchReader(DataSourceReader):
                     raw = self.end_off.get(f"{t}/{pid}", -1)
                     e = end if raw == -1 else min(raw, end)
                 if e > s:
-                    out.append(_Part(self.root, t, pid, s, e, headers=self.headers))
+                    out.append(_Part(self.root, t, pid, s, e,
+                                     headers=self.headers, excluded=excl))
         # a scan of nothing still needs ≥0 partitions; Spark handles []
         return _split_parts(out, self.min_partitions)
 
@@ -1139,6 +1325,7 @@ class _TopicLogStreamReader(DataSourceStreamReader):
         self.min_partitions = (
             int(options["minpartitions"]) if "minpartitions" in options else None
         )
+        self.isolation = _parse_isolation(options)
         self._planned: dict[str, int] | None = None
 
     def _current_topics(self) -> list[str]:
@@ -1206,6 +1393,10 @@ class _TopicLogStreamReader(DataSourceStreamReader):
         # the engine's (start, end) is authoritative — sync the cap baseline
         if self._planned is None:
             self._planned = {}
+        # read_committed: resolve txn visibility ONCE per micro-batch plan
+        # (driver-side metadata read), shipped with every scan partition
+        excl = (TopicLog(self.root).unresolved_txn_ids()
+                if self.isolation == "read_committed" else None)
         out = []
         for k in set(start) | set(end):
             s, e = start.get(k, 0), end.get(k, 0)
@@ -1213,7 +1404,7 @@ class _TopicLogStreamReader(DataSourceStreamReader):
             if e > s:
                 topic, pid = k.rsplit("/", 1)
                 out.append(_Part(self.root, topic, int(pid), s, e,
-                                 headers=self.headers))
+                                 headers=self.headers, excluded=excl))
         return _split_parts(out, self.min_partitions)
 
     def read(self, partition: _Part):

@@ -299,6 +299,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # reset/fencing are metadata file ops; the delta re-read is a
         # pruned scan + one per-partition rollup exchange
         "q278_group_reset_reread": 1,
+        # txn filtering is an executor-side columnar mask; one rollup
+        # exchange per isolation level, event_type join broadcast
+        "q279_txn_isolation": 2,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

@@ -1630,3 +1630,149 @@ def test_reset_offsets_admin_surface(tmp_path):
     assert log.group_generation("g") == before
     with pytest.raises(ValueError, match="unsupported reset"):
         log.reset_offsets("g", "t", to="yesterday")
+
+
+# ------------------------------------------------- producer transactions (r8)
+def test_txn_state_machine(tmp_path):
+    """begin/commit/abort lifecycle: append requires an OPEN txn; finishing
+    a non-open txn raises; re-begin of a COMPLETED id starts fresh (epoch
+    bump) while re-begin of an OPEN id is the zombie error."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=2)
+    with pytest.raises(ValueError, match="unknown"):
+        log.append("t", [b"a"], partition=0, txn="tx")
+    with pytest.raises(ValueError, match="unknown"):
+        log.commit_txn("tx")
+    log.begin_txn("tx")
+    with pytest.raises(ValueError, match="already open"):
+        log.begin_txn("tx")
+    log.append("t", [b"a", b"b"], partition=0, txn="tx")
+    log.append("t", [b"c"], partition=1, txn="tx")
+    assert log.txn_state("tx")["partitions"] == {"t": [0, 1]}
+    log.commit_txn("tx")
+    assert log.txn_state("tx")["state"] == "commit"
+    with pytest.raises(ValueError, match="commit"):
+        log.abort_txn("tx")
+    with pytest.raises(ValueError, match="commit"):
+        log.append("t", [b"z"], partition=0, txn="tx")
+    # completed id can be re-begun (same transactional.id, new txn)
+    log.begin_txn("tx")
+    log.abort_txn("tx")
+    assert log.txn_state("tx")["state"] == "abort"
+    for bad in ("", "../x", ".hidden", "a/b"):
+        with pytest.raises(ValueError, match="invalid transactional id"):
+            log.begin_txn(bad)
+
+
+def _txn_fixture(root):
+    """One partition, four generations of records:
+    offsets 0-1 plain, 2-3 committed txn, 4 aborted txn, 5 open txn,
+    plus commit/abort control markers (offsets 6 and 7)."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.append("t", [b"p0", b"p1"], partition=0)
+    log.begin_txn("good")
+    log.begin_txn("bad")
+    log.begin_txn("pending")
+    log.append("t", [b"c0", b"c1"], partition=0, txn="good")
+    log.append("t", [b"a0"], partition=0, txn="bad")
+    log.append("t", [b"o0"], partition=0, txn="pending")
+    log.commit_txn("good")   # marker at offset 6
+    log.abort_txn("bad")     # marker at offset 7
+    return log
+
+
+def test_txn_isolation_batch_arrow_path(spark, tmp_path):
+    """read_committed hides aborted+open txn records; read_uncommitted
+    shows all DATA records; control markers are invisible at both levels
+    but consume offsets (end_offset counts them); surviving offsets keep
+    their true, gapped positions."""
+    from rdkafka_streams_spark.streaming.topiclog import read_topic
+
+    log = _txn_fixture(str(tmp_path))
+    assert log.end_offsets("t") == {0: 8}  # 6 data + 2 markers
+    assert log.unresolved_txn_ids() == frozenset({"bad", "pending"})
+
+    rows = read_topic(spark, str(tmp_path), "t").selectExpr(
+        "offset", "cast(value as string) v").collect()
+    assert {(r.offset, r.v) for r in rows} == {
+        (0, "p0"), (1, "p1"), (2, "c0"), (3, "c1"), (4, "a0"), (5, "o0"),
+    }
+    rows = read_topic(
+        spark, str(tmp_path), "t", isolation="read_committed"
+    ).selectExpr("offset", "cast(value as string) v").collect()
+    assert {(r.offset, r.v) for r in rows} == {
+        (0, "p0"), (1, "p1"), (2, "c0"), (3, "c1"),
+    }
+    # late commit of the pending txn becomes visible on the next scan
+    log.commit_txn("pending")
+    rows = read_topic(
+        spark, str(tmp_path), "t", isolation="read_committed"
+    ).selectExpr("offset", "cast(value as string) v").collect()
+    assert (5, "o0") in {(r.offset, r.v) for r in rows}
+    with pytest.raises(Exception, match="isolation"):
+        read_topic(spark, str(tmp_path), "t", isolation="serializable").collect()
+
+
+def test_txn_isolation_row_path_and_compaction(spark, tmp_path):
+    """The per-row (headers) read path applies the same txn filter, and
+    compaction preserves txn tags (aborted records stay invisible) while
+    dropping resolved control markers."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog, read_topic
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=1)
+    log.append("t", [b"v1"], keys=[b"k1"], partition=0)
+    log.begin_txn("bad")
+    log.append("t", [b"evil"], keys=[b"k2"], partition=0, txn="bad")
+    log.abort_txn("bad")
+
+    def committed_rows():
+        return {
+            (r.offset, r.v)
+            for r in read_topic(
+                spark, str(tmp_path), "t",
+                include_headers=True,  # forces the tuple read path
+                isolation="read_committed",
+            ).selectExpr("offset", "cast(value as string) v").collect()
+        }
+
+    assert committed_rows() == {(0, "v1")}
+    stats = log.compact("t")
+    # k2's aborted record is still the latest for its key and survives
+    # compaction WITH its txn tag; the abort marker is cleaned
+    assert stats["kept"] == 2
+    assert committed_rows() == {(0, "v1")}
+    uncommitted = read_topic(spark, str(tmp_path), "t").selectExpr(
+        "offset", "cast(value as string) v").collect()
+    assert {(r.offset, r.v) for r in uncommitted} == {(0, "v1"), (1, "evil")}
+
+
+def test_txn_isolation_streaming_consumer(spark, tmp_path):
+    """KConsumer(isolation='read_committed') filters per micro-batch plan:
+    records committed before the batch is planned are delivered, aborted
+    and still-open ones are not."""
+    from rdkafka_streams_spark.streaming.consumer import KConsumer
+
+    root = str(tmp_path / "broker")
+    ck = str(tmp_path / "ck")
+    _txn_fixture(root)
+    c = KConsumer(
+        host=root, topic="t", from_offset="earliest",
+        transport="topiclog", isolation="read_committed",
+    )
+    name = "txn_stream_rows"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    q = (
+        c.stream(spark).selectExpr("offset", "cast(value as string) v")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.offset, r.v) for r in spark.table(name).collect()}
+    assert got == {(0, "p0"), (1, "p1"), (2, "c0"), (3, "c1")}
