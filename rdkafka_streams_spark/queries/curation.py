@@ -5275,3 +5275,63 @@ def q279_txn_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return allv.join(comm, "event_type").select(
         "event_type", "n_all", "n_committed", "cents_committed"
     )
+
+
+# --------------- atomic micro-batch produce -> read_committed (S2/T8/F6)
+@query(
+    "q280_atomic_sink_eos",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY event_type
+""",
+    tags=("S2", "T8", "F6", "T-streaming"),
+)
+def q280_atomic_sink_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once PRODUCE path (the EOS half of q279's isolation story):
+    events stream through the topiclog sink with ``atomic=True`` — every
+    micro-batch publishes as ONE producer transaction (tasks tag records
+    with the batch-scoped txn id, segment links are WAL'd in the txn state
+    file, per-partition commit markers land, one atomic state-file rename
+    flips the whole batch visible). A read_committed consumer then rolls
+    the topic up: the oracle equality certifies nothing was lost, nothing
+    doubled, and no control marker leaked into the data — across FOUR
+    separate micro-batches whose markers sit interleaved in the log.
+    Scale: the per-batch overhead is one state file + one marker per
+    touched partition; the visibility flip is O(1) regardless of batch
+    size, so trigger cadence, not volume, prices the transaction."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+
+    root = tempfile.mkdtemp(prefix="q280_bus")
+    src = tempfile.mkdtemp(prefix="q280_src")
+    ck = tempfile.mkdtemp(prefix="q280_ck")
+    TopicLog(root).create_topic("ev", partitions=4)
+    _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    ).repartition(8).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream
+        .schema("event_id long, event_type string, cents long")
+        .option("maxFilesPerTrigger", 2)  # 4 atomic micro-batches
+        .parquet(src)
+    )
+    q = KProducer(
+        host=root, topic="ev", key="event_id", transport="topiclog",
+        atomic=True, checkpoint=ck,
+    ).write(stream, trigger="0.1 seconds")
+    q.processAllAvailable()
+    q.stop()
+    dec = read_topic(spark, root, "ev", isolation="read_committed").select(
+        F.from_json(
+            F.col("value").cast("string"),
+            "event_id long, event_type string, cents long",
+        ).alias("v")
+    )
+    return dec.groupBy(F.col("v.event_type").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v.cents").cast("bigint").alias("cents"),
+    )

@@ -127,6 +127,13 @@ class KProducer:
     #: effectively-exactly-once across restarts (topiclog.py
     #: _commit_staged_txn; restart-window caveat documented there).
     txn_id: str | None = None
+    #: topiclog streaming sink only: publish each micro-batch as ONE
+    #: producer transaction (records batch-tagged, WAL'd segment links,
+    #: commit markers, single-rename visibility flip) — a read_committed
+    #: consumer sees every batch exactly once and never partially, even
+    #: across crash-replay; read_uncommitted degrades to at-least-once
+    #: (topiclog.py _commit_staged_atomic).
+    atomic: bool = False
     options: dict[str, str] = field(default_factory=dict)
     #: "kafka" (production) or "topiclog" (in-repo durable log; ``host`` is
     #: the log root dir). Identical sink contract (value/key/partition cols).
@@ -220,7 +227,15 @@ class KProducer:
             opts = {"path": self.host, "topic": self.topic}
             if self.txn_id is not None:
                 opts["txnId"] = self.txn_id
+            if self.atomic:
+                opts["atomic"] = "true"
             return topiclog.FORMAT_NAME, opts
+        if self.atomic:
+            raise ValueError(
+                "atomic=True is topiclog-only: Spark's Kafka sink has no "
+                "transactional produce (each task's records become visible "
+                "as they are sent); use txn_id for replay dedup instead"
+            )
         if self.timestamp_col is not None:
             raise ValueError(
                 "timestamp_col is topiclog-only: Spark's Kafka sink schema "

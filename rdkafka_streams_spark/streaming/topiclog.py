@@ -1421,13 +1421,32 @@ class _TopicLogStreamReader(DataSourceStreamReader):
 
 
 class _Staged(WriterCommitMessage):
-    def __init__(self, files: list[tuple[int, str]]):
+    def __init__(self, files: list[tuple[int, str]], txn: str | None = None):
         self.files = files  # (pid, staged path)
+        self.txn = txn  # atomic-batch txn tag (option atomic=true)
+
+
+def _sink_txn_tag() -> str:
+    """Executor-side: the batch-scoped transaction id for the atomic sink —
+    derived from the engine's task-local streaming properties so every task
+    of one micro-batch (and every replay attempt of it) computes the SAME
+    id, with no driver→executor coordination."""
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    qid = tc.getLocalProperty("sql.streaming.queryId") if tc else None
+    bid = tc.getLocalProperty("streaming.sql.batchId") if tc else None
+    if not qid or bid is None:
+        raise RuntimeError(
+            "atomic=true needs the streaming batch id in the task context "
+            "(streaming sink only)"
+        )
+    return f"__sink-{qid}-{bid}"
 
 
 def _stage_rows(
     rows: Iterator[Row], root: str, topic: str, fields: list[str],
-    tombstones: bool = False,
+    tombstones: bool = False, txn_tag: str | None = None,
 ) -> _Staged:
     """Executor side: bucket rows by partition, write one staged file per
     bucket. Nothing becomes visible until driver-side commit links it in."""
@@ -1464,8 +1483,10 @@ def _stage_rows(
             pid = int(row["partition"]) % n_parts
         else:
             pid = _route(kb, vb, n_parts)
-        by_pid.setdefault(pid, []).append(_encode_line(kb, vb, rts, headers=hdr))
-    return _write_staged(root, topic, by_pid)
+        by_pid.setdefault(pid, []).append(
+            _encode_line(kb, vb, rts, headers=hdr, txn=txn_tag)
+        )
+    return _write_staged(root, topic, by_pid, txn=txn_tag)
 
 
 def _to_epoch_ms(v, default_ms: int) -> int:
@@ -1482,7 +1503,8 @@ def _to_epoch_ms(v, default_ms: int) -> int:
     return int(v.timestamp() * 1000)
 
 
-def _write_staged(root: str, topic: str, by_pid: dict[int, list[str]]) -> _Staged:
+def _write_staged(root: str, topic: str, by_pid: dict[int, list[str]],
+                  txn: str | None = None) -> _Staged:
     staging = os.path.join(root, topic, ".staging")
     os.makedirs(staging, exist_ok=True)
     files = []
@@ -1491,11 +1513,12 @@ def _write_staged(root: str, topic: str, by_pid: dict[int, list[str]]) -> _Stage
         with open(path, "w", encoding="utf-8") as f:
             f.write("\n".join(lines) + "\n")
         files.append((pid, path))
-    return _Staged(files)
+    return _Staged(files, txn=txn)
 
 
 def _stage_batches(
-    batches, root: str, topic: str, fields: list[str], tombstones: bool = False
+    batches, root: str, topic: str, fields: list[str], tombstones: bool = False,
+    txn_tag: str | None = None,
 ) -> _Staged:
     """Arrow-batched staging (the produce-path twin of _read_range_arrow):
     columns come out of the RecordBatch as plain Python lists in one call,
@@ -1543,8 +1566,8 @@ def _stage_batches(
             if bucket is None:
                 bucket = by_pid[pid] = []
             bucket.append(enc(kb, vb, _to_epoch_ms(tss[i], ts) if tss else ts,
-                              headers=hdr))
-    return _write_staged(root, topic, by_pid)
+                              headers=hdr, txn=txn_tag))
+    return _write_staged(root, topic, by_pid, txn=txn_tag)
 
 
 def _commit_staged(messages, root: str, topic: str) -> None:
@@ -1594,6 +1617,92 @@ def _commit_staged_txn(
     _commit_staged(messages, root, topic)
 
 
+def _commit_staged_atomic(messages, root: str, topic: str) -> None:
+    """Atomic micro-batch publish (sink option ``atomic=true``) — the
+    exactly-once upgrade a real Kafka EOS pipeline gets from transactional
+    produce, built from the txn layer this module already has:
+
+    1. every task tags its records with the batch-scoped txn id
+       (``_sink_txn_tag``: same id for every task AND every replay of the
+       batch);
+    2. commit publishes the staged segments — visible to read_uncommitted,
+       INVISIBLE to read_committed (the id is unresolved) — recording each
+       claimed segment name + inode in the txn state file BEFORE linking
+       (a write-ahead intent log);
+    3. one commit marker per touched partition, then a single atomic
+       ``os.replace`` of the state file flips the WHOLE batch visible.
+
+    Crash anywhere before step 3's flip → the replayed batch finds the
+    open txn, rolls back the previous attempt's segments (inode-checked:
+    a name claimed by a foreign producer in the meantime is left alone)
+    and re-publishes; a replay AFTER the flip finds state=commit and
+    discards its staging. Net: a read_committed consumer sees every
+    micro-batch exactly once and never partially, even across
+    crash-replay; read_uncommitted degrades to at-least-once, exactly
+    Kafka's isolation split. Rollback can leave offset HOLES (gapped
+    segments are first-class here, as after compaction)."""
+    msgs = [m for m in messages or [] if m is not None]
+    tags = {m.txn for m in msgs if getattr(m, "txn", None)}
+    if not tags:
+        _abort_staged(msgs)
+        return
+    if len(tags) > 1:  # tasks of one batch can never disagree
+        raise RuntimeError(f"atomic sink: mixed txn tags {sorted(tags)}")
+    tag = tags.pop()
+    log = TopicLog(root)
+    st = log.txn_state(tag)
+    if st is not None and st["state"] == "commit":
+        _abort_staged(msgs)  # replay of an already-committed batch
+        return
+    if st is not None and st["state"] == "open":
+        for final, ino in st.get("wal", []):  # crashed attempt: roll back
+            try:
+                if os.stat(final).st_ino == ino:
+                    os.unlink(final)
+            except OSError:
+                pass
+    st = {"state": "open", "partitions": {}, "wal": []}
+    log._txn_write(tag, st)
+    touched: set[int] = set()
+    for m in msgs:
+        for pid, path in m.files:
+            pdir = _part_dir(root, topic, pid)
+            os.makedirs(pdir, exist_ok=True)
+            with open(path, encoding="utf-8") as f:
+                n = sum(1 for ln in f if ln.strip())
+            if n == 0:
+                os.unlink(path)
+                continue
+            ino = os.stat(path).st_ino
+            linked = False
+            for _ in range(1000):
+                start = _end_offset(pdir)
+                final = os.path.join(pdir, f"seg-{start:020d}-{n}.jsonl")
+                st["wal"].append((final, ino))
+                log._txn_write(tag, st)  # intent BEFORE the link
+                try:
+                    os.link(path, final)
+                    linked = True
+                    break
+                except FileExistsError:
+                    continue  # foreign producer claimed it; intent is
+                    # inode-guarded, so the stale entry is rollback-inert
+            if not linked:
+                raise RuntimeError(f"could not claim an offset range in {pdir}")
+            os.unlink(path)
+            touched.add(pid)
+    ts = int(time.time() * 1000)
+    for pid in sorted(touched):
+        _publish_segment(
+            _part_dir(root, topic, pid),
+            [_encode_line(None, b"", ts, txn=tag, ctl="commit")],
+        )
+    st["state"] = "commit"
+    st["partitions"] = {topic: sorted(touched)}
+    st.pop("wal", None)
+    log._txn_write(tag, st)  # the atomic visibility flip
+
+
 def _abort_staged(messages) -> None:
     for m in messages or []:
         if m is None:
@@ -1631,14 +1740,20 @@ class _TopicLogStreamWriter(DataSourceStreamWriter):
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         self.txn_id = options.get("txnid")
+        self.atomic = str(options.get("atomic", "false")).lower() == "true"
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 
     def write(self, iterator: Iterator[Row]) -> WriterCommitMessage:
-        return _stage_rows(iterator, self.root, self.topic, self.fields, self.tombstones)
+        return _stage_rows(iterator, self.root, self.topic, self.fields,
+                           self.tombstones,
+                           txn_tag=_sink_txn_tag() if self.atomic else None)
 
     def commit(self, messages, batchId: int) -> None:
-        _commit_staged_txn(messages, self.root, self.topic, self.txn_id, batchId)
+        if self.atomic:
+            _commit_staged_atomic(messages, self.root, self.topic)
+        else:
+            _commit_staged_txn(messages, self.root, self.topic, self.txn_id, batchId)
 
     def abort(self, messages, batchId: int) -> None:
         _abort_staged(messages)
@@ -1673,14 +1788,20 @@ class _TopicLogStreamArrowWriter(DataSourceStreamArrowWriter):
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         self.txn_id = options.get("txnid")
+        self.atomic = str(options.get("atomic", "false")).lower() == "true"
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 
     def write(self, iterator) -> WriterCommitMessage:
-        return _stage_batches(iterator, self.root, self.topic, self.fields, self.tombstones)
+        return _stage_batches(iterator, self.root, self.topic, self.fields,
+                              self.tombstones,
+                              txn_tag=_sink_txn_tag() if self.atomic else None)
 
     def commit(self, messages, batchId: int) -> None:
-        _commit_staged_txn(messages, self.root, self.topic, self.txn_id, batchId)
+        if self.atomic:
+            _commit_staged_atomic(messages, self.root, self.topic)
+        else:
+            _commit_staged_txn(messages, self.root, self.topic, self.txn_id, batchId)
 
     def abort(self, messages, batchId: int) -> None:
         _abort_staged(messages)

@@ -302,6 +302,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # txn filtering is an executor-side columnar mask; one rollup
         # exchange per isolation level, event_type join broadcast
         "q279_txn_isolation": 2,
+        # atomic publish is sink-side (state file + markers); the consume
+        # side is one event_type rollup exchange
+        "q280_atomic_sink_eos": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

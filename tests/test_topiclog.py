@@ -1776,3 +1776,141 @@ def test_txn_isolation_streaming_consumer(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.offset, r.v) for r in spark.table(name).collect()}
     assert got == {(0, "p0"), (1, "p1"), (2, "c0"), (3, "c1")}
+
+
+# ------------------------------------------- atomic micro-batch sink (r8 EOS)
+def test_atomic_sink_streaming_end_to_end(spark, tmp_path):
+    """atomic=true: every micro-batch publishes as one sealed transaction —
+    a read_committed consumer sees all records, per-batch commit markers
+    consume offsets, and each batch's txn state is 'commit'."""
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.streaming.producer import KProducer
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog, read_topic
+
+    root = str(tmp_path / "broker")
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=2)
+    spark.range(40).select(
+        F.col("id").alias("count"), F.lit("origin").alias("source")
+    ).repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("count long, source string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = KProducer(host=root, topic="t", transport="topiclog",
+                  atomic=True, checkpoint=ck).write(stream, trigger="0.1 seconds")
+    q.processAllAvailable()
+    q.stop()
+
+    committed = read_topic(spark, root, "t", isolation="read_committed")
+    vals = sorted(
+        int(r["count"])
+        for r in committed.select(
+            F.from_json(F.col("value").cast("string"),
+                        "count long, source string").alias("v")
+        ).select("v.*").collect()
+    )
+    assert vals == list(range(40))
+    # markers consumed offsets: end_offsets exceed the data-record count
+    data_rows = committed.count()
+    assert sum(log.end_offsets("t").values()) > data_rows
+    # every batch txn sealed
+    states = [log.txn_state(t)["state"] for t in log.unresolved_txn_ids()] or []
+    assert states == []  # nothing unresolved
+
+
+def test_atomic_sink_replay_and_rollback(spark, tmp_path):
+    """The crash-replay ladder: (a) a replay of a COMMITTED batch discards
+    its staging (no dupes); (b) a crash mid-publish (state open, WAL with
+    linked segments) is rolled back by the replay — read_committed sees
+    exactly one copy; (c) an unflipped txn's records are invisible to
+    read_committed but visible to read_uncommitted."""
+    import json as _json
+    import os as _os
+
+    from rdkafka_streams_spark.streaming.topiclog import (
+        TopicLog,
+        _commit_staged_atomic,
+        _encode_line,
+        _part_dir,
+        _write_staged,
+        read_topic,
+    )
+
+    root = str(tmp_path / "broker")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+
+    def stage(vals, tag):
+        lines = [_encode_line(None, v.encode(), 1000, txn=tag) for v in vals]
+        return _write_staged(root, "t", {0: lines}, txn=tag)
+
+    def committed_vals():
+        return sorted(
+            r.v for r in read_topic(
+                spark, root, "t", isolation="read_committed"
+            ).selectExpr("cast(value as string) v").collect()
+        )
+
+    tag = "__sink-q-0"
+    _commit_staged_atomic([stage(["a", "b"], tag)], root, "t")
+    assert committed_vals() == ["a", "b"]
+    # (a) replay of the committed batch: staged files discarded, log unchanged
+    ends0 = log.end_offsets("t")
+    _commit_staged_atomic([stage(["a", "b"], tag)], root, "t")
+    assert committed_vals() == ["a", "b"]
+    assert log.end_offsets("t") == ends0
+    assert not _os.listdir(_os.path.join(root, "t", ".staging"))
+
+    # (b) simulate a crash right before the visibility flip of batch 1:
+    # publish fully, then rewind its state to open with the WAL entries
+    tag1 = "__sink-q-1"
+    _commit_staged_atomic([stage(["c", "d"], tag1)], root, "t")
+    st = log.txn_state(tag1)
+    pdir = _part_dir(root, "t", 0)
+    segs = sorted(_os.listdir(pdir))
+    # the batch-1 data segment is the one holding "c" (offset after b's 3)
+    data_seg = [s for s in segs if '"c"' in open(_os.path.join(pdir, s)).read()]
+    assert len(data_seg) == 1
+    wal = [[
+        _os.path.join(pdir, data_seg[0]),
+        _os.stat(_os.path.join(pdir, data_seg[0])).st_ino,
+    ]]
+    log._txn_write(tag1, {"state": "open", "partitions": {}, "wal": wal})
+    assert committed_vals() == ["a", "b"]  # unresolved again -> hidden
+    # replay rolls the crashed attempt back and republishes exactly once
+    _commit_staged_atomic([stage(["c", "d"], tag1)], root, "t")
+    assert committed_vals() == ["a", "b", "c", "d"]
+
+    # (c) an open (unflipped) batch stays invisible to read_committed only
+    tag2 = "__sink-q-2"
+    staged = stage(["e"], tag2)
+    log._txn_write(tag2, {"state": "open", "partitions": {}, "wal": []})
+    # link it manually, as a crashed attempt would have
+    path = staged.files[0][1]
+    import rdkafka_streams_spark.streaming.topiclog as tl
+    start = tl._end_offset(pdir)
+    _os.link(path, _os.path.join(pdir, f"seg-{start:020d}-1.jsonl"))
+    assert committed_vals() == ["a", "b", "c", "d"]
+    allv = sorted(
+        r.v for r in read_topic(spark, root, "t").selectExpr(
+            "cast(value as string) v").collect()
+    )
+    assert allv == ["a", "b", "c", "d", "e"]
+
+    # mixed tags are a protocol violation
+    with pytest.raises(RuntimeError, match="mixed"):
+        _commit_staged_atomic(
+            [stage(["x"], "__sink-q-8"), stage(["y"], "__sink-q-9")],
+            root, "t",
+        )
+
+
+def test_atomic_requires_topiclog_transport(tmp_path):
+    from rdkafka_streams_spark.streaming.producer import KProducer
+
+    with pytest.raises(ValueError, match="atomic=True is topiclog-only"):
+        KProducer(host="broker:9092", topic="t", atomic=True)._sink_format(None)
