@@ -363,29 +363,36 @@ def transport_cert(spark, mults: list[int], base_rows: int = 100_000) -> dict:
             ]
             shutdown(q, 60)
 
-            # produce-side streaming leg: fixed rows-per-file, fixed
-            # files-per-trigger -> constant-size produce micro-batches
+            # produce-side streaming legs: fixed rows-per-file, fixed
+            # files-per-trigger -> constant-size produce micro-batches.
+            # Run plain AND atomic (r8 EOS sink): the atomic leg prices the
+            # per-batch transaction overhead (state file + WAL + markers +
+            # flip) and certifies IT stays flat with backlog size too.
             src = tempfile.mkdtemp(prefix=f"tcert_src_x{m}_")
-            ckp = tempfile.mkdtemp(prefix=f"tcert_ckp_x{m}_")
             try:
                 n_files = 8 * m
                 spark.range(n_files * 12_500).select(
                     F.col("id").alias("count"), F.lit("origin").alias("source")
                 ).repartition(n_files).write.mode("overwrite").parquet(src)
-                log.create_topic("cert_sink", partitions=8)
-                stream = (
-                    spark.readStream.schema("count long, source string")
-                    .option("maxFilesPerTrigger", 2).parquet(src)
-                )
-                qp = KProducer(host=root, topic="cert_sink",
-                               transport="topiclog", checkpoint=ckp,
-                               ).write(stream, trigger="0.1 seconds")
-                qp.processAllAvailable()
-                produce_lat = progress_latency_percentiles(qp.recentProgress)
-                shutdown(qp, 60)
+                lats = {}
+                for leg, is_atomic in (("produce_latency_ms", False),
+                                       ("produce_atomic_latency_ms", True)):
+                    ckp = tempfile.mkdtemp(prefix=f"tcert_ckp_x{m}_")
+                    log.create_topic(f"cert_sink_{leg}", partitions=8)
+                    stream = (
+                        spark.readStream.schema("count long, source string")
+                        .option("maxFilesPerTrigger", 2).parquet(src)
+                    )
+                    qp = KProducer(host=root, topic=f"cert_sink_{leg}",
+                                   transport="topiclog", checkpoint=ckp,
+                                   atomic=is_atomic,
+                                   ).write(stream, trigger="0.1 seconds")
+                    qp.processAllAvailable()
+                    lats[leg] = progress_latency_percentiles(qp.recentProgress)
+                    shutdown(qp, 60)
+                    shutil.rmtree(ckp, ignore_errors=True)
             finally:
                 shutil.rmtree(src, ignore_errors=True)
-                shutil.rmtree(ckp, ignore_errors=True)
 
             per[str(m)] = {
                 "rows": n,
@@ -393,7 +400,7 @@ def transport_cert(spark, mults: list[int], base_rows: int = 100_000) -> dict:
                 "consume_wall_rps": int(n / consume_s),
                 "consume_best_batch_rps": int(max(rates)) if rates else None,
                 "consume_latency_ms": consume_lat,
-                "produce_latency_ms": produce_lat,
+                **lats,
             }
             print(f"# transport {m}x: {per[str(m)]}", file=sys.stderr)
         finally:
@@ -403,7 +410,8 @@ def transport_cert(spark, mults: list[int], base_rows: int = 100_000) -> dict:
     base = per[str(mults[0])]
     ratios = {}
     for leg, key in (("consume", "consume_latency_ms"),
-                     ("produce", "produce_latency_ms")):
+                     ("produce", "produce_latency_ms"),
+                     ("produce_atomic", "produce_atomic_latency_ms")):
         for stat in ("triggerExecution_p50_ms", "addBatch_p50_ms",
                      "triggerExecution_p95_ms", "addBatch_p95_ms"):
             b = base[key].get(stat)
