@@ -5335,3 +5335,77 @@ def q280_atomic_sink_eos(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("v.cents").cast("bigint").alias("cents"),
     )
+
+
+# --------------- config-driven retention reaper (S4/F6: retention.ms)
+@query(
+    "q281_retention_policy",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(user_id % 4 AS INTEGER) AS p
+  FROM events),
+r AS (
+  SELECT p, event_id, ts_us,
+         ROW_NUMBER() OVER (PARTITION BY p ORDER BY ts_us, event_id) - 1 AS off
+  FROM e)
+SELECT p AS partition,
+       CAST(MIN(off) AS BIGINT) AS log_start,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM r WHERE ts_us >= 1705708800000000
+GROUP BY p
+""",
+    tags=("S4", "F6", "T-streaming"),
+)
+def q281_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONFIG-DRIVEN retention (the broker's ``retention.ms`` + cleaner
+    thread, run as a one-shot with a pinned clock): events ride the log
+    with event-time CreateTime (per-partition monotonic, the q273/q278
+    produce shape); ``alter_configs`` sets ``retention.ms`` so that the
+    cleaner's cutoff (now − R) lands exactly on the 2024-01-20Z boundary;
+    ``run_retention(now_ms=...)`` reaps everything older. A from-earliest
+    read then sees ONLY the retained window, and ``beginning_offsets``
+    (logStartOffset) has advanced to the boundary — surfaced per partition
+    as ``log_start`` = MIN(offset), which the oracle reconstructs
+    relationally. A reaper that read the wrong config, applied the wrong
+    cutoff, or forgot to advance the log start breaks the hash. Scale:
+    the reap is segment unlink + one spanning-segment trim per partition
+    (metadata-bounded, no scan of surviving data); a real deployment runs
+    the same sweep from cron against shared storage."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+
+    now_ms = 1_710_000_000_000
+    cutoff_ms = 1_705_708_800_000  # 2024-01-20Z, the q273 boundary
+    root = tempfile.mkdtemp(prefix="q281_bus")
+    n_parts = 4
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=n_parts)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("ts_us")
+    )
+    seed = (
+        ev.withColumn("__tp", F.pmod("user_id", F.lit(n_parts)).cast("int"))
+        .repartition(n_parts, "__tp")
+        .sortWithinPartitions("ts_us", "event_id")
+        .select("event_id", "user_id", "ts", "__tp")
+    )
+    KProducer(
+        host=root, topic="ev", key="user_id", partition_col="__tp",
+        timestamp_col="ts", transport="topiclog",
+    ).write_batch(seed)
+    log.alter_configs("ev", {"retention.ms": now_ms - cutoff_ms,
+                             "cleanup.policy": "delete"})
+    log.run_retention("ev", now_ms=now_ms)
+    dec = read_topic(spark, root, "ev").select(
+        "partition", "offset",
+        F.from_json(F.col("value").cast("string"),
+                    "event_id long, user_id long").alias("v"),
+    )
+    return dec.groupBy("partition").agg(
+        F.min("offset").cast("bigint").alias("log_start"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("v.event_id").cast("bigint").alias("sum_event_id"),
+    )

@@ -648,6 +648,111 @@ class TopicLog:
             if os.path.isdir(os.path.join(gdir, d))
         )
 
+    # ----------------------------------------------------- topic configs
+    # The AdminClient alterConfigs/describeConfigs surface for the policy
+    # knobs this log actually enforces: retention.ms / retention.bytes
+    # (cleanup.policy=delete) and cleanup.policy=compact. Configs live in
+    # <topic>/.config.json (dot-file: invisible to the partition listing);
+    # run_retention() is the broker's log-cleaner thread as a one-shot —
+    # the same offline single-writer window as compact()/delete_records.
+
+    _CONFIG_KEYS = ("retention.ms", "retention.bytes", "cleanup.policy")
+
+    def _config_file(self, topic: str) -> str:
+        return os.path.join(self.root, topic, ".config.json")
+
+    def describe_configs(self, topic: str) -> dict[str, str]:
+        """Explicitly-set configs for the topic (empty = all defaults:
+        infinite retention, cleanup.policy=delete), the describeConfigs
+        DYNAMIC_TOPIC_CONFIG slice."""
+        path = self._config_file(topic)
+        if not os.path.exists(path):
+            return {}
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+
+    def alter_configs(self, topic: str, configs: dict[str, str | int | None]) -> dict[str, str]:
+        """Merge config overrides (``None`` deletes a key back to default).
+        Unknown keys and non-numeric retention values are rejected up
+        front, like the broker's INVALID_CONFIG. Returns the full config
+        after the merge."""
+        if not os.path.isdir(os.path.join(self.root, topic)):
+            raise ValueError(f"unknown topic {topic!r}")
+        cur = self.describe_configs(topic)
+        for k, v in configs.items():
+            if k not in self._CONFIG_KEYS:
+                raise ValueError(
+                    f"unsupported config {k!r} (supported: {self._CONFIG_KEYS})"
+                )
+            if v is None:
+                cur.pop(k, None)
+                continue
+            if k in ("retention.ms", "retention.bytes"):
+                if int(v) <= 0:
+                    raise ValueError(f"{k} must be positive, got {v}")
+                cur[k] = str(int(v))
+            else:
+                if v not in ("delete", "compact"):
+                    raise ValueError(f"cleanup.policy must be delete|compact, got {v!r}")
+                cur[k] = str(v)
+        path = self._config_file(topic)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(cur, f)
+        os.replace(tmp, path)
+        return cur
+
+    def delete_records_to_size(self, topic: str, max_bytes: int) -> dict[str, int]:
+        """retention.bytes enforcement: per PARTITION (Kafka's unit), keep
+        the newest whole segments whose cumulative file size fits
+        ``max_bytes`` and truncate below — segment granularity, exactly a
+        broker's size-based retention (the newest/active segment always
+        survives, even oversized)."""
+        before: dict[int, int] = {}
+        for pid in _list_partitions(self.root, topic):
+            pdir = _part_dir(self.root, topic, pid)
+            segs = _list_segments(pdir)
+            if not segs:
+                continue
+            kept, boundary = 0, segs[-1][0]
+            for seg_start, _count, path in reversed(segs):
+                kept += os.path.getsize(path)
+                if kept > max_bytes and seg_start != segs[-1][0]:
+                    break
+                boundary = seg_start
+            if boundary > segs[0][0]:
+                before[pid] = boundary
+        return self.delete_records(topic, before)
+
+    def run_retention(self, topic: str | None = None,
+                      now_ms: int | None = None) -> dict[str, dict]:
+        """One sweep of the log-cleaner: apply each topic's configured
+        policy. cleanup.policy=compact → ``compact()``; delete (default) →
+        ``retention.ms`` (records older than now−R reaped, via the
+        time-boundary path) then ``retention.bytes`` (size cap per
+        partition). ``now_ms`` pins the clock for deterministic tests and
+        replayable maintenance jobs. Returns per-topic actions."""
+        topics = [topic] if topic is not None else self.topics()
+        now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        out: dict[str, dict] = {}
+        for t in topics:
+            cfg = self.describe_configs(t)
+            acts: dict = {}
+            if cfg.get("cleanup.policy") == "compact":
+                acts["compacted"] = self.compact(t)
+            else:
+                if "retention.ms" in cfg:
+                    cutoff = now - int(cfg["retention.ms"])
+                    acts["reaped_by_time"] = self.delete_records_before_timestamp(
+                        t, cutoff
+                    )
+                if "retention.bytes" in cfg:
+                    acts["reaped_by_size"] = self.delete_records_to_size(
+                        t, int(cfg["retention.bytes"])
+                    )
+            out[t] = acts
+        return out
+
     # ------------------------------------------------ producer transactions
     # Kafka's transactional produce: records of an open transaction ride
     # the log immediately (occupying offsets) but read_committed consumers

@@ -305,6 +305,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # atomic publish is sink-side (state file + markers); the consume
         # side is one event_type rollup exchange
         "q280_atomic_sink_eos": 1,
+        # config + reap are metadata ops; one per-partition rollup over
+        # the retained window
+        "q281_retention_policy": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

@@ -1914,3 +1914,78 @@ def test_atomic_requires_topiclog_transport(tmp_path):
 
     with pytest.raises(ValueError, match="atomic=True is topiclog-only"):
         KProducer(host="broker:9092", topic="t", atomic=True)._sink_format(None)
+
+
+# ----------------------------------------- topic configs + retention reaper
+def test_alter_describe_configs_validation(tmp_path):
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t")
+    assert log.describe_configs("t") == {}
+    got = log.alter_configs("t", {"retention.ms": 1000, "cleanup.policy": "delete"})
+    assert got == {"retention.ms": "1000", "cleanup.policy": "delete"}
+    # merge semantics + delete-to-default via None
+    got = log.alter_configs("t", {"retention.bytes": 4096, "retention.ms": None})
+    assert got == {"cleanup.policy": "delete", "retention.bytes": "4096"}
+    assert log.describe_configs("t") == got
+    with pytest.raises(ValueError, match="unsupported config"):
+        log.alter_configs("t", {"max.message.bytes": 1})
+    with pytest.raises(ValueError, match="positive"):
+        log.alter_configs("t", {"retention.ms": 0})
+    with pytest.raises(ValueError, match="delete|compact"):
+        log.alter_configs("t", {"cleanup.policy": "bogus"})
+    with pytest.raises(ValueError, match="unknown topic"):
+        log.alter_configs("missing", {"retention.ms": 1})
+    # config dot-file is not a partition and not a topic
+    assert log.partitions("t") == [0]
+    assert log.topics() == ["t"]
+
+
+def test_delete_records_to_size_per_partition(tmp_path):
+    """retention.bytes keeps the newest whole segments per PARTITION whose
+    cumulative size fits the cap; the active segment always survives."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog, _part_dir, _list_segments
+    import os as _os
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=2)
+    # three segments of 10 records each on p0, one on p1
+    for _ in range(3):
+        log.append("t", [b"x" * 20] * 10, partition=0)
+    log.append("t", [b"y" * 20] * 10, partition=1)
+    seg_size = _os.path.getsize(_list_segments(_part_dir(str(tmp_path), "t", 0))[0][2])
+
+    # cap = 1.5 segments -> newest 1 whole segment survives on p0
+    stats = log.delete_records_to_size("t", int(seg_size * 1.5))
+    # kept counts records in AFFECTED partitions (delete_records contract);
+    # p1 fits its cap and is untouched/uncounted
+    assert stats["deleted"] == 20 and stats["kept"] == 10
+    assert log.beginning_offsets("t") == {0: 20, 1: 0}
+    assert log.end_offsets("t") == {0: 30, 1: 10}
+    # a cap below one segment still keeps the newest (active) segment
+    stats = log.delete_records_to_size("t", 1)
+    assert log.beginning_offsets("t")[0] == 20
+    assert log.end_offsets("t")[0] == 30
+
+
+def test_run_retention_policies(tmp_path):
+    """The one-shot cleaner applies each topic's configured policy:
+    time reap, size reap, and compact — with a pinned clock."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("timed", partitions=1)
+    log.create_topic("compacted", partitions=1)
+    log.append("timed", [b"old1", b"old2"], partition=0, timestamps=[1000, 2000])
+    log.append("timed", [b"new1"], partition=0, timestamps=[9000])
+    log.alter_configs("timed", {"retention.ms": 5000})
+    log.append("compacted", [b"v1", b"v2"], keys=[b"k", b"k"], partition=0)
+    log.alter_configs("compacted", {"cleanup.policy": "compact"})
+
+    out = log.run_retention(now_ms=10_000)
+    assert out["timed"]["reaped_by_time"] == {"deleted": 2, "kept": 1}
+    assert log.beginning_offsets("timed") == {0: 2}
+    assert out["compacted"]["compacted"]["superseded"] == 1
+    # unconfigured topics are untouched, and a second sweep is idempotent
+    assert log.run_retention(now_ms=10_000)["timed"]["reaped_by_time"]["deleted"] == 0
