@@ -5409,3 +5409,61 @@ def q281_retention_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum("v.event_id").cast("bigint").alias("sum_event_id"),
     )
+
+
+# --------------- framed Avro KEYS on a compacted CDC topic (R4/S2/X7)
+@query(
+    "q282_avro_key_compacted",
+    oracle="""
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 100) AS BIGINT)
+         AS latest_cents
+FROM customer GROUP BY c_nationkey
+""",
+    tags=("R4", "S2", "X7", "codec", "registry"),
+)
+def q282_avro_key_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed Avro KEYS on a compacted CDC topic (KProducer/KConsumer
+    ``key_format='avro-confluent'``, subject ``<topic>-key`` beside
+    ``<topic>-value`` — the two-subject shape every Debezium/Connect
+    estate ships): each customer is produced TWICE — an initial snapshot,
+    then a balance update (+100 cents) — key = one-field Avro record
+    {c_custkey} under the key subject, value = full row under the value
+    subject. ``compact()`` then keeps only the LATEST record per key:
+    this works on framed keys because Avro binary encoding is
+    deterministic (same key → same bytes → same compaction bucket; the
+    registry's idempotent id allocation keeps the 5-byte frame identical
+    across produces). The consumer decodes BOTH sides through the
+    registry and rolls up by nation — every surviving value must be the
+    update, so a key-frame instability (dup keys surviving) or a stale
+    value breaks both n and the sum. Scale: two subjects, two ids,
+    resolved once per executor; compaction is the broker-side cost it
+    always is."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+    from rdkafka_streams_spark.streaming.consumer import KConsumer
+
+    root = tempfile.mkdtemp(prefix="q282_bus")
+    log = TopicLog(root)
+    log.create_topic("cust", partitions=4)
+    base = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    prod = KProducer(
+        host=root, topic="cust", key="c_custkey", transport="topiclog",
+        value_format="avro-confluent", key_format="avro-confluent",
+    )
+    prod.write_batch(base)                                   # snapshot
+    prod.write_batch(base.withColumn("cents", F.col("cents") + 100))  # update
+    log.compact("cust")
+    dec = KConsumer(
+        host=root, topic="cust", transport="topiclog",
+        value_format="avro-confluent", key_format="avro-confluent",
+    ).decode(read_topic(spark, root, "cust"))
+    return dec.groupBy(F.col("value.c_nationkey").alias("c_nationkey")).agg(
+        F.count("key.c_custkey").cast("bigint").alias("n_customers"),
+        F.sum("value.cents").cast("bigint").alias("latest_cents"),
+    )

@@ -223,6 +223,10 @@ class KConsumer:
     #: records) or "read_committed" (records of aborted/open producer
     #: transactions filtered; control records invisible at both levels).
     isolation: str = "read_uncommitted"
+    #: key deserialization: "string" (leave the envelope's binary key) or
+    #: "avro-confluent" (framed one-field Avro record decoded from subject
+    #: ``<topic>-key`` — the CDC/compacted-topic shape).
+    key_format: str = "string"
 
     def _topics(self) -> str:
         t = self.topic
@@ -321,26 +325,46 @@ class KConsumer:
             raise
         return self.decode(raw)
 
+    def _resolve_registry_root(self) -> str:
+        import os
+
+        root = self.registry_root
+        if root is None:
+            if self.transport != "topiclog":
+                raise ValueError(
+                    "'avro-confluent' decode on transport='kafka' needs an "
+                    "explicit registry_root"
+                )
+            root = os.path.join(self.host, ".schema_registry")
+        return root
+
     def decode(self, raw: DataFrame) -> DataFrame:
         """Apply the envelope-preserving decode to any Kafka-shaped frame —
         the broker-free seam used by tests (memory/file sources provide the
         same columns)."""
-        if self.value_format == "avro-confluent":
-            import os
-
+        if self.key_format == "avro-confluent":
+            # framed Avro key (subject <topic>-key): decode to its record
+            # struct in place, orthogonal to the value format
             from rdkafka_streams_spark.streaming.schema_registry import (
                 SchemaRegistry,
                 from_avro_confluent,
             )
 
-            root = self.registry_root
-            if root is None:
-                if self.transport != "topiclog":
-                    raise ValueError(
-                        "value_format='avro-confluent' on transport='kafka' "
-                        "needs an explicit registry_root"
-                    )
-                root = os.path.join(self.host, ".schema_registry")
+            kroot = self._resolve_registry_root()
+            t = self.topic if isinstance(self.topic, str) else self.topic[0]
+            _, kreader = SchemaRegistry(kroot).latest(f"{t}-key")
+            raw = raw.select(*[
+                from_avro_confluent(F.col("key"), kroot, kreader).alias("key")
+                if c == "key" else c
+                for c in raw.columns
+            ])
+        if self.value_format == "avro-confluent":
+            from rdkafka_streams_spark.streaming.schema_registry import (
+                SchemaRegistry,
+                from_avro_confluent,
+            )
+
+            root = self._resolve_registry_root()
             reader = self.schema
             if reader is None:
                 t = self.topic if isinstance(self.topic, str) else self.topic[0]

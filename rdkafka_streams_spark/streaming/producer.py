@@ -35,6 +35,9 @@ def encode_records(
     timestamp: str | None = None,
     headers: str | None = None,
     schema_id: int | None = None,
+    key_format: str = "string",
+    key_avro_schema: str | None = None,
+    key_schema_id: int | None = None,
 ) -> DataFrame:
     """Record → Kafka sink frame: serialize all payload columns into
     ``value``, optionally keeping a key and an explicit partition column
@@ -95,7 +98,27 @@ def encode_records(
         raise ValueError(f"unknown value_format {value_format!r}")
     if key is not None:
         k = F.col(key) if isinstance(key, str) else key
-        out.insert(0, k.cast("string").alias("key"))
+        if key_format == "avro-confluent":
+            # framed Avro KEY (subject <topic>-key): the CDC/compaction
+            # shape — the key is a one-field record, so key equality is
+            # byte equality (Avro binary encoding is deterministic) and
+            # compaction/tombstones work unchanged on framed keys
+            from rdkafka_streams_spark.streaming.schema_registry import (
+                to_avro_confluent,
+            )
+
+            if key_avro_schema is None or key_schema_id is None:
+                raise ValueError(
+                    "key_format='avro-confluent' needs key_avro_schema AND "
+                    "key_schema_id (KProducer registers them for you)"
+                )
+            out.insert(0, to_avro_confluent(
+                F.struct(k), key_avro_schema, key_schema_id
+            ).alias("key"))
+        elif key_format == "string":
+            out.insert(0, k.cast("string").alias("key"))
+        else:
+            raise ValueError(f"unknown key_format {key_format!r}")
     if partition is not None:
         out.append(F.col(partition).cast("int").alias("partition"))
     if timestamp is not None:
@@ -156,6 +179,13 @@ class KProducer:
     #: compatibility gate applied at auto-registration (BACKWARD / FORWARD /
     #: FULL / NONE — Confluent's modes).
     compatibility: str = "BACKWARD"
+    #: key serialization: "string" (reference-faithful cast) or
+    #: "avro-confluent" (the key rides as a framed one-field Avro record
+    #: under subject ``<topic>-key`` — the CDC/compacted-topic shape; key
+    #: equality stays byte equality, so compaction and tombstones work
+    #: unchanged on framed keys).
+    key_format: str = "string"
+    key_avro_schema: str | None = None
     #: column carried as the record's CreateTime (``offsetsForTimes`` /
     #: ``startingTimestamp`` seek against it); default: produce wall-clock.
     #: topiclog-only — the real Kafka sink has no timestamp column
@@ -208,6 +238,24 @@ class KProducer:
                 self.subject or f"{self.topic}-value", schema,
                 compatibility=self.compatibility,
             )
+        kschema, ksid = self.key_avro_schema, None
+        if self.key_format == "avro-confluent":
+            if self.key is None:
+                raise ValueError("key_format='avro-confluent' needs a key")
+            from rdkafka_streams_spark.streaming.avro_codec import (
+                spark_to_avro_schema,
+            )
+            from rdkafka_streams_spark.streaming.schema_registry import (
+                SchemaRegistry,
+            )
+
+            k = F.col(self.key) if isinstance(self.key, str) else self.key
+            if kschema is None:
+                kschema = spark_to_avro_schema(df.select(k).schema, name="key")
+            ksid = SchemaRegistry(self._registry_root()).register(
+                f"{self.topic}-key", kschema,
+                compatibility=self.compatibility,
+            )
         return encode_records(
             df,
             key=self.key,
@@ -217,6 +265,9 @@ class KProducer:
             timestamp=self.timestamp_col,
             headers=self.headers_col,
             schema_id=sid,
+            key_format=self.key_format,
+            key_avro_schema=kschema,
+            key_schema_id=ksid,
         )
 
     def _sink_format(self, df: DataFrame):

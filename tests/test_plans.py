@@ -308,6 +308,8 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # config + reap are metadata ops; one per-partition rollup over
         # the retained window
         "q281_retention_policy": 1,
+        # two-subject decode is map-side; one nationkey rollup exchange
+        "q282_avro_key_compacted": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

@@ -221,3 +221,41 @@ def test_end_to_end_schema_evolution_over_topiclog(spark, tmp_path):
         KProducer(host=root, topic="ev", transport="topiclog",
                   value_format="avro-confluent", avro_schema=V_BAD,
                   ).write_batch(bad)
+
+
+def test_framed_avro_key_roundtrip(spark, tmp_path):
+    """key_format='avro-confluent': the key rides as a framed one-field
+    record under <topic>-key; identical keys frame to identical BYTES
+    across separate produces (deterministic encoding + idempotent id),
+    and the consumer decodes the struct back."""
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+    from rdkafka_streams_spark.streaming.consumer import KConsumer
+    from rdkafka_streams_spark.streaming.producer import KProducer
+    from rdkafka_streams_spark.streaming.schema_registry import SchemaRegistry
+
+    root = str(tmp_path / "broker")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=2)
+    df = spark.range(4).select(F.col("id").alias("user_id"),
+                               (F.col("id") * 10).alias("score"))
+    prod = KProducer(host=root, topic="t", key="user_id",
+                     transport="topiclog", key_format="avro-confluent")
+    prod.write_batch(df)
+    prod.write_batch(df)  # second produce: same keys, same bytes
+    reg = SchemaRegistry(str(tmp_path / "broker" / ".schema_registry"))
+    assert "t-key" in reg.subjects()
+    assert reg.versions("t-key") == [1]  # idempotent re-registration
+
+    raw = read_topic(spark, root, "t")
+    # identical user_id -> identical framed key bytes (compaction contract)
+    distinct_keys = raw.select("key").distinct().count()
+    assert distinct_keys == 4
+    dec = KConsumer(host=root, topic="t", transport="topiclog",
+                    key_format="avro-confluent",
+                    schema="user_id long, score long").decode(raw)
+    got = {(r.k, r.n) for r in dec.groupBy(
+        F.col("key.user_id").alias("k")).count()
+        .withColumnRenamed("count", "n").collect()}
+    assert got == {(i, 2) for i in range(4)}
