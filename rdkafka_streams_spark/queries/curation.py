@@ -5467,3 +5467,87 @@ def q282_avro_key_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("key.c_custkey").cast("bigint").alias("n_customers"),
         F.sum("value.cents").cast("bigint").alias("latest_cents"),
     )
+
+
+# --------------- end-to-end EOS pipeline: committed in -> atomic out
+@query(
+    "q283_eos_pipeline",
+    oracle="""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE user_id % 2 = 0)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents * 2) AS BIGINT) AS doubled_cents
+FROM e GROUP BY event_type
+""",
+    tags=("S3", "S1", "S2", "T8", "T-streaming"),
+)
+def q283_eos_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END exactly-once pipeline — the reference's duplex loop
+    (README.md:41-56: consume → transform → produce) upgraded to the
+    Kafka Streams `processing.guarantee=exactly_once_v2` shape: topic A
+    carries committed records interleaved with an ABORTED transaction's;
+    a streaming consumer at ``isolation=read_committed`` sees only the
+    committed half, a per-record transform doubles the cents (the
+    reference's `_.extend {source:"transform"}` analog), and the sink
+    republishes to topic B with ``atomic=true`` — each micro-batch one
+    sealed transaction. A read_committed scan of B must then equal the
+    relational transform of A's committed records: an isolation leak on
+    the inbound hop, a non-atomic outbound publish, or a marker leaking
+    into either hop breaks the hash. Scale: both hops are the certified
+    flat-latency paths (SCALE.md transport table); the transform is pure
+    map-side columnar."""
+    import json as _json
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic, shutdown
+    from rdkafka_streams_spark.streaming.consumer import KConsumer
+
+    root = tempfile.mkdtemp(prefix="q283_bus")
+    ck = tempfile.mkdtemp(prefix="q283_ck")
+    log = TopicLog(root)
+    log.create_topic("a", partitions=4)
+    log.create_topic("b", partitions=4)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    rows: dict[tuple[int, int], list[str]] = {}
+    for r in ev.collect():  # txn produce is a single producer session
+        rows.setdefault((r.user_id % 2, r.event_id % 4), []).append(_json.dumps(
+            {"event_id": r.event_id, "event_type": r.event_type,
+             "cents": r.cents}, separators=(",", ":")))
+    log.begin_txn("poison")
+    for (g, p), vals in sorted(rows.items()):
+        log.append("a", vals, partition=p, txn="poison" if g else None)
+    log.abort_txn("poison")  # the odd-user half must never reach B
+
+    inbound = KConsumer(
+        host=root, topic="a", from_offset="earliest", transport="topiclog",
+        isolation="read_committed",
+        schema="event_id long, event_type string, cents long",
+    ).stream(spark)
+    transformed = inbound.select(
+        F.col("value.event_id").alias("event_id"),
+        F.col("value.event_type").alias("event_type"),
+        (F.col("value.cents") * 2).alias("doubled_cents"),
+    )
+    q = KProducer(
+        host=root, topic="b", key="event_id", transport="topiclog",
+        atomic=True, checkpoint=ck,
+    ).write(transformed, trigger="0.1 seconds")
+    q.processAllAvailable()
+    shutdown(q, 60)
+
+    out = read_topic(spark, root, "b", isolation="read_committed").select(
+        F.from_json(
+            F.col("value").cast("string"),
+            "event_id long, event_type string, doubled_cents long",
+        ).alias("v")
+    )
+    return out.groupBy(F.col("v.event_type").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v.doubled_cents").cast("bigint").alias("doubled_cents"),
+    )

@@ -177,8 +177,11 @@ class KProducer:
     #: ``<topic>-value``.
     subject: str | None = None
     #: compatibility gate applied at auto-registration (BACKWARD / FORWARD /
-    #: FULL / NONE — Confluent's modes).
-    compatibility: str = "BACKWARD"
+    #: FULL / NONE — Confluent's modes). None = resolve from registry
+    #: config (``set_compatibility``: subject override → global default →
+    #: BACKWARD), so the estate's contract is registry state, not a
+    #: per-producer argument.
+    compatibility: str | None = None
     #: key serialization: "string" (reference-faithful cast) or
     #: "avro-confluent" (the key rides as a framed one-field Avro record
     #: under subject ``<topic>-key`` — the CDC/compacted-topic shape; key

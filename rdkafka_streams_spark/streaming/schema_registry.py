@@ -362,22 +362,61 @@ class SchemaRegistry:
             return []
         return sorted(os.listdir(d))
 
+    # -- compatibility config ----------------------------------------------
+    # Confluent's ``PUT /config`` and ``PUT /config/{subject}``: the gate
+    # mode is registry STATE, resolved subject → global → BACKWARD, so
+    # every producer in the estate is held to the same contract without
+    # each caller restating it.
+
+    def set_compatibility(self, mode: str, subject: str | None = None) -> None:
+        """Set the compatibility mode globally (subject=None) or for one
+        subject (overrides the global default for that subject)."""
+        if mode not in ("BACKWARD", "FORWARD", "FULL", "NONE"):
+            raise ValueError(f"unknown compatibility mode {mode!r}")
+        if subject is None:
+            path = os.path.join(self.root, "config.json")
+            os.makedirs(self.root, exist_ok=True)
+        else:
+            sdir = self._subject_dir(subject)
+            os.makedirs(sdir, exist_ok=True)
+            path = os.path.join(sdir, ".config")
+        tmp = f"{path}.tmp-{_uuid_mod.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"compatibility": mode}, f)
+        os.replace(tmp, path)
+
+    def get_compatibility(self, subject: str | None = None) -> str:
+        """Effective mode: subject override → global default → BACKWARD."""
+        paths = []
+        if subject is not None:
+            paths.append(os.path.join(self._subject_dir(subject), ".config"))
+        paths.append(os.path.join(self.root, "config.json"))
+        for path in paths:
+            if os.path.exists(path):
+                with open(path, encoding="utf-8") as f:
+                    return json.load(f)["compatibility"]
+        return "BACKWARD"
+
     # -- writes ------------------------------------------------------------
     def register(
-        self, subject: str, schema: str, compatibility: str = "BACKWARD"
+        self, subject: str, schema: str, compatibility: str | None = None
     ) -> int:
         """Register ``schema`` under ``subject`` and return its global id.
 
         Idempotent: a schema canonically equal to an EXISTING version of
         the subject returns that version's id without writing. Otherwise
         the compatibility gate runs against the latest version
-        (Confluent's default scope):
+        (Confluent's default scope). ``compatibility=None`` resolves the
+        mode from registry config (subject → global → BACKWARD);
+        passing a mode overrides per call:
 
         - BACKWARD: new schema can READ data written with the latest
         - FORWARD:  latest can read data written with the new schema
         - FULL:     both
         - NONE:     no check
         """
+        if compatibility is None:
+            compatibility = self.get_compatibility(subject)
         canon = _canonical(schema)
         for v in reversed(self.versions(subject)):
             sid, existing = self.get_version(subject, v)

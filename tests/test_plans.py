@@ -310,6 +310,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         "q281_retention_policy": 1,
         # two-subject decode is map-side; one nationkey rollup exchange
         "q282_avro_key_compacted": 1,
+        # both transport hops are eager sink-side; the verify read is one
+        # event_type rollup exchange
+        "q283_eos_pipeline": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

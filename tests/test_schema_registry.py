@@ -259,3 +259,42 @@ def test_framed_avro_key_roundtrip(spark, tmp_path):
         F.col("key.user_id").alias("k")).count()
         .withColumnRenamed("count", "n").collect()}
     assert got == {(i, 2) for i in range(4)}
+
+
+def test_compatibility_config_resolution(tmp_path):
+    """PUT /config semantics: the gate mode is registry state — subject
+    override beats the global default beats BACKWARD; register(None)
+    resolves it, an explicit argument still overrides per call."""
+    import json as _json
+
+    from rdkafka_streams_spark.streaming.schema_registry import SchemaRegistry
+
+    reg = SchemaRegistry(str(tmp_path / "reg"))
+    v1 = _json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"}]})
+    v2_narrowing = _json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "long"}]})  # no default: BACKWARD-incompatible
+
+    assert reg.get_compatibility("s") == "BACKWARD"
+    reg.register("s", v1)
+    with pytest.raises(ValueError, match="BACKWARD"):
+        reg.register("s", v2_narrowing)
+    # global default NONE lets it through on a fresh subject...
+    reg.set_compatibility("NONE")
+    assert reg.get_compatibility("s") == "NONE"
+    # ...but a subject override wins over the global default
+    reg.set_compatibility("FULL", subject="s")
+    assert reg.get_compatibility("s") == "FULL"
+    assert reg.get_compatibility("other") == "NONE"
+    with pytest.raises(ValueError, match="FULL"):
+        # FULL fails on its BACKWARD half (defaultless new field); the
+        # FORWARD half alone would pass
+        reg.register("s", v2_narrowing)
+    # explicit per-call override still wins over all config
+    sid = reg.register("s", v2_narrowing, compatibility="NONE")
+    assert reg.versions("s") == [1, 2]
+    assert reg.get_version("s", 2)[0] == sid
+    # the .config file is not a version
+    with pytest.raises(ValueError, match="unknown compatibility"):
+        reg.set_compatibility("SIDEWAYS")
