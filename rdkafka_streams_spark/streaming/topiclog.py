@@ -648,6 +648,34 @@ class TopicLog:
             if os.path.isdir(os.path.join(gdir, d))
         )
 
+    def describe_group(self, group: str) -> dict:
+        """``kafka-consumer-groups.sh --describe`` one-call overview:
+        the group's generation plus, per topic it has commits for,
+        per-partition {offset, metadata, end_offset, lag}. Metadata-sized
+        (files only, no log scan beyond segment names)."""
+        gdir = os.path.dirname(self._group_file(group, "t"))
+        topics = (
+            sorted(f[:-5] for f in os.listdir(gdir)
+                   if f.endswith(".json") and ".tmp-" not in f
+                   and not f.startswith("."))  # .state.json is not a topic
+            if os.path.isdir(gdir) else []
+        )
+        out: dict = {"group": group,
+                     "generation": self.group_generation(group), "topics": {}}
+        for t in topics:
+            full = self.committed_full(group, t)
+            ends = self.end_offsets(t)
+            out["topics"][t] = {
+                pid: {
+                    "offset": full.get(pid, {}).get("o"),
+                    "metadata": full.get(pid, {}).get("m"),
+                    "end_offset": end,
+                    "lag": max(0, end - full.get(pid, {}).get("o", 0)),
+                }
+                for pid, end in ends.items()
+            }
+        return out
+
     # ----------------------------------------------------- topic configs
     # The AdminClient alterConfigs/describeConfigs surface for the policy
     # knobs this log actually enforces: retention.ms / retention.bytes
@@ -1292,6 +1320,21 @@ def _resolve_topics(options: dict) -> tuple[str, list[str], dict[str, list[int]]
     return root, topics, None
 
 
+def _parse_duration_ms(raw: str | int) -> float:
+    """Kafka-style duration: bare number = ms, else '500ms'/'30s'/'15m'/'1h'."""
+    s = str(raw).strip().lower()
+    for suffix, mult in (("ms", 1), ("s", 1000), ("m", 60_000), ("h", 3_600_000)):
+        if s.endswith(suffix) and s[: -len(suffix)].strip():
+            try:
+                return float(s[: -len(suffix)]) * mult
+            except ValueError:
+                break
+    try:
+        return float(s)
+    except ValueError:
+        raise ValueError(f"cannot parse duration {raw!r} (try '500ms', '30s', '15m')")
+
+
 def _parse_isolation(options: dict) -> str:
     """Kafka consumer ``isolation.level``: read_uncommitted (default, all
     data records) or read_committed (records of aborted/open transactions
@@ -1431,6 +1474,18 @@ class _TopicLogStreamReader(DataSourceStreamReader):
             int(options["minpartitions"]) if "minpartitions" in options else None
         )
         self.isolation = _parse_isolation(options)
+        # Kafka source minOffsetsPerTrigger/maxTriggerDelay: hold the
+        # trigger until >= N new offsets are available, but never longer
+        # than the delay (Kafka's default 15m) — small-batch suppression
+        # for low-traffic topics
+        self.min_offsets = (
+            int(options["minoffsetspertrigger"])
+            if "minoffsetspertrigger" in options else None
+        )
+        self.max_trigger_delay_ms = _parse_duration_ms(
+            options.get("maxtriggerdelay", "15m")
+        )
+        self._last_fire = time.monotonic()
         self._planned: dict[str, int] | None = None
 
     def _current_topics(self) -> list[str]:
@@ -1482,6 +1537,14 @@ class _TopicLogStreamReader(DataSourceStreamReader):
         ends = self._ends()
         if self._planned is None:
             self._planned = self._start_offsets()
+        if self.min_offsets is not None:
+            available = sum(
+                max(0, end - self._planned.get(k, 0)) for k, end in ends.items()
+            )
+            held = (time.monotonic() - self._last_fire) * 1000.0
+            if available < self.min_offsets and held < self.max_trigger_delay_ms:
+                # hold the trigger: report no progress (empty batch)
+                return dict(self._planned)
         planned = {}
         for k, end in ends.items():
             # a key absent from the seeded baseline is a partition/topic
@@ -1491,6 +1554,8 @@ class _TopicLogStreamReader(DataSourceStreamReader):
             base = self._planned.get(k, 0)
             capped = min(end, base + self.cap) if self.cap is not None else end
             planned[k] = max(base, capped)
+        if planned != self._planned:
+            self._last_fire = time.monotonic()
         self._planned = planned
         return planned
 

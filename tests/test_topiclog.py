@@ -1989,3 +1989,89 @@ def test_run_retention_policies(tmp_path):
     assert out["compacted"]["compacted"]["superseded"] == 1
     # unconfigured topics are untouched, and a second sweep is idempotent
     assert log.run_retention(now_ms=10_000)["timed"]["reaped_by_time"]["deleted"] == 0
+
+
+# --------------------------- minOffsetsPerTrigger / maxTriggerDelay (r8)
+def test_parse_duration_ms():
+    from rdkafka_streams_spark.streaming.topiclog import _parse_duration_ms
+
+    assert _parse_duration_ms("500ms") == 500
+    assert _parse_duration_ms("30s") == 30_000
+    assert _parse_duration_ms("15m") == 900_000
+    assert _parse_duration_ms("1h") == 3_600_000
+    assert _parse_duration_ms(250) == 250
+    assert _parse_duration_ms("250") == 250
+    with pytest.raises(ValueError, match="duration"):
+        _parse_duration_ms("soon")
+
+
+def test_min_offsets_per_trigger_hold_and_release(spark, tmp_path):
+    """Kafka source small-batch suppression: with minOffsetsPerTrigger the
+    trigger HOLDS while fewer offsets are available, releases as soon as
+    the threshold is crossed, and maxTriggerDelay bounds the hold for a
+    trickle that never crosses it."""
+    import time as _time
+
+    from rdkafka_streams_spark.streaming.consumer import KConsumer
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    root = str(tmp_path / "broker")
+    ck = str(tmp_path / "ck")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.append("t", [f"r{i}".encode() for i in range(10)], partition=0)
+
+    name = "min_offsets_rows"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    c = KConsumer(
+        host=root, topic="t", from_offset="earliest", transport="topiclog",
+        options={"minOffsetsPerTrigger": "50", "maxTriggerDelay": "6s"},
+    )
+    q = (
+        c.stream(spark).selectExpr("cast(value as string) v")
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0.2 seconds").start()
+    )
+    try:
+        def rows():
+            return spark.table(name).count()
+
+        def wait_for(n, timeout_s):
+            deadline = _time.monotonic() + timeout_s
+            while rows() < n and _time.monotonic() < deadline:
+                _time.sleep(0.2)
+            return rows()
+
+        _time.sleep(3)           # several trigger cycles, still < threshold
+        assert rows() == 0       # held: 10 < 50
+        log.append("t", [f"s{i}".encode() for i in range(45)], partition=0)
+        assert wait_for(55, 20) == 55  # 55 available >= 50 -> releases
+        # a trickle below the threshold still lands once the delay expires
+        log.append("t", [b"late"], partition=0)
+        assert wait_for(56, 20) == 56
+    finally:
+        q.stop()
+
+
+def test_describe_group_overview(tmp_path):
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=2)
+    log.append("t", [b"a", b"b", b"c"], partition=0)
+    gen = log.join_group("g")
+    log.commit_offsets("g", "t", {0: 2}, generation=gen,
+                       metadata={0: "ckpt=xyz"})
+    d = log.describe_group("g")
+    assert d["group"] == "g" and d["generation"] == 1
+    assert d["topics"]["t"][0] == {
+        "offset": 2, "metadata": "ckpt=xyz", "end_offset": 3, "lag": 1,
+    }
+    assert d["topics"]["t"][1] == {
+        "offset": None, "metadata": None, "end_offset": 0, "lag": 0,
+    }
+    # a group with no commits still describes (generation only)
+    assert log.describe_group("fresh") == {
+        "group": "fresh", "generation": 0, "topics": {},
+    }
