@@ -2075,3 +2075,35 @@ def test_describe_group_overview(tmp_path):
     assert log.describe_group("fresh") == {
         "group": "fresh", "generation": 0, "topics": {},
     }
+
+
+def test_txn_spans_topics(spark, tmp_path):
+    """A Kafka transaction is producer-scoped, not topic-scoped: one txn
+    writes two topics; abort hides BOTH sides from read_committed, and
+    markers land on every touched partition of every topic."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog, read_topic
+
+    root = str(tmp_path)
+    log = TopicLog(root)
+    log.create_topic("orders", partitions=1)
+    log.create_topic("audit", partitions=1)
+    log.append("orders", [b"keep"], partition=0)
+    log.begin_txn("x")
+    log.append("orders", [b"o1"], partition=0, txn="x")
+    log.append("audit", [b"a1", b"a2"], partition=0, txn="x")
+    log.abort_txn("x")
+    assert log.txn_state("x")["partitions"] == {"orders": [0], "audit": [0]}
+    # markers consumed one offset on each touched partition
+    assert log.end_offsets("orders") == {0: 3}
+    assert log.end_offsets("audit") == {0: 3}
+
+    def vals(topic, iso):
+        return sorted(
+            r.v for r in read_topic(spark, root, topic, isolation=iso)
+            .selectExpr("cast(value as string) v").collect()
+        )
+
+    assert vals("orders", "read_committed") == ["keep"]
+    assert vals("audit", "read_committed") == []
+    assert vals("orders", "read_uncommitted") == ["keep", "o1"]
+    assert vals("audit", "read_uncommitted") == ["a1", "a2"]
