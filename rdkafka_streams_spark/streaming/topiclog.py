@@ -648,6 +648,25 @@ class TopicLog:
             if os.path.isdir(os.path.join(gdir, d))
         )
 
+    def create_partitions(self, topic: str, total: int) -> None:
+        """``AdminClient.createPartitions``: grow the topic to ``total``
+        partitions (Kafka only ever ADDS partitions — shrinking would
+        orphan offsets). New partitions start empty at offset 0; keyed
+        routing changes from the next produce on, exactly the broker's
+        caveat that key→partition affinity breaks on expansion. Running
+        consumers pick the new partitions up on their next micro-batch
+        plan (the stream reader's new-partition-from-0 semantics)."""
+        cur = _list_partitions(self.root, topic)
+        if not cur and not os.path.isdir(os.path.join(self.root, topic)):
+            raise ValueError(f"unknown topic {topic!r}")
+        if total <= len(cur):
+            raise ValueError(
+                f"topic {topic!r} has {len(cur)} partitions; createPartitions "
+                f"can only grow (got {total})"
+            )
+        for pid in range(len(cur), total):
+            os.makedirs(_part_dir(self.root, topic, pid), exist_ok=True)
+
     def describe_group(self, group: str) -> dict:
         """``kafka-consumer-groups.sh --describe`` one-call overview:
         the group's generation plus, per topic it has commits for,
@@ -855,11 +874,48 @@ class TopicLog:
         st["state"] = outcome
         self._txn_write(txn_id, st)
 
+    def send_offsets_to_txn(
+        self, txn_id: str, group: str, topic: str, offsets: dict[int, int]
+    ) -> None:
+        """``producer.sendOffsetsToTransaction`` — the consume-transform-
+        produce EOS closer: the consumer group's offsets ride INSIDE the
+        producer transaction, so output records and input positions become
+        visible in the same atomic step. Offsets are staged in the txn
+        state file; ``commit_txn`` applies them to the group store,
+        ``abort_txn`` discards them — a crashed cycle neither advances the
+        group nor leaks output."""
+        st = self.txn_state(txn_id)
+        if st is None or st["state"] != "open":
+            raise ValueError(
+                f"transaction {txn_id!r} is "
+                f"{'unknown' if st is None else st['state']}; begin_txn first"
+            )
+        for pid, off in offsets.items():
+            if int(off) < 0:
+                raise ValueError(f"negative offset {off} for partition {pid}")
+        self._group_file(group, topic)  # validate both name components
+        staged = st.setdefault("offsets", {})
+        ent = staged.setdefault(group, {}).setdefault(topic, {})
+        ent.update({str(int(p)): int(o) for p, o in offsets.items()})
+        self._txn_write(txn_id, st)
+        # Residual window, documented: offsets apply AFTER the visibility
+        # flip, so a crash exactly between them re-delivers the input cycle
+        # (at-least-once inward, never lost output) — the batch-tagged
+        # atomic sink's replay dedup absorbs it in the streaming path.
+
     def commit_txn(self, txn_id: str) -> None:
         """Seal the transaction: its records become visible to
         read_committed consumers. Appends one commit CONTROL record to
-        every partition the txn touched (offset parity with a broker)."""
+        every partition the txn touched (offset parity with a broker),
+        then applies any offsets staged via ``send_offsets_to_txn`` to
+        their group stores."""
         self._txn_finish(txn_id, "commit")
+        st = self.txn_state(txn_id)
+        for group, topics in (st.get("offsets") or {}).items():
+            for topic, offs in topics.items():
+                self.commit_offsets(
+                    group, topic, {int(p): o for p, o in offs.items()}
+                )
 
     def abort_txn(self, txn_id: str) -> None:
         """Discard the transaction: its records stay in the log (offsets

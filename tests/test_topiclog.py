@@ -2107,3 +2107,60 @@ def test_txn_spans_topics(spark, tmp_path):
     assert vals("audit", "read_committed") == []
     assert vals("orders", "read_uncommitted") == ["keep", "o1"]
     assert vals("audit", "read_uncommitted") == ["a1", "a2"]
+
+
+def test_send_offsets_to_txn(tmp_path):
+    """sendOffsetsToTransaction: input offsets ride the producer txn —
+    commit applies them to the group store, abort discards them, and a
+    non-open txn refuses the staging."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("in", partitions=2)
+    log.create_topic("out", partitions=1)
+    log.append("in", [b"a", b"b", b"c"], partition=0)
+
+    log.begin_txn("cycle")
+    log.append("out", [b"A", b"B", b"C"], partition=0, txn="cycle")
+    log.send_offsets_to_txn("cycle", "etl", "in", {0: 3})
+    assert log.committed("etl", "in") == {}  # nothing until the seal
+    log.commit_txn("cycle")
+    assert log.committed("etl", "in") == {0: 3}  # offsets landed with output
+
+    # aborted cycle: neither output nor offsets
+    log.begin_txn("crash")
+    log.append("out", [b"X"], partition=0, txn="crash")
+    log.send_offsets_to_txn("crash", "etl", "in", {0: 0})
+    log.abort_txn("crash")
+    assert log.committed("etl", "in") == {0: 3}  # rewind discarded
+
+    with pytest.raises(ValueError, match="crash"):
+        log.send_offsets_to_txn("crash", "etl", "in", {0: 1})
+    with pytest.raises(ValueError, match="unknown"):
+        log.send_offsets_to_txn("never", "etl", "in", {0: 1})
+    log.begin_txn("v")
+    with pytest.raises(ValueError, match="negative"):
+        log.send_offsets_to_txn("v", "etl", "in", {0: -1})
+    with pytest.raises(ValueError, match="invalid topic"):
+        log.send_offsets_to_txn("v", "etl", "../x", {0: 1})
+
+
+def test_create_partitions_grow_only(tmp_path):
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=2)
+    log.append("t", [b"a", b"b", b"c", b"d"])  # keyless: routed by value
+    log.create_partitions("t", 4)
+    assert log.partitions("t") == [0, 1, 2, 3]
+    assert log.end_offsets("t")[2] == 0 and log.end_offsets("t")[3] == 0
+    # next produce routes across the NEW count
+    log.append("t", [f"x{i}".encode() for i in range(40)])
+    assert sum(log.end_offsets("t").values()) == 44
+    assert any(log.end_offsets("t")[p] > 0 for p in (2, 3))
+    with pytest.raises(ValueError, match="only grow"):
+        log.create_partitions("t", 4)
+    with pytest.raises(ValueError, match="only grow"):
+        log.create_partitions("t", 2)
+    with pytest.raises(ValueError, match="unknown topic"):
+        log.create_partitions("missing", 4)
