@@ -83,6 +83,26 @@ def minhash_signatures(
     )
 
 
+def _bands(sig: DataFrame, n_hashes: int, n_bands: int, id_col: str) -> DataFrame:
+    """(id, bi, bv) band rows. Single-pass banding: explode an array of
+    (bi, bv) structs instead of a union of n_bands selects — the union form
+    scans/recomputes ``sig`` once per band, which at 100 TB is n_bands
+    redundant passes over the corpus."""
+    rows = n_hashes // n_bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bi"),
+                F.concat(*[F.col(f"h{b * rows + i}") for i in range(rows)]).alias("bv"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.explode(band_structs).alias("band")
+    ).select(id_col, F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv"))
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     n_hashes: int = N_HASHES,
@@ -97,22 +117,7 @@ def lsh_candidate_pairs(
     Buckets larger than ``max_bucket`` are dropped before the join (see
     MAX_BUCKET) so one degenerate band value can never go quadratic.
     """
-    rows = n_hashes // n_bands
-    # Single-pass banding: explode an array of (bi, bv) structs instead of a
-    # union of n_bands selects — the union form scans/recomputes `sig` once
-    # per band, which at 100 TB is n_bands redundant passes over the corpus.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("bi"),
-                F.concat(*[F.col(f"h{b * rows + i}") for i in range(rows)]).alias("bv"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("band")
-    ).select(id_col, F.col("band.bi").alias("bi"), F.col("band.bv").alias("bv"))
+    bands = _bands(sig, n_hashes, n_bands, id_col)
     # One shuffle builds the buckets (groupBy collect_list), then in-bucket
     # pairs come from a double explode — no bucket-size window pass, no
     # self-join shuffle. The max_bucket cap bounds every collected array (and
@@ -162,6 +167,60 @@ def minhash_near_dups(
         pairs.join(s1, "id1")
         .join(s2, "id2")
         .select("id1", "id2", (agree / float(n_hashes)).alias("sim_est"))
+        .where(F.col("sim_est") >= threshold)
+    )
+
+
+def minhash_near_dups_incremental(
+    base: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Delta-vs-corpus near-dup probe — the DAILY-INGEST shape of MinHash
+    dedup: a 100 TB pipeline never re-pairs the whole corpus when a day's
+    increment arrives; it probes the increment against the standing LSH
+    index. Buckets are built (and ``max_bucket``-capped) on the BASE side
+    only — the cap is an index-build property, applied once however many
+    deltas probe it — and each delta doc joins its band values against
+    those buckets, so the candidate count is O(|delta| × bucket), never
+    O(|corpus|²) and never |delta|×|delta| (within-delta pairs are the
+    NEXT increment's base-side problem, by design). Returns
+    (delta_id, base_id, sim_est) with the same agreeing-positions
+    estimator as ``minhash_near_dups``. Signatures persist for their
+    multiple consumers (same caller-owned lifetime note as there); at a
+    real 100 TB deployment the base signature/bucket tables are computed
+    once and SAVED — this function is the probe plan they feed."""
+    sig_b = minhash_signatures(base, n_hashes, id_col, text_col).persist()
+    sig_d = minhash_signatures(delta, n_hashes, id_col, text_col).persist()
+    buckets = (
+        _bands(sig_b, n_hashes, n_bands, id_col)
+        .groupBy("bi", "bv")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .where(F.size("ids") <= max_bucket)
+    )
+    cand = (
+        _bands(sig_d, n_hashes, n_bands, id_col)
+        .withColumnRenamed(id_col, "delta_id")
+        .join(buckets, ["bi", "bv"])
+        .select("delta_id", F.explode("ids").alias("base_id"))
+        .distinct()
+    )
+    sd = sig_d.select(F.col(id_col).alias("delta_id"),
+                      *[F.col(f"h{s}").alias(f"a{s}") for s in range(n_hashes)])
+    sb = sig_b.select(F.col(id_col).alias("base_id"),
+                      *[F.col(f"h{s}").alias(f"b{s}") for s in range(n_hashes)])
+    agree = sum((F.col(f"a{s}") == F.col(f"b{s}")).cast("int")
+                for s in range(n_hashes))
+    return (
+        cand.join(sd, "delta_id")
+        .join(sb, "base_id")
+        .select("delta_id", "base_id",
+                (agree / float(n_hashes)).alias("sim_est"))
         .where(F.col("sim_est") >= threshold)
     )
 

@@ -2133,3 +2133,66 @@ def q195_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov_micro2"),
         )
     )
+
+
+def _incremental_minhash_oracle() -> str:
+    rows = N_HASHES // N_BANDS
+    mins = ",\n       ".join(
+        f"MIN(md5('{s}:' || tok)) AS h{s}" for s in range(N_HASHES)
+    )
+    bands = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS bi, {expr} AS bv FROM sig".format(
+            b=b, expr=" || ".join(f"h{b * rows + i}" for i in range(rows))
+        )
+        for b in range(N_BANDS)
+    )
+    agree = " + ".join(f"CAST(sd.h{s} = sb.h{s} AS INT)" for s in range(N_HASHES))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+sig AS (
+  SELECT doc_id,
+       {mins}
+  FROM tok GROUP BY doc_id),
+band0 AS (
+  {bands}),
+bband AS (
+  SELECT doc_id, bi, bv FROM (
+    SELECT doc_id, bi, bv, COUNT(*) OVER (PARTITION BY bi, bv) AS bsz
+    FROM band0 WHERE doc_id % 5 != 0)
+  WHERE bsz <= {MAX_BUCKET}),
+dband AS (SELECT doc_id, bi, bv FROM band0 WHERE doc_id % 5 = 0),
+cand AS (
+  SELECT DISTINCT d.doc_id AS delta_id, b.doc_id AS base_id
+  FROM dband d JOIN bband b ON d.bi = b.bi AND d.bv = b.bv)
+SELECT delta_id, base_id, sim_est FROM (
+  SELECT c.delta_id, c.base_id, ({agree}) / {N_HASHES}.0 AS sim_est
+  FROM cand c
+  JOIN sig sd ON c.delta_id = sd.doc_id
+  JOIN sig sb ON c.base_id = sb.doc_id)
+WHERE sim_est >= 0.5
+"""
+
+
+@query("q284_incremental_dedup", oracle=_incremental_minhash_oracle(), tags=("L2",))
+def q284_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection (llm/dedup.py
+    minhash_near_dups_incremental) — the daily-ingest shape: the corpus is
+    split 80/20 by doc_id into a standing BASE and an arriving DELTA; LSH
+    buckets are built and max_bucket-capped on the base side ONLY, and
+    each delta doc probes its band values against them. Candidates are
+    O(|delta| x bucket) - the whole corpus is never re-paired when an
+    increment arrives, which is the only sustainable posture at 100 TB
+    (the base signature/bucket tables would be computed once and saved;
+    this is the probe plan they feed). Same md5-seeded signatures and
+    agreeing-positions estimator as q51, so the construction is fully
+    oracle-checked."""
+    from rdkafka_streams_spark.llm.dedup import minhash_near_dups_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dups_incremental(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        threshold=0.5,
+    )

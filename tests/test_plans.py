@@ -313,6 +313,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # both transport hops are eager sink-side; the verify read is one
         # event_type rollup exchange
         "q283_eos_pipeline": 1,
+        # two signature groupBys (base+delta), base bucket groupBy,
+        # delta-probe join, two estimator joins off the persisted sigs
+        "q284_incremental_dedup": 6,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
