@@ -782,6 +782,8 @@ class TopicLog:
         topics = [topic] if topic is not None else self.topics()
         now = int(time.time() * 1000) if now_ms is None else int(now_ms)
         out: dict[str, dict] = {}
+        if topic is None:  # full sweeps also prune sink txn metadata
+            out["__txn_gc__"] = {"removed": self.gc_sink_txn_state()}
         for t in topics:
             cfg = self.describe_configs(t)
             acts: dict = {}
@@ -921,6 +923,41 @@ class TopicLog:
         """Discard the transaction: its records stay in the log (offsets
         are immutable) but read_committed consumers never see them."""
         self._txn_finish(txn_id, "abort")
+
+    def gc_sink_txn_state(self, keep_last: int = 100) -> int:
+        """Prune COMMITTED atomic-sink txn state files (``__sink-<query>-
+        <batch>``), keeping the newest ``keep_last`` batches per query id —
+        without GC the sink writes one small state file per micro-batch
+        forever (the same growth __consumer_offsets solves with
+        compaction). Safe because the engine only ever replays its LAST
+        unacknowledged batch: a state file ``keep_last`` batches old can no
+        longer be consulted by any replay. Open/aborted states are never
+        pruned (read_committed filtering depends on them). Returns the
+        number of files removed."""
+        tdir = os.path.join(self.root, ".txns")
+        if not os.path.isdir(tdir):
+            return 0
+        by_query: dict[str, list[tuple[int, str]]] = {}
+        for name in os.listdir(tdir):
+            if not (name.startswith("__sink-") and name.endswith(".json")) \
+                    or ".tmp-" in name:
+                continue
+            stem = name[:-5]
+            qid, _, bid = stem.rpartition("-")
+            if not bid.isdigit():
+                continue
+            by_query.setdefault(qid, []).append((int(bid), name))
+        removed = 0
+        for _, entries in by_query.items():
+            entries.sort()
+            for _, name in entries[:-keep_last] if keep_last > 0 else entries:
+                path = os.path.join(tdir, name)
+                with open(path, encoding="utf-8") as f:
+                    if json.load(f).get("state") != "commit":
+                        continue  # open/aborted: visibility filter needs it
+                os.unlink(path)
+                removed += 1
+        return removed
 
     def unresolved_txn_ids(self) -> frozenset[str]:
         """Txn ids a read_committed scan must filter: every id whose state

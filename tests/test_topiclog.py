@@ -2164,3 +2164,36 @@ def test_create_partitions_grow_only(tmp_path):
         log.create_partitions("t", 2)
     with pytest.raises(ValueError, match="unknown topic"):
         log.create_partitions("missing", 4)
+
+
+def test_gc_sink_txn_state(tmp_path):
+    """One committed state file per micro-batch forever = unbounded
+    metadata; GC keeps the newest keep_last per query id and never touches
+    open/aborted states (the visibility filter needs them)."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t")
+    qid = "__sink-aaaa-bbbb"
+    for b in range(10):
+        st = ({"state": "open", "partitions": {}, "wal": []} if b == 1
+              else {"state": "commit", "partitions": {}})
+        log._txn_write(f"{qid}-{b}", st)
+    log._txn_write("__sink-other-0", {"state": "commit", "partitions": {}})
+    log._txn_write("user-txn", {"state": "abort", "partitions": {}})
+
+    removed = log.gc_sink_txn_state(keep_last=3)
+    # prune range = batches 0..6; the OPEN batch 1 is skipped even inside
+    # it (visibility filter depends on non-commit states); 7,8,9 kept;
+    # other-query single batch kept within its own keep_last; user txns
+    # untouched
+    assert removed == 6
+    assert log.txn_state(f"{qid}-0") is None
+    assert log.txn_state(f"{qid}-6") is None
+    assert log.txn_state(f"{qid}-1")["state"] == "open"
+    assert log.txn_state(f"{qid}-7") is not None
+    assert log.txn_state("__sink-other-0") is not None
+    assert log.txn_state("user-txn")["state"] == "abort"
+    # full-sweep retention runs the GC automatically
+    out = log.run_retention()
+    assert "__txn_gc__" in out
