@@ -877,7 +877,8 @@ class TopicLog:
         self._txn_write(txn_id, st)
 
     def send_offsets_to_txn(
-        self, txn_id: str, group: str, topic: str, offsets: dict[int, int]
+        self, txn_id: str, group: str, topic: str, offsets: dict[int, int],
+        generation: int | None = None,
     ) -> None:
         """``producer.sendOffsetsToTransaction`` — the consume-transform-
         produce EOS closer: the consumer group's offsets ride INSIDE the
@@ -885,7 +886,15 @@ class TopicLog:
         visible in the same atomic step. Offsets are staged in the txn
         state file; ``commit_txn`` applies them to the group store,
         ``abort_txn`` discards them — a crashed cycle neither advances the
-        group nor leaks output."""
+        group nor leaks output.
+
+        ``generation`` is the consumer group's generation at staging time
+        (Kafka's TxnOffsetCommit carries it for exactly this reason): it
+        is re-checked when the transaction COMMITS, so an admin
+        ``reset_offsets`` (which bumps the generation) that lands while
+        the txn is in flight fences the staged offsets — the output still
+        publishes, but the group position is NOT clobbered back over the
+        reset."""
         st = self.txn_state(txn_id)
         if st is None or st["state"] != "open":
             raise ValueError(
@@ -896,9 +905,18 @@ class TopicLog:
             if int(off) < 0:
                 raise ValueError(f"negative offset {off} for partition {pid}")
         self._group_file(group, topic)  # validate both name components
+        if generation is not None:
+            cur_gen = self.group_generation(group)
+            if int(generation) != cur_gen:
+                raise IllegalGenerationError(
+                    f"txn offset commit from generation {generation} rejected:"
+                    f" group {group!r} is at generation {cur_gen}"
+                )
         staged = st.setdefault("offsets", {})
         ent = staged.setdefault(group, {}).setdefault(topic, {})
         ent.update({str(int(p)): int(o) for p, o in offsets.items()})
+        if generation is not None:
+            st.setdefault("offsets_gen", {})[group] = int(generation)
         self._txn_write(txn_id, st)
         # Residual window, documented: offsets apply AFTER the visibility
         # flip, so a crash exactly between them re-delivers the input cycle
@@ -913,7 +931,13 @@ class TopicLog:
         their group stores."""
         self._txn_finish(txn_id, "commit")
         st = self.txn_state(txn_id)
+        gens = st.get("offsets_gen") or {}
         for group, topics in (st.get("offsets") or {}).items():
+            staged_gen = gens.get(group)
+            if staged_gen is not None and staged_gen != self.group_generation(group):
+                continue  # group was rebalanced/reset mid-txn: offsets are
+                # fenced (output stays committed; the position does NOT
+                # clobber the newer generation's state)
             for topic, offs in topics.items():
                 self.commit_offsets(
                     group, topic, {int(p): o for p, o in offs.items()}

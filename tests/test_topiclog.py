@@ -2136,6 +2136,24 @@ def test_send_offsets_to_txn(tmp_path):
 
     with pytest.raises(ValueError, match="crash"):
         log.send_offsets_to_txn("crash", "etl", "in", {0: 1})
+
+    # generation fencing: an admin reset mid-txn fences the staged
+    # offsets at commit (output seals; the position does NOT clobber the
+    # reset) — Kafka's TxnOffsetCommit generation check
+    from rdkafka_streams_spark.streaming.topiclog import IllegalGenerationError
+    gen = log.join_group("etl")
+    log.begin_txn("cycle2")
+    log.append("out", [b"D"], partition=0, txn="cycle2")
+    log.send_offsets_to_txn("cycle2", "etl", "in", {0: 9}, generation=gen)
+    log.reset_offsets("etl", "in", to="earliest")  # bumps generation
+    log.commit_txn("cycle2")
+    assert log.committed("etl", "in") == {0: 0, 1: 0}  # reset survives
+    assert log.txn_state("cycle2")["state"] == "commit"  # output sealed
+    # staging against a stale generation is rejected up front too
+    log.begin_txn("cycle3")
+    with pytest.raises(IllegalGenerationError):
+        log.send_offsets_to_txn("cycle3", "etl", "in", {0: 5}, generation=gen)
+    log.abort_txn("cycle3")
     with pytest.raises(ValueError, match="unknown"):
         log.send_offsets_to_txn("never", "etl", "in", {0: 1})
     log.begin_txn("v")
