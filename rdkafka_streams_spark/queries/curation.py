@@ -5551,3 +5551,79 @@ def q283_eos_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("v.doubled_cents").cast("bigint").alias("doubled_cents"),
     )
+
+
+# --------------- group rebalance + per-member assigned consumption (S4/S5)
+@query(
+    "q285_rebalance_assign",
+    oracle="""
+WITH e AS (
+  SELECT event_id, CAST(user_id % 8 AS INTEGER) AS p FROM events)
+SELECT CASE WHEN p <= 2 THEN 'c1'
+            WHEN p <= 5 THEN 'c2'
+            ELSE 'c3' END AS member,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT p) AS BIGINT) AS n_parts,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM e
+GROUP BY 1
+""",
+    tags=("S4", "S5", "T-streaming"),
+)
+def q285_rebalance_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group REBALANCE driving per-member consumption — librdkafka's
+    ``partition.assignment.strategy`` made durable (reference passes the
+    config straight through, src/Consumer.coffee:9-20): events land on an
+    8-partition topic keyed by user; ``rebalance_group`` (JoinGroup +
+    RangeAssignor + SyncGroup in one step, `streaming/assignors.py`)
+    splits the partitions over three members; each member then consumes
+    EXACTLY its assigned partitions via manual ``assign`` (the SyncGroup
+    response a real client acts on). The oracle reconstructs the range
+    math relationally (8 over {c1,c2,c3} = 3+3+2 contiguous) — an
+    overlapping, leaky, or non-contiguous assignment breaks n_rows /
+    n_parts / the hash. Scale: assignment is driver metadata
+    (O(members+partitions)); each member's scan plans only its own
+    partitions — the union is still one pass over the log total,
+    partition-pruned per member exactly as a real group divides work."""
+    import json as _json
+    import tempfile
+    from functools import reduce
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+
+    root = tempfile.mkdtemp(prefix="q285_bus")
+    n_parts = 8
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=n_parts)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod("user_id", F.lit(n_parts)).cast("int").alias("__tp"),
+    )
+    KProducer(
+        host=root, topic="ev", key="event_id", partition_col="__tp",
+        transport="topiclog",
+    ).write_batch(ev)
+
+    sync = log.rebalance_group(
+        "workers", "ev", ["c1", "c2", "c3"], strategy="range"
+    )
+    frames = []
+    for member in sorted(sync["assignment"]):
+        pids = [p for _, p in sync["assignment"][member]]
+        part = read_topic(
+            spark, root, "ev", assign=_json.dumps({"ev": pids})
+        ).select(
+            F.lit(member).alias("member"),
+            "partition",
+            F.from_json(
+                F.col("value").cast("string"), "event_id long"
+            ).alias("v"),
+        )
+        frames.append(part)
+    return reduce(DataFrame.unionByName, frames).groupBy("member").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        # size(collect_set) not countDistinct: same value, single-phase
+        # agg (a distinct agg would add a second exchange for no reason)
+        F.size(F.collect_set("partition")).cast("bigint").alias("n_parts"),
+        F.sum("v.event_id").cast("bigint").alias("sum_event_id"),
+    )

@@ -58,6 +58,16 @@ from rdkafka_streams_spark.streaming.avro_codec import (
 MAGIC = 0x00
 _HEADER = struct.Struct(">bI")  # magic byte + big-endian 4-byte schema id
 
+_COMPAT_MODES = (
+    "BACKWARD",
+    "BACKWARD_TRANSITIVE",
+    "FORWARD",
+    "FORWARD_TRANSITIVE",
+    "FULL",
+    "FULL_TRANSITIVE",
+    "NONE",
+)
+
 
 # ------------------------------------------------------------- wire framing
 
@@ -371,7 +381,7 @@ class SchemaRegistry:
     def set_compatibility(self, mode: str, subject: str | None = None) -> None:
         """Set the compatibility mode globally (subject=None) or for one
         subject (overrides the global default for that subject)."""
-        if mode not in ("BACKWARD", "FORWARD", "FULL", "NONE"):
+        if mode not in _COMPAT_MODES:
             raise ValueError(f"unknown compatibility mode {mode!r}")
         if subject is None:
             path = os.path.join(self.root, "config.json")
@@ -414,9 +424,15 @@ class SchemaRegistry:
         - FORWARD:  latest can read data written with the new schema
         - FULL:     both
         - NONE:     no check
+        - *_TRANSITIVE: same directions, but gated against EVERY prior
+          version of the subject, not just the latest (Confluent's
+          transitive modes — required when old readers/writers outlive
+          several schema bumps, the common state of a large estate)
         """
         if compatibility is None:
             compatibility = self.get_compatibility(subject)
+        if compatibility not in _COMPAT_MODES:
+            raise ValueError(f"unknown compatibility mode {compatibility!r}")
         canon = _canonical(schema)
         for v in reversed(self.versions(subject)):
             sid, existing = self.get_version(subject, v)
@@ -424,21 +440,22 @@ class SchemaRegistry:
                 return sid
         vs = self.versions(subject)
         if vs and compatibility != "NONE":
-            _, latest = self.get_version(subject, vs[-1])
+            base = compatibility.replace("_TRANSITIVE", "")
+            scope = vs if compatibility.endswith("_TRANSITIVE") else vs[-1:]
             problems = []
-            if compatibility in ("BACKWARD", "FULL"):
-                problems += [
-                    f"BACKWARD: {p}" for p in can_read(latest, schema)
-                ]
-            if compatibility in ("FORWARD", "FULL"):
-                problems += [
-                    f"FORWARD: {p}" for p in can_read(schema, latest)
-                ]
-            if compatibility not in ("BACKWARD", "FORWARD", "FULL"):
-                raise ValueError(f"unknown compatibility mode {compatibility!r}")
+            for v in scope:
+                _, prior = self.get_version(subject, v)
+                if base in ("BACKWARD", "FULL"):
+                    problems += [
+                        f"BACKWARD vs v{v}: {p}" for p in can_read(prior, schema)
+                    ]
+                if base in ("FORWARD", "FULL"):
+                    problems += [
+                        f"FORWARD vs v{v}: {p}" for p in can_read(schema, prior)
+                    ]
             if problems:
                 raise ValueError(
-                    f"schema incompatible with {subject} v{vs[-1]} "
+                    f"schema incompatible with {subject} "
                     f"({compatibility}): " + "; ".join(problems)
                 )
         sid = self._allocate_id(schema)

@@ -577,18 +577,85 @@ class TopicLog:
         with open(path, encoding="utf-8") as f:
             return int(json.load(f).get("generation", 0))
 
-    def join_group(self, group: str) -> int:
-        """Bump and return the group's generation (the rebalance analog).
-        Every member of the new generation commits with this id; commits
-        carrying any older id are fenced from then on."""
-        gen = self.group_generation(group) + 1
+    def _group_state(self, group: str) -> dict:
+        path = self._state_file(group)
+        if not os.path.exists(path):
+            return {}
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+
+    def _write_group_state(self, group: str, state: dict) -> None:
         path = self._state_file(group)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"generation": gen}, f)
+            json.dump(state, f)
         os.replace(tmp, path)
-        return gen
+
+    def join_group(self, group: str) -> int:
+        """Bump and return the group's generation (the rebalance analog).
+        Every member of the new generation commits with this id; commits
+        carrying any older id are fenced from then on. Non-generation
+        state (the stored assignment) is preserved — it describes the
+        group's last sync even while a new rebalance is in flight."""
+        state = self._group_state(group)
+        state["generation"] = int(state.get("generation", 0)) + 1
+        self._write_group_state(group, state)
+        return state["generation"]
+
+    def rebalance_group(
+        self,
+        group: str,
+        topics: str | Sequence[str],
+        members: Sequence[str],
+        strategy: str = "range",
+    ) -> dict:
+        """Full group rebalance: JoinGroup + leader assignment + SyncGroup
+        in one durable step. Bumps the generation (fencing every commit
+        from the previous membership), runs the named
+        ``partition.assignment.strategy`` (range / roundrobin / sticky /
+        cooperative-sticky — `streaming/assignors.py`) over the topics'
+        current partitions with the group's PRIOR stored assignment as
+        the stickiness input, and persists the result in the group state
+        (the SyncGroup response members fetch). Returns
+        ``{"generation": g, "strategy": s, "assignment": {member:
+        [[topic, pid], ...]}, "revoked": [[topic, pid], ...]}`` —
+        ``revoked`` (owner-changing partitions, KIP-429's first-round
+        revocations) is only non-empty for cooperative-sticky.
+        Metadata-sized: one state file write, no log scan."""
+        from rdkafka_streams_spark.streaming.assignors import (
+            assign,
+            cooperative_rebalance,
+        )
+
+        if isinstance(topics, str):
+            topics = [topics]
+        parts: dict[str, list[int]] = {}
+        for t in topics:
+            ps = _list_partitions(self.root, t)
+            if not ps and not os.path.isdir(os.path.join(self.root, t)):
+                raise ValueError(f"unknown topic {t!r}")
+            parts[t] = ps
+        state = self._group_state(group)
+        prior = state.get("assignment") or {}
+        prior = {m: [tuple(tp) for tp in tps] for m, tps in prior.items()}
+        if strategy == "cooperative-sticky":
+            target, revoked = cooperative_rebalance(members, parts, prior)
+        else:
+            target, revoked = assign(strategy, members, parts, prior), []
+        state["generation"] = int(state.get("generation", 0)) + 1
+        state["strategy"] = strategy
+        state["members"] = sorted(members)
+        state["assignment"] = {
+            m: [[t, p] for t, p in tps] for m, tps in target.items()
+        }
+        self._write_group_state(group, state)
+        return {
+            "generation": state["generation"],
+            "strategy": strategy,
+            "assignment": state["assignment"],
+            "revoked": [[t, p] for t, p in revoked],
+        }
 
     def reset_offsets(
         self,
@@ -679,8 +746,14 @@ class TopicLog:
                    and not f.startswith("."))  # .state.json is not a topic
             if os.path.isdir(gdir) else []
         )
+        state = self._group_state(group)
         out: dict = {"group": group,
-                     "generation": self.group_generation(group), "topics": {}}
+                     "generation": int(state.get("generation", 0)),
+                     "topics": {}}
+        if "assignment" in state:  # last SyncGroup result, if any
+            out["strategy"] = state.get("strategy")
+            out["members"] = state.get("members")
+            out["assignment"] = state["assignment"]
         for t in topics:
             full = self.committed_full(group, t)
             ends = self.end_offsets(t)

@@ -316,6 +316,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # two signature groupBys (base+delta), base bucket groupBy,
         # delta-probe join, two estimator joins off the persisted sigs
         "q284_incremental_dedup": 6,
+        # rebalance/assignment are driver metadata; three member scans
+        # are partition-pruned slices of one log pass, one member rollup
+        "q285_rebalance_assign": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

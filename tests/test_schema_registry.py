@@ -92,6 +92,40 @@ def test_compatibility_gate(tmp_path):
     assert reg3.register("s", drop_scored, compatibility="FORWARD") > 0
 
 
+def test_transitive_compatibility_gates_every_prior_version(tmp_path):
+    """BACKWARD passes when only the LATEST version is readable;
+    BACKWARD_TRANSITIVE also demands every earlier version — the mode a
+    real estate needs when v1 writers outlive two schema bumps."""
+    a = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "string"}]})
+    ac = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "string"}, {"name": "c", "type": "string"}]})
+    c = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "c", "type": "string"}]})
+    reg = SchemaRegistry(str(tmp_path))
+    reg.register("s-value", a)
+    reg.register("s-value", ac, compatibility="NONE")
+    # v3={c}: reads v2 data (has c) but NOT v1 data (no c, no default)
+    reg2 = SchemaRegistry(str(tmp_path / "same"))
+    reg2.register("s-value", a)
+    reg2.register("s-value", ac, compatibility="NONE")
+    assert reg2.register("s-value", c, compatibility="BACKWARD") > 0
+    with pytest.raises(ValueError, match="BACKWARD vs v1"):
+        reg.register("s-value", c, compatibility="BACKWARD_TRANSITIVE")
+    # the stored mode resolves at register() time like any other
+    reg.set_compatibility("FULL_TRANSITIVE", subject="s-value")
+    assert reg.get_compatibility("s-value") == "FULL_TRANSITIVE"
+    with pytest.raises(ValueError, match="vs v1"):
+        reg.register("s-value", c)
+    # transitive gate still admits a schema compatible with ALL versions
+    a_plus_default = json.dumps({"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "string"},
+        {"name": "c", "type": "string", "default": ""}]})
+    assert reg.register("s-value", a_plus_default) > 0
+    with pytest.raises(ValueError, match="unknown compatibility mode"):
+        reg.set_compatibility("SIDEWAYS")
+
+
 def test_can_read_matrix():
     assert can_read(V1, V2) == []          # defaults fill the gap
     assert can_read(V2, V1) == []          # extra writer field is skipped
