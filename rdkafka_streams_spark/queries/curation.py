@@ -5627,3 +5627,106 @@ def q285_rebalance_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_set("partition")).cast("bigint").alias("n_parts"),
         F.sum("v.event_id").cast("bigint").alias("sum_event_id"),
     )
+
+
+# --------------- MirrorMaker-2 replication + failover translation (S1/S2/S4)
+@query(
+    "q286_mirror_failover",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(user_id % 4 AS INTEGER) AS p
+  FROM events),
+r AS (
+  SELECT p, event_id, ts_us,
+         ROW_NUMBER() OVER (PARTITION BY p ORDER BY ts_us, event_id) - 1 AS dst_off
+  FROM e WHERE ts_us >= 1705276800000000)
+SELECT p AS partition,
+       CAST(MIN(dst_off) AS BIGINT) AS resumed_from,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM r WHERE ts_us >= 1705708800000000
+GROUP BY p
+""",
+    tags=("S1", "S2", "S4", "T-streaming"),
+)
+def q286_mirror_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-cluster FAILOVER — the MirrorMaker 2 flow (KIP-382) the
+    reference's single-cluster client eventually needs for DR: events
+    ride a 4-partition source topic with event-time CreateTime; the
+    source head is retention-trimmed at Jan-15 (so source offsets no
+    longer start at 0); a consumer group commits at the Jan-20 boundary;
+    `mirror_topic` replicates byte-faithfully into `primary.ev` on a
+    SECOND cluster (target offsets restart at 0 — the exact reason
+    failover needs translation), emitting sparse offset-syncs;
+    `checkpoint_group` translates the group's source offsets through the
+    sync store and commits them on the target. The failed-over consumer
+    resumes from its group on the NEW cluster and re-reads exactly the
+    Jan-20+ delta. The oracle rebuilds the target offset space
+    relationally (row_number over the post-trim records) — a translation
+    off by one record breaks resumed_from, a lossy mirror breaks
+    n_rows/sum. Scale: replication is one pass + one shuffle (the
+    order-preserving window); syncs are O(records/64); translation and
+    checkpointing are metadata-sized."""
+    import json as _json
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+    from rdkafka_streams_spark.streaming.mirror import (
+        checkpoint_group,
+        mirror_topic,
+    )
+
+    src_root = tempfile.mkdtemp(prefix="q286_src")
+    dst_root = tempfile.mkdtemp(prefix="q286_dst")
+    n_parts = 4
+    t0, t1 = 1705276800000, 1705708800000  # 2024-01-15Z, 2024-01-20Z
+    log = TopicLog(src_root)
+    log.create_topic("ev", partitions=n_parts)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.unix_micros("ts").alias("ts_us")
+    )
+    seed = (
+        ev.withColumn("__tp", F.pmod("user_id", F.lit(n_parts)).cast("int"))
+        .repartition(n_parts, "__tp")
+        .sortWithinPartitions("ts_us", "event_id")
+        .select("event_id", "user_id", "ts", "__tp")
+    )
+    KProducer(
+        host=src_root, topic="ev", key="user_id", partition_col="__tp",
+        timestamp_col="ts", transport="topiclog",
+    ).write_batch(seed)
+
+    ends = log.end_offsets("ev")
+    trim = log.offsets_for_times("ev", t0)
+    log.delete_records(
+        "ev", {p: (o if o is not None else ends[p]) for p, o in trim.items()}
+    )
+    gen = log.join_group("app")
+    commit_at = log.offsets_for_times("ev", t1)
+    log.commit_offsets(
+        "app", "ev",
+        {p: (o if o is not None else ends[p]) for p, o in commit_at.items()},
+        generation=gen,
+    )
+
+    mirror_topic(spark, src_root, dst_root, "ev", sync_interval=64)
+    checkpoint_group(spark, src_root, dst_root, "app", "ev")
+
+    resume = TopicLog(dst_root).committed("app", "primary.ev")
+    delta = read_topic(
+        spark, dst_root, "primary.ev",
+        startingOffsets=_json.dumps(
+            {"primary.ev": {str(p): o for p, o in resume.items()}}
+        ),
+    )
+    dec = delta.select(
+        "partition", "offset",
+        F.from_json(F.col("value").cast("string"),
+                    "event_id long, user_id long").alias("v"),
+    )
+    return dec.groupBy("partition").agg(
+        F.min("offset").cast("bigint").alias("resumed_from"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("v.event_id").cast("bigint").alias("sum_event_id"),
+    )

@@ -21,6 +21,17 @@ from rdkafka_streams_spark.streaming.avro_codec import (
     spark_to_avro_schema,
     to_avro_py,
 )
+from rdkafka_streams_spark.streaming.assignors import (
+    cooperative_rebalance,
+    range_assign,
+    roundrobin_assign,
+    sticky_assign,
+)
+from rdkafka_streams_spark.streaming.mirror import (
+    checkpoint_group,
+    mirror_topic,
+    translate_offsets,
+)
 
 __all__ = [
     "DeliveryListener",
@@ -38,6 +49,13 @@ __all__ = [
     "read_topic",
     "commit_query_progress",
     "running_count_stateful",
+    "range_assign",
+    "roundrobin_assign",
+    "sticky_assign",
+    "cooperative_rebalance",
+    "mirror_topic",
+    "translate_offsets",
+    "checkpoint_group",
     "running_count_with_ttl",
     "shutdown",
     "shutdown_all",

@@ -53,7 +53,7 @@ import re
 import time
 import uuid
 from dataclasses import dataclass
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 from typing import Iterator, Sequence
 
 from pyspark.sql import DataFrame, Row, SparkSession
@@ -1860,7 +1860,11 @@ def _to_epoch_ms(v, default_ms: int) -> int:
         return int(v)
     if v.tzinfo is None:
         v = v.replace(tzinfo=timezone.utc)
-    return int(v.timestamp() * 1000)
+    # exact integer arithmetic: float .timestamp()*1000 truncates 1 ms low
+    # for values like 1.001 s (1000.9999... -> 1000), drifting CreateTime
+    return (v - datetime(1970, 1, 1, tzinfo=timezone.utc)) // timedelta(
+        milliseconds=1
+    )
 
 
 def _write_staged(root: str, topic: str, by_pid: dict[int, list[str]],

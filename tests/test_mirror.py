@@ -1,0 +1,128 @@
+"""MirrorMaker-2 surface (streaming/mirror.py): byte-faithful topic
+replication, offset-sync translation, consumer-group checkpointing."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from rdkafka_streams_spark.streaming.mirror import (
+    checkpoint_group,
+    mirror_topic,
+    remote_topic,
+    syncs_topic,
+    translate_offsets,
+)
+from rdkafka_streams_spark.streaming.topiclog import TopicLog, read_topic
+
+
+def _vals(n, tag=""):
+    return [json.dumps({"i": i, "tag": tag}) for i in range(n)]
+
+
+def test_mirror_is_byte_faithful(spark, tmp_path):
+    src_root, dst_root = str(tmp_path / "src"), str(tmp_path / "dst")
+    src = TopicLog(src_root)
+    src.create_topic("ev", partitions=2)
+    src.append(
+        "ev", _vals(5), keys=[f"k{i}" for i in range(5)], partition=0,
+        timestamps=[1000 + i for i in range(5)],
+        headers=[[("h", b"x"), ("h", None)]] * 5,
+    )
+    src.append("ev", _vals(3, "p1"), partition=1, timestamps=[2000, 2001, 2002])
+    out = mirror_topic(spark, src_root, dst_root, "ev", alias="a")
+    assert out["topic"] == "a.ev" == remote_topic("a", "ev")
+    rows = {
+        (r["partition"], r["offset"]): r
+        for r in read_topic(spark, dst_root, "a.ev", include_headers=True)
+        .collect()
+    }
+    srows = {
+        (r["partition"], r["offset"]): r
+        for r in read_topic(spark, src_root, "ev", include_headers=True)
+        .collect()
+    }
+    assert rows.keys() == srows.keys()  # fresh target: offsets line up 1:1
+    for k, s in srows.items():
+        d = rows[k]
+        assert bytes(d["value"]) == bytes(s["value"])
+        assert (d["key"] is None) == (s["key"] is None)
+        if s["key"] is not None:
+            assert bytes(d["key"]) == bytes(s["key"])
+        assert d["timestamp"] == s["timestamp"]  # CreateTime preserved
+        assert d["headers"] == s["headers"]
+    # non-empty target refuses a re-mirror (MM2 bootstrap ownership rule)
+    with pytest.raises(ValueError, match="non-empty"):
+        mirror_topic(spark, src_root, dst_root, "ev", alias="a")
+
+
+def test_translation_after_retention_trim(spark, tmp_path):
+    """Source head trimmed before mirroring: target starts at 0 while
+    source offsets start at the trim point — the canonical reason
+    failover needs translation at all."""
+    src_root, dst_root = str(tmp_path / "src"), str(tmp_path / "dst")
+    src = TopicLog(src_root)
+    src.create_topic("ev", partitions=1)
+    src.append("ev", _vals(200), partition=0)
+    src.delete_records("ev", {0: 57})  # logStartOffset -> 57
+    mirror_topic(spark, src_root, dst_root, "ev", sync_interval=10)
+    t = lambda c: translate_offsets(spark, dst_root, "ev", {0: c})[0]
+    assert t(57) == 0      # first surviving record
+    assert t(100) == 43    # linear between syncs
+    assert t(103) == 46    # off-sync offsets translate exactly too
+    assert t(30) == 0      # committed below the trim -> earliest
+    assert t(200) == 143   # caught-up group stays caught-up
+    assert t(500) == 143   # clamped to target end
+    # sync store is sparse: ~143/10 syncs, not 143
+    n_syncs = read_topic(spark, dst_root, syncs_topic("primary")).count()
+    assert n_syncs <= 16
+
+
+def test_translation_across_aborted_txn_gap(spark, tmp_path):
+    """read_committed replication drops an aborted run mid-partition; a
+    gap-triggered sync keeps translation exact on both sides and
+    conservative inside the hole."""
+    src_root, dst_root = str(tmp_path / "src"), str(tmp_path / "dst")
+    src = TopicLog(src_root)
+    src.create_topic("ev", partitions=1)
+    src.append("ev", _vals(40), partition=0)            # offsets 0..39
+    src.begin_txn("bad")
+    src.append("ev", _vals(10, "x"), partition=0, txn="bad")  # 40..49
+    src.abort_txn("bad")                                # marker at 50
+    src.append("ev", _vals(20, "tail"), partition=0)    # 51..70
+    mirror_topic(
+        spark, src_root, dst_root, "ev",
+        isolation="read_committed", sync_interval=16,
+    )
+    # target = 40 head + 20 tail = 60 records
+    assert TopicLog(dst_root).end_offsets("primary.ev")[0] == 60
+    t = lambda c: translate_offsets(spark, dst_root, "ev", {0: c})[0]
+    assert t(0) == 0
+    assert t(39) == 39     # just before the gap
+    assert t(51) == 40     # first record after marker
+    assert t(71) == 60     # caught up past the tail
+    assert t(60) == 49     # inside the tail: exact (gap sync re-anchors)
+    # committed INSIDE the aborted run: conservative, never overshooting
+    # past the first record after the gap
+    assert t(45) == 40
+    assert t(50) == 40
+
+
+def test_checkpoint_group_failover(spark, tmp_path):
+    src_root, dst_root = str(tmp_path / "src"), str(tmp_path / "dst")
+    src = TopicLog(src_root)
+    src.create_topic("ev", partitions=2)
+    src.append("ev", _vals(100), partition=0)
+    src.append("ev", _vals(80), partition=1)
+    src.delete_records("ev", {0: 20})  # make p0 non-trivial to translate
+    gen = src.join_group("app")
+    src.commit_offsets("app", "ev", {0: 60, 1: 30}, generation=gen)
+    mirror_topic(spark, src_root, dst_root, "ev", sync_interval=8)
+    translated = checkpoint_group(spark, src_root, dst_root, "app", "ev")
+    assert translated == {0: 40, 1: 30}
+    dst = TopicLog(dst_root)
+    assert dst.committed("app", "primary.ev") == {0: 40, 1: 30}
+    assert dst.group_generation("app") == 1  # failover = a rebalance
+    with pytest.raises(ValueError, match="no commits"):
+        checkpoint_group(spark, src_root, dst_root, "ghost", "ev")

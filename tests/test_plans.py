@@ -319,6 +319,10 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # rebalance/assignment are driver metadata; three member scans
         # are partition-pruned slices of one log pass, one member rollup
         "q285_rebalance_assign": 1,
+        # mirror + checkpoint run eagerly (one pass + one order-keeping
+        # shuffle, syncs/translation metadata); the returned failover
+        # re-read is a pruned scan + one per-partition rollup
+        "q286_mirror_failover": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
