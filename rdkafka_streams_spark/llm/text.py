@@ -791,3 +791,94 @@ def char_entropy(
         F.col("n").alias("n_chars_counted"),
         F.round(h_micro / 1_000_000.0, 6).alias("entropy_nats"),
     )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    sep: str = "·",
+    eow: str = "¤",
+) -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
+    tokenizer-TRAINING step upstream of build_vocabulary/encode (q93/q104
+    stop at whitespace tokens; real LLM pipelines learn subwords first).
+
+    Classic BPE: represent each word type as a symbol sequence (initially
+    characters + an end-of-word marker), repeatedly count adjacent symbol
+    pairs weighted by word frequency, merge the most frequent pair
+    corpus-wide, repeat. The returned frame is the learned merge table —
+    ``(step, left, right, merged, pair_count)`` — which IS the tokenizer
+    artifact (apply merges in order to encode).
+
+    Distribution shape (the same split real BPE trainers use): deriving
+    the word-frequency table is the only corpus-sized pass (one shuffle);
+    the merge loop then runs over the DISTINCT-WORD table — Zipf-bounded,
+    orders of magnitude smaller than the corpus, persisted across
+    iterations and re-persisted per merge (predecessor unpersisted, so
+    nothing session-pins corpus-scale state). Each iteration's chosen
+    pair is one driver-side row — merge rules are metadata, exactly like
+    a real trainer's merges.txt.
+
+    Determinism: ties break (count DESC, left ASC, right ASC) on binary
+    string order, identical in Spark and the SQL oracle. Symbol sequences
+    are ``sep``-terminated ("h·e·l·l·o·¤·"), so merging pair (x, y) is the
+    plain string replace of "x·y·" with "xy·" — left-to-right
+    non-overlapping in both engines, with no boundary sharing between
+    adjacent occurrences ("a·a·a·a·" → "aa·aa·", the exact BPE result).
+    """
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    cur = words.select(
+        "freq",
+        F.concat(
+            F.regexp_replace("w", "(.)", f"$1{sep}"), F.lit(eow + sep)
+        ).alias("seq"),
+    ).persist()
+    spark = docs.sparkSession
+    rules = []
+    try:
+        cur.count()
+        for step in range(1, n_merges + 1):
+            pairs = (
+                cur.selectExpr(
+                    "freq",
+                    f"slice(split(seq, '{sep}'), 1,"
+                    f" size(split(seq, '{sep}')) - 1) AS syms",
+                )
+                .selectExpr(
+                    "freq",
+                    "explode(transform(sequence(0, size(syms) - 2),"
+                    " i -> struct(syms[i] AS l, syms[i + 1] AS r))) AS pr",
+                )
+                .groupBy("pr.l", "pr.r")
+                .agg(F.sum("freq").cast("bigint").alias("cnt"))
+            )
+            top = pairs.orderBy(
+                F.desc("cnt"), F.asc("l"), F.asc("r")
+            ).head(1)
+            if not top:
+                break  # nothing left to merge (degenerate corpus)
+            l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+            rules.append((step, l, r, l + r, cnt))
+            nxt = cur.withColumn(
+                "seq",
+                F.replace(
+                    F.col("seq"),
+                    F.lit(f"{l}{sep}{r}{sep}"),
+                    F.lit(f"{l}{r}{sep}"),
+                ),
+            ).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        rules,
+        "step int, left string, right string, merged string, pair_count bigint",
+    )

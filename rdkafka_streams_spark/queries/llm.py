@@ -2196,3 +2196,56 @@ def q284_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 5 == 0),
         threshold=0.5,
     )
+
+
+def _bpe_oracle(n: int = 8) -> str:
+    """Unrolled-iteration DuckDB oracle for learn_bpe_merges: it0 is the
+    char-split word-frequency table; each step k counts adjacent symbol
+    pairs, argmaxes with the (cnt DESC, l, r) tie-break, and applies the
+    merge via the same sep-terminated plain-string replace the Spark side
+    uses (left-to-right non-overlapping in both engines)."""
+    parts = [
+        r"""w AS (
+  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok),
+it0 AS (SELECT freq, regexp_replace(w, '(.)', '\1·', 'g') || '¤·' AS seq FROM w)"""
+    ]
+    for k in range(1, n + 1):
+        parts.append(f"""p{k} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+    FROM (SELECT freq, list_slice(string_split(seq, '·'), 1,
+                 len(string_split(seq, '·')) - 1) AS syms FROM it{k - 1})
+  ) GROUP BY 1, 2),
+m{k} AS (SELECT {k} AS step, l, r, l || r AS merged, cnt
+         FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+it{k} AS (SELECT freq, replace(seq, m.l || '·' || m.r || '·',
+                               m.l || m.r || '·') AS seq
+          FROM it{k - 1}, m{k} m)""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(1, n + 1))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT CAST(step AS INTEGER) AS step, l AS "left", r AS "right",
+       merged, cnt AS pair_count
+FROM ({union})"""
+    )
+
+
+@query("q287_bpe_merges", oracle=_bpe_oracle(), tags=("L4",))
+def q287_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning (llm/text.py learn_bpe_merges): the
+    tokenizer-TRAINING step (Sennrich et al. 2016) upstream of q93's
+    vocabulary and q104's encode — 8 merge rules learned corpus-wide by
+    iterated weighted pair counting over the distinct-word table. The
+    oracle unrolls the same 8 iterations in SQL; any divergence in pair
+    counts, tie-breaks, or the non-overlapping merge application breaks
+    the hash. Scale: one corpus-sized shuffle builds the word table; the
+    loop runs over the Zipf-bounded word table only (persisted per step,
+    predecessor unpersisted), and each learned rule is one driver row —
+    merges.txt is metadata in real trainers too."""
+    from rdkafka_streams_spark.llm.text import learn_bpe_merges
+
+    return learn_bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=8)

@@ -892,3 +892,49 @@ def test_global_rank_auto_materializes_nondeterministic_input(spark):
     assert [v for v, _rn in by_rank] == sorted(v for v, _rn in first.values())
     second = {r["id"]: (r["r"], r["rn"]) for r in ranked.collect()}
     assert second == first  # snapshot: stable across actions
+
+
+def test_learn_bpe_merges_matches_reference_implementation(spark):
+    """learn_bpe_merges vs a direct in-test Sennrich BPE: same merges,
+    same order, same pair counts — including the left-to-right
+    non-overlapping application on repeated symbols."""
+    from collections import Counter
+
+    from rdkafka_streams_spark.llm.text import learn_bpe_merges
+
+    corpus = ["low low lower lowest", "newest newest widest aaaa", "low newest"]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)],
+                                 "doc_id int, text string")
+
+    def ref_bpe(texts, n):
+        words = Counter(w for t in texts for w in t.split() if w)
+        seqs = {w: list(w) + ["¤"] for w in words}
+        out = []
+        for step in range(1, n + 1):
+            pairs = Counter()
+            for w, s in seqs.items():
+                for a, b in zip(s, s[1:]):
+                    pairs[(a, b)] += words[w]
+            if not pairs:
+                break
+            (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((step, l, r, l + r, cnt))
+            for w, s in seqs.items():
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        ns.append(l + r)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                seqs[w] = ns
+        return out
+
+    got = [tuple(r) for r in
+           learn_bpe_merges(docs, n_merges=6).orderBy("step").collect()]
+    assert got == ref_bpe(corpus, 6)
+    # no persisted state survives the call (cache hygiene, q57 lesson)
+    assert not set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )

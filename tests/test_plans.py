@@ -323,6 +323,10 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # shuffle, syncs/translation metadata); the returned failover
         # re-read is a pruned scan + one per-partition rollup
         "q286_mirror_failover": 1,
+        # the merge loop runs eagerly (1 corpus shuffle for the word
+        # table, then Zipf-small per-step pair groupBys); the returned
+        # merge table is driver metadata (merges.txt), plan-free
+        "q287_bpe_merges": 0,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
