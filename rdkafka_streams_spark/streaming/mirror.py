@@ -76,11 +76,21 @@ def mirror_topic(
 ) -> dict:
     """Replicate ``topic`` from the source log to ``<alias>.topic`` on the
     target log, byte-faithfully (key/value/partition/CreateTime/headers),
-    and write the offset-sync records translation needs. One-shot batch
-    (MM2's continuous copy is this run repeatedly); assumes the target
-    topic is fresh or was only written by this mirror (MM2's ownership
-    rule — it is the sole producer of remote topics). Returns
-    ``{"topic", "syncs_topic", "partitions"}``."""
+    and write the offset-sync records translation needs.
+
+    INCREMENTAL: each run replicates only source records past the last
+    run's high-water mark (every run seals each partition with a final
+    sync for its last replicated record, so the resume point — and the
+    next target offset — is the last sync, durably). Run it repeatedly
+    and you have MM2's continuous copy as a sequence of batch deltas.
+    The target must be owned by this mirror alone (MM2's rule — it is
+    the sole producer of remote topics): a remote partition holding
+    records that the sync store doesn't account for fails the
+    consistency check. ``isolation="read_committed"`` additionally
+    requires no OPEN transaction touching the topic at run time (the
+    LSO gate: an open txn's records occupy source offsets this run would
+    skip past and never revisit once it commits). Returns
+    ``{"topic", "syncs_topic", "partitions", "start_offsets"}``."""
     if sync_interval < 1:
         raise ValueError("sync_interval must be >= 1")
     src = TopicLog(src_root)
@@ -88,39 +98,79 @@ def mirror_topic(
     n_parts = len(src.partitions(topic))
     if n_parts == 0:
         raise ValueError(f"unknown source topic {topic!r}")
+    if isolation == "read_committed":
+        for txn in sorted(src.unresolved_txn_ids()):
+            st = src.txn_state(txn)
+            if st["state"] == "open" and topic in st.get("partitions", {}):
+                raise ValueError(
+                    f"open transaction {txn!r} touches {topic!r}: a "
+                    "read_committed mirror would skip its offsets and lose "
+                    "the records if it later commits (LSO gate) — commit or "
+                    "abort it first"
+                )
     dtopic = remote_topic(alias, topic)
     dst.create_topic(dtopic, partitions=n_parts)
-    dst_start = dst.end_offsets(dtopic)
-    if any(dst_start.values()):
-        raise ValueError(
-            f"target {dtopic!r} is non-empty; incremental re-mirror is not "
-            "supported (re-run into a fresh target, like MM2 bootstrap)"
-        )
+    dst_ends = dst.end_offsets(dtopic)
+    prior = _load_syncs(spark, dst_root, alias, topic) if (
+        any(dst_ends.values()) and syncs_topic(alias) in dst.topics()
+    ) else {}
+    start_src: dict[int, int] = {}
+    dst_base: dict[int, int] = {}
+    for p in range(n_parts):
+        if prior.get(p):
+            last_src, last_dst = prior[p][-1]
+            if dst_ends.get(p, 0) != last_dst + 1:
+                raise ValueError(
+                    f"target {dtopic!r} p{p} ends at {dst_ends.get(p, 0)} "
+                    f"but the sync store accounts for {last_dst + 1} — a "
+                    "foreign writer broke the mirror's ownership"
+                )
+            start_src[p], dst_base[p] = last_src + 1, last_dst + 1
+        else:
+            if dst_ends.get(p, 0):
+                raise ValueError(
+                    f"target {dtopic!r} p{p} is non-empty with no sync "
+                    "records — not this mirror's topic"
+                )
+            start_src[p], dst_base[p] = -2, 0  # -2 = earliest
 
     raw = read_topic(
         spark, src_root, topic,
         include_headers=include_headers, isolation=isolation,
+        startingOffsets=json.dumps(
+            {topic: {str(p): o for p, o in start_src.items()}}
+        ),
     )
-    # Target offset = count of surviving records before this one. The
-    # window's exchange+sort IS the order-preservation replication needs
-    # anyway (each target partition written by one task in source-offset
-    # order, MM2's per-partition copy loop) — no second shuffle; the
-    # trailing sortWithinPartitions collapses into the window's sort.
-    # row_number (not offset arithmetic) stays correct under retention
-    # trims, compaction holes, and read_committed filtering alike.
+    # Target offset = base + count of surviving records before this one.
+    # The window's exchange+sort IS the order-preservation replication
+    # needs anyway (each target partition written by one task in
+    # source-offset order, MM2's per-partition copy loop) — no second
+    # shuffle; the trailing sortWithinPartitions collapses into the
+    # window's sort. row_number (not offset arithmetic) stays correct
+    # under retention trims, compaction holes, and read_committed
+    # filtering alike.
+    base_map = F.create_map(
+        *[x for p, b in sorted(dst_base.items()) for x in (F.lit(p), F.lit(b))]
+    )
     w = Window.partitionBy("partition").orderBy("offset")
     ordered = (
         raw.repartition(n_parts, "partition")
-        .withColumn("__dst", F.row_number().over(w) - F.lit(1))
+        .withColumn(
+            "__dst",
+            base_map[F.col("partition")] + F.row_number().over(w) - F.lit(1),
+        )
         .sortWithinPartitions("partition", "offset")
     )
-    # sync points: every sync_interval-th replicated record, plus the
-    # record right after any source-offset gap (keeps regions 1:1 exact)
+    # sync points: every sync_interval-th record, the record right after
+    # any source-offset gap (keeps regions 1:1 exact), the first record
+    # of the run (covers the inter-run boundary), and the LAST record of
+    # each partition (the high-water mark the next run resumes from)
     prev_off = F.lag("offset").over(w)
     is_sync = (
         (F.col("__dst") % sync_interval == 0)
         | prev_off.isNull()
         | (F.col("offset") - prev_off > 1)
+        | F.lead("offset").over(w).isNull()
     )
     marked = ordered.withColumn("__sync", is_sync)
 
@@ -154,7 +204,12 @@ def mirror_topic(
         .option("path", dst_root).option("topic", stopic)
         .save()
     )
-    return {"topic": dtopic, "syncs_topic": stopic, "partitions": n_parts}
+    return {
+        "topic": dtopic,
+        "syncs_topic": stopic,
+        "partitions": n_parts,
+        "start_offsets": start_src,  # -2 = from earliest (bootstrap run)
+    }
 
 
 def _load_syncs(

@@ -52,9 +52,60 @@ def test_mirror_is_byte_faithful(spark, tmp_path):
             assert bytes(d["key"]) == bytes(s["key"])
         assert d["timestamp"] == s["timestamp"]  # CreateTime preserved
         assert d["headers"] == s["headers"]
-    # non-empty target refuses a re-mirror (MM2 bootstrap ownership rule)
-    with pytest.raises(ValueError, match="non-empty"):
-        mirror_topic(spark, src_root, dst_root, "ev", alias="a")
+    # re-run with no new source data: an idempotent no-op
+    out2 = mirror_topic(spark, src_root, dst_root, "ev", alias="a")
+    assert out2["start_offsets"] == {0: 5, 1: 3}
+    assert TopicLog(dst_root).end_offsets("a.ev") == {0: 5, 1: 3}
+
+
+def test_incremental_mirror_replicates_only_the_delta(spark, tmp_path):
+    """MM2's continuous copy as repeated batch deltas: run 2 resumes from
+    run 1's high-water sync, target offsets continue seamlessly, and
+    translation stays exact across the run boundary."""
+    src_root, dst_root = str(tmp_path / "src"), str(tmp_path / "dst")
+    src = TopicLog(src_root)
+    src.create_topic("ev", partitions=1)
+    src.append("ev", _vals(70, "run1"), partition=0)
+    mirror_topic(spark, src_root, dst_root, "ev", sync_interval=16)
+    src.append("ev", _vals(30, "run2"), partition=0)
+    out = mirror_topic(spark, src_root, dst_root, "ev", sync_interval=16)
+    assert out["start_offsets"] == {0: 70}  # resumed past run 1
+    dst = TopicLog(dst_root)
+    assert dst.end_offsets("primary.ev") == {0: 100}
+    # every record present exactly once, bytes intact, offsets aligned
+    rows = sorted(
+        (r["offset"], bytes(r["value"]).decode())
+        for r in read_topic(spark, dst_root, "primary.ev").collect()
+    )
+    assert len(rows) == 100
+    assert json.loads(rows[69][1])["tag"] == "run1"
+    assert json.loads(rows[70][1])["tag"] == "run2"
+    # translation exact on both sides of the run boundary
+    t = lambda c: translate_offsets(spark, dst_root, "ev", {0: c})[0]
+    assert t(69) == 69 and t(70) == 70 and t(95) == 95
+    # a foreign writer on the remote topic fails the consistency check
+    dst.append("primary.ev", ["intruder"], partition=0)
+    src.append("ev", _vals(1, "run3"), partition=0)
+    with pytest.raises(ValueError, match="foreign writer"):
+        mirror_topic(spark, src_root, dst_root, "ev", sync_interval=16)
+
+
+def test_read_committed_mirror_lso_gate(spark, tmp_path):
+    """An OPEN transaction on the source blocks a read_committed mirror:
+    its offsets would be skipped now and never revisited after commit."""
+    src_root, dst_root = str(tmp_path / "src"), str(tmp_path / "dst")
+    src = TopicLog(src_root)
+    src.create_topic("ev", partitions=1)
+    src.append("ev", _vals(5), partition=0)
+    src.begin_txn("inflight")
+    src.append("ev", _vals(2, "x"), partition=0, txn="inflight")
+    with pytest.raises(ValueError, match="LSO gate"):
+        mirror_topic(
+            spark, src_root, dst_root, "ev", isolation="read_committed"
+        )
+    src.commit_txn("inflight")
+    mirror_topic(spark, src_root, dst_root, "ev", isolation="read_committed")
+    assert TopicLog(dst_root).end_offsets("primary.ev") == {0: 7}
 
 
 def test_translation_after_retention_trim(spark, tmp_path):
