@@ -882,3 +882,51 @@ def learn_bpe_merges(
         rules,
         "step int, left string, right string, merged string, pair_count bigint",
     )
+
+
+def bpe_subword_vocab(
+    docs: DataFrame,
+    n_merges: int = 8,
+    top_k: int = 30,
+    text_col: str = "text",
+    sep: str = "·",
+    eow: str = "¤",
+) -> DataFrame:
+    """The artifact downstream of learn_bpe_merges: apply the learned
+    merge rules to the corpus and count the resulting subword symbols —
+    ``(subword, n_occurrences)``, top ``top_k`` by (count DESC, subword).
+
+    The merge table is collected (it IS driver metadata, merges.txt) and
+    applied as a chain of plain replaces over the word-frequency table —
+    all JVM-side string ops; symbol counts are freq-weighted so the
+    corpus is scanned once (the word-table groupBy) no matter how many
+    merges apply. Deterministic top-k: ties break on binary subword
+    order, same as the oracle's ORDER BY."""
+    rules = learn_bpe_merges(
+        docs, n_merges=n_merges, text_col=text_col, sep=sep, eow=eow
+    ).orderBy("step").collect()
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    seq = F.concat(F.regexp_replace("w", "(.)", f"$1{sep}"), F.lit(eow + sep))
+    for r in rules:
+        seq = F.replace(
+            seq,
+            F.lit(f"{r['left']}{sep}{r['right']}{sep}"),
+            F.lit(f"{r['merged']}{sep}"),
+        )
+    return (
+        words.select("freq", seq.alias("seq"))
+        .selectExpr(
+            "freq",
+            f"explode(slice(split(seq, '{sep}'), 1,"
+            f" size(split(seq, '{sep}')) - 1)) AS subword",
+        )
+        .groupBy("subword")
+        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("subword"))
+        .limit(top_k)
+    )

@@ -2249,3 +2249,42 @@ def q287_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.text import learn_bpe_merges
 
     return learn_bpe_merges(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+def _bpe_vocab_oracle(n: int = 8, top_k: int = 30) -> str:
+    """Same unrolled CTE chain as _bpe_oracle, but the final select
+    segments the corpus with all n merges applied (it{n}) and returns the
+    top-k subword frequencies (count DESC, subword — binary collation,
+    matching Spark's orderBy)."""
+    body = _bpe_oracle(n)
+    with_part = body[: body.rindex("\nSELECT CAST(step")]
+    return (
+        with_part
+        + f"""
+SELECT subword, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM (
+  SELECT freq, unnest(list_slice(string_split(seq, '·'), 1,
+               len(string_split(seq, '·')) - 1)) AS subword
+  FROM it{n})
+GROUP BY subword
+ORDER BY n_occurrences DESC, subword
+LIMIT {top_k}"""
+    )
+
+
+@query("q288_bpe_vocab", oracle=_bpe_vocab_oracle(), tags=("L4",))
+def q288_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword vocabulary with the learned merges APPLIED (llm/text.py
+    bpe_subword_vocab) — the tokenizer artifact downstream of q287's
+    training: the 8 merge rules (collected driver metadata, merges.txt)
+    chain as plain replaces over the word-frequency table, symbols are
+    counted freq-weighted, top-30 by (count DESC, subword). The oracle
+    runs the identical 8 unrolled iterations and segments it8 — a wrong
+    merge, application order, or tie-break shifts the vocabulary and
+    breaks the hash. Scale: the corpus is scanned once (word-table
+    groupBy); merges and counting run over the Zipf-bounded word table;
+    top-k is a TakeOrdered, no global sort."""
+    from rdkafka_streams_spark.llm.text import bpe_subword_vocab
+
+    return bpe_subword_vocab(
+        load_table(spark, sf_dir, "documents"), n_merges=8, top_k=30
+    )

@@ -327,6 +327,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # table, then Zipf-small per-step pair groupBys); the returned
         # merge table is driver metadata (merges.txt), plan-free
         "q287_bpe_merges": 0,
+        # training loop eager; the returned vocab = word groupBy +
+        # subword groupBy + TakeOrdered top-k (no global sort exchange)
+        "q288_bpe_vocab": 3,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
