@@ -458,6 +458,44 @@ class TopicLog:
     def partitions(self, topic: str) -> list[int]:
         return _list_partitions(self.root, topic)
 
+    def delete_topic(self, topic: str) -> None:
+        """``AdminClient.deleteTopics`` analog: remove the topic and all
+        its data. Refuses unknown topics (UNKNOWN_TOPIC_OR_PARTITION) and
+        dot-prefixed/internal names; like Kafka, committed group offsets
+        for the topic are NOT cleaned up here (they expire separately —
+        offsets.retention semantics), so a recreated topic starts at 0
+        with stale commits clamped by the readers' range checks."""
+        if not topic or topic.startswith(".") or "/" in topic or "\\" in topic:
+            raise ValueError(f"invalid topic {topic!r}")
+        path = os.path.join(self.root, topic)
+        if not os.path.isdir(path):
+            raise ValueError(f"unknown topic {topic!r}")
+        import shutil
+
+        shutil.rmtree(path)
+
+    def describe_log_dirs(self, topic: str | None = None) -> dict:
+        """``AdminClient.describeLogDirs`` analog: per topic-partition
+        on-disk size in bytes and segment count — the capacity-planning
+        view operators actually watch. Metadata-sized (directory stats
+        only, no record reads)."""
+        out: dict = {}
+        for t in [topic] if topic is not None else self.topics():
+            parts = {}
+            for pid in _list_partitions(self.root, t):
+                pdir = _part_dir(self.root, t, pid)
+                segs = _list_segments(pdir)
+                parts[pid] = {
+                    "size_bytes": sum(
+                        os.path.getsize(path) for _, _, path in segs
+                    ),
+                    "n_segments": len(segs),
+                }
+            if not parts and not os.path.isdir(os.path.join(self.root, t)):
+                raise ValueError(f"unknown topic {t!r}")
+            out[t] = parts
+        return out
+
     def end_offsets(self, topic: str) -> dict[int, int]:
         return {
             pid: _end_offset(_part_dir(self.root, topic, pid))

@@ -2215,3 +2215,29 @@ def test_gc_sink_txn_state(tmp_path):
     # full-sweep retention runs the GC automatically
     out = log.run_retention()
     assert "__txn_gc__" in out
+
+
+def test_delete_topic_and_describe_log_dirs(tmp_path):
+    """AdminClient deleteTopics/describeLogDirs parity: sizes and segment
+    counts from directory stats; deletion removes data but not group
+    offsets (Kafka's offsets.retention split)."""
+    log = TopicLog(str(tmp_path))
+    log.create_topic("a", partitions=2)
+    log.append("a", [f"v{i}" for i in range(10)], partition=0)
+    log.append("a", ["w"], partition=1)
+    d = log.describe_log_dirs("a")["a"]
+    assert d[0]["n_segments"] == 1 and d[1]["n_segments"] == 1
+    assert d[0]["size_bytes"] > d[1]["size_bytes"] > 0
+    log.append("a", ["x"], partition=0)  # second segment
+    assert log.describe_log_dirs()["a"][0]["n_segments"] == 2
+    gen = log.join_group("g")
+    log.commit_offsets("g", "a", {0: 5}, generation=gen)
+    log.delete_topic("a")
+    assert "a" not in log.topics()
+    assert log.committed("g", "a") == {0: 5}  # offsets expire separately
+    with pytest.raises(ValueError, match="unknown topic"):
+        log.delete_topic("a")
+    with pytest.raises(ValueError, match="invalid topic"):
+        log.delete_topic(".groups")
+    with pytest.raises(ValueError, match="unknown topic"):
+        log.describe_log_dirs("nope")
