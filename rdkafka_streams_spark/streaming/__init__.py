@@ -29,8 +29,10 @@ from rdkafka_streams_spark.streaming.assignors import (
 )
 from rdkafka_streams_spark.streaming.mirror import (
     checkpoint_group,
+    checkpoint_group_failback,
     mirror_topic,
     translate_offsets,
+    translate_offsets_upstream,
 )
 
 __all__ = [
@@ -56,6 +58,8 @@ __all__ = [
     "mirror_topic",
     "translate_offsets",
     "checkpoint_group",
+    "checkpoint_group_failback",
+    "translate_offsets_upstream",
     "running_count_with_ttl",
     "shutdown",
     "shutdown_all",

@@ -275,6 +275,74 @@ def translate_offsets(
     return out
 
 
+def translate_offsets_upstream(
+    spark: SparkSession,
+    dst_root: str,
+    src_root: str,
+    topic: str,
+    dst_offsets: dict[int, int],
+    *,
+    alias: str = "primary",
+) -> dict[int, int]:
+    """The FAILBACK direction: target-cluster offsets on ``<alias>.topic``
+    → source-cluster offsets on ``topic`` (MM2's upstream translation,
+    the half RemoteClusterUtils does when traffic returns to the primary
+    after a DR exercise). Same sync store read the other way: linear
+    extension of the nearest sync at-or-below the target offset —
+    exact, because every inter-sync region is 1:1 by construction —
+    bounded by the next sync's source offset and clamped into the
+    source's live offset range (the primary may have retention-trimmed
+    or appended while traffic was away)."""
+    syncs = _load_syncs(spark, dst_root, alias, topic)
+    src = TopicLog(src_root)
+    ends = src.end_offsets(topic)
+    begins = src.beginning_offsets(topic)
+    out: dict[int, int] = {}
+    for p, d in dst_offsets.items():
+        ss = syncs.get(p, [])
+        below = [s for s in ss if s[1] <= d]
+        above = [s for s in ss if s[1] > d]
+        if not below:
+            out[p] = begins.get(p, 0)
+            continue
+        s_src, s_dst = below[-1]
+        cand = s_src + (d - s_dst)
+        if above:
+            cand = min(cand, above[0][0])
+        out[p] = max(begins.get(p, 0), min(cand, ends.get(p, cand)))
+    return out
+
+
+def checkpoint_group_failback(
+    spark: SparkSession,
+    dst_root: str,
+    src_root: str,
+    group: str,
+    topic: str,
+    *,
+    alias: str = "primary",
+) -> dict[int, int]:
+    """Failback checkpointing: the group consumed further on the TARGET
+    during the outage; returning home, translate its ``<alias>.topic``
+    commits upstream and commit them on the source under the same group
+    (new generation — coming home is a rebalance too). The consumer
+    resumes on the primary exactly where it left the secondary."""
+    dst_committed = TopicLog(dst_root).committed(
+        group, remote_topic(alias, topic)
+    )
+    if not dst_committed:
+        raise ValueError(
+            f"group {group!r} has no commits for {remote_topic(alias, topic)!r}"
+        )
+    translated = translate_offsets_upstream(
+        spark, dst_root, src_root, topic, dst_committed, alias=alias
+    )
+    src = TopicLog(src_root)
+    gen = src.join_group(group)
+    src.commit_offsets(group, topic, translated, generation=gen)
+    return translated
+
+
 def checkpoint_group(
     spark: SparkSession,
     src_root: str,

@@ -177,3 +177,44 @@ def test_checkpoint_group_failover(spark, tmp_path):
     assert dst.group_generation("app") == 1  # failover = a rebalance
     with pytest.raises(ValueError, match="no commits"):
         checkpoint_group(spark, src_root, dst_root, "ghost", "ev")
+
+
+def test_failback_upstream_translation_roundtrip(spark, tmp_path):
+    """DR round-trip: fail over (downstream translate), consume further
+    on the secondary, fail BACK (upstream translate) — the group resumes
+    on the primary exactly where it left the secondary, and
+    source→target→source translation is the identity on live offsets."""
+    from rdkafka_streams_spark.streaming.mirror import (
+        checkpoint_group_failback,
+        translate_offsets_upstream,
+    )
+
+    src_root, dst_root = str(tmp_path / "src"), str(tmp_path / "dst")
+    src = TopicLog(src_root)
+    src.create_topic("ev", partitions=1)
+    src.append("ev", _vals(120), partition=0)
+    src.delete_records("ev", {0: 25})  # non-trivial mapping: dst = src-25
+    mirror_topic(spark, src_root, dst_root, "ev", sync_interval=16)
+    # failover at src offset 80 -> dst 55
+    gen = src.join_group("app")
+    src.commit_offsets("app", "ev", {0: 80}, generation=gen)
+    checkpoint_group(spark, src_root, dst_root, "app", "ev")
+    dst = TopicLog(dst_root)
+    assert dst.committed("app", "primary.ev") == {0: 55}
+    # the group consumes further on the secondary during the outage
+    dgen = dst.group_generation("app")
+    dst.commit_offsets("app", "primary.ev", {0: 90}, generation=dgen)
+    # failback: dst 90 -> src 115
+    back = checkpoint_group_failback(spark, dst_root, src_root, "app", "ev")
+    assert back == {0: 115}
+    assert src.committed("app", "ev") == {0: 115}
+    # round-trip identity on live offsets
+    for c in (25, 40, 80, 119):
+        d = translate_offsets(spark, dst_root, "ev", {0: c})[0]
+        assert translate_offsets_upstream(
+            spark, dst_root, src_root, "ev", {0: d}
+        )[0] == c
+    # a target offset below everything clamps to the source's live head
+    assert translate_offsets_upstream(
+        spark, dst_root, src_root, "ev", {0: 0}
+    )[0] == 25
