@@ -367,10 +367,79 @@ class SchemaRegistry:
         return self.get_version(subject, vs[-1])
 
     def subjects(self) -> list[str]:
+        """Live subjects only — a fully soft-deleted subject disappears
+        from the listing, like Confluent's ``GET /subjects`` without
+        ``?deleted=true``."""
         d = os.path.join(self.root, "subjects")
         if not os.path.isdir(d):
             return []
-        return sorted(os.listdir(d))
+        return sorted(s for s in os.listdir(d) if self.versions(s))
+
+    # -- deletes -----------------------------------------------------------
+    # Confluent's two-phase delete: a version is SOFT-deleted first (gone
+    # from reads, still blocking its version number) and only then may be
+    # PERMANENTLY deleted. Global ids always survive — other subjects may
+    # reference the same schema, and framed records in flight still carry
+    # the id.
+
+    def deleted_versions(self, subject: str) -> list[int]:
+        d = self._subject_dir(subject)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(n.split("-", 1)[1])
+            for n in os.listdir(d)
+            if n.startswith(".deleted-")
+        )
+
+    def delete_version(
+        self, subject: str, version: int, permanent: bool = False
+    ) -> None:
+        """``DELETE /subjects/{s}/versions/{v}``: soft by default;
+        ``permanent=True`` requires the version to be soft-deleted
+        already (Confluent's ordering rule)."""
+        d = self._subject_dir(subject)
+        live = os.path.join(d, str(int(version)))
+        tomb = os.path.join(d, f".deleted-{int(version)}")
+        if permanent:
+            if os.path.exists(live):
+                raise ValueError(
+                    f"{subject} v{version} must be soft-deleted before "
+                    "permanent deletion"
+                )
+            if not os.path.exists(tomb):
+                raise KeyError(f"{subject} version {version} not registered")
+            os.remove(tomb)
+        else:
+            if not os.path.exists(live):
+                raise KeyError(f"{subject} version {version} not registered")
+            os.replace(live, tomb)
+
+    def delete_subject(self, subject: str, permanent: bool = False) -> list[int]:
+        """``DELETE /subjects/{s}``: soft-deletes every live version (and
+        returns them); ``permanent=True`` removes the subject directory —
+        config included — and requires a prior soft delete. Version
+        numbering never rewinds across a soft delete (``register`` counts
+        tombstones), matching Confluent."""
+        import shutil
+
+        if permanent:
+            if self.versions(subject):
+                raise ValueError(
+                    f"subject {subject!r} must be soft-deleted before "
+                    "permanent deletion"
+                )
+            dv = self.deleted_versions(subject)
+            if not dv:
+                raise KeyError(f"subject {subject!r} has no versions")
+            shutil.rmtree(self._subject_dir(subject))
+            return dv
+        vs = self.versions(subject)
+        if not vs:
+            raise KeyError(f"subject {subject!r} has no versions")
+        for v in vs:
+            self.delete_version(subject, v)
+        return vs
 
     # -- compatibility config ----------------------------------------------
     # Confluent's ``PUT /config`` and ``PUT /config/{subject}``: the gate
@@ -461,7 +530,9 @@ class SchemaRegistry:
         sid = self._allocate_id(schema)
         sdir = self._subject_dir(subject)
         os.makedirs(sdir, exist_ok=True)
-        version = (vs[-1] + 1) if vs else 1
+        # version numbers never rewind: soft-deleted versions still block
+        # their slot (Confluent's numbering across deletes)
+        version = max(vs + self.deleted_versions(subject) + [0]) + 1
         tmp = os.path.join(sdir, f".tmp-{_uuid_mod.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(str(sid))

@@ -332,3 +332,35 @@ def test_compatibility_config_resolution(tmp_path):
     # the .config file is not a version
     with pytest.raises(ValueError, match="unknown compatibility"):
         reg.set_compatibility("SIDEWAYS")
+
+
+def test_subject_deletion_two_phase(tmp_path):
+    """Confluent's delete surface: soft first (hidden from reads, version
+    slot still blocked), permanent second; global ids always survive."""
+    reg = SchemaRegistry(str(tmp_path))
+    id1 = reg.register("t-value", V1)
+    id2 = reg.register("t-value", V2)
+    assert reg.subjects() == ["t-value"]
+    # soft-delete one version: gone from reads, numbering doesn't rewind
+    reg.delete_version("t-value", 2)
+    assert reg.versions("t-value") == [1]
+    assert reg.deleted_versions("t-value") == [2]
+    id3 = reg.register("t-value", V2, compatibility="NONE")
+    assert reg.versions("t-value") == [1, 3]  # v2's slot stays blocked
+    assert id3 == id2  # canonical dedup still reuses the global id
+    # permanent requires soft first
+    with pytest.raises(ValueError, match="soft-deleted before"):
+        reg.delete_version("t-value", 1, permanent=True)
+    reg.delete_version("t-value", 2, permanent=True)
+    # whole-subject: soft hides it from the listing, permanent removes it
+    assert reg.delete_subject("t-value") == [1, 3]
+    assert reg.subjects() == []
+    # permanent whole-subject delete also demands the soft phase first
+    reg.register("live-value", V1)
+    with pytest.raises(ValueError, match="soft-deleted before"):
+        reg.delete_subject("live-value", permanent=True)
+    assert reg.delete_subject("t-value", permanent=True) == [1, 3]
+    with pytest.raises(KeyError):
+        reg.delete_subject("t-value")
+    # ids outlive every delete (framed records in flight still carry them)
+    assert reg.get_by_id(id1) and reg.get_by_id(id2)
