@@ -566,9 +566,14 @@ class TopicLog:
             if m is not None:
                 ent["m"] = str(m)
             cur[int(p)] = ent
+        out = {str(p): e for p, e in sorted(cur.items())}
+        # file-level last-commit stamp, the expiration clock (KIP-211
+        # expires a group's offsets relative to its LAST activity, not
+        # per-partition — this matches the modern group-level behavior)
+        out["__meta"] = {"ts": int(time.time() * 1000)}
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({str(p): e for p, e in sorted(cur.items())}, f)
+            json.dump(out, f)
         os.replace(tmp, path)
 
     def committed(self, group: str, topic: str) -> dict[int, int]:
@@ -589,7 +594,54 @@ class TopicLog:
         return {
             int(p): (dict(e) if isinstance(e, dict) else {"o": int(e)})
             for p, e in raw.items()
+            if p.lstrip("-").isdigit()  # "__meta" is bookkeeping, not a pid
         }
+
+    def expire_group_offsets(
+        self, retention_ms: int, now_ms: int | None = None
+    ) -> dict[str, list[str]]:
+        """``offsets.retention.ms``: drop every (group, topic) commit file
+        whose last commit is older than the retention window, and delete
+        groups left with no offsets at all (Kafka's coordinator removes
+        the group once its last offset expires). Kafka only expires
+        INACTIVE groups; with no live-member registry, running this
+        one-shot is the admin's assertion of inactivity — same
+        single-writer window as compact()/run_retention(). Files
+        predating the commit-stamp layout are grandfathered (stamped
+        now, expirable one retention later, never silently dropped).
+        Returns ``{group: [topics whose offsets expired]}``."""
+        now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        out: dict[str, list[str]] = {}
+        for group in self.groups():
+            gdir = os.path.dirname(self._group_file(group, "t"))
+            for name in sorted(os.listdir(gdir)):
+                if not name.endswith(".json") or ".tmp-" in name \
+                        or name.startswith("."):
+                    continue
+                path = os.path.join(gdir, name)
+                with open(path, encoding="utf-8") as f:
+                    raw = json.load(f)
+                meta = raw.get("__meta")
+                if not isinstance(meta, dict) or "ts" not in meta:
+                    raw["__meta"] = {"ts": now}  # grandfather legacy files
+                    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+                    with open(tmp, "w", encoding="utf-8") as f:
+                        json.dump(raw, f)
+                    os.replace(tmp, path)
+                    continue
+                if now - int(meta["ts"]) > retention_ms:
+                    os.remove(path)
+                    out.setdefault(group, []).append(name[:-5])
+            remaining = [
+                n for n in os.listdir(gdir)
+                if n.endswith(".json") and ".tmp-" not in n
+                and not n.startswith(".")
+            ]
+            if not remaining:  # last offset gone -> the group is gone
+                import shutil
+
+                shutil.rmtree(gdir)
+        return out
 
     # -------------------------------------------- group membership / fencing
     # Kafka's group coordinator bumps generation_id on every rebalance

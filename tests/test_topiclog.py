@@ -2241,3 +2241,49 @@ def test_delete_topic_and_describe_log_dirs(tmp_path):
         log.delete_topic(".groups")
     with pytest.raises(ValueError, match="unknown topic"):
         log.describe_log_dirs("nope")
+
+
+def test_expire_group_offsets_retention(tmp_path):
+    """offsets.retention.ms: stale (group, topic) commits expire as a
+    unit off the file-level last-commit stamp (KIP-211 group-activity
+    semantics); the group itself disappears with its last offset; legacy
+    stamp-less files are grandfathered, never silently dropped."""
+    import json as _json
+    import os
+    import time as _time
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=1)
+    log.append("t", ["a", "b", "c"], partition=0)
+    log.commit_offsets("fresh", "t", {0: 3})
+    log.commit_offsets("stale", "t", {0: 1})
+    # age the stale group's commit stamp far past retention
+    path = log._group_file("stale", "t")
+    raw = _json.load(open(path))
+    raw["__meta"]["ts"] = 1000
+    _json.dump(raw, open(path, "w"))
+    # a legacy file with no stamp at all (pre-stamp layout)
+    log.commit_offsets("legacy", "t", {0: 2})
+    lpath = log._group_file("legacy", "t")
+    lraw = _json.load(open(lpath))
+    del lraw["__meta"]
+    _json.dump(lraw, open(lpath, "w"))
+
+    now = int(_time.time() * 1000)
+    out = log.expire_group_offsets(retention_ms=60_000, now_ms=now)
+    assert out == {"stale": ["t"]}
+    assert "stale" not in log.groups()  # last offset gone -> group gone
+    assert log.committed("fresh", "t") == {0: 3}
+    # legacy grandfathered: stamped at this run, expires one window later
+    assert log.committed("legacy", "t") == {0: 2}
+    # activity extends life (the KIP-211 point): push fresh's stamp to
+    # "recent activity" while legacy's grandfather stamp ages out
+    fraw = _json.load(open(log._group_file("fresh", "t")))
+    fraw["__meta"]["ts"] = now + 100_000
+    _json.dump(fraw, open(log._group_file("fresh", "t"), "w"))
+    out2 = log.expire_group_offsets(
+        retention_ms=60_000, now_ms=now + 120_000
+    )
+    assert out2 == {"legacy": ["t"]}
+    assert "legacy" not in log.groups()
+    assert log.committed("fresh", "t") == {0: 3}
