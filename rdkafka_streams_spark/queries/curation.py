@@ -5730,3 +5730,169 @@ def q286_mirror_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum("v.event_id").cast("bigint").alias("sum_event_id"),
     )
+
+
+# --------------- idempotent producer: retry storm, zero duplicates (S2/F3)
+@query(
+    "q289_idempotent_produce",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY event_type
+""",
+    tags=("S2", "F3", "T8", "T-streaming"),
+)
+def q289_idempotent_produce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``enable.idempotence=true`` under a worst-case retry storm — the
+    exactly-once-per-partition upgrade of the reference's at-least-once
+    queue-full retry loop (src/Producer.coffee produce/poll: a timed-out
+    ack is simply resent, duplicating on the broker). Here every events
+    row rides a per-partition sequenced batch and EVERY batch is sent
+    twice (the client retry); mid-stream the producer re-inits
+    (init_producer_id epoch bump), after which a zombie holding the old
+    epoch attempts a write and is FENCED, and the new epoch restarts its
+    sequence chains at 0. The read-back aggregate equals the plain
+    one-copy oracle over events — any duplicate ack'd as fresh, any
+    fenced write leaking through, or any batch lost to the sequence
+    bookkeeping breaks n / cents.
+    Scale: sequence state is one metadata file per (pid, partition) —
+    size tracks producer count, not data volume; the dedupe check is an
+    O(1) file read per batch, exactly a broker's per-pid in-memory map.
+    The verify read is one pass + one event_type rollup exchange."""
+    import json as _json
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+    from rdkafka_streams_spark.streaming.topiclog import ProducerFencedError
+
+    root = tempfile.mkdtemp(prefix="q289_bus")
+    n_parts = 4
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=n_parts)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        F.pmod("event_id", F.lit(n_parts)).cast("int").alias("p"),
+    )
+    by_p: dict[int, list[str]] = {}
+    for r in ev.collect():  # bounded: producing is a client-side act, the
+        # same driver-session shape as q279's transactional producer
+        by_p.setdefault(r.p, []).append(_json.dumps(
+            {"event_id": r.event_id, "event_type": r.event_type,
+             "cents": r.cents}, separators=(",", ":")))
+    batches = [
+        (p, vals[i:i + 500])
+        for p, vals in sorted(by_p.items())
+        for i in range(0, len(vals), 500)
+    ]
+    pid, epoch = log.init_producer_id("etl")
+    seqs = dict.fromkeys(range(n_parts), 0)
+    half = len(batches) // 2
+    for i, (p, vals) in enumerate(batches):
+        if i == half:  # producer restart mid-stream: epoch bump + fence
+            pid, epoch = log.init_producer_id("etl")
+            try:
+                log.produce_idempotent("ev", ["zombie"], 0, pid, epoch - 1, 0)
+                raise AssertionError("stale epoch must be fenced")
+            except ProducerFencedError:
+                pass
+            seqs = dict.fromkeys(range(n_parts), 0)  # chains restart
+        log.produce_idempotent("ev", vals, p, pid, epoch, seqs[p])
+        log.produce_idempotent("ev", vals, p, pid, epoch, seqs[p])  # retry
+        seqs[p] += len(vals)
+    return read_topic(spark, root, "ev").select(
+        F.from_json(
+            F.col("value").cast("string"),
+            "event_id long, event_type string, cents long",
+        ).alias("v")
+    ).groupBy(F.col("v.event_type").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v.cents").cast("bigint").alias("cents"),
+    )
+
+
+# --------------- static membership: bounce without rebalance (S4/S5)
+@query(
+    "q290_static_member_resume",
+    oracle="""
+WITH e AS (
+  SELECT event_id, CAST(user_id % 6 AS INTEGER) AS p
+  FROM events WHERE event_id % 2 = 1)
+SELECT p AS partition,
+       CAST(COUNT(*) AS BIGINT) AS n_delta,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM e WHERE p IN (2, 3) GROUP BY p
+""",
+    tags=("S4", "S5", "T-streaming"),
+)
+def q290_static_member_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIC MEMBERSHIP (KIP-345, ``group.instance.id``) driving a
+    rolling restart: three static members range-share a 6-partition
+    topic; wave 1 (even event_ids) lands and pod-b commits its positions
+    under the group generation; wave 2 (odd event_ids) lands while pod-b
+    bounces. The rejoin hands pod-b its OLD partitions back with NO
+    rebalance (generation unchanged, other members undisturbed — the
+    whole point of static membership; the reference's consumer would sit
+    through a full revoke/reassign cycle here), its pre-bounce
+    incarnation is fenced, and the resumed member reads exactly the
+    wave-2 delta on exactly partitions {2,3}. The oracle reconstructs
+    the contiguous range math and the odd-wave rows; a spurious
+    rebalance, a lost assignment, or a commit fence failure breaks the
+    driver asserts or the hash. Scale: joins/heartbeats are metadata
+    file ops; the resumed read is a partition-pruned scan from committed
+    offsets + one rollup exchange."""
+    import json as _json
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+    from rdkafka_streams_spark.streaming.topiclog import FencedInstanceIdError
+
+    root = tempfile.mkdtemp(prefix="q290_bus")
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=6)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.pmod("user_id", F.lit(6)).cast("int").alias("__tp"),
+    )
+    prod = KProducer(
+        host=root, topic="ev", key="event_id", partition_col="__tp",
+        transport="topiclog",
+    )
+    prod.write_batch(ev.filter(F.col("event_id") % 2 == 0))  # wave 1
+
+    for pod in ("pod-a", "pod-b", "pod-c"):
+        jb = log.static_join("g", "ev", pod)
+    gen = jb["generation"]
+    b_parts = sorted(p for _, p in map(tuple, log.describe_group("g")
+                                       ["assignment"]["pod-b"]))
+    assert b_parts == [2, 3], f"range math drifted: {b_parts}"
+    ends = log.end_offsets("ev")
+    log.commit_offsets("g", "ev", {p: ends[p] for p in b_parts},
+                       generation=gen)
+    stale_token = jb["member_token"]
+
+    prod.write_batch(ev.filter(F.col("event_id") % 2 == 1))  # wave 2
+    j2 = log.static_join("g", "ev", "pod-b")  # the bounce
+    assert j2["rebalanced"] is False and j2["generation"] == gen
+    assert sorted(p for _, p in map(tuple, j2["assignment"])) == b_parts
+    try:
+        log.heartbeat("g", "pod-b", stale_token)
+        raise AssertionError("pre-bounce incarnation must be fenced")
+    except FencedInstanceIdError:
+        pass
+
+    resume = log.committed("g", "ev")
+    return read_topic(
+        spark, root, "ev", assign=_json.dumps({"ev": b_parts}),
+        startingOffsets=_json.dumps(
+            {"ev": {str(p): resume[p] for p in b_parts}}
+        ),
+    ).select(
+        "partition",
+        F.from_json(F.col("value").cast("string"),
+                    "event_id long").alias("v"),
+    ).groupBy("partition").agg(
+        F.count("*").cast("bigint").alias("n_delta"),
+        F.sum("v.event_id").cast("bigint").alias("sum_event_id"),
+    )

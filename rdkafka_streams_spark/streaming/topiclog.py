@@ -97,6 +97,25 @@ class IllegalGenerationError(RuntimeError):
     (Kafka's ILLEGAL_GENERATION OffsetCommit error)."""
 
 
+class FencedInstanceIdError(RuntimeError):
+    """A heartbeat/operation carried a superseded static-member token —
+    a newer member has since joined under the same ``group.instance.id``
+    (Kafka's FENCED_INSTANCE_ID, the KIP-345 replacement fence)."""
+
+
+class ProducerFencedError(RuntimeError):
+    """A produce carried a superseded producer epoch — another session
+    ran ``init_producer_id`` under the same name since (Kafka's
+    ProducerFencedException, the ``transactional.id`` zombie fence)."""
+
+
+class OutOfOrderSequenceError(RuntimeError):
+    """An idempotent produce batch's sequence range neither continues the
+    per-(pid, partition) chain nor replays a cached batch — a lost or
+    reordered request the broker cannot safely dedupe (Kafka's
+    OutOfOrderSequenceException; the client must re-init and resend)."""
+
+
 # ---------------------------------------------------------------- log layout
 def _part_dir(root: str, topic: str, pid: int) -> str:
     return os.path.join(root, topic, f"p{pid}")
@@ -173,6 +192,8 @@ def _wire_to_headers(h: list | None) -> list | None:
 def _encode_line(
     key: bytes | None, value: bytes | None, ts_ms: int, off: int | None = None,
     headers: list | None = None, txn: str | None = None, ctl: str | None = None,
+    producer: tuple[int, int, int, int] | None = None,
+    delete_horizon: int | None = None,
 ) -> str:
     """One wire line. UTF-8-clean payloads go out as plain JSON strings
     (``ks``/``vs`` — the fast columnar-parse fields, see module docstring);
@@ -181,7 +202,11 @@ def _encode_line(
     read side. value None = tombstone (Kafka delete marker). ``txn`` tags
     the record with its producer transaction id (``"x"``); ``ctl`` marks a
     CONTROL record ("commit"/"abort" — Kafka's transaction markers, which
-    occupy offsets but are never delivered to applications)."""
+    occupy offsets but are never delivered to applications). ``producer``
+    = (pid, epoch, record seq, batch base seq) for idempotent produces —
+    the same per-record producer metadata a Kafka batch header carries,
+    which is what makes sequence state RECOVERABLE from the log alone
+    (``rebuild_producer_state``)."""
     if key is None:
         k = '"k":null'
     else:
@@ -200,7 +225,13 @@ def _encode_line(
     h = "" if headers is None else f',"h":{json.dumps(headers, ensure_ascii=False)}'
     x = "" if txn is None else f',"x":{json.dumps(txn)}'
     c = "" if ctl is None else f',"ctl":{json.dumps(ctl)}'
-    return f'{{{k},{v},"ts":{ts_ms}{o}{h}{x}{c}}}'
+    if producer is None:
+        p = ""
+    else:
+        pi, pe, sq, bs = producer
+        p = f',"pi":{pi},"pe":{pe},"sq":{sq},"bs":{bs}'
+    d = "" if delete_horizon is None else f',"dh":{int(delete_horizon)}'
+    return f'{{{k},{v},"ts":{ts_ms}{o}{h}{x}{c}{p}{d}}}'
 
 
 def _rec_key(rec: dict) -> bytes | None:
@@ -736,6 +767,7 @@ class TopicLog:
         state["generation"] = int(state.get("generation", 0)) + 1
         state["strategy"] = strategy
         state["members"] = sorted(members)
+        state["topics"] = sorted(topics)
         state["assignment"] = {
             m: [[t, p] for t, p in tps] for m, tps in target.items()
         }
@@ -746,6 +778,113 @@ class TopicLog:
             "assignment": state["assignment"],
             "revoked": [[t, p] for t, p in revoked],
         }
+
+    # ------------------------------------- static membership (KIP-345)
+    # group.instance.id: assignment is keyed by the STABLE instance id
+    # (exactly KIP-345's move — member.id churn stops mattering), so a
+    # bounced member gets its old partitions back without a rebalance.
+    # Each join hands out a fresh member token; the previous holder of
+    # the instance id is fenced (FENCED_INSTANCE_ID) on its next
+    # heartbeat — replacement without churn. Removal is an ADMIN act
+    # (removeMembersFromConsumerGroup), the only thing that rebalances.
+
+    def static_join(
+        self,
+        group: str,
+        topics: str | Sequence[str],
+        instance_id: str,
+        strategy: str = "range",
+    ) -> dict:
+        """JoinGroup with ``group.instance.id=instance_id``. A KNOWN
+        instance with a stored assignment gets it straight back — no
+        generation bump, no reassignment (the rolling-restart path; a
+        restart completing inside session.timeout never disturbs the
+        group). An unknown instance triggers a full rebalance over the
+        stored members plus this one. Either way the caller receives a
+        fresh ``member_token`` and every earlier holder of this instance
+        id is fenced. Returns ``{"generation", "assignment": [[topic,
+        pid], ...], "member_token", "rebalanced"}``."""
+        if not instance_id:
+            raise ValueError("empty group.instance.id")
+        if isinstance(topics, str):
+            topics = [topics]
+        state = self._group_state(group)
+        known = state.get("assignment") or {}
+        if instance_id in known and sorted(topics) == state.get("topics"):
+            token = int(state.get("instances", {}).get(instance_id, 0)) + 1
+            state.setdefault("instances", {})[instance_id] = token
+            self._write_group_state(group, state)
+            return {
+                "generation": int(state.get("generation", 0)),
+                "assignment": known[instance_id],
+                "member_token": token,
+                "rebalanced": False,
+            }
+        members = sorted(set(state.get("members") or []) | {instance_id})
+        sync = self.rebalance_group(group, topics, members, strategy)
+        state = self._group_state(group)
+        token = int(state.get("instances", {}).get(instance_id, 0)) + 1
+        state.setdefault("instances", {})[instance_id] = token
+        self._write_group_state(group, state)
+        return {
+            "generation": sync["generation"],
+            "assignment": sync["assignment"][instance_id],
+            "member_token": token,
+            "rebalanced": True,
+        }
+
+    def heartbeat(self, group: str, instance_id: str, member_token: int) -> None:
+        """The liveness check a static member runs between polls: raises
+        FencedInstanceIdError when a newer member has joined under the
+        same instance id (this holder must shut down — its partitions
+        now belong to its replacement), and ValueError for an instance
+        the group has never seen or has since removed."""
+        cur = self._group_state(group).get("instances", {}).get(instance_id)
+        if cur is None:
+            raise ValueError(
+                f"unknown group.instance.id {instance_id!r} in group {group!r}"
+            )
+        if int(member_token) != int(cur):
+            raise FencedInstanceIdError(
+                f"instance {instance_id!r} token {member_token} fenced: "
+                f"a newer member holds token {cur}"
+            )
+
+    def remove_member(self, group: str, instance_id: str) -> dict:
+        """``AdminClient.removeMembersFromConsumerGroup`` — the ONLY way
+        a static member leaves (static members don't rebalance on
+        close(), they wait out session.timeout or this admin call).
+        Drops the instance, re-runs the stored strategy over the stored
+        topics for the remaining members (generation bump fences the
+        departed member's in-flight commits), and invalidates the
+        instance's member token. Returns the new SyncGroup result, with
+        an empty assignment once the last member is gone."""
+        state = self._group_state(group)
+        members = [m for m in (state.get("members") or []) if m != instance_id]
+        if instance_id not in (state.get("members") or []):
+            raise ValueError(
+                f"unknown group.instance.id {instance_id!r} in group {group!r}"
+            )
+        topics = state.get("topics") or []
+        if members:
+            sync = self.rebalance_group(
+                group, topics, members, state.get("strategy", "range")
+            )
+        else:
+            state["generation"] = int(state.get("generation", 0)) + 1
+            state["members"] = []
+            state["assignment"] = {}
+            self._write_group_state(group, state)
+            sync = {
+                "generation": state["generation"],
+                "strategy": state.get("strategy", "range"),
+                "assignment": {},
+                "revoked": [],
+            }
+        state = self._group_state(group)
+        state.get("instances", {}).pop(instance_id, None)
+        self._write_group_state(group, state)
+        return sync
 
     def reset_offsets(
         self,
@@ -844,6 +983,8 @@ class TopicLog:
             out["strategy"] = state.get("strategy")
             out["members"] = state.get("members")
             out["assignment"] = state["assignment"]
+        if state.get("instances"):  # static members' live tokens (KIP-345)
+            out["static_instances"] = dict(state["instances"])
         for t in topics:
             full = self.committed_full(group, t)
             ends = self.end_offsets(t)
@@ -866,7 +1007,8 @@ class TopicLog:
     # run_retention() is the broker's log-cleaner thread as a one-shot —
     # the same offline single-writer window as compact()/delete_records.
 
-    _CONFIG_KEYS = ("retention.ms", "retention.bytes", "cleanup.policy")
+    _CONFIG_KEYS = ("retention.ms", "retention.bytes", "cleanup.policy",
+                    "delete.retention.ms")
 
     def _config_file(self, topic: str) -> str:
         return os.path.join(self.root, topic, ".config.json")
@@ -900,6 +1042,10 @@ class TopicLog:
             if k in ("retention.ms", "retention.bytes"):
                 if int(v) <= 0:
                     raise ValueError(f"{k} must be positive, got {v}")
+                cur[k] = str(int(v))
+            elif k == "delete.retention.ms":
+                if int(v) < 0:
+                    raise ValueError(f"{k} must be >= 0, got {v}")
                 cur[k] = str(int(v))
             else:
                 if v not in ("delete", "compact"):
@@ -951,7 +1097,7 @@ class TopicLog:
             cfg = self.describe_configs(t)
             acts: dict = {}
             if cfg.get("cleanup.policy") == "compact":
-                acts["compacted"] = self.compact(t)
+                acts["compacted"] = self.compact(t, now_ms=now)
             else:
                 if "retention.ms" in cfg:
                     cutoff = now - int(cfg["retention.ms"])
@@ -1161,6 +1307,238 @@ class TopicLog:
                 if json.load(f).get("state") != "commit":
                     out.add(name[:-5])
         return frozenset(out)
+
+    # ------------------------------------ idempotent producer (KIP-98 half 1)
+    # Reference anchor: the reference's Producer retries on queue-full with
+    # no dedupe (src/Producer.coffee produce/poll loop) — at-least-once.
+    # librdkafka's enable.idempotence=true upgrades that to exactly-once
+    # per partition: every producer session holds a broker-issued
+    # (producer id, epoch); every batch to a partition carries a base
+    # sequence; the broker appends only a batch that CONTINUES the
+    # per-(pid, partition) sequence chain, answers a replayed batch with
+    # its original base offset (the duplicate ack), and fences stale
+    # epochs. State lives beside the log under ``.pids/``.
+
+    def _pid_name_file(self, name: str) -> str:
+        if not name or name.startswith(".") or "/" in name or "\\" in name:
+            raise ValueError(f"invalid producer name {name!r}")
+        return os.path.join(self.root, ".pids", f"{name}.json")
+
+    def init_producer_id(
+        self, name: str, transactional: bool = False
+    ) -> tuple[int, int]:
+        """``InitProducerId``: allocate (or re-claim) a producer id for
+        ``name`` and bump its epoch. The FIRST init allocates a fresh pid
+        (lock-free ``open(x)`` claim on ``.pids/.alloc-<n>``); every later
+        init under the same name keeps the pid and bumps the epoch —
+        fencing every in-flight producer still holding the old one
+        (Kafka's zombie-producer story). ``transactional=True`` applies
+        KIP-98's other InitProducerId duty: a transaction left OPEN under
+        ``txn_id == name`` by the fenced session is ABORTED before the
+        new epoch is handed out, so its records never commit."""
+        path = self._pid_name_file(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if transactional:
+            st = self.txn_state(name)
+            if st is not None and st["state"] == "open":
+                self.abort_txn(name)
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                cur = json.load(f)
+            pid, epoch = int(cur["pid"]), int(cur["epoch"]) + 1
+        else:
+            n = 0
+            while True:  # same claim protocol as _publish_segment: the
+                # open(x) winner owns pid n; losers probe the next slot
+                try:
+                    fd = os.open(
+                        os.path.join(self.root, ".pids", f".alloc-{n}"),
+                        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                    )
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    n += 1
+            pid, epoch = n, 0
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"pid": pid, "epoch": epoch}, f)
+        os.replace(tmp, path)
+        bp = os.path.join(self.root, ".pids", f".by-pid-{pid}.json")
+        tmp = f"{bp}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"name": name, "epoch": epoch}, f)
+        os.replace(tmp, bp)
+        return pid, epoch
+
+    def _pid_epoch(self, pid: int) -> int:
+        bp = os.path.join(self.root, ".pids", f".by-pid-{pid}.json")
+        if not os.path.exists(bp):
+            raise ValueError(f"unknown producer id {pid} (init_producer_id first)")
+        with open(bp, encoding="utf-8") as f:
+            return int(json.load(f)["epoch"])
+
+    def produce_idempotent(
+        self,
+        topic: str,
+        values: Sequence[bytes | str],
+        partition: int,
+        pid: int,
+        epoch: int,
+        base_seq: int,
+        keys: Sequence[bytes | str | None] | None = None,
+        timestamps: Sequence[int] | None = None,
+        headers: Sequence[Sequence[tuple[str, bytes | None]] | None] | None = None,
+        txn: str | None = None,
+    ) -> dict:
+        """One idempotent ProduceRequest batch — Kafka batches are per
+        topic-partition with one base sequence, and so is this call.
+        Returns ``{"base_offset": o, "duplicate": bool}``.
+
+        Broker-side checks, in Kafka's order: a stale ``epoch`` raises
+        ProducerFencedError; a batch whose exact (base, last) sequence
+        range matches one of the last 5 appended batches is a RETRY —
+        acked with its original base offset, nothing appended (the
+        at-most-once half); a batch continuing the chain
+        (``base_seq == last + 1``, or 0 on a fresh epoch, whose sequences
+        reset) appends; anything else raises OutOfOrderSequenceError.
+        Sequence state is per (pid, topic, partition), a metadata file —
+        the 100 TB posture is unchanged (state size tracks producer
+        count, not data volume).
+
+        Crash recovery: the segment publish and the state write are two
+        steps; a crash between them would re-ack the client's retry as a
+        FRESH batch. A broker closes this by recovering producer state
+        from the log on restart — so does this log: every record carries
+        its (pid, epoch, seq, batch-base) like a Kafka batch header, and
+        ``rebuild_producer_state`` reconstructs the sequence files from
+        the log alone. Run it before resuming produce after any unclean
+        stop."""
+        cur_epoch = self._pid_epoch(pid)
+        if int(epoch) < cur_epoch:
+            raise ProducerFencedError(
+                f"producer id {pid} epoch {epoch} fenced: current epoch is "
+                f"{cur_epoch} (another session ran init_producer_id)"
+            )
+        if int(epoch) > cur_epoch:
+            raise ValueError(
+                f"producer id {pid} epoch {epoch} ahead of issued {cur_epoch}"
+            )
+        n = len(values)
+        if n == 0:
+            raise ValueError("empty idempotent batch")
+        if int(base_seq) < 0:
+            raise ValueError(f"negative base sequence {base_seq}")
+        sdir = os.path.join(self.root, ".pids", "seq")
+        spath = os.path.join(sdir, f"{int(pid)}.{topic}.{int(partition)}.json")
+        st = {"epoch": -1, "last": -1, "batches": []}
+        if os.path.exists(spath):
+            with open(spath, encoding="utf-8") as f:
+                st = json.load(f)
+        if int(st["epoch"]) < int(epoch):
+            # new epoch: sequences restart at 0 (Kafka resets the chain on
+            # every epoch bump; cached batches of the old epoch can no
+            # longer be replayed)
+            st = {"epoch": int(epoch), "last": -1, "batches": []}
+        last_seq = int(base_seq) + n - 1
+        for b, l, off in st["batches"]:
+            if (b, l) == (int(base_seq), last_seq):
+                return {"base_offset": int(off), "duplicate": True}
+        if int(base_seq) != int(st["last"]) + 1:
+            raise OutOfOrderSequenceError(
+                f"pid {pid} {topic}-{partition}: batch sequence {base_seq} "
+                f"neither continues the chain (expected {int(st['last']) + 1}) "
+                f"nor replays a cached batch"
+            )
+        if txn is not None:
+            tst = self.txn_state(txn)
+            if tst is None or tst["state"] != "open":
+                raise ValueError(
+                    f"transaction {txn!r} is "
+                    f"{'unknown' if tst is None else tst['state']}; begin_txn first"
+                )
+            self._txn_touch(txn, topic, [int(partition)])
+        ts = int(time.time() * 1000)
+        lines = []
+        for i, v in enumerate(values):
+            vb = v.encode() if isinstance(v, str) else v
+            k = keys[i] if keys is not None else None
+            kb = k.encode() if isinstance(k, str) else k
+            if vb is None and kb is None:
+                raise ValueError("tombstone (None value) requires a key")
+            rts = int(timestamps[i]) if timestamps is not None else ts
+            hdr = _headers_to_wire(headers[i]) if headers is not None else None
+            lines.append(_encode_line(
+                kb, vb, rts, headers=hdr, txn=txn,
+                producer=(int(pid), int(epoch), int(base_seq) + i,
+                          int(base_seq)),
+            ))
+        base_off = _publish_segment(
+            _part_dir(self.root, topic, int(partition)), lines
+        )
+        st["last"] = last_seq
+        st["batches"] = (st["batches"] + [[int(base_seq), last_seq, base_off]])[-5:]
+        os.makedirs(sdir, exist_ok=True)
+        tmp = f"{spath}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(st, f)
+        os.replace(tmp, spath)
+        return {"base_offset": base_off, "duplicate": False}
+
+    def rebuild_producer_state(self, topic: str) -> int:
+        """Broker-style log recovery for idempotent-producer state: scan
+        the topic's partitions and reconstruct every per-(pid, partition)
+        sequence file from the (pid, epoch, seq, batch-base) metadata the
+        records themselves carry — the unclean-shutdown path (a real
+        broker rebuilds its producer-state snapshots from the log tail
+        the same way). Per pid the HIGHEST epoch wins (older epochs are
+        pre-fence history); its last sequence and the 5 most recent batch
+        ranges (grouped by batch base) are restored, so a client retry
+        from before the crash still dedupes against the original base
+        offset. Compaction note: cleaned segments keep each key's latest
+        record (so the chain head — the highest sequence — always
+        survives), but batches thinned by cleaning lose their exact
+        ranges, same as a broker past a cleaning pass. Returns the number
+        of state files rebuilt."""
+        sdir = os.path.join(self.root, ".pids", "seq")
+        rebuilt = 0
+        for pid_part in _list_partitions(self.root, topic):
+            pdir = _part_dir(self.root, topic, pid_part)
+            # (pid, epoch) -> {batch_base: [last_seq, base_off]}
+            runs: dict[tuple[int, int], dict[int, list[int]]] = {}
+            for seg_start, _count, path in _list_segments(pdir):
+                with open(path, encoding="utf-8") as f:
+                    for i, line in enumerate(f):
+                        rec = json.loads(line)
+                        if "pi" not in rec:
+                            continue  # non-idempotent produce
+                        off = rec.get("o", seg_start + i)
+                        key = (int(rec["pi"]), int(rec["pe"]))
+                        ent = runs.setdefault(key, {}).get(int(rec["bs"]))
+                        if ent is None:
+                            runs[key][int(rec["bs"])] = [int(rec["sq"]), off]
+                        else:
+                            ent[0] = max(ent[0], int(rec["sq"]))
+                            ent[1] = min(ent[1], off)
+            by_pid: dict[int, tuple[int, dict[int, list[int]]]] = {}
+            for (pi, pe), batches in runs.items():
+                if pi not in by_pid or pe > by_pid[pi][0]:
+                    by_pid[pi] = (pe, batches)
+            for pi, (pe, batches) in by_pid.items():
+                recent = sorted(batches.items())[-5:]
+                st = {
+                    "epoch": pe,
+                    "last": max(last for _, (last, _off) in recent),
+                    "batches": [[bs, last, off] for bs, (last, off) in recent],
+                }
+                os.makedirs(sdir, exist_ok=True)
+                spath = os.path.join(sdir, f"{pi}.{topic}.{pid_part}.json")
+                tmp = f"{spath}.tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w", encoding="utf-8") as f:
+                    json.dump(st, f)
+                os.replace(tmp, spath)
+                rebuilt += 1
+        return rebuilt
 
     def offsets_for_times(
         self, topic: str, ts_ms: int | dict[int, int]
@@ -1387,12 +1765,18 @@ class TopicLog:
         """JSON.stringify-and-produce, the reference's record shape."""
         self.append(topic, [json.dumps(o, separators=(",", ":")) for o in objs], **kw)
 
-    def compact(self, topic: str) -> dict[str, int]:
+    def compact(self, topic: str, now_ms: int | None = None) -> dict[str, int]:
         """Kafka-style log compaction: per partition, keep only the
-        highest-offset record for each key; a key whose latest record is
-        a tombstone (null value) is removed outright (Kafka would retain
-        the tombstone for ``delete.retention.ms`` — this drops it
-        immediately, documented divergence). ORIGINAL OFFSETS ARE
+        highest-offset record for each key. A key whose latest record is
+        a tombstone (null value) follows ``delete.retention.ms``: with
+        the config UNSET the tombstone is dropped in the same pass
+        (this log's legacy immediate-drop, kept as the default); with it
+        SET, the broker's two-phase KIP-534 horizon applies — the first
+        cleaning pass stamps the tombstone with a delete horizon
+        (``"dh"`` = cleaning time + delete.retention.ms) and keeps it
+        visible (so a lagging consumer bootstrapping off the compacted
+        topic still learns about the deletion), and only a LATER pass
+        past the horizon removes it. ORIGINAL OFFSETS ARE
         PRESERVED: the compacted segment covers the full [0, end) range
         and carries an explicit ``"o"`` per line, so consumer positions
         and startingOffsets semantics survive compaction exactly like a
@@ -1406,8 +1790,11 @@ class TopicLog:
         segment is unlinked, so a crash at any point loses nothing — the
         next ``compact()`` call finishes the interrupted swap from the
         marker (the marker always holds the complete compacted state).
-        Returns {kept, superseded, tombstoned} counts."""
+        Returns {kept, superseded, tombstoned} counts (a horizon-stamped
+        tombstone still awaiting removal counts as kept)."""
         kept = superseded = tombstoned = 0
+        drm_raw = self.describe_configs(topic).get("delete.retention.ms")
+        now = int(time.time() * 1000) if now_ms is None else int(now_ms)
         for pid in _list_partitions(self.root, topic):
             pdir = _part_dir(self.root, topic, pid)
             _recover_compaction(pdir)
@@ -1438,21 +1825,33 @@ class TopicLog:
                         # carry headers through in wire form: the key's
                         # latest record keeps ITS headers, like a broker;
                         # the txn tag survives too, so aborted records stay
-                        # invisible to read_committed after compaction
+                        # invisible to read_committed after compaction, and
+                        # so does the idempotent-producer metadata, keeping
+                        # sequence state log-recoverable post-cleaning
+                        prod = (
+                            (rec["pi"], rec["pe"], rec["sq"], rec["bs"])
+                            if "pi" in rec else None
+                        )
                         latest[kb] = (off, rec["ts"], _rec_val(rec),
-                                      rec.get("h"), rec.get("x"))
-            survivors = [
-                (off, ts, kb, vb, h, x)
-                for kb, (off, ts, vb, h, x) in latest.items()
-                if vb is not None
-            ]
-            survivors.sort()
-            tombstoned += len(latest) - len(survivors)
+                                      rec.get("h"), rec.get("x"), prod,
+                                      rec.get("dh"))
+            survivors = []
+            for kb, (off, ts, vb, h, x, pr, dh) in latest.items():
+                if vb is not None:
+                    survivors.append((off, ts, kb, vb, h, x, pr, None))
+                    continue
+                if drm_raw is None or (dh is not None and now >= int(dh)):
+                    tombstoned += 1  # legacy immediate drop, or the
+                    continue  # horizon a PRIOR pass stamped has passed
+                horizon = int(dh) if dh is not None else now + int(drm_raw)
+                survivors.append((off, ts, kb, None, h, x, pr, horizon))
+            survivors.sort(key=lambda s: s[0])
             superseded += n_records - len(latest)
             kept += len(survivors)
             lines = [
-                _encode_line(kb, vb, ts, off=off, headers=h, txn=x)
-                for off, ts, kb, vb, h, x in survivors
+                _encode_line(kb, vb, ts, off=off, headers=h, txn=x,
+                             producer=pr, delete_horizon=dh)
+                for off, ts, kb, vb, h, x, pr, dh in survivors
             ]
             tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w", encoding="utf-8") as f:

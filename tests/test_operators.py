@@ -931,10 +931,12 @@ def test_learn_bpe_merges_matches_reference_implementation(spark):
                 seqs[w] = ns
         return out
 
+    # no persisted state survives the call (cache hygiene, q57 lesson) —
+    # relative to the session's pre-call set: other suites legitimately
+    # hold caller-owned caches (minhash signatures) in the shared session
+    pre = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     got = [tuple(r) for r in
            learn_bpe_merges(docs, n_merges=6).orderBy("step").collect()]
     assert got == ref_bpe(corpus, 6)
-    # no persisted state survives the call (cache hygiene, q57 lesson)
-    assert not set(
-        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
-    )
+    post = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert post <= pre

@@ -330,6 +330,12 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # training loop eager; the returned vocab = word groupBy +
         # subword groupBy + TakeOrdered top-k (no global sort exchange)
         "q288_bpe_vocab": 3,
+        # produce/dedupe/fencing are client+metadata side; the verify
+        # read is one pass + one event_type rollup exchange
+        "q289_idempotent_produce": 1,
+        # joins/heartbeats/commits are metadata file ops; the resumed
+        # read is a partition-pruned scan + one rollup exchange
+        "q290_static_member_resume": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

@@ -2287,3 +2287,274 @@ def test_expire_group_offsets_retention(tmp_path):
     assert out2 == {"legacy": ["t"]}
     assert "legacy" not in log.groups()
     assert log.committed("fresh", "t") == {0: 3}
+
+
+def test_idempotent_producer_dedup_and_chain(tmp_path):
+    """enable.idempotence: a replayed batch (same sequence range) is acked
+    with its ORIGINAL base offset and appended nowhere; a batch continuing
+    the chain appends; a gap raises OutOfOrderSequence."""
+    from rdkafka_streams_spark.streaming.topiclog import (
+        OutOfOrderSequenceError,
+    )
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=2)
+    pid, epoch = log.init_producer_id("app-1")
+    assert (pid, epoch) == (0, 0)
+
+    r1 = log.produce_idempotent("t", ["a", "b"], 0, pid, epoch, base_seq=0)
+    assert r1 == {"base_offset": 0, "duplicate": False}
+    # the network-retry storm: the client resends the SAME batch
+    r1b = log.produce_idempotent("t", ["a", "b"], 0, pid, epoch, base_seq=0)
+    assert r1b == {"base_offset": 0, "duplicate": True}
+    r2 = log.produce_idempotent("t", ["c"], 0, pid, epoch, base_seq=2)
+    assert r2 == {"base_offset": 2, "duplicate": False}
+    # replay of an OLDER cached batch still answers from the cache
+    assert log.produce_idempotent("t", ["a", "b"], 0, pid, epoch, 0) == {
+        "base_offset": 0, "duplicate": True,
+    }
+    # sequences are per PARTITION: partition 1 starts its own chain at 0
+    assert log.produce_idempotent("t", ["z"], 1, pid, epoch, 0) == {
+        "base_offset": 0, "duplicate": False,
+    }
+    # a gap (lost request) is not safely dedupable
+    with pytest.raises(OutOfOrderSequenceError, match="expected 3"):
+        log.produce_idempotent("t", ["d"], 0, pid, epoch, base_seq=7)
+    assert log.end_offsets("t") == {0: 3, 1: 1}
+
+
+def test_idempotent_producer_epoch_fence_and_reset(tmp_path):
+    """init_producer_id bumps the epoch: the old session is fenced, the
+    new epoch's sequences restart at 0, and a transactional re-init
+    aborts the fenced session's dangling open transaction."""
+    from rdkafka_streams_spark.streaming.topiclog import ProducerFencedError
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=1)
+    pid, e0 = log.init_producer_id("app")
+    log.produce_idempotent("t", ["a"], 0, pid, e0, 0)
+    pid2, e1 = log.init_producer_id("app")  # same name -> same pid, epoch+1
+    assert (pid2, e1) == (pid, e0 + 1)
+    with pytest.raises(ProducerFencedError):
+        log.produce_idempotent("t", ["zombie"], 0, pid, e0, 1)
+    # fresh epoch: chain restarts at 0 (old cached batches unreplayable)
+    assert log.produce_idempotent("t", ["b"], 0, pid, e1, 0) == {
+        "base_offset": 1, "duplicate": False,
+    }
+    # distinct names get distinct pids
+    assert log.init_producer_id("other") == (1, 0)
+    with pytest.raises(ValueError, match="ahead of issued"):
+        log.produce_idempotent("t", ["x"], 0, pid, e1 + 5, 1)
+    with pytest.raises(ValueError, match="unknown producer id"):
+        log.produce_idempotent("t", ["x"], 0, 99, 0, 0)
+
+    # transactional re-init aborts the dangling txn (KIP-98 InitProducerId)
+    log.begin_txn("app")
+    log.produce_idempotent("t", ["in-txn"], 0, pid, e1, 1, txn="app")
+    pid3, e2 = log.init_producer_id("app", transactional=True)
+    assert (pid3, e2) == (pid, e1 + 1)
+    assert log.txn_state("app")["state"] == "abort"
+
+
+def test_idempotent_producer_through_reader(spark, tmp_path):
+    """The dedupe is end-to-end: a retry storm (every batch sent twice)
+    leaves exactly one copy of every record visible to the Spark reader."""
+    root = str(tmp_path / "broker")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=2)
+    pid, epoch = log.init_producer_id("etl")
+    seqs = {0: 0, 1: 0}
+    for batch in (["a", "b"], ["c"], ["d", "e", "f"]):
+        for p in (0, 1):
+            log.produce_idempotent("t", batch, p, pid, epoch, seqs[p])
+            log.produce_idempotent("t", batch, p, pid, epoch, seqs[p])  # retry
+            seqs[p] += len(batch)
+    vals = sorted(
+        r.value.decode() for r in read_topic(spark, root, "t").collect()
+    )
+    assert vals == sorted(["a", "b", "c", "d", "e", "f"] * 2)
+
+
+def test_static_membership_rejoin_without_rebalance(tmp_path):
+    """KIP-345: a bounced static member gets its assignment back with no
+    generation bump; its previous incarnation is fenced on heartbeat;
+    a NEW instance still triggers a normal rebalance."""
+    from rdkafka_streams_spark.streaming.topiclog import FencedInstanceIdError
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=6)
+    j1 = log.static_join("g", "t", "pod-a")
+    assert j1["rebalanced"] is True
+    assert [t for t, _ in map(tuple, j1["assignment"])] == ["t"] * 6
+    j2 = log.static_join("g", "t", "pod-b")  # new instance -> rebalance
+    assert j2["rebalanced"] is True and j2["generation"] == j1["generation"] + 1
+    gen = j2["generation"]
+    a_before = log.describe_group("g")["assignment"]["pod-a"]
+
+    # rolling restart: pod-a bounces and rejoins
+    j3 = log.static_join("g", "t", "pod-a")
+    assert j3["rebalanced"] is False
+    assert j3["generation"] == gen  # no bump
+    assert j3["assignment"] == a_before  # same partitions straight back
+    # the pre-bounce incarnation is fenced; the new one heartbeats fine
+    log.heartbeat("g", "pod-a", j3["member_token"])
+    with pytest.raises(FencedInstanceIdError, match="fenced"):
+        log.heartbeat("g", "pod-a", j1["member_token"])
+    with pytest.raises(ValueError, match="unknown group.instance.id"):
+        log.heartbeat("g", "nope", 1)
+
+
+def test_static_membership_admin_removal(tmp_path):
+    """Static members leave only via the admin removal, which DOES
+    rebalance: remaining members absorb the partitions, the departed
+    instance's token dies, and a later rejoin is a fresh rebalance."""
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=4)
+    log.static_join("g", "t", "pod-a")
+    jb = log.static_join("g", "t", "pod-b")
+    gen = jb["generation"]
+
+    sync = log.remove_member("g", "pod-b")
+    assert sync["generation"] == gen + 1
+    assert sorted(sync["assignment"]) == ["pod-a"]
+    assert len(sync["assignment"]["pod-a"]) == 4  # absorbed everything
+    with pytest.raises(ValueError, match="unknown group.instance.id"):
+        log.heartbeat("g", "pod-b", jb["member_token"])
+    with pytest.raises(ValueError, match="unknown group.instance.id"):
+        log.remove_member("g", "pod-b")
+    # rejoin after removal is a cold join again
+    assert log.static_join("g", "t", "pod-b")["rebalanced"] is True
+    # removing the last members empties the group
+    log.remove_member("g", "pod-a")
+    final = log.remove_member("g", "pod-b")
+    assert final["assignment"] == {}
+    assert log.describe_group("g")["members"] == []
+
+
+def test_static_membership_topic_change_rebalances(tmp_path):
+    """A static rejoin subscribing to a DIFFERENT topic set cannot reuse
+    the stored assignment — it must rebalance (metadata change)."""
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t1", partitions=2)
+    log.create_topic("t2", partitions=2)
+    g1 = log.static_join("g", "t1", "pod-a")["generation"]
+    j = log.static_join("g", ["t1", "t2"], "pod-a")
+    assert j["rebalanced"] is True and j["generation"] == g1 + 1
+    assert sorted({t for t, _ in map(tuple, j["assignment"])}) == ["t1", "t2"]
+
+
+def test_rebuild_producer_state_from_log(tmp_path):
+    """Unclean-shutdown recovery: sequence state wiped entirely, then
+    rebuilt from the (pid, epoch, seq, batch-base) metadata the records
+    carry — a pre-crash retry still dedupes against its ORIGINAL offset
+    and the chain continues where it left off."""
+    import shutil
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=2)
+    pid, epoch = log.init_producer_id("app")
+    log.produce_idempotent("t", ["a", "b"], 0, pid, epoch, 0)
+    log.produce_idempotent("t", ["c"], 0, pid, epoch, 2)
+    log.produce_idempotent("t", ["z1", "z2"], 1, pid, epoch, 0)
+
+    shutil.rmtree(str(tmp_path / ".pids" / "seq"))  # the crash
+    assert log.rebuild_producer_state("t") == 2  # one file per partition
+
+    # pre-crash retries dedupe against their original base offsets
+    assert log.produce_idempotent("t", ["a", "b"], 0, pid, epoch, 0) == {
+        "base_offset": 0, "duplicate": True,
+    }
+    assert log.produce_idempotent("t", ["c"], 0, pid, epoch, 2) == {
+        "base_offset": 2, "duplicate": True,
+    }
+    # and the chains continue exactly where they left off
+    assert log.produce_idempotent("t", ["d"], 0, pid, epoch, 3) == {
+        "base_offset": 3, "duplicate": False,
+    }
+    assert log.produce_idempotent("t", ["z3"], 1, pid, epoch, 2) == {
+        "base_offset": 2, "duplicate": False,
+    }
+
+
+def test_rebuild_producer_state_crash_window(tmp_path):
+    """The publish->state-write crash window is CLOSED by recovery: a
+    batch whose state write was lost (state file rolled back) would be
+    re-appended on retry — rebuild_producer_state restores the truth
+    from the log first, so the retry dedupes."""
+    import shutil
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=1)
+    pid, epoch = log.init_producer_id("app")
+    log.produce_idempotent("t", ["a"], 0, pid, epoch, 0)
+    sdir = str(tmp_path / ".pids" / "seq")
+    snap = str(tmp_path / "seq-snap")
+    shutil.copytree(sdir, snap)
+    log.produce_idempotent("t", ["b", "c"], 0, pid, epoch, 1)
+    shutil.rmtree(sdir)
+    shutil.copytree(snap, sdir)  # crash between publish and state write
+    log.rebuild_producer_state("t")
+    assert log.produce_idempotent("t", ["b", "c"], 0, pid, epoch, 1) == {
+        "base_offset": 1, "duplicate": True,
+    }
+    assert log.end_offsets("t") == {0: 3}
+
+
+def test_rebuild_producer_state_epoch_and_compaction(tmp_path):
+    """Only the HIGHEST epoch per pid is restored (older epochs are
+    pre-fence history), and the producer metadata survives compaction so
+    the chain head stays log-recoverable after cleaning."""
+    import shutil
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=1)
+    pid, e0 = log.init_producer_id("app")
+    log.produce_idempotent("t", ["v1"], 0, pid, e0, 0, keys=["k1"])
+    pid, e1 = log.init_producer_id("app")
+    log.produce_idempotent("t", ["v2", "v3"], 0, pid, e1, 0,
+                           keys=["k1", "k2"])
+    log.compact("t")  # k1 -> v2 survives (offset 1), k2 -> v3 (offset 2)
+    shutil.rmtree(str(tmp_path / ".pids" / "seq"))
+    log.rebuild_producer_state("t")
+    # chain head (seq 1 at epoch 1) recovered from the compacted segment
+    assert log.produce_idempotent("t", ["v4"], 0, pid, e1, 2, keys=["k3"]) \
+        == {"base_offset": 3, "duplicate": False}
+
+
+def test_compact_delete_retention_two_phase(tmp_path):
+    """delete.retention.ms set -> the broker's two-phase tombstone
+    removal (KIP-534): the first cleaning stamps a delete horizon and
+    KEEPS the tombstone (lagging bootstrappers still learn about the
+    deletion); only a pass after the horizon removes it. Unset keeps the
+    legacy immediate drop."""
+    root = str(tmp_path)
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.alter_configs("t", {"delete.retention.ms": 60_000})
+    log.append("t", ["v1"], keys=["k1"], partition=0)
+    log.append("t", [None, "v2"], keys=["k1", "k2"], partition=0)
+
+    t0 = 1_000_000
+    r1 = log.compact("t", now_ms=t0)
+    assert r1 == {"kept": 2, "superseded": 1, "tombstoned": 0}
+    recs = {}
+    pdir = os.path.join(root, "t", "p0")
+    for name in os.listdir(pdir):
+        with open(os.path.join(pdir, name)) as f:
+            for line in f:
+                rec = json.loads(line)
+                recs[rec.get("ks")] = rec
+    assert recs["k1"]["v"] is None  # tombstone retained...
+    assert recs["k1"]["dh"] == t0 + 60_000  # ...stamped with its horizon
+
+    # a second pass INSIDE the horizon keeps it (and keeps the stamp)
+    assert log.compact("t", now_ms=t0 + 30_000)["tombstoned"] == 0
+    # a pass PAST the horizon finally removes it
+    r3 = log.compact("t", now_ms=t0 + 60_001)
+    assert r3 == {"kept": 1, "superseded": 0, "tombstoned": 1}
+
+    # unset config: same-pass drop, the legacy default
+    log2 = TopicLog(str(tmp_path / "legacy"))
+    log2.create_topic("t", partitions=1)
+    log2.append("t", ["v", None], keys=["k", "k"], partition=0)
+    assert log2.compact("t")["tombstoned"] == 1
