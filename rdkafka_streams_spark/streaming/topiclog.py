@@ -165,6 +165,98 @@ def _segment_record_count(path: str, span: int) -> int:
         return 1 + sum(1 for ln in f if ln.strip())
 
 
+#: sparse time-index granularity — one (position, max-ts-so-far) entry per
+#: this many records, the KIP-33 ``index.interval.bytes`` analog. The entry
+#: spacing bounds the forward scan a seek does after the index narrows it.
+_TIMEINDEX_INTERVAL = 512
+
+
+def _build_time_index(path: str) -> dict:
+    """Build the sparse time index of one segment (KIP-33 ``.timeindex``
+    analog). Entries are ``[position, max_ts_so_far]`` pairs every
+    ``_TIMEINDEX_INTERVAL`` records plus one for the final record — the
+    max-so-far (not the raw timestamp) is what makes the index valid under
+    non-monotonic CreateTime: ``max_ts_so_far < target`` proves NO record
+    at or before that position can satisfy a ``ts >= target`` seek, which
+    is exactly the skip a broker's time index licenses. ``max_ts`` is the
+    segment-level largest timestamp, the value segment-granularity time
+    retention keys on. Columnar build (one pyarrow ts-column parse), never
+    per-line Python."""
+    size = os.path.getsize(path)
+    if size == 0:
+        # delete_records can leave a zero-byte spanning/active segment
+        return {"v": 1, "src_size": 0, "n": 0, "max_ts": None, "entries": []}
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.json as pj
+
+    tbl = pj.read_json(
+        path,
+        read_options=pj.ReadOptions(use_threads=False),
+        parse_options=pj.ParseOptions(
+            explicit_schema=pa.schema([pa.field("ts", pa.int64())])
+        ),
+    )
+    n = tbl.num_rows
+    if n == 0:
+        return {"v": 1, "src_size": size, "n": 0, "max_ts": None, "entries": []}
+    cmax = pc.cumulative_max(tbl["ts"].combine_chunks())
+    entries = [
+        [i, cmax[i].as_py()]
+        for i in range(_TIMEINDEX_INTERVAL - 1, n, _TIMEINDEX_INTERVAL)
+    ]
+    if not entries or entries[-1][0] != n - 1:
+        entries.append([n - 1, cmax[n - 1].as_py()])
+    return {
+        "v": 1, "src_size": size, "n": n,
+        "max_ts": entries[-1][1], "entries": entries,
+    }
+
+
+def _segment_time_index(path: str) -> dict:
+    """Load the segment's sidecar time index, (re)building it when absent
+    or stale. Brokers build the index at append time and REBUILD it on
+    startup when missing or corrupt; segments here publish via os.link
+    from many writers, so the equivalent posture is lazy build on first
+    seek, cached in ``<segment>.timeindex`` beside the data. Staleness is
+    detected by source size: compaction/truncation always changes a
+    segment's byte size (and usually its name), so a same-name rewrite
+    can never serve a stale index. The sidecar write is last-writer-wins
+    ``os.replace`` — contents are deterministic, so a race is harmless."""
+    ipath = path + ".timeindex"
+    try:
+        with open(ipath, encoding="utf-8") as f:
+            idx = json.load(f)
+        if idx.get("v") == 1 and idx.get("src_size") == os.path.getsize(path):
+            return idx
+    except (OSError, ValueError):
+        pass
+    idx = _build_time_index(path)
+    d = os.path.dirname(path)
+    tmp = os.path.join(d, f".tmi-{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(idx, f, separators=(",", ":"))
+    os.replace(tmp, ipath)
+    return idx
+
+
+def _sweep_orphan_timeindexes(pdir: str) -> None:
+    """Drop ``.timeindex`` sidecars whose data segment is gone — called by
+    the segment-rewriting admins (compact, delete_records) so the cleaner
+    leaves no index litter behind, like a broker deleting ``.timeindex``
+    with its segment."""
+    if not os.path.isdir(pdir):
+        return
+    for name in os.listdir(pdir):
+        if not name.endswith(".timeindex"):
+            continue
+        if not os.path.exists(os.path.join(pdir, name[: -len(".timeindex")])):
+            try:
+                os.unlink(os.path.join(pdir, name))
+            except OSError:
+                pass
+
+
 def _headers_to_wire(
     headers: "Sequence[tuple[str, bytes | None]] | None",
 ) -> list | None:
@@ -1548,27 +1640,61 @@ class TopicLog:
         both CreateTime and LogAppendTime logs), or None when every record —
         or no record — precedes the target (Kafka returns null there; the
         caller picks a reset strategy). ``ts_ms`` is one epoch-ms target for
-        all partitions or ``{partition: ts_ms}``. Scans records in offset
-        order with early exit — O(records before the match), the same
-        coarse-to-fine walk a broker does from its sparse time index; a
-        seek near the head costs little, a seek near the tail reads the
-        partition once, driver-side, as a metadata operation should."""
+        all partitions or ``{partition: ts_ms}``. Index-driven, the KIP-33
+        walk a broker does: each segment's sparse ``.timeindex`` sidecar
+        (lazily built, then cached — see ``_segment_time_index``) is read
+        first, whole segments whose ``max_ts`` precedes the target are
+        skipped WITHOUT touching their data, and only the one segment that
+        provably contains the answer gets a columnar ts read. Warm seeks
+        are O(segments) sidecar stats + one segment parse regardless of
+        how many records sit below the match — flat as the log grows."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.json as pj
+
         out: dict[int, int | None] = {}
         for pid in _list_partitions(self.root, topic):
             target = ts_ms.get(pid) if isinstance(ts_ms, dict) else ts_ms
             if target is None:
                 continue
+            target = int(target)
             found = None
             pdir = _part_dir(self.root, topic, pid)
             for seg_start, count, path in _list_segments(pdir):
-                with open(path, encoding="utf-8") as f:
-                    for i, ln in enumerate(ln for ln in f if ln.strip()):
-                        rec = json.loads(ln)
-                        if rec["ts"] >= int(target):
-                            found = rec.get("o", seg_start + i)
-                            break
-                if found is not None:
-                    break
+                idx = _segment_time_index(path)
+                if idx["max_ts"] is None or idx["max_ts"] < target:
+                    continue  # max-so-far proof: no record here qualifies
+                # the first qualifying record of the log is in THIS segment;
+                # the index narrows the scan to one interval past the last
+                # entry whose running max still precedes the target
+                lo = 0
+                for p, m in idx["entries"]:
+                    if m < target:
+                        lo = p + 1
+                    else:
+                        break
+                tbl = pj.read_json(
+                    path,
+                    read_options=pj.ReadOptions(use_threads=False),
+                    parse_options=pj.ParseOptions(
+                        explicit_schema=pa.schema(
+                            [pa.field("ts", pa.int64()),
+                             pa.field("o", pa.int64())]
+                        )
+                    ),
+                )
+                hit = pc.index(
+                    pc.greater_equal(tbl["ts"].slice(lo).combine_chunks(),
+                                     target),
+                    pa.scalar(True),
+                ).as_py()
+                # idx["max_ts"] >= target guarantees a hit in this segment
+                pos = lo + hit
+                o = tbl["o"][pos].as_py()  # compacted segments carry
+                # explicit, possibly-gapped offsets; append segments stay
+                # dense from seg_start
+                found = seg_start + pos if o is None else o
+                break
             out[pid] = found
         return out
 
@@ -1710,6 +1836,7 @@ class TopicLog:
                 empty = os.path.join(pdir, f"seg-{cutoff:020d}-0.jsonl")
                 with open(empty, "w", encoding="utf-8"):
                     pass
+            _sweep_orphan_timeindexes(pdir)
         return {"deleted": deleted, "kept": kept}
 
     def append(
@@ -1868,6 +1995,7 @@ class TopicLog:
                 os.unlink(path)
             os.link(marker, os.path.join(pdir, f"seg-{0:020d}-{end}.jsonl"))
             os.unlink(marker)
+            _sweep_orphan_timeindexes(pdir)
         return {"kept": kept, "superseded": superseded, "tombstoned": tombstoned}
 
 

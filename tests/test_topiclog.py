@@ -2558,3 +2558,76 @@ def test_compact_delete_retention_two_phase(tmp_path):
     log2.create_topic("t", partitions=1)
     log2.append("t", ["v", None], keys=["k", "k"], partition=0)
     assert log2.compact("t")["tombstoned"] == 1
+
+
+def test_time_index_sidecar_built_once_and_reused(tmp_path, monkeypatch):
+    """KIP-33 analog: the first seek lazily builds one ``.timeindex``
+    sidecar per segment; later seeks answer from the sidecars (segments
+    whose max_ts precedes the target are skipped without a data read)."""
+    import rdkafka_streams_spark.streaming.topiclog as tl
+
+    log = tl.TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=1)
+    # three segments (one per append), non-monotonic within the second
+    log.append("t", [b"a", b"b"], partition=0, timestamps=[100, 200])
+    log.append("t", [b"c", b"d"], partition=0, timestamps=[500, 300])
+    log.append("t", [b"e"], partition=0, timestamps=[900])
+
+    builds = []
+    real = tl._build_time_index
+    monkeypatch.setattr(tl, "_build_time_index",
+                        lambda p: builds.append(p) or real(p))
+    assert log.offsets_for_times("t", 250) == {0: 2}  # max-so-far: c@500
+    assert len(builds) == 2  # seg 1 + seg 2; seg 3 never consulted
+    pdir = os.path.join(str(tmp_path), "t", "p0")
+    assert sum(n.endswith(".timeindex") for n in os.listdir(pdir)) == 2
+
+    assert log.offsets_for_times("t", 600) == {0: 4}
+    # segs 1-2 answered from cached sidecars; only seg 3's index is new
+    assert len(builds) == 3
+    assert log.offsets_for_times("t", 901) == {0: None}
+    assert len(builds) == 3  # fully warm: no rebuilds at all
+
+
+def test_time_index_staleness_by_size(tmp_path):
+    """A rewritten segment (delete_records trims in place) must not serve
+    its old sidecar: staleness is keyed on source byte size, and the
+    admin sweeps sidecars whose segment was unlinked."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=1)
+    log.append("t", [b"a", b"b", b"c", b"d"], partition=0,
+               timestamps=[100, 200, 300, 400])
+    assert log.offsets_for_times("t", 150) == {0: 1}  # builds the index
+    log.delete_records("t", {0: 2})  # trims below offset 2, new segment name
+    assert log.offsets_for_times("t", 150) == {0: 2}  # earliest survivor
+    assert log.offsets_for_times("t", 350) == {0: 3}
+    pdir = os.path.join(str(tmp_path), "t", "p0")
+    stale = [n for n in os.listdir(pdir) if n.endswith(".timeindex")
+             and not os.path.exists(os.path.join(pdir, n[:-10]))]
+    assert stale == []  # orphan sidecars swept with their segments
+
+
+def test_time_index_matches_bruteforce_scan(tmp_path):
+    """Property-style: for adversarial timestamp shapes (spikes, plateaus,
+    descents) across several segments, the indexed seek equals a
+    brute-force earliest-offset-with-ts>=target reference at every probe."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    ts = [50, 700, 60, 70, 700, 80, 90, 650, 100, 100, 100, 710, 40, 720]
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=1)
+    for i in range(0, len(ts), 3):  # several small segments
+        chunk = ts[i:i + 3]
+        log.append("t", [b"x"] * len(chunk), partition=0, timestamps=chunk)
+
+    def brute(target):
+        for off, t in enumerate(ts):
+            if t >= target:
+                return off
+        return None
+
+    for target in sorted({t for t in ts} | {0, 55, 99, 101, 649, 651, 701,
+                                            711, 715, 721, 10_000}):
+        assert log.offsets_for_times("t", target) == {0: brute(target)}, target
