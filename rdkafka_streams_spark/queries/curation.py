@@ -5896,3 +5896,60 @@ def q290_static_member_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_delta"),
         F.sum("v.event_id").cast("bigint").alias("sum_event_id"),
     )
+
+
+# --------------- compressed wire: gzip'd segments, lossless (S2/S1)
+@query(
+    "q291_compressed_transport",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY event_type
+""",
+    tags=("S1", "S2", "T-streaming"),
+)
+def q291_compressed_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``compression.type=gzip`` end-to-end: the full events table rides
+    the transport as gzip'd segments (the broker-side shape of a Kafka
+    producer batch with a codec set — compression is the single biggest
+    wire/storage lever a 100 TB estate has) and the read-back aggregate
+    must equal the plain one-copy oracle, proving the codec is lossless
+    through produce → segment → columnar decompressing scan → decode.
+    The produce is the DISTRIBUTED sink path (executors stage, driver
+    publishes gzip'd), not a driver loop; the verify read is one pass +
+    one event_type rollup exchange. Offsets stay in segment NAMES, so
+    planning never decompresses — only the record scan pays the codec."""
+    import os as _os
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+
+    root = tempfile.mkdtemp(prefix="q291_bus")
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=4)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+        F.col("event_id").cast("string").alias("key"),
+    )
+    KProducer(
+        host=root, topic="ev", transport="topiclog", key="key",
+        options={"compression.type": "gzip"},
+    ).write_batch(ev)
+    # the codec must actually have been exercised — every published
+    # segment of every partition is gzip'd
+    for p in range(4):
+        pdir = _os.path.join(root, "ev", f"p{p}")
+        segs = [n for n in _os.listdir(pdir) if n.startswith("seg-")]
+        if segs and not all(n.endswith(".jsonl.gz") for n in segs):
+            raise RuntimeError(f"uncompressed segment leaked into {pdir}")
+    return read_topic(spark, root, "ev").select(
+        F.from_json(
+            F.col("value").cast("string"),
+            "event_id long, event_type string, cents long",
+        ).alias("v")
+    ).groupBy(F.col("v.event_type").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v.cents").cast("bigint").alias("cents"),
+    )

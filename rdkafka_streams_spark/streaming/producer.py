@@ -327,4 +327,6 @@ class KProducer:
         writer = self.encode(df).write.format(fmt).mode("append")
         for k, v in base_opts.items():
             writer = writer.option(k, v)
+        for k, v in self.options.items():  # same passthrough as write():
+            writer = writer.option(k, v)   # producer configs apply to both
         writer.save()

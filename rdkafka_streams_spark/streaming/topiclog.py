@@ -47,6 +47,7 @@ replays the batch (duplicate appends possible, lost appends not).
 from __future__ import annotations
 
 import base64
+import gzip
 import json
 import os
 import re
@@ -89,7 +90,11 @@ ENVELOPE_DDL = (
 #: appended when includeHeaders=true, same shape as the Kafka source's
 HEADERS_DDL = "headers array<struct<key: string, value: binary>>"
 
-_SEG_RE = re.compile(r"^seg-(\d{20})-(\d+)\.jsonl$")
+#: ``.jsonl.gz`` = a gzip'd segment (``compression.type=gzip``): same wire
+#: lines, compressed at publish like a Kafka batch with a codec set; plain
+#: and compressed segments coexist freely within one partition (a broker's
+#: log does too — compression.type is a point-in-time producer choice)
+_SEG_RE = re.compile(r"^seg-(\d{20})-(\d+)\.jsonl(?:\.gz)?$")
 
 
 class IllegalGenerationError(RuntimeError):
@@ -148,6 +153,30 @@ def _end_offset(part_dir: str) -> int:
     return segs[-1][0] + segs[-1][1] if segs else 0
 
 
+def _open_seg(path: str):
+    """Text-mode reader for a segment file, transparent to its codec
+    (``.jsonl.gz`` segments decompress on the fly, like a fetch of a
+    compressed Kafka batch)."""
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt", encoding="utf-8")
+    return open(path, encoding="utf-8")
+
+
+def _read_json_seg(path: str, schema, use_threads: bool = False):
+    """Columnar JSONL parse of one segment, codec-transparent: plain files
+    go straight to pyarrow's reader; gzip'd segments stream through Arrow's
+    C++ CompressedInputStream — still zero per-row Python."""
+    import pyarrow as pa
+    import pyarrow.json as pj
+
+    ro = pj.ReadOptions(use_threads=use_threads)
+    po = pj.ParseOptions(explicit_schema=schema)
+    if path.endswith(".gz"):
+        with pa.CompressedInputStream(pa.OSFile(path, "rb"), "gzip") as stream:
+            return pj.read_json(stream, read_options=ro, parse_options=po)
+    return pj.read_json(path, read_options=ro, parse_options=po)
+
+
 def _segment_record_count(path: str, span: int) -> int:
     """Record count of a segment WITHOUT a full scan when possible: a dense
     append segment's name count equals its line count by construction, so
@@ -156,7 +185,7 @@ def _segment_record_count(path: str, span: int) -> int:
     (compact() and the trimmed-from-compacted path of delete_records() write
     it; the append path never does), so one JSON parse of the first line
     decides. Keeps delete_records at O(touched records), not O(partition)."""
-    with open(path, encoding="utf-8") as f:
+    with _open_seg(path) as f:
         first = f.readline()
         if not first.strip():
             return 0
@@ -188,15 +217,8 @@ def _build_time_index(path: str) -> dict:
         return {"v": 1, "src_size": 0, "n": 0, "max_ts": None, "entries": []}
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.json as pj
 
-    tbl = pj.read_json(
-        path,
-        read_options=pj.ReadOptions(use_threads=False),
-        parse_options=pj.ParseOptions(
-            explicit_schema=pa.schema([pa.field("ts", pa.int64())])
-        ),
-    )
+    tbl = _read_json_seg(path, pa.schema([pa.field("ts", pa.int64())]))
     n = tbl.num_rows
     if n == 0:
         return {"v": 1, "src_size": size, "n": 0, "max_ts": None, "entries": []}
@@ -342,22 +364,38 @@ def _rec_val(rec: dict) -> bytes | None:
     return None if v is None else base64.b64decode(v)
 
 
-def _publish_segment(part_dir: str, lines: list[str], max_retries: int = 1000) -> int:
+def _publish_segment(
+    part_dir: str, lines: list[str], max_retries: int = 1000,
+    compression: str | None = None,
+) -> int:
     """Atomically append ``lines`` as one segment; returns its start offset.
 
     The ``os.link`` target embeds the claimed start offset — if another
     producer published first, the link raises FileExistsError and we re-list
     for the new end offset. This is the whole per-partition ordering
     protocol: no locks, safe on any POSIX filesystem.
+
+    ``compression="gzip"`` writes the segment gzip'd (suffix ``.jsonl.gz``)
+    — the broker-side shape of a producer batch with ``compression.type``
+    set. Offsets still live in the NAME, so planning never decompresses;
+    only an actual record read pays the codec.
     """
     os.makedirs(part_dir, exist_ok=True)
     tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write("\n".join(lines) + "\n")
+    body = "\n".join(lines) + "\n"
+    if compression == "gzip":
+        # mtime=0 keeps the bytes deterministic for identical content
+        with gzip.GzipFile(tmp, "wb", mtime=0) as f:
+            f.write(body.encode("utf-8"))
+        suffix = ".jsonl.gz"
+    else:
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(body)
+        suffix = ".jsonl"
     try:
         for _ in range(max_retries):
             start = _end_offset(part_dir)
-            final = os.path.join(part_dir, f"seg-{start:020d}-{len(lines)}.jsonl")
+            final = os.path.join(part_dir, f"seg-{start:020d}-{len(lines)}{suffix}")
             try:
                 os.link(tmp, final)
                 return start
@@ -366,6 +404,38 @@ def _publish_segment(part_dir: str, lines: list[str], max_retries: int = 1000) -
         raise RuntimeError(f"could not claim an offset range in {part_dir}")
     finally:
         os.unlink(tmp)
+
+
+def _norm_compression(value, where: str = "compression.type") -> str | None:
+    """Normalize a compression.type value to the publish codec. Kafka's
+    'producer' (keep the producer's codec) and 'none'/'uncompressed' all
+    mean plain here; 'gzip' is the one codec the container's stdlib
+    provides — snappy/lz4/zstd name real Kafka codecs with no local
+    library, so they fail loudly rather than silently writing plain."""
+    if value is None:
+        return None
+    v = str(value).lower()
+    if v in ("", "none", "producer", "uncompressed"):
+        return None
+    if v == "gzip":
+        return "gzip"
+    raise ValueError(
+        f"{where}={value!r} unsupported (no snappy/lz4/zstd codec in this "
+        "container); supported: gzip | none | producer"
+    )
+
+
+def _topic_compression(root: str, topic: str) -> str | None:
+    """The topic's configured ``compression.type`` publish codec (None =
+    unset/none/producer). Read directly off the config file so executors
+    and module-level committers can consult it without a TopicLog handle;
+    values were validated by ``alter_configs`` at set time."""
+    path = os.path.join(root, topic, ".config.json")
+    try:
+        with open(path, encoding="utf-8") as f:
+            return _norm_compression(json.load(f).get("compression.type"))
+    except (OSError, json.JSONDecodeError):
+        return None
 
 
 def _read_range(
@@ -385,7 +455,7 @@ def _read_range(
             continue
         if seg_start >= end:
             break
-        with open(path, encoding="utf-8") as f:
+        with _open_seg(path) as f:
             for i, line in enumerate(f):
                 rec = json.loads(line)
                 # compacted segments carry explicit, possibly-gapped
@@ -427,7 +497,6 @@ def _seg_table(path: str, seg_start: int, start: int, end: int,
     when the segment carries no txn fields (all-null fast path)."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import pyarrow.json as pj
 
     wire = pa.schema(
         [
@@ -446,11 +515,7 @@ def _seg_table(path: str, seg_start: int, start: int, end: int,
         # (its name still carries the logical span); Arrow's JSON reader
         # rejects empty input outright
         return None
-    tbl = pj.read_json(
-        path,
-        read_options=pj.ReadOptions(use_threads=False),
-        parse_options=pj.ParseOptions(explicit_schema=wire),
-    )
+    tbl = _read_json_seg(path, wire)
     n = tbl.num_rows
     if n == 0:
         return None
@@ -1100,7 +1165,7 @@ class TopicLog:
     # the same offline single-writer window as compact()/delete_records.
 
     _CONFIG_KEYS = ("retention.ms", "retention.bytes", "cleanup.policy",
-                    "delete.retention.ms")
+                    "delete.retention.ms", "compression.type")
 
     def _config_file(self, topic: str) -> str:
         return os.path.join(self.root, topic, ".config.json")
@@ -1139,6 +1204,9 @@ class TopicLog:
                 if int(v) < 0:
                     raise ValueError(f"{k} must be >= 0, got {v}")
                 cur[k] = str(int(v))
+            elif k == "compression.type":
+                _norm_compression(v)  # reject unknown codecs up front
+                cur[k] = str(v).lower()
             else:
                 if v not in ("delete", "compact"):
                     raise ValueError(f"cleanup.policy must be delete|compact, got {v!r}")
@@ -1566,7 +1634,8 @@ class TopicLog:
                           int(base_seq)),
             ))
         base_off = _publish_segment(
-            _part_dir(self.root, topic, int(partition)), lines
+            _part_dir(self.root, topic, int(partition)), lines,
+            compression=_topic_compression(self.root, topic),
         )
         st["last"] = last_seq
         st["batches"] = (st["batches"] + [[int(base_seq), last_seq, base_off]])[-5:]
@@ -1599,7 +1668,7 @@ class TopicLog:
             # (pid, epoch) -> {batch_base: [last_seq, base_off]}
             runs: dict[tuple[int, int], dict[int, list[int]]] = {}
             for seg_start, _count, path in _list_segments(pdir):
-                with open(path, encoding="utf-8") as f:
+                with _open_seg(path) as f:
                     for i, line in enumerate(f):
                         rec = json.loads(line)
                         if "pi" not in rec:
@@ -1650,7 +1719,6 @@ class TopicLog:
         how many records sit below the match — flat as the log grows."""
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.json as pj
 
         out: dict[int, int | None] = {}
         for pid in _list_partitions(self.root, topic):
@@ -1673,15 +1741,10 @@ class TopicLog:
                         lo = p + 1
                     else:
                         break
-                tbl = pj.read_json(
+                tbl = _read_json_seg(
                     path,
-                    read_options=pj.ReadOptions(use_threads=False),
-                    parse_options=pj.ParseOptions(
-                        explicit_schema=pa.schema(
-                            [pa.field("ts", pa.int64()),
-                             pa.field("o", pa.int64())]
-                        )
-                    ),
+                    pa.schema([pa.field("ts", pa.int64()),
+                               pa.field("o", pa.int64())]),
                 )
                 hit = pc.index(
                     pc.greater_equal(tbl["ts"].slice(lo).combine_chunks(),
@@ -1802,7 +1865,7 @@ class TopicLog:
                     deleted += _segment_record_count(path, count)
                     os.unlink(path)
                 elif seg_start < cutoff:
-                    with open(path, encoding="utf-8") as f:
+                    with _open_seg(path) as f:
                         lines = [ln.rstrip("\n") for ln in f if ln.strip()]
                     keep: list[str] = []
                     for i, ln in enumerate(lines):
@@ -1848,6 +1911,7 @@ class TopicLog:
         timestamps: Sequence[int] | None = None,
         headers: Sequence[Sequence[tuple[str, bytes | None]] | None] | None = None,
         txn: str | None = None,
+        compression: str | None = None,
     ) -> None:
         """Append records, routing by explicit partition, else hash(key),
         else hash(value) — deterministic, like keyed Kafka producing.
@@ -1885,8 +1949,13 @@ class TopicLog:
             # a crash in between leaves an open txn whose records stay
             # invisible to read_committed (Kafka's pending-txn posture)
             self._txn_touch(txn, topic, sorted(by_pid))
+        # producer codec wins when given (Kafka: topic compression.type
+        # defaults to 'producer' = honor the sender), else the topic config
+        codec = (_norm_compression(compression, "compression")
+                 or _topic_compression(self.root, topic))
         for pid, lines in by_pid.items():
-            _publish_segment(_part_dir(self.root, topic, pid), lines)
+            _publish_segment(_part_dir(self.root, topic, pid), lines,
+                             compression=codec)
 
     def append_json(self, topic: str, objs: Sequence[dict], **kw) -> None:
         """JSON.stringify-and-produce, the reference's record shape."""
@@ -1933,7 +2002,7 @@ class TopicLog:
             latest: dict[bytes, tuple[int, int, bytes | None]] = {}
             n_records = 0
             for seg_start, _count, path in segs:
-                with open(path, encoding="utf-8") as f:
+                with _open_seg(path) as f:
                     for i, line in enumerate(f):
                         rec = json.loads(line)
                         off = rec.get("o", seg_start + i)
@@ -2551,10 +2620,15 @@ def _stage_batches(
     return _write_staged(root, topic, by_pid, txn=txn_tag)
 
 
-def _commit_staged(messages, root: str, topic: str) -> None:
+def _commit_staged(messages, root: str, topic: str,
+                   compression: str | None = None) -> None:
     """Driver side: publish every staged file as a segment (serialized here,
     so offset assignment needs no cross-task coordination), then drop the
-    staging files."""
+    staging files. ``compression`` is the sink's ``compression.type``
+    option; unset falls back to the topic config (Kafka's 'producer'
+    default: the topic honors the sender's codec)."""
+    codec = (_norm_compression(compression)
+             or _topic_compression(root, topic))
     for m in messages:
         if m is None:
             continue
@@ -2562,12 +2636,14 @@ def _commit_staged(messages, root: str, topic: str) -> None:
             with open(path, encoding="utf-8") as f:
                 lines = [ln.rstrip("\n") for ln in f if ln.strip()]
             if lines:
-                _publish_segment(_part_dir(root, topic, pid), lines)
+                _publish_segment(_part_dir(root, topic, pid), lines,
+                                 compression=codec)
             os.unlink(path)
 
 
 def _commit_staged_txn(
-    messages, root: str, topic: str, txn_id: str | None, batch_id: int
+    messages, root: str, topic: str, txn_id: str | None, batch_id: int,
+    compression: str | None = None,
 ) -> None:
     """Streaming commit with optional transactional batch dedup (the
     ``transactional.id`` analog of the Kafka producer): when ``txnId`` is
@@ -2589,13 +2665,13 @@ def _commit_staged_txn(
         if os.path.exists(marker):
             _abort_staged(messages)
             return
-        _commit_staged(messages, root, topic)
+        _commit_staged(messages, root, topic, compression)
         tmp = marker + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w", encoding="utf-8") as f:
             f.write("")
         os.replace(tmp, marker)
         return
-    _commit_staged(messages, root, topic)
+    _commit_staged(messages, root, topic, compression)
 
 
 def _commit_staged_atomic(messages, root: str, topic: str) -> None:
@@ -2701,6 +2777,7 @@ class _TopicLogBatchWriter(DataSourceWriter):
         self.topic = options["topic"]
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
+        self.compression = _norm_compression(options.get("compression.type"))
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 
@@ -2708,7 +2785,7 @@ class _TopicLogBatchWriter(DataSourceWriter):
         return _stage_rows(iterator, self.root, self.topic, self.fields, self.tombstones)
 
     def commit(self, messages) -> None:
-        _commit_staged(messages, self.root, self.topic)
+        _commit_staged(messages, self.root, self.topic, self.compression)
 
     def abort(self, messages) -> None:
         _abort_staged(messages)
@@ -2720,6 +2797,7 @@ class _TopicLogStreamWriter(DataSourceStreamWriter):
         self.topic = options["topic"]
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
+        self.compression = _norm_compression(options.get("compression.type"))
         self.txn_id = options.get("txnid")
         self.atomic = str(options.get("atomic", "false")).lower() == "true"
         if "value" not in self.fields:
@@ -2732,9 +2810,13 @@ class _TopicLogStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int) -> None:
         if self.atomic:
+            # atomic mode hard-links staged files into place (the WAL/inode
+            # protocol), so it always publishes plain segments: recompression
+            # would break link-from-stage. compression.type is ignored here.
             _commit_staged_atomic(messages, self.root, self.topic)
         else:
-            _commit_staged_txn(messages, self.root, self.topic, self.txn_id, batchId)
+            _commit_staged_txn(messages, self.root, self.topic, self.txn_id,
+                               batchId, self.compression)
 
     def abort(self, messages, batchId: int) -> None:
         _abort_staged(messages)
@@ -2749,6 +2831,7 @@ class _TopicLogArrowWriter(DataSourceArrowWriter):
         self.topic = options["topic"]
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
+        self.compression = _norm_compression(options.get("compression.type"))
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 
@@ -2756,7 +2839,7 @@ class _TopicLogArrowWriter(DataSourceArrowWriter):
         return _stage_batches(iterator, self.root, self.topic, self.fields, self.tombstones)
 
     def commit(self, messages) -> None:
-        _commit_staged(messages, self.root, self.topic)
+        _commit_staged(messages, self.root, self.topic, self.compression)
 
     def abort(self, messages) -> None:
         _abort_staged(messages)
@@ -2768,6 +2851,7 @@ class _TopicLogStreamArrowWriter(DataSourceStreamArrowWriter):
         self.topic = options["topic"]
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
+        self.compression = _norm_compression(options.get("compression.type"))
         self.txn_id = options.get("txnid")
         self.atomic = str(options.get("atomic", "false")).lower() == "true"
         if "value" not in self.fields:
@@ -2780,9 +2864,13 @@ class _TopicLogStreamArrowWriter(DataSourceStreamArrowWriter):
 
     def commit(self, messages, batchId: int) -> None:
         if self.atomic:
+            # atomic mode hard-links staged files into place (the WAL/inode
+            # protocol), so it always publishes plain segments: recompression
+            # would break link-from-stage. compression.type is ignored here.
             _commit_staged_atomic(messages, self.root, self.topic)
         else:
-            _commit_staged_txn(messages, self.root, self.topic, self.txn_id, batchId)
+            _commit_staged_txn(messages, self.root, self.topic, self.txn_id,
+                               batchId, self.compression)
 
     def abort(self, messages, batchId: int) -> None:
         _abort_staged(messages)

@@ -336,6 +336,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # joins/heartbeats/commits are metadata file ops; the resumed
         # read is a partition-pruned scan + one rollup exchange
         "q290_static_member_resume": 1,
+        # distributed sink produce is a write job; the verify read is one
+        # decompressing pass + one event_type rollup exchange
+        "q291_compressed_transport": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
