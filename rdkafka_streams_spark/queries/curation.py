@@ -5953,3 +5953,67 @@ def q291_compressed_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("v.cents").cast("bigint").alias("cents"),
     )
+
+
+# --------------- tiered storage: stitched hot/cold reads (S1/S4)
+@query(
+    "q292_tiered_read",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM events GROUP BY event_type
+""",
+    tags=("S1", "S4", "T-streaming"),
+)
+def q292_tiered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIERED STORAGE (KIP-405 analog) end-to-end: the events table rides
+    the transport in two time waves with CreateTime stamps; segments past
+    ``local.retention.ms`` move to the remote tier (the object-store
+    stand-in every 100 TB estate keeps its cold log in) while the hot
+    wave stays local, and a single read STITCHES both tiers into one
+    continuous log whose aggregate equals the plain one-copy oracle. The
+    query hard-fails if nothing actually tiered or the local tier did not
+    shrink, so the oracle match certifies the stitched path, not a
+    degenerate all-local read. Scale posture: the local tier holds only
+    the working set; planning stays a directory listing per tier; cold
+    reads pay one extra metadata hop, exactly a broker's remote fetch."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+
+    root = tempfile.mkdtemp(prefix="q292_bus")
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=4)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts",
+        F.col("event_id").cast("string").alias("key"),
+    )
+    mn, mx = ev.agg(
+        F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))
+    ).first()
+    mid = (int(mn) + int(mx)) // 2
+    prod = KProducer(host=root, topic="ev", transport="topiclog",
+                     key="key", timestamp_col="ts")
+    # cold wave first, hot wave second: every cold-wave segment's max
+    # CreateTime precedes the boundary, so tiering is deterministic
+    prod.write_batch(ev.where(F.unix_millis("ts") < mid))
+    prod.write_batch(ev.where(F.unix_millis("ts") >= mid))
+    now = int(mx) + 1_000
+    log.alter_configs("ev", {"remote.storage.enable": "true",
+                             "local.retention.ms": now - mid})
+    moved = log.tier_segments("ev", now_ms=now)
+    if sum(moved.values()) == 0:
+        raise RuntimeError("nothing tiered: the cold wave stayed local")
+    lls = log.local_log_start_offset("ev")
+    if all(v == 0 for v in lls.values()):
+        raise RuntimeError(f"local tier did not shrink: {lls}")
+    return read_topic(spark, root, "ev").select(
+        F.from_json(
+            F.col("value").cast("string"),
+            "event_id long, event_type string",
+        ).alias("v")
+    ).groupBy(F.col("v.event_type").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v.event_id").cast("bigint").alias("sum_event_id"),
+    )

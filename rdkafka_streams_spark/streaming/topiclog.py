@@ -425,17 +425,80 @@ def _norm_compression(value, where: str = "compression.type") -> str | None:
     )
 
 
-def _topic_compression(root: str, topic: str) -> str | None:
-    """The topic's configured ``compression.type`` publish codec (None =
-    unset/none/producer). Read directly off the config file so executors
-    and module-level committers can consult it without a TopicLog handle;
-    values were validated by ``alter_configs`` at set time."""
+def _topic_config(root: str, topic: str) -> dict:
+    """The topic's explicitly-set configs, read directly off the config
+    file so executors and module-level committers can consult them without
+    a TopicLog handle; values were validated by ``alter_configs`` at set
+    time."""
     path = os.path.join(root, topic, ".config.json")
     try:
         with open(path, encoding="utf-8") as f:
-            return _norm_compression(json.load(f).get("compression.type"))
+            return json.load(f)
     except (OSError, json.JSONDecodeError):
-        return None
+        return {}
+
+
+def _topic_compression(root: str, topic: str) -> str | None:
+    """The topic's configured ``compression.type`` publish codec (None =
+    unset/none/producer)."""
+    return _norm_compression(_topic_config(root, topic).get("compression.type"))
+
+
+def _topic_segment_bytes(root: str, topic: str) -> int | None:
+    """The topic's ``segment.bytes`` roll bound, or None (unbounded — the
+    historical behavior: one publish = one segment of whatever size)."""
+    v = _topic_config(root, topic).get("segment.bytes")
+    return int(v) if v is not None else None
+
+
+def _remote_dir(root: str, topic: str, pid: int) -> str:
+    """The partition's REMOTE-tier directory (KIP-405 tiered storage
+    analog). The remote tier stands in for object storage: a dot-dir
+    beside the topics (invisible to topic listings), reachable from
+    ``root`` alone so executors can stitch reads without extra state."""
+    return os.path.join(root, ".remote", topic, f"p{pid}")
+
+
+def _list_segments_tiered(root: str, topic: str, pid: int) -> list[tuple[int, int, str]]:
+    """Sorted (start, count, path) across BOTH tiers. Remote segments are
+    strictly older (tiering only moves non-active segments), so the merge
+    is a plain sort; a segment present in both tiers (crash between the
+    remote copy and the local unlink) is served from the LOCAL copy — the
+    next tiering pass finishes the unlink. Readers built on this see one
+    continuous log, exactly Kafka's transparent remote fetch."""
+    local = _list_segments(_part_dir(root, topic, pid))
+    rdir = _remote_dir(root, topic, pid)
+    if not os.path.isdir(rdir):
+        return local
+    seen = {(s, c) for s, c, _ in local}
+    merged = local + [t for t in _list_segments(rdir)
+                      if (t[0], t[1]) not in seen]
+    merged.sort()
+    return merged
+
+
+def _chunk_lines(lines: list[str], seg_bytes: int | None) -> Iterator[list[str]]:
+    """Split a publish into segment-sized chunks (the ``segment.bytes``
+    roll analog: a broker rolls its active segment when the next batch
+    would push it past the bound; this log's segments are immutable, so
+    the roll happens at publish — each chunk becomes its own segment).
+    Sizes are UNCOMPRESSED line bytes (+1 per newline); a single oversize
+    record still publishes alone, like a broker accepting a batch larger
+    than segment.bytes into a fresh segment."""
+    if seg_bytes is None:
+        yield lines
+        return
+    chunk: list[str] = []
+    size = 0
+    for ln in lines:
+        n = len(ln.encode("utf-8")) + 1
+        if chunk and size + n > seg_bytes:
+            yield chunk
+            chunk, size = [], 0
+        chunk.append(ln)
+        size += n
+    if chunk:
+        yield chunk
 
 
 def _read_range(
@@ -450,7 +513,7 @@ def _read_range(
     ``excluded_txns`` additionally drops records of those transaction ids
     (the read_committed filter). Either filter leaves offset GAPS in the
     yielded stream, exactly as a read_committed Kafka fetch does."""
-    for seg_start, count, path in _list_segments(_part_dir(root, topic, pid)):
+    for seg_start, count, path in _list_segments_tiered(root, topic, pid):
         if seg_start + count <= start:
             continue
         if seg_start >= end:
@@ -599,7 +662,7 @@ def _read_range_arrow(
             pa.field("timestampType", pa.int32()),
         ]
     )
-    for seg_start, count, path in _list_segments(_part_dir(root, topic, pid)):
+    for seg_start, count, path in _list_segments_tiered(root, topic, pid):
         if seg_start + count <= start:
             continue
         if seg_start >= end:
@@ -661,6 +724,9 @@ class TopicLog:
         import shutil
 
         shutil.rmtree(path)
+        # tiered copies go with the topic (a broker's remote-log cleaner)
+        shutil.rmtree(os.path.join(self.root, ".remote", topic),
+                      ignore_errors=True)
 
     def describe_log_dirs(self, topic: str | None = None) -> dict:
         """``AdminClient.describeLogDirs`` analog: per topic-partition
@@ -679,6 +745,14 @@ class TopicLog:
                     ),
                     "n_segments": len(segs),
                 }
+                rdir = _remote_dir(self.root, t, pid)
+                if os.path.isdir(rdir):  # tiered topics also report the
+                    # remote tier (a broker's remote-log size metrics)
+                    rsegs = _list_segments(rdir)
+                    parts[pid]["remote_size_bytes"] = sum(
+                        os.path.getsize(path) for _, _, path in rsegs
+                    )
+                    parts[pid]["n_remote_segments"] = len(rsegs)
             if not parts and not os.path.isdir(os.path.join(self.root, t)):
                 raise ValueError(f"unknown topic {t!r}")
             out[t] = parts
@@ -1165,7 +1239,9 @@ class TopicLog:
     # the same offline single-writer window as compact()/delete_records.
 
     _CONFIG_KEYS = ("retention.ms", "retention.bytes", "cleanup.policy",
-                    "delete.retention.ms", "compression.type")
+                    "delete.retention.ms", "compression.type",
+                    "segment.bytes", "remote.storage.enable",
+                    "local.retention.ms", "local.retention.bytes")
 
     def _config_file(self, topic: str) -> str:
         return os.path.join(self.root, topic, ".config.json")
@@ -1207,9 +1283,38 @@ class TopicLog:
             elif k == "compression.type":
                 _norm_compression(v)  # reject unknown codecs up front
                 cur[k] = str(v).lower()
+            elif k == "segment.bytes":
+                # Kafka's LogConfig floor is one record's overhead; a sane
+                # lower bound keeps a typo from exploding into per-record
+                # segments
+                if int(v) < 1024:
+                    raise ValueError(f"segment.bytes must be >= 1024, got {v}")
+                cur[k] = str(int(v))
+            elif k in ("local.retention.ms", "local.retention.bytes"):
+                if int(v) <= 0:
+                    raise ValueError(f"{k} must be positive, got {v}")
+                cur[k] = str(int(v))
+            elif k == "remote.storage.enable":
+                vs = str(v).lower()
+                if vs not in ("true", "false"):
+                    raise ValueError(f"{k} must be true|false, got {v!r}")
+                if vs == "true" and cur.get("cleanup.policy") == "compact":
+                    # Kafka's own restriction: tiered storage does not
+                    # support compacted topics
+                    raise ValueError(
+                        "remote.storage.enable=true is incompatible with "
+                        "cleanup.policy=compact (KIP-405 restriction)"
+                    )
+                cur[k] = vs
             else:
                 if v not in ("delete", "compact"):
                     raise ValueError(f"cleanup.policy must be delete|compact, got {v!r}")
+                if v == "compact" and \
+                        str(cur.get("remote.storage.enable", "")).lower() == "true":
+                    raise ValueError(
+                        "cleanup.policy=compact is incompatible with "
+                        "remote.storage.enable=true (KIP-405 restriction)"
+                    )
                 cur[k] = str(v)
         path = self._config_file(topic)
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
@@ -1223,11 +1328,12 @@ class TopicLog:
         the newest whole segments whose cumulative file size fits
         ``max_bytes`` and truncate below — segment granularity, exactly a
         broker's size-based retention (the newest/active segment always
-        survives, even oversized)."""
+        survives, even oversized). With tiered storage the budget spans
+        BOTH tiers — retention.bytes bounds the TOTAL log, local + remote
+        (KIP-405's split: local.retention.bytes bounds the local tier)."""
         before: dict[int, int] = {}
         for pid in _list_partitions(self.root, topic):
-            pdir = _part_dir(self.root, topic, pid)
-            segs = _list_segments(pdir)
+            segs = _list_segments_tiered(self.root, topic, pid)
             if not segs:
                 continue
             kept, boundary = 0, segs[-1][0]
@@ -1239,6 +1345,79 @@ class TopicLog:
             if boundary > segs[0][0]:
                 before[pid] = boundary
         return self.delete_records(topic, before)
+
+    def tier_segments(self, topic: str, now_ms: int | None = None) -> dict[int, int]:
+        """KIP-405 tiered storage: move closed segments past the LOCAL
+        retention to the remote tier (``<root>/.remote/...``, the
+        object-store stand-in). ``local.retention.ms`` tiers segments whose
+        largest timestamp (off the KIP-33 time index — the same value a
+        broker's retention keys on) is older than now−R;
+        ``local.retention.bytes`` tiers oldest-first until the local tier
+        fits the budget. The ACTIVE (newest) segment never tiers, exactly
+        like a broker — which also keeps end_offsets a pure local listing.
+        Reads stitch the tiers transparently (_list_segments_tiered);
+        total retention.ms/bytes keep bounding the WHOLE log via
+        run_retention. Crash-safe: copy-to-remote (tmp + rename) before
+        the local unlink; a segment caught in both tiers is served from
+        local and re-tiered next pass. Documented divergence: a real
+        broker uploads eagerly and keeps a dual local+remote copy until
+        local retention expires; here the copy happens at expiry, so
+        there is no dual-copy window — the observable contract (stitched
+        reads, shrinking local tier, total retention) is identical.
+        Returns {partition: segments moved}."""
+        cfg = self.describe_configs(topic)
+        if str(cfg.get("remote.storage.enable", "false")).lower() != "true":
+            raise ValueError(
+                f"topic {topic!r}: remote.storage.enable is not true"
+            )
+        lr_ms = cfg.get("local.retention.ms")
+        lr_bytes = cfg.get("local.retention.bytes")
+        now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        moved: dict[int, int] = {}
+        for pid in _list_partitions(self.root, topic):
+            pdir = _part_dir(self.root, topic, pid)
+            segs = _list_segments(pdir)
+            if len(segs) <= 1:
+                moved[pid] = 0
+                continue
+            candidates = segs[:-1]  # the active segment never tiers
+            to_move: list[tuple[int, int, str]] = []
+            if lr_ms is not None:
+                cutoff = now - int(lr_ms)
+                for s, c, p in candidates:
+                    idx = _segment_time_index(p)
+                    if idx["max_ts"] is not None and idx["max_ts"] < cutoff:
+                        to_move.append((s, c, p))
+            if lr_bytes is not None:
+                budget = int(lr_bytes)
+                keep_paths = set()
+                for s, c, p in reversed(segs):  # newest-first, incl. active
+                    sz = os.path.getsize(p)
+                    if budget - sz < 0 and p != segs[-1][2]:
+                        break
+                    budget -= sz
+                    keep_paths.add(p)
+                to_move += [t for t in candidates if t[2] not in keep_paths]
+            rdir = _remote_dir(self.root, topic, pid)
+            n = 0
+            for s, c, p in sorted(set(to_move)):
+                os.makedirs(rdir, exist_ok=True)
+                dst = os.path.join(rdir, os.path.basename(p))
+                if not os.path.exists(dst):
+                    import shutil
+                    tmp = os.path.join(rdir, f".tier-{uuid.uuid4().hex}")
+                    shutil.copyfile(p, tmp)
+                    os.replace(tmp, dst)  # remote copy complete BEFORE...
+                tix = p + ".timeindex"
+                if os.path.exists(tix) and not os.path.exists(dst + ".timeindex"):
+                    import shutil
+                    shutil.copyfile(tix, dst + ".timeindex")
+                if os.path.exists(tix):
+                    os.unlink(tix)
+                os.unlink(p)  # ...the local copy goes
+                n += 1
+            moved[pid] = n
+        return moved
 
     def run_retention(self, topic: str | None = None,
                       now_ms: int | None = None) -> dict[str, dict]:
@@ -1259,6 +1438,11 @@ class TopicLog:
             if cfg.get("cleanup.policy") == "compact":
                 acts["compacted"] = self.compact(t, now_ms=now)
             else:
+                if str(cfg.get("remote.storage.enable", "false")).lower() == "true" \
+                        and ("local.retention.ms" in cfg
+                             or "local.retention.bytes" in cfg):
+                    # tier first, then total retention bounds BOTH tiers
+                    acts["tiered"] = self.tier_segments(t, now_ms=now)
                 if "retention.ms" in cfg:
                     cutoff = now - int(cfg["retention.ms"])
                     acts["reaped_by_time"] = self.delete_records_before_timestamp(
@@ -1664,10 +1848,10 @@ class TopicLog:
         sdir = os.path.join(self.root, ".pids", "seq")
         rebuilt = 0
         for pid_part in _list_partitions(self.root, topic):
-            pdir = _part_dir(self.root, topic, pid_part)
             # (pid, epoch) -> {batch_base: [last_seq, base_off]}
             runs: dict[tuple[int, int], dict[int, list[int]]] = {}
-            for seg_start, _count, path in _list_segments(pdir):
+            for seg_start, _count, path in _list_segments_tiered(
+                    self.root, topic, pid_part):
                 with _open_seg(path) as f:
                     for i, line in enumerate(f):
                         rec = json.loads(line)
@@ -1727,8 +1911,8 @@ class TopicLog:
                 continue
             target = int(target)
             found = None
-            pdir = _part_dir(self.root, topic, pid)
-            for seg_start, count, path in _list_segments(pdir):
+            for seg_start, count, path in _list_segments_tiered(
+                    self.root, topic, pid):
                 idx = _segment_time_index(path)
                 if idx["max_ts"] is None or idx["max_ts"] < target:
                     continue  # max-so-far proof: no record here qualifies
@@ -1812,6 +1996,16 @@ class TopicLog:
         data), only the reported logStartOffset differs from a broker's."""
         out = {}
         for pid in _list_partitions(self.root, topic):
+            segs = _list_segments_tiered(self.root, topic, pid)
+            out[pid] = segs[0][0] if segs else 0
+        return out
+
+    def local_log_start_offset(self, topic: str) -> dict[int, int]:
+        """KIP-405's localLogStartOffset: the first offset still served
+        from the LOCAL tier (== logStartOffset when nothing has tiered).
+        The [logStartOffset, localLogStartOffset) range reads from remote."""
+        out = {}
+        for pid in _list_partitions(self.root, topic):
             segs = _list_segments(_part_dir(self.root, topic, pid))
             out[pid] = segs[0][0] if segs else 0
         return out
@@ -1825,7 +2019,7 @@ class TopicLog:
         out: dict[int, dict] = {}
         for pid in _list_partitions(self.root, topic):
             pdir = _part_dir(self.root, topic, pid)
-            segs = _list_segments(pdir)
+            segs = _list_segments_tiered(self.root, topic, pid)
             out[pid] = {
                 "start": segs[0][0] if segs else 0,
                 "end": _end_offset(pdir),
@@ -1860,7 +2054,11 @@ class TopicLog:
             _recover_compaction(pdir)
             end = _end_offset(pdir)
             cutoff = max(0, min(int(cutoff), end))
-            for seg_start, count, path in _list_segments(pdir):
+            # truncation spans BOTH tiers: remote segments below the cutoff
+            # unlink like local ones (Kafka's tiered retention deletes
+            # remote log metadata past logStartOffset the same way)
+            for seg_start, count, path in _list_segments_tiered(
+                    self.root, topic, pid):
                 if seg_start + count <= cutoff:
                     deleted += _segment_record_count(path, count)
                     os.unlink(path)
@@ -1873,7 +2071,10 @@ class TopicLog:
                         off = rec.get("o", seg_start + i)
                         if off >= cutoff:
                             keep.append(ln)
-                    tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+                    # the trimmed replacement lands in the TIER the source
+                    # lived in (a remote spanning segment trims in place)
+                    seg_dir = os.path.dirname(path)
+                    tmp = os.path.join(seg_dir, f".tmp-{uuid.uuid4().hex}")
                     with open(tmp, "w", encoding="utf-8") as f:
                         # a gapped compacted segment can have every survivor
                         # below the cutoff; a lone "\n" would poison
@@ -1884,7 +2085,7 @@ class TopicLog:
                     # segments are gapped: span >= line count), so end
                     # offsets never move
                     span = seg_start + count - cutoff
-                    final = os.path.join(pdir, f"seg-{cutoff:020d}-{span}.jsonl")
+                    final = os.path.join(seg_dir, f"seg-{cutoff:020d}-{span}.jsonl")
                     os.link(tmp, final)
                     os.unlink(tmp)
                     os.unlink(path)
@@ -1900,6 +2101,7 @@ class TopicLog:
                 with open(empty, "w", encoding="utf-8"):
                     pass
             _sweep_orphan_timeindexes(pdir)
+            _sweep_orphan_timeindexes(_remote_dir(self.root, topic, pid))
         return {"deleted": deleted, "kept": kept}
 
     def append(
@@ -1953,9 +2155,11 @@ class TopicLog:
         # defaults to 'producer' = honor the sender), else the topic config
         codec = (_norm_compression(compression, "compression")
                  or _topic_compression(self.root, topic))
+        seg_bytes = _topic_segment_bytes(self.root, topic)
         for pid, lines in by_pid.items():
-            _publish_segment(_part_dir(self.root, topic, pid), lines,
-                             compression=codec)
+            for chunk in _chunk_lines(lines, seg_bytes):
+                _publish_segment(_part_dir(self.root, topic, pid), chunk,
+                                 compression=codec)
 
     def append_json(self, topic: str, objs: Sequence[dict], **kw) -> None:
         """JSON.stringify-and-produce, the reference's record shape."""
@@ -1989,7 +2193,17 @@ class TopicLog:
         Returns {kept, superseded, tombstoned} counts (a horizon-stamped
         tombstone still awaiting removal counts as kept)."""
         kept = superseded = tombstoned = 0
-        drm_raw = self.describe_configs(topic).get("delete.retention.ms")
+        cfg = self.describe_configs(topic)
+        if str(cfg.get("remote.storage.enable", "false")).lower() == "true":
+            # Kafka's own restriction, enforced at both config-time
+            # (alter_configs) and clean-time: the cleaner only sees the
+            # local tier, so compacting a tiered topic would resurrect
+            # remote history
+            raise ValueError(
+                f"topic {topic!r} has remote.storage.enable=true; "
+                "compaction is unsupported on tiered topics (KIP-405)"
+            )
+        drm_raw = cfg.get("delete.retention.ms")
         now = int(time.time() * 1000) if now_ms is None else int(now_ms)
         for pid in _list_partitions(self.root, topic):
             pdir = _part_dir(self.root, topic, pid)
@@ -2629,6 +2843,7 @@ def _commit_staged(messages, root: str, topic: str,
     default: the topic honors the sender's codec)."""
     codec = (_norm_compression(compression)
              or _topic_compression(root, topic))
+    seg_bytes = _topic_segment_bytes(root, topic)
     for m in messages:
         if m is None:
             continue
@@ -2636,8 +2851,9 @@ def _commit_staged(messages, root: str, topic: str,
             with open(path, encoding="utf-8") as f:
                 lines = [ln.rstrip("\n") for ln in f if ln.strip()]
             if lines:
-                _publish_segment(_part_dir(root, topic, pid), lines,
-                                 compression=codec)
+                for chunk in _chunk_lines(lines, seg_bytes):
+                    _publish_segment(_part_dir(root, topic, pid), chunk,
+                                     compression=codec)
             os.unlink(path)
 
 

@@ -339,6 +339,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # distributed sink produce is a write job; the verify read is one
         # decompressing pass + one event_type rollup exchange
         "q291_compressed_transport": 1,
+        # tiering is a metadata move; the stitched two-tier read is one
+        # pass + one event_type rollup exchange
+        "q292_tiered_read": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

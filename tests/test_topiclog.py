@@ -2733,3 +2733,152 @@ def test_compression_idempotent_producer_state_rebuild(tmp_path):
     assert log.produce_idempotent("t", ["c"], 0, pid, epoch, base_seq=2) == {
         "base_offset": 2, "duplicate": True,
     }
+
+
+def test_segment_bytes_roll(spark, tmp_path):
+    """segment.bytes: a publish larger than the bound rolls into multiple
+    dense contiguous segments, each at most the bound (an oversize single
+    record still lands alone); reads, offsets, and seeks are unchanged."""
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = str(tmp_path)
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.alter_configs("t", {"segment.bytes": 2048})
+    vals = [f"v{i:04d}" + "x" * 90 for i in range(100)]  # ~130B lines
+    log.append("t", vals, partition=0, timestamps=list(range(100)))
+
+    pdir = os.path.join(root, "t", "p0")
+    segs = sorted(n for n in os.listdir(pdir) if n.startswith("seg-"))
+    assert len(segs) > 4  # ~13KB of lines over a 2KB bound
+    for n in segs:
+        assert os.path.getsize(os.path.join(pdir, n)) <= 2048
+    # contiguous dense offsets across the rolled segments
+    spans = [(int(n[4:24]), int(n.split("-")[2].split(".")[0])) for n in segs]
+    pos = 0
+    for start, count in spans:
+        assert start == pos
+        pos += count
+    assert pos == 100
+    got = [bytes(r.value).decode() for r in
+           read_topic(spark, root, "t").orderBy("offset").collect()]
+    assert got == vals
+    assert log.offsets_for_times("t", 42) == {0: 42}
+
+    # the sink path rolls too
+    log.create_topic("s", partitions=1)
+    log.alter_configs("s", {"segment.bytes": 2048})
+    df = spark.createDataFrame([(v,) for v in vals], "value string")
+    (df.repartition(1).write.format("topiclog").mode("append")
+       .option("path", root).option("topic", "s").save())
+    sdir = os.path.join(root, "s", "p0")
+    ssegs = [n for n in os.listdir(sdir) if n.startswith("seg-")]
+    assert len(ssegs) > 4
+    assert read_topic(spark, root, "s").count() == 100
+
+    # floor validation, like the broker's INVALID_CONFIG
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="segment.bytes"):
+        log.alter_configs("t", {"segment.bytes": 100})
+
+
+def test_tiered_storage_stitched_reads(spark, tmp_path):
+    """KIP-405 analog: segments past local.retention.ms move to the remote
+    tier; reads stitch both tiers into one continuous log, seeks and
+    offsets are tier-transparent, and the active segment never tiers."""
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = str(tmp_path)
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.alter_configs("t", {"remote.storage.enable": "true",
+                            "local.retention.ms": 60_000})
+    t0 = 1_700_000_000_000
+    log.append("t", [b"w1a", b"w1b"], partition=0, timestamps=[t0, t0 + 1])
+    log.append("t", [b"w2a", b"w2b"], partition=0,
+               timestamps=[t0 + 120_000, t0 + 120_001])
+    log.append("t", [b"w3"], partition=0, timestamps=[t0 + 240_000])
+
+    # at now = t0+130s: wave1 (max_ts t0+1) is past local retention;
+    # wave2 is inside it; wave3 is the active segment (never tiers)
+    moved = log.tier_segments("t", now_ms=t0 + 130_000)
+    assert moved == {0: 1}
+    assert log.beginning_offsets("t") == {0: 0}       # logStartOffset
+    assert log.local_log_start_offset("t") == {0: 2}  # local tier starts late
+    rdir = os.path.join(root, ".remote", "t", "p0")
+    assert len([n for n in os.listdir(rdir) if n.startswith("seg-")
+                and not n.endswith(".timeindex")]) == 1
+
+    # stitched read: one continuous log across tiers
+    got = [(r.offset, bytes(r.value)) for r in
+           read_topic(spark, root, "t").orderBy("offset").collect()]
+    assert got == [(0, b"w1a"), (1, b"w1b"), (2, b"w2a"), (3, b"w2b"),
+                   (4, b"w3")]
+    # seeks are tier-transparent (the answer lives in the remote tier)
+    assert log.offsets_for_times("t", t0 + 1) == {0: 1}
+    # remote tier is visible to capacity metrics
+    dl = log.describe_log_dirs("t")["t"][0]
+    assert dl["n_remote_segments"] == 1 and dl["remote_size_bytes"] > 0
+    # appends continue the offset clock unchanged
+    log.append("t", [b"w4"], partition=0, timestamps=[t0 + 300_000])
+    assert log.end_offsets("t") == {0: 6}
+    # truncation reaps the remote tier too
+    log.delete_records("t", {0: 2})
+    assert log.beginning_offsets("t") == {0: 2}
+    assert [n for n in os.listdir(rdir) if n.startswith("seg-")
+            and not n.endswith(".timeindex")] == []
+    assert read_topic(spark, root, "t").count() == 4
+
+
+def test_tiered_storage_guards_and_retention(tmp_path):
+    """Config exclusivity with compaction (Kafka's own KIP-405
+    restriction), local.retention.bytes tiering, the run_retention tier
+    leg with TOTAL retention spanning both tiers, and remote cleanup on
+    topic deletion."""
+    import pytest as _pytest
+
+    from rdkafka_streams_spark.streaming import TopicLog
+
+    root = str(tmp_path)
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    with _pytest.raises(ValueError, match="remote.storage.enable"):
+        log.tier_segments("t")  # not enabled
+    log.alter_configs("t", {"cleanup.policy": "compact"})
+    with _pytest.raises(ValueError, match="KIP-405"):
+        log.alter_configs("t", {"remote.storage.enable": "true"})
+    log.alter_configs("t", {"cleanup.policy": None,
+                            "remote.storage.enable": "true"})
+    with _pytest.raises(ValueError, match="KIP-405"):
+        log.alter_configs("t", {"cleanup.policy": "compact"})
+    with _pytest.raises(ValueError, match="KIP-405"):
+        log.compact("t")
+
+    # size-based local retention: oldest closed segments tier out until
+    # the local tier fits the budget
+    t0 = 1_700_000_000_000
+    for i in range(4):
+        log.append("t", [b"x" * 200], partition=0, timestamps=[t0 + i])
+    pdir = os.path.join(root, "t", "p0")
+    seg_sz = max(os.path.getsize(os.path.join(pdir, n))
+                 for n in os.listdir(pdir) if n.startswith("seg-"))
+    log.alter_configs("t", {"local.retention.bytes": 2 * seg_sz + 10})
+    moved = log.tier_segments("t", now_ms=t0 + 10)
+    assert moved == {0: 2}  # two newest stay local, two tier out
+    assert log.local_log_start_offset("t") == {0: 2}
+
+    # run_retention: tier leg runs, then TOTAL retention.ms reaps across
+    # both tiers (wave 0/1 live remote — they still expire)
+    log.alter_configs("t", {"local.retention.bytes": None,
+                            "local.retention.ms": 1,
+                            "retention.ms": 7})
+    acts = log.run_retention("t", now_ms=t0 + 10)["t"]
+    assert "tiered" in acts
+    # cutoff = now - 7 = t0+3: only the ts=t0+3 record survives, even
+    # though the expired ones lived in the REMOTE tier
+    assert log.beginning_offsets("t") == {0: 3}
+    assert log.end_offsets("t") == {0: 4}
+
+    # topic deletion removes the remote tier with it
+    log.delete_topic("t")
+    assert not os.path.isdir(os.path.join(root, ".remote", "t"))
