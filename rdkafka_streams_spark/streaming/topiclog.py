@@ -1044,6 +1044,8 @@ class TopicLog:
         if instance_id in known and sorted(topics) == state.get("topics"):
             token = int(state.get("instances", {}).get(instance_id, 0)) + 1
             state.setdefault("instances", {})[instance_id] = token
+            # the session timer starts at join, like the coordinator's
+            state.setdefault("hb", {})[instance_id] = int(time.time() * 1000)
             self._write_group_state(group, state)
             return {
                 "generation": int(state.get("generation", 0)),
@@ -1056,6 +1058,7 @@ class TopicLog:
         state = self._group_state(group)
         token = int(state.get("instances", {}).get(instance_id, 0)) + 1
         state.setdefault("instances", {})[instance_id] = token
+        state.setdefault("hb", {})[instance_id] = int(time.time() * 1000)
         self._write_group_state(group, state)
         return {
             "generation": sync["generation"],
@@ -1064,13 +1067,17 @@ class TopicLog:
             "rebalanced": True,
         }
 
-    def heartbeat(self, group: str, instance_id: str, member_token: int) -> None:
+    def heartbeat(self, group: str, instance_id: str, member_token: int,
+                  now_ms: int | None = None) -> None:
         """The liveness check a static member runs between polls: raises
         FencedInstanceIdError when a newer member has joined under the
         same instance id (this holder must shut down — its partitions
         now belong to its replacement), and ValueError for an instance
-        the group has never seen or has since removed."""
-        cur = self._group_state(group).get("instances", {}).get(instance_id)
+        the group has never seen or has since removed. A passing
+        heartbeat stamps the member's session clock — the timestamp
+        ``expire_members`` (session.timeout.ms) evicts against."""
+        state = self._group_state(group)
+        cur = state.get("instances", {}).get(instance_id)
         if cur is None:
             raise ValueError(
                 f"unknown group.instance.id {instance_id!r} in group {group!r}"
@@ -1080,6 +1087,63 @@ class TopicLog:
                 f"instance {instance_id!r} token {member_token} fenced: "
                 f"a newer member holds token {cur}"
             )
+        state.setdefault("hb", {})[instance_id] = (
+            int(time.time() * 1000) if now_ms is None else int(now_ms)
+        )
+        self._write_group_state(group, state)
+
+    def expire_members(self, group: str, session_timeout_ms: int,
+                       now_ms: int | None = None) -> dict:
+        """The coordinator's session-timeout sweep (``session.timeout.ms``):
+        evict every member whose last heartbeat is older than
+        now − timeout, then rebalance the survivors once (one generation
+        bump, not one per eviction — Kafka's coordinator batches the
+        rebalance the same way on a timeout cascade). This is the path a
+        crashed STATIC member finally leaves by when no admin calls
+        ``remove_member`` (KIP-345: static members don't rebalance on
+        close; they wait out session.timeout). A member that has never
+        heartbeated is stamped NOW and granted one full window rather
+        than evicted on a clock it never saw (same grandfathering as
+        offsets.retention). Returns {"expired": [...], "generation": n}."""
+        if int(session_timeout_ms) <= 0:
+            raise ValueError(
+                f"session.timeout.ms must be positive, got {session_timeout_ms}"
+            )
+        now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        state = self._group_state(group)
+        members = list(state.get("members") or [])
+        if not members:
+            return {"expired": [], "generation": int(state.get("generation", 0))}
+        hb = state.setdefault("hb", {})
+        expired = []
+        for m in members:
+            last = hb.get(m)
+            if last is None:
+                hb[m] = now  # grandfather: one full window from now
+            elif int(last) < now - int(session_timeout_ms):
+                expired.append(m)
+        if not expired:
+            self._write_group_state(group, state)  # persist new stamps
+            return {"expired": [], "generation": int(state.get("generation", 0))}
+        survivors = [m for m in members if m not in expired]
+        topics = state.get("topics") or []
+        if survivors:
+            sync = self.rebalance_group(
+                group, topics, survivors, state.get("strategy", "range")
+            )
+            gen = sync["generation"]
+        else:
+            state["generation"] = int(state.get("generation", 0)) + 1
+            state["members"] = []
+            state["assignment"] = {}
+            self._write_group_state(group, state)
+            gen = state["generation"]
+        state = self._group_state(group)
+        for m in expired:  # invalidate tokens + stamps with the eviction
+            state.get("instances", {}).pop(m, None)
+            state.get("hb", {}).pop(m, None)
+        self._write_group_state(group, state)
+        return {"expired": sorted(expired), "generation": gen}
 
     def remove_member(self, group: str, instance_id: str) -> dict:
         """``AdminClient.removeMembersFromConsumerGroup`` — the ONLY way
@@ -1174,6 +1238,122 @@ class TopicLog:
             d for d in os.listdir(gdir)
             if os.path.isdir(os.path.join(gdir, d))
         )
+
+    # ------------------------------------------------------ client quotas
+    # KIP-13 client quotas: producer_byte_rate / consumer_byte_rate per
+    # client.id (or the '<default>' entity), enforced as the broker does —
+    # measure the client's byte rate over a rolling window and DELAY the
+    # response just long enough to bring the realized rate back to the
+    # quota, reporting the delay as throttle_time_ms. Quota configs live
+    # in <root>/.quotas.json; per-client window state in <root>/.quotas/.
+
+    _QUOTA_KEYS = ("producer_byte_rate", "consumer_byte_rate")
+    _QUOTA_WINDOW_MS = 1_000  # sample window, quota.window.size.seconds=1
+
+    def _quota_cfg_file(self) -> str:
+        return os.path.join(self.root, ".quotas.json")
+
+    def alter_client_quotas(
+        self, client_id: str, quotas: dict[str, int | None]
+    ) -> dict:
+        """``AdminClient.alterClientQuotas``: set/unset byte-rate quotas
+        for a client.id (use ``"<default>"`` for the default entity —
+        matched when a client has no specific entry, Kafka's quota
+        resolution order). ``None`` deletes a key; an entity with no keys
+        left is dropped. Returns the entity's effective config."""
+        if not client_id:
+            raise ValueError("empty client id")
+        cfg = {}
+        try:
+            with open(self._quota_cfg_file(), encoding="utf-8") as f:
+                cfg = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
+        ent = cfg.get(client_id, {})
+        for k, v in quotas.items():
+            if k not in self._QUOTA_KEYS:
+                raise ValueError(
+                    f"unsupported quota {k!r} (supported: {self._QUOTA_KEYS})"
+                )
+            if v is None:
+                ent.pop(k, None)
+            else:
+                if int(v) <= 0:
+                    raise ValueError(f"{k} must be positive, got {v}")
+                ent[k] = int(v)
+        if ent:
+            cfg[client_id] = ent
+        else:
+            cfg.pop(client_id, None)
+        tmp = self._quota_cfg_file() + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(cfg, f)
+        os.replace(tmp, self._quota_cfg_file())
+        return dict(ent)
+
+    def describe_client_quotas(self) -> dict:
+        """All configured quota entities (describeClientQuotas)."""
+        try:
+            with open(self._quota_cfg_file(), encoding="utf-8") as f:
+                return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return {}
+
+    def _quota_for(self, client_id: str, key: str) -> int | None:
+        cfg = self.describe_client_quotas()
+        ent = cfg.get(client_id)
+        if ent is not None and key in ent:
+            return int(ent[key])
+        dflt = cfg.get("<default>", {})
+        return int(dflt[key]) if key in dflt else None
+
+    def record_quota_usage(
+        self, client_id: str, kind: str, n_bytes: int,
+        now_ms: int | None = None,
+    ) -> int:
+        """Record ``n_bytes`` of produce/consume against the client's
+        quota and return the throttle_time_ms the broker would impose: 0
+        while the realized rate fits; otherwise the delay that stretches
+        the window until bytes/elapsed == quota (Kafka's
+        ClientQuotaManager.throttleTime). Pure accounting — the CALLER
+        sleeps (a broker delays the response; a good citizen client backs
+        off), which keeps this testable against a pinned clock. Windows
+        reset after one idle window (rolling sample, not lifetime
+        average)."""
+        if kind not in ("produce", "consume"):
+            raise ValueError(f"kind must be produce|consume, got {kind!r}")
+        quota = self._quota_for(
+            client_id,
+            "producer_byte_rate" if kind == "produce" else "consumer_byte_rate",
+        )
+        if quota is None:
+            return 0
+        now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        sdir = os.path.join(self.root, ".quotas")
+        os.makedirs(sdir, exist_ok=True)
+        spath = os.path.join(sdir, f"{client_id}.{kind}.json")
+        st = {"window_start": now, "bytes": 0}
+        try:
+            with open(spath, encoding="utf-8") as f:
+                prev = json.load(f)
+            # a client idle past one full window starts a fresh sample
+            if now - int(prev["window_start"]) <= self._QUOTA_WINDOW_MS * 2:
+                st = prev
+        except (OSError, json.JSONDecodeError, KeyError):
+            pass
+        st["bytes"] = int(st["bytes"]) + int(n_bytes)
+        # elapsed floors at one full window: a burst inside a window is
+        # judged against the window's whole allowance (Kafka's multi-
+        # sample Rate gives bursts the same tolerance — only SUSTAINED
+        # overage throttles), then the delay stretches the window until
+        # bytes / (elapsed + delay) == quota
+        elapsed_ms = max(self._QUOTA_WINDOW_MS, now - int(st["window_start"]))
+        throttle = int(max(0.0, st["bytes"] * 1000.0 / quota - elapsed_ms))
+        tmp = spath + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(st, f)
+        os.replace(tmp, spath)
+        return throttle
 
     def create_partitions(self, topic: str, total: int) -> None:
         """``AdminClient.createPartitions``: grow the topic to ``total``
@@ -2114,6 +2294,7 @@ class TopicLog:
         headers: Sequence[Sequence[tuple[str, bytes | None]] | None] | None = None,
         txn: str | None = None,
         compression: str | None = None,
+        client_id: str | None = None,
     ) -> None:
         """Append records, routing by explicit partition, else hash(key),
         else hash(value) — deterministic, like keyed Kafka producing.
@@ -2160,6 +2341,13 @@ class TopicLog:
             for chunk in _chunk_lines(lines, seg_bytes):
                 _publish_segment(_part_dir(self.root, topic, pid), chunk,
                                  compression=codec)
+        if client_id is not None:  # KIP-13 produce quota: account the
+            # UNCOMPRESSED request bytes (what the broker meters) and back
+            # off like a throttled client
+            wire = sum(len(ln) + 1 for lines in by_pid.values() for ln in lines)
+            tms = self.record_quota_usage(client_id, "produce", wire)
+            if tms:
+                time.sleep(tms / 1000.0)
 
     def append_json(self, topic: str, objs: Sequence[dict], **kw) -> None:
         """JSON.stringify-and-produce, the reference's record shape."""
@@ -2835,15 +3023,20 @@ def _stage_batches(
 
 
 def _commit_staged(messages, root: str, topic: str,
-                   compression: str | None = None) -> None:
+                   compression: str | None = None,
+                   client_id: str | None = None) -> None:
     """Driver side: publish every staged file as a segment (serialized here,
     so offset assignment needs no cross-task coordination), then drop the
     staging files. ``compression`` is the sink's ``compression.type``
     option; unset falls back to the topic config (Kafka's 'producer'
-    default: the topic honors the sender's codec)."""
+    default: the topic honors the sender's codec). ``client_id`` meters
+    the publish against the entity's KIP-13 produce quota and backs off
+    like a throttled client — at the commit boundary, the sink-side
+    analog of a broker delaying the produce response."""
     codec = (_norm_compression(compression)
              or _topic_compression(root, topic))
     seg_bytes = _topic_segment_bytes(root, topic)
+    wire = 0
     for m in messages:
         if m is None:
             continue
@@ -2851,15 +3044,20 @@ def _commit_staged(messages, root: str, topic: str,
             with open(path, encoding="utf-8") as f:
                 lines = [ln.rstrip("\n") for ln in f if ln.strip()]
             if lines:
+                wire += sum(len(ln) + 1 for ln in lines)
                 for chunk in _chunk_lines(lines, seg_bytes):
                     _publish_segment(_part_dir(root, topic, pid), chunk,
                                      compression=codec)
             os.unlink(path)
+    if client_id is not None and wire:
+        tms = TopicLog(root).record_quota_usage(client_id, "produce", wire)
+        if tms:
+            time.sleep(tms / 1000.0)
 
 
 def _commit_staged_txn(
     messages, root: str, topic: str, txn_id: str | None, batch_id: int,
-    compression: str | None = None,
+    compression: str | None = None, client_id: str | None = None,
 ) -> None:
     """Streaming commit with optional transactional batch dedup (the
     ``transactional.id`` analog of the Kafka producer): when ``txnId`` is
@@ -2881,13 +3079,13 @@ def _commit_staged_txn(
         if os.path.exists(marker):
             _abort_staged(messages)
             return
-        _commit_staged(messages, root, topic, compression)
+        _commit_staged(messages, root, topic, compression, client_id)
         tmp = marker + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w", encoding="utf-8") as f:
             f.write("")
         os.replace(tmp, marker)
         return
-    _commit_staged(messages, root, topic, compression)
+    _commit_staged(messages, root, topic, compression, client_id)
 
 
 def _commit_staged_atomic(messages, root: str, topic: str) -> None:
@@ -2994,6 +3192,7 @@ class _TopicLogBatchWriter(DataSourceWriter):
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         self.compression = _norm_compression(options.get("compression.type"))
+        self.client_id = options.get("client.id")
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 
@@ -3001,7 +3200,8 @@ class _TopicLogBatchWriter(DataSourceWriter):
         return _stage_rows(iterator, self.root, self.topic, self.fields, self.tombstones)
 
     def commit(self, messages) -> None:
-        _commit_staged(messages, self.root, self.topic, self.compression)
+        _commit_staged(messages, self.root, self.topic, self.compression,
+                       self.client_id)
 
     def abort(self, messages) -> None:
         _abort_staged(messages)
@@ -3014,6 +3214,7 @@ class _TopicLogStreamWriter(DataSourceStreamWriter):
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         self.compression = _norm_compression(options.get("compression.type"))
+        self.client_id = options.get("client.id")
         self.txn_id = options.get("txnid")
         self.atomic = str(options.get("atomic", "false")).lower() == "true"
         if "value" not in self.fields:
@@ -3032,7 +3233,7 @@ class _TopicLogStreamWriter(DataSourceStreamWriter):
             _commit_staged_atomic(messages, self.root, self.topic)
         else:
             _commit_staged_txn(messages, self.root, self.topic, self.txn_id,
-                               batchId, self.compression)
+                               batchId, self.compression, self.client_id)
 
     def abort(self, messages, batchId: int) -> None:
         _abort_staged(messages)
@@ -3048,6 +3249,7 @@ class _TopicLogArrowWriter(DataSourceArrowWriter):
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         self.compression = _norm_compression(options.get("compression.type"))
+        self.client_id = options.get("client.id")
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 
@@ -3055,7 +3257,8 @@ class _TopicLogArrowWriter(DataSourceArrowWriter):
         return _stage_batches(iterator, self.root, self.topic, self.fields, self.tombstones)
 
     def commit(self, messages) -> None:
-        _commit_staged(messages, self.root, self.topic, self.compression)
+        _commit_staged(messages, self.root, self.topic, self.compression,
+                       self.client_id)
 
     def abort(self, messages) -> None:
         _abort_staged(messages)
@@ -3068,6 +3271,7 @@ class _TopicLogStreamArrowWriter(DataSourceStreamArrowWriter):
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         self.compression = _norm_compression(options.get("compression.type"))
+        self.client_id = options.get("client.id")
         self.txn_id = options.get("txnid")
         self.atomic = str(options.get("atomic", "false")).lower() == "true"
         if "value" not in self.fields:
@@ -3086,7 +3290,7 @@ class _TopicLogStreamArrowWriter(DataSourceStreamArrowWriter):
             _commit_staged_atomic(messages, self.root, self.topic)
         else:
             _commit_staged_txn(messages, self.root, self.topic, self.txn_id,
-                               batchId, self.compression)
+                               batchId, self.compression, self.client_id)
 
     def abort(self, messages, batchId: int) -> None:
         _abort_staged(messages)

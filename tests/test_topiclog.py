@@ -2882,3 +2882,134 @@ def test_tiered_storage_guards_and_retention(tmp_path):
     # topic deletion removes the remote tier with it
     log.delete_topic("t")
     assert not os.path.isdir(os.path.join(root, ".remote", "t"))
+
+
+def test_session_timeout_eviction(tmp_path):
+    """session.timeout.ms: a member that stops heartbeating is evicted by
+    the coordinator sweep — survivors rebalance ONCE (one generation bump
+    for the whole cascade), the evictee's token dies with it, and a member
+    that never heartbeated is grandfathered one window, not insta-evicted."""
+    import pytest as _pytest
+
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    t0 = 1_700_000_000_000
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=6)
+    ja = log.static_join("g", "t", "pod-a")
+    jb = log.static_join("g", "t", "pod-b")
+    jc = log.static_join("g", "t", "pod-c")
+    gen0 = jc["generation"]
+
+    # a and c keep beating; b goes dark
+    log.heartbeat("g", "pod-a", ja["member_token"], now_ms=t0 + 50_000)
+    log.heartbeat("g", "pod-c", jc["member_token"], now_ms=t0 + 50_000)
+    log.heartbeat("g", "pod-b", jb["member_token"], now_ms=t0)
+
+    # inside the window: nobody expires, generation unchanged
+    r = log.expire_members("g", session_timeout_ms=45_000, now_ms=t0 + 40_000)
+    assert r == {"expired": [], "generation": gen0}
+
+    # past b's window: b evicted, ONE rebalance, a+c absorb the partitions
+    r = log.expire_members("g", session_timeout_ms=45_000, now_ms=t0 + 50_001)
+    assert r["expired"] == ["pod-b"] and r["generation"] == gen0 + 1
+    rejoin_a = log.static_join("g", "t", "pod-a")
+    rejoin_c = log.static_join("g", "t", "pod-c")
+    assert rejoin_a["rebalanced"] is False and rejoin_c["rebalanced"] is False
+    held = sorted(tuple(p) for j in (rejoin_a, rejoin_c)
+                  for p in j["assignment"])
+    assert held == [("t", i) for i in range(6)]  # nothing orphaned
+    # the dark member's token is dead
+    with _pytest.raises(ValueError, match="unknown"):
+        log.heartbeat("g", "pod-b", jb["member_token"])
+
+    # never-heartbeated member (legacy state): stamped, not evicted...
+    log2 = TopicLog(str(tmp_path / "g2"))
+    log2.create_topic("t", partitions=2)
+    log2.static_join("g", "t", "solo")
+    st = log2._group_state("g")
+    st.pop("hb", None)  # simulate pre-session-clock state
+    log2._write_group_state("g", st)
+    assert log2.expire_members("g", 1000, now_ms=t0)["expired"] == []
+    # ...but the granted window is real: one timeout later it goes
+    r = log2.expire_members("g", 1000, now_ms=t0 + 1001)
+    assert r["expired"] == ["solo"]
+    assert log2._group_state("g")["assignment"] == {}
+
+
+def test_client_quotas_throttle_math(tmp_path):
+    """KIP-13 client quotas: byte-rate accounting against a pinned clock —
+    throttle_time stretches the window until realized rate == quota;
+    default-entity fallback; idle clients start a fresh sample window."""
+    import pytest as _pytest
+
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=1)
+    log.alter_client_quotas("etl", {"producer_byte_rate": 1000})
+    log.alter_client_quotas("<default>", {"consumer_byte_rate": 2000})
+    assert log.describe_client_quotas() == {
+        "etl": {"producer_byte_rate": 1000},
+        "<default>": {"consumer_byte_rate": 2000},
+    }
+
+    t0 = 1_700_000_000_000
+    # a burst within the window's allowance never throttles (Kafka's
+    # multi-sample Rate has the same burst tolerance)
+    assert log.record_quota_usage("etl", "produce", 500, now_ms=t0 + 1) == 0
+    assert log.record_quota_usage("etl", "produce", 300, now_ms=t0 + 400) == 0
+    # SUSTAINED overage does: 2300 B against 1000 B/s needs 2300 ms of
+    # window; only the 1000 ms floor has elapsed -> 1300 ms of delay
+    assert log.record_quota_usage("etl", "produce", 1500,
+                                  now_ms=t0 + 500) == 1300
+    # idle past the window: fresh sample, burst unthrottled again
+    assert log.record_quota_usage("etl", "produce", 500,
+                                  now_ms=t0 + 10_000) == 0
+
+    # unknown client falls back to <default>; produce default unset -> 0
+    assert log.record_quota_usage("other", "produce", 10**9, now_ms=t0) == 0
+    # consume tracks its own window (separate kind, fresh at this call):
+    # 4000 B against the 2000 B/s default needs 2000 ms; floor elapsed
+    # 1000 -> 1000 ms of delay
+    assert log.record_quota_usage("other", "consume", 4000,
+                                  now_ms=t0 + 1000) == 1000
+
+    # unset deletes; empty entity drops
+    log.alter_client_quotas("etl", {"producer_byte_rate": None})
+    assert "etl" not in log.describe_client_quotas()
+    with _pytest.raises(ValueError, match="unsupported quota"):
+        log.alter_client_quotas("x", {"request_percentage": 50})
+
+    # end-to-end: a quota'd append backs off for real (one ~1.5 KB
+    # request against 1 KB/s = ~0.5 s of throttle on the SECOND call,
+    # where the window shows sustained overage)
+    import time as _time
+    log.alter_client_quotas("slow", {"producer_byte_rate": 4000})
+    t1 = _time.perf_counter()
+    log.append("t", [b"x" * 4000], partition=0, client_id="slow")
+    log.append("t", [b"x" * 4000], partition=0, client_id="slow")
+    waited = _time.perf_counter() - t1
+    assert waited >= 0.5  # ~8KB against 4KB/s: ~1s of combined window
+
+
+def test_client_quota_sink_option(spark, tmp_path):
+    """The distributed sink meters its commit against the client.id's
+    produce quota — a quota'd write_batch backs off for real."""
+    import time as _time
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog
+
+    root = str(tmp_path)
+    log = TopicLog(root)
+    log.create_topic("t", partitions=2)
+    log.alter_client_quotas("etl", {"producer_byte_rate": 10_000})
+    df = spark.createDataFrame(
+        [("x" * 100,) for _ in range(400)], "value string"
+    )  # ~40KB of values against 10KB/s
+    t0 = _time.perf_counter()
+    KProducer(host=root, topic="t", transport="topiclog",
+              options={"client.id": "etl"}).write_batch(df)
+    KProducer(host=root, topic="t", transport="topiclog",
+              options={"client.id": "etl"}).write_batch(df)
+    assert _time.perf_counter() - t0 >= 3.0  # ~80KB needs ~8s of window
