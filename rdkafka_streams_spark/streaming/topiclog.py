@@ -114,6 +114,12 @@ class ProducerFencedError(RuntimeError):
     ProducerFencedException, the ``transactional.id`` zombie fence)."""
 
 
+class RecordTooLargeError(ValueError):
+    """A record's wire size exceeds the topic's ``max.message.bytes``
+    (Kafka's RecordTooLargeException / MESSAGE_TOO_LARGE) — rejected at
+    produce, never partially appended."""
+
+
 class OutOfOrderSequenceError(RuntimeError):
     """An idempotent produce batch's sequence range neither continues the
     per-(pid, partition) chain nor replays a cached batch — a lost or
@@ -449,6 +455,26 @@ def _topic_segment_bytes(root: str, topic: str) -> int | None:
     historical behavior: one publish = one segment of whatever size)."""
     v = _topic_config(root, topic).get("segment.bytes")
     return int(v) if v is not None else None
+
+
+def _check_max_message(root: str, topic: str, lines: list[str]) -> None:
+    """``max.message.bytes`` gate (MESSAGE_TOO_LARGE): reject any record
+    whose wire line exceeds the topic bound BEFORE anything publishes —
+    the broker rejects the whole produce request the same way. Size is
+    the encoded line (payload + envelope), the closest analog of Kafka's
+    record-batch accounting; unset = unlimited (we have no 1 MB default
+    because existing topics never opted in)."""
+    v = _topic_config(root, topic).get("max.message.bytes")
+    if v is None:
+        return
+    bound = int(v)
+    for ln in lines:
+        n = len(ln.encode("utf-8"))
+        if n > bound:
+            raise RecordTooLargeError(
+                f"record of {n} bytes exceeds max.message.bytes={bound} "
+                f"on topic {topic!r}"
+            )
 
 
 def _remote_dir(root: str, topic: str, pid: int) -> str:
@@ -1421,7 +1447,8 @@ class TopicLog:
     _CONFIG_KEYS = ("retention.ms", "retention.bytes", "cleanup.policy",
                     "delete.retention.ms", "compression.type",
                     "segment.bytes", "remote.storage.enable",
-                    "local.retention.ms", "local.retention.bytes")
+                    "local.retention.ms", "local.retention.bytes",
+                    "max.message.bytes")
 
     def _config_file(self, topic: str) -> str:
         return os.path.join(self.root, topic, ".config.json")
@@ -1470,7 +1497,8 @@ class TopicLog:
                 if int(v) < 1024:
                     raise ValueError(f"segment.bytes must be >= 1024, got {v}")
                 cur[k] = str(int(v))
-            elif k in ("local.retention.ms", "local.retention.bytes"):
+            elif k in ("local.retention.ms", "local.retention.bytes",
+                       "max.message.bytes"):
                 if int(v) <= 0:
                     raise ValueError(f"{k} must be positive, got {v}")
                 cur[k] = str(int(v))
@@ -1997,6 +2025,7 @@ class TopicLog:
                 producer=(int(pid), int(epoch), int(base_seq) + i,
                           int(base_seq)),
             ))
+        _check_max_message(self.root, topic, lines)
         base_off = _publish_segment(
             _part_dir(self.root, topic, int(partition)), lines,
             compression=_topic_compression(self.root, topic),
@@ -2328,6 +2357,8 @@ class TopicLog:
             by_pid.setdefault(pids[pid % len(pids)], []).append(
                 _encode_line(kb, vb, rts, headers=hdr, txn=txn)
             )
+        for lines in by_pid.values():  # MESSAGE_TOO_LARGE rejects the
+            _check_max_message(self.root, topic, lines)  # request whole
         if txn is not None:  # register touched partitions BEFORE publishing:
             # a crash in between leaves an open txn whose records stay
             # invisible to read_committed (Kafka's pending-txn posture)
@@ -2960,6 +2991,8 @@ def _write_staged(root: str, topic: str, by_pid: dict[int, list[str]],
     staging = os.path.join(root, topic, ".staging")
     os.makedirs(staging, exist_ok=True)
     files = []
+    for lines in by_pid.values():  # executor-side fail-fast, like the
+        _check_max_message(root, topic, lines)  # broker rejecting produce
     for pid, lines in by_pid.items():
         path = os.path.join(staging, f"{uuid.uuid4().hex}-p{pid}.jsonl")
         with open(path, "w", encoding="utf-8") as f:

@@ -3013,3 +3013,31 @@ def test_client_quota_sink_option(spark, tmp_path):
     KProducer(host=root, topic="t", transport="topiclog",
               options={"client.id": "etl"}).write_batch(df)
     assert _time.perf_counter() - t0 >= 3.0  # ~80KB needs ~8s of window
+
+
+def test_max_message_bytes(spark, tmp_path):
+    """max.message.bytes (MESSAGE_TOO_LARGE): an oversize record is
+    rejected whole at produce — client append, idempotent produce, and
+    the distributed sink all fail fast, and nothing partial lands."""
+    import pytest as _pytest
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog
+    from rdkafka_streams_spark.streaming.topiclog import RecordTooLargeError
+
+    root = str(tmp_path)
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.alter_configs("t", {"max.message.bytes": 256})
+    log.append("t", [b"small"], partition=0)  # under the bound: fine
+    with _pytest.raises(RecordTooLargeError, match="max.message.bytes=256"):
+        log.append("t", [b"ok", b"x" * 300], partition=0)
+    assert log.end_offsets("t") == {0: 1}  # the whole request was rejected
+
+    pid, epoch = log.init_producer_id("app")
+    with _pytest.raises(RecordTooLargeError):
+        log.produce_idempotent("t", ["y" * 300], 0, pid, epoch, base_seq=0)
+
+    df = spark.createDataFrame([("z" * 300,)], "value string")
+    with _pytest.raises(Exception, match="max.message.bytes"):
+        KProducer(host=root, topic="t", transport="topiclog").write_batch(df)
+    assert log.end_offsets("t") == {0: 1}
