@@ -282,6 +282,15 @@ class KProducer:
             if self.txn_id is not None:
                 opts["txnId"] = self.txn_id
             if self.atomic:
+                lowered = {k.lower() for k in self.options}
+                if "compression.type" in lowered or "client.id" in lowered:
+                    # fail HERE, synchronously — the sink writer raises the
+                    # same error, but only once the stream thread starts
+                    raise ValueError(
+                        "atomic=true is incompatible with compression.type/"
+                        "client.id: the atomic WAL hard-links staged files, "
+                        "so it can neither recompress nor meter at commit"
+                    )
                 opts["atomic"] = "true"
             return topiclog.FORMAT_NAME, opts
         if self.atomic:

@@ -390,9 +390,11 @@ def _publish_segment(
     tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}")
     body = "\n".join(lines) + "\n"
     if compression == "gzip":
-        # mtime=0 keeps the bytes deterministic for identical content
-        with gzip.GzipFile(tmp, "wb", mtime=0) as f:
-            f.write(body.encode("utf-8"))
+        # gzip.compress(mtime=0): no FNAME header (GzipFile would embed
+        # the random tmp name via fileobj.name) and no timestamp —
+        # identical content always gzips to identical bytes
+        with open(tmp, "wb") as raw:
+            raw.write(gzip.compress(body.encode("utf-8"), mtime=0))
         suffix = ".jsonl.gz"
     else:
         with open(tmp, "w", encoding="utf-8") as f:
@@ -457,14 +459,18 @@ def _topic_segment_bytes(root: str, topic: str) -> int | None:
     return int(v) if v is not None else None
 
 
-def _check_max_message(root: str, topic: str, lines: list[str]) -> None:
+def _check_max_message(root: str, topic: str, lines: list[str],
+                       cfg: dict | None = None) -> None:
     """``max.message.bytes`` gate (MESSAGE_TOO_LARGE): reject any record
     whose wire line exceeds the topic bound BEFORE anything publishes —
     the broker rejects the whole produce request the same way. Size is
     the encoded line (payload + envelope), the closest analog of Kafka's
     record-batch accounting; unset = unlimited (we have no 1 MB default
-    because existing topics never opted in)."""
-    v = _topic_config(root, topic).get("max.message.bytes")
+    because existing topics never opted in). Pass ``cfg`` (a pre-read
+    ``_topic_config``) to avoid a config read per call."""
+    if cfg is None:
+        cfg = _topic_config(root, topic)
+    v = cfg.get("max.message.bytes")
     if v is None:
         return
     bound = int(v)
@@ -947,6 +953,39 @@ class TopicLog:
             os.path.dirname(self._group_file(group, "t")), ".state.json"
         )
 
+    def _hb_file(self, group: str, instance_id: str) -> str:
+        """Per-member session-clock stamp. Stamps live OUTSIDE the shared
+        group state file on purpose: heartbeats are the high-frequency
+        concurrent op every member runs, and a read-modify-write of the
+        whole state there would let one member's heartbeat clobber a
+        concurrent join's token bump (lost-update). One file per member =
+        one writer per file = no cross-member race."""
+        if not instance_id or instance_id.startswith(".") \
+                or "/" in instance_id or "\\" in instance_id:
+            raise ValueError(f"invalid group.instance.id {instance_id!r}")
+        return os.path.join(
+            os.path.dirname(self._group_file(group, "t")),
+            ".hb", f"{instance_id}.json",
+        )
+
+    def _stamp_hb(self, group: str, instance_id: str,
+                  now_ms: int | None = None) -> None:
+        path = self._hb_file(group, instance_id)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(int(time.time() * 1000) if now_ms is None
+                      else int(now_ms), f)
+        os.replace(tmp, path)
+
+    def _read_hb(self, group: str, instance_id: str) -> int | None:
+        try:
+            with open(self._hb_file(group, instance_id),
+                      encoding="utf-8") as f:
+                return int(json.load(f))
+        except (OSError, ValueError):
+            return None
+
     def group_generation(self, group: str) -> int:
         """Current generation id (0 = group has never been joined)."""
         path = self._state_file(group)
@@ -1070,9 +1109,9 @@ class TopicLog:
         if instance_id in known and sorted(topics) == state.get("topics"):
             token = int(state.get("instances", {}).get(instance_id, 0)) + 1
             state.setdefault("instances", {})[instance_id] = token
-            # the session timer starts at join, like the coordinator's
-            state.setdefault("hb", {})[instance_id] = int(time.time() * 1000)
             self._write_group_state(group, state)
+            # the session timer starts at join, like the coordinator's
+            self._stamp_hb(group, instance_id)
             return {
                 "generation": int(state.get("generation", 0)),
                 "assignment": known[instance_id],
@@ -1084,8 +1123,8 @@ class TopicLog:
         state = self._group_state(group)
         token = int(state.get("instances", {}).get(instance_id, 0)) + 1
         state.setdefault("instances", {})[instance_id] = token
-        state.setdefault("hb", {})[instance_id] = int(time.time() * 1000)
         self._write_group_state(group, state)
+        self._stamp_hb(group, instance_id)
         return {
             "generation": sync["generation"],
             "assignment": sync["assignment"][instance_id],
@@ -1102,8 +1141,7 @@ class TopicLog:
         the group has never seen or has since removed. A passing
         heartbeat stamps the member's session clock — the timestamp
         ``expire_members`` (session.timeout.ms) evicts against."""
-        state = self._group_state(group)
-        cur = state.get("instances", {}).get(instance_id)
+        cur = self._group_state(group).get("instances", {}).get(instance_id)
         if cur is None:
             raise ValueError(
                 f"unknown group.instance.id {instance_id!r} in group {group!r}"
@@ -1113,10 +1151,10 @@ class TopicLog:
                 f"instance {instance_id!r} token {member_token} fenced: "
                 f"a newer member holds token {cur}"
             )
-        state.setdefault("hb", {})[instance_id] = (
-            int(time.time() * 1000) if now_ms is None else int(now_ms)
-        )
-        self._write_group_state(group, state)
+        # per-member stamp file: no shared-state rewrite on the heartbeat
+        # hot path (a read-modify-write here could clobber a concurrent
+        # join's token bump)
+        self._stamp_hb(group, instance_id, now_ms)
 
     def expire_members(self, group: str, session_timeout_ms: int,
                        now_ms: int | None = None) -> dict:
@@ -1140,16 +1178,17 @@ class TopicLog:
         members = list(state.get("members") or [])
         if not members:
             return {"expired": [], "generation": int(state.get("generation", 0))}
-        hb = state.setdefault("hb", {})
         expired = []
         for m in members:
-            last = hb.get(m)
+            last = self._read_hb(group, m)
             if last is None:
-                hb[m] = now  # grandfather: one full window from now
+                # grandfather: one full window from now — the stamp file
+                # survives independent of any rebalance writes, so the
+                # window is granted exactly once
+                self._stamp_hb(group, m, now)
             elif int(last) < now - int(session_timeout_ms):
                 expired.append(m)
         if not expired:
-            self._write_group_state(group, state)  # persist new stamps
             return {"expired": [], "generation": int(state.get("generation", 0))}
         survivors = [m for m in members if m not in expired]
         topics = state.get("topics") or []
@@ -1167,7 +1206,10 @@ class TopicLog:
         state = self._group_state(group)
         for m in expired:  # invalidate tokens + stamps with the eviction
             state.get("instances", {}).pop(m, None)
-            state.get("hb", {}).pop(m, None)
+            try:
+                os.unlink(self._hb_file(group, m))
+            except OSError:
+                pass
         self._write_group_state(group, state)
         return {"expired": sorted(expired), "generation": gen}
 
@@ -1593,9 +1635,17 @@ class TopicLog:
             if lr_ms is not None:
                 cutoff = now - int(lr_ms)
                 for s, c, p in candidates:
+                    # PREFIX (take-while) semantics: stop at the first
+                    # surviving segment, even if a later one is older by
+                    # CreateTime (non-monotonic stamps) — tiering must
+                    # keep the remote tier a strict offset prefix, or
+                    # localLogStartOffset and the tiered-listing merge
+                    # ("remote segments are strictly older") break.
+                    # Kafka's own segment retention walks the same way.
                     idx = _segment_time_index(p)
-                    if idx["max_ts"] is not None and idx["max_ts"] < cutoff:
-                        to_move.append((s, c, p))
+                    if idx["max_ts"] is None or idx["max_ts"] >= cutoff:
+                        break
+                    to_move.append((s, c, p))
             if lr_bytes is not None:
                 budget = int(lr_bytes)
                 keep_paths = set()
@@ -2025,10 +2075,11 @@ class TopicLog:
                 producer=(int(pid), int(epoch), int(base_seq) + i,
                           int(base_seq)),
             ))
-        _check_max_message(self.root, topic, lines)
+        cfg = _topic_config(self.root, topic)
+        _check_max_message(self.root, topic, lines, cfg)
         base_off = _publish_segment(
             _part_dir(self.root, topic, int(partition)), lines,
-            compression=_topic_compression(self.root, topic),
+            compression=_norm_compression(cfg.get("compression.type")),
         )
         st["last"] = last_seq
         st["batches"] = (st["batches"] + [[int(base_seq), last_seq, base_off]])[-5:]
@@ -2266,11 +2317,22 @@ class TopicLog:
             # truncation spans BOTH tiers: remote segments below the cutoff
             # unlink like local ones (Kafka's tiered retention deletes
             # remote log metadata past logStartOffset the same way)
+            rdir = _remote_dir(self.root, topic, pid)
             for seg_start, count, path in _list_segments_tiered(
                     self.root, topic, pid):
+                # a segment caught mid-tier (crash between remote copy and
+                # local unlink) exists in BOTH tiers under one name; the
+                # listing serves the local copy, so the twin must go too
+                # or it would resurrect the deleted records
+                twin = os.path.join(
+                    rdir if os.path.dirname(path) == pdir else pdir,
+                    os.path.basename(path),
+                )
                 if seg_start + count <= cutoff:
                     deleted += _segment_record_count(path, count)
                     os.unlink(path)
+                    if os.path.exists(twin):
+                        os.unlink(twin)
                 elif seg_start < cutoff:
                     with _open_seg(path) as f:
                         lines = [ln.rstrip("\n") for ln in f if ln.strip()]
@@ -2298,6 +2360,8 @@ class TopicLog:
                     os.link(tmp, final)
                     os.unlink(tmp)
                     os.unlink(path)
+                    if os.path.exists(twin):  # mid-tier duplicate would
+                        os.unlink(twin)       # resurrect the trimmed rows
                     deleted += len(lines) - len(keep)
                     kept += len(keep)
                 else:
@@ -2357,8 +2421,10 @@ class TopicLog:
             by_pid.setdefault(pids[pid % len(pids)], []).append(
                 _encode_line(kb, vb, rts, headers=hdr, txn=txn)
             )
+        cfg = _topic_config(self.root, topic)  # one read serves the
+        # size gate, the codec, and the roll bound
         for lines in by_pid.values():  # MESSAGE_TOO_LARGE rejects the
-            _check_max_message(self.root, topic, lines)  # request whole
+            _check_max_message(self.root, topic, lines, cfg)  # request whole
         if txn is not None:  # register touched partitions BEFORE publishing:
             # a crash in between leaves an open txn whose records stay
             # invisible to read_committed (Kafka's pending-txn posture)
@@ -2366,16 +2432,18 @@ class TopicLog:
         # producer codec wins when given (Kafka: topic compression.type
         # defaults to 'producer' = honor the sender), else the topic config
         codec = (_norm_compression(compression, "compression")
-                 or _topic_compression(self.root, topic))
-        seg_bytes = _topic_segment_bytes(self.root, topic)
+                 or _norm_compression(cfg.get("compression.type")))
+        sb = cfg.get("segment.bytes")
+        seg_bytes = int(sb) if sb is not None else None
         for pid, lines in by_pid.items():
             for chunk in _chunk_lines(lines, seg_bytes):
                 _publish_segment(_part_dir(self.root, topic, pid), chunk,
                                  compression=codec)
         if client_id is not None:  # KIP-13 produce quota: account the
-            # UNCOMPRESSED request bytes (what the broker meters) and back
-            # off like a throttled client
-            wire = sum(len(ln) + 1 for lines in by_pid.values() for ln in lines)
+            # UNCOMPRESSED request bytes (what the broker meters — encoded
+            # bytes, not characters) and back off like a throttled client
+            wire = sum(len(ln.encode("utf-8")) + 1
+                       for lines in by_pid.values() for ln in lines)
             tms = self.record_quota_usage(client_id, "produce", wire)
             if tms:
                 time.sleep(tms / 1000.0)
@@ -2991,8 +3059,9 @@ def _write_staged(root: str, topic: str, by_pid: dict[int, list[str]],
     staging = os.path.join(root, topic, ".staging")
     os.makedirs(staging, exist_ok=True)
     files = []
+    cfg = _topic_config(root, topic)  # one read per task, not per bucket
     for lines in by_pid.values():  # executor-side fail-fast, like the
-        _check_max_message(root, topic, lines)  # broker rejecting produce
+        _check_max_message(root, topic, lines, cfg)  # broker rejecting
     for pid, lines in by_pid.items():
         path = os.path.join(staging, f"{uuid.uuid4().hex}-p{pid}.jsonl")
         with open(path, "w", encoding="utf-8") as f:
@@ -3066,9 +3135,11 @@ def _commit_staged(messages, root: str, topic: str,
     the publish against the entity's KIP-13 produce quota and backs off
     like a throttled client — at the commit boundary, the sink-side
     analog of a broker delaying the produce response."""
+    cfg = _topic_config(root, topic)
     codec = (_norm_compression(compression)
-             or _topic_compression(root, topic))
-    seg_bytes = _topic_segment_bytes(root, topic)
+             or _norm_compression(cfg.get("compression.type")))
+    sb = cfg.get("segment.bytes")
+    seg_bytes = int(sb) if sb is not None else None
     wire = 0
     for m in messages:
         if m is None:
@@ -3077,7 +3148,7 @@ def _commit_staged(messages, root: str, topic: str,
             with open(path, encoding="utf-8") as f:
                 lines = [ln.rstrip("\n") for ln in f if ln.strip()]
             if lines:
-                wire += sum(len(ln) + 1 for ln in lines)
+                wire += sum(len(ln.encode("utf-8")) + 1 for ln in lines)
                 for chunk in _chunk_lines(lines, seg_bytes):
                     _publish_segment(_part_dir(root, topic, pid), chunk,
                                      compression=codec)
@@ -3250,6 +3321,16 @@ class _TopicLogStreamWriter(DataSourceStreamWriter):
         self.client_id = options.get("client.id")
         self.txn_id = options.get("txnid")
         self.atomic = str(options.get("atomic", "false")).lower() == "true"
+        if self.atomic and (self.compression or self.client_id):
+            # the atomic sink hard-links staged files into place (WAL +
+            # inode protocol), so it can neither recompress nor meter at
+            # commit — reject rather than silently dropping the options
+            raise ValueError(
+                "topiclog sink: atomic=true is incompatible with "
+                "compression.type/client.id (the atomic WAL links staged "
+                "files; publish plain and set the codec as a topic config "
+                "for non-atomic producers, or drop atomic)"
+            )
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 
@@ -3307,6 +3388,16 @@ class _TopicLogStreamArrowWriter(DataSourceStreamArrowWriter):
         self.client_id = options.get("client.id")
         self.txn_id = options.get("txnid")
         self.atomic = str(options.get("atomic", "false")).lower() == "true"
+        if self.atomic and (self.compression or self.client_id):
+            # the atomic sink hard-links staged files into place (WAL +
+            # inode protocol), so it can neither recompress nor meter at
+            # commit — reject rather than silently dropping the options
+            raise ValueError(
+                "topiclog sink: atomic=true is incompatible with "
+                "compression.type/client.id (the atomic WAL links staged "
+                "files; publish plain and set the codec as a topic config "
+                "for non-atomic producers, or drop atomic)"
+            )
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 

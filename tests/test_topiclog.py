@@ -1930,7 +1930,7 @@ def test_alter_describe_configs_validation(tmp_path):
     assert got == {"cleanup.policy": "delete", "retention.bytes": "4096"}
     assert log.describe_configs("t") == got
     with pytest.raises(ValueError, match="unsupported config"):
-        log.alter_configs("t", {"max.message.bytes": 1})
+        log.alter_configs("t", {"min.insync.replicas": 1})
     with pytest.raises(ValueError, match="positive"):
         log.alter_configs("t", {"retention.ms": 0})
     with pytest.raises(ValueError, match="delete|compact"):
@@ -2924,17 +2924,39 @@ def test_session_timeout_eviction(tmp_path):
         log.heartbeat("g", "pod-b", jb["member_token"])
 
     # never-heartbeated member (legacy state): stamped, not evicted...
+    import shutil
+
     log2 = TopicLog(str(tmp_path / "g2"))
     log2.create_topic("t", partitions=2)
     log2.static_join("g", "t", "solo")
-    st = log2._group_state("g")
-    st.pop("hb", None)  # simulate pre-session-clock state
-    log2._write_group_state("g", st)
+    # simulate pre-session-clock state: drop the member's stamp file
+    shutil.rmtree(os.path.dirname(log2._hb_file("g", "solo")))
     assert log2.expire_members("g", 1000, now_ms=t0)["expired"] == []
     # ...but the granted window is real: one timeout later it goes
     r = log2.expire_members("g", 1000, now_ms=t0 + 1001)
     assert r["expired"] == ["solo"]
     assert log2._group_state("g")["assignment"] == {}
+
+    # a heartbeat never rewrites the SHARED state file (a read-modify-
+    # write there could clobber a concurrent join's token bump); only the
+    # member's own stamp file moves
+    sf = log._state_file("g")
+    before = open(sf).read()
+    log.heartbeat("g", "pod-a", rejoin_a["member_token"], now_ms=t0 + 60_000)
+    assert open(sf).read() == before
+
+    # grandfather stamps survive a sweep that evicts OTHERS: the stamp
+    # lives in the member's own file, untouched by the rebalance write
+    log3 = TopicLog(str(tmp_path / "g3"))
+    log3.create_topic("t", partitions=4)
+    log3.static_join("g", "t", "legacy")
+    jy = log3.static_join("g", "t", "dying")
+    os.unlink(log3._hb_file("g", "legacy"))  # pre-clock member
+    log3.heartbeat("g", "dying", jy["member_token"], now_ms=t0)
+    r = log3.expire_members("g", 1000, now_ms=t0 + 5000)
+    assert r["expired"] == ["dying"]  # legacy grandfathered at t0+5000...
+    r = log3.expire_members("g", 1000, now_ms=t0 + 6001)
+    assert r["expired"] == ["legacy"]  # ...and expires ONE window later
 
 
 def test_client_quotas_throttle_math(tmp_path):
@@ -3041,3 +3063,89 @@ def test_max_message_bytes(spark, tmp_path):
     with _pytest.raises(Exception, match="max.message.bytes"):
         KProducer(host=root, topic="t", transport="topiclog").write_batch(df)
     assert log.end_offsets("t") == {0: 1}
+
+
+def test_tiered_crash_twin_cannot_resurrect_deleted_records(spark, tmp_path):
+    """A segment caught mid-tier (remote copy written, local unlink
+    crashed) exists in both tiers under one name; truncation must reap
+    BOTH copies or the twin resurrects the deleted records."""
+    import shutil
+
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = str(tmp_path)
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.append("t", [b"a", b"b"], partition=0, timestamps=[100, 101])
+    log.append("t", [b"c"], partition=0, timestamps=[200])
+    # simulate the crash window: copy seg-0 to remote WITHOUT local unlink
+    pdir = os.path.join(root, "t", "p0")
+    rdir = os.path.join(root, ".remote", "t", "p0")
+    os.makedirs(rdir)
+    seg0 = sorted(n for n in os.listdir(pdir) if n.startswith("seg-"))[0]
+    shutil.copyfile(os.path.join(pdir, seg0), os.path.join(rdir, seg0))
+
+    log.delete_records("t", {0: 2})  # reap below offset 2 (all of seg-0)
+    assert not os.path.exists(os.path.join(rdir, seg0))  # twin reaped too
+    assert [bytes(r.value) for r in
+            read_topic(spark, root, "t").collect()] == [b"c"]
+    assert log.beginning_offsets("t") == {0: 2}
+
+
+def test_tiering_is_prefix_under_nonmonotonic_createtime(tmp_path):
+    """Non-monotonic CreateTime: tiering stops at the first SURVIVING
+    segment (take-while), never leaving a remote segment above a local
+    one — localLogStartOffset stays the exact tier boundary."""
+    from rdkafka_streams_spark.streaming import TopicLog
+
+    t0 = 1_700_000_000_000
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=1)
+    log.alter_configs("t", {"remote.storage.enable": "true",
+                            "local.retention.ms": 60_000})
+    log.append("t", [b"old"], partition=0, timestamps=[t0])
+    log.append("t", [b"FRESH"], partition=0, timestamps=[t0 + 200_000])
+    log.append("t", [b"older-ts"], partition=0, timestamps=[t0 + 1])
+    log.append("t", [b"active"], partition=0, timestamps=[t0 + 2])
+    # cutoff t0+140s: seg0 (max t0) qualifies; seg1 (max t0+200s) does
+    # NOT -> the walk stops there even though seg2's CreateTime is older
+    assert log.tier_segments("t", now_ms=t0 + 200_000) == {0: 1}
+    assert log.local_log_start_offset("t") == {0: 1}
+
+
+def test_atomic_sink_rejects_compression_and_quota_options(spark, tmp_path):
+    """atomic=true hard-links staged files (WAL/inode protocol), so it can
+    neither recompress nor meter at commit: the incompatible options fail
+    loudly instead of silently dropping."""
+    import pytest as _pytest
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog
+
+    root = str(tmp_path)
+    TopicLog(root).create_topic("t", partitions=1)
+    df = spark.readStream.format("rate").option("rowsPerSecond", 1).load() \
+        .selectExpr("cast(value as string) as value")
+    with _pytest.raises(Exception, match="atomic=true is incompatible"):
+        KProducer(host=root, topic="t", transport="topiclog", atomic=True,
+                  checkpoint=str(tmp_path / "ck"),
+                  options={"compression.type": "gzip"}).write(df)
+
+
+def test_gzip_segments_byte_deterministic(tmp_path):
+    """Identical content gzips to identical bytes (no FNAME from the
+    random tmp file, no mtime) — the property content-hash dedup and
+    byte-count certs rely on."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(str(tmp_path))
+    for t in ("a", "b"):
+        log.create_topic(t, partitions=1)
+        log.alter_configs(t, {"compression.type": "gzip"})
+        log.append(t, [b"same payload"], partition=0, timestamps=[123])
+    read = {}
+    for t in ("a", "b"):
+        pdir = os.path.join(str(tmp_path), t, "p0")
+        seg = next(n for n in os.listdir(pdir) if n.endswith(".jsonl.gz"))
+        with open(os.path.join(pdir, seg), "rb") as f:
+            read[t] = f.read()
+    assert read["a"] == read["b"]
