@@ -891,6 +891,103 @@ class TopicLog:
             if p.lstrip("-").isdigit()  # "__meta" is bookkeeping, not a pid
         }
 
+    def delete_group(self, group: str) -> list[str]:
+        """``AdminClient.deleteConsumerGroups`` / ``kafka-consumer-groups
+        --delete``: drop the group — its committed offsets for every
+        topic, its coordination state (generation, assignment, tokens),
+        and its session stamps. Refuses a group with LIVE members
+        (Kafka's GROUP_NOT_EMPTY / NON_EMPTY_GROUP error: members must
+        leave — here via ``remove_member`` or ``expire_members`` — before
+        deletion) and an unknown group (GROUP_ID_NOT_FOUND). Returns the
+        topics whose offsets were dropped."""
+        if group not in self.groups():
+            raise ValueError(f"unknown group {group!r}")
+        members = self._group_state(group).get("members") or []
+        if members:
+            raise ValueError(
+                f"group {group!r} is not empty (live members: "
+                f"{sorted(members)}); remove them before deleting "
+                "(Kafka's GROUP_NOT_EMPTY)"
+            )
+        gdir = os.path.dirname(self._group_file(group, "t"))
+        topics = sorted(
+            n[:-5] for n in os.listdir(gdir)
+            if n.endswith(".json") and ".tmp-" not in n
+            and not n.startswith(".")
+        )
+        import shutil
+
+        shutil.rmtree(gdir)
+        return topics
+
+    def verify_log(self, topic: str) -> dict[int, dict]:
+        """Log-integrity audit (the ``DumpLogSegments`` / post-incident
+        check an operator runs): per partition, re-read every segment in
+        BOTH tiers and verify (a) every line parses and carries ``ts``,
+        (b) offsets are strictly increasing and match the name contract
+        (dense from the name's start when no explicit ``"o"``, inside
+        the name's span when gapped), (c) segment spans don't overlap
+        and the log ends at end_offsets, (d) ``.timeindex`` sidecars are
+        fresh (size-matched). Returns per-partition
+        {records, segments, issues: [...]}; an empty issues list
+        everywhere = a log the readers can serve end-to-end."""
+        out: dict[int, dict] = {}
+        for pid in _list_partitions(self.root, topic):
+            issues: list[str] = []
+            records = 0
+            prev_end = 0
+            segs = _list_segments_tiered(self.root, topic, pid)
+            for seg_start, count, path in segs:
+                name = os.path.basename(path)
+                if seg_start < prev_end:
+                    issues.append(
+                        f"{name}: span overlaps previous segment "
+                        f"(starts {seg_start} < {prev_end})"
+                    )
+                prev_end = max(prev_end, seg_start + count)
+                last_off = None
+                n_lines = 0
+                try:
+                    with _open_seg(path) as f:
+                        for i, ln in enumerate(ln for ln in f if ln.strip()):
+                            rec = json.loads(ln)
+                            if "ts" not in rec:
+                                issues.append(f"{name}:{i}: record missing ts")
+                            off = rec.get("o", seg_start + i)
+                            if not seg_start <= off < seg_start + count:
+                                issues.append(
+                                    f"{name}:{i}: offset {off} outside the "
+                                    f"name's span [{seg_start}, "
+                                    f"{seg_start + count})"
+                                )
+                            if last_off is not None and off <= last_off:
+                                issues.append(
+                                    f"{name}:{i}: offset {off} not "
+                                    f"increasing after {last_off}"
+                                )
+                            last_off = off
+                            n_lines += 1
+                except (OSError, ValueError) as exc:
+                    issues.append(f"{name}: unreadable ({exc})")
+                records += n_lines
+                tix = path + ".timeindex"
+                if os.path.exists(tix):
+                    try:
+                        with open(tix, encoding="utf-8") as f:
+                            idx = json.load(f)
+                        if idx.get("src_size") != os.path.getsize(path):
+                            issues.append(f"{name}: stale timeindex sidecar")
+                    except (OSError, ValueError):
+                        issues.append(f"{name}: corrupt timeindex sidecar")
+            end = _end_offset(_part_dir(self.root, topic, pid))
+            if segs and prev_end != end:
+                issues.append(
+                    f"log ends at {prev_end} but end_offsets says {end}"
+                )
+            out[pid] = {"records": records, "segments": len(segs),
+                        "issues": issues}
+        return out
+
     def expire_group_offsets(
         self, retention_ms: int, now_ms: int | None = None
     ) -> dict[str, list[str]]:

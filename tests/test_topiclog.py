@@ -3149,3 +3149,50 @@ def test_gzip_segments_byte_deterministic(tmp_path):
         with open(os.path.join(pdir, seg), "rb") as f:
             read[t] = f.read()
     assert read["a"] == read["b"]
+
+
+def test_delete_group_and_verify_log(tmp_path):
+    """delete_group refuses live members (GROUP_NOT_EMPTY) and unknown
+    groups, then drops offsets + state + stamps whole; verify_log audits
+    a healthy multi-tier, compacted, compressed log clean and pinpoints
+    planted corruption."""
+    import pytest as _pytest
+
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    root = str(tmp_path)
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.append("t", [b"a", b"b", b"c"], partition=0, timestamps=[1, 2, 3])
+    with _pytest.raises(ValueError, match="unknown group"):
+        log.delete_group("g")
+    j = log.static_join("g", "t", "pod-a")
+    log.commit_offsets("g", "t", {0: 2})
+    with _pytest.raises(ValueError, match="GROUP_NOT_EMPTY"):
+        log.delete_group("g")
+    log.remove_member("g", "pod-a")
+    assert log.delete_group("g") == ["t"]
+    assert "g" not in log.groups()
+    assert log.committed("g", "t") == {}
+
+    # verify_log: clean across gzip'd + compacted + tiered segments
+    log2 = TopicLog(str(tmp_path / "b"))
+    log2.create_topic("t", partitions=1)
+    t0 = 1_700_000_000_000
+    log2.append("t", [b"x1", b"x2"], keys=[b"k", b"k"], partition=0,
+                timestamps=[t0, t0 + 1])
+    log2.compact("t")  # gapped, explicit-"o" segment
+    log2.alter_configs("t", {"compression.type": "gzip",
+                             "remote.storage.enable": None})
+    log2.append("t", [b"y"], partition=0, timestamps=[t0 + 2])  # gz segment
+    log2.offsets_for_times("t", t0)  # build sidecars
+    rep = log2.verify_log("t")
+    assert rep == {0: {"records": 2, "segments": 2, "issues": []}}
+
+    # planted corruption: a record whose offset escapes the name's span
+    pdir = os.path.join(str(tmp_path / "b"), "t", "p0")
+    bad = os.path.join(pdir, f"seg-{3:020d}-1.jsonl")
+    with open(bad, "w", encoding="utf-8") as f:
+        f.write('{"vs":"z","ts":5,"o":99}\n')
+    rep = log2.verify_log("t")
+    assert any("outside the name's span" in i for i in rep[0]["issues"])
