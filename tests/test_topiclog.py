@@ -3196,3 +3196,81 @@ def test_delete_group_and_verify_log(tmp_path):
         f.write('{"vs":"z","ts":5,"o":99}\n')
     rep = log2.verify_log("t")
     assert any("outside the name's span" in i for i in rep[0]["issues"])
+
+
+def test_estate_drill_all_features_compose(spark, tmp_path):
+    """Day-in-the-life composition: a topic with segment.bytes roll +
+    gzip compression + tiered storage + group commits runs produce →
+    consume → retention → seek across every feature at once — the
+    cross-feature interactions (tiering gz segments with their
+    sidecars, seeks through compressed remote segments, lag against a
+    tiered log, total retention across tiers) all hold, and verify_log
+    audits the result clean."""
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+
+    root = str(tmp_path)
+    log = TopicLog(root)
+    log.create_topic("ev", partitions=2)
+    log.alter_configs("ev", {
+        "segment.bytes": 4096,
+        "compression.type": "gzip",
+        "remote.storage.enable": "true",
+        "local.retention.ms": 60_000,
+        "retention.ms": 600_000,
+    })
+    t0 = 1_700_000_000_000
+
+    # two produce waves through the DISTRIBUTED sink, CreateTime-stamped
+    def wave(lo, hi, ts):
+        df = spark.createDataFrame(
+            [(f"v{i:03d}" + "x" * 120, str(i % 2), ts) for i in range(lo, hi)],
+            "value string, partition_hint string, ts long",
+        ).selectExpr("value", "cast(partition_hint as int) as partition",
+                     "timestamp_millis(ts) as evt")
+        KProducer(host=root, topic="ev", transport="topiclog",
+                  partition_col="partition", timestamp_col="evt",
+                  ).write_batch(df.drop("ts"))
+
+    wave(0, 120, t0)            # cold wave
+    wave(120, 200, t0 + 120_000)  # hot wave
+
+    # roll + codec: every partition has >1 segment, all gzip'd
+    for p in (0, 1):
+        pdir = os.path.join(root, "ev", f"p{p}")
+        segs = [n for n in os.listdir(pdir) if n.startswith("seg-")
+                and not n.endswith(".timeindex")]
+        assert len(segs) > 1 and all(n.endswith(".jsonl.gz") for n in segs)
+
+    # a consumer group commits mid-log
+    ends = log.end_offsets("ev")
+    log.rebalance_group("g", "ev", ["m1"])
+    gen = log.group_generation("g")
+    log.commit_offsets("g", "ev", {0: 30, 1: 30}, generation=gen)
+
+    # the retention sweep tiers the cold wave (gz segments + sidecars
+    # move together); total retention keeps everything (600s window)
+    log.offsets_for_times("ev", t0)  # build some sidecars pre-tier
+    acts = log.run_retention("ev", now_ms=t0 + 200_000)["ev"]
+    assert sum(acts["tiered"].values()) > 0
+    lls = log.local_log_start_offset("ev")
+    assert all(v > 0 for v in lls.values())
+    assert log.beginning_offsets("ev") == {0: 0, 1: 0}
+
+    # stitched read over gz local + gz remote equals everything produced
+    got = read_topic(spark, root, "ev").count()
+    assert got == 200
+    # seek through compressed remote segments lands on the hot wave
+    s = log.offsets_for_times("ev", t0 + 1)
+    assert all(v is not None and v > 0 for v in s.values())
+    # lag measured against the tiered log's true end
+    lag = log.consumer_lag("g", "ev")
+    assert {p: v["lag"] for p, v in lag.items()} == {
+        p: ends[p] - 30 for p in (0, 1)
+    }
+
+    # total retention finally reaps the cold wave from the REMOTE tier
+    log.run_retention("ev", now_ms=t0 + 120_000 + 600_000 - 1)
+    assert read_topic(spark, root, "ev").count() == 80  # hot wave only
+    # the whole thing audits clean
+    rep = log.verify_log("ev")
+    assert all(v["issues"] == [] for v in rep.values()), rep
