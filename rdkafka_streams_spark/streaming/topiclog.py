@@ -2302,6 +2302,51 @@ class TopicLog:
             out[pid] = found
         return out
 
+    def offsets_for_max_timestamp(self, topic: str) -> dict[int, dict | None]:
+        """``ListOffsets`` MAX_TIMESTAMP (KIP-734): per partition, the
+        offset and timestamp of the record carrying the LARGEST
+        CreateTime — what operators use to ask "how fresh is this
+        partition really" under non-monotonic producer clocks, where the
+        last offset is NOT necessarily the newest record. Ties resolve
+        to the earliest offset holding the max (a later equal stamp adds
+        no freshness). Index-driven: the global max is the max of the
+        sidecar ``max_ts`` values (zero data reads when warm); only the
+        first segment achieving it gets a columnar read. None = empty."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out: dict[int, dict | None] = {}
+        for pid in _list_partitions(self.root, topic):
+            segs = _list_segments_tiered(self.root, topic, pid)
+            idxs = [(s, c, p, _segment_time_index(p)) for s, c, p in segs]
+            best = None
+            for _s, _c, _p, idx in idxs:
+                if idx["max_ts"] is not None and (
+                        best is None or idx["max_ts"] > best):
+                    best = idx["max_ts"]
+            if best is None:
+                out[pid] = None
+                continue
+            for seg_start, _c, path, idx in idxs:
+                if idx["max_ts"] != best:
+                    continue
+                tbl = _read_json_seg(
+                    path,
+                    pa.schema([pa.field("ts", pa.int64()),
+                               pa.field("o", pa.int64())]),
+                )
+                pos = pc.index(
+                    pc.equal(tbl["ts"].combine_chunks(), best),
+                    pa.scalar(True),
+                ).as_py()
+                o = tbl["o"][pos].as_py()
+                out[pid] = {
+                    "offset": seg_start + pos if o is None else o,
+                    "timestamp": best,
+                }
+                break
+        return out
+
     def delete_records_before_timestamp(self, topic: str, ts_ms: int) -> dict[str, int]:
         """Time-based retention (the ``retention.ms`` reaper's one-shot
         form, and the right-to-forget-by-age path): drop every record whose

@@ -3274,3 +3274,34 @@ def test_estate_drill_all_features_compose(spark, tmp_path):
     # the whole thing audits clean
     rep = log.verify_log("ev")
     assert all(v["issues"] == [] for v in rep.values()), rep
+
+
+def test_offsets_for_max_timestamp(tmp_path):
+    """ListOffsets MAX_TIMESTAMP (KIP-734): the newest record by
+    CreateTime, not the last offset — non-monotonic stamps, ties to the
+    earliest holder, empty partitions None, and the answer reads through
+    gzip'd and tiered segments alike."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    t0 = 1_700_000_000_000
+    log = TopicLog(str(tmp_path))
+    log.create_topic("t", partitions=2)
+    # p0: the max (t0+500) sits MID-log, duplicated later (tie -> offset 1)
+    log.append("t", [b"a", b"B", b"c"], partition=0,
+               timestamps=[t0, t0 + 500, t0 + 100])
+    log.append("t", [b"B2", b"d"], partition=0,
+               timestamps=[t0 + 500, t0 + 200])
+    # p1 stays empty
+    got = log.offsets_for_max_timestamp("t")
+    assert got == {0: {"offset": 1, "timestamp": t0 + 500}, 1: None}
+
+    # through compression + tiering: the winning segment lives REMOTE
+    log.alter_configs("t", {"compression.type": "gzip",
+                            "remote.storage.enable": "true",
+                            "local.retention.ms": 1})
+    log.append("t", [b"late-but-old"], partition=0, timestamps=[t0 + 50])
+    log.tier_segments("t", now_ms=t0 + 10_000_000)
+    assert log.local_log_start_offset("t")[0] > 0
+    assert log.offsets_for_max_timestamp("t")[0] == {
+        "offset": 1, "timestamp": t0 + 500,
+    }
