@@ -822,10 +822,16 @@ def learn_bpe_merges(
 
     Determinism: ties break (count DESC, left ASC, right ASC) on binary
     string order, identical in Spark and the SQL oracle. Symbol sequences
-    are ``sep``-terminated ("h·e·l·l·o·¤·"), so merging pair (x, y) is the
-    plain string replace of "x·y·" with "xy·" — left-to-right
-    non-overlapping in both engines, with no boundary sharing between
-    adjacent occurrences ("a·a·a·a·" → "aa·aa·", the exact BPE result).
+    are ``sep``-WRAPPED — every symbol carries the separator on BOTH
+    sides ("·h··e··l··l··o··¤·") — so merging pair (x, y) is the plain
+    string replace of "·x··y·" with "·xy·": left-to-right non-overlapping
+    in both engines, no boundary sharing between adjacent occurrences
+    ("·a··a··a··a·" → "·aa··aa·", the exact BPE result), and — the reason
+    for wrapping rather than mere termination — no cross-symbol false
+    match: with trailing separators only, applying (o, ¤) to a word
+    holding the earlier-merged symbol "lo" ("lo·¤·") would match its
+    suffix and forge "lo¤"; the leading separator makes "·o··¤·" require
+    a whole "o" symbol.
     """
     words = (
         docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
@@ -836,7 +842,8 @@ def learn_bpe_merges(
     cur = words.select(
         "freq",
         F.concat(
-            F.regexp_replace("w", "(.)", f"$1{sep}"), F.lit(eow + sep)
+            F.regexp_replace("w", "(.)", f"{sep}$1{sep}"),
+            F.lit(sep + eow + sep),
         ).alias("seq"),
     ).persist()
     spark = docs.sparkSession
@@ -847,9 +854,15 @@ def learn_bpe_merges(
             pairs = (
                 cur.selectExpr(
                     "freq",
-                    f"slice(split(seq, '{sep}'), 1,"
-                    f" size(split(seq, '{sep}')) - 1) AS syms",
+                    # strip the outer separators, split on the doubled
+                    # inter-symbol separator: exact symbol recovery
+                    f"split(substring(seq, 2, length(seq) - 2),"
+                    f" '{sep}{sep}') AS syms",
                 )
+                # a fully-merged word (one symbol) has no pairs — and
+                # sequence(0, -1) would run DESCENDING in Spark, indexing
+                # out of bounds, so filter before building the index list
+                .where("size(syms) >= 2")
                 .selectExpr(
                     "freq",
                     "explode(transform(sequence(0, size(syms) - 2),"
@@ -869,8 +882,8 @@ def learn_bpe_merges(
                 "seq",
                 F.replace(
                     F.col("seq"),
-                    F.lit(f"{l}{sep}{r}{sep}"),
-                    F.lit(f"{l}{r}{sep}"),
+                    F.lit(f"{sep}{l}{sep}{sep}{r}{sep}"),
+                    F.lit(f"{sep}{l}{r}{sep}"),
                 ),
             ).persist()
             nxt.count()
@@ -911,19 +924,21 @@ def bpe_subword_vocab(
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
-    seq = F.concat(F.regexp_replace("w", "(.)", f"$1{sep}"), F.lit(eow + sep))
+    seq = F.concat(
+        F.regexp_replace("w", "(.)", f"{sep}$1{sep}"), F.lit(sep + eow + sep)
+    )
     for r in rules:
         seq = F.replace(
             seq,
-            F.lit(f"{r['left']}{sep}{r['right']}{sep}"),
-            F.lit(f"{r['merged']}{sep}"),
+            F.lit(f"{sep}{r['left']}{sep}{sep}{r['right']}{sep}"),
+            F.lit(f"{sep}{r['merged']}{sep}"),
         )
     return (
         words.select("freq", seq.alias("seq"))
         .selectExpr(
             "freq",
-            f"explode(slice(split(seq, '{sep}'), 1,"
-            f" size(split(seq, '{sep}')) - 1)) AS subword",
+            f"explode(split(substring(seq, 2, length(seq) - 2),"
+            f" '{sep}{sep}')) AS subword",
         )
         .groupBy("subword")
         .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))

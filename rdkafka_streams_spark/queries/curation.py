@@ -5861,16 +5861,18 @@ def q290_static_member_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prod.write_batch(ev.filter(F.col("event_id") % 2 == 0))  # wave 1
 
-    for pod in ("pod-a", "pod-b", "pod-c"):
-        jb = log.static_join("g", "ev", pod)
-    gen = jb["generation"]
+    joins = {pod: log.static_join("g", "ev", pod)
+             for pod in ("pod-a", "pod-b", "pod-c")}
+    gen = joins["pod-c"]["generation"]
     b_parts = sorted(p for _, p in map(tuple, log.describe_group("g")
                                        ["assignment"]["pod-b"]))
     assert b_parts == [2, 3], f"range math drifted: {b_parts}"
     ends = log.end_offsets("ev")
     log.commit_offsets("g", "ev", {p: ends[p] for p in b_parts},
                        generation=gen)
-    stale_token = jb["member_token"]
+    # pod-b's OWN pre-bounce token (not whichever pod joined last): the
+    # fence assertion below must check the incarnation that bounced
+    stale_token = joins["pod-b"]["member_token"]
 
     prod.write_batch(ev.filter(F.col("event_id") % 2 == 1))  # wave 2
     j2 = log.static_join("g", "ev", "pod-b")  # the bounce

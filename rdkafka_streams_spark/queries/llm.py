@@ -2202,27 +2202,30 @@ def _bpe_oracle(n: int = 8) -> str:
     """Unrolled-iteration DuckDB oracle for learn_bpe_merges: it0 is the
     char-split word-frequency table; each step k counts adjacent symbol
     pairs, argmaxes with the (cnt DESC, l, r) tie-break, and applies the
-    merge via the same sep-terminated plain-string replace the Spark side
-    uses (left-to-right non-overlapping in both engines)."""
+    merge via the same sep-WRAPPED plain-string replace the Spark side
+    uses ('·x··y·' → '·xy·': left-to-right non-overlapping in both
+    engines, and the leading separator blocks the cross-symbol false
+    match a trailing-only scheme allows — see learn_bpe_merges)."""
     parts = [
         r"""w AS (
   SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
   WHERE tok <> '' GROUP BY tok),
-it0 AS (SELECT freq, regexp_replace(w, '(.)', '\1·', 'g') || '¤·' AS seq FROM w)"""
+it0 AS (SELECT freq, regexp_replace(w, '(.)', '·\1·', 'g') || '·¤·' AS seq FROM w)"""
     ]
     for k in range(1, n + 1):
         parts.append(f"""p{k} AS (
   SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM (
     SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
-    FROM (SELECT freq, list_slice(string_split(seq, '·'), 1,
-                 len(string_split(seq, '·')) - 1) AS syms FROM it{k - 1})
+    FROM (SELECT freq, string_split(
+                 substring(seq, 2, length(seq) - 2), '··') AS syms
+          FROM it{k - 1})
   ) GROUP BY 1, 2),
 m{k} AS (SELECT {k} AS step, l, r, l || r AS merged, cnt
          FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
-it{k} AS (SELECT freq, replace(seq, m.l || '·' || m.r || '·',
-                               m.l || m.r || '·') AS seq
+it{k} AS (SELECT freq, replace(seq, '·' || m.l || '··' || m.r || '·',
+                               '·' || m.l || m.r || '·') AS seq
           FROM it{k - 1}, m{k} m)""")
     union = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(1, n + 1))
     return (
@@ -2262,8 +2265,8 @@ def _bpe_vocab_oracle(n: int = 8, top_k: int = 30) -> str:
         + f"""
 SELECT subword, CAST(SUM(freq) AS BIGINT) AS n_occurrences
 FROM (
-  SELECT freq, unnest(list_slice(string_split(seq, '·'), 1,
-               len(string_split(seq, '·')) - 1)) AS subword
+  SELECT freq, unnest(string_split(
+               substring(seq, 2, length(seq) - 2), '··')) AS subword
   FROM it{n})
 GROUP BY subword
 ORDER BY n_occurrences DESC, subword

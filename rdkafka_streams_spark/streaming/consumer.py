@@ -342,6 +342,22 @@ class KConsumer:
         """Apply the envelope-preserving decode to any Kafka-shaped frame —
         the broker-free seam used by tests (memory/file sources provide the
         same columns)."""
+        def _sole_topic(why: str) -> str:
+            # TopicNameStrategy subjects are per-topic: auto-resolving the
+            # reader schema across a topic LIST would silently decode every
+            # topic's records against the first topic's subject — reject,
+            # like a client without a subject to look up
+            if isinstance(self.topic, str):
+                return self.topic
+            if len(self.topic) == 1:
+                return self.topic[0]
+            raise ValueError(
+                f"{why} with a multi-topic subscribe needs an explicit "
+                "schema/subject: TopicNameStrategy resolves per topic, and "
+                f"{sorted(self.topic)} would all decode under "
+                f"{self.topic[0]!r}'s subject"
+            )
+
         if self.key_format == "avro-confluent":
             # framed Avro key (subject <topic>-key): decode to its record
             # struct in place, orthogonal to the value format
@@ -351,7 +367,7 @@ class KConsumer:
             )
 
             kroot = self._resolve_registry_root()
-            t = self.topic if isinstance(self.topic, str) else self.topic[0]
+            t = _sole_topic("key_format='avro-confluent'")
             _, kreader = SchemaRegistry(kroot).latest(f"{t}-key")
             raw = raw.select(*[
                 from_avro_confluent(F.col("key"), kroot, kreader).alias("key")
@@ -367,10 +383,11 @@ class KConsumer:
             root = self._resolve_registry_root()
             reader = self.schema
             if reader is None:
-                t = self.topic if isinstance(self.topic, str) else self.topic[0]
-                _, reader = SchemaRegistry(root).latest(
-                    self.subject or f"{t}-value"
-                )
+                if self.subject is not None:
+                    _, reader = SchemaRegistry(root).latest(self.subject)
+                else:
+                    t = _sole_topic("value_format='avro-confluent'")
+                    _, reader = SchemaRegistry(root).latest(f"{t}-value")
             envelope = [c for c in raw.columns if c != "value"]
             return raw.select(
                 *envelope,

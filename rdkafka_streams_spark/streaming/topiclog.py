@@ -823,6 +823,8 @@ class TopicLog:
         *,
         generation: int | None = None,
         metadata: dict[int, str] | None = None,
+        instance_id: str | None = None,
+        member_token: int | None = None,
     ) -> None:
         """Merge ``{partition: offset}`` into the group's committed state.
         Offsets are positions-to-resume-from (the NEXT offset to read, like
@@ -838,7 +840,15 @@ class TopicLog:
         it no longer owns). None = the standalone/``assign()`` posture
         (Kafka's generation −1), which always commits. ``metadata`` is the
         per-partition opaque commit-metadata string Kafka stores alongside
-        each offset (consumers stash resume context there)."""
+        each offset (consumers stash resume context there).
+
+        ``instance_id``/``member_token`` extend the fence to STATIC
+        membership (KIP-345): a bounced member's replacement takes a new
+        token WITHOUT a generation bump, so generation alone cannot fence
+        the pre-bounce zombie's commits — Kafka rejects OffsetCommit from
+        a fenced ``group.instance.id`` with FENCED_INSTANCE_ID, and so
+        does this when the token is presented. Static members should
+        commit with both."""
         for pid, off in offsets.items():
             if int(off) < 0:
                 raise ValueError(f"negative offset {off} for partition {pid}")
@@ -848,6 +858,20 @@ class TopicLog:
                 raise IllegalGenerationError(
                     f"commit from generation {generation} rejected: group "
                     f"{group!r} is at generation {cur_gen} (zombie fenced)"
+                )
+        if instance_id is not None:
+            cur_tok = self._group_state(group).get(
+                "instances", {}).get(instance_id)
+            if cur_tok is None:
+                raise ValueError(
+                    f"unknown group.instance.id {instance_id!r} "
+                    f"in group {group!r}"
+                )
+            if member_token is None or int(member_token) != int(cur_tok):
+                raise FencedInstanceIdError(
+                    f"commit from instance {instance_id!r} token "
+                    f"{member_token} fenced: a newer member holds token "
+                    f"{cur_tok}"
                 )
         path = self._group_file(group, topic)
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -1028,7 +1052,13 @@ class TopicLog:
                 if n.endswith(".json") and ".tmp-" not in n
                 and not n.startswith(".")
             ]
-            if not remaining:  # last offset gone -> the group is gone
+            st = self._group_state(group)
+            if not remaining and not (st.get("members") or []):
+                # last offset gone AND no live membership -> the group is
+                # gone (the coordinator removes EMPTY groups only; a group
+                # with a standing assignment keeps its generation/token
+                # state even with zero commits — wiping it would reset the
+                # fence history and orphan its members' heartbeats)
                 import shutil
 
                 shutil.rmtree(gdir)
@@ -1370,6 +1400,14 @@ class TopicLog:
         live-member registry, fencing makes the same guarantee
         durably (any straggler's generation-carrying commit now fails)
         rather than socially. Returns what was committed."""
+        if shift_by is not None and to != "earliest":
+            # the real tool rejects combined reset specs; "earliest" is
+            # this signature's default, so any OTHER `to` alongside
+            # shift_by is two contradictory instructions
+            raise ValueError(
+                f"reset_offsets: shift_by={shift_by} and to={to!r} are "
+                "mutually exclusive — pass exactly one reset spec"
+            )
         begins = self.beginning_offsets(topic)
         ends = self.end_offsets(topic)
         if fence:
@@ -1864,7 +1902,43 @@ class TopicLog:
         add = set(int(p) for p in pids) - cur
         if add:
             st["partitions"][topic] = sorted(cur | add)
+            lso = st.setdefault("lso", {}).setdefault(topic, {})
+            for p in sorted(add):
+                # the txn's first record in p lands at or above the
+                # CURRENT end (touch happens BEFORE publish): record the
+                # floor a read_committed planner must stall at — the LSO
+                lso[str(p)] = _end_offset(_part_dir(self.root, topic, p))
             self._txn_write(txn_id, st)
+
+    def last_stable_offsets(self, topic: str) -> dict[int, int]:
+        """Kafka's LSO (last stable offset) per partition: the floor of
+        the earliest still-OPEN transaction's first record, below which a
+        ``read_committed`` fetch may safely serve data. Partitions absent
+        from the result are ungated (LSO == log end). The streaming
+        read_committed planner bounds every micro-batch at the LSO —
+        without it, records of a transaction that commits AFTER the plan
+        would be filtered by that batch and then skipped forever by the
+        checkpoint (they sit below the committed planned offsets).
+        Legacy open-txn states without a recorded floor are grandfathered
+        ungated (pre-LSO behavior), never stalled at 0."""
+        tdir = os.path.join(self.root, ".txns")
+        out: dict[int, int] = {}
+        if not os.path.isdir(tdir):
+            return out
+        for name in os.listdir(tdir):
+            if not name.endswith(".json") or ".tmp-" in name:
+                continue
+            try:
+                with open(os.path.join(tdir, name), encoding="utf-8") as f:
+                    st = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if st.get("state") != "open":
+                continue
+            for p, floor in (st.get("lso", {}).get(topic, {})).items():
+                pid = int(p)
+                out[pid] = min(out.get(pid, int(floor)), int(floor))
+        return out
 
     def _txn_finish(self, txn_id: str, outcome: str) -> None:
         st = self.txn_state(txn_id)
@@ -2634,6 +2708,31 @@ class TopicLog:
             )
         drm_raw = cfg.get("delete.retention.ms")
         now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        # txn visibility BEFORE dedup, like the broker's cleaner: aborted
+        # records are removed (never allowed to supersede a committed
+        # value — keeping them would erase the key's real value for
+        # read_committed and surface the aborted one to read_uncommitted),
+        # and cleaning stops at the first record of a still-OPEN txn (the
+        # first unstable offset — Kafka cleans only below the LSO), the
+        # tail above it retained verbatim until the txn resolves.
+        open_ids: set[str] = set()
+        aborted_ids: set[str] = set()
+        tdir = os.path.join(self.root, ".txns")
+        if os.path.isdir(tdir):
+            for name in os.listdir(tdir):
+                if not name.endswith(".json") or ".tmp-" in name:
+                    continue
+                try:
+                    with open(os.path.join(tdir, name),
+                              encoding="utf-8") as f:
+                        s = json.load(f).get("state")
+                except (OSError, json.JSONDecodeError):
+                    continue
+                if s == "open":
+                    open_ids.add(name[:-5])
+                elif s == "abort":
+                    aborted_ids.add(name[:-5])
+        aborted = 0
         for pid in _list_partitions(self.root, topic):
             pdir = _part_dir(self.root, topic, pid)
             _recover_compaction(pdir)
@@ -2644,16 +2743,37 @@ class TopicLog:
             # key bytes → (offset, ts_ms, value bytes|None)
             latest: dict[bytes, tuple[int, int, bytes | None]] = {}
             n_records = 0
+            retained: list[tuple] = []  # the unstable tail, verbatim
+            unstable = False
             for seg_start, _count, path in segs:
                 with _open_seg(path) as f:
                     for i, line in enumerate(f):
                         rec = json.loads(line)
                         off = rec.get("o", seg_start + i)
+                        x = rec.get("x")
+                        if not unstable and x is not None and x in open_ids:
+                            unstable = True  # first unstable offset found
+                        if unstable:
+                            # above the LSO: nothing is cleaned — keep the
+                            # record (marker or data, any txn state) as-is
+                            prod = (
+                                (rec["pi"], rec["pe"], rec["sq"], rec["bs"])
+                                if "pi" in rec else None
+                            )
+                            retained.append((
+                                off, rec["ts"], _rec_key(rec), _rec_val(rec),
+                                rec.get("h"), x, prod, rec.get("dh"),
+                                rec.get("ctl"),
+                            ))
+                            continue
                         if "ctl" in rec:
                             # txn markers: the cleaner removes resolved
                             # control records (their offsets stay gapped,
                             # like a broker past delete.retention.ms)
                             continue
+                        if x is not None and x in aborted_ids:
+                            aborted += 1  # the cleaner removes aborted
+                            continue      # records outright
                         kb = _rec_key(rec)
                         if kb is None:
                             raise ValueError(
@@ -2663,10 +2783,9 @@ class TopicLog:
                         n_records += 1
                         # carry headers through in wire form: the key's
                         # latest record keeps ITS headers, like a broker;
-                        # the txn tag survives too, so aborted records stay
-                        # invisible to read_committed after compaction, and
-                        # so does the idempotent-producer metadata, keeping
-                        # sequence state log-recoverable post-cleaning
+                        # committed txn tags survive, and so does the
+                        # idempotent-producer metadata, keeping sequence
+                        # state log-recoverable post-cleaning
                         prod = (
                             (rec["pi"], rec["pe"], rec["sq"], rec["bs"])
                             if "pi" in rec else None
@@ -2686,11 +2805,15 @@ class TopicLog:
                 survivors.append((off, ts, kb, None, h, x, pr, horizon))
             survivors.sort(key=lambda s: s[0])
             superseded += n_records - len(latest)
-            kept += len(survivors)
+            kept += len(survivors) + len(retained)
             lines = [
                 _encode_line(kb, vb, ts, off=off, headers=h, txn=x,
                              producer=pr, delete_horizon=dh)
                 for off, ts, kb, vb, h, x, pr, dh in survivors
+            ] + [
+                _encode_line(kb, vb, ts, off=off, headers=h, txn=x,
+                             producer=pr, delete_horizon=dh, ctl=ctl)
+                for off, ts, kb, vb, h, x, pr, dh, ctl in retained
             ]
             tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w", encoding="utf-8") as f:
@@ -2708,7 +2831,8 @@ class TopicLog:
             os.link(marker, os.path.join(pdir, f"seg-{0:020d}-{end}.jsonl"))
             os.unlink(marker)
             _sweep_orphan_timeindexes(pdir)
-        return {"kept": kept, "superseded": superseded, "tombstoned": tombstoned}
+        return {"kept": kept, "superseded": superseded,
+                "tombstoned": tombstoned, "aborted": aborted}
 
 
 _CLEANER_RE = re.compile(r"^cleaner-(\d{20})\.jsonl$")
@@ -3014,12 +3138,26 @@ class _TopicLogStreamReader(DataSourceStreamReader):
         return self.topics
 
     def _ends(self) -> dict[str, int]:
-        return {
+        ends = {
             f"{t}/{pid}": _end_offset(_part_dir(self.root, t, pid))
             for t in self._current_topics()
             for pid in (self.assigned.get(t, []) if self.assigned is not None
                         else _list_partitions(self.root, t))
         }
+        if self.isolation == "read_committed":
+            # LSO gate: never PLAN past an open transaction's first record
+            # — a txn that commits after the plan would otherwise have its
+            # records filtered by this batch and skipped forever once the
+            # checkpoint advances (Kafka bounds read_committed fetches at
+            # the LSO for exactly this reason). The stall lifts the moment
+            # the txn commits or aborts.
+            log = TopicLog(self.root)
+            for t in self._current_topics():
+                for pid, floor in log.last_stable_offsets(t).items():
+                    k = f"{t}/{pid}"
+                    if k in ends:
+                        ends[k] = min(ends[k], int(floor))
+        return ends
 
     def _start_offsets(self) -> dict[str, int]:
         ends = self._ends()
@@ -3396,6 +3534,10 @@ def _commit_staged_atomic(messages, root: str, topic: str) -> None:
                 start = _end_offset(pdir)
                 final = os.path.join(pdir, f"seg-{start:020d}-{n}.jsonl")
                 st["wal"].append((final, ino))
+                # LSO floor for concurrent read_committed streams: they
+                # must not plan past this in-flight batch's first record
+                lso = st.setdefault("lso", {}).setdefault(topic, {})
+                lso[str(pid)] = min(lso.get(str(pid), start), start)
                 log._txn_write(tag, st)  # intent BEFORE the link
                 try:
                     os.link(path, final)
@@ -3439,6 +3581,15 @@ class _TopicLogBatchWriter(DataSourceWriter):
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         self.compression = _norm_compression(options.get("compression.type"))
         self.client_id = options.get("client.id")
+        if str(options.get("atomic", "false")).lower() == "true" \
+                or options.get("txnid"):
+            # streaming-only options: a one-shot batch write has no
+            # micro-batch replay to dedup and no batch-scoped txn tag —
+            # reject rather than silently publishing without the guarantee
+            raise ValueError(
+                "topiclog batch sink: atomic/txnId are streaming-only; "
+                "use the streaming writer for exactly-once publish"
+            )
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 
@@ -3506,6 +3657,12 @@ class _TopicLogArrowWriter(DataSourceArrowWriter):
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         self.compression = _norm_compression(options.get("compression.type"))
         self.client_id = options.get("client.id")
+        if str(options.get("atomic", "false")).lower() == "true" \
+                or options.get("txnid"):
+            raise ValueError(
+                "topiclog batch sink: atomic/txnId are streaming-only; "
+                "use the streaming writer for exactly-once publish"
+            )
         if "value" not in self.fields:
             raise ValueError("topiclog sink requires a 'value' column (kafka sink contract)")
 

@@ -940,3 +940,17 @@ def test_learn_bpe_merges_matches_reference_implementation(spark):
     assert got == ref_bpe(corpus, 6)
     post = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert post <= pre
+
+    # cross-symbol boundary regression: merge order (l,o) -> ... -> (o,¤)
+    # while the word "lo" holds the merged SYMBOL 'lo' before '¤' — a
+    # trailing-separator-only replace would match 'lo·¤'s suffix under the
+    # (o,¤) rule and forge the symbol 'lo¤'; the sep-WRAPPED scheme must
+    # reproduce the reference exactly instead
+    corpus2 = ["low low low low low", "lo lo o o o"]
+    docs2 = spark.createDataFrame([(i, t) for i, t in enumerate(corpus2)],
+                                  "doc_id int, text string")
+    got2 = [tuple(r) for r in
+            learn_bpe_merges(docs2, n_merges=5).orderBy("step").collect()]
+    ref2 = ref_bpe(corpus2, 5)
+    assert got2 == ref2
+    assert ("o", "¤") in [(l, r) for _, l, r, _, _ in ref2]  # the trap fired

@@ -614,7 +614,7 @@ def test_compaction_keeps_latest_and_drops_tombstones(spark, root):
     log.append("state", ["v0c", None], keys=["k0", "k1"], partition=0)
     log.append("state", ["w0"], keys=["z0"], partition=1)
     stats = log.compact("state")
-    assert stats == {"kept": 3, "superseded": 4, "tombstoned": 1}
+    assert stats == {"kept": 3, "superseded": 4, "tombstoned": 1, "aborted": 0}
 
     rows = read_topic(spark, root, "state").collect()
     got = {
@@ -669,7 +669,7 @@ def test_compaction_crash_recovery(spark, root):
 
     # ...but compact() recovers the marker, then re-compacts normally
     stats = log.compact("state")
-    assert stats == {"kept": 2, "superseded": 1, "tombstoned": 0}
+    assert stats == {"kept": 2, "superseded": 1, "tombstoned": 0, "aborted": 0}
     rows = {
         bytes(r["key"]).decode(): bytes(r["value"]).decode()
         for r in read_topic(spark, root, "state").collect()
@@ -769,7 +769,7 @@ def test_wire_format_legacy_binary_and_mixed_segments(spark, root):
     log.append("mixkv", values=[b"a", binary, stress.encode(), b"a2"],
                keys=[b"ka", binary, "café", b"ka"], partition=0)
     stats = log.compact("mixkv")
-    assert stats == {"kept": 3, "superseded": 1, "tombstoned": 0}
+    assert stats == {"kept": 3, "superseded": 1, "tombstoned": 0, "aborted": 0}
     compacted = {
         bytes(r["key"]): (bytes(r["value"]), r["offset"])
         for r in read_topic(spark, root, "mixkv").collect()
@@ -1720,8 +1720,8 @@ def test_txn_isolation_batch_arrow_path(spark, tmp_path):
 
 def test_txn_isolation_row_path_and_compaction(spark, tmp_path):
     """The per-row (headers) read path applies the same txn filter, and
-    compaction preserves txn tags (aborted records stay invisible) while
-    dropping resolved control markers."""
+    compaction resolves transactions like the broker's cleaner: aborted
+    records and resolved control markers are removed outright."""
     from rdkafka_streams_spark.streaming.topiclog import TopicLog, read_topic
 
     log = TopicLog(str(tmp_path))
@@ -1743,13 +1743,15 @@ def test_txn_isolation_row_path_and_compaction(spark, tmp_path):
 
     assert committed_rows() == {(0, "v1")}
     stats = log.compact("t")
-    # k2's aborted record is still the latest for its key and survives
-    # compaction WITH its txn tag; the abort marker is cleaned
-    assert stats["kept"] == 2
+    # the cleaner removes k2's aborted record outright (it must never
+    # supersede — or stand in for — a committed value) and drops the
+    # resolved abort marker; only k1's committed record survives
+    assert stats["kept"] == 1 and stats["aborted"] == 1
     assert committed_rows() == {(0, "v1")}
     uncommitted = read_topic(spark, str(tmp_path), "t").selectExpr(
         "offset", "cast(value as string) v").collect()
-    assert {(r.offset, r.v) for r in uncommitted} == {(0, "v1"), (1, "evil")}
+    # post-cleaning, read_uncommitted agrees: the aborted write is GONE
+    assert {(r.offset, r.v) for r in uncommitted} == {(0, "v1")}
 
 
 def test_txn_isolation_streaming_consumer(spark, tmp_path):
@@ -2536,7 +2538,7 @@ def test_compact_delete_retention_two_phase(tmp_path):
 
     t0 = 1_000_000
     r1 = log.compact("t", now_ms=t0)
-    assert r1 == {"kept": 2, "superseded": 1, "tombstoned": 0}
+    assert r1 == {"kept": 2, "superseded": 1, "tombstoned": 0, "aborted": 0}
     recs = {}
     pdir = os.path.join(root, "t", "p0")
     for name in os.listdir(pdir):
@@ -2551,7 +2553,7 @@ def test_compact_delete_retention_two_phase(tmp_path):
     assert log.compact("t", now_ms=t0 + 30_000)["tombstoned"] == 0
     # a pass PAST the horizon finally removes it
     r3 = log.compact("t", now_ms=t0 + 60_001)
-    assert r3 == {"kept": 1, "superseded": 0, "tombstoned": 1}
+    assert r3 == {"kept": 1, "superseded": 0, "tombstoned": 1, "aborted": 0}
 
     # unset config: same-pass drop, the legacy default
     log2 = TopicLog(str(tmp_path / "legacy"))
@@ -3305,3 +3307,132 @@ def test_offsets_for_max_timestamp(tmp_path):
     assert log.offsets_for_max_timestamp("t")[0] == {
         "offset": 1, "timestamp": t0 + 500,
     }
+
+
+def test_compaction_txn_visibility(spark, tmp_path):
+    """The cleaner resolves transactions BEFORE dedup, like a broker:
+    an ABORTED record never supersedes the committed value of its key
+    (it is removed outright), and cleaning stops at the first record of
+    a still-OPEN transaction — the unstable tail is retained verbatim,
+    so a later commit still delivers it to read_committed."""
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = str(tmp_path)
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.append("t", [b"committed"], keys=[b"K"], partition=0)  # off 0
+    log.begin_txn("bad")
+    log.append("t", [b"aborted-overwrite"], keys=[b"K"], partition=0,
+               txn="bad")                                      # off 1
+    log.abort_txn("bad")                                       # marker @2
+    stats = log.compact("t")
+    assert stats["aborted"] == 1 and stats["kept"] == 1
+    # K's value is the COMMITTED one, for both isolation levels
+    for iso in ("read_uncommitted", "read_committed"):
+        vals = [bytes(r.value) for r in
+                read_topic(spark, root, "t", isolation=iso).collect()]
+        assert vals == [b"committed"], (iso, vals)
+
+    # open txn: the tail from its first record on is NOT cleaned
+    log.append("t", [b"v2"], keys=[b"K"], partition=0)         # off 3
+    log.begin_txn("inflight")
+    log.append("t", [b"pending"], keys=[b"K"], partition=0,
+               txn="inflight")                                 # off 4
+    log.append("t", [b"v3"], keys=[b"K"], partition=0)         # off 5
+    stats = log.compact("t")
+    # below the unstable floor: committed@0 superseded by v2@3; the tail
+    # (pending@4, v3@5) retained verbatim awaiting the txn's fate
+    assert stats == {"kept": 3, "superseded": 1, "tombstoned": 0,
+                     "aborted": 0}
+    got = {r.offset: bytes(r.value) for r in
+           read_topic(spark, root, "t", isolation="read_committed").collect()}
+    assert got == {3: b"v2", 5: b"v3"}  # pending invisible, NOT lost
+    log.commit_txn("inflight")
+    got = {r.offset: bytes(r.value) for r in
+           read_topic(spark, root, "t", isolation="read_committed").collect()}
+    assert got == {3: b"v2", 4: b"pending", 5: b"v3"}
+
+
+def test_streaming_read_committed_lso_gate(spark, tmp_path):
+    """LSO gate: a read_committed STREAM never plans past an open
+    transaction's first record — records of a txn that commits after a
+    micro-batch are delivered by a later batch instead of being filtered
+    once and skipped forever by the checkpoint."""
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KConsumer, TopicLog, shutdown
+
+    root = str(tmp_path / "bus")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.append_json("t", [{"n": 1}], partition=0)              # off 0
+    log.begin_txn("x")
+    log.append("t", ['{"n": 2}'], partition=0, txn="x")        # off 1
+    log.append_json("t", [{"n": 3}], partition=0)              # off 2
+
+    sink = str(tmp_path / "out")
+    ck = tempfile.mkdtemp(prefix="lso_ck_")
+    q = (
+        KConsumer(host=root, topic="t", from_offset="earliest",
+                  schema="n long", transport="topiclog",
+                  isolation="read_committed")
+        .stream(spark).selectExpr("value.n as n")
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="0.2 seconds").start()
+    )
+    q.processAllAvailable()
+    # gate holds: only the record BELOW the open txn's floor delivered
+    assert sorted(r.n for r in spark.read.parquet(sink).collect()) == [1]
+    log.commit_txn("x")
+    q.processAllAvailable()
+    shutdown(q, 60)
+    # the commit lifts the gate; NOTHING was lost to the checkpoint
+    assert sorted(r.n for r in spark.read.parquet(sink).collect()) == [1, 2, 3]
+
+
+def test_review_fixes_group_and_guard_semantics(spark, tmp_path):
+    """Round-8 self-review regressions: (a) expire_group_offsets never
+    wipes a group with live membership just because it has no commits;
+    (b) commit_offsets fences a stale static-member token
+    (FENCED_INSTANCE_ID) even though the generation is unchanged;
+    (c) reset_offsets rejects contradictory specs; (d) the BATCH sink
+    rejects the streaming-only atomic/txnId options loudly."""
+    import pytest as _pytest
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog
+    from rdkafka_streams_spark.streaming.topiclog import FencedInstanceIdError
+
+    root = str(tmp_path)
+    log = TopicLog(root)
+    log.create_topic("t", partitions=2)
+    log.append("t", [b"a", b"b"], partition=0)
+
+    # (a) live group with zero commits survives the offsets sweep
+    j1 = log.static_join("g", "t", "pod-a")
+    log.expire_group_offsets(retention_ms=1, now_ms=10**15)
+    assert "g" in log.groups()
+    log.heartbeat("g", "pod-a", j1["member_token"])  # state intact
+
+    # (b) the bounced member's replacement gets a new token; the zombie's
+    # commit is fenced even at the same generation
+    j2 = log.static_join("g", "t", "pod-a")
+    assert j2["generation"] == j1["generation"]
+    gen = j2["generation"]
+    log.commit_offsets("g", "t", {0: 1}, generation=gen,
+                       instance_id="pod-a", member_token=j2["member_token"])
+    with _pytest.raises(FencedInstanceIdError):
+        log.commit_offsets("g", "t", {0: 2}, generation=gen,
+                           instance_id="pod-a",
+                           member_token=j1["member_token"])
+    assert log.committed("g", "t") == {0: 1}
+
+    # (c) contradictory reset specs
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        log.reset_offsets("g", "t", to="latest", shift_by=-1)
+
+    # (d) batch sink + streaming-only options
+    df = spark.createDataFrame([("x",)], "value string")
+    with _pytest.raises(Exception, match="streaming-only"):
+        KProducer(host=root, topic="t", transport="topiclog",
+                  options={"atomic": "true"}).write_batch(df)
