@@ -10,6 +10,8 @@ the fixture corpus is token soup, so token profiles are the honest analog.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -854,10 +856,12 @@ def learn_bpe_merges(
             pairs = (
                 cur.selectExpr(
                     "freq",
-                    # strip the outer separators, split on the doubled
-                    # inter-symbol separator: exact symbol recovery
-                    f"split(substring(seq, 2, length(seq) - 2),"
-                    f" '{sep}{sep}') AS syms",
+                    # strip the outer separators (len(sep) chars each
+                    # side), split on the doubled inter-symbol separator:
+                    # exact symbol recovery for any separator width
+                    f"split(substring(seq, {1 + len(sep)},"
+                    f" length(seq) - {2 * len(sep)}),"
+                    f" '{re.escape(sep)}{re.escape(sep)}') AS syms",
                 )
                 # a fully-merged word (one symbol) has no pairs — and
                 # sequence(0, -1) would run DESCENDING in Spark, indexing
@@ -937,8 +941,9 @@ def bpe_subword_vocab(
         words.select("freq", seq.alias("seq"))
         .selectExpr(
             "freq",
-            f"explode(split(substring(seq, 2, length(seq) - 2),"
-            f" '{sep}{sep}')) AS subword",
+            f"explode(split(substring(seq, {1 + len(sep)},"
+            f" length(seq) - {2 * len(sep)}),"
+            f" '{re.escape(sep)}{re.escape(sep)}')) AS subword",
         )
         .groupBy("subword")
         .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))

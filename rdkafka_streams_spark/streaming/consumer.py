@@ -344,18 +344,25 @@ class KConsumer:
         same columns)."""
         def _sole_topic(why: str) -> str:
             # TopicNameStrategy subjects are per-topic: auto-resolving the
-            # reader schema across a topic LIST would silently decode every
-            # topic's records against the first topic's subject — reject,
-            # like a client without a subject to look up
-            if isinstance(self.topic, str):
-                return self.topic
-            if len(self.topic) == 1:
-                return self.topic[0]
+            # reader schema across a topic LIST (or comma form, or a regex
+            # subscription) would silently decode every topic's records
+            # against one arbitrary subject — reject, like a client
+            # without a subject to look up
+            if self.pattern:
+                raise ValueError(
+                    f"{why} with subscribePattern needs an explicit "
+                    "schema/subject: a regex names no TopicNameStrategy "
+                    "subject to resolve"
+                )
+            topics = (self.topic.split(",") if isinstance(self.topic, str)
+                      else list(self.topic))
+            if len(topics) == 1:
+                return topics[0]
             raise ValueError(
                 f"{why} with a multi-topic subscribe needs an explicit "
                 "schema/subject: TopicNameStrategy resolves per topic, and "
-                f"{sorted(self.topic)} would all decode under "
-                f"{self.topic[0]!r}'s subject"
+                f"{sorted(topics)} would all decode under "
+                f"{topics[0]!r}'s subject"
             )
 
         if self.key_format == "avro-confluent":

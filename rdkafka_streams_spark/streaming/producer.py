@@ -282,10 +282,15 @@ class KProducer:
             if self.txn_id is not None:
                 opts["txnId"] = self.txn_id
             if self.atomic:
-                lowered = {k.lower() for k in self.options}
-                if "compression.type" in lowered or "client.id" in lowered:
+                lowered = {k.lower(): v for k, v in self.options.items()}
+                comp = topiclog._norm_compression(
+                    lowered.get("compression.type")
+                )
+                if comp or lowered.get("client.id"):
                     # fail HERE, synchronously — the sink writer raises the
-                    # same error, but only once the stream thread starts
+                    # same error, but only once the stream thread starts.
+                    # Value-normalized, matching the writer: an explicit
+                    # compression.type=none is NOT a conflict.
                     raise ValueError(
                         "atomic=true is incompatible with compression.type/"
                         "client.id: the atomic WAL hard-links staged files, "

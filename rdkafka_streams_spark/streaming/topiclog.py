@@ -446,19 +446,6 @@ def _topic_config(root: str, topic: str) -> dict:
         return {}
 
 
-def _topic_compression(root: str, topic: str) -> str | None:
-    """The topic's configured ``compression.type`` publish codec (None =
-    unset/none/producer)."""
-    return _norm_compression(_topic_config(root, topic).get("compression.type"))
-
-
-def _topic_segment_bytes(root: str, topic: str) -> int | None:
-    """The topic's ``segment.bytes`` roll bound, or None (unbounded — the
-    historical behavior: one publish = one segment of whatever size)."""
-    v = _topic_config(root, topic).get("segment.bytes")
-    return int(v) if v is not None else None
-
-
 def _check_max_message(root: str, topic: str, lines: list[str],
                        cfg: dict | None = None) -> None:
     """``max.message.bytes`` gate (MESSAGE_TOO_LARGE): reject any record
@@ -971,12 +958,14 @@ class TopicLog:
                 prev_end = max(prev_end, seg_start + count)
                 last_off = None
                 n_lines = 0
+                gapped = False
                 try:
                     with _open_seg(path) as f:
                         for i, ln in enumerate(ln for ln in f if ln.strip()):
                             rec = json.loads(ln)
                             if "ts" not in rec:
                                 issues.append(f"{name}:{i}: record missing ts")
+                            gapped = gapped or "o" in rec
                             off = rec.get("o", seg_start + i)
                             if not seg_start <= off < seg_start + count:
                                 issues.append(
@@ -993,6 +982,18 @@ class TopicLog:
                             n_lines += 1
                 except (OSError, ValueError) as exc:
                     issues.append(f"{name}: unreadable ({exc})")
+                if n_lines and not gapped and n_lines != count:
+                    # a DENSE segment's line count must equal its name
+                    # count — dense offsets are synthesized seg_start+i,
+                    # so a lost line would silently renumber every later
+                    # record; this is the only way to catch it. (A gapped
+                    # segment's name carries the logical SPAN, and the
+                    # empty spanning segments trim leaves behind carry no
+                    # lines to judge — both legitimately differ.)
+                    issues.append(
+                        f"{name}: dense segment holds {n_lines} lines but "
+                        f"its name claims {count} records"
+                    )
                 records += n_lines
                 tix = path + ".timeindex"
                 if os.path.exists(tix):
@@ -1464,8 +1465,12 @@ class TopicLog:
         matched when a client has no specific entry, Kafka's quota
         resolution order). ``None`` deletes a key; an entity with no keys
         left is dropped. Returns the entity's effective config."""
-        if not client_id:
-            raise ValueError("empty client id")
+        if not client_id or (client_id != "<default>" and (
+                client_id.startswith(".") or "/" in client_id
+                or "\\" in client_id)):
+            # same path-component discipline as _hb_file: the id names a
+            # state file under .quotas/
+            raise ValueError(f"invalid client id {client_id!r}")
         cfg = {}
         try:
             with open(self._quota_cfg_file(), encoding="utf-8") as f:
@@ -1515,16 +1520,26 @@ class TopicLog:
         now_ms: int | None = None,
     ) -> int:
         """Record ``n_bytes`` of produce/consume against the client's
-        quota and return the throttle_time_ms the broker would impose: 0
-        while the realized rate fits; otherwise the delay that stretches
-        the window until bytes/elapsed == quota (Kafka's
-        ClientQuotaManager.throttleTime). Pure accounting — the CALLER
-        sleeps (a broker delays the response; a good citizen client backs
-        off), which keeps this testable against a pinned clock. Windows
-        reset after one idle window (rolling sample, not lifetime
-        average)."""
+        quota and return the throttle_time_ms the broker would impose —
+        a TOKEN BUCKET refilled at the quota rate with one window of
+        burst capacity: a burst inside the window's allowance passes
+        (Kafka's multi-sample Rate gives bursts the same tolerance),
+        SUSTAINED overage pays exactly the deficit, and — unlike a
+        resetting sample window — a never-idle client can neither bank
+        unbounded idle credit (capacity caps the bucket) nor shed its
+        overage debt at a window boundary (the deficit carries). Pure
+        accounting: the CALLER sleeps (a broker delays the response; a
+        good-citizen client backs off), which keeps this testable
+        against a pinned clock. State is a per-(client, kind) file whose
+        update is read-modify-write: concurrent committers sharing one
+        client.id can lose an increment (bounded undercount — the same
+        node-local approximation a multi-broker Kafka quota makes);
+        one streaming query = one driver-side committer = exact."""
         if kind not in ("produce", "consume"):
             raise ValueError(f"kind must be produce|consume, got {kind!r}")
+        if not client_id or client_id.startswith(".") \
+                or "/" in client_id or "\\" in client_id:
+            raise ValueError(f"invalid client id {client_id!r}")
         quota = self._quota_for(
             client_id,
             "producer_byte_rate" if kind == "produce" else "consumer_byte_rate",
@@ -1532,29 +1547,24 @@ class TopicLog:
         if quota is None:
             return 0
         now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        cap = quota * self._QUOTA_WINDOW_MS / 1000.0  # one window of burst
         sdir = os.path.join(self.root, ".quotas")
         os.makedirs(sdir, exist_ok=True)
         spath = os.path.join(sdir, f"{client_id}.{kind}.json")
-        st = {"window_start": now, "bytes": 0}
+        tokens, ts = cap, now  # an unseen client starts with a full bucket
         try:
             with open(spath, encoding="utf-8") as f:
                 prev = json.load(f)
-            # a client idle past one full window starts a fresh sample
-            if now - int(prev["window_start"]) <= self._QUOTA_WINDOW_MS * 2:
-                st = prev
-        except (OSError, json.JSONDecodeError, KeyError):
+            ts = int(prev["ts"])
+            tokens = min(cap, float(prev["tokens"])
+                         + quota * max(0, now - ts) / 1000.0)
+        except (OSError, ValueError, KeyError):
             pass
-        st["bytes"] = int(st["bytes"]) + int(n_bytes)
-        # elapsed floors at one full window: a burst inside a window is
-        # judged against the window's whole allowance (Kafka's multi-
-        # sample Rate gives bursts the same tolerance — only SUSTAINED
-        # overage throttles), then the delay stretches the window until
-        # bytes / (elapsed + delay) == quota
-        elapsed_ms = max(self._QUOTA_WINDOW_MS, now - int(st["window_start"]))
-        throttle = int(max(0.0, st["bytes"] * 1000.0 / quota - elapsed_ms))
+        tokens -= int(n_bytes)
+        throttle = int(max(0.0, -tokens * 1000.0 / quota))
         tmp = spath + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(st, f)
+            json.dump({"ts": now, "tokens": tokens}, f)
         os.replace(tmp, spath)
         return throttle
 
@@ -2383,42 +2393,55 @@ class TopicLog:
         partition really" under non-monotonic producer clocks, where the
         last offset is NOT necessarily the newest record. Ties resolve
         to the earliest offset holding the max (a later equal stamp adds
-        no freshness). Index-driven: the global max is the max of the
-        sidecar ``max_ts`` values (zero data reads when warm); only the
-        first segment achieving it gets a columnar read. None = empty."""
+        no freshness). DATA records only: transaction control markers
+        carry produce wall-clock stamps that would otherwise masquerade
+        as freshness over event-time CreateTime data (and are never
+        delivered to applications anyway). Index-driven descent: segments
+        are visited in sidecar-``max_ts`` order and the walk stops once
+        the best data-record timestamp found can no longer be beaten —
+        usually one columnar read, a few when the index max belongs to a
+        marker. None = empty / marker-only partition."""
         import pyarrow as pa
         import pyarrow.compute as pc
 
+        schema = pa.schema([
+            pa.field("ts", pa.int64()), pa.field("o", pa.int64()),
+            pa.field("ctl", pa.string()),
+        ])
         out: dict[int, dict | None] = {}
         for pid in _list_partitions(self.root, topic):
             segs = _list_segments_tiered(self.root, topic, pid)
             idxs = [(s, c, p, _segment_time_index(p)) for s, c, p in segs]
-            best = None
-            for _s, _c, _p, idx in idxs:
-                if idx["max_ts"] is not None and (
-                        best is None or idx["max_ts"] > best):
-                    best = idx["max_ts"]
-            if best is None:
-                out[pid] = None
-                continue
-            for seg_start, _c, path, idx in idxs:
-                if idx["max_ts"] != best:
+            # the sidecar max_ts (markers included) upper-bounds each
+            # segment's data max, so a descending walk can stop early
+            cands = sorted(
+                (x for x in idxs if x[3]["max_ts"] is not None),
+                key=lambda x: -x[3]["max_ts"],
+            )
+            best: dict | None = None
+            for seg_start, _c, path, idx in cands:
+                if best is not None and idx["max_ts"] < best["timestamp"]:
+                    break  # no remaining segment can beat the best
+                tbl = _read_json_seg(path, schema)
+                ts = tbl["ts"].combine_chunks()
+                if tbl["ctl"].null_count != tbl.num_rows:
+                    ts = pc.if_else(pc.is_null(tbl["ctl"].combine_chunks()),
+                                    ts, pa.scalar(None, pa.int64()))
+                m = pc.max(ts).as_py()
+                if m is None:
+                    continue  # marker-only segment
+                if best is not None and (
+                        m < best["timestamp"]
+                        or (m == best["timestamp"]
+                            and seg_start > best["offset"])):
                     continue
-                tbl = _read_json_seg(
-                    path,
-                    pa.schema([pa.field("ts", pa.int64()),
-                               pa.field("o", pa.int64())]),
-                )
-                pos = pc.index(
-                    pc.equal(tbl["ts"].combine_chunks(), best),
-                    pa.scalar(True),
-                ).as_py()
+                pos = pc.index(pc.equal(ts, m), pa.scalar(True)).as_py()
                 o = tbl["o"][pos].as_py()
-                out[pid] = {
-                    "offset": seg_start + pos if o is None else o,
-                    "timestamp": best,
-                }
-                break
+                off = seg_start + pos if o is None else o
+                if best is None or m > best["timestamp"] or (
+                        m == best["timestamp"] and off < best["offset"]):
+                    best = {"offset": off, "timestamp": m}
+            out[pid] = best
         return out
 
     def delete_records_before_timestamp(self, topic: str, ts_ms: int) -> dict[str, int]:

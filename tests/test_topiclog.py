@@ -2979,25 +2979,33 @@ def test_client_quotas_throttle_math(tmp_path):
     }
 
     t0 = 1_700_000_000_000
-    # a burst within the window's allowance never throttles (Kafka's
+    # token bucket, capacity = one window (1000 B here), refill at the
+    # quota rate: a burst within the allowance never throttles (Kafka's
     # multi-sample Rate has the same burst tolerance)
     assert log.record_quota_usage("etl", "produce", 500, now_ms=t0 + 1) == 0
+    # +399 ms refill (399 tokens) -> 899 available, 300 spent -> fine
     assert log.record_quota_usage("etl", "produce", 300, now_ms=t0 + 400) == 0
-    # SUSTAINED overage does: 2300 B against 1000 B/s needs 2300 ms of
-    # window; only the 1000 ms floor has elapsed -> 1300 ms of delay
+    # SUSTAINED overage pays the deficit: 699 available, 1500 spent ->
+    # 801 tokens short = 801 ms at 1000 B/s
     assert log.record_quota_usage("etl", "produce", 1500,
-                                  now_ms=t0 + 500) == 1300
-    # idle past the window: fresh sample, burst unthrottled again
+                                  now_ms=t0 + 500) == 801
+    # the idle gap refills to capacity (never beyond: no unbounded
+    # banking), so a capacity-sized burst is free again
     assert log.record_quota_usage("etl", "produce", 500,
                                   now_ms=t0 + 10_000) == 0
 
     # unknown client falls back to <default>; produce default unset -> 0
     assert log.record_quota_usage("other", "produce", 10**9, now_ms=t0) == 0
-    # consume tracks its own window (separate kind, fresh at this call):
-    # 4000 B against the 2000 B/s default needs 2000 ms; floor elapsed
-    # 1000 -> 1000 ms of delay
+    # consume tracks its own bucket (separate kind, fresh at this call):
+    # 4000 B against a full 2000-token bucket -> 2000 short -> 1000 ms
+    # at the 2000 B/s default
     assert log.record_quota_usage("other", "consume", 4000,
                                   now_ms=t0 + 1000) == 1000
+    # invalid ids are rejected before touching state paths
+    with _pytest.raises(ValueError, match="invalid client id"):
+        log.record_quota_usage("../esc", "produce", 1)
+    with _pytest.raises(ValueError, match="invalid client id"):
+        log.alter_client_quotas("a/b", {"producer_byte_rate": 1})
 
     # unset deletes; empty entity drops
     log.alter_client_quotas("etl", {"producer_byte_rate": None})
@@ -3199,6 +3207,21 @@ def test_delete_group_and_verify_log(tmp_path):
     rep = log2.verify_log("t")
     assert any("outside the name's span" in i for i in rep[0]["issues"])
 
+    # a DENSE segment that lost a line: dense offsets are synthesized, so
+    # only the line-count-vs-name check can catch the silent renumbering
+    log3 = TopicLog(str(tmp_path / "c"))
+    log3.create_topic("t", partitions=1)
+    log3.append("t", [b"a", b"b", b"c"], partition=0, timestamps=[1, 2, 3])
+    pdir3 = os.path.join(str(tmp_path / "c"), "t", "p0")
+    seg = next(n for n in os.listdir(pdir3) if n.startswith("seg-"))
+    with open(os.path.join(pdir3, seg), encoding="utf-8") as f:
+        lines = f.readlines()
+    with open(os.path.join(pdir3, seg), "w", encoding="utf-8") as f:
+        f.writelines(lines[:1] + lines[2:])  # drop the middle record
+    rep = log3.verify_log("t")
+    assert any("holds 2 lines but its name claims 3" in i
+               for i in rep[0]["issues"])
+
 
 def test_estate_drill_all_features_compose(spark, tmp_path):
     """Day-in-the-life composition: a topic with segment.bytes roll +
@@ -3304,6 +3327,16 @@ def test_offsets_for_max_timestamp(tmp_path):
     log.append("t", [b"late-but-old"], partition=0, timestamps=[t0 + 50])
     log.tier_segments("t", now_ms=t0 + 10_000_000)
     assert log.local_log_start_offset("t")[0] > 0
+    assert log.offsets_for_max_timestamp("t")[0] == {
+        "offset": 1, "timestamp": t0 + 500,
+    }
+
+    # txn CONTROL markers carry produce wall-clock stamps (far above the
+    # event-time data); the freshness answer must ignore them — they are
+    # never delivered to applications
+    log.begin_txn("x")
+    log.append("t", [b"txn"], partition=0, timestamps=[t0 + 10], txn="x")
+    log.commit_txn("x")  # marker stamped with REAL wall clock >> t0
     assert log.offsets_for_max_timestamp("t")[0] == {
         "offset": 1, "timestamp": t0 + 500,
     }
