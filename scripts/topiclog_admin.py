@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""Operator CLI for the topiclog transport — the ``kafka-topics.sh`` /
+``kafka-consumer-groups.sh`` / ``kafka-configs.sh`` analog, one flat tool.
+
+Everything is a thin argparse veneer over ``TopicLog`` admin methods (the
+semantics, fencing, and crash-safety live there and are unit-tested); the
+CLI exists so an operator can drive a log root without writing Python.
+Output is one JSON document on stdout — composable with jq, stable for
+scripts.
+
+    python scripts/topiclog_admin.py --root /data/bus topics
+    python scripts/topiclog_admin.py --root /data/bus describe-topic ev
+    python scripts/topiclog_admin.py --root /data/bus alter-config ev \
+        retention.ms=86400000 compression.type=gzip
+    python scripts/topiclog_admin.py --root /data/bus groups
+    python scripts/topiclog_admin.py --root /data/bus describe-group etl
+    python scripts/topiclog_admin.py --root /data/bus reset-offsets etl ev \
+        --to earliest
+    python scripts/topiclog_admin.py --root /data/bus lag etl ev
+    python scripts/topiclog_admin.py --root /data/bus offsets-for-times ev \
+        --timestamp 1700000000000
+    python scripts/topiclog_admin.py --root /data/bus verify-log ev
+    python scripts/topiclog_admin.py --root /data/bus run-retention
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def _parse_kv(pairs: list[str]) -> dict:
+    out: dict = {}
+    for kv in pairs:
+        if "=" not in kv:
+            raise SystemExit(f"expected key=value, got {kv!r}")
+        k, v = kv.split("=", 1)
+        out[k] = None if v in ("", "null", "none") else v
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="topiclog-admin", description=__doc__)
+    ap.add_argument("--root", required=True, help="log root directory")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("topics", help="list topics")
+    p = sub.add_parser("create-topic", help="create a topic")
+    p.add_argument("topic")
+    p.add_argument("--partitions", type=int, default=1)
+    p = sub.add_parser("delete-topic", help="delete a topic (and its tiers)")
+    p.add_argument("topic")
+    p = sub.add_parser("describe-topic", help="per-partition start/end/bytes")
+    p.add_argument("topic")
+    p = sub.add_parser("describe-log-dirs", help="on-disk size per partition")
+    p.add_argument("topic", nargs="?")
+    p = sub.add_parser("describe-configs", help="explicitly-set topic configs")
+    p.add_argument("topic")
+    p = sub.add_parser("alter-config",
+                       help="merge key=value configs ('' / none deletes)")
+    p.add_argument("topic")
+    p.add_argument("configs", nargs="+", metavar="key=value")
+    p = sub.add_parser("create-partitions", help="grow partition count")
+    p.add_argument("topic")
+    p.add_argument("total", type=int)
+
+    sub.add_parser("groups", help="list consumer groups")
+    p = sub.add_parser("describe-group", help="offsets + lag per partition")
+    p.add_argument("group")
+    p = sub.add_parser("delete-group",
+                       help="drop an EMPTY group (GROUP_NOT_EMPTY otherwise)")
+    p.add_argument("group")
+    p = sub.add_parser("lag", help="end/committed/lag per partition")
+    p.add_argument("group")
+    p.add_argument("topic")
+    p = sub.add_parser("reset-offsets",
+                       help="--to earliest|latest|<epoch-ms> or --shift-by N")
+    p.add_argument("group")
+    p.add_argument("topic")
+    p.add_argument("--to", default=None)
+    p.add_argument("--shift-by", type=int, default=None)
+    p = sub.add_parser("expire-members",
+                       help="evict members past session.timeout.ms")
+    p.add_argument("group")
+    p.add_argument("--session-timeout-ms", type=int, required=True)
+    p = sub.add_parser("remove-member", help="admin removal of a static member")
+    p.add_argument("group")
+    p.add_argument("instance_id")
+
+    p = sub.add_parser("offsets-for-times", help="earliest offset with ts>=T")
+    p.add_argument("topic")
+    p.add_argument("--timestamp", type=int, required=True)
+    p = sub.add_parser("max-timestamp",
+                       help="newest data record by CreateTime per partition")
+    p.add_argument("topic")
+    p = sub.add_parser("verify-log", help="integrity audit across both tiers")
+    p.add_argument("topic")
+    p = sub.add_parser("run-retention",
+                       help="one log-cleaner sweep (retention/tiering/compact)")
+    p.add_argument("topic", nargs="?")
+    p = sub.add_parser("tier-segments",
+                       help="move closed segments past local retention remote")
+    p.add_argument("topic")
+    p = sub.add_parser("compact", help="keyed compaction (txn-aware)")
+    p.add_argument("topic")
+    p = sub.add_parser("quotas", help="describe client quotas")
+    p = sub.add_parser("alter-quota", help="set client quota keys")
+    p.add_argument("client_id")
+    p.add_argument("configs", nargs="+", metavar="key=value")
+
+    a = ap.parse_args(argv)
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    log = TopicLog(a.root)
+    if a.cmd == "topics":
+        out = log.topics()
+    elif a.cmd == "create-topic":
+        log.create_topic(a.topic, partitions=a.partitions)
+        out = {"created": a.topic, "partitions": a.partitions}
+    elif a.cmd == "delete-topic":
+        log.delete_topic(a.topic)
+        out = {"deleted": a.topic}
+    elif a.cmd == "describe-topic":
+        out = log.describe_topic(a.topic)
+    elif a.cmd == "describe-log-dirs":
+        out = log.describe_log_dirs(a.topic)
+    elif a.cmd == "describe-configs":
+        out = log.describe_configs(a.topic)
+    elif a.cmd == "alter-config":
+        out = log.alter_configs(a.topic, _parse_kv(a.configs))
+    elif a.cmd == "create-partitions":
+        log.create_partitions(a.topic, a.total)
+        out = {"topic": a.topic, "partitions": a.total}
+    elif a.cmd == "groups":
+        out = log.groups()
+    elif a.cmd == "describe-group":
+        out = log.describe_group(a.group)
+    elif a.cmd == "delete-group":
+        out = {"deleted": a.group, "topics": log.delete_group(a.group)}
+    elif a.cmd == "lag":
+        out = log.consumer_lag(a.group, a.topic)
+    elif a.cmd == "reset-offsets":
+        if a.shift_by is not None:
+            out = log.reset_offsets(a.group, a.topic, shift_by=a.shift_by)
+        elif a.to is None:
+            raise SystemExit("reset-offsets needs --to or --shift-by")
+        else:
+            to = int(a.to) if a.to.lstrip("-").isdigit() else a.to
+            out = log.reset_offsets(a.group, a.topic, to=to)
+    elif a.cmd == "expire-members":
+        out = log.expire_members(a.group, a.session_timeout_ms)
+    elif a.cmd == "remove-member":
+        out = log.remove_member(a.group, a.instance_id)
+    elif a.cmd == "offsets-for-times":
+        out = log.offsets_for_times(a.topic, a.timestamp)
+    elif a.cmd == "max-timestamp":
+        out = log.offsets_for_max_timestamp(a.topic)
+    elif a.cmd == "verify-log":
+        out = log.verify_log(a.topic)
+        bad = sum(len(v["issues"]) for v in out.values())
+        print(json.dumps(out, indent=1, sort_keys=True))
+        return 1 if bad else 0
+    elif a.cmd == "run-retention":
+        out = log.run_retention(a.topic)
+    elif a.cmd == "tier-segments":
+        out = log.tier_segments(a.topic)
+    elif a.cmd == "compact":
+        out = log.compact(a.topic)
+    elif a.cmd == "quotas":
+        out = log.describe_client_quotas()
+    elif a.cmd == "alter-quota":
+        out = log.alter_client_quotas(
+            a.client_id,
+            {k: (None if v is None else int(v))
+             for k, v in _parse_kv(a.configs).items()},
+        )
+    else:  # pragma: no cover - argparse enforces the choices
+        raise SystemExit(f"unknown command {a.cmd}")
+    print(json.dumps(out, indent=1, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

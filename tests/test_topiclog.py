@@ -3469,3 +3469,58 @@ def test_review_fixes_group_and_guard_semantics(spark, tmp_path):
     with _pytest.raises(Exception, match="streaming-only"):
         KProducer(host=root, topic="t", transport="topiclog",
                   options={"atomic": "true"}).write_batch(df)
+
+
+def test_admin_cli_roundtrip(tmp_path, capsys):
+    """scripts/topiclog_admin.py — the kafka-topics.sh/-consumer-groups.sh
+    analog: drive a create → configure → produce → commit → lag →
+    reset → verify → retention lifecycle through main(argv) and check
+    the JSON output at each step; verify-log's exit code doubles as the
+    health signal."""
+    import importlib.util
+    import json as _json
+
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    spec = importlib.util.spec_from_file_location(
+        "topiclog_admin", "/root/repo/scripts/topiclog_admin.py")
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    root = str(tmp_path)
+
+    def run(*argv):
+        rc = cli.main(["--root", root, *argv])
+        return rc, _json.loads(capsys.readouterr().out)
+
+    assert run("create-topic", "t", "--partitions", "2") == (
+        0, {"created": "t", "partitions": 2})
+    rc, cfg = run("alter-config", "t", "retention.ms=86400000",
+                  "compression.type=gzip")
+    assert (rc, cfg) == (0, {"retention.ms": "86400000",
+                             "compression.type": "gzip"})
+    assert run("topics")[1] == ["t"]
+
+    log = TopicLog(root)
+    log.append("t", [b"a", b"b", b"c"], partition=0, timestamps=[1, 2, 3])
+    rc, desc = run("describe-topic", "t")
+    assert desc["0"]["end"] == 3 and desc["1"]["end"] == 0
+
+    log.commit_offsets("g", "t", {0: 2})
+    rc, lag = run("lag", "g", "t")
+    assert lag["0"] == {"end_offset": 3, "committed": 2, "lag": 1}
+    rc, reset = run("reset-offsets", "g", "t", "--to", "earliest")
+    assert reset == {"0": 0, "1": 0}
+    assert run("offsets-for-times", "t", "--timestamp", "2")[1] == {
+        "0": 1, "1": None}
+    rc, mx = run("max-timestamp", "t")
+    assert mx["0"] == {"offset": 2, "timestamp": 3}
+
+    rc, rep = run("verify-log", "t")
+    assert rc == 0 and all(v["issues"] == [] for v in rep.values())
+    rc, acts = run("run-retention", "t")
+    assert "t" in acts
+    rc, q = run("alter-quota", "etl", "producer_byte_rate=1000")
+    assert (rc, q) == (0, {"producer_byte_rate": 1000})
+    assert run("quotas")[1] == {"etl": {"producer_byte_rate": 1000}}
+    rc, dg = run("delete-group", "g")
+    assert dg == {"deleted": "g", "topics": ["t"]}
