@@ -854,14 +854,19 @@ def learn_bpe_merges(
         cur.count()
         for step in range(1, n_merges + 1):
             pairs = (
-                cur.selectExpr(
+                # strip the outer separators (len(sep) chars each side),
+                # split on the doubled inter-symbol separator: exact
+                # symbol recovery for any separator width. Column API,
+                # not selectExpr: a SQL string literal would UNESCAPE the
+                # regex-escaped separator (backslashes eaten by the
+                # parser) and regex-metachar seps would split wrongly.
+                cur.select(
                     "freq",
-                    # strip the outer separators (len(sep) chars each
-                    # side), split on the doubled inter-symbol separator:
-                    # exact symbol recovery for any separator width
-                    f"split(substring(seq, {1 + len(sep)},"
-                    f" length(seq) - {2 * len(sep)}),"
-                    f" '{re.escape(sep)}{re.escape(sep)}') AS syms",
+                    F.split(
+                        F.substring(F.col("seq"), F.lit(1 + len(sep)),
+                                    F.length("seq") - F.lit(2 * len(sep))),
+                        re.escape(sep + sep),
+                    ).alias("syms"),
                 )
                 # a fully-merged word (one symbol) has no pairs — and
                 # sequence(0, -1) would run DESCENDING in Spark, indexing
@@ -939,11 +944,13 @@ def bpe_subword_vocab(
         )
     return (
         words.select("freq", seq.alias("seq"))
-        .selectExpr(
+        .select(
             "freq",
-            f"explode(split(substring(seq, {1 + len(sep)},"
-            f" length(seq) - {2 * len(sep)}),"
-            f" '{re.escape(sep)}{re.escape(sep)}')) AS subword",
+            F.explode(F.split(
+                F.substring(F.col("seq"), F.lit(1 + len(sep)),
+                            F.length("seq") - F.lit(2 * len(sep))),
+                re.escape(sep + sep),
+            )).alias("subword"),
         )
         .groupBy("subword")
         .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))

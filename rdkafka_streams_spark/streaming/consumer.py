@@ -344,25 +344,37 @@ class KConsumer:
         same columns)."""
         def _sole_topic(why: str) -> str:
             # TopicNameStrategy subjects are per-topic: auto-resolving the
-            # reader schema across a topic LIST (or comma form, or a regex
-            # subscription) would silently decode every topic's records
-            # against one arbitrary subject — reject, like a client
-            # without a subject to look up
+            # reader schema across a topic LIST (comma form, typed list, a
+            # multi-topic manual ASSIGN, or a regex subscription) would
+            # silently decode every topic's records against one arbitrary
+            # subject — reject, like a client without a subject to look
+            # up. The remedies genuinely available: subscribe to one
+            # topic, pass an explicit reader (``schema`` / ``subject`` on
+            # the value side), or decode per-topic after a filter.
             if self.pattern:
                 raise ValueError(
-                    f"{why} with subscribePattern needs an explicit "
-                    "schema/subject: a regex names no TopicNameStrategy "
-                    "subject to resolve"
+                    f"{why} with subscribePattern cannot auto-resolve a "
+                    "reader: a regex names no TopicNameStrategy subject — "
+                    "subscribe to one concrete topic, or split the stream "
+                    "per topic and decode each against its own subject"
                 )
-            topics = (self.topic.split(",") if isinstance(self.topic, str)
-                      else list(self.topic))
+            if self.assign is not None:
+                import json as _json
+
+                topics = sorted(_json.loads(self.assign))
+            else:
+                topics = (self.topic.split(",")
+                          if isinstance(self.topic, str)
+                          else list(self.topic))
             if len(topics) == 1:
                 return topics[0]
             raise ValueError(
-                f"{why} with a multi-topic subscribe needs an explicit "
-                "schema/subject: TopicNameStrategy resolves per topic, and "
-                f"{sorted(topics)} would all decode under "
-                f"{topics[0]!r}'s subject"
+                f"{why} with a multi-topic subscription cannot "
+                f"auto-resolve a reader: TopicNameStrategy is per topic, "
+                f"and {sorted(topics)} would all decode under "
+                f"{topics[0]!r}'s subject — subscribe to one topic, or "
+                "split the stream per topic and decode each against its "
+                "own subject"
             )
 
         if self.key_format == "avro-confluent":

@@ -128,6 +128,16 @@ class OutOfOrderSequenceError(RuntimeError):
 
 
 # ---------------------------------------------------------------- log layout
+def _check_name(value: str, what: str) -> str:
+    """One rule for every user-supplied value that becomes a path
+    component (topic, group, instance id, txn id, producer name, quota'd
+    client id): non-empty, no separators, no dot prefix — a traversal or
+    hidden-file name never reaches os.path.join. Returns the value."""
+    if not value or value.startswith(".") or "/" in value or "\\" in value:
+        raise ValueError(f"invalid {what} {value!r}")
+    return value
+
+
 def _part_dir(root: str, topic: str, pid: int) -> str:
     return os.path.join(root, topic, f"p{pid}")
 
@@ -735,8 +745,7 @@ class TopicLog:
         for the topic are NOT cleaned up here (they expire separately —
         offsets.retention semantics), so a recreated topic starts at 0
         with stale commits clamped by the readers' range checks."""
-        if not topic or topic.startswith(".") or "/" in topic or "\\" in topic:
-            raise ValueError(f"invalid topic {topic!r}")
+        _check_name(topic, "topic")
         path = os.path.join(self.root, topic)
         if not os.path.isdir(path):
             raise ValueError(f"unknown topic {topic!r}")
@@ -798,8 +807,7 @@ class TopicLog:
         # both path components are user strings — validate both, or
         # commit_offsets(group, "../x", ...) escapes the group directory
         for label, part in (("group id", group), ("topic", topic)):
-            if not part or part.startswith(".") or "/" in part or "\\" in part:
-                raise ValueError(f"invalid {label} {part!r}")
+            _check_name(part, label)
         return os.path.join(self.root, ".groups", group, f"{topic}.json")
 
     def commit_offsets(
@@ -1088,9 +1096,7 @@ class TopicLog:
         whole state there would let one member's heartbeat clobber a
         concurrent join's token bump (lost-update). One file per member =
         one writer per file = no cross-member race."""
-        if not instance_id or instance_id.startswith(".") \
-                or "/" in instance_id or "\\" in instance_id:
-            raise ValueError(f"invalid group.instance.id {instance_id!r}")
+        _check_name(instance_id, "group.instance.id")
         return os.path.join(
             os.path.dirname(self._group_file(group, "t")),
             ".hb", f"{instance_id}.json",
@@ -1465,12 +1471,9 @@ class TopicLog:
         matched when a client has no specific entry, Kafka's quota
         resolution order). ``None`` deletes a key; an entity with no keys
         left is dropped. Returns the entity's effective config."""
-        if not client_id or (client_id != "<default>" and (
-                client_id.startswith(".") or "/" in client_id
-                or "\\" in client_id)):
-            # same path-component discipline as _hb_file: the id names a
-            # state file under .quotas/
-            raise ValueError(f"invalid client id {client_id!r}")
+        if client_id != "<default>":  # the default entity is a keyword,
+            # everything else names a state file under .quotas/
+            _check_name(client_id, "client id")
         cfg = {}
         try:
             with open(self._quota_cfg_file(), encoding="utf-8") as f:
@@ -1537,15 +1540,25 @@ class TopicLog:
         one streaming query = one driver-side committer = exact."""
         if kind not in ("produce", "consume"):
             raise ValueError(f"kind must be produce|consume, got {kind!r}")
-        if not client_id or client_id.startswith(".") \
-                or "/" in client_id or "\\" in client_id:
-            raise ValueError(f"invalid client id {client_id!r}")
         quota = self._quota_for(
             client_id,
             "producer_byte_rate" if kind == "produce" else "consumer_byte_rate",
         )
         if quota is None:
+            # no quota resolves -> pure no-op. Validation comes AFTER this
+            # gate on purpose: Kafka's client.id allows any string, and a
+            # quota-less pipeline must never start failing at its commit
+            # boundary just because its id has a path separator — only an
+            # id that actually names a quota state file is constrained.
             return 0
+        try:
+            _check_name(client_id, "client id")
+        except ValueError:
+            raise ValueError(
+                f"client id {client_id!r} cannot carry a byte-rate quota: "
+                "quota state is a file per (client, kind) and the id must "
+                "be a clean path component"
+            ) from None
         now = int(time.time() * 1000) if now_ms is None else int(now_ms)
         cap = quota * self._QUOTA_WINDOW_MS / 1000.0  # one window of burst
         sdir = os.path.join(self.root, ".quotas")
@@ -1874,8 +1887,7 @@ class TopicLog:
     # read_committed), exactly Kafka's pessimistic window.
 
     def _txn_file(self, txn_id: str) -> str:
-        if not txn_id or txn_id.startswith(".") or "/" in txn_id or "\\" in txn_id:
-            raise ValueError(f"invalid transactional id {txn_id!r}")
+        _check_name(txn_id, "transactional id")
         return os.path.join(self.root, ".txns", f"{txn_id}.json")
 
     def _txn_write(self, txn_id: str, state: dict) -> None:
@@ -2103,8 +2115,7 @@ class TopicLog:
     # epochs. State lives beside the log under ``.pids/``.
 
     def _pid_name_file(self, name: str) -> str:
-        if not name or name.startswith(".") or "/" in name or "\\" in name:
-            raise ValueError(f"invalid producer name {name!r}")
+        _check_name(name, "producer name")
         return os.path.join(self.root, ".pids", f"{name}.json")
 
     def init_producer_id(

@@ -27,9 +27,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _parse_kv(pairs: list[str]) -> dict:
@@ -143,6 +144,11 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "lag":
         out = log.consumer_lag(a.group, a.topic)
     elif a.cmd == "reset-offsets":
+        if a.shift_by is not None and a.to is not None:
+            # mirror TopicLog.reset_offsets (and the real tool): two reset
+            # specs are contradictory, never silently pick one
+            raise SystemExit("reset-offsets: --to and --shift-by are "
+                             "mutually exclusive")
         if a.shift_by is not None:
             out = log.reset_offsets(a.group, a.topic, shift_by=a.shift_by)
         elif a.to is None:

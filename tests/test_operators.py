@@ -954,3 +954,11 @@ def test_learn_bpe_merges_matches_reference_implementation(spark):
     ref2 = ref_bpe(corpus2, 5)
     assert got2 == ref2
     assert ("o", "¤") in [(l, r) for _, l, r, _, _ in ref2]  # the trap fired
+
+    # separator robustness: a multi-char, regex-metachar separator learns
+    # the same merges (Column-API split — a selectExpr SQL literal would
+    # unescape the pattern and regex metachars would split wrongly)
+    got3 = [tuple(r) for r in
+            learn_bpe_merges(docs2, n_merges=3, sep="|.").orderBy("step")
+            .collect()]
+    assert got3 == ref2[:3]

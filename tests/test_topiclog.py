@@ -3001,9 +3001,14 @@ def test_client_quotas_throttle_math(tmp_path):
     # at the 2000 B/s default
     assert log.record_quota_usage("other", "consume", 4000,
                                   now_ms=t0 + 1000) == 1000
-    # invalid ids are rejected before touching state paths
-    with _pytest.raises(ValueError, match="invalid client id"):
-        log.record_quota_usage("../esc", "produce", 1)
+    # a path-escaping id is rejected only when a quota actually resolves
+    # (Kafka's client.id allows any string; a quota-less pipeline must
+    # never start failing at its commit boundary) — here the <default>
+    # consume quota resolves, so the consume call raises and the
+    # produce call (no produce default) stays a no-op
+    with _pytest.raises(ValueError, match="clean path component"):
+        log.record_quota_usage("../esc", "consume", 1)
+    assert log.record_quota_usage("../esc", "produce", 1) == 0
     with _pytest.raises(ValueError, match="invalid client id"):
         log.alter_client_quotas("a/b", {"producer_byte_rate": 1})
 
