@@ -5666,8 +5666,10 @@ def q286_mirror_failover(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally (row_number over the post-trim records) — a translation
     off by one record breaks resumed_from, a lossy mirror breaks
     n_rows/sum. Scale: replication is one pass + one shuffle (the
-    order-preserving window); syncs are O(records/64); translation and
-    checkpointing are metadata-sized."""
+    order-preserving repartition+sort); the sync store is BOUNDED at
+    O(partitions × ~100) snapshot entries (exponential grid + gap
+    anchors, real MM2's OffsetSyncStore posture), so translation and
+    checkpointing stay metadata-sized at any record volume."""
     import json as _json
     import tempfile
 

@@ -218,3 +218,92 @@ def test_failback_upstream_translation_roundtrip(spark, tmp_path):
     assert translate_offsets_upstream(
         spark, dst_root, src_root, "ev", {0: 0}
     )[0] == 25
+
+
+def test_sync_store_stays_bounded_as_records_grow(spark, tmp_path):
+    """The round-9 bound: the offset-sync store is O(partitions × ~100)
+    REGARDLESS of record volume — grow the source 32× across incremental
+    runs and neither the per-partition entry count nor the syncs topic's
+    record count moves with data size (real MM2's OffsetSyncStore keeps
+    ≤64 exponentially-spaced syncs per partition; ours adds ≤32 gap
+    anchors + first + seal)."""
+    from rdkafka_streams_spark.streaming.mirror import (
+        MAX_GAP_ANCHORS,
+        MAX_GRID,
+        _load_syncs,
+    )
+
+    src_root, dst_root = str(tmp_path / "src"), str(tmp_path / "dst")
+    src = TopicLog(src_root)
+    src.create_topic("ev", partitions=2)
+    bound = MAX_GRID + MAX_GAP_ANCHORS + 2
+    sizes = []
+    n = 0
+    for batch in (250, 1750, 2000, 4000, 8000):  # cumulative 1x..32x of 500
+        for p in (0, 1):
+            src.append("ev", _vals(batch // 2, f"b{batch}"), partition=p)
+        mirror_topic(spark, src_root, dst_root, "ev")
+        store = _load_syncs(spark, dst_root, "primary", "ev")
+        n += batch
+        sizes.append((n, {p: len(v) for p, v in store.items()}))
+        assert all(len(v) <= bound for v in store.values()), sizes
+    # the syncs TOPIC itself is compacted to one snapshot per partition
+    n_store_records = read_topic(
+        spark, dst_root, syncs_topic("primary")
+    ).count()
+    assert n_store_records == 2
+    # translation still exact across the whole (gap-free → 1:1) history
+    t = lambda c: translate_offsets(spark, dst_root, "ev", {0: c})[0]
+    for c in (0, 1, 1000, 4999, 8000):
+        assert t(c) == c
+    assert TopicLog(dst_root).end_offsets("primary.ev") == {0: 8000, 1: 8000}
+
+
+def test_crash_between_data_and_syncs_is_adopted(spark, tmp_path):
+    """ADVICE r8: a crash between the data write and the snapshot write
+    used to brick the mirror permanently (every later run saw 'foreign
+    writer').  Now the orphan tail is verified byte-for-byte against the
+    source and ADOPTED: the next run synthesizes the seal and resumes;
+    only a tail that does NOT match the source still raises."""
+    src_root, dst_root = str(tmp_path / "src"), str(tmp_path / "dst")
+    src = TopicLog(src_root)
+    src.create_topic("ev", partitions=1)
+    src.append(
+        "ev", _vals(40), keys=[f"k{i}" for i in range(40)], partition=0,
+        timestamps=[1000 + i for i in range(40)],
+    )
+    mirror_topic(spark, src_root, dst_root, "ev")
+    # simulate the crashed second run: source grows by 10, and the DATA
+    # landed on the target (byte-identical replica) but the snapshot never
+    # did — replay exactly what the data pass would have written
+    src.append(
+        "ev", _vals(10, "late"), keys=[f"k{40 + i}" for i in range(10)],
+        partition=0, timestamps=[2000 + i for i in range(10)],
+    )
+    dst = TopicLog(dst_root)
+    dst.append(
+        "primary.ev", _vals(10, "late"),
+        keys=[f"k{40 + i}" for i in range(10)], partition=0,
+        timestamps=[2000 + i for i in range(10)],
+    )
+    # next run adopts the orphan tail and continues with fresh source data
+    src.append("ev", _vals(5, "post"), partition=0,
+               timestamps=[3000 + i for i in range(5)])
+    out = mirror_topic(spark, src_root, dst_root, "ev")
+    assert out["start_offsets"] == {0: 50}  # resumed PAST the adopted tail
+    assert dst.end_offsets("primary.ev") == {0: 55}
+    rows = sorted(
+        (r["offset"], bytes(r["value"]).decode())
+        for r in read_topic(spark, dst_root, "primary.ev").collect()
+    )
+    assert len(rows) == 55  # no duplicate of the adopted records
+    assert json.loads(rows[49][1])["tag"] == "late"
+    assert json.loads(rows[50][1])["tag"] == "post"
+    # translation exact across the adopted boundary (1:1 history)
+    t = lambda c: translate_offsets(spark, dst_root, "ev", {0: c})[0]
+    assert t(45) == 45 and t(50) == 50 and t(55) == 55
+    # a tail that does NOT match the source is still a foreign writer
+    dst.append("primary.ev", ["intruder"], partition=0)
+    src.append("ev", _vals(1, "x"), partition=0)
+    with pytest.raises(ValueError, match="foreign writer"):
+        mirror_topic(spark, src_root, dst_root, "ev")
