@@ -119,6 +119,50 @@ def _branch_compatible(writer, reader) -> bool:
     return wt == rt or (wt, rt) in _PROMOTIONS
 
 
+def _fullname(schema) -> str | None:
+    """Qualified name of a named type (record/enum/fixed), else None."""
+    if isinstance(schema, dict) and schema.get("type") in (
+        "record", "enum", "fixed",
+    ):
+        n = schema.get("name", "")
+        ns = schema.get("namespace")
+        return n if ("." in n or not ns) else f"{ns}.{n}"
+    return None
+
+
+def _alias_names(schema) -> set[str]:
+    """A named type's aliases, namespace-qualified like the spec says."""
+    out: set[str] = set()
+    if isinstance(schema, dict):
+        ns = schema.get("namespace")
+        for a in schema.get("aliases", ()):
+            out.add(a if ("." in a or not ns) else f"{ns}.{a}")
+    return out
+
+
+def _pick_union_branch(writer, union):
+    """Choose the reader-union branch for a writer value — Avro spec
+    §Schema Resolution: named types (record/enum/fixed) match BY NAME
+    first (full name, then reader aliases), so a union holding two
+    record branches resolves the writer to the right one, not just the
+    first record-shaped branch; only with no name match does selection
+    fall back to the first structurally compatible branch."""
+    wt = _plain_type(writer)
+    if wt in ("record", "enum", "fixed"):
+        wname = _fullname(writer)
+        named = [b for b in union if _plain_type(b) == wt]
+        for b in named:
+            if _fullname(b) == wname:
+                return b
+        for b in named:
+            if wname and wname in _alias_names(b):
+                return b
+    for b in union:
+        if _branch_compatible(writer, b):
+            return b
+    return None
+
+
 def default_value(default: Any, schema) -> Any:
     """Materialize a reader-field JSON default as the codec's runtime value
     (spec: bytes/fixed defaults are \\u0000-\\u00ff strings; a union's
@@ -165,9 +209,9 @@ def resolve_read(buf: bytes, writer, reader, pos: int = 0) -> tuple[Any, int]:
         i, pos = _zigzag_decode(buf, pos)
         return resolve_read(buf, writer[i], reader, pos)
     if rt == "union":
-        for branch in reader:
-            if _branch_compatible(writer, branch):
-                return resolve_read(buf, writer, branch, pos)
+        branch = _pick_union_branch(writer, reader)
+        if branch is not None:
+            return resolve_read(buf, writer, branch, pos)
         raise ValueError(f"writer {writer} matches no reader union branch {reader}")
     if wt == "record" and rt == "record":
         rfields = {f["name"]: f for f in reader["fields"]}
@@ -314,9 +358,10 @@ def _canonical(schema) -> str:
 class SchemaRegistry:
     """Versioned schema store on a directory — the Schema Registry analog.
 
-    Layout (all writes atomic via tmp + ``os.replace``; ids allocated
-    monotonically under an ``O_EXCL`` claim so concurrent registrars on a
-    shared FS cannot collide)::
+    Layout (all writes atomic; ids AND subject version numbers are both
+    allocated under ``O_EXCL``/``link(x)`` claims, so concurrent
+    registrars on a shared FS cannot collide — a version-number loser
+    re-lists and takes the next slot instead of overwriting)::
 
         <root>/ids/<id>.avsc                 # schema text by global id
         <root>/subjects/<subject>/<version>  # file content = global id
@@ -531,12 +576,27 @@ class SchemaRegistry:
         sdir = self._subject_dir(subject)
         os.makedirs(sdir, exist_ok=True)
         # version numbers never rewind: soft-deleted versions still block
-        # their slot (Confluent's numbering across deletes)
+        # their slot (Confluent's numbering across deletes). The version
+        # file is published with link(x) — an os.replace would silently
+        # OVERWRITE a concurrent registrar's same-numbered version,
+        # losing its registration; on collision re-list and take the
+        # next number (same claim protocol as _publish_segment).
         version = max(vs + self.deleted_versions(subject) + [0]) + 1
         tmp = os.path.join(sdir, f".tmp-{_uuid_mod.uuid4().hex}")
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(str(sid))
-        os.replace(tmp, os.path.join(sdir, str(version)))
+        try:
+            while True:
+                try:
+                    os.link(tmp, os.path.join(sdir, str(version)))
+                    break
+                except FileExistsError:
+                    version = max(
+                        self.versions(subject)
+                        + self.deleted_versions(subject) + [version]
+                    ) + 1
+        finally:
+            os.unlink(tmp)
         return sid
 
     def _allocate_id(self, schema: str) -> int:

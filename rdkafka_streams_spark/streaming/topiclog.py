@@ -2154,6 +2154,28 @@ class TopicLog:
                 except FileExistsError:
                     n += 1
             pid, epoch = n, 0
+        # epoch allocation must be EXCLUSIVE, not read-modify-write: two
+        # concurrent inits under one name that both read epoch N and both
+        # get issued N+1 would leave neither fenced — defeating the zombie
+        # fencing this API exists for. Claim the epoch with an open(x)
+        # marker; the loser takes the next number (re-reading the name
+        # file in case the winner's publish moved the pid binding).
+        while True:
+            try:
+                fd = os.open(
+                    os.path.join(self.root, ".pids", f".{name}.epoch-{epoch}"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.close(fd)
+                break
+            except FileExistsError:
+                if os.path.exists(path):
+                    with open(path, encoding="utf-8") as f:
+                        cur = json.load(f)
+                    pid = int(cur["pid"])
+                    epoch = max(epoch, int(cur["epoch"])) + 1
+                else:
+                    epoch += 1
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump({"pid": pid, "epoch": epoch}, f)

@@ -364,3 +364,63 @@ def test_subject_deletion_two_phase(tmp_path):
         reg.delete_subject("t-value")
     # ids outlive every delete (framed records in flight still carry them)
     assert reg.get_by_id(id1) and reg.get_by_id(id2)
+
+
+def test_version_publish_never_overwrites_a_concurrent_registrar(tmp_path):
+    """ADVICE r8: version numbers were computed from a directory listing
+    and published with os.replace — a concurrent registrar's
+    same-numbered version file was silently overwritten.  The publish is
+    now a link(x) claim: simulate the race by dropping a rival's version
+    file into the slot this register() would compute; the loser must
+    re-list and take the NEXT number, leaving the rival's registration
+    intact."""
+    import os
+
+    reg = SchemaRegistry(str(tmp_path / "reg"))
+    id1 = reg.register("t-value", V1, compatibility="NONE")
+    # rival wins the race for version 2 (its file content = its global id)
+    sdir = os.path.join(str(tmp_path / "reg"), "subjects", "t-value")
+    with open(os.path.join(sdir, "2"), "w", encoding="utf-8") as f:
+        f.write(str(id1))
+    id2 = reg.register("t-value", V2, compatibility="NONE")
+    assert reg.versions("t-value") == [1, 2, 3]
+    # the rival's slot is untouched; ours landed in the next one
+    assert reg.get_version("t-value", 2)[0] == id1
+    assert reg.get_version("t-value", 3)[0] == id2
+
+
+def test_union_resolution_matches_named_types_by_name():
+    """ADVICE r8: a reader union holding TWO record branches used to
+    resolve every writer record to the first record-shaped branch.  The
+    Avro spec matches named types by (full) name, then aliases."""
+    a = {"type": "record", "name": "A",
+         "fields": [{"name": "x", "type": "long"}]}
+    b = {"type": "record", "name": "B",
+         "fields": [{"name": "x", "type": "long"},
+                    {"name": "y", "type": "string", "default": "d"}]}
+    buf = encode_value({"x": 9}, a)
+    # reader union lists B FIRST: name matching must still pick A
+    v, _ = resolve_read(buf, a, [b, a])
+    assert v == {"x": 9}
+    # writer B resolves to B (and materializes nothing: y was written)
+    buf_b = encode_value({"x": 1, "y": "z"}, b)
+    v, _ = resolve_read(buf_b, b, [a, b])
+    assert v == {"x": 1, "y": "z"}
+    # a RENAMED reader branch still matches via aliases
+    a2 = {"type": "record", "name": "A2", "aliases": ["A"],
+          "fields": [{"name": "x", "type": "long"}]}
+    v, _ = resolve_read(buf, a, [b, a2])
+    assert v == {"x": 9}
+    # namespaces qualify: ns.A != other.A, so only the alias-bearing
+    # branch (or first compatible fallback) can take it
+    wa = {"type": "record", "name": "A", "namespace": "ns",
+          "fields": [{"name": "x", "type": "long"}]}
+    ra = {"type": "record", "name": "A", "namespace": "ns",
+          "fields": [{"name": "x", "type": "long"}]}
+    v, _ = resolve_read(encode_value({"x": 3}, wa), wa, [b, ra])
+    assert v == {"x": 3}
+    # enums match by name too
+    e1 = {"type": "enum", "name": "Color", "symbols": ["R", "G"]}
+    e2 = {"type": "enum", "name": "Size", "symbols": ["S", "L"]}
+    v, _ = resolve_read(encode_value("G", e1), e1, [e2, e1])
+    assert v == "G"

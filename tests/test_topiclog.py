@@ -3529,3 +3529,30 @@ def test_admin_cli_roundtrip(tmp_path, capsys):
     assert run("quotas")[1] == {"etl": {"producer_byte_rate": 1000}}
     rc, dg = run("delete-group", "g")
     assert dg == {"deleted": "g", "topics": ["t"]}
+
+
+def test_epoch_allocation_is_exclusive_not_rmw(tmp_path):
+    """ADVICE r8: the epoch bump was a read-modify-write of the name
+    file — two concurrent re-inits could both read epoch N and both be
+    issued N+1, so neither fenced the other.  Epochs are now claimed
+    with an open(x) marker: simulate the race by pre-claiming the epoch
+    a re-init would compute; the loser must take the NEXT epoch (and
+    the stale winner's epoch stays fenced)."""
+    import os
+
+    root = str(tmp_path / "log")
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    pid, e0 = log.init_producer_id("app")
+    assert e0 == 0
+    # a rival re-init claims epoch 1 concurrently (marker only — it
+    # crashed before publishing the name file)
+    open(os.path.join(root, ".pids", ".app.epoch-1"), "w").close()
+    pid2, e1 = log.init_producer_id("app")
+    assert pid2 == pid
+    assert e1 == 2  # NOT 1: the claimed epoch is never reissued
+    # and the fencing ladder still holds: the old epoch is rejected
+    from rdkafka_streams_spark.streaming.topiclog import ProducerFencedError
+
+    with pytest.raises(ProducerFencedError):
+        log.produce_idempotent("t", ["x"], 0, pid, e0, base_seq=0)
