@@ -140,6 +140,35 @@ def _alias_names(schema) -> set[str]:
     return out
 
 
+def _inline(s, env: dict):
+    """Structural substitution for ``resolved_schema``: replace type-name
+    strings found in ``env`` with (copies of) their definitions, walking
+    records/arrays/maps/unions. Duplicate inlining of a type used twice
+    is fine — this codec resolves structurally, not by a named-type
+    table."""
+    import copy as _copy
+
+    if isinstance(s, str):
+        return _copy.deepcopy(env[s]) if s in env else s
+    if isinstance(s, list):
+        return [_inline(b, env) for b in s]
+    if isinstance(s, dict):
+        out = dict(s)
+        t = s.get("type")
+        if t == "record":
+            out["fields"] = [
+                dict(f, type=_inline(f["type"], env)) for f in s["fields"]
+            ]
+        elif t == "array":
+            out["items"] = _inline(s["items"], env)
+        elif t == "map":
+            out["values"] = _inline(s["values"], env)
+        elif isinstance(t, (dict, list)) or (isinstance(t, str) and t in env):
+            out["type"] = _inline(t, env)
+        return out
+    return s
+
+
 def _pick_union_branch(writer, union):
     """Choose the reader-union branch for a writer value — Avro spec
     §Schema Resolution: named types (record/enum/fixed) match BY NAME
@@ -390,6 +419,53 @@ class SchemaRegistry:
         with open(path, encoding="utf-8") as f:
             return f.read()
 
+    # -- schema references (Confluent's ``references`` field) ---------------
+    # A registered schema may REFER to named types registered under other
+    # subjects instead of inlining them — the shared-envelope /
+    # shared-key-type pattern every Debezium/Connect estate uses. Each
+    # reference is ``{"name", "subject", "version"}`` where ``name`` is the
+    # exact type-name string the schema uses; ``version=-1`` pins the
+    # subject's latest AT REGISTRATION TIME (Confluent pins too — later
+    # bumps of the referenced subject do not silently change this schema).
+    # References travel with the GLOBAL ID (``ids/<id>.refs.json``), so the
+    # decode path can rebuild the closure of any framed record forever.
+
+    def references(self, schema_id: int) -> list[dict]:
+        path = os.path.join(self._ids_dir(), f"{int(schema_id)}.refs.json")
+        try:
+            with open(path, encoding="utf-8") as f:
+                return json.load(f)
+        except OSError:
+            return []
+
+    def resolved_schema(self, schema, references: list[dict] | None,
+                        _stack: tuple = ()):
+        """Inline the reference closure: every type-name string equal to a
+        reference's ``name`` is replaced by the referenced subject
+        version's (recursively resolved) definition. Recursive/mutual
+        references raise — Avro cannot decode a cycle it cannot inline."""
+        env = {}
+        for ref in references or []:
+            nm = ref["name"]
+            if nm in _stack:
+                raise ValueError(f"recursive schema reference {nm!r}")
+            v = ref.get("version", -1)
+            sid, text = (
+                self.latest(ref["subject"]) if v in (-1, None)
+                else self.get_version(ref["subject"], int(v))
+            )
+            env[nm] = self.resolved_schema(
+                text, self.references(sid), _stack + (nm,)
+            )
+        return _inline(parse_schema(schema), env)
+
+    def get_by_id_resolved(self, schema_id: int):
+        """Parsed schema with its reference closure inlined — what the
+        decoder actually needs for a framed record's writer id."""
+        return self.resolved_schema(
+            self.get_by_id(schema_id), self.references(schema_id)
+        )
+
     def versions(self, subject: str) -> list[int]:
         d = self._subject_dir(subject)
         if not os.path.isdir(d):
@@ -523,9 +599,18 @@ class SchemaRegistry:
 
     # -- writes ------------------------------------------------------------
     def register(
-        self, subject: str, schema: str, compatibility: str | None = None
+        self, subject: str, schema: str, compatibility: str | None = None,
+        references: list[dict] | None = None,
     ) -> int:
         """Register ``schema`` under ``subject`` and return its global id.
+
+        ``references`` composes record types ACROSS subjects (Confluent's
+        ``references: [{name, subject, version}]``): the schema may use a
+        referenced type's name where a definition would go; ``version=-1``
+        pins the referenced subject's current latest. The compatibility
+        gate runs on the RESOLVED closure (a breaking change smuggled in
+        through a reference bump is still caught), and two registrations
+        with identical text but different references get distinct ids.
 
         Idempotent: a schema canonically equal to an EXISTING version of
         the subject returns that version's id without writing. Otherwise
@@ -547,32 +632,51 @@ class SchemaRegistry:
             compatibility = self.get_compatibility(subject)
         if compatibility not in _COMPAT_MODES:
             raise ValueError(f"unknown compatibility mode {compatibility!r}")
+        refs = [
+            {
+                "name": r["name"], "subject": r["subject"],
+                "version": (
+                    int(r["version"])
+                    if r.get("version", -1) not in (-1, None)
+                    else (self.versions(r["subject"]) or [0])[-1]
+                ),
+            }
+            for r in (references or [])
+        ]
+        for r in refs:  # every referenced version must exist (raises)
+            self.get_version(r["subject"], r["version"])
         canon = _canonical(schema)
         for v in reversed(self.versions(subject)):
             sid, existing = self.get_version(subject, v)
-            if _canonical(existing) == canon:
+            if _canonical(existing) == canon and self.references(sid) == refs:
                 return sid
+        new_resolved = self.resolved_schema(schema, refs)
         vs = self.versions(subject)
         if vs and compatibility != "NONE":
             base = compatibility.replace("_TRANSITIVE", "")
             scope = vs if compatibility.endswith("_TRANSITIVE") else vs[-1:]
             problems = []
             for v in scope:
-                _, prior = self.get_version(subject, v)
+                psid, prior = self.get_version(subject, v)
+                prior_resolved = self.resolved_schema(
+                    prior, self.references(psid)
+                )
                 if base in ("BACKWARD", "FULL"):
                     problems += [
-                        f"BACKWARD vs v{v}: {p}" for p in can_read(prior, schema)
+                        f"BACKWARD vs v{v}: {p}"
+                        for p in can_read(prior_resolved, new_resolved)
                     ]
                 if base in ("FORWARD", "FULL"):
                     problems += [
-                        f"FORWARD vs v{v}: {p}" for p in can_read(schema, prior)
+                        f"FORWARD vs v{v}: {p}"
+                        for p in can_read(new_resolved, prior_resolved)
                     ]
             if problems:
                 raise ValueError(
                     f"schema incompatible with {subject} "
                     f"({compatibility}): " + "; ".join(problems)
                 )
-        sid = self._allocate_id(schema)
+        sid = self._allocate_id(schema, refs)
         sdir = self._subject_dir(subject)
         os.makedirs(sdir, exist_ok=True)
         # version numbers never rewind: soft-deleted versions still block
@@ -599,11 +703,15 @@ class SchemaRegistry:
             os.unlink(tmp)
         return sid
 
-    def _allocate_id(self, schema: str) -> int:
+    def _allocate_id(self, schema: str, refs: list[dict] | None = None) -> int:
         """Monotonic global id; O_EXCL create arbitrates concurrent
         registrars (same canonical schema under another subject still gets
         a fresh id — Confluent shares ids across subjects, we keep the
-        simpler per-registration allocation and dedup within subjects)."""
+        simpler per-registration allocation and dedup within subjects).
+        References are part of a schema's identity: same text with
+        different references is a DIFFERENT schema (its resolved closure
+        differs), so dedup compares both."""
+        refs = refs or []
         ids_dir = self._ids_dir()
         os.makedirs(ids_dir, exist_ok=True)
         text = schema if isinstance(schema, str) else json.dumps(schema)
@@ -614,7 +722,8 @@ class SchemaRegistry:
             int(f[:-5]) for f in os.listdir(ids_dir) if f.endswith(".avsc")
         )
         for sid in existing:
-            if _canonical(self.get_by_id(sid)) == canon:
+            if _canonical(self.get_by_id(sid)) == canon \
+                    and self.references(sid) == refs:
                 return sid
         sid = (existing[-1] + 1) if existing else 1
         while True:
@@ -624,6 +733,15 @@ class SchemaRegistry:
             except FileExistsError:
                 sid += 1  # concurrent registrar claimed it; take the next
                 continue
+            if refs:
+                # sidecar BEFORE the body lands under the claimed name is
+                # not possible (the claim IS the body file), so write it
+                # immediately after — readers treat a missing sidecar as
+                # "no references", and the id is not yet published to any
+                # subject version at this point
+                with open(os.path.join(ids_dir, f"{sid}.refs.json"), "w",
+                          encoding="utf-8") as f:
+                    json.dump(refs, f, sort_keys=True)
             with os.fdopen(fd, "w", encoding="utf-8") as f:
                 f.write(text)
             return sid
@@ -657,15 +775,21 @@ def to_avro_confluent(col, schema: str, schema_id: int):
     return _enc(col)
 
 
-def from_avro_confluent(col, registry_root: str, reader_schema: str):
+def from_avro_confluent(col, registry_root: str, reader_schema: str,
+                        reader_references: list[dict] | None = None):
     """Confluent-framed binary column → typed column: unframe, resolve the
-    WRITER schema by id from the registry directory (per-executor cache),
-    decode with schema resolution against ``reader_schema``. The column
-    type is the reader's — old records surface reader-only fields from
-    defaults, new records drop fields the reader doesn't know."""
+    WRITER schema by id from the registry directory (per-executor cache,
+    reference closure inlined), decode with schema resolution against
+    ``reader_schema``. The column type is the reader's — old records
+    surface reader-only fields from defaults, new records drop fields the
+    reader doesn't know. ``reader_references`` lets the reader schema
+    itself compose registered types across subjects (resolved once,
+    driver-side, at plan time)."""
     from pyspark.sql.functions import pandas_udf
 
-    reader = parse_schema(reader_schema)
+    reader = SchemaRegistry(registry_root).resolved_schema(
+        reader_schema, reader_references
+    ) if reader_references else parse_schema(reader_schema)
     ddl = avro_to_spark_ddl(reader)
     is_record = isinstance(reader, dict) and reader.get("type") == "record"
     root = registry_root
@@ -681,7 +805,7 @@ def from_avro_confluent(col, registry_root: str, reader_schema: str):
             sid, body = unframe(bytes(b))
             w = writers.get(sid)
             if w is None:
-                w = writers[sid] = parse_schema(reg.get_by_id(sid))
+                w = writers[sid] = reg.get_by_id_resolved(sid)
             return resolve_read(body, w, reader)[0]
 
         vals = [one(b) for b in s]

@@ -719,11 +719,35 @@ def _read_range_arrow(
 @dataclass
 class TopicLog:
     """Driver-side admin + hand-pump producer (the reference tests' produce
-    loop analog, test/test_Producer.coffee:52-64)."""
+    loop analog, test/test_Producer.coffee:52-64).
+
+    ``principal`` is the authenticated identity every operation runs as
+    (Kafka's ``User:ANONYMOUS`` default for an unauthenticated client).
+    When the log root carries an ACL store (``.acls/`` exists — see
+    ``streaming/acl.py``), produce/consume/admin calls are authorized
+    against it with the broker's deny-beats-allow evaluation; without
+    one, everything is allowed, exactly like a broker running without
+    ``authorizer.class.name``."""
 
     root: str
+    principal: str = "User:ANONYMOUS"
+
+    def _require(self, operation: str, rtype: str, rname: str) -> None:
+        from rdkafka_streams_spark.streaming.acl import AclStore
+
+        AclStore(self.root).require(self.principal, operation, rtype, rname)
 
     def create_topic(self, topic: str, partitions: int = 1) -> None:
+        # broker rule: CREATE on the cluster OR on the (literal/prefixed)
+        # topic name authorizes auto-creation
+        from rdkafka_streams_spark.streaming.acl import AclStore
+
+        store = AclStore(self.root)
+        if not (
+            store.authorize(self.principal, "CREATE", "cluster", "kafka-cluster")
+            or store.authorize(self.principal, "CREATE", "topic", topic)
+        ):
+            self._require("CREATE", "topic", topic)  # raise with detail
         for pid in range(partitions):
             os.makedirs(_part_dir(self.root, topic, pid), exist_ok=True)
 
@@ -746,6 +770,7 @@ class TopicLog:
         offsets.retention semantics), so a recreated topic starts at 0
         with stale commits clamped by the readers' range checks."""
         _check_name(topic, "topic")
+        self._require("DELETE", "topic", topic)
         path = os.path.join(self.root, topic)
         if not os.path.isdir(path):
             raise ValueError(f"unknown topic {topic!r}")
@@ -844,6 +869,9 @@ class TopicLog:
         a fenced ``group.instance.id`` with FENCED_INSTANCE_ID, and so
         does this when the token is presented. Static members should
         commit with both."""
+        # broker rule: OffsetCommit needs READ on the group AND the topic
+        self._require("READ", "group", group)
+        self._require("READ", "topic", topic)
         for pid, off in offsets.items():
             if int(off) < 0:
                 raise ValueError(f"negative offset {off} for partition {pid}")
@@ -1149,6 +1177,7 @@ class TopicLog:
         carrying any older id are fenced from then on. Non-generation
         state (the stored assignment) is preserved — it describes the
         group's last sync even while a new rebalance is in flight."""
+        self._require("READ", "group", group)
         state = self._group_state(group)
         state["generation"] = int(state.get("generation", 0)) + 1
         self._write_group_state(group, state)
@@ -1668,6 +1697,7 @@ class TopicLog:
         Unknown keys and non-numeric retention values are rejected up
         front, like the broker's INVALID_CONFIG. Returns the full config
         after the merge."""
+        self._require("ALTER_CONFIGS", "topic", topic)
         if not os.path.isdir(os.path.join(self.root, topic)):
             raise ValueError(f"unknown topic {topic!r}")
         cur = self.describe_configs(topic)
@@ -1913,6 +1943,7 @@ class TopicLog:
         the old generation's outcome is already sealed in the log);
         re-beginning an OPEN id is an error (the zombie producer must
         abort or be fenced first)."""
+        self._require("WRITE", "transactional_id", txn_id)
         st = self.txn_state(txn_id)
         if st is not None and st["state"] == "open":
             raise ValueError(f"transaction {txn_id!r} is already open")
@@ -2033,6 +2064,7 @@ class TopicLog:
         every partition the txn touched (offset parity with a broker),
         then applies any offsets staged via ``send_offsets_to_txn`` to
         their group stores."""
+        self._require("WRITE", "transactional_id", txn_id)
         self._txn_finish(txn_id, "commit")
         st = self.txn_state(txn_id)
         gens = st.get("offsets_gen") or {}
@@ -2050,6 +2082,7 @@ class TopicLog:
     def abort_txn(self, txn_id: str) -> None:
         """Discard the transaction: its records stay in the log (offsets
         are immutable) but read_committed consumers never see them."""
+        self._require("WRITE", "transactional_id", txn_id)
         self._txn_finish(txn_id, "abort")
 
     def gc_sink_txn_state(self, keep_last: int = 100) -> int:
@@ -2130,6 +2163,13 @@ class TopicLog:
         KIP-98's other InitProducerId duty: a transaction left OPEN under
         ``txn_id == name`` by the fenced session is ABORTED before the
         new epoch is handed out, so its records never commit."""
+        # broker rule: transactional init needs WRITE on the
+        # transactional.id; plain idempotence needs IDEMPOTENT_WRITE on
+        # the cluster (KIP-98 ACLs)
+        if transactional:
+            self._require("WRITE", "transactional_id", name)
+        else:
+            self._require("IDEMPOTENT_WRITE", "cluster", "kafka-cluster")
         path = self._pid_name_file(name)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         if transactional:
@@ -2230,6 +2270,7 @@ class TopicLog:
         ``rebuild_producer_state`` reconstructs the sequence files from
         the log alone. Run it before resuming produce after any unclean
         stop."""
+        self._require("WRITE", "topic", topic)
         cur_epoch = self._pid_epoch(pid)
         if int(epoch) < cur_epoch:
             raise ProducerFencedError(
@@ -2574,6 +2615,7 @@ class TopicLog:
         {deleted, kept}; counts are actual record counts (a compacted
         segment's name carries its logical SPAN, which exceeds its line
         count once compaction opens gaps)."""
+        self._require("DELETE", "topic", topic)
         deleted = kept = 0
         for pid in _list_partitions(self.root, topic):
             cutoff = before.get(pid)
@@ -2671,6 +2713,7 @@ class TopicLog:
         occupying offsets like any Kafka transactional write — but a
         ``read_committed`` consumer will not see them until
         ``commit_txn``; ``abort_txn`` hides them from it forever."""
+        self._require("WRITE", "topic", topic)
         if txn is not None:
             st = self.txn_state(txn)
             if st is None or st["state"] != "open":
@@ -2992,6 +3035,20 @@ def _split_parts(parts: list["_Part"], min_partitions: int | None) -> list["_Par
     return out
 
 
+def _authorize_ds(options: dict, operation: str, names) -> None:
+    """Planning-time (driver-side) ACL gate for the datasource paths: the
+    ``principal`` option is the client identity (Kafka's ANONYMOUS when
+    unauthenticated); with no ``.acls/`` store on the root this is a
+    no-op, like a broker without an authorizer. One metadata check per
+    query plan — nothing rides the per-record path."""
+    from rdkafka_streams_spark.streaming.acl import AclStore
+
+    store = AclStore(options.get("path") or options.get("root"))
+    principal = options.get("principal", "User:ANONYMOUS")
+    for n in ([names] if isinstance(names, str) else names):
+        store.require(principal, operation, "topic", n)
+
+
 def _resolve_topics(options: dict) -> tuple[str, list[str], dict[str, list[int]] | None]:
     """The Kafka source's three subscription modes: ``subscribe`` (comma
     list), ``subscribePattern`` (regex), and ``assign`` (explicit JSON
@@ -3060,6 +3117,7 @@ class _TopicLogBatchReader(DataSourceReader):
 
     def __init__(self, options: dict):
         self.root, self.topics, self.assigned = _resolve_topics(options)
+        _authorize_ds(options, "READ", self.topics)
         self.headers = str(options.get("includeheaders", "false")).lower() == "true"
         raw_start = options.get("startingoffsets")
         if raw_start is not None and not raw_start.strip().startswith("{") \
@@ -3151,6 +3209,7 @@ class _TopicLogStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.root, self.topics, self.assigned = _resolve_topics(options)
+        _authorize_ds(options, "READ", self.topics)
         self.pattern = options.get("subscribepattern")
         raw_start = options.get("startingoffsets", "latest")
         # Kafka-source parity (S4): startingOffsets accepts the JSON form
@@ -3633,6 +3692,7 @@ class _TopicLogBatchWriter(DataSourceWriter):
     def __init__(self, options: dict, schema: StructType):
         self.root = options.get("path") or options.get("root")
         self.topic = options["topic"]
+        _authorize_ds(options, "WRITE", self.topic)
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         self.compression = _norm_compression(options.get("compression.type"))
@@ -3664,6 +3724,7 @@ class _TopicLogStreamWriter(DataSourceStreamWriter):
     def __init__(self, options: dict, schema: StructType):
         self.root = options.get("path") or options.get("root")
         self.topic = options["topic"]
+        _authorize_ds(options, "WRITE", self.topic)
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         self.compression = _norm_compression(options.get("compression.type"))
@@ -3709,6 +3770,7 @@ class _TopicLogArrowWriter(DataSourceArrowWriter):
     def __init__(self, options: dict, schema: StructType):
         self.root = options.get("path") or options.get("root")
         self.topic = options["topic"]
+        _authorize_ds(options, "WRITE", self.topic)
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         self.compression = _norm_compression(options.get("compression.type"))
@@ -3737,6 +3799,7 @@ class _TopicLogStreamArrowWriter(DataSourceStreamArrowWriter):
     def __init__(self, options: dict, schema: StructType):
         self.root = options.get("path") or options.get("root")
         self.topic = options["topic"]
+        _authorize_ds(options, "WRITE", self.topic)
         self.fields = [f.name for f in schema.fields]
         self.tombstones = str(options.get("tombstones", "false")).lower() == "true"
         self.compression = _norm_compression(options.get("compression.type"))

@@ -111,11 +111,43 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("alter-quota", help="set client quota keys")
     p.add_argument("client_id")
     p.add_argument("configs", nargs="+", metavar="key=value")
+    p = sub.add_parser(
+        "acls",
+        help="kafka-acls.sh analog: list/add/remove principal × operation "
+        "× resource-pattern bindings (deny beats allow; literal + "
+        "prefixed patterns; User:* wildcard)",
+    )
+    g = p.add_mutually_exclusive_group()
+    g.add_argument("--add", action="store_true")
+    g.add_argument("--remove", action="store_true")
+    p.add_argument("--allow-principal", metavar="User:NAME")
+    p.add_argument("--deny-principal", metavar="User:NAME")
+    p.add_argument("--operation", default="ALL",
+                   help="READ|WRITE|CREATE|DELETE|ALTER|DESCRIBE|"
+                        "ALTER_CONFIGS|DESCRIBE_CONFIGS|CLUSTER_ACTION|"
+                        "IDEMPOTENT_WRITE|ALL")
+    r = p.add_mutually_exclusive_group()
+    r.add_argument("--topic")
+    r.add_argument("--group")
+    r.add_argument("--cluster", action="store_true")
+    r.add_argument("--transactional-id", dest="txn_id")
+    p.add_argument("--resource-pattern-type", default="literal",
+                   choices=["literal", "prefixed"])
+    p.add_argument("--super-users", nargs="*", metavar="User:NAME",
+                   help="replace the super.users list")
+    p.add_argument("--allow-everyone-if-no-acl",
+                   choices=["true", "false"],
+                   help="set the broker flag of the same name")
 
+    ap.add_argument(
+        "--principal", default="User:ANONYMOUS",
+        help="identity admin operations run as (checked against the "
+             "root's ACL store when one exists)",
+    )
     a = ap.parse_args(argv)
     from rdkafka_streams_spark.streaming.topiclog import TopicLog
 
-    log = TopicLog(a.root)
+    log = TopicLog(a.root, a.principal)
     if a.cmd == "topics":
         out = log.topics()
     elif a.cmd == "create-topic":
@@ -177,6 +209,52 @@ def main(argv: list[str] | None = None) -> int:
         out = log.compact(a.topic)
     elif a.cmd == "quotas":
         out = log.describe_client_quotas()
+    elif a.cmd == "acls":
+        from dataclasses import asdict
+
+        from rdkafka_streams_spark.streaming.acl import AclBinding, AclStore
+
+        store = AclStore(a.root)
+        # managing ACLs is itself an authorized op (ALTER on the cluster)
+        if a.add or a.remove or a.super_users is not None \
+                or a.allow_everyone_if_no_acl is not None:
+            store.require(a.principal, "ALTER", "cluster", "kafka-cluster")
+        if a.super_users is not None:
+            store.set_super_users(a.super_users)
+        if a.allow_everyone_if_no_acl is not None:
+            store.set_allow_everyone_if_no_acl(
+                a.allow_everyone_if_no_acl == "true"
+            )
+        if a.add or a.remove:
+            principal = a.allow_principal or a.deny_principal
+            if not principal or (a.allow_principal and a.deny_principal):
+                raise SystemExit(
+                    "--add/--remove need exactly one of --allow-principal "
+                    "or --deny-principal"
+                )
+            if a.cluster:
+                rtype, rname = "cluster", "kafka-cluster"
+            elif a.group:
+                rtype, rname = "group", a.group
+            elif a.txn_id:
+                rtype, rname = "transactional_id", a.txn_id
+            elif a.topic:
+                rtype, rname = "topic", a.topic
+            else:
+                raise SystemExit(
+                    "--add/--remove need --topic/--group/--cluster/"
+                    "--transactional-id"
+                )
+            binding = AclBinding(
+                resource_type=rtype, resource_name=rname,
+                pattern_type=a.resource_pattern_type, principal=principal,
+                operation=a.operation,
+                permission="allow" if a.allow_principal else "deny",
+            )
+            changed = store.add(binding) if a.add else store.remove(binding)
+            out = {"changed": changed, "binding": asdict(binding)}
+        else:
+            out = [asdict(b) for b in store.list()]
     elif a.cmd == "alter-quota":
         out = log.alter_client_quotas(
             a.client_id,

@@ -342,6 +342,12 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # tiering is a metadata move; the stitched two-tier read is one
         # pass + one event_type rollup exchange
         "q292_tiered_read": 1,
+        # ACL checks are plan-time metadata (O(bindings) driver-side);
+        # the authorized read is one pass + one event_type rollup
+        "q293_acl_enforcement": 1,
+        # reference closures resolve at plan time; decode is the cached
+        # per-writer-id pandas UDF — one pass + one event_type rollup
+        "q294_schema_references": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

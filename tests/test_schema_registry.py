@@ -424,3 +424,120 @@ def test_union_resolution_matches_named_types_by_name():
     e2 = {"type": "enum", "name": "Size", "symbols": ["S", "L"]}
     v, _ = resolve_read(encode_value("G", e1), e1, [e2, e1])
     assert v == "G"
+
+
+SHARED = json.dumps({
+    "type": "record", "name": "Address", "fields": [
+        {"name": "city", "type": "string"},
+    ],
+})
+SHARED_V2 = json.dumps({  # BACKWARD-compatible bump of the shared type
+    "type": "record", "name": "Address", "fields": [
+        {"name": "city", "type": "string"},
+        {"name": "zip", "type": "string", "default": ""},
+    ],
+})
+SHARED_BAD = json.dumps({  # breaking bump: new required field
+    "type": "record", "name": "Address", "fields": [
+        {"name": "city", "type": "string"},
+        {"name": "country", "type": "string"},
+    ],
+})
+ENVELOPE = json.dumps({
+    "type": "record", "name": "Customer", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "home", "type": "Address"},  # by reference, not inline
+    ],
+})
+
+
+def test_schema_references_register_resolve_roundtrip(tmp_path):
+    """Confluent schema references: an envelope registered with
+    ``references`` composes a type registered under ANOTHER subject; the
+    resolved closure decodes a framed record end-to-end."""
+    from rdkafka_streams_spark.streaming.schema_registry import (
+        frame,
+        unframe,
+    )
+
+    reg = SchemaRegistry(str(tmp_path))
+    reg.register("shared-address", SHARED, compatibility="NONE")
+    refs = [{"name": "Address", "subject": "shared-address", "version": -1}]
+    sid = reg.register("cust-value", ENVELOPE, compatibility="NONE",
+                       references=refs)
+    # stored references pin the version that was latest at registration
+    assert reg.references(sid) == [
+        {"name": "Address", "subject": "shared-address", "version": 1}
+    ]
+    resolved = reg.get_by_id_resolved(sid)
+    assert resolved["fields"][1]["type"]["name"] == "Address"
+    # encode under the resolved closure, frame, decode through the
+    # registry like a consumer that knows only the id
+    val = {"id": 7, "home": {"city": "Oslo"}}
+    buf = frame(sid, encode_value(val, resolved))
+    rid, body = unframe(buf)
+    out, _ = resolve_read(body, reg.get_by_id_resolved(rid), resolved)
+    assert out == val
+    # same text with DIFFERENT references = a different schema id
+    reg.register("shared-address2", SHARED, compatibility="NONE")
+    sid2 = reg.register(
+        "cust2-value", ENVELOPE, compatibility="NONE",
+        references=[{"name": "Address", "subject": "shared-address2",
+                     "version": 1}],
+    )
+    assert sid2 != sid
+    # idempotent re-register with the same refs returns the same id
+    assert reg.register("cust-value", ENVELOPE, references=refs) == sid
+    # unknown referenced subject/version raises
+    with pytest.raises(KeyError):
+        reg.register("x-value", ENVELOPE, compatibility="NONE",
+                     references=[{"name": "Address", "subject": "ghost",
+                                  "version": 1}])
+
+
+def test_reference_bump_gated_by_resolved_compatibility(tmp_path):
+    """The compatibility gate runs on the RESOLVED closure: re-registering
+    the envelope against a compatibly-bumped shared type passes, and a
+    BREAKING bump smuggled through the reference is refused — evolution
+    of a referenced type is held to the same contract as inline fields."""
+    reg = SchemaRegistry(str(tmp_path))
+    reg.register("shared-address", SHARED, compatibility="NONE")
+    refs_v1 = [{"name": "Address", "subject": "shared-address", "version": 1}]
+    sid1 = reg.register("cust-value", ENVELOPE, compatibility="BACKWARD",
+                        references=refs_v1)
+    # bump the shared subject compatibly and re-register the envelope
+    # against the new version: BACKWARD holds (new closure reads old data)
+    reg.register("shared-address", SHARED_V2, compatibility="BACKWARD")
+    refs_v2 = [{"name": "Address", "subject": "shared-address", "version": 2}]
+    sid2 = reg.register("cust-value", ENVELOPE, compatibility="BACKWARD",
+                        references=refs_v2)
+    assert sid2 != sid1  # same text, new closure -> new schema id
+    assert reg.versions("cust-value") == [1, 2]
+    # old framed records decode under the NEW resolved reader (defaults)
+    from rdkafka_streams_spark.streaming.schema_registry import frame, unframe
+    old = frame(sid1, encode_value(
+        {"id": 1, "home": {"city": "Bergen"}}, reg.get_by_id_resolved(sid1)))
+    _, body = unframe(old)
+    out, _ = resolve_read(body, reg.get_by_id_resolved(sid1),
+                          reg.get_by_id_resolved(sid2))
+    assert out == {"id": 1, "home": {"city": "Bergen", "zip": ""}}
+    # a BREAKING shared-type bump is caught at the envelope's gate
+    reg.register("shared-address", SHARED_BAD, compatibility="NONE")
+    refs_v3 = [{"name": "Address", "subject": "shared-address", "version": 3}]
+    with pytest.raises(ValueError, match="incompatible"):
+        reg.register("cust-value", ENVELOPE, compatibility="BACKWARD",
+                     references=refs_v3)
+    # recursive references are refused, not infinitely inlined. A cycle
+    # cannot be built through register() (each referenced version must
+    # already exist), so forge the sidecar to simulate a corrupt/looped
+    # store and check the guard holds.
+    import os
+
+    loop = json.dumps({"type": "record", "name": "Node", "fields": [
+        {"name": "next", "type": ["null", "Tree"]}]})
+    tid = reg.register("tree", loop, compatibility="NONE")
+    with open(os.path.join(str(tmp_path), "ids", f"{tid}.refs.json"),
+              "w", encoding="utf-8") as f:
+        json.dump([{"name": "Tree", "subject": "tree", "version": 1}], f)
+    with pytest.raises(ValueError, match="recursive"):
+        reg.get_by_id_resolved(tid)
