@@ -847,8 +847,17 @@ def learn_bpe_merges(
             F.regexp_replace("w", "(.)", f"{sep}$1{sep}"),
             F.lit(sep + eow + sep),
         ).alias("seq"),
-    ).persist()
-    spark = docs.sparkSession
+    )
+    return _bpe_merge_loop(docs.sparkSession, cur, n_merges, sep)
+
+
+def _bpe_merge_loop(spark, cur: DataFrame, n_merges: int, sep: str) -> DataFrame:
+    """The shared Sennrich merge loop over a sep-wrapped (freq, seq)
+    symbol table — used by both the char-level (learn_bpe_merges) and
+    byte-level (learn_byte_bpe) trainers. Per-step persist/unpersist;
+    the table the loop iterates is the Zipf-bounded distinct-token
+    table, never the corpus."""
+    cur = cur.persist()
     rules = []
     try:
         cur.count()
@@ -904,6 +913,68 @@ def learn_bpe_merges(
         rules,
         "step int, left string, right string, merged string, pair_count bigint",
     )
+
+
+#: GPT-2-style pre-tokenizer, LOOKAHEAD-FREE so the identical pattern runs
+#: under Java regex (Spark) and RE2 (DuckDB — RE2 has no lookahead, so the
+#: original's trailing ``\s+(?!\S)`` branch is simplified away): English
+#: contractions, optionally-space-prefixed letter runs, digit runs,
+#: punctuation runs, and whitespace runs. Every character of the input
+#: lands in exactly one pre-token (spaces ride the following word, the
+#: production byte-BPE shape).
+GPT2_PRETOKEN_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def learn_byte_bpe(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    sep: str = "·",
+    pretoken_pattern: str = GPT2_PRETOKEN_PATTERN,
+) -> DataFrame:
+    """BYTE-level BPE training (GPT-2/tiktoken shape — Radford et al.
+    2019): pre-tokenize with a GPT-2-style regex (contractions, leading
+    spaces riding the next word), then run Sennrich merges over the
+    UTF-8 BYTE sequence of each pre-token instead of characters. The
+    byte alphabet means no OOV symbol can ever exist (any text is bytes)
+    and no end-of-word marker is needed (pre-token boundaries carry the
+    word structure) — exactly the production tokenizer's base alphabet.
+
+    Symbols are HEX BYTE PAIRS ("48", "65", …; merged symbols
+    concatenate, "4865"): hex is the one byte spelling that is printable,
+    separator-safe, and IDENTICAL in Spark (``hex(encode(tok,'utf-8'))``)
+    and DuckDB (``hex(encode(tok))``) — standing in for GPT-2's
+    bytes_to_unicode table, which exists for the same reason (printable
+    stand-ins for raw bytes). The sep-wrapped merge trick, tie-break
+    (count DESC, left ASC, right ASC on the hex spelling), and
+    per-step persist discipline carry over from learn_bpe_merges; the
+    merge loop runs over the distinct PRE-TOKEN frequency table (one
+    corpus-sized shuffle total, Zipf-bounded thereafter).
+
+    Returns ``(step, left, right, merged, pair_count)`` with hex-byte
+    symbols — the merges.txt artifact of a byte-level tokenizer."""
+    toks = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(pretoken_pattern), F.lit(0)
+                )
+            ).alias("t")
+        )
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    cur = toks.select(
+        "freq",
+        F.regexp_replace(
+            F.hex(F.encode(F.col("t"), "utf-8")), "(..)", f"{sep}$1{sep}"
+        ).alias("seq"),
+    )
+    return _bpe_merge_loop(docs.sparkSession, cur, n_merges, sep)
 
 
 def bpe_subword_vocab(

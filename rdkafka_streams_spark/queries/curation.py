@@ -5972,11 +5972,13 @@ FROM events GROUP BY event_type
 )
 def q292_tiered_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIERED STORAGE (KIP-405 analog) end-to-end: the events table rides
-    the transport in two time waves with CreateTime stamps; segments past
-    ``local.retention.ms`` move to the remote tier (the object-store
-    stand-in every 100 TB estate keeps its cold log in) while the hot
-    wave stays local, and a single read STITCHES both tiers into one
-    continuous log whose aggregate equals the plain one-copy oracle. The
+    the transport in two time waves with CreateTime stamps; every closed
+    segment is COPIED to the remote tier eagerly (the object-store
+    stand-in every 100 TB estate keeps its cold log in) and the cold
+    wave's local copies are reaped past ``local.retention.ms`` — the
+    broker's real two-phase lifecycle with its dual-copy window — while
+    the hot wave stays local, and a single read STITCHES both tiers into
+    one continuous log whose aggregate equals the plain one-copy oracle. The
     query hard-fails if nothing actually tiered or the local tier did not
     shrink, so the oracle match certifies the stitched path, not a
     degenerate all-local read. Scale posture: the local tier holds only

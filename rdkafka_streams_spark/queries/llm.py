@@ -2291,3 +2291,69 @@ def q288_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_subword_vocab(
         load_table(spark, sf_dir, "documents"), n_merges=8, top_k=30
     )
+
+
+def _byte_bpe_oracle(n: int = 8) -> str:
+    """Unrolled-iteration DuckDB oracle for learn_byte_bpe: pre-tokenize
+    with the same lookahead-free GPT-2-style regex (RE2 and Java regex
+    agree on it — the reason the pattern carries no lookahead), hex the
+    UTF-8 bytes (DuckDB ``hex(encode(t))`` == Spark
+    ``hex(encode(t,'utf-8'))``, both uppercase), wrap byte symbols in
+    separators, and run the identical n merge steps. No end-of-word
+    marker — pre-token boundaries carry the word structure, the GPT-2
+    byte-BPE shape."""
+    pat = (
+        "''(?:s|t|re|ve|m|ll|d)"
+        r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    )
+    parts = [
+        f"""w AS (
+  SELECT tok AS t, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(text, '{pat}')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok),
+it0 AS (SELECT freq, regexp_replace(hex(encode(t)), '(..)', '·\\1·', 'g')
+               AS seq FROM w)"""
+    ]
+    for k in range(1, n + 1):
+        parts.append(f"""p{k} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+    FROM (SELECT freq, string_split(
+                 substring(seq, 2, length(seq) - 2), '··') AS syms
+          FROM it{k - 1})
+  ) GROUP BY 1, 2),
+m{k} AS (SELECT {k} AS step, l, r, l || r AS merged, cnt
+         FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+it{k} AS (SELECT freq, replace(seq, '·' || m.l || '··' || m.r || '·',
+                               '·' || m.l || m.r || '·') AS seq
+          FROM it{k - 1}, m{k} m)""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(1, n + 1))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT CAST(step AS INTEGER) AS step, l AS "left", r AS "right",
+       merged, cnt AS pair_count
+FROM ({union})"""
+    )
+
+
+@query("q295_byte_bpe_merges", oracle=_byte_bpe_oracle(), tags=("L4",))
+def q295_byte_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE training (llm/text.py learn_byte_bpe) — the
+    production tokenizer shape (GPT-2/tiktoken; r8 verdict item 6): a
+    GPT-2-style regex pre-tokenizer (contractions, space-prefixed words,
+    digit runs, punctuation runs — lookahead-free so Spark's Java regex
+    and the oracle's RE2 agree match-for-match) feeds Sennrich merges
+    over UTF-8 BYTE sequences spelled as hex pairs, so the base alphabet
+    is closed (no OOV is possible) and no end-of-word marker exists. The
+    oracle unrolls the same 8 iterations byte-for-byte; a divergence in
+    pre-tokenization, byte spelling, pair counts, tie-breaks, or the
+    non-overlapping merge application breaks the hash. Scale: identical
+    posture to q287 — one corpus-sized shuffle builds the pre-token
+    table, the loop runs over the Zipf-bounded distinct-token table,
+    each rule is one driver row."""
+    from rdkafka_streams_spark.llm.text import learn_byte_bpe
+
+    return learn_byte_bpe(load_table(spark, sf_dir, "documents"), n_merges=8)

@@ -962,3 +962,81 @@ def test_learn_bpe_merges_matches_reference_implementation(spark):
             learn_bpe_merges(docs2, n_merges=3, sep="|.").orderBy("step")
             .collect()]
     assert got3 == ref2[:3]
+
+
+def test_learn_byte_bpe_matches_reference_implementation(spark):
+    """learn_byte_bpe vs a direct in-test byte-level BPE (GPT-2 shape):
+    same pre-tokens, same hex-byte symbols, same merges and counts,
+    including multi-byte UTF-8 characters whose bytes merge first and
+    contraction pre-tokens from the GPT-2 regex."""
+    import re as _re
+    from collections import Counter
+
+    from rdkafka_streams_spark.llm.text import learn_byte_bpe
+
+    # ASCII-equivalent of the default pattern so Python's re (no \p{L})
+    # can run the reference byte-for-byte; é is included explicitly to
+    # cover a 2-byte UTF-8 letter
+    pat = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-zé]+| ?[0-9]+| ?[^ \tA-Za-zé0-9]+|[ \t]+"
+
+    def ref_byte_bpe(texts, n):
+        freq = Counter()
+        for t in texts:
+            for m in _re.finditer(pat, t):
+                if m.group(0):
+                    freq[m.group(0)] += 1
+        cur = {
+            tuple(f"{b:02X}" for b in tok.encode("utf-8")): f
+            for tok, f in freq.items()
+        }
+        rules = []
+        for step in range(1, n + 1):
+            pc = Counter()
+            for syms, f in cur.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            (l, r), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            rules.append((step, l, r, l + r, cnt))
+            nxt: dict = {}
+            for syms, f in cur.items():
+                out, i = [], 0
+                while i < len(syms):  # left-to-right, non-overlapping
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                key = tuple(out)
+                nxt[key] = nxt.get(key, 0) + f
+            cur = nxt
+        return rules
+
+    corpus = [
+        "the cat sat on the mat",
+        "the cat's hat, the cat's mat!",
+        "café olé café",        # multi-byte é: C3 A9 pairs must merge
+        "he'll we've i'm they're don't",
+        "low lower lowest low low",
+        "a1 b22 c333  spaced   out",
+    ]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in learn_byte_bpe(docs, n_merges=10, pretoken_pattern=pat)
+        .orderBy("step").collect()
+    ]
+    assert got == ref_byte_bpe(corpus, 10)
+    # the default \p{L} pattern treats é as a letter (rides its word)
+    docs2 = spark.createDataFrame([("olé olé",)], "text string")
+    rules2 = learn_byte_bpe(docs2, n_merges=2).orderBy("step").collect()
+    # " olé" (20 6F 6C C3 A9) and "olé" (6F 6C C3 A9): pairs (6F,6C),
+    # (6C,C3), (C3,A9) all hit freq 2 — the (cnt DESC, l ASC, r ASC)
+    # tie-break picks (6C, C3) first ("6C" < "6F" < "C3"), then the
+    # merged symbol chains with A9: é's bytes travel together
+    assert (rules2[0]["left"], rules2[0]["right"]) == ("6C", "C3")
+    assert rules2[1]["merged"] == "6CC3A9"

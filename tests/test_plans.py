@@ -348,6 +348,10 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # reference closures resolve at plan time; decode is the cached
         # per-writer-id pandas UDF — one pass + one event_type rollup
         "q294_schema_references": 1,
+        # byte-BPE: one corpus-sized shuffle builds the pre-token table;
+        # the merge loop's exchanges live in the eager training loop, not
+        # the returned merges frame (same posture as q287)
+        "q295_byte_bpe_merges": 3,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

@@ -2785,9 +2785,12 @@ def test_segment_bytes_roll(spark, tmp_path):
 
 
 def test_tiered_storage_stitched_reads(spark, tmp_path):
-    """KIP-405 analog: segments past local.retention.ms move to the remote
-    tier; reads stitch both tiers into one continuous log, seeks and
-    offsets are tier-transparent, and the active segment never tiers."""
+    """KIP-405 analog, two-phase lifecycle (r9): EVERY closed segment is
+    copied to the remote tier eagerly (at the tiering pass, not at
+    expiry — opening the broker's dual-copy window), local copies are
+    reaped only past local.retention.ms; reads stitch both tiers into
+    one continuous log, seeks and offsets are tier-transparent, and the
+    active segment never tiers."""
     from rdkafka_streams_spark.streaming import TopicLog, read_topic
 
     root = str(tmp_path)
@@ -2804,12 +2807,14 @@ def test_tiered_storage_stitched_reads(spark, tmp_path):
     # at now = t0+130s: wave1 (max_ts t0+1) is past local retention;
     # wave2 is inside it; wave3 is the active segment (never tiers)
     moved = log.tier_segments("t", now_ms=t0 + 130_000)
-    assert moved == {0: 1}
+    assert moved == {0: 1}  # only wave1's LOCAL copy was reaped
     assert log.beginning_offsets("t") == {0: 0}       # logStartOffset
     assert log.local_log_start_offset("t") == {0: 2}  # local tier starts late
     rdir = os.path.join(root, ".remote", "t", "p0")
+    # eager copy: BOTH closed segments are remote; wave2 is the dual-copy
+    # window (uploaded, local copy still inside local retention)
     assert len([n for n in os.listdir(rdir) if n.startswith("seg-")
-                and not n.endswith(".timeindex")]) == 1
+                and not n.endswith(".timeindex")]) == 2
 
     # stitched read: one continuous log across tiers
     got = [(r.offset, bytes(r.value)) for r in
@@ -2818,17 +2823,28 @@ def test_tiered_storage_stitched_reads(spark, tmp_path):
                    (4, b"w3")]
     # seeks are tier-transparent (the answer lives in the remote tier)
     assert log.offsets_for_times("t", t0 + 1) == {0: 1}
-    # remote tier is visible to capacity metrics
+    # remote tier and the dual-copy window are visible to capacity metrics
     dl = log.describe_log_dirs("t")["t"][0]
-    assert dl["n_remote_segments"] == 1 and dl["remote_size_bytes"] > 0
+    assert dl["n_remote_segments"] == 2 and dl["remote_size_bytes"] > 0
+    assert dl["n_dual_segments"] == 1  # wave2: both tiers hold it
+    # the dual segment is served from LOCAL (no double-read)
+    assert read_topic(spark, root, "t").count() == 5
+    # once wave2 passes local retention, only its local copy is reaped
+    # (the remote upload already happened — nothing is re-copied)
+    assert log.tier_segments("t", now_ms=t0 + 260_000) == {0: 1}
+    assert log.local_log_start_offset("t") == {0: 4}
+    assert log.describe_log_dirs("t")["t"][0]["n_dual_segments"] == 0
     # appends continue the offset clock unchanged
     log.append("t", [b"w4"], partition=0, timestamps=[t0 + 300_000])
     assert log.end_offsets("t") == {0: 6}
-    # truncation reaps the remote tier too
+    # truncation reaps the remote tier too: wave1's remote copy goes;
+    # wave2 (offsets 2-3, remote-only now) survives and still serves
     log.delete_records("t", {0: 2})
     assert log.beginning_offsets("t") == {0: 2}
     assert [n for n in os.listdir(rdir) if n.startswith("seg-")
-            and not n.endswith(".timeindex")] == []
+            and not n.endswith(".timeindex")] == [
+        "seg-00000000000000000002-2.jsonl"
+    ]
     assert read_topic(spark, root, "t").count() == 4
 
 
