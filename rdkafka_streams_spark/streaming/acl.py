@@ -113,6 +113,10 @@ class AclBinding:
         return op == "DESCRIBE_CONFIGS" and self.operation == "ALTER_CONFIGS"
 
 
+#: {bindings_dir: (dir_mtime_ns, parsed bindings)} — see AclStore.list
+_BINDINGS_CACHE: dict[str, tuple[int, list["AclBinding"]]] = {}
+
+
 class AclStore:
     """File-backed binding store + authorizer for one log root."""
 
@@ -141,19 +145,33 @@ class AclStore:
             return False
         with os.fdopen(fd, "w", encoding="utf-8") as f:
             json.dump(asdict(binding), f, sort_keys=True)
+        _BINDINGS_CACHE.pop(self.bindings_dir, None)
         return True
 
     def remove(self, binding: AclBinding) -> bool:
         path = os.path.join(self.bindings_dir, binding._key() + ".json")
         try:
             os.unlink(path)
+            _BINDINGS_CACHE.pop(self.bindings_dir, None)
             return True
         except FileNotFoundError:
             return False
 
     def list(self) -> list[AclBinding]:
+        """Parsed bindings, cached on the directory's mtime: produce-path
+        callers authorize per call, and re-opening every binding file
+        each time would be O(bindings) I/O per produce — the cache makes
+        repeat authorization a single stat() while adds/removes (which
+        bump the directory mtime) still invalidate immediately."""
         if not os.path.isdir(self.bindings_dir):
             return []
+        try:
+            mtime = os.stat(self.bindings_dir).st_mtime_ns
+        except OSError:
+            return []
+        cached = _BINDINGS_CACHE.get(self.bindings_dir)
+        if cached is not None and cached[0] == mtime:
+            return cached[1]
         out = []
         for name in sorted(os.listdir(self.bindings_dir)):
             if not name.endswith(".json"):
@@ -164,6 +182,7 @@ class AclStore:
                     out.append(AclBinding(**json.load(f)))
             except (OSError, json.JSONDecodeError, TypeError, ValueError):
                 continue
+        _BINDINGS_CACHE[self.bindings_dir] = (mtime, out)
         return out
 
     def set_super_users(self, principals: list[str]) -> None:
@@ -208,17 +227,45 @@ class AclStore:
             return True
         if principal in self.super_users():
             return True
-        matched = [
+        # Kafka's allow.everyone.if.no.acl.found applies only when the
+        # RESOURCE has no ACLs AT ALL — a resource with any binding (for
+        # whatever principal/operation) is governed, and non-matching
+        # requests against it are denied, never world-opened
+        on_resource = [
             b for b in self.list()
+            if b._matches_resource(resource_type, resource_name)
+        ]
+        if not on_resource:
+            return self._allow_everyone_if_no_acl()
+        matched = [
+            b for b in on_resource
             if b._matches_principal(principal)
-            and b._matches_resource(resource_type, resource_name)
             and b._matches_operation(operation)
         ]
         if any(b.permission == "deny" for b in matched):
             return False
-        if any(b.permission == "allow" for b in matched):
+        return any(b.permission == "allow" for b in matched)
+
+    def can_manage(self, principal: str) -> bool:
+        """The kafka-acls.sh management gate. Once an administrative
+        authority exists — super users, or any ALLOW binding granting
+        ALTER/ALL on the cluster — managing ACLs requires ALTER on the
+        cluster. Before that the store is UNADMINISTERED and any
+        operator may bootstrap it (a broker's operator likewise manages
+        ACLs out-of-band until super.users is configured); without this
+        rule the very first ``acls --add`` would enable the store and
+        lock every principal, including the operator, out of ACL
+        management forever."""
+        if not self.enabled():
             return True
-        return self._allow_everyone_if_no_acl()
+        has_admin = bool(self.super_users()) or any(
+            b.permission == "allow" and b.resource_type == "cluster"
+            and b.operation in ("ALTER", "ALL")
+            for b in self.list()
+        )
+        if not has_admin:
+            return True
+        return self.authorize(principal, "ALTER", "cluster", "kafka-cluster")
 
     def require(
         self, principal: str, operation: str, resource_type: str,

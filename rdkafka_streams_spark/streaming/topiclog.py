@@ -1850,7 +1850,12 @@ class TopicLog:
                     os.replace(tmp, dst)
                 tix = p + ".timeindex"
                 if os.path.exists(tix) and not os.path.exists(dst + ".timeindex"):
-                    shutil.copyfile(tix, dst + ".timeindex")
+                    # tmp + rename like the segment itself: a crash
+                    # mid-copy must not publish a truncated sidecar that
+                    # the existence guard would then pin forever
+                    ttmp = os.path.join(rdir, f".tierix-{uuid.uuid4().hex}")
+                    shutil.copyfile(tix, ttmp)
+                    os.replace(ttmp, dst + ".timeindex")
             # phase 2: local-retention reap of already-uploaded segments
             to_reap: list[tuple[int, int, str]] = []
             if lr_ms is not None:
@@ -2202,11 +2207,46 @@ class TopicLog:
             st = self.txn_state(name)
             if st is not None and st["state"] == "open":
                 self.abort_txn(name)
+        # epoch allocation must be EXCLUSIVE, not read-modify-write: two
+        # concurrent inits under one name that both read epoch N and both
+        # get issued N+1 would leave neither fenced — defeating the zombie
+        # fencing this API exists for. Claim the epoch with an open(x)
+        # marker BEFORE binding a pid: the bootstrap (no name file) winner
+        # claims epoch-0 and allocates the pid; a concurrent bootstrap
+        # LOSER waits (bounded) for the winner's publish and adopts its
+        # pid with the next epoch — so the concurrent fresh-name case
+        # converges on ONE pid with distinct epochs, not two unfenced
+        # pids. (Residual: a winner that CRASHES between marker claim and
+        # publish makes the loser fall through to a fresh pid after the
+        # wait — the same state a crashed solo init leaves.)
+        pid: int | None = None
         if os.path.exists(path):
             with open(path, encoding="utf-8") as f:
                 cur = json.load(f)
             pid, epoch = int(cur["pid"]), int(cur["epoch"]) + 1
         else:
+            epoch = 0
+        while True:
+            try:
+                fd = os.open(
+                    os.path.join(self.root, ".pids", f".{name}.epoch-{epoch}"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.close(fd)
+                break
+            except FileExistsError:
+                for _ in range(50):  # adopt the concurrent winner's pid
+                    if os.path.exists(path):
+                        break
+                    time.sleep(0.02)
+                if os.path.exists(path):
+                    with open(path, encoding="utf-8") as f:
+                        cur = json.load(f)
+                    pid = int(cur["pid"])
+                    epoch = max(epoch, int(cur["epoch"])) + 1
+                else:
+                    epoch += 1
+        if pid is None:
             n = 0
             while True:  # same claim protocol as _publish_segment: the
                 # open(x) winner owns pid n; losers probe the next slot
@@ -2219,29 +2259,7 @@ class TopicLog:
                     break
                 except FileExistsError:
                     n += 1
-            pid, epoch = n, 0
-        # epoch allocation must be EXCLUSIVE, not read-modify-write: two
-        # concurrent inits under one name that both read epoch N and both
-        # get issued N+1 would leave neither fenced — defeating the zombie
-        # fencing this API exists for. Claim the epoch with an open(x)
-        # marker; the loser takes the next number (re-reading the name
-        # file in case the winner's publish moved the pid binding).
-        while True:
-            try:
-                fd = os.open(
-                    os.path.join(self.root, ".pids", f".{name}.epoch-{epoch}"),
-                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-                )
-                os.close(fd)
-                break
-            except FileExistsError:
-                if os.path.exists(path):
-                    with open(path, encoding="utf-8") as f:
-                        cur = json.load(f)
-                    pid = int(cur["pid"])
-                    epoch = max(epoch, int(cur["epoch"])) + 1
-                else:
-                    epoch += 1
+            pid = n
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump({"pid": pid, "epoch": epoch}, f)
@@ -2251,6 +2269,18 @@ class TopicLog:
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump({"name": name, "epoch": epoch}, f)
         os.replace(tmp, bp)
+        # dead-marker GC: epochs below the just-published one can never
+        # be re-claimed (any later init reads the name file and starts at
+        # published+1; the bootstrap epoch-0 path requires the name file
+        # to be ABSENT), so their claim markers are pure litter — without
+        # this, one zero-byte file per epoch accumulates forever
+        for i in range(epoch):
+            try:
+                os.unlink(
+                    os.path.join(self.root, ".pids", f".{name}.epoch-{i}")
+                )
+            except OSError:
+                pass
         return pid, epoch
 
     def _pid_epoch(self, pid: int) -> int:

@@ -475,6 +475,45 @@ def transport_cert(spark, mults: list[int], base_rows: int = 100_000) -> dict:
                     "compression_ratio": round(plain_b / gz_b, 2),
                 }
 
+            # ---- MirrorMaker-2 leg (r9 verdict item 7): replicate the
+            # produced topic to a second cluster root. Certified claims:
+            # replication cost per ROW stays flat as volume grows (one
+            # data pass + one metadata-weight sync pass, no superlinear
+            # term), the offset-sync store is BOUNDED — O(partitions ×
+            # ~100) entries at EVERY volume, never O(records) — and an
+            # incremental re-run with no new data is metadata-priced.
+            from rdkafka_streams_spark.streaming.mirror import (
+                _load_syncs,
+                mirror_topic,
+                translate_offsets,
+            )
+
+            mroot = tempfile.mkdtemp(prefix=f"tcert_mirror_x{m}_")
+            try:
+                t0 = _time.perf_counter()
+                mirror_topic(spark, root, mroot, "cert")
+                mirror_s = _time.perf_counter() - t0
+                t0 = _time.perf_counter()
+                mirror_topic(spark, root, mroot, "cert")  # incremental no-op
+                mirror_resume_s = _time.perf_counter() - t0
+                store = _load_syncs(spark, mroot, "primary", "cert")
+                store_entries = sum(len(v) for v in store.values())
+                t0 = _time.perf_counter()
+                tr = translate_offsets(
+                    spark, mroot, "cert", {p: (n // 8) // 2 for p in range(8)}
+                )
+                translate_s = _time.perf_counter() - t0
+                assert all(v >= 0 for v in tr.values())
+                mirror = {
+                    "mirror_rps": int(n / mirror_s),
+                    "mirror_wall_s": round(mirror_s, 2),
+                    "mirror_resume_s": round(mirror_resume_s, 2),
+                    "sync_store_entries": store_entries,
+                    "translate_ms": round(translate_s * 1000, 1),
+                }
+            finally:
+                shutil.rmtree(mroot, ignore_errors=True)
+
             per[str(m)] = {
                 "rows": n,
                 "produce_rps": int(n / produce_s),
@@ -482,6 +521,7 @@ def transport_cert(spark, mults: list[int], base_rows: int = 100_000) -> dict:
                 "consume_best_batch_rps": int(max(rates)) if rates else None,
                 "consume_latency_ms": consume_lat,
                 "seek": seek,
+                "mirror": mirror,
                 **({"gzip": gz} if gz else {}),
                 **lats,
             }
@@ -513,6 +553,26 @@ def transport_cert(spark, mults: list[int], base_rows: int = 100_000) -> dict:
         for m in mults
     )
     lat_ok = bool(p50_ratios) and max(p50_ratios) <= 1.5
+    # mirror gates: per-row replication cost flat vs 1x (ratio of
+    # wall/rows), and the sync store bounded at O(partitions × ~100)
+    # entries at EVERY volume — 8 partitions × (64 grid + 32 gap + first
+    # + seal) = 784 — the r9 boundedness contract, flat-in-records
+    store_bound = 8 * (64 + 32 + 2)
+    base_row_s = base["mirror"]["mirror_wall_s"] / base["rows"]
+    mirror_ratios = [
+        round(
+            (per[str(m)]["mirror"]["mirror_wall_s"] / per[str(m)]["rows"])
+            / base_row_s, 2,
+        )
+        for m in mults
+    ]
+    mirror_ok = (
+        max(mirror_ratios) <= 1.5
+        and all(
+            per[str(m)]["mirror"]["sync_store_entries"] <= store_bound
+            for m in mults
+        )
+    )
     return {
         "mults": mults,
         "base_rows": base_rows,
@@ -523,7 +583,10 @@ def transport_cert(spark, mults: list[int], base_rows: int = 100_000) -> dict:
         "flat_within": 1.5,
         "seek_bound_ms": 250,
         "seek_certified": seek_ok,
-        "certified": lat_ok and seek_ok,
+        "mirror_per_row_ratios_vs_1x": mirror_ratios,
+        "mirror_sync_store_bound": store_bound,
+        "mirror_certified": mirror_ok,
+        "certified": lat_ok and seek_ok and mirror_ok,
     }
 
 

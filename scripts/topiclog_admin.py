@@ -212,13 +212,24 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "acls":
         from dataclasses import asdict
 
-        from rdkafka_streams_spark.streaming.acl import AclBinding, AclStore
+        from rdkafka_streams_spark.streaming.acl import (
+            AclBinding,
+            AclStore,
+            AuthorizationError,
+        )
 
         store = AclStore(a.root)
         # managing ACLs is itself an authorized op (ALTER on the cluster)
+        # once an admin authority exists; an unadministered store may be
+        # bootstrapped by any operator (see AclStore.can_manage)
         if a.add or a.remove or a.super_users is not None \
                 or a.allow_everyone_if_no_acl is not None:
-            store.require(a.principal, "ALTER", "cluster", "kafka-cluster")
+            if not store.can_manage(a.principal):
+                raise AuthorizationError(
+                    f"principal {a.principal!r} is not authorized for "
+                    "ALTER on cluster:'kafka-cluster' "
+                    "(CLUSTER_AUTHORIZATION_FAILED)"
+                )
         if a.super_users is not None:
             store.set_super_users(a.super_users)
         if a.allow_everyone_if_no_acl is not None:

@@ -96,8 +96,14 @@ def test_super_users_and_allow_everyone(tmp_path):
     assert not s.authorize("User:mortal", "DELETE", "topic", "anything")
     s.set_allow_everyone_if_no_acl(True)
     assert s.authorize("User:mortal", "DELETE", "topic", "anything")
-    # but a deny still wins over the everyone-fallback... because the
-    # fallback only applies when NO acl matched
+    # Kafka's flag applies only to resources with NO ACLs at all: once
+    # ANY binding governs the resource, non-matching requests are denied
+    # (a partially-ACLed topic is never world-opened)
+    s.add(_b(principal="User:alice", operation="READ",
+             resource_name="payments"))
+    assert not s.authorize("User:bob", "WRITE", "topic", "payments")
+    assert s.authorize("User:bob", "WRITE", "topic", "other")  # no ACLs
+    # and an explicit deny wins on its resource, of course
     s.add(_b(principal="User:mortal", operation="DELETE",
              resource_name="anything", permission="deny"))
     assert not s.authorize("User:mortal", "DELETE", "topic", "anything")
@@ -180,14 +186,17 @@ def test_acls_cli_roundtrip(tmp_path, capsys):
     assert len(listed) == 1 and listed[0]["principal"] == "User:app"
     s = AclStore(root)
     assert s.authorize("User:app", "WRITE", "topic", "logs-x")
-    # managing ACLs is itself gated once the store exists: an admin
+    # while no admin authority exists the store is UNADMINISTERED: any
+    # operator may still manage it (no first-add lockout) ...
+    assert s.can_manage("User:rando")
+    # ... but once super users are set, management is gated: a principal
     # without ALTER on the cluster is refused
+    s.set_super_users(["User:admin"])
     with pytest.raises(AuthorizationError):
         main(["--root", root, "--principal", "User:rando", "acls",
               "--add", "--deny-principal", "User:app",
               "--operation", "WRITE", "--topic", "logs-"])
     # a super user can
-    s.set_super_users(["User:admin"])
     assert main(["--root", root, "--principal", "User:admin", "acls",
                  "--remove", "--allow-principal", "User:app",
                  "--operation", "WRITE", "--topic", "logs-",
