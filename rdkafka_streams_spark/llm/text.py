@@ -977,6 +977,62 @@ def learn_byte_bpe(
     return _bpe_merge_loop(docs.sparkSession, cur, n_merges, sep)
 
 
+def byte_bpe_vocab(
+    docs: DataFrame,
+    n_merges: int = 8,
+    top_k: int = 30,
+    text_col: str = "text",
+    sep: str = "·",
+    pretoken_pattern: str = GPT2_PRETOKEN_PATTERN,
+) -> DataFrame:
+    """Apply learn_byte_bpe's merges to the corpus and count the resulting
+    byte-level subword symbols — ``(subword, n_occurrences)`` top ``top_k``
+    by (count DESC, subword), the byte-level twin of bpe_subword_vocab.
+    Subwords are hex byte strings ("4865" = b"He"); counts are
+    freq-weighted over the distinct pre-token table, so the corpus is
+    scanned once regardless of merge count."""
+    rules = learn_byte_bpe(
+        docs, n_merges=n_merges, text_col=text_col, sep=sep,
+        pretoken_pattern=pretoken_pattern,
+    ).orderBy("step").collect()
+    toks = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(pretoken_pattern), F.lit(0)
+                )
+            ).alias("t")
+        )
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    seq = F.regexp_replace(
+        F.hex(F.encode(F.col("t"), "utf-8")), "(..)", f"{sep}$1{sep}"
+    )
+    for r in rules:
+        seq = F.replace(
+            seq,
+            F.lit(f"{sep}{r['left']}{sep}{sep}{r['right']}{sep}"),
+            F.lit(f"{sep}{r['merged']}{sep}"),
+        )
+    return (
+        toks.select("freq", seq.alias("seq"))
+        .select(
+            "freq",
+            F.explode(F.split(
+                F.substring(F.col("seq"), F.lit(1 + len(sep)),
+                            F.length("seq") - F.lit(2 * len(sep))),
+                re.escape(sep + sep),
+            )).alias("subword"),
+        )
+        .groupBy("subword")
+        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("subword"))
+        .limit(top_k)
+    )
+
+
 def bpe_subword_vocab(
     docs: DataFrame,
     n_merges: int = 8,

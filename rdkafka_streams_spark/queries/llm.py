@@ -2357,3 +2357,43 @@ def q295_byte_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.text import learn_byte_bpe
 
     return learn_byte_bpe(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
+def _byte_bpe_vocab_oracle(n: int = 8, top_k: int = 30) -> str:
+    """Same unrolled byte-level CTE chain as _byte_bpe_oracle, but the
+    final select segments the corpus with all n merges applied (it{n})
+    and returns the top-k hex-subword frequencies (count DESC, subword —
+    hex is ASCII, so binary collation matches Spark's orderBy)."""
+    body = _byte_bpe_oracle(n)
+    with_part = body[: body.rindex("\nSELECT CAST(step")]
+    return (
+        with_part
+        + f"""
+SELECT subword, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM (
+  SELECT freq, unnest(string_split(
+               substring(seq, 2, length(seq) - 2), '··')) AS subword
+  FROM it{n})
+GROUP BY subword
+ORDER BY n_occurrences DESC, subword
+LIMIT {top_k}"""
+    )
+
+
+@query("q296_byte_bpe_vocab", oracle=_byte_bpe_vocab_oracle(), tags=("L4",))
+def q296_byte_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level subword vocabulary with q295's learned merges APPLIED
+    (llm/text.py byte_bpe_vocab) — the tokenizer artifact a byte-BPE
+    trainer actually ships: 8 merge rules (driver metadata) chain as
+    plain replaces over the pre-token frequency table, hex-byte symbols
+    counted freq-weighted, top-30 by (count DESC, subword). The oracle
+    re-runs the identical 8 unrolled byte-level iterations and segments
+    it8 — any divergence in pre-tokenization, merge application, or
+    counting shifts the vocabulary and breaks the hash. Scale: one
+    corpus-sized shuffle (the pre-token groupBy); merges and counting
+    run over the Zipf-bounded token table; top-k is a TakeOrdered."""
+    from rdkafka_streams_spark.llm.text import byte_bpe_vocab
+
+    return byte_bpe_vocab(
+        load_table(spark, sf_dir, "documents"), n_merges=8, top_k=30
+    )

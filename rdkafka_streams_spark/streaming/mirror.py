@@ -95,6 +95,19 @@ def syncs_topic(alias: str) -> str:
     return f"mm2-offset-syncs.{alias}.internal"
 
 
+def topic_source(topic: str) -> str | None:
+    """DefaultReplicationPolicy.topicSource: the cluster alias a remote
+    topic came from (the prefix before the first separator), or None for
+    a topic local to its cluster."""
+    return topic.split(".", 1)[0] if "." in topic else None
+
+
+def upstream_topic(topic: str) -> str:
+    """DefaultReplicationPolicy.upstreamTopic: strip ONE level of remote
+    prefix (``a.b.t`` → ``b.t`` — provenance unwinds hop by hop)."""
+    return topic.split(".", 1)[1] if "." in topic else topic
+
+
 def _thin(entries: list[dict], head: int) -> list[dict]:
     """Re-thin a partition's sync entries to the bounded retention policy:
     the seal (highest dst), one entry per exponential distance behind the
@@ -135,6 +148,7 @@ def mirror_topic(
     sync_interval: int = 64,
     include_headers: bool = True,
     principal: str = "User:ANONYMOUS",
+    target_alias: str | None = None,
 ) -> dict:
     """Replicate ``topic`` from the source log to ``<alias>.topic`` on the
     target log, byte-faithfully (key/value/partition/CreateTime/headers),
@@ -161,9 +175,25 @@ def mirror_topic(
     ``{"topic", "syncs_topic", "partitions", "start_offsets"}``.
     ``principal`` is the identity the mirror runs as on BOTH clusters
     (MM2's own client principal) — required once either root carries an
-    ACL store."""
+    ACL store.  ``target_alias`` (the TARGET cluster's own alias) enables
+    MM2's cycle detection: in an active/active A⇄B pair, topics on the
+    source that CAME from the target (``topicSource(topic) ==
+    target_alias``) are refused, or A→B→A would bounce every record
+    forever as ``a.b.a...t``; the internal offset-syncs topics are
+    refused unconditionally (MM2 never replicates its own plumbing)."""
     if sync_interval < 1:
         raise ValueError("sync_interval must be >= 1")
+    if topic.startswith("mm2-offset-syncs.") and topic.endswith(".internal"):
+        raise ValueError(
+            f"{topic!r} is a MirrorMaker internal topic — it is never "
+            "replicated (each cluster keeps its own sync store)"
+        )
+    if target_alias is not None and topic_source(topic) == target_alias:
+        raise ValueError(
+            f"replication cycle: {topic!r} originated on cluster "
+            f"{target_alias!r} (DefaultReplicationPolicy.topicSource) — "
+            "mirroring it back would bounce records A→B→A forever"
+        )
     src = TopicLog(src_root, principal)
     dst = TopicLog(dst_root, principal)
     n_parts = len(src.partitions(topic))

@@ -307,3 +307,42 @@ def test_crash_between_data_and_syncs_is_adopted(spark, tmp_path):
     src.append("ev", _vals(1, "x"), partition=0)
     with pytest.raises(ValueError, match="foreign writer"):
         mirror_topic(spark, src_root, dst_root, "ev")
+
+
+def test_replication_policy_cycle_detection(spark, tmp_path):
+    """DefaultReplicationPolicy provenance + MM2 cycle prevention: in an
+    active/active A<->B pair, topics that CAME from the target are
+    refused (A->B->A would bounce forever), internal sync topics never
+    replicate, and upstream_topic unwinds provenance hop by hop."""
+    from rdkafka_streams_spark.streaming.mirror import (
+        topic_source,
+        upstream_topic,
+    )
+
+    assert topic_source("ev") is None
+    assert topic_source("a.ev") == "a"
+    assert topic_source("a.b.ev") == "a"
+    assert upstream_topic("a.b.ev") == "b.ev"
+    assert upstream_topic("ev") == "ev"
+
+    a_root, b_root = str(tmp_path / "a"), str(tmp_path / "b")
+    a, b = TopicLog(a_root), TopicLog(b_root)
+    a.create_topic("ev", partitions=1)
+    a.append("ev", _vals(5), partition=0)
+    # A -> B (B's view of A is alias "a"; B's own alias is "b")
+    mirror_topic(spark, a_root, b_root, "ev", alias="a", target_alias="b")
+    assert TopicLog(b_root).end_offsets("a.ev") == {0: 5}
+    # B -> A for B-local topics is fine...
+    b.create_topic("metrics", partitions=1)
+    b.append("metrics", _vals(3), partition=0)
+    mirror_topic(spark, b_root, a_root, "metrics", alias="b",
+                 target_alias="a")
+    assert TopicLog(a_root).end_offsets("b.metrics") == {0: 3}
+    # ...but mirroring A's own records back home is a refused cycle
+    with pytest.raises(ValueError, match="cycle"):
+        mirror_topic(spark, b_root, a_root, "a.ev", alias="b",
+                     target_alias="a")
+    # and the internal sync store never replicates
+    with pytest.raises(ValueError, match="internal"):
+        mirror_topic(spark, b_root, a_root, "mm2-offset-syncs.a.internal",
+                     alias="b", target_alias="a")

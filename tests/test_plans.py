@@ -352,6 +352,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # the merge loop's exchanges live in the eager training loop, not
         # the returned merges frame (same posture as q287)
         "q295_byte_bpe_merges": 3,
+        # vocab = pre-token groupBy + subword groupBy + TakeOrdered top-k
+        # (training loop eager; no global sort exchange)
+        "q296_byte_bpe_vocab": 3,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

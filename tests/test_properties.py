@@ -522,3 +522,59 @@ def test_global_rank_equals_partitionless_row_number(spark, rows, nparts):
         for r in df.withColumn("rn", F.row_number().over(w).cast("bigint")).collect()
     }
     assert got == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n_src=st.integers(min_value=1, max_value=200),
+    aborted=st.sets(st.integers(min_value=0, max_value=199)),
+    commits=st.lists(st.integers(min_value=0, max_value=260),
+                     min_size=1, max_size=12),
+)
+def test_mirror_translation_envelope_property(n_src, aborted, commits):
+    """Pure-python property for the bounded sync store's translation
+    contract (streaming/mirror.py): for ANY pattern of filtered/aborted
+    source records and ANY commit offset,
+
+    - translation NEVER overshoots the true resume position (at-least-
+      once is unconditional: a failed-over consumer may re-read, never
+      skip a surviving record), and
+    - with no filtering at all, translation is EXACT at every offset.
+
+    The entry set is built exactly the way mirror_topic's distributed
+    sync pass selects candidates (exponential grid off the head, gap
+    anchors with the gap's first skipped offset, first + seal) and then
+    thinned with the production _thin."""
+    from rdkafka_streams_spark.streaming.mirror import (
+        _thin,
+        _translate_one,
+    )
+
+    survivors = [s for s in range(n_src) if s not in aborted]
+    if not survivors:
+        return  # nothing replicated; no store exists
+    head = len(survivors)  # dst offsets are 0..head-1
+    # candidate selection, mirroring the distributed pass
+    entries = []
+    prev = None
+    for d, s in enumerate(survivors):
+        dist = head - 1 - d
+        on_grid = dist == 0 or (dist > 0 and (dist & (dist - 1)) == 0)
+        gs = None
+        if prev is not None and s - prev > 1:
+            gs = prev + 1
+        is_first = prev is None
+        if on_grid or gs is not None or is_first:
+            entries.append({"s": s, "d": d, "gs": gs})
+        prev = s
+    store = _thin(entries, head)
+    assert len(store) <= 64 + 32 + 2  # the boundedness contract
+    for c in commits:
+        got = _translate_one(store, c, 0, head)
+        # true resume position: dst of the first survivor at/after c
+        actual = sum(1 for s in survivors if s < c)
+        assert 0 <= got <= min(actual, head), (
+            f"overshoot: c={c} got={got} actual={actual}"
+        )
+        if not aborted:
+            assert got == min(max(c, 0), head), f"inexact 1:1: c={c} got={got}"
