@@ -6236,3 +6236,108 @@ def q294_schema_references(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("v.amount.currency") == "NOK").cast("bigint"))
         .cast("bigint").alias("n_nok"),
     )
+
+
+# --------------- KIP-932 share group: queue semantics on the bus (S1/S4)
+@query(
+    "q297_share_group_queue",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST((SELECT COUNT(*) FROM events WHERE event_id % 97 = 0)
+            AS BIGINT) AS n_archived,
+       CAST((SELECT COUNT(*) FROM events
+             WHERE event_id % 13 = 0 AND event_id % 97 <> 0)
+            AS BIGINT) AS n_redelivered
+FROM events WHERE event_id % 97 <> 0
+GROUP BY event_type
+""",
+    tags=("S1", "S4", "T-streaming"),
+)
+def q297_share_group_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARE GROUPS (KIP-932, Kafka 4.0's 'Queues for Kafka') end-to-end —
+    the queue-shaped consumption model beyond the reference's classic
+    consumer (src/Consumer.coffee owns partitions; a share group's
+    members all draw from every partition under per-record acquisition
+    locks). The events table rides a 4-partition topic; THREE members
+    drain it cooperatively in fixed batches with work-queue rules:
+    records with event_id % 97 == 0 are REJECTED (explicit poison →
+    Archived), records with event_id % 13 == 0 are RELEASED on first
+    delivery and acknowledged only on their redelivery (delivery_count
+    2), everything else acks first time. The query then asserts the
+    share-partition bookkeeping — SPSO caught up to SPEO everywhere,
+    zero in-flight, zero residual state (the acked prefix collapse) —
+    and binds the OBSERVED archive/redelivery counters into the result,
+    which the oracle reconstructs relationally: a lost record, a double
+    delivery, a mis-archived offset, or a leaked lock breaks the hash.
+    Scale: coordinator state is O(in-flight + gap) by construction
+    (asserted at zero after drain), never O(consumed); the final
+    aggregate is the distributed read — the driver-side loop is the
+    CLIENT, exactly as queue consumers run."""
+    import json as _json
+    import tempfile
+
+    from rdkafka_streams_spark.streaming import KProducer, TopicLog, read_topic
+    from rdkafka_streams_spark.streaming.sharegroups import ShareGroup
+
+    root = tempfile.mkdtemp(prefix="q297_bus")
+    n_parts = 4
+    TopicLog(root).create_topic("ev", partitions=n_parts)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.pmod("user_id", F.lit(n_parts)).cast("int").alias("__tp"),
+    )
+    KProducer(
+        host=root, topic="ev", partition_col="__tp", transport="topiclog",
+    ).write_batch(ev)
+
+    sg = ShareGroup(root, "workers", lock_duration_ms=3_600_000,
+                    delivery_attempt_limit=5)
+    members = ("alice", "bob", "carol")
+    now = 1_700_000_000_000
+    n_archived = n_redelivered = 0
+    step = 0
+    while True:
+        m = members[step % 3]
+        step += 1
+        got = sg.fetch("ev", m, max_records=199, now_ms=now + step)
+        if not got:
+            break
+        acks: dict[int, list[int]] = {}
+        rejects: dict[int, list[int]] = {}
+        releases: dict[int, list[int]] = {}
+        for r in got:
+            eid = _json.loads(bytes(r["value"]))["event_id"]
+            if eid % 97 == 0:
+                rejects.setdefault(r["partition"], []).append(r["offset"])
+            elif eid % 13 == 0 and r["delivery_count"] == 1:
+                releases.setdefault(r["partition"], []).append(r["offset"])
+            else:
+                if r["delivery_count"] > 1:
+                    n_redelivered += 1
+                acks.setdefault(r["partition"], []).append(r["offset"])
+        if acks:
+            sg.ack("ev", m, acks, now_ms=now + step)
+        if rejects:
+            sg.reject("ev", m, rejects, now_ms=now + step)
+            n_archived += sum(len(v) for v in rejects.values())
+        if releases:
+            sg.release("ev", m, releases, now_ms=now + step)
+    d = sg.describe("ev")
+    if any(v["spso"] != v["speo"] or v["in_flight"] or v["lag"]
+           for v in d.values()):
+        raise RuntimeError(f"queue not drained cleanly: {d}")
+    if sg.state_size("ev") != 0:
+        raise RuntimeError("share state leaked past the SPSO collapse")
+
+    dec = read_topic(spark, root, "ev").select(
+        F.from_json(F.col("value").cast("string"),
+                    "event_id long, event_type string").alias("v")
+    ).where(F.col("v.event_id") % 97 != 0)
+    return dec.groupBy(F.col("v.event_type").alias("event_type")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v.event_id").cast("bigint").alias("sum_event_id"),
+        F.lit(n_archived).cast("bigint").alias("n_archived"),
+        F.lit(n_redelivered).cast("bigint").alias("n_redelivered"),
+    )

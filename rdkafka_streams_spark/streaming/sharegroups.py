@@ -1,0 +1,351 @@
+"""Share groups over the topiclog transport — the KIP-932 "Queues for
+Kafka" analog (Kafka 4.0's second consumption model).
+
+The reference's Consumer (`/root/reference/src/Consumer.coffee`) is a
+classic consumer-group client: partitions are OWNED by one member and
+progress is one committed offset per partition.  Share groups are the
+queue-shaped alternative shipping in modern Kafka: every member may
+consume from EVERY partition, records are handed out under short
+acquisition locks, acknowledged individually, re-delivered when a lock
+expires or the member releases them, and archived after too many
+delivery attempts — work-queue semantics with per-record state instead
+of a single watermark.
+
+Per-record states follow KIP-932: **Available** (deliverable — fresh,
+released, or lock-expired), **Acquired** (locked by a member until
+``lock_ms`` passes), **Acknowledged** (done), **Archived** (rejected or
+over the delivery-attempt limit; never delivered again).  The
+share-partition start/end offsets (SPSO/SPEO) bound the live window,
+and the coordinator state is **O(in-flight + out-of-order gap)** — the
+acknowledged prefix collapses into SPSO, so state NEVER grows with
+consumed history: the same boundedness story as the broker's share
+coordinator, and the property that makes the model safe at 100 TB.
+
+Config keys (topic-level via ``alter_configs`` naming kept here as
+constructor args, matching KIP-932's group configs):
+``group.share.delivery.attempt.limit`` (default 5),
+``group.share.record.lock.duration.ms`` (default 30 000),
+``group.share.partition.max.record.locks`` (default 200).
+
+Determinism: every time-dependent API takes ``now_ms`` so tests and
+oracle queries replay identically.  All state mutations are atomic
+(tmp + ``os.replace``) under a single coordinator per group — the
+broker's share coordinator is a single writer per share-partition too.
+
+ACLs: fetch/ack/release/reject require READ on the group AND the topic
+(share groups reuse the consumer ACL model in KIP-932).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from rdkafka_streams_spark.streaming.topiclog import (
+    TopicLog,
+    _read_range,
+)
+
+_STATES = ("available", "acquired", "acknowledged", "archived")
+
+
+class InvalidRecordStateError(ValueError):
+    """KIP-932 INVALID_RECORD_STATE: ack/release/reject of a record the
+    member does not currently hold (never acquired, lock expired and
+    re-dispensed, or already finalized)."""
+
+
+@dataclass
+class ShareGroup:
+    """Coordinator + client surface for one share group on one log root."""
+
+    root: str
+    group: str
+    principal: str = "User:ANONYMOUS"
+    delivery_attempt_limit: int = 5
+    lock_duration_ms: int = 30_000
+    max_record_locks: int = 200
+    #: "read_uncommitted" (default) or "read_committed"
+    isolation: str = "read_uncommitted"
+    _log: TopicLog = field(init=False, repr=False)
+
+    def __post_init__(self):
+        if self.delivery_attempt_limit < 1:
+            raise ValueError("delivery_attempt_limit must be >= 1")
+        self._log = TopicLog(self.root, self.principal)
+
+    # -- state plumbing ------------------------------------------------------
+
+    def _state_path(self, topic: str) -> str:
+        return os.path.join(
+            self.root, ".groups", self.group, f"{topic}.share.json"
+        )
+
+    def _load(self, topic: str) -> dict:
+        try:
+            with open(self._state_path(topic), encoding="utf-8") as f:
+                return json.load(f)
+        except OSError:
+            return {}
+
+    def _save(self, topic: str, state: dict) -> None:
+        path = self._state_path(topic)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(state, f, sort_keys=True)
+        os.replace(tmp, path)
+
+    @staticmethod
+    def _part_state(state: dict, pid: int, begin: int) -> dict:
+        return state.setdefault(str(pid), {
+            "spso": begin, "next": begin, "acq": {}, "avail": {},
+            "acked": [], "arch": [],
+        })
+
+    @staticmethod
+    def _advance_spso(ps: dict) -> None:
+        """Collapse the acknowledged/archived PREFIX into SPSO — the state
+        compaction that keeps the coordinator O(in-flight), not
+        O(history)."""
+        done = set(ps["acked"]) | set(ps["arch"])
+        spso = ps["spso"]
+        while spso in done:
+            done.discard(spso)
+            spso += 1
+        # everything below the (possibly advanced) spso is forgotten
+        ps["spso"] = spso
+        ps["acked"] = sorted(o for o in ps["acked"] if o >= spso)
+        ps["arch"] = sorted(o for o in ps["arch"] if o >= spso)
+
+    def _excluded(self):
+        if self.isolation == "read_committed":
+            return self._log.unresolved_txn_ids()
+        return None
+
+    # -- the client surface --------------------------------------------------
+
+    def fetch(
+        self,
+        topic: str,
+        member: str,
+        max_records: int = 100,
+        *,
+        now_ms: int | None = None,
+    ) -> list[dict]:
+        """ShareFetch: acquire up to ``max_records`` Available records
+        across the topic's partitions under this member's lock.
+
+        Delivery order per partition: expired/released records FIRST
+        (their redelivery is why the queue model exists), then fresh
+        records from the share-partition end pointer.  Acquisition
+        increments the delivery count; a record whose count would exceed
+        ``delivery_attempt_limit`` is ARCHIVED instead of delivered
+        (KIP-932's poison-record handling — the queue never wedges on a
+        record no one can process).  Acquisition respects
+        ``max_record_locks`` in-flight records per partition.  Returns
+        ``[{partition, offset, key, value, timestamp, delivery_count}]``.
+        """
+        self._log._require("READ", "group", self.group)
+        self._log._require("READ", "topic", topic)
+        if self.isolation == "read_committed":
+            # the mirror's LSO gate, for the same reason: an OPEN txn's
+            # offsets would be skipped by the advancing end pointer and
+            # never revisited once the txn commits. (Aborted txns filter
+            # fine — they never become deliverable.)
+            for txn in sorted(self._log.unresolved_txn_ids()):
+                st = self._log.txn_state(txn)
+                if st["state"] == "open" and topic in st.get(
+                        "partitions", {}):
+                    raise ValueError(
+                        f"open transaction {txn!r} touches {topic!r}: a "
+                        "read_committed share-fetch would skip its offsets "
+                        "(LSO gate) — commit or abort it first"
+                    )
+        now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        state = self._load(topic)
+        begins = self._log.beginning_offsets(topic)
+        ends = self._log.end_offsets(topic)
+        excl = self._excluded()
+        out: list[dict] = []
+        budget = int(max_records)
+        for pid in sorted(self._log.partitions(topic)):
+            if budget <= 0:
+                break
+            ps = self._part_state(state, pid, begins.get(pid, 0))
+            # lock expiry: acquired records whose lock lapsed go back to
+            # Available with their delivery count intact
+            for o, ent in sorted(
+                list(ps["acq"].items()), key=lambda kv: int(kv[0])
+            ):
+                if ent["exp"] <= now:
+                    ps["avail"][o] = ent["dc"]
+                    del ps["acq"][o]
+            take: list[tuple[int, int]] = []  # (offset, prior dc)
+            # redeliveries first, oldest offset first
+            for o in sorted(int(k) for k in ps["avail"]):
+                if budget <= 0 or len(ps["acq"]) + len(take) >= \
+                        self.max_record_locks:
+                    break
+                dc = ps["avail"][str(o)]
+                if dc >= self.delivery_attempt_limit:
+                    # over the attempt limit: archive, never deliver
+                    ps["arch"].append(o)
+                    del ps["avail"][str(o)]
+                    continue
+                take.append((o, dc))
+                del ps["avail"][str(o)]
+                budget -= 1
+            # then fresh records past the end pointer
+            fresh_cap = min(
+                budget,
+                self.max_record_locks - len(ps["acq"]) - len(take),
+            )
+            fresh: list[tuple] = []
+            if fresh_cap > 0 and ps["next"] < ends.get(pid, 0):
+                it = _read_range(
+                    self.root, topic, pid, ps["next"], ends[pid],
+                    excluded_txns=excl,
+                )
+                for row in it:
+                    fresh.append(row)
+                    if len(fresh) >= fresh_cap:
+                        break
+                if fresh and len(fresh) >= fresh_cap:
+                    ps["next"] = fresh[-1][4] + 1
+                else:
+                    # the scan exhausted the range below the cap: only
+                    # control records (and, under the LSO gate, resolved-
+                    # aborted runs) remain — skip the pointer past them
+                    ps["next"] = ends[pid]
+                budget -= len(fresh)
+            # materialize redelivered payloads (point reads)
+            redeliver_rows = {
+                row[4]: row
+                for o, _ in take
+                for row in _read_range(
+                    self.root, topic, pid, o, o + 1, excluded_txns=excl,
+                )
+            }
+            for o, dc in take:
+                row = redeliver_rows.get(o)
+                if row is None:
+                    # compacted/trimmed away while Available: archive it
+                    ps["arch"].append(o)
+                    continue
+                ps["acq"][str(o)] = {
+                    "m": member, "exp": now + self.lock_duration_ms,
+                    "dc": dc + 1,
+                }
+                out.append(self._rec(row, dc + 1))
+            for row in fresh:
+                ps["acq"][str(row[4])] = {
+                    "m": member, "exp": now + self.lock_duration_ms, "dc": 1,
+                }
+                out.append(self._rec(row, 1))
+            self._advance_spso(ps)
+        self._save(topic, state)
+        return out
+
+    @staticmethod
+    def _rec(row: tuple, dc: int) -> dict:
+        return {
+            "key": row[0], "value": row[1], "topic": row[2],
+            "partition": row[3], "offset": row[4], "timestamp": row[5],
+            "delivery_count": dc,
+        }
+
+    def _finalize(
+        self, topic: str, member: str, offsets: dict[int, list[int]],
+        now_ms: int | None, to: str,
+    ) -> None:
+        now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        state = self._load(topic)
+        begins = self._log.beginning_offsets(topic)
+        for pid, offs in offsets.items():
+            ps = self._part_state(state, pid, begins.get(pid, 0))
+            for o in offs:
+                ent = ps["acq"].get(str(o))
+                if ent is None or ent["m"] != member or ent["exp"] <= now:
+                    raise InvalidRecordStateError(
+                        f"{topic}/p{pid} offset {o}: not acquired by "
+                        f"{member!r} (never fetched, lock expired, or "
+                        "already finalized) — INVALID_RECORD_STATE"
+                    )
+            for o in offs:
+                ent = ps["acq"].pop(str(o))
+                if to == "ack":
+                    ps["acked"].append(o)
+                elif to == "reject":
+                    ps["arch"].append(o)
+                else:  # release: back to Available, count preserved
+                    ps["avail"][str(o)] = ent["dc"]
+            self._advance_spso(ps)
+        self._save(topic, state)
+
+    def ack(self, topic: str, member: str, offsets: dict[int, list[int]],
+            *, now_ms: int | None = None) -> None:
+        """ShareAcknowledge ACCEPT: Acquired → Acknowledged (done).  Must
+        still hold the lock — an ack after expiry raises (the record may
+        already be re-dispensed to another member)."""
+        self._log._require("READ", "group", self.group)
+        self._finalize(topic, member, offsets, now_ms, "ack")
+
+    def release(self, topic: str, member: str,
+                offsets: dict[int, list[int]],
+                *, now_ms: int | None = None) -> None:
+        """ShareAcknowledge RELEASE: Acquired → Available for immediate
+        redelivery (delivery count preserved) — 'I can't process this
+        right now, give it to someone else'."""
+        self._log._require("READ", "group", self.group)
+        self._finalize(topic, member, offsets, now_ms, "release")
+
+    def reject(self, topic: str, member: str,
+               offsets: dict[int, list[int]],
+               *, now_ms: int | None = None) -> None:
+        """ShareAcknowledge REJECT: Acquired → Archived (permanent —
+         'this record is unprocessable', the explicit poison path)."""
+        self._log._require("READ", "group", self.group)
+        self._finalize(topic, member, offsets, now_ms, "reject")
+
+    # -- admin (kafka-share-groups.sh analog) --------------------------------
+
+    def describe(self, topic: str) -> dict[int, dict]:
+        """Per-partition SPSO/SPEO, in-flight locks, redelivery backlog,
+        archived count, and lag (deliverable records remaining) — the
+        ``kafka-share-groups.sh --describe`` view."""
+        state = self._load(topic)
+        begins = self._log.beginning_offsets(topic)
+        ends = self._log.end_offsets(topic)
+        out: dict[int, dict] = {}
+        for pid in sorted(self._log.partitions(topic)):
+            ps = self._part_state(state, pid, begins.get(pid, 0))
+            done_above = len(ps["acked"]) + len(ps["arch"])
+            speo = ends.get(pid, 0)
+            out[pid] = {
+                "spso": ps["spso"],
+                "speo": speo,
+                "next_fetch": ps["next"],
+                "in_flight": len(ps["acq"]),
+                "awaiting_redelivery": len(ps["avail"]),
+                "archived": len(ps["arch"]),
+                "lag": max(
+                    0,
+                    speo - ps["spso"] - done_above - len(ps["acq"])
+                    - len(ps["avail"]),
+                ) + len(ps["avail"]),
+            }
+        return out
+
+    def state_size(self, topic: str) -> int:
+        """Total tracked offsets across partitions — the boundedness
+        observable: O(in-flight + out-of-order gap), never O(consumed)."""
+        state = self._load(topic)
+        return sum(
+            len(ps["acq"]) + len(ps["avail"]) + len(ps["acked"])
+            + len(ps["arch"])
+            for ps in state.values()
+        )

@@ -112,6 +112,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("client_id")
     p.add_argument("configs", nargs="+", metavar="key=value")
     p = sub.add_parser(
+        "describe-share-group",
+        help="kafka-share-groups.sh --describe analog: per-partition "
+             "SPSO/SPEO, in-flight locks, redelivery backlog, lag",
+    )
+    p.add_argument("group")
+    p.add_argument("topic")
+    p = sub.add_parser(
         "acls",
         help="kafka-acls.sh analog: list/add/remove principal × operation "
         "× resource-pattern bindings (deny beats allow; literal + "
@@ -209,6 +216,10 @@ def main(argv: list[str] | None = None) -> int:
         out = log.compact(a.topic)
     elif a.cmd == "quotas":
         out = log.describe_client_quotas()
+    elif a.cmd == "describe-share-group":
+        from rdkafka_streams_spark.streaming.sharegroups import ShareGroup
+
+        out = ShareGroup(a.root, a.group, a.principal).describe(a.topic)
     elif a.cmd == "acls":
         from dataclasses import asdict
 

@@ -355,6 +355,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # vocab = pre-token groupBy + subword groupBy + TakeOrdered top-k
         # (training loop eager; no global sort exchange)
         "q296_byte_bpe_vocab": 3,
+        # the drain loop is client-side metadata; the verify read is one
+        # pass + one event_type rollup exchange
+        "q297_share_group_queue": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

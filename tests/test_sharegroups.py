@@ -1,0 +1,176 @@
+"""Share groups (streaming/sharegroups.py) — the KIP-932 'Queues for
+Kafka' analog: per-record acquisition locks, individual acks,
+release/expiry redelivery with delivery counts, poison-record archiving,
+SPSO collapse (bounded state), and ACL/read_committed integration."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from rdkafka_streams_spark.streaming.sharegroups import (
+    InvalidRecordStateError,
+    ShareGroup,
+)
+from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+
+def _mk(tmp_path, n=10, parts=1, **kw):
+    root = str(tmp_path / "bus")
+    log = TopicLog(root)
+    log.create_topic("q", partitions=parts)
+    for p in range(parts):
+        log.append("q", [f"r{p}-{i}" for i in range(n)], partition=p)
+    return root, log, ShareGroup(root, "workers", **kw)
+
+
+def test_fetch_ack_advances_spso_and_state_stays_bounded(tmp_path):
+    root, log, sg = _mk(tmp_path, n=10)
+    got = sg.fetch("q", "c1", max_records=4, now_ms=1_000)
+    assert [r["offset"] for r in got] == [0, 1, 2, 3]
+    assert all(r["delivery_count"] == 1 for r in got)
+    assert bytes(got[0]["value"]) == b"r0-0"
+    d = sg.describe("q")[0]
+    assert (d["spso"], d["in_flight"], d["speo"]) == (0, 4, 10)
+    sg.ack("q", "c1", {0: [0, 1, 2, 3]}, now_ms=1_500)
+    d = sg.describe("q")[0]
+    assert (d["spso"], d["in_flight"]) == (4, 0)
+    # the acked prefix collapsed: nothing is tracked per-record anymore
+    assert sg.state_size("q") == 0
+    # drain the rest; state stays O(in-flight) throughout
+    while True:
+        got = sg.fetch("q", "c1", max_records=3, now_ms=2_000)
+        if not got:
+            break
+        assert sg.state_size("q") <= 3
+        sg.ack("q", "c1", {0: [r["offset"] for r in got]}, now_ms=2_001)
+    d = sg.describe("q")[0]
+    assert d["spso"] == d["speo"] == 10 and d["lag"] == 0
+    assert sg.state_size("q") == 0
+
+
+def test_two_members_share_one_partition(tmp_path):
+    """The point of share groups: BOTH members draw from partition 0 —
+    no ownership, records dispensed exactly once while locks hold."""
+    root, log, sg = _mk(tmp_path, n=6)
+    a = sg.fetch("q", "alice", max_records=2, now_ms=1_000)
+    b = sg.fetch("q", "bob", max_records=2, now_ms=1_001)
+    assert [r["offset"] for r in a] == [0, 1]
+    assert [r["offset"] for r in b] == [2, 3]  # never re-dispensed
+    sg.ack("q", "bob", {0: [2, 3]}, now_ms=1_002)
+    sg.ack("q", "alice", {0: [0, 1]}, now_ms=1_003)
+    assert sg.describe("q")[0]["spso"] == 4
+
+
+def test_release_and_lock_expiry_redeliver_with_count(tmp_path):
+    root, log, sg = _mk(tmp_path, n=4, lock_duration_ms=1_000)
+    got = sg.fetch("q", "c1", max_records=2, now_ms=10_000)
+    # release offset 0: immediately available again, count preserved
+    sg.release("q", "c1", {0: [0]}, now_ms=10_100)
+    got2 = sg.fetch("q", "c2", max_records=1, now_ms=10_200)
+    assert [(r["offset"], r["delivery_count"]) for r in got2] == [(0, 2)]
+    sg.ack("q", "c2", {0: [0]}, now_ms=10_300)
+    # offset 1's lock expires un-acked -> redelivered with count 2
+    got3 = sg.fetch("q", "c3", max_records=1, now_ms=12_000)
+    assert [(r["offset"], r["delivery_count"]) for r in got3] == [(1, 2)]
+    # the zombie's late ack is refused: the lock is gone
+    with pytest.raises(InvalidRecordStateError):
+        sg.ack("q", "c1", {0: [1]}, now_ms=12_100)
+    # and an ack of something never fetched is refused too
+    with pytest.raises(InvalidRecordStateError):
+        sg.ack("q", "c9", {0: [3]}, now_ms=12_100)
+
+
+def test_poison_record_archives_at_attempt_limit(tmp_path):
+    root, log, sg = _mk(tmp_path, n=3, delivery_attempt_limit=3,
+                        lock_duration_ms=100)
+    # record 0 fails processing forever: release it 3 times
+    for i in range(3):
+        got = sg.fetch("q", f"c{i}", max_records=1, now_ms=1_000 + i)
+        assert got[0]["offset"] == 0 and got[0]["delivery_count"] == i + 1
+        sg.release("q", f"c{i}", {0: [0]}, now_ms=1_000 + i)
+    # 4th fetch: record 0 is over the limit -> ARCHIVED, queue moves on
+    got = sg.fetch("q", "c9", max_records=1, now_ms=2_000)
+    assert got[0]["offset"] == 1
+    d = sg.describe("q")[0]
+    assert d["archived"] == 0  # archived prefix already collapsed to SPSO
+    assert d["spso"] == 1  # offset 0 is finalized forever
+    sg.ack("q", "c9", {0: [1]}, now_ms=2_001)
+    # explicit reject is the other archive path
+    got = sg.fetch("q", "c9", max_records=1, now_ms=2_100)
+    sg.reject("q", "c9", {0: [got[0]["offset"]]}, now_ms=2_101)
+    assert sg.describe("q")[0]["spso"] == 3
+
+
+def test_out_of_order_acks_keep_gap_only_state(tmp_path):
+    root, log, sg = _mk(tmp_path, n=6)
+    got = sg.fetch("q", "c1", max_records=6, now_ms=1_000)
+    # ack everything EXCEPT offset 0: spso pinned, acked set = the gap
+    sg.ack("q", "c1", {0: [r["offset"] for r in got[1:]]}, now_ms=1_001)
+    d = sg.describe("q")[0]
+    assert d["spso"] == 0 and d["in_flight"] == 1
+    assert sg.state_size("q") == 6  # 1 acquired + 5 acked-above-gap
+    sg.ack("q", "c1", {0: [0]}, now_ms=1_002)
+    assert sg.describe("q")[0]["spso"] == 6
+    assert sg.state_size("q") == 0  # the whole gap collapsed at once
+
+
+def test_max_record_locks_caps_in_flight(tmp_path):
+    root, log, sg = _mk(tmp_path, n=10, max_record_locks=3)
+    got = sg.fetch("q", "c1", max_records=100, now_ms=1_000)
+    assert len(got) == 3  # capped, not the full backlog
+    assert sg.describe("q")[0]["in_flight"] == 3
+    # no more locks until something resolves
+    assert sg.fetch("q", "c2", max_records=100, now_ms=1_001) == []
+    sg.ack("q", "c1", {0: [0]}, now_ms=1_002)
+    assert len(sg.fetch("q", "c2", max_records=100, now_ms=1_003)) == 1
+
+
+def test_share_group_read_committed_and_acls(tmp_path):
+    from rdkafka_streams_spark.streaming.acl import (
+        AclBinding,
+        AclStore,
+        AuthorizationError,
+    )
+
+    root = str(tmp_path / "bus")
+    log = TopicLog(root)
+    log.create_topic("q", partitions=1)
+    log.append("q", ["a", "b"], partition=0)
+    log.begin_txn("t1")
+    log.append("q", ["x"], partition=0, txn="t1")
+    sg = ShareGroup(root, "workers", isolation="read_committed")
+    with pytest.raises(ValueError, match="LSO gate"):
+        sg.fetch("q", "c1", now_ms=1_000)
+    log.abort_txn("t1")
+    got = sg.fetch("q", "c1", max_records=10, now_ms=1_000)
+    # the aborted record never surfaces; the pointer skips its offsets
+    assert [bytes(r["value"]) for r in got] == [b"a", b"b"]
+    sg.ack("q", "c1", {0: [0, 1]}, now_ms=1_001)
+    d = sg.describe("q")[0]
+    assert d["next_fetch"] == d["speo"]
+    # ACLs gate the share surface like the classic consumer's
+    s = AclStore(root)
+    s.enable()
+    s.add(AclBinding(resource_type="topic", resource_name="q",
+                     pattern_type="literal", principal="User:etl",
+                     operation="READ", permission="allow"))
+    s.add(AclBinding(resource_type="group", resource_name="workers",
+                     pattern_type="literal", principal="User:etl",
+                     operation="READ", permission="allow"))
+    with pytest.raises(AuthorizationError):
+        ShareGroup(root, "workers").fetch("q", "c1", now_ms=2_000)
+    # the authorized principal's share surface works end to end
+    etl = ShareGroup(root, "workers", principal="User:etl")
+    assert etl.fetch("q", "c1", max_records=1, now_ms=2_000) == []
+
+
+def test_multi_partition_fetch_spreads(tmp_path):
+    root, log, sg = _mk(tmp_path, n=4, parts=3)
+    got = sg.fetch("q", "c1", max_records=100, now_ms=1_000)
+    assert len(got) == 12
+    assert {r["partition"] for r in got} == {0, 1, 2}
+    sg.ack("q", "c1", {p: [r["offset"] for r in got if r["partition"] == p]
+                       for p in (0, 1, 2)}, now_ms=1_001)
+    assert all(v["lag"] == 0 for v in sg.describe("q").values())
