@@ -340,6 +340,47 @@ class ShareGroup:
             }
         return out
 
+    def reset(self, topic: str, to: dict[int, int] | str) -> dict[int, int]:
+        """``kafka-share-groups.sh --reset-offsets`` analog: move the
+        share-partition start offset (and the fetch pointer) to an
+        absolute per-partition offset, or ``"earliest"``/``"latest"``.
+        Requires an idle group — resetting under live locks would hand
+        the same records to two members, so any in-flight acquisition
+        raises (the tool's own you-must-stop-the-group rule). All
+        per-record state below the new SPSO is forgotten; a rewind makes
+        records deliverable AGAIN with fresh delivery counts (a replay
+        is a new processing attempt, not a continuation). Returns the
+        applied {partition: spso}."""
+        self._log._require("READ", "group", self.group)
+        state = self._load(topic)
+        begins = self._log.beginning_offsets(topic)
+        ends = self._log.end_offsets(topic)
+        applied: dict[int, int] = {}
+        for pid in sorted(self._log.partitions(topic)):
+            ps = self._part_state(state, pid, begins.get(pid, 0))
+            if ps["acq"]:
+                raise ValueError(
+                    f"{topic}/p{pid}: {len(ps['acq'])} record(s) still "
+                    "acquired — stop the group's members before resetting "
+                    "share offsets"
+                )
+            if to == "earliest":
+                tgt = begins.get(pid, 0)
+            elif to == "latest":
+                tgt = ends.get(pid, 0)
+            else:
+                if pid not in to:
+                    continue
+                tgt = max(begins.get(pid, 0),
+                          min(int(to[pid]), ends.get(pid, 0)))
+            state[str(pid)] = {
+                "spso": tgt, "next": tgt, "acq": {}, "avail": {},
+                "acked": [], "arch": [],
+            }
+            applied[pid] = tgt
+        self._save(topic, state)
+        return applied
+
     def state_size(self, topic: str) -> int:
         """Total tracked offsets across partitions — the boundedness
         observable: O(in-flight + out-of-order gap), never O(consumed)."""

@@ -174,3 +174,25 @@ def test_multi_partition_fetch_spreads(tmp_path):
     sg.ack("q", "c1", {p: [r["offset"] for r in got if r["partition"] == p]
                        for p in (0, 1, 2)}, now_ms=1_001)
     assert all(v["lag"] == 0 for v in sg.describe("q").values())
+
+
+def test_share_reset_offsets(tmp_path):
+    """kafka-share-groups.sh --reset-offsets: rewind replays records with
+    FRESH delivery counts, forward-skip archives nothing and just moves
+    the window, and a reset under live locks is refused."""
+    root, log, sg = _mk(tmp_path, n=6)
+    got = sg.fetch("q", "c1", max_records=6, now_ms=1_000)
+    with pytest.raises(ValueError, match="still acquired"):
+        sg.reset("q", "earliest")
+    sg.ack("q", "c1", {0: [r["offset"] for r in got]}, now_ms=1_001)
+    assert sg.describe("q")[0]["spso"] == 6
+    # rewind to 2: records 2..5 become deliverable again, counts reset
+    assert sg.reset("q", {0: 2}) == {0: 2}
+    got2 = sg.fetch("q", "c2", max_records=10, now_ms=2_000)
+    assert [r["offset"] for r in got2] == [2, 3, 4, 5]
+    assert all(r["delivery_count"] == 1 for r in got2)  # a fresh attempt
+    sg.ack("q", "c2", {0: [2, 3, 4, 5]}, now_ms=2_001)
+    # skip to latest: nothing left to deliver
+    log.append("q", ["late"], partition=0)
+    assert sg.reset("q", "latest") == {0: 7}
+    assert sg.fetch("q", "c3", max_records=10, now_ms=3_000) == []
