@@ -6301,7 +6301,7 @@ def q297_share_group_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
     while True:
         m = members[step % 3]
         step += 1
-        got = sg.fetch("ev", m, max_records=199, now_ms=now + step)
+        got = sg.fetch("ev", m, max_records=1999, now_ms=now + step)
         if not got:
             break
         acks: dict[int, list[int]] = {}

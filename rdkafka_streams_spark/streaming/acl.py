@@ -39,6 +39,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 from dataclasses import asdict, dataclass
 
 OPERATIONS = frozenset({
@@ -113,8 +114,8 @@ class AclBinding:
         return op == "DESCRIBE_CONFIGS" and self.operation == "ALTER_CONFIGS"
 
 
-#: {bindings_dir: (dir_mtime_ns, parsed bindings)} — see AclStore.list
-_BINDINGS_CACHE: dict[str, tuple[int, list["AclBinding"]]] = {}
+#: {bindings_dir: (dir_mtime_ns, parsed bindings, loaded_monotonic)}
+_BINDINGS_CACHE: dict[str, tuple[int, list["AclBinding"], float]] = {}
 
 
 class AclStore:
@@ -170,7 +171,15 @@ class AclStore:
         except OSError:
             return []
         cached = _BINDINGS_CACHE.get(self.bindings_dir)
-        if cached is not None and cached[0] == mtime:
+        # mtime equality alone can miss a cross-process add/remove landing
+        # within the same coarse-clock tick, which for a DENY binding
+        # would mean serving a stale allow indefinitely — so cache hits
+        # also expire after 1 s (staleness strictly bounded; in-process
+        # add/remove still invalidates instantly via the explicit pop)
+        if (
+            cached is not None and cached[0] == mtime
+            and time.monotonic() - cached[2] < 1.0
+        ):
             return cached[1]
         out = []
         for name in sorted(os.listdir(self.bindings_dir)):
@@ -182,7 +191,9 @@ class AclStore:
                     out.append(AclBinding(**json.load(f)))
             except (OSError, json.JSONDecodeError, TypeError, ValueError):
                 continue
-        _BINDINGS_CACHE[self.bindings_dir] = (mtime, out)
+        if len(_BINDINGS_CACHE) > 64:  # one entry per root — bound it
+            _BINDINGS_CACHE.pop(next(iter(_BINDINGS_CACHE)))
+        _BINDINGS_CACHE[self.bindings_dir] = (mtime, out, time.monotonic())
         return out
 
     def set_super_users(self, principals: list[str]) -> None:
@@ -247,23 +258,21 @@ class AclStore:
         return any(b.permission == "allow" for b in matched)
 
     def can_manage(self, principal: str) -> bool:
-        """The kafka-acls.sh management gate. Once an administrative
-        authority exists — super users, or any ALLOW binding granting
-        ALTER/ALL on the cluster — managing ACLs requires ALTER on the
-        cluster. Before that the store is UNADMINISTERED and any
-        operator may bootstrap it (a broker's operator likewise manages
-        ACLs out-of-band until super.users is configured); without this
-        rule the very first ``acls --add`` would enable the store and
-        lock every principal, including the operator, out of ACL
-        management forever."""
+        """The kafka-acls.sh management gate. An EMPTY store (no bindings,
+        no super users) may be bootstrapped by any operator — the broker
+        equivalent is the operator configuring super.users in
+        server.properties before the authorizer has any state, and
+        without this rule the very first management call would lock
+        everyone out. The moment ANY binding or super user exists, the
+        store is governed: management requires ALTER on the cluster (or
+        super-user status). A store holding only resource-level ACLs is
+        NOT world-manageable — that would let any principal self-grant
+        cluster ALTER (privilege escalation); an operator who skipped
+        the bootstrap grant administers out-of-band (the ``.acls/``
+        files themselves), exactly like editing server.properties."""
         if not self.enabled():
             return True
-        has_admin = bool(self.super_users()) or any(
-            b.permission == "allow" and b.resource_type == "cluster"
-            and b.operation in ("ALTER", "ALL")
-            for b in self.list()
-        )
-        if not has_admin:
+        if not self.list() and not self.super_users():
             return True
         return self.authorize(principal, "ALTER", "cluster", "kafka-cluster")
 

@@ -377,8 +377,9 @@ def mirror_topic(
         # is retired) instead of failing every post-upgrade run.
         try:
             dst.compact(stopic)
-        except ValueError:
-            pass
+        except ValueError as e:
+            if "keyed" not in str(e):
+                raise  # only the legacy-keyless exemption is tolerable
     return {
         "topic": dtopic,
         "syncs_topic": stopic,

@@ -71,6 +71,22 @@ class ShareGroup:
     #: "read_uncommitted" (default) or "read_committed"
     isolation: str = "read_uncommitted"
     _log: TopicLog = field(init=False, repr=False)
+    #: fetch-session cache (KIP-227's idea, client-side): {(topic, pid):
+    #: {"next", "end", "it"}} — a sequential drain resumes the open
+    #: segment iterator instead of re-parsing the segment from its start
+    #: on every fetch, turning an O(n²) drain into O(n). Reused only
+    #: when the fetch pointer AND the frozen end both still match;
+    #: anything else (new appends, reset, another coordinator writing
+    #: the state) rebuilds from a fresh scan.
+    _sessions: dict = field(init=False, default_factory=dict, repr=False)
+    #: bounded client-side cache of recently delivered rows keyed by
+    #: (topic, pid, offset): a released/expired record is usually
+    #: re-dispensed shortly after its first delivery, and serving the
+    #: redelivery from memory avoids re-parsing the segment below it
+    #: (the broker reads from its page cache for the same reason).
+    #: Capacity-bounded FIFO; misses fall back to the coalesced scan.
+    _recent: dict = field(init=False, default_factory=dict, repr=False)
+    recent_cache_records: int = 50_000
 
     def __post_init__(self):
         if self.delivery_attempt_limit < 1:
@@ -80,8 +96,14 @@ class ShareGroup:
     # -- state plumbing ------------------------------------------------------
 
     def _state_path(self, topic: str) -> str:
+        # NOT under .groups/<group>/: the consumer-offset machinery
+        # (expire_group_offsets' grandfathering + reaping, delete_group's
+        # topic listing) treats every *.json there as a commit file and
+        # would stamp __meta into — then delete — the share state. Share
+        # coordination is its own subsystem with its own lifecycle, like
+        # the broker's share coordinator vs the group coordinator.
         return os.path.join(
-            self.root, ".groups", self.group, f"{topic}.share.json"
+            self.root, ".share_groups", self.group, f"{topic}.json"
         )
 
     def _load(self, topic: str) -> dict:
@@ -206,30 +228,68 @@ class ShareGroup:
             )
             fresh: list[tuple] = []
             if fresh_cap > 0 and ps["next"] < ends.get(pid, 0):
-                it = _read_range(
-                    self.root, topic, pid, ps["next"], ends[pid],
-                    excluded_txns=excl,
-                )
+                old_next = ps["next"]
+                sess = self._sessions.pop((topic, pid), None)
+                if (
+                    sess is not None and sess["next"] == old_next
+                    and sess["end"] == ends[pid]
+                ):
+                    it = sess["it"]
+                else:
+                    it = _read_range(
+                        self.root, topic, pid, old_next, ends[pid],
+                        excluded_txns=excl,
+                    )
                 for row in it:
                     fresh.append(row)
                     if len(fresh) >= fresh_cap:
                         break
                 if fresh and len(fresh) >= fresh_cap:
-                    ps["next"] = fresh[-1][4] + 1
+                    new_next = fresh[-1][4] + 1
+                    self._sessions[(topic, pid)] = {
+                        "next": new_next, "end": ends[pid], "it": it,
+                    }
                 else:
                     # the scan exhausted the range below the cap: only
                     # control records (and, under the LSO gate, resolved-
                     # aborted runs) remain — skip the pointer past them
-                    ps["next"] = ends[pid]
-                budget -= len(fresh)
-            # materialize redelivered payloads (point reads)
-            redeliver_rows = {
-                row[4]: row
-                for o, _ in take
-                for row in _read_range(
-                    self.root, topic, pid, o, o + 1, excluded_txns=excl,
+                    new_next = ends[pid]
+                # offsets in the scanned window that did NOT yield are
+                # undeliverable forever (txn control markers; resolved-
+                # aborted records under read_committed). Finalize them as
+                # archived NOW, or SPSO could never collapse past them
+                # and the acked set would grow O(consumed history) on any
+                # transactional topic — the exact unboundedness this
+                # module exists to rule out.
+                yielded = {row[4] for row in fresh}
+                ps["arch"].extend(
+                    o for o in range(old_next, new_next)
+                    if o not in yielded
                 )
-            }
+                ps["next"] = new_next
+                budget -= len(fresh)
+            # materialize redelivered payloads: ONE coalesced range scan
+            # over [min, max] of the take set (take is offset-sorted) —
+            # per-offset point reads would re-parse the segment once per
+            # redelivery, O(redeliveries × segment size) in a batch
+            redeliver_rows: dict[int, tuple] = {}
+            if take:
+                want = {o for o, _ in take}
+                for o in list(want):
+                    hit = self._recent.get((topic, pid, o))
+                    if hit is not None:
+                        redeliver_rows[o] = hit
+                        want.discard(o)
+                if want:  # cache misses: one coalesced range scan
+                    lo, hi = min(want), max(want) + 1
+                    redeliver_rows.update({
+                        row[4]: row
+                        for row in _read_range(
+                            self.root, topic, pid, lo, hi,
+                            excluded_txns=excl,
+                        )
+                        if row[4] in want
+                    })
             for o, dc in take:
                 row = redeliver_rows.get(o)
                 if row is None:
@@ -241,14 +301,22 @@ class ShareGroup:
                     "dc": dc + 1,
                 }
                 out.append(self._rec(row, dc + 1))
+                self._remember(topic, pid, row)
             for row in fresh:
                 ps["acq"][str(row[4])] = {
                     "m": member, "exp": now + self.lock_duration_ms, "dc": 1,
                 }
                 out.append(self._rec(row, 1))
+                self._remember(topic, pid, row)
             self._advance_spso(ps)
         self._save(topic, state)
         return out
+
+    def _remember(self, topic: str, pid: int, row: tuple) -> None:
+        if len(self._recent) >= self.recent_cache_records:
+            # FIFO eviction (dict preserves insertion order)
+            self._recent.pop(next(iter(self._recent)))
+        self._recent[(topic, pid, row[4])] = row
 
     @staticmethod
     def _rec(row: tuple, dc: int) -> dict:
@@ -262,10 +330,14 @@ class ShareGroup:
         self, topic: str, member: str, offsets: dict[int, list[int]],
         now_ms: int | None, to: str,
     ) -> None:
+        self._log._require("READ", "group", self.group)
+        self._log._require("READ", "topic", topic)
         now = int(time.time() * 1000) if now_ms is None else int(now_ms)
         state = self._load(topic)
         begins = self._log.beginning_offsets(topic)
-        for pid, offs in offsets.items():
+        for pid, raw_offs in offsets.items():
+            offs = sorted(set(raw_offs))  # a duplicate must not escape
+            # validation and KeyError out of the apply loop below
             ps = self._part_state(state, pid, begins.get(pid, 0))
             for o in offs:
                 ent = ps["acq"].get(str(o))
@@ -291,7 +363,6 @@ class ShareGroup:
         """ShareAcknowledge ACCEPT: Acquired → Acknowledged (done).  Must
         still hold the lock — an ack after expiry raises (the record may
         already be re-dispensed to another member)."""
-        self._log._require("READ", "group", self.group)
         self._finalize(topic, member, offsets, now_ms, "ack")
 
     def release(self, topic: str, member: str,
@@ -300,7 +371,6 @@ class ShareGroup:
         """ShareAcknowledge RELEASE: Acquired → Available for immediate
         redelivery (delivery count preserved) — 'I can't process this
         right now, give it to someone else'."""
-        self._log._require("READ", "group", self.group)
         self._finalize(topic, member, offsets, now_ms, "release")
 
     def reject(self, topic: str, member: str,
@@ -308,7 +378,6 @@ class ShareGroup:
                *, now_ms: int | None = None) -> None:
         """ShareAcknowledge REJECT: Acquired → Archived (permanent —
          'this record is unprocessable', the explicit poison path)."""
-        self._log._require("READ", "group", self.group)
         self._finalize(topic, member, offsets, now_ms, "reject")
 
     # -- admin (kafka-share-groups.sh analog) --------------------------------
@@ -317,6 +386,8 @@ class ShareGroup:
         """Per-partition SPSO/SPEO, in-flight locks, redelivery backlog,
         archived count, and lag (deliverable records remaining) — the
         ``kafka-share-groups.sh --describe`` view."""
+        self._log._require("READ", "group", self.group)
+        self._log._require("READ", "topic", topic)
         state = self._load(topic)
         begins = self._log.beginning_offsets(topic)
         ends = self._log.end_offsets(topic)
@@ -352,6 +423,7 @@ class ShareGroup:
         is a new processing attempt, not a continuation). Returns the
         applied {partition: spso}."""
         self._log._require("READ", "group", self.group)
+        self._log._require("READ", "topic", topic)
         state = self._load(topic)
         begins = self._log.beginning_offsets(topic)
         ends = self._log.end_offsets(topic)
@@ -377,6 +449,7 @@ class ShareGroup:
                 "spso": tgt, "next": tgt, "acq": {}, "avail": {},
                 "acked": [], "arch": [],
             }
+            self._sessions.pop((topic, pid), None)  # cursor is now stale
             applied[pid] = tgt
         self._save(topic, state)
         return applied

@@ -2233,7 +2233,6 @@ class TopicLog:
                     os.O_CREAT | os.O_EXCL | os.O_WRONLY,
                 )
                 os.close(fd)
-                break
             except FileExistsError:
                 for _ in range(50):  # adopt the concurrent winner's pid
                     if os.path.exists(path):
@@ -2246,6 +2245,21 @@ class TopicLog:
                     epoch = max(epoch, int(cur["epoch"])) + 1
                 else:
                     epoch += 1
+                continue
+            # the claim succeeded — but a marker below the published
+            # epoch may have been GC'd and re-claimed by a STALLED init
+            # (we could be that stalled init). The name file is the
+            # commit record: if the world already moved at/past our
+            # claimed epoch, our claim is dead — retry above it rather
+            # than publish a regressed epoch that would unfence zombies.
+            if os.path.exists(path):
+                with open(path, encoding="utf-8") as f:
+                    cur = json.load(f)
+                if int(cur["epoch"]) >= epoch:
+                    pid = int(cur["pid"])
+                    epoch = int(cur["epoch"]) + 1
+                    continue
+            break
         if pid is None:
             n = 0
             while True:  # same claim protocol as _publish_segment: the

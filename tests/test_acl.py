@@ -175,28 +175,31 @@ def test_acls_cli_roundtrip(tmp_path, capsys):
 
     root = str(tmp_path / "bus")
     TopicLog(root).create_topic("t")
-    assert main(["--root", root, "acls", "--add",
-                 "--allow-principal", "User:app", "--operation", "WRITE",
-                 "--topic", "logs-", "--resource-pattern-type",
-                 "prefixed"]) == 0
-    out = json.loads(capsys.readouterr().out)
-    assert out["changed"] and out["binding"]["pattern_type"] == "prefixed"
-    assert main(["--root", root, "acls"]) == 0
-    listed = json.loads(capsys.readouterr().out)
-    assert len(listed) == 1 and listed[0]["principal"] == "User:app"
     s = AclStore(root)
-    assert s.authorize("User:app", "WRITE", "topic", "logs-x")
-    # while no admin authority exists the store is UNADMINISTERED: any
-    # operator may still manage it (no first-add lockout) ...
-    assert s.can_manage("User:rando")
-    # ... but once super users are set, management is gated: a principal
-    # without ALTER on the cluster is refused
-    s.set_super_users(["User:admin"])
+    # bootstrap: an EMPTY store may be set up by any operator — the
+    # first management call establishes the admin authority
+    assert s.can_manage("User:anyone")
+    assert main(["--root", root, "acls",
+                 "--super-users", "User:admin"]) == 0
+    capsys.readouterr()
+    # the store is now governed: only the super user (or a
+    # cluster-ALTER grantee) manages — no privilege escalation through
+    # a resource-level-only store, and no first-add lockout either
+    assert not s.can_manage("User:rando")
     with pytest.raises(AuthorizationError):
         main(["--root", root, "--principal", "User:rando", "acls",
               "--add", "--deny-principal", "User:app",
               "--operation", "WRITE", "--topic", "logs-"])
-    # a super user can
+    assert main(["--root", root, "--principal", "User:admin", "acls",
+                 "--add", "--allow-principal", "User:app",
+                 "--operation", "WRITE", "--topic", "logs-",
+                 "--resource-pattern-type", "prefixed"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["changed"] and out["binding"]["pattern_type"] == "prefixed"
+    assert main(["--root", root, "acls"]) == 0  # listing is ungated
+    listed = json.loads(capsys.readouterr().out)
+    assert len(listed) == 1 and listed[0]["principal"] == "User:app"
+    assert s.authorize("User:app", "WRITE", "topic", "logs-x")
     assert main(["--root", root, "--principal", "User:admin", "acls",
                  "--remove", "--allow-principal", "User:app",
                  "--operation", "WRITE", "--topic", "logs-",

@@ -196,3 +196,57 @@ def test_share_reset_offsets(tmp_path):
     log.append("q", ["late"], partition=0)
     assert sg.reset("q", "latest") == {0: 7}
     assert sg.fetch("q", "c3", max_records=10, now_ms=3_000) == []
+
+
+def test_spso_collapses_past_txn_markers_state_stays_bounded(tmp_path):
+    """Review r9: control markers (and aborted records under
+    read_committed) occupy offsets _read_range never yields; SPSO must
+    collapse past them or coordinator state grows O(consumed) on any
+    transactional topic. Drain a topic full of txn markers and assert
+    zero residual state."""
+    root = str(tmp_path / "bus")
+    log = TopicLog(root)
+    log.create_topic("q", partitions=1)
+    for i in range(5):
+        log.begin_txn(f"t{i}")
+        log.append("q", [f"v{i}"], partition=0, txn=f"t{i}")
+        (log.commit_txn if i % 2 == 0 else log.abort_txn)(f"t{i}")
+    # offsets: 10 total (5 records + 5 markers); committed data = 3
+    sg = ShareGroup(root, "workers", isolation="read_committed")
+    got = sg.fetch("q", "c1", max_records=100, now_ms=1_000)
+    assert [bytes(r["value"]) for r in got] == [b"v0", b"v2", b"v4"]
+    sg.ack("q", "c1", {0: [r["offset"] for r in got]}, now_ms=1_001)
+    d = sg.describe("q")[0]
+    assert d["spso"] == d["speo"] == 10  # past every marker and abort
+    assert d["lag"] == 0
+    assert sg.state_size("q") == 0  # nothing pinned, nothing leaked
+
+
+def test_share_state_survives_offset_retention_and_delete_group(tmp_path):
+    """Review r9: share state must NOT live where the consumer-offset
+    machinery (expire_group_offsets' __meta stamping + reaping,
+    delete_group's listing) would corrupt or delete it."""
+    root, log, sg = _mk(tmp_path, n=4)
+    got = sg.fetch("q", "c1", max_records=2, now_ms=1_000)
+    sg.ack("q", "c1", {0: [0, 1]}, now_ms=1_001)
+    # a classic group exists beside the share group
+    gen = log.join_group("classic")
+    log.commit_offsets("classic", "q", {0: 1}, generation=gen)
+    # offsets retention sweeps: share state untouched, still parseable
+    log.expire_group_offsets(retention_ms=10**12)
+    assert sg.describe("q")[0]["spso"] == 2
+    assert sg.state_size("q") == 0
+    # the share group never appears in the classic-group machinery
+    assert "workers" not in log.groups() or not log.committed(
+        "workers", "q"
+    )
+
+
+def test_duplicate_offsets_in_one_finalize_raise_cleanly(tmp_path):
+    root, log, sg = _mk(tmp_path, n=3)
+    got = sg.fetch("q", "c1", max_records=2, now_ms=1_000)
+    # a duplicate in one call must not KeyError out of the apply loop
+    sg.ack("q", "c1", {0: [0, 0, 1]}, now_ms=1_001)
+    assert sg.describe("q")[0]["spso"] == 2
+    with pytest.raises(InvalidRecordStateError):
+        sg.ack("q", "c1", {0: [0]}, now_ms=1_002)  # already finalized
