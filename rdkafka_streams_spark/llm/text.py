@@ -1033,6 +1033,78 @@ def byte_bpe_vocab(
     )
 
 
+def byte_bpe_encode_counts(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    sep: str = "·",
+    pretoken_pattern: str = GPT2_PRETOKEN_PATTERN,
+) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: encode every document with
+    the byte-BPE merges learned from the corpus itself and return the
+    per-document token count — ``(*id_cols, n_tokens)`` — the number a
+    training pipeline actually bills by (sequence packing, token budgets,
+    tokens-per-doc quality cuts all key on it).
+
+    Shape: the merge chain is applied ONCE per distinct pre-token (the
+    Zipf-bounded type table), producing a ``type → symbol count`` map;
+    documents then join their exploded pre-tokens against it and sum —
+    the corpus-sized work is one explode + one join + one groupBy, and
+    NO per-document string surgery happens at all (the classic
+    type/token split every real tokenizer pipeline uses). Documents with
+    zero pre-tokens (empty text) drop out, like a tokenizer emitting
+    nothing."""
+    rules = learn_byte_bpe(
+        docs, n_merges=n_merges, text_col=text_col, sep=sep,
+        pretoken_pattern=pretoken_pattern,
+    ).orderBy("step").collect()
+    seq = F.regexp_replace(
+        F.hex(F.encode(F.col("t"), "utf-8")), "(..)", f"{sep}$1{sep}"
+    )
+    for r in rules:
+        seq = F.replace(
+            seq,
+            F.lit(f"{sep}{r['left']}{sep}{sep}{r['right']}{sep}"),
+            F.lit(f"{sep}{r['merged']}{sep}"),
+        )
+    types = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(pretoken_pattern), F.lit(0)
+                )
+            ).alias("t")
+        )
+        .where(F.col("t") != "")
+        .distinct()
+        .select(
+            "t",
+            F.size(F.split(
+                F.substring(seq, F.lit(1 + len(sep)),
+                            F.length(seq) - F.lit(2 * len(sep))),
+                re.escape(sep + sep),
+            )).cast("bigint").alias("n_sym"),
+        )
+    )
+    doc_toks = (
+        docs.select(
+            *id_cols,
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(pretoken_pattern), F.lit(0)
+                )
+            ).alias("t"),
+        )
+        .where(F.col("t") != "")
+    )
+    return (
+        doc_toks.join(types, "t")
+        .groupBy(*id_cols)
+        .agg(F.sum("n_sym").cast("bigint").alias("n_tokens"))
+    )
+
+
 def bpe_subword_vocab(
     docs: DataFrame,
     n_merges: int = 8,

@@ -2397,3 +2397,87 @@ def q296_byte_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_bpe_vocab(
         load_table(spark, sf_dir, "documents"), n_merges=8, top_k=30
     )
+
+
+def _byte_bpe_encode_oracle(n: int = 8) -> str:
+    """Unrolled byte-level chain CARRYING the pre-token text ``t`` through
+    every iteration, then: type → symbol count, documents join their
+    exploded pre-tokens, per-doc sums roll up per source."""
+    pat = (
+        "''(?:s|t|re|ve|m|ll|d)"
+        r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    )
+    parts = [
+        f"""w AS (
+  SELECT tok AS t, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(text, '{pat}')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok),
+it0 AS (SELECT t, freq,
+               regexp_replace(hex(encode(t)), '(..)', '·\\1·', 'g') AS seq
+        FROM w)"""
+    ]
+    for k in range(1, n + 1):
+        parts.append(f"""p{k} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+    FROM (SELECT freq, string_split(
+                 substring(seq, 2, length(seq) - 2), '··') AS syms
+          FROM it{k - 1})
+  ) GROUP BY 1, 2),
+m{k} AS (SELECT l, r FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+it{k} AS (SELECT t, freq, replace(seq, '·' || m.l || '··' || m.r || '·',
+                                  '·' || m.l || m.r || '·') AS seq
+          FROM it{k - 1}, m{k} m)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f""",
+tk AS (SELECT t, CAST(len(string_split(
+               substring(seq, 2, length(seq) - 2), '··')) AS BIGINT)
+               AS n_sym
+       FROM it{n}),
+dt AS (SELECT doc_id, source, tok FROM (
+         SELECT doc_id, source,
+                unnest(regexp_extract_all(text, '{pat}')) AS tok
+         FROM documents)
+       WHERE tok <> ''),
+pd AS (SELECT doc_id, ANY_VALUE(source) AS source,
+              CAST(SUM(n_sym) AS BIGINT) AS n_tokens
+       FROM dt JOIN tk ON dt.tok = tk.t GROUP BY doc_id)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens
+FROM pd GROUP BY source"""
+    )
+
+
+@query("q298_byte_bpe_encode", oracle=_byte_bpe_encode_oracle(),
+       tags=("L4",))
+def q298_byte_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale (llm/text.py
+    byte_bpe_encode_counts): every document is encoded with the byte-BPE
+    merges learned from the corpus itself (q295's trainer) and billed in
+    TOKENS — the unit sequence packing, token budgets, and data-mixing
+    quotas all key on. The classic type/token split keeps the work
+    linear: the 8-step merge chain runs once per DISTINCT pre-token
+    (Zipf-bounded), documents join their exploded pre-tokens against the
+    type→count map and sum. The oracle carries the pre-token text
+    through the same unrolled chain and reproduces per-source doc/token
+    rollups — a wrong merge, a mis-joined type, or a lost pre-token
+    shifts total_tokens and breaks the hash. Scale: one corpus explode +
+    one join + two groupBys; no per-document string surgery anywhere."""
+    from rdkafka_streams_spark.llm.text import byte_bpe_encode_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = byte_bpe_encode_counts(docs, n_merges=8)
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
+        )
+    )

@@ -34,8 +34,22 @@ from rdkafka_streams_spark.streaming.mirror import (
     translate_offsets,
     translate_offsets_upstream,
 )
+from rdkafka_streams_spark.streaming.acl import (
+    AclBinding,
+    AclStore,
+    AuthorizationError,
+)
+from rdkafka_streams_spark.streaming.sharegroups import (
+    InvalidRecordStateError,
+    ShareGroup,
+)
 
 __all__ = [
+    "AclBinding",
+    "AclStore",
+    "AuthorizationError",
+    "InvalidRecordStateError",
+    "ShareGroup",
     "DeliveryListener",
     "Duplex",
     "IllegalGenerationError",

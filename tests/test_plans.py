@@ -358,6 +358,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # the drain loop is client-side metadata; the verify read is one
         # pass + one event_type rollup exchange
         "q297_share_group_queue": 1,
+        # type/token split: type distinct + doc-tokens/type join + per-doc
+        # groupBy + source join + source rollup (training loop eager)
+        "q298_byte_bpe_encode": 6,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
