@@ -403,11 +403,9 @@ class ShareGroup:
                 "in_flight": len(ps["acq"]),
                 "awaiting_redelivery": len(ps["avail"]),
                 "archived": len(ps["arch"]),
-                "lag": max(
-                    0,
-                    speo - ps["spso"] - done_above - len(ps["acq"])
-                    - len(ps["avail"]),
-                ) + len(ps["avail"]),
+                # unfinalized records (in-flight + awaiting redelivery +
+                # not yet dispensed) — kafka-share-groups.sh's lag notion
+                "lag": max(0, speo - ps["spso"] - done_above),
             }
         return out
 

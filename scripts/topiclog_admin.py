@@ -111,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("alter-quota", help="set client quota keys")
     p.add_argument("client_id")
     p.add_argument("configs", nargs="+", metavar="key=value")
+    sub.add_parser("share-groups", help="list share groups")
     p = sub.add_parser(
         "describe-share-group",
         help="kafka-share-groups.sh --describe analog: per-partition "
@@ -216,6 +217,11 @@ def main(argv: list[str] | None = None) -> int:
         out = log.compact(a.topic)
     elif a.cmd == "quotas":
         out = log.describe_client_quotas()
+    elif a.cmd == "share-groups":
+        import os as _os
+
+        d = _os.path.join(a.root, ".share_groups")
+        out = sorted(_os.listdir(d)) if _os.path.isdir(d) else []
     elif a.cmd == "describe-share-group":
         from rdkafka_streams_spark.streaming.sharegroups import ShareGroup
 
