@@ -1007,29 +1007,46 @@ def byte_bpe_vocab(
         .groupBy("t")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
-    seq = F.regexp_replace(
-        F.hex(F.encode(F.col("t"), "utf-8")), "(..)", f"{sep}$1{sep}"
+    seq = _apply_merge_rules(
+        F.regexp_replace(
+            F.hex(F.encode(F.col("t"), "utf-8")), "(..)", f"{sep}$1{sep}"
+        ),
+        rules, sep,
     )
+    return (
+        toks.select("freq", seq.alias("seq"))
+        .select(
+            "freq",
+            F.explode(_split_symbols(F.col("seq"), sep)).alias("subword"),
+        )
+        .groupBy("subword")
+        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("subword"))
+        .limit(top_k)
+    )
+
+
+def _apply_merge_rules(seq, rules, sep: str):
+    """Chain learned merge rules as sep-wrapped plain replaces — the same
+    trick _bpe_merge_loop trains with (Column API, one escaping layer).
+    Shared by every consumer of a merge table (vocab, encode) so a change
+    to the wrapping scheme cannot silently diverge between them."""
     for r in rules:
         seq = F.replace(
             seq,
             F.lit(f"{sep}{r['left']}{sep}{sep}{r['right']}{sep}"),
             F.lit(f"{sep}{r['merged']}{sep}"),
         )
-    return (
-        toks.select("freq", seq.alias("seq"))
-        .select(
-            "freq",
-            F.explode(F.split(
-                F.substring(F.col("seq"), F.lit(1 + len(sep)),
-                            F.length("seq") - F.lit(2 * len(sep))),
-                re.escape(sep + sep),
-            )).alias("subword"),
-        )
-        .groupBy("subword")
-        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
-        .orderBy(F.desc("n_occurrences"), F.asc("subword"))
-        .limit(top_k)
+    return seq
+
+
+def _split_symbols(seq, sep: str):
+    """Recover the symbol array from a sep-wrapped sequence column: strip
+    the outer separators, split on the doubled inter-symbol separator."""
+    return F.split(
+        F.substring(seq, F.lit(1 + len(sep)),
+                    F.length(seq) - F.lit(2 * len(sep))),
+        re.escape(sep + sep),
     )
 
 
@@ -1059,15 +1076,12 @@ def byte_bpe_encode_counts(
         docs, n_merges=n_merges, text_col=text_col, sep=sep,
         pretoken_pattern=pretoken_pattern,
     ).orderBy("step").collect()
-    seq = F.regexp_replace(
-        F.hex(F.encode(F.col("t"), "utf-8")), "(..)", f"{sep}$1{sep}"
+    seq = _apply_merge_rules(
+        F.regexp_replace(
+            F.hex(F.encode(F.col("t"), "utf-8")), "(..)", f"{sep}$1{sep}"
+        ),
+        rules, sep,
     )
-    for r in rules:
-        seq = F.replace(
-            seq,
-            F.lit(f"{sep}{r['left']}{sep}{sep}{r['right']}{sep}"),
-            F.lit(f"{sep}{r['merged']}{sep}"),
-        )
     types = (
         docs.select(
             F.explode(
@@ -1078,13 +1092,11 @@ def byte_bpe_encode_counts(
         )
         .where(F.col("t") != "")
         .distinct()
+        .withColumn("seq", seq)
         .select(
             "t",
-            F.size(F.split(
-                F.substring(seq, F.lit(1 + len(sep)),
-                            F.length(seq) - F.lit(2 * len(sep))),
-                re.escape(sep + sep),
-            )).cast("bigint").alias("n_sym"),
+            F.size(_split_symbols(F.col("seq"), sep))
+            .cast("bigint").alias("n_sym"),
         )
     )
     doc_toks = (
@@ -1132,24 +1144,18 @@ def bpe_subword_vocab(
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
-    seq = F.concat(
-        F.regexp_replace("w", "(.)", f"{sep}$1{sep}"), F.lit(sep + eow + sep)
+    seq = _apply_merge_rules(
+        F.concat(
+            F.regexp_replace("w", "(.)", f"{sep}$1{sep}"),
+            F.lit(sep + eow + sep),
+        ),
+        rules, sep,
     )
-    for r in rules:
-        seq = F.replace(
-            seq,
-            F.lit(f"{sep}{r['left']}{sep}{sep}{r['right']}{sep}"),
-            F.lit(f"{sep}{r['merged']}{sep}"),
-        )
     return (
         words.select("freq", seq.alias("seq"))
         .select(
             "freq",
-            F.explode(F.split(
-                F.substring(F.col("seq"), F.lit(1 + len(sep)),
-                            F.length("seq") - F.lit(2 * len(sep))),
-                re.escape(sep + sep),
-            )).alias("subword"),
+            F.explode(_split_symbols(F.col("seq"), sep)).alias("subword"),
         )
         .groupBy("subword")
         .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))

@@ -2224,9 +2224,11 @@ it0 AS (SELECT freq, regexp_replace(w, '(.)', '·\1·', 'g') || '·¤·' AS seq 
   ) GROUP BY 1, 2),
 m{k} AS (SELECT {k} AS step, l, r, l || r AS merged, cnt
          FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
-it{k} AS (SELECT freq, replace(seq, '·' || m.l || '··' || m.r || '·',
-                               '·' || m.l || m.r || '·') AS seq
-          FROM it{k - 1}, m{k} m)""")
+it{k} AS (SELECT freq,
+               CASE WHEN m.l IS NULL THEN seq
+                    ELSE replace(seq, '·' || m.l || '··' || m.r || '·',
+                                 '·' || m.l || m.r || '·') END AS seq
+          FROM it{k - 1} LEFT JOIN m{k} m ON TRUE)""")
     union = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(1, n + 1))
     return (
         "WITH " + ",\n".join(parts)
@@ -2326,9 +2328,11 @@ it0 AS (SELECT freq, regexp_replace(hex(encode(t)), '(..)', '·\\1·', 'g')
   ) GROUP BY 1, 2),
 m{k} AS (SELECT {k} AS step, l, r, l || r AS merged, cnt
          FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
-it{k} AS (SELECT freq, replace(seq, '·' || m.l || '··' || m.r || '·',
-                               '·' || m.l || m.r || '·') AS seq
-          FROM it{k - 1}, m{k} m)""")
+it{k} AS (SELECT freq,
+               CASE WHEN m.l IS NULL THEN seq
+                    ELSE replace(seq, '·' || m.l || '··' || m.r || '·',
+                                 '·' || m.l || m.r || '·') END AS seq
+          FROM it{k - 1} LEFT JOIN m{k} m ON TRUE)""")
     union = " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(1, n + 1))
     return (
         "WITH " + ",\n".join(parts)
@@ -2427,9 +2431,11 @@ it0 AS (SELECT t, freq,
           FROM it{k - 1})
   ) GROUP BY 1, 2),
 m{k} AS (SELECT l, r FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
-it{k} AS (SELECT t, freq, replace(seq, '·' || m.l || '··' || m.r || '·',
-                                  '·' || m.l || m.r || '·') AS seq
-          FROM it{k - 1}, m{k} m)""")
+it{k} AS (SELECT t, freq,
+               CASE WHEN m.l IS NULL THEN seq
+                    ELSE replace(seq, '·' || m.l || '··' || m.r || '·',
+                                 '·' || m.l || m.r || '·') END AS seq
+          FROM it{k - 1} LEFT JOIN m{k} m ON TRUE)""")
     return (
         "WITH " + ",\n".join(parts)
         + f""",

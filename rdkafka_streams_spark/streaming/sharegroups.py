@@ -384,7 +384,8 @@ class ShareGroup:
 
     def describe(self, topic: str) -> dict[int, dict]:
         """Per-partition SPSO/SPEO, in-flight locks, redelivery backlog,
-        archived count, and lag (deliverable records remaining) — the
+        archived count, and lag (records not yet acknowledged/archived:
+        in-flight + awaiting redelivery + undispensed) — the
         ``kafka-share-groups.sh --describe`` view."""
         self._log._require("READ", "group", self.group)
         self._log._require("READ", "topic", topic)

@@ -218,10 +218,11 @@ def main(argv: list[str] | None = None) -> int:
     elif a.cmd == "quotas":
         out = log.describe_client_quotas()
     elif a.cmd == "share-groups":
-        import os as _os
-
-        d = _os.path.join(a.root, ".share_groups")
-        out = sorted(_os.listdir(d)) if _os.path.isdir(d) else []
+        d = os.path.join(a.root, ".share_groups")
+        out = sorted(
+            g for g in os.listdir(d)
+            if os.path.isdir(os.path.join(d, g))
+        ) if os.path.isdir(d) else []
     elif a.cmd == "describe-share-group":
         from rdkafka_streams_spark.streaming.sharegroups import ShareGroup
 
