@@ -578,3 +578,76 @@ def test_mirror_translation_envelope_property(n_src, aborted, commits):
         )
         if not aborted:
             assert got == min(max(c, 0), head), f"inexact 1:1: c={c} got={got}"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n_records=st.integers(min_value=1, max_value=40),
+    script=st.lists(
+        st.tuples(
+            st.sampled_from(["fetch", "ack", "release", "reject", "tick"]),
+            st.integers(min_value=0, max_value=2),   # member index
+            st.integers(min_value=1, max_value=7),   # batch size / count
+        ),
+        min_size=5, max_size=60,
+    ),
+)
+def test_share_group_state_machine_property(tmp_path_factory, n_records,
+                                            script):
+    """Random interleavings of fetch/ack/release/reject/lock-expiry across
+    3 members must preserve the share-group invariants:
+
+    - a record is never held by two members at once (each offset has at
+      most one live lock);
+    - per-record state only moves along Available→Acquired→{Acknowledged,
+      Available, Archived} (no resurrection past finalization);
+    - tracked state stays within in-flight + out-of-order gap;
+    - an always-ack drain terminates with SPSO == SPEO and zero state.
+    """
+    from rdkafka_streams_spark.streaming.sharegroups import ShareGroup
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    root = str(tmp_path_factory.mktemp("sgprop"))
+    log = TopicLog(root)
+    log.create_topic("q", partitions=1)
+    log.append("q", [f"r{i}" for i in range(n_records)], partition=0)
+    sg = ShareGroup(root, "g", delivery_attempt_limit=3,
+                    lock_duration_ms=50, max_record_locks=10)
+    members = ("a", "b", "c")
+    held: dict[int, str] = {}      # offset -> member (live locks we issued)
+    finalized: set[int] = set()    # acked/rejected offsets (terminal)
+    now = 1_000_000
+    for op, mi, k in script:
+        m = members[mi]
+        if op == "tick":
+            now += 60  # expire every live lock
+            held.clear()
+        elif op == "fetch":
+            got = sg.fetch("q", m, max_records=k, now_ms=now)
+            for r in got:
+                o = r["offset"]
+                assert o not in held, "double acquisition"
+                assert o not in finalized, "finalized record re-dispensed"
+                held[o] = m
+        else:
+            mine = [o for o, who in held.items() if who == m][:k]
+            if not mine:
+                continue
+            getattr(sg, op)("q", m, {0: mine}, now_ms=now)
+            for o in mine:
+                del held[o]
+                if op in ("ack", "reject"):
+                    finalized.add(o)
+        assert sg.state_size("q") <= 10 + len(finalized) + n_records - \
+            sg.describe("q")[0]["spso"]
+    # drain to completion with an always-ack member
+    now += 60
+    while True:
+        got = sg.fetch("q", "z", max_records=10, now_ms=now)
+        if not got:
+            break
+        sg.ack("q", "z", {0: [r["offset"] for r in got]}, now_ms=now)
+        now += 1
+    d = sg.describe("q")[0]
+    assert d["spso"] == d["speo"] == n_records
+    assert d["lag"] == 0 and sg.state_size("q") == 0
