@@ -120,6 +120,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("group")
     p.add_argument("topic")
     p = sub.add_parser(
+        "reset-share-offsets",
+        help="kafka-share-groups.sh --reset-offsets analog: move SPSO to "
+             "earliest/latest or an absolute offset (refused under live "
+             "locks; rewinds replay with fresh delivery counts)",
+    )
+    p.add_argument("group")
+    p.add_argument("topic")
+    p.add_argument("--to", required=True,
+                   help="'earliest', 'latest', or an absolute offset "
+                        "applied to every partition")
+    p = sub.add_parser(
         "acls",
         help="kafka-acls.sh analog: list/add/remove principal × operation "
         "× resource-pattern bindings (deny beats allow; literal + "
@@ -227,6 +238,15 @@ def main(argv: list[str] | None = None) -> int:
         from rdkafka_streams_spark.streaming.sharegroups import ShareGroup
 
         out = ShareGroup(a.root, a.group, a.principal).describe(a.topic)
+    elif a.cmd == "reset-share-offsets":
+        from rdkafka_streams_spark.streaming.sharegroups import ShareGroup
+
+        sg = ShareGroup(a.root, a.group, a.principal)
+        if a.to in ("earliest", "latest"):
+            out = sg.reset(a.topic, a.to)
+        else:
+            parts = TopicLog(a.root).partitions(a.topic)
+            out = sg.reset(a.topic, {p: int(a.to) for p in parts})
     elif a.cmd == "acls":
         from dataclasses import asdict
 
