@@ -40,6 +40,7 @@ from rdkafka_streams_spark.streaming.acl import (
     AuthorizationError,
 )
 from rdkafka_streams_spark.streaming.sharegroups import (
+    FencedShareCoordinatorError,
     InvalidRecordStateError,
     ShareGroup,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "AclBinding",
     "AclStore",
     "AuthorizationError",
+    "FencedShareCoordinatorError",
     "InvalidRecordStateError",
     "ShareGroup",
     "DeliveryListener",

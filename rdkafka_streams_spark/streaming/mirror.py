@@ -76,6 +76,7 @@ from pyspark.sql.window import Window
 from rdkafka_streams_spark.streaming.topiclog import (
     FORMAT_NAME,
     TopicLog,
+    UnkeyedTopicError,
     read_topic,
     register,
 )
@@ -377,9 +378,8 @@ def mirror_topic(
         # is retired) instead of failing every post-upgrade run.
         try:
             dst.compact(stopic)
-        except ValueError as e:
-            if "keyed" not in str(e):
-                raise  # only the legacy-keyless exemption is tolerable
+        except UnkeyedTopicError:
+            pass  # only the legacy-keyless exemption is tolerable
     return {
         "topic": dtopic,
         "syncs_topic": stopic,

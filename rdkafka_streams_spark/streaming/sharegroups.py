@@ -29,8 +29,13 @@ constructor args, matching KIP-932's group configs):
 
 Determinism: every time-dependent API takes ``now_ms`` so tests and
 oracle queries replay identically.  All state mutations are atomic
-(tmp + ``os.replace``) under a single coordinator per group — the
-broker's share coordinator is a single writer per share-partition too.
+(tmp + ``os.replace``) and the single-writer rule is ENFORCED, not
+assumed: each instance claims a per-(group, topic) coordinator epoch
+(O_EXCL marker protocol, same as producer fencing) at its first
+mutating operation, and a superseded coordinator raises
+``FencedShareCoordinatorError`` instead of last-writer-wins
+overwriting per-record state — the broker's share coordinator is a
+single writer per share-partition for the same reason.
 
 ACLs: fetch/ack/release/reject require READ on the group AND the topic
 (share groups reuse the consumer ACL model in KIP-932).
@@ -46,6 +51,7 @@ from dataclasses import dataclass, field
 
 from rdkafka_streams_spark.streaming.topiclog import (
     TopicLog,
+    _check_name,
     _read_range,
 )
 
@@ -56,6 +62,17 @@ class InvalidRecordStateError(ValueError):
     """KIP-932 INVALID_RECORD_STATE: ack/release/reject of a record the
     member does not currently hold (never acquired, lock expired and
     re-dispensed, or already finalized)."""
+
+
+class FencedShareCoordinatorError(RuntimeError):
+    """This coordinator's epoch for a (group, topic) share-partition state
+    has been superseded — another ``ShareGroup`` instance (a second
+    drainer, a ``reset-share-offsets`` CLI run) claimed a newer epoch
+    since. The stale coordinator must NOT write: a last-writer-wins
+    overwrite would silently resurrect released locks, lose acks (double
+    delivery past the attempt-limit accounting), or un-archive poison
+    records. Mirrors the broker's single-writer share coordinator and
+    this repo's producer-epoch fence (``ProducerFencedError``)."""
 
 
 @dataclass
@@ -87,10 +104,15 @@ class ShareGroup:
     #: Capacity-bounded FIFO; misses fall back to the coalesced scan.
     _recent: dict = field(init=False, default_factory=dict, repr=False)
     recent_cache_records: int = 50_000
+    #: {topic: coordinator epoch claimed by THIS instance} — claimed
+    #: lazily at the first mutating operation per topic (read-only admin
+    #: like describe/state_size never fences a running drainer).
+    _epochs: dict = field(init=False, default_factory=dict, repr=False)
 
     def __post_init__(self):
         if self.delivery_attempt_limit < 1:
             raise ValueError("delivery_attempt_limit must be >= 1")
+        _check_name(self.group, "group")  # becomes a path component below
         self._log = TopicLog(self.root, self.principal)
 
     # -- state plumbing ------------------------------------------------------
@@ -102,18 +124,102 @@ class ShareGroup:
         # would stamp __meta into — then delete — the share state. Share
         # coordination is its own subsystem with its own lifecycle, like
         # the broker's share coordinator vs the group coordinator.
+        _check_name(topic, "topic")  # same traversal rule as _group_file
         return os.path.join(
             self.root, ".share_groups", self.group, f"{topic}.json"
         )
+
+    def _coord_file(self, topic: str) -> str:
+        # dot-prefixed so nothing that globs "{topic}.json" state sees it;
+        # _check_name forbids dot-prefixed TOPICS, so no collision
+        return os.path.join(
+            os.path.dirname(self._state_path(topic)),
+            f".{topic}.coord.json",
+        )
+
+    def _claim_coordinator(self, topic: str) -> int:
+        """Claim the next coordinator epoch for (group, topic) — the same
+        lock-free ``open(x)`` marker protocol as producer fencing
+        (``TopicLog.init_producer_id``): the O_EXCL winner of marker
+        ``.{topic}.epoch-{n}`` owns epoch n; publish is guarded so the
+        recorded epoch never regresses. Every older coordinator is fenced
+        on its next write."""
+        cf = self._coord_file(topic)
+        gdir = os.path.dirname(cf)
+        os.makedirs(gdir, exist_ok=True)
+        epoch = 0
+        if os.path.exists(cf):
+            with open(cf, encoding="utf-8") as f:
+                epoch = int(json.load(f)["epoch"]) + 1
+        while True:
+            try:
+                fd = os.open(
+                    os.path.join(gdir, f".{topic}.epoch-{epoch}"),
+                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                )
+                os.close(fd)
+            except FileExistsError:
+                epoch += 1
+                continue
+            # our marker won — but the published epoch may have moved
+            # past our claim while we raced (a GC'd marker re-claimed):
+            # the coord file is the commit record, never regress it
+            if os.path.exists(cf):
+                with open(cf, encoding="utf-8") as f:
+                    cur = int(json.load(f)["epoch"])
+                if cur >= epoch:
+                    epoch = cur + 1
+                    continue
+            break
+        tmp = f"{cf}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"epoch": epoch}, f)
+        os.replace(tmp, cf)
+        for i in range(epoch):  # dead-marker GC (see init_producer_id)
+            try:
+                os.unlink(os.path.join(gdir, f".{topic}.epoch-{i}"))
+            except OSError:
+                pass
+        return epoch
+
+    def _ensure_coordinator(self, topic: str) -> None:
+        if topic not in self._epochs:
+            self._epochs[topic] = self._claim_coordinator(topic)
+
+    def _check_fenced(self, topic: str) -> None:
+        cf = self._coord_file(topic)
+        try:
+            with open(cf, encoding="utf-8") as f:
+                cur = int(json.load(f)["epoch"])
+        except FileNotFoundError:
+            return
+        if cur > self._epochs[topic]:
+            raise FencedShareCoordinatorError(
+                f"share-group coordinator for {self.group!r}/{topic!r} "
+                f"fenced: this instance holds epoch {self._epochs[topic]}, "
+                f"epoch {cur} has since been claimed (another drainer or a "
+                "reset-share-offsets run) — FENCED"
+            )
 
     def _load(self, topic: str) -> dict:
         try:
             with open(self._state_path(topic), encoding="utf-8") as f:
                 return json.load(f)
-        except OSError:
-            return {}
+        except FileNotFoundError:
+            return {}  # no state yet — the one legitimate empty case
+        except json.JSONDecodeError as e:
+            # a corrupt state file must fail LOUDLY: silently resetting
+            # to {} would rewind SPSO to the log beginning and re-deliver
+            # every already-acknowledged record with fresh delivery counts
+            raise ValueError(
+                f"share-group state {self._state_path(topic)!r} is corrupt "
+                f"({e}) — refusing to reset silently; repair or delete it"
+            ) from e
+        # any other OSError (permissions, I/O) propagates: a transiently
+        # unreadable file is NOT an empty group
 
     def _save(self, topic: str, state: dict) -> None:
+        self._check_fenced(topic)  # a superseded coordinator never writes
         path = self._state_path(topic)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
@@ -173,6 +279,8 @@ class ShareGroup:
         """
         self._log._require("READ", "group", self.group)
         self._log._require("READ", "topic", topic)
+        self._ensure_coordinator(topic)
+        self._check_fenced(topic)  # fail fast; _save re-checks before write
         if self.isolation == "read_committed":
             # the mirror's LSO gate, for the same reason: an OPEN txn's
             # offsets would be skipped by the advancing end pointer and
@@ -332,6 +440,8 @@ class ShareGroup:
     ) -> None:
         self._log._require("READ", "group", self.group)
         self._log._require("READ", "topic", topic)
+        self._ensure_coordinator(topic)
+        self._check_fenced(topic)
         now = int(time.time() * 1000) if now_ms is None else int(now_ms)
         state = self._load(topic)
         begins = self._log.beginning_offsets(topic)
@@ -423,6 +533,8 @@ class ShareGroup:
         applied {partition: spso}."""
         self._log._require("READ", "group", self.group)
         self._log._require("READ", "topic", topic)
+        self._ensure_coordinator(topic)
+        self._check_fenced(topic)
         state = self._load(topic)
         begins = self._log.beginning_offsets(topic)
         ends = self._log.end_offsets(topic)

@@ -127,6 +127,14 @@ class OutOfOrderSequenceError(RuntimeError):
     OutOfOrderSequenceException; the client must re-init and resend)."""
 
 
+class UnkeyedTopicError(ValueError):
+    """``compact()`` met a keyless record — log compaction requires every
+    record keyed (Kafka's own precondition: a compacted topic rejects
+    null-key produces). A dedicated type so callers tolerating legacy
+    keyless topics (mirror sync-store compaction) can catch exactly this
+    case instead of string-matching the message."""
+
+
 # ---------------------------------------------------------------- log layout
 def _check_name(value: str, what: str) -> str:
     """One rule for every user-supplied value that becomes a path
@@ -2274,15 +2282,33 @@ class TopicLog:
                 except FileExistsError:
                     n += 1
             pid = n
-        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"pid": pid, "epoch": epoch}, f)
-        os.replace(tmp, path)
+        # publish-ordering guard: the claim loop guarantees concurrent
+        # inits DISTINCT epochs, but if the lower-epoch init's os.replace
+        # lands LAST, the name/binding files would regress to the lower
+        # epoch and NEITHER session would be fenced (epoch < cur is false
+        # for both). Re-read immediately before each replace and skip the
+        # publish when the world already moved at/past this epoch — the
+        # binding never regresses, so the higher epoch always fences.
+        # (The check→replace window is not atomic, but both racers run
+        # this same guard, so a regression needs the re-read AND replace
+        # of the higher epoch to interleave inside the lower's window —
+        # the practical residue of a lock-free file protocol.)
+        def _publish(target: str, payload: dict) -> None:
+            if os.path.exists(target):
+                try:
+                    with open(target, encoding="utf-8") as f:
+                        if int(json.load(f)["epoch"]) >= epoch:
+                            return
+                except (ValueError, KeyError, OSError):
+                    pass  # unreadable/torn current file: overwrite it
+            tmp = f"{target}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(payload, f)
+            os.replace(tmp, target)
+
+        _publish(path, {"pid": pid, "epoch": epoch})
         bp = os.path.join(self.root, ".pids", f".by-pid-{pid}.json")
-        tmp = f"{bp}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"name": name, "epoch": epoch}, f)
-        os.replace(tmp, bp)
+        _publish(bp, {"name": name, "epoch": epoch})
         # dead-marker GC: epochs below the just-published one can never
         # be re-claimed (any later init reads the name file and starts at
         # published+1; the bootstrap epoch-0 path requires the name file
@@ -2945,7 +2971,7 @@ class TopicLog:
                             continue      # records outright
                         kb = _rec_key(rec)
                         if kb is None:
-                            raise ValueError(
+                            raise UnkeyedTopicError(
                                 "compact() requires every record keyed "
                                 f"(keyless record at {topic}/p{pid} offset {off})"
                             )

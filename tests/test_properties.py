@@ -12,6 +12,7 @@ empty sides).
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -651,3 +652,77 @@ def test_share_group_state_machine_property(tmp_path_factory, n_records,
     d = sg.describe("q")[0]
     assert d["spso"] == d["speo"] == n_records
     assert d["lag"] == 0 and sg.state_size("q") == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_records=st.integers(min_value=1, max_value=24),
+    pre=st.lists(
+        st.tuples(st.sampled_from(["fetch", "ack", "release"]),
+                  st.integers(min_value=1, max_value=5)),
+        min_size=0, max_size=10,
+    ),
+    post=st.lists(
+        st.sampled_from(["fetch", "ack", "release", "reject", "reset"]),
+        min_size=1, max_size=8,
+    ),
+)
+def test_share_group_fencing_interleaving_property(tmp_path_factory,
+                                                   n_records, pre, post):
+    """r10 fencing property: after a second coordinator claims the
+    (group, topic) epoch, EVERY mutating op on the stale coordinator
+    raises FENCED (no silent last-writer-wins), the new coordinator's
+    view is never clobbered, and an always-ack drain still terminates
+    with SPSO == SPEO and zero state."""
+    from rdkafka_streams_spark.streaming.sharegroups import (
+        FencedShareCoordinatorError,
+        ShareGroup,
+    )
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    root = str(tmp_path_factory.mktemp("sgfence"))
+    log = TopicLog(root)
+    log.create_topic("q", partitions=1)
+    log.append("q", [f"r{i}" for i in range(n_records)], partition=0)
+    a = ShareGroup(root, "g", delivery_attempt_limit=4, lock_duration_ms=50)
+    now = 1_000_000
+    # A claims its coordinator epoch here (first mutating op) — without
+    # this, a pre=[] A never claimed and its later fetch would correctly
+    # CLAIM (becoming the coordinator), not be fenced
+    held_a: list[int] = [
+        r["offset"] for r in a.fetch("q", "a", max_records=1, now_ms=now)
+    ]
+    for op, k in pre:
+        now += 1
+        if op == "fetch":
+            held_a += [r["offset"]
+                       for r in a.fetch("q", "a", max_records=k, now_ms=now)]
+        elif held_a:
+            batch, held_a = held_a[:k], held_a[k:]
+            getattr(a, op)("q", "a", {0: batch}, now_ms=now)
+    # B claims at ITS first mutating op — A is fenced from then on
+    b = ShareGroup(root, "g", delivery_attempt_limit=4, lock_duration_ms=50)
+    b.fetch("q", "b", max_records=1, now_ms=now + 1)
+    snapshot = b.describe("q")
+    for op in post:
+        now += 1
+        with pytest.raises(FencedShareCoordinatorError):
+            if op == "fetch":
+                a.fetch("q", "a", max_records=2, now_ms=now)
+            elif op == "reset":
+                a.reset("q", "earliest")
+            else:
+                getattr(a, op)("q", "a", {0: held_a or [0]}, now_ms=now)
+    # nothing A attempted moved the state B sees
+    assert b.describe("q") == snapshot
+    # B drains to completion past expired locks
+    now += 60
+    while True:
+        got = b.fetch("q", "b", max_records=8, now_ms=now)
+        if not got:
+            break
+        b.ack("q", "b", {0: [r["offset"] for r in got]}, now_ms=now)
+        now += 60
+    d = b.describe("q")[0]
+    assert d["spso"] == d["speo"] == n_records
+    assert d["lag"] == 0 and b.state_size("q") == 0

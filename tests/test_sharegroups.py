@@ -250,3 +250,110 @@ def test_duplicate_offsets_in_one_finalize_raise_cleanly(tmp_path):
     assert sg.describe("q")[0]["spso"] == 2
     with pytest.raises(InvalidRecordStateError):
         sg.ack("q", "c1", {0: [0]}, now_ms=1_002)  # already finalized
+
+
+# ------------------------------------------------------- coordinator fencing
+def test_stale_coordinator_is_fenced_on_every_mutation(tmp_path):
+    """r10: the single-writer rule is enforced, not assumed. A second
+    coordinator instance claiming the (group, topic) epoch fences the
+    first: its ack/release/reject/fetch/reset all raise FENCED instead of
+    last-writer-wins overwriting per-record state (which would resurrect
+    locks, lose acks, or un-archive poison records)."""
+    from rdkafka_streams_spark.streaming.sharegroups import (
+        FencedShareCoordinatorError,
+    )
+
+    root, log, a = _mk(tmp_path, n=6)
+    got_a = a.fetch("q", "alice", max_records=2, now_ms=1_000)
+    assert [r["offset"] for r in got_a] == [0, 1]
+    # a second coordinator for the SAME group claims a newer epoch at its
+    # first mutating op (e.g. a parallel drainer misconfiguration)
+    b = ShareGroup(root, "workers")
+    got_b = b.fetch("q", "bob", max_records=2, now_ms=1_001)
+    assert [r["offset"] for r in got_b] == [2, 3]
+    # every mutation path on the stale coordinator is rejected
+    with pytest.raises(FencedShareCoordinatorError):
+        a.ack("q", "alice", {0: [0, 1]}, now_ms=1_002)
+    with pytest.raises(FencedShareCoordinatorError):
+        a.release("q", "alice", {0: [0]}, now_ms=1_002)
+    with pytest.raises(FencedShareCoordinatorError):
+        a.reject("q", "alice", {0: [0]}, now_ms=1_002)
+    with pytest.raises(FencedShareCoordinatorError):
+        a.fetch("q", "alice", max_records=1, now_ms=1_003)
+    with pytest.raises(FencedShareCoordinatorError):
+        a.reset("q", "earliest")
+    # b's state was never clobbered: alice's locks expire and b drains all
+    b.ack("q", "bob", {0: [2, 3]}, now_ms=1_004)
+    rest = b.fetch("q", "bob", max_records=10, now_ms=40_000)
+    assert sorted(r["offset"] for r in rest) == [0, 1, 4, 5]
+    assert {r["offset"]: r["delivery_count"] for r in rest}[0] == 2
+    b.ack("q", "bob", {0: [r["offset"] for r in rest]}, now_ms=40_001)
+    d = b.describe("q")[0]
+    assert d["spso"] == d["speo"] == 6 and b.state_size("q") == 0
+
+
+def test_reset_cli_fences_running_drainer(tmp_path):
+    """The reset-share-offsets CLI path (a second ShareGroup instance)
+    fences a live drainer rather than silently interleaving with it."""
+    from rdkafka_streams_spark.streaming.sharegroups import (
+        FencedShareCoordinatorError,
+    )
+
+    root, log, drainer = _mk(tmp_path, n=4)
+    got = drainer.fetch("q", "c1", max_records=2, now_ms=1_000)
+    drainer.ack("q", "c1", {0: [r["offset"] for r in got]}, now_ms=1_001)
+    admin = ShareGroup(root, "workers")
+    assert admin.reset("q", "earliest") == {0: 0}
+    with pytest.raises(FencedShareCoordinatorError):
+        drainer.fetch("q", "c1", max_records=1, now_ms=1_002)
+    # the admin (or a NEW drainer) replays from the reset SPSO
+    replay = admin.fetch("q", "c1", max_records=10, now_ms=1_003)
+    assert [r["offset"] for r in replay] == [0, 1, 2, 3]
+    assert all(r["delivery_count"] == 1 for r in replay)
+
+
+def test_describe_and_state_size_never_fence(tmp_path):
+    """Read-only admin must not steal the coordinator epoch from a live
+    drainer (kafka-share-groups.sh --describe is safe to run anytime)."""
+    root, log, drainer = _mk(tmp_path, n=4)
+    drainer.fetch("q", "c1", max_records=2, now_ms=1_000)
+    observer = ShareGroup(root, "workers")
+    assert observer.describe("q")[0]["in_flight"] == 2
+    assert observer.state_size("q") == 2
+    # the drainer continues unfenced
+    drainer.ack("q", "c1", {0: [0, 1]}, now_ms=1_001)
+    assert drainer.describe("q")[0]["spso"] == 2
+
+
+def test_group_and_topic_path_traversal_rejected(tmp_path):
+    """Advisor r9 (medium): group/topic become path components — the
+    repo-wide _check_name rule applies (no separators, no dot prefix)."""
+    root, log, sg = _mk(tmp_path, n=1)
+    with pytest.raises(ValueError):
+        ShareGroup(root, "../../evil")
+    with pytest.raises(ValueError):
+        ShareGroup(root, ".hidden")
+    with pytest.raises(ValueError):
+        sg.describe("../evil")
+    with pytest.raises(ValueError):
+        sg.fetch("..\\evil", "c1", now_ms=1_000)
+
+
+def test_corrupt_state_fails_loudly_not_silent_reset(tmp_path):
+    """Advisor r9 (low): a corrupt state file must raise, not silently
+    reset SPSO to the log beginning and re-deliver acknowledged records."""
+    import os
+
+    root, log, sg = _mk(tmp_path, n=4)
+    got = sg.fetch("q", "c1", max_records=2, now_ms=1_000)
+    sg.ack("q", "c1", {0: [r["offset"] for r in got]}, now_ms=1_001)
+    path = sg._state_path("q")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("{not json")
+    with pytest.raises(ValueError, match="corrupt"):
+        sg.describe("q")
+    with pytest.raises(ValueError, match="corrupt"):
+        sg.fetch("q", "c1", max_records=1, now_ms=1_002)
+    # missing state is still the legitimate empty case
+    os.unlink(path)
+    assert sg.describe("q")[0]["spso"] == 0
