@@ -2487,3 +2487,86 @@ def q298_byte_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("bigint").alias("max_doc_tokens"),
         )
     )
+
+
+# ------------------------------------------------------------------------ L2
+@query(
+    "q299_exact_substring_spans",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+      FROM tk, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)),
+dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+pos AS (SELECT doc_id, i AS s, i + 7 AS e FROM w JOIN dup USING (h)),
+mk AS (SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2147483648) + 1
+              THEN 1 ELSE 0 END AS brk
+       FROM pos),
+isl AS (SELECT doc_id, s, e,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        FROM mk)
+SELECT doc_id, CAST(island_id AS BIGINT) AS span_id,
+       CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island_id
+""",
+    tags=("L2",),
+)
+def q299_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span detection (llm/dedup.py exact_substring_spans —
+    Lee et al. 2022): every 8-token window hashed, cross-doc duplicated
+    windows (distinct-doc frequency >= 2) merged into MAXIMAL per-doc
+    excision intervals via the gaps-and-islands coalesce
+    (operators/intervals.py). Never all-pairs: one md5-keyed anchor
+    shuffle + one join-back + one per-doc window — linear in corpus
+    tokens. The oracle replays the identical fixed-window semantics in
+    SQL, so span boundaries are hash-checked, not eyeballed."""
+    from rdkafka_streams_spark.llm.dedup import exact_substring_spans
+
+    return exact_substring_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
+# ------------------------------------------------------------------------ L2
+@query(
+    "q300_exact_substring_excise",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+      FROM tk, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)),
+dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (SELECT DISTINCT p.doc_id, v.j
+        FROM (SELECT doc_id, i FROM w JOIN dup USING (h)) p,
+             unnest(range(p.i, p.i + 8)) AS v(j)),
+tok AS (SELECT doc_id, CAST(j AS INTEGER) AS j, t[j] AS tok
+        FROM tk, unnest(range(1, len(t) + 1)) AS u(j)),
+kept AS (SELECT tok.* FROM tok
+         WHERE NOT EXISTS (SELECT 1 FROM cov
+                           WHERE cov.doc_id = tok.doc_id AND cov.j = tok.j)),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0) AS BIGINT)
+           AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+    tags=("L2",),
+)
+def q300_exact_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr excision (llm/dedup.py exact_substring_excise — Lee et
+    al. 2022's apply step): every token covered by a cross-doc duplicated
+    8-token window is CUT from the document; unique surrounding text
+    survives (span excision, not whole-doc dropping). Spark rebuilds each
+    doc from its surviving (position, token) pairs inside array_sort —
+    no per-doc window pass; the oracle rebuilds via string_agg ORDER BY
+    position, so the exact byte output of the excision is value-checked
+    end to end."""
+    from rdkafka_streams_spark.llm.dedup import exact_substring_excise
+
+    return exact_substring_excise(_t(spark, sf_dir, "documents"), n=8)

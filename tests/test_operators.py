@@ -1040,3 +1040,63 @@ def test_learn_byte_bpe_matches_reference_implementation(spark):
     # merged symbol chains with A9: é's bytes travel together
     assert (rules2[0]["left"], rules2[0]["right"]) == ("6C", "C3")
     assert rules2[1]["merged"] == "6CC3A9"
+
+
+def test_exact_substring_spans_and_excise(spark):
+    """ExactSubstr (Lee et al. 2022) on a hand-built corpus: docs A and B
+    share one 10-token run; C is unique. Expect ONE maximal span per
+    sharing doc covering exactly the shared run (3 overlapping 8-token
+    windows merged), and excision to cut exactly those tokens."""
+    from rdkafka_streams_spark.llm.dedup import (
+        exact_substring_excise,
+        exact_substring_spans,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {shared} a3"),           # span at tokens 3..12
+            (2, f"{shared} b1 b2 b3 b4"),        # span at tokens 1..10
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),   # unique, no span
+        ],
+        "doc_id int, text string",
+    )
+    spans = {
+        r["doc_id"]: r
+        for r in exact_substring_spans(docs, n=8).collect()
+    }
+    assert set(spans) == {1, 2}
+    assert (spans[1]["span_start"], spans[1]["span_end"]) == (3, 12)
+    assert (spans[2]["span_start"], spans[2]["span_end"]) == (1, 10)
+    # 10-token run with n=8 → 3 overlapping windows merged into 1 span
+    assert spans[1]["n_windows"] == 3 and spans[1]["span_tokens"] == 10
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_excise(docs, n=8).collect()
+    }
+    assert out[1]["clean_text"] == "a1 a2 a3"
+    assert out[2]["clean_text"] == "b1 b2 b3 b4"
+    assert out[3]["clean_text"] == "c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    assert out[1]["n_removed"] == 10 and out[3]["n_removed"] == 0
+    assert out[2]["n_tokens"] == 14
+
+
+def test_exact_substring_contiguous_regions_merge(spark):
+    """Two different 8-token runs duplicated from two DIFFERENT partners,
+    sitting contiguously in one doc, merge into ONE excision region
+    (slack=1 adjacency: contiguous duplicated text is one cut)."""
+    from rdkafka_streams_spark.llm.dedup import exact_substring_spans
+
+    r1 = " ".join(f"x{i}" for i in range(8))
+    r2 = " ".join(f"y{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{r1} {r2}"),   # both runs, back to back: tokens 1..16
+            (2, f"p1 {r1} p2"),  # duplicates run 1 only
+            (3, f"q1 q2 {r2}"),  # duplicates run 2 only
+        ],
+        "doc_id int, text string",
+    )
+    spans = exact_substring_spans(docs, n=8).where("doc_id = 1").collect()
+    assert len(spans) == 1
+    assert (spans[0]["span_start"], spans[0]["span_end"]) == (1, 16)

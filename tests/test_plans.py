@@ -361,6 +361,13 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # type/token split: type distinct + doc-tokens/type join + per-doc
         # groupBy + source join + source rollup (training loop eager)
         "q298_byte_bpe_encode": 6,
+        # ExactSubstr spans: anchor-hash groupBy + position join-back +
+        # per-doc interval-coalesce window (groupBy reuses the window's
+        # doc partitioning) — linear, never all-pairs
+        "q299_exact_substring_spans": 3,
+        # excision adds the covered-position distinct + keep-side
+        # anti-join + per-doc rebuild over the span machinery
+        "q300_exact_substring_excise": 4,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
