@@ -1976,17 +1976,23 @@ class TopicLog:
         with open(path, encoding="utf-8") as f:
             return json.load(f)
 
-    def begin_txn(self, txn_id: str) -> None:
+    def begin_txn(self, txn_id: str, *, now_ms: int | None = None) -> None:
         """Open a transaction. Re-beginning a COMPLETED id starts a fresh
         transaction under the same transactional.id (Kafka's epoch bump —
         the old generation's outcome is already sealed in the log);
         re-beginning an OPEN id is an error (the zombie producer must
-        abort or be fenced first)."""
+        abort or be fenced first). ``began_ms`` is stamped so the
+        KIP-664 admin surface can report transaction DURATION (the
+        hung-transaction signal ``list-transactions --older-than-ms``
+        filters on)."""
         self._require("WRITE", "transactional_id", txn_id)
         st = self.txn_state(txn_id)
         if st is not None and st["state"] == "open":
             raise ValueError(f"transaction {txn_id!r} is already open")
-        self._txn_write(txn_id, {"state": "open", "partitions": {}})
+        began = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        self._txn_write(
+            txn_id, {"state": "open", "partitions": {}, "began_ms": began}
+        )
 
     def _txn_touch(self, txn_id: str, topic: str, pids: list[int]) -> None:
         st = self.txn_state(txn_id)
@@ -2048,6 +2054,7 @@ class TopicLog:
                     [_encode_line(None, b"", ts, txn=txn_id, ctl=outcome)],
                 )
         st["state"] = outcome
+        st["ended_ms"] = ts
         self._txn_write(txn_id, st)
 
     def send_offsets_to_txn(
@@ -2158,6 +2165,126 @@ class TopicLog:
                 os.unlink(path)
                 removed += 1
         return removed
+
+    # --------------------------------------- transaction admin (KIP-664)
+    # kafka-transactions.sh: an OPEN transaction holds the LSO floor down,
+    # wedging every read_committed consumer and share-fetch on the topics
+    # it touched. Before KIP-664 the only remedy was knowing the txn id
+    # out-of-band; these three give the operator list / describe /
+    # forceful-abort, exactly the tool's surface.
+
+    def list_transactions(
+        self,
+        *,
+        state: str | None = None,
+        older_than_ms: int | None = None,
+        now_ms: int | None = None,
+    ) -> list[dict]:
+        """``kafka-transactions.sh list`` analog: one row per
+        transactional id ever used on this root — id, state, age
+        (duration since ``begin_txn`` for OPEN txns; None for sealed or
+        legacy pre-timestamp states), touched-partition counts.
+        ``state`` filters (open/commit/abort); ``older_than_ms``
+        reproduces the tool's ``--duration-filter`` (only OPEN txns with
+        a KNOWN age ≥ the threshold — the hung-transaction sweep).
+        Metadata-sized: one read per txn state file, no log scan."""
+        self._require("DESCRIBE", "cluster", "kafka-cluster")
+        now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        tdir = os.path.join(self.root, ".txns")
+        if not os.path.isdir(tdir):
+            return []
+        out: list[dict] = []
+        for name in sorted(os.listdir(tdir)):
+            if not name.endswith(".json") or ".tmp-" in name:
+                continue
+            try:
+                with open(os.path.join(tdir, name), encoding="utf-8") as f:
+                    st = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if state is not None and st.get("state") != state:
+                continue
+            age = None
+            if st.get("state") == "open" and "began_ms" in st:
+                age = max(0, now - int(st["began_ms"]))
+            if older_than_ms is not None and (
+                age is None or age < older_than_ms
+            ):
+                continue
+            parts = st.get("partitions", {})
+            out.append({
+                "txn_id": name[:-5],
+                "state": st.get("state"),
+                "age_ms": age,
+                "n_topics": len(parts),
+                "n_partitions": sum(len(v) for v in parts.values()),
+            })
+        return out
+
+    def describe_transaction(self, txn_id: str) -> dict:
+        """``kafka-transactions.sh describe`` analog: full state for one
+        transactional id — outcome, touched partitions, the LSO floors it
+        holds down, staged EOS group offsets, begin/end timestamps."""
+        self._require("DESCRIBE", "transactional_id", txn_id)
+        st = self.txn_state(txn_id)
+        if st is None:
+            raise ValueError(f"unknown transactional id {txn_id!r}")
+        return {
+            "txn_id": txn_id,
+            "state": st.get("state"),
+            "began_ms": st.get("began_ms"),
+            "ended_ms": st.get("ended_ms"),
+            "partitions": st.get("partitions", {}),
+            "lso_floors": st.get("lso", {}),
+            "staged_offset_groups": sorted(st.get("offsets", {})),
+            "forced": st.get("forced", False),
+        }
+
+    def force_abort_txn(
+        self,
+        txn_id: str,
+        *,
+        min_age_ms: int = 0,
+        now_ms: int | None = None,
+    ) -> dict:
+        """``kafka-transactions.sh abort`` analog: operator-forced abort
+        of a HUNG open transaction — the path that unwedges
+        read_committed consumers and share-fetch when the producer that
+        opened it is gone. Requires CLUSTER_ACTION on the cluster (the
+        broker's WriteTxnMarkers ACL), NOT the producer's WRITE on the
+        transactional id — the operator is not the producer.
+
+        ``min_age_ms`` is the safety interlock: when > 0 the abort is
+        REFUSED unless the txn's age is known and at least that old
+        (aborting a young txn races its live producer; Kafka's tool makes
+        you name the exact coordinates for the same reason). Legacy
+        states without ``began_ms`` have unknown age and are refused
+        under any positive threshold — pass 0 to force those."""
+        self._require("CLUSTER_ACTION", "cluster", "kafka-cluster")
+        st = self.txn_state(txn_id)
+        if st is None or st.get("state") != "open":
+            raise ValueError(
+                f"transaction {txn_id!r} is "
+                f"{'unknown' if st is None else st['state']}; only an OPEN "
+                "transaction can be force-aborted"
+            )
+        now = int(time.time() * 1000) if now_ms is None else int(now_ms)
+        age = (
+            max(0, now - int(st["began_ms"])) if "began_ms" in st else None
+        )
+        if min_age_ms > 0 and (age is None or age < min_age_ms):
+            raise ValueError(
+                f"transaction {txn_id!r} is "
+                f"{'of unknown age' if age is None else f'only {age} ms old'}"
+                f" (< min_age_ms={min_age_ms}) — refusing to abort under a "
+                "possibly-live producer; lower min_age_ms to force"
+            )
+        self._txn_finish(txn_id, "abort")
+        st = self.txn_state(txn_id)
+        st["forced"] = True
+        st["ended_ms"] = now
+        self._txn_write(txn_id, st)
+        return {"txn_id": txn_id, "aborted": True, "age_ms": age}
 
     def unresolved_txn_ids(self) -> frozenset[str]:
         """Txn ids a read_committed scan must filter: every id whose state

@@ -131,6 +131,31 @@ def main(argv: list[str] | None = None) -> int:
                    help="'earliest', 'latest', or an absolute offset "
                         "applied to every partition")
     p = sub.add_parser(
+        "list-transactions",
+        help="kafka-transactions.sh list analog (KIP-664): every "
+             "transactional id with state, age, touched partitions; "
+             "--older-than-ms is the hung-transaction duration filter",
+    )
+    p.add_argument("--state", choices=["open", "commit", "abort"])
+    p.add_argument("--older-than-ms", type=int, default=None,
+                   help="only OPEN transactions at least this old")
+    p = sub.add_parser(
+        "describe-transaction",
+        help="kafka-transactions.sh describe analog: outcome, touched "
+             "partitions, LSO floors held down, staged EOS offsets",
+    )
+    p.add_argument("txn_id")
+    p = sub.add_parser(
+        "abort-transaction",
+        help="kafka-transactions.sh abort analog: operator-forced abort "
+             "of a HUNG open transaction (unwedges read_committed "
+             "consumers and share-fetch); requires CLUSTER_ACTION",
+    )
+    p.add_argument("txn_id")
+    p.add_argument("--min-age-ms", type=int, default=0,
+                   help="refuse unless the txn is at least this old "
+                        "(safety interlock against live producers)")
+    p = sub.add_parser(
         "acls",
         help="kafka-acls.sh analog: list/add/remove principal × operation "
         "× resource-pattern bindings (deny beats allow; literal + "
@@ -226,6 +251,14 @@ def main(argv: list[str] | None = None) -> int:
         out = log.tier_segments(a.topic)
     elif a.cmd == "compact":
         out = log.compact(a.topic)
+    elif a.cmd == "list-transactions":
+        out = log.list_transactions(
+            state=a.state, older_than_ms=a.older_than_ms
+        )
+    elif a.cmd == "describe-transaction":
+        out = log.describe_transaction(a.txn_id)
+    elif a.cmd == "abort-transaction":
+        out = log.force_abort_txn(a.txn_id, min_age_ms=a.min_age_ms)
     elif a.cmd == "quotas":
         out = log.describe_client_quotas()
     elif a.cmd == "share-groups":

@@ -3572,3 +3572,75 @@ def test_epoch_allocation_is_exclusive_not_rmw(tmp_path):
 
     with pytest.raises(ProducerFencedError):
         log.produce_idempotent("t", ["x"], 0, pid, e0, base_seq=0)
+
+
+def test_kip664_transaction_admin_unwedges_share_fetch(tmp_path, capsys):
+    """KIP-664 analog (list/describe/abort-transaction): a crashed
+    producer leaves an OPEN transaction that wedges read_committed
+    share-fetch (the LSO gate raises with no client-side remedy). The
+    operator lists it by duration, describes the partitions it holds,
+    force-aborts it — behind the min-age interlock — and the fetch
+    proceeds with the aborted records correctly filtered."""
+    import importlib.util
+    import json as _json
+
+    from rdkafka_streams_spark.streaming.sharegroups import ShareGroup
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    root = str(tmp_path)
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.append("t", [b"plain0", b"plain1"], partition=0)
+    log.begin_txn("etl", now_ms=1_000_000)
+    log.append("t", [b"orphan"], partition=0, txn="etl")
+    # producer crashes here — txn stays open, LSO floor held at offset 2
+
+    sg = ShareGroup(root, "workers", isolation="read_committed")
+    with pytest.raises(ValueError, match="open transaction"):
+        sg.fetch("t", "m1", now_ms=2_000_000)
+
+    # list: the hung txn shows up under the duration filter; a sealed
+    # one would not
+    rows = log.list_transactions(older_than_ms=60_000, now_ms=1_500_000)
+    assert [r["txn_id"] for r in rows] == ["etl"]
+    assert rows[0]["state"] == "open" and rows[0]["age_ms"] == 500_000
+    assert rows[0]["n_partitions"] == 1
+    assert log.list_transactions(state="commit") == []
+
+    # describe: the partitions and LSO floor the txn holds down
+    d = log.describe_transaction("etl")
+    assert d["partitions"] == {"t": [0]}
+    assert d["lso_floors"] == {"t": {"0": 2}}
+    assert d["began_ms"] == 1_000_000 and d["ended_ms"] is None
+
+    # interlock: refuse to abort under a possibly-live producer
+    with pytest.raises(ValueError, match="refusing to abort"):
+        log.force_abort_txn("etl", min_age_ms=10**9, now_ms=1_500_000)
+
+    # forceful abort through the CLI (kafka-transactions.sh abort)
+    spec = importlib.util.spec_from_file_location(
+        "topiclog_admin", "/root/repo/scripts/topiclog_admin.py")
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    rc = cli.main(["--root", root, "list-transactions", "--state", "open"])
+    assert rc == 0
+    assert _json.loads(capsys.readouterr().out)[0]["txn_id"] == "etl"
+    rc = cli.main(["--root", root, "abort-transaction", "etl",
+                   "--min-age-ms", "60000"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["aborted"] is True
+
+    st = log.describe_transaction("etl")
+    assert st["state"] == "abort" and st["forced"] is True
+    # a sealed txn cannot be force-aborted again
+    with pytest.raises(ValueError, match="only an OPEN"):
+        log.force_abort_txn("etl")
+
+    # the wedge is gone: read_committed share-fetch serves the plain
+    # records and never the aborted orphan
+    got = sg.fetch("t", "m1", max_records=10, now_ms=2_000_000)
+    assert [bytes(r["value"]) for r in got] == [b"plain0", b"plain1"]
+    sg.ack("t", "m1", {0: [r["offset"] for r in got]}, now_ms=2_000_001)
+    d0 = sg.describe("t")[0]
+    assert d0["lag"] == 0 and sg.state_size("t") == 0
