@@ -801,6 +801,8 @@ def learn_bpe_merges(
     text_col: str = "text",
     sep: str = "·",
     eow: str = "¤",
+    batched: bool = False,
+    max_batch: int = 16,
 ) -> DataFrame:
     """Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
     tokenizer-TRAINING step upstream of build_vocabulary/encode (q93/q104
@@ -848,7 +850,52 @@ def learn_bpe_merges(
             F.lit(sep + eow + sep),
         ).alias("seq"),
     )
+    if batched:
+        return _bpe_merge_loop_batched(
+            docs.sparkSession, cur, n_merges, sep, max_batch=max_batch
+        )
     return _bpe_merge_loop(docs.sparkSession, cur, n_merges, sep)
+
+
+def _pair_counts(cur: DataFrame, sep: str) -> DataFrame:
+    """Adjacent-symbol pair counts (freq-weighted) of a sep-wrapped
+    (freq, seq) symbol table — the per-round aggregation both merge
+    loops share."""
+    return (
+        # strip the outer separators (len(sep) chars each side),
+        # split on the doubled inter-symbol separator: exact
+        # symbol recovery for any separator width. Column API,
+        # not selectExpr: a SQL string literal would UNESCAPE the
+        # regex-escaped separator (backslashes eaten by the
+        # parser) and regex-metachar seps would split wrongly.
+        cur.select(
+            "freq",
+            F.split(
+                F.substring(F.col("seq"), F.lit(1 + len(sep)),
+                            F.length("seq") - F.lit(2 * len(sep))),
+                re.escape(sep + sep),
+            ).alias("syms"),
+        )
+        # a fully-merged word (one symbol) has no pairs — and
+        # sequence(0, -1) would run DESCENDING in Spark, indexing
+        # out of bounds, so filter before building the index list
+        .where("size(syms) >= 2")
+        .selectExpr(
+            "freq",
+            "explode(transform(sequence(0, size(syms) - 2),"
+            " i -> struct(syms[i] AS l, syms[i + 1] AS r))) AS pr",
+        )
+        .groupBy("pr.l", "pr.r")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+
+
+def _merge_replace(col, l: str, r: str, sep: str):
+    """One learned merge as a sep-wrapped plain replace (see
+    learn_bpe_merges for why wrapping makes this exact)."""
+    return F.replace(
+        col, F.lit(f"{sep}{l}{sep}{sep}{r}{sep}"), F.lit(f"{sep}{l}{r}{sep}")
+    )
 
 
 def _bpe_merge_loop(spark, cur: DataFrame, n_merges: int, sep: str) -> DataFrame:
@@ -862,34 +909,7 @@ def _bpe_merge_loop(spark, cur: DataFrame, n_merges: int, sep: str) -> DataFrame
     try:
         cur.count()
         for step in range(1, n_merges + 1):
-            pairs = (
-                # strip the outer separators (len(sep) chars each side),
-                # split on the doubled inter-symbol separator: exact
-                # symbol recovery for any separator width. Column API,
-                # not selectExpr: a SQL string literal would UNESCAPE the
-                # regex-escaped separator (backslashes eaten by the
-                # parser) and regex-metachar seps would split wrongly.
-                cur.select(
-                    "freq",
-                    F.split(
-                        F.substring(F.col("seq"), F.lit(1 + len(sep)),
-                                    F.length("seq") - F.lit(2 * len(sep))),
-                        re.escape(sep + sep),
-                    ).alias("syms"),
-                )
-                # a fully-merged word (one symbol) has no pairs — and
-                # sequence(0, -1) would run DESCENDING in Spark, indexing
-                # out of bounds, so filter before building the index list
-                .where("size(syms) >= 2")
-                .selectExpr(
-                    "freq",
-                    "explode(transform(sequence(0, size(syms) - 2),"
-                    " i -> struct(syms[i] AS l, syms[i + 1] AS r))) AS pr",
-                )
-                .groupBy("pr.l", "pr.r")
-                .agg(F.sum("freq").cast("bigint").alias("cnt"))
-            )
-            top = pairs.orderBy(
+            top = _pair_counts(cur, sep).orderBy(
                 F.desc("cnt"), F.asc("l"), F.asc("r")
             ).head(1)
             if not top:
@@ -897,13 +917,117 @@ def _bpe_merge_loop(spark, cur: DataFrame, n_merges: int, sep: str) -> DataFrame
             l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
             rules.append((step, l, r, l + r, cnt))
             nxt = cur.withColumn(
-                "seq",
-                F.replace(
-                    F.col("seq"),
-                    F.lit(f"{sep}{l}{sep}{sep}{r}{sep}"),
-                    F.lit(f"{sep}{l}{r}{sep}"),
-                ),
+                "seq", _merge_replace(F.col("seq"), l, r, sep)
             ).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        rules,
+        "step int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+def _bpe_merge_loop_batched(
+    spark, cur: DataFrame, n_merges: int, sep: str, max_batch: int = 16
+) -> DataFrame:
+    """Batched Sennrich merges, EXACTLY equal to the sequential loop —
+    the vocab-scale trainer: a production 50k-merge vocabulary under the
+    sequential loop means ~100k sequential Spark jobs; this loop learns
+    up to ``max_batch`` merges per round (2 jobs), cutting rounds by the
+    achieved batch factor while provably returning the identical merge
+    table, byte for byte.
+
+    Exactness argument (why the batch prefix replays the sequential
+    choices): candidates are the pair table sorted by the sequential
+    tie-break (count DESC, left ASC, right ASC). A sorted PREFIX
+    p1..pk is selected such that (a) members are pairwise
+    NON-INTERACTING (no shared symbol), so merging earlier members
+    never changes a later member's count, and other old pairs only
+    ever DECREASE — the prefix members stay the best old pairs in
+    order; and (b) each member's count strictly exceeds ``A``, the
+    maximum count of any old pair that shares a symbol with an
+    already-selected member (self excluded) — every pair NEWLY created
+    by an earlier member's merge has count ≤ some such overlapping old
+    pair (each occurrence of x·(lr) was an occurrence of x·l), so no
+    new pair can reach the strict bound, tie-breaks included. The
+    selection stops at the first candidate violating either rule
+    (skipping would desynchronize the sequential order); the first
+    candidate is always selected, so the worst case degenerates to the
+    sequential loop, never below it. Batched merges are applied as one
+    chained replace in selection order — identical strings to applying
+    them one round at a time."""
+    cur = cur.persist()
+    rules: list[tuple] = []
+    try:
+        cur.count()
+        while len(rules) < n_merges:
+            pairs = _pair_counts(cur, sep).persist()
+            pool = max(4 * max_batch, 32)
+            cand = pairs.orderBy(
+                F.desc("cnt"), F.asc("l"), F.asc("r")
+            ).limit(pool).collect()
+            if not cand:
+                pairs.unpersist()
+                break
+            syms = set()
+            for row in cand:
+                syms.add(row["l"])
+                syms.add(row["r"])
+            syms_lit = list(syms)
+            # per candidate symbol: the top-2 pairs containing it (by the
+            # same tie-break) — top-2 so the bound can exclude the
+            # candidate itself and still hold the max OTHER pair
+            w = Window.partitionBy("s").orderBy(
+                F.desc("cnt"), F.asc("l"), F.asc("r")
+            )
+            sym_rows = (
+                pairs.where(
+                    F.col("l").isin(syms_lit) | F.col("r").isin(syms_lit)
+                )
+                .select(
+                    "cnt", "l", "r",
+                    F.explode(
+                        F.array_distinct(F.array("l", "r"))
+                    ).alias("s"),
+                )
+                .where(F.col("s").isin(syms_lit))
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= 2)
+                .collect()
+            )
+            pairs.unpersist()
+            top2: dict[str, list] = {}
+            for row in sorted(sym_rows, key=lambda x: x["rn"]):
+                top2.setdefault(row["s"], []).append(
+                    (row["cnt"], row["l"], row["r"])
+                )
+            selected: list[tuple] = []
+            used: set[str] = set()
+            a_bound = 0
+            budget = min(max_batch, n_merges - len(rules))
+            for row in cand:
+                l, r, cnt = row["l"], row["r"], row["cnt"]
+                if len(selected) >= budget:
+                    break
+                if selected and (l in used or r in used):
+                    break  # interacting: its post-merge count is unknown
+                if selected and cnt <= a_bound:
+                    break  # a pair born of an earlier merge could outrank
+                selected.append((l, r, cnt))
+                used.update((l, r))
+                for s in {l, r}:
+                    for (c2, l2, r2) in top2.get(s, []):
+                        if (l2, r2) != (l, r):
+                            a_bound = max(a_bound, c2)
+                            break  # ordered: first non-self is the max
+            col = F.col("seq")
+            for (l, r, cnt) in selected:
+                rules.append((len(rules) + 1, l, r, l + r, cnt))
+                col = _merge_replace(col, l, r, sep)
+            nxt = cur.withColumn("seq", col).persist()
             nxt.count()
             cur.unpersist()
             cur = nxt
@@ -934,6 +1058,9 @@ def learn_byte_bpe(
     text_col: str = "text",
     sep: str = "·",
     pretoken_pattern: str = GPT2_PRETOKEN_PATTERN,
+    target_vocab_size: int | None = None,
+    batched: bool = False,
+    max_batch: int = 16,
 ) -> DataFrame:
     """BYTE-level BPE training (GPT-2/tiktoken shape — Radford et al.
     2019): pre-tokenize with a GPT-2-style regex (contractions, leading
@@ -954,8 +1081,23 @@ def learn_byte_bpe(
     merge loop runs over the distinct PRE-TOKEN frequency table (one
     corpus-sized shuffle total, Zipf-bounded thereafter).
 
+    Vocab-scale knobs: ``target_vocab_size`` derives the merge count the
+    production way — vocab = 256 base byte symbols + one new symbol per
+    merge, so ``n_merges = target_vocab_size - 256`` (GPT-2's 50,257 is
+    exactly 256 + 50,000 merges + 1 special). ``batched=True`` switches
+    to ``_bpe_merge_loop_batched`` — up to ``max_batch`` merges learned
+    per 2-job round with a PROVEN-identical merge table (see its
+    docstring for the exactness argument; unit- and property-tested
+    against the sequential loop on trap corpora).
+
     Returns ``(step, left, right, merged, pair_count)`` with hex-byte
     symbols — the merges.txt artifact of a byte-level tokenizer."""
+    if target_vocab_size is not None:
+        if target_vocab_size <= 256:
+            raise ValueError(
+                "target_vocab_size must exceed the 256-byte base alphabet"
+            )
+        n_merges = target_vocab_size - 256
     toks = (
         docs.select(
             F.explode(
@@ -974,6 +1116,10 @@ def learn_byte_bpe(
             F.hex(F.encode(F.col("t"), "utf-8")), "(..)", f"{sep}$1{sep}"
         ).alias("seq"),
     )
+    if batched:
+        return _bpe_merge_loop_batched(
+            docs.sparkSession, cur, n_merges, sep, max_batch=max_batch
+        )
     return _bpe_merge_loop(docs.sparkSession, cur, n_merges, sep)
 
 

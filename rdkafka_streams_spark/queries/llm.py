@@ -2570,3 +2570,27 @@ def q300_exact_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.dedup import exact_substring_excise
 
     return exact_substring_excise(_t(spark, sf_dir, "documents"), n=8)
+
+
+# ------------------------------------------------------------------------ L4
+@query("q301_byte_bpe_batched", oracle=_byte_bpe_oracle(), tags=("L4",))
+def q301_byte_bpe_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCAB-SCALE byte-BPE training (llm/text.py _bpe_merge_loop_batched,
+    r10): up to 16 merges learned per 2-job round instead of one merge
+    per round — the posture a production 50k-merge vocabulary needs
+    (the sequential loop would be ~100k sequential Spark jobs). The
+    batch is an exactness-preserving PREFIX of the sorted candidate
+    list (pairwise non-interacting, each member's count strictly above
+    the best pair overlapping any earlier member — so no pair born of
+    an earlier merge can outrank it, ties included; see the loop's
+    docstring for the argument). The oracle is q295's UNCHANGED
+    sequential 8-step unroll: the batched trainer must reproduce the
+    sequential merge table byte for byte under the hash gate, on the
+    real corpus — the strongest equality evidence the registry can
+    express."""
+    from rdkafka_streams_spark.llm.text import learn_byte_bpe
+
+    return learn_byte_bpe(
+        load_table(spark, sf_dir, "documents"), n_merges=8,
+        batched=True, max_batch=16,
+    )

@@ -1100,3 +1100,90 @@ def test_exact_substring_contiguous_regions_merge(spark):
     spans = exact_substring_spans(docs, n=8).where("doc_id = 1").collect()
     assert len(spans) == 1
     assert (spans[0]["span_start"], spans[0]["span_end"]) == (1, 16)
+
+
+def _merge_table(df):
+    return [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in df.orderBy("step").collect()
+    ]
+
+
+def test_batched_bpe_equals_sequential_on_trap_corpora(spark):
+    """The batched merge loop must return the IDENTICAL merge table to
+    the sequential loop — on corpora built to break naive batching:
+
+    1. interacting top pairs (shared symbols) — the batch must cut;
+    2. a merge whose NEW pair immediately outranks the old runner-up
+       ('abababab': merging (a,b) births (ab,ab) above everything);
+    3. ties resolved by the lexicographic tie-break;
+    4. merge exhaustion before n_merges.
+    """
+    from rdkafka_streams_spark.llm.text import learn_byte_bpe
+
+    traps = [
+        # chained letters: every top pair shares a symbol with the next
+        ["aaaa aaaa aab", "aab ab b"],
+        # new-pair trap: (a,b) merge creates (ab,ab) runs that dominate
+        ["abababab abababab", "cd cd cd"],
+        # tie trap: 'xy' and 'xz' tie on count; lex order decides
+        ["xy xy xz xz", "q"],
+        # exhaustion: single repeated char exhausts merges fast
+        ["aa aa", "aa"],
+        # mixed: multi-byte UTF-8 + contraction pre-tokens
+        ["it's naïve it's naïve", "naïve test's"],
+    ]
+    for i, texts in enumerate(traps):
+        docs = spark.createDataFrame(
+            [(j, t) for j, t in enumerate(texts)], "doc_id int, text string"
+        )
+        seq = _merge_table(learn_byte_bpe(docs, n_merges=8))
+        for mb in (2, 16):
+            bat = _merge_table(
+                learn_byte_bpe(docs, n_merges=8, batched=True, max_batch=mb)
+            )
+            assert bat == seq, f"trap {i} max_batch={mb}: {bat} != {seq}"
+
+
+def test_batched_bpe_property_random_corpora(spark):
+    """Property: on random small-alphabet corpora (adversarial for
+    batching — tiny alphabets maximize symbol sharing), batched ==
+    sequential for every max_batch."""
+    import random
+
+    from rdkafka_streams_spark.llm.text import learn_byte_bpe
+
+    rng = random.Random(42)
+    for trial in range(6):
+        alpha = "ab" if trial % 2 == 0 else "abc"
+        texts = [
+            " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 8))
+            )
+            for _ in range(4)
+        ]
+        docs = spark.createDataFrame(
+            [(j, t) for j, t in enumerate(texts)], "doc_id int, text string"
+        )
+        seq = _merge_table(learn_byte_bpe(docs, n_merges=6))
+        bat = _merge_table(
+            learn_byte_bpe(docs, n_merges=6, batched=True, max_batch=8)
+        )
+        assert bat == seq, f"trial {trial} texts={texts}: {bat} != {seq}"
+
+
+def test_byte_bpe_target_vocab_size(spark):
+    """target_vocab_size derives merges the production way: vocab = 256
+    base byte symbols + one per merge."""
+    import pytest as _pytest
+
+    from rdkafka_streams_spark.llm.text import learn_byte_bpe
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa bbbb aaaa bbbb ab")], "doc_id int, text string"
+    )
+    rules = learn_byte_bpe(docs, target_vocab_size=259, batched=True)
+    assert rules.count() == 3  # 259 - 256
+    with _pytest.raises(ValueError, match="base alphabet"):
+        learn_byte_bpe(docs, target_vocab_size=256)

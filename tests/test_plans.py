@@ -368,6 +368,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # excision adds the covered-position distinct + keep-side
         # anti-join + per-doc rebuild over the span machinery
         "q300_exact_substring_excise": 4,
+        # batched trainer: loop exchanges are eager (2 jobs per up-to-16-
+        # merge round); the returned merge table is driver metadata
+        "q301_byte_bpe_batched": 0,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

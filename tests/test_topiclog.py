@@ -3644,3 +3644,181 @@ def test_kip664_transaction_admin_unwedges_share_fetch(tmp_path, capsys):
     sg.ack("t", "m1", {0: [r["offset"] for r in got]}, now_ms=2_000_001)
     d0 = sg.describe("t")[0]
     assert d0["lag"] == 0 and sg.state_size("t") == 0
+
+
+def test_estate_drill_round9_surface_composes(spark, tmp_path):
+    """r10 estate drill (pattern of r8's): an ACL-protected,
+    gzip-compressed, TIERED topic carrying schema-REFERENCE Avro values
+    is MIRRORED to a second root byte-faithfully, drained by a SHARE
+    GROUP under read_committed, wedged by a hung TRANSACTION, unwedged
+    through the KIP-664 CLI, and finally reset via the
+    reset-share-offsets CLI — which FENCES the live drainer. Every
+    round-9/10 admin surface is consulted in one scenario."""
+    import importlib.util
+    import json as _json
+
+    from rdkafka_streams_spark.streaming import read_topic
+    from rdkafka_streams_spark.streaming.acl import (
+        AclBinding,
+        AclStore,
+        AuthorizationError,
+    )
+    from rdkafka_streams_spark.streaming.avro_codec import (
+        encode_value,
+        parse_schema,
+    )
+    from rdkafka_streams_spark.streaming.mirror import mirror_topic
+    from rdkafka_streams_spark.streaming.schema_registry import (
+        SchemaRegistry,
+        frame,
+        unframe,
+        resolve_read,
+    )
+    from rdkafka_streams_spark.streaming.sharegroups import (
+        FencedShareCoordinatorError,
+        ShareGroup,
+    )
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    os.makedirs(src)
+
+    # --- ACLs: etl may do everything; default-deny covers the intern
+    store = AclStore(src)
+    for rtype, rname in (("topic", "*"), ("group", "*"),
+                         ("cluster", "kafka-cluster"),
+                         ("transactional_id", "*")):
+        store.add(AclBinding(
+            resource_type=rtype, resource_name=rname,
+            pattern_type="literal", principal="User:etl",
+            operation="ALL", permission="allow",
+        ))
+    log = TopicLog(src, "User:etl")
+    log.create_topic("pay", partitions=2)
+    log.alter_configs("pay", {
+        "segment.bytes": 2048,
+        "compression.type": "gzip",
+        "remote.storage.enable": "true",
+        "local.retention.ms": 60_000,
+    })
+
+    # --- schema references: envelope composes Money across subjects
+    reg = SchemaRegistry(os.path.join(src, ".schema_registry"))
+    money = _json.dumps({
+        "type": "record", "name": "Money",
+        "fields": [{"name": "cents", "type": "long"}],
+    })
+    envelope = _json.dumps({
+        "type": "record", "name": "Payout",
+        "fields": [{"name": "event_id", "type": "long"},
+                   {"name": "amount", "type": "Money"}],
+    })
+    reg.register("shared-money", money)
+    refs = [{"name": "Money", "subject": "shared-money", "version": 1}]
+    sid = reg.register("pay-value", envelope, references=refs)
+    resolved = parse_schema(reg.resolved_schema(envelope, refs))
+
+    t0 = 1_700_000_000_000
+    def rec(i):
+        return frame(sid, encode_value(
+            {"event_id": i, "amount": {"cents": i * 10}}, resolved))
+
+    # two CreateTime waves so the retention sweep tiers the cold one
+    for lo, hi, ts in ((0, 40, t0), (40, 80, t0 + 120_000)):
+        for p in (0, 1):
+            vals = [rec(i) for i in range(lo, hi) if i % 2 == p]
+            log.append("pay", vals, partition=p,
+                       timestamps=[ts] * len(vals))
+    expected_sum = sum(i * 10 for i in range(80))
+
+    # the intern is refused at the door (default-deny once ACLs exist)
+    with pytest.raises(AuthorizationError):
+        TopicLog(src, "User:intern").append("pay", [b"x"], partition=0)
+
+    # --- tiering: the cold wave leaves the local tier; describe-log-dirs
+    # reports both tiers; gzip'd segments move with their sidecars
+    log.offsets_for_times("pay", t0)  # build sidecars pre-tier
+    acts = log.run_retention("pay", now_ms=t0 + 200_000)["pay"]
+    assert sum(acts["tiered"].values()) > 0
+    assert all(v > 0 for v in log.local_log_start_offset("pay").values())
+    dirs = log.describe_log_dirs("pay")["pay"]
+    assert all("remote_size_bytes" in d and d["n_remote_segments"] > 0
+               for d in dirs.values())
+
+    # --- mirror to the second root: byte-faithful, tiered source read
+    info = mirror_topic(spark, src, dst, "pay", alias="primary",
+                        principal="User:etl")
+    assert info["topic"] == "primary.pay"
+
+    def snap(root, topic):
+        return sorted(
+            (r["partition"], r["offset"], bytes(r["value"]))
+            for r in read_topic(spark, root, topic, principal="User:etl")
+            .select("partition", "offset", "value").collect()
+        )
+    src_rows = snap(src, "pay")
+    dst_rows = snap(dst, "primary.pay")
+    assert len(src_rows) == 80
+    assert [(p, o, v) for p, o, v in src_rows] == dst_rows
+
+    # --- a crashed producer leaves a HUNG transaction: read_committed
+    # share-fetch on the source wedges (LSO gate)
+    log.begin_txn("batch-etl", now_ms=t0 + 300_000)
+    log.append("pay", [rec(999)], partition=0, txn="batch-etl")
+    sg = ShareGroup(src, "payout", principal="User:etl",
+                    isolation="read_committed")
+    with pytest.raises(ValueError, match="open transaction"):
+        sg.fetch("pay", "m1", now_ms=t0 + 400_000)
+
+    # --- KIP-664 unwedge through the CLI as the etl operator
+    spec = importlib.util.spec_from_file_location(
+        "topiclog_admin", "/root/repo/scripts/topiclog_admin.py")
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    def run(*argv):
+        assert cli.main(
+            ["--root", src, "--principal", "User:etl", *argv]) == 0
+
+    run("list-transactions", "--state", "open")
+    run("abort-transaction", "batch-etl", "--min-age-ms", "1")
+    assert log.txn_state("batch-etl")["state"] == "abort"
+
+    # --- the share group drains the ACL'd, gzip'd, tiered, transactional
+    # topic; values decode through the registry's reference closure
+    writer = reg.get_by_id_resolved(sid)
+    got_sum, got_n = 0, 0
+    now = t0 + 500_000
+    while True:
+        batch = sg.fetch("pay", "m1", max_records=32, now_ms=now)
+        if not batch:
+            break
+        for r in batch:
+            wid, body = unframe(bytes(r["value"]))
+            assert wid == sid
+            v, _ = resolve_read(body, writer, writer)
+            got_sum += v["amount"]["cents"]
+            got_n += 1
+        sg.ack("pay", "m1",
+               {p: [r["offset"] for r in batch if r["partition"] == p]
+                for p in {r["partition"] for r in batch}}, now_ms=now)
+        now += 1
+    assert (got_n, got_sum) == (80, expected_sum)  # aborted rec excluded
+    assert sg.state_size("pay") == 0
+
+    run("describe-share-group", "payout", "pay")
+    # --- reset-share-offsets CLI fences the live drainer, then a fresh
+    # coordinator replays the whole topic with fresh delivery counts
+    run("reset-share-offsets", "payout", "pay", "--to", "earliest")
+    with pytest.raises(FencedShareCoordinatorError):
+        sg.fetch("pay", "m1", now_ms=now)
+    sg2 = ShareGroup(src, "payout", principal="User:etl",
+                     isolation="read_committed")
+    replay = sg2.fetch("pay", "m1", max_records=200, now_ms=now)
+    assert len(replay) == 80
+    assert all(r["delivery_count"] == 1 for r in replay)
+
+    # --- both roots audit clean
+    for root, topic in ((src, "pay"), (dst, "primary.pay")):
+        rep = TopicLog(root, "User:etl").verify_log(topic)
+        assert all(v["issues"] == [] for v in rep.values()), rep
