@@ -718,3 +718,51 @@ def exact_substring_excise(
             "n_removed"
         ),
     )
+
+
+def exact_substring_spans_incremental(
+    base: DataFrame,
+    delta: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Delta-vs-corpus ExactSubstr — the DAILY-INGEST posture of
+    exact-substring dedup (the span twin of
+    ``minhash_near_dups_incremental``): a 100 TB pipeline never
+    re-anchors the standing corpus when an increment arrives; it probes
+    the increment's windows against the corpus anchor index. A delta
+    doc's window is duplicated if its content occurs ANYWHERE in the
+    base corpus (the index side — in production built once and SAVED;
+    this function is the probe plan it feeds); windows shared only
+    among delta docs are the next increment's base-side problem, by the
+    same rule q284 applies to MinHash buckets. Returns the same maximal
+    per-doc excision intervals as ``exact_substring_spans``, for delta
+    docs only.
+
+    Scale shape: the base side collapses to DISTINCT window hashes (one
+    md5-keyed shuffle, output bounded by distinct content, not corpus
+    size); the delta side is |delta|-sized; the probe is one equi-join
+    on the hash; the coalesce windows only over delta docs."""
+    from rdkafka_streams_spark.operators.intervals import merge_intervals
+
+    bw = (
+        _window_anchor_positions(base, n, id_col, text_col)
+        .select("h")
+        .distinct()
+    )
+    dw = _window_anchor_positions(delta, n, id_col, text_col)
+    pos = dw.join(bw, "h").select(
+        id_col, F.col("i").alias("s"), (F.col("i") + (n - 1)).alias("e")
+    )
+    spans = merge_intervals(pos, id_col, "s", "e", slack=1)
+    return spans.select(
+        id_col,
+        F.col("island_id").alias("span_id"),
+        F.col("island_start").cast("bigint").alias("span_start"),
+        F.col("island_end").cast("bigint").alias("span_end"),
+        (F.col("island_end") - F.col("island_start") + 1)
+        .cast("bigint")
+        .alias("span_tokens"),
+        F.col("n_merged").alias("n_windows"),
+    )

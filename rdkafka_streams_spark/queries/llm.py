@@ -2211,7 +2211,8 @@ def _bpe_oracle(n: int = 8) -> str:
   SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents)
   WHERE tok <> '' GROUP BY tok),
-it0 AS (SELECT freq, regexp_replace(w, '(.)', '·\1·', 'g') || '·¤·' AS seq FROM w)"""
+it0 AS MATERIALIZED (
+  SELECT freq, regexp_replace(w, '(.)', '·\1·', 'g') || '·¤·' AS seq FROM w)"""
     ]
     for k in range(1, n + 1):
         parts.append(f"""p{k} AS (
@@ -2224,7 +2225,8 @@ it0 AS (SELECT freq, regexp_replace(w, '(.)', '·\1·', 'g') || '·¤·' AS seq 
   ) GROUP BY 1, 2),
 m{k} AS (SELECT {k} AS step, l, r, l || r AS merged, cnt
          FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
-it{k} AS (SELECT freq,
+it{k} AS MATERIALIZED (
+          SELECT freq,
                CASE WHEN m.l IS NULL THEN seq
                     ELSE replace(seq, '·' || m.l || '··' || m.r || '·',
                                  '·' || m.l || m.r || '·') END AS seq
@@ -2303,7 +2305,14 @@ def _byte_bpe_oracle(n: int = 8) -> str:
     ``hex(encode(t,'utf-8'))``, both uppercase), wrap byte symbols in
     separators, and run the identical n merge steps. No end-of-word
     marker — pre-token boundaries carry the word structure, the GPT-2
-    byte-BPE shape."""
+    byte-BPE shape.
+
+    Every ``it{k}`` is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    ``it{k}`` is referenced twice (by ``p{k+1}`` and ``it{k+1}``), so an
+    inlined chain expands 2^n subtrees — at n=16 that is 65k parquet
+    scans ("Too many open files"); materialization makes the chain
+    linear, matching the eager per-step persist the Spark trainer
+    uses."""
     pat = (
         "''(?:s|t|re|ve|m|ll|d)"
         r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
@@ -2314,7 +2323,8 @@ def _byte_bpe_oracle(n: int = 8) -> str:
   FROM (SELECT unnest(regexp_extract_all(text, '{pat}')) AS tok
         FROM documents)
   WHERE tok <> '' GROUP BY tok),
-it0 AS (SELECT freq, regexp_replace(hex(encode(t)), '(..)', '·\\1·', 'g')
+it0 AS MATERIALIZED (
+  SELECT freq, regexp_replace(hex(encode(t)), '(..)', '·\\1·', 'g')
                AS seq FROM w)"""
     ]
     for k in range(1, n + 1):
@@ -2328,7 +2338,8 @@ it0 AS (SELECT freq, regexp_replace(hex(encode(t)), '(..)', '·\\1·', 'g')
   ) GROUP BY 1, 2),
 m{k} AS (SELECT {k} AS step, l, r, l || r AS merged, cnt
          FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
-it{k} AS (SELECT freq,
+it{k} AS MATERIALIZED (
+          SELECT freq,
                CASE WHEN m.l IS NULL THEN seq
                     ELSE replace(seq, '·' || m.l || '··' || m.r || '·',
                                  '·' || m.l || m.r || '·') END AS seq
@@ -2417,7 +2428,8 @@ def _byte_bpe_encode_oracle(n: int = 8) -> str:
   FROM (SELECT unnest(regexp_extract_all(text, '{pat}')) AS tok
         FROM documents)
   WHERE tok <> '' GROUP BY tok),
-it0 AS (SELECT t, freq,
+it0 AS MATERIALIZED (
+        SELECT t, freq,
                regexp_replace(hex(encode(t)), '(..)', '·\\1·', 'g') AS seq
         FROM w)"""
     ]
@@ -2593,4 +2605,74 @@ def q301_byte_bpe_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return learn_byte_bpe(
         load_table(spark, sf_dir, "documents"), n_merges=8,
         batched=True, max_batch=16,
+    )
+
+
+# ------------------------------------------------------------------------ L2
+@query(
+    "q302_exact_substring_incremental",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+      FROM tk, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)),
+bw AS (SELECT DISTINCT h FROM w WHERE doc_id % 10 <> 0),
+pos AS (SELECT doc_id, i AS s, i + 7 AS e
+        FROM w JOIN bw USING (h) WHERE doc_id % 10 = 0),
+mk AS (SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2147483648) + 1
+              THEN 1 ELSE 0 END AS brk
+       FROM pos),
+isl AS (SELECT doc_id, s, e,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        FROM mk)
+SELECT doc_id, CAST(island_id AS BIGINT) AS span_id,
+       CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM isl GROUP BY doc_id, island_id
+""",
+    tags=("L2",),
+)
+def q302_exact_substring_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ExactSubstr (llm/dedup.py
+    exact_substring_spans_incremental): every 10th doc plays the daily
+    increment, the rest the standing corpus; the increment's 8-token
+    windows probe the corpus's DISTINCT anchor index (built once, saved
+    in production — q284's daily-ingest rule applied to spans) and
+    duplicated hits coalesce into maximal per-delta-doc excision
+    intervals. The base side never self-pairs and never re-anchors;
+    probe cost is O(|delta| windows)."""
+    from rdkafka_streams_spark.llm.dedup import (
+        exact_substring_spans_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.where(F.expr("doc_id % 10 <> 0"))
+    delta = d.where(F.expr("doc_id % 10 = 0"))
+    return exact_substring_spans_incremental(base, delta, n=8)
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q303_byte_bpe_vocab_target",
+    oracle=_byte_bpe_oracle(16),
+    tags=("L4",),
+)
+def q303_byte_bpe_vocab_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """target_vocab_size-driven batched training (r10): vocab 272 =
+    256 base byte symbols + 16 merges, learned by the batched trainer —
+    16 merges land in FEWER than 16 rounds while the oracle unrolls the
+    sequential chain to DOUBLE q295's depth (a divergence the n=8
+    unroll could hide — later merges build on merged symbols — breaks
+    the hash here)."""
+    from rdkafka_streams_spark.llm.text import learn_byte_bpe
+
+    return learn_byte_bpe(
+        load_table(spark, sf_dir, "documents"),
+        target_vocab_size=272, batched=True, max_batch=16,
     )

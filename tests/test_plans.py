@@ -371,6 +371,13 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # batched trainer: loop exchanges are eager (2 jobs per up-to-16-
         # merge round); the returned merge table is driver metadata
         "q301_byte_bpe_batched": 0,
+        # incremental spans: base anchor distinct + delta probe join +
+        # per-delta-doc coalesce window (+1 headroom for the
+        # broadcast→shuffle probe-join flip past the threshold)
+        "q302_exact_substring_incremental": 4,
+        # target_vocab_size batched training: loop eager, merge table is
+        # driver metadata
+        "q303_byte_bpe_vocab_target": 0,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
