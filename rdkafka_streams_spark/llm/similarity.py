@@ -606,3 +606,168 @@ def knn_graph(
         .where(F.col("a.src") < F.col("a.dst"))
         .select(F.col("a.src").alias("src"), F.col("a.dst").alias("dst"), F.col("a.cos").alias("cos"))
     )
+
+
+# ------------------------------------------- oracle-exact k-means + IVF
+def quantize_global(vec_col: str | Column, scale: int = 1000) -> Column:
+    """GLOBAL fixed-scale integer quantization: q_i = floor(v_i·scale +
+    0.5) as bigint. Unlike ``quantize_embeddings`` (PER-VECTOR scale,
+    right for scale-invariant cosine), a single global scale preserves
+    EUCLIDEAN geometry across vectors — the metric k-means optimizes.
+    float→double widening and the floor(x+0.5) half-up are bit-identical
+    in Spark and DuckDB, so everything downstream is integer-exact."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c,
+        lambda x: F.floor(
+            x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def _int_l2(a: str | Column, b: str | Column) -> Column:
+    """Integer squared euclidean distance between two long arrays —
+    summation-order-free, engine-exact (no float accumulates)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_integer(
+    emb: DataFrame,
+    k: int = 8,
+    n_iters: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Lloyd's k-means in INTEGER arithmetic — the oracle-checkable IVF
+    coarse quantizer (``build_ivf_index``'s MLlib KMeans is engine-
+    private; this trainer is exactly SQL-replicable, so IVF TRAINING
+    itself enters the correctness gate, not just its recall).
+
+    Determinism, piece by piece: vectors quantize under one global scale
+    (``quantize_global``); the k seeds are the corpus rows ordered by
+    ``md5(cast(id as string))`` (engine-identical pseudo-random order),
+    cid = 1..k in that order; assignment takes the minimum integer
+    squared L2 with ties to the smaller cid; the update is the per-dim
+    truncating integer mean (``sum div count`` — Spark ``div`` and
+    DuckDB ``//`` both truncate toward zero, verified); a cluster left
+    empty keeps its previous centroid. Every quantity is a bigint, so
+    no summation order or float rounding can diverge.
+
+    Distribution shape (the BPE posture): per iteration ONE Spark job —
+    assignment (broadcast k×dim centroids into a zip_with fold, no
+    shuffle) feeding the per-(cid, dim) mean (one shuffle of k×dim
+    groups); the k×dim new centroids collect as DRIVER METADATA (the
+    same contract as BPE merge rules — a few KB at any corpus size).
+    Returns (assignments DataFrame (id, cid), final centroids as
+    [(cid, [dim longs])])."""
+    spark = emb.sparkSession
+    q = emb.select(
+        F.col(id_col), quantize_global(vec_col, scale).alias("qv")
+    ).persist()
+    seeds = (
+        q.withColumn("__o", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__o", id_col)
+        .limit(k)
+        .collect()
+    )
+    cents: list[tuple[int, list[int]]] = [
+        (i + 1, [int(v) for v in row["qv"]]) for i, row in enumerate(seeds)
+    ]
+    assigned = None
+    try:
+        for _ in range(n_iters):
+            cdf = spark.createDataFrame(
+                cents, f"cid int, qc array<bigint>"
+            )
+            w = Window.partitionBy(id_col).orderBy("__d", "cid")
+            assigned = (
+                q.crossJoin(F.broadcast(cdf))
+                .withColumn("__d", _int_l2("qv", "qc"))
+                .withColumn("__rn", F.row_number().over(w))
+                .where("__rn = 1")
+                .select(id_col, "qv", "cid")
+            )
+            means = (
+                assigned.select(
+                    "cid", F.posexplode("qv").alias("i0", "v")
+                )
+                .groupBy("cid", F.expr("i0 + 1").alias("i"))
+                .agg(F.expr("sum(v) div count(*)").alias("val"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, int]] = {}
+            for r in means:
+                by_cid.setdefault(r["cid"], {})[r["i"]] = int(r["val"])
+            cents = [
+                (
+                    cid,
+                    [d[i] for i in sorted(d)]
+                    if (d := by_cid.get(cid)) is not None
+                    else prev,  # empty cluster keeps its centroid
+                )
+                for cid, prev in cents
+            ]
+    finally:
+        q.unpersist()
+    return assigned, cents
+
+
+def ivf_search_integer(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """END-TO-END oracle-exact IVF-ANN: train the coarse quantizer with
+    ``kmeans_integer``, assign the corpus, probe each query's ``nprobe``
+    nearest cells (integer L2 to the centroids, ties to smaller cid),
+    and take the ``k`` nearest candidates within the probed cells (ties
+    to smaller id). Every number on the path is a bigint, so train,
+    probe, AND search are all value-hash-checkable against SQL — the
+    contract ``build_ivf_index`` (engine-private MLlib KMeans) cannot
+    offer. Returns (q_id, id, dist_sq).
+
+    Scale posture is ``ivf_search``'s: centroids broadcast (k×dim
+    longs), the candidate join hits the inverted lists on the cell key
+    (partition pruning when the corpus is written partitioned by cell),
+    candidate fraction ≈ nprobe/n_cells."""
+    spark = emb.sparkSession
+    assigned, cents = kmeans_integer(
+        emb, k=n_cells, n_iters=n_iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cdf = spark.createDataFrame(cents, "cid int, qc array<bigint>")
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        quantize_global(vec_col, scale).alias("q_qv"),
+    )
+    pw = Window.partitionBy("q_id").orderBy("__d", "cid")
+    probes = (
+        qs.crossJoin(F.broadcast(cdf))
+        .withColumn("__d", _int_l2("q_qv", "qc"))
+        .withColumn("__rn", F.row_number().over(pw))
+        .where(F.col("__rn") <= nprobe)
+        .select("q_id", "q_qv", "cid")
+    )
+    cand = assigned.join(F.broadcast(probes), "cid").where(
+        F.col(id_col) != F.col("q_id")
+    )
+    kw = Window.partitionBy("q_id").orderBy("__d", id_col)
+    return (
+        cand.withColumn("__d", _int_l2("qv", "q_qv"))
+        .withColumn("__rn", F.row_number().over(kw))
+        .where(F.col("__rn") <= k)
+        .select("q_id", F.col(id_col), F.col("__d").alias("dist_sq"))
+    )

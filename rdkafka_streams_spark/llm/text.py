@@ -952,11 +952,16 @@ def _bpe_merge_loop_batched(
     already-selected member (self excluded) — every pair NEWLY created
     by an earlier member's merge has count ≤ some such overlapping old
     pair (each occurrence of x·(lr) was an occurrence of x·l), so no
-    new pair can reach the strict bound, tie-breaks included. The
-    selection stops at the first candidate violating either rule
-    (skipping would desynchronize the sequential order); the first
-    candidate is always selected, so the worst case degenerates to the
-    sequential loop, never below it. Batched merges are applied as one
+    new pair can reach the strict bound, tie-breaks included — with ONE
+    exception: a SELF-pair member (a,a) births the self-chain pair
+    (aa,aa) whose only bounding old pair is (a,a) itself, which the
+    self-exclusion removes from the bound, so a self-pair TERMINATES
+    the batch instead ('aaaaaa cd' is the counterexample a round-10
+    review ran: sequential merges (aa,aa) before (c,d)). The selection
+    stops at the first candidate violating any rule (skipping would
+    desynchronize the sequential order); the first candidate is always
+    selected, so the worst case degenerates to the sequential loop,
+    never below it. Batched merges are applied as one
     chained replace in selection order — identical strings to applying
     them one round at a time."""
     cur = cur.persist()
@@ -1018,6 +1023,15 @@ def _bpe_merge_loop_batched(
                     break  # a pair born of an earlier merge could outrank
                 selected.append((l, r, cnt))
                 used.update((l, r))
+                if l == r:
+                    # a SELF-pair merge (a,a)→aa births the self-chain
+                    # pair (aa,aa), whose only bounding old pair is
+                    # (a,a) ITSELF — excluded below, so nothing bounds
+                    # it. 'aaaaaa cd': sequential merges (aa,aa) next,
+                    # a naive batch would wrongly take (c,d) first.
+                    # Terminate the batch — correct and rarely costly
+                    # (self-pairs are rare outside degenerate runs).
+                    break
                 for s in {l, r}:
                     for (c2, l2, r2) in top2.get(s, []):
                         if (l2, r2) != (l, r):

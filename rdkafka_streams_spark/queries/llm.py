@@ -2676,3 +2676,135 @@ def q303_byte_bpe_vocab_target(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         target_vocab_size=272, batched=True, max_batch=16,
     )
+
+
+def _kmeans_oracle_ctes(k: int = 8, n_iters: int = 3, scale: int = 1000) -> str:
+    """Shared unrolled-iteration DuckDB CTE chain for kmeans_integer:
+    global quantization (floor(x·scale + 0.5) — bit-identical to Spark),
+    md5-ordered seeding, min-integer-L2 assignment with cid tie-break,
+    truncating integer per-dim means (`//` == Spark `div`, verified),
+    empty clusters carrying their previous centroid. Every it CTE is
+    MATERIALIZED (the 2-references-per-step expansion lesson from
+    _byte_bpe_oracle)."""
+    parts = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+         AS INTEGER) AS cid, qv AS qc
+  FROM (SELECT vec_id, qv FROM q
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}))"""
+    ]
+    for j in range(1, n_iters + 1):
+        parts.append(f"""a{j} AS MATERIALIZED (
+  SELECT vec_id, qv, cid FROM (
+    SELECT q.vec_id, q.qv, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        CAST(list_sum(list_transform(list_zip(q.qv, c.qc),
+             x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c{j - 1} c) WHERE rn = 1),
+cm{j} AS MATERIALIZED (
+  SELECT cid, list(val ORDER BY i) AS qc FROM (
+    SELECT a.cid, g.i, CAST(SUM(a.qv[CAST(g.i AS INTEGER)]) // COUNT(*)
+           AS BIGINT) AS val
+    FROM a{j} a, unnest(generate_series(1, len(a.qv))) AS g(i)
+    GROUP BY a.cid, g.i) GROUP BY cid),
+c{j} AS MATERIALIZED (
+  SELECT * FROM cm{j}
+  UNION ALL
+  SELECT p.cid, p.qc FROM c{j - 1} p
+  WHERE p.cid NOT IN (SELECT cid FROM cm{j}))""")
+    return "WITH " + ",\n".join(parts)
+
+
+_KM_N_ITERS = 3
+
+
+# ------------------------------------------------------------------------ L3
+@query(
+    "q304_kmeans_integer",
+    oracle=_kmeans_oracle_ctes() + f"""
+SELECT cid, CAST(dim AS INTEGER) AS dim, c_val, COALESCE(n_members, 0) AS n_members
+FROM (
+  SELECT c.cid, g.i AS dim, c.qc[CAST(g.i AS INTEGER)] AS c_val
+  FROM c{_KM_N_ITERS} c, unnest(generate_series(1, len(c.qc))) AS g(i)) x
+LEFT JOIN (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+           FROM a{_KM_N_ITERS} GROUP BY cid) m USING (cid)
+""",
+    tags=("L3",),
+)
+def q304_kmeans_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED k-means (llm/similarity.py kmeans_integer): Lloyd's
+    algorithm, k=8, 3 iterations, over globally-quantized integer
+    embeddings — md5-ordered seeding, min-integer-L2 assignment (ties to
+    smaller cid), truncating integer per-dim means, empty clusters
+    carrying their centroid. The existing IVF (q55) trains with MLlib
+    KMeans whose internals are engine-private (recall-tested against
+    brute force); this trainer is integer-exact end to end, so the
+    TRAINING ALGORITHM itself is value-hash-checked against the oracle's
+    unrolled iterations. Output: every (cid, dim) centroid coordinate +
+    member counts after the final assignment. Per iteration: one
+    broadcast-assignment pass + one k×dim-group shuffle; centroids are
+    driver metadata (the BPE-rules contract)."""
+    from rdkafka_streams_spark.llm.similarity import kmeans_integer
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = kmeans_integer(emb, k=8, n_iters=_KM_N_ITERS)
+    rows = [
+        (cid, i + 1, v) for cid, qc in cents for i, v in enumerate(qc)
+    ]
+    cdf = spark.createDataFrame(rows, "cid int, dim int, c_val bigint")
+    sizes = assigned.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return cdf.join(sizes, "cid", "left").select(
+        "cid", "dim", "c_val",
+        F.coalesce("n_members", F.lit(0).cast("bigint")).alias("n_members"),
+    )
+
+
+# ------------------------------------------------------------------------ L3
+@query(
+    "q305_ivf_exact_search",
+    oracle=_kmeans_oracle_ctes() + f""",
+qs AS (SELECT vec_id AS q_id, qv AS q_qv FROM q WHERE vec_id % 50 = 0),
+probes AS (
+  SELECT q_id, q_qv, cid FROM (
+    SELECT qs.q_id, qs.q_qv, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY qs.q_id ORDER BY
+        CAST(list_sum(list_transform(list_zip(qs.q_qv, c.qc),
+             x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) ASC, c.cid ASC) AS rn
+    FROM qs CROSS JOIN c{_KM_N_ITERS} c) WHERE rn <= 2),
+cand AS (
+  SELECT p.q_id, a.vec_id,
+         CAST(list_sum(list_transform(list_zip(a.qv, p.q_qv),
+              x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) AS dist_sq
+  FROM probes p JOIN a{_KM_N_ITERS} a USING (cid)
+  WHERE a.vec_id <> p.q_id)
+SELECT q_id, vec_id, dist_sq FROM (
+  SELECT q_id, vec_id, dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY dist_sq ASC, vec_id ASC) AS rn
+  FROM cand) WHERE rn <= 5
+""",
+    tags=("L3",),
+)
+def q305_ivf_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END oracle-exact IVF-ANN (llm/similarity.py
+    ivf_search_integer): the q304 trainer's centroids + assignments,
+    every 50th vector as a query, nprobe=2 nearest cells by integer L2,
+    top-5 within the probed inverted lists (ties to smaller id). Train,
+    probe, and search are ALL bigint arithmetic, so the complete ANN
+    path — not just its recall — is value-hash-checked. Scale: centroids
+    broadcast, candidates = nprobe/n_cells of the corpus hit on the cell
+    key (partition pruning once the corpus is written partitioned by
+    cell), one top-k window per query."""
+    from rdkafka_streams_spark.llm.similarity import ivf_search_integer
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    return ivf_search_integer(
+        emb, queries, k=5, nprobe=2, n_cells=8, n_iters=_KM_N_ITERS
+    )

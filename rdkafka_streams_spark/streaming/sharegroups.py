@@ -171,6 +171,21 @@ class ShareGroup:
                     epoch = cur + 1
                     continue
             break
+        # publish-ordering guard (same as init_producer_id's _publish,
+        # review r10): two FIRST claims race — A wins marker epoch-0
+        # while cf is still absent, B wins epoch-1 and publishes, then
+        # A's replace landing LAST would regress cf to 0 and leave BOTH
+        # unfenced (neither sees a higher epoch). Re-read immediately
+        # before the replace and skip when the world already moved:
+        # the epoch never regresses, so the lower claimant fences at
+        # its first _save instead.
+        if os.path.exists(cf):
+            try:
+                with open(cf, encoding="utf-8") as f:
+                    if int(json.load(f)["epoch"]) >= epoch:
+                        return epoch
+            except (ValueError, KeyError, OSError):
+                pass  # unreadable/torn current file: overwrite it
         tmp = f"{cf}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump({"epoch": epoch}, f)

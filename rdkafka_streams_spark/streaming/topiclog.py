@@ -2200,7 +2200,19 @@ class TopicLog:
             try:
                 with open(os.path.join(tdir, name), encoding="utf-8") as f:
                     st = json.load(f)
+            except FileNotFoundError:
+                continue  # GC'd between listdir and open
             except (OSError, json.JSONDecodeError):
+                # a corrupt/unreadable state file must SURFACE in the
+                # operator's sweep, never vanish from it — it may be the
+                # very transaction holding the LSO floor down (same
+                # fail-loudly posture as ShareGroup._load). Reported
+                # under every filter: an unreadable state matches no
+                # state and has no age, but hiding it defeats the sweep.
+                out.append({
+                    "txn_id": name[:-5], "state": "unreadable",
+                    "age_ms": None, "n_topics": None, "n_partitions": None,
+                })
                 continue
             if state is not None and st.get("state") != state:
                 continue

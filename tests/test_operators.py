@@ -1130,6 +1130,12 @@ def test_batched_bpe_equals_sequential_on_trap_corpora(spark):
         ["xy xy xz xz", "q"],
         # exhaustion: single repeated char exhausts merges fast
         ["aa aa", "aa"],
+        # SELF-pair trap (review r10): merging (a,a) births the
+        # self-chain pair (aa,aa) whose only bounding old pair is
+        # (a,a) itself — sequential merges (aa,aa) BEFORE (c,d); a
+        # batch not terminated at the self-pair takes (c,d) first
+        ["aaaaaa cd"],
+        ["aaaaaaaaaa aaaaaa xy xy"],
         # mixed: multi-byte UTF-8 + contraction pre-tokens
         ["it's naïve it's naïve", "naïve test's"],
     ]

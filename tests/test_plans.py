@@ -378,6 +378,13 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # target_vocab_size batched training: loop eager, merge table is
         # driver metadata
         "q303_byte_bpe_vocab_target": 0,
+        # k-means: training iterations eager (broadcast assignment +
+        # k×dim-group shuffle each); the returned frame joins the final
+        # assignment's member counts (1 agg) to driver-built centroids
+        "q304_kmeans_integer": 3,
+        # search: final assignment window + probe-cell candidate join +
+        # per-query top-k window (training eager; centroids broadcast)
+        "q305_ivf_exact_search": 4,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

@@ -3822,3 +3822,24 @@ def test_estate_drill_round9_surface_composes(spark, tmp_path):
     for root, topic in ((src, "pay"), (dst, "primary.pay")):
         rep = TopicLog(root, "User:etl").verify_log(topic)
         assert all(v["issues"] == [] for v in rep.values()), rep
+
+
+def test_list_transactions_surfaces_unreadable_state(tmp_path):
+    """Review r10: a corrupt txn state file may be the very transaction
+    holding the LSO floor down — it must SURFACE in the operator sweep
+    as state='unreadable', never silently vanish from it."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    root = str(tmp_path)
+    log = TopicLog(root)
+    log.create_topic("t", partitions=1)
+    log.begin_txn("ok", now_ms=1_000)
+    with open(os.path.join(root, ".txns", "broken.json"), "w") as f:
+        f.write("{not json")
+    rows = log.list_transactions(now_ms=2_000)
+    by_id = {r["txn_id"]: r for r in rows}
+    assert by_id["ok"]["state"] == "open"
+    assert by_id["broken"]["state"] == "unreadable"
+    # it survives every filter — hiding it would defeat the sweep
+    sweep = log.list_transactions(older_than_ms=10**9, now_ms=2_000)
+    assert [r["txn_id"] for r in sweep] == ["broken"]
