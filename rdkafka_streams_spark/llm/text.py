@@ -898,16 +898,45 @@ def _merge_replace(col, l: str, r: str, sep: str):
     )
 
 
+def _checkpoint_step(df: DataFrame, prev_ids: set, sc) -> tuple:
+    """Materialize one merge-loop step with TRUNCATED lineage and free the
+    superseded step's blocks.
+
+    Why not persist+count: persist caches DATA but the LOGICAL PLAN still
+    nests one projection deeper per step, and Catalyst re-analyzes the
+    whole tree on every step's jobs — measured on sf0.1 documents, the
+    driver burned 30 s–2 min BETWEEN 20 ms jobs by merge ~30, and a 16 g
+    driver OOM'd on analysis alone (found by the round-10 merges/minute
+    measurement, the exact blow-up class a 50k-merge vocabulary hits).
+    ``localCheckpoint(eager=True)`` cuts the plan to a leaf each step, so
+    analysis cost is O(1) per step forever. The checkpoint RDD ids are
+    tracked by set-diff and the PREDECESSOR's are unpersisted explicitly
+    — checkpoint blocks otherwise linger until driver GC, and the
+    trainers promise zero retained storage after return (cache-hygiene
+    unit). Local checkpoints are executor-resident (lost-executor =
+    failed job); a production run on a flaky cluster would point
+    ``checkpoint()`` at a reliable dir instead — same plan shape."""
+    pre = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint(eager=True)
+    new_ids = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - pre
+    for rid in prev_ids:
+        sc._jsc.sc().unpersistRDD(rid, False)
+    return out, new_ids
+
+
 def _bpe_merge_loop(spark, cur: DataFrame, n_merges: int, sep: str) -> DataFrame:
     """The shared Sennrich merge loop over a sep-wrapped (freq, seq)
     symbol table — used by both the char-level (learn_bpe_merges) and
-    byte-level (learn_byte_bpe) trainers. Per-step persist/unpersist;
-    the table the loop iterates is the Zipf-bounded distinct-token
-    table, never the corpus."""
-    cur = cur.persist()
+    byte-level (learn_byte_bpe) trainers. Per-step lineage truncation
+    (``_checkpoint_step`` — plan depth stays O(1) across steps, the
+    r10 fix for Catalyst re-analysis growing with the step count); the
+    table the loop iterates is the Zipf-bounded distinct-token table,
+    never the corpus."""
+    sc = spark.sparkContext
+    ids: set = set()
     rules = []
     try:
-        cur.count()
+        cur, ids = _checkpoint_step(cur, ids, sc)
         for step in range(1, n_merges + 1):
             top = _pair_counts(cur, sep).orderBy(
                 F.desc("cnt"), F.asc("l"), F.asc("r")
@@ -916,14 +945,13 @@ def _bpe_merge_loop(spark, cur: DataFrame, n_merges: int, sep: str) -> DataFrame
                 break  # nothing left to merge (degenerate corpus)
             l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
             rules.append((step, l, r, l + r, cnt))
-            nxt = cur.withColumn(
-                "seq", _merge_replace(F.col("seq"), l, r, sep)
-            ).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
+            cur, ids = _checkpoint_step(
+                cur.withColumn("seq", _merge_replace(F.col("seq"), l, r, sep)),
+                ids, sc,
+            )
     finally:
-        cur.unpersist()
+        for rid in ids:
+            sc._jsc.sc().unpersistRDD(rid, False)
     return spark.createDataFrame(
         rules,
         "step int, left string, right string, merged string, pair_count bigint",
@@ -964,10 +992,11 @@ def _bpe_merge_loop_batched(
     never below it. Batched merges are applied as one
     chained replace in selection order — identical strings to applying
     them one round at a time."""
-    cur = cur.persist()
+    sc = spark.sparkContext
+    ids: set = set()
     rules: list[tuple] = []
     try:
-        cur.count()
+        cur, ids = _checkpoint_step(cur, ids, sc)
         while len(rules) < n_merges:
             pairs = _pair_counts(cur, sep).persist()
             pool = max(4 * max_batch, 32)
@@ -1041,12 +1070,12 @@ def _bpe_merge_loop_batched(
             for (l, r, cnt) in selected:
                 rules.append((len(rules) + 1, l, r, l + r, cnt))
                 col = _merge_replace(col, l, r, sep)
-            nxt = cur.withColumn("seq", col).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
+            cur, ids = _checkpoint_step(
+                cur.withColumn("seq", col), ids, sc
+            )
     finally:
-        cur.unpersist()
+        for rid in ids:
+            sc._jsc.sc().unpersistRDD(rid, False)
     return spark.createDataFrame(
         rules,
         "step int, left string, right string, merged string, pair_count bigint",
