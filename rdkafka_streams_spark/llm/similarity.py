@@ -667,6 +667,11 @@ def kmeans_integer(
     same contract as BPE merge rules — a few KB at any corpus size).
     Returns (assignments DataFrame (id, cid), final centroids as
     [(cid, [dim longs])])."""
+    if n_iters < 1:
+        raise ValueError(
+            "n_iters must be >= 1 (there is no assignment against raw "
+            "seeds to return)"
+        )
     spark = emb.sparkSession
     q = emb.select(
         F.col(id_col), quantize_global(vec_col, scale).alias("qv")

@@ -915,9 +915,25 @@ def _checkpoint_step(df: DataFrame, prev_ids: set, sc) -> tuple:
     trainers promise zero retained storage after return (cache-hygiene
     unit). Local checkpoints are executor-resident (lost-executor =
     failed job); a production run on a flaky cluster would point
-    ``checkpoint()`` at a reliable dir instead — same plan shape."""
+    ``checkpoint()`` at a reliable dir instead — same plan shape.
+
+    Set-diff assumes the loop is the only writer persisting RDDs in this
+    thread between the two snapshots — true for these single-threaded
+    trainers (a concurrently-persisting thread could have its RDD
+    adopted and freed here; don't lift this helper into parallel code).
+    """
     pre = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    out = df.localCheckpoint(eager=True)
+    try:
+        out = df.localCheckpoint(eager=True)
+    except Exception:
+        # eager materialization failed mid-flight: the checkpoint RDD is
+        # already registered — free the partial blocks before re-raising
+        # (the caller's finally only knows about PRIOR steps' ids)
+        for rid in set(
+            sc._jsc.getPersistentRDDs().keySet().toArray()
+        ) - pre:
+            sc._jsc.sc().unpersistRDD(rid, False)
+        raise
     new_ids = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - pre
     for rid in prev_ids:
         sc._jsc.sc().unpersistRDD(rid, False)
@@ -999,40 +1015,44 @@ def _bpe_merge_loop_batched(
         cur, ids = _checkpoint_step(cur, ids, sc)
         while len(rules) < n_merges:
             pairs = _pair_counts(cur, sep).persist()
-            pool = max(4 * max_batch, 32)
-            cand = pairs.orderBy(
-                F.desc("cnt"), F.asc("l"), F.asc("r")
-            ).limit(pool).collect()
-            if not cand:
+            try:
+                pool = max(4 * max_batch, 32)
+                cand = pairs.orderBy(
+                    F.desc("cnt"), F.asc("l"), F.asc("r")
+                ).limit(pool).collect()
+                if not cand:
+                    break
+                syms = set()
+                for row in cand:
+                    syms.add(row["l"])
+                    syms.add(row["r"])
+                syms_lit = list(syms)
+                # per candidate symbol: the top-2 pairs containing it (by
+                # the same tie-break) — top-2 so the bound can exclude the
+                # candidate itself and still hold the max OTHER pair
+                w = Window.partitionBy("s").orderBy(
+                    F.desc("cnt"), F.asc("l"), F.asc("r")
+                )
+                sym_rows = (
+                    pairs.where(
+                        F.col("l").isin(syms_lit)
+                        | F.col("r").isin(syms_lit)
+                    )
+                    .select(
+                        "cnt", "l", "r",
+                        F.explode(
+                            F.array_distinct(F.array("l", "r"))
+                        ).alias("s"),
+                    )
+                    .where(F.col("s").isin(syms_lit))
+                    .withColumn("rn", F.row_number().over(w))
+                    .where(F.col("rn") <= 2)
+                    .collect()
+                )
+            finally:
+                # unpersist on EVERY exit (a collect failing mid-round
+                # must not leave the pair table pinned for the session)
                 pairs.unpersist()
-                break
-            syms = set()
-            for row in cand:
-                syms.add(row["l"])
-                syms.add(row["r"])
-            syms_lit = list(syms)
-            # per candidate symbol: the top-2 pairs containing it (by the
-            # same tie-break) — top-2 so the bound can exclude the
-            # candidate itself and still hold the max OTHER pair
-            w = Window.partitionBy("s").orderBy(
-                F.desc("cnt"), F.asc("l"), F.asc("r")
-            )
-            sym_rows = (
-                pairs.where(
-                    F.col("l").isin(syms_lit) | F.col("r").isin(syms_lit)
-                )
-                .select(
-                    "cnt", "l", "r",
-                    F.explode(
-                        F.array_distinct(F.array("l", "r"))
-                    ).alias("s"),
-                )
-                .where(F.col("s").isin(syms_lit))
-                .withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") <= 2)
-                .collect()
-            )
-            pairs.unpersist()
             top2: dict[str, list] = {}
             for row in sorted(sym_rows, key=lambda x: x["rn"]):
                 top2.setdefault(row["s"], []).append(

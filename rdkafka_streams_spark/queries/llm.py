@@ -2719,13 +2719,14 @@ c{j} AS MATERIALIZED (
     return "WITH " + ",\n".join(parts)
 
 
+_KM_K = 8
 _KM_N_ITERS = 3
 
 
 # ------------------------------------------------------------------------ L3
 @query(
     "q304_kmeans_integer",
-    oracle=_kmeans_oracle_ctes() + f"""
+    oracle=_kmeans_oracle_ctes(k=_KM_K, n_iters=_KM_N_ITERS) + f"""
 SELECT cid, CAST(dim AS INTEGER) AS dim, c_val, COALESCE(n_members, 0) AS n_members
 FROM (
   SELECT c.cid, g.i AS dim, c.qc[CAST(g.i AS INTEGER)] AS c_val
@@ -2751,7 +2752,7 @@ def q304_kmeans_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.similarity import kmeans_integer
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, cents = kmeans_integer(emb, k=8, n_iters=_KM_N_ITERS)
+    assigned, cents = kmeans_integer(emb, k=_KM_K, n_iters=_KM_N_ITERS)
     rows = [
         (cid, i + 1, v) for cid, qc in cents for i, v in enumerate(qc)
     ]
@@ -2768,7 +2769,7 @@ def q304_kmeans_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------------ L3
 @query(
     "q305_ivf_exact_search",
-    oracle=_kmeans_oracle_ctes() + f""",
+    oracle=_kmeans_oracle_ctes(k=_KM_K, n_iters=_KM_N_ITERS) + f""",
 qs AS (SELECT vec_id AS q_id, qv AS q_qv FROM q WHERE vec_id % 50 = 0),
 probes AS (
   SELECT q_id, q_qv, cid FROM (
@@ -2806,5 +2807,5 @@ def q305_ivf_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.expr("vec_id % 50 = 0"))
     return ivf_search_integer(
-        emb, queries, k=5, nprobe=2, n_cells=8, n_iters=_KM_N_ITERS
+        emb, queries, k=5, nprobe=2, n_cells=_KM_K, n_iters=_KM_N_ITERS
     )

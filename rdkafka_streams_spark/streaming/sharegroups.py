@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -129,28 +130,32 @@ class ShareGroup:
             self.root, ".share_groups", self.group, f"{topic}.json"
         )
 
-    def _coord_file(self, topic: str) -> str:
-        # dot-prefixed so nothing that globs "{topic}.json" state sees it;
-        # _check_name forbids dot-prefixed TOPICS, so no collision
-        return os.path.join(
-            os.path.dirname(self._state_path(topic)),
-            f".{topic}.coord.json",
-        )
+    def _epoch_marker_re(self, topic: str):
+        return re.compile(re.escape(f".{topic}.epoch-") + r"(\d+)$")
+
+    def _published_epochs(self, topic: str) -> list[int]:
+        gdir = os.path.dirname(self._state_path(topic))
+        pat = self._epoch_marker_re(topic)
+        try:
+            names = os.listdir(gdir)
+        except FileNotFoundError:
+            return []
+        return [int(m.group(1)) for n in names if (m := pat.match(n))]
 
     def _claim_coordinator(self, topic: str) -> int:
-        """Claim the next coordinator epoch for (group, topic) — the same
-        lock-free ``open(x)`` marker protocol as producer fencing
-        (``TopicLog.init_producer_id``): the O_EXCL winner of marker
-        ``.{topic}.epoch-{n}`` owns epoch n; publish is guarded so the
-        recorded epoch never regresses. Every older coordinator is fenced
-        on its next write."""
-        cf = self._coord_file(topic)
-        gdir = os.path.dirname(cf)
+        """Claim the next coordinator epoch for (group, topic): the O_EXCL
+        creation of marker ``.{topic}.epoch-{n}`` IS the publication —
+        there is no separate mutable record to regress, so the dual-
+        unfenced publish-ordering race of a claim-then-publish protocol
+        (review r10 on the first draft, and the documented residue in
+        ``init_producer_id``) is closed by construction: markers are
+        never overwritten, the highest marker is never deleted, and
+        ``_check_fenced`` reads the directory's maximum. Dead markers
+        strictly below the new claim are GC'd (the max always survives,
+        so a scan never regresses)."""
+        gdir = os.path.dirname(self._state_path(topic))
         os.makedirs(gdir, exist_ok=True)
-        epoch = 0
-        if os.path.exists(cf):
-            with open(cf, encoding="utf-8") as f:
-                epoch = int(json.load(f)["epoch"]) + 1
+        epoch = max(self._published_epochs(topic), default=-1) + 1
         while True:
             try:
                 fd = os.open(
@@ -158,43 +163,15 @@ class ShareGroup:
                     os.O_CREAT | os.O_EXCL | os.O_WRONLY,
                 )
                 os.close(fd)
+                break
             except FileExistsError:
                 epoch += 1
-                continue
-            # our marker won — but the published epoch may have moved
-            # past our claim while we raced (a GC'd marker re-claimed):
-            # the coord file is the commit record, never regress it
-            if os.path.exists(cf):
-                with open(cf, encoding="utf-8") as f:
-                    cur = int(json.load(f)["epoch"])
-                if cur >= epoch:
-                    epoch = cur + 1
-                    continue
-            break
-        # publish-ordering guard (same as init_producer_id's _publish,
-        # review r10): two FIRST claims race — A wins marker epoch-0
-        # while cf is still absent, B wins epoch-1 and publishes, then
-        # A's replace landing LAST would regress cf to 0 and leave BOTH
-        # unfenced (neither sees a higher epoch). Re-read immediately
-        # before the replace and skip when the world already moved:
-        # the epoch never regresses, so the lower claimant fences at
-        # its first _save instead.
-        if os.path.exists(cf):
-            try:
-                with open(cf, encoding="utf-8") as f:
-                    if int(json.load(f)["epoch"]) >= epoch:
-                        return epoch
-            except (ValueError, KeyError, OSError):
-                pass  # unreadable/torn current file: overwrite it
-        tmp = f"{cf}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"epoch": epoch}, f)
-        os.replace(tmp, cf)
-        for i in range(epoch):  # dead-marker GC (see init_producer_id)
-            try:
-                os.unlink(os.path.join(gdir, f".{topic}.epoch-{i}"))
-            except OSError:
-                pass
+        for i in self._published_epochs(topic):
+            if i < epoch:  # dead-marker GC; the max always survives
+                try:
+                    os.unlink(os.path.join(gdir, f".{topic}.epoch-{i}"))
+                except OSError:
+                    pass
         return epoch
 
     def _ensure_coordinator(self, topic: str) -> None:
@@ -202,12 +179,7 @@ class ShareGroup:
             self._epochs[topic] = self._claim_coordinator(topic)
 
     def _check_fenced(self, topic: str) -> None:
-        cf = self._coord_file(topic)
-        try:
-            with open(cf, encoding="utf-8") as f:
-                cur = int(json.load(f)["epoch"])
-        except FileNotFoundError:
-            return
+        cur = max(self._published_epochs(topic), default=-1)
         if cur > self._epochs[topic]:
             raise FencedShareCoordinatorError(
                 f"share-group coordinator for {self.group!r}/{topic!r} "
