@@ -1371,3 +1371,82 @@ def bpe_subword_vocab(
         .orderBy(F.desc("n_occurrences"), F.asc("subword"))
         .limit(top_k)
     )
+
+
+def byte_bpe_decode_roundtrip(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "·",
+    pretoken_pattern: str = GPT2_PRETOKEN_PATTERN,
+) -> DataFrame:
+    """Tokenizer DECODE at corpus scale: encode every document with the
+    corpus-learned byte merges, then reconstruct the text from the
+    symbol stream — ``(id, text)`` where text is REBUILT, never copied.
+
+    Decode must assemble BYTES before decoding UTF-8: byte-level merges
+    freely split multi-byte characters, so an individual symbol is not
+    necessarily valid UTF-8 — ``unhex`` of the concatenated symbol hex
+    per pre-token, decoded once, is (each pre-token's symbols segment
+    its byte string, so their concatenation is exactly its bytes). The
+    GPT-2 pre-tokenizer partitions the document (every character in
+    exactly one pre-token), so pre-tokens re-concatenate in position
+    order with no glue. What the identity check proves: the
+    pre-tokenizer loses nothing, hex/unhex round-trips every byte, and
+    re-assembly preserves order — the encode path is LOSSLESS (merge
+    SEMANTICS are pinned separately by the q295/q301 merge-table
+    oracles). Shape: the merge chain and decode run once per DISTINCT
+    pre-token (Zipf-bounded); the corpus-sized work is one posexplode +
+    one join + one per-doc rebuild (same array_sort idiom as
+    ExactSubstr excision — no per-doc window)."""
+    rules = learn_byte_bpe(
+        docs, n_merges=n_merges, text_col=text_col, sep=sep,
+        pretoken_pattern=pretoken_pattern,
+    ).orderBy("step").collect()
+    seq = _apply_merge_rules(
+        F.regexp_replace(
+            F.hex(F.encode(F.col("t"), "utf-8")), "(..)", f"{sep}$1{sep}"
+        ),
+        rules, sep,
+    )
+    type_map = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(pretoken_pattern), F.lit(0)
+                )
+            ).alias("t")
+        )
+        .where(F.col("t") != "")
+        .distinct()
+        .withColumn("seq", seq)
+        .select(
+            "t",
+            F.decode(
+                F.unhex(F.concat_ws("", _split_symbols(F.col("seq"), sep))),
+                "utf-8",
+            ).alias("dec"),
+        )
+    )
+    stream = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(pretoken_pattern), F.lit(0)
+            )
+        ).alias("pos", "t"),
+    ).where(F.col("t") != "")
+    return (
+        stream.join(type_map, "t")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "dec"))),
+                    lambda x: x["dec"],
+                ),
+            ).alias(text_col)
+        )
+    )

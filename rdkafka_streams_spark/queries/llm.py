@@ -2809,3 +2809,26 @@ def q305_ivf_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search_integer(
         emb, queries, k=5, nprobe=2, n_cells=_KM_K, n_iters=_KM_N_ITERS
     )
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q306_byte_bpe_roundtrip",
+    oracle="SELECT doc_id, text FROM documents WHERE length(text) > 0",
+    tags=("L4",),
+)
+def q306_byte_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer decode (llm/text.py byte_bpe_decode_roundtrip): every
+    document encoded with the corpus-learned byte merges and REBUILT
+    from its symbol stream — bytes assembled before UTF-8 decode (byte
+    merges split multi-byte chars), pre-tokens re-concatenated in
+    position order. The oracle is the identity, exactly like the
+    transport round trip (q90): a lossless encode→decode loop returns
+    the source table, and any loss in pre-tokenization, hex/unhex, or
+    re-assembly breaks the hash. Merge-chain and decode run once per
+    DISTINCT pre-token (type/token split, q298's posture)."""
+    from rdkafka_streams_spark.llm.text import byte_bpe_decode_roundtrip
+
+    return byte_bpe_decode_roundtrip(
+        _t(spark, sf_dir, "documents"), n_merges=8
+    )

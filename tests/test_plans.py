@@ -385,6 +385,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # search: final assignment window + probe-cell candidate join +
         # per-query top-k window (training eager; centroids broadcast)
         "q305_ivf_exact_search": 4,
+        # decode roundtrip: type-map distinct + stream join + per-doc
+        # rebuild (training eager; +1 headroom for a join-strategy flip)
+        "q306_byte_bpe_roundtrip": 3,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
