@@ -357,3 +357,43 @@ def test_corrupt_state_fails_loudly_not_silent_reset(tmp_path):
     # missing state is still the legitimate empty case
     os.unlink(path)
     assert sg.describe("q")[0]["spso"] == 0
+
+
+def test_concurrent_coordinator_claims_get_distinct_epochs(tmp_path):
+    """r10 review: the O_EXCL epoch MARKER is itself the publication —
+    no mutable record exists to regress, so concurrent claims must get
+    DISTINCT epochs and exactly one claimant (the max) stays unfenced,
+    under any interleaving."""
+    import threading
+
+    root, log, _ = _mk(tmp_path, n=2)
+    groups, errs = [], []
+
+    def claim():
+        try:
+            g = ShareGroup(root, "workers")
+            g._ensure_coordinator("q")
+            groups.append(g)
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    threads = [threading.Thread(target=claim) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    epochs = sorted(g._epochs["q"] for g in groups)
+    assert len(set(epochs)) == 8  # no two claimants share an epoch
+    winner = max(groups, key=lambda g: g._epochs["q"])
+    # exactly the max-epoch claimant may write; all others are fenced
+    from rdkafka_streams_spark.streaming.sharegroups import (
+        FencedShareCoordinatorError,
+    )
+    got = winner.fetch("q", "m", max_records=1, now_ms=1_000)
+    assert len(got) == 1
+    for g in groups:
+        if g is winner:
+            continue
+        with pytest.raises(FencedShareCoordinatorError):
+            g.fetch("q", "m", max_records=1, now_ms=1_001)
