@@ -21,6 +21,12 @@ scripts.
         --timestamp 1700000000000
     python scripts/topiclog_admin.py --root /data/bus verify-log ev
     python scripts/topiclog_admin.py --root /data/bus run-retention
+    python scripts/topiclog_admin.py --root /data/bus list-transactions \
+        --state open --older-than-ms 600000
+    python scripts/topiclog_admin.py --root /data/bus abort-transaction \
+        etl-pipeline --min-age-ms 600000
+    python scripts/topiclog_admin.py --root /data/bus reset-share-offsets \
+        payout ev --to earliest
 """
 
 from __future__ import annotations
