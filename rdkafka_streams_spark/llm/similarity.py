@@ -637,6 +637,40 @@ def _int_l2(a: str | Column, b: str | Column) -> Column:
     )
 
 
+def _argmin_cid(cents: list[tuple[int, list[int]]]) -> Column:
+    """Map-side nearest-centroid id over LITERAL centroids: one
+    ``aggregate`` fold over an array of (cid, qc) structs computing the
+    running (min dist, cid); strict ``<`` keeps the FIRST minimum, and
+    the array is cid-ascending, so ties go to the smaller cid — the same
+    total order as a (dist, cid) sort. Evaluates k integer L2 folds per
+    row inside whole-stage codegen; no join, no shuffle, no window."""
+    cent_lit = F.array(*[
+        F.struct(
+            F.lit(cid).alias("cid"),
+            F.array(*[F.lit(v).cast("long") for v in qc]).alias("qc"),
+        )
+        for cid, qc in cents
+    ])
+
+    def step(acc, c):
+        d = F.aggregate(
+            F.zip_with(F.col("qv"), c["qc"], lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        better = d < acc["d"]
+        return F.struct(
+            F.when(better, d).otherwise(acc["d"]).alias("d"),
+            F.when(better, c["cid"]).otherwise(acc["cid"]).alias("cid"),
+        )
+
+    init = F.struct(
+        F.lit(2**62).cast("long").alias("d"),
+        F.lit(0).alias("cid"),
+    )
+    return F.aggregate(cent_lit, init, step)["cid"]
+
+
 def kmeans_integer(
     emb: DataFrame,
     k: int = 8,
@@ -661,18 +695,20 @@ def kmeans_integer(
     no summation order or float rounding can diverge.
 
     Distribution shape (the BPE posture): per iteration ONE Spark job —
-    assignment (broadcast k×dim centroids into a zip_with fold, no
-    shuffle) feeding the per-(cid, dim) mean (one shuffle of k×dim
-    groups); the k×dim new centroids collect as DRIVER METADATA (the
-    same contract as BPE merge rules — a few KB at any corpus size).
-    Returns (assignments DataFrame (id, cid), final centroids as
+    assignment is a MAP-SIDE argmin over the centroids embedded as a
+    LITERAL array (they are driver metadata, k×dim longs): zero shuffle,
+    zero join — a window over an N×k crossJoin would shuffle N×k rows
+    per iteration, the kind of cost a 100 TB corpus cannot pay. The only
+    shuffle is the per-(cid, dim) mean (k×dim groups, map-side partial
+    aggregation). The k×dim new centroids collect as DRIVER METADATA
+    (the same contract as BPE merge rules — a few KB at any corpus
+    size). Returns (assignments DataFrame (id, cid), final centroids as
     [(cid, [dim longs])])."""
     if n_iters < 1:
         raise ValueError(
             "n_iters must be >= 1 (there is no assignment against raw "
             "seeds to return)"
         )
-    spark = emb.sparkSession
     q = emb.select(
         F.col(id_col), quantize_global(vec_col, scale).alias("qv")
     ).persist()
@@ -688,16 +724,8 @@ def kmeans_integer(
     assigned = None
     try:
         for _ in range(n_iters):
-            cdf = spark.createDataFrame(
-                cents, f"cid int, qc array<bigint>"
-            )
-            w = Window.partitionBy(id_col).orderBy("__d", "cid")
-            assigned = (
-                q.crossJoin(F.broadcast(cdf))
-                .withColumn("__d", _int_l2("qv", "qc"))
-                .withColumn("__rn", F.row_number().over(w))
-                .where("__rn = 1")
-                .select(id_col, "qv", "cid")
+            assigned = q.select(
+                id_col, "qv", _argmin_cid(cents).alias("cid")
             )
             means = (
                 assigned.select(

@@ -378,13 +378,13 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # target_vocab_size batched training: loop eager, merge table is
         # driver metadata
         "q303_byte_bpe_vocab_target": 0,
-        # k-means: training iterations eager (broadcast assignment +
-        # k×dim-group shuffle each); the returned frame joins the final
-        # assignment's member counts (1 agg) to driver-built centroids
-        "q304_kmeans_integer": 3,
-        # search: final assignment window + probe-cell candidate join +
+        # k-means: assignment is a map-side literal-centroid argmin
+        # (zero shuffle); the returned frame is the member-count agg
+        # joined (broadcast) to driver-built centroid rows
+        "q304_kmeans_integer": 2,
+        # search: map-side assignment + probe-cell candidate join +
         # per-query top-k window (training eager; centroids broadcast)
-        "q305_ivf_exact_search": 4,
+        "q305_ivf_exact_search": 3,
         # decode roundtrip: type-map distinct + stream join + per-doc
         # rebuild (training eager; +1 headroom for a join-strategy flip)
         "q306_byte_bpe_roundtrip": 3,
