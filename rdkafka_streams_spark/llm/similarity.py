@@ -637,38 +637,49 @@ def _int_l2(a: str | Column, b: str | Column) -> Column:
     )
 
 
-def _argmin_cid(cents: list[tuple[int, list[int]]]) -> Column:
-    """Map-side nearest-centroid id over LITERAL centroids: one
-    ``aggregate`` fold over an array of (cid, qc) structs computing the
-    running (min dist, cid); strict ``<`` keeps the FIRST minimum, and
-    the array is cid-ascending, so ties go to the smaller cid — the same
-    total order as a (dist, cid) sort. Evaluates k integer L2 folds per
-    row inside whole-stage codegen; no join, no shuffle, no window."""
-    cent_lit = F.array(*[
-        F.struct(
-            F.lit(cid).alias("cid"),
-            F.array(*[F.lit(v).cast("long") for v in qc]).alias("qc"),
-        )
-        for cid, qc in cents
+def _argmin_cid(
+    vec: str | Column, cents: list[tuple[int, list[int]]]
+) -> Column:
+    """Map-side nearest-centroid id over LITERAL centroids: an
+    ``aggregate`` fold computing the running (min dist, cid) via the
+    same ``_int_l2`` the probe/search paths use; strict ``<`` keeps the
+    FIRST minimum, and the array is cid-ascending, so ties go to the
+    smaller cid — the same total order as a (dist, cid) sort. The
+    accumulator is initialized from the FIRST centroid's real distance,
+    not a sentinel: a magic max-long would silently assign a
+    nonexistent cid 0 whenever every distance is NULL (NULL/short
+    vector), where first-centroid init degrades to cid 1 exactly like
+    the nulls-first window order it replaced. Evaluates k integer L2
+    folds per row inside whole-stage codegen; no join, no shuffle, no
+    window."""
+    if not cents:
+        raise ValueError("no centroids (empty corpus?)")
+    vec = F.col(vec) if isinstance(vec, str) else vec
+
+    def lit_qc(qc: list[int]) -> Column:
+        return F.array(*[F.lit(v).cast("long") for v in qc])
+
+    first_cid, first_qc = cents[0]
+    init = F.struct(
+        _int_l2(vec, lit_qc(first_qc)).alias("d"),
+        F.lit(first_cid).alias("cid"),
+    )
+    if len(cents) == 1:
+        return init["cid"]
+    rest = F.array(*[
+        F.struct(F.lit(cid).alias("cid"), lit_qc(qc).alias("qc"))
+        for cid, qc in cents[1:]
     ])
 
     def step(acc, c):
-        d = F.aggregate(
-            F.zip_with(F.col("qv"), c["qc"], lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
+        d = _int_l2(vec, c["qc"])
         better = d < acc["d"]
         return F.struct(
             F.when(better, d).otherwise(acc["d"]).alias("d"),
             F.when(better, c["cid"]).otherwise(acc["cid"]).alias("cid"),
         )
 
-    init = F.struct(
-        F.lit(2**62).cast("long").alias("d"),
-        F.lit(0).alias("cid"),
-    )
-    return F.aggregate(cent_lit, init, step)["cid"]
+    return F.aggregate(rest, init, step)["cid"]
 
 
 def kmeans_integer(
@@ -725,7 +736,7 @@ def kmeans_integer(
     try:
         for _ in range(n_iters):
             assigned = q.select(
-                id_col, "qv", _argmin_cid(cents).alias("cid")
+                id_col, "qv", _argmin_cid("qv", cents).alias("cid")
             )
             means = (
                 assigned.select(

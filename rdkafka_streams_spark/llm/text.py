@@ -1115,6 +1115,26 @@ GPT2_PRETOKEN_PATTERN = (
 )
 
 
+
+def _hex_wrapped(col, sep: str):
+    """UTF-8 bytes of ``col`` spelled as sep-wrapped hex byte symbols —
+    THE byte-BPE sequence spelling. One definition shared by training,
+    vocab, encode, and decode (the _apply_merge_rules discipline: a
+    change to the wrapping scheme cannot silently diverge between the
+    producers and consumers of a merge table)."""
+    return F.regexp_replace(
+        F.hex(F.encode(col, "utf-8")), "(..)", f"{sep}$1{sep}"
+    )
+
+
+def _pretoken_col(text_col: str, pretoken_pattern: str):
+    """The GPT-2-style pre-token array of a text column — shared by
+    every byte-BPE entry point for the same reason as _hex_wrapped."""
+    return F.regexp_extract_all(
+        F.col(text_col), F.lit(pretoken_pattern), F.lit(0)
+    )
+
+
 def learn_byte_bpe(
     docs: DataFrame,
     n_merges: int = 8,
@@ -1162,23 +1182,12 @@ def learn_byte_bpe(
             )
         n_merges = target_vocab_size - 256
     toks = (
-        docs.select(
-            F.explode(
-                F.regexp_extract_all(
-                    F.col(text_col), F.lit(pretoken_pattern), F.lit(0)
-                )
-            ).alias("t")
-        )
+        docs.select(F.explode(_pretoken_col(text_col, pretoken_pattern)).alias("t"))
         .where(F.col("t") != "")
         .groupBy("t")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
-    cur = toks.select(
-        "freq",
-        F.regexp_replace(
-            F.hex(F.encode(F.col("t"), "utf-8")), "(..)", f"{sep}$1{sep}"
-        ).alias("seq"),
-    )
+    cur = toks.select("freq", _hex_wrapped(F.col("t"), sep).alias("seq"))
     if batched:
         return _bpe_merge_loop_batched(
             docs.sparkSession, cur, n_merges, sep, max_batch=max_batch
@@ -1205,23 +1214,12 @@ def byte_bpe_vocab(
         pretoken_pattern=pretoken_pattern,
     ).orderBy("step").collect()
     toks = (
-        docs.select(
-            F.explode(
-                F.regexp_extract_all(
-                    F.col(text_col), F.lit(pretoken_pattern), F.lit(0)
-                )
-            ).alias("t")
-        )
+        docs.select(F.explode(_pretoken_col(text_col, pretoken_pattern)).alias("t"))
         .where(F.col("t") != "")
         .groupBy("t")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
-    seq = _apply_merge_rules(
-        F.regexp_replace(
-            F.hex(F.encode(F.col("t"), "utf-8")), "(..)", f"{sep}$1{sep}"
-        ),
-        rules, sep,
-    )
+    seq = _apply_merge_rules(_hex_wrapped(F.col("t"), sep), rules, sep)
     return (
         toks.select("freq", seq.alias("seq"))
         .select(
@@ -1285,20 +1283,9 @@ def byte_bpe_encode_counts(
         docs, n_merges=n_merges, text_col=text_col, sep=sep,
         pretoken_pattern=pretoken_pattern,
     ).orderBy("step").collect()
-    seq = _apply_merge_rules(
-        F.regexp_replace(
-            F.hex(F.encode(F.col("t"), "utf-8")), "(..)", f"{sep}$1{sep}"
-        ),
-        rules, sep,
-    )
+    seq = _apply_merge_rules(_hex_wrapped(F.col("t"), sep), rules, sep)
     types = (
-        docs.select(
-            F.explode(
-                F.regexp_extract_all(
-                    F.col(text_col), F.lit(pretoken_pattern), F.lit(0)
-                )
-            ).alias("t")
-        )
+        docs.select(F.explode(_pretoken_col(text_col, pretoken_pattern)).alias("t"))
         .where(F.col("t") != "")
         .distinct()
         .withColumn("seq", seq)
@@ -1311,11 +1298,7 @@ def byte_bpe_encode_counts(
     doc_toks = (
         docs.select(
             *id_cols,
-            F.explode(
-                F.regexp_extract_all(
-                    F.col(text_col), F.lit(pretoken_pattern), F.lit(0)
-                )
-            ).alias("t"),
+            F.explode(_pretoken_col(text_col, pretoken_pattern)).alias("t"),
         )
         .where(F.col("t") != "")
     )
@@ -1404,20 +1387,9 @@ def byte_bpe_decode_roundtrip(
         docs, n_merges=n_merges, text_col=text_col, sep=sep,
         pretoken_pattern=pretoken_pattern,
     ).orderBy("step").collect()
-    seq = _apply_merge_rules(
-        F.regexp_replace(
-            F.hex(F.encode(F.col("t"), "utf-8")), "(..)", f"{sep}$1{sep}"
-        ),
-        rules, sep,
-    )
+    seq = _apply_merge_rules(_hex_wrapped(F.col("t"), sep), rules, sep)
     type_map = (
-        docs.select(
-            F.explode(
-                F.regexp_extract_all(
-                    F.col(text_col), F.lit(pretoken_pattern), F.lit(0)
-                )
-            ).alias("t")
-        )
+        docs.select(F.explode(_pretoken_col(text_col, pretoken_pattern)).alias("t"))
         .where(F.col("t") != "")
         .distinct()
         .withColumn("seq", seq)
@@ -1431,11 +1403,7 @@ def byte_bpe_decode_roundtrip(
     )
     stream = docs.select(
         F.col(id_col),
-        F.posexplode(
-            F.regexp_extract_all(
-                F.col(text_col), F.lit(pretoken_pattern), F.lit(0)
-            )
-        ).alias("pos", "t"),
+        F.posexplode(_pretoken_col(text_col, pretoken_pattern)).alias("pos", "t"),
     ).where(F.col("t") != "")
     return (
         stream.join(type_map, "t")
