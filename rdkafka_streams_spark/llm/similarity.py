@@ -651,7 +651,14 @@ def _argmin_cid(
     vector), where first-centroid init degrades to cid 1 exactly like
     the nulls-first window order it replaced. Evaluates k integer L2
     folds per row inside whole-stage codegen; no join, no shuffle, no
-    window."""
+    window.
+
+    Sizing: the centroids ride INSIDE the plan as literals — right for
+    a coarse quantizer's k (tens to ~1k cells; k×dim longs of plan
+    text). A k in the tens of thousands would bloat codegen past JVM
+    method limits; at that size switch assignment to a broadcast join
+    against a centroid table (one broadcast, still no shuffle of the
+    corpus) and keep the same integer arithmetic."""
     if not cents:
         raise ValueError("no centroids (empty corpus?)")
     vec = F.col(vec) if isinstance(vec, str) else vec
@@ -815,3 +822,43 @@ def ivf_search_integer(
         .where(F.col("__rn") <= k)
         .select("q_id", F.col(id_col), F.col("__d").alias("dist_sq"))
     )
+
+
+def build_pq_codebooks_integer(
+    emb: DataFrame,
+    m: int = 4,
+    n_codes: int = 4,
+    n_iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, DataFrame, list[tuple[int, list[int]]]]]:
+    """ORACLE-EXACT PQ codebook training: one ``kmeans_integer`` per
+    subvector block. ``build_pq_codebooks`` (MLlib KMeans per block) is
+    the production fast path but its internals are engine-private, so
+    its contract is recall-vs-brute-force; this trainer makes PQ
+    TRAINING itself value-hash-checkable — every subspace inherits the
+    integer trainer's determinism (global quantization, md5 seeding,
+    tie-breaks, truncating means, empty-cluster carry). Subvector
+    slicing happens BEFORE quantization, so each block trains on
+    exactly the bytes its ADC distance table will see.
+
+    Returns [(subspace, assignments df (id, code cid), centroids)] —
+    per-block; the centroids are driver metadata (m × k × dim/m longs),
+    the same contract as the full-vector trainer."""
+    dim = len(emb.select(vec_col).first()[0])  # driver metadata probe
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    out = []
+    for j in range(m):
+        block = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
+        )
+        assigned, cents = kmeans_integer(
+            block, k=n_codes, n_iters=n_iters, scale=scale,
+            id_col=id_col, vec_col=vec_col,
+        )
+        out.append((j, assigned, cents))
+    return out

@@ -2678,45 +2678,52 @@ def q303_byte_bpe_vocab_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_ctes(k: int = 8, n_iters: int = 3, scale: int = 1000) -> str:
+def _kmeans_oracle_ctes(k: int = 8, n_iters: int = 3, scale: int = 1000,
+                        prefix: str = "", vec_expr: str = "embedding",
+                        bare: bool = False) -> str:
     """Shared unrolled-iteration DuckDB CTE chain for kmeans_integer:
     global quantization (floor(x·scale + 0.5) — bit-identical to Spark),
     md5-ordered seeding, min-integer-L2 assignment with cid tie-break,
     truncating integer per-dim means (`//` == Spark `div`, verified),
     empty clusters carrying their previous centroid. Every it CTE is
     MATERIALIZED (the 2-references-per-step expansion lesson from
-    _byte_bpe_oracle)."""
+    _byte_bpe_oracle). ``prefix`` renames every CTE (so several chains
+    compose in one statement — the per-subspace PQ trainer), ``vec_expr``
+    substitutes the vector (e.g. a subvector slice), and ``bare=True``
+    returns just the CTE list without the leading WITH."""
+    p = prefix
     parts = [
-        f"""q AS MATERIALIZED (
-  SELECT vec_id, list_transform(embedding,
+        f"""{p}q AS MATERIALIZED (
+  SELECT vec_id, list_transform({vec_expr},
          x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)) AS qv
   FROM embeddings),
-c0 AS MATERIALIZED (
+{p}c0 AS MATERIALIZED (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
          AS INTEGER) AS cid, qv AS qc
-  FROM (SELECT vec_id, qv FROM q
+  FROM (SELECT vec_id, qv FROM {p}q
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}))"""
     ]
     for j in range(1, n_iters + 1):
-        parts.append(f"""a{j} AS MATERIALIZED (
+        parts.append(f"""{p}a{j} AS MATERIALIZED (
   SELECT vec_id, qv, cid FROM (
     SELECT q.vec_id, q.qv, c.cid,
       ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
         CAST(list_sum(list_transform(list_zip(q.qv, c.qc),
              x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT) ASC, c.cid ASC) AS rn
-    FROM q CROSS JOIN c{j - 1} c) WHERE rn = 1),
-cm{j} AS MATERIALIZED (
+    FROM {p}q q CROSS JOIN {p}c{j - 1} c) WHERE rn = 1),
+{p}cm{j} AS MATERIALIZED (
   SELECT cid, list(val ORDER BY i) AS qc FROM (
     SELECT a.cid, g.i, CAST(SUM(a.qv[CAST(g.i AS INTEGER)]) // COUNT(*)
            AS BIGINT) AS val
-    FROM a{j} a, unnest(generate_series(1, len(a.qv))) AS g(i)
+    FROM {p}a{j} a, unnest(generate_series(1, len(a.qv))) AS g(i)
     GROUP BY a.cid, g.i) GROUP BY cid),
-c{j} AS MATERIALIZED (
-  SELECT * FROM cm{j}
+{p}c{j} AS MATERIALIZED (
+  SELECT * FROM {p}cm{j}
   UNION ALL
-  SELECT p.cid, p.qc FROM c{j - 1} p
-  WHERE p.cid NOT IN (SELECT cid FROM cm{j}))""")
-    return "WITH " + ",\n".join(parts)
+  SELECT p.cid, p.qc FROM {p}c{j - 1} p
+  WHERE p.cid NOT IN (SELECT cid FROM {p}cm{j}))""")
+    body = ",\n".join(parts)
+    return body if bare else "WITH " + body
 
 
 _KM_K = 8
@@ -2832,3 +2839,80 @@ def q306_byte_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_bpe_decode_roundtrip(
         _t(spark, sf_dir, "documents"), n_merges=8
     )
+
+
+_PQ_M = 4
+_PQ_K = 4
+_PQ_ITERS = 2
+_PQ_SUB = 16  # embeddings are 64-dim -> 16 dims per subspace
+
+
+def _pq_oracle() -> str:
+    """Per-subspace kmeans chains composed in one statement: the shared
+    generator re-runs with a prefixed namespace and a subvector slice per
+    block, then the final selects union with the subspace id."""
+    chains = ",\n".join(
+        _kmeans_oracle_ctes(
+            k=_PQ_K, n_iters=_PQ_ITERS, prefix=f"s{j}",
+            vec_expr=f"embedding[{j * _PQ_SUB + 1}:{(j + 1) * _PQ_SUB}]",
+            bare=True,
+        )
+        for j in range(_PQ_M)
+    )
+    finals = "\nUNION ALL\n".join(
+        f"""SELECT {j} AS subspace, cid, CAST(dim AS INTEGER) AS dim, c_val,
+       COALESCE(n_members, 0) AS n_members
+FROM (
+  SELECT c.cid, g.i AS dim, c.qc[CAST(g.i AS INTEGER)] AS c_val
+  FROM s{j}c{_PQ_ITERS} c,
+       unnest(generate_series(1, len(c.qc))) AS g(i)) x
+LEFT JOIN (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+           FROM s{j}a{_PQ_ITERS} GROUP BY cid) m USING (cid)"""
+        for j in range(_PQ_M)
+    )
+    return "WITH " + chains + "\n" + finals
+
+
+# ------------------------------------------------------------------------ L3
+@query("q307_pq_train_integer", oracle=_pq_oracle(), tags=("L3",))
+def q307_pq_train_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-EXACT PQ codebook training (llm/similarity.py
+    build_pq_codebooks_integer): one integer k-means per 16-dim
+    subvector block (4 blocks × 4 codes × 2 iterations) — the
+    production trainer (build_pq_codebooks, MLlib per block) is
+    engine-private and recall-contracted; here PQ TRAINING itself is
+    value-hash-checked, every subspace replaying the q304 trainer's
+    determinism on its slice. Output: every (subspace, code, dim)
+    codebook coordinate + per-code member counts. Scale: each block is
+    a map-side argmin pass + one k×dim-group shuffle per iteration;
+    codebooks are driver metadata (m·k·dim/m longs)."""
+    from rdkafka_streams_spark.llm.similarity import (
+        build_pq_codebooks_integer,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    blocks = build_pq_codebooks_integer(
+        emb, m=_PQ_M, n_codes=_PQ_K, n_iters=_PQ_ITERS
+    )
+    outs = []
+    for j, assigned, cents in blocks:
+        rows = [
+            (j, cid, i + 1, v) for cid, qc in cents for i, v in enumerate(qc)
+        ]
+        cdf = spark.createDataFrame(
+            rows, "subspace int, cid int, dim int, c_val bigint"
+        )
+        sizes = assigned.groupBy("cid").agg(
+            F.count("*").cast("bigint").alias("n_members")
+        )
+        outs.append(
+            cdf.join(sizes, "cid", "left").select(
+                "subspace", "cid", "dim", "c_val",
+                F.coalesce("n_members", F.lit(0).cast("bigint"))
+                .alias("n_members"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

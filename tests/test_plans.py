@@ -388,6 +388,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # decode roundtrip: type-map distinct + stream join + per-doc
         # rebuild (training eager; +1 headroom for a join-strategy flip)
         "q306_byte_bpe_roundtrip": 3,
+        # PQ training: per-subspace member-count agg (4 blocks, map-side
+        # argmin assignment; training iterations eager)
+        "q307_pq_train_integer": 4,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
