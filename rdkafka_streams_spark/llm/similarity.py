@@ -525,6 +525,30 @@ def pq_search_adc(
     )
 
 
+def _pq_sub_width(
+    emb: DataFrame, m: int, vec_col: str, strict: bool = False
+) -> int:
+    """Subvector width for m PQ blocks — the shared dim probe + index
+    math (one definition, so the two trainers cannot drift). ``strict``
+    raises on indivisible dims (the oracle-exact trainer must cover
+    every dim); the production trainer keeps its historical
+    truncate-trailing-dims behavior. Raises the module's 'empty corpus'
+    ValueError instead of an opaque NoneType crash on an empty or
+    NULL-embedding probe row."""
+    row = emb.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError("no vectors (empty corpus or NULL embedding?)")
+    dim = len(row[0])
+    if strict and dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    return dim // m
+
+
+def _pq_block_slice(vec_col: str, j: int, sub: int):
+    """The j-th subvector (1-based slice) — shared by both trainers."""
+    return F.slice(F.col(vec_col), j * sub + 1, sub)
+
+
 def build_pq_codebooks(
     emb: DataFrame,
     m: int = 8,
@@ -541,13 +565,12 @@ def build_pq_codebooks(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = len(emb.select(vec_col).first()[0])
-    sub = dim // m
+    sub = _pq_sub_width(emb, m, vec_col)
     out = []
     for j in range(m):
         block = emb.select(
             array_to_vector(
-                F.slice(F.col(vec_col), j * sub + 1, sub).cast("array<double>")
+                _pq_block_slice(vec_col, j, sub).cast("array<double>")
             ).alias("__f")
         )
         model = KMeans(k=n_codes, seed=seed + j, featuresCol="__f").fit(block)
@@ -846,15 +869,12 @@ def build_pq_codebooks_integer(
     Returns [(subspace, assignments df (id, code cid), centroids)] —
     per-block; the centroids are driver metadata (m × k × dim/m longs),
     the same contract as the full-vector trainer."""
-    dim = len(emb.select(vec_col).first()[0])  # driver metadata probe
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
-    sub = dim // m
+    sub = _pq_sub_width(emb, m, vec_col, strict=True)
     out = []
     for j in range(m):
         block = emb.select(
             F.col(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
+            _pq_block_slice(vec_col, j, sub).alias(vec_col),
         )
         assigned, cents = kmeans_integer(
             block, k=n_codes, n_iters=n_iters, scale=scale,

@@ -2730,6 +2730,30 @@ _KM_K = 8
 _KM_N_ITERS = 3
 
 
+def _centroid_report(spark, assigned, cents, extra: dict | None = None):
+    """(cid, dim, c_val, n_members) frame from a trainer's (assignments,
+    driver centroids) — the one shaping both k-means certs (q304, q307)
+    hash against: dim 1-based, empty clusters coalesced to 0 members,
+    bigint casts. ``extra`` prepends literal columns (e.g. subspace)."""
+    extra = extra or {}
+    rows = [
+        (*extra.values(), cid, i + 1, v)
+        for cid, qc in cents for i, v in enumerate(qc)
+    ]
+    schema = (
+        "".join(f"{k} int, " for k in extra)
+        + "cid int, dim int, c_val bigint"
+    )
+    cdf = spark.createDataFrame(rows, schema)
+    sizes = assigned.groupBy("cid").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return cdf.join(sizes, "cid", "left").select(
+        *extra, "cid", "dim", "c_val",
+        F.coalesce("n_members", F.lit(0).cast("bigint")).alias("n_members"),
+    )
+
+
 # ------------------------------------------------------------------------ L3
 @query(
     "q304_kmeans_integer",
@@ -2760,17 +2784,7 @@ def q304_kmeans_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     assigned, cents = kmeans_integer(emb, k=_KM_K, n_iters=_KM_N_ITERS)
-    rows = [
-        (cid, i + 1, v) for cid, qc in cents for i, v in enumerate(qc)
-    ]
-    cdf = spark.createDataFrame(rows, "cid int, dim int, c_val bigint")
-    sizes = assigned.groupBy("cid").agg(
-        F.count("*").cast("bigint").alias("n_members")
-    )
-    return cdf.join(sizes, "cid", "left").select(
-        "cid", "dim", "c_val",
-        F.coalesce("n_members", F.lit(0).cast("bigint")).alias("n_members"),
-    )
+    return _centroid_report(spark, assigned, cents)
 
 
 # ------------------------------------------------------------------------ L3
@@ -2844,7 +2858,7 @@ def q306_byte_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 4
 _PQ_K = 4
 _PQ_ITERS = 2
-_PQ_SUB = 16  # embeddings are 64-dim -> 16 dims per subspace
+_PQ_SUB = EMB_DIM // _PQ_M  # 64-dim fixture -> 16 dims per subspace
 
 
 def _pq_oracle() -> str:
@@ -2894,25 +2908,12 @@ def q307_pq_train_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = build_pq_codebooks_integer(
         emb, m=_PQ_M, n_codes=_PQ_K, n_iters=_PQ_ITERS
     )
-    outs = []
-    for j, assigned, cents in blocks:
-        rows = [
-            (j, cid, i + 1, v) for cid, qc in cents for i, v in enumerate(qc)
-        ]
-        cdf = spark.createDataFrame(
-            rows, "subspace int, cid int, dim int, c_val bigint"
-        )
-        sizes = assigned.groupBy("cid").agg(
-            F.count("*").cast("bigint").alias("n_members")
-        )
-        outs.append(
-            cdf.join(sizes, "cid", "left").select(
-                "subspace", "cid", "dim", "c_val",
-                F.coalesce("n_members", F.lit(0).cast("bigint"))
-                .alias("n_members"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    outs = [
+        _centroid_report(spark, assigned, cents, extra={"subspace": j})
+        for j, assigned, cents in blocks
+    ]
+    return reduce(_DF.unionAll, outs)
