@@ -882,3 +882,93 @@ def build_pq_codebooks_integer(
         )
         out.append((j, assigned, cents))
     return out
+
+
+def pq_search_adc_integer(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 4,
+    n_iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """END-TO-END oracle-exact PQ search: train per-block integer
+    codebooks (``build_pq_codebooks_integer``), ENCODE the corpus
+    against the FINAL codebooks (m map-side ``_argmin_cid`` folds per
+    row — one pass, zero shuffle, zero join, ties to the smaller code),
+    build each query's asymmetric-distance tables (m × n_codes integer
+    L2 entries — driver-free, computed in one projection over the
+    query rows), and take the ADC top-k: the approximate distance
+    between a query and a database vector is the sum over blocks of
+    dtable[j][code_j] — m ``element_at`` lookups per pair, never a fold
+    over the raw vector (ADC's whole point). Every number on the path
+    is a bigint, so training, encoding, table build, AND search are all
+    value-hash-checkable against SQL — closing the last link of the PQ
+    chain the way ``ivf_search_integer`` closed IVF (q307 proved
+    training only; ``pq_search_adc`` searches deterministic untrained
+    codebooks).
+
+    Scale posture: codebooks are driver metadata (m·n_codes·dim/m
+    longs) riding as literals; corpus codes are m small ints per row
+    (the 100 TB compression that makes the sweep memory-resident);
+    queries broadcast with their precomputed tables; one top-k window
+    per query. Ties break (adist, id) ascending. Returns
+    (q_id, id, adist)."""
+    from functools import reduce as _reduce
+
+    sub = _pq_sub_width(emb, m, vec_col, strict=True)
+    blocks = build_pq_codebooks_integer(
+        emb, m=m, n_codes=n_codes, n_iters=n_iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cbs = [cents for _, _, cents in blocks]  # cid-ascending per block
+
+    def lit_qc(qc: list[int]) -> Column:
+        return F.array(*[F.lit(v).cast("long") for v in qc])
+
+    def block_slice(col: str, j: int) -> Column:
+        return F.slice(F.col(col), j * sub + 1, sub)
+
+    qemb = emb.select(
+        F.col(id_col), quantize_global(vec_col, scale).alias("__qv")
+    )
+    codes = qemb.select(
+        id_col,
+        *[
+            _argmin_cid(block_slice("__qv", j), cbs[j]).alias(f"__code{j}")
+            for j in range(m)
+        ],
+    )
+    # Per-query ADC tables: dt_j[c] = int L2(query block j, centroid c),
+    # index c == cid (1-based element_at), one array per block.
+    qdt = queries.select(
+        F.col(id_col).alias("q_id"),
+        quantize_global(vec_col, scale).alias("__q_qv"),
+    ).select(
+        "q_id",
+        *[
+            F.array(*[
+                _int_l2(block_slice("__q_qv", j), lit_qc(qc))
+                for _cid, qc in cbs[j]
+            ]).alias(f"__dt{j}")
+            for j in range(m)
+        ],
+    )
+    pairs = codes.join(F.broadcast(qdt), F.col(id_col) != F.col("q_id"))
+    adist = _reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(F.col(f"__dt{j}"), F.col(f"__code{j}"))
+            for j in range(m)
+        ],
+    )
+    w = Window.partitionBy("q_id").orderBy("adist", id_col)
+    return (
+        pairs.select("q_id", id_col, adist.alias("adist"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("q_id", F.col(id_col), F.col("adist"))
+    )

@@ -977,12 +977,13 @@ def _bpe_merge_loop(spark, cur: DataFrame, n_merges: int, sep: str) -> DataFrame
 def _bpe_merge_loop_batched(
     spark, cur: DataFrame, n_merges: int, sep: str, max_batch: int = 16
 ) -> DataFrame:
-    """Batched Sennrich merges, EXACTLY equal to the sequential loop —
-    the vocab-scale trainer: a production 50k-merge vocabulary under the
-    sequential loop means ~100k sequential Spark jobs; this loop learns
-    up to ``max_batch`` merges per round (2 jobs), cutting rounds by the
-    achieved batch factor while provably returning the identical merge
-    table, byte for byte.
+    """Batched Sennrich merges with INCREMENTALLY MAINTAINED pair counts,
+    exactly equal to the sequential loop — the vocab-scale trainer: a
+    production 50k-merge vocabulary under the sequential loop means
+    ~100k sequential Spark jobs; this loop learns up to ``max_batch``
+    merges per round (2 jobs) AND re-aggregates only the merge-touched
+    words, so round cost scales with the pairs the batch actually
+    changed, not with corpus-distinct size.
 
     Exactness argument (why the batch prefix replays the sequential
     choices): candidates are the pair table sorted by the sequential
@@ -996,63 +997,85 @@ def _bpe_merge_loop_batched(
     already-selected member (self excluded) — every pair NEWLY created
     by an earlier member's merge has count ≤ some such overlapping old
     pair (each occurrence of x·(lr) was an occurrence of x·l), so no
-    new pair can reach the strict bound, tie-breaks included — with ONE
-    exception: a SELF-pair member (a,a) births the self-chain pair
-    (aa,aa) whose only bounding old pair is (a,a) itself, which the
-    self-exclusion removes from the bound, so a self-pair TERMINATES
-    the batch instead ('aaaaaa cd' is the counterexample a round-10
-    review ran: sequential merges (aa,aa) before (c,d)). The selection
-    stops at the first candidate violating any rule (skipping would
-    desynchronize the sequential order); the first candidate is always
-    selected, so the worst case degenerates to the sequential loop,
-    never below it. Batched merges are applied as one
-    chained replace in selection order — identical strings to applying
-    them one round at a time."""
+    new pair can reach the strict bound, tie-breaks included.
+
+    The argument ASSUMES the batch is free of STRING ALIASING: a newly
+    minted symbol string (the concatenation l+r of an earlier member)
+    must not textually equal a later member's l or r — aliased
+    occurrences would pool into the later member's count and the
+    strict bound would not see them. Two guards enforce the
+    assumption rather than argue it away: a SELF-pair member (a,a)
+    births the self-chain pair (aa,aa) whose only bounding old pair is
+    (a,a) itself — removed by the self-exclusion — so a self-pair
+    TERMINATES the batch ('aaaaaa cd' is the counterexample a
+    round-10 review ran: sequential merges (aa,aa) before (c,d)); and
+    a candidate whose l or r equals ANY earlier selected member's
+    concatenated merged string also terminates the batch (belt and
+    braces — structural analysis suggests this is unreachable under
+    global leftmost replace on wrapped symbols, but the guard makes
+    the exactness conditional on nothing). The selection stops at the
+    first candidate violating any rule (skipping would desynchronize
+    the sequential order); the first candidate is always selected, so
+    the worst case degenerates to the sequential loop, never below it.
+    Batched merges are applied as one chained replace in selection
+    order — identical strings to applying them one round at a time.
+
+    Incremental maintenance (why the delta is exact): applying the
+    batch changes ONLY rows whose ORIGINAL seq contains some member's
+    wrapped pattern "·l··r·" — the alias guard means no later replace
+    in the chain can match text an earlier replace created (any new
+    adjacency involves the new symbol l+r, which equals no later
+    member's l or r), so the contains-filter catches every changed
+    row; unchanged rows contribute identical pairs to both sides and
+    cancel. The delta is ONE ``_pair_counts`` aggregation over the
+    affected rows unioned twice (old seq at -freq, new seq at +freq),
+    merged into the maintained table by a full outer join; old-symbol
+    pairs only ever decrease and new-symbol pairs are genuinely new,
+    so a count reaching zero never resurrects and the ``cnt != 0``
+    filter is safe. The maintained table and the symbol table are both
+    re-checkpointed per round (``_checkpoint_step`` — O(1) plan depth,
+    zero retained blocks after return)."""
     sc = spark.sparkContext
     ids: set = set()
+    pids: set = set()
     rules: list[tuple] = []
     try:
         cur, ids = _checkpoint_step(cur, ids, sc)
+        pairs, pids = _checkpoint_step(_pair_counts(cur, sep), pids, sc)
         while len(rules) < n_merges:
-            pairs = _pair_counts(cur, sep).persist()
-            try:
-                pool = max(4 * max_batch, 32)
-                cand = pairs.orderBy(
-                    F.desc("cnt"), F.asc("l"), F.asc("r")
-                ).limit(pool).collect()
-                if not cand:
-                    break
-                syms = set()
-                for row in cand:
-                    syms.add(row["l"])
-                    syms.add(row["r"])
-                syms_lit = list(syms)
-                # per candidate symbol: the top-2 pairs containing it (by
-                # the same tie-break) — top-2 so the bound can exclude the
-                # candidate itself and still hold the max OTHER pair
-                w = Window.partitionBy("s").orderBy(
-                    F.desc("cnt"), F.asc("l"), F.asc("r")
+            pool = max(4 * max_batch, 32)
+            cand = pairs.orderBy(
+                F.desc("cnt"), F.asc("l"), F.asc("r")
+            ).limit(pool).collect()
+            if not cand:
+                break
+            syms = set()
+            for row in cand:
+                syms.add(row["l"])
+                syms.add(row["r"])
+            syms_lit = list(syms)
+            # per candidate symbol: the top-2 pairs containing it (by
+            # the same tie-break) — top-2 so the bound can exclude the
+            # candidate itself and still hold the max OTHER pair
+            w = Window.partitionBy("s").orderBy(
+                F.desc("cnt"), F.asc("l"), F.asc("r")
+            )
+            sym_rows = (
+                pairs.where(
+                    F.col("l").isin(syms_lit)
+                    | F.col("r").isin(syms_lit)
                 )
-                sym_rows = (
-                    pairs.where(
-                        F.col("l").isin(syms_lit)
-                        | F.col("r").isin(syms_lit)
-                    )
-                    .select(
-                        "cnt", "l", "r",
-                        F.explode(
-                            F.array_distinct(F.array("l", "r"))
-                        ).alias("s"),
-                    )
-                    .where(F.col("s").isin(syms_lit))
-                    .withColumn("rn", F.row_number().over(w))
-                    .where(F.col("rn") <= 2)
-                    .collect()
+                .select(
+                    "cnt", "l", "r",
+                    F.explode(
+                        F.array_distinct(F.array("l", "r"))
+                    ).alias("s"),
                 )
-            finally:
-                # unpersist on EVERY exit (a collect failing mid-round
-                # must not leave the pair table pinned for the session)
-                pairs.unpersist()
+                .where(F.col("s").isin(syms_lit))
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= 2)
+                .collect()
+            )
             top2: dict[str, list] = {}
             for row in sorted(sym_rows, key=lambda x: x["rn"]):
                 top2.setdefault(row["s"], []).append(
@@ -1060,6 +1083,7 @@ def _bpe_merge_loop_batched(
                 )
             selected: list[tuple] = []
             used: set[str] = set()
+            minted: set[str] = set()
             a_bound = 0
             budget = min(max_batch, n_merges - len(rules))
             for row in cand:
@@ -1068,10 +1092,17 @@ def _bpe_merge_loop_batched(
                     break
                 if selected and (l in used or r in used):
                     break  # interacting: its post-merge count is unknown
+                if selected and (l in minted or r in minted):
+                    # STRING ALIASING: this candidate's symbol string
+                    # equals an earlier member's freshly-minted merged
+                    # string — newborn occurrences would pool into its
+                    # count unseen by the bound (see docstring)
+                    break
                 if selected and cnt <= a_bound:
                     break  # a pair born of an earlier merge could outrank
                 selected.append((l, r, cnt))
                 used.update((l, r))
+                minted.add(l + r)
                 if l == r:
                     # a SELF-pair merge (a,a)→aa births the self-chain
                     # pair (aa,aa), whose only bounding old pair is
@@ -1087,14 +1118,40 @@ def _bpe_merge_loop_batched(
                             a_bound = max(a_bound, c2)
                             break  # ordered: first non-self is the max
             col = F.col("seq")
+            touched = F.lit(False)
             for (l, r, cnt) in selected:
                 rules.append((len(rules) + 1, l, r, l + r, cnt))
                 col = _merge_replace(col, l, r, sep)
+                touched = touched | F.col("seq").contains(
+                    f"{sep}{l}{sep}{sep}{r}{sep}"
+                )
+            # delta = pair counts of the merge-touched rows only: old
+            # seq at NEGATIVE freq, post-batch seq at positive — one
+            # aggregation whose input shrinks as merges rarify
+            affected = cur.where(touched)
+            delta = _pair_counts(
+                affected.select((-F.col("freq")).alias("freq"), "seq")
+                .unionAll(
+                    affected.select("freq", col.alias("seq"))
+                ),
+                sep,
+            )
+            pairs, pids = _checkpoint_step(
+                pairs.join(delta.withColumnRenamed("cnt", "d"),
+                           ["l", "r"], "full")
+                .select(
+                    "l", "r",
+                    (F.coalesce("cnt", F.lit(0))
+                     + F.coalesce("d", F.lit(0))).alias("cnt"),
+                )
+                .where(F.col("cnt") != 0),
+                pids, sc,
+            )
             cur, ids = _checkpoint_step(
                 cur.withColumn("seq", col), ids, sc
             )
     finally:
-        for rid in ids:
+        for rid in ids | pids:
             sc._jsc.sc().unpersistRDD(rid, False)
     return spark.createDataFrame(
         rules,

@@ -2917,3 +2917,85 @@ def q307_pq_train_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j, assigned, cents in blocks
     ]
     return reduce(_DF.unionAll, outs)
+
+
+def _pq_search_oracle(k: int = 5, q_mod: int = 50) -> str:
+    """q307's per-subspace training chains extended through encode and
+    ADC search: per block, a final-codebook assignment CTE (the corpus
+    encode) and a per-query distance-table CTE (q rows × codes); the
+    candidate distance is the 4-way table-lookup join summed across
+    blocks, then the usual (adist, id) top-k window."""
+    l2 = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
+          "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)")
+    chains = ",\n".join(
+        _kmeans_oracle_ctes(
+            k=_PQ_K, n_iters=_PQ_ITERS, prefix=f"s{j}",
+            vec_expr=f"embedding[{j * _PQ_SUB + 1}:{(j + 1) * _PQ_SUB}]",
+            bare=True,
+        )
+        for j in range(_PQ_M)
+    )
+    encs = ",\n".join(
+        f"""e{j} AS MATERIALIZED (
+  SELECT vec_id, cid AS code{j} FROM (
+    SELECT q.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {l2.format(a="q.qv", b="c.qc")} ASC, c.cid ASC) AS rn
+    FROM s{j}q q CROSS JOIN s{j}c{_PQ_ITERS} c) WHERE rn = 1)"""
+        for j in range(_PQ_M)
+    )
+    dts = ",\n".join(
+        f"""dt{j} AS MATERIALIZED (
+  SELECT q.vec_id AS q_id, c.cid,
+         {l2.format(a="q.qv", b="c.qc")} AS d
+  FROM s{j}q q CROSS JOIN s{j}c{_PQ_ITERS} c
+  WHERE q.vec_id % {q_mod} = 0)"""
+        for j in range(_PQ_M)
+    )
+    enc_join = "e0 " + " ".join(
+        f"JOIN e{j} USING (vec_id)" for j in range(1, _PQ_M)
+    )
+    dt_join = "JOIN dt0 t0 ON t0.cid = e.code0 " + " ".join(
+        f"JOIN dt{j} t{j} ON t{j}.q_id = t0.q_id AND t{j}.cid = e.code{j}"
+        for j in range(1, _PQ_M)
+    )
+    dsum = " + ".join(f"t{j}.d" for j in range(_PQ_M))
+    return f"""WITH {chains},
+{encs},
+{dts},
+enc AS MATERIALIZED (SELECT * FROM {enc_join}),
+cand AS (
+  SELECT t0.q_id, e.vec_id, CAST({dsum} AS BIGINT) AS adist
+  FROM enc e
+  {dt_join}
+  WHERE e.vec_id <> t0.q_id)
+SELECT q_id, vec_id, adist FROM (
+  SELECT q_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY adist ASC, vec_id ASC) AS rn
+  FROM cand) WHERE rn <= {k}
+"""
+
+
+# ------------------------------------------------------------------------ L3
+@query("q308_pq_exact_search", oracle=_pq_search_oracle(), tags=("L3",))
+def q308_pq_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END oracle-exact PQ-ADC search (llm/similarity.py
+    pq_search_adc_integer): the q307 trainer's codebooks → one-pass
+    map-side corpus encode against the FINAL centroids (m argmin folds
+    per row, ties to smaller code) → per-query integer ADC distance
+    tables (m × n_codes L2 entries) → top-5 by summed table lookups
+    (ties to smaller id), every 50th vector as a query. Closes the last
+    link of the PQ chain: q307 value-checked TRAINING; here training,
+    encoding, table build, and search are one hash-gated pipeline —
+    what q305 did for IVF. Scale: codebooks are driver metadata
+    (literals), corpus rows carry m small ints (the PQ compression),
+    queries broadcast with precomputed tables, m element_at lookups per
+    candidate pair — never a fold over the raw vector."""
+    from rdkafka_streams_spark.llm.similarity import pq_search_adc_integer
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    return pq_search_adc_integer(
+        emb, queries, k=5, m=_PQ_M, n_codes=_PQ_K, n_iters=_PQ_ITERS
+    )

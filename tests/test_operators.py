@@ -1139,6 +1139,7 @@ def test_batched_bpe_equals_sequential_on_trap_corpora(spark):
         # mixed: multi-byte UTF-8 + contraction pre-tokens
         ["it's naïve it's naïve", "naïve test's"],
     ]
+    pre = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     for i, texts in enumerate(traps):
         docs = spark.createDataFrame(
             [(j, t) for j, t in enumerate(texts)], "doc_id int, text string"
@@ -1149,6 +1150,10 @@ def test_batched_bpe_equals_sequential_on_trap_corpora(spark):
                 learn_byte_bpe(docs, n_merges=8, batched=True, max_batch=mb)
             )
             assert bat == seq, f"trap {i} max_batch={mb}: {bat} != {seq}"
+    # cache hygiene: the batched loop's maintained pair table and symbol
+    # table are checkpoint-managed — nothing survives the calls
+    post = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert post <= pre
 
 
 def test_batched_bpe_property_random_corpora(spark):

@@ -391,6 +391,10 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # PQ training: per-subspace member-count agg (4 blocks, map-side
         # argmin assignment; training iterations eager)
         "q307_pq_train_integer": 4,
+        # PQ ADC search: encode is map-side (argmin over literal
+        # codebooks), queries broadcast with precomputed tables — the
+        # only shuffle is the per-query top-k window (training eager)
+        "q308_pq_exact_search": 1,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
