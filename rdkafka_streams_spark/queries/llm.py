@@ -2999,3 +2999,66 @@ def q308_pq_exact_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search_adc_integer(
         emb, queries, k=5, m=_PQ_M, n_codes=_PQ_K, n_iters=_PQ_ITERS
     )
+
+
+# ------------------------------------------------------------------------ L5
+@query(
+    "q309_multimodal_decode_stdlib",
+    oracle="""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(8 + doc_id % 9 AS INT) AS width,
+         CAST(8 + doc_id % 7 AS INT) AS height,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'image/bmp'
+           WHEN 1 THEN 'image/x-portable-pixmap'
+           ELSE 'image/png' END AS media_type
+  FROM documents),
+agg AS (
+  SELECT p.doc_id, p.media_type, p.width, p.height,
+         CAST(SUM((p.doc_id*7 + x.i*3 + y.i*5 + c.i*11) % 256) AS BIGINT)
+           AS px_sum,
+         CAST(MIN((p.doc_id*7 + x.i*3 + y.i*5 + c.i*11) % 256) AS INT)
+           AS px_min,
+         CAST(MAX((p.doc_id*7 + x.i*3 + y.i*5 + c.i*11) % 256) AS INT)
+           AS px_max
+  FROM p, range(16) x(i), range(14) y(i), range(3) c(i)
+  WHERE x.i < p.width AND y.i < p.height
+  GROUP BY ALL)
+SELECT doc_id, media_type, width, height, 3 AS channels,
+       px_sum, px_min, px_max,
+       CAST((doc_id*7) % 256 AS INT) AS px_tl,
+       CAST((doc_id*7 + (width-1)*3 + (height-1)*5 + 22) % 256 AS INT)
+         AS px_br,
+       CAST((doc_id*7 + 30) % 256 AS INT) AS px_probe
+FROM agg
+""",
+    tags=("L5",),
+)
+def q309_multimodal_decode_stdlib(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL image decode, no stub (llm/multimodal.py decode_media_stdlib):
+    deterministic fixture images are ENCODED as real BMP (24-bit BGR,
+    bottom-up, 4-byte row padding), PPM P6, and PNG (8-bit RGB, zlib
+    IDAT, per-row filters cycling None/Sub/Up/Average/Paeth) — then
+    sniffed and DECODED back by the stdlib codecs inside an
+    Arrow-batched mapInPandas: container parse, inflate, filter
+    reversal, row flip, unpadding all exercised for real. The fixture
+    pixel formula v(x,y,c) = (doc_id·7 + x·3 + y·5 + c·11) % 256 is
+    closed-form, so the oracle recomputes every aggregate in SQL:
+    dimensions, exact pixel sum/min/max, and three POSITIONAL channel
+    values (top-left, bottom-right, probe (3,2,1)) that pin row order —
+    a decoder that forgets BMP's bottom-up flip or misapplies a PNG
+    filter fails the hash. Retires q61's sha256 stub as L5's ceiling;
+    the NotImplementedError gate now covers only the genuinely PIL-only
+    entropy-coded formats (JPEG/WebP/GIF/TIFF)."""
+    from rdkafka_streams_spark.llm.multimodal import (
+        decode_media_stdlib,
+        generate_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media_stdlib(generate_images(docs)).withColumn(
+        "channels", F.lit(3)
+    )

@@ -284,6 +284,35 @@ def test_sample_frames_grid_and_carry(spark, sf_dir):
     assert decoded.count() == 60
 
 
+def test_stdlib_image_codecs_roundtrip():
+    """Pure-Python codec property: encode→sniff→decode is the identity
+    for every (format, width) pair — widths 8..16 hit every BMP row-pad
+    residue (w·3 % 4 ∈ {0,1,2,3}) and heights ≥ 8 exercise all five PNG
+    filter types (row y uses filter y % 5 by construction)."""
+    from rdkafka_streams_spark.llm.multimodal import (
+        _STDLIB_CODECS,
+        _fixture_pixels,
+        decode_image,
+    )
+
+    for did in range(30):
+        w, h, px = _fixture_pixels(did)
+        for mt, (enc, _dec) in _STDLIB_CODECS.items():
+            assert decode_image(enc(w, h, px)) == (w, h, px), (did, mt)
+
+
+def test_ppm_decoder_handles_comments_and_jpeg_raises():
+    from rdkafka_streams_spark.llm.multimodal import _decode_ppm, decode_image
+
+    px = bytes(range(2 * 2 * 3))
+    blob = b"P6\n# a comment\n2 # inline\n2\n# before maxval\n255\n" + px
+    assert _decode_ppm(blob) == (2, 2, px)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     """Real IVF (KMeans quantizer + nprobe search) recalls >=70% of the
     brute-force top-3 at nprobe=4/16 on the fixture, and 100% of results it

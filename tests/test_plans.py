@@ -395,6 +395,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # codebooks), queries broadcast with precomputed tables — the
         # only shuffle is the per-query top-k window (training eager)
         "q308_pq_exact_search": 1,
+        # stdlib image decode: generate + decode are chained mapInPandas
+        # over the scan — zero shuffles, decode parallelism == scan
+        "q309_multimodal_decode_stdlib": 0,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
