@@ -63,7 +63,11 @@ def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------------ L2
-def _minhash_oracle() -> str:
+def _minhash_oracle(src: str = "documents", bare: bool = False) -> str:
+    """q51's MinHash-LSH oracle. ``src`` substitutes the corpus CTE/table
+    (the capstone runs it over a filtered stage); ``bare=True`` returns
+    just the CTE list ending in ``pairs`` (id1, id2, sim_est) instead of
+    a complete statement, for composition inside a larger WITH chain."""
     rows = N_HASHES // N_BANDS
     mins = ",\n       ".join(
         f"MIN(md5('{s}:' || tok)) AS h{s}" for s in range(N_HASHES)
@@ -75,10 +79,9 @@ def _minhash_oracle() -> str:
         for b in range(N_BANDS)
     )
     agree = " + ".join(f"CAST(s1.h{s} = s2.h{s} AS INT)" for s in range(N_HASHES))
-    return f"""
-WITH tok AS (
+    ctes = f"""tok AS (
   SELECT DISTINCT doc_id, tok FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {src})),
 sig AS (
   SELECT doc_id,
        {mins}
@@ -91,13 +94,20 @@ band AS (
   WHERE bsz <= {MAX_BUCKET}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM band a JOIN band b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
-SELECT id1, id2, sim_est FROM (
+  FROM band a JOIN band b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)"""
+    final = f"""SELECT id1, id2, sim_est FROM (
   SELECT c.id1, c.id2, ({agree}) / {N_HASHES}.0 AS sim_est
   FROM cand c
   JOIN sig s1 ON c.id1 = s1.doc_id
   JOIN sig s2 ON c.id2 = s2.doc_id)
-WHERE sim_est >= 0.5
+WHERE sim_est >= 0.5"""
+    if bare:
+        return ctes + f""",
+pairs AS (
+  {final})"""
+    return f"""
+WITH {ctes}
+{final}
 """
 
 
@@ -3061,4 +3071,289 @@ def q309_multimodal_decode_stdlib(
     docs = _t(spark, sf_dir, "documents")
     return decode_media_stdlib(generate_images(docs)).withColumn(
         "channels", F.lit(3)
+    )
+
+
+def _corpus_pipeline_oracle() -> str:
+    """The full curation funnel as one WITH chain — every stage CTE is
+    the corresponding standalone query's oracle re-sourced to the
+    previous stage's survivors (normalize=q119, exact dedup=q50/q43,
+    MinHash=q51 via _minhash_oracle(bare), ExactSubstr excision=q300,
+    repetition=q87, perplexity terciles=q211, temperature mix=q100)."""
+    mh = _minhash_oracle(src="a2", bare=True)
+    return f"""
+WITH d0 AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(CASE WHEN text = '' THEN 0
+              ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens
+  FROM documents),
+a1 AS MATERIALIZED (
+  SELECT doc_id, lang, source, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               '  +', ' ', 'g')) AS text
+    FROM documents)
+  WHERE text <> ''),
+a2 AS MATERIALIZED (
+  SELECT doc_id, lang, source, text, n_tokens FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM a1) WHERE rn = 1),
+{mh},
+a3 AS MATERIALIZED (
+  SELECT * FROM a2 WHERE doc_id NOT IN (SELECT id2 FROM pairs)),
+tk3 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS t FROM a3),
+w3 AS MATERIALIZED (
+  SELECT doc_id, i, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM tk3, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)),
+dup3 AS (SELECT h FROM w3 GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+cov3 AS (SELECT DISTINCT p.doc_id, v.j
+         FROM (SELECT doc_id, i FROM w3 JOIN dup3 USING (h)) p,
+              unnest(range(p.i, p.i + 8)) AS v(j)),
+tok3 AS (SELECT doc_id, CAST(j AS INTEGER) AS j, t[j] AS tok
+         FROM tk3, unnest(range(1, len(t) + 1)) AS u(j)),
+kept3 AS (SELECT tok3.* FROM tok3
+          WHERE NOT EXISTS (SELECT 1 FROM cov3
+                            WHERE cov3.doc_id = tok3.doc_id AND cov3.j = tok3.j)),
+a4 AS MATERIALIZED (
+  SELECT a3.doc_id, a3.lang, a3.source, g.text, g.n_tokens
+  FROM a3 JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS text,
+                       CAST(COUNT(*) AS BIGINT) AS n_tokens
+                FROM kept3 GROUP BY doc_id) g USING (doc_id)),
+rep4 AS (
+  SELECT doc_id, COUNT(*) AS n_ng, COUNT(DISTINCT g) AS n_di FROM (
+    SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM a4),
+         unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i))
+  GROUP BY doc_id),
+a5 AS MATERIALIZED (
+  SELECT a4.* FROM a4 LEFT JOIN rep4 USING (doc_id)
+  WHERE NOT COALESCE(n_ng > 0 AND (n_ng - n_di) * 10 >= n_ng, FALSE)),
+tk5 AS MATERIALIZED (SELECT doc_id, lang, string_split(text, ' ') AS t FROM a5),
+tbg5 AS MATERIALIZED (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT * FROM tk5 WHERE lang = 'en') tr,
+       unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+cbg5 AS (SELECT w1, w2, COUNT(*) AS c_bg FROM tbg5 GROUP BY w1, w2),
+cctx5 AS (SELECT w1, COUNT(*) AS c_ctx FROM tbg5 GROUP BY w1),
+v5 AS (SELECT COUNT(DISTINCT tok) AS v
+       FROM (SELECT unnest(t) AS tok FROM tk5 WHERE lang = 'en')
+       WHERE tok <> ''),
+bg5 AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM tk5, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+nl5 AS (SELECT b.doc_id,
+               CAST(floor(-ln((COALESCE(c.c_bg, 0) + 1)
+                              / (COALESCE(x.c_ctx, 0) + v5.v * 1.0)) * 1000000 + 0.5)
+                    AS BIGINT) AS nll_micro
+        FROM bg5 b
+        LEFT JOIN cbg5 c ON b.w1 = c.w1 AND b.w2 = c.w2
+        LEFT JOIN cctx5 x ON b.w1 = x.w1
+        CROSS JOIN v5),
+ds5 AS (SELECT doc_id,
+               CAST(floor(CAST(SUM(nll_micro) AS BIGINT) * 1.0 / COUNT(*) + 0.5)
+                    AS BIGINT) AS score_micro
+        FROM nl5 GROUP BY doc_id),
+rk5 AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micro, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM ds5),
+a6 AS MATERIALIZED (
+  SELECT a5.* FROM a5 JOIN (SELECT doc_id FROM rk5 WHERE rn * 3 <= 2 * n) k
+  USING (doc_id)),
+c6 AS (SELECT source, COUNT(*) AS n_grp FROM a6 GROUP BY source),
+m6 AS (SELECT source, CAST(floor(pow(n_grp, 0.5) * 1000000 + 0.5) AS BIGINT) AS m
+       FROM c6),
+t6 AS (SELECT CAST(SUM(m) AS BIGINT) AS tm FROM m6),
+k6 AS (SELECT source, CAST(100 * m // tm AS BIGINT) AS k_target
+       FROM m6 CROSS JOIN t6),
+r6 AS (SELECT doc_id, source,
+              ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       FROM a6),
+a7 AS (SELECT a6.* FROM a6
+       JOIN (SELECT r6.doc_id FROM r6 JOIN k6 USING (source)
+             WHERE r6.rn <= k6.k_target) s USING (doc_id))
+SELECT stage, stage_name, n_docs, n_tokens FROM (
+  SELECT 0 AS stage, 'raw' AS stage_name, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens FROM d0
+  UNION ALL SELECT 1, 'normalize', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM a1
+  UNION ALL SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM a2
+  UNION ALL SELECT 3, 'near_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM a3
+  UNION ALL SELECT 4, 'exactsubstr_excise', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM a4
+  UNION ALL SELECT 5, 'repetition_filter', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM a5
+  UNION ALL SELECT 6, 'ppl_head_middle', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM a6
+  UNION ALL SELECT 7, 'temperature_mix', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM a7)
+"""
+
+
+# --------------------------------------------------------------- L1/L2/L4
+@query(
+    "q310_corpus_pipeline",
+    oracle=_corpus_pipeline_oracle(),
+    tags=("L1", "L2", "L4"),
+)
+def q310_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CORPUS-BUILD CAPSTONE: the full public curation recipe
+    (RefinedWeb/CCNet shape) composed end to end, emitting the per-stage
+    funnel — docs and tokens surviving each stage:
+
+      0 raw → 1 normalize (q119 scrub, empty docs drop) → 2 exact dedup
+      (min-id per md5 of normalized text, q43/q50) → 3 MinHash-LSH
+      near-dedup (drop the larger id of every ≥0.5 pair, q51) → 4
+      ExactSubstr excision (cut every cross-doc duplicated 8-token
+      window, fully-covered docs drop, q300) → 5 Gopher repetition
+      filter (>10% duplicate bigrams, q87) → 6 CCNet perplexity terciles
+      (bigram LM trained on the surviving lang='en' anchor, tail tercile
+      dropped, q211) → 7 temperature mixture (quota ∝ n^0.5 per source,
+      total=100, q100).
+
+    Every stage is the library operator the standalone query certifies,
+    re-sourced to the previous stage's survivors; the oracle chains the
+    same eight stage CTEs, so the funnel — the numbers a data-curation
+    team actually reports — is value-hash-checked end to end. Stage
+    frames persist once each (the funnel reads every stage; without the
+    persist the lattice recomputes the whole prefix per stage row) and
+    unpersist before return; the result is 8 rows of driver metadata."""
+    from rdkafka_streams_spark.llm.dedup import (
+        exact_substring_excise,
+        minhash_near_dups,
+    )
+    from rdkafka_streams_spark.llm.text import repetition_stats
+    from rdkafka_streams_spark.operators.ranking import global_rank
+    from rdkafka_streams_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "source",
+        "text",
+    )
+    ntok = (
+        F.when(F.col("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+    )
+    s0 = docs.withColumn("n_tokens", ntok)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            "  +", " ",
+        )
+    )
+    s1 = (
+        docs.select("doc_id", "lang", "source", norm.alias("text"))
+        .where(F.col("text") != "")
+        .withColumn("n_tokens", ntok)
+    )
+    w2 = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s2 = (
+        s1.withColumn("__rn", F.row_number().over(w2))
+        .where("__rn = 1").drop("__rn")
+    )
+    frames = [(0, "raw", s0), (1, "normalize", s1), (2, "exact_dedup", s2)]
+    persisted = [s2.persist()]
+    try:
+        dropped = minhash_near_dups(s2, threshold=0.5).select(
+            F.col("id2").alias("doc_id")
+        ).distinct()
+        s3 = s2.join(dropped, "doc_id", "left_anti").persist()
+        persisted.append(s3)
+        frames.append((3, "near_dedup", s3))
+
+        ex = exact_substring_excise(s3, n=8)
+        s4 = (
+            s3.drop("text", "n_tokens")
+            .join(ex.where(F.col("clean_text") != ""), "doc_id")
+            .select(
+                "doc_id", "lang", "source",
+                F.col("clean_text").alias("text"),
+                (F.col("n_tokens") - F.col("n_removed")).alias("n_tokens"),
+            )
+            .persist()
+        )
+        persisted.append(s4)
+        frames.append((4, "exactsubstr_excise", s4))
+
+        keep5 = repetition_stats(s4, n=2).where(
+            ~F.col("is_repetitive")
+        ).select("doc_id")
+        s5 = s4.join(keep5, "doc_id").persist()
+        persisted.append(s5)
+        frames.append((5, "repetition_filter", s5))
+
+        # CCNet terciles (q211's shape): bigram LM on the surviving
+        # lang='en' anchor, add-one smoothing, micro-nat integers,
+        # range-partitioned global rank, tail tercile dropped
+        toks = F.split(F.col("text"), " ")
+        n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+        bigrams = F.zip_with(
+            F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        )
+        train = s5.where(F.col("lang") == "en")
+        tbg = train.select(F.explode(bigrams).alias("b")).select(
+            "b.w1", "b.w2"
+        )
+        cbg = tbg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+        cctx = tbg.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+        vocab = (
+            train.select(F.explode(toks).alias("tok"))
+            .where(F.col("tok") != "")
+            .agg(F.countDistinct("tok").alias("v"))
+        )
+        bg = s5.select("doc_id", F.explode(bigrams).alias("b")).select(
+            "doc_id", "b.w1", "b.w2"
+        )
+        nl = (
+            bg.join(cbg, ["w1", "w2"], "left")
+            .join(cctx, "w1", "left")
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                "doc_id",
+                F.floor(
+                    -F.log(
+                        (F.coalesce("c_bg", F.lit(0)) + 1)
+                        / (F.coalesce("c_ctx", F.lit(0)) + F.col("v"))
+                    ) * 1000000 + 0.5
+                ).cast("bigint").alias("nll_micro"),
+            )
+        )
+        ds = nl.groupBy("doc_id").agg(
+            F.floor(F.sum("nll_micro") / F.count("*") + 0.5)
+            .cast("bigint").alias("score_micro")
+        )
+        ranked = global_rank(ds, ["score_micro", "doc_id"], rank_col="rn")
+        n_total = ds.agg(F.count("*").alias("n"))
+        keep6 = (
+            ranked.crossJoin(F.broadcast(n_total))
+            .where(F.col("rn") * 3 <= 2 * F.col("n"))
+            .select("doc_id")
+        )
+        s6 = s5.join(keep6, "doc_id").persist()
+        persisted.append(s6)
+        frames.append((6, "ppl_head_middle", s6))
+
+        samp = temperature_sample(
+            s6, group_col="source", id_col="doc_id", total=100, tau=0.5
+        ).select("doc_id")
+        s7 = s6.join(samp, "doc_id")
+        frames.append((7, "temperature_mix", s7))
+
+        rows = []
+        for stage, name, df in frames:
+            r = df.agg(
+                F.count("*").cast("bigint"),
+                F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint"),
+            ).first()
+            rows.append((stage, name, int(r[0]), int(r[1])))
+    finally:
+        for df in persisted:
+            df.unpersist()
+    return spark.createDataFrame(
+        rows, "stage int, stage_name string, n_docs bigint, n_tokens bigint"
     )

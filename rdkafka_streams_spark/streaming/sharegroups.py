@@ -35,7 +35,12 @@ assumed: each instance claims a per-(group, topic) coordinator epoch
 mutating operation, and a superseded coordinator raises
 ``FencedShareCoordinatorError`` instead of last-writer-wins
 overwriting per-record state — the broker's share coordinator is a
-single writer per share-partition for the same reason.
+single writer per share-partition for the same reason. One lock-free
+residue remains (documented at ``_save``): a coordinator fenced
+between its pre-write check and ``os.replace`` can land one stale
+write, which the post-replace re-check surfaces as FENCED instead of
+letting it pass silently; the new coordinator's next save supersedes
+the stale bytes.
 
 ACLs: fetch/ack/release/reject require READ on the group AND the topic
 (share groups reuse the consumer ACL model in KIP-932).
@@ -206,6 +211,16 @@ class ShareGroup:
         # unreadable file is NOT an empty group
 
     def _save(self, topic: str, state: dict) -> None:
+        # Check-fence → write → RE-CHECK. The lock-free file protocol has
+        # the same narrow residue init_producer_id's _publish documents: a
+        # coordinator fenced BETWEEN the pre-check and os.replace still
+        # lands its bytes over the new coordinator's state (last-writer-
+        # wins inside that window). The post-replace re-check turns the
+        # silent overwrite into a loud FENCED error while the stale bytes
+        # are at most one os.replace old — the new coordinator (whose
+        # epoch marker survives; markers are never deleted at the max)
+        # re-publishes its state on its next _save, so the exposure is
+        # bounded to the race window instead of persisting unnoticed.
         self._check_fenced(topic)  # a superseded coordinator never writes
         path = self._state_path(topic)
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -213,6 +228,15 @@ class ShareGroup:
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(state, f, sort_keys=True)
         os.replace(tmp, path)
+        try:
+            self._check_fenced(topic)
+        except FencedShareCoordinatorError as e:
+            raise FencedShareCoordinatorError(
+                f"{e} — and this instance's LAST WRITE raced the fencing "
+                f"claim and may have overwritten the new coordinator's "
+                f"state at {path!r}; the new coordinator's next save "
+                "supersedes it"
+            ) from None
 
     @staticmethod
     def _part_state(state: dict, pid: int, begin: int) -> dict:

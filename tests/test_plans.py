@@ -398,6 +398,10 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # stdlib image decode: generate + decode are chained mapInPandas
         # over the scan — zero shuffles, decode parallelism == scan
         "q309_multimodal_decode_stdlib": 0,
+        # corpus capstone: stage computation is eager (persisted lattice,
+        # funnel collected per stage); the returned frame is 8 rows of
+        # driver metadata
+        "q310_corpus_pipeline": 0,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)

@@ -292,6 +292,41 @@ def test_stale_coordinator_is_fenced_on_every_mutation(tmp_path):
     assert d["spso"] == d["speo"] == 6 and b.state_size("q") == 0
 
 
+def test_fence_race_inside_save_window_is_loud(tmp_path, monkeypatch):
+    """The one lock-free residue (ADVICE r10): a coordinator fenced
+    BETWEEN _save's pre-check and os.replace lands one stale write.
+    Simulated by disarming the pre-check only; the post-replace re-check
+    must surface FENCED (with the overwrite warning) instead of letting
+    the stale write pass silently, and the new coordinator's next save
+    supersedes the stale bytes."""
+    from rdkafka_streams_spark.streaming import sharegroups as sgm
+    from rdkafka_streams_spark.streaming.sharegroups import (
+        FencedShareCoordinatorError,
+    )
+
+    root, log, a = _mk(tmp_path, n=4)
+    a.fetch("q", "alice", max_records=1, now_ms=1_000)
+    b = ShareGroup(root, "workers")
+    b.fetch("q", "bob", max_records=1, now_ms=1_001)  # fences a
+
+    checks = {"n": 0}
+    real = sgm.ShareGroup._check_fenced
+
+    def skip_first(self, topic):
+        checks["n"] += 1
+        if checks["n"] == 1:
+            return  # the pre-check ran just before b's claim landed
+        return real(self, topic)
+
+    monkeypatch.setattr(sgm.ShareGroup, "_check_fenced", skip_first)
+    with pytest.raises(FencedShareCoordinatorError, match="LAST WRITE raced"):
+        a._save("q", a._load("q"))
+    monkeypatch.setattr(sgm.ShareGroup, "_check_fenced", real)
+    # b is not fenced by a's stale write and its next save supersedes it
+    b.ack("q", "bob", {0: [1]}, now_ms=1_002)
+    assert b.describe("q")[0]["spso"] >= 0
+
+
 def test_reset_cli_fences_running_drainer(tmp_path):
     """The reset-share-offsets CLI path (a second ShareGroup instance)
     fences a live drainer rather than silently interleaving with it."""
