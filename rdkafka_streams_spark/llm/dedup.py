@@ -171,8 +171,32 @@ def minhash_near_dups(
     )
 
 
-def minhash_near_dups_incremental(
+def minhash_index(
     base: DataFrame,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = MAX_BUCKET,
+) -> tuple[DataFrame, DataFrame]:
+    """The STANDING LSH index of a corpus — (signatures, capped band
+    buckets) — the two tables a production deployment computes ONCE,
+    writes to parquet, and probes with every daily increment
+    (``minhash_near_dups_incremental``'s ``index`` argument). The
+    ``max_bucket`` cap is applied here, at build time: it is a property
+    of the index, not of any one probe."""
+    sig_b = minhash_signatures(base, n_hashes, id_col, text_col)
+    buckets = (
+        _bands(sig_b, n_hashes, n_bands, id_col)
+        .groupBy("bi", "bv")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .where(F.size("ids") <= max_bucket)
+    )
+    return sig_b, buckets
+
+
+def minhash_near_dups_incremental(
+    base: DataFrame | None,
     delta: DataFrame,
     threshold: float = 0.5,
     n_hashes: int = N_HASHES,
@@ -180,6 +204,7 @@ def minhash_near_dups_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = MAX_BUCKET,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Delta-vs-corpus near-dup probe — the DAILY-INGEST shape of MinHash
     dedup: a 100 TB pipeline never re-pairs the whole corpus when a day's
@@ -194,15 +219,17 @@ def minhash_near_dups_incremental(
     estimator as ``minhash_near_dups``. Signatures persist for their
     multiple consumers (same caller-owned lifetime note as there); at a
     real 100 TB deployment the base signature/bucket tables are computed
-    once and SAVED — this function is the probe plan they feed."""
-    sig_b = minhash_signatures(base, n_hashes, id_col, text_col).persist()
+    once and SAVED — pass them back via ``index`` (the
+    ``minhash_index`` pair, e.g. read from parquet) and the base corpus
+    is never rescanned; ``base`` may then be None."""
+    if index is not None:
+        sig_b, buckets = index
+    else:
+        sig_b, buckets = minhash_index(
+            base, n_hashes, n_bands, id_col, text_col, max_bucket
+        )
+        sig_b = sig_b.persist()
     sig_d = minhash_signatures(delta, n_hashes, id_col, text_col).persist()
-    buckets = (
-        _bands(sig_b, n_hashes, n_bands, id_col)
-        .groupBy("bi", "bv")
-        .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .where(F.size("ids") <= max_bucket)
-    )
     cand = (
         _bands(sig_d, n_hashes, n_bands, id_col)
         .withColumnRenamed(id_col, "delta_id")
@@ -720,12 +747,29 @@ def exact_substring_excise(
     )
 
 
+def exact_substring_anchor_index(
+    base: DataFrame, n: int = 8, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The STANDING ExactSubstr anchor index: the corpus's DISTINCT
+    ``n``-token window hashes — built once, saved (parquet), probed by
+    every increment via ``exact_substring_spans_incremental``'s
+    ``index`` argument. Output is bounded by distinct content, not
+    corpus size."""
+    return (
+        _window_anchor_positions(base, n, id_col, text_col)
+        .select("h")
+        .distinct()
+    )
+
+
 def exact_substring_spans_incremental(
-    base: DataFrame,
+    base: DataFrame | None,
     delta: DataFrame,
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Delta-vs-corpus ExactSubstr — the DAILY-INGEST posture of
     exact-substring dedup (the span twin of
@@ -733,8 +777,9 @@ def exact_substring_spans_incremental(
     re-anchors the standing corpus when an increment arrives; it probes
     the increment's windows against the corpus anchor index. A delta
     doc's window is duplicated if its content occurs ANYWHERE in the
-    base corpus (the index side — in production built once and SAVED;
-    this function is the probe plan it feeds); windows shared only
+    base corpus (the index side — in production built once with
+    ``exact_substring_anchor_index``, SAVED, and passed back via
+    ``index``, in which case ``base`` may be None); windows shared only
     among delta docs are the next increment's base-side problem, by the
     same rule q284 applies to MinHash buckets. Returns the same maximal
     per-doc excision intervals as ``exact_substring_spans``, for delta
@@ -747,9 +792,9 @@ def exact_substring_spans_incremental(
     from rdkafka_streams_spark.operators.intervals import merge_intervals
 
     bw = (
-        _window_anchor_positions(base, n, id_col, text_col)
-        .select("h")
-        .distinct()
+        index
+        if index is not None
+        else exact_substring_anchor_index(base, n, id_col, text_col)
     )
     dw = _window_anchor_positions(delta, n, id_col, text_col)
     pos = dw.join(bw, "h").select(

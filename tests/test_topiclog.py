@@ -3843,3 +3843,123 @@ def test_list_transactions_surfaces_unreadable_state(tmp_path):
     # it survives every filter — hiding it would defeat the sweep
     sweep = log.list_transactions(older_than_ms=10**9, now_ms=2_000)
     assert [r["txn_id"] for r in sweep] == ["broken"]
+
+
+def test_incremental_dedup_drill_over_transport(spark, tmp_path):
+    """r11 drill: the daily-ingest dedup posture end to end over the
+    transport — the standing corpus indexes are built ONCE and SAVED to
+    parquet (the contract the q284/q302 docstrings promise), an
+    increment arrives on an ingest topic as JSON, the consumer probes
+    the SAVED indexes with the base corpus never rescanned
+    (``base=None``), near-dup docs drop, duplicated spans are excised,
+    and the surviving clean docs land on a clean topic byte-exact."""
+    from rdkafka_streams_spark.llm.dedup import (
+        exact_substring_anchor_index,
+        exact_substring_spans_incremental,
+        minhash_index,
+        minhash_near_dups_incremental,
+    )
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = str(tmp_path / "log")
+    ix = str(tmp_path / "ix")
+    base = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    # ---- index-build day: computed once, SAVED (parquet)
+    sig, buckets = minhash_index(base)
+    sig.write.parquet(f"{ix}/sig")
+    buckets.write.parquet(f"{ix}/buckets")
+    exact_substring_anchor_index(base, n=8).write.parquet(f"{ix}/anchors")
+
+    # ---- ingest day: the increment arrives over the transport
+    uniq = " ".join(f"u{i}" for i in range(24))
+    delta_rows = [
+        # near-dup of base doc 1 (identical text) -> dropped whole
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # embeds base doc 2's 8-token window -> span excised, rest kept
+        (102, f"p1 p2 one two three four five six seven eight {uniq}"),
+        # fresh content -> untouched
+        (103, "entirely fresh content with no overlap at all"),
+    ]
+    log = TopicLog(root)
+    log.create_topic("ingest", partitions=1)
+    log.create_topic("clean", partitions=1)
+    inc = spark.createDataFrame(delta_rows, "doc_id bigint, text string")
+    KProducer(
+        host=root, topic="ingest", key="doc_id", transport="topiclog"
+    ).write_batch(inc)
+    delta = (
+        read_topic(spark, root, "ingest")
+        .select(
+            F.from_json(
+                F.col("value").cast("string"), "doc_id bigint, text string"
+            ).alias("v")
+        )
+        .select("v.doc_id", "v.text")
+    )
+
+    # ---- probe the SAVED indexes; the base corpus is NOT an input
+    saved = (
+        spark.read.parquet(f"{ix}/sig"),
+        spark.read.parquet(f"{ix}/buckets"),
+    )
+    near = minhash_near_dups_incremental(
+        None, delta, threshold=0.5, index=saved
+    )
+    drop = {r["delta_id"] for r in near.select("delta_id").distinct().collect()}
+    assert drop == {101}
+
+    kept = delta.where(~F.col("doc_id").isin([int(d) for d in drop]))
+    anchors = spark.read.parquet(f"{ix}/anchors")
+    spans = exact_substring_spans_incremental(None, kept, n=8, index=anchors)
+    got_spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in spans.collect()
+    }
+    assert got_spans == {(102, 3, 10)}
+
+    # ---- excise the spans (q300's rebuild) and publish the clean docs
+    cov = spans.select(
+        "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("j")
+    )
+    toks = kept.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("j0", "tok")
+    ).select("doc_id", (F.col("j0") + 1).alias("j"), "tok")
+    cleaned = (
+        toks.join(cov, ["doc_id", "j"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("text")
+        )
+    )
+    KProducer(
+        host=root, topic="clean", key="doc_id", transport="topiclog"
+    ).write_batch(cleaned)
+    out = {
+        r["v"]["doc_id"]: r["v"]["text"]
+        for r in read_topic(spark, root, "clean")
+        .select(
+            F.from_json(
+                F.col("value").cast("string"), "doc_id bigint, text string"
+            ).alias("v")
+        )
+        .collect()
+    }
+    assert out == {
+        102: "p1 p2 " + uniq,
+        103: "entirely fresh content with no overlap at all",
+    }
+    # the drill audits clean end to end
+    rep = log.verify_log("ingest") | log.verify_log("clean")
+    assert all(v["issues"] == [] for v in rep.values()), rep
