@@ -639,3 +639,36 @@ def test_q213_bucketed_join_no_exchange_even_without_broadcast(spark, sf_dir):
         assert count_exchanges(df) <= 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_statistics_flip_plans_pinned_at_asymptote(spark, sf_dir):
+    """q192 (16→19 exchanges at 8×) and q138 (8→10 at 32×) are the two
+    adjudicated expected-adaptive plan-sweep variants (SCALE_CERT /
+    SCALE.md): their extra exchanges are statistics-driven
+    broadcast→shuffle JOIN FLIPS, not plan growth. Machine-check the
+    adjudication: with stats-driven broadcasts disabled
+    (autoBroadcastJoinThreshold=-1 — the 100 TB asymptote, where no
+    fact-derived relation fits any threshold) the same flips must
+    appear as shuffle joins (SortMergeJoin, zero stats-broadcasts) and
+    the exchange count must land EXACTLY on the recorded asymptote —
+    a future regression past 'expected-adaptive' fails loudly here
+    instead of hiding behind the adjudication."""
+    from rdkafka_streams_spark.core.plan import plan_string
+
+    asymptote = {"q192_rfm_segments": 19, "q138_basket_affinity": 10}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, recorded in asymptote.items():
+            df = REGISTRY[name].fn(spark, sf_dir)
+            got = count_exchanges(df)
+            assert got == recorded, (
+                f"{name}: {got} exchanges at the no-broadcast asymptote, "
+                f"SCALE_CERT recorded {recorded}"
+            )
+            ps = plan_string(df, "simple")
+            assert "SortMergeJoin" in ps and "BroadcastHashJoin" not in ps, (
+                f"{name}: expected pure shuffle joins at the asymptote"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
