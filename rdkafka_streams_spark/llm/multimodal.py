@@ -439,3 +439,274 @@ def decode_media_stdlib(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, schema=DECODED_REAL_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, media_type string, src_w int, src_h int, "
+    "out_w int, out_h int, px_sum bigint, px_tl int, px_br int, px_probe int"
+)
+
+
+def resize_images_stdlib(
+    media: DataFrame, out_w: int = 10, out_h: int = 6
+) -> DataFrame:
+    """Decode + NEAREST-NEIGHBOR resize in one Arrow batch: output pixel
+    (x, y, c) samples source pixel ((x·w)//out_w, (y·h)//out_h, c) —
+    integer floor mapping, so the resized raster is closed-form in the
+    fixture formula and every aggregate is SQL-recomputable. The
+    resize reads single pixels from the decoded buffer (O(out_w·out_h)
+    per image, independent of source size — the thumbnailing shape);
+    positional probes pin the mapping direction (a transposed or
+    ceil-mapped resize fails px_br/px_probe, not px_sum)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "media_type", "src_w", "src_h", "out_w", "out_h",
+                "px_sum", "px_tl", "px_br", "px_probe",
+            )}
+            for did, mt, content in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            ):
+                w, h, px = decode_image(bytes(content))
+
+                def at(x: int, y: int, c: int) -> int:
+                    return px[((y * h // out_h) * w + (x * w // out_w))
+                              * _BPP + c]
+
+                total = 0
+                for y in range(out_h):
+                    for x in range(out_w):
+                        for c in range(_BPP):
+                            total += at(x, y, c)
+                out["doc_id"].append(int(did))
+                out["media_type"].append(mt)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["px_sum"].append(total)
+                out["px_tl"].append(at(0, 0, 0))
+                out["px_br"].append(at(out_w - 1, out_h - 1, 2))
+                out["px_probe"].append(at(3, 2, 1))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+# ------------------------------------------------------------------ audio
+def _encode_wav(rate: int, samples: list[int]) -> bytes:
+    """16-bit PCM mono RIFF/WAVE — stdlib struct only."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(b: bytes) -> tuple[int, int, int, list[int]]:
+    """(channels, rate, bits, samples) from a PCM RIFF/WAVE file —
+    chunk-walks the container (skipping unknown chunks like LIST/fact),
+    supports 16-bit PCM; anything compressed raises."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i = 12
+    channels = rate = bits = None
+    samples: list[int] = []
+    while i + 8 <= len(b):
+        tag = b[i : i + 4]
+        (ln,) = struct.unpack_from("<I", b, i + 4)
+        body = b[i + 8 : i + 8 + ln]
+        i += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if fmt_code != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported wav (format={fmt_code} bits={bits}); "
+                    "only 16-bit PCM decodes without an audio library"
+                )
+        elif tag == b"data":
+            samples = [
+                struct.unpack_from("<h", body, j)[0]
+                for j in range(0, len(body) - len(body) % 2, 2)
+            ]
+    if channels is None:
+        raise ValueError("wav missing fmt chunk")
+    return channels, rate, bits, samples
+
+
+def generate_audio(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fixture audio as real WAV files: n = 64 + doc_id %
+    129 samples of s(i) = ((doc_id·37 + i·13) % 4001) − 2000 at 8 kHz —
+    closed-form, so a SQL oracle recomputes every sample aggregate."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "media_type": [], "byte_len": [],
+                    "content": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 64 + did % 129
+                samples = [((did * 37 + i * 13) % 4001) - 2000
+                           for i in range(n)]
+                blob = _encode_wav(8000, samples)
+                rows["doc_id"].append(did)
+                rows["media_type"].append("audio/wav")
+                rows["byte_len"].append(len(blob))
+                rows["content"].append(blob)
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+DECODED_AUDIO_SCHEMA = (
+    "doc_id bigint, channels int, sample_rate int, bits int, "
+    "n_samples bigint, s_sum bigint, s_min int, s_max int, "
+    "s_first int, s_last int"
+)
+
+
+def decode_audio_stdlib(media: DataFrame) -> DataFrame:
+    """REAL WAV decode (RIFF chunk walk + 16-bit PCM unpack) in an Arrow
+    batch, emitting exact sample aggregates + positional probes
+    (first/last sample pin byte order and chunk alignment)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "channels", "sample_rate", "bits", "n_samples",
+                "s_sum", "s_min", "s_max", "s_first", "s_last",
+            )}
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                ch, rate, bits, s = _decode_wav(bytes(content))
+                out["doc_id"].append(int(did))
+                out["channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["bits"].append(bits)
+                out["n_samples"].append(len(s))
+                out["s_sum"].append(sum(s))
+                out["s_min"].append(min(s))
+                out["s_max"].append(max(s))
+                out["s_first"].append(s[0])
+                out["s_last"].append(s[-1])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=DECODED_AUDIO_SCHEMA)
+
+
+# ------------------------------------------------------------------ video
+def _encode_y4m(w: int, h: int, frames: list[tuple[bytes, bytes, bytes]]) -> bytes:
+    """YUV4MPEG2 (C420) — the uncompressed video interchange format;
+    header + per-frame FRAME markers + raw Y/U/V planes."""
+    head = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n".encode()
+    return head + b"".join(
+        b"FRAME\n" + y + u + v for y, u, v in frames
+    )
+
+
+def _decode_y4m(b: bytes) -> tuple[int, int, list[tuple[bytes, bytes, bytes]]]:
+    """(w, h, [(Y, U, V)]) from a C420 YUV4MPEG2 stream."""
+    nl = b.index(b"\n")
+    head = b[:nl].decode()
+    if not head.startswith("YUV4MPEG2"):
+        raise ValueError("not a y4m stream")
+    w = h = None
+    for tok in head.split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "C" and tok != "C420":
+            raise ValueError(f"unsupported y4m chroma {tok}")
+    ysz, csz = w * h, (w // 2) * (h // 2)
+    frames = []
+    i = nl + 1
+    while i < len(b):
+        j = b.index(b"\n", i)
+        if b[i:j].split()[0] != b"FRAME":
+            raise ValueError("bad y4m frame marker")
+        i = j + 1
+        frames.append((b[i : i + ysz],
+                       b[i + ysz : i + ysz + csz],
+                       b[i + ysz + csz : i + ysz + 2 * csz]))
+        i += ysz + 2 * csz
+    return w, h, frames
+
+
+def generate_videos(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fixture video as real Y4M streams: w = 8 + 2·(id%5),
+    h = 6 + 2·(id%4) (even dims, C420), nf = 3 + id%4 frames with
+    Y(x,y,k) = (id·11 + x·2 + y·3 + k·7) % 256 and per-frame-constant
+    chroma U = (id·5 + k·3) % 256, V = (id·3 + k·5) % 256 — closed-form
+    for the SQL oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "media_type": [], "byte_len": [],
+                    "content": []}
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 8 + 2 * (did % 5), 6 + 2 * (did % 4)
+                nf = 3 + did % 4
+                frames = []
+                for k in range(nf):
+                    y = bytes((did * 11 + x * 2 + yy * 3 + k * 7) % 256
+                              for yy in range(h) for x in range(w))
+                    u = bytes([(did * 5 + k * 3) % 256]) * ((w // 2) * (h // 2))
+                    v = bytes([(did * 3 + k * 5) % 256]) * ((w // 2) * (h // 2))
+                    frames.append((y, u, v))
+                blob = _encode_y4m(w, h, frames)
+                rows["doc_id"].append(did)
+                rows["media_type"].append("video/x-yuv4mpeg")
+                rows["byte_len"].append(len(blob))
+                rows["content"].append(blob)
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+DECODED_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, width int, height int, n_frames int, "
+    "y_sum bigint, u_val int, v_val int, y_tl int, y_br int"
+)
+
+
+def sample_frames_stdlib(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL video frame sampling: parse the Y4M container, keep every
+    ``every``-th frame (the decimation a multimodal ingest runs before
+    per-frame featurization), emit exact per-frame luma aggregates +
+    corner probes. One output row per SAMPLED frame — the blob is
+    decoded once per batch and never duplicated per frame (contrast
+    ``sample_frames``, the carry-the-blob planner for opaque codecs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "width", "height", "n_frames",
+                "y_sum", "u_val", "v_val", "y_tl", "y_br",
+            )}
+            for did, content in zip(pdf["doc_id"], pdf["content"]):
+                w, h, frames = _decode_y4m(bytes(content))
+                for k, (y, u, v) in enumerate(frames):
+                    if k % every:
+                        continue
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(k)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(len(frames))
+                    out["y_sum"].append(sum(y))
+                    out["u_val"].append(u[0])
+                    out["v_val"].append(v[0])
+                    out["y_tl"].append(y[0])
+                    out["y_br"].append(y[-1])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=DECODED_FRAME_SCHEMA)

@@ -972,3 +972,106 @@ def pq_search_adc_integer(
         .where(F.col("__rn") <= k)
         .select("q_id", F.col(id_col), F.col("adist"))
     )
+
+
+def ivfpq_search_integer(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 8,
+    coarse_iters: int = 3,
+    m: int = 4,
+    n_codes: int = 4,
+    pq_iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ composition, oracle-exact end to end — the modern ANN
+    architecture (FAISS's IVFPQ, here with by_residual=false): the
+    integer coarse quantizer PRUNES (only ``nprobe``/``n_cells`` of the
+    corpus is touched per query — ``ivf_search_integer``'s geometry),
+    and integer PQ codes RANK the surviving candidates by ADC table
+    lookups (``pq_search_adc_integer``'s compression — m small ints per
+    row instead of the raw vector). Both trainers, the corpus encode,
+    cell probing, and the final top-k are all bigint arithmetic, so the
+    complete prune-then-rank pipeline is one SQL hash gate.
+
+    Scale posture: centroids and codebooks are driver metadata
+    (literals/broadcast); the corpus carries (cell id + m codes) per
+    row; the candidate join hits inverted lists on the cell key
+    (partition pruning once the corpus is written partitioned by cell);
+    per-candidate cost is m ``element_at`` lookups. Ties break
+    (adist, id) ascending. Returns (q_id, id, adist)."""
+    from functools import reduce as _reduce
+
+    sub = _pq_sub_width(emb, m, vec_col, strict=True)
+    assigned, cents = kmeans_integer(
+        emb, k=n_cells, n_iters=coarse_iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    blocks = build_pq_codebooks_integer(
+        emb, m=m, n_codes=n_codes, n_iters=pq_iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cbs = [c for _, _, c in blocks]
+
+    def lit_qc(qc: list[int]) -> Column:
+        return F.array(*[F.lit(v).cast("long") for v in qc])
+
+    def block_slice(col: str, j: int) -> Column:
+        return F.slice(F.col(col), j * sub + 1, sub)
+
+    # corpus side: coarse cell + m codes, all map-side over the trainer's
+    # assignment frame (its qv is the globally-quantized vector; slicing
+    # after elementwise quantization == quantizing the slice)
+    codes = assigned.select(
+        id_col, "cid",
+        *[
+            _argmin_cid(block_slice("qv", j), cbs[j]).alias(f"__code{j}")
+            for j in range(m)
+        ],
+    )
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(cents, "cid int, qc array<bigint>")
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        quantize_global(vec_col, scale).alias("__q_qv"),
+    )
+    pw = Window.partitionBy("q_id").orderBy("__d", "cid")
+    probes = (
+        qs.crossJoin(F.broadcast(cdf))
+        .withColumn("__d", _int_l2("__q_qv", "qc"))
+        .withColumn("__rn", F.row_number().over(pw))
+        .where(F.col("__rn") <= nprobe)
+        .select("q_id", "cid")
+    )
+    qdt = qs.select(
+        "q_id",
+        *[
+            F.array(*[
+                _int_l2(block_slice("__q_qv", j), lit_qc(qc))
+                for _cid, qc in cbs[j]
+            ]).alias(f"__dt{j}")
+            for j in range(m)
+        ],
+    )
+    pq = probes.join(qdt, "q_id")  # nprobe rows per query, tables attached
+    cand = codes.join(F.broadcast(pq), "cid").where(
+        F.col(id_col) != F.col("q_id")
+    )
+    adist = _reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(F.col(f"__dt{j}"), F.col(f"__code{j}"))
+            for j in range(m)
+        ],
+    )
+    w = Window.partitionBy("q_id").orderBy("adist", id_col)
+    return (
+        cand.select("q_id", id_col, adist.alias("adist"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("q_id", F.col(id_col), F.col("adist"))
+    )

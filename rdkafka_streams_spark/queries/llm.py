@@ -3357,3 +3357,238 @@ def q310_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stage int, stage_name string, n_docs bigint, n_tokens bigint"
     )
+
+
+# ------------------------------------------------------------------------ L5
+@query(
+    "q311_image_resize_nn",
+    oracle="""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(8 + doc_id % 9 AS INT) AS w,
+         CAST(8 + doc_id % 7 AS INT) AS h,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'image/bmp'
+           WHEN 1 THEN 'image/x-portable-pixmap'
+           ELSE 'image/png' END AS media_type
+  FROM documents),
+px AS (
+  SELECT p.doc_id, p.media_type, p.w, p.h, x.i AS x, y.i AS y, c.i AS c,
+         (p.doc_id*7 + ((x.i * p.w) // 10)*3 + ((y.i * p.h) // 6)*5
+          + c.i*11) % 256 AS v
+  FROM p, range(10) x(i), range(6) y(i), range(3) c(i))
+SELECT doc_id, media_type, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+       10 AS out_w, 6 AS out_h,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
+       CAST(MAX(CASE WHEN x = 0 AND y = 0 AND c = 0 THEN v END) AS INT)
+         AS px_tl,
+       CAST(MAX(CASE WHEN x = 9 AND y = 5 AND c = 2 THEN v END) AS INT)
+         AS px_br,
+       CAST(MAX(CASE WHEN x = 3 AND y = 2 AND c = 1 THEN v END) AS INT)
+         AS px_probe
+FROM px GROUP BY ALL
+""",
+    tags=("L5",),
+)
+def q311_image_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (llm/multimodal.py resize_images_stdlib):
+    decode each fixture image (all three containers) and
+    nearest-neighbor-resample it to a fixed 10×6 thumbnail — output
+    pixel (x, y, c) samples source ((x·w)//10, (y·h)//6, c), integer
+    floor mapping, O(out pixels) per image regardless of source size.
+    The oracle recomputes the resized raster from the fixture formula:
+    exact pixel sum + three positional probes that pin the mapping
+    direction (a ceil-mapped or transposed resize fails px_br/px_probe,
+    not the sum). Decode+resize is one Arrow mapInPandas over the
+    generator — zero shuffles."""
+    from rdkafka_streams_spark.llm.multimodal import (
+        generate_images,
+        resize_images_stdlib,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return resize_images_stdlib(generate_images(docs), out_w=10, out_h=6)
+
+
+# ------------------------------------------------------------------------ L5
+@query(
+    "q313_audio_decode_wav",
+    oracle="""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(64 + doc_id % 129 AS BIGINT) AS n
+  FROM documents),
+s AS (
+  SELECT p.doc_id, p.n, i.i,
+         CAST((p.doc_id*37 + i.i*13) % 4001 - 2000 AS BIGINT) AS v
+  FROM p, range(193) i(i) WHERE i.i < p.n)
+SELECT doc_id, 1 AS channels, 8000 AS sample_rate, 16 AS bits,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS s_sum,
+       CAST(MIN(v) AS INT) AS s_min,
+       CAST(MAX(v) AS INT) AS s_max,
+       CAST(MAX(CASE WHEN i = 0 THEN v END) AS INT) AS s_first,
+       CAST(MAX(CASE WHEN i = n - 1 THEN v END) AS INT) AS s_last
+FROM s GROUP BY doc_id, n
+""",
+    tags=("L5",),
+)
+def q313_audio_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (llm/multimodal.py decode_audio_stdlib):
+    deterministic 16-bit PCM fixtures encoded as real RIFF/WAVE files —
+    then chunk-walked (fmt parse, word-aligned chunk skip) and
+    sample-unpacked back inside an Arrow mapInPandas. The sample
+    formula s(i) = ((doc_id·37 + i·13) % 4001) − 2000 is closed-form,
+    so the oracle recomputes rate/bits/exact sample sum/min/max plus
+    first/last positional probes (byte order and data-chunk alignment
+    pinned) in SQL. Extends L5's real-decode family (q309 images) to
+    the audio modality; only compressed codecs (MP3/AAC/FLAC) remain
+    library-gated."""
+    from rdkafka_streams_spark.llm.multimodal import (
+        decode_audio_stdlib,
+        generate_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_audio_stdlib(generate_audio(docs))
+
+
+# ------------------------------------------------------------------------ L5
+@query(
+    "q314_video_frame_sample",
+    oracle="""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(8 + 2*(doc_id % 5) AS INT) AS w,
+         CAST(6 + 2*(doc_id % 4) AS INT) AS h,
+         CAST(3 + doc_id % 4 AS INT) AS nf
+  FROM documents),
+fr AS (SELECT p.*, k.i AS k FROM p, range(6) k(i)
+       WHERE k.i < p.nf AND k.i % 2 = 0),
+y AS (
+  SELECT fr.doc_id, fr.k, fr.w, fr.h, fr.nf,
+         CAST(SUM((fr.doc_id*11 + x.i*2 + y.i*3 + fr.k*7) % 256) AS BIGINT)
+           AS y_sum
+  FROM fr, range(16) x(i), range(12) y(i)
+  WHERE x.i < fr.w AND y.i < fr.h
+  GROUP BY ALL)
+SELECT doc_id, CAST(k AS INT) AS frame_idx, w AS width, h AS height,
+       nf AS n_frames, y_sum,
+       CAST((doc_id*5 + k*3) % 256 AS INT) AS u_val,
+       CAST((doc_id*3 + k*5) % 256 AS INT) AS v_val,
+       CAST((doc_id*11 + k*7) % 256 AS INT) AS y_tl,
+       CAST((doc_id*11 + (w-1)*2 + (h-1)*3 + k*7) % 256 AS INT) AS y_br
+FROM y
+""",
+    tags=("L5",),
+)
+def q314_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (llm/multimodal.py
+    sample_frames_stdlib): deterministic fixtures encoded as real
+    YUV4MPEG2 (C420) streams — header token parse, FRAME markers, raw
+    Y/U/V plane slicing — decimated to every 2nd frame (the sampling a
+    multimodal ingest runs before per-frame featurization), one row per
+    sampled frame with exact luma sum, chroma probes, and corner pixels
+    (plane order and frame stride pinned). The blob is decoded once and
+    never duplicated per frame — contrast ``sample_frames``, the
+    carry-the-blob planner for codecs the stdlib can't open. Completes
+    L5's real-decode family across image (q309/q311), audio (q313),
+    and video."""
+    from rdkafka_streams_spark.llm.multimodal import (
+        generate_videos,
+        sample_frames_stdlib,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames_stdlib(generate_videos(docs), every=2)
+
+
+def _ivfpq_oracle(k: int = 5, nprobe: int = 2, q_mod: int = 50) -> str:
+    """q305's coarse chain + q308's per-subspace chains/encode/tables,
+    composed: candidates are cell-pruned by the coarse assignment, then
+    ranked by summed ADC lookups."""
+    l2 = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
+          "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)")
+    coarse = _kmeans_oracle_ctes(k=_KM_K, n_iters=_KM_N_ITERS, bare=True)
+    pq_chains = ",\n".join(
+        _kmeans_oracle_ctes(
+            k=_PQ_K, n_iters=_PQ_ITERS, prefix=f"s{j}",
+            vec_expr=f"embedding[{j * _PQ_SUB + 1}:{(j + 1) * _PQ_SUB}]",
+            bare=True,
+        )
+        for j in range(_PQ_M)
+    )
+    encs = ",\n".join(
+        f"""e{j} AS MATERIALIZED (
+  SELECT vec_id, cid AS code{j} FROM (
+    SELECT q.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {l2.format(a="q.qv", b="c.qc")} ASC, c.cid ASC) AS rn
+    FROM s{j}q q CROSS JOIN s{j}c{_PQ_ITERS} c) WHERE rn = 1)"""
+        for j in range(_PQ_M)
+    )
+    dts = ",\n".join(
+        f"""dt{j} AS MATERIALIZED (
+  SELECT q.vec_id AS q_id, c.cid,
+         {l2.format(a="q.qv", b="c.qc")} AS d
+  FROM s{j}q q CROSS JOIN s{j}c{_PQ_ITERS} c
+  WHERE q.vec_id % {q_mod} = 0)"""
+        for j in range(_PQ_M)
+    )
+    enc_join = "e0 " + " ".join(
+        f"JOIN e{j} USING (vec_id)" for j in range(1, _PQ_M)
+    )
+    dt_join = "JOIN dt0 t0 ON t0.q_id = pr.q_id AND t0.cid = e.code0 " + " ".join(
+        f"JOIN dt{j} t{j} ON t{j}.q_id = pr.q_id AND t{j}.cid = e.code{j}"
+        for j in range(1, _PQ_M)
+    )
+    dsum = " + ".join(f"t{j}.d" for j in range(_PQ_M))
+    return f"""WITH {coarse},
+{pq_chains},
+{encs},
+{dts},
+enc AS MATERIALIZED (SELECT * FROM {enc_join}),
+qs AS (SELECT vec_id AS q_id, qv AS q_qv FROM q WHERE vec_id % {q_mod} = 0),
+probes AS (
+  SELECT q_id, cid FROM (
+    SELECT qs.q_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY qs.q_id ORDER BY
+        {l2.format(a="qs.q_qv", b="c.qc")} ASC, c.cid ASC) AS rn
+    FROM qs CROSS JOIN c{_KM_N_ITERS} c) WHERE rn <= {nprobe}),
+cand AS (
+  SELECT pr.q_id, e.vec_id, CAST({dsum} AS BIGINT) AS adist
+  FROM probes pr
+  JOIN a{_KM_N_ITERS} a ON a.cid = pr.cid
+  JOIN enc e ON e.vec_id = a.vec_id
+  {dt_join}
+  WHERE a.vec_id <> pr.q_id)
+SELECT q_id, vec_id, adist FROM (
+  SELECT q_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY adist ASC, vec_id ASC) AS rn
+  FROM cand) WHERE rn <= {k}
+"""
+
+
+# ------------------------------------------------------------------------ L3
+@query("q312_ivfpq_search", oracle=_ivfpq_oracle(), tags=("L3",))
+def q312_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed, oracle-exact (llm/similarity.py
+    ivfpq_search_integer) — the modern ANN architecture end to end:
+    the q304 coarse quantizer PRUNES to nprobe=2 of 8 cells per query,
+    the q307 PQ codebooks RANK the surviving candidates by summed ADC
+    table lookups (by_residual=false), top-5 with (adist, id)
+    tie-break, every 50th vector as a query. q305 certified prune,
+    q308 certified rank; this gate certifies their COMPOSITION — the
+    candidate set is the intersection semantics a production IVFPQ
+    index serves. Corpus rows carry (cell + m codes); probes and
+    distance tables broadcast; one top-k window."""
+    from rdkafka_streams_spark.llm.similarity import ivfpq_search_integer
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    return ivfpq_search_integer(
+        emb, queries, k=5, nprobe=2, n_cells=_KM_K,
+        coarse_iters=_KM_N_ITERS, m=_PQ_M, n_codes=_PQ_K,
+        pq_iters=_PQ_ITERS,
+    )

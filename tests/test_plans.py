@@ -402,6 +402,15 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # funnel collected per stage); the returned frame is 8 rows of
         # driver metadata
         "q310_corpus_pipeline": 0,
+        # resize/audio/video: generate + decode are chained mapInPandas
+        # over the scan — zero shuffles
+        "q311_image_resize_nn": 0,
+        "q313_audio_decode_wav": 0,
+        "q314_video_frame_sample": 0,
+        # IVFPQ: corpus side is map-side (cell + codes over the trainer's
+        # assignment); probes window + probe/table join are query-sized;
+        # one top-k window (training eager)
+        "q312_ivfpq_search": 2,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
