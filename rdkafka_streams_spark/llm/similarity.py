@@ -1075,3 +1075,132 @@ def ivfpq_search_integer(
         .where(F.col("__rn") <= k)
         .select("q_id", F.col(id_col), F.col("adist"))
     )
+
+
+def ivfpq_residual_search_integer(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 8,
+    coarse_iters: int = 3,
+    m: int = 4,
+    n_codes: int = 4,
+    pq_iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BY-RESIDUAL IVF+PQ, oracle-exact — the default FAISS IVFPQ
+    architecture: every vector is assigned to its nearest coarse cell
+    (FINAL centroids, fresh map-side argmin — the index's contract, not
+    the trainer's last-iteration snapshot), PQ codebooks are trained on
+    the RESIDUALS r = qv − centroid[cell] (residuals are centered and
+    small, which is why residual PQ quantizes better than raw PQ), and
+    a query's ADC tables are PER PROBED CELL (its residual differs in
+    every cell). Residuals are integer differences of integer vectors;
+    the per-block trainer re-quantizes them (×scale, exact for integer
+    inputs), so training, residual computation, encode, per-cell
+    tables, and search all stay bigint — one SQL hash gate for the
+    complete production ANN stack.
+
+    Scale posture: ``ivfpq_search_integer``'s, plus the residual step —
+    one broadcast join against the k-row centroid table on the corpus
+    side (map-side, no shuffle), and per-(query, probed-cell) tables
+    (nprobe × m × n_codes longs per query, still broadcast-sized).
+    Returns (q_id, id, adist); ties (adist, id) ascending."""
+    from functools import reduce as _reduce
+
+    spark = emb.sparkSession
+    sub = _pq_sub_width(emb, m, vec_col, strict=True)
+    _assigned, cents = kmeans_integer(
+        emb, k=n_cells, n_iters=coarse_iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cdf = spark.createDataFrame(cents, "cid int, qc array<bigint>")
+    qv = emb.select(
+        F.col(id_col), quantize_global(vec_col, scale).alias("__qv")
+    )
+    # index-side assignment against the FINAL centroids + residuals
+    resid = (
+        qv.withColumn("cid", _argmin_cid("__qv", cents))
+        .join(F.broadcast(cdf), "cid")
+        .select(
+            id_col, "cid",
+            F.zip_with("__qv", "qc", lambda a, b: a - b).alias("__r"),
+        )
+    )
+    blocks = [
+        kmeans_integer(
+            resid.select(
+                F.col(id_col),
+                F.slice(F.col("__r"), j * sub + 1, sub).alias("__r"),
+            ),
+            k=n_codes, n_iters=pq_iters, scale=scale,
+            id_col=id_col, vec_col="__r",
+        )[1]
+        for j in range(m)
+    ]
+
+    def lit_qc(qc: list[int]) -> Column:
+        return F.array(*[F.lit(v).cast("long") for v in qc])
+
+    codes = resid.select(
+        id_col, "cid",
+        *[
+            _argmin_cid(
+                quantize_global(F.slice(F.col("__r"), j * sub + 1, sub),
+                                scale),
+                blocks[j],
+            ).alias(f"__code{j}")
+            for j in range(m)
+        ],
+    )
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        quantize_global(vec_col, scale).alias("__q_qv"),
+    )
+    pw = Window.partitionBy("q_id").orderBy("__d", "cid")
+    # per probed cell: the query residual and its m ADC tables
+    pq = (
+        qs.crossJoin(F.broadcast(cdf))
+        .withColumn("__d", _int_l2("__q_qv", "qc"))
+        .withColumn("__rn", F.row_number().over(pw))
+        .where(F.col("__rn") <= nprobe)
+        .select(
+            "q_id", "cid",
+            F.zip_with("__q_qv", "qc", lambda a, b: a - b).alias("__rq"),
+        )
+        .select(
+            "q_id", "cid",
+            *[
+                F.array(*[
+                    _int_l2(
+                        quantize_global(
+                            F.slice(F.col("__rq"), j * sub + 1, sub), scale
+                        ),
+                        lit_qc(qc),
+                    )
+                    for _cid, qc in blocks[j]
+                ]).alias(f"__dt{j}")
+                for j in range(m)
+            ],
+        )
+    )
+    cand = codes.join(F.broadcast(pq), "cid").where(
+        F.col(id_col) != F.col("q_id")
+    )
+    adist = _reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(F.col(f"__dt{j}"), F.col(f"__code{j}"))
+            for j in range(m)
+        ],
+    )
+    w = Window.partitionBy("q_id").orderBy("adist", id_col)
+    return (
+        cand.select("q_id", id_col, adist.alias("adist"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("q_id", F.col(id_col), F.col("adist"))
+    )

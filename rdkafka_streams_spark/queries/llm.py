@@ -2690,7 +2690,7 @@ def q303_byte_bpe_vocab_target(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_oracle_ctes(k: int = 8, n_iters: int = 3, scale: int = 1000,
                         prefix: str = "", vec_expr: str = "embedding",
-                        bare: bool = False) -> str:
+                        bare: bool = False, src: str = "embeddings") -> str:
     """Shared unrolled-iteration DuckDB CTE chain for kmeans_integer:
     global quantization (floor(x·scale + 0.5) — bit-identical to Spark),
     md5-ordered seeding, min-integer-L2 assignment with cid tie-break,
@@ -2699,14 +2699,15 @@ def _kmeans_oracle_ctes(k: int = 8, n_iters: int = 3, scale: int = 1000,
     MATERIALIZED (the 2-references-per-step expansion lesson from
     _byte_bpe_oracle). ``prefix`` renames every CTE (so several chains
     compose in one statement — the per-subspace PQ trainer), ``vec_expr``
-    substitutes the vector (e.g. a subvector slice), and ``bare=True``
+    substitutes the vector (e.g. a subvector slice), ``src`` the source
+    relation (a residual CTE for by-residual PQ), and ``bare=True``
     returns just the CTE list without the leading WITH."""
     p = prefix
     parts = [
         f"""{p}q AS MATERIALIZED (
   SELECT vec_id, list_transform({vec_expr},
          x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0 + 0.5) AS BIGINT)) AS qv
-  FROM embeddings),
+  FROM {src}),
 {p}c0 AS MATERIALIZED (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
          AS INTEGER) AS cid, qv AS qc
@@ -3588,6 +3589,122 @@ def q312_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.where(F.expr("vec_id % 50 = 0"))
     return ivfpq_search_integer(
+        emb, queries, k=5, nprobe=2, n_cells=_KM_K,
+        coarse_iters=_KM_N_ITERS, m=_PQ_M, n_codes=_PQ_K,
+        pq_iters=_PQ_ITERS,
+    )
+
+
+def _ivfpq_residual_oracle(k: int = 5, nprobe: int = 2, q_mod: int = 50) -> str:
+    """By-residual IVFPQ: the coarse chain, a fresh final-centroid
+    assignment + residual CTE, per-block kmeans chains RE-SOURCED to the
+    residuals, per-(query, probed-cell) distance tables, cell-pruned
+    candidates ranked by summed lookups."""
+    l2 = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
+          "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)")
+    qz = ("list_transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 "
+          "+ 0.5) AS BIGINT))")
+    coarse = _kmeans_oracle_ctes(k=_KM_K, n_iters=_KM_N_ITERS, bare=True)
+    pq_chains = ",\n".join(
+        _kmeans_oracle_ctes(
+            k=_PQ_K, n_iters=_PQ_ITERS, prefix=f"s{j}",
+            vec_expr=f"r[{j * _PQ_SUB + 1}:{(j + 1) * _PQ_SUB}]",
+            bare=True, src="resid",
+        )
+        for j in range(_PQ_M)
+    )
+    encs = ",\n".join(
+        f"""e{j} AS MATERIALIZED (
+  SELECT vec_id, cid AS code{j} FROM (
+    SELECT q.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {l2.format(a="q.qv", b="c.qc")} ASC, c.cid ASC) AS rn
+    FROM s{j}q q CROSS JOIN s{j}c{_PQ_ITERS} c) WHERE rn = 1)"""
+        for j in range(_PQ_M)
+    )
+    dts = ",\n".join(
+        f"""dt{j} AS MATERIALIZED (
+  SELECT rq.q_id, rq.cid AS pcid, c.cid,
+         {l2.format(
+             a=qz.format(v=f"rq.r[{j * _PQ_SUB + 1}:{(j + 1) * _PQ_SUB}]"),
+             b="c.qc")} AS d
+  FROM rq CROSS JOIN s{j}c{_PQ_ITERS} c)"""
+        for j in range(_PQ_M)
+    )
+    enc_join = "e0 " + " ".join(
+        f"JOIN e{j} USING (vec_id)" for j in range(1, _PQ_M)
+    )
+    dt_join = ("JOIN dt0 t0 ON t0.q_id = pr.q_id AND t0.pcid = pr.cid "
+               "AND t0.cid = e.code0 ") + " ".join(
+        f"JOIN dt{j} t{j} ON t{j}.q_id = pr.q_id AND t{j}.pcid = pr.cid "
+        f"AND t{j}.cid = e.code{j}"
+        for j in range(1, _PQ_M)
+    )
+    dsum = " + ".join(f"t{j}.d" for j in range(_PQ_M))
+    return f"""WITH {coarse},
+ec AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {l2.format(a="q.qv", b="c.qc")} ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c{_KM_N_ITERS} c) WHERE rn = 1),
+resid AS MATERIALIZED (
+  SELECT q.vec_id, e.cid,
+         list_transform(list_zip(q.qv, c.qc), x -> x[1]-x[2]) AS r
+  FROM q JOIN ec e USING (vec_id) JOIN c{_KM_N_ITERS} c ON c.cid = e.cid),
+{pq_chains},
+{encs},
+enc AS MATERIALIZED (SELECT * FROM {enc_join}),
+qs AS (SELECT vec_id AS q_id, qv AS q_qv FROM q WHERE vec_id % {q_mod} = 0),
+probes AS (
+  SELECT q_id, cid FROM (
+    SELECT qs.q_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY qs.q_id ORDER BY
+        {l2.format(a="qs.q_qv", b="c.qc")} ASC, c.cid ASC) AS rn
+    FROM qs CROSS JOIN c{_KM_N_ITERS} c) WHERE rn <= {nprobe}),
+rq AS MATERIALIZED (
+  SELECT p.q_id, p.cid,
+         list_transform(list_zip(qs.q_qv, c.qc), x -> x[1]-x[2]) AS r
+  FROM probes p JOIN qs USING (q_id)
+  JOIN c{_KM_N_ITERS} c ON c.cid = p.cid),
+{dts},
+cand AS (
+  SELECT pr.q_id, e.vec_id, CAST({dsum} AS BIGINT) AS adist
+  FROM probes pr
+  JOIN ec a ON a.cid = pr.cid
+  JOIN enc e ON e.vec_id = a.vec_id
+  {dt_join}
+  WHERE a.vec_id <> pr.q_id)
+SELECT q_id, vec_id, adist FROM (
+  SELECT q_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY adist ASC, vec_id ASC) AS rn
+  FROM cand) WHERE rn <= {k}
+"""
+
+
+# ------------------------------------------------------------------------ L3
+@query("q315_ivfpq_residual_search", oracle=_ivfpq_residual_oracle(),
+       tags=("L3",))
+def q315_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BY-RESIDUAL IVFPQ (llm/similarity.py ivfpq_residual_search_integer)
+    — the default FAISS IVFPQ: vectors assign to their nearest FINAL
+    coarse centroid, PQ codebooks train on the residuals (centered and
+    small — why residual PQ quantizes better than raw), a query's ADC
+    tables are per PROBED CELL, candidates are cell-pruned and ranked by
+    summed lookups. Residuals are integer differences re-quantized
+    exactly (×1000 of integer inputs), so the full production ANN stack
+    — coarse training, residual computation, per-block residual
+    training, encode, per-cell tables, search — is ONE hash gate.
+    Completes the ANN ladder: q304 train → q305 IVF → q307/q308 PQ →
+    q312 composed → q315 residual-composed."""
+    from rdkafka_streams_spark.llm.similarity import (
+        ivfpq_residual_search_integer,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    return ivfpq_residual_search_integer(
         emb, queries, k=5, nprobe=2, n_cells=_KM_K,
         coarse_iters=_KM_N_ITERS, m=_PQ_M, n_codes=_PQ_K,
         pq_iters=_PQ_ITERS,

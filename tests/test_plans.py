@@ -411,6 +411,9 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # assignment); probes window + probe/table join are query-sized;
         # one top-k window (training eager)
         "q312_ivfpq_search": 2,
+        # by-residual IVFPQ: same shape — the residual step is a
+        # broadcast join against the k-row centroid table (no shuffle)
+        "q315_ivfpq_residual_search": 2,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
