@@ -225,6 +225,11 @@ def minhash_near_dups_incremental(
     if index is not None:
         sig_b, buckets = index
     else:
+        if base is None:
+            raise ValueError(
+                "minhash_near_dups_incremental needs either the base "
+                "corpus or a prebuilt (signatures, buckets) index"
+            )
         sig_b, buckets = minhash_index(
             base, n_hashes, n_bands, id_col, text_col, max_bucket
         )
@@ -791,6 +796,11 @@ def exact_substring_spans_incremental(
     on the hash; the coalesce windows only over delta docs."""
     from rdkafka_streams_spark.operators.intervals import merge_intervals
 
+    if index is None and base is None:
+        raise ValueError(
+            "exact_substring_spans_incremental needs either the base "
+            "corpus or a prebuilt anchor index"
+        )
     bw = (
         index
         if index is not None

@@ -435,7 +435,13 @@ def decode_media_stdlib(media: DataFrame) -> DataFrame:
                 out["px_max"].append(max(px))
                 out["px_tl"].append(px[0])
                 out["px_br"].append(px[-1])
-                out["px_probe"].append(px[(2 * w + 3) * _BPP + 1])
+                # probe (3,2,1), CLAMPED into bounds — this is a general
+                # operator, and a valid 2×2 image must not index past
+                # its raster (review r11); the fixtures (w≥8, h≥8) are
+                # unaffected
+                out["px_probe"].append(
+                    px[(min(2, h - 1) * w + min(3, w - 1)) * _BPP + 1]
+                )
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, schema=DECODED_REAL_SCHEMA)
@@ -488,7 +494,12 @@ def resize_images_stdlib(
                 out["px_sum"].append(total)
                 out["px_tl"].append(at(0, 0, 0))
                 out["px_br"].append(at(out_w - 1, out_h - 1, 2))
-                out["px_probe"].append(at(3, 2, 1))
+                # probe (3,2,1) clamped into the DECLARED output grid —
+                # small out_w/out_h must neither index past the source
+                # raster nor report a pixel outside the grid (review r11)
+                out["px_probe"].append(
+                    at(min(3, out_w - 1), min(2, out_h - 1), 1)
+                )
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)

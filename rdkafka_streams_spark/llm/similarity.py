@@ -884,6 +884,69 @@ def build_pq_codebooks_integer(
     return out
 
 
+def _lit_qc(qc: list[int]) -> Column:
+    """A centroid/codebook row as a long-array literal (shared by every
+    integer ANN path, so the cast convention cannot drift)."""
+    return F.array(*[F.lit(v).cast("long") for v in qc])
+
+
+def _pq_code_cols(
+    vec_col: str, cbs: list, sub: int, requantize: bool = False
+) -> list[Column]:
+    """Per-block PQ code columns ``__code{j}``: map-side argmin of the
+    j-th subvector slice against that block's codebook (ties to the
+    smaller code). ``requantize`` re-scales integer residual slices the
+    way the residual trainer saw them."""
+    out = []
+    for j, cb in enumerate(cbs):
+        sl = _pq_block_slice(vec_col, j, sub)
+        if requantize:
+            sl = quantize_global(sl)
+        out.append(_argmin_cid(sl, cb).alias(f"__code{j}"))
+    return out
+
+
+def _pq_dt_cols(
+    vec_col: str, cbs: list, sub: int, requantize: bool = False
+) -> list[Column]:
+    """Per-block ADC distance-table columns ``__dt{j}``: one long array
+    per block, entry c = integer L2(query block j, codebook centroid c),
+    index c == code (1-based ``element_at``)."""
+    out = []
+    for j, cb in enumerate(cbs):
+        sl = _pq_block_slice(vec_col, j, sub)
+        if requantize:
+            sl = quantize_global(sl)
+        out.append(
+            F.array(*[_int_l2(sl, _lit_qc(qc)) for _cid, qc in cb])
+            .alias(f"__dt{j}")
+        )
+    return out
+
+
+def _adc_topk(cand: DataFrame, m: int, k: int, id_col: str) -> DataFrame:
+    """Summed ADC lookups + per-query top-k — the shared epilogue of the
+    three PQ search paths (single-sourced so the (adist, id) tie-break
+    and the 1-based element_at convention cannot drift). ``cand`` rows
+    carry q_id, the id column, ``__code{j}`` and ``__dt{j}``."""
+    from functools import reduce as _reduce
+
+    adist = _reduce(
+        lambda a, b: a + b,
+        [
+            F.element_at(F.col(f"__dt{j}"), F.col(f"__code{j}"))
+            for j in range(m)
+        ],
+    )
+    w = Window.partitionBy("q_id").orderBy("adist", id_col)
+    return (
+        cand.select("q_id", id_col, adist.alias("adist"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("q_id", F.col(id_col), F.col("adist"))
+    )
+
+
 def pq_search_adc_integer(
     emb: DataFrame,
     queries: DataFrame,
@@ -917,61 +980,24 @@ def pq_search_adc_integer(
     queries broadcast with their precomputed tables; one top-k window
     per query. Ties break (adist, id) ascending. Returns
     (q_id, id, adist)."""
-    from functools import reduce as _reduce
-
     sub = _pq_sub_width(emb, m, vec_col, strict=True)
     blocks = build_pq_codebooks_integer(
         emb, m=m, n_codes=n_codes, n_iters=n_iters, scale=scale,
         id_col=id_col, vec_col=vec_col,
     )
     cbs = [cents for _, _, cents in blocks]  # cid-ascending per block
-
-    def lit_qc(qc: list[int]) -> Column:
-        return F.array(*[F.lit(v).cast("long") for v in qc])
-
-    def block_slice(col: str, j: int) -> Column:
-        return F.slice(F.col(col), j * sub + 1, sub)
-
     qemb = emb.select(
         F.col(id_col), quantize_global(vec_col, scale).alias("__qv")
     )
-    codes = qemb.select(
-        id_col,
-        *[
-            _argmin_cid(block_slice("__qv", j), cbs[j]).alias(f"__code{j}")
-            for j in range(m)
-        ],
-    )
+    codes = qemb.select(id_col, *_pq_code_cols("__qv", cbs, sub))
     # Per-query ADC tables: dt_j[c] = int L2(query block j, centroid c),
     # index c == cid (1-based element_at), one array per block.
     qdt = queries.select(
         F.col(id_col).alias("q_id"),
         quantize_global(vec_col, scale).alias("__q_qv"),
-    ).select(
-        "q_id",
-        *[
-            F.array(*[
-                _int_l2(block_slice("__q_qv", j), lit_qc(qc))
-                for _cid, qc in cbs[j]
-            ]).alias(f"__dt{j}")
-            for j in range(m)
-        ],
-    )
+    ).select("q_id", *_pq_dt_cols("__q_qv", cbs, sub))
     pairs = codes.join(F.broadcast(qdt), F.col(id_col) != F.col("q_id"))
-    adist = _reduce(
-        lambda a, b: a + b,
-        [
-            F.element_at(F.col(f"__dt{j}"), F.col(f"__code{j}"))
-            for j in range(m)
-        ],
-    )
-    w = Window.partitionBy("q_id").orderBy("adist", id_col)
-    return (
-        pairs.select("q_id", id_col, adist.alias("adist"))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .select("q_id", F.col(id_col), F.col("adist"))
-    )
+    return _adc_topk(pairs, m, k, id_col)
 
 
 def ivfpq_search_integer(
@@ -1004,10 +1030,8 @@ def ivfpq_search_integer(
     (partition pruning once the corpus is written partitioned by cell);
     per-candidate cost is m ``element_at`` lookups. Ties break
     (adist, id) ascending. Returns (q_id, id, adist)."""
-    from functools import reduce as _reduce
-
     sub = _pq_sub_width(emb, m, vec_col, strict=True)
-    assigned, cents = kmeans_integer(
+    _assigned, cents = kmeans_integer(
         emb, k=n_cells, n_iters=coarse_iters, scale=scale,
         id_col=id_col, vec_col=vec_col,
     )
@@ -1016,22 +1040,18 @@ def ivfpq_search_integer(
         id_col=id_col, vec_col=vec_col,
     )
     cbs = [c for _, _, c in blocks]
-
-    def lit_qc(qc: list[int]) -> Column:
-        return F.array(*[F.lit(v).cast("long") for v in qc])
-
-    def block_slice(col: str, j: int) -> Column:
-        return F.slice(F.col(col), j * sub + 1, sub)
-
-    # corpus side: coarse cell + m codes, all map-side over the trainer's
-    # assignment frame (its qv is the globally-quantized vector; slicing
-    # after elementwise quantization == quantizing the slice)
-    codes = assigned.select(
-        id_col, "cid",
-        *[
-            _argmin_cid(block_slice("qv", j), cbs[j]).alias(f"__code{j}")
-            for j in range(m)
-        ],
+    # corpus side: coarse cell + m codes, all map-side. The cell is a
+    # FRESH argmin against the FINAL centroids — the index's contract
+    # (a vector files under the cell a query's probe would look in),
+    # NOT the trainer's last-iteration snapshot, which is one update
+    # stale and would lose recall invisibly (review r11).
+    qemb = emb.select(
+        F.col(id_col), quantize_global(vec_col, scale).alias("__qv")
+    )
+    codes = qemb.select(
+        id_col,
+        _argmin_cid("__qv", cents).alias("cid"),
+        *_pq_code_cols("__qv", cbs, sub),
     )
     spark = emb.sparkSession
     cdf = spark.createDataFrame(cents, "cid int, qc array<bigint>")
@@ -1047,34 +1067,12 @@ def ivfpq_search_integer(
         .where(F.col("__rn") <= nprobe)
         .select("q_id", "cid")
     )
-    qdt = qs.select(
-        "q_id",
-        *[
-            F.array(*[
-                _int_l2(block_slice("__q_qv", j), lit_qc(qc))
-                for _cid, qc in cbs[j]
-            ]).alias(f"__dt{j}")
-            for j in range(m)
-        ],
-    )
+    qdt = qs.select("q_id", *_pq_dt_cols("__q_qv", cbs, sub))
     pq = probes.join(qdt, "q_id")  # nprobe rows per query, tables attached
     cand = codes.join(F.broadcast(pq), "cid").where(
         F.col(id_col) != F.col("q_id")
     )
-    adist = _reduce(
-        lambda a, b: a + b,
-        [
-            F.element_at(F.col(f"__dt{j}"), F.col(f"__code{j}"))
-            for j in range(m)
-        ],
-    )
-    w = Window.partitionBy("q_id").orderBy("adist", id_col)
-    return (
-        cand.select("q_id", id_col, adist.alias("adist"))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .select("q_id", F.col(id_col), F.col("adist"))
-    )
+    return _adc_topk(cand, m, k, id_col)
 
 
 def ivfpq_residual_search_integer(
@@ -1109,8 +1107,6 @@ def ivfpq_residual_search_integer(
     side (map-side, no shuffle), and per-(query, probed-cell) tables
     (nprobe × m × n_codes longs per query, still broadcast-sized).
     Returns (q_id, id, adist); ties (adist, id) ascending."""
-    from functools import reduce as _reduce
-
     spark = emb.sparkSession
     sub = _pq_sub_width(emb, m, vec_col, strict=True)
     _assigned, cents = kmeans_integer(
@@ -1121,7 +1117,9 @@ def ivfpq_residual_search_integer(
     qv = emb.select(
         F.col(id_col), quantize_global(vec_col, scale).alias("__qv")
     )
-    # index-side assignment against the FINAL centroids + residuals
+    # index-side assignment against the FINAL centroids + residuals —
+    # persisted across the m per-block trainings (each would otherwise
+    # re-derive the corpus-wide quantize + argmin + centroid join)
     resid = (
         qv.withColumn("cid", _argmin_cid("__qv", cents))
         .join(F.broadcast(cdf), "cid")
@@ -1129,78 +1127,51 @@ def ivfpq_residual_search_integer(
             id_col, "cid",
             F.zip_with("__qv", "qc", lambda a, b: a - b).alias("__r"),
         )
+        .persist()
     )
-    blocks = [
-        kmeans_integer(
-            resid.select(
-                F.col(id_col),
-                F.slice(F.col("__r"), j * sub + 1, sub).alias("__r"),
-            ),
-            k=n_codes, n_iters=pq_iters, scale=scale,
-            id_col=id_col, vec_col="__r",
-        )[1]
-        for j in range(m)
-    ]
-
-    def lit_qc(qc: list[int]) -> Column:
-        return F.array(*[F.lit(v).cast("long") for v in qc])
-
-    codes = resid.select(
-        id_col, "cid",
-        *[
-            _argmin_cid(
-                quantize_global(F.slice(F.col("__r"), j * sub + 1, sub),
-                                scale),
-                blocks[j],
-            ).alias(f"__code{j}")
+    try:
+        blocks = [
+            kmeans_integer(
+                resid.select(
+                    F.col(id_col),
+                    _pq_block_slice("__r", j, sub).alias("__r"),
+                ),
+                k=n_codes, n_iters=pq_iters, scale=scale,
+                id_col=id_col, vec_col="__r",
+            )[1]
             for j in range(m)
-        ],
-    )
-    qs = queries.select(
-        F.col(id_col).alias("q_id"),
-        quantize_global(vec_col, scale).alias("__q_qv"),
-    )
-    pw = Window.partitionBy("q_id").orderBy("__d", "cid")
-    # per probed cell: the query residual and its m ADC tables
-    pq = (
-        qs.crossJoin(F.broadcast(cdf))
-        .withColumn("__d", _int_l2("__q_qv", "qc"))
-        .withColumn("__rn", F.row_number().over(pw))
-        .where(F.col("__rn") <= nprobe)
-        .select(
-            "q_id", "cid",
-            F.zip_with("__q_qv", "qc", lambda a, b: a - b).alias("__rq"),
+        ]
+        codes = resid.select(
+            id_col, "cid",
+            *_pq_code_cols("__r", blocks, sub, requantize=True),
         )
-        .select(
-            "q_id", "cid",
-            *[
-                F.array(*[
-                    _int_l2(
-                        quantize_global(
-                            F.slice(F.col("__rq"), j * sub + 1, sub), scale
-                        ),
-                        lit_qc(qc),
-                    )
-                    for _cid, qc in blocks[j]
-                ]).alias(f"__dt{j}")
-                for j in range(m)
-            ],
+        qs = queries.select(
+            F.col(id_col).alias("q_id"),
+            quantize_global(vec_col, scale).alias("__q_qv"),
         )
-    )
-    cand = codes.join(F.broadcast(pq), "cid").where(
-        F.col(id_col) != F.col("q_id")
-    )
-    adist = _reduce(
-        lambda a, b: a + b,
-        [
-            F.element_at(F.col(f"__dt{j}"), F.col(f"__code{j}"))
-            for j in range(m)
-        ],
-    )
-    w = Window.partitionBy("q_id").orderBy("adist", id_col)
-    return (
-        cand.select("q_id", id_col, adist.alias("adist"))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .select("q_id", F.col(id_col), F.col("adist"))
-    )
+        pw = Window.partitionBy("q_id").orderBy("__d", "cid")
+        # per probed cell: the query residual and its m ADC tables
+        pq = (
+            qs.crossJoin(F.broadcast(cdf))
+            .withColumn("__d", _int_l2("__q_qv", "qc"))
+            .withColumn("__rn", F.row_number().over(pw))
+            .where(F.col("__rn") <= nprobe)
+            .select(
+                "q_id", "cid",
+                F.zip_with("__q_qv", "qc", lambda a, b: a - b).alias("__rq"),
+            )
+            .select(
+                "q_id", "cid",
+                *_pq_dt_cols("__rq", blocks, sub, requantize=True),
+            )
+        )
+        cand = codes.join(F.broadcast(pq), "cid").where(
+            F.col(id_col) != F.col("q_id")
+        )
+        return _adc_topk(cand, m, k, id_col)
+    finally:
+        # training is eager (collects inside kmeans_integer), so the
+        # cache has served its purpose; the returned lazy plan simply
+        # re-derives resid once at execution (kmeans_integer's own
+        # q-persist convention)
+        resid.unpersist()

@@ -2930,14 +2930,47 @@ def q307_pq_train_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(_DF.unionAll, outs)
 
 
+_L2_TPL = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
+           "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)")
+_QZ_TPL = ("list_transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 "
+           "+ 0.5) AS BIGINT))")
+
+
+def _pq_enc_sql() -> tuple[str, str]:
+    """(e{j} CTE list, enc join) — the per-block final-codebook corpus
+    encode shared by every PQ search oracle (q308/q312/q315): fresh
+    row_number argmin per block, ties to the smaller code."""
+    encs = ",\n".join(
+        f"""e{j} AS MATERIALIZED (
+  SELECT vec_id, cid AS code{j} FROM (
+    SELECT q.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {_L2_TPL.format(a="q.qv", b="c.qc")} ASC, c.cid ASC) AS rn
+    FROM s{j}q q CROSS JOIN s{j}c{_PQ_ITERS} c) WHERE rn = 1)"""
+        for j in range(_PQ_M)
+    )
+    enc_join = "e0 " + " ".join(
+        f"JOIN e{j} USING (vec_id)" for j in range(1, _PQ_M)
+    )
+    return encs, enc_join
+
+
+def _pq_topk_sql(k: int) -> str:
+    """The shared (adist, vec_id) top-k tail of every PQ search oracle."""
+    return f"""SELECT q_id, vec_id, adist FROM (
+  SELECT q_id, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY adist ASC, vec_id ASC) AS rn
+  FROM cand) WHERE rn <= {k}
+"""
+
+
 def _pq_search_oracle(k: int = 5, q_mod: int = 50) -> str:
     """q307's per-subspace training chains extended through encode and
     ADC search: per block, a final-codebook assignment CTE (the corpus
     encode) and a per-query distance-table CTE (q rows × codes); the
     candidate distance is the 4-way table-lookup join summed across
     blocks, then the usual (adist, id) top-k window."""
-    l2 = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
-          "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)")
     chains = ",\n".join(
         _kmeans_oracle_ctes(
             k=_PQ_K, n_iters=_PQ_ITERS, prefix=f"s{j}",
@@ -2946,25 +2979,14 @@ def _pq_search_oracle(k: int = 5, q_mod: int = 50) -> str:
         )
         for j in range(_PQ_M)
     )
-    encs = ",\n".join(
-        f"""e{j} AS MATERIALIZED (
-  SELECT vec_id, cid AS code{j} FROM (
-    SELECT q.vec_id, c.cid,
-      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        {l2.format(a="q.qv", b="c.qc")} ASC, c.cid ASC) AS rn
-    FROM s{j}q q CROSS JOIN s{j}c{_PQ_ITERS} c) WHERE rn = 1)"""
-        for j in range(_PQ_M)
-    )
+    encs, enc_join = _pq_enc_sql()
     dts = ",\n".join(
         f"""dt{j} AS MATERIALIZED (
   SELECT q.vec_id AS q_id, c.cid,
-         {l2.format(a="q.qv", b="c.qc")} AS d
+         {_L2_TPL.format(a="q.qv", b="c.qc")} AS d
   FROM s{j}q q CROSS JOIN s{j}c{_PQ_ITERS} c
   WHERE q.vec_id % {q_mod} = 0)"""
         for j in range(_PQ_M)
-    )
-    enc_join = "e0 " + " ".join(
-        f"JOIN e{j} USING (vec_id)" for j in range(1, _PQ_M)
     )
     dt_join = "JOIN dt0 t0 ON t0.cid = e.code0 " + " ".join(
         f"JOIN dt{j} t{j} ON t{j}.q_id = t0.q_id AND t{j}.cid = e.code{j}"
@@ -2980,12 +3002,7 @@ cand AS (
   FROM enc e
   {dt_join}
   WHERE e.vec_id <> t0.q_id)
-SELECT q_id, vec_id, adist FROM (
-  SELECT q_id, vec_id, adist,
-         ROW_NUMBER() OVER (PARTITION BY q_id
-                            ORDER BY adist ASC, vec_id ASC) AS rn
-  FROM cand) WHERE rn <= {k}
-"""
+""" + _pq_topk_sql(k)
 
 
 # ------------------------------------------------------------------------ L3
@@ -3070,9 +3087,7 @@ def q309_multimodal_decode_stdlib(
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return decode_media_stdlib(generate_images(docs)).withColumn(
-        "channels", F.lit(3)
-    )
+    return decode_media_stdlib(generate_images(docs))
 
 
 def _corpus_pipeline_oracle() -> str:
@@ -3230,6 +3245,9 @@ def q310_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.operators.ranking import global_rank
     from rdkafka_streams_spark.operators.sampling import temperature_sample
 
+    pre_rdds = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "lang", "source",
         "text",
@@ -3355,6 +3373,17 @@ def q310_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for df in persisted:
             df.unpersist()
+        # stage operators persist internal state (minhash signatures are
+        # caller-owned by contract) — the funnel has fully materialized,
+        # so free EVERYTHING this call pinned, not just the stage frames
+        # (single-threaded query; same snapshot-diff caveat as
+        # _checkpoint_step). Review r11: without this, every capstone
+        # run leaked a signature cache for the session's lifetime.
+        sc = spark.sparkContext
+        for rid in (
+            set(sc._jsc.getPersistentRDDs().keySet().toArray()) - pre_rdds
+        ):
+            sc._jsc.sc().unpersistRDD(rid, False)
     return spark.createDataFrame(
         rows, "stage int, stage_name string, n_docs bigint, n_tokens bigint"
     )
@@ -3505,11 +3534,11 @@ def q314_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_oracle(k: int = 5, nprobe: int = 2, q_mod: int = 50) -> str:
-    """q305's coarse chain + q308's per-subspace chains/encode/tables,
-    composed: candidates are cell-pruned by the coarse assignment, then
-    ranked by summed ADC lookups."""
-    l2 = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
-          "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)")
+    """The coarse chain + q308's per-subspace chains/encode/tables,
+    composed: candidates are cell-pruned by a FRESH assignment against
+    the FINAL coarse centroids (the index's contract — r11 review found
+    the first draft pruning on the trainer's one-update-stale snapshot,
+    a silent recall loss), then ranked by summed ADC lookups."""
     coarse = _kmeans_oracle_ctes(k=_KM_K, n_iters=_KM_N_ITERS, bare=True)
     pq_chains = ",\n".join(
         _kmeans_oracle_ctes(
@@ -3519,25 +3548,14 @@ def _ivfpq_oracle(k: int = 5, nprobe: int = 2, q_mod: int = 50) -> str:
         )
         for j in range(_PQ_M)
     )
-    encs = ",\n".join(
-        f"""e{j} AS MATERIALIZED (
-  SELECT vec_id, cid AS code{j} FROM (
-    SELECT q.vec_id, c.cid,
-      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        {l2.format(a="q.qv", b="c.qc")} ASC, c.cid ASC) AS rn
-    FROM s{j}q q CROSS JOIN s{j}c{_PQ_ITERS} c) WHERE rn = 1)"""
-        for j in range(_PQ_M)
-    )
+    encs, enc_join = _pq_enc_sql()
     dts = ",\n".join(
         f"""dt{j} AS MATERIALIZED (
   SELECT q.vec_id AS q_id, c.cid,
-         {l2.format(a="q.qv", b="c.qc")} AS d
+         {_L2_TPL.format(a="q.qv", b="c.qc")} AS d
   FROM s{j}q q CROSS JOIN s{j}c{_PQ_ITERS} c
   WHERE q.vec_id % {q_mod} = 0)"""
         for j in range(_PQ_M)
-    )
-    enc_join = "e0 " + " ".join(
-        f"JOIN e{j} USING (vec_id)" for j in range(1, _PQ_M)
     )
     dt_join = "JOIN dt0 t0 ON t0.q_id = pr.q_id AND t0.cid = e.code0 " + " ".join(
         f"JOIN dt{j} t{j} ON t{j}.q_id = pr.q_id AND t{j}.cid = e.code{j}"
@@ -3545,6 +3563,12 @@ def _ivfpq_oracle(k: int = 5, nprobe: int = 2, q_mod: int = 50) -> str:
     )
     dsum = " + ".join(f"t{j}.d" for j in range(_PQ_M))
     return f"""WITH {coarse},
+ec AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {_L2_TPL.format(a="q.qv", b="c.qc")} ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c{_KM_N_ITERS} c) WHERE rn = 1),
 {pq_chains},
 {encs},
 {dts},
@@ -3554,21 +3578,16 @@ probes AS (
   SELECT q_id, cid FROM (
     SELECT qs.q_id, c.cid,
       ROW_NUMBER() OVER (PARTITION BY qs.q_id ORDER BY
-        {l2.format(a="qs.q_qv", b="c.qc")} ASC, c.cid ASC) AS rn
+        {_L2_TPL.format(a="qs.q_qv", b="c.qc")} ASC, c.cid ASC) AS rn
     FROM qs CROSS JOIN c{_KM_N_ITERS} c) WHERE rn <= {nprobe}),
 cand AS (
   SELECT pr.q_id, e.vec_id, CAST({dsum} AS BIGINT) AS adist
   FROM probes pr
-  JOIN a{_KM_N_ITERS} a ON a.cid = pr.cid
+  JOIN ec a ON a.cid = pr.cid
   JOIN enc e ON e.vec_id = a.vec_id
   {dt_join}
   WHERE a.vec_id <> pr.q_id)
-SELECT q_id, vec_id, adist FROM (
-  SELECT q_id, vec_id, adist,
-         ROW_NUMBER() OVER (PARTITION BY q_id
-                            ORDER BY adist ASC, vec_id ASC) AS rn
-  FROM cand) WHERE rn <= {k}
-"""
+""" + _pq_topk_sql(k)
 
 
 # ------------------------------------------------------------------------ L3
@@ -3600,10 +3619,8 @@ def _ivfpq_residual_oracle(k: int = 5, nprobe: int = 2, q_mod: int = 50) -> str:
     assignment + residual CTE, per-block kmeans chains RE-SOURCED to the
     residuals, per-(query, probed-cell) distance tables, cell-pruned
     candidates ranked by summed lookups."""
-    l2 = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
-          "x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)")
-    qz = ("list_transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 "
-          "+ 0.5) AS BIGINT))")
+    l2 = _L2_TPL
+    qz = _QZ_TPL
     coarse = _kmeans_oracle_ctes(k=_KM_K, n_iters=_KM_N_ITERS, bare=True)
     pq_chains = ",\n".join(
         _kmeans_oracle_ctes(
@@ -3613,15 +3630,7 @@ def _ivfpq_residual_oracle(k: int = 5, nprobe: int = 2, q_mod: int = 50) -> str:
         )
         for j in range(_PQ_M)
     )
-    encs = ",\n".join(
-        f"""e{j} AS MATERIALIZED (
-  SELECT vec_id, cid AS code{j} FROM (
-    SELECT q.vec_id, c.cid,
-      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        {l2.format(a="q.qv", b="c.qc")} ASC, c.cid ASC) AS rn
-    FROM s{j}q q CROSS JOIN s{j}c{_PQ_ITERS} c) WHERE rn = 1)"""
-        for j in range(_PQ_M)
-    )
+    encs, enc_join = _pq_enc_sql()
     dts = ",\n".join(
         f"""dt{j} AS MATERIALIZED (
   SELECT rq.q_id, rq.cid AS pcid, c.cid,
@@ -3630,9 +3639,6 @@ def _ivfpq_residual_oracle(k: int = 5, nprobe: int = 2, q_mod: int = 50) -> str:
              b="c.qc")} AS d
   FROM rq CROSS JOIN s{j}c{_PQ_ITERS} c)"""
         for j in range(_PQ_M)
-    )
-    enc_join = "e0 " + " ".join(
-        f"JOIN e{j} USING (vec_id)" for j in range(1, _PQ_M)
     )
     dt_join = ("JOIN dt0 t0 ON t0.q_id = pr.q_id AND t0.pcid = pr.cid "
                "AND t0.cid = e.code0 ") + " ".join(
@@ -3675,12 +3681,7 @@ cand AS (
   JOIN enc e ON e.vec_id = a.vec_id
   {dt_join}
   WHERE a.vec_id <> pr.q_id)
-SELECT q_id, vec_id, adist FROM (
-  SELECT q_id, vec_id, adist,
-         ROW_NUMBER() OVER (PARTITION BY q_id
-                            ORDER BY adist ASC, vec_id ASC) AS rn
-  FROM cand) WHERE rn <= {k}
-"""
+""" + _pq_topk_sql(k)
 
 
 # ------------------------------------------------------------------------ L3

@@ -301,6 +301,33 @@ def test_stdlib_image_codecs_roundtrip():
             assert decode_image(enc(w, h, px)) == (w, h, px), (did, mt)
 
 
+def test_media_probes_clamp_on_tiny_images(spark):
+    """Review r11: the positional probes are clamped into bounds — a
+    valid 2×2 image (decode) and a 2×2 thumbnail (resize) must not
+    index past the raster or report a pixel outside the declared
+    output grid."""
+    from rdkafka_streams_spark.llm.multimodal import (
+        _encode_ppm,
+        decode_media_stdlib,
+        generate_images,
+        resize_images_stdlib,
+    )
+
+    px = bytes(range(2 * 2 * 3))
+    media = spark.createDataFrame(
+        [(1, "image/x-portable-pixmap", len(_encode_ppm(2, 2, px)),
+          bytearray(_encode_ppm(2, 2, px)))],
+        "doc_id bigint, media_type string, byte_len int, content binary",
+    )
+    row = decode_media_stdlib(media).first()
+    assert (row["width"], row["height"]) == (2, 2)
+    assert row["px_probe"] == px[(1 * 2 + 1) * 3 + 1]  # clamped (1,1,1)
+    docs = spark.createDataFrame([(7,)], "doc_id bigint")
+    r = resize_images_stdlib(generate_images(docs), out_w=2, out_h=2).first()
+    assert (r["out_w"], r["out_h"]) == (2, 2)
+    assert 0 <= r["px_probe"] <= 255  # clamped probe stays in the grid
+
+
 def test_ppm_decoder_handles_comments_and_jpeg_raises():
     from rdkafka_streams_spark.llm.multimodal import _decode_ppm, decode_image
 
