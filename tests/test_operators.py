@@ -1206,6 +1206,21 @@ def test_batched_bpe_equals_sequential_on_trap_corpora(spark):
                 learn_byte_bpe(docs, n_merges=8, batched=True, max_batch=mb)
             )
             assert bat == seq, f"trap {i} max_batch={mb}: {bat} != {seq}"
+    # deep multi-round trap (r11, for the incrementally MAINTAINED pair
+    # table): 24 merges at max_batch=4 forces many state-update rounds —
+    # counts drifting by even one in the maintained table would flip a
+    # tie-break and change the merge table
+    deep = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog the quick fox"),
+         (1, "pack my box with five dozen liquor jugs the quick dog"),
+         (2, "sphinx of black quartz judge my vow the lazy fox")],
+        "doc_id int, text string",
+    )
+    seq24 = _merge_table(learn_byte_bpe(deep, n_merges=24))
+    bat24 = _merge_table(
+        learn_byte_bpe(deep, n_merges=24, batched=True, max_batch=4)
+    )
+    assert bat24 == seq24
     # cache hygiene: the batched loop's maintained pair table and symbol
     # table are checkpoint-managed — nothing survives the calls
     post = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
