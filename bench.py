@@ -36,6 +36,18 @@ HEADLINE = [
     "q57_lang_confusion",    # profile build + detect + confusion agg
 ]
 
+# The heavy LLM-pipeline surface, benched separately (r11 verdict: the
+# headline 10 are all relational/light, so regressions in the training-data
+# operators were invisible round-over-round). min-of-3 — these are seconds-
+# to-a-minute each, where run-to-run noise is proportionally small.
+LLM_HEADLINE = [
+    "q299_exact_substring_spans",  # ExactSubstr: anchor shuffle + islands
+    "q304_kmeans_integer",         # oracle-exact k-means training
+    "q308_pq_exact_search",        # end-to-end PQ ADC search
+    "q310_corpus_pipeline",        # full corpus-curation capstone funnel
+]
+LLM_RUNS = 3
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,6 +85,18 @@ def main() -> None:
         name: round(sorted(s)[len(s) // 2], 3) for name, s in samples.items()
     }
 
+    llm_samples: dict[str, list[float]] = {name: [] for name in LLM_HEADLINE}
+    llm_rows: dict[str, int] = {}
+    for _ in range(LLM_RUNS):
+        for name in LLM_HEADLINE:
+            q = REGISTRY[name]
+            t0 = time.perf_counter()
+            n = q.fn(spark, sf_dir).count()
+            llm_samples[name].append(round(time.perf_counter() - t0, 3))
+            llm_rows[name] = n
+    llm_times = {name: min(s) for name, s in llm_samples.items()}
+    llm_total = round(sum(llm_times.values()), 3)
+
     stream_rps = _stream_decode_throughput(spark)
     (produce_rps, consume_wall_rps, consume_best_rps,
      consume_latency, produce_latency) = _topiclog_roundtrip_throughput(spark)
@@ -94,6 +118,15 @@ def main() -> None:
                 "cpus": cpus,
                 "runs_per_query": RUNS,
                 "aggregation": "min",
+                # heavy LLM-pipeline surface (ExactSubstr, k-means, PQ
+                # search, corpus capstone) — benched apart from the
+                # relational headline so its regressions are visible;
+                # NOT in `value` to keep the headline series comparable
+                # across rounds (r12 baseline row: see README)
+                "llm_queries": llm_times,
+                "llm_total": llm_total,
+                "llm_rows": llm_rows,
+                "llm_runs_per_query": LLM_RUNS,
                 # fixed CPU-bound probe: compare this across rounds to
                 # normalize machine-load drift before reading query deltas
                 "calibration_sec": calibration,

@@ -528,6 +528,7 @@ def _decode_wav(b: bytes) -> tuple[int, int, int, list[int]]:
         raise ValueError("not a RIFF/WAVE file")
     i = 12
     channels = rate = bits = None
+    saw_data = False
     samples: list[int] = []
     while i + 8 <= len(b):
         tag = b[i : i + 4]
@@ -544,12 +545,15 @@ def _decode_wav(b: bytes) -> tuple[int, int, int, list[int]]:
                     "only 16-bit PCM decodes without an audio library"
                 )
         elif tag == b"data":
+            saw_data = True
             samples = [
                 struct.unpack_from("<h", body, j)[0]
                 for j in range(0, len(body) - len(body) % 2, 2)
             ]
     if channels is None:
         raise ValueError("wav missing fmt chunk")
+    if not saw_data:
+        raise ValueError("wav missing data chunk")
     return channels, rate, bits, samples
 
 
@@ -644,9 +648,13 @@ def _decode_y4m(b: bytes) -> tuple[int, int, list[tuple[bytes, bytes, bytes]]]:
         if b[i:j].split()[0] != b"FRAME":
             raise ValueError("bad y4m frame marker")
         i = j + 1
-        frames.append((b[i : i + ysz],
-                       b[i + ysz : i + ysz + csz],
-                       b[i + ysz + csz : i + ysz + 2 * csz]))
+        y = b[i : i + ysz]
+        u = b[i + ysz : i + ysz + csz]
+        v = b[i + ysz + csz : i + ysz + 2 * csz]
+        # a short tail would otherwise flow silently into y_sum/u_val
+        if len(y) != ysz or len(u) != csz or len(v) != csz:
+            raise ValueError("truncated y4m frame")
+        frames.append((y, u, v))
         i += ysz + 2 * csz
     return w, h, frames
 
@@ -721,3 +729,92 @@ def sample_frames_stdlib(media: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=DECODED_FRAME_SCHEMA)
+
+
+# --------------------------------------------------- image-text pairs (LAION)
+PAIR_SCHEMA = (
+    "doc_id bigint, media_type string, source string, caption string, "
+    "byte_len int, content binary"
+)
+
+
+def generate_image_caption_pairs(
+    docs: DataFrame, id_col: str = "doc_id", dup_mod: int = 20
+) -> DataFrame:
+    """Deterministic image-text-pair fixtures (the LAION ingest shape):
+    each document becomes one pair — its text as the caption, its source
+    carried for the mixture stage, and a REAL encoded image whose raster
+    keys on ``doc_id % dup_mod`` (``_fixture_pixels(key)``) while the
+    CONTAINER keys on ``doc_id % 3``. Because gcd(dup_mod, 3) = 1, the
+    same raster recurs under all three containers — a BMP, a PPM, and a
+    PNG of identical pixels exist in every fixture corpus, which is
+    precisely what content-level (not byte-level) dedup must catch.
+    One Arrow pass; blobs never touch the JVM heap."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "media_type": [], "source": [],
+                    "caption": [], "byte_len": [], "content": []}
+            for did, src, txt in zip(
+                pdf[id_col], pdf["source"], pdf["text"]
+            ):
+                did = int(did)
+                mt = FIXTURE_FORMATS[did % 3]
+                w, h, px = _fixture_pixels(did % dup_mod)
+                blob = _STDLIB_CODECS[mt][0](w, h, px)
+                rows["doc_id"].append(did)
+                rows["media_type"].append(mt)
+                rows["source"].append(src)
+                rows["caption"].append(txt)
+                rows["byte_len"].append(len(blob))
+                rows["content"].append(blob)
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col, "source", "text").mapInPandas(
+        gen, schema=PAIR_SCHEMA
+    )
+
+
+FINGERPRINT_SCHEMA = (
+    "doc_id bigint, media_type string, source string, caption string, "
+    "width int, height int, px_sum bigint, px_wsum bigint"
+)
+
+
+def decode_fingerprint_stdlib(pairs: DataFrame) -> DataFrame:
+    """REAL decode + CONTENT fingerprint for pixel-level dedup: parse
+    the container (BMP flip/unpad, PPM, PNG inflate+unfilter), then
+    fingerprint the DECODED raster — (width, height, px_sum, px_wsum)
+    where px_wsum = Σ (i+1)·px[i] over the linear raster index
+    i = (y·w + x)·3 + c. The position weighting makes the fingerprint
+    permutation-sensitive (px_sum alone is blind to shuffled rasters),
+    and every component is closed-form in the fixture formula, so a SQL
+    oracle recomputes it — unlike an md5 of the raw bytes, which would
+    also wrongly split identical pixels across containers. Same
+    mapInPandas posture as decode_media_stdlib: zero shuffle, decode
+    parallelism == scan parallelism."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "media_type", "source", "caption",
+                "width", "height", "px_sum", "px_wsum",
+            )}
+            for did, mt, src, cap, content in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["source"],
+                pdf["caption"], pdf["content"],
+            ):
+                w, h, px = decode_image(bytes(content))
+                out["doc_id"].append(int(did))
+                out["media_type"].append(mt)
+                out["source"].append(src)
+                out["caption"].append(cap)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(sum(px))
+                out["px_wsum"].append(
+                    sum((i + 1) * v for i, v in enumerate(px))
+                )
+            yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(run, schema=FINGERPRINT_SCHEMA)

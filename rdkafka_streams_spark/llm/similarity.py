@@ -891,32 +891,36 @@ def _lit_qc(qc: list[int]) -> Column:
 
 
 def _pq_code_cols(
-    vec_col: str, cbs: list, sub: int, requantize: bool = False
+    vec_col: str, cbs: list, sub: int, requantize: bool = False,
+    scale: int = 1000,
 ) -> list[Column]:
     """Per-block PQ code columns ``__code{j}``: map-side argmin of the
     j-th subvector slice against that block's codebook (ties to the
     smaller code). ``requantize`` re-scales integer residual slices the
-    way the residual trainer saw them."""
+    way the residual trainer saw them — at the SAME ``scale`` the
+    trainer used, or the codes silently diverge from the codebooks."""
     out = []
     for j, cb in enumerate(cbs):
         sl = _pq_block_slice(vec_col, j, sub)
         if requantize:
-            sl = quantize_global(sl)
+            sl = quantize_global(sl, scale)
         out.append(_argmin_cid(sl, cb).alias(f"__code{j}"))
     return out
 
 
 def _pq_dt_cols(
-    vec_col: str, cbs: list, sub: int, requantize: bool = False
+    vec_col: str, cbs: list, sub: int, requantize: bool = False,
+    scale: int = 1000,
 ) -> list[Column]:
     """Per-block ADC distance-table columns ``__dt{j}``: one long array
     per block, entry c = integer L2(query block j, codebook centroid c),
-    index c == code (1-based ``element_at``)."""
+    index c == code (1-based ``element_at``). ``requantize`` must use
+    the trainer's ``scale`` (see ``_pq_code_cols``)."""
     out = []
     for j, cb in enumerate(cbs):
         sl = _pq_block_slice(vec_col, j, sub)
         if requantize:
-            sl = quantize_global(sl)
+            sl = quantize_global(sl, scale)
         out.append(
             F.array(*[_int_l2(sl, _lit_qc(qc)) for _cid, qc in cb])
             .alias(f"__dt{j}")
@@ -1143,7 +1147,7 @@ def ivfpq_residual_search_integer(
         ]
         codes = resid.select(
             id_col, "cid",
-            *_pq_code_cols("__r", blocks, sub, requantize=True),
+            *_pq_code_cols("__r", blocks, sub, requantize=True, scale=scale),
         )
         qs = queries.select(
             F.col(id_col).alias("q_id"),
@@ -1162,7 +1166,7 @@ def ivfpq_residual_search_integer(
             )
             .select(
                 "q_id", "cid",
-                *_pq_dt_cols("__rq", blocks, sub, requantize=True),
+                *_pq_dt_cols("__rq", blocks, sub, requantize=True, scale=scale),
             )
         )
         cand = codes.join(F.broadcast(pq), "cid").where(
@@ -1175,3 +1179,72 @@ def ivfpq_residual_search_integer(
         # re-derives resid once at execution (kmeans_integer's own
         # q-persist convention)
         resid.unpersist()
+
+
+def ivfpq_refine_search_integer(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine_r: int = 20,
+    nprobe: int = 2,
+    n_cells: int = 8,
+    coarse_iters: int = 3,
+    m: int = 4,
+    n_codes: int = 4,
+    pq_iters: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    by_residual: bool = True,
+) -> DataFrame:
+    """IVFPQ + EXACT RE-RANK — the IndexRefineFlat shape, how every
+    production ANN deployment actually serves: the compressed index
+    (by-residual IVFPQ by default) returns its top ``refine_r``
+    candidates by summed ADC lookups, then those refine_r rows — and
+    ONLY those — are re-scored by exact integer L2 against the RAW
+    stored vectors, and the exact top-k wins. ADC distance carries
+    quantization error (the vector is reconstructed from m codebook
+    entries); the refine stage pays one exact distance per surviving
+    candidate to remove it, so recall@k approaches the candidate-set
+    ceiling (exact-over-candidates) at refine_r/k ≈ 4× the cost of
+    none. Every number stays bigint — the whole serve path (coarse
+    prune → ADC rank → exact refine) is one SQL hash gate.
+
+    Scale posture: the ADC stage's (q_id, id) survivors are
+    nq × refine_r rows — broadcast-sized by construction — so the
+    re-rank joins are BROADCAST against the corpus scan (one extra
+    full-column scan of ``emb``, zero shuffle; on a partitioned index
+    the id-join prunes to the probed cells) plus the query rows; the
+    only added exchange is the per-query exact top-k window over
+    nq × refine_r rows. Ties break (edist, id) ascending. Returns
+    (q_id, id, edist)."""
+    search = (
+        ivfpq_residual_search_integer if by_residual
+        else ivfpq_search_integer
+    )
+    cand = search(
+        emb, queries, k=refine_r, nprobe=nprobe, n_cells=n_cells,
+        coarse_iters=coarse_iters, m=m, n_codes=n_codes,
+        pq_iters=pq_iters, scale=scale, id_col=id_col, vec_col=vec_col,
+    ).select("q_id", id_col)
+    qv = emb.select(
+        F.col(id_col), quantize_global(vec_col, scale).alias("__qv")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        quantize_global(vec_col, scale).alias("__q_qv"),
+    )
+    scored = (
+        qv.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qs), "q_id")
+        .select(
+            "q_id", id_col,
+            _int_l2("__qv", "__q_qv").alias("edist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("edist", id_col)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("q_id", F.col(id_col), F.col("edist"))
+    )

@@ -515,6 +515,94 @@ def bigram_lm_scores(
     )
 
 
+def _bigram_explode(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per in-doc bigram; the shared derivation of
+    every bigram-LM entry point (training and scoring must see the same
+    tokenization or the smoothing denominators silently skew)."""
+    toks = F.split(F.col(text_col), " ")
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    return docs.select(id_col, F.explode(bigrams).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+
+def bigram_lm_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """TRAIN-ONCE bigram-LM artifact — the saved-index contract
+    (``minhash_index`` / ``exact_substring_anchor_index``) applied to the
+    CCNet perplexity stage: returns (cbg, cctx, vocab) — bigram counts,
+    context counts, and the 1-row vocabulary size — each a plain
+    DataFrame the caller writes to parquet. A daily-ingest pipeline
+    trains the LM on the standing corpus once and scores every increment
+    against the SAVED counts (``bigram_lm_score_with_index``); the base
+    corpus is never rescanned. Counts are exact bigints, so the saved
+    artifact reproduces in-session scoring bit for bit."""
+    db = _bigram_explode(docs, id_col, text_col)
+    cbg = db.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c_bg")
+    )
+    cctx = db.groupBy("w1").agg(F.count("*").cast("bigint").alias("c_ctx"))
+    vocab = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    )
+    return cbg, cctx, vocab
+
+
+def bigram_lm_score_with_index(
+    docs: DataFrame,
+    cbg: DataFrame,
+    cctx: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a SAVED bigram LM (``bigram_lm_index``)
+    with add-one smoothing: P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V). Bigrams
+    the LM never saw coalesce to c_bg=0 / c_ctx=0 (probability 1/V) —
+    exactly how a base-trained LM prices novel increment text, and the
+    reason the joins are LEFT (``bigram_lm_scores``' self-trained inner
+    join would silently drop them). Same integer micro-nat snapping and
+    floor(sum/n + 0.5) mean as the self-trained scorer, so on the
+    training corpus itself the two are bit-identical (unit-pinned).
+    Output: (id, n_bigrams, score_micro) — mean NLL in integer
+    micro-nats (the q310 stage-6 unit).
+
+    Scale: counts join on high-cardinality keys; vocab broadcasts; docs
+    with zero bigrams drop (no score, like a tokenizer emitting
+    nothing)."""
+    db = _bigram_explode(docs, id_col, text_col)
+    return (
+        db.join(cbg, ["w1", "w2"], "left")
+        .join(cctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.floor(
+                -F.log(
+                    (F.coalesce("c_bg", F.lit(0)) + 1)
+                    / (F.coalesce("c_ctx", F.lit(0)) + F.col("v"))
+                ) * 1000000 + 0.5
+            ).cast("bigint").alias("nll_micro"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.floor(F.sum("nll_micro") / F.count("*") + 0.5)
+            .cast("bigint").alias("score_micro"),
+        )
+    )
+
+
 def corpus_filter_pipeline(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1127,26 +1215,32 @@ def _bpe_merge_loop_batched(
                 )
             # delta = pair counts of the merge-touched rows only: old
             # seq at NEGATIVE freq, post-batch seq at positive — one
-            # aggregation whose input shrinks as merges rarify
-            affected = cur.where(touched)
-            delta = _pair_counts(
-                affected.select((-F.col("freq")).alias("freq"), "seq")
-                .unionAll(
-                    affected.select("freq", col.alias("seq"))
-                ),
-                sep,
-            )
-            pairs, pids = _checkpoint_step(
-                pairs.join(delta.withColumnRenamed("cnt", "d"),
-                           ["l", "r"], "full")
-                .select(
-                    "l", "r",
-                    (F.coalesce("cnt", F.lit(0))
-                     + F.coalesce("d", F.lit(0))).alias("cnt"),
+            # aggregation whose input shrinks as merges rarify.
+            # Persisted: both unionAll branches read it, so without the
+            # cache the touched-row filter over the checkpointed symbol
+            # table runs twice per round (advisor r11).
+            affected = cur.where(touched).persist()
+            try:
+                delta = _pair_counts(
+                    affected.select((-F.col("freq")).alias("freq"), "seq")
+                    .unionAll(
+                        affected.select("freq", col.alias("seq"))
+                    ),
+                    sep,
                 )
-                .where(F.col("cnt") != 0),
-                pids, sc,
-            )
+                pairs, pids = _checkpoint_step(
+                    pairs.join(delta.withColumnRenamed("cnt", "d"),
+                               ["l", "r"], "full")
+                    .select(
+                        "l", "r",
+                        (F.coalesce("cnt", F.lit(0))
+                         + F.coalesce("d", F.lit(0))).alias("cnt"),
+                    )
+                    .where(F.col("cnt") != 0),
+                    pids, sc,
+                )
+            finally:
+                affected.unpersist()
             cur, ids = _checkpoint_step(
                 cur.withColumn("seq", col), ids, sc
             )
@@ -1321,6 +1415,7 @@ def byte_bpe_encode_counts(
     id_cols: tuple[str, ...] = ("doc_id",),
     sep: str = "·",
     pretoken_pattern: str = GPT2_PRETOKEN_PATTERN,
+    rules: list | None = None,
 ) -> DataFrame:
     """Tokenizer APPLICATION at corpus scale: encode every document with
     the byte-BPE merges learned from the corpus itself and return the
@@ -1335,11 +1430,17 @@ def byte_bpe_encode_counts(
     NO per-document string surgery happens at all (the classic
     type/token split every real tokenizer pipeline uses). Documents with
     zero pre-tokens (empty text) drop out, like a tokenizer emitting
-    nothing."""
-    rules = learn_byte_bpe(
-        docs, n_merges=n_merges, text_col=text_col, sep=sep,
-        pretoken_pattern=pretoken_pattern,
-    ).orderBy("step").collect()
+    nothing.
+
+    ``rules`` switches train-and-encode to LOAD-and-encode — the
+    production posture (train once, ship merges.txt, every encode job
+    loads it): pass ``load_bpe_artifact(path)[0]`` and no training pass
+    runs at all."""
+    if rules is None:
+        rules = learn_byte_bpe(
+            docs, n_merges=n_merges, text_col=text_col, sep=sep,
+            pretoken_pattern=pretoken_pattern,
+        ).orderBy("step").collect()
     seq = _apply_merge_rules(_hex_wrapped(F.col("t"), sep), rules, sep)
     types = (
         docs.select(F.explode(_pretoken_col(text_col, pretoken_pattern)).alias("t"))
@@ -1364,6 +1465,72 @@ def byte_bpe_encode_counts(
         .groupBy(*id_cols)
         .agg(F.sum("n_sym").cast("bigint").alias("n_tokens"))
     )
+
+
+def save_bpe_artifact(rules, path: str) -> None:
+    """Persist a trained byte-BPE merge table as the two plain-text
+    files every production tokenizer ships (the GPT-2/huggingface
+    artifact contract): ``merges.txt`` — a ``#version`` header then one
+    ``left right`` symbol pair per line in merge order — and
+    ``vocab.json`` — symbol → id, the 256 base hex-byte symbols at ids
+    0–255 then one minted symbol per merge at 256+step−1. Train once,
+    ship the artifact, and every encode job loads it instead of
+    re-deriving merges from (possibly changed) data — the same
+    saved-index contract as ``minhash_index``. ``rules`` is the trainer
+    DataFrame ``(step, left, right, merged, pair_count)`` or its
+    collected rows; the table is driver metadata (n_merges rows), so
+    plain ``open()`` is the right tool, not a Spark write."""
+    import json
+    import os
+
+    if isinstance(rules, DataFrame):
+        rules = rules.orderBy("step").collect()
+    rules = sorted(rules, key=lambda r: r["step"])
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "merges.txt"), "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for r in rules:
+            f.write(f"{r['left']} {r['right']}\n")
+    vocab = {format(i, "02X"): i for i in range(256)}
+    for i, r in enumerate(rules):
+        vocab[r["left"] + r["right"]] = 256 + i
+    with open(os.path.join(path, "vocab.json"), "w", encoding="utf-8") as f:
+        json.dump(vocab, f, ensure_ascii=False, indent=0)
+
+
+def load_bpe_artifact(path: str) -> tuple[list[dict], dict[str, int]]:
+    """Load ``save_bpe_artifact``'s files back: returns (rules, vocab)
+    where rules is ``[{step, left, right, merged}]`` in merge order —
+    directly consumable by ``byte_bpe_encode_counts(rules=...)`` /
+    ``_apply_merge_rules`` — and vocab is the symbol → id dict. The
+    merged spelling is re-derived as left+right (BPE's definition), and
+    each rule's id is cross-checked against vocab.json so a hand-edited
+    or truncated artifact fails loudly at load, not as silently wrong
+    token counts downstream."""
+    import json
+    import os
+
+    with open(os.path.join(path, "vocab.json"), encoding="utf-8") as f:
+        vocab = json.load(f)
+    rules = []
+    with open(os.path.join(path, "merges.txt"), encoding="utf-8") as f:
+        for ln in f:
+            ln = ln.rstrip("\n")
+            if not ln or ln.startswith("#"):
+                continue
+            l, r = ln.split(" ")
+            step = len(rules) + 1
+            merged = l + r
+            got = vocab.get(merged)
+            if got != 255 + step:
+                raise ValueError(
+                    f"artifact mismatch: merge #{step} mints {merged!r} "
+                    f"(expect id {255 + step}) but vocab.json says {got}"
+                )
+            rules.append(
+                {"step": step, "left": l, "right": r, "merged": merged}
+            )
+    return rules, vocab
 
 
 def bpe_subword_vocab(

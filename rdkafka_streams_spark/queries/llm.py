@@ -2495,11 +2495,27 @@ def q298_byte_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the same unrolled chain and reproduces per-source doc/token
     rollups — a wrong merge, a mis-joined type, or a lost pre-token
     shifts total_tokens and breaks the hash. Scale: one corpus explode +
-    one join + two groupBys; no per-document string surgery anywhere."""
-    from rdkafka_streams_spark.llm.text import byte_bpe_encode_counts
+    one join + two groupBys; no per-document string surgery anywhere.
+
+    r12: the encode path runs through the SHIPPED ARTIFACT — train →
+    ``save_bpe_artifact`` (merges.txt + vocab.json) → ``load_bpe_artifact``
+    → encode with the loaded rules — so the production train-once/
+    load-everywhere contract sits inside the hash gate: a lossy save, a
+    misparsed line, or a reordered merge breaks total_tokens."""
+    import tempfile
+
+    from rdkafka_streams_spark.llm.text import (
+        byte_bpe_encode_counts,
+        learn_byte_bpe,
+        load_bpe_artifact,
+        save_bpe_artifact,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = byte_bpe_encode_counts(docs, n_merges=8)
+    art = tempfile.mkdtemp(prefix="bpe_artifact_")
+    save_bpe_artifact(learn_byte_bpe(docs, n_merges=8), art)
+    rules, _vocab = load_bpe_artifact(art)
+    per_doc = byte_bpe_encode_counts(docs, rules=rules)
     return (
         per_doc.join(docs.select("doc_id", "source"), "doc_id")
         .groupBy("source")
@@ -3710,3 +3726,256 @@ def q315_ivfpq_residual_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse_iters=_KM_N_ITERS, m=_PQ_M, n_codes=_PQ_K,
         pq_iters=_PQ_ITERS,
     )
+
+
+def _ivfpq_refine_oracle(
+    k: int = 5, refine_r: int = 20, nprobe: int = 2, q_mod: int = 50
+) -> str:
+    """q315's full by-residual chain as a derived table at top
+    ``refine_r``, re-scored by EXACT integer L2 on the raw vectors
+    (re-quantized from the base table — deterministic, so the outer
+    query needs none of the inner CTEs) and cut to the exact top-k."""
+    adc = _ivfpq_residual_oracle(k=refine_r, nprobe=nprobe, q_mod=q_mod)
+    d = _L2_TPL.format(
+        a=_QZ_TPL.format(v="v.embedding"),
+        b=_QZ_TPL.format(v="w.embedding"),
+    )
+    return f"""SELECT q_id, vec_id, edist FROM (
+  SELECT t.q_id, t.vec_id, CAST({d} AS BIGINT) AS edist,
+         ROW_NUMBER() OVER (PARTITION BY t.q_id
+                            ORDER BY CAST({d} AS BIGINT) ASC,
+                                     t.vec_id ASC) AS rn
+  FROM ({adc}) t
+  JOIN embeddings v ON v.vec_id = t.vec_id
+  JOIN embeddings w ON w.vec_id = t.q_id)
+WHERE rn <= {k}
+"""
+
+
+# ------------------------------------------------------------------------ L3
+@query("q316_ivfpq_refine_search", oracle=_ivfpq_refine_oracle(),
+       tags=("L3",))
+def q316_ivfpq_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ + EXACT RE-RANK (llm/similarity.py
+    ivfpq_refine_search_integer) — the IndexRefineFlat serve shape and
+    the last rung of the production ANN ladder: the q315 by-residual
+    index returns its ADC top-20 per query, those 20 rows are re-scored
+    by exact integer L2 against the raw vectors, and the exact top-5
+    wins. ADC rank carries quantization error (the candidate is
+    reconstructed from m codebook entries); the refine stage removes it
+    for refine_r/k = 4× the serve cost — how FAISS deployments actually
+    answer queries. The survivors are broadcast-sized by construction
+    (nq × 20), so the re-rank is two broadcast joins + one query-keyed
+    window: +1 exchange over q315. Ladder: q304 train → q305 IVF →
+    q307/q308 PQ → q312 composed → q315 residual → q316 refined."""
+    from rdkafka_streams_spark.llm.similarity import (
+        ivfpq_refine_search_integer,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    return ivfpq_refine_search_integer(
+        emb, queries, k=5, refine_r=20, nprobe=2, n_cells=_KM_K,
+        coarse_iters=_KM_N_ITERS, m=_PQ_M, n_codes=_PQ_K,
+        pq_iters=_PQ_ITERS,
+    )
+
+
+def _multimodal_curation_oracle(dup_mod: int = 20, total: int = 50) -> str:
+    """The image-text-pair funnel as one WITH chain: the fingerprint CTE
+    recomputes (px_sum, px_wsum) from the closed-form fixture formula
+    over a bounded pixel lattice (q311's range-join pattern — w ≤ 16,
+    h ≤ 14), then pixel dedup / dims filter / caption quality / the
+    q100-shape temperature mixture chain over the survivors."""
+    return f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % {dup_mod} AS BIGINT) AS key, source, text,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'image/bmp'
+           WHEN 1 THEN 'image/x-portable-pixmap'
+           ELSE 'image/png' END AS mt
+  FROM documents),
+d AS (SELECT p.*, CAST(8 + key % 9 AS INT) AS w, CAST(8 + key % 7 AS INT) AS h
+      FROM p),
+fp AS MATERIALIZED (
+  SELECT doc_id, mt, source, text, w, h,
+         CAST(SUM((key*7 + x.i*3 + y.i*5 + c.i*11) % 256) AS BIGINT)
+           AS px_sum,
+         CAST(SUM(((y.i * w + x.i) * 3 + c.i + 1)
+                  * ((key*7 + x.i*3 + y.i*5 + c.i*11) % 256)) AS BIGINT)
+           AS px_wsum
+  FROM d, range(17) x(i), range(15) y(i), range(3) c(i)
+  WHERE x.i < w AND y.i < h
+  GROUP BY doc_id, mt, source, text, w, h),
+m2 AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY w, h, px_sum, px_wsum
+                                 ORDER BY doc_id) AS rn
+    FROM fp) WHERE rn = 1),
+m3 AS (SELECT * FROM m2 WHERE w >= 10 AND h >= 9),
+m4 AS MATERIALIZED (
+  SELECT * FROM m3 WHERE len(string_split(text, ' ')) >= 20),
+c5 AS (SELECT source, COUNT(*) AS n_grp FROM m4 GROUP BY source),
+q5 AS (SELECT source, CAST(floor(pow(n_grp, 0.5) * 1000000 + 0.5) AS BIGINT) AS m
+       FROM c5),
+t5 AS (SELECT CAST(SUM(m) AS BIGINT) AS tm FROM q5),
+k5 AS (SELECT source, CAST({total} * m // tm AS BIGINT) AS k_target
+       FROM q5 CROSS JOIN t5),
+r5 AS (SELECT doc_id, source,
+              ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       FROM m4),
+m5 AS (SELECT m4.* FROM m4
+       JOIN (SELECT r5.doc_id FROM r5 JOIN k5 USING (source)
+             WHERE r5.rn <= k5.k_target) s USING (doc_id))
+SELECT stage, stage_name, n_pairs, n_px FROM (
+  SELECT 0 AS stage, 'decoded' AS stage_name, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(SUM(w * h), 0) AS BIGINT) AS n_px FROM fp
+  UNION ALL SELECT 1, 'pixel_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(w * h), 0) AS BIGINT) FROM m2
+  UNION ALL SELECT 2, 'dims_filter', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(w * h), 0) AS BIGINT) FROM m3
+  UNION ALL SELECT 3, 'caption_quality', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(w * h), 0) AS BIGINT) FROM m4
+  UNION ALL SELECT 4, 'source_mixture', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(w * h), 0) AS BIGINT) FROM m5)
+"""
+
+
+# --------------------------------------------------------------- L5/L1
+@query(
+    "q317_multimodal_curation",
+    oracle=_multimodal_curation_oracle(),
+    tags=("L5", "L1"),
+)
+def q317_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTIMODAL CURATION CAPSTONE (LAION shape) — q310's twin for
+    image-text pairs, composing the real stdlib decoders with the dedup
+    and filter stages end to end, emitting the per-stage funnel:
+
+      0 decoded (real BMP/PPM/PNG decode + content fingerprint) → 1
+      pixel dedup — exact dedup on the DECODED raster (min doc_id per
+      (w, h, px_sum, px_wsum)): a BMP and a PNG of the same pixels
+      dedup TOGETHER, which byte-level dedup cannot do (the fixture
+      generator plants cross-container duplicates by construction:
+      raster keys on doc_id % 20, container on doc_id % 3) → 2
+      dims/aspect filter (w ≥ 10, h ≥ 9, the LAION size floor) → 3
+      caption quality (≥ 20 words) → 4 per-source temperature mixture
+      (quota ∝ n^0.5, total = 50, q100's exact-integer rule).
+
+    Scale posture: generate → decode → fingerprint is one chained
+    mapInPandas over the scan (zero shuffle — decode parallelism ==
+    scan parallelism; only the 4-long fingerprint and caption leave the
+    Python worker, never rasters); the fingerprint frame persists once
+    (one row per pair) and every stage derives from it — decode runs
+    ONCE regardless of funnel depth; dedup is one window on the
+    fingerprint key; the mixture is q100's broadcast-quota shape. The
+    oracle recomputes the fingerprints from the closed-form fixture
+    formula over a bounded pixel lattice and chains the same stage
+    CTEs, so the funnel is value-hash-checked end to end. Returned
+    frame: 5 rows of driver metadata."""
+    from rdkafka_streams_spark.llm.multimodal import (
+        decode_fingerprint_stdlib,
+        generate_image_caption_pairs,
+    )
+    from rdkafka_streams_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = decode_fingerprint_stdlib(
+        generate_image_caption_pairs(docs, dup_mod=20)
+    ).persist()
+    try:
+        wd = Window.partitionBy(
+            "width", "height", "px_sum", "px_wsum"
+        ).orderBy("doc_id")
+        m2 = (
+            fp.withColumn("__rn", F.row_number().over(wd))
+            .where("__rn = 1").drop("__rn")
+        )
+        m3 = m2.where((F.col("width") >= 10) & (F.col("height") >= 9))
+        m4 = m3.where(
+            F.size(F.split(F.col("caption"), " ")) >= 20
+        )
+        samp = temperature_sample(
+            m4, group_col="source", id_col="doc_id", total=50, tau=0.5
+        ).select("doc_id")
+        m5 = m4.join(samp, "doc_id")
+        rows = []
+        for stage, name, df in (
+            (0, "decoded", fp), (1, "pixel_dedup", m2),
+            (2, "dims_filter", m3), (3, "caption_quality", m4),
+            (4, "source_mixture", m5),
+        ):
+            r = df.agg(
+                F.count("*").cast("bigint"),
+                F.coalesce(
+                    F.sum(F.col("width").cast("bigint") * F.col("height")),
+                    F.lit(0),
+                ).cast("bigint"),
+            ).first()
+            rows.append((stage, name, int(r[0]), int(r[1])))
+    finally:
+        fp.unpersist()
+    return spark.createDataFrame(
+        rows, "stage int, stage_name string, n_pairs bigint, n_px bigint"
+    )
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q318_bigram_lm_incremental",
+    oracle="""
+WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+           FROM documents WHERE doc_id % 2 = 0),
+inc AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+        FROM documents WHERE doc_id % 2 = 1),
+tb AS MATERIALIZED (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT string_split(text, ' ') AS t FROM b),
+       unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+cbg AS (SELECT w1, w2, COUNT(*) AS c_bg FROM tb GROUP BY w1, w2),
+cctx AS (SELECT w1, COUNT(*) AS c_ctx FROM tb GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM b)
+      WHERE tok <> ''),
+di AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM inc),
+            unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+nl AS (SELECT d.doc_id,
+              CAST(floor(-ln((COALESCE(c.c_bg, 0) + 1)
+                             / (COALESCE(x.c_ctx, 0) + v.v * 1.0))
+                         * 1000000 + 0.5) AS BIGINT) AS nll
+       FROM di d
+       LEFT JOIN cbg c ON d.w1 = c.w1 AND d.w2 = c.w2
+       LEFT JOIN cctx x ON d.w1 = x.w1
+       CROSS JOIN v)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(floor(CAST(SUM(nll) AS BIGINT) * 1.0 / COUNT(*) + 0.5)
+            AS BIGINT) AS score_micro
+FROM nl GROUP BY doc_id
+""",
+    tags=("L4",),
+)
+def q318_bigram_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAVED-LM perplexity scoring — the daily-ingest posture of q310's
+    CCNet stage (llm/text.py bigram_lm_index /
+    bigram_lm_score_with_index): the bigram LM trains ONCE on the
+    standing half of the corpus (doc_id % 2 = 0) and every increment doc
+    (doc_id % 2 = 1) is scored against the SAVED counts — bigrams the LM
+    never saw price at 1/V via LEFT-join + coalesce (the self-trained
+    scorer's inner join would silently drop exactly the novel text an
+    increment filter exists to price). Integer micro-nat NLLs, exact
+    floor-mean — the whole train-once/score-everywhere contract in one
+    hash gate. Scale: count joins on high-cardinality bigram keys, vocab
+    broadcasts, increments never touch the base corpus at score time."""
+    from rdkafka_streams_spark.llm.text import (
+        bigram_lm_index,
+        bigram_lm_score_with_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.expr("doc_id % 2 = 0"))
+    inc = docs.where(F.expr("doc_id % 2 = 1"))
+    cbg, cctx, vocab = bigram_lm_index(base)
+    return bigram_lm_score_with_index(inc, cbg, cctx, vocab)

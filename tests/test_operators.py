@@ -1269,3 +1269,190 @@ def test_byte_bpe_target_vocab_size(spark):
     assert rules.count() == 3  # 259 - 256
     with _pytest.raises(ValueError, match="base alphabet"):
         learn_byte_bpe(docs, target_vocab_size=256)
+
+
+def test_bpe_artifact_roundtrip(spark, tmp_path):
+    """The merges.txt contract (llm/text.py save/load_bpe_artifact):
+    train → save → load → encode must equal the in-session
+    train-and-encode BYTE-EQUAL on both the merge table and every
+    document's token count; a truncated/garbled artifact fails at load,
+    not as silently wrong counts downstream."""
+    import pytest
+
+    from rdkafka_streams_spark.llm.text import (
+        byte_bpe_encode_counts,
+        learn_byte_bpe,
+        load_bpe_artifact,
+        save_bpe_artifact,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog, the dog! a cat"),
+         (3, "hello world the catcat"), (4, "résumé naïve — déjà vu")],
+        "doc_id long, text string",
+    )
+    rules_df = learn_byte_bpe(docs, n_merges=10)
+    trained = [(r["step"], r["left"], r["right"], r["merged"])
+               for r in rules_df.orderBy("step").collect()]
+    art = str(tmp_path / "bpe")
+    save_bpe_artifact(rules_df, art)
+    loaded, vocab = load_bpe_artifact(art)
+    assert [(r["step"], r["left"], r["right"], r["merged"])
+            for r in loaded] == trained
+    # vocab ids: 256 base byte symbols then one per merge, in order
+    assert vocab["00"] == 0 and vocab["FF"] == 255
+    assert [vocab[r["merged"]] for r in loaded] == list(
+        range(256, 256 + len(loaded))
+    )
+    a = byte_bpe_encode_counts(docs, n_merges=10).orderBy("doc_id").collect()
+    b = byte_bpe_encode_counts(docs, rules=loaded).orderBy("doc_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # a hand-truncated merges.txt (dropped line ⇒ later ids shift) fails loudly
+    mt = art + "/merges.txt"
+    lines = open(mt, encoding="utf-8").read().splitlines()
+    open(mt, "w", encoding="utf-8").write("\n".join(lines[:1] + lines[2:]))
+    with pytest.raises(ValueError, match="artifact mismatch"):
+        load_bpe_artifact(art)
+
+
+def test_ivfpq_refine_recall_and_exactness(spark, sf_dir):
+    """IndexRefineFlat contract (llm/similarity.py
+    ivfpq_refine_search_integer): (a) the refined top-k equals the EXACT
+    integer-L2 ranking restricted to the ADC stage's top-R candidate set
+    — the refine stage removes quantization error entirely within the
+    candidates; (b) refined recall@k vs exhaustive exact search is >= raw
+    ADC top-k recall (never worse, the point of paying refine_r/k)."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.similarity import (
+        _int_l2,
+        ivfpq_refine_search_integer,
+        ivfpq_residual_search_integer,
+        quantize_global,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    kw = dict(nprobe=2, n_cells=4, coarse_iters=2, m=4, n_codes=4,
+              pq_iters=2)
+    adc = ivfpq_residual_search_integer(emb, queries, k=3, **kw)
+    cand = ivfpq_residual_search_integer(emb, queries, k=12, **kw)
+    ref = ivfpq_refine_search_integer(emb, queries, k=3, refine_r=12, **kw)
+
+    # exact integer L2 over all pairs (tiny here), excluding self
+    qv = emb.select("vec_id", quantize_global("embedding").alias("__v"))
+    qs = queries.select(
+        F.col("vec_id").alias("q_id"),
+        quantize_global("embedding").alias("__qv"),
+    )
+    allp = (
+        qv.crossJoin(qs).where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _int_l2("__v", "__qv").alias("d"))
+    )
+    exact = {}
+    for r in allp.collect():
+        exact.setdefault(r["q_id"], []).append((r["d"], r["vec_id"]))
+    exact_top = {q: {v for _, v in sorted(ds)[:3]} for q, ds in exact.items()}
+    dmap = {(r["q_id"], r["vec_id"]): r["d"] for r in allp.collect()}
+
+    # (a) refined == exact ranking over the candidate set, distances too
+    cand_rows = cand.collect()
+    want = {}
+    for r in cand_rows:
+        want.setdefault(r["q_id"], []).append(
+            (dmap[(r["q_id"], r["vec_id"])], r["vec_id"])
+        )
+    want = {
+        q: [(v, d) for d, v in sorted(pairs)[:3]]
+        for q, pairs in want.items()
+    }
+    got = {}
+    for r in ref.orderBy("q_id", "edist", "vec_id").collect():
+        got.setdefault(r["q_id"], []).append((r["vec_id"], r["edist"]))
+    assert got == want, f"refine != exact-over-candidates: {got} vs {want}"
+
+    # (b) recall never drops
+    def rec(df):
+        hits = tot = 0
+        byq = {}
+        for r in df.collect():
+            byq.setdefault(r["q_id"], set()).add(r["vec_id"])
+        for q, t in exact_top.items():
+            hits += len(byq.get(q, set()) & t)
+            tot += len(t)
+        return hits / tot
+
+    assert rec(ref) >= rec(adc), (rec(ref), rec(adc))
+
+
+def test_pq_requantize_respects_scale(spark):
+    """Regression (advisor r12): ``_pq_code_cols``/``_pq_dt_cols`` with
+    requantize=True must quantize at the CALLER'S scale — codes and
+    tables from the float-input requantize path at scale S must equal
+    the pre-quantized path (quantize_global(·, S) then requantize=False)
+    element-for-element. Pre-fix, requantize hardcoded 1000, so any
+    trained scale != 1000 silently mis-encoded every residual."""
+    from rdkafka_streams_spark.llm.similarity import (
+        _pq_block_slice,
+        _pq_code_cols,
+        _pq_dt_cols,
+        kmeans_integer,
+        quantize_global,
+    )
+
+    scale, m, sub = 500, 2, 2
+    rows = [
+        (i, [((i * 7 + j * 3) % 11 - 5) / 4.0 for j in range(m * sub)])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, r array<double>")
+    blocks = []
+    for j in range(m):
+        blk = df.select(
+            "vec_id", _pq_block_slice("r", j, sub).alias("r")
+        )
+        _, cents = kmeans_integer(
+            blk, k=3, n_iters=2, scale=scale, id_col="vec_id", vec_col="r"
+        )
+        blocks.append(cents)
+    a = df.select(
+        "vec_id",
+        *_pq_code_cols("r", blocks, sub, requantize=True, scale=scale),
+        *_pq_dt_cols("r", blocks, sub, requantize=True, scale=scale),
+    ).orderBy("vec_id").collect()
+    pre = df.select("vec_id", quantize_global("r", scale).alias("__q"))
+    b = pre.select(
+        "vec_id",
+        *_pq_code_cols("__q", blocks, sub),
+        *_pq_dt_cols("__q", blocks, sub),
+    ).orderBy("vec_id").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_media_decode_error_gates():
+    """Truncated/invalid containers fail with a clear decode error, not
+    silently wrong aggregates or an opaque IndexError (advisor r12):
+    a WAV with no data chunk and a Y4M whose last frame is cut short."""
+    import pytest
+
+    from rdkafka_streams_spark.llm.multimodal import (
+        _decode_wav,
+        _decode_y4m,
+        _encode_wav,
+        _encode_y4m,
+    )
+
+    wav = _encode_wav(8000, [1, -2, 3])
+    # keep RIFF header + fmt chunk only (data chunk is the last 8+6 bytes)
+    with pytest.raises(ValueError, match="missing data chunk"):
+        _decode_wav(wav[: wav.index(b"data")])
+    ok = _decode_wav(wav)
+    assert ok[3] == [1, -2, 3]
+
+    y = bytes(range(16)) * 3  # 8x6 luma
+    u = bytes([7]) * 12
+    v = bytes([9]) * 12
+    clip = _encode_y4m(8, 6, [(y, u, v), (y, u, v)])
+    with pytest.raises(ValueError, match="truncated y4m"):
+        _decode_y4m(clip[:-5])
+    w, h, frames = _decode_y4m(clip)
+    assert (w, h, len(frames)) == (8, 6, 2)

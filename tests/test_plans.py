@@ -414,6 +414,14 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # by-residual IVFPQ: same shape — the residual step is a
         # broadcast join against the k-row centroid table (no shuffle)
         "q315_ivfpq_residual_search": 2,
+        # refine: q315's ADC stage (2) + the exact re-rank — candidates
+        # and queries broadcast against the corpus scan (no shuffle),
+        # one added per-query top-k window over nq × refine_r rows
+        "q316_ivfpq_refine_search": 3,
+        # multimodal capstone: stage computation is eager (persisted
+        # fingerprint frame, funnel collected per stage); the returned
+        # frame is 5 rows of driver metadata
+        "q317_multimodal_curation": 0,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
