@@ -3290,14 +3290,27 @@ def q310_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.withColumn("__rn", F.row_number().over(w2))
         .where("__rn = 1").drop("__rn")
     )
-    frames = [(0, "raw", s0), (1, "normalize", s1), (2, "exact_dedup", s2)]
-    persisted = [s2.persist()]
+    # Stage frames are LOCAL-CHECKPOINTED, not merely persisted: each
+    # stage both caches its rows AND truncates its logical plan to a
+    # leaf. With persist alone the funnel lattice still nests every
+    # upstream stage's plan (minhash caches, excise rebuilds, the rank's
+    # range exchange), and by stage 6 Catalyst re-analysis of the
+    # accumulated tree dominated the wall — measured at sf0.1: mixture +
+    # funnel aggregation burned ~2 min of driver time over ~6 s of
+    # executor work (the same blow-up class _checkpoint_step fixed for
+    # the BPE merge loop). Checkpoint blocks are freed by the
+    # snapshot-diff unpersist below, same as every other cache this
+    # call pins.
+    frames = [(0, "raw", s0), (1, "normalize", s1)]
     try:
+        s2 = s2.localCheckpoint(eager=True)
+        frames.append((2, "exact_dedup", s2))
         dropped = minhash_near_dups(s2, threshold=0.5).select(
             F.col("id2").alias("doc_id")
         ).distinct()
-        s3 = s2.join(dropped, "doc_id", "left_anti").persist()
-        persisted.append(s3)
+        s3 = s2.join(dropped, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
         frames.append((3, "near_dedup", s3))
 
         ex = exact_substring_excise(s3, n=8)
@@ -3309,16 +3322,14 @@ def q310_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("clean_text").alias("text"),
                 (F.col("n_tokens") - F.col("n_removed")).alias("n_tokens"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        persisted.append(s4)
         frames.append((4, "exactsubstr_excise", s4))
 
         keep5 = repetition_stats(s4, n=2).where(
             ~F.col("is_repetitive")
         ).select("doc_id")
-        s5 = s4.join(keep5, "doc_id").persist()
-        persisted.append(s5)
+        s5 = s4.join(keep5, "doc_id").localCheckpoint(eager=True)
         frames.append((5, "repetition_filter", s5))
 
         # CCNet terciles (q211's shape): bigram LM on the surviving
@@ -3369,8 +3380,7 @@ def q310_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") * 3 <= 2 * F.col("n"))
             .select("doc_id")
         )
-        s6 = s5.join(keep6, "doc_id").persist()
-        persisted.append(s6)
+        s6 = s5.join(keep6, "doc_id").localCheckpoint(eager=True)
         frames.append((6, "ppl_head_middle", s6))
 
         samp = temperature_sample(
@@ -3387,8 +3397,6 @@ def q310_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).first()
             rows.append((stage, name, int(r[0]), int(r[1])))
     finally:
-        for df in persisted:
-            df.unpersist()
         # stage operators persist internal state (minhash signatures are
         # caller-owned by contract) — the funnel has fully materialized,
         # so free EVERYTHING this call pinned, not just the stage frames

@@ -1456,3 +1456,41 @@ def test_media_decode_error_gates():
         _decode_y4m(clip[:-5])
     w, h, frames = _decode_y4m(clip)
     assert (w, h, len(frames)) == (8, 6, 2)
+
+
+def test_bigram_lm_index_scorer_matches_self_trained(spark, sf_dir):
+    """On the training corpus itself every bigram is in the saved counts,
+    so ``bigram_lm_score_with_index(docs, *bigram_lm_index(docs))`` must
+    equal ``bigram_lm_scores(docs)`` bit for bit (the LEFT joins
+    degenerate to inner, the micro-nat snapping is shared) — pinning
+    that the saved-LM path introduces no formula drift. Also pins the
+    novel-bigram price: a doc of tokens the LM never saw scores exactly
+    n·floor(ln(V)·1e6 + 0.5)/n (every bigram at 1/V)."""
+    import math
+
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.text import (
+        bigram_lm_index,
+        bigram_lm_score_with_index,
+        bigram_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    idx = bigram_lm_index(docs)
+    a = {
+        r["doc_id"]: (r["n_bigrams"], r["score_micro"])
+        for r in bigram_lm_score_with_index(docs, *idx).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_bigrams"], int(round(r["xent"] * 1_000_000)))
+        for r in bigram_lm_scores(docs).collect()
+    }
+    assert a == b
+
+    novel = spark.createDataFrame(
+        [(1, "zzq yyx wwv uuk ttj")], "doc_id bigint, text string"
+    )
+    got = bigram_lm_score_with_index(novel, *idx).first()
+    v = int(idx[2].first()["v"])
+    assert got["n_bigrams"] == 4
+    assert got["score_micro"] == math.floor(math.log(v) * 1_000_000 + 0.5)

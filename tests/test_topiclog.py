@@ -3963,3 +3963,236 @@ def test_incremental_dedup_drill_over_transport(spark, tmp_path):
     # the drill audits clean end to end
     rep = log.verify_log("ingest") | log.verify_log("clean")
     assert all(v["issues"] == [] for v in rep.values()), rep
+
+def test_incremental_curation_funnel_over_transport(spark, tmp_path):
+    """r12 drill — the r11 dedup drill extended into the FULL q310 funnel
+    in daily-ingest posture: every stage's standing state is built ONCE
+    from the base corpus and SAVED (minhash index, ExactSubstr anchor
+    index, bigram-LM counts via ``bigram_lm_index``, and the calibrated
+    perplexity cutoff — the most-perplexing BASE doc's score, i.e. keep
+    increments that score within the base corpus's observed range). An
+    increment arrives on an ingest topic, runs near-dedup → span
+    excision → repetition filter → saved-LM perplexity cut → temperature
+    mixture with the base corpus NEVER rescanned, and the survivors land
+    on a clean topic with the per-stage funnel published to a funnel
+    topic. Each increment doc exercises exactly one stage."""
+    from rdkafka_streams_spark.llm.dedup import (
+        exact_substring_anchor_index,
+        exact_substring_spans_incremental,
+        minhash_index,
+        minhash_near_dups_incremental,
+    )
+    from rdkafka_streams_spark.llm.text import (
+        bigram_lm_index,
+        bigram_lm_score_with_index,
+        repetition_stats,
+    )
+    from rdkafka_streams_spark.operators.sampling import temperature_sample
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = str(tmp_path / "log")
+    ix = str(tmp_path / "ix")
+    # rich repeated-bigram base (the LM must price in-domain increments
+    # LOW) with per-doc vocabularies wide enough that a 10-token
+    # increment reusing base words still has token-set Jaccard < 0.8
+    # against every single base doc (the near-dup estimator is
+    # token-set MinHash)
+    base = spark.createDataFrame(
+        [
+            (1, "the quick brown fox ran across the wide field in the "
+                "morning light", "web"),
+            (2, "the lazy dog sat on the warm mat in the morning light",
+             "web"),
+            (3, "the quick brown fox sat on the warm mat and ran across "
+                "the wide field", "web"),
+            (4, "one two three four five six seven eight nine ten eleven "
+                "twelve", "books"),
+            (5, "the lazy dog ran across the wide field and the quick "
+                "brown fox slept", "web"),
+            (6, "alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu", "books"),
+            (7, "a small cat sat on the warm mat in the morning light "
+                "yesterday", "books"),
+            (8, "the quick brown fox slept in the morning light near the "
+                "oak tree", "books"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+
+    # ---- index-build day: EVERY stage's standing state computed once, SAVED
+    # 32-hash signatures: at n_hashes=8 the estimator's 1/8 granularity
+    # lets a J~0.5 in-domain doc cross 0.8 by md5 luck; 32 hashes put
+    # that tail below 1e-4 while the index stays 4 longs per band
+    sig, buckets = minhash_index(base, n_hashes=32, n_bands=8)
+    sig.write.parquet(f"{ix}/sig")
+    buckets.write.parquet(f"{ix}/buckets")
+    exact_substring_anchor_index(base, n=8).write.parquet(f"{ix}/anchors")
+    cbg, cctx, vocab = bigram_lm_index(base)
+    cbg.write.parquet(f"{ix}/lm_cbg")
+    cctx.write.parquet(f"{ix}/lm_cctx")
+    vocab.write.parquet(f"{ix}/lm_vocab")
+    cutoff = int(
+        bigram_lm_score_with_index(base, cbg, cctx, vocab)
+        .agg(F.max("score_micro")).first()[0]
+    )
+    spark.createDataFrame([(cutoff,)], "cutoff bigint").write.parquet(
+        f"{ix}/lm_cutoff"
+    )
+
+    # ---- ingest day
+    uniq = " ".join(f"u{i}" for i in range(24))
+    delta_rows = [
+        # 201: identical to base doc 1 -> near-dup drop (stage 1)
+        (201, "the quick brown fox ran across the wide field in the "
+              "morning light", "web"),
+        # 202: embeds base doc 4's 8-token prefix window -> span excised
+        # (stage 2); its unique tail is then all-unseen bigrams, so the
+        # perplexity cut prices it OOD (stage 4) — both by design
+        (202, f"p1 p2 one two three four five six seven eight {uniq}",
+         "web"),
+        # 203: >10% duplicate bigrams -> repetition drop (stage 3)
+        (203, "spam ham spam ham spam ham spam ham spam ham", "web"),
+        # 204: token soup the base LM never saw -> perplexity drop (stage 4)
+        (204, "zx qv wq jk pl mn bv cx dz fw", "web"),
+        # 205/206: in-domain fresh docs — novel PHRASE COMBINATIONS of
+        # heavily repeated base phrases, so bigram counts are high (low
+        # perplexity) while no single base doc shares enough of the
+        # token set to near-dup -> survive to the mixture
+        # ("sat in" / "quietly" / "mat near" break every 8-token window
+        # that a verbatim phrase run would otherwise share with base)
+        (205, "the lazy dog sat in the morning light and ran across the "
+              "wide field", "web"),
+        (206, "the quick brown fox quietly sat on the warm mat near the "
+              "oak tree", "books"),
+    ]
+    log = TopicLog(root)
+    for t in ("ingest", "clean", "funnel"):
+        log.create_topic(t, partitions=1)
+    inc = spark.createDataFrame(
+        delta_rows, "doc_id bigint, text string, source string"
+    )
+    KProducer(
+        host=root, topic="ingest", key="doc_id", transport="topiclog"
+    ).write_batch(inc)
+    delta = (
+        read_topic(spark, root, "ingest")
+        .select(F.from_json(
+            F.col("value").cast("string"),
+            "doc_id bigint, text string, source string",
+        ).alias("v"))
+        .select("v.doc_id", "v.text", "v.source")
+    )
+
+    funnel = [("ingest", delta.count())]
+
+    # ---- stage 1: near-dedup against the SAVED minhash index
+    saved = (
+        spark.read.parquet(f"{ix}/sig"),
+        spark.read.parquet(f"{ix}/buckets"),
+    )
+    near = minhash_near_dups_incremental(None, delta, threshold=0.8,
+                                         n_hashes=32, n_bands=8,
+                                         index=saved)
+    drop = [int(r["delta_id"])
+            for r in near.select("delta_id").distinct().collect()]
+    assert drop == [201], drop
+    s1 = delta.where(~F.col("doc_id").isin(drop))
+    funnel.append(("near_dedup", s1.count()))
+
+    # ---- stage 2: ExactSubstr excision against the SAVED anchor index
+    anchors = spark.read.parquet(f"{ix}/anchors")
+    spans = exact_substring_spans_incremental(None, s1, n=8, index=anchors)
+    assert {(r["doc_id"], r["span_start"], r["span_end"])
+            for r in spans.collect()} == {(202, 3, 10)}
+    cov = spans.select(
+        "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("j")
+    )
+    toks = s1.select(
+        "doc_id", "source",
+        F.posexplode(F.split("text", " ")).alias("j0", "tok"),
+    ).select("doc_id", "source", (F.col("j0") + 1).alias("j"), "tok")
+    s2 = (
+        toks.join(cov, ["doc_id", "j"], "left_anti")
+        .groupBy("doc_id", "source")
+        .agg(F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "tok"))),
+            lambda x: x["tok"],
+        )).alias("text"))
+    )
+    # the excision is byte-exact: duplicated window cut, unique tail kept
+    assert {r["text"] for r in s2.where("doc_id = 202").collect()} == {
+        f"p1 p2 {uniq}"
+    }
+    funnel.append(("exactsubstr_excise", s2.count()))
+
+    # ---- stage 3: repetition filter (stateless — no standing state)
+    keep3 = repetition_stats(s2, n=2).where(
+        ~F.col("is_repetitive")
+    ).select("doc_id")
+    s3 = s2.join(keep3, "doc_id")
+    assert 203 not in {r["doc_id"] for r in s3.collect()}
+    funnel.append(("repetition_filter", s3.count()))
+
+    # ---- stage 4: perplexity cut against the SAVED LM + SAVED cutoff
+    lm = (spark.read.parquet(f"{ix}/lm_cbg"),
+          spark.read.parquet(f"{ix}/lm_cctx"),
+          spark.read.parquet(f"{ix}/lm_vocab"))
+    scores = bigram_lm_score_with_index(s3, *lm)
+    cut = spark.read.parquet(f"{ix}/lm_cutoff")
+    keep4 = scores.crossJoin(F.broadcast(cut)).where(
+        F.col("score_micro") <= F.col("cutoff")
+    ).select("doc_id")
+    s4 = s3.join(keep4, "doc_id")
+    got4 = {r["doc_id"] for r in s4.collect()}
+    assert got4 == {205, 206}, (
+        got4, {r["doc_id"]: r["score_micro"] for r in scores.collect()},
+        cutoff,
+    )
+    funnel.append(("ppl_cut", s4.count()))
+
+    # ---- stage 5: temperature mixture over the surviving increment
+    samp = temperature_sample(
+        s4, group_col="source", id_col="doc_id", total=2, tau=0.5
+    ).select("doc_id")
+    s5 = s4.join(samp, "doc_id")
+    funnel.append(("temperature_mix", s5.count()))
+
+    # ---- publish: clean docs + the per-increment funnel
+    KProducer(
+        host=root, topic="clean", key="doc_id", transport="topiclog"
+    ).write_batch(s5.select("doc_id", "text", "source"))
+    fdf = spark.createDataFrame(
+        [(i, n, int(c)) for i, (n, c) in enumerate(funnel)],
+        "stage int, stage_name string, n_docs bigint",
+    )
+    KProducer(
+        host=root, topic="funnel", key="stage", transport="topiclog"
+    ).write_batch(fdf)
+
+    out = {
+        r["v"]["doc_id"]: r["v"]["text"]
+        for r in read_topic(spark, root, "clean")
+        .select(F.from_json(
+            F.col("value").cast("string"),
+            "doc_id bigint, text string, source string",
+        ).alias("v"))
+        .collect()
+    }
+    # one web + one books survivor (quota 1 each: 2 sources, equal mass)
+    assert set(out) == {205, 206}, out
+    got_funnel = {
+        r["v"]["stage_name"]: r["v"]["n_docs"]
+        for r in read_topic(spark, root, "funnel")
+        .select(F.from_json(
+            F.col("value").cast("string"),
+            "stage int, stage_name string, n_docs bigint",
+        ).alias("v"))
+        .collect()
+    }
+    assert got_funnel == {
+        "ingest": 6, "near_dedup": 5, "exactsubstr_excise": 5,
+        "repetition_filter": 4, "ppl_cut": 2, "temperature_mix": 2,
+    }, got_funnel
+    rep = (log.verify_log("ingest") | log.verify_log("clean")
+           | log.verify_log("funnel"))
+    assert all(v["issues"] == [] for v in rep.values()), rep
