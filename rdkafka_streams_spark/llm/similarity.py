@@ -1248,3 +1248,192 @@ def ivfpq_refine_search_integer(
         .where(F.col("__rn") <= k)
         .select("q_id", F.col(id_col), F.col("edist"))
     )
+
+
+def sq8_train_integer(
+    emb: DataFrame,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+) -> tuple[list[int], list[int]]:
+    """Train a FAISS-style 8-bit SCALAR quantizer (QT_8bit): per-dimension
+    [min, max] over the globally-quantized integer corpus — the third
+    production quantizer family beside IVF (cells) and PQ (subspace
+    codebooks); SQ keeps per-dimension resolution where PQ shares a
+    codebook across a block. Returns (vmin, vmax) as plain lists —
+    driver metadata (2·dim longs), the whole trained state.
+
+    Shape: ONE partially-aggregated scan (2·dim min/max agg columns,
+    map-side combine — never a dim explode, never a shuffle of the
+    corpus)."""
+    dim = emb.select(F.size(vec_col).alias("n")).first()["n"]
+    qv = quantize_global(vec_col, scale)
+    row = emb.select(qv.alias("__qv")).agg(
+        *[F.min(F.element_at("__qv", d + 1)).alias(f"lo{d}")
+          for d in range(dim)],
+        *[F.max(F.element_at("__qv", d + 1)).alias(f"hi{d}")
+          for d in range(dim)],
+    ).first()
+    return ([int(row[f"lo{d}"]) for d in range(dim)],
+            [int(row[f"hi{d}"]) for d in range(dim)])
+
+
+def sq8_search_integer(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    state: tuple[list[int], list[int]] | None = None,
+) -> DataFrame:
+    """Flat 8-bit scalar-quantized search (FAISS IndexScalarQuantizer),
+    oracle-exact: every vector is ENCODED to one byte code per dimension
+    — code_d = (q_d − vmin_d)·255 div (vmax_d − vmin_d), clamped — a
+    4–8× memory cut that keeps per-dimension resolution; queries stay
+    EXACT and the distance is ASYMMETRIC against the fixed-point
+    reconstruction recon_d = vmin_d·255 + code_d·(vmax_d − vmin_d)
+    (both sides pre-scaled ×255, so train, encode, reconstruct, and
+    search are ALL bigint — no float rounding anywhere, one SQL hash
+    gate). Completes the quantizer family: IVF cells (q305), PQ
+    codebooks (q308), by-residual IVFPQ (q315), refine (q316), SQ
+    (this).
+
+    Scale posture: the trained state is 2·dim longs riding as literals;
+    the corpus carries dim byte-range codes per row; queries broadcast
+    with their ×255 exact vectors; the only shuffle is the per-query
+    top-k window. Ties (sdist, id) ascending. Returns (q_id, id,
+    sdist). ``state`` accepts a SAVED (vmin, vmax) pair (the
+    ``sq8_train_integer`` output, e.g. loaded from JSON) — the
+    saved-index contract: train once, every search job loads the 2·dim
+    longs instead of rescanning the corpus."""
+    vmin, vmax = (
+        state if state is not None
+        else sq8_train_integer(emb, scale=scale, vec_col=vec_col)
+    )
+    lo = F.array(*[F.lit(v).cast("long") for v in vmin])
+    span = F.array(*[F.lit(hi - lo_).cast("long")
+                     for lo_, hi in zip(vmin, vmax)])
+    qv = quantize_global(vec_col, scale)
+    # codes: (q - lo)*255 div span, span 0 -> code 0 (constant dim)
+    codes = F.zip_with(
+        F.zip_with(qv, lo, lambda a, b: a - b),
+        span,
+        lambda d, s: F.when(s == 0, F.lit(0).cast("long"))
+        .otherwise(F.floor(d * 255 / s).cast("long")),
+    )
+    # fixed-point reconstruction, x255: lo*255 + code*span
+    recon = F.zip_with(
+        F.zip_with(codes, span, lambda c, s: c * s),
+        lo,
+        lambda cs, b: cs + b * 255,
+    )
+    corpus = emb.select(F.col(id_col), recon.alias("__rv"))
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.transform(qv, lambda x: x * 255).alias("__q255"),
+    )
+    pairs = corpus.join(F.broadcast(qs), F.col(id_col) != F.col("q_id"))
+    sdist = F.aggregate(
+        F.zip_with("__q255", "__rv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy("sdist", id_col)
+    return (
+        pairs.select("q_id", id_col, sdist.alias("sdist"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("q_id", F.col(id_col), F.col("sdist"))
+    )
+
+
+def ivfsq_search_integer(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_cells: int = 8,
+    coarse_iters: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    state: tuple[list[int], list[int]] | None = None,
+) -> DataFrame:
+    """IVF + 8-bit SCALAR quantization (FAISS IVFScalarQuantizer) — the
+    scale path of q320's flat SQ: the integer coarse quantizer PRUNES
+    to nprobe/n_cells of the corpus (``ivf_search_integer``'s
+    geometry), and the survivors rank by the ASYMMETRIC fixed-point SQ
+    distance (exact ×255 query vs byte-code reconstruction —
+    ``sq8_search_integer``'s metric). Corpus rows carry (cell id + dim
+    byte codes); the candidate fraction is nprobe/n_cells, so the
+    quadratic batch×corpus cost of the flat sweep becomes
+    batch × corpus/n_cells·nprobe — the same prune that makes IVFPQ
+    feasible at 100 TB, with SQ's per-dimension resolution instead of
+    PQ's shared block codebooks. All bigint; one SQL hash gate.
+
+    Scale posture: coarse centroids + the 2·dim SQ state are driver
+    metadata (literals); index-side assignment is a fresh map-side
+    argmin against the FINAL centroids (the index's contract — see
+    ``ivfpq_search_integer``); probes broadcast with the exact ×255
+    query vectors; one top-k window. Ties (sdist, id) ascending.
+    Returns (q_id, id, sdist)."""
+    _assigned, cents = kmeans_integer(
+        emb, k=n_cells, n_iters=coarse_iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    vmin, vmax = (
+        state if state is not None
+        else sq8_train_integer(emb, scale=scale, vec_col=vec_col)
+    )
+    lo = F.array(*[F.lit(v).cast("long") for v in vmin])
+    span = F.array(*[F.lit(hi - lo_).cast("long")
+                     for lo_, hi in zip(vmin, vmax)])
+    qv = quantize_global(vec_col, scale)
+    codes = F.zip_with(
+        F.zip_with(qv, lo, lambda a, b: a - b),
+        span,
+        lambda d, s: F.when(s == 0, F.lit(0).cast("long"))
+        .otherwise(F.floor(d * 255 / s).cast("long")),
+    )
+    recon = F.zip_with(
+        F.zip_with(codes, span, lambda c, s: c * s),
+        lo,
+        lambda cs, b: cs + b * 255,
+    )
+    corpus = emb.select(
+        F.col(id_col),
+        _argmin_cid(quantize_global(vec_col, scale), cents).alias("cid"),
+        recon.alias("__rv"),
+    )
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(cents, "cid int, qc array<bigint>")
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        quantize_global(vec_col, scale).alias("__q_qv"),
+    )
+    pw = Window.partitionBy("q_id").orderBy("__d", "cid")
+    probes = (
+        qs.crossJoin(F.broadcast(cdf))
+        .withColumn("__d", _int_l2("__q_qv", "qc"))
+        .withColumn("__rn", F.row_number().over(pw))
+        .where(F.col("__rn") <= nprobe)
+        .select(
+            "q_id", "cid",
+            F.transform("__q_qv", lambda x: x * 255).alias("__q255"),
+        )
+    )
+    cand = corpus.join(F.broadcast(probes), "cid").where(
+        F.col(id_col) != F.col("q_id")
+    )
+    sdist = F.aggregate(
+        F.zip_with("__q255", "__rv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("q_id").orderBy("sdist", id_col)
+    return (
+        cand.select("q_id", id_col, sdist.alias("sdist"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("q_id", F.col(id_col), F.col("sdist"))
+    )

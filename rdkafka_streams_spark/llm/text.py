@@ -1467,6 +1467,101 @@ def byte_bpe_encode_counts(
     )
 
 
+def byte_bpe_encode_ids(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "·",
+    pretoken_pattern: str = GPT2_PRETOKEN_PATTERN,
+    rules: list | None = None,
+    vocab: dict[str, int] | None = None,
+) -> DataFrame:
+    """Tokenizer ID EMISSION — the artifact's actual product: every
+    document becomes its token-ID sequence under the trained byte-BPE
+    (base hex-byte symbols at ids 0–255, minted symbols at 256+step−1 —
+    ``save_bpe_artifact``'s vocab.json rule), summarized per doc as
+    (n_tokens, first_id, last_id, ids_checksum) where ids_checksum =
+    Σ position·id over the 1-based GLOBAL token position — the weighting
+    makes the gate order-sensitive end to end (a transposed pre-token, a
+    mis-ordered merge, or an id off by one all shift the checksum).
+
+    Shape: the merge chain and the symbol→id mapping run once per
+    DISTINCT pre-token (the id map rides as a ~264-entry literal map —
+    driver metadata, no join); documents posexplode their pre-tokens,
+    join the type→ids table, and the per-doc id stream reassembles
+    inside ``array_sort`` + ``flatten`` (q300's rebuild idiom — no
+    per-doc window). ``rules``/``vocab`` accept a loaded artifact
+    (``load_bpe_artifact``) for the train-once/encode-everywhere
+    posture; omitted, they derive in-session."""
+    if rules is None:
+        rules = learn_byte_bpe(
+            docs, n_merges=n_merges, text_col=text_col, sep=sep,
+            pretoken_pattern=pretoken_pattern,
+        ).orderBy("step").collect()
+    rules = sorted(rules, key=lambda r: r["step"])
+    if vocab is None:
+        vocab = {format(i, "02X"): i for i in range(256)}
+        for i, r in enumerate(rules):
+            vocab[r["left"] + r["right"]] = 256 + i
+    seq = _apply_merge_rules(_hex_wrapped(F.col("t"), sep), rules, sep)
+    vmap = F.create_map(
+        *[F.lit(x) for kv in vocab.items() for x in kv]
+    )
+    types = (
+        docs.select(
+            F.explode(_pretoken_col(text_col, pretoken_pattern)).alias("t")
+        )
+        .where(F.col("t") != "")
+        .distinct()
+        .withColumn("__syms", _split_symbols(seq, sep))
+        .select(
+            "t",
+            F.transform(
+                "__syms", lambda s: F.element_at(vmap, s).cast("long")
+            ).alias("ids"),
+        )
+    )
+    stream = (
+        docs.select(
+            id_col,
+            F.posexplode(
+                _pretoken_col(text_col, pretoken_pattern)
+            ).alias("pos", "t"),
+        )
+        .where(F.col("t") != "")
+    )
+    doc_ids = (
+        stream.join(types, "t")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+                    lambda x: x["ids"],
+                )
+            ).alias("ids")
+        )
+    )
+    n = F.size("ids")
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("ids"),
+            F.sequence(F.lit(1), n),
+            lambda a, b: a * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return doc_ids.select(
+        id_col,
+        n.cast("bigint").alias("n_tokens"),
+        F.element_at("ids", 1).alias("first_id"),
+        F.element_at("ids", -1).alias("last_id"),
+        checksum.alias("ids_checksum"),
+    )
+
+
 def save_bpe_artifact(rules, path: str) -> None:
     """Persist a trained byte-BPE merge table as the two plain-text
     files every production tokenizer ships (the GPT-2/huggingface

@@ -110,3 +110,66 @@ def global_rank(
         .withColumn(rank_col, (off_col + F.col("__lrn")).cast("bigint"))
         .drop("__pid", "__lrn")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    cumsum_col: str = "cumsum",
+    num_partitions: int | None = None,
+    materialize: bool | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE global prefix sum of ``val_col`` by ``order_cols``
+    (must be a total order) — ``global_rank``'s pattern applied to a
+    value: a partition-less ``SUM() OVER (ORDER BY …)`` serializes the
+    whole table through ONE task, so instead the table range-partitions
+    on the order, per-partition sums (≤ #partitions rows — metadata)
+    collect once and come back as a literal pid→offset map, and each
+    partition adds its local running sum in parallel. Same eager-job
+    contract, same determinism guard, same fixed-seed RangePartitioner
+    agreement argument as ``global_rank`` (see its docstring).
+
+    The classic use is sequence packing: the cumulative token count over
+    a canonical doc order assigns every token a GLOBAL position, from
+    which fixed-size pretraining contexts are pure arithmetic."""
+    parts = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    with_pid = parts.withColumn("__pid", F.spark_partition_id())
+    if materialize is None:
+        materialize = not _plan_is_deterministic(df)
+    if materialize:
+        with_pid = with_pid.localCheckpoint(eager=True)
+
+    sums = sorted(
+        (r["__pid"], r["__s"])
+        for r in with_pid.groupBy("__pid")
+        .agg(F.coalesce(F.sum(val_col), F.lit(0)).alias("__s"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, s in sums:
+        offsets[pid] = acc
+        acc += int(s)
+    if offsets:
+        off_map = F.create_map(
+            *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+        )
+        off_col = F.coalesce(F.element_at(off_map, F.col("__pid")), F.lit(0))
+    else:
+        off_col = F.lit(0)
+
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        with_pid.withColumn("__ls", F.sum(val_col).over(local_w))
+        .withColumn(cumsum_col, (off_col + F.col("__ls")).cast("bigint"))
+        .drop("__pid", "__ls")
+    )

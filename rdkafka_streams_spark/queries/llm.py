@@ -3987,3 +3987,301 @@ def q318_bigram_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = docs.where(F.expr("doc_id % 2 = 1"))
     cbg, cctx, vocab = bigram_lm_index(base)
     return bigram_lm_score_with_index(inc, cbg, cctx, vocab)
+
+
+def _byte_bpe_encode_ids_oracle(n: int = 8) -> str:
+    """q298's unrolled chain extended to the ID level: a vocab CTE built
+    by vocab.json's rule (256 base hex-byte symbols + one minted symbol
+    per merge at 255+k), per-type symbol→id arrays, per-doc global token
+    positions via a (pre-token pos, within-type ordinal) row_number, and
+    the position-weighted checksum."""
+    base = _byte_bpe_encode_oracle(n)
+    head = base[: base.index(",\ntk AS ")]  # WITH w, it0..it{n} chain
+    pat = (
+        "''(?:s|t|re|ve|m|ll|d)"
+        r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    )
+    merged = "\nUNION ALL\n".join(
+        f"SELECT l || r AS sym, CAST({255 + k} AS BIGINT) AS id FROM m{k}"
+        for k in range(1, n + 1)
+    )
+    return head + f""",
+voc AS MATERIALIZED (
+  SELECT printf('%02X', i) AS sym, CAST(i AS BIGINT) AS id
+  FROM range(256) t(i)
+  UNION ALL
+  {merged}),
+tsy AS MATERIALIZED (
+  SELECT t, i AS j, syms[i] AS sym
+  FROM (SELECT t, string_split(
+               substring(seq, 2, length(seq) - 2), '··') AS syms
+        FROM it{n}),
+       unnest(generate_series(1, len(syms))) AS u(i)),
+tid AS MATERIALIZED (
+  SELECT tsy.t, tsy.j, voc.id FROM tsy JOIN voc USING (sym)),
+dp AS (
+  SELECT doc_id, i AS pos, toks[i] AS t
+  FROM (SELECT doc_id, regexp_extract_all(text, '{pat}') AS toks
+        FROM documents),
+       unnest(generate_series(1, len(toks))) AS u(i)
+  WHERE toks[i] <> ''),
+g AS (
+  SELECT doc_id, id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos, j) AS gp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS nt
+  FROM dp JOIN tid USING (t))
+SELECT doc_id, CAST(MAX(nt) AS BIGINT) AS n_tokens,
+       CAST(MAX(CASE WHEN gp = 1 THEN id END) AS BIGINT) AS first_id,
+       CAST(MAX(CASE WHEN gp = nt THEN id END) AS BIGINT) AS last_id,
+       CAST(SUM(gp * id) AS BIGINT) AS ids_checksum
+FROM g GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------------------------ L4
+@query("q319_byte_bpe_encode_ids", oracle=_byte_bpe_encode_ids_oracle(),
+       tags=("L4",))
+def q319_byte_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ID EMISSION through the SHIPPED ARTIFACT (llm/text.py
+    byte_bpe_encode_ids): train → save (merges.txt + vocab.json) → load
+    → encode every document to its token-ID sequence with the LOADED
+    rules and ids — the number stream a training pipeline actually
+    consumes, where q298 billed only counts. Per doc the gate pins
+    (n_tokens, first_id, last_id, Σ position·id): the position-weighted
+    checksum is order-sensitive end to end, so a transposed pre-token, a
+    reordered merge, or a vocab id off by one all break the hash. The
+    oracle rebuilds vocab.json's id rule in SQL (256 base byte symbols +
+    one minted id per unrolled merge CTE) and renumbers global token
+    positions the same way. Scale: merge chain + id mapping once per
+    DISTINCT pre-token; the id map is a ~264-literal map (driver
+    metadata); per-doc reassembly is the array_sort rebuild — no
+    per-doc window."""
+    import tempfile
+
+    from rdkafka_streams_spark.llm.text import (
+        byte_bpe_encode_ids,
+        learn_byte_bpe,
+        load_bpe_artifact,
+        save_bpe_artifact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    art = tempfile.mkdtemp(prefix="bpe_ids_artifact_")
+    save_bpe_artifact(learn_byte_bpe(docs, n_merges=8), art)
+    rules, vocab = load_bpe_artifact(art)
+    return byte_bpe_encode_ids(docs, rules=rules, vocab=vocab)
+
+
+def _sq8_oracle(k: int = 5, q_mod: int = 50) -> str:
+    """Per-dim [min,max] over the quantized corpus, byte encode,
+    fixed-point ×255 reconstruction, asymmetric integer L2, top-k."""
+    qz = _QZ_TPL.format(v="embedding")
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, {qz} AS qv FROM embeddings),
+mm AS MATERIALIZED (
+  SELECT d.i AS d, MIN(qv[d.i]) AS vmin, MAX(qv[d.i]) AS vmax
+  FROM q, range(1, {EMB_DIM + 1}) d(i) GROUP BY d.i),
+enc AS MATERIALIZED (
+  SELECT q.vec_id, mm.d,
+         CAST(mm.vmin * 255
+              + CASE WHEN mm.vmax = mm.vmin THEN 0
+                     ELSE ((qv[mm.d] - mm.vmin) * 255
+                           // (mm.vmax - mm.vmin)) END
+                * (mm.vmax - mm.vmin) AS BIGINT) AS rv
+  FROM q, mm),
+qs AS (SELECT vec_id AS q_id, qv FROM q
+       WHERE vec_id % {q_mod} = 0 AND vec_id < 2500),
+cand AS (
+  SELECT qs.q_id, e.vec_id,
+         CAST(SUM((qs.qv[e.d] * 255 - e.rv) * (qs.qv[e.d] * 255 - e.rv))
+              AS BIGINT) AS sdist
+  FROM qs JOIN enc e ON e.vec_id <> qs.q_id
+  GROUP BY qs.q_id, e.vec_id)
+SELECT q_id, vec_id, sdist FROM (
+  SELECT q_id, vec_id, sdist,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sdist ASC, vec_id ASC) AS rn
+  FROM cand) WHERE rn <= {k}
+"""
+
+
+# ------------------------------------------------------------------------ L3
+@query("q320_sq8_search", oracle=_sq8_oracle(), tags=("L3",))
+def q320_sq8_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-BIT SCALAR-QUANTIZED flat search (llm/similarity.py
+    sq8_search_integer) — FAISS's IndexScalarQuantizer (QT_8bit), the
+    third production quantizer family: per-DIMENSION [min, max] trained
+    in one partially-aggregated scan (2·dim agg columns, no explode, no
+    shuffle), each vector encoded to one byte-range code per dimension
+    (4–8× memory cut that keeps per-dim resolution where PQ shares a
+    block codebook), queries kept EXACT, distance ASYMMETRIC against
+    the fixed-point ×255 reconstruction — train, encode, reconstruct,
+    and search all bigint, one hash gate. Completes the quantizer
+    ladder: IVF q305, PQ q308, IVF+PQ q312/q315, refine q316, SQ q320.
+    The only shuffle is the per-query top-k window. The query batch is
+    BOUNDED (vec_id < 2500) — a flat search serves a fixed batch while
+    the corpus grows (q54's model), so the certified growth dimension is
+    corpus size, not batch × corpus; the corpus-pruned path is IVF+SQ
+    (q322)."""
+    from rdkafka_streams_spark.llm.similarity import sq8_search_integer
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr("vec_id % 50 = 0 AND vec_id < 2500"))
+    return sq8_search_integer(emb, queries, k=5)
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q321_context_packing",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents WHERE text <> ''),
+c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id) AS cum FROM d),
+e AS (SELECT doc_id, n, CAST(cum AS BIGINT) AS cum,
+             CAST(cum - n AS BIGINT) AS off,
+             CAST((cum - n) // 512 AS BIGINT) AS c1,
+             CAST((cum - 1) // 512 AS BIGINT) AS c2 FROM c),
+x AS (SELECT doc_id, n, cum, off, u.c AS chunk_id
+      FROM e, unnest(range(e.c1, e.c2 + 1)) AS u(c))
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEAST(cum, (chunk_id + 1) * 512)
+                - GREATEST(off, chunk_id * 512)) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN off // 512 = chunk_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_doc_starts,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM x GROUP BY chunk_id
+""",
+    tags=("L4",),
+)
+def q321_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style PRETRAINING CONTEXT PACKING: concatenate the corpus
+    token stream in canonical doc order and cut it into fixed 512-token
+    contexts (document-boundary-agnostic chunking — how GPT-2/3-lineage
+    pretraining actually packs), emitting per-chunk (n_docs crossing,
+    exact token fill, doc starts, first/last doc). The global token
+    position comes from ``operators/ranking.py global_cumsum`` —
+    ``global_rank``'s two-job pattern applied to a VALUE, because the
+    naive ``SUM() OVER (ORDER BY doc_id)`` is a partition-less window
+    that serializes 100 TB through one task; here per-partition sums
+    (metadata) collect once and every partition adds a literal offset in
+    parallel. Downstream is pure arithmetic: a doc spans chunks
+    off div C .. (cum−1) div C, exploded ≤ n/C + 1 times — linear.
+    The oracle recomputes with the serial window (the semantics;
+    DuckDB's table is small), so the parallel prefix sum is value-hash
+    -checked against the sequential definition."""
+    from rdkafka_streams_spark.operators.ranking import global_cumsum
+
+    C = 512
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text") != "")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n"),
+        )
+    )
+    cum = global_cumsum(d, ["doc_id"], "n", cumsum_col="cum")
+    e = cum.select(
+        "doc_id", "n", "cum",
+        (F.col("cum") - F.col("n")).alias("off"),
+    ).select(
+        "*",
+        F.floor(F.col("off") / C).alias("c1"),
+        F.floor((F.col("cum") - 1) / C).alias("c2"),
+    )
+    x = e.select(
+        "doc_id", "n", "cum", "off",
+        F.explode(F.sequence("c1", "c2")).alias("chunk_id"),
+    )
+    return x.groupBy("chunk_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.least(F.col("cum"), (F.col("chunk_id") + 1) * C)
+            - F.greatest(F.col("off"), F.col("chunk_id") * C)
+        ).cast("bigint").alias("n_tokens"),
+        F.sum(
+            (F.floor(F.col("off") / C) == F.col("chunk_id")).cast("int")
+        ).cast("bigint").alias("n_doc_starts"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    ).select(
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "n_docs", "n_tokens", "n_doc_starts", "first_doc", "last_doc",
+    )
+
+
+def _ivfsq_oracle(k: int = 5, nprobe: int = 2, q_mod: int = 50) -> str:
+    """The coarse chain + q320's SQ encode, composed: candidates are
+    cell-pruned by a fresh final-centroid assignment, ranked by the
+    asymmetric fixed-point SQ distance."""
+    l2 = _L2_TPL
+    coarse = _kmeans_oracle_ctes(k=_KM_K, n_iters=_KM_N_ITERS, bare=True)
+    return f"""WITH {coarse},
+ec AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {l2.format(a="q.qv", b="c.qc")} ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c{_KM_N_ITERS} c) WHERE rn = 1),
+mm AS MATERIALIZED (
+  SELECT d.i AS d, MIN(qv[d.i]) AS vmin, MAX(qv[d.i]) AS vmax
+  FROM q, range(1, {EMB_DIM + 1}) d(i) GROUP BY d.i),
+enc AS MATERIALIZED (
+  SELECT q.vec_id, mm.d,
+         CAST(mm.vmin * 255
+              + CASE WHEN mm.vmax = mm.vmin THEN 0
+                     ELSE ((qv[mm.d] - mm.vmin) * 255
+                           // (mm.vmax - mm.vmin)) END
+                * (mm.vmax - mm.vmin) AS BIGINT) AS rv
+  FROM q, mm),
+qs AS (SELECT vec_id AS q_id, qv FROM q WHERE vec_id % {q_mod} = 0),
+probes AS (
+  SELECT q_id, cid FROM (
+    SELECT qs.q_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY qs.q_id ORDER BY
+        {l2.format(a="qs.qv", b="c.qc")} ASC, c.cid ASC) AS rn
+    FROM qs CROSS JOIN c{_KM_N_ITERS} c) WHERE rn <= {nprobe}),
+cand AS (
+  SELECT pr.q_id, e.vec_id,
+         CAST(SUM((qs.qv[e.d] * 255 - e.rv) * (qs.qv[e.d] * 255 - e.rv))
+              AS BIGINT) AS sdist
+  FROM probes pr
+  JOIN qs ON qs.q_id = pr.q_id
+  JOIN ec a ON a.cid = pr.cid
+  JOIN enc e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> pr.q_id
+  GROUP BY pr.q_id, e.vec_id)
+SELECT q_id, vec_id, sdist FROM (
+  SELECT q_id, vec_id, sdist,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sdist ASC, vec_id ASC) AS rn
+  FROM cand) WHERE rn <= {k}
+"""
+
+
+# ------------------------------------------------------------------------ L3
+@query("q322_ivfsq_search", oracle=_ivfsq_oracle(), tags=("L3",))
+def q322_ivfsq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SCALAR QUANTIZATION (llm/similarity.py ivfsq_search_integer)
+    — FAISS's IVFScalarQuantizer, q320's scale path: the q304 coarse
+    quantizer PRUNES to nprobe=2 of 8 cells per query (index-side
+    assignment fresh against the FINAL centroids), survivors rank by the
+    ASYMMETRIC fixed-point SQ distance (exact ×255 query vs byte-code
+    reconstruction). The flat sweep's batch × corpus cost becomes
+    batch × corpus·nprobe/n_cells — the prune that serves at 100 TB —
+    with SQ's per-dimension resolution instead of PQ's shared block
+    codebooks. Coarse centroids + the 2·dim SQ state are driver
+    metadata; corpus rows carry (cell + dim byte codes); one top-k
+    window. Quantizer family complete: IVF q305, PQ q308, IVF+PQ
+    q312/q315, refine q316, SQ q320, IVF+SQ q322."""
+    from rdkafka_streams_spark.llm.similarity import ivfsq_search_integer
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    return ivfsq_search_integer(
+        emb, queries, k=5, nprobe=2, n_cells=_KM_K,
+        coarse_iters=_KM_N_ITERS,
+    )

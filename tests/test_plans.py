@@ -422,6 +422,21 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # fingerprint frame, funnel collected per stage); the returned
         # frame is 5 rows of driver metadata
         "q317_multimodal_curation": 0,
+        # saved-LM scoring: cbg agg + cctx agg + the two count joins on
+        # bigram keys + the per-doc mean (vocab broadcasts)
+        "q318_bigram_lm_incremental": 5,
+        # id emission: type-distinct + per-doc reassembly groupBy
+        # (training eager; the id map rides as a literal)
+        "q319_byte_bpe_encode_ids": 2,
+        # SQ8: train is an eager 2·dim-column agg; search is a broadcast
+        # pair join + one per-query top-k window
+        "q320_sq8_search": 1,
+        # packing: global_cumsum's range partition + per-pid window
+        # (offsets eager/literal) + the per-chunk agg
+        "q321_context_packing": 3,
+        # IVF+SQ: corpus side map-side (cell argmin + SQ codes over
+        # literal state), probes broadcast; one top-k window
+        "q322_ivfsq_search": 2,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
