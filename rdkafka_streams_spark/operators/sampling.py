@@ -140,3 +140,56 @@ def weighted_sample(
         id_col, w.alias("weight"), key.alias("key_scaled")
     )
     return scored.orderBy(F.col("key_scaled").desc(), F.col(id_col)).limit(k)
+
+
+def token_budget_waterfill(
+    df: DataFrame,
+    group_col: str,
+    weight_micro_col: str,
+    cap_col: str,
+    budget: int,
+    rounds: int = 6,
+) -> DataFrame:
+    """EPOCH-CAPPED token-budget allocation by iterative waterfilling —
+    the "how many epochs of each source" computation every pretraining
+    mixture runs (LLaMA-lineage: upsample curated sources until their
+    repetition cap binds, spill the surplus to the rest): start from the
+    weight-proportional split alloc_s = B·m_s div Σm, CAP any source
+    whose share meets its ceiling (cap_s = tokens_s · max_epochs_s),
+    remove the capped mass from both sides, and re-divide the remaining
+    budget among the uncapped — repeated ``rounds`` times. Every
+    operation is exact integer arithmetic (micro-unit weights, floor
+    division), so the fixpoint is engine-reproducible; iterating past
+    convergence is idempotent (unchanged B/M ⇒ unchanged allocs), so a
+    fixed round count ≥ #groups-ish is exact, the same unroll contract
+    as the BPE oracle chains.
+
+    Input must be PRE-AGGREGATED per group (one row per group:
+    ``group_col``, ``weight_micro_col``, ``cap_col``) — metadata scale
+    by construction, so the loop runs on collected rows the way
+    ``global_rank`` collects partition counts; nothing corpus-sized
+    moves. Returns (group, cap, alloc, capped)."""
+    rows = [
+        (r[group_col], int(r[weight_micro_col]), int(r[cap_col]))
+        for r in df.select(group_col, weight_micro_col, cap_col).collect()
+    ]
+    capped: dict[str, bool] = {g: False for g, _, _ in rows}
+    alloc: dict[str, int] = {}
+    # K capping rounds, then ONE final division with the settled flags —
+    # the exact CTE shape the SQL oracle unrolls, so the two agree even
+    # if the last round still flipped a flag
+    for _ in range(rounds):
+        b_rem = budget - sum(c for g, _, c in rows if capped[g])
+        m_rem = sum(m for g, m, _ in rows if not capped[g])
+        for g, m, c in rows:
+            if not capped[g] and (b_rem * m // m_rem if m_rem else 0) >= c:
+                capped[g] = True
+    b_rem = budget - sum(c for g, _, c in rows if capped[g])
+    m_rem = sum(m for g, m, _ in rows if not capped[g])
+    for g, m, c in rows:
+        alloc[g] = c if capped[g] else (b_rem * m // m_rem if m_rem else 0)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(g, c, alloc[g], capped[g]) for g, _, c in rows],
+        f"{group_col} string, cap bigint, alloc bigint, capped boolean",
+    )

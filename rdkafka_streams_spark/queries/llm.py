@@ -4285,3 +4285,109 @@ def q322_ivfsq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, nprobe=2, n_cells=_KM_K,
         coarse_iters=_KM_N_ITERS,
     )
+
+
+def _waterfill_oracle(rounds: int = 6) -> str:
+    """The waterfilling fixpoint unrolled to ``rounds`` capping CTE pairs
+    (a{k} = remaining budget/mass scalars, c{k} = flag update) + one
+    final division — the same fixed-unroll contract as the BPE chains
+    (iterating past convergence is idempotent, so a fixed round count
+    is exact)."""
+    parts = ["""src AS MATERIALIZED (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n
+  FROM documents WHERE text <> '' GROUP BY source),
+w AS MATERIALIZED (
+  SELECT source, n,
+         n * (1 + CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4)
+           AS cap,
+         CAST(floor(pow(n, 0.5) * 1000000 + 0.5) AS BIGINT) AS m
+  FROM src),
+b AS MATERIALIZED (SELECT CAST(3 * SUM(n) // 2 AS BIGINT) AS budget FROM w),
+c0 AS MATERIALIZED (SELECT source, n, cap, m, FALSE AS capped FROM w)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f"""a{k} AS MATERIALIZED (
+  SELECT CAST((SELECT budget FROM b)
+              - COALESCE(SUM(cap) FILTER (WHERE capped), 0) AS BIGINT)
+           AS brem,
+         CAST(COALESCE(SUM(m) FILTER (WHERE NOT capped), 0) AS BIGINT)
+           AS mrem
+  FROM c{k - 1}),
+c{k} AS MATERIALIZED (
+  SELECT source, n, cap, m,
+         capped OR (SELECT mrem FROM a{k}) > 0
+           AND (SELECT brem FROM a{k}) * m // (SELECT mrem FROM a{k}) >= cap
+           AS capped
+  FROM c{k - 1})""")
+    parts.append(f"""af AS MATERIALIZED (
+  SELECT CAST((SELECT budget FROM b)
+              - COALESCE(SUM(cap) FILTER (WHERE capped), 0) AS BIGINT)
+           AS brem,
+         CAST(COALESCE(SUM(m) FILTER (WHERE NOT capped), 0) AS BIGINT)
+           AS mrem
+  FROM c{rounds})""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT source, n AS n_tokens, cap, capped,
+       CAST(CASE WHEN capped THEN cap
+                 WHEN (SELECT mrem FROM af) = 0 THEN 0
+                 ELSE (SELECT brem FROM af) * m // (SELECT mrem FROM af)
+            END AS BIGINT) AS alloc,
+       CAST(CASE WHEN capped THEN cap
+                 WHEN (SELECT mrem FROM af) = 0 THEN 0
+                 ELSE (SELECT brem FROM af) * m // (SELECT mrem FROM af)
+            END * 1000000 // n AS BIGINT) AS epochs_micro
+FROM c{rounds}
+""")
+
+
+# ------------------------------------------------------------------------ L4
+@query("q323_token_budget_waterfill", oracle=_waterfill_oracle(),
+       tags=("L4",))
+def q323_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-CAPPED MIXTURE ALLOCATION (operators/sampling.py
+    token_budget_waterfill) — the "how many epochs of each source"
+    computation every pretraining mixture runs (LLaMA-lineage: curated
+    sources repeat more before their cap binds, surplus spills to the
+    rest): per-source token counts, temperature weights (∝ n^0.5,
+    q100's micro-unit snap), per-source repetition ceilings cap_s =
+    n_s · max_epochs_s (max_epochs deterministic per source, 1–4), and
+    a 1.5×-corpus token budget waterfilled by iterative exact-integer
+    redistribution — capped mass leaves both sides, the rest re-divides
+    until the fixpoint. Emits (source, n_tokens, cap, capped, alloc,
+    epochs_micro). Scale: the corpus-sized work is ONE token-count agg;
+    the loop runs on the collected per-source rows (metadata scale, the
+    global_rank pattern); the oracle unrolls the same rounds as CTE
+    pairs, so the fixpoint is value-hash-checked."""
+    from rdkafka_streams_spark.operators.sampling import (
+        token_budget_waterfill,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    src = (
+        docs.where(F.col("text") != "")
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n"))
+    )
+    w = src.select(
+        "source", "n",
+        (F.col("n") * (
+            1 + F.regexp_extract("source", "([0-9]+)", 1).cast("bigint") % 4
+        )).alias("cap"),
+        F.floor(F.pow("n", F.lit(0.5)) * 1000000 + 0.5)
+        .cast("bigint").alias("m"),
+    )
+    budget = int(
+        w.agg((3 * F.sum("n") / 2).cast("bigint")).first()[0]
+    )
+    out = token_budget_waterfill(
+        w, group_col="source", weight_micro_col="m", cap_col="cap",
+        budget=budget, rounds=6,
+    )
+    return (
+        w.select("source", F.col("n").alias("n_tokens"))
+        .join(out, "source")
+        .select(
+            "source", "n_tokens", "cap", "capped", "alloc",
+            (F.col("alloc") * 1000000 / F.col("n_tokens"))
+            .cast("bigint").alias("epochs_micro"),
+        )
+    )

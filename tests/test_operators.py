@@ -1617,3 +1617,39 @@ def test_sq8_saved_state_roundtrip(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert a == b and len(a) == 3 * queries.count()
+
+
+def test_token_budget_waterfill_invariants(spark):
+    """Waterfilling contracts (operators/sampling.py
+    token_budget_waterfill): capped groups sit exactly at their cap;
+    no uncapped group exceeds its cap; total allocation never exceeds
+    the budget and leaves at most a floor-division remainder behind
+    when nothing more can bind; a budget below every cap reduces to the
+    plain proportional split."""
+    from rdkafka_streams_spark.operators.sampling import (
+        token_budget_waterfill,
+    )
+
+    rows = [("a", 1_000_000, 500), ("b", 1_000_000, 5_000),
+            ("c", 2_000_000, 50_000), ("d", 500_000, 800)]
+    df = spark.createDataFrame(rows, "g string, m bigint, cap bigint")
+    out = {r["g"]: r for r in token_budget_waterfill(
+        df, "g", "m", "cap", budget=10_000, rounds=6).collect()}
+    caps = dict((g, c) for g, _, c in rows)
+    assert {g for g, r in out.items() if r["capped"]} == {"a", "d"}
+    for g, r in out.items():
+        if r["capped"]:
+            assert r["alloc"] == caps[g]
+        else:
+            assert r["alloc"] <= caps[g]
+    total = sum(r["alloc"] for r in out.values())
+    assert total <= 10_000
+    # remainder is only floor-division dust: strictly less than the
+    # number of uncapped groups
+    assert 10_000 - total < sum(1 for r in out.values() if not r["capped"])
+
+    low = {r["g"]: r for r in token_budget_waterfill(
+        df, "g", "m", "cap", budget=400, rounds=6).collect()}
+    m_tot = sum(m for _, m, _ in rows)
+    for g, m, _ in rows:
+        assert not low[g]["capped"] and low[g]["alloc"] == 400 * m // m_tot

@@ -437,6 +437,10 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # IVF+SQ: corpus side map-side (cell argmin + SQ codes over
         # literal state), probes broadcast; one top-k window
         "q322_ivfsq_search": 2,
+        # waterfill: ONE corpus-sized token-count agg; the loop runs on
+        # collected metadata rows; the returned frame joins two
+        # metadata-scale sides
+        "q323_token_budget_waterfill": 3,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
