@@ -1319,7 +1319,18 @@ def sq8_search_integer(
         F.zip_with(qv, lo, lambda a, b: a - b),
         span,
         lambda d, s: F.when(s == 0, F.lit(0).cast("long"))
-        .otherwise(F.floor(d * 255 / s).cast("long")),
+        .otherwise(
+            # clamped to [0, 255]: a no-op when the state was trained on
+            # this corpus, the FAISS saturation rule when a SAVED state
+            # meets newer vectors outside the trained range
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(255).cast("long"),
+                    F.floor(d * 255 / s).cast("long"),
+                ),
+            )
+        ),
     )
     # fixed-point reconstruction, x255: lo*255 + code*span
     recon = F.zip_with(
@@ -1393,7 +1404,18 @@ def ivfsq_search_integer(
         F.zip_with(qv, lo, lambda a, b: a - b),
         span,
         lambda d, s: F.when(s == 0, F.lit(0).cast("long"))
-        .otherwise(F.floor(d * 255 / s).cast("long")),
+        .otherwise(
+            # clamped to [0, 255]: a no-op when the state was trained on
+            # this corpus, the FAISS saturation rule when a SAVED state
+            # meets newer vectors outside the trained range
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(255).cast("long"),
+                    F.floor(d * 255 / s).cast("long"),
+                ),
+            )
+        ),
     )
     recon = F.zip_with(
         F.zip_with(codes, span, lambda c, s: c * s),

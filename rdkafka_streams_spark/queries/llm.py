@@ -4086,8 +4086,9 @@ enc AS MATERIALIZED (
   SELECT q.vec_id, mm.d,
          CAST(mm.vmin * 255
               + CASE WHEN mm.vmax = mm.vmin THEN 0
-                     ELSE ((qv[mm.d] - mm.vmin) * 255
-                           // (mm.vmax - mm.vmin)) END
+                     ELSE LEAST(255, GREATEST(0,
+                          (qv[mm.d] - mm.vmin) * 255
+                          // (mm.vmax - mm.vmin))) END
                 * (mm.vmax - mm.vmin) AS BIGINT) AS rv
   FROM q, mm),
 qs AS (SELECT vec_id AS q_id, qv FROM q
@@ -4233,8 +4234,9 @@ enc AS MATERIALIZED (
   SELECT q.vec_id, mm.d,
          CAST(mm.vmin * 255
               + CASE WHEN mm.vmax = mm.vmin THEN 0
-                     ELSE ((qv[mm.d] - mm.vmin) * 255
-                           // (mm.vmax - mm.vmin)) END
+                     ELSE LEAST(255, GREATEST(0,
+                          (qv[mm.d] - mm.vmin) * 255
+                          // (mm.vmax - mm.vmin))) END
                 * (mm.vmax - mm.vmin) AS BIGINT) AS rv
   FROM q, mm),
 qs AS (SELECT vec_id AS q_id, qv FROM q WHERE vec_id % {q_mod} = 0),

@@ -1653,3 +1653,36 @@ def test_token_budget_waterfill_invariants(spark):
     m_tot = sum(m for _, m, _ in rows)
     for g, m, _ in rows:
         assert not low[g]["capped"] and low[g]["alloc"] == 400 * m // m_tot
+
+
+def test_sq8_stale_state_saturates(spark, sf_dir):
+    """A SAVED SQ8 state trained on a SUBSET meets out-of-range vectors
+    (the incremental-serve reality): codes must SATURATE at [0, 255]
+    (the FAISS rule), never extrapolate the reconstruction — pinned by
+    running the full corpus against a state trained on a narrow slice
+    and checking every returned distance is still the one the saturated
+    reconstruction implies (non-negative, finite, complete top-k)."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.similarity import (
+        sq8_search_integer,
+        sq8_train_integer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    narrow = sq8_train_integer(emb.where(F.col("vec_id") < 30))
+    queries = emb.where(F.col("vec_id") % 60 == 0)
+    out = sq8_search_integer(emb, queries, k=3, state=narrow).collect()
+    assert len(out) == 3 * queries.count()
+    assert all(r["sdist"] >= 0 for r in out)
+    # saturation ceiling: per-dim residual is bounded by the query's
+    # distance to the clamped reconstruction range — if codes
+    # extrapolated instead, distances on the widest out-of-range dims
+    # would blow past this bound
+    vmin, vmax = narrow
+    full_vmin, full_vmax = sq8_train_integer(emb)
+    bound = sum(
+        (255 * max(abs(fl - lo), abs(fh - lo), abs(fl - hi), abs(fh - hi),
+                   hi - lo)) ** 2
+        for lo, hi, fl, fh in zip(vmin, vmax, full_vmin, full_vmax)
+    )
+    assert all(r["sdist"] <= bound for r in out)

@@ -4196,3 +4196,70 @@ def test_incremental_curation_funnel_over_transport(spark, tmp_path):
     rep = (log.verify_log("ingest") | log.verify_log("clean")
            | log.verify_log("funnel"))
     assert all(v["issues"] == [] for v in rep.values()), rep
+
+
+def test_multimodal_pairs_over_transport(spark, tmp_path):
+    """r12 multimodal-ingest drill: REAL encoded images (binary blobs)
+    ride the transport losslessly — ``to_json`` base64s the content on
+    produce, ``from_json(.. content binary)`` decodes it on consume —
+    and the consumer-side REAL decode + content fingerprint equals the
+    direct (no-transport) path byte for byte, so pixel-level dedup
+    downstream of an ingest topic behaves exactly like batch. Also pins
+    that cross-container duplicates (same raster as BMP and PNG) still
+    dedup together after the trip."""
+    from rdkafka_streams_spark.llm.multimodal import (
+        decode_fingerprint_stdlib,
+        generate_image_caption_pairs,
+    )
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = str(tmp_path / "log")
+    docs = spark.createDataFrame(
+        [(i, f"caption for item {i} with enough words", f"s{i % 2}")
+         for i in range(12)],
+        "doc_id bigint, text string, source string",
+    )
+    # dup_mod=4 over 12 ids: raster key = doc_id % 4, container =
+    # doc_id % 3 -> e.g. ids 0 (BMP), 4 (PPM), 8 (PNG) share a raster
+    pairs = generate_image_caption_pairs(docs, dup_mod=4)
+    direct = {
+        r["doc_id"]: (r["width"], r["height"], r["px_sum"], r["px_wsum"])
+        for r in decode_fingerprint_stdlib(pairs).collect()
+    }
+
+    log = TopicLog(root)
+    log.create_topic("media", partitions=2)
+    KProducer(
+        host=root, topic="media", key="doc_id", transport="topiclog"
+    ).write_batch(pairs)
+    schema = ("doc_id bigint, media_type string, source string, "
+              "caption string, byte_len int, content binary")
+    consumed = (
+        read_topic(spark, root, "media")
+        .select(F.from_json(F.col("value").cast("string"), schema)
+                .alias("v"))
+        .select("v.*")
+    )
+    via = {
+        r["doc_id"]: (r["width"], r["height"], r["px_sum"], r["px_wsum"])
+        for r in decode_fingerprint_stdlib(consumed).collect()
+    }
+    assert via == direct and len(via) == 12
+
+    from pyspark.sql import Window
+
+    fp = decode_fingerprint_stdlib(consumed)
+    wd = Window.partitionBy("width", "height", "px_sum", "px_wsum").orderBy(
+        "doc_id"
+    )
+    kept = (
+        fp.withColumn("__rn", F.row_number().over(wd))
+        .where("__rn = 1")
+        .select("doc_id", "media_type")
+        .collect()
+    )
+    # 4 raster classes survive, keeper = min doc_id per class — and the
+    # dropped copies include OTHER containers than the keeper's
+    assert sorted(r["doc_id"] for r in kept) == [0, 1, 2, 3]
+    mts = {r["doc_id"]: r["media_type"] for r in kept}
+    assert mts[0] == "image/bmp" and mts[1] == "image/x-portable-pixmap"
