@@ -1226,7 +1226,31 @@ def ivfpq_refine_search_integer(
         emb, queries, k=refine_r, nprobe=nprobe, n_cells=n_cells,
         coarse_iters=coarse_iters, m=m, n_codes=n_codes,
         pq_iters=pq_iters, scale=scale, id_col=id_col, vec_col=vec_col,
-    ).select("q_id", id_col)
+    )
+    return exact_rerank_integer(
+        emb, queries, cand, k=k, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def exact_rerank_integer(
+    emb: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int = 5,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The refine stage alone, composable over ANY candidate source:
+    re-score the (q_id, id) survivors of a compressed index (IVFPQ,
+    IVFSQ, LSH buckets, …) by EXACT integer L2 on the raw stored
+    vectors and keep the exact top-k — broadcast-sized candidates by
+    contract, so both re-rank joins broadcast against the corpus scan
+    (one extra full-column scan, zero shuffle) and the only added
+    exchange is the per-query top-k window. Ties (edist, id) ascending.
+    Returns (q_id, id, edist)."""
+    cand = cand.select("q_id", id_col)
     qv = emb.select(
         F.col(id_col), quantize_global(vec_col, scale).alias("__qv")
     )

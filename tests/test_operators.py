@@ -1686,3 +1686,44 @@ def test_sq8_stale_state_saturates(spark, sf_dir):
         for lo, hi, fl, fh in zip(vmin, vmax, full_vmin, full_vmax)
     )
     assert all(r["sdist"] <= bound for r in out)
+
+
+def test_exact_rerank_composes_over_ivfsq(spark, sf_dir):
+    """exact_rerank_integer is index-agnostic: refining IVFSQ's top-12
+    equals the exact integer-L2 ranking restricted to those candidates
+    (the q316 contract, reached through a different compressed index),
+    and recall@3 never drops below raw IVFSQ top-3."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.similarity import (
+        _int_l2,
+        exact_rerank_integer,
+        ivfsq_search_integer,
+        quantize_global,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 400)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    cand = ivfsq_search_integer(emb, queries, k=12, nprobe=2, n_cells=4,
+                                coarse_iters=2)
+    ref = exact_rerank_integer(emb, queries, cand, k=3)
+
+    qv = emb.select("vec_id", quantize_global("embedding").alias("__v"))
+    qs = queries.select(F.col("vec_id").alias("q_id"),
+                        quantize_global("embedding").alias("__qv"))
+    dmap = {
+        (r["q_id"], r["vec_id"]): r["d"]
+        for r in qv.crossJoin(qs)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", _int_l2("__v", "__qv").alias("d"))
+        .collect()
+    }
+    want = {}
+    for r in cand.collect():
+        want.setdefault(r["q_id"], []).append(
+            (dmap[(r["q_id"], r["vec_id"])], r["vec_id"])
+        )
+    want = {q: [(v, d) for d, v in sorted(p)[:3]] for q, p in want.items()}
+    got = {}
+    for r in ref.orderBy("q_id", "edist", "vec_id").collect():
+        got.setdefault(r["q_id"], []).append((r["vec_id"], r["edist"]))
+    assert got == want
