@@ -1737,3 +1737,79 @@ def byte_bpe_decode_roundtrip(
             ).alias(text_col)
         )
     )
+
+
+def countmin_token_counts(
+    docs: DataFrame,
+    depth: int = 4,
+    width_nibbles: int = 2,
+    top_n: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """COUNT-MIN SKETCH over the corpus token stream (Cormode &
+    Muthukrishnan 2005) — the heavy-hitter sketch every streaming corpus
+    profiler runs when exact per-token counts don't fit: a depth ×
+    width integer table (width = 16^``width_nibbles``), cell (r, tok) =
+    the leading md5 nibbles of ``"{r}:{tok}"`` (the engine's
+    reproducible-hash idiom — ``_md5_bucket``/SimHash), every token adds
+    its multiplicity to one cell per row, and a point estimate is the
+    MIN over rows — never an underestimate (every cell ≥ the true
+    count), which the unit pins. Emits the ``top_n`` true-heaviest
+    tokens as (tok, true_cnt, cm_est) so the sketch error is *visible*
+    against truth — all exact integers, one SQL hash gate.
+
+    Scale posture: counts aggregate per DISTINCT token first (Zipf-
+    bounded type table), the 4×-types cell stream reduces to the
+    depth·width table (metadata — 1 KB at the defaults, the whole point:
+    the sketch is mergeable across partitions/days by cell-wise add);
+    estimates join the top slice against it."""
+    toks = (
+        docs.select(F.explode(F.split(text_col, " ")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    freq = toks.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    cells = freq.select(
+        "tok", "cnt",
+        *[
+            _md5_bucket(f"concat('{r}:', tok)", width_nibbles)
+            .cast("bigint").alias(f"c{r}")
+            for r in range(depth)
+        ],
+    ).persist()
+    try:
+        stream = None
+        for r in range(depth):
+            part = cells.select(
+                F.lit(r).alias("r"), F.col(f"c{r}").alias("cell"), "cnt"
+            )
+            stream = part if stream is None else stream.unionAll(part)
+        cm = stream.groupBy("r", "cell").agg(
+            F.sum("cnt").cast("bigint").alias("tot")
+        )
+        top = cells.orderBy(F.desc("cnt"), F.asc("tok")).limit(top_n)
+        probe = None
+        for r in range(depth):
+            part = top.select(
+                "tok", "cnt", F.lit(r).alias("r"),
+                F.col(f"c{r}").alias("cell"),
+            )
+            probe = part if probe is None else probe.unionAll(part)
+        rows = (
+            probe.join(cm, ["r", "cell"])
+            .groupBy("tok")
+            .agg(
+                F.first("cnt").alias("true_cnt"),
+                F.min("tot").cast("bigint").alias("cm_est"),
+            )
+            .collect()
+        )
+    finally:
+        cells.unpersist()
+    # top_n rows of driver metadata — materialized before the cache is
+    # released, so the trainer keeps the zero-retained-blocks promise
+    return docs.sparkSession.createDataFrame(
+        [(r["tok"], int(r["true_cnt"]), int(r["cm_est"])) for r in rows],
+        "tok string, true_cnt bigint, cm_est bigint",
+    )

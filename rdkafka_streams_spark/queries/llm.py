@@ -4393,3 +4393,52 @@ def q323_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("epochs_micro"),
         )
     )
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q324_countmin_heavy_hitters",
+    oracle="""
+WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+fq AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tk WHERE tok <> '' GROUP BY tok),
+cells AS MATERIALIZED (
+  SELECT r.i AS r, fq.tok, fq.cnt,
+         (instr('0123456789abcdef',
+                substring(md5(CAST(r.i AS VARCHAR) || ':' || fq.tok), 1, 1))
+          - 1) * 16
+         + (instr('0123456789abcdef',
+                  substring(md5(CAST(r.i AS VARCHAR) || ':' || fq.tok), 2, 1))
+            - 1) AS cell
+  FROM fq, range(4) r(i)),
+cm AS MATERIALIZED (
+  SELECT r, cell, CAST(SUM(cnt) AS BIGINT) AS tot
+  FROM cells GROUP BY r, cell),
+top AS (SELECT tok, cnt FROM fq ORDER BY cnt DESC, tok LIMIT 20)
+SELECT t.tok, t.cnt AS true_cnt, CAST(MIN(cm.tot) AS BIGINT) AS cm_est
+FROM top t
+JOIN cells c ON c.tok = t.tok
+JOIN cm ON cm.r = c.r AND cm.cell = c.cell
+GROUP BY t.tok, t.cnt
+""",
+    tags=("L4",),
+)
+def q324_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH heavy hitters (llm/text.py countmin_token_counts)
+    — the streaming-corpus profiler's sketch (Cormode & Muthukrishnan
+    2005): a 4 × 256 integer table, cell = leading md5 nibbles of
+    "{row}:{token}" (the engine's reproducible-hash idiom), every token
+    adds its multiplicity to one cell per row, point estimate = MIN over
+    rows (never an underestimate — the unit pins it). Emits the 20
+    true-heaviest tokens as (tok, true_cnt, cm_est) so sketch error is
+    visible against truth; all exact integers, so the SKETCH CONTENT
+    itself is value-hash-checked, not just its accuracy. Completes the
+    sketch family: HLL (q16, audited), Bloom (q159), MinHash (q51),
+    SimHash (q52), CM (q324). Scale: counts aggregate per distinct
+    token first; the 1 KB table is cell-wise MERGEABLE across
+    partitions/days — the reason production profilers ship it."""
+    from rdkafka_streams_spark.llm.text import countmin_token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return countmin_token_counts(docs)

@@ -1727,3 +1727,28 @@ def test_exact_rerank_composes_over_ivfsq(spark, sf_dir):
     for r in ref.orderBy("q_id", "edist", "vec_id").collect():
         got.setdefault(r["q_id"], []).append((r["vec_id"], r["edist"]))
     assert got == want
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """CM's defining property: est >= true for EVERY queried token (each
+    of its cells holds its count plus collisions), with equality exactly
+    when none of the token's depth cells collides; and the estimate
+    equals the true count for a token given its own sketch row when the
+    table is collision-free (tiny corpus, wide table)."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.text import countmin_token_counts
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    out = countmin_token_counts(docs, top_n=30).collect()
+    assert len(out) == 30
+    assert all(r["cm_est"] >= r["true_cnt"] for r in out)
+
+    tiny = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma alpha")],
+        "doc_id bigint, text string",
+    )
+    got = {r["tok"]: (r["true_cnt"], r["cm_est"])
+           for r in countmin_token_counts(tiny, top_n=3).collect()}
+    # 3 distinct tokens in a 4x256 table: collisions need two tokens
+    # sharing a cell in EVERY row -- (1/256)^4-scale, impossible here
+    assert got == {"alpha": (3, 3), "beta": (1, 1), "gamma": (1, 1)}

@@ -441,6 +441,10 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # collected metadata rows; the returned frame joins two
         # metadata-scale sides
         "q323_token_budget_waterfill": 3,
+        # count-min: the sketch builds eagerly (type-table agg + 1 KB
+        # table + top-slice probe, collected); the returned frame is
+        # top_n rows of driver metadata
+        "q324_countmin_heavy_hitters": 0,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
