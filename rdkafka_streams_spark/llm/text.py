@@ -1739,6 +1739,44 @@ def byte_bpe_decode_roundtrip(
     )
 
 
+def _token_freq(docs: DataFrame, text_col: str) -> DataFrame:
+    """(tok, cnt) over the whitespace token stream — the type table every
+    sketch in this module builds from."""
+    return (
+        docs.select(F.explode(F.split(text_col, " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def countmin_table(
+    docs: DataFrame,
+    depth: int = 4,
+    width_nibbles: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """The raw COUNT-MIN table as a frame — (r, cell, tot), one row per
+    non-empty cell. This is the MERGEABLE artifact: tables of two
+    corpus shards (or two days) combine by cell-wise ADD into exactly
+    the whole's table (unit-pinned), which is why a 1 KB sketch per
+    partition rolls up to corpus scale with one tiny agg — no re-scan.
+    Same hashing as ``countmin_token_counts`` (shared cell columns)."""
+    freq = _token_freq(docs, text_col)
+    stream = None
+    for r in range(depth):
+        part = freq.select(
+            F.lit(r).alias("r"),
+            _md5_bucket(f"concat('{r}:', tok)", width_nibbles)
+            .cast("bigint").alias("cell"),
+            "cnt",
+        )
+        stream = part if stream is None else stream.unionAll(part)
+    return stream.groupBy("r", "cell").agg(
+        F.sum("cnt").cast("bigint").alias("tot")
+    )
+
+
 def countmin_token_counts(
     docs: DataFrame,
     depth: int = 4,
@@ -1763,13 +1801,7 @@ def countmin_token_counts(
     depth·width table (metadata — 1 KB at the defaults, the whole point:
     the sketch is mergeable across partitions/days by cell-wise add);
     estimates join the top slice against it."""
-    toks = (
-        docs.select(F.explode(F.split(text_col, " ")).alias("tok"))
-        .where(F.col("tok") != "")
-    )
-    freq = toks.groupBy("tok").agg(
-        F.count("*").cast("bigint").alias("cnt")
-    )
+    freq = _token_freq(docs, text_col)
     cells = freq.select(
         "tok", "cnt",
         *[

@@ -4442,3 +4442,70 @@ def q324_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return countmin_token_counts(docs)
+
+
+def _cm_table_sql(src_filter: str, alias: str) -> str:
+    """One CM table as a CTE body over a filtered documents slice."""
+    return f"""{alias}f AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE {src_filter}) WHERE tok <> '' GROUP BY tok),
+{alias} AS MATERIALIZED (
+  SELECT r.i AS r,
+         (instr('0123456789abcdef',
+                substring(md5(CAST(r.i AS VARCHAR) || ':' || tok), 1, 1))
+          - 1) * 16
+         + (instr('0123456789abcdef',
+                  substring(md5(CAST(r.i AS VARCHAR) || ':' || tok), 2, 1))
+            - 1) AS cell,
+         CAST(SUM(cnt) AS BIGINT) AS tot
+  FROM {alias}f, range(4) r(i) GROUP BY r.i, cell)"""
+
+
+# ------------------------------------------------------------------------ L4
+@query(
+    "q325_sketch_drift",
+    oracle=f"""
+WITH {_cm_table_sql("doc_id % 2 = 0", "ca")},
+{_cm_table_sql("doc_id % 2 = 1", "cb")}
+SELECT r, CAST(SUM(ABS(a - b)) AS BIGINT) AS l1,
+       CAST(SUM(a) AS BIGINT) AS mass_a,
+       CAST(SUM(b) AS BIGINT) AS mass_b
+FROM (
+  SELECT COALESCE(ca.r, cb.r) AS r, COALESCE(ca.cell, cb.cell) AS cell,
+         COALESCE(ca.tot, 0) AS a, COALESCE(cb.tot, 0) AS b
+  FROM ca FULL OUTER JOIN cb ON ca.r = cb.r AND ca.cell = cb.cell)
+GROUP BY r
+""",
+    tags=("L4",),
+)
+def q325_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCH-BASED DISTRIBUTION DRIFT (llm/text.py countmin_table): the
+    production "did today's crawl shift?" monitor — build the 1 KB CM
+    table for two corpus halves and compare them CELL-WISE (per sketch
+    row: L1 distance + each side's mass). The whole point of sketch
+    drift is that the comparison runs on the METADATA-sized tables, not
+    the corpora: a day-over-day monitor ships only sketches. Per-row L1
+    is an upper-bounded proxy for token-distribution L1 (collisions only
+    CANCEL mass, never add), so rising l1 is a true drift signal. All
+    exact integers over a FULL OUTER cell join — value-hash-checked.
+    Scale: two type-table aggs is the only corpus-sized work."""
+    from rdkafka_streams_spark.llm.text import countmin_table
+
+    docs = _t(spark, sf_dir, "documents")
+    ca = countmin_table(docs.where(F.expr("doc_id % 2 = 0")))
+    cb = countmin_table(docs.where(F.expr("doc_id % 2 = 1")))
+    j = (
+        ca.withColumnRenamed("tot", "a")
+        .join(cb.withColumnRenamed("tot", "b"), ["r", "cell"], "full_outer")
+        .select(
+            "r",
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+        )
+    )
+    return j.groupBy("r").agg(
+        F.sum(F.abs(F.col("a") - F.col("b"))).cast("bigint").alias("l1"),
+        F.sum("a").cast("bigint").alias("mass_a"),
+        F.sum("b").cast("bigint").alias("mass_b"),
+    )

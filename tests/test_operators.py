@@ -1752,3 +1752,25 @@ def test_countmin_never_underestimates(spark, sf_dir):
     # 3 distinct tokens in a 4x256 table: collisions need two tokens
     # sharing a cell in EVERY row -- (1/256)^4-scale, impossible here
     assert got == {"alpha": (3, 3), "beta": (1, 1), "gamma": (1, 1)}
+
+
+def test_countmin_table_mergeable(spark, sf_dir):
+    """CM's production property: the tables of two corpus shards combine
+    by CELL-WISE ADD into exactly the whole corpus's table — why a 1 KB
+    sketch per partition/day rolls up with one tiny agg and no re-scan."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.text import countmin_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    merged = {
+        (r["r"], r["cell"]): r["t"]
+        for r in countmin_table(a).unionAll(countmin_table(b))
+        .groupBy("r", "cell").agg(F.sum("tot").alias("t")).collect()
+    }
+    whole = {
+        (r["r"], r["cell"]): r["tot"]
+        for r in countmin_table(docs).collect()
+    }
+    assert merged == whole and len(whole) > 0

@@ -445,6 +445,12 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
         # table + top-slice probe, collected); the returned frame is
         # top_n rows of driver metadata
         "q324_countmin_heavy_hitters": 0,
+        # drift: two independent sketch branches (type agg + cell
+        # reduction each, no cross-branch reuse in Catalyst) + the tiny
+        # full-outer cell join + 4-row agg; in production the two
+        # tables are READ (saved metadata), so compare-time cost is
+        # the join alone
+        "q325_sketch_drift": 11,
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
