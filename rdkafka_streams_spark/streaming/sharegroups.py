@@ -147,6 +147,20 @@ class ShareGroup:
             return []
         return [int(m.group(1)) for n in names if (m := pat.match(n))]
 
+    def _floor_path(self, topic: str) -> str:
+        return os.path.join(
+            os.path.dirname(self._state_path(topic)), f".{topic}.floor"
+        )
+
+    def _read_floor(self, topic: str) -> int:
+        """Highest epoch ever GC'd for this (group, topic) — every live
+        claim must be strictly above it.  -1 when no GC has ever run."""
+        try:
+            with open(self._floor_path(topic), encoding="utf-8") as f:
+                return int(f.read().strip() or -1)
+        except FileNotFoundError:
+            return -1
+
     def _claim_coordinator(self, topic: str) -> int:
         """Claim the next coordinator epoch for (group, topic): the O_EXCL
         creation of marker ``.{topic}.epoch-{n}`` IS the publication —
@@ -154,13 +168,32 @@ class ShareGroup:
         unfenced publish-ordering race of a claim-then-publish protocol
         (review r10 on the first draft, and the documented residue in
         ``init_producer_id``) is closed by construction: markers are
-        never overwritten, the highest marker is never deleted, and
-        ``_check_fenced`` reads the directory's maximum. Dead markers
-        strictly below the new claim are GC'd (the max always survives,
-        so a scan never regresses)."""
+        never overwritten and the CLAIM PATH NEVER DELETES them.
+
+        The r12 review found the previous in-claim dead-marker GC unsound:
+        unlinking epoch markers makes a claimed epoch re-claimable (A
+        claims 2; C claims 3 and GC-unlinks 2; B — which read max=1 before
+        A's claim — O_EXCLs the now-deleted marker 2 and SUCCEEDS), i.e.
+        two coordinators at one epoch.  The invariant is therefore:
+        **deleted ⇒ never re-claimable**, enforced two ways —
+
+        1. the claim path performs NO deletion at all (markers are
+           zero-byte; accumulation is one inode per coordinator claim,
+           bounded by claims, not by data); and
+        2. the only deleter, :meth:`gc_epoch_markers` (an explicit
+           offline admin op), first publishes a monotonic **floor** file
+           covering everything it will unlink, and every claim starts
+           above ``max(markers, floor)`` and RE-CHECKS the floor after
+           its O_EXCL succeeds — a claim that lands at-or-below the
+           floor is treated as dead (its marker may be a re-creation of
+           a GC'd one) and retried above, the commit-record re-check
+           pattern ``init_producer_id`` uses (``topiclog.py``)."""
         gdir = os.path.dirname(self._state_path(topic))
         os.makedirs(gdir, exist_ok=True)
-        epoch = max(self._published_epochs(topic), default=-1) + 1
+        epoch = max(
+            max(self._published_epochs(topic), default=-1),
+            self._read_floor(topic),
+        ) + 1
         while True:
             try:
                 fd = os.open(
@@ -168,23 +201,66 @@ class ShareGroup:
                     os.O_CREAT | os.O_EXCL | os.O_WRONLY,
                 )
                 os.close(fd)
-                break
             except FileExistsError:
                 epoch += 1
-        for i in self._published_epochs(topic):
-            if i < epoch:  # dead-marker GC; the max always survives
+                continue
+            # the claim succeeded — but if a concurrent gc_epoch_markers
+            # raised the floor to/above our epoch, our marker may be a
+            # re-creation of a GC'd one: retry strictly above the floor.
+            # (The dead low marker left behind is harmless: it is <= the
+            # floor, and both claiming and fencing read max(markers,
+            # floor), so it can never win or unfence anything.)
+            floor = self._read_floor(topic)
+            if floor >= epoch:
+                epoch = floor + 1
+                continue
+            break
+        return epoch
+
+    def gc_epoch_markers(self, topic: str) -> int:
+        """Offline admin op: reap dead coordinator-epoch markers (every
+        marker strictly below the current maximum).  NOT called from the
+        claim path — see :meth:`_claim_coordinator` for why in-claim GC
+        is unsound.  Publishes the monotonic floor file FIRST (atomic
+        tmp + ``os.replace``; never regressed — the max of the current
+        floor and the new one is written), then unlinks; a crash between
+        the two steps leaves extra markers, never a re-claimable epoch.
+        Returns the number of markers reaped."""
+        self._log._require("READ", "group", self.group)
+        gdir = os.path.dirname(self._state_path(topic))
+        epochs = self._published_epochs(topic)
+        if len(epochs) <= 1:
+            return 0
+        top = max(epochs)
+        new_floor = max(self._read_floor(topic), top - 1)
+        fpath = self._floor_path(topic)
+        tmp = f"{fpath}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(new_floor))
+        os.replace(tmp, fpath)
+        reaped = 0
+        for i in epochs:
+            if i < top:  # the max always survives, so a scan never regresses
                 try:
                     os.unlink(os.path.join(gdir, f".{topic}.epoch-{i}"))
+                    reaped += 1
                 except OSError:
                     pass
-        return epoch
+        return reaped
 
     def _ensure_coordinator(self, topic: str) -> None:
         if topic not in self._epochs:
             self._epochs[topic] = self._claim_coordinator(topic)
 
     def _check_fenced(self, topic: str) -> None:
-        cur = max(self._published_epochs(topic), default=-1)
+        # max(markers, floor): the floor covers epochs whose markers an
+        # admin GC reaped, so a claim below it is fenced even if every
+        # higher marker were somehow gone (deleted ⇒ never re-claimable,
+        # and also never un-fenceable).
+        cur = max(
+            max(self._published_epochs(topic), default=-1),
+            self._read_floor(topic),
+        )
         if cur > self._epochs[topic]:
             raise FencedShareCoordinatorError(
                 f"share-group coordinator for {self.group!r}/{topic!r} "

@@ -1262,6 +1262,37 @@ class TopicLog:
     # heartbeat — replacement without churn. Removal is an ADMIN act
     # (removeMembersFromConsumerGroup), the only thing that rebalances.
 
+    @staticmethod
+    def _next_member_token(state: dict, instance_id: str) -> int:
+        """Issue the next member token for an instance id — always
+        strictly above BOTH the live token and the retained floor.
+
+        r13 marker-family audit: eviction/removal used to ``pop`` the
+        instance's token entirely, so a later rejoin restarted the
+        counter at 1 — the delete-then-reclaim hazard class (a zombie
+        holding old token N and a reborn member reaching token N after N
+        rejoins would BOTH pass ``heartbeat``'s equality fence). The
+        ``instance_floor`` map retains the last token across eviction
+        (the same monotonic-floor pattern as
+        ``ShareGroup.gc_epoch_markers``), so a token value, once fenced,
+        is never handed out again. Invariant: deleted ⇒ never
+        re-claimable, because issuance reads ``max(live, floor) + 1``
+        and the floor is only ever raised."""
+        return max(
+            int(state.get("instances", {}).get(instance_id, 0)),
+            int(state.get("instance_floor", {}).get(instance_id, 0)),
+        ) + 1
+
+    @staticmethod
+    def _retire_member_token(state: dict, instance_id: str) -> None:
+        """Evict an instance's live token, retaining it as the floor so
+        rejoin issuance never rewinds (see ``_next_member_token``)."""
+        tok = state.get("instances", {}).pop(instance_id, None)
+        if tok is not None:
+            floor = state.setdefault("instance_floor", {})
+            floor[instance_id] = max(int(floor.get(instance_id, 0)),
+                                     int(tok))
+
     def static_join(
         self,
         group: str,
@@ -1285,7 +1316,7 @@ class TopicLog:
         state = self._group_state(group)
         known = state.get("assignment") or {}
         if instance_id in known and sorted(topics) == state.get("topics"):
-            token = int(state.get("instances", {}).get(instance_id, 0)) + 1
+            token = self._next_member_token(state, instance_id)
             state.setdefault("instances", {})[instance_id] = token
             self._write_group_state(group, state)
             # the session timer starts at join, like the coordinator's
@@ -1299,7 +1330,7 @@ class TopicLog:
         members = sorted(set(state.get("members") or []) | {instance_id})
         sync = self.rebalance_group(group, topics, members, strategy)
         state = self._group_state(group)
-        token = int(state.get("instances", {}).get(instance_id, 0)) + 1
+        token = self._next_member_token(state, instance_id)
         state.setdefault("instances", {})[instance_id] = token
         self._write_group_state(group, state)
         self._stamp_hb(group, instance_id)
@@ -1383,7 +1414,9 @@ class TopicLog:
             gen = state["generation"]
         state = self._group_state(group)
         for m in expired:  # invalidate tokens + stamps with the eviction
-            state.get("instances", {}).pop(m, None)
+            # retain the token as a floor: rejoin must not rewind the
+            # counter into values a zombie may still hold (r13 audit)
+            self._retire_member_token(state, m)
             try:
                 os.unlink(self._hb_file(group, m))
             except OSError:
@@ -1423,7 +1456,7 @@ class TopicLog:
                 "revoked": [],
             }
         state = self._group_state(group)
-        state.get("instances", {}).pop(instance_id, None)
+        self._retire_member_token(state, instance_id)
         self._write_group_state(group, state)
         return sync
 

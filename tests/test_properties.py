@@ -726,3 +726,138 @@ def test_share_group_fencing_interleaving_property(tmp_path_factory,
     d = b.describe("q")[0]
     assert d["spso"] == d["speo"] == n_records
     assert d["lag"] == 0 and b.state_size("q") == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("claim"), st.integers(0, 6)),
+            st.tuples(st.just("gc"), st.just(0)),
+        ),
+        min_size=2, max_size=14,
+    ),
+)
+def test_share_group_claim_gc_interleaving_property(tmp_path_factory, ops):
+    """r13 marker-family audit: randomized claim/GC interleavings where
+    each claimant's FIRST reads (marker listing + floor) may be an
+    arbitrarily stale snapshot of the directory — the exact adversarial
+    shape behind the r12 dead-marker race (a stale claimant O_EXCL-ing a
+    marker an admin GC unlinked). Invariants, through the REAL claim
+    code: (a) no two claimants ever accept the same epoch, (b) every
+    accepted epoch is strictly above the floor at acceptance, (c) only
+    the max-epoch claimant is unfenced at the end."""
+    import os
+
+    from rdkafka_streams_spark.streaming.sharegroups import (
+        FencedShareCoordinatorError,
+        ShareGroup,
+    )
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    root = str(tmp_path_factory.mktemp("sgclaimgc"))
+    log = TopicLog(root)
+    log.create_topic("q", partitions=1)
+    log.append("q", ["r0", "r1"], partition=0)
+
+    real_epochs = ShareGroup._published_epochs
+    real_floor = ShareGroup._read_floor
+    # history of (markers, floor) snapshots; index 0 = empty world
+    history: list[tuple[list[int], int]] = [([], -1)]
+    admin = ShareGroup(root, "g")
+    claimants: list[ShareGroup] = []
+    try:
+        for op, stale in ops:
+            if op == "gc":
+                admin.gc_epoch_markers("q")
+            else:
+                snap_markers, snap_floor = history[max(0,
+                                                       len(history) - 1
+                                                       - stale)]
+                g = ShareGroup(root, "g")
+                calls = {"e": 0, "f": 0}
+
+                def stale_e(self, topic, _m=snap_markers):
+                    calls["e"] += 1
+                    if calls["e"] == 1:
+                        return list(_m)
+                    return real_epochs(self, topic)
+
+                def stale_f(self, topic, _f=snap_floor):
+                    calls["f"] += 1
+                    if calls["f"] == 1:
+                        return _f
+                    return real_floor(self, topic)
+
+                ShareGroup._published_epochs = stale_e
+                ShareGroup._read_floor = stale_f
+                try:
+                    g._ensure_coordinator("q")
+                finally:
+                    ShareGroup._published_epochs = real_epochs
+                    ShareGroup._read_floor = real_floor
+                # (b): accepted epoch strictly above the floor NOW
+                assert g._epochs["q"] > real_floor(g, "q")
+                claimants.append(g)
+            history.append((real_epochs(admin, "q"),
+                            real_floor(admin, "q")))
+        if not claimants:
+            return
+        epochs = [g._epochs["q"] for g in claimants]
+        # (a): distinct epochs under every interleaving
+        assert len(set(epochs)) == len(epochs), epochs
+        # (c): exactly the max-epoch claimant is unfenced
+        winner = max(claimants, key=lambda g: g._epochs["q"])
+        assert len(winner.fetch("q", "m", max_records=1,
+                                now_ms=1_000)) == 1
+        for g in claimants:
+            if g is winner:
+                continue
+            with pytest.raises(FencedShareCoordinatorError):
+                g.fetch("q", "m", max_records=1, now_ms=1_001)
+        # the max marker always survives (GC never deletes it), so the
+        # fence can never regress even if the floor write were lost
+        gdir = os.path.dirname(winner._state_path("q"))
+        assert os.path.exists(
+            os.path.join(gdir, f".q.epoch-{winner._epochs['q']}"))
+    finally:
+        ShareGroup._published_epochs = real_epochs
+        ShareGroup._read_floor = real_floor
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    ops=st.lists(
+        st.sampled_from(["join", "evict", "remove"]),
+        min_size=1, max_size=12,
+    ),
+)
+def test_member_token_never_reissued_property(tmp_path_factory, ops):
+    """r13 marker-family audit (consumer-group instance tokens): under
+    any join/evict/remove/rejoin sequence, the member token issued to an
+    instance id strictly increases over the WHOLE history — eviction
+    retains the token as a floor (``instance_floor``), so a zombie's old
+    token can never equal a reborn member's token (heartbeat fences by
+    equality, so reuse would dual-unfence)."""
+    from rdkafka_streams_spark.streaming.topiclog import TopicLog
+
+    root = str(tmp_path_factory.mktemp("memtok"))
+    log = TopicLog(root)
+    log.create_topic("t", partitions=2)
+    issued: list[int] = []
+    now = 1_000_000
+    joined = False
+    for op in ops:
+        now += 10_000
+        if op == "join":
+            out = log.static_join("g", ["t"], "inst-1")
+            issued.append(out["member_token"])
+            joined = True
+        elif op == "evict" and joined:
+            # expire with a timeout smaller than the silence gap
+            log.expire_members("g", session_timeout_ms=1, now_ms=now)
+            joined = False
+        elif op == "remove" and joined:
+            log.remove_member("g", "inst-1")
+            joined = False
+    assert issued == sorted(set(issued)), issued

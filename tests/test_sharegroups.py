@@ -432,3 +432,155 @@ def test_concurrent_coordinator_claims_get_distinct_epochs(tmp_path):
             continue
         with pytest.raises(FencedShareCoordinatorError):
             g.fetch("q", "m", max_records=1, now_ms=1_001)
+
+
+def test_claim_path_never_deletes_markers(tmp_path):
+    """r12 review: the in-claim dead-marker GC made claimed epochs
+    re-claimable (deleted marker -> O_EXCL succeeds again -> two
+    coordinators at one epoch). The claim path must perform NO deletion:
+    every claimed epoch's marker survives every subsequent claim."""
+    import os
+
+    root, log, sg = _mk(tmp_path, n=2)
+    groups = [sg] + [ShareGroup(root, "workers") for _ in range(4)]
+    for g in groups:
+        g._ensure_coordinator("q")
+    gdir = os.path.dirname(sg._state_path("q"))
+    markers = sorted(
+        n for n in os.listdir(gdir) if n.startswith(".q.epoch-")
+    )
+    assert markers == [f".q.epoch-{i}" for i in range(5)]
+    assert sorted(g._epochs["q"] for g in groups) == [0, 1, 2, 3, 4]
+
+
+def test_gc_reclaim_interleaving_is_detected_deterministically(tmp_path):
+    """Force the exact r12-verdict interleaving: A claims epoch 2; C
+    claims 3 and (admin) GC unlinks marker 2; B — whose view of the
+    marker dir predates A's claim — O_EXCLs the deleted `.q.epoch-2`
+    and SUCCEEDS. The floor re-check must detect the dead claim and
+    retry B strictly above the floor, never handing out a duplicate."""
+    import os
+
+    root, log, _ = _mk(tmp_path, n=2)
+    g0 = ShareGroup(root, "workers")
+    g0._ensure_coordinator("q")  # epoch 0
+    g1 = ShareGroup(root, "workers")
+    g1._ensure_coordinator("q")  # epoch 1
+
+    a = ShareGroup(root, "workers")
+    a._ensure_coordinator("q")  # A claims epoch 2
+    assert a._epochs["q"] == 2
+    c = ShareGroup(root, "workers")
+    c._ensure_coordinator("q")  # C claims epoch 3
+    assert c._epochs["q"] == 3
+    reaped = c.gc_epoch_markers("q")  # admin GC: floor=2, unlinks 0..2
+    assert reaped == 3
+    gdir = os.path.dirname(c._state_path("q"))
+    assert not os.path.exists(os.path.join(gdir, ".q.epoch-2"))
+
+    # B's claim runs with a STALE view (read before A's claim, before
+    # any GC): first reads of markers/floor return the old world, so B
+    # attempts O_EXCL on the deleted `.q.epoch-2` — and it SUCCEEDS.
+    b = ShareGroup(root, "workers")
+    real_epochs = ShareGroup._published_epochs
+    real_floor = ShareGroup._read_floor
+    calls = {"e": 0, "f": 0}
+
+    def stale_epochs(self, topic):
+        calls["e"] += 1
+        if calls["e"] == 1:
+            return [0, 1]  # pre-A view
+        return real_epochs(self, topic)
+
+    def stale_floor(self, topic):
+        calls["f"] += 1
+        if calls["f"] == 1:
+            return -1  # pre-GC view
+        return real_floor(self, topic)
+
+    ShareGroup._published_epochs = stale_epochs
+    ShareGroup._read_floor = stale_floor
+    try:
+        b._ensure_coordinator("q")
+    finally:
+        ShareGroup._published_epochs = real_epochs
+        ShareGroup._read_floor = real_floor
+    # the dead claim at 2 was detected via the floor re-check and
+    # retried above: B lands at 4, NOT at A's epoch 2
+    assert b._epochs["q"] == 4
+    # B (the true max) writes; A and C are fenced
+    from rdkafka_streams_spark.streaming.sharegroups import (
+        FencedShareCoordinatorError,
+    )
+    assert len(b.fetch("q", "m", max_records=1, now_ms=1_000)) == 1
+    for stale in (a, c):
+        with pytest.raises(FencedShareCoordinatorError):
+            stale.fetch("q", "m", max_records=1, now_ms=1_001)
+
+
+def test_gc_epoch_markers_floor_survives_and_fences(tmp_path):
+    """After admin GC, (a) only the max marker remains, (b) new claims
+    start strictly above the floor even if every marker were deleted,
+    (c) fencing still holds for pre-GC coordinators."""
+    import os
+
+    root, log, sg = _mk(tmp_path, n=2)
+    holders = [ShareGroup(root, "workers") for _ in range(4)]
+    for h in holders:
+        h._ensure_coordinator("q")  # epochs 0..3
+    assert sg.gc_epoch_markers("q") == 3
+    assert sg.gc_epoch_markers("q") == 0  # idempotent: only the max left
+    gdir = os.path.dirname(sg._state_path("q"))
+    left = [n for n in os.listdir(gdir) if n.startswith(".q.epoch-")]
+    assert left == [".q.epoch-3"]
+    # adversarial: even deleting the surviving max marker cannot rewind
+    # the protocol below the floor
+    os.unlink(os.path.join(gdir, ".q.epoch-3"))
+    fresh = ShareGroup(root, "workers")
+    fresh._ensure_coordinator("q")
+    assert fresh._epochs["q"] == 3  # floor=2 -> next claim is 3
+    from rdkafka_streams_spark.streaming.sharegroups import (
+        FencedShareCoordinatorError,
+    )
+    assert len(fresh.fetch("q", "m", max_records=1, now_ms=1_000)) == 1
+    with pytest.raises(FencedShareCoordinatorError):
+        holders[0].fetch("q", "m", max_records=1, now_ms=1_001)
+
+
+def test_concurrent_claims_stress_distinct_epochs(tmp_path):
+    """50-iteration stress: concurrent claimants (with interleaved admin
+    GC runs) never share an epoch — the r12 failure reproduced ~40% of
+    runs under the old in-claim GC."""
+    import threading
+
+    for it in range(50):
+        root = str(tmp_path / f"bus{it}")
+        log = TopicLog(root)
+        log.create_topic("q", partitions=1)
+        log.append("q", ["r0", "r1"], partition=0)
+        groups, errs = [], []
+
+        def claim(root=root):
+            try:
+                g = ShareGroup(root, "workers")
+                g._ensure_coordinator("q")
+                groups.append(g)
+            except Exception as e:  # pragma: no cover - diagnostic
+                errs.append(e)
+
+        def gc(root=root):
+            try:
+                ShareGroup(root, "workers").gc_epoch_markers("q")
+            except Exception as e:  # pragma: no cover - diagnostic
+                errs.append(e)
+
+        threads = [threading.Thread(target=claim) for _ in range(8)]
+        threads.insert(3, threading.Thread(target=gc))
+        threads.insert(7, threading.Thread(target=gc))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs[0]
+        epochs = [g._epochs["q"] for g in groups]
+        assert len(set(epochs)) == 8, f"iter {it}: duplicate in {epochs}"
