@@ -1017,6 +1017,8 @@ def ivfpq_search_integer(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse: list[tuple[int, list[int]]] | None = None,
+    codebooks: list[list[tuple[int, list[int]]]] | None = None,
 ) -> DataFrame:
     """IVF+PQ composition, oracle-exact end to end — the modern ANN
     architecture (FAISS's IVFPQ, here with by_residual=false): the
@@ -1033,17 +1035,31 @@ def ivfpq_search_integer(
     row; the candidate join hits inverted lists on the cell key
     (partition pruning once the corpus is written partitioned by cell);
     per-candidate cost is m ``element_at`` lookups. Ties break
-    (adist, id) ascending. Returns (q_id, id, adist)."""
+    (adist, id) ascending. Returns (q_id, id, adist).
+
+    ``coarse`` / ``codebooks`` accept SAVED trained components (the
+    ``load_ann_index`` output) — train once, serve from the artifact;
+    when given, ``m`` must match ``len(codebooks)``."""
+    if codebooks is not None and len(codebooks) != m:
+        raise ValueError(
+            f"saved codebooks have m={len(codebooks)} blocks, caller "
+            f"asked m={m} — a block-count mismatch mis-slices every code"
+        )
     sub = _pq_sub_width(emb, m, vec_col, strict=True)
-    _assigned, cents = kmeans_integer(
-        emb, k=n_cells, n_iters=coarse_iters, scale=scale,
-        id_col=id_col, vec_col=vec_col,
+    cents = (
+        coarse if coarse is not None
+        else kmeans_integer(
+            emb, k=n_cells, n_iters=coarse_iters, scale=scale,
+            id_col=id_col, vec_col=vec_col,
+        )[1]
     )
-    blocks = build_pq_codebooks_integer(
-        emb, m=m, n_codes=n_codes, n_iters=pq_iters, scale=scale,
-        id_col=id_col, vec_col=vec_col,
+    cbs = (
+        codebooks if codebooks is not None
+        else [c for _, _, c in build_pq_codebooks_integer(
+            emb, m=m, n_codes=n_codes, n_iters=pq_iters, scale=scale,
+            id_col=id_col, vec_col=vec_col,
+        )]
     )
-    cbs = [c for _, _, c in blocks]
     # corpus side: coarse cell + m codes, all map-side. The cell is a
     # FRESH argmin against the FINAL centroids — the index's contract
     # (a vector files under the cell a query's probe would look in),
@@ -1301,6 +1317,42 @@ def sq8_train_integer(
             [int(row[f"hi{d}"]) for d in range(dim)])
 
 
+def _sq8_recon_col(vec_col: str, vmin: list[int], vmax: list[int],
+                   scale: int):
+    """The SQ8 encode → clamp → fixed-point-reconstruct Column, shared
+    verbatim by ``sq8_search_integer`` (q320) and ``ivfsq_search_integer``
+    (q322): code_d = (q_d − vmin_d)·255 div span_d clamped to [0, 255]
+    (span 0 → code 0 for a constant dim), recon_d = vmin_d·255 +
+    code_d·span_d. Both hash gates pin this exact arithmetic, so the two
+    search paths MUST stay bit-identical — hence one definition."""
+    lo = F.array(*[F.lit(v).cast("long") for v in vmin])
+    span = F.array(*[F.lit(hi - lo_).cast("long")
+                     for lo_, hi in zip(vmin, vmax)])
+    qv = quantize_global(vec_col, scale)
+    codes = F.zip_with(
+        F.zip_with(qv, lo, lambda a, b: a - b),
+        span,
+        lambda d, s: F.when(s == 0, F.lit(0).cast("long"))
+        .otherwise(
+            # clamped to [0, 255]: a no-op when the state was trained on
+            # this corpus, the FAISS saturation rule when a SAVED state
+            # meets newer vectors outside the trained range
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(255).cast("long"),
+                    F.floor(d * 255 / s).cast("long"),
+                ),
+            )
+        ),
+    )
+    return F.zip_with(
+        F.zip_with(codes, span, lambda c, s: c * s),
+        lo,
+        lambda cs, b: cs + b * 255,
+    )
+
+
 def sq8_search_integer(
     emb: DataFrame,
     queries: DataFrame,
@@ -1334,38 +1386,12 @@ def sq8_search_integer(
         state if state is not None
         else sq8_train_integer(emb, scale=scale, vec_col=vec_col)
     )
-    lo = F.array(*[F.lit(v).cast("long") for v in vmin])
-    span = F.array(*[F.lit(hi - lo_).cast("long")
-                     for lo_, hi in zip(vmin, vmax)])
-    qv = quantize_global(vec_col, scale)
-    # codes: (q - lo)*255 div span, span 0 -> code 0 (constant dim)
-    codes = F.zip_with(
-        F.zip_with(qv, lo, lambda a, b: a - b),
-        span,
-        lambda d, s: F.when(s == 0, F.lit(0).cast("long"))
-        .otherwise(
-            # clamped to [0, 255]: a no-op when the state was trained on
-            # this corpus, the FAISS saturation rule when a SAVED state
-            # meets newer vectors outside the trained range
-            F.greatest(
-                F.lit(0).cast("long"),
-                F.least(
-                    F.lit(255).cast("long"),
-                    F.floor(d * 255 / s).cast("long"),
-                ),
-            )
-        ),
-    )
-    # fixed-point reconstruction, x255: lo*255 + code*span
-    recon = F.zip_with(
-        F.zip_with(codes, span, lambda c, s: c * s),
-        lo,
-        lambda cs, b: cs + b * 255,
-    )
+    recon = _sq8_recon_col(vec_col, vmin, vmax, scale)
     corpus = emb.select(F.col(id_col), recon.alias("__rv"))
     qs = queries.select(
         F.col(id_col).alias("q_id"),
-        F.transform(qv, lambda x: x * 255).alias("__q255"),
+        F.transform(quantize_global(vec_col, scale),
+                    lambda x: x * 255).alias("__q255"),
     )
     pairs = corpus.join(F.broadcast(qs), F.col(id_col) != F.col("q_id"))
     sdist = F.aggregate(
@@ -1393,6 +1419,7 @@ def ivfsq_search_integer(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     state: tuple[list[int], list[int]] | None = None,
+    coarse: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """IVF + 8-bit SCALAR quantization (FAISS IVFScalarQuantizer) — the
     scale path of q320's flat SQ: the integer coarse quantizer PRUNES
@@ -1411,41 +1438,25 @@ def ivfsq_search_integer(
     argmin against the FINAL centroids (the index's contract — see
     ``ivfpq_search_integer``); probes broadcast with the exact ×255
     query vectors; one top-k window. Ties (sdist, id) ascending.
-    Returns (q_id, id, sdist)."""
-    _assigned, cents = kmeans_integer(
-        emb, k=n_cells, n_iters=coarse_iters, scale=scale,
-        id_col=id_col, vec_col=vec_col,
+    Returns (q_id, id, sdist).
+
+    ``state`` / ``coarse`` accept SAVED trained components (the
+    ``load_ann_index`` output) — the serve-side contract: train once,
+    every search job loads the 2·dim SQ longs + k×dim coarse centroids
+    instead of rescanning the corpus; index-side assignment stays a
+    fresh map-side argmin against whatever centroids are in force."""
+    cents = (
+        coarse if coarse is not None
+        else kmeans_integer(
+            emb, k=n_cells, n_iters=coarse_iters, scale=scale,
+            id_col=id_col, vec_col=vec_col,
+        )[1]
     )
     vmin, vmax = (
         state if state is not None
         else sq8_train_integer(emb, scale=scale, vec_col=vec_col)
     )
-    lo = F.array(*[F.lit(v).cast("long") for v in vmin])
-    span = F.array(*[F.lit(hi - lo_).cast("long")
-                     for lo_, hi in zip(vmin, vmax)])
-    qv = quantize_global(vec_col, scale)
-    codes = F.zip_with(
-        F.zip_with(qv, lo, lambda a, b: a - b),
-        span,
-        lambda d, s: F.when(s == 0, F.lit(0).cast("long"))
-        .otherwise(
-            # clamped to [0, 255]: a no-op when the state was trained on
-            # this corpus, the FAISS saturation rule when a SAVED state
-            # meets newer vectors outside the trained range
-            F.greatest(
-                F.lit(0).cast("long"),
-                F.least(
-                    F.lit(255).cast("long"),
-                    F.floor(d * 255 / s).cast("long"),
-                ),
-            )
-        ),
-    )
-    recon = F.zip_with(
-        F.zip_with(codes, span, lambda c, s: c * s),
-        lo,
-        lambda cs, b: cs + b * 255,
-    )
+    recon = _sq8_recon_col(vec_col, vmin, vmax, scale)
     corpus = emb.select(
         F.col(id_col),
         _argmin_cid(quantize_global(vec_col, scale), cents).alias("cid"),
@@ -1483,3 +1494,104 @@ def ivfsq_search_integer(
         .where(F.col("__rn") <= k)
         .select("q_id", F.col(id_col), F.col("sdist"))
     )
+
+
+# --------------------------------------------------------------------- L3
+# Saved-index artifact contract (the q318/q319 posture applied to ANN):
+# train once on the standing corpus, ship the trained state as a small
+# JSON artifact, and every search job LOADS it instead of rescanning the
+# corpus. FAISS ships the same pieces in its index files — coarse
+# centroids (IVF), per-block PQ codebooks, per-dim SQ [min, max] — and
+# all of them are driver metadata here (k×dim + m×k×dim/m + 2×dim
+# longs: a few KB at ANY corpus size), so plain JSON is the right tool,
+# not a Spark write.
+
+ANN_INDEX_FORMAT = "rdkafka-streams-spark-ann-v1"
+
+
+def save_ann_index(
+    path: str,
+    *,
+    scale: int,
+    coarse_centroids: list[tuple[int, list[int]]] | None = None,
+    pq_codebooks: list[list[tuple[int, list[int]]]] | None = None,
+    sq_state: tuple[list[int], list[int]] | None = None,
+    by_residual: bool = False,
+) -> None:
+    """Persist trained ANN state as ``<path>/ann_index.json``.
+
+    Any subset of the three trained components may be present —
+    ``coarse_centroids`` (``kmeans_integer`` output — IVF),
+    ``pq_codebooks`` (``build_pq_codebooks_integer``'s per-block
+    centroids), ``sq_state`` (``sq8_train_integer``'s (vmin, vmax)) —
+    plus the global quantization ``scale`` they were all trained under
+    (a loaded index MUST search at its trained scale; threading the
+    caller's scale past the artifact's was exactly the r11 requantize
+    bug). All values are bigints by construction, so the JSON round-trip
+    is exact."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    doc: dict = {"format": ANN_INDEX_FORMAT, "scale": int(scale),
+                 "by_residual": bool(by_residual)}
+    if coarse_centroids is not None:
+        doc["coarse"] = [[int(cid), [int(v) for v in qc]]
+                         for cid, qc in coarse_centroids]
+    if pq_codebooks is not None:
+        doc["pq"] = [
+            [[int(cid), [int(v) for v in qc]] for cid, qc in block]
+            for block in pq_codebooks
+        ]
+    if sq_state is not None:
+        vmin, vmax = sq_state
+        doc["sq"] = {"vmin": [int(v) for v in vmin],
+                     "vmax": [int(v) for v in vmax]}
+    with open(os.path.join(path, "ann_index.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(doc, f, sort_keys=True)
+
+
+def load_ann_index(path: str) -> dict:
+    """Load ``save_ann_index``'s artifact back, validated loudly:
+    returns ``{"scale", "by_residual", "coarse", "pq", "sq"}`` where
+    ``coarse`` is ``[(cid, [longs])]`` (or None), ``pq`` is the
+    per-block list of the same shape (or None), and ``sq`` is
+    ``(vmin, vmax)`` (or None) — each directly consumable by the
+    ``coarse=``/``codebooks=``/``state=`` serve-side parameters of the
+    integer search family. A truncated or hand-edited artifact fails at
+    load (format tag, dim consistency), not as silently wrong
+    neighbors."""
+    import json
+    import os
+
+    with open(os.path.join(path, "ann_index.json"), encoding="utf-8") as f:
+        doc = json.load(f)
+    if doc.get("format") != ANN_INDEX_FORMAT:
+        raise ValueError(
+            f"not an ANN index artifact (format={doc.get('format')!r}, "
+            f"expect {ANN_INDEX_FORMAT!r})"
+        )
+    coarse = None
+    if "coarse" in doc:
+        coarse = [(int(cid), [int(v) for v in qc])
+                  for cid, qc in doc["coarse"]]
+        dims = {len(qc) for _, qc in coarse}
+        if len(dims) != 1:
+            raise ValueError(f"coarse centroid dims inconsistent: {dims}")
+    pq = None
+    if "pq" in doc:
+        pq = [[(int(cid), [int(v) for v in qc]) for cid, qc in block]
+              for block in doc["pq"]]
+    sq = None
+    if "sq" in doc:
+        vmin = [int(v) for v in doc["sq"]["vmin"]]
+        vmax = [int(v) for v in doc["sq"]["vmax"]]
+        if len(vmin) != len(vmax):
+            raise ValueError(
+                f"sq state dims differ: {len(vmin)} vs {len(vmax)}"
+            )
+        sq = (vmin, vmax)
+    return {"scale": int(doc["scale"]),
+            "by_residual": bool(doc.get("by_residual", False)),
+            "coarse": coarse, "pq": pq, "sq": sq}

@@ -182,7 +182,10 @@ def token_budget_waterfill(
         b_rem = budget - sum(c for g, _, c in rows if capped[g])
         m_rem = sum(m for g, m, _ in rows if not capped[g])
         for g, m, c in rows:
-            if not capped[g] and (b_rem * m // m_rem if m_rem else 0) >= c:
+            # m_rem guard mirrors the SQL oracle's `mrem > 0` exactly: with
+            # no uncapped weight left, NO flag flips (a zero-cap group must
+            # not be capped by the degenerate `0 >= cap` comparison)
+            if not capped[g] and m_rem and b_rem * m // m_rem >= c:
                 capped[g] = True
     b_rem = budget - sum(c for g, _, c in rows if capped[g])
     m_rem = sum(m for g, m, _ in rows if not capped[g])

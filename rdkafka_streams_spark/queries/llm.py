@@ -2512,9 +2512,11 @@ def q298_byte_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    art = tempfile.mkdtemp(prefix="bpe_artifact_")
-    save_bpe_artifact(learn_byte_bpe(docs, n_merges=8), art)
-    rules, _vocab = load_bpe_artifact(art)
+    # the rules/vocab are collected to the driver by load, so the dir
+    # can be reclaimed immediately (bench runs this query repeatedly)
+    with tempfile.TemporaryDirectory(prefix="bpe_artifact_") as art:
+        save_bpe_artifact(learn_byte_bpe(docs, n_merges=8), art)
+        rules, _vocab = load_bpe_artifact(art)
     per_doc = byte_bpe_encode_counts(docs, rules=rules)
     return (
         per_doc.join(docs.select("doc_id", "source"), "doc_id")
@@ -4066,9 +4068,11 @@ def q319_byte_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    art = tempfile.mkdtemp(prefix="bpe_ids_artifact_")
-    save_bpe_artifact(learn_byte_bpe(docs, n_merges=8), art)
-    rules, vocab = load_bpe_artifact(art)
+    # the rules/vocab are collected to the driver by load, so the dir
+    # can be reclaimed immediately (bench runs this query repeatedly)
+    with tempfile.TemporaryDirectory(prefix="bpe_ids_artifact_") as art:
+        save_bpe_artifact(learn_byte_bpe(docs, n_merges=8), art)
+        rules, vocab = load_bpe_artifact(art)
     return byte_bpe_encode_ids(docs, rules=rules, vocab=vocab)
 
 
@@ -4190,8 +4194,12 @@ def q321_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum") - F.col("n")).alias("off"),
     ).select(
         "*",
-        F.floor(F.col("off") / C).alias("c1"),
-        F.floor((F.col("cum") - 1) / C).alias("c2"),
+        # bigint DIV, not floor(double /): exact at ANY token magnitude
+        # (float division is only exact below 2^53 — inconsistent with
+        # the all-bigint 100 TB framing), and it matches the oracle's
+        # integer `//` verbatim
+        F.expr(f"off DIV {C}").alias("c1"),
+        F.expr(f"(cum - 1) DIV {C}").alias("c2"),
     )
     x = e.select(
         "doc_id", "n", "cum", "off",
@@ -4204,7 +4212,7 @@ def q321_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.col("off"), F.col("chunk_id") * C)
         ).cast("bigint").alias("n_tokens"),
         F.sum(
-            (F.floor(F.col("off") / C) == F.col("chunk_id")).cast("int")
+            (F.expr(f"off DIV {C}") == F.col("chunk_id")).cast("int")
         ).cast("bigint").alias("n_doc_starts"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
@@ -4508,4 +4516,45 @@ def q325_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs(F.col("a") - F.col("b"))).cast("bigint").alias("l1"),
         F.sum("a").cast("bigint").alias("mass_a"),
         F.sum("b").cast("bigint").alias("mass_b"),
+    )
+
+
+@query("q326_ann_saved_index_serve", oracle=_ivfsq_oracle(), tags=("L3",))
+def q326_ann_saved_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAVED ANN INDEX, SERVE-SIDE (llm/similarity.py save_ann_index /
+    load_ann_index) — the q318/q319 production-artifact posture applied
+    to L3: TRAIN the coarse quantizer (q304's kmeans_integer) and the
+    SQ8 per-dim state (q320's one-scan trainer) once, persist both as a
+    few-KB JSON artifact, then run the q322-shape IVF+SQ search entirely
+    FROM THE LOADED ARTIFACT (coarse= + state=) — no retraining, no
+    corpus rescan on the serve path. Hash-gated against the SAME oracle
+    as q322, which is the contract itself: load→search must be
+    bit-identical to train→search (all state is bigints, so the JSON
+    round-trip is exact by construction, and this gate proves it).
+    Scale: the artifact is k×dim + 2·dim longs — driver metadata at any
+    corpus size; the search inherits q322's prune geometry
+    (batch × corpus·nprobe/n_cells, one top-k window)."""
+    import tempfile
+
+    from rdkafka_streams_spark.llm.similarity import (
+        ivfsq_search_integer,
+        kmeans_integer,
+        load_ann_index,
+        save_ann_index,
+        sq8_train_integer,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _assigned, cents = kmeans_integer(
+        emb, k=_KM_K, n_iters=_KM_N_ITERS, scale=1000,
+    )
+    sq = sq8_train_integer(emb, scale=1000)
+    with tempfile.TemporaryDirectory(prefix="ann_index_") as art:
+        save_ann_index(art, scale=1000, coarse_centroids=cents,
+                       sq_state=sq)
+        idx = load_ann_index(art)
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    return ivfsq_search_integer(
+        emb, queries, k=5, nprobe=2,
+        scale=idx["scale"], state=idx["sq"], coarse=idx["coarse"],
     )

@@ -3,7 +3,11 @@
 query on Spark and its oracle on DuckDB, compare row count + column names +
 values (order-insensitive). Usage:
 
-    python scripts/check_queries.py [name-substring ...] [--sf DIR]
+    python scripts/check_queries.py [name-substring ...] [--sf DIR] [--json OUT]
+
+``--json OUT`` writes the per-query results as a committable artifact
+(FULLCHECK_r{N}.json) so the full-registry sweep is auditable without
+re-running the gate.
 """
 
 from __future__ import annotations
@@ -80,6 +84,11 @@ def main() -> int:
         i = args.index("--sf")
         sf_dir = args[i + 1]
         del args[i : i + 2]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     name_filters = args
 
     spark = get_spark("check-queries", master="local[8]", shuffle_partitions=8)
@@ -90,6 +99,7 @@ def main() -> int:
         if not name_filters or any(f in n for f in name_filters)
     ]
     n_pass = n_fail = n_rowsonly = 0
+    results: dict[str, dict] = {}
     for name in names:
         q = REGISTRY[name]
         t0 = time.time()
@@ -98,16 +108,22 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
             n_fail += 1
+            results[name] = {"status": "fail", "secs": round(time.time() - t0, 2),
+                             "err": f"spark {type(e).__name__}: {e}"[:300]}
             continue
         if q.oracle is None:
             print(f"ROWS {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rowsonly += 1
+            results[name] = {"status": "rows-only", "rows": len(spdf),
+                             "secs": round(time.time() - t0, 2)}
             continue
         try:
             dpdf = con.execute(q.oracle).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
             n_fail += 1
+            results[name] = {"status": "fail", "secs": round(time.time() - t0, 2),
+                             "err": f"duckdb {type(e).__name__}: {e}"[:300]}
             continue
         problems = compare(name, spdf, dpdf)
         if problems:
@@ -115,10 +131,26 @@ def main() -> int:
             print(f"FAIL {name} ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
             for p in problems:
                 print(f"     {p}")
+            results[name] = {"status": "fail", "rows": len(spdf),
+                             "secs": round(time.time() - t0, 2),
+                             "err": "; ".join(problems)[:300]}
         else:
             n_pass += 1
             print(f"PASS {name} ({len(spdf)} rows) [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "pass", "rows": len(spdf),
+                             "secs": round(time.time() - t0, 2)}
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only, of {len(names)}")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w", encoding="utf-8") as f:
+            _json.dump({
+                "sf_dir": sf_dir,
+                "summary": {"pass": n_pass, "fail": n_fail,
+                            "rows_only": n_rowsonly, "total": len(names)},
+                "queries": results,
+            }, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 

@@ -1774,3 +1774,67 @@ def test_countmin_table_mergeable(spark, sf_dir):
         for r in countmin_table(docs).collect()
     }
     assert merged == whole and len(whole) > 0
+
+
+def test_ann_saved_index_roundtrip_and_validation(spark, sf_dir, tmp_path):
+    """ANN artifact contract (llm/similarity.py save_ann_index /
+    load_ann_index): (a) the full train→save→load→search path equals
+    in-session train→search row for row for BOTH IVF+SQ and IVF+PQ —
+    the JSON round-trip is exact because every component is bigints;
+    (b) a truncated/foreign artifact fails loudly at load; (c) a saved
+    codebook block-count mismatch fails loudly at search."""
+    import pytest as _pytest
+
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.similarity import (
+        build_pq_codebooks_integer,
+        ivfpq_search_integer,
+        ivfsq_search_integer,
+        kmeans_integer,
+        load_ann_index,
+        save_ann_index,
+        sq8_train_integer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    queries = emb.where(F.col("vec_id") % 60 == 0)
+    _a, cents = kmeans_integer(emb, k=4, n_iters=2)
+    sq = sq8_train_integer(emb)
+    cbs = [c for _, _, c in
+           build_pq_codebooks_integer(emb, m=4, n_codes=4, n_iters=1)]
+    art = str(tmp_path / "ann")
+    save_ann_index(art, scale=1000, coarse_centroids=cents,
+                   pq_codebooks=cbs, sq_state=sq)
+    idx = load_ann_index(art)
+    assert idx["scale"] == 1000 and idx["by_residual"] is False
+
+    a = sorted(tuple(r) for r in ivfsq_search_integer(
+        emb, queries, k=3, nprobe=2, n_cells=4, coarse_iters=2,
+    ).collect())
+    b = sorted(tuple(r) for r in ivfsq_search_integer(
+        emb, queries, k=3, nprobe=2,
+        state=idx["sq"], coarse=idx["coarse"],
+    ).collect())
+    assert a == b and len(a) == 3 * queries.count()
+
+    c = sorted(tuple(r) for r in ivfpq_search_integer(
+        emb, queries, k=3, nprobe=2, n_cells=4, coarse_iters=2,
+        m=4, n_codes=4, pq_iters=1,
+    ).collect())
+    d = sorted(tuple(r) for r in ivfpq_search_integer(
+        emb, queries, k=3, nprobe=2, m=4,
+        coarse=idx["coarse"], codebooks=idx["pq"],
+    ).collect())
+    assert c == d and len(c) == 3 * queries.count()
+
+    with _pytest.raises(ValueError, match="m=4 blocks, caller asked m=2"):
+        ivfpq_search_integer(emb, queries, m=2, coarse=idx["coarse"],
+                             codebooks=idx["pq"])
+    import json as _json
+    import os as _os
+    bad = str(tmp_path / "bad")
+    _os.makedirs(bad)
+    with open(_os.path.join(bad, "ann_index.json"), "w") as f:
+        _json.dump({"format": "something-else", "scale": 1}, f)
+    with _pytest.raises(ValueError, match="not an ANN index artifact"):
+        load_ann_index(bad)

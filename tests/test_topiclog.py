@@ -4263,3 +4263,81 @@ def test_multimodal_pairs_over_transport(spark, tmp_path):
     assert sorted(r["doc_id"] for r in kept) == [0, 1, 2, 3]
     mts = {r["doc_id"]: r["media_type"] for r in kept}
     assert mts[0] == "image/bmp" and mts[1] == "image/x-portable-pixmap"
+
+
+def test_ann_query_serving_over_transport(spark, tmp_path, sf_dir):
+    """r13 drill — the q318/q319 saved-artifact posture applied to L3
+    (the q326 contract, end to end over the transport): index-build day
+    trains the coarse quantizer + SQ8 state ONCE on the standing corpus
+    and ships them as the save_ann_index JSON artifact; at serve time,
+    query doc-ids arrive on an `ann-queries` topic (item-to-item shape:
+    the client names a vector already in the corpus), the serving job
+    loads the few-KB artifact — NO retraining, no corpus rescan — runs
+    the q322-geometry IVF+SQ search, and publishes (q_id, id, sdist) to
+    `ann-answers`. The answers read back from the topic equal the
+    in-session train→search results row for row."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.similarity import (
+        ivfsq_search_integer,
+        kmeans_integer,
+        load_ann_index,
+        save_ann_index,
+        sq8_train_integer,
+    )
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = str(tmp_path / "log")
+    art = str(tmp_path / "ann_artifact")
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < 300
+    )
+
+    # ---- index-build day: train once, save the artifact
+    _a, cents = kmeans_integer(emb, k=4, n_iters=2)
+    save_ann_index(art, scale=1000, coarse_centroids=cents,
+                   sq_state=sq8_train_integer(emb))
+
+    # ---- serve day: query ids arrive over the transport
+    log = TopicLog(root)
+    for t in ("ann-queries", "ann-answers"):
+        log.create_topic(t, partitions=1)
+    q_ids = [0, 60, 120, 180, 240]
+    qdf = spark.createDataFrame([(i,) for i in q_ids], "q_id bigint")
+    KProducer(host=root, topic="ann-queries", key="q_id",
+              transport="topiclog").write_batch(qdf)
+
+    incoming = (
+        read_topic(spark, root, "ann-queries")
+        .select(F.from_json(F.col("value").cast("string"),
+                            "q_id bigint").alias("v"))
+        .select("v.q_id")
+    )
+    # item-to-item: join the named ids back to their corpus vectors
+    queries = emb.join(
+        incoming.withColumnRenamed("q_id", "vec_id"), "vec_id"
+    )
+    idx = load_ann_index(art)
+    served = ivfsq_search_integer(
+        emb, queries, k=3, nprobe=2,
+        scale=idx["scale"], state=idx["sq"], coarse=idx["coarse"],
+    )
+    KProducer(host=root, topic="ann-answers", key="q_id",
+              transport="topiclog").write_batch(served)
+
+    # ---- the answers on the wire == direct train-and-search
+    got = sorted(
+        (int(r["q_id"]), int(r["vec_id"]), int(r["sdist"]))
+        for r in read_topic(spark, root, "ann-answers")
+        .select(F.from_json(
+            F.col("value").cast("string"),
+            "q_id bigint, vec_id bigint, sdist bigint").alias("v"))
+        .select("v.*").collect()
+    )
+    direct = sorted(
+        (int(r["q_id"]), int(r["vec_id"]), int(r["sdist"]))
+        for r in ivfsq_search_integer(
+            emb, emb.where(F.col("vec_id").isin(q_ids)),
+            k=3, nprobe=2, n_cells=4, coarse_iters=2,
+        ).collect()
+    )
+    assert got == direct and len(got) == 3 * len(q_ids)
