@@ -1845,3 +1845,131 @@ def countmin_token_counts(
         [(r["tok"], int(r["true_cnt"]), int(r["cm_est"])) for r in rows],
         "tok string, true_cnt bigint, cm_est bigint",
     )
+
+
+# ----------------------------------------------------------------- L4
+# HDR-style log-linear quantile sketch — the mergeable QUANTILE half of
+# the corpus-monitoring family (the CM sketch above is the heavy-hitter
+# half). The layout is HdrHistogram's public log-linear bucketing
+# (Tene's HdrHistogram; DDSketch's log buckets are the same idea with a
+# float base): exact unit buckets below 2**sub_bits, then per power-of-
+# two magnitude 2**(sub_bits-1) linear sub-buckets, giving relative
+# error <= 2**(1-sub_bits) (6.25% at the default 5) with a table of a
+# few hundred cells at ANY corpus size. Everything is integer and
+# DETERMINISTIC — no KLL compaction coin-flips — so the sketch CONTENT
+# is value-hash-checkable, and tables merge by cell-wise ADD into
+# exactly the whole's table (the q325 mergeability contract, unit-
+# pinned), which is what lets a per-shard 1 KB sketch roll up to 100 TB
+# with one tiny agg.
+
+
+def hdr_bucket_expr(value_expr: str, sub_bits: int = 5) -> str:
+    """The bucket index as a Spark SQL expression over ``value_expr``
+    (a non-negative bigint): v < 2**s maps to itself (exact smalls);
+    otherwise, with m = bit-length (LENGTH(BIN(v)) — integer-exact in
+    both engines) and e = m − s, idx = 2**s + (e−1)·2**(s−1) +
+    (v − 2**(m−1)) div 2**e. Monotonic in v (cells are contiguous
+    value ranges), so rank queries on the table are rank queries on the
+    data. The DuckDB twin swaps DIV for ``//`` — POW(2, k) is an exact
+    double for any k here, so the two dialects agree bit-for-bit
+    (pinned by the q327 gate)."""
+    s = sub_bits
+    v = f"({value_expr})"
+    return (
+        f"CASE WHEN {v} < {2 ** s} THEN {v} "
+        f"ELSE {2 ** s} + (LENGTH(BIN({v})) - {s + 1}) * {2 ** (s - 1)} "
+        f"+ ({v} - CAST(POW(2, LENGTH(BIN({v})) - 1) AS BIGINT)) "
+        f"DIV CAST(POW(2, LENGTH(BIN({v})) - {s}) AS BIGINT) END"
+    )
+
+
+def hdr_lb_expr(idx_expr: str, sub_bits: int = 5) -> str:
+    """Decode a bucket index back to its range's inclusive LOWER bound
+    (Spark SQL dialect): idx < 2**s is itself; else with t = idx − 2**s,
+    e = t div 2**(s−1) + 1, lb = 2**(s+e−1) + (t mod 2**(s−1))·2**e."""
+    s = sub_bits
+    t = f"(({idx_expr}) - {2 ** s})"
+    return (
+        f"CASE WHEN ({idx_expr}) < {2 ** s} THEN ({idx_expr}) "
+        f"ELSE CAST(POW(2, {t} DIV {2 ** (s - 1)} + {s}) AS BIGINT) "
+        f"+ ({t} % {2 ** (s - 1)}) "
+        f"* CAST(POW(2, {t} DIV {2 ** (s - 1)} + 1) AS BIGINT) END"
+    )
+
+
+def hdr_width_expr(idx_expr: str, sub_bits: int = 5) -> str:
+    """Decode a bucket index to its range WIDTH (2**e; 1 for the exact
+    small buckets) — ub = lb + width − 1."""
+    s = sub_bits
+    t = f"(({idx_expr}) - {2 ** s})"
+    return (
+        f"CASE WHEN ({idx_expr}) < {2 ** s} THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(POW(2, {t} DIV {2 ** (s - 1)} + 1) AS BIGINT) END"
+    )
+
+
+def hdr_histogram_table(
+    df: DataFrame, value_col: str, sub_bits: int = 5
+) -> DataFrame:
+    """The raw HDR table as a frame — (idx, cnt), one row per non-empty
+    bucket: ONE map-side bucket expression + one tiny agg is the only
+    corpus-sized work (the countmin_table posture). The table is the
+    MERGEABLE artifact: shard tables cell-wise-ADD into exactly the
+    whole's table, so per-partition/per-day sketches roll up without
+    re-scanning."""
+    return (
+        df.select(
+            F.expr(hdr_bucket_expr(value_col, sub_bits))
+            .cast("bigint").alias("idx")
+        )
+        .groupBy("idx")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    table: DataFrame,
+    qs_permille: list[int],
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Quantile estimates from an HDR table: for each q (permille), the
+    rank-ceil(q·N/1000) element's bucket — found where the cumulative
+    count over ascending idx first reaches the rank (bucketing is
+    monotonic, so the bucket CONTAINS the exact order statistic:
+    est_lo <= exact <= est_hi, the sketch's whole guarantee, pinned by
+    the q327 gate). All work runs on the metadata-sized table (a few
+    hundred cells), never the corpus. Returns (q_permille, est_lo,
+    est_hi)."""
+    spark = table.sparkSession
+    cum = table.select(
+        "idx", "cnt",
+        F.sum("cnt").over(
+            Window.orderBy("idx")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    ).withColumn("n_total", F.sum("cnt").over(
+        Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    ))
+    qf = spark.createDataFrame(
+        [(int(q),) for q in qs_permille], "q_permille bigint"
+    )
+    hit = (
+        qf.crossJoin(cum)
+        .where(
+            F.col("cum")
+            >= F.expr("(q_permille * n_total + 999) DIV 1000")
+        )
+        .groupBy("q_permille")
+        .agg(F.min("idx").alias("idx"))
+    )
+    return hit.select(
+        "q_permille",
+        F.expr(hdr_lb_expr("idx", sub_bits)).cast("bigint")
+        .alias("est_lo"),
+        (
+            F.expr(hdr_lb_expr("idx", sub_bits))
+            + F.expr(hdr_width_expr("idx", sub_bits)) - 1
+        ).cast("bigint").alias("est_hi"),
+    )

@@ -4558,3 +4558,182 @@ def q326_ann_saved_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, nprobe=2,
         scale=idx["scale"], state=idx["sq"], coarse=idx["coarse"],
     )
+
+
+def _hdr_duck(value: str, s: int = 5) -> str:
+    """DuckDB twin of llm/text.py hdr_bucket_expr (DIV -> //)."""
+    v = f"({value})"
+    return (
+        f"CASE WHEN {v} < {2 ** s} THEN {v} "
+        f"ELSE {2 ** s} + (LENGTH(BIN({v})) - {s + 1}) * {2 ** (s - 1)} "
+        f"+ ({v} - CAST(POW(2, LENGTH(BIN({v})) - 1) AS BIGINT)) "
+        f"// CAST(POW(2, LENGTH(BIN({v})) - {s}) AS BIGINT) END"
+    )
+
+
+def _hdr_lb_duck(idx: str, s: int = 5) -> str:
+    t = f"(({idx}) - {2 ** s})"
+    return (
+        f"CASE WHEN ({idx}) < {2 ** s} THEN ({idx}) "
+        f"ELSE CAST(POW(2, {t} // {2 ** (s - 1)} + {s}) AS BIGINT) "
+        f"+ ({t} % {2 ** (s - 1)}) "
+        f"* CAST(POW(2, {t} // {2 ** (s - 1)} + 1) AS BIGINT) END"
+    )
+
+
+def _hdr_w_duck(idx: str, s: int = 5) -> str:
+    t = f"(({idx}) - {2 ** s})"
+    return (
+        f"CASE WHEN ({idx}) < {2 ** s} THEN CAST(1 AS BIGINT) "
+        f"ELSE CAST(POW(2, {t} // {2 ** (s - 1)} + 1) AS BIGINT) END"
+    )
+
+
+_HDR_QS = [100, 250, 500, 750, 900, 990]
+
+
+def _hdr_table_duck(src_filter: str, alias: str) -> str:
+    """One HDR doc-length table as CTE bodies over a documents slice."""
+    return f"""{alias}d AS MATERIALIZED (
+  SELECT len(string_split(text, ' ')) AS n FROM documents
+  WHERE text <> '' AND ({src_filter})),
+{alias} AS MATERIALIZED (
+  SELECT {_hdr_duck('n')} AS idx, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {alias}d GROUP BY 1)"""
+
+
+@query(
+    "q327_hdr_quantile_sketch",
+    oracle=f"""
+WITH {_hdr_table_duck('TRUE', 't')},
+c AS (SELECT idx, cnt, SUM(cnt) OVER (ORDER BY idx) AS cum,
+             SUM(cnt) OVER () AS n_total FROM t),
+q AS (SELECT CAST(unnest({_HDR_QS}) AS BIGINT) AS q_permille),
+hit AS (SELECT q_permille, MIN(idx) AS idx
+        FROM q, c WHERE cum >= (q_permille * n_total + 999) // 1000
+        GROUP BY q_permille),
+est AS (SELECT q_permille,
+               CAST({_hdr_lb_duck('idx')} AS BIGINT) AS est_lo,
+               CAST({_hdr_lb_duck('idx')} + {_hdr_w_duck('idx')} - 1
+                    AS BIGINT) AS est_hi
+        FROM hit),
+dl AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS cc FROM td GROUP BY n),
+dc AS (SELECT n, SUM(cc) OVER (ORDER BY n) AS cum,
+              SUM(cc) OVER () AS nt FROM dl),
+ex AS (SELECT q_permille, CAST(MIN(n) AS BIGINT) AS exact_len
+       FROM q, dc WHERE cum >= (q_permille * nt + 999) // 1000
+       GROUP BY q_permille)
+SELECT est.q_permille, est_lo, est_hi, exact_len,
+       exact_len BETWEEN est_lo AND est_hi AS in_cell
+FROM est JOIN ex USING (q_permille)
+""",
+    tags=("L4",),
+)
+def q327_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE QUANTILE SKETCH (llm/text.py hdr_histogram_table /
+    hdr_quantiles) — the quantile half of the corpus-monitoring family
+    (CM q324/q325 is the heavy-hitter half): doc-length distribution
+    sketched into the HdrHistogram-shape log-linear integer table
+    (exact unit buckets below 32, then 16 linear sub-buckets per
+    power-of-two magnitude — relative error <= 2**-4), deterministic
+    (no KLL compaction coin-flips), so the sketch CONTENT and its
+    quantile estimates are value-hash-checked, not just bounded. Emits
+    each target quantile's estimated cell [est_lo, est_hi] NEXT TO the
+    exact order statistic with the containment verdict — the oracle
+    computes exact ranks, so the sketch's guarantee (the exact value
+    lands in the estimated cell) is itself part of the gate. Scale: the
+    only corpus-sized work is the one map-side bucket expression + one
+    tiny agg; ranks, decode, and the exactness audit all run on the
+    few-hundred-cell table (the exact side's length type-table is
+    Zipf-bounded the same way)."""
+    from rdkafka_streams_spark.llm.text import (
+        hdr_histogram_table,
+        hdr_quantiles,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text") != "")
+        .select(F.size(F.split("text", " ")).cast("bigint").alias("n"))
+    )
+    est = hdr_quantiles(hdr_histogram_table(d, "n"), _HDR_QS)
+    dl = d.groupBy("n").agg(F.count("*").cast("bigint").alias("cc"))
+    dc = dl.select(
+        "n",
+        F.sum("cc").over(
+            Window.orderBy("n").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cc").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nt"),
+    )
+    qf = spark.createDataFrame(
+        [(int(q),) for q in _HDR_QS], "q_permille bigint"
+    )
+    ex = (
+        qf.crossJoin(dc)
+        .where(F.col("cum") >= F.expr("(q_permille * nt + 999) DIV 1000"))
+        .groupBy("q_permille")
+        .agg(F.min("n").cast("bigint").alias("exact_len"))
+    )
+    return est.join(ex, "q_permille").select(
+        "q_permille", "est_lo", "est_hi", "exact_len",
+        F.col("exact_len").between(F.col("est_lo"), F.col("est_hi"))
+        .alias("in_cell"),
+    )
+
+
+@query(
+    "q328_hdr_sketch_drift",
+    oracle=f"""
+WITH {_hdr_table_duck('doc_id % 2 = 0', 'ha')},
+{_hdr_table_duck('doc_id % 2 = 1', 'hb')}
+SELECT band, CAST(SUM(ABS(a - b)) AS BIGINT) AS l1,
+       CAST(SUM(a) AS BIGINT) AS mass_a,
+       CAST(SUM(b) AS BIGINT) AS mass_b
+FROM (
+  SELECT CASE WHEN idx < 32 THEN 0 ELSE (idx - 32) // 16 + 1 END AS band,
+         COALESCE(ha.cnt, 0) AS a, COALESCE(hb.cnt, 0) AS b
+  FROM ha FULL OUTER JOIN hb USING (idx))
+GROUP BY band
+""",
+    tags=("L4",),
+)
+def q328_hdr_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE-SKETCH DRIFT (q325's cell-wise pattern applied to the
+    HDR table): build the doc-length HDR sketch for two corpus halves
+    and compare CELL-WISE, rolled up per magnitude BAND (band 0 = the
+    exact small buckets, band e = lengths in [2**(4+e), 2**(5+e)) ) —
+    the "did today's crawl's length distribution shift, and at which
+    magnitude?" monitor. Comparison runs on the metadata-sized tables
+    only; per-band L1 + each side's mass, all exact integers over a
+    FULL OUTER cell join — value-hash-checked. Mergeability (shard
+    tables cell-add into the whole's) is unit-pinned, which is what
+    makes the day-over-day ship-only-sketches posture sound."""
+    from rdkafka_streams_spark.llm.text import hdr_histogram_table
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text") != "")
+    d = lambda pred: docs.where(F.expr(pred)).select(  # noqa: E731
+        F.size(F.split("text", " ")).cast("bigint").alias("n")
+    )
+    ha = hdr_histogram_table(d("doc_id % 2 = 0"), "n")
+    hb = hdr_histogram_table(d("doc_id % 2 = 1"), "n")
+    j = (
+        ha.withColumnRenamed("cnt", "a")
+        .join(hb.withColumnRenamed("cnt", "b"), ["idx"], "full_outer")
+        .select(
+            F.expr(
+                "CASE WHEN idx < 32 THEN CAST(0 AS BIGINT) "
+                "ELSE (idx - 32) DIV 16 + 1 END"
+            ).alias("band"),
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+        )
+    )
+    return j.groupBy("band").agg(
+        F.sum(F.abs(F.col("a") - F.col("b"))).cast("bigint").alias("l1"),
+        F.sum("a").cast("bigint").alias("mass_a"),
+        F.sum("b").cast("bigint").alias("mass_b"),
+    )

@@ -1838,3 +1838,75 @@ def test_ann_saved_index_roundtrip_and_validation(spark, sf_dir, tmp_path):
         _json.dump({"format": "something-else", "scale": 1}, f)
     with _pytest.raises(ValueError, match="not an ANN index artifact"):
         load_ann_index(bad)
+
+
+def test_hdr_histogram_merge_and_bounds(spark, sf_dir):
+    """HDR quantile-sketch contracts (llm/text.py hdr_histogram_table):
+    (a) MERGEABILITY — shard tables cell-wise ADD into exactly the
+    whole corpus's table (the ship-only-sketches posture); (b) the
+    bucket expression matches the bit-arithmetic reference and is
+    monotonic, and every value lands inside its decoded [lb, ub] cell;
+    (c) quantile estimates from the table contain the exact order
+    statistic, and the cell's relative width respects the 2**(1-s)
+    bound."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.text import (
+        hdr_bucket_expr,
+        hdr_histogram_table,
+        hdr_lb_expr,
+        hdr_quantiles,
+        hdr_width_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n")
+    )
+    whole = {r["idx"]: r["cnt"]
+             for r in hdr_histogram_table(d, "n").collect()}
+    sa = {r["idx"]: r["cnt"] for r in hdr_histogram_table(
+        d.where("doc_id % 2 = 0"), "n").collect()}
+    sb = {r["idx"]: r["cnt"] for r in hdr_histogram_table(
+        d.where("doc_id % 2 = 1"), "n").collect()}
+    merged = {i: sa.get(i, 0) + sb.get(i, 0) for i in set(sa) | set(sb)}
+    assert merged == whole  # cell-wise add == whole, exactly
+
+    # bucket expr vs pure-python bit arithmetic + containment + monotone
+    s = 5
+    vals = [0, 1, 2, 31, 32, 33, 63, 64, 65, 100, 127, 128, 129, 1000,
+            4095, 4096, 65535, 10**6, 10**9]
+    vdf = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    got = vdf.selectExpr(
+        "v",
+        hdr_bucket_expr("v") + " AS idx",
+    ).selectExpr(
+        "v", "idx",
+        hdr_lb_expr("idx") + " AS lb",
+        hdr_width_expr("idx") + " AS w",
+    ).collect()
+
+    def pyidx(v):
+        if v < 2 ** s:
+            return v
+        m = v.bit_length()
+        return 2 ** s + (m - s - 1) * 2 ** (s - 1) + (
+            (v - 2 ** (m - 1)) >> (m - s)
+        )
+
+    prev = -1
+    for r in sorted(got, key=lambda r: r["v"]):
+        assert r["idx"] == pyidx(r["v"])
+        assert r["lb"] <= r["v"] <= r["lb"] + r["w"] - 1
+        assert r["idx"] >= prev  # monotone in v
+        prev = r["idx"]
+        if r["v"] >= 2 ** s:
+            assert (r["w"] - 1) * 2 ** (s - 1) <= r["lb"]  # rel err bound
+
+    # quantile containment: exact order statistic inside the cell
+    tbl = hdr_histogram_table(d, "n")
+    est = {r["q_permille"]: (r["est_lo"], r["est_hi"])
+           for r in hdr_quantiles(tbl, [250, 500, 900]).collect()}
+    ns = sorted(r["n"] for r in d.collect())
+    for q, (lo, hi) in est.items():
+        exact = ns[(q * len(ns) + 999) // 1000 - 1]
+        assert lo <= exact <= hi, (q, lo, exact, hi)
