@@ -21,7 +21,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
@@ -818,3 +818,29 @@ def decode_fingerprint_stdlib(pairs: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return pairs.mapInPandas(run, schema=FINGERPRINT_SCHEMA)
+
+
+def fingerprint_dedup_incremental(
+    index: DataFrame, delta_fp: DataFrame
+) -> DataFrame:
+    """PIXEL dedup in the daily-ingest posture (the
+    ``minhash_near_dups_incremental`` contract applied to L5+L1): the
+    standing corpus's fingerprint frame is the SAVED INDEX — only the
+    4-long content key (width, height, px_sum, px_wsum) per image, a
+    metadata-scale artifact the base corpus is NEVER re-decoded for —
+    and an increment's decoded fingerprints drop (a) every pair whose
+    raster already exists in the index (cross-container: an incoming
+    BMP of a standing PNG's pixels is caught, which byte hashing cannot
+    do), then (b) within-delta duplicates (min doc_id per key, q317's
+    m2 rule). Returns the surviving delta rows. Scale: LEFT ANTI join
+    against the broadcast-able index + one window over the (tiny)
+    delta; the corpus-sized decode happened once, on index-build day."""
+    key = ["width", "height", "px_sum", "px_wsum"]
+    fresh = delta_fp.join(
+        index.select(*key).distinct(), key, "left_anti"
+    )
+    w = Window.partitionBy(*key).orderBy("doc_id")
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1").drop("__rn")
+    )

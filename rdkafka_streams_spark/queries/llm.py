@@ -4737,3 +4737,118 @@ def q328_hdr_sketch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").cast("bigint").alias("mass_a"),
         F.sum("b").cast("bigint").alias("mass_b"),
     )
+
+
+def _multimodal_incremental_oracle(dup_mod: int = 20) -> str:
+    """q317's fingerprint CTE split into standing/delta halves: the
+    index is the standing half's fingerprint keys; the delta funnel is
+    index-anti-dedup -> within-delta dedup -> dims -> caption."""
+    return f"""
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % {dup_mod} AS BIGINT) AS key, source, text
+  FROM documents),
+d AS (SELECT p.*, CAST(8 + key % 9 AS INT) AS w, CAST(8 + key % 7 AS INT) AS h
+      FROM p),
+fp AS MATERIALIZED (
+  SELECT doc_id, source, text, w, h,
+         CAST(SUM((key*7 + x.i*3 + y.i*5 + c.i*11) % 256) AS BIGINT)
+           AS px_sum,
+         CAST(SUM(((y.i * w + x.i) * 3 + c.i + 1)
+                  * ((key*7 + x.i*3 + y.i*5 + c.i*11) % 256)) AS BIGINT)
+           AS px_wsum
+  FROM d, range(17) x(i), range(15) y(i), range(3) c(i)
+  WHERE x.i < w AND y.i < h
+  GROUP BY doc_id, source, text, w, h),
+standing AS MATERIALIZED (
+  SELECT DISTINCT w, h, px_sum, px_wsum FROM fp WHERE doc_id % 2 = 0),
+delta AS MATERIALIZED (SELECT * FROM fp WHERE doc_id % 2 = 1),
+s1 AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT dl.*, ROW_NUMBER() OVER (
+             PARTITION BY dl.w, dl.h, dl.px_sum, dl.px_wsum
+             ORDER BY dl.doc_id) AS rn
+    FROM delta dl ANTI JOIN standing st
+      ON dl.w = st.w AND dl.h = st.h AND dl.px_sum = st.px_sum
+         AND dl.px_wsum = st.px_wsum
+  ) WHERE rn = 1),
+s2 AS (SELECT * FROM s1 WHERE w >= 10 AND h >= 9),
+s3 AS MATERIALIZED (
+  SELECT * FROM s2 WHERE len(string_split(text, ' ')) >= 20)
+SELECT stage, stage_name, n_pairs, n_px FROM (
+  SELECT 0 AS stage, 'delta_decoded' AS stage_name,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(SUM(w * h), 0) AS BIGINT) AS n_px FROM delta
+  UNION ALL SELECT 1, 'index_and_delta_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(w * h), 0) AS BIGINT) FROM s1
+  UNION ALL SELECT 2, 'dims_filter', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(w * h), 0) AS BIGINT) FROM s2
+  UNION ALL SELECT 3, 'caption_quality', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(w * h), 0) AS BIGINT) FROM s3)
+"""
+
+
+@query(
+    "q329_multimodal_incremental_curation",
+    oracle=_multimodal_incremental_oracle(),
+    tags=("L5", "L1"),
+)
+def q329_multimodal_incremental_curation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTIMODAL CURATION IN THE DAILY-INGEST POSTURE (llm/multimodal.py
+    fingerprint_dedup_incremental) — q317's funnel split into index-build
+    day and ingest day, the q318/q326 saved-artifact contract for L5+L1:
+    the STANDING half (doc_id % 2 = 0) is decoded ONCE and only its
+    4-long fingerprint keys form the saved index; the DELTA half decodes
+    and runs (1) pixel dedup AGAINST THE INDEX (an incoming BMP whose
+    raster exists as a standing PNG drops — content-level, which byte
+    hashing cannot do) then within-delta dedup, (2) the dims floor, (3)
+    the caption-quality floor, emitting the per-stage funnel. The base
+    corpus is never re-decoded at ingest time — the point of the index.
+    Scale: delta decode is the only ingest-day corpus work (zero-shuffle
+    mapInPandas); the index join is a LEFT ANTI against the
+    metadata-scale key set; one window over the delta. Oracle recomputes
+    both halves' fingerprints closed-form and chains the same stages.
+    Exercised end to end over the transport with a PARQUET-saved index
+    in tests/test_topiclog.py test_multimodal_increment_funnel (r13)."""
+    from rdkafka_streams_spark.llm.multimodal import (
+        decode_fingerprint_stdlib,
+        fingerprint_dedup_incremental,
+        generate_image_caption_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    standing_fp = decode_fingerprint_stdlib(
+        generate_image_caption_pairs(docs.where("doc_id % 2 = 0"),
+                                     dup_mod=20)
+    ).select("width", "height", "px_sum", "px_wsum").distinct()
+    delta_fp = decode_fingerprint_stdlib(
+        generate_image_caption_pairs(docs.where("doc_id % 2 = 1"),
+                                     dup_mod=20)
+    ).persist()
+    try:
+        s1 = fingerprint_dedup_incremental(standing_fp, delta_fp)
+        s2 = s1.where((F.col("width") >= 10) & (F.col("height") >= 9))
+        s3 = s2.where(F.size(F.split(F.col("caption"), " ")) >= 20)
+        rows = []
+        for stage, name, df in (
+            (0, "delta_decoded", delta_fp),
+            (1, "index_and_delta_dedup", s1),
+            (2, "dims_filter", s2),
+            (3, "caption_quality", s3),
+        ):
+            agg = df.agg(
+                F.count("*").cast("bigint"),
+                F.coalesce(
+                    F.sum(F.col("width").cast("bigint")
+                          * F.col("height").cast("bigint")),
+                    F.lit(0),
+                ).cast("bigint"),
+            ).first()
+            rows.append((stage, name, int(agg[0]), int(agg[1])))
+    finally:
+        delta_fp.unpersist()
+    return spark.createDataFrame(
+        rows, "stage bigint, stage_name string, n_pairs bigint, n_px bigint"
+    )

@@ -4341,3 +4341,116 @@ def test_ann_query_serving_over_transport(spark, tmp_path, sf_dir):
         ).collect()
     )
     assert got == direct and len(got) == 3 * len(q_ids)
+
+
+def test_multimodal_increment_funnel(spark, tmp_path):
+    """r13 drill — the q329 contract end to end over the transport
+    (saved fingerprint-index for L5+L1): index-build day decodes the
+    standing image-caption corpus ONCE and saves only the 4-long
+    fingerprint keys as parquet; image-caption increments arrive on an
+    ingest topic, decode, and run pixel-dedup-against-the-index →
+    within-delta dedup → dims floor → caption floor; survivors land on
+    a clean topic, the funnel on a funnel topic, and the survivors'
+    keys APPEND to the index — so re-ingesting the same increment
+    dedups to zero (idempotent daily ingest). Each increment doc
+    exercises exactly one stage; the cross-container drops prove the
+    dedup is content-level (an incoming BMP of a standing PPM's raster
+    drops), which byte hashing cannot do."""
+    from rdkafka_streams_spark.llm.multimodal import (
+        decode_fingerprint_stdlib,
+        fingerprint_dedup_incremental,
+        generate_image_caption_pairs,
+    )
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = str(tmp_path / "log")
+    ix = str(tmp_path / "ix")
+    long_cap = " ".join(f"w{i}" for i in range(22))
+    base = spark.createDataFrame(
+        [(i, long_cap, "web") for i in range(1, 9)],
+        "doc_id bigint, text string, source string",
+    )
+    # ---- index-build day: decode once, save ONLY the fingerprint keys
+    decode_fingerprint_stdlib(
+        generate_image_caption_pairs(base, dup_mod=20)
+    ).select("width", "height", "px_sum", "px_wsum").write.parquet(
+        f"{ix}/fp0"
+    )
+
+    # ---- ingest day: each delta doc exercises exactly one stage
+    # (raster key = doc_id % 20, container = doc_id % 3; base rasters
+    # are keys 1..8)
+    delta_rows = [
+        # 321: key 1 = base doc 1's raster, but BMP vs the base's PPM
+        # -> cross-container INDEX dup (stage 1)
+        (321, long_cap, "web"),
+        # 316/336: both key 16 (dims pass), PPM vs BMP -> within-delta
+        # cross-container dup; min doc_id 316 survives, 336 drops
+        (316, long_cap, "web"),
+        (336, long_cap, "web"),
+        # 340: key 0 -> 8x8 raster, fails the dims floor (stage 2)
+        (340, long_cap, "web"),
+        # 355: key 15 (14x9 passes dims), 5-word caption -> stage 3 drop
+        (355, "too short a caption here", "web"),
+    ]
+    log = TopicLog(root)
+    for t in ("mm-ingest", "mm-clean", "mm-funnel"):
+        log.create_topic(t, partitions=1)
+    inc = spark.createDataFrame(
+        delta_rows, "doc_id bigint, text string, source string"
+    )
+    KProducer(host=root, topic="mm-ingest", key="doc_id",
+              transport="topiclog").write_batch(inc)
+
+    def run_ingest(index_paths: list[str]) -> tuple[list, int]:
+        delta = (
+            read_topic(spark, root, "mm-ingest")
+            .select(F.from_json(
+                F.col("value").cast("string"),
+                "doc_id bigint, text string, source string").alias("v"))
+            .select("v.doc_id", "v.text", "v.source")
+        )
+        fp = decode_fingerprint_stdlib(
+            generate_image_caption_pairs(delta, dup_mod=20)
+        )
+        index = spark.read.parquet(*index_paths)
+        s1 = fingerprint_dedup_incremental(index, fp)
+        s2 = s1.where((F.col("width") >= 10) & (F.col("height") >= 9))
+        s3 = s2.where(F.size(F.split(F.col("caption"), " ")) >= 20)
+        funnel = [
+            ("delta_decoded", fp.count()),
+            ("index_and_delta_dedup", s1.count()),
+            ("dims_filter", s2.count()),
+            ("caption_quality", s3.count()),
+        ]
+        return funnel, s3
+
+    funnel, survivors = run_ingest([f"{ix}/fp0"])
+    assert funnel == [("delta_decoded", 5), ("index_and_delta_dedup", 3),
+                      ("dims_filter", 2), ("caption_quality", 1)]
+    assert [int(r["doc_id"]) for r in survivors.collect()] == [316]
+
+    # survivors to the clean topic, the funnel to the funnel topic
+    KProducer(host=root, topic="mm-clean", key="doc_id",
+              transport="topiclog").write_batch(
+        survivors.select("doc_id", "media_type", "source", "caption"))
+    KProducer(host=root, topic="mm-funnel", transport="topiclog"
+              ).write_batch(spark.createDataFrame(
+                  funnel, "stage string, n bigint"))
+    clean = (
+        read_topic(spark, root, "mm-clean")
+        .select(F.from_json(F.col("value").cast("string"),
+                            "doc_id bigint, media_type string").alias("v"))
+        .collect()
+    )
+    assert [(r["v"]["doc_id"], r["v"]["media_type"]) for r in clean] == [
+        (316, "image/x-portable-pixmap")
+    ]
+    # ---- the incremental contract: survivors' keys APPEND to the index,
+    # so re-ingesting the same increment dedups everything dedupable
+    survivors.select("width", "height", "px_sum", "px_wsum"
+                     ).write.parquet(f"{ix}/fp1")
+    funnel2, survivors2 = run_ingest([f"{ix}/fp0", f"{ix}/fp1"])
+    assert funnel2 == [("delta_decoded", 5), ("index_and_delta_dedup", 2),
+                       ("dims_filter", 1), ("caption_quality", 0)]
+    assert survivors2.count() == 0
