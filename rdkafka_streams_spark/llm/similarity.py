@@ -1595,3 +1595,87 @@ def load_ann_index(path: str) -> dict:
     return {"scale": int(doc["scale"]),
             "by_residual": bool(doc.get("by_residual", False)),
             "coarse": coarse, "pq": pq, "sq": sq}
+
+
+def build_ivf_corpus(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int]]]:
+    """INDEX-BUILD DAY for partitioned IVF serving: train the integer
+    coarse quantizer, write the assigned corpus (id, qv, cid) as parquet
+    PARTITIONED BY cell id, and return the centroids (to persist via
+    ``save_ann_index``). The cell directories ARE the inverted lists —
+    at serve time a probe reads nprobe/n_cells of the directories
+    instead of scanning the corpus (`PartitionFilters` on cid, pinned
+    by the plan test). Overwrite mode: rebuilds land atomically under
+    the same root, the layout every 100 TB vector store uses."""
+    assigned, cents = kmeans_integer(
+        emb, k=n_cells, n_iters=n_iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    return cents
+
+
+def ivf_search_partitioned(
+    spark,
+    corpus_path: str,
+    coarse: list[tuple[int, list[int]]],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SERVE DAY against the ``build_ivf_corpus`` layout: probe each
+    query's ``nprobe`` nearest cells from the LOADED centroids (the
+    ``load_ann_index`` coarse list — no trainer run), restrict the
+    corpus scan to exactly the probed cell PARTITIONS (the probed cell
+    set is nq × nprobe ints — driver metadata — so the IN-filter is a
+    literal and the scan carries static PartitionFilters), and rank
+    survivors by exact integer L2. Bit-identical to
+    ``ivf_search_integer`` on the same training run (same probes, same
+    candidates, same tie rule) — the q331 gate — while reading only
+    nprobe/n_cells of the data from disk."""
+    cdf = spark.createDataFrame(coarse, "cid int, qc array<bigint>")
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        quantize_global(vec_col, scale).alias("q_qv"),
+    )
+    pw = Window.partitionBy("q_id").orderBy("__d", "cid")
+    probes = (
+        qs.crossJoin(F.broadcast(cdf))
+        .withColumn("__d", _int_l2("q_qv", "qc"))
+        .withColumn("__rn", F.row_number().over(pw))
+        .where(F.col("__rn") <= nprobe)
+        .select("q_id", "q_qv", "cid")
+    ).persist()
+    try:
+        cells = sorted(
+            r["cid"] for r in probes.select("cid").distinct().collect()
+        )
+        corpus = spark.read.parquet(corpus_path).where(
+            F.col("cid").isin(cells)  # literal -> static partition pruning
+        )
+        cand = corpus.join(F.broadcast(probes), "cid").where(
+            F.col(id_col) != F.col("q_id")
+        )
+        kw = Window.partitionBy("q_id").orderBy("__d", id_col)
+        out = (
+            cand.withColumn("__d", _int_l2("qv", "q_qv"))
+            .withColumn("__rn", F.row_number().over(kw))
+            .where(F.col("__rn") <= k)
+            .select("q_id", F.col(id_col), F.col("__d").alias("dist_sq"))
+        )
+        # materialize before releasing the probe cache (it feeds the
+        # broadcast twice: the cell collect above and the candidate join)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        probes.unpersist()
+    return out

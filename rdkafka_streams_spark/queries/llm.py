@@ -37,7 +37,7 @@ from rdkafka_streams_spark.llm.text import (
     text_quality,
     token_stats,
 )
-from rdkafka_streams_spark.queries.registry import query
+from rdkafka_streams_spark.queries.registry import REGISTRY, query
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -4851,4 +4851,117 @@ def q329_multimodal_incremental_curation(
         delta_fp.unpersist()
     return spark.createDataFrame(
         rows, "stage bigint, stage_name string, n_pairs bigint, n_px bigint"
+    )
+
+
+_N_SHARDS = 8
+
+
+@query(
+    "q330_dataloader_shards",
+    oracle=f"""
+WITH d AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS o
+  FROM documents WHERE text <> ''),
+r AS (SELECT doc_id, n_tokens,
+             CAST(ROW_NUMBER() OVER (ORDER BY o, doc_id) AS BIGINT) AS pos
+      FROM d),
+s AS (SELECT *, CAST((pos - 1) % {_N_SHARDS} AS BIGINT) AS shard FROM r)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(pos) AS BIGINT) AS first_pos,
+       CAST(MAX(pos) AS BIGINT) AS last_pos,
+       CAST(SUM(pos * doc_id) % 1000000007 AS BIGINT) AS order_checksum
+FROM s GROUP BY shard
+""",
+    tags=("L4",),
+)
+def q330_dataloader_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATALOADER SHARD MANIFEST (operators/ranking.py global_rank) —
+    the step between curation and training: give every document ONE
+    deterministic position in a fixed global shuffle order (md5(doc_id),
+    the engine's reproducible-pseudo-random idiom — every re-run of the
+    job, on any cluster size, deals the same order) and deal positions
+    round-robin to N dataloader shards (the WebDataset/DDP worker
+    contract: shard i gets positions ≡ i mod N, so shards are balanced
+    to ±1 doc BY CONSTRUCTION, no skewed worker). Emits the per-shard
+    manifest — doc/token counts, position range, and a position-weighted
+    id checksum so the ASSIGNMENT (not just the sizes) is value-hashed.
+
+    Scale: the global position comes from global_rank's two-job prefix
+    pattern (range-partition on the order key, per-partition counts
+    collect once as a pid→offset literal map) — the naive partition-less
+    ROW_NUMBER() OVER would serialize 100 TB through one task; the
+    oracle computes exactly that serial definition, so the parallel
+    rank is hash-checked against it. One agg on top; no other
+    corpus-sized work."""
+    from rdkafka_streams_spark.operators.ranking import global_rank
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text") != "")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("o"),
+        )
+    )
+    ranked = global_rank(d, ["o", "doc_id"], rank_col="pos")
+    s = ranked.select(
+        "doc_id", "n_tokens", F.col("pos").cast("bigint").alias("pos"),
+        ((F.col("pos") - 1) % _N_SHARDS).cast("bigint").alias("shard"),
+    )
+    return s.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+        F.max("pos").cast("bigint").alias("last_pos"),
+        (F.sum(F.col("pos") * F.col("doc_id")) % 1000000007)
+        .cast("bigint").alias("order_checksum"),
+    )
+
+
+@query(
+    "q331_ivf_partitioned_serve",
+    oracle=REGISTRY["q305_ivf_exact_search"].oracle,
+    tags=("L3",),
+)
+def q331_ivf_partitioned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED IVF SERVING (llm/similarity.py build_ivf_corpus /
+    ivf_search_partitioned) — the q326 artifact contract completed with
+    the CORPUS side of a production vector store: index-build day trains
+    the coarse quantizer, writes the assigned corpus PARTITIONED BY cell
+    id (the cell directories ARE the inverted lists), and persists the
+    centroids via save_ann_index; serve day loads the artifact, probes
+    each query's nprobe cells, and scans ONLY the probed cell partitions
+    (the probed set is nq×nprobe ints — a literal IN-filter, so the scan
+    carries static PartitionFilters; pinned by the plan test). Gated
+    against q305's oracle — partition-pruned serving must be
+    bit-identical to the in-memory search on the same training run,
+    while reading nprobe/n_cells of the corpus from disk. The corpus
+    root is overwritten per build (no unbounded temp growth)."""
+    import hashlib
+    import tempfile
+
+    from rdkafka_streams_spark.llm.similarity import (
+        build_ivf_corpus,
+        ivf_search_partitioned,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"{tempfile.gettempdir()}/rdkafka_streams_ivf_corpus_{tag}"
+    cents = build_ivf_corpus(
+        emb, f"{root}/corpus", n_cells=_KM_K, n_iters=_KM_N_ITERS,
+    )
+    save_ann_index(f"{root}/art", scale=1000, coarse_centroids=cents)
+    idx = load_ann_index(f"{root}/art")
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    return ivf_search_partitioned(
+        spark, f"{root}/corpus", idx["coarse"], queries,
+        k=5, nprobe=2, scale=idx["scale"],
     )

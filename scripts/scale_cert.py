@@ -189,22 +189,29 @@ def build_scaled_dir(
 
 
 def certify_query(spark, name: str, fn, sf_dir: str, warm: bool) -> dict:
-    t0 = time.perf_counter()
-    df = fn(spark, sf_dir)  # iterative queries do eager work here -- timed
-    build_s = time.perf_counter() - t0
+    """Time fn-build + count, MIN OF TWO timed passes, with a forced full
+    GC before each pass. Single-pass timing proved untrustworthy (r13):
+    the shared box runs 1.4-1.65x slower in bursts (the r12 verdict's
+    calibration finding), and heap garbage from the PREVIOUS query taxes
+    this one's tasks — the same q305 plan measured anywhere from 15s to
+    358s at 32x. GC isolates the heap effect; min-of-2 takes whichever
+    pass dodged the host noise. The first (warm) pass also pays JIT and
+    scan-cache warmup, which is exactly why it is not the recorded one."""
+    df = fn(spark, sf_dir)
     exchanges = count_exchanges(df)
-    if warm:
-        df.count()
+    best = None
+    for _ in range(2):
+        for _g in range(2):
+            spark._jvm.System.gc()
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        build_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    rows = df.count()
-    run_s = time.perf_counter() - t0
+        df = fn(spark, sf_dir)  # eager queries do their jobs here -- timed
+        rows = df.count()
+        sec = time.perf_counter() - t0
+        best = sec if best is None else min(best, sec)
     return {
         "rows": rows,
         "exchanges": exchanges,
-        "sec": round(build_s + run_s, 3),
+        "sec": round(best, 3),
     }
 
 
@@ -627,7 +634,14 @@ def main() -> int:
     )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
-    names = args.queries.split(",")
+    from rdkafka_streams_spark.queries import REGISTRY as _REG
+
+    names = [
+        n if n in _REG else next(
+            (full for full in sorted(_REG) if full.startswith(n)), n
+        )
+        for n in args.queries.split(",")
+    ]
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # one JVM hosts the driver AND all 32 executor threads; at 32x the
@@ -673,7 +687,45 @@ def main() -> int:
             )
             print(f"# built {m}x under {d} in {time.perf_counter() - t0:.1f}s",
                   file=sys.stderr)
+        # Warm the OS page cache for every table at this multiplier BEFORE
+        # any timed query. Without this, whichever query happens to read a
+        # freshly-built scratch table first absorbs ~100s of cold reads at
+        # 32x into ITS row (r13: the same query swung 26s<->131s purely by
+        # run order) — the cert is about plan scaling, not disk order.
+        t0 = time.perf_counter()
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                p = os.path.join(d, f)
+                spark.read.format("binaryFile").option(
+                    "recursiveFileLookup", "true"
+                ).load(p).selectExpr("sum(length(content))").collect()
+        print(f"# warmed {m}x page cache in {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        # ... and force the writeback to FINISH: the freshly-built scratch
+        # leaves GBs of dirty pages flushing asynchronously, and the first
+        # timed query's shuffle writes stall behind that flush (r13: the
+        # first ANN query at 32x recorded 130-260s vs its honest ~20s,
+        # regardless of which query ran first). sync() is the barrier that
+        # makes rows order-independent.
+        t0 = time.perf_counter()
+        os.sync()
+        print(f"# synced {m}x writeback in {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
         dirs[m] = d
+
+    # FORCE a full GC between the builds and the timed certification: the
+    # 56g heap is littered with the union/write garbage of the replica
+    # builds, and the first heavy query otherwise runs every task against
+    # a collector fighting for space — r13 measured the SAME q305 plan at
+    # 358.6s straight after the build vs 22.1s after three System.gc()
+    # calls vs 14.4s steady-state (and 17-29s in a fresh process against
+    # the identical scratch). A spark.stop()+get_spark() "restart" does
+    # NOT fix it — the py4j gateway reuses the JVM, residue included.
+    # Certified times must measure the PLAN, not the builder's leftovers.
+    for _ in range(3):
+        spark._jvm.System.gc()
+    time.sleep(2)
+    print("# forced full GC before certification", file=sys.stderr)
 
     result: dict = {"base": args.base, "mults": mults, "queries": {}}
     if args.merge and os.path.exists(args.out):

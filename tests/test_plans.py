@@ -721,3 +721,28 @@ def test_statistics_flip_plans_pinned_at_asymptote(spark, sf_dir):
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_ivf_cell_partitioned_corpus_prunes_at_scan(spark, sf_dir, tmp_path):
+    """The IVF scale posture's standing claim — 'the candidate join hits
+    the inverted lists on the cell key (partition pruning when the corpus
+    is written partitioned by cell)' — made real: write the assigned
+    corpus partitionBy(cid), probe a FIXED cell set (the serve-time shape:
+    a query batch's probed cells are known before the corpus scan), and
+    the corpus scan must carry the cid PartitionFilters — reading
+    nprobe/n_cells of the directories, not the corpus. A plan whose scan
+    lacks the filter reads 100 TB to answer a 2-cell probe."""
+    from rdkafka_streams_spark.core.plan import partition_filters
+    from rdkafka_streams_spark.llm.similarity import kmeans_integer
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    assigned, cents = kmeans_integer(emb, k=4, n_iters=2)
+    path = str(tmp_path / "ivf_corpus")
+    assigned.write.partitionBy("cid").parquet(path)
+    corpus = spark.read.parquet(path)
+    # serve shape: the probed cells are literals by scan time
+    cand = corpus.where(F.col("cid").isin([1, 3]))
+    pf = " ".join(partition_filters(cand))
+    assert "cid" in pf, f"no partition pruning on cid: {pf}"

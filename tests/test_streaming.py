@@ -780,3 +780,54 @@ def test_progress_latency_percentiles_nearest_rank():
 
     empty = progress_latency_percentiles([])
     assert empty == {"batches": 0}
+
+
+def test_streaming_hdr_sketch_matches_batch(spark, sf_dir, event_stream_dir, tmp_path):
+    """r13: the mergeable quantile sketch (llm/text.py hdr_bucket_expr)
+    as a STREAMING aggregation — bucket is a stateless map-side
+    expression, so the sketch table is an ordinary streaming groupBy:
+    per micro-batch partial sketches merge by cell-wise add (the
+    mergeability the unit pins is exactly what makes the operator
+    streaming-safe in complete/update mode). The replayed stream's
+    final table equals the batch-built sketch cell for cell."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.text import (
+        hdr_bucket_expr,
+        hdr_histogram_table,
+    )
+
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(event_stream_dir)
+        .select(
+            F.expr(hdr_bucket_expr("CAST(value AS BIGINT)"))
+            .cast("bigint").alias("idx")
+        )
+        .groupBy("idx")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hdr_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_hdr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["idx"]: r["cnt"]
+        for r in spark.sql("SELECT idx, cnt FROM hdr_stream").collect()
+    }
+    batch = {
+        r["idx"]: r["cnt"]
+        for r in hdr_histogram_table(
+            load_table(spark, sf_dir, "events").select(
+                F.col("value").cast("bigint").alias("v")
+            ),
+            "v",
+        ).collect()
+    }
+    assert got == batch and len(got) > 3

@@ -4454,3 +4454,78 @@ def test_multimodal_increment_funnel(spark, tmp_path):
     assert funnel2 == [("delta_decoded", 5), ("index_and_delta_dedup", 2),
                        ("dims_filter", 1), ("caption_quality", 0)]
     assert survivors2.count() == 0
+
+
+def test_sketch_monitoring_over_transport(spark, tmp_path, sf_dir):
+    """r13 drill — the ship-only-sketches posture end to end: each
+    'day' builds its HDR doc-length table (q327's sketch) close to the
+    data and publishes the FEW-HUNDRED-CELL table to a sketches topic;
+    the monitor consumes ONLY the wire sketches — never the corpora —
+    merges them by cell-wise add (the mergeability contract), reads
+    quantiles off the merged table, and computes the per-band drift
+    between the two days (q328's comparison). Everything computed from
+    the wire equals the same computation on locally-built tables."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.text import (
+        hdr_histogram_table,
+        hdr_quantiles,
+    )
+    from rdkafka_streams_spark.streaming import TopicLog, read_topic
+
+    root = str(tmp_path / "log")
+    log = TopicLog(root)
+    log.create_topic("sketches", partitions=1)
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text") != "")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n")
+    )
+    # ---- producer side: per-day sketch built near the data, published
+    days = {0: d.where("doc_id % 2 = 0"), 1: d.where("doc_id % 2 = 1")}
+    for day, dd in days.items():
+        tbl = hdr_histogram_table(dd, "n").withColumn("day", F.lit(day))
+        KProducer(host=root, topic="sketches", key="idx",
+                  transport="topiclog").write_batch(tbl)
+
+    # ---- monitor side: consumes ONLY the topic
+    wire = (
+        read_topic(spark, root, "sketches")
+        .select(F.from_json(
+            F.col("value").cast("string"),
+            "idx bigint, cnt bigint, day int").alias("v"))
+        .select("v.*")
+    )
+    merged = wire.groupBy("idx").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    est_wire = sorted(
+        tuple(r) for r in hdr_quantiles(merged, [500, 900]).collect()
+    )
+    est_direct = sorted(
+        tuple(r)
+        for r in hdr_quantiles(hdr_histogram_table(d, "n"), [500, 900])
+        .collect()
+    )
+    assert est_wire == est_direct  # merged wire tables == whole corpus
+
+    def drift(tblA, tblB):
+        j = (
+            tblA.withColumnRenamed("cnt", "a")
+            .join(tblB.withColumnRenamed("cnt", "b"), ["idx"],
+                  "full_outer")
+            .select(
+                F.expr("CASE WHEN idx < 32 THEN CAST(0 AS BIGINT) "
+                       "ELSE (idx - 32) DIV 16 + 1 END").alias("band"),
+                F.coalesce("a", F.lit(0)).alias("a"),
+                F.coalesce("b", F.lit(0)).alias("b"),
+            )
+            .groupBy("band")
+            .agg(F.sum(F.abs(F.col("a") - F.col("b"))).cast("bigint")
+                 .alias("l1"))
+        )
+        return sorted(tuple(r) for r in j.collect())
+
+    wa = wire.where("day = 0").select("idx", "cnt")
+    wb = wire.where("day = 1").select("idx", "cnt")
+    assert drift(wa, wb) == drift(
+        hdr_histogram_table(days[0], "n"),
+        hdr_histogram_table(days[1], "n"),
+    )
