@@ -861,3 +861,78 @@ def test_member_token_never_reissued_property(tmp_path_factory, ops):
             log.remove_member("g", "inst-1")
             joined = False
     assert issued == sorted(set(issued)), issued
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("register"), st.integers(0, 5)),
+            st.tuples(st.just("soft_delete_latest"), st.just(0)),
+            st.tuples(st.just("permanent_delete"), st.just(0)),
+        ),
+        min_size=1, max_size=12,
+    ),
+)
+def test_schema_registry_version_id_claims_property(tmp_path_factory, ops):
+    """r13 marker-family audit (MARKERS.md families 4/5): under any
+    register / soft-delete / permanent-delete interleaving on one
+    subject — (a) live version numbers never collide, (b) numbering
+    never rewinds while a tombstone blocks the slot (a soft-deleted
+    version's number is never handed out again), (c) a GLOBAL id, once
+    observed for a canonical schema, resolves to that same schema
+    forever (ids are never reused for different content — the
+    never-deleted family), and (d) permanent delete of the latest
+    version intentionally unblocks its slot (the Confluent hard-delete
+    rule), which is a RE-CLAIM of an identity slot, not of a fencing
+    token — the global id stays distinct."""
+    from rdkafka_streams_spark.streaming.schema_registry import (
+        SchemaRegistry,
+    )
+
+    root = str(tmp_path_factory.mktemp("sreg"))
+    reg = SchemaRegistry(root)
+    sub = "t-value"
+
+    def schema_text(i: int) -> str:
+        # Avro: adding a field with a default is BACKWARD-compatible,
+        # so variant i carries fields f0..fi (all defaulted)
+        fields = ", ".join(
+            f'{{"name": "f{j}", "type": "int", "default": 0}}'
+            for j in range(i + 1)
+        )
+        return (
+            '{"type": "record", "name": "R", "fields": [%s]}' % fields
+        )
+
+    id_to_canon: dict[int, str] = {}
+    ever_blocked: set[int] = set()  # version numbers seen as tombstones
+    for op, arg in ops:
+        live = reg.versions(sub)
+        if op == "register":
+            sid = reg.register(sub, schema_text(arg),
+                               compatibility="NONE")
+            canon = schema_text(arg)
+            if sid in id_to_canon:
+                # (c) id stability: same id => same canonical schema
+                assert id_to_canon[sid] == canon
+            id_to_canon[sid] = canon
+        elif op == "soft_delete_latest" and live:
+            reg.delete_version(sub, live[-1])
+            ever_blocked.add(live[-1])
+        elif op == "permanent_delete":
+            dv = reg.deleted_versions(sub)
+            if dv:
+                reg.delete_version(sub, dv[-1], permanent=True)
+                ever_blocked.discard(dv[-1])
+        # (a) live versions unique; (b) tombstoned slots never re-issued
+        live = reg.versions(sub)
+        assert len(live) == len(set(live))
+        assert not (set(live) & set(reg.deleted_versions(sub)))
+        assert not (set(live) & ever_blocked)
+    # (c) closing sweep: every observed id still resolves identically
+    for sid, canon in id_to_canon.items():
+        from rdkafka_streams_spark.streaming.schema_registry import (
+            _canonical,
+        )
+        assert _canonical(reg.get_by_id(sid)) == _canonical(canon)
