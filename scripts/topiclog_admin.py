@@ -137,6 +137,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="'earliest', 'latest', or an absolute offset "
                         "applied to every partition")
     p = sub.add_parser(
+        "gc-share-epochs",
+        help="reap dead coordinator-epoch markers for a (group, topic) — "
+             "the OFFLINE admin op (never the claim path: r13 audit, "
+             "MARKERS.md family 1); publishes the monotonic floor first, "
+             "so a reaped epoch is never re-claimable",
+    )
+    p.add_argument("group")
+    p.add_argument("topic")
+    p = sub.add_parser(
         "list-transactions",
         help="kafka-transactions.sh list analog (KIP-664): every "
              "transactional id with state, age, touched partitions; "
@@ -286,6 +295,11 @@ def main(argv: list[str] | None = None) -> int:
         else:
             parts = TopicLog(a.root).partitions(a.topic)
             out = sg.reset(a.topic, {p: int(a.to) for p in parts})
+    elif a.cmd == "gc-share-epochs":
+        from rdkafka_streams_spark.streaming.sharegroups import ShareGroup
+
+        sg = ShareGroup(a.root, a.group, a.principal)
+        out = {"reaped": sg.gc_epoch_markers(a.topic)}
     elif a.cmd == "acls":
         from dataclasses import asdict
 

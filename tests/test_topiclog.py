@@ -4529,3 +4529,40 @@ def test_sketch_monitoring_over_transport(spark, tmp_path, sf_dir):
         hdr_histogram_table(days[0], "n"),
         hdr_histogram_table(days[1], "n"),
     )
+
+
+def test_gc_share_epochs_cli(tmp_path, capsys):
+    """The r13 offline GC admin op through the CLI: claim a few
+    coordinator epochs, `gc-share-epochs` reaps all but the max and
+    reports the count, the floor file survives, and post-GC claims
+    continue strictly above the floor with fencing intact."""
+    import importlib.util
+    import json as _json
+    import os
+
+    from rdkafka_streams_spark.streaming.sharegroups import ShareGroup
+
+    root = str(tmp_path / "bus")
+    log = TopicLog(root)
+    log.create_topic("q", partitions=1)
+    log.append("q", ["r0", "r1"], partition=0)
+    holders = [ShareGroup(root, "workers") for _ in range(4)]
+    for h in holders:
+        h._ensure_coordinator("q")  # epochs 0..3
+
+    spec = importlib.util.spec_from_file_location(
+        "topiclog_admin", "/root/repo/scripts/topiclog_admin.py")
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    rc = cli.main(["--root", root, "gc-share-epochs", "workers", "q"])
+    assert rc == 0
+    assert _json.loads(capsys.readouterr().out) == {"reaped": 3}
+
+    gdir = os.path.dirname(holders[0]._state_path("q"))
+    left = sorted(n for n in os.listdir(gdir) if n.startswith(".q.epoch-"))
+    assert left == [".q.epoch-3"]
+    assert holders[0]._read_floor("q") == 2
+    fresh = ShareGroup(root, "workers")
+    fresh._ensure_coordinator("q")
+    assert fresh._epochs["q"] == 4
+    assert len(fresh.fetch("q", "m", max_records=1, now_ms=1_000)) == 1
