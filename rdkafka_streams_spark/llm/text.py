@@ -1973,3 +1973,68 @@ def hdr_quantiles(
             + F.expr(hdr_width_expr("idx", sub_bits)) - 1
         ).cast("bigint").alias("est_hi"),
     )
+
+
+def hdr_histogram_table_grouped(
+    df: DataFrame, group_col: str, value_col: str, sub_bits: int = 5
+) -> DataFrame:
+    """Per-group HDR tables in ONE pass — (group, idx, cnt): the same
+    map-side bucket expression, grouped by (group, idx). Group count ×
+    a few hundred cells stays metadata-sized for any realistic group
+    key (sources, languages, embedding dimensions)."""
+    return (
+        df.select(
+            F.col(group_col),
+            F.expr(hdr_bucket_expr(value_col, sub_bits))
+            .cast("bigint").alias("idx"),
+        )
+        .groupBy(group_col, "idx")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def hdr_quantiles_grouped(
+    table: DataFrame,
+    group_col: str,
+    qs_permille: list[int],
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Per-group quantile estimates from a grouped HDR table: the
+    ``hdr_quantiles`` rank rule applied within each group (cumulative
+    count over ascending idx PER GROUP — a keyed window, so the
+    metadata-sized table never serializes through one task). Returns
+    (group, q_permille, est_lo, est_hi)."""
+    spark = table.sparkSession
+    gw = Window.partitionBy(group_col).orderBy("idx")
+    cum = table.select(
+        group_col, "idx", "cnt",
+        F.sum("cnt").over(
+            gw.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy(group_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_total"),
+    )
+    qf = spark.createDataFrame(
+        [(int(q),) for q in qs_permille], "q_permille bigint"
+    )
+    hit = (
+        qf.crossJoin(cum)
+        .where(
+            F.col("cum")
+            >= F.expr("(q_permille * n_total + 999) DIV 1000")
+        )
+        .groupBy(group_col, "q_permille")
+        .agg(F.min("idx").alias("idx"))
+    )
+    return hit.select(
+        group_col, "q_permille",
+        F.expr(hdr_lb_expr("idx", sub_bits)).cast("bigint")
+        .alias("est_lo"),
+        (
+            F.expr(hdr_lb_expr("idx", sub_bits))
+            + F.expr(hdr_width_expr("idx", sub_bits)) - 1
+        ).cast("bigint").alias("est_hi"),
+    )

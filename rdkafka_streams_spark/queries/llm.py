@@ -4965,3 +4965,149 @@ def q331_ivf_partitioned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{root}/corpus", idx["coarse"], queries,
         k=5, nprobe=2, scale=idx["scale"],
     )
+
+
+def _hdr_grouped_oracle_body(src_sql: str, group: str,
+                             qs: list[int]) -> str:
+    """Grouped HDR quantiles + exact order statistics as CTE chain over
+    ``src_sql`` (must yield ({group}, n)); final SELECT compares them."""
+    return f"""
+d AS MATERIALIZED ({src_sql}),
+t AS MATERIALIZED (
+  SELECT {group}, {_hdr_duck('n')} AS idx, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM d GROUP BY 1, 2),
+c AS (SELECT {group}, idx, cnt,
+             SUM(cnt) OVER (PARTITION BY {group} ORDER BY idx) AS cum,
+             SUM(cnt) OVER (PARTITION BY {group}) AS n_total FROM t),
+q AS (SELECT CAST(unnest({qs}) AS BIGINT) AS q_permille),
+hit AS (SELECT {group}, q_permille, MIN(idx) AS idx
+        FROM q, c WHERE cum >= (q_permille * n_total + 999) // 1000
+        GROUP BY {group}, q_permille),
+est AS (SELECT {group}, q_permille,
+               CAST({_hdr_lb_duck('idx')} AS BIGINT) AS est_lo,
+               CAST({_hdr_lb_duck('idx')} + {_hdr_w_duck('idx')} - 1
+                    AS BIGINT) AS est_hi
+        FROM hit),
+dl AS (SELECT {group}, n, CAST(COUNT(*) AS BIGINT) AS cc
+       FROM d GROUP BY 1, 2),
+dc AS (SELECT {group}, n,
+              SUM(cc) OVER (PARTITION BY {group} ORDER BY n) AS cum,
+              SUM(cc) OVER (PARTITION BY {group}) AS nt FROM dl),
+ex AS (SELECT {group}, q_permille, CAST(MIN(n) AS BIGINT) AS exact_v
+       FROM q, dc WHERE cum >= (q_permille * nt + 999) // 1000
+       GROUP BY {group}, q_permille)
+SELECT est.{group}, est.q_permille, est_lo, est_hi, exact_v,
+       exact_v BETWEEN est_lo AND est_hi AS in_cell
+FROM est JOIN ex USING ({group}, q_permille)"""
+
+
+def _hdr_grouped_spark(d, group: str, qs: list[int]):
+    """Grouped HDR estimate + exact order statistic + containment —
+    the Spark twin of ``_hdr_grouped_oracle_body`` over a ({group}, n)
+    frame."""
+    from rdkafka_streams_spark.llm.text import (
+        hdr_histogram_table_grouped,
+        hdr_quantiles_grouped,
+    )
+
+    spark = d.sparkSession
+    est = hdr_quantiles_grouped(
+        hdr_histogram_table_grouped(d, group, "n"), group, qs
+    )
+    dl = d.groupBy(group, "n").agg(F.count("*").cast("bigint").alias("cc"))
+    gw = Window.partitionBy(group).orderBy("n")
+    dc = dl.select(
+        group, "n",
+        F.sum("cc").over(
+            gw.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("cc").over(
+            Window.partitionBy(group).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nt"),
+    )
+    qf = spark.createDataFrame([(int(q),) for q in qs],
+                               "q_permille bigint")
+    ex = (
+        qf.crossJoin(dc)
+        .where(F.col("cum") >= F.expr("(q_permille * nt + 999) DIV 1000"))
+        .groupBy(group, "q_permille")
+        .agg(F.min("n").cast("bigint").alias("exact_v"))
+    )
+    return est.join(ex, [group, "q_permille"]).select(
+        group, "q_permille", "est_lo", "est_hi", "exact_v",
+        F.col("exact_v").between(F.col("est_lo"), F.col("est_hi"))
+        .alias("in_cell"),
+    )
+
+
+@query(
+    "q332_hdr_quantiles_per_source",
+    oracle="WITH " + _hdr_grouped_oracle_body(
+        "SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n "
+        "FROM documents WHERE text <> ''",
+        "source", [250, 500, 900],
+    ),
+    tags=("L4",),
+)
+def q332_hdr_quantiles_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-SOURCE length quantiles from GROUPED HDR sketches
+    (llm/text.py hdr_histogram_table_grouped / hdr_quantiles_grouped) —
+    the monitor a real corpus runs per provenance slice ("did the p50
+    of crawl-X shift?"): one map-side bucket pass builds every source's
+    sketch simultaneously; ranks resolve per group over the
+    metadata-sized (source, idx, cnt) table (a KEYED window, never a
+    single-task global sort). Each (source, permille) row carries the
+    estimated cell next to the exact order statistic with the
+    containment verdict — the guarantee gates per group, not just
+    globally."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text") != "")
+        .select(
+            "source",
+            F.size(F.split("text", " ")).cast("bigint").alias("n"),
+        )
+    )
+    return _hdr_grouped_spark(d, "source", [250, 500, 900])
+
+
+_EMB_OFF = 1024  # offset into the non-negative HDR domain (|qv| <= ~500)
+
+
+@query(
+    "q333_hdr_embedding_dim_quantiles",
+    oracle="WITH " + _hdr_grouped_oracle_body(
+        f"SELECT d.i AS dim, CAST(floor(CAST(embedding[d.i] AS DOUBLE) "
+        f"* 1000.0 + 0.5) AS BIGINT) + {_EMB_OFF} AS n "
+        f"FROM embeddings, range(1, 9) d(i)",
+        "dim", [100, 500, 900],
+    ),
+    tags=("L4", "L3"),
+)
+def q333_hdr_embedding_dim_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-DIMENSION embedding value quantiles from grouped HDR
+    sketches — the embedding-drift monitor ("did dim 3's distribution
+    shift after the encoder update?"): values quantize to micro-units
+    (the engine's global scale), OFFSET into the sketch's non-negative
+    domain (+1024; |qv| <= ~500 on any unit-normalized embedding), and
+    the first 8 dimensions sketch per-dim in one map-side pass. Same
+    per-group rank rule, same exact-order-statistic containment gate as
+    q332. Scale: the explode is dims-bounded (8 rows per vector), the
+    sketch table is 8 × a few hundred cells, and sketches from shards
+    merge cell-wise — ship only sketches, compare per (dim, cell)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.slice("embedding", 1, 8)).alias("d0", "x")
+    ).select(
+        (F.col("d0") + 1).cast("bigint").alias("dim"),
+        (
+            F.floor(F.col("x").cast("double") * 1000.0 + 0.5)
+            .cast("bigint") + _EMB_OFF
+        ).alias("n"),
+    )
+    return _hdr_grouped_spark(e, "dim", [100, 500, 900])
