@@ -821,3 +821,59 @@ def exact_substring_spans_incremental(
         .alias("span_tokens"),
         F.col("n_merged").alias("n_windows"),
     )
+
+
+def eval_shingle_index(
+    eval_df: DataFrame,
+    n: int = 3,
+    max_eval_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INDEX-BUILD DAY for incremental decontamination: the benchmark
+    suite's distinct token n-grams as (sh, eval_id) posting rows, with
+    shingles appearing in more than ``max_eval_df`` eval docs dropped
+    at BUILD time (eval-side boilerplate is uninformative for
+    contamination and its posting list is the quadratic term — the
+    ``decontaminate`` max_df cap moved to the side that is actually
+    standing still). The benchmark set is fixed and small relative to
+    the corpus, so the index is built once and saved (parquet), and no
+    training increment ever re-reads the eval texts — the q318/q326/
+    q329 saved-artifact posture applied to decontamination."""
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(token_shingles(text_col, n)).alias("sh"),
+    )
+    w = Window.partitionBy("sh")
+    return (
+        ev.withColumn("__df", F.size(F.collect_set("eval_id").over(w)))
+        .where(F.col("__df") <= max_eval_df)
+        .select("sh", "eval_id")
+    )
+
+
+def decontaminate_incremental(
+    index: DataFrame,
+    delta_train: DataFrame,
+    n: int = 3,
+    min_shared: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INGEST-DAY decontamination: check a TRAINING increment against
+    the SAVED eval shingle index — (eval_id, train_id, n_shared) pairs
+    sharing ≥ ``min_shared`` distinct ``n``-grams, exactly
+    ``decontaminate``'s pair rule with the standing side precomputed.
+    Scale: the increment's shingles join the (broadcast-able when the
+    benchmark is benchmark-sized) index on the shingle key — never
+    doc × doc, never an eval-text rescan; one pair-count shuffle."""
+    tr = delta_train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(token_shingles(text_col, n)).alias("sh"),
+    )
+    return (
+        tr.join(index, "sh")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -5111,3 +5111,47 @@ def q333_hdr_embedding_dim_quantiles(
         ).alias("n"),
     )
     return _hdr_grouped_spark(e, "dim", [100, 500, 900])
+
+
+@query(
+    "q334_decontamination_incremental",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+    FROM toks, unnest(range(1, greatest(len(t)-2, 0) + 1)) AS u(i))),
+ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 10 = 0),
+keep AS (SELECT sh FROM ev GROUP BY sh
+         HAVING COUNT(DISTINCT eval_id) <= 50),
+ix AS (SELECT ev.sh, ev.eval_id FROM ev JOIN keep USING (sh)),
+tr AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id % 10 <> 0)
+SELECT eval_id, train_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM tr JOIN ix USING (sh)
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+""",
+    tags=("L1", "L2"),
+)
+def q334_decontamination_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL BENCHMARK DECONTAMINATION (llm/dedup.py
+    eval_shingle_index / decontaminate_incremental) — q86's sweep in the
+    daily-ingest posture: the benchmark suite is FIXED, so its distinct
+    token 3-grams are indexed ONCE (eval-side boilerplate capped at
+    build: shingles in > 50 eval docs dropped — the max_df cap moved to
+    the side that stands still) and every TRAINING increment checks
+    against the saved index — (eval_id, train_id, n_shared >= 3) pairs
+    with no eval-text rescan, ever. Scale: the increment's shingles join
+    the benchmark-sized index on the shingle key (broadcast-able for a
+    real benchmark suite) — never doc × doc; one pair-count shuffle."""
+    from rdkafka_streams_spark.llm.dedup import (
+        decontaminate_incremental,
+        eval_shingle_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ix = eval_shingle_index(d.where(F.expr("doc_id % 10 = 0")), n=3,
+                            max_eval_df=50)
+    delta = d.where(F.expr("doc_id % 10 <> 0"))
+    return decontaminate_incremental(ix, delta, n=3, min_shared=3)

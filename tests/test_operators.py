@@ -1910,3 +1910,33 @@ def test_hdr_histogram_merge_and_bounds(spark, sf_dir):
     for q, (lo, hi) in est.items():
         exact = ns[(q * len(ns) + 999) // 1000 - 1]
         assert lo <= exact <= hi, (q, lo, exact, hi)
+
+
+def test_decontaminate_incremental_equals_batch_when_uncapped(spark, sf_dir):
+    """With both df caps disabled, the saved-eval-index incremental
+    sweep must produce exactly the batch `decontaminate` pairs — the
+    two differ ONLY in which side the boilerplate cap applies to
+    (train-df for the batch sweep, eval-df at index build for the
+    incremental one)."""
+    from rdkafka_streams_spark.core.io import load_table
+    from rdkafka_streams_spark.llm.dedup import (
+        decontaminate,
+        decontaminate_incremental,
+        eval_shingle_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    train = d.where("doc_id % 10 <> 0")
+    ev = d.where("doc_id % 10 = 0")
+    batch = sorted(
+        tuple(r)
+        for r in decontaminate(train, ev, n=3, min_shared=3,
+                               max_df=10**9).collect()
+    )
+    ix = eval_shingle_index(ev, n=3, max_eval_df=10**9)
+    inc = sorted(
+        tuple(r)
+        for r in decontaminate_incremental(ix, train, n=3,
+                                           min_shared=3).collect()
+    )
+    assert inc == batch and len(inc) > 0
