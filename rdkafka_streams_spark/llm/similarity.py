@@ -1019,6 +1019,7 @@ def ivfpq_search_integer(
     vec_col: str = "embedding",
     coarse: list[tuple[int, list[int]]] | None = None,
     codebooks: list[list[tuple[int, list[int]]]] | None = None,
+    index: dict | None = None,
 ) -> DataFrame:
     """IVF+PQ composition, oracle-exact end to end — the modern ANN
     architecture (FAISS's IVFPQ, here with by_residual=false): the
@@ -1039,7 +1040,12 @@ def ivfpq_search_integer(
 
     ``coarse`` / ``codebooks`` accept SAVED trained components (the
     ``load_ann_index`` output) — train once, serve from the artifact;
-    when given, ``m`` must match ``len(codebooks)``."""
+    when given, ``m`` must match ``len(codebooks)``. ``index`` accepts
+    the whole ``load_ann_index`` dict — scale and dim are then
+    VALIDATED against the caller/corpus."""
+    coarse, codebooks, _ = _resolve_serve_components(
+        emb, vec_col, scale, index, coarse=coarse, codebooks=codebooks,
+    )
     if codebooks is not None and len(codebooks) != m:
         raise ValueError(
             f"saved codebooks have m={len(codebooks)} blocks, caller "
@@ -1361,6 +1367,7 @@ def sq8_search_integer(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     state: tuple[list[int], list[int]] | None = None,
+    index: dict | None = None,
 ) -> DataFrame:
     """Flat 8-bit scalar-quantized search (FAISS IndexScalarQuantizer),
     oracle-exact: every vector is ENCODED to one byte code per dimension
@@ -1381,7 +1388,12 @@ def sq8_search_integer(
     sdist). ``state`` accepts a SAVED (vmin, vmax) pair (the
     ``sq8_train_integer`` output, e.g. loaded from JSON) — the
     saved-index contract: train once, every search job loads the 2·dim
-    longs instead of rescanning the corpus."""
+    longs instead of rescanning the corpus. ``index`` accepts the whole
+    ``load_ann_index`` dict — scale and dim are then VALIDATED against
+    the caller/corpus (``_resolve_serve_components``)."""
+    _, _, state = _resolve_serve_components(
+        emb, vec_col, scale, index, sq_state=state,
+    )
     vmin, vmax = (
         state if state is not None
         else sq8_train_integer(emb, scale=scale, vec_col=vec_col)
@@ -1420,6 +1432,7 @@ def ivfsq_search_integer(
     vec_col: str = "embedding",
     state: tuple[list[int], list[int]] | None = None,
     coarse: list[tuple[int, list[int]]] | None = None,
+    index: dict | None = None,
 ) -> DataFrame:
     """IVF + 8-bit SCALAR quantization (FAISS IVFScalarQuantizer) — the
     scale path of q320's flat SQ: the integer coarse quantizer PRUNES
@@ -1444,7 +1457,12 @@ def ivfsq_search_integer(
     ``load_ann_index`` output) — the serve-side contract: train once,
     every search job loads the 2·dim SQ longs + k×dim coarse centroids
     instead of rescanning the corpus; index-side assignment stays a
-    fresh map-side argmin against whatever centroids are in force."""
+    fresh map-side argmin against whatever centroids are in force.
+    ``index`` accepts the whole ``load_ann_index`` dict — scale and dim
+    are then VALIDATED against the caller/corpus."""
+    coarse, _, state = _resolve_serve_components(
+        emb, vec_col, scale, index, coarse=coarse, sq_state=state,
+    )
     cents = (
         coarse if coarse is not None
         else kmeans_integer(
@@ -1509,6 +1527,80 @@ def ivfsq_search_integer(
 ANN_INDEX_FORMAT = "rdkafka-streams-spark-ann-v1"
 
 
+def _loaded_dim(
+    coarse: list[tuple[int, list[int]]] | None = None,
+    codebooks: list[list[tuple[int, list[int]]]] | None = None,
+    sq_state: tuple[list[int], list[int]] | None = None,
+) -> int | None:
+    """The embedding dimensionality a set of trained components was
+    built for — coarse centroids and SQ state carry it directly, PQ
+    codebooks carry it as m · block-width. Raises if the components
+    disagree among themselves (a mixed-up artifact)."""
+    dims: dict[str, int] = {}
+    if coarse:
+        dims["coarse"] = len(coarse[0][1])
+    if sq_state is not None:
+        dims["sq"] = len(sq_state[0])
+    if codebooks:
+        dims["pq"] = sum(len(block[0][1]) for block in codebooks)
+    if not dims:
+        return None
+    if len(set(dims.values())) != 1:
+        raise ValueError(
+            f"trained components disagree on dimensionality: {dims} — "
+            "these pieces were not trained together"
+        )
+    return next(iter(dims.values()))
+
+
+def _resolve_serve_components(
+    vectors: DataFrame,
+    vec_col: str,
+    scale: int,
+    index: dict | None,
+    *,
+    coarse: list[tuple[int, list[int]]] | None = None,
+    codebooks: list[list[tuple[int, list[int]]]] | None = None,
+    sq_state: tuple[list[int], list[int]] | None = None,
+) -> tuple:
+    """Serve-side guard for the integer ANN family: resolve trained
+    components from a whole ``load_ann_index`` dict and FAIL LOUDLY on
+    the two silent-wrong-neighbor hazards (review r13): (a) the caller
+    searching at a different ``scale`` than the artifact was trained
+    under (the r11 requantize bug — a loaded index MUST search at its
+    trained scale), and (b) loaded components whose dimensionality does
+    not match the embedding column's width (an index trained on
+    different-dim vectors quantizes garbage, not neighbors). The dim
+    probe reads ONE row and only runs when loaded components are in
+    play — the train-fresh path pays nothing. Returns
+    (coarse, codebooks, sq_state) with index-supplied defaults."""
+    if index is not None:
+        if int(index["scale"]) != int(scale):
+            raise ValueError(
+                f"index was trained at scale={index['scale']} but the "
+                f"search asked scale={scale} — thread idx['scale'] "
+                "through (searching a loaded index at a different "
+                "scale returns silently wrong neighbors)"
+            )
+        coarse = coarse if coarse is not None else index.get("coarse")
+        codebooks = (codebooks if codebooks is not None
+                     else index.get("pq"))
+        sq_state = sq_state if sq_state is not None else index.get("sq")
+    want = _loaded_dim(coarse, codebooks, sq_state)
+    if want is not None:
+        row = vectors.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError("no vectors (empty corpus or NULL embedding?)")
+        have = len(row[0])
+        if have != want:
+            raise ValueError(
+                f"loaded index components are {want}-dimensional but "
+                f"column {vec_col!r} holds {have}-dim vectors — wrong "
+                "index for this corpus"
+            )
+    return coarse, codebooks, sq_state
+
+
 def save_ann_index(
     path: str,
     *,
@@ -1527,14 +1619,20 @@ def save_ann_index(
     plus the global quantization ``scale`` they were all trained under
     (a loaded index MUST search at its trained scale; threading the
     caller's scale past the artifact's was exactly the r11 requantize
-    bug). All values are bigints by construction, so the JSON round-trip
-    is exact."""
+    bug). The trained DIMENSIONALITY is derived from the components and
+    stamped into the artifact, so a load against a different-width
+    embedding column fails loudly (``_resolve_serve_components``)
+    instead of quantizing garbage. All values are bigints by
+    construction, so the JSON round-trip is exact."""
     import json
     import os
 
     os.makedirs(path, exist_ok=True)
     doc: dict = {"format": ANN_INDEX_FORMAT, "scale": int(scale),
                  "by_residual": bool(by_residual)}
+    dim = _loaded_dim(coarse_centroids, pq_codebooks, sq_state)
+    if dim is not None:
+        doc["dim"] = int(dim)
     if coarse_centroids is not None:
         doc["coarse"] = [[int(cid), [int(v) for v in qc]]
                          for cid, qc in coarse_centroids]
@@ -1592,7 +1690,15 @@ def load_ann_index(path: str) -> dict:
                 f"sq state dims differ: {len(vmin)} vs {len(vmax)}"
             )
         sq = (vmin, vmax)
+    dim = _loaded_dim(coarse, pq, sq)
+    stamped = doc.get("dim")
+    if stamped is not None and dim is not None and int(stamped) != dim:
+        raise ValueError(
+            f"artifact stamps dim={stamped} but its components are "
+            f"{dim}-dimensional — corrupt or hand-edited index"
+        )
     return {"scale": int(doc["scale"]),
+            "dim": int(stamped) if stamped is not None else dim,
             "by_residual": bool(doc.get("by_residual", False)),
             "coarse": coarse, "pq": pq, "sq": sq}
 
@@ -1632,6 +1738,7 @@ def ivf_search_partitioned(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: dict | None = None,
 ) -> DataFrame:
     """SERVE DAY against the ``build_ivf_corpus`` layout: probe each
     query's ``nprobe`` nearest cells from the LOADED centroids (the
@@ -1642,7 +1749,18 @@ def ivf_search_partitioned(
     survivors by exact integer L2. Bit-identical to
     ``ivf_search_integer`` on the same training run (same probes, same
     candidates, same tie rule) — the q331 gate — while reading only
-    nprobe/n_cells of the data from disk."""
+    nprobe/n_cells of the data from disk. Pass ``index`` (the whole
+    ``load_ann_index`` dict) to have scale and dim VALIDATED against
+    the caller/queries — a forgotten ``idx['scale']`` raises instead of
+    returning silently wrong neighbors."""
+    coarse, _, _ = _resolve_serve_components(
+        queries, vec_col, scale, index, coarse=coarse,
+    )
+    if coarse is None:
+        raise ValueError(
+            "partitioned serving needs trained coarse centroids — pass "
+            "coarse= or index= (load_ann_index output with 'coarse')"
+        )
     cdf = spark.createDataFrame(coarse, "cid int, qc array<bigint>")
     qs = queries.select(
         F.col(id_col).alias("q_id"),

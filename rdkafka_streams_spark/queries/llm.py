@@ -4554,9 +4554,12 @@ def q326_ann_saved_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                        sq_state=sq)
         idx = load_ann_index(art)
     queries = emb.where(F.expr("vec_id % 50 = 0"))
+    # index= hands the whole artifact over: components resolve from it
+    # and scale/dim are cross-checked (a forgotten idx['scale'] raises
+    # instead of returning silently wrong neighbors — review r13).
     return ivfsq_search_integer(
         emb, queries, k=5, nprobe=2,
-        scale=idx["scale"], state=idx["sq"], coarse=idx["coarse"],
+        scale=idx["scale"], index=idx,
     )
 
 
@@ -4913,13 +4916,20 @@ def q330_dataloader_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", F.col("pos").cast("bigint").alias("pos"),
         ((F.col("pos") - 1) % _N_SHARDS).cast("bigint").alias("shard"),
     )
+    # checksum terms are reduced mod p PER ROW before summing (modular
+    # arithmetic: sum of residues ≡ sum, so this equals the oracle's
+    # HUGEINT sum % p) — the raw int64 sum(pos*doc_id) wraps past ~2M
+    # docs (review r13). Each residue < p ≈ 2^30, so the int64 partial
+    # sums stay exact up to ~2^33 rows PER SHARD — beyond any shard a
+    # dataloader would be handed.
+    p = F.lit(1000000007).cast("bigint")
+    term = ((F.col("pos") % p) * (F.col("doc_id") % p)) % p
     return s.groupBy("shard").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         F.min("pos").cast("bigint").alias("first_pos"),
         F.max("pos").cast("bigint").alias("last_pos"),
-        (F.sum(F.col("pos") * F.col("doc_id")) % 1000000007)
-        .cast("bigint").alias("order_checksum"),
+        (F.sum(term) % p).cast("bigint").alias("order_checksum"),
     )
 
 
@@ -4941,8 +4951,13 @@ def q331_ivf_partitioned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     against q305's oracle — partition-pruned serving must be
     bit-identical to the in-memory search on the same training run,
     while reading nprobe/n_cells of the corpus from disk. The corpus
-    root is overwritten per build (no unbounded temp growth)."""
-    import hashlib
+    lives in a PER-PROCESS private directory (mkdtemp — no fixed
+    world-shared /tmp name two concurrent runs would clobber, no
+    pre-creatable path on a multi-user box; review r13) and is removed
+    before returning: the serve result is localCheckpointed inside
+    ivf_search_partitioned, so the answer outlives the files and temp
+    usage stays zero-growth."""
+    import shutil
     import tempfile
 
     from rdkafka_streams_spark.llm.similarity import (
@@ -4953,18 +4968,20 @@ def q331_ivf_partitioned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = f"{tempfile.gettempdir()}/rdkafka_streams_ivf_corpus_{tag}"
-    cents = build_ivf_corpus(
-        emb, f"{root}/corpus", n_cells=_KM_K, n_iters=_KM_N_ITERS,
-    )
-    save_ann_index(f"{root}/art", scale=1000, coarse_centroids=cents)
-    idx = load_ann_index(f"{root}/art")
-    queries = emb.where(F.expr("vec_id % 50 = 0"))
-    return ivf_search_partitioned(
-        spark, f"{root}/corpus", idx["coarse"], queries,
-        k=5, nprobe=2, scale=idx["scale"],
-    )
+    root = tempfile.mkdtemp(prefix="rdkafka_streams_ivf_corpus_")
+    try:
+        cents = build_ivf_corpus(
+            emb, f"{root}/corpus", n_cells=_KM_K, n_iters=_KM_N_ITERS,
+        )
+        save_ann_index(f"{root}/art", scale=1000, coarse_centroids=cents)
+        idx = load_ann_index(f"{root}/art")
+        queries = emb.where(F.expr("vec_id % 50 = 0"))
+        return ivf_search_partitioned(
+            spark, f"{root}/corpus", idx["coarse"], queries,
+            k=5, nprobe=2, scale=idx["scale"], index=idx,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _hdr_grouped_oracle_body(src_sql: str, group: str,

@@ -48,6 +48,7 @@ ACLs: fetch/ack/release/reject require READ on the group AND the topic
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import re
@@ -225,28 +226,42 @@ class ShareGroup:
         tmp + ``os.replace``; never regressed — the max of the current
         floor and the new one is written), then unlinks; a crash between
         the two steps leaves extra markers, never a re-claimable epoch.
-        Returns the number of markers reaped."""
+
+        Concurrent GC runs SERIALIZE on an ``flock``'d lock file: the
+        floor update is a read-modify-write (max in-process, then
+        replace), so two unsynchronized GCs could regress the floor
+        (the staler writer wins the replace — review r13; safety held
+        only because fencing reads max(markers, floor), but MARKERS.md
+        §1 states the floor is *only ever raised* and that is now
+        enforced, not assumed).  Returns the number of markers reaped."""
         self._log._require("READ", "group", self.group)
         gdir = os.path.dirname(self._state_path(topic))
-        epochs = self._published_epochs(topic)
-        if len(epochs) <= 1:
-            return 0
-        top = max(epochs)
-        new_floor = max(self._read_floor(topic), top - 1)
+        os.makedirs(gdir, exist_ok=True)
         fpath = self._floor_path(topic)
-        tmp = f"{fpath}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(str(new_floor))
-        os.replace(tmp, fpath)
-        reaped = 0
-        for i in epochs:
-            if i < top:  # the max always survives, so a scan never regresses
-                try:
-                    os.unlink(os.path.join(gdir, f".{topic}.epoch-{i}"))
-                    reaped += 1
-                except OSError:
-                    pass
-        return reaped
+        lock_fd = os.open(f"{fpath}.lock", os.O_CREAT | os.O_WRONLY)
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            epochs = self._published_epochs(topic)
+            if len(epochs) <= 1:
+                return 0
+            top = max(epochs)
+            new_floor = max(self._read_floor(topic), top - 1)
+            tmp = f"{fpath}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(str(new_floor))
+            os.replace(tmp, fpath)
+            reaped = 0
+            for i in epochs:
+                # the max always survives, so a scan never regresses
+                if i < top:
+                    try:
+                        os.unlink(os.path.join(gdir, f".{topic}.epoch-{i}"))
+                        reaped += 1
+                    except OSError:
+                        pass
+            return reaped
+        finally:
+            os.close(lock_fd)  # closing releases the flock
 
     def _ensure_coordinator(self, topic: str) -> None:
         if topic not in self._epochs:

@@ -188,7 +188,7 @@ def build_scaled_dir(
         scaled.repartition(max(4, mult)).write.mode("overwrite").parquet(dest)
 
 
-def certify_query(spark, name: str, fn, sf_dir: str, warm: bool) -> dict:
+def certify_query(spark, name: str, fn, sf_dir: str) -> dict:
     """Time fn-build + count, MIN OF TWO timed passes, with a forced full
     GC before each pass. Single-pass timing proved untrustworthy (r13):
     the shared box runs 1.4-1.65x slower in bursts (the r12 verdict's
@@ -636,12 +636,24 @@ def main() -> int:
     mults = [int(m) for m in args.mults.split(",")]
     from rdkafka_streams_spark.queries import REGISTRY as _REG
 
-    names = [
-        n if n in _REG else next(
-            (full for full in sorted(_REG) if full.startswith(n)), n
-        )
-        for n in args.queries.split(",")
-    ]
+    def _resolve(n: str) -> str:
+        """Exact registry name, or an UNAMBIGUOUS prefix of one — an
+        ambiguous prefix is an error (silently certifying the first
+        alphabetical match would record the wrong query under the
+        caller's name; review r13). Prints what a prefix resolved to."""
+        if n in _REG:
+            return n
+        hits = [full for full in sorted(_REG) if full.startswith(n)]
+        if len(hits) > 1:
+            raise SystemExit(
+                f"query prefix {n!r} is ambiguous: {hits} — spell it out"
+            )
+        if hits:
+            print(f"# query prefix {n!r} -> {hits[0]}", file=sys.stderr)
+            return hits[0]
+        return n  # unknown: fails later with the registry KeyError
+
+    names = [_resolve(n) for n in args.queries.split(",")]
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # one JVM hosts the driver AND all 32 executor threads; at 32x the
@@ -758,7 +770,7 @@ def main() -> int:
         if cap is not None:
             per["mult_cap"] = {"cap": cap, "reason": cap_reason}
         for m in q_mults:
-            per[str(m)] = certify_query(spark, name, fn, dirs[m], warm=(m == q_mults[0]))
+            per[str(m)] = certify_query(spark, name, fn, dirs[m])
             print(f"# {name} {m}x: {per[str(m)]}", file=sys.stderr)
         exch = {per[str(m)]["exchanges"] for m in q_mults}
         times = [per[str(m)]["sec"] for m in q_mults]

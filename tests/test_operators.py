@@ -1839,6 +1839,31 @@ def test_ann_saved_index_roundtrip_and_validation(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="not an ANN index artifact"):
         load_ann_index(bad)
 
+    # (d) serve-side guards (review r13): the index= path resolves
+    # components AND validates — forgetting to thread idx['scale']
+    # raises instead of returning silently wrong neighbors, and an
+    # index trained on different-dim vectors is rejected against this
+    # corpus; index= with the right scale equals the components path.
+    e = sorted(tuple(r) for r in ivfsq_search_integer(
+        emb, queries, k=3, nprobe=2, scale=idx["scale"], index=idx,
+    ).collect())
+    assert e == b
+    assert idx["dim"] == len(cents[0][1])  # artifact stamps trained dim
+    with _pytest.raises(ValueError, match="trained at scale=1000"):
+        ivfsq_search_integer(emb, queries, scale=500, index=idx)
+    with _pytest.raises(ValueError, match="trained at scale=1000"):
+        ivfpq_search_integer(emb, queries, m=4, scale=999, index=idx)
+    narrow = emb.select(
+        "vec_id", F.slice("embedding", 1, 3).alias("embedding")
+    )
+    with _pytest.raises(ValueError, match="dimensional"):
+        ivfsq_search_integer(narrow, queries, scale=1000, index=idx)
+    # mixed-up artifact: components that disagree on dim fail at save
+    with _pytest.raises(ValueError, match="disagree on dimensionality"):
+        save_ann_index(str(tmp_path / "mixed"), scale=1000,
+                       coarse_centroids=cents,
+                       sq_state=(sq[0][:3], sq[1][:3]))
+
 
 def test_hdr_histogram_merge_and_bounds(spark, sf_dir):
     """HDR quantile-sketch contracts (llm/text.py hdr_histogram_table):

@@ -584,3 +584,96 @@ def test_concurrent_claims_stress_distinct_epochs(tmp_path):
         assert not errs, errs[0]
         epochs = [g._epochs["q"] for g in groups]
         assert len(set(epochs)) == 8, f"iter {it}: duplicate in {epochs}"
+
+
+def test_gc_soak_crash_mid_gc_never_reclaims(tmp_path):
+    """Soak for MARKERS.md §1's crash sentence: repeated claim→GC cycles,
+    some with a crash INJECTED between the floor write and the unlinks,
+    (a) never hand out a previously claimed epoch, (b) keep the floor
+    file monotone across every cycle, (c) leave extra markers after a
+    crashed GC — never a re-claimable epoch — and (d) keep marker
+    accumulation bounded by claims-since-last-successful-GC, not by
+    cycles (the 'GC-then-1000-claims' accumulation posture)."""
+    import os as _os
+
+    import rdkafka_streams_spark.streaming.sharegroups as sgmod
+
+    root, log, sg = _mk(tmp_path, n=2)
+    gdir = _os.path.dirname(sg._state_path("q"))
+    seen_epochs: set[int] = set()
+    prev_floor = -1
+    real_unlink = _os.unlink
+    for cycle in range(12):
+        claimants = [ShareGroup(root, "workers") for _ in range(5)]
+        for h in claimants:
+            h._ensure_coordinator("q")
+        epochs = {h._epochs["q"] for h in claimants}
+        assert len(epochs) == 5
+        assert not (epochs & seen_epochs), \
+            f"cycle {cycle}: re-claimed epochs {epochs & seen_epochs}"
+        seen_epochs |= epochs
+        markers_before = {
+            n for n in _os.listdir(gdir) if n.startswith(".q.epoch-")
+        }
+        if cycle % 3 == 1:
+            # crash mid-GC: floor is written, then the first unlink dies
+            def boom(path, *a, **kw):
+                raise RuntimeError("injected crash mid-GC")
+
+            sgmod.os.unlink = boom
+            try:
+                with pytest.raises(RuntimeError, match="injected crash"):
+                    sg.gc_epoch_markers("q")
+            finally:
+                sgmod.os.unlink = real_unlink
+            # crash leaves EXTRA markers (none reaped) ...
+            left = {n for n in _os.listdir(gdir)
+                    if n.startswith(".q.epoch-")}
+            assert left == markers_before
+        else:
+            sg.gc_epoch_markers("q")
+            left = {n for n in _os.listdir(gdir)
+                    if n.startswith(".q.epoch-")}
+            # successful GC: exactly the max marker survives — bounded
+            assert left == {f".q.epoch-{max(seen_epochs)}"}
+        # ... and in BOTH outcomes the floor is monotone and covers
+        # everything at-or-below max-1, so nothing is re-claimable
+        floor = sg._read_floor("q")
+        assert floor >= prev_floor, f"floor regressed {prev_floor}->{floor}"
+        assert floor == max(seen_epochs) - 1
+        prev_floor = floor
+    # final sanity: a fresh claim lands strictly above everything ever seen
+    fresh = ShareGroup(root, "workers")
+    fresh._ensure_coordinator("q")
+    assert fresh._epochs["q"] == max(seen_epochs) + 1
+
+
+def test_concurrent_gc_floor_monotonic(tmp_path):
+    """Two admin GC runs racing (flock-serialized since review r13) can
+    never regress the floor: fire GC pairs concurrently across claim
+    waves and assert every observed floor value is non-decreasing."""
+    import os as _os
+    import threading
+
+    root, log, sg = _mk(tmp_path, n=2)
+    observed: list[int] = []
+    for wave in range(10):
+        for _ in range(3):
+            ShareGroup(root, "workers")._ensure_coordinator("q")
+        errs: list[Exception] = []
+
+        def gc():
+            try:
+                ShareGroup(root, "workers").gc_epoch_markers("q")
+            except Exception as e:  # pragma: no cover - diagnostic
+                errs.append(e)
+
+        threads = [threading.Thread(target=gc) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs[0]
+        observed.append(sg._read_floor("q"))
+    assert observed == sorted(observed), f"floor regressed: {observed}"
+    assert observed[-1] == 10 * 3 - 2  # covers every epoch below the max
