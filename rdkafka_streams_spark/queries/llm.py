@@ -5172,3 +5172,176 @@ def q334_decontamination_incremental(
                             max_eval_df=50)
     delta = d.where(F.expr("doc_id % 10 <> 0"))
     return decontaminate_incremental(ix, delta, n=3, min_shared=3)
+
+
+# ------------------------------------------------------- L3 (graph ANN)
+_NSW_R = 8        # graph out-degree (top-R within shared cells)
+_NSW_NA = 2       # multi-assignment: each node in its NA nearest cells
+_NSW_BEAM = 16    # beam width W
+_NSW_HOPS = 6     # fixed expansion rounds H
+_NSW_K = 5        # answers per query
+
+
+def _int_l2_duck(a: str, b: str) -> str:
+    return (f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+            f"x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)")
+
+
+def _nsw_oracle_ctes() -> str:
+    """Unrolled beam-search CTE chain (the q221 BFS pattern applied to
+    distance frontiers), generated from the SAME constants as the Spark
+    operator: the q304 kmeans chain → multi-assign each node to its NA
+    nearest cells → top-R edges among cell-mates + star bridges →
+    b0 = hub → H rounds of (expand ∪ keep, score, top-W) → CTEs
+    ``bs{H}``/``b{H}`` hold the final scored candidates and beam."""
+    parts = [_kmeans_oracle_ctes(k=_KM_K, n_iters=_KM_N_ITERS, bare=True),
+             f"""asg AS MATERIALIZED (
+  SELECT vec_id, qv, cid FROM (
+    SELECT q.vec_id, q.qv, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {_int_l2_duck('q.qv', 'c.qc')} ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c{_KM_N_ITERS} c) WHERE rn <= {_NSW_NA}),
+loc AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        {_int_l2_duck('a.qv', 'b.qv')} ASC, b.vec_id ASC) AS rn
+    FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    GROUP BY a.vec_id, b.vec_id, a.qv, b.qv)
+  WHERE rn <= {_NSW_R}),
+a1st AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {_int_l2_duck('q.qv', 'c.qc')} ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c{_KM_N_ITERS} c) WHERE rn = 1),
+reps AS (SELECT cid, MIN(vec_id) AS rep FROM a1st GROUP BY cid),
+hub AS (SELECT MIN(rep) AS h FROM reps),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM loc
+  UNION ALL SELECT h.h AS src, rp.rep AS dst FROM reps rp, hub h
+  WHERE rp.rep <> h.h
+  UNION ALL SELECT rp.rep AS src, h.h AS dst FROM reps rp, hub h
+  WHERE rp.rep <> h.h),
+qs AS (SELECT vec_id AS q_id, qv AS q_qv FROM q WHERE vec_id % 50 = 0),
+b0 AS MATERIALIZED (SELECT qs.q_id, hub.h AS node FROM qs, hub)"""]
+    for i in range(1, _NSW_HOPS + 1):
+        parts.append(f"""bc{i} AS (
+  SELECT q_id, node FROM b{i - 1}
+  UNION
+  SELECT b.q_id, e.dst AS node FROM b{i - 1} b JOIN edges e
+  ON e.src = b.node),
+bs{i} AS MATERIALIZED (
+  SELECT c.q_id, c.node, {_int_l2_duck('qs.q_qv', 'n.qv')} AS dist
+  FROM bc{i} c JOIN qs ON qs.q_id = c.q_id JOIN q n ON n.vec_id = c.node),
+b{i} AS MATERIALIZED (
+  SELECT q_id, node FROM (
+    SELECT q_id, node,
+      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, node ASC)
+      AS rn
+    FROM bs{i}) WHERE rn <= {_NSW_BEAM})""")
+    return "WITH " + ",\n".join(parts)
+
+
+_NSW_FINAL = f"""
+SELECT q_id, node AS vec_id, dist AS dist_sq FROM (
+  SELECT s.q_id, s.node, s.dist,
+    ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY s.dist ASC,
+                       s.node ASC) AS rn
+  FROM bs{_NSW_HOPS} s
+  JOIN b{_NSW_HOPS} b ON b.q_id = s.q_id AND b.node = s.node
+  WHERE s.node <> s.q_id) WHERE rn <= {_NSW_K}"""
+
+
+@query(
+    "q335_beam_search_graph_ann",
+    oracle=_nsw_oracle_ctes() + _NSW_FINAL,
+    tags=("L3",),
+)
+def q335_beam_search_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-BASED ANN (llm/similarity.py nsw_graph_integer /
+    beam_search_integer) — the HNSW/DiskANN family, the one production
+    ANN architecture the IVF/PQ/SQ/LSH ladder didn't cover: build a
+    deterministic navigable graph — each node blocked into its 2
+    nearest q304-kmeans cells (multi-assignment; single-cell blocking
+    severs boundary-straddling neighbor edges and measured 60% vs 96%
+    recall@5 at identical degree), top-8 integer-L2 out-edges among
+    cell-mates, star bridges hub ↔ cell representatives (the
+    cross-cell role of HNSW's upper layers) — then serve every 50th
+    vector by FIXED-beam (W=16), FIXED-hop (H=6) best-first search
+    with (dist, id) tie-breaks, top-5 non-self answers. Fixed width +
+    fixed hops + total order make the walk a pure function of the
+    graph, so the WHOLE thing — trainer, graph, walk, answers — is one
+    SQL hash gate: the oracle unrolls the six expansion rounds as CTE
+    stages (the q221 BFS pattern applied to distance frontiers).
+
+    Scale: graph build is blocked (Σ(2|cell|)², the knn_graph geometry
+    on IVF cells from this module — never N²); the adjacency carries
+    destination vectors (the DiskANN node layout, localCheckpoint-
+    truncated); beam state is nq×16 broadcast rows, so each hop is one
+    adjacency scan + broadcast join + a small window — no corpus-sized
+    shuffle after the build."""
+    from rdkafka_streams_spark.llm.similarity import beam_search_integer
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    return beam_search_integer(
+        emb, queries, k=_NSW_K, beam=_NSW_BEAM, hops=_NSW_HOPS, r=_NSW_R,
+        n_assign=_NSW_NA, n_cells=_KM_K, n_iters=_KM_N_ITERS,
+    )
+
+
+@query(
+    "q336_beam_search_recall_audit",
+    oracle=_nsw_oracle_ctes() + f""",
+approx AS ({_NSW_FINAL}),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT qs.q_id, c.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY qs.q_id ORDER BY
+        {_int_l2_duck('c.qv', 'qs.q_qv')} ASC, c.vec_id ASC) AS rn
+    FROM q c JOIN qs ON c.vec_id <> qs.q_id) WHERE rn <= {_NSW_K}),
+hit AS (SELECT e.q_id, e.vec_id FROM exact e
+        JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id)
+SELECT CAST((SELECT COUNT(DISTINCT q_id) FROM exact) AS BIGINT)
+         AS n_queries,
+       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+       CAST((SELECT COUNT(*) FROM hit) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM exact), 1) AS BIGINT)
+         AS recall_ppm
+""",
+    tags=("L3", "X"),
+)
+def q336_beam_search_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RECALL AUDIT for the graph-ANN path (the q217 posture applied to
+    q335): beam-search answers vs the exact integer-L2 top-5 ground
+    truth (llm/similarity.py exact_knn_integer — brute force on the
+    query SAMPLE only), one summary row in exact counts + integer ppm.
+    Both sides are deterministic, so the recall itself is hash-gated —
+    tuning r/beam/hops has a measurable, oracle-checked effect, and a
+    navigability regression (a dropped bridge, a broken tie rule) shows
+    up as a recall delta, not a silent quality loss."""
+    from rdkafka_streams_spark.llm.similarity import (
+        beam_search_integer,
+        exact_knn_integer,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    approx = beam_search_integer(
+        emb, queries, k=_NSW_K, beam=_NSW_BEAM, hops=_NSW_HOPS, r=_NSW_R,
+        n_assign=_NSW_NA, n_cells=_KM_K, n_iters=_KM_N_ITERS,
+    ).select("q_id", "vec_id")
+    exact = exact_knn_integer(emb, queries, k=_NSW_K).select(
+        "q_id", "vec_id"
+    )
+    n_queries = exact.select("q_id").distinct().count()
+    n_truth = exact.count()
+    n_hit = exact.join(approx, ["q_id", "vec_id"]).count()
+    return spark.createDataFrame(
+        [(n_queries, n_truth, n_hit, n_hit * 1000000 // max(n_truth, 1))],
+        "n_queries bigint, n_truth bigint, n_hit bigint, recall_ppm bigint",
+    )

