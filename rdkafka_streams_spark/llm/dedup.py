@@ -657,6 +657,7 @@ def exact_substring_spans(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_len: int | None = None,
 ) -> DataFrame:
     """Maximal cross-document duplicated spans — the ExactSubstr pass of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -678,13 +679,46 @@ def exact_substring_spans(
     (slack=1 on inclusive intervals): contiguous duplicated text is one
     excision region even when its halves duplicate different sources.
 
+    VARIABLE-LENGTH THRESHOLD (true Lee et al. semantics — the paper
+    excises maximal duplicated substrings ≥ 50 tokens, not ≥ 8):
+    ``min_len`` keeps only coalesced spans of at least that many tokens.
+    Two exactness regimes, both never pair-exploding:
+
+    - ``n == min_len`` (one window size per threshold): the excised
+      POSITION SET equals the true Lee et al. coverage exactly — a
+      position sits in a ≥ L-token cross-doc duplicated substring iff it
+      sits in a duplicated L-token window (any position of an
+      ≥ L interval lies inside some length-L subinterval, and every
+      duplicated L-window IS a duplicated L-substring). Pinned against
+      a pure-Python suffix scan in the property tests.
+    - ``n < min_len`` (one fine-grained anchor index serving EVERY
+      threshold — the multi-resolution posture for saved indexes):
+      recall is still 1 (a true ≥ min_len duplicate's n-windows all
+      duplicate, so its chain survives the filter) but chains may
+      over-excise: a coalesced run can stitch sub-threshold duplicates
+      from different sources into one ≥ min_len region.
+
     Returns (id, span_id, span_start, span_end, span_tokens, n_windows):
     1-based inclusive token intervals, span_id numbering spans in start
-    order within each doc."""
+    order within each doc (renumbered after the threshold filter)."""
     from rdkafka_streams_spark.operators.intervals import merge_intervals
 
+    if min_len is not None and min_len < n:
+        raise ValueError(
+            f"min_len={min_len} below the window size n={n} — spans are "
+            "always >= n tokens, so the threshold would be a no-op lie"
+        )
     pos = _cross_doc_dup_positions(docs, n, id_col, text_col)
     spans = merge_intervals(pos, id_col, "s", "e", slack=1)
+    if min_len is not None:
+        spans = spans.where(
+            F.col("island_end") - F.col("island_start") + 1 >= min_len
+        ).withColumn(
+            "island_id",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("island_start")
+            ).cast("bigint"),
+        )
     return spans.select(
         id_col,
         F.col("island_id").alias("span_id"),
@@ -702,6 +736,7 @@ def exact_substring_excise(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_len: int | None = None,
 ) -> DataFrame:
     """Apply ExactSubstr dedup: REMOVE every token covered by a cross-doc
     duplicated window (see ``exact_substring_spans``) and return the
@@ -717,10 +752,26 @@ def exact_substring_excise(
     surviving tokens inside ``array_sort`` (struct-of-(pos, tok)), so no
     per-doc window function is needed.
 
+    ``min_len`` raises the excision threshold to the paper's semantics
+    (maximal duplicated regions of at least that many tokens — Lee et
+    al. use 50): positions are cut only when their coalesced duplicated
+    region reaches ``min_len`` (see ``exact_substring_spans`` for the
+    two exactness regimes). Default None keeps the historical
+    every-duplicated-window behavior (≡ ``min_len=n``).
+
     Returns (id, clean_text, n_tokens, n_removed); docs fully covered
     return an empty clean_text, docs with no duplicated span return
     their original token stream (single-space re-joined)."""
-    pos = _cross_doc_dup_positions(docs, n, id_col, text_col)
+    if min_len is None:
+        pos = _cross_doc_dup_positions(docs, n, id_col, text_col)
+    else:
+        pos = exact_substring_spans(
+            docs, n, id_col, text_col, min_len=min_len
+        ).select(
+            id_col,
+            F.col("span_start").alias("s"),
+            F.col("span_end").alias("e"),
+        )
     covered = pos.select(
         id_col, F.explode(F.sequence("s", "e")).alias("j")
     ).distinct()
@@ -775,6 +826,7 @@ def exact_substring_spans_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     index: DataFrame | None = None,
+    min_len: int | None = None,
 ) -> DataFrame:
     """Delta-vs-corpus ExactSubstr — the DAILY-INGEST posture of
     exact-substring dedup (the span twin of
@@ -806,11 +858,25 @@ def exact_substring_spans_incremental(
         if index is not None
         else exact_substring_anchor_index(base, n, id_col, text_col)
     )
+    if min_len is not None and min_len < n:
+        raise ValueError(
+            f"min_len={min_len} below the window size n={n} — spans are "
+            "always >= n tokens, so the threshold would be a no-op lie"
+        )
     dw = _window_anchor_positions(delta, n, id_col, text_col)
     pos = dw.join(bw, "h").select(
         id_col, F.col("i").alias("s"), (F.col("i") + (n - 1)).alias("e")
     )
     spans = merge_intervals(pos, id_col, "s", "e", slack=1)
+    if min_len is not None:
+        spans = spans.where(
+            F.col("island_end") - F.col("island_start") + 1 >= min_len
+        ).withColumn(
+            "island_id",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("island_start")
+            ).cast("bigint"),
+        )
     return spans.select(
         id_col,
         F.col("island_id").alias("span_id"),

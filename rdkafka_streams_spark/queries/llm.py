@@ -5345,3 +5345,128 @@ def q336_beam_search_recall_audit(
         [(n_queries, n_truth, n_hit, n_hit * 1000000 // max(n_truth, 1))],
         "n_queries bigint, n_truth bigint, n_hit bigint, recall_ppm bigint",
     )
+
+
+# ---------------------------------------------- L2 (variable-length ES)
+_ES_N = 8                  # anchor window size (the shared saved index)
+_ES_THRESHOLDS = (8, 32)   # Lee et al. excision thresholds under gate
+
+
+def _es_spans_ctes(n: int) -> str:
+    """q299's anchor→dup→coalesce chain, parametrized by window size —
+    shared by the variable-length span and excision oracles."""
+    return f"""
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (SELECT doc_id, i, md5(array_to_string(t[i:i+{n - 1}], ' ')) AS h
+      FROM tk, unnest(range(1, greatest(len(t) - {n - 1}, 0) + 1)) AS u(i)),
+dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+pos AS (SELECT doc_id, i AS s, i + {n - 1} AS e FROM w JOIN dup USING (h)),
+mk AS (SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2147483648) + 1
+              THEN 1 ELSE 0 END AS brk
+       FROM pos),
+isl AS (SELECT doc_id, s, e,
+          SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+        FROM mk),
+spans AS (SELECT doc_id, island_id, MIN(s) AS s0, MAX(e) AS e0,
+                 COUNT(*) AS nw
+          FROM isl GROUP BY doc_id, island_id)"""
+
+
+def _es_multilen_oracle() -> str:
+    finals = "\nUNION ALL\n".join(
+        f"""SELECT CAST({ml} AS BIGINT) AS min_len, doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s0)
+            AS BIGINT) AS span_id,
+       CAST(s0 AS BIGINT) AS span_start, CAST(e0 AS BIGINT) AS span_end,
+       CAST(e0 - s0 + 1 AS BIGINT) AS span_tokens,
+       CAST(nw AS BIGINT) AS n_windows
+FROM spans WHERE e0 - s0 + 1 >= {ml}"""
+        for ml in _ES_THRESHOLDS
+    )
+    return "WITH " + _es_spans_ctes(_ES_N) + "\n" + finals
+
+
+@query(
+    "q337_exact_substring_min_len",
+    oracle=_es_multilen_oracle(),
+    tags=("L2",),
+)
+def q337_exact_substring_min_len(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VARIABLE-LENGTH ExactSubstr (llm/dedup.py exact_substring_spans
+    min_len=) — true Lee et al. 2022 semantics: the paper excises
+    maximal duplicated substrings of AT LEAST 50 tokens, not every
+    8-token window; q299's fixed-window spans become the min_len=n
+    special case. ONE shared 8-token anchor index (built once, the
+    saved-index posture of q302) serves EVERY threshold: coalesced
+    spans are filtered to >= min_len and renumbered, here at
+    min_len ∈ {8, 32} side by side. Recall is 1 at any threshold (a
+    true >= L duplicate's n-windows all duplicate, so its chain
+    survives); at n == min_len the excised position set is EXACTLY the
+    paper's coverage (pinned vs a pure-Python suffix scan in the
+    property tests). Scale: identical to q299 — one md5-keyed anchor
+    shuffle + join-back + per-doc coalesce window; the threshold is a
+    post-coalesce filter, free."""
+    from rdkafka_streams_spark.llm.dedup import exact_substring_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = None
+    for ml in _ES_THRESHOLDS:
+        part = exact_substring_spans(docs, n=_ES_N, min_len=ml).select(
+            F.lit(ml).cast("bigint").alias("min_len"),
+            F.col("doc_id"),
+            F.col("span_id").cast("bigint").alias("span_id"),
+            "span_start", "span_end", "span_tokens", "n_windows",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@query(
+    "q338_exact_substring_excise_min_len",
+    oracle="WITH " + _es_spans_ctes(_ES_N) + f""",
+fspans AS (SELECT doc_id, s0, e0 FROM spans
+           WHERE e0 - s0 + 1 >= {_ES_THRESHOLDS[1]}),
+cov AS (SELECT DISTINCT f.doc_id, v.j
+        FROM fspans f, unnest(range(f.s0, f.e0 + 1)) AS v(j)),
+tok AS (SELECT doc_id, CAST(j AS INTEGER) AS j, t[j] AS tok
+        FROM tk, unnest(range(1, len(t) + 1)) AS u(j)),
+kept AS (SELECT tok.* FROM tok
+         WHERE NOT EXISTS (SELECT 1 FROM cov
+                           WHERE cov.doc_id = tok.doc_id AND cov.j = tok.j)),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(string_split(d.text, ' ')) - COALESCE(a.n_kept, 0) AS BIGINT)
+           AS n_removed
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
+    tags=("L2",),
+)
+def q338_exact_substring_excise_min_len(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THRESHOLD EXCISION (llm/dedup.py exact_substring_excise
+    min_len=32) — q300's apply step at the paper's variable-length
+    semantics: only tokens inside a coalesced duplicated region of
+    >= 32 tokens are cut; sub-threshold duplicated windows (boilerplate
+    snippets, short quotes) SURVIVE — the conservatism that makes
+    ExactSubstr safe to run corpus-wide at Lee et al.'s 50-token
+    setting. The exact byte output of the rebuilt documents is
+    value-checked end to end (string_agg ORDER BY position vs Spark's
+    array_sort rebuild). Scale: q300's shape plus the free
+    post-coalesce filter; covered positions explode from the FILTERED
+    spans, so the keep-side anti-join is never larger than q300's."""
+    from rdkafka_streams_spark.llm.dedup import exact_substring_excise
+
+    return exact_substring_excise(
+        _t(spark, sf_dir, "documents"), n=_ES_N,
+        min_len=_ES_THRESHOLDS[1],
+    )

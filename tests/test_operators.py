@@ -2067,3 +2067,101 @@ def test_beam_search_matches_pure_python_reference(spark):
     reps = {d for s, d in edges if s == 0} | {0}
     assert all((0, rep) in edges or rep == 0 for rep in reps)
     assert len(hub_out) >= 1
+
+
+def test_exact_substring_min_len_matches_suffix_scan(spark):
+    """Variable-length ExactSubstr property (llm/dedup.py
+    exact_substring_spans / exact_substring_excise, min_len=) vs an
+    INDEPENDENT pure-Python suffix scan computing true Lee et al.
+    coverage — every (doc, position) inside a maximal cross-doc
+    duplicated token run of >= L:
+
+    (a) EXACT regime (n == L): the operator's excised position set
+        EQUALS the true coverage (the window⇄substring containment
+        argument in the docstring, here verified, not assumed);
+    (b) MULTI-RESOLUTION regime (n < L, one shared fine index): the
+        operator's set is a SUPERSET (recall 1 — never misses a true
+        duplicate), the documented over-excision trade;
+    (c) the excision row counts agree with the position sets."""
+    import random
+
+    from rdkafka_streams_spark.llm.dedup import (
+        exact_substring_excise,
+        exact_substring_spans,
+    )
+
+    rng = random.Random(13)
+    alpha = [f"w{c}" for c in "abcdefgh"]
+    docs = {i: [rng.choice(alpha) for _ in range(40)] for i in range(6)}
+    # plant shared phrases of assorted lengths at assorted offsets
+    for ln, (d1, o1), (d2, o2) in (
+        (3, (0, 5), (1, 20)),
+        (5, (2, 0), (3, 30)),
+        (7, (1, 3), (4, 12)),
+        (10, (0, 25), (5, 8)),
+        (6, (2, 18), (5, 25)),
+    ):
+        phrase = [f"p{ln}_{j}" for j in range(ln)]
+        docs[d1][o1:o1 + ln] = phrase
+        docs[d2][o2:o2 + ln] = phrase
+
+    def ref_coverage(L):
+        cov = set()
+        ids = sorted(docs)
+        for a in ids:
+            for b in ids:
+                if a == b:
+                    continue
+                ta, tb = docs[a], docs[b]
+                # maximal common run DP (the suffix-scan ground truth)
+                run = [[0] * (len(tb) + 1) for _ in range(len(ta) + 1)]
+                for i in range(1, len(ta) + 1):
+                    for j in range(1, len(tb) + 1):
+                        if ta[i - 1] == tb[j - 1]:
+                            run[i][j] = run[i - 1][j - 1] + 1
+                for i in range(1, len(ta) + 1):
+                    for j in range(1, len(tb) + 1):
+                        m = run[i][j]
+                        ended = (i == len(ta) or j == len(tb)
+                                 or ta[i] != tb[j])
+                        if m >= L and ended:  # maximal run of length m
+                            cov |= {(a, p) for p in range(i - m + 1, i + 1)}
+        return cov
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in sorted(docs.items())],
+        "doc_id bigint, text string",
+    )
+
+    def op_coverage(n, min_len):
+        spans = exact_substring_spans(df, n=n, min_len=min_len).collect()
+        return {
+            (row["doc_id"], p)
+            for row in spans
+            for p in range(row["span_start"], row["span_end"] + 1)
+        }
+
+    for L in (4, 6):
+        truth = ref_coverage(L)
+        exact = op_coverage(n=L, min_len=L)
+        assert exact == truth, f"exact regime diverges at L={L}"
+        multi = op_coverage(n=3, min_len=L)
+        assert multi >= truth, f"multi-res regime missed truth at L={L}"
+        # (c) excision agrees with the position sets, both regimes
+        removed = {
+            row["doc_id"]: row["n_removed"]
+            for row in exact_substring_excise(df, n=L).collect()
+        }
+        per_doc = {i: sum(1 for d, _ in truth if d == i) for i in docs}
+        assert removed == per_doc
+        removed_multi = {
+            row["doc_id"]: row["n_removed"]
+            for row in exact_substring_excise(df, n=3, min_len=L).collect()
+        }
+        mult_per_doc = {i: sum(1 for d, _ in multi if d == i) for i in docs}
+        assert removed_multi == mult_per_doc
+    assert len(ref_coverage(4)) > len(ref_coverage(6)) > 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="below the window size"):
+        exact_substring_spans(df, n=8, min_len=4)
