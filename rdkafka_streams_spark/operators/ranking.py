@@ -173,3 +173,59 @@ def global_cumsum(
         .withColumn(cumsum_col, (off_col + F.col("__ls")).cast("bigint"))
         .drop("__pid", "__ls")
     )
+
+
+def dataloader_resume(
+    ranked: DataFrame,
+    n_shards: int,
+    consumed: dict[int, int],
+    pos_col: str = "pos",
+    shard_col: str = "shard",
+    ordinal_col: str = "ordinal",
+) -> DataFrame:
+    """CHECKPOINT-RESTART for the round-robin dataloader contract (the
+    missing half of the shard manifest): given the deterministic global
+    order (``global_rank`` positions, dealt ``(pos-1) % n_shards``) and
+    each shard's consumed count, emit EXACTLY the remaining sequence —
+    the resume a training run does after every interruption. Shard
+    ``i``'s ``o``-th document sits at ``pos = i + 1 + (o-1)·n_shards``,
+    so "shard i consumed c_i docs" is the pure predicate
+    ``ordinal > c_i`` — a deterministic SKIP, no dependence on what was
+    actually read, so resume(c) is the exact suffix of the full order
+    by construction.
+
+    Scale posture: ``consumed`` is one int per shard — driver metadata
+    riding as a literal map, never a join; on the persisted manifest
+    layout (parquet partitioned by shard, sorted by pos) the predicate
+    is partition pruning + min/max row-group skipping, so the consumed
+    prefix is never re-read from disk, let alone re-shuffled. Adds
+    ``shard_col``/``ordinal_col``; rows with ``ordinal <= consumed``
+    are gone."""
+    bad = {s: c for s, c in consumed.items()
+           if not 0 <= int(s) < n_shards or int(c) < 0}
+    if bad:
+        raise ValueError(
+            f"consumed map has out-of-range shards or negative counts "
+            f"for n_shards={n_shards}: {bad}"
+        )
+    pos = F.col(pos_col)
+    shard = ((pos - 1) % n_shards).cast("bigint")
+    # integer div, not float /: positions are global row numbers and a
+    # double mantissa silently corrupts ordinals past 2^53 rows
+    ordinal = F.expr(f"(({pos_col} - 1) div {n_shards}) + 1").cast(
+        "bigint"
+    )
+    out = ranked.withColumn(shard_col, shard).withColumn(
+        ordinal_col, ordinal
+    )
+    if consumed:
+        floor_map = F.create_map(
+            *[F.lit(x) for s, c in sorted(consumed.items())
+              for x in (int(s), int(c))]
+        )
+        floor = F.coalesce(
+            F.element_at(floor_map, F.col(shard_col).cast("int")),
+            F.lit(0),
+        )
+        out = out.where(F.col(ordinal_col) > floor)
+    return out

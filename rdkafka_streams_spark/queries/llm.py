@@ -5470,3 +5470,84 @@ def q338_exact_substring_excise_min_len(
         _t(spark, sf_dir, "documents"), n=_ES_N,
         min_len=_ES_THRESHOLDS[1],
     )
+
+
+# ------------------------------------------------- L4 (dataloader resume)
+# shard i has consumed 5·i documents at checkpoint time — deterministic,
+# mid-shard, different per shard (shard 0 resumes from the start)
+_RESUME_CONSUMED = {i: 5 * i for i in range(_N_SHARDS)}
+
+
+def _resume_oracle() -> str:
+    vals = ", ".join(f"({s}, {c})" for s, c in
+                     sorted(_RESUME_CONSUMED.items()))
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS o
+  FROM documents WHERE text <> ''),
+r AS (SELECT doc_id, n_tokens,
+             CAST(ROW_NUMBER() OVER (ORDER BY o, doc_id) AS BIGINT) AS pos
+      FROM d),
+s AS (SELECT *, CAST((pos - 1) % {_N_SHARDS} AS BIGINT) AS shard,
+             CAST((pos - 1) // {_N_SHARDS} + 1 AS BIGINT) AS ordinal
+      FROM r),
+cons AS (SELECT * FROM (VALUES {vals}) AS t(shard, consumed)),
+rem AS (SELECT s.* FROM s JOIN cons ON cons.shard = s.shard
+        WHERE s.ordinal > cons.consumed)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MIN(pos) AS BIGINT) AS resume_pos,
+       CAST(MAX(pos) AS BIGINT) AS last_pos,
+       CAST(SUM(((pos % 1000000007) * (doc_id % 1000000007))
+                % 1000000007) % 1000000007 AS BIGINT) AS order_checksum
+FROM rem GROUP BY shard
+"""
+
+
+@query("q339_dataloader_resume", oracle=_resume_oracle(), tags=("L4",))
+def q339_dataloader_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATALOADER CHECKPOINT-RESTART (operators/ranking.py
+    dataloader_resume) — the missing half of the q330 shard manifest:
+    given the SAME deterministic global shuffle order and a consumed
+    position per shard (here shard i has consumed 5·i docs — mid-shard,
+    different per shard), emit exactly the remaining sequence. Resume is
+    a deterministic SKIP (shard i's o-th doc sits at
+    pos = i+1+(o−1)·N, so 'consumed c docs' is the pure predicate
+    ordinal > c) — no rescan of consumed docs, no dependence on what
+    was read. The per-shard remainder manifest carries the SAME
+    position-weighted mod-p checksum as q330, and the oracle recomputes
+    it from the serial ROW_NUMBER suffix — hash equality IS the proof
+    that resume(c) ≡ the suffix of the full q330 order. Scale: q330's
+    two-job global_rank + a literal per-shard floor map (one int per
+    shard, driver metadata — on the persisted manifest layout the
+    predicate is partition pruning + row-group skipping); one agg on
+    top. Transport drill: tests/test_topiclog.py resumes a trainer
+    group mid-shard from COMMITTED offsets and matches this operator's
+    remainder row for row."""
+    from rdkafka_streams_spark.operators.ranking import (
+        dataloader_resume,
+        global_rank,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text") != "")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            F.md5(F.col("doc_id").cast("string")).alias("o"),
+        )
+    )
+    ranked = global_rank(d, ["o", "doc_id"], rank_col="pos")
+    rem = dataloader_resume(ranked, _N_SHARDS, _RESUME_CONSUMED)
+    p = F.lit(1000000007).cast("bigint")
+    term = ((F.col("pos") % p) * (F.col("doc_id") % p)) % p
+    return rem.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.min("pos").cast("bigint").alias("resume_pos"),
+        F.max("pos").cast("bigint").alias("last_pos"),
+        (F.sum(term) % p).cast("bigint").alias("order_checksum"),
+    )

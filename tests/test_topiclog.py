@@ -4566,3 +4566,76 @@ def test_gc_share_epochs_cli(tmp_path, capsys):
     fresh._ensure_coordinator("q")
     assert fresh._epochs["q"] == 4
     assert len(fresh.fetch("q", "m", max_records=1, now_ms=1_000)) == 1
+
+
+def test_dataloader_resume_drill_over_transport(spark, tmp_path):
+    """r14 drill: CHECKPOINT-RESTART of a training dataloader over the
+    transport (the q339 contract end to end) — the shard manifest's
+    deterministic order is produced to a topic with one PARTITION PER
+    SHARD (each shard's docs appended in ordinal order, so topiclog
+    offset o holds ordinal o+1), a trainer group consumes mid-shard and
+    COMMITS its per-partition positions, and the restarted run resumes
+    from the committed offsets. The resumed stream must equal
+    ``operators/ranking.py dataloader_resume``'s remainder ROW FOR ROW
+    per shard — including a fully-consumed shard resuming to empty —
+    proving the operator's deterministic skip is the same contract the
+    transport's committed offsets express."""
+    from rdkafka_streams_spark.operators.ranking import (
+        dataloader_resume,
+        global_rank,
+    )
+
+    root = str(tmp_path / "log")
+    n_shards = 4
+    d = spark.createDataFrame(
+        [(i,) for i in range(1, 38)], "doc_id bigint"
+    ).select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("o"))
+    ranked = global_rank(d, ["o", "doc_id"], rank_col="pos")
+    full = sorted(
+        (r["pos"], r["doc_id"]) for r in ranked.collect()
+    )
+
+    # ---- manifest day: each shard's docs land on ITS partition in order
+    log = TopicLog(root)
+    log.create_topic("shards", partitions=n_shards)
+    for shard in range(n_shards):
+        seq = [doc for pos, doc in full if (pos - 1) % n_shards == shard]
+        log.append_json(
+            "shards", [{"doc_id": doc} for doc in seq], partition=shard
+        )
+
+    # ---- the trainer consumes mid-shard and commits its positions
+    # (shard 3's commit sits at the end offset: fully consumed)
+    ends = log.end_offsets("shards")
+    consumed = {0: 0, 1: 3, 2: 5, 3: ends[3]}
+    log.commit_offsets("trainer", "shards", consumed)
+
+    # ---- restart: resume from COMMITTED offsets, nothing else
+    committed = log.committed("trainer", "shards")
+    floor = F.create_map(
+        *[F.lit(x) for p, o in sorted(committed.items()) for x in (p, o)]
+    )
+    resumed = (
+        read_topic(spark, root, "shards")
+        .where(F.col("offset") >= F.element_at(floor, F.col("partition")))
+        .select(
+            F.col("partition").cast("bigint").alias("shard"),
+            (F.col("offset") + 1).alias("ordinal"),
+            F.from_json(F.col("value").cast("string"), "doc_id bigint")[
+                "doc_id"
+            ].alias("doc_id"),
+        )
+    )
+    got = sorted(tuple(r) for r in resumed.collect())
+
+    want_df = dataloader_resume(ranked, n_shards, consumed)
+    want = sorted(
+        (r["shard"], r["ordinal"], r["doc_id"]) for r in want_df.collect()
+    )
+    assert got == want and len(want) > 0
+    # the fully-consumed shard resumes to EMPTY on both sides
+    assert not [t for t in want if t[0] == 3]
+    # shard 1 resumes exactly at its 4th ordinal
+    assert min(t[1] for t in want if t[0] == 1) == 4
+    # and the union of consumed-prefix + remainder is the full order
+    assert len(want) == len(full) - sum(consumed.values())
