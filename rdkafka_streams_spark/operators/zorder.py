@@ -56,3 +56,59 @@ def zorder_by(
     keyed = df.withColumn(key_col, morton_key(*cols, bits=bits))
     parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     return keyed.repartitionByRange(parts, key_col).sortWithinPartitions(key_col)
+
+
+def hilbert_key(
+    xcol: str | Column, ycol: str | Column, bits: int = 8
+) -> Column:
+    """2-D Hilbert-curve index of ``(x, y)`` — X8's better half: Morton
+    keys take diagonal jumps between quadrants (bit-interleave is cheap
+    but locality-lossy), while the Hilbert curve visits every cell of
+    each quadrant before leaving it, so equal-size chunks of the sorted
+    order cover tighter (x, y) rectangles and zonemap pruning skips
+    more (the q341 duel measures the win on the same fixture).
+
+    The classic per-level rotate/reflect walk (Hamilton's xy2d), MSB
+    first: at scale s, quadrant (rx, ry) contributes s²·(3rx ⊕ ry) and
+    the frame rotates for the next level —
+
+        if ry == 0: (if rx == 1: x, y = s-1-x, s-1-y); swap(x, y)
+
+    — expressed as ONE ``aggregate`` fold over the literal level array
+    with a (x, y, d) struct accumulator: pure integer bit arithmetic
+    inside whole-stage codegen, exact on every engine (the oracle
+    unrolls the same levels as CTE stages). Inputs must be non-negative
+    ints in [0, 2^bits); 2·bits ≤ 60 keeps the key a long."""
+    if 2 * bits > 60:
+        raise ValueError("2 * bits must be <= 60 to fit a long")
+    x = (F.col(xcol) if isinstance(xcol, str) else xcol).cast("long")
+    y = (F.col(ycol) if isinstance(ycol, str) else ycol).cast("long")
+    init = F.struct(
+        x.alias("x"), y.alias("y"), F.lit(0).cast("long").alias("d")
+    )
+    levels = F.array(*[
+        F.lit(2 ** k).cast("long") for k in range(bits - 1, -1, -1)
+    ])
+
+    def step(acc, s):
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        d = acc["d"] + s * s * (rx * 3).bitwiseXOR(ry)
+        flip = (ry == 0) & (rx == 1)
+        nx = (
+            F.when(flip, s - 1 - acc["y"])
+            .when(ry == 0, acc["y"])
+            .otherwise(acc["x"])
+        )
+        ny = (
+            F.when(flip, s - 1 - acc["x"])
+            .when(ry == 0, acc["x"])
+            .otherwise(acc["y"])
+        )
+        return F.struct(nx.alias("x"), ny.alias("y"), d.alias("d"))
+
+    return F.aggregate(levels, init, step)["d"]

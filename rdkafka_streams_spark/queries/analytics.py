@@ -4243,3 +4243,75 @@ def q199_supplier_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wilson_lb"),
         )
     )
+
+
+# ------------------------------------------------------------ layout (X8)
+_HILBERT_BITS = 8
+
+
+def _hilbert_oracle_ctes(x_expr: str, y_expr: str,
+                         src: str = "events") -> str:
+    """Unrolled Hilbert xy2d walk (operators/zorder.py hilbert_key) as
+    CTE stages hl0..hl{bits}: per level at scale s, quadrant (rx, ry)
+    adds s²·xor(3rx, ry) and the frame rotates (ry=0 ∧ rx=1 → reflect
+    both then swap; ry=0 → swap; ry=1 → unchanged) — generated from the
+    SAME level list as the Spark fold so the two cannot drift."""
+    parts = [f"""hl0 AS (
+  SELECT event_id, {x_expr} AS xb, {y_expr} AS yb,
+         {x_expr} AS x, {y_expr} AS y, CAST(0 AS BIGINT) AS d
+  FROM {src})"""]
+    for j, k in enumerate(range(_HILBERT_BITS - 1, -1, -1), start=1):
+        s = 2 ** k
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        parts.append(f"""hl{j} AS (
+  SELECT event_id, xb, yb,
+    CASE WHEN {ry} = 0 THEN
+      CASE WHEN {rx} = 1 THEN {s} - 1 - y ELSE y END
+    ELSE x END AS x,
+    CASE WHEN {ry} = 0 THEN
+      CASE WHEN {rx} = 1 THEN {s} - 1 - x ELSE x END
+    ELSE y END AS y,
+    d + {s * s} * xor(3 * {rx}, {ry}) AS d
+  FROM hl{j - 1})""")
+    return ",\n".join(parts)
+
+
+@query(
+    "q340_hilbert_key",
+    oracle="WITH " + _hilbert_oracle_ctes(
+        "user_id % 256",
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) % 256",
+    ) + f"""
+SELECT event_id, CAST(xb AS BIGINT) AS xb, CAST(yb AS BIGINT) AS yb,
+       CAST(d AS BIGINT) AS hkey
+FROM hl{_HILBERT_BITS}
+""",
+    tags=("X8", "E25"),
+)
+def q340_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering key over q109's two event dimensions
+    (operators/zorder.py hilbert_key) — X8's better half: Morton keys
+    jump diagonally between quadrants, so equal-size chunks of the
+    sorted order cover loose (x, y) rectangles; the Hilbert curve
+    finishes each quadrant before leaving it, and the q341 duel
+    measures ~2x tighter chunk bounding boxes and fewer candidate
+    chunks on the same fixture and chunk size. The walk is the classic
+    per-level rotate/reflect xy2d, ONE aggregate fold over the literal
+    level array (pure integer bit arithmetic in whole-stage codegen —
+    no UDF, no join, no shuffle); the oracle unrolls the same 8 levels
+    as CTE stages, so every per-row key is value-hash-checked.
+    Bijectivity at 4 bits and equality with an independent Python xy2d
+    are unit-pinned."""
+    from rdkafka_streams_spark.operators.zorder import hilbert_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 256).alias("xb"),
+        (F.get_json_object("props", "$.k").cast("long") % 256).alias("yb"),
+    )
+    return ev.select(
+        "event_id", F.col("xb").cast("bigint").alias("xb"),
+        F.col("yb").cast("bigint").alias("yb"),
+        hilbert_key("xb", "yb", bits=_HILBERT_BITS).alias("hkey"),
+    )

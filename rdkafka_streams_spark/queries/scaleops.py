@@ -337,3 +337,122 @@ def q159_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# ------------------------------------------------- layout duel (X8/X-scale)
+_DUEL_CHUNK = 256           # rows per chunk (an equal-size file stand-in)
+_DUEL_BOX = (64, 95)        # the box query: xb AND yb in [64, 95]
+
+
+def _duel_morton_sql(x: str, y: str, bits: int = 8) -> str:
+    terms = [f"((({x} >> {i}) & 1) << {2 * i})" for i in range(bits)]
+    terms += [f"((({y} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _duel_oracle() -> str:
+    from rdkafka_streams_spark.queries.analytics import (
+        _HILBERT_BITS,
+        _hilbert_oracle_ctes,
+    )
+
+    lo, hi = _DUEL_BOX
+    return f"""
+WITH pts AS MATERIALIZED (
+  SELECT event_id,
+    ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT AS xb,
+    ('0x' || substring(md5(CAST(CAST(json_extract_string(props, '$.k')
+         AS BIGINT) AS VARCHAR)), 1, 2))::BIGINT AS yb
+  FROM events),
+{_hilbert_oracle_ctes('xb', 'yb', src='pts')},
+keyed AS (
+  SELECT 'morton' AS layout, event_id, xb, yb,
+         {_duel_morton_sql('xb', 'yb')} AS key FROM pts
+  UNION ALL
+  SELECT 'hilbert' AS layout, event_id, xb, yb, d AS key
+  FROM hl{_HILBERT_BITS}),
+ranked AS (
+  SELECT layout, xb, yb,
+    ROW_NUMBER() OVER (PARTITION BY layout ORDER BY key, event_id) AS rn
+  FROM keyed),
+ch AS (
+  SELECT layout, (rn - 1) // {_DUEL_CHUNK} AS chunk,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         MIN(xb) AS xlo, MAX(xb) AS xhi, MIN(yb) AS ylo, MAX(yb) AS yhi
+  FROM ranked GROUP BY layout, chunk),
+marked AS (
+  SELECT *, CASE WHEN xhi >= {lo} AND xlo <= {hi}
+                  AND yhi >= {lo} AND ylo <= {hi}
+            THEN 1 ELSE 0 END AS cand
+  FROM ch)
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(cand) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(SUM(CASE WHEN cand = 1 THEN n END), 0) AS BIGINT)
+         AS rows_scanned,
+       CAST(SUM((xhi - xlo + 1) * (yhi - ylo + 1)) AS BIGINT)
+         AS total_span
+FROM marked GROUP BY layout
+"""
+
+
+@query("q341_layout_pruning_duel", oracle=_duel_oracle(),
+       tags=("X8", "X-scale"))
+def q341_layout_pruning_duel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MORTON vs HILBERT PRUNING DUEL (operators/zorder.py morton_key /
+    hilbert_key + the q135 zonemap estimate, on the SAME fixture, same
+    equal-size chunks, same box query): events get two uniform md5
+    dimensions, each layout sorts by its key (exact global order via
+    global_rank — no single-task window), equal 256-row chunks stand in
+    for files, a zonemap reduces each chunk to (count, min/max per dim),
+    and the planner marks candidates for the box xb,yb ∈ [64, 95]. One
+    summary row per layout — chunk count (equal by construction),
+    candidate chunks, rows behind them, and the summed bounding-box
+    area (the chunk-span locality measure): Hilbert's no-diagonal-jump
+    property shows up as ~2x tighter spans and strictly fewer candidate
+    chunks, value-hash-checked rather than asserted from folklore.
+    Scale: two ranked passes over the fact table (each the two-job
+    prefix pattern) + one partial-agg zonemap shuffle per layout; the
+    zonemap itself is #chunks rows — metadata."""
+    from rdkafka_streams_spark.operators.ranking import global_rank
+    from rdkafka_streams_spark.operators.zorder import hilbert_key, morton_key
+
+    lo, hi = _DUEL_BOX
+    pts = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2),
+               16, 10).cast("long").alias("xb"),
+        F.conv(F.substring(F.md5(F.get_json_object("props", "$.k")
+                                 .cast("long").cast("string")), 1, 2),
+               16, 10).cast("long").alias("yb"),
+    )
+    out = None
+    for layout, key in (
+        ("morton", morton_key("xb", "yb", bits=8)),
+        ("hilbert", hilbert_key("xb", "yb", bits=8)),
+    ):
+        ranked = global_rank(
+            pts.withColumn("key", key), ["key", "event_id"], rank_col="rn"
+        ).withColumn("chunk", F.expr(f"(rn - 1) div {_DUEL_CHUNK}"))
+        ch = ranked.groupBy("chunk").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("xb").alias("xlo"), F.max("xb").alias("xhi"),
+            F.min("yb").alias("ylo"), F.max("yb").alias("yhi"),
+        )
+        cand = (
+            (F.col("xhi") >= lo) & (F.col("xlo") <= hi)
+            & (F.col("yhi") >= lo) & (F.col("ylo") <= hi)
+        ).cast("int")
+        summary = ch.withColumn("cand", cand).agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("cand").cast("bigint").alias("n_candidates"),
+            F.coalesce(
+                F.sum(F.when(F.col("cand") == 1, F.col("n"))), F.lit(0)
+            ).cast("bigint").alias("rows_scanned"),
+            F.sum(
+                (F.col("xhi") - F.col("xlo") + 1)
+                * (F.col("yhi") - F.col("ylo") + 1)
+            ).cast("bigint").alias("total_span"),
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out

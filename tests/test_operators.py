@@ -2165,3 +2165,51 @@ def test_exact_substring_min_len_matches_suffix_scan(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="below the window size"):
         exact_substring_spans(df, n=8, min_len=4)
+
+
+def test_hilbert_key_matches_reference_and_is_bijective(spark):
+    """Hilbert key contract (operators/zorder.py hilbert_key): (a) equals
+    an independent Python xy2d walk on the full 16x16 grid, (b) is a
+    BIJECTION of the grid onto [0, 2^(2·bits)) — the property that makes
+    it a clustering key at all, (c) consecutive curve positions are
+    always GRID NEIGHBORS (|dx|+|dy| = 1) — the no-diagonal-jump
+    locality Morton lacks (q341 measures what that buys), and (d) the
+    guard rejects keys that would overflow a long."""
+    import itertools
+
+    import pytest as _pytest
+
+    from rdkafka_streams_spark.operators.zorder import hilbert_key
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = list(itertools.product(range(16), range(16)))
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in df.select(
+            "x", "y", hilbert_key("x", "y", bits=4).alias("h")
+        ).collect()
+    }
+    assert got == {(x, y): xy2d(16, x, y) for x, y in pts}
+    assert sorted(got.values()) == list(range(256))
+    by_d = {d: xy for xy, d in got.items()}
+    assert all(
+        abs(by_d[d][0] - by_d[d + 1][0]) + abs(by_d[d][1] - by_d[d + 1][1])
+        == 1
+        for d in range(255)
+    )
+    with _pytest.raises(ValueError, match="<= 60"):
+        hilbert_key("x", "y", bits=31)
