@@ -45,6 +45,11 @@ LLM_HEADLINE = [
     "q304_kmeans_integer",         # oracle-exact k-means training
     "q308_pq_exact_search",        # end-to-end PQ ADC search
     "q310_corpus_pipeline",        # full corpus-curation capstone funnel
+    # r14 (verdict-r13 ask): the incremental/serving postures a 100 TB
+    # operator actually watches day to day — build+probe walls, tracked
+    "q331_ivf_partitioned_serve",  # partition-pruned ANN serving (build+serve)
+    "q334_decontamination_incremental",  # saved eval index + delta probe
+    "q335_beam_search_graph_ann",  # graph-ANN build + beam-search serve
 ]
 LLM_RUNS = 3
 

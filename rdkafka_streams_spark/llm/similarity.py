@@ -1877,19 +1877,53 @@ def nsw_graph_integer(
         F.col("__v").alias("__w"),
         "__cid",
     )
-    # a pair sharing BOTH cells appears twice with an identical distance
-    # — the dedup cannot pick a "wrong" row
+    # PAIR-STAGE PLAN (the build's hot loop — measured at sf0.1):
+    # (a) the per-pair distance is the UNROLLED dim-term sum, not the
+    #     aggregate/zip_with fold — higher-order functions allocate the
+    #     zipped array per pair and stay outside whole-stage codegen
+    #     (15.7 s vs 2.9 s over the same 2M pairs, identical sums);
+    # (b) the cell key has only n_cells distinct values and the pre-join
+    #     shuffle is bytes-tiny, so AQE coalesces it to ONE task and the
+    #     whole quadratic projection serializes — salt the key
+    #     (operators/skew.py's recipe) and repartition BOTH sides by
+    #     (cell, salt) with an EXPLICIT partition count (user-specified
+    #     shuffles are exempt from AQE coalescing), so the distance
+    #     stage runs wide at any input size.
+    row = emb.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError("no vectors (empty corpus or NULL embedding?)")
+    dim = len(row[0])
+    n_salts = 16
+    p = max(n_salts * 4,
+            emb.sparkSession.sparkContext.defaultParallelism * 2)
+    la = asg.withColumn(
+        "__salt", F.pmod(F.xxhash64("src"), F.lit(n_salts)).cast("int")
+    ).repartition(p, "__cid", "__salt")
+    lb = asg2.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int")) \
+        .repartition(p, "__cid", "__salt")
+    d_unrolled = F.expr(
+        " + ".join(
+            f"(__v[{i}] - __w[{i}]) * (__v[{i}] - __w[{i}])"
+            for i in range(dim)
+        )
+    ).cast("long")
     pairs = (
-        asg.join(asg2, "__cid")
+        la.join(lb, ["__cid", "__salt"])
         .where(F.col("src") != F.col("dst"))
-        .select("src", "dst", _int_l2("__v", "__w").alias("__d"))
-        .dropDuplicates(["src", "dst"])
+        .select("src", "dst", d_unrolled.alias("__d"))
     )
+    # a pair sharing BOTH cells appears twice with an IDENTICAL (d, dst):
+    # dense_rank gives duplicates one rank (they cannot eat top-r slots),
+    # so the corpus-sized dedup shuffle collapses to a dedup over the
+    # <= 2·r·N survivors
     w = Window.partitionBy("src").orderBy("__d", "dst")
     local = (
-        pairs.withColumn("__rk", F.row_number().over(w))
+        pairs.withColumn("__rk", F.dense_rank().over(w))
         .where(F.col("__rk") <= r)
         .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
     )
     first = base.select(
         "src", F.element_at("__cids", 1).alias("__c1")
@@ -1981,13 +2015,15 @@ def beam_search_integer(
         )
         # candidates = beam ∪ neighbors(beam); dist is a pure function
         # of (query, node), so duplicate rows are identical row-for-row
-        # and the dedup cannot pick a "wrong" one
-        cand = bm.unionByName(nbrs).dropDuplicates(["q_id", "node"])
+        # and the dedup cannot pick a "wrong" one. dense_rank FIRST
+        # (duplicates share a rank over the total (dist, node) order, so
+        # they cannot eat beam slots), dedup after — on <= nq·beam rows.
+        cand = bm.unionByName(nbrs)
         bm = (
-            cand.withColumn("__rk", F.row_number().over(bw))
+            cand.withColumn("__rk", F.dense_rank().over(bw))
             .where(F.col("__rk") <= beam)
             .drop("__rk")
-            .localCheckpoint()  # iterative discipline (q221/q204)
+            .dropDuplicates(["q_id", "node"])
         )
     return (
         bm.where(F.col("node") != F.col("q_id"))
