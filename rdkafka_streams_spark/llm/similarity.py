@@ -2063,3 +2063,138 @@ def exact_knn_integer(
         .where(F.col("__rk") <= k)
         .select("q_id", F.col(id_col), F.col("__d").alias("dist_sq"))
     )
+
+
+def build_nsw_corpus(
+    emb: DataFrame,
+    path: str,
+    r: int = 8,
+    n_assign: int = 2,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    n_buckets: int = 8,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse: list[tuple[int, list[int]]] | None = None,
+) -> int:
+    """INDEX-BUILD DAY for partitioned graph-ANN serving (q331's
+    layout contract applied to the NSW family): build the navigable
+    graph, attach each edge's destination vector (the DiskANN node
+    record — vector + neighbor list live together), and write the
+    adjacency parquet PARTITIONED BY ``bucket = src % n_buckets``.
+    The bucket directories make the per-hop scan PRUNABLE: a beam
+    frontier is nq×beam node ids — driver metadata — so serve day
+    reads only the frontier's buckets (static PartitionFilters) and
+    row-group min/max on ``src`` skips within them. Returns the hub
+    node id (the search entry point — persist it alongside, e.g. in
+    the ``save_ann_index`` artifact's coarse centroids + your own
+    manifest). Overwrite mode: rebuilds land atomically under the
+    same root."""
+    edges = nsw_graph_integer(
+        emb, r=r, n_assign=n_assign, n_cells=n_cells, n_iters=n_iters,
+        scale=scale, id_col=id_col, vec_col=vec_col, coarse=coarse,
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("__node"),
+        quantize_global(vec_col, scale).alias("dv"),
+    )
+    adj = edges.join(corpus, edges["dst"] == F.col("__node")).select(
+        "src", "dst", "dv",
+        (F.col("src") % n_buckets).cast("int").alias("bucket"),
+    )
+    adj.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    hub = emb.agg(F.min(id_col)).first()[0]
+    if hub is None:
+        raise ValueError("no vectors (empty corpus?)")
+    return int(hub)
+
+
+def beam_search_partitioned(
+    spark,
+    corpus_path: str,
+    hub: int,
+    hub_vec: list[int] | None,
+    queries: DataFrame,
+    k: int = 5,
+    beam: int = 16,
+    hops: int = 6,
+    n_buckets: int = 8,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SERVE DAY against the ``build_nsw_corpus`` layout: walk the
+    on-disk graph with the same fixed-beam fixed-hop best-first search
+    as ``beam_search_integer`` — bit-identical answers on the same
+    build (the q342 gate) — but each hop reads ONLY the frontier's
+    adjacency: the beam is nq×beam node ids (driver metadata), so the
+    hop's scan filters ``bucket IN (...)`` (literal → static partition
+    pruning) and ``src IN (...)`` (literal → row-group min/max skip).
+    The corpus is never scanned whole after the build; with a frontier
+    touching b of n_buckets buckets, a hop reads b/n_buckets of the
+    index from disk.
+
+    ``hub_vec`` is the hub's quantized vector (dim longs — artifact
+    metadata); pass None to read it from the hub's self-loop-free
+    out-edges' bucket (one pruned lookup). Each hop materializes the
+    (tiny) beam to the driver to build the next literal filter — the
+    q331 collect-the-probes posture, bounded by nq×beam ints."""
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        quantize_global(vec_col, scale).alias("__q_qv"),
+    ).localCheckpoint()
+    if hub_vec is None:
+        # the hub's own vector rides as the dst side of its in-edges
+        # (bridges guarantee at least one) — one index lookup, no
+        # corpus rescan
+        row = (
+            spark.read.parquet(corpus_path)
+            .where(F.col("dst") == hub)
+            .select("dv").limit(1).first()
+        )
+        if row is None:
+            raise ValueError(
+                f"hub {hub} has no in-edges — pass hub_vec explicitly"
+            )
+        hub_vec = list(row[0])
+    hv = F.array(*[F.lit(int(v)).cast("long") for v in hub_vec])
+    bm = qs.select(
+        "q_id", "__q_qv",
+        F.lit(int(hub)).cast("bigint").alias("node"),
+        _int_l2("__q_qv", hv).alias("dist"),
+    )
+    bw = Window.partitionBy("q_id").orderBy("dist", "node")
+    for _ in range(hops):
+        frontier = sorted({r["node"] for r in bm.select("node").collect()})
+        buckets = sorted({int(n) % n_buckets for n in frontier})
+        adj = (
+            spark.read.parquet(corpus_path)
+            .where(F.col("bucket").isin(buckets))   # partition pruning
+            .where(F.col("src").isin([int(n) for n in frontier]))
+        )
+        nbrs = (
+            adj.join(F.broadcast(bm.select("q_id", "__q_qv", "node")),
+                     F.col("src") == F.col("node"))
+            .select(
+                "q_id", "__q_qv",
+                F.col("dst").alias("node"),
+                _int_l2("__q_qv", "dv").alias("dist"),
+            )
+        )
+        cand = bm.unionByName(nbrs)
+        bm = (
+            cand.withColumn("__rk", F.dense_rank().over(bw))
+            .where(F.col("__rk") <= beam)
+            .drop("__rk")
+            .dropDuplicates(["q_id", "node"])
+            .localCheckpoint()  # the frontier collect above needs it eager
+        )
+    out = (
+        bm.where(F.col("node") != F.col("q_id"))
+        .withColumn("__rk", F.row_number().over(bw))
+        .where(F.col("__rk") <= k)
+        .select("q_id", F.col("node").alias(id_col),
+                F.col("dist").alias("dist_sq"))
+    )
+    return out.localCheckpoint(eager=True)

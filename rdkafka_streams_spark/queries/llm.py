@@ -5551,3 +5551,47 @@ def q339_dataloader_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("pos").cast("bigint").alias("last_pos"),
         (F.sum(term) % p).cast("bigint").alias("order_checksum"),
     )
+
+
+@query(
+    "q342_nsw_partitioned_serve",
+    oracle=REGISTRY["q335_beam_search_graph_ann"].oracle,
+    tags=("L3",),
+)
+def q342_nsw_partitioned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED GRAPH-ANN SERVING (llm/similarity.py build_nsw_corpus
+    / beam_search_partitioned) — q331's on-disk layout contract applied
+    to the NSW family: index-build day writes the adjacency WITH
+    destination vectors (the DiskANN node record) parquet-partitioned
+    by src bucket; serve day walks the on-disk graph with q335's exact
+    fixed-beam fixed-hop search, but each hop reads ONLY the frontier's
+    adjacency — the beam is nq×16 node ids (driver metadata), so the
+    hop scan filters bucket IN (...) (literal → static PartitionFilters)
+    and src IN (...) (literal → row-group min/max skip). Gated against
+    q335's OWN oracle: partition-pruned serving must be bit-identical
+    to the in-memory walk on the same build, while a hop touching b of
+    8 buckets reads b/8 of the index from disk. The corpus lives in a
+    per-process mkdtemp and is removed after the localCheckpointed
+    result (the q331 hygiene)."""
+    import shutil
+    import tempfile
+
+    from rdkafka_streams_spark.llm.similarity import (
+        beam_search_partitioned,
+        build_nsw_corpus,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="rdkafka_streams_nsw_corpus_")
+    try:
+        hub = build_nsw_corpus(
+            emb, f"{root}/adj", r=_NSW_R, n_assign=_NSW_NA,
+            n_cells=_KM_K, n_iters=_KM_N_ITERS, n_buckets=8,
+        )
+        queries = emb.where(F.expr("vec_id % 50 = 0"))
+        return beam_search_partitioned(
+            spark, f"{root}/adj", hub, None, queries,
+            k=_NSW_K, beam=_NSW_BEAM, hops=_NSW_HOPS, n_buckets=8,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -89,6 +89,23 @@ MULT_CAPS: dict[str, tuple[int, str]] = {
         "fixed 1024-row trigger cap: batch COUNT grows as rows/cap; "
         "certifies flat per-batch cost at 1600 batches instead",
     ),
+    "q335_beam_search_graph_ann": (
+        8,
+        "gate keeps n_cells=8 fixed (the q304 trainer constants), so the "
+        "blocked pair stage grows as N^2/n_cells when cells are not "
+        "re-sized with the corpus; production re-trains n_cells ∝ N "
+        "(bounded cells) and the stage is Σ(2·|cell|)² by design",
+    ),
+    "q336_beam_search_recall_audit": (
+        8,
+        "runs q335's build twice (approx + exact ground truth) under the "
+        "same fixed-n_cells fixture constant; same cap, same reason",
+    ),
+    "q342_nsw_partitioned_serve": (
+        8,
+        "index-BUILD day shares q335's fixed-n_cells pair stage; the "
+        "serve-day walk itself reads only the frontier's buckets",
+    ),
 }
 
 SHIFT = 1_000_000_000

@@ -746,3 +746,44 @@ def test_ivf_cell_partitioned_corpus_prunes_at_scan(spark, sf_dir, tmp_path):
     cand = corpus.where(F.col("cid").isin([1, 3]))
     pf = " ".join(partition_filters(cand))
     assert "cid" in pf, f"no partition pruning on cid: {pf}"
+
+
+def test_nsw_partitioned_serve_prunes_per_hop(spark, sf_dir, tmp_path):
+    """q342's standing claim — 'each hop reads only the frontier's
+    adjacency' — made real: build the bucketed NSW corpus, shape a hop
+    scan the way beam_search_partitioned does (bucket IN + src IN, both
+    literals by scan time), and the scan must carry the bucket
+    PartitionFilters — reading b/n_buckets of the index directories,
+    not the graph. Also pins serve ≡ in-memory equality on a small
+    corpus (the artifact round-trip contract at unit scale)."""
+    from rdkafka_streams_spark.core.plan import partition_filters
+    from rdkafka_streams_spark.llm.similarity import (
+        beam_search_integer,
+        beam_search_partitioned,
+        build_nsw_corpus,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    path = str(tmp_path / "nsw_adj")
+    hub = build_nsw_corpus(
+        emb, path, r=4, n_assign=2, n_cells=4, n_iters=2, n_buckets=4
+    )
+    adj = spark.read.parquet(path)
+    hop = adj.where(F.col("bucket").isin([0, 2])).where(
+        F.col("src").isin([0, 2, 6])
+    )
+    pf = " ".join(partition_filters(hop))
+    assert "bucket" in pf, f"no partition pruning on bucket: {pf}"
+
+    queries = emb.where(F.col("vec_id") % 60 == 0)
+    served = sorted(tuple(r) for r in beam_search_partitioned(
+        spark, path, hub, None, queries,
+        k=3, beam=8, hops=3, n_buckets=4,
+    ).collect())
+    mem = sorted(tuple(r) for r in beam_search_integer(
+        emb, queries, k=3, beam=8, hops=3, r=4,
+        n_assign=2, n_cells=4, n_iters=2,
+    ).collect())
+    assert served == mem and len(served) > 0
