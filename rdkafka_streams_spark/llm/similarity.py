@@ -2198,3 +2198,76 @@ def beam_search_partitioned(
                 F.col("dist").alias("dist_sq"))
     )
     return out.localCheckpoint(eager=True)
+
+
+def embedding_neardup_incremental(
+    spark,
+    corpus_path: str,
+    coarse: list[tuple[int, list[int]]],
+    delta: DataFrame,
+    num: int = 3,
+    den: int = 10,
+    nprobe: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DELTA-vs-CORPUS embedding near-dup — the DAILY-INGEST posture of
+    q62's cosine near-dup (the vector twin of
+    ``minhash_near_dups_incremental``): the standing corpus is the
+    ``build_ivf_corpus`` layout (assigned vectors parquet-partitioned
+    by cell) + its saved centroids; an arriving increment assigns each
+    delta vector to its ``nprobe`` nearest cells MAP-SIDE
+    (``_arg_top_cids`` over the literal centroids — no join, no
+    shuffle), and compares against ONLY those cells' members. The cell
+    set of the whole batch is ≤ n_cells ints — driver metadata — so
+    the corpus scan carries a literal IN filter (static
+    PartitionFilters); the base is never rescanned, let alone re-paired.
+    Multi-probe is the boundary-straddle hedge (the q335 multi-assign
+    lesson): a near-dup across a cell boundary is caught when either
+    side's probe reaches the other's cell.
+
+    The match rule is INTEGER-EXACT cosine: cos ≥ num/den ⟺ dot > 0 ∧
+    den²·dot² ≥ num²·‖a‖²·‖b‖² — all bigint products of quantized
+    vectors, one SQL hash gate, no float epsilon. Overflow bound:
+    den²·(D·Q²)² must fit int64 — at scale Q=1000, D=64 dims, den=10
+    the largest term is ~4·10¹⁷, safely inside. Returns
+    (delta_id, base_id, dot, na2, nb2) — the raw integers, so the
+    caller (and the oracle) can re-derive any cosine form exactly."""
+    row = delta.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError("no delta vectors (empty increment?)")
+    dim = len(row[0])
+    qd = delta.select(
+        F.col(id_col).alias("delta_id"),
+        quantize_global(vec_col, scale).alias("__dv"),
+    ).withColumn("__cids", _arg_top_cids("__dv", coarse, nprobe))
+    probes = qd.select(
+        "delta_id", "__dv", F.explode("__cids").alias("cid")
+    ).localCheckpoint()  # feeds the cell collect AND the candidate join
+    cells = sorted(r["cid"] for r in probes.select("cid").distinct().collect())
+    base = spark.read.parquet(corpus_path).where(
+        F.col("cid").isin(cells)  # literal -> static partition pruning
+    ).select("cid", F.col("vec_id").alias("base_id"), F.col("qv").alias("__bv"))
+    dot = F.expr(" + ".join(
+        f"__dv[{i}] * __bv[{i}]" for i in range(dim))).cast("long")
+    na2 = F.expr(" + ".join(
+        f"__dv[{i}] * __dv[{i}]" for i in range(dim))).cast("long")
+    nb2 = F.expr(" + ".join(
+        f"__bv[{i}] * __bv[{i}]" for i in range(dim))).cast("long")
+    cand = (
+        base.join(F.broadcast(probes), "cid")
+        .select(
+            "delta_id", "base_id",
+            dot.alias("dot"), na2.alias("na2"), nb2.alias("nb2"),
+        )
+        .dropDuplicates(["delta_id", "base_id"])  # shared-both-cells pairs
+    )
+    out = cand.where(
+        (F.col("dot") > 0)
+        & (F.lit(den * den) * F.col("dot") * F.col("dot")
+           >= F.lit(num * num) * F.col("na2") * F.col("nb2"))
+    )
+    out = out.localCheckpoint(eager=True)
+    probes.unpersist()
+    return out

@@ -5595,3 +5595,164 @@ def q342_nsw_partitioned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _neardup_inc_oracle() -> str:
+    """Base-only kmeans chain (the corpus is trained/assigned on the
+    STANDING half only — delta vectors must not move the centroids),
+    delta multi-probe, distinct candidate pairs, integer-exact cosine
+    rule — all generated from the same constants as q343's Spark path."""
+    dotq = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
+            "x -> x[1]*x[2])) AS BIGINT)")
+    km = _kmeans_oracle_ctes(
+        k=_KM_K, n_iters=_KM_N_ITERS,
+        src="(SELECT * FROM embeddings WHERE vec_id % 10 <> 0)",
+    )
+    return km + f""",
+dq AS (SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qv
+       FROM embeddings WHERE vec_id % 10 = 0),
+probes AS (SELECT vec_id, qv, cid FROM (
+  SELECT d.vec_id, d.qv, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+      {_int_l2_duck('d.qv', 'c.qc')} ASC, c.cid ASC) AS rn
+  FROM dq d CROSS JOIN c{_KM_N_ITERS} c) WHERE rn <= 2),
+cand AS (SELECT DISTINCT p.vec_id AS delta_id, b.vec_id AS base_id,
+    {dotq.format(a='p.qv', b='b.qv')} AS dot,
+    {dotq.format(a='p.qv', b='p.qv')} AS na2,
+    {dotq.format(a='b.qv', b='b.qv')} AS nb2
+  FROM probes p JOIN a{_KM_N_ITERS} b USING (cid))
+SELECT delta_id, base_id, dot, na2, nb2 FROM cand
+WHERE dot > 0 AND 100 * dot * dot >= 9 * na2 * nb2
+"""
+
+
+@query(
+    "q343_embedding_neardup_incremental",
+    oracle=_neardup_inc_oracle(),
+    tags=("L2", "L3"),
+)
+def q343_embedding_neardup_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL EMBEDDING NEAR-DUP (llm/similarity.py
+    embedding_neardup_incremental) — q62's cosine near-dup in the
+    daily-ingest posture, completing the incremental matrix (MinHash
+    q284, ExactSubstr q302, decontamination q334, multimodal
+    fingerprints q329 — and now vectors): the standing corpus is the
+    q331 partitioned-IVF layout + saved centroids (built once); the
+    increment (every 10th vector) assigns to its 2 nearest cells
+    map-side, the batch's cell set rides as a literal IN (static
+    PartitionFilters — the base is read partition-pruned, never
+    re-paired), and candidates match on the INTEGER-EXACT cosine rule
+    cos ≥ 0.3 ⟺ dot>0 ∧ 100·dot² ≥ 9·‖a‖²‖b‖² — bigint end to end, no
+    float epsilon, one hash gate. Emits the raw (dot, na2, nb2) so the
+    oracle re-derives the rule exactly. Scale: increment×(nprobe/
+    n_cells·corpus) candidate pairs — q322's prune geometry pointed at
+    dedup; corpus root in a per-process mkdtemp, removed after the
+    localCheckpointed result."""
+    import shutil
+    import tempfile
+
+    from rdkafka_streams_spark.llm.similarity import (
+        build_ivf_corpus,
+        embedding_neardup_incremental,
+        load_ann_index,
+        save_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.expr("vec_id % 10 <> 0"))
+    delta = emb.where(F.expr("vec_id % 10 = 0"))
+    root = tempfile.mkdtemp(prefix="rdkafka_streams_neardup_corpus_")
+    try:
+        cents = build_ivf_corpus(
+            base, f"{root}/corpus", n_cells=_KM_K, n_iters=_KM_N_ITERS,
+        )
+        save_ann_index(f"{root}/art", scale=1000, coarse_centroids=cents)
+        idx = load_ann_index(f"{root}/art")
+        return embedding_neardup_incremental(
+            spark, f"{root}/corpus", idx["coarse"], delta,
+            num=3, den=10, nprobe=2, scale=idx["scale"],
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_N_EPOCHS = 3
+
+
+def _epoch_oracle() -> str:
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id
+  FROM documents WHERE text <> ''),
+e AS (SELECT CAST(unnest(range(0, {_N_EPOCHS})) AS BIGINT) AS epoch),
+o AS (SELECT e.epoch, d.doc_id,
+             md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                 CAST(e.epoch AS VARCHAR)) AS ord
+      FROM d, e),
+r AS (SELECT epoch, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                  ORDER BY ord, doc_id) AS BIGINT) AS pos
+      FROM o),
+s AS (SELECT *, CAST((pos - 1) % {_N_SHARDS} AS BIGINT) AS shard FROM r)
+SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(pos) AS BIGINT) AS first_pos,
+       CAST(MAX(pos) AS BIGINT) AS last_pos,
+       CAST(SUM(((pos % 1000000007) * (doc_id % 1000000007))
+                % 1000000007) % 1000000007 AS BIGINT) AS order_checksum
+FROM s GROUP BY epoch, shard
+"""
+
+
+@query("q344_dataloader_epochs", oracle=_epoch_oracle(), tags=("L4",))
+def q344_dataloader_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-EPOCH RESHUFFLE (the q330 manifest across training epochs):
+    epoch e's order key is md5(doc_id ':' e) — every epoch is a FRESH
+    deterministic permutation of the same corpus (the shuffle a trainer
+    re-deals each epoch, reproducible on any cluster size with no RNG
+    state to checkpoint — the epoch number IS the seed), shards stay
+    balanced ±1 by the same round-robin deal, and q339's resume
+    predicate works unchanged within any epoch. Emits the per-(epoch,
+    shard) manifest with the position-weighted checksum, so a repeated
+    epoch order (a broken seed) or a skewed deal breaks the hash, not
+    just a row count. Scale: one global_rank PER EPOCH over the corpus
+    (epochs are a training-loop constant); the epoch column rides the
+    same two-job prefix pattern — no cross-epoch shuffle."""
+    from rdkafka_streams_spark.operators.ranking import global_rank
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text") != "")
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"))
+    )
+    p = F.lit(1000000007).cast("bigint")
+    out = None
+    for epoch in range(_N_EPOCHS):
+        ranked = global_rank(
+            d.withColumn(
+                "ord",
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                                  F.lit(str(epoch)))),
+            ),
+            ["ord", "doc_id"],
+            rank_col="pos",
+        )
+        term = ((F.col("pos") % p) * (F.col("doc_id") % p)) % p
+        part = (
+            ranked
+            .withColumn("shard", ((F.col("pos") - 1) % _N_SHARDS)
+                        .cast("bigint"))
+            .groupBy("shard")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.min("pos").cast("bigint").alias("first_pos"),
+                F.max("pos").cast("bigint").alias("last_pos"),
+                (F.sum(term) % p).cast("bigint").alias("order_checksum"),
+            )
+            .select(F.lit(epoch).cast("bigint").alias("epoch"), "shard",
+                    "n_docs", "first_pos", "last_pos", "order_checksum")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -106,6 +106,12 @@ MULT_CAPS: dict[str, tuple[int, str]] = {
         "index-BUILD day shares q335's fixed-n_cells pair stage; the "
         "serve-day walk itself reads only the frontier's buckets",
     ),
+    "q343_embedding_neardup_incremental": (
+        8,
+        "delta grows with N while the gate keeps n_cells=8 fixed, so "
+        "candidates grow as N^2·nprobe/n_cells; production re-trains "
+        "n_cells ∝ N and the probe stays increment × bounded-cell",
+    ),
 }
 
 SHIFT = 1_000_000_000

@@ -2213,3 +2213,47 @@ def test_hilbert_key_matches_reference_and_is_bijective(spark):
     )
     with _pytest.raises(ValueError, match="<= 60"):
         hilbert_key("x", "y", bits=31)
+
+
+def test_epoch_reshuffle_distinct_permutations_and_resume(spark):
+    """q344's epoch contract: (a) each epoch's md5(doc:epoch) order is a
+    PERMUTATION of the corpus, (b) different epochs give DIFFERENT
+    orders (the epoch number is the seed — a broken concat collapses
+    them), (c) dataloader_resume composes unchanged within an epoch:
+    resume(c) is the exact suffix of that epoch's full order."""
+    from rdkafka_streams_spark.operators.ranking import (
+        dataloader_resume,
+        global_rank,
+    )
+
+    d = spark.createDataFrame(
+        [(i,) for i in range(1, 41)], "doc_id bigint"
+    )
+    orders = {}
+    for epoch in range(3):
+        ranked = global_rank(
+            d.withColumn(
+                "ord",
+                F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                                  F.lit(str(epoch)))),
+            ),
+            ["ord", "doc_id"],
+            rank_col="pos",
+        )
+        rows = sorted((r["pos"], r["doc_id"]) for r in ranked.collect())
+        assert [p for p, _ in rows] == list(range(1, 41))   # permutation
+        orders[epoch] = [doc for _, doc in rows]
+        rem = sorted(
+            (r["shard"], r["ordinal"], r["doc_id"])
+            for r in dataloader_resume(
+                ranked, 4, {0: 2, 1: 0, 2: 5, 3: 1}
+            ).collect()
+        )
+        want = sorted(
+            ((pos - 1) % 4, (pos - 1) // 4 + 1, doc)
+            for pos, doc in rows
+            if (pos - 1) // 4 + 1 > {0: 2, 1: 0, 2: 5, 3: 1}[(pos - 1) % 4]
+        )
+        assert rem == want
+    assert orders[0] != orders[1] != orders[2] != orders[0]
+    assert sorted(orders[0]) == sorted(orders[1]) == sorted(orders[2])
