@@ -603,6 +603,220 @@ def bigram_lm_score_with_index(
     )
 
 
+def nb_quality_classifier(
+    docs: DataFrame,
+    target_filter: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """TRAINED quality classifier — the multinomial Naive Bayes analog of
+    the fastText filter CCNet/GPT-3-style pipelines run ("does this doc
+    look like the reference corpus?"): train on a deterministic 80%
+    hash-split (the q113 two-nibble md5 rule, bkt < 204), with the
+    reference class given by ``target_filter``; score the HELD-OUT 20%
+    with the NB log-odds margin
+
+        margin(d) = log((n_pos+1)/(n_neg+1))
+                  + Σ_feat [log θ_pos(b) − log θ_neg(b)],
+        θ_c(b) = (c_c(b)+1) / (N_c + B)       (Laplace, B = n_buckets)
+
+    over hashed unigram+bigram features (``_doc_features`` +
+    ``_md5_bucket`` — the exact DSIR feature space, so the two selection
+    signals are comparable bucket for bucket). Unlike DSIR's one-class
+    ratio-to-corpus, this is the two-class supervised form: a class
+    prior, per-class likelihoods, and a signed decision margin.
+
+    Determinism: every per-bucket weight and the prior snap to integer
+    micro-nats (floor(·1e6 + 0.5)); the per-doc margin is an exact
+    integer sum — order-independent, reproducible verbatim in SQL.
+
+    Scale shape: one feature explode; two bucket-count aggregations that
+    partial-agg map-side to ≤ B rows; the weight table is EXACTLY B rows
+    (dense via ``sequence`` — an eval bucket unseen in training still
+    gets its Laplace weight; an observed-buckets-only table would
+    silently drop those features); scoring is a broadcast join + one
+    per-doc sum. Nothing corpus-sized is collected.
+
+    Output: (id, n_feats, margin [nats, round 6], pred, actual) for
+    held-out docs with ≥1 feature; pred = (margin > 0) as int."""
+    split_bkt = _md5_bucket(f"CAST({id_col} AS STRING)", 2)
+    lbl = docs.withColumn("__tr", split_bkt < 204).withColumn(
+        "__pos", target_filter
+    )
+    feats = _doc_features(lbl, id_col, text_col, "__tr", "__pos")
+    fb = feats.withColumn("bkt", _md5_bucket("feat"))
+    cnt = (
+        fb.where("__tr")
+        .groupBy("bkt")
+        .agg(
+            F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("c_pos"),
+            F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("c_neg"),
+        )
+    )
+    tot = cnt.agg(
+        F.coalesce(F.sum("c_pos"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum("c_neg"), F.lit(0)).alias("n_neg"),
+    )
+    spark = docs.sparkSession
+    dense = spark.range(n_buckets).select(F.col("id").cast("int").alias("bkt"))
+    b = float(n_buckets)
+    w = (
+        dense.join(cnt, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bkt",
+            F.floor(
+                (
+                    F.log((F.coalesce("c_pos", F.lit(0)) + 1) / (F.col("n_pos") + F.lit(b)))
+                    - F.log((F.coalesce("c_neg", F.lit(0)) + 1) / (F.col("n_neg") + F.lit(b)))
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+    docprior = (
+        lbl.where("__tr")
+        .agg(
+            F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("d_pos"),
+            F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("d_neg"),
+        )
+        .select(
+            F.floor(
+                (F.log(F.col("d_pos") + 1) - F.log(F.col("d_neg") + 1)) * 1000000 + 0.5
+            )
+            .cast("long")
+            .alias("prior_micro")
+        )
+    )
+    return (
+        fb.where(~F.col("__tr"))
+        .join(F.broadcast(w), "bkt")
+        .groupBy(id_col, "__pos")
+        .agg(F.count("*").cast("bigint").alias("n_feats"), F.sum("w_micro").alias("s"))
+        .crossJoin(F.broadcast(docprior))
+        .select(
+            id_col,
+            "n_feats",
+            F.round((F.col("s") + F.col("prior_micro")) / 1000000.0, 6).alias("margin"),
+            (F.col("s") + F.col("prior_micro") > 0).cast("int").alias("pred"),
+            F.col("__pos").cast("int").alias("actual"),
+        )
+    )
+
+
+def source_lm_ablation(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """PER-SOURCE LM ABLATION — the data-mixture signal (the measurement
+    DoReMi/DoGE-style mixture tuning consumes): for every source s,
+    held-out cross-entropy under the bigram LM trained on ALL training
+    data vs trained on ALL-MINUS-s (leave-one-source-out), sharing one
+    count pass. Δ(s) = xent_loo(s) − xent_full > 0 means removing s HURT
+    the held-out fit — s is pulling its weight; Δ ≈ 0 (or < 0) flags a
+    source the mixture can down-weight. The held-out set is the q113
+    'test' hash split (two-nibble md5 bkt ≥ 229, ~10%); training is the
+    rest.
+
+    The LOO counts are DERIVED, never retrained: c_loo(s) = c_total −
+    c_s from a single (w1,w2,source)-keyed aggregation — 1 ablation
+    pass for ALL sources instead of |S| training runs. The vocabulary V
+    stays the FULL training vocab for every ablation (fixed smoothing
+    support — the standard ablation-study control; a per-ablation V
+    would conflate mixture effect with smoothing shift).
+
+    Determinism: per-(bigram, ablation) NLL snaps to integer micro-nats;
+    per-source sums are exact integers weighted by held-out bigram
+    multiplicity (term < 2^25 micro-nats, so int64 sums stay exact to
+    ~2^38 held-out bigrams — held-out sets are sampled small by
+    construction, never 10% of 100 TB). Scale shape: count tables are distinct-bigram-bounded
+    (×|S| for the per-source one, |S| bounded — a mixture has dozens of
+    sources); held-out bigrams pre-aggregate to distinct keys before the
+    join; the |S|-way expansion happens AFTER that reduction; joins are
+    keyed shuffles, nothing collected.
+
+    Output: (source, n_src_train_bigrams, n_heldout_bigrams, xent_full,
+    xent_loo, delta) — xent = mean NLL in nats (round 6), delta = loo −
+    full in nats (round 6, from the exact integer sums)."""
+    split_bkt = _md5_bucket(f"CAST({id_col} AS STRING)", 2)
+    tagged = docs.withColumn("__ho", split_bkt >= 229)
+    train = tagged.where(~F.col("__ho"))
+    db = _bigram_explode(
+        train.select(F.col(source_col).alias("__src"), id_col, text_col),
+        "__src", text_col,
+    ).withColumnRenamed("__src", "src")
+    cbg_s = db.groupBy("src", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("cbg_s")
+    )
+    cbg_t = cbg_s.groupBy("w1", "w2").agg(F.sum("cbg_s").alias("cbg_t"))
+    cctx_s = cbg_s.groupBy("src", "w1").agg(F.sum("cbg_s").alias("cctx_s"))
+    cctx_t = cctx_s.groupBy("w1").agg(F.sum("cctx_s").alias("cctx_t"))
+    vocab = (
+        train.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    )
+    sources = cbg_s.select("src").distinct()
+    n_src = cbg_s.groupBy("src").agg(
+        F.sum("cbg_s").cast("bigint").alias("n_src_train_bigrams")
+    )
+    hb = (
+        _bigram_explode(tagged.where("__ho"), id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("hcnt"))
+        .join(cbg_t, ["w1", "w2"], "left")
+        .join(cctx_t, "w1", "left")
+        .select(
+            "w1", "w2", "hcnt",
+            F.coalesce("cbg_t", F.lit(0)).alias("cbg_t"),
+            F.coalesce("cctx_t", F.lit(0)).alias("cctx_t"),
+        )
+    )
+    full_term = F.floor(
+        -F.log((F.col("cbg_t") + 1) / (F.col("cctx_t") + F.col("v"))) * 1000000 + 0.5
+    ).cast("long")
+    loo_term = F.floor(
+        -F.log(
+            (F.col("cbg_t") - F.coalesce("cbg_s", F.lit(0)) + 1)
+            / (F.col("cctx_t") - F.coalesce("cctx_s", F.lit(0)) + F.col("v"))
+        ) * 1000000 + 0.5
+    ).cast("long")
+    per_src = (
+        hb.crossJoin(F.broadcast(sources))
+        .join(cbg_s, ["src", "w1", "w2"], "left")
+        .join(cctx_s, ["src", "w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("src")
+        .agg(
+            F.sum("hcnt").cast("bigint").alias("n_heldout_bigrams"),
+            F.sum(F.col("hcnt") * full_term).alias("s_full"),
+            F.sum(F.col("hcnt") * loo_term).alias("s_loo"),
+        )
+    )
+    return per_src.join(n_src, "src").select(
+        F.col("src").alias("source"),
+        "n_src_train_bigrams",
+        "n_heldout_bigrams",
+        F.round(
+            F.floor(F.col("s_full") / F.col("n_heldout_bigrams") + 0.5) / 1000000.0, 6
+        ).alias("xent_full"),
+        F.round(
+            F.floor(F.col("s_loo") / F.col("n_heldout_bigrams") + 0.5) / 1000000.0, 6
+        ).alias("xent_loo"),
+        F.round(
+            F.floor(
+                (F.col("s_loo") - F.col("s_full")) / F.col("n_heldout_bigrams") + 0.5
+            ) / 1000000.0, 6
+        ).alias("delta"),
+    )
+
+
 def corpus_filter_pipeline(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -5756,3 +5756,154 @@ def q344_dataloader_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+_NB_SPLIT = (
+    "(instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+_NB_BKT = (
+    "(instr('0123456789abcdef', substring(md5(feat), 1, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substring(md5(feat), 2, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(md5(feat), 3, 1)) - 1)"
+)
+
+
+@query(
+    "q345_nb_quality_classifier",
+    oracle=f"""
+WITH lbl AS (
+  SELECT doc_id, text, ({_NB_SPLIT}) < 204 AS tr, (lang = 'en') AS pos
+  FROM documents),
+tk AS (SELECT doc_id, tr, pos, string_split(text, ' ') AS t FROM lbl),
+uni AS (SELECT doc_id, tr, pos, unnest(t) AS feat FROM tk),
+bi AS (SELECT doc_id, tr, pos, t[i] || '_' || t[i+1] AS feat
+       FROM tk, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+feats AS (SELECT doc_id, tr, pos, feat FROM uni WHERE feat <> ''
+          UNION ALL SELECT doc_id, tr, pos, feat FROM bi),
+fb AS (SELECT doc_id, tr, pos, {_NB_BKT} AS bkt FROM feats),
+cnt AS (SELECT bkt, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+        FROM fb WHERE tr GROUP BY bkt),
+tot AS (SELECT COALESCE(SUM(c_pos), 0) AS n_pos,
+               COALESCE(SUM(c_neg), 0) AS n_neg FROM cnt),
+dense AS (SELECT CAST(b AS INT) AS bkt FROM range(0, 4096) AS rg(b)),
+w AS (SELECT d.bkt,
+        CAST(floor((ln((COALESCE(c.c_pos, 0) + 1) / (t.n_pos + 4096.0))
+                  - ln((COALESCE(c.c_neg, 0) + 1) / (t.n_neg + 4096.0)))
+                   * 1000000 + 0.5) AS BIGINT) AS w_micro
+      FROM dense d LEFT JOIN cnt c ON d.bkt = c.bkt CROSS JOIN tot t),
+pr AS (SELECT CAST(floor((ln(SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1)
+                        - ln(SUM(CASE WHEN pos THEN 0 ELSE 1 END) + 1))
+                         * 1000000 + 0.5) AS BIGINT) AS prior_micro
+       FROM lbl WHERE tr)
+SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       ROUND((SUM(w.w_micro) + p.prior_micro) / 1000000.0, 6) AS margin,
+       CAST((SUM(w.w_micro) + p.prior_micro) > 0 AS INT) AS pred,
+       CAST(f.pos AS INT) AS actual
+FROM fb f JOIN w ON f.bkt = w.bkt CROSS JOIN pr p
+WHERE NOT f.tr
+GROUP BY f.doc_id, f.pos, p.prior_micro
+""",
+    tags=("L4",),
+)
+def q345_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED QUALITY CLASSIFIER (llm/text.py nb_quality_classifier) —
+    the multinomial Naive Bayes analog of the fastText reference-corpus
+    filter (CCNet/GPT-3 pipeline stage): train on the deterministic 80%
+    hash split with lang='en' as the reference class, score the held-out
+    20% with the signed NB log-odds margin over hashed unigram+bigram
+    features (the exact DSIR feature space — the two selection signals
+    are comparable bucket for bucket). Per-bucket weights and the class
+    prior snap to integer micro-nats; the per-doc margin is an exact
+    integer sum — one hash gate covers weights, prior, and decision.
+    The weight table is DENSE (all 4096 buckets via range — an eval
+    bucket unseen in training still prices at its Laplace weight; an
+    observed-only table would silently drop those features).
+
+    Scale: one feature explode; bucket counts partial-agg map-side to
+    ≤4096 rows; the weight table broadcasts; scoring is one per-doc sum.
+    Nothing corpus-sized collects; the trained artifact is 4096 rows —
+    the save/load posture of q326 applies as-is."""
+    from rdkafka_streams_spark.llm.text import nb_quality_classifier
+
+    return nb_quality_classifier(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+@query(
+    "q346_source_lm_ablation",
+    oracle="""
+WITH sp AS (
+  SELECT doc_id, text, source,
+         ((instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        + (instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) >= 229 AS ho
+  FROM documents),
+tkt AS (SELECT source, string_split(text, ' ') AS t FROM sp WHERE NOT ho),
+tb AS (SELECT source AS src, t[i] AS w1, t[i+1] AS w2
+       FROM tkt, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+cbg_s AS (SELECT src, w1, w2, CAST(COUNT(*) AS BIGINT) AS cbg_s
+          FROM tb GROUP BY src, w1, w2),
+cbg_t AS (SELECT w1, w2, CAST(SUM(cbg_s) AS BIGINT) AS cbg_t
+          FROM cbg_s GROUP BY w1, w2),
+cctx_s AS (SELECT src, w1, CAST(SUM(cbg_s) AS BIGINT) AS cctx_s
+           FROM cbg_s GROUP BY src, w1),
+cctx_t AS (SELECT w1, CAST(SUM(cctx_s) AS BIGINT) AS cctx_t
+           FROM cctx_s GROUP BY w1),
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM
+          (SELECT unnest(string_split(text, ' ')) AS tok
+           FROM sp WHERE NOT ho) WHERE tok <> ''),
+srcs AS (SELECT DISTINCT src FROM cbg_s),
+nsrc AS (SELECT src, CAST(SUM(cbg_s) AS BIGINT) AS n_src_train_bigrams
+         FROM cbg_s GROUP BY src),
+hbt AS (SELECT string_split(text, ' ') AS t FROM sp WHERE ho),
+hb0 AS (SELECT t[i] AS w1, t[i+1] AS w2
+        FROM hbt, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+hb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS hcnt FROM hb0 GROUP BY w1, w2),
+hbj AS (SELECT h.w1, h.w2, h.hcnt,
+               COALESCE(ct.cbg_t, 0) AS cbg_t,
+               COALESCE(xt.cctx_t, 0) AS cctx_t
+        FROM hb h LEFT JOIN cbg_t ct USING (w1, w2)
+                  LEFT JOIN cctx_t xt USING (w1)),
+per AS (SELECT s.src,
+          CAST(SUM(h.hcnt) AS BIGINT) AS n_heldout_bigrams,
+          CAST(SUM(h.hcnt * CAST(floor(-ln((h.cbg_t + 1) / (h.cctx_t + v.v))
+                                       * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s_full,
+          CAST(SUM(h.hcnt * CAST(floor(-ln((h.cbg_t - COALESCE(cs.cbg_s, 0) + 1)
+                                         / (h.cctx_t - COALESCE(xs.cctx_s, 0) + v.v))
+                                       * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s_loo
+        FROM hbj h CROSS JOIN srcs s
+        LEFT JOIN cbg_s cs ON cs.src = s.src AND cs.w1 = h.w1 AND cs.w2 = h.w2
+        LEFT JOIN cctx_s xs ON xs.src = s.src AND xs.w1 = h.w1
+        CROSS JOIN vocab v
+        GROUP BY s.src)
+SELECT p.src AS source, n.n_src_train_bigrams, p.n_heldout_bigrams,
+       ROUND(CAST(floor(p.s_full / p.n_heldout_bigrams + 0.5) AS BIGINT) / 1000000.0, 6) AS xent_full,
+       ROUND(CAST(floor(p.s_loo / p.n_heldout_bigrams + 0.5) AS BIGINT) / 1000000.0, 6) AS xent_loo,
+       ROUND(CAST(floor((p.s_loo - p.s_full) / p.n_heldout_bigrams + 0.5) AS BIGINT) / 1000000.0, 6) AS delta
+FROM per p JOIN nsrc n ON n.src = p.src
+""",
+    tags=("L4",),
+)
+def q346_source_lm_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE LM ABLATION (llm/text.py source_lm_ablation) — the
+    data-mixture signal DoReMi/DoGE-style reweighting consumes: for
+    every source s, held-out bigram-LM cross-entropy trained on ALL
+    training data vs ALL-MINUS-s (leave-one-source-out), from ONE
+    (source, w1, w2) count pass — LOO counts are DERIVED (c_total −
+    c_s), never retrained, so the |S|-way ablation costs one extra
+    keyed aggregation instead of |S| training runs. Δ(s) = xent_loo −
+    xent_full > 0 ⇒ removing s hurts the held-out fit (s pulls its
+    weight); Δ ≤ 0 flags a down-weightable source. V is the FULL
+    training vocab for every ablation (fixed smoothing support — the
+    ablation-study control). Held-out = the q113 'test' hash split.
+
+    Scale: count tables are distinct-bigram-bounded (×|S| for the
+    per-source one; |S| is dozens, a training-mixture constant);
+    held-out bigrams pre-aggregate to distinct keys BEFORE the |S|-way
+    expansion; every join is a keyed shuffle; integer micro-nat terms
+    make the per-source sums exact. Nothing is collected."""
+    from rdkafka_streams_spark.llm.text import source_lm_ablation
+
+    return source_lm_ablation(_t(spark, sf_dir, "documents"))

@@ -2257,3 +2257,79 @@ def test_epoch_reshuffle_distinct_permutations_and_resume(spark):
         assert rem == want
     assert orders[0] != orders[1] != orders[2] != orders[0]
     assert sorted(orders[0]) == sorted(orders[1]) == sorted(orders[2])
+
+
+def _split_bkt(doc_id: int) -> int:
+    import hashlib as _h
+
+    return int(_h.md5(str(doc_id).encode()).hexdigest()[:2], 16)
+
+
+def test_nb_classifier_separates_classes_on_heldout(spark):
+    """The NB margin must classify held-out docs whose vocabulary matches
+    their class's training vocabulary; eval docs are the md5 two-nibble
+    bkt >= 204 split, so the test derives the split the same way."""
+    from rdkafka_streams_spark.llm.text import nb_quality_classifier
+
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            rows.append((i, "good nice fine clean solid", "en"))
+        else:
+            rows.append((i, "spam junk bad noisy broken", "xx"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           nb_quality_classifier(docs, F.col("lang") == "en").collect()}
+    eval_ids = {i for i in range(60) if _split_bkt(i) >= 204}
+    assert set(out) == eval_ids, "exactly the held-out split is scored"
+    assert len(eval_ids) >= 4, "fixture must land docs in the eval split"
+    for i, r in out.items():
+        assert r["pred"] == r["actual"] == (1 if i % 2 == 0 else 0), (i, r)
+        assert (r["margin"] > 0) == (i % 2 == 0)
+
+
+def test_nb_classifier_prices_unseen_buckets_dense(spark):
+    """A held-out doc carrying a feature NEVER seen in training must still
+    have that feature scored (dense Laplace table), not dropped: n_feats
+    counts every feature incl. bigrams."""
+    from rdkafka_streams_spark.llm.text import nb_quality_classifier
+
+    eval_id = next(i for i in range(1000) if _split_bkt(i) >= 204)
+    train_ids = [i for i in range(1000) if _split_bkt(i) < 204][:6]
+    rows = [(i, "plain text here", "en" if k % 2 == 0 else "xx")
+            for k, i in enumerate(train_ids)]
+    rows.append((eval_id, "utterlyunseen tokenhere", "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           nb_quality_classifier(docs, F.col("lang") == "en").collect()}
+    # 2 unigrams + 1 bigram, all unseen in training, all priced
+    assert out[eval_id]["n_feats"] == 3
+
+
+def test_source_lm_ablation_signs_and_invariants(spark):
+    """Removing the source that supplies the held-out text's bigram mass
+    must RAISE held-out xent (delta > 0); removing a source whose tokens
+    never appear held-out leaves every term untouched (delta == 0, V is
+    fixed-full-vocab by design); n_heldout_bigrams is ablation-invariant."""
+    from rdkafka_streams_spark.llm.text import source_lm_ablation
+
+    rows = []
+    for i in range(90):
+        if _split_bkt(i) >= 229:  # held-out: the 'a b' distribution
+            rows.append((i, "a b a b a b", "whatever"))
+        elif i % 3 == 2:
+            rows.append((i, "x y z w v u", "srcC"))  # disjoint junk
+        elif i % 3 == 1:
+            rows.append((i, "a b a b", "srcB"))
+        else:
+            rows.append((i, "a b a b a", "srcA"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in source_lm_ablation(docs).collect()}
+    assert set(out) == {"srcA", "srcB", "srcC"}
+    nh = {r["n_heldout_bigrams"] for r in out.values()}
+    assert len(nh) == 1 and nh.pop() > 0
+    assert out["srcA"]["delta"] > 0, out["srcA"]
+    assert out["srcB"]["delta"] > 0, out["srcB"]
+    assert out["srcC"]["delta"] == 0.0, out["srcC"]
+    for r in out.values():
+        assert r["xent_loo"] >= r["xent_full"] - 1e-9
