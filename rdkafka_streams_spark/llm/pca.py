@@ -1,0 +1,172 @@
+"""Integer-exact PCA by power iteration — the embedding-table analog of
+the reference's derived-stream aggregations (viriciti/rdkafka-streams
+exposes only row-level transforms; this module is part of the
+training-data extensions, SURVEY.md §2.8).
+
+Why this shape at 100 TB: the ONLY corpus-sized work is ONE pass that
+partially aggregates the integer co-moment sufficient statistics
+(Gram matrix G = ΣqqT, column sums S, count N) map-side — the classic
+treeAggregate shape, done here as an Arrow-batched ``mapInPandas`` with
+numpy int64 matmuls per batch and a 4161-value exact reduce. The
+power iteration itself runs on the DRIVER over the dim×dim co-moment —
+a dim²-bounded artifact (like k-means centroids or PQ codebooks riding
+as literals), never data-bounded — in arbitrary-precision Python ints.
+
+Determinism (the oracle contract): vectors quantize with the global
+fixed scale (``quantize_global``); G/S/N are exact integer sums (order-
+independent); the co-moment M = N·G − S·ST is built in Python ints
+(DuckDB mirrors in HUGEINT); each iteration renormalizes WITHOUT
+division-by-norm (float hazard) — instead the vector is shifted down by
+a power of ten chosen from the DIGIT COUNT of max|u| (exact in both
+engines: length of the decimal string), with sign-split truncating
+division (-(|u| div p) for negatives) so Python and SQL agree bit for
+bit. The final eigenvector's sign is canonicalized (largest-|component|
+dim positive, ties to the smaller dim) — eigenvectors are defined up to
+sign, the gate needs ONE.
+
+Overflow bounds (all documented, none silent): per-batch and global G
+entries are Σ q_i·q_j ≤ N·scale² — int64-exact to N ≈ 9e12 vectors;
+M entries are N·G − S² ≤ N²·scale², exact in Python/HUGEINT always
+(the int64-sensitive part never leaves the driver).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rdkafka_streams_spark.llm.similarity import quantize_global
+
+PCA_ITERS = 8
+PCA_FP = 1_000_000  # fixed-point scale of the iterated vector
+
+
+def _comoment(emb: DataFrame, dim: int, scale: int,
+              vec_col: str) -> tuple[list[list[int]], list[int], int]:
+    """One distributed pass → (M, S, N) on the driver: integer Gram/sum
+    partials per Arrow batch (numpy int64 matmul — vectorized, exact
+    within the documented N bound), element-wise exact reduce via
+    posexplode + SUM (distributed — the collect below is 4161 rows of
+    REDUCED statistics, bounded by dim², not by data or partitions)."""
+    q = emb.select(quantize_global(vec_col, scale).alias("__v"))
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        g = np.zeros((dim, dim), dtype=np.int64)
+        s = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["__v"].tolist(), dtype=np.int64)
+            g += m.T @ m
+            s += m.sum(axis=0)
+            n += len(pdf)
+        if n:
+            flat = list(g.reshape(-1)) + list(s) + [n]
+            yield pd.DataFrame({"vals": [flat]})
+
+    parts = q.mapInPandas(part, schema="vals array<long>")
+    red = (
+        parts.select(F.posexplode("vals").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    acc = [0] * (dim * dim + dim + 1)
+    for r in red:
+        acc[r["i"]] = int(r["v"])
+    gm = [acc[i * dim:(i + 1) * dim] for i in range(dim)]
+    sv = acc[dim * dim:dim * dim + dim]
+    n = acc[-1]
+    if n == 0:
+        raise ValueError("no vectors (empty corpus?)")
+    m = [
+        [n * gm[i][j] - sv[i] * sv[j] for j in range(dim)]
+        for i in range(dim)
+    ]
+    return m, sv, n
+
+
+def _renorm(u: list[int]) -> list[int]:
+    """Shift u down by 10^(digits(max|u|) − 7) with sign-split truncating
+    division — max|result| lands in [1e6, 1e7) whenever max|u| ≥ 1e7;
+    exact and engine-agnostic (digit count = decimal string length)."""
+    a = max(abs(x) for x in u)
+    d = len(str(a))
+    if d <= 7:
+        return list(u)
+    p = 10 ** (d - 7)
+    return [-((-x) // p) if x < 0 else x // p for x in u]
+
+
+def power_iteration(m: list[list[int]], iters: int = PCA_ITERS) -> list[int]:
+    """Driver-side exact power iteration over the integer co-moment:
+    v0 = 1e6·e_k at the max-variance diagonal (ties → smaller dim);
+    iterate u = M·v, renormalize by digit-shift; canonicalize sign so
+    the largest-|component| dim (ties → smaller) is positive."""
+    dim = len(m)
+    k = max(range(dim), key=lambda i: (m[i][i], -i))
+    v = [PCA_FP if i == k else 0 for i in range(dim)]
+    for _ in range(iters):
+        u = [sum(m[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        v = _renorm(u)
+    j = max(range(dim), key=lambda i: (abs(v[i]), -i))
+    if v[j] < 0:
+        v = [-x for x in v]
+    return v
+
+
+def pca_top_component(
+    emb: DataFrame,
+    scale: int = 1000,
+    iters: int = PCA_ITERS,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[int]]:
+    """Top principal direction of the embedding table: returns
+    (loadings DataFrame (dim, loading), the loading list) — the list is
+    what downstream projection passes embed as literals."""
+    row = emb.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError("no vectors (empty corpus or NULL embedding?)")
+    dim = len(row[0])
+    m, _, _ = _comoment(emb, dim, scale, vec_col)
+    v = power_iteration(m, iters)
+    out = emb.sparkSession.createDataFrame(
+        [(i, int(v[i])) for i in range(dim)], "dim int, loading bigint"
+    )
+    return out, v
+
+
+def project_stats(
+    emb: DataFrame,
+    v: list[int],
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str = "label",
+) -> DataFrame:
+    """Exact integer projections qvT·v per vector (v as an unrolled
+    literal expression — whole-stage codegen, no UDF) aggregated per
+    group: (group, n_vecs, min_proj, max_proj, sum_proj). One scan, one
+    small-key aggregation; sum_proj is int64-exact to ~1e7 vectors per
+    group at scale=1000 — beyond that the projection sum (a diagnostic,
+    not the projection itself) moves to decimal."""
+    proj = F.expr(
+        " + ".join(f"__v[{i}] * {int(v[i])}L" for i in range(len(v)))
+    ).cast("long")
+    return (
+        emb.select(F.col(group_col), quantize_global(vec_col, scale).alias("__v"))
+        .select(group_col, proj.alias("__p"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min("__p").cast("bigint").alias("min_proj"),
+            F.max("__p").cast("bigint").alias("max_proj"),
+            F.sum("__p").cast("bigint").alias("sum_proj"),
+        )
+    )

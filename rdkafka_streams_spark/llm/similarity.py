@@ -1957,10 +1957,15 @@ def beam_search_integer(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     edges: DataFrame | None = None,
+    entry: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Greedy best-first graph-ANN search with a FIXED beam width and a
     FIXED hop count — the deterministic core of HNSW/DiskANN serving:
-    start every query at the hub (the global min-id node), and each hop
+    start every query at the hub (the global min-id node) — or, when
+    ``entry`` is given (columns (q_id, node) — e.g. an upper layer's
+    per-query result), seed each query's beam with ITS OWN entry nodes
+    instead (the HNSW layer-descent contract) — and each hop
     expand the beam's out-edges, score candidates by integer L2 to the
     query, and keep the ``beam`` best by (dist, id). After ``hops``
     rounds the top-``k`` non-self beam entries are the answer. Fixed
@@ -1996,12 +2001,22 @@ def beam_search_integer(
         F.col(id_col).alias("q_id"),
         quantize_global(vec_col, scale).alias("__q_qv"),
     )
-    entry = corpus.orderBy("__node").limit(1)
-    bm = qs.crossJoin(F.broadcast(entry)).select(
-        "q_id", "__q_qv",
-        F.col("__node").alias("node"),
-        _int_l2("__q_qv", "__nv").alias("dist"),
-    )
+    if entry is None:
+        hub = corpus.orderBy("__node").limit(1)
+        bm = qs.crossJoin(F.broadcast(hub)).select(
+            "q_id", "__q_qv",
+            F.col("__node").alias("node"),
+            _int_l2("__q_qv", "__nv").alias("dist"),
+        )
+    else:
+        bm = (
+            qs.join(entry.select("q_id", "node"), "q_id")
+            .join(corpus, F.col("node") == F.col("__node"))
+            .select(
+                "q_id", "__q_qv", "node",
+                _int_l2("__q_qv", "__nv").alias("dist"),
+            )
+        )
     bw = Window.partitionBy("q_id").orderBy("dist", "node")
     for _ in range(hops):
         nbrs = (
@@ -2025,12 +2040,69 @@ def beam_search_integer(
             .drop("__rk")
             .dropDuplicates(["q_id", "node"])
         )
+    if exclude_self:
+        bm = bm.where(F.col("node") != F.col("q_id"))
     return (
-        bm.where(F.col("node") != F.col("q_id"))
-        .withColumn("__rk", F.row_number().over(bw))
+        bm.withColumn("__rk", F.row_number().over(bw))
         .where(F.col("__rk") <= k)
         .select("q_id", F.col("node").alias(id_col),
                 F.col("dist").alias("dist_sq"))
+    )
+
+
+def hierarchical_beam_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    beam: int = 16,
+    hops: int = 4,
+    up_mod: int = 4,
+    up_beam: int = 8,
+    up_hops: int = 3,
+    r: int = 8,
+    n_assign: int = 2,
+    n_cells: int = 8,
+    n_iters: int = 3,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TWO-LAYER graph-ANN search — the HNSW layer-descent contract made
+    deterministic: an UPPER layer holds the deterministic 1/``up_mod``
+    id-sample of the corpus with its own navigable graph (built against
+    the SAME coarse centroids — the quantizer trains once, both layers
+    block on it); each query first walks the upper layer from its hub
+    (greedy, ``up_beam``/``up_hops``, self-inclusion allowed — a query
+    vector that lives in the upper layer IS its own best entry), and the
+    single best upper node then SEEDS the full-graph beam search
+    (``entry=``) in place of the global hub. The descent buys the hub's
+    long-range role with ~hops·|upper| work instead of extra full-layer
+    hops: this serves k=5 at (3 upper + 4 lower) hops where the flat
+    q335 walk needs 6 full-layer hops.
+
+    Every stage keeps the fixed-width/fixed-hop/total-tie-order purity,
+    so the two-layer walk is still a pure function of the corpus — one
+    SQL hash gate, both layers unrolled."""
+    cents = kmeans_integer(
+        emb, k=n_cells, n_iters=n_iters, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )[1]
+    upper = emb.where(F.col(id_col) % up_mod == 0)
+    up_edges = nsw_graph_integer(
+        upper, r=r, n_assign=n_assign, n_cells=n_cells, n_iters=n_iters,
+        scale=scale, id_col=id_col, vec_col=vec_col, coarse=cents,
+    )
+    entries = beam_search_integer(
+        upper, queries, k=1, beam=up_beam, hops=up_hops, scale=scale,
+        id_col=id_col, vec_col=vec_col, edges=up_edges, exclude_self=False,
+    ).select("q_id", F.col(id_col).alias("node"))
+    low_edges = nsw_graph_integer(
+        emb, r=r, n_assign=n_assign, n_cells=n_cells, n_iters=n_iters,
+        scale=scale, id_col=id_col, vec_col=vec_col, coarse=cents,
+    )
+    return beam_search_integer(
+        emb, queries, k=k, beam=beam, hops=hops, scale=scale,
+        id_col=id_col, vec_col=vec_col, edges=low_edges, entry=entries,
     )
 
 

@@ -5907,3 +5907,251 @@ def q346_source_lm_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.text import source_lm_ablation
 
     return source_lm_ablation(_t(spark, sf_dir, "documents"))
+
+
+def _pca_oracle_ctes(iters: int = 8, dim: int = EMB_DIM) -> str:
+    """Unrolled power-iteration CTE chain mirroring llm/pca.py constant
+    for constant: integer co-moment in HUGEINT, digit-shift
+    renormalization (power of ten built as a STRING — exact at any
+    magnitude), sign-split truncating division, canonical sign flip.
+    Ends with v{iters} (i, val) and sgn (sg)."""
+    ctes = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, label, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+dims AS (SELECT CAST(i AS INT) AS i FROM range(0, {dim}) AS r(i)),
+flat AS MATERIALIZED (SELECT e.vec_id, d.i, e.qv[d.i + 1] AS val FROM e, dims d),
+g AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(a.val AS HUGEINT) * b.val) AS HUGEINT) AS g
+      FROM flat a JOIN flat b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+s AS MATERIALIZED (SELECT i, CAST(SUM(val) AS HUGEINT) AS s FROM flat GROUP BY i),
+nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e),
+m AS MATERIALIZED (SELECT g.i, g.j, g.g * nn.n - si.s * sj.s AS val
+      FROM g, nn, s si, s sj WHERE si.i = g.i AND sj.i = g.j),
+k0 AS (SELECT i FROM m WHERE i = j ORDER BY val DESC, i ASC LIMIT 1),
+v0 AS (SELECT d.i,
+              CAST(CASE WHEN d.i = k0.i THEN 1000000 ELSE 0 END AS HUGEINT) AS val
+       FROM dims d, k0)"""
+    for t in range(1, iters + 1):
+        ctes += f""",
+u{t} AS MATERIALIZED (SELECT m.i, CAST(SUM(m.val * v.val) AS HUGEINT) AS val
+        FROM m JOIN v{t - 1} v ON m.j = v.i GROUP BY m.i),
+p{t} AS (SELECT CASE WHEN length(CAST(MAX(ABS(val)) AS VARCHAR)) > 7
+              THEN CAST('1' || repeat('0', length(CAST(MAX(ABS(val)) AS VARCHAR)) - 7) AS HUGEINT)
+              ELSE CAST(1 AS HUGEINT) END AS p FROM u{t}),
+v{t} AS MATERIALIZED (SELECT i, CASE WHEN val < 0 THEN -(ABS(val) // p) ELSE val // p END AS val
+        FROM u{t}, p{t})"""
+    ctes += f""",
+sgn AS (SELECT CASE WHEN (SELECT val FROM v{iters}
+                          ORDER BY ABS(val) DESC, i ASC LIMIT 1) < 0
+               THEN -1 ELSE 1 END AS sg)"""
+    return ctes
+
+
+_PCA_ITERS = 8
+
+
+@query(
+    "q347_pca_power_iteration",
+    oracle=_pca_oracle_ctes(_PCA_ITERS) + f"""
+SELECT CAST(v.i AS INT) AS dim, CAST(v.val * sgn.sg AS BIGINT) AS loading
+FROM v{_PCA_ITERS} v, sgn
+""",
+    tags=("L3",),
+)
+def q347_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA TOP COMPONENT, INTEGER-EXACT (llm/pca.py) — the dimensionality
+    -reduction path the embedding toolkit still lacked (q149 whitens
+    against a DIAGONAL covariance, q205 projects onto RANDOM hyperplanes;
+    this finds the actual leading eigendirection): ONE distributed pass
+    partially aggregates the integer co-moment sufficient statistics
+    (Gram, sums, count — Arrow-batched numpy int64 matmuls per batch,
+    element-wise exact reduce), then the power iteration runs DRIVER-SIDE
+    over the dim×dim matrix in arbitrary-precision Python ints — a
+    dim²-bounded artifact like centroids or codebooks, never data-bounded.
+    No division anywhere: renormalization is a digit-count power-of-ten
+    shift with sign-split truncating division, the eigenvector sign is
+    canonicalized (largest-|component| dim positive) — every step is
+    reproducible verbatim in SQL, and the oracle unrolls all 8 iterations
+    in HUGEINT. Scale: the corpus pass is map-side partials + a
+    4161-value reduce; at 1000 executors the driver sees dim², not N."""
+    from rdkafka_streams_spark.llm.pca import pca_top_component
+
+    out, _ = pca_top_component(_t(spark, sf_dir, "embeddings"), iters=_PCA_ITERS)
+    return out
+
+
+@query(
+    "q348_pca_projection_spread",
+    oracle=_pca_oracle_ctes(_PCA_ITERS) + f""",
+proj AS (SELECT e.vec_id, e.label,
+                CAST(SUM(CAST(e.qv[v.i + 1] AS HUGEINT) * v.val * sgn.sg)
+                     AS HUGEINT) AS p
+         FROM e, v{_PCA_ITERS} v, sgn GROUP BY e.vec_id, e.label)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(MIN(p) AS BIGINT) AS min_proj,
+       CAST(MAX(p) AS BIGINT) AS max_proj,
+       CAST(SUM(p) AS BIGINT) AS sum_proj
+FROM proj GROUP BY label
+""",
+    tags=("L3",),
+)
+def q348_pca_projection_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA PROJECTION SPREAD PER LABEL (llm/pca.py project_stats) — the
+    consumer side of q347: project every vector onto the learned top
+    component (the loadings ride as an UNROLLED LITERAL expression —
+    whole-stage codegen, no UDF, no join) and report per-label projection
+    stats (n, min, max, exact integer sum) — the one-number-per-group
+    diagnostic a curation run uses to see whether the leading axis
+    separates sources/labels (cluster structure) or is shared spread.
+    Exactness end to end: quantized vectors × integer loadings — the
+    projection is a bigint, the per-label sum exact. One scan + one
+    small-key aggregation on top of q347's single co-moment pass."""
+    from rdkafka_streams_spark.llm.pca import pca_top_component, project_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _, v = pca_top_component(emb, iters=_PCA_ITERS)
+    return project_stats(emb, v)
+
+
+_HNSW_UP_MOD = 4    # upper layer = every 4th vector
+_HNSW_UP_BEAM = 8   # upper greedy beam
+_HNSW_UP_HOPS = 3   # upper expansion rounds
+_HNSW_HOPS = 4      # lower rounds (vs q335's flat 6)
+
+
+def _hnsw_oracle() -> str:
+    """Two-layer unrolled beam chain (llm/similarity.py
+    hierarchical_beam_search): the q335 prefix (kmeans → multi-assign →
+    full-layer edges), an UPPER subgraph over the id-sampled subset
+    (filtered asg — blocking is per-node so the subset's assignments ARE
+    the full table's rows), an upper greedy walk from the upper hub,
+    top-1 entry per query, then the lower walk SEEDED at the entry."""
+    parts = [_kmeans_oracle_ctes(k=_KM_K, n_iters=_KM_N_ITERS, bare=True),
+             f"""asg AS MATERIALIZED (
+  SELECT vec_id, qv, cid FROM (
+    SELECT q.vec_id, q.qv, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {_int_l2_duck('q.qv', 'c.qc')} ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c{_KM_N_ITERS} c) WHERE rn <= {_NSW_NA}),
+loc AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        {_int_l2_duck('a.qv', 'b.qv')} ASC, b.vec_id ASC) AS rn
+    FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    GROUP BY a.vec_id, b.vec_id, a.qv, b.qv)
+  WHERE rn <= {_NSW_R}),
+a1st AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        {_int_l2_duck('q.qv', 'c.qc')} ASC, c.cid ASC) AS rn
+    FROM q CROSS JOIN c{_KM_N_ITERS} c) WHERE rn = 1),
+reps AS (SELECT cid, MIN(vec_id) AS rep FROM a1st GROUP BY cid),
+hub AS (SELECT MIN(rep) AS h FROM reps),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM loc
+  UNION ALL SELECT h.h AS src, rp.rep AS dst FROM reps rp, hub h
+  WHERE rp.rep <> h.h
+  UNION ALL SELECT rp.rep AS src, h.h AS dst FROM reps rp, hub h
+  WHERE rp.rep <> h.h),
+uasg AS MATERIALIZED (SELECT * FROM asg WHERE vec_id % {_HNSW_UP_MOD} = 0),
+uloc AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        {_int_l2_duck('a.qv', 'b.qv')} ASC, b.vec_id ASC) AS rn
+    FROM uasg a JOIN uasg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    GROUP BY a.vec_id, b.vec_id, a.qv, b.qv)
+  WHERE rn <= {_NSW_R}),
+ua1st AS (SELECT vec_id, cid FROM a1st WHERE vec_id % {_HNSW_UP_MOD} = 0),
+ureps AS (SELECT cid, MIN(vec_id) AS rep FROM ua1st GROUP BY cid),
+uhub AS (SELECT MIN(rep) AS h FROM ureps),
+uedges AS MATERIALIZED (
+  SELECT src, dst FROM uloc
+  UNION ALL SELECT h.h AS src, rp.rep AS dst FROM ureps rp, uhub h
+  WHERE rp.rep <> h.h
+  UNION ALL SELECT rp.rep AS src, h.h AS dst FROM ureps rp, uhub h
+  WHERE rp.rep <> h.h),
+qs AS (SELECT vec_id AS q_id, qv AS q_qv FROM q WHERE vec_id % 50 = 0),
+ub0 AS MATERIALIZED (SELECT qs.q_id, uhub.h AS node FROM qs, uhub)"""]
+    for i in range(1, _HNSW_UP_HOPS + 1):
+        parts.append(f"""ubc{i} AS (
+  SELECT q_id, node FROM ub{i - 1}
+  UNION
+  SELECT b.q_id, e.dst AS node FROM ub{i - 1} b JOIN uedges e
+  ON e.src = b.node),
+ubs{i} AS MATERIALIZED (
+  SELECT c.q_id, c.node, {_int_l2_duck('qs.q_qv', 'n.qv')} AS dist
+  FROM ubc{i} c JOIN qs ON qs.q_id = c.q_id JOIN q n ON n.vec_id = c.node),
+ub{i} AS MATERIALIZED (
+  SELECT q_id, node FROM (
+    SELECT q_id, node,
+      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, node ASC)
+      AS rn
+    FROM ubs{i}) WHERE rn <= {_HNSW_UP_BEAM})""")
+    parts.append(f"""b0 AS MATERIALIZED (
+  SELECT q_id, node FROM (
+    SELECT q_id, node,
+      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, node ASC)
+      AS rn
+    FROM ubs{_HNSW_UP_HOPS}) WHERE rn = 1)""")
+    for i in range(1, _HNSW_HOPS + 1):
+        parts.append(f"""bc{i} AS (
+  SELECT q_id, node FROM b{i - 1}
+  UNION
+  SELECT b.q_id, e.dst AS node FROM b{i - 1} b JOIN edges e
+  ON e.src = b.node),
+bs{i} AS MATERIALIZED (
+  SELECT c.q_id, c.node, {_int_l2_duck('qs.q_qv', 'n.qv')} AS dist
+  FROM bc{i} c JOIN qs ON qs.q_id = c.q_id JOIN q n ON n.vec_id = c.node),
+b{i} AS MATERIALIZED (
+  SELECT q_id, node FROM (
+    SELECT q_id, node,
+      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, node ASC)
+      AS rn
+    FROM bs{i}) WHERE rn <= {_NSW_BEAM})""")
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT q_id, node AS vec_id, dist AS dist_sq FROM (
+  SELECT s.q_id, s.node, s.dist,
+    ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY s.dist ASC,
+                       s.node ASC) AS rn
+  FROM bs{_HNSW_HOPS} s
+  JOIN b{_HNSW_HOPS} b ON b.q_id = s.q_id AND b.node = s.node
+  WHERE s.node <> s.q_id) WHERE rn <= {_NSW_K}"""
+
+
+@query("q349_hierarchical_graph_ann", oracle=_hnsw_oracle(), tags=("L3",))
+def q349_hierarchical_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL (TWO-LAYER) GRAPH ANN (llm/similarity.py
+    hierarchical_beam_search) — the layer-descent half of HNSW that
+    q335's flat walk approximated with star bridges: an UPPER layer
+    holds every 4th vector with its own navigable subgraph (blocked on
+    the SAME coarse centroids — the quantizer trains once for both
+    layers), each query walks it greedily from the upper hub (beam 8,
+    3 hops, self-inclusion allowed — a query living in the upper layer
+    is its own best entry), and the single best upper node SEEDS the
+    full-graph beam (16) in place of the global hub — serving k=5 in
+    3 upper + 4 lower hops where q335 needs 6 full-layer hops, with
+    the upper hops touching 1/4 of the corpus. Both layers keep the
+    fixed-width/fixed-hop/(dist,id) total order, so the ENTIRE descent
+    is a pure function of the corpus: the oracle unrolls both walks
+    (the q221 BFS pattern, twice) and one hash gate covers trainer,
+    both graphs, the entry hand-off, and the answers.
+
+    Scale: upper build is Σ(2|cell∩upper|)² pairs (1/16 of the full
+    pair stage); the hand-off is nq×1 rows; lower hops are the q335
+    adjacency-scan + broadcast-join shape with two fewer rounds — at
+    a fixed hop budget the hierarchy is where production graph serving
+    (HNSW/Vamana) spends it."""
+    from rdkafka_streams_spark.llm.similarity import hierarchical_beam_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    return hierarchical_beam_search(
+        emb, queries, k=_NSW_K, beam=_NSW_BEAM, hops=_HNSW_HOPS,
+        up_mod=_HNSW_UP_MOD, up_beam=_HNSW_UP_BEAM, up_hops=_HNSW_UP_HOPS,
+        r=_NSW_R, n_assign=_NSW_NA, n_cells=_KM_K, n_iters=_KM_N_ITERS,
+    )

@@ -2333,3 +2333,114 @@ def test_source_lm_ablation_signs_and_invariants(spark):
     assert out["srcC"]["delta"] == 0.0, out["srcC"]
     for r in out.values():
         assert r["xent_loo"] >= r["xent_full"] - 1e-9
+
+
+def test_pca_top_component_matches_numpy_direction(spark):
+    """The integer power iteration must align with numpy's exact top
+    eigenvector of the same co-moment (cosine ≥ 0.999 after 8
+    digit-shift-renormalized iterations) and canonicalize sign (the
+    largest-|loading| dim positive)."""
+    import numpy as np
+
+    from rdkafka_streams_spark.llm.pca import pca_top_component
+
+    rng = np.random.RandomState(11)
+    n, dim = 80, 6
+    t = rng.randn(n)
+    direction = np.array([3.0, 1.0, 0.0, 0.5, 0.0, 0.0])
+    vecs = np.outer(t, direction) + 0.05 * rng.randn(n, dim)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    _, v = pca_top_component(emb)
+    q = np.floor(vecs * 1000.0 + 0.5)
+    m = len(q) * (q.T @ q) - np.outer(q.sum(0), q.sum(0))
+    w, ev = np.linalg.eigh(m)
+    top = ev[:, -1]
+    vv = np.array(v, dtype=float)
+    cos = abs(vv @ top) / (np.linalg.norm(vv) * np.linalg.norm(top))
+    assert cos >= 0.999, cos
+    j = int(np.argmax(np.abs(vv)))
+    assert vv[j] > 0, "canonical sign: largest-|loading| dim positive"
+
+
+def test_pca_project_stats_exact(spark):
+    """project_stats computes exact integer dot products per group."""
+    from rdkafka_streams_spark.llm.pca import project_stats
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0], 7), (2, [0.5, -1.0], 7), (3, [2.0, 0.0], 8)],
+        "vec_id bigint, embedding array<float>, label bigint",
+    )
+    v = [3, -2]  # qv = [1000,2000],[500,-1000],[2000,0]
+    rows = {r["label"]: r for r in project_stats(emb, v).collect()}
+    # label 7: projections 3*1000-2*2000=-1000 and 3*500+2*1000=3500
+    assert rows[7]["n_vecs"] == 2
+    assert rows[7]["min_proj"] == -1000 and rows[7]["max_proj"] == 3500
+    assert rows[7]["sum_proj"] == 2500
+    assert rows[8]["min_proj"] == rows[8]["max_proj"] == 6000
+
+
+def test_seeded_beam_search_top1_is_the_seed_nn(spark):
+    """With entry= the query's exact nearest neighbor, the lower walk's
+    top-1 must be that seed (nothing closer exists; the seed is scored
+    into the beam and never displaced)."""
+    import numpy as np
+
+    from rdkafka_streams_spark.llm.similarity import (
+        beam_search_integer,
+        exact_knn_integer,
+    )
+
+    rng = np.random.RandomState(3)
+    n, dim = 40, 6
+    vecs = rng.randn(n, dim).astype("float32")
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = emb.where(F.col("vec_id") % 13 == 0)
+    nn1 = {r["q_id"]: r["vec_id"]
+           for r in exact_knn_integer(emb, queries, k=1).collect()}
+    entry = spark.createDataFrame(
+        [(q, node) for q, node in nn1.items()], "q_id bigint, node bigint"
+    )
+    got = beam_search_integer(
+        emb, queries, k=1, beam=4, hops=2, n_cells=4, n_iters=2,
+        entry=entry,
+    ).collect()
+    assert {r["q_id"]: r["vec_id"] for r in got} == nn1
+
+
+def test_hierarchical_beam_search_recall_and_determinism(spark):
+    """Two-layer descent must (a) be deterministic run to run, (b) reach
+    recall@3 ≥ 0.75 vs exact on a corpus where the flat hub walk with
+    the same LOWER hop budget is the baseline it should not lose to."""
+    import numpy as np
+
+    from rdkafka_streams_spark.llm.similarity import (
+        exact_knn_integer,
+        hierarchical_beam_search,
+    )
+
+    rng = np.random.RandomState(23)
+    n, dim = 96, 8
+    vecs = rng.randn(n, dim).astype("float32")
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = emb.where(F.col("vec_id") % 19 == 0)
+    kw = dict(k=3, beam=8, hops=3, up_mod=4, up_beam=4, up_hops=2,
+              r=6, n_assign=2, n_cells=4, n_iters=2)
+    a = sorted(tuple(r) for r in
+               hierarchical_beam_search(emb, queries, **kw).collect())
+    b = sorted(tuple(r) for r in
+               hierarchical_beam_search(emb, queries, **kw).collect())
+    assert a == b, "two-layer walk must be a pure function of the corpus"
+    exact = {(r["q_id"], r["vec_id"])
+             for r in exact_knn_integer(emb, queries, k=3).collect()}
+    got = {(t[0], t[1]) for t in a}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.75, recall
