@@ -46,11 +46,16 @@ PCA_FP = 1_000_000  # fixed-point scale of the iterated vector
 
 def _comoment(emb: DataFrame, dim: int, scale: int,
               vec_col: str) -> tuple[list[list[int]], list[int], int]:
-    """One distributed pass → (M, S, N) on the driver: integer Gram/sum
+    """One distributed pass → (G, S, N) on the driver: integer Gram/sum
     partials per Arrow batch (numpy int64 matmul — vectorized, exact
     within the documented N bound), element-wise exact reduce via
     posexplode + SUM (distributed — the collect below is 4161 rows of
-    REDUCED statistics, bounded by dim², not by data or partitions)."""
+    REDUCED statistics, bounded by dim², not by data or partitions).
+
+    These are ADDITIVE sufficient statistics: (G, S, N) of a union of
+    corpora is the element-wise sum of the parts' — the algebraic fact
+    the incremental path (``pca_top_component_incremental``) rests on,
+    with the co-moment M = N·G − S·ST built only at fit time."""
     q = emb.select(quantize_global(vec_col, scale).alias("__v"))
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -85,11 +90,16 @@ def _comoment(emb: DataFrame, dim: int, scale: int,
     n = acc[-1]
     if n == 0:
         raise ValueError("no vectors (empty corpus?)")
-    m = [
+    return gm, sv, n
+
+
+def _build_m(gm: list[list[int]], sv: list[int], n: int) -> list[list[int]]:
+    """Co-moment M = N·G − S·ST in exact Python ints."""
+    dim = len(sv)
+    return [
         [n * gm[i][j] - sv[i] * sv[j] for j in range(dim)]
         for i in range(dim)
     ]
-    return m, sv, n
 
 
 def _renorm(u: list[int]) -> list[int]:
@@ -134,9 +144,48 @@ def pca_top_component(
     if row is None or row[0] is None:
         raise ValueError("no vectors (empty corpus or NULL embedding?)")
     dim = len(row[0])
-    m, _, _ = _comoment(emb, dim, scale, vec_col)
-    v = power_iteration(m, iters)
+    gm, sv, n = _comoment(emb, dim, scale, vec_col)
+    v = power_iteration(_build_m(gm, sv, n), iters)
     out = emb.sparkSession.createDataFrame(
+        [(i, int(v[i])) for i in range(dim)], "dim int, loading bigint"
+    )
+    return out, v
+
+
+def pca_top_component_incremental(
+    parts: list[DataFrame],
+    scale: int = 1000,
+    iters: int = PCA_ITERS,
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[int]]:
+    """INCREMENTAL fit: each part (the standing corpus's SAVED statistics
+    day one, each day's increment after) contributes its own (G, S, N)
+    pass, and the fit runs on the element-wise SUM — exact additivity of
+    the sufficient statistics, so the merged fit is BIT-IDENTICAL to
+    retraining on the union (the gate proves it against the full-corpus
+    oracle). The persisted artifact is dim²+dim+1 integers — the q326
+    save/load posture applies as-is; the standing corpus is never
+    rescanned when an increment lands."""
+    if not parts:
+        raise ValueError("no parts")
+    row = parts[0].select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError("no vectors (empty corpus or NULL embedding?)")
+    dim = len(row[0])
+    gm = [[0] * dim for _ in range(dim)]
+    sv = [0] * dim
+    n = 0
+    for p in parts:
+        if p.select(vec_col).first() is None:
+            continue
+        g1, s1, n1 = _comoment(p, dim, scale, vec_col)
+        for i in range(dim):
+            sv[i] += s1[i]
+            for j in range(dim):
+                gm[i][j] += g1[i][j]
+        n += n1
+    v = power_iteration(_build_m(gm, sv, n), iters)
+    out = parts[0].sparkSession.createDataFrame(
         [(i, int(v[i])) for i in range(dim)], "dim int, loading bigint"
     )
     return out, v

@@ -6155,3 +6155,98 @@ def q349_hierarchical_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         up_mod=_HNSW_UP_MOD, up_beam=_HNSW_UP_BEAM, up_hops=_HNSW_UP_HOPS,
         r=_NSW_R, n_assign=_NSW_NA, n_cells=_KM_K, n_iters=_KM_N_ITERS,
     )
+
+
+_ISO_BINS = 16
+
+
+def _q350_oracle() -> str:
+    """q345's full classifier chain as the scored input (reused verbatim
+    — the calibration oracle cannot drift from the classifier oracle),
+    then ntile binning and the weighted minimax isotonic fit."""
+    q345_sql = REGISTRY["q345_nb_quality_classifier"].oracle
+    return f"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id, margin, actual FROM ({q345_sql}) s),
+bins AS (SELECT NTILE({_ISO_BINS}) OVER (ORDER BY margin ASC, doc_id ASC) AS bin,
+                CAST(actual AS BIGINT) AS y
+         FROM scored),
+agg AS MATERIALIZED (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS s
+  FROM bins GROUP BY bin),
+cum AS (SELECT bin, n, s,
+               CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+               CAST(SUM(s) OVER (ORDER BY bin) AS BIGINT) AS cs
+        FROM agg),
+jk AS MATERIALIZED (
+  SELECT a.bin AS j, b.bin AS k,
+         CAST(floor((b.cs - (a.cs - a.s)) * 1000000
+                    / (b.cn - (a.cn - a.n)) + 0.5) AS BIGINT) AS m
+  FROM cum a JOIN cum b ON a.bin <= b.bin),
+iso AS (SELECT i, CAST(MAX(inner_min) AS BIGINT) AS iso_micro FROM (
+  SELECT g.bin AS i, jk.j, MIN(jk.m) AS inner_min
+  FROM agg g JOIN jk ON jk.j <= g.bin AND jk.k >= g.bin
+  GROUP BY g.bin, jk.j) GROUP BY i)
+SELECT a.bin, a.n AS n_docs,
+       CAST(floor(a.s * 1000000 / a.n + 0.5) AS BIGINT) AS rate_micro,
+       iso.iso_micro
+FROM agg a JOIN iso ON iso.i = a.bin
+"""
+
+
+@query("q350_isotonic_calibration", oracle=_q350_oracle(), tags=("L4",))
+def q350_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC CALIBRATION (operators/calibration.py) — the post-hoc
+    calibration stage every deployed filter runs (Zadrozny & Elkan;
+    sklearn IsotonicRegression): take q345's held-out NB margins, bin
+    them by rank (ntile over the (margin, doc_id) total order — ties
+    deterministic), and fit the weighted monotone rate curve via the
+    MINIMAX characterization iso(i) = max_{j≤i} min_{k≥i} mean(y_j..y_k)
+    — a closed form over the 16 aggregate bin rows (joins on a tiny
+    frame, n_bins³ work), NOT an iterative pool loop, so the whole fit
+    is one SQL hash gate; interval means micro-snap to integers, and
+    because the optimum is attained at pooled-block boundaries this
+    equals snapping PAV's block means (unit-pinned against a
+    pure-Python PAV). Emits (bin, n_docs, rate_micro, iso_micro) —
+    iso_micro non-decreasing by construction, the property a
+    thresholding stage relies on.
+
+    Scale: corpus-sized work is q345's scoring + ONE windowed binning
+    pass over the held-out set (sampled small by construction — a
+    calibration set is thousands of rows, not the corpus); the fit
+    itself is bin-count-bounded."""
+    from rdkafka_streams_spark.llm.text import nb_quality_classifier
+    from rdkafka_streams_spark.operators.calibration import isotonic_calibrate
+
+    scored = nb_quality_classifier(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+    return isotonic_calibrate(scored, n_bins=_ISO_BINS)
+
+
+@query(
+    "q351_pca_incremental",
+    oracle=REGISTRY["q347_pca_power_iteration"].oracle,
+    tags=("L3",),
+)
+def q351_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL PCA (llm/pca.py pca_top_component_incremental) — the
+    daily-ingest posture for the q347 component, completing the
+    incremental matrix (MinHash q284, ExactSubstr q302, decontamination
+    q334, multimodal q329, vectors q343, and now the FIT ITSELF): the
+    standing corpus (vec_id % 10 ≠ 0) contributes its sufficient
+    statistics once, the increment (every 10th vector) contributes its
+    own single pass, and the fit runs on the element-wise integer SUM —
+    (G, S, N) are ADDITIVE, so the merged fit is BIT-IDENTICAL to
+    retraining on the union. The gate makes that claim literal: this
+    query's oracle IS q347's full-corpus oracle — merge ≡ retrain is
+    the hash equality, not an epsilon. The persisted artifact between
+    days is dim²+dim+1 integers (the q326 save/load posture); the
+    standing corpus is never rescanned when an increment lands."""
+    from rdkafka_streams_spark.llm.pca import pca_top_component_incremental
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.expr("vec_id % 10 <> 0"))
+    delta = emb.where(F.expr("vec_id % 10 = 0"))
+    out, _ = pca_top_component_incremental([base, delta], iters=_PCA_ITERS)
+    return out

@@ -112,6 +112,12 @@ MULT_CAPS: dict[str, tuple[int, str]] = {
         "candidates grow as N^2·nprobe/n_cells; production re-trains "
         "n_cells ∝ N and the probe stays increment × bounded-cell",
     ),
+    "q349_hierarchical_graph_ann": (
+        8,
+        "builds BOTH layers' graphs under q335's fixed-n_cells pair "
+        "stage (upper at 1/16 of the full stage's pairs); same cap, "
+        "same re-train-n_cells-with-N production posture",
+    ),
 }
 
 SHIFT = 1_000_000_000

@@ -2444,3 +2444,82 @@ def test_hierarchical_beam_search_recall_and_determinism(spark):
     got = {(t[0], t[1]) for t in a}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.75, recall
+
+
+def test_isotonic_calibrate_matches_pure_python_pav(spark):
+    """The minimax-form fit must equal classic weighted
+    pool-adjacent-violators (snapped at pooled-block boundaries), and be
+    non-decreasing."""
+    import hashlib as _h
+
+    from rdkafka_streams_spark.operators.calibration import isotonic_calibrate
+
+    # deterministic noisy-monotone labels over 200 scored rows
+    rows = []
+    for i in range(200):
+        score = float(i)
+        nib = int(_h.md5(str(i).encode()).hexdigest()[0], 16)
+        label = 1 if (i // 2 + nib) % 16 < (i * 16) // 200 else 0
+        rows.append((i, score, label))
+    scored = spark.createDataFrame(rows, "doc_id long, margin double, actual int")
+    n_bins = 8
+    got = {r["bin"]: r for r in
+           isotonic_calibrate(scored, n_bins=n_bins).collect()}
+
+    # pure-Python reference: ntile binning + weighted PAV
+    per_bin = [[0, 0] for _ in range(n_bins)]
+    size, extra = divmod(200, n_bins)
+    pos = 0
+    for b in range(n_bins):
+        cnt = size + (1 if b < extra else 0)
+        for i in range(pos, pos + cnt):
+            per_bin[b][0] += 1
+            per_bin[b][1] += rows[i][2]
+        pos += cnt
+    import math
+
+    merged = []  # weighted PAV: [n, s, n_bins_covered]
+    for n, s in per_bin:
+        merged.append([n, s, 1])
+        while len(merged) > 1 and (
+            merged[-2][1] * merged[-1][0] >= merged[-1][1] * merged[-2][0]
+        ):
+            b2 = merged.pop()
+            merged[-1][0] += b2[0]
+            merged[-1][1] += b2[1]
+            merged[-1][2] += b2[2]
+    bin_iso = []
+    for n, s, covered in merged:
+        # the engine's snap: floor on the DOUBLE quotient, same formula
+        val = math.floor(s * 1000000 / n + 0.5)
+        bin_iso.extend([val] * covered)
+    assert len(bin_iso) == n_bins
+    prev = None
+    for b in range(1, n_bins + 1):
+        assert got[b]["iso_micro"] == bin_iso[b - 1], (b, got[b], bin_iso)
+        if prev is not None:
+            assert got[b]["iso_micro"] >= prev
+        prev = got[b]["iso_micro"]
+
+
+def test_pca_incremental_merge_equals_full_fit(spark):
+    """(G,S,N) additivity: the merged two-part fit must equal the
+    single-pass full fit exactly (same loadings, not approximately)."""
+    import numpy as np
+
+    from rdkafka_streams_spark.llm.pca import (
+        pca_top_component,
+        pca_top_component_incremental,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(50, 5).astype("float32")
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id bigint, embedding array<float>",
+    )
+    _, full = pca_top_component(emb)
+    _, inc = pca_top_component_incremental(
+        [emb.where("vec_id % 3 = 0"), emb.where("vec_id % 3 <> 0")]
+    )
+    assert full == inc
