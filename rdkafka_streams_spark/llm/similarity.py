@@ -196,6 +196,42 @@ def hyperplane_lsh_pairs(
     )
 
 
+def hamming_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 32,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BINARY-CODE search tier (FAISS IndexBinaryFlat): pack each vector
+    into an ``n_planes``-bit sign code against the deterministic
+    md5-derived hyperplanes (``hyperplanes`` — the exact q92 construction,
+    so the LSH bucketing and this code are the same geometry), then serve
+    top-k by HAMMING distance — one XOR + popcount per candidate, ties
+    (dist, id). The cheapest serving tier in the quantization ladder
+    (float → int8 SQ → PQ → 1 bit/plane): a 64-dim float32 vector becomes
+    4 bytes at n_planes=32, and distance is one ALU op, no multiply.
+
+    Scale: codes are built map-side (the planes are literals); queries
+    broadcast; one scan + per-query top-k window — the q54 brute-force
+    shape at 1/64 the bytes and integer compare. Returns
+    (q_id, <id_col>, hamming)."""
+    planes = hyperplanes(n_planes, dim)
+    sig = hyperplane_signature(vec_col, planes)
+    codes = emb.select(F.col(id_col), sig.alias("code"))
+    qc = queries.select(F.col(id_col).alias("q_id"), sig.alias("q_code"))
+    w = Window.partitionBy("q_id").orderBy("dist", id_col)
+    return (
+        codes.join(F.broadcast(qc), F.col(id_col) != F.col("q_id"))
+        .withColumn("dist", F.expr("bit_count(code ^ q_code)").cast("int"))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select("q_id", F.col(id_col), F.col("dist").alias("hamming"))
+    )
+
+
 # ------------------------------------------------ int8 scalar quantization
 def quantize_embeddings(
     emb: DataFrame,

@@ -6250,3 +6250,53 @@ def q351_pca_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = emb.where(F.expr("vec_id % 10 = 0"))
     out, _ = pca_top_component_incremental([base, delta], iters=_PCA_ITERS)
     return out
+
+
+_HAM_PLANES = 32
+
+
+def _hamming_oracle() -> str:
+    from rdkafka_streams_spark.llm.similarity import hyperplanes
+
+    planes = hyperplanes(_HAM_PLANES, EMB_DIM)
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> embedding[i]::DOUBLE * {p}[i])) >= 0 THEN {2**j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH sig AS MATERIALIZED (
+  SELECT vec_id, CAST({bits} AS BIGINT) AS code FROM embeddings),
+qs AS (SELECT vec_id AS q_id, code AS q_code FROM sig WHERE vec_id % 50 = 0)
+SELECT q_id, vec_id, hamming FROM (
+  SELECT q.q_id, s.vec_id,
+         CAST(bit_count(xor(s.code, q.q_code)) AS INT) AS hamming,
+         ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+           bit_count(xor(s.code, q.q_code)) ASC, s.vec_id ASC) AS rn
+  FROM sig s CROSS JOIN qs q WHERE s.vec_id <> q.q_id)
+WHERE rn <= {_NSW_K}
+"""
+
+
+@query("q352_hamming_topk", oracle=_hamming_oracle(), tags=("L3",))
+def q352_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-CODE HAMMING SEARCH (llm/similarity.py hamming_topk) — the
+    FAISS IndexBinaryFlat tier completing the quantization ladder
+    (float q54 → int8 SQ q94/q320 → PQ q308 → 1 bit/plane here): each
+    vector packs into a 32-bit sign code against the SAME md5-derived
+    hyperplanes as the q92 angular LSH (one geometry, two uses —
+    bucketing there, distance here), queries broadcast, and top-5 is
+    served by XOR + popcount with (dist, id) ties — one ALU op per
+    candidate, no multiply, 64× fewer bytes than float32. Codes build
+    map-side (planes are literals, whole-stage codegen); the only
+    shuffle is the per-query top-k window — the q54 brute-force plan
+    shape at 1/64 the scan bytes, which is exactly why production
+    stacks run a binary pre-filter tier in front of exact re-rank
+    (q316's refine contract composes unchanged)."""
+    from rdkafka_streams_spark.llm.similarity import hamming_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hamming_topk(
+        emb, emb.where(F.expr("vec_id % 50 = 0")),
+        k=_NSW_K, n_planes=_HAM_PLANES, dim=EMB_DIM,
+    )

@@ -2523,3 +2523,44 @@ def test_pca_incremental_merge_equals_full_fit(spark):
         [emb.where("vec_id % 3 = 0"), emb.where("vec_id % 3 <> 0")]
     )
     assert full == inc
+
+
+def test_hamming_topk_matches_pure_python_reference(spark):
+    """Codes and the XOR+popcount top-k must equal an independent Python
+    implementation of the same spec (md5 hyperplanes, sign >= 0, ties
+    (dist, id))."""
+    import numpy as np
+
+    from rdkafka_streams_spark.llm.similarity import hamming_topk, hyperplanes
+
+    rng = np.random.RandomState(9)
+    n, dim, n_planes, k = 40, 8, 16, 3
+    vecs = rng.randn(n, dim).astype("float32")
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    queries = emb.where(F.col("vec_id") % 11 == 0)
+    planes = hyperplanes(n_planes, dim)
+
+    def code(v):
+        c = 0
+        for j, p in enumerate(planes):
+            if sum(float(v[d]) * p[d] for d in range(dim)) >= 0:
+                c += 2 ** j
+        return c
+
+    codes = [code(vecs[i]) for i in range(n)]
+    want = []
+    for q in range(0, n, 11):
+        ranked = sorted(
+            (bin(codes[q] ^ codes[i]).count("1"), i)
+            for i in range(n) if i != q
+        )
+        want += [(q, i, d) for d, i in ranked[:k]]
+    got = sorted(
+        (r["q_id"], r["vec_id"], r["hamming"])
+        for r in hamming_topk(emb, queries, k=k, n_planes=n_planes,
+                              dim=dim).collect()
+    )
+    assert got == sorted(want)
