@@ -50,6 +50,10 @@ LLM_HEADLINE = [
     "q331_ivf_partitioned_serve",  # partition-pruned ANN serving (build+serve)
     "q334_decontamination_incremental",  # saved eval index + delta probe
     "q335_beam_search_graph_ann",  # graph-ANN build + beam-search serve
+    # r14: the two new one-pass families — sufficient-statistics fit and
+    # the binary serving tier — get tracked wall-time rows
+    "q347_pca_power_iteration",    # one-pass integer co-moment + driver fit
+    "q352_hamming_topk",           # 32-bit code build + XOR/popcount top-k
 ]
 LLM_RUNS = 3
 

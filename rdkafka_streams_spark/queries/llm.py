@@ -6300,3 +6300,68 @@ def q352_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.expr("vec_id % 50 = 0")),
         k=_NSW_K, n_planes=_HAM_PLANES, dim=EMB_DIM,
     )
+
+
+_HAM_SHORTLIST = 32
+
+
+def _hamming_refine_oracle() -> str:
+    from rdkafka_streams_spark.llm.similarity import hyperplanes
+
+    planes = hyperplanes(_HAM_PLANES, EMB_DIM)
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> embedding[i]::DOUBLE * {p}[i])) >= 0 THEN {2**j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH qvv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+sig AS MATERIALIZED (
+  SELECT vec_id, CAST({bits} AS BIGINT) AS code FROM embeddings),
+qs AS (SELECT vec_id AS q_id, code AS q_code FROM sig WHERE vec_id % 50 = 0),
+short AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+             bit_count(xor(s.code, q.q_code)) ASC, s.vec_id ASC) AS rn
+    FROM sig s CROSS JOIN qs q WHERE s.vec_id <> q.q_id)
+  WHERE rn <= {_HAM_SHORTLIST})
+SELECT q_id, vec_id, edist FROM (
+  SELECT sh.q_id, sh.vec_id,
+         {_int_l2_duck('c.qv', 'qq.qv')} AS edist,
+         ROW_NUMBER() OVER (PARTITION BY sh.q_id ORDER BY
+           {_int_l2_duck('c.qv', 'qq.qv')} ASC, sh.vec_id ASC) AS rn
+  FROM short sh
+  JOIN qvv c ON c.vec_id = sh.vec_id
+  JOIN qvv qq ON qq.vec_id = sh.q_id)
+WHERE rn <= {_NSW_K}
+"""
+
+
+@query("q353_hamming_refine_search", oracle=_hamming_refine_oracle(), tags=("L3",))
+def q353_hamming_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-TIER BINARY → EXACT SERVING (llm/similarity.py hamming_topk +
+    exact_rerank_integer) — the production pattern the q352 tier exists
+    FOR: scan the 32-bit codes with XOR+popcount to a Hamming top-32
+    shortlist (1/64 the scan bytes, one ALU op per candidate), then
+    re-rank ONLY the shortlist by exact integer L2 on the raw vectors
+    (q316's index-agnostic refine stage, unchanged — candidates are
+    broadcast-sized by contract, so the re-rank adds one full-column
+    scan and zero shuffle). One hash gate covers the code geometry, the
+    shortlist cut, and the exact final order — the oracle recomputes
+    both tiers. Scale: the expensive scan runs at 4 bytes/vector; the
+    float-width corpus is touched only for ~32 rows per query."""
+    from rdkafka_streams_spark.llm.similarity import (
+        exact_rerank_integer,
+        hamming_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    short = hamming_topk(
+        emb, queries, k=_HAM_SHORTLIST, n_planes=_HAM_PLANES, dim=EMB_DIM,
+    )
+    return exact_rerank_integer(emb, queries, short, k=_NSW_K)

@@ -118,6 +118,18 @@ MULT_CAPS: dict[str, tuple[int, str]] = {
         "stage (upper at 1/16 of the full stage's pairs); same cap, "
         "same re-train-n_cells-with-N production posture",
     ),
+    "q352_hamming_topk": (
+        8,
+        "the gate's query set is vec_id % 50 = 0, so query COUNT grows "
+        "with the corpus and the flat scan is (N/50)·N XORs by "
+        "construction; production serves a bounded query batch against "
+        "the linear-size code table",
+    ),
+    "q353_hamming_refine_search": (
+        8,
+        "shares q352's corpus-growing query fixture; the refine tier "
+        "itself is shortlist-bounded (32 rows/query)",
+    ),
 }
 
 SHIFT = 1_000_000_000
