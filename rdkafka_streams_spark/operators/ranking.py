@@ -229,3 +229,128 @@ def dataloader_resume(
         )
         out = out.where(F.col(ordinal_col) > floor)
     return out
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Exact 1-based IN-GROUP rank at scale: ``row_number() OVER
+    (PARTITION BY group ORDER BY ...)`` puts one task per group — with a
+    handful of corpus-sized groups (sources, languages) that's the same
+    single-task trap global_rank exists for. Instead: ONE global_rank
+    over (group, *order) (groups sort ascending, so each group's rows
+    are a contiguous rank range) minus the group's exclusive prefix
+    count (a ≤|groups|-row cumulative sum riding back as a broadcast).
+    Identical ranks, bounded parallelism; inherits global_rank's eager
+    counts-job contract."""
+    ranked = global_rank(df, [group_col] + order_cols, rank_col="__g")
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    w = Window.orderBy(group_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = counts.select(
+        group_col,
+        F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__off"),
+    )
+    return (
+        ranked.join(F.broadcast(offs), group_col)
+        .withColumn(rank_col, (F.col("__g") - F.col("__off")).cast("bigint"))
+        .drop("__g", "__off")
+    )
+
+
+def mixture_interleave(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tau: float = 0.5,
+    prefix: int = 500,
+) -> DataFrame:
+    """Deterministic MIXTURE SCHEDULE by weighted fair queuing: give
+    source s the temperature weight m_s = floor(n_s^tau·1e6 + 0.5) (the
+    q100 quota rule) and deal documents in order of VIRTUAL FINISH TIME
+    vt = r_s / m_s — in-source shuffle rank over weight, the WFQ/start-
+    time-fair-queuing discipline — so every PREFIX of the schedule
+    honors the mixture proportions to ±1 doc per source (the property a
+    trainer needs: stopping at any step saw the intended mixture, no
+    "source A first, source B never"). Ties (vt, group, r) — total
+    order, engine-exact: vt is ONE IEEE double division of exact
+    integers, identical bit for bit in Spark and SQL.
+
+    Scale: in-source ranks via grouped_rank (no per-source task);
+    weights are a ≤|sources|-row broadcast; the prefix materializes via
+    TakeOrderedAndProject (per-partition top-P + merge), never a global
+    sort. Returns the first ``prefix`` schedule rows (pos, id, group)."""
+    d = docs.select(
+        F.col(id_col), F.col(group_col),
+        F.md5(F.col(id_col).cast("string")).alias("__o"),
+    )
+    r = grouped_rank(d, group_col, ["__o", id_col], rank_col="__r")
+    m = (
+        docs.groupBy(group_col)
+        .agg(F.count("*").alias("__n"))
+        .select(
+            group_col,
+            F.floor(F.pow(F.col("__n"), F.lit(tau)) * 1000000 + 0.5)
+            .cast("bigint").alias("__m"),
+        )
+    )
+    v = r.join(F.broadcast(m), group_col).select(
+        id_col, group_col, "__r",
+        (F.col("__r").cast("double") / F.col("__m")).alias("__vt"),
+    )
+    head = v.orderBy("__vt", group_col, "__r").limit(prefix)
+    w = Window.orderBy("__vt", group_col, "__r")
+    return head.select(
+        F.row_number().over(w).cast("bigint").alias("pos"),
+        id_col, group_col,
+    )
+
+
+def length_bucketed_batches(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8,
+    batch_size: int = 32,
+) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING — the dataloader efficiency stage that
+    cuts padding waste (batching by length quantile keeps each batch's
+    max-len close to its members): ntile-style buckets over the
+    (n_tokens, id) total order, fixed-size batches within each bucket,
+    per-batch padding waste = n·max_len − Σlen. The WHOLE plan is one
+    global_rank + closed-form integer arithmetic + one aggregation —
+    ntile's bucket rule (first n % b buckets take ⌈n/b⌉) is replicated
+    exactly from (rank, total), so there is NO second window and no
+    per-bucket task.
+
+    Returns (bucket, batch, n_docs, max_len, padding_waste)."""
+    d = docs.where(F.col(text_col) != "").select(
+        F.col(id_col),
+        F.size(F.split(text_col, " ")).cast("bigint").alias("n_tok"),
+    )
+    ranked = global_rank(d, ["n_tok", id_col], rank_col="__r")
+    total = d.count()
+    size, extra = divmod(total, n_buckets)
+    r0 = F.col("__r") - 1
+    bucket = F.when(
+        r0 < extra * (size + 1), F.floor(r0 / (size + 1)) + 1
+    ).otherwise(
+        extra + F.floor((r0 - extra * (size + 1)) / F.lit(max(size, 1))) + 1
+    ).cast("bigint")
+    bstart = F.when(
+        F.col("bucket") <= extra, (F.col("bucket") - 1) * (size + 1)
+    ).otherwise(extra * (size + 1) + (F.col("bucket") - 1 - extra) * size)
+    withb = ranked.withColumn("bucket", bucket).withColumn(
+        "batch",
+        (F.floor((F.col("__r") - 1 - bstart) / batch_size) + 1).cast("bigint"),
+    )
+    return withb.groupBy("bucket", "batch").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.max("n_tok").cast("bigint").alias("max_len"),
+        (F.count("*") * F.max("n_tok") - F.sum("n_tok"))
+        .cast("bigint").alias("padding_waste"),
+    )

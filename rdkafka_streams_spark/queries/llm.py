@@ -6365,3 +6365,88 @@ def q353_hamming_refine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=_HAM_SHORTLIST, n_planes=_HAM_PLANES, dim=EMB_DIM,
     )
     return exact_rerank_integer(emb, queries, short, k=_NSW_K)
+
+
+@query(
+    "q354_mixture_interleave",
+    oracle="""
+WITH d AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS o
+           FROM documents),
+r AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY o, doc_id) AS r
+      FROM d),
+c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+m AS (SELECT source, CAST(floor(pow(n, 0.5) * 1000000 + 0.5) AS BIGINT) AS m
+      FROM c),
+v AS (SELECT r.doc_id, r.source, r.r,
+             CAST(r.r AS DOUBLE) / m.m AS vt
+      FROM r JOIN m USING (source))
+SELECT pos, doc_id, source FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vt, source, r) AS BIGINT) AS pos,
+         doc_id, source
+  FROM v) WHERE pos <= 500
+""",
+    tags=("L4",),
+)
+def q354_mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXTURE SCHEDULE BY WEIGHTED FAIR QUEUING (operators/ranking.py
+    mixture_interleave) — the step between q100's mixture WEIGHTS and
+    q330's shard manifest: q100 picks HOW MUCH of each source, this
+    emits the ORDER that honors it at every prefix. Each source's docs
+    take their in-source shuffle rank r (md5 order, the engine's
+    reproducible-shuffle idiom, computed via grouped_rank — ONE
+    global_rank over (source, o) minus broadcast prefix offsets, no
+    per-source single task) and deal by VIRTUAL FINISH TIME r/m_s (the
+    WFQ discipline, m_s = the q100 temperature quota) — so stopping a
+    training run at ANY step has consumed the intended mixture to ±1
+    doc per source, the property naive concatenation or per-epoch
+    blocks lack. vt is ONE IEEE double division of exact integers —
+    bit-identical in both engines — and ties close under (vt, source,
+    r). Scale: weights broadcast; the 500-row prefix materializes via
+    TakeOrderedAndProject, never a global sort."""
+    from rdkafka_streams_spark.operators.ranking import mixture_interleave
+
+    return mixture_interleave(
+        _t(spark, sf_dir, "documents"), group_col="source",
+        id_col="doc_id", tau=0.5, prefix=500,
+    )
+
+
+@query(
+    "q355_length_bucketed_batches",
+    oracle="""
+WITH d AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents WHERE text <> ''),
+b AS (SELECT doc_id, n_tok,
+             CAST(NTILE(8) OVER (ORDER BY n_tok, doc_id) AS BIGINT) AS bucket
+      FROM d),
+w AS (SELECT bucket, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY n_tok, doc_id) AS rb
+      FROM b)
+SELECT bucket, CAST((rb - 1) // 32 + 1 AS BIGINT) AS batch,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_tok) AS BIGINT) AS max_len,
+       CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS padding_waste
+FROM w GROUP BY bucket, (rb - 1) // 32 + 1
+""",
+    tags=("L4",),
+)
+def q355_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCHING (operators/ranking.py
+    length_bucketed_batches) — the dataloader efficiency stage that cuts
+    padding waste: ntile buckets over the (n_tokens, doc_id) total
+    order, fixed 32-doc batches within each bucket, per-batch waste =
+    n·max_len − Σlen (the tokens a padded batch burns). The Spark plan
+    is ONE global_rank + CLOSED-FORM integer arithmetic replicating
+    ntile's bucket rule (first n % b buckets take ⌈n/b⌉) + one
+    aggregation — no second window, no per-bucket task; the oracle uses
+    DuckDB's REAL NTILE + window, so the gate proves the closed form
+    against the independent implementation of the same spec. q89's
+    packing and q321's context packing consume batches like these; this
+    is the measurement of WHY bucketing (waste per batch) made exact."""
+    from rdkafka_streams_spark.operators.ranking import length_bucketed_batches
+
+    return length_bucketed_batches(
+        _t(spark, sf_dir, "documents"), n_buckets=8, batch_size=32,
+    )
