@@ -6450,3 +6450,129 @@ def q355_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucketed_batches(
         _t(spark, sf_dir, "documents"), n_buckets=8, batch_size=32,
     )
+
+
+_SPLIT_NIB = (
+    "(instr('0123456789abcdef', substring(md5(CAST({c} AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(md5(CAST({c} AS VARCHAR)), 2, 1)) - 1)"
+)
+
+
+@query(
+    "q356_leakage_free_split",
+    oracle=f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, text, lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk
+  FROM documents),
+tok AS (
+  SELECT DISTINCT doc_id, blk, tok FROM (
+    SELECT doc_id, blk, unnest(string_split(text, ' ')) AS tok FROM d)),
+sizes AS (SELECT doc_id, blk, COUNT(*) AS sz FROM tok GROUP BY 1, 2),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.blk = b.blk AND a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS MATERIALIZED (
+  SELECT id1, id2 FROM (
+    SELECT co.id1, co.id2, co.c / (sa.sz + sb.sz - co.c) AS jaccard
+    FROM common co
+    JOIN sizes sa ON co.id1 = sa.doc_id
+    JOIN sizes sb ON co.id2 = sb.doc_id)
+  WHERE jaccard >= 0.8),
+edges2 AS (
+  SELECT id1 AS a, id2 AS b FROM pairs UNION SELECT id2, id1 FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges2
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges2 e ON r.b = e.a),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         FROM reach GROUP BY a),
+rep AS MATERIALIZED (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep
+  FROM d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+sp AS MATERIALIZED (
+  SELECT doc_id, rep,
+         CASE WHEN ({_SPLIT_NIB.format(c='rep')}) < 204 THEN 'train'
+              WHEN ({_SPLIT_NIB.format(c='rep')}) < 229 THEN 'val'
+              ELSE 'test' END AS split
+  FROM rep),
+leak AS (
+  SELECT s1.split, COUNT(*) AS leaked FROM pairs p
+  JOIN sp s1 ON s1.doc_id = p.id1
+  JOIN sp s2 ON s2.doc_id = p.id2
+  WHERE s1.split <> s2.split GROUP BY s1.split)
+SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT s.rep) AS BIGINT) AS n_clusters,
+       CAST(SUM(s.doc_id % 1000000007) % 1000000007 AS BIGINT) AS id_checksum,
+       CAST(COALESCE(MAX(l.leaked), 0) AS BIGINT) AS leaked_pairs
+FROM sp s LEFT JOIN leak l ON l.split = s.split
+GROUP BY s.split
+""",
+    tags=("L1", "L4", "graph"),
+)
+def q356_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-AWARE (LEAKAGE-FREE) TRAIN/VAL/TEST SPLIT — the correctness
+    rule naive splitting violates: if near-duplicate docs straddle train
+    and eval, the eval set leaks training content (the failure mode
+    Lee et al. and every decontamination paper warn about from the
+    SPLIT side). Assign whole q76 dedup CLUSTERS, not docs: rep =
+    connected-component id (singletons are their own rep), split = the
+    q113 hash rule applied to md5(rep) — every member of a cluster
+    inherits its rep's split BY CONSTRUCTION, so cross-split near-dup
+    pairs are structurally zero. The output hash-gates that claim:
+    leaked_pairs is COMPUTED (pairs joined to both endpoints' splits),
+    not asserted, in both engines, alongside per-split doc/cluster
+    counts and a mod-p id checksum (exact at any corpus size).
+
+    Scale: the pair stage is q52's blocked Jaccard (never doc×doc);
+    components via the iterative min-label propagation of
+    operators/graph.py (the large-star/small-star family); the split
+    rule and the leak audit are one broadcast-sized join over the pair
+    set. Nothing new shuffles the corpus."""
+    from rdkafka_streams_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "blk",
+        F.concat_ws("|", F.col("lang"), F.expr("n_chars div 100").cast("string")),
+    )
+    pairs = jaccard_pairs(d, threshold=0.8, block_col="blk").select("id1", "id2")
+    comp = connected_components(pairs, "id1", "id2", dedupe_edges=False)
+    rep = (
+        d.select("doc_id")
+        .join(comp, d["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("rep")
+        )
+    )
+    nib = (
+        "(instr('0123456789abcdef', substring(md5(CAST(rep AS STRING)), 1, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substring(md5(CAST(rep AS STRING)), 2, 1)) - 1)"
+    )
+    sp = rep.withColumn(
+        "split",
+        F.when(F.expr(nib) < 204, "train")
+        .when(F.expr(nib) < 229, "val")
+        .otherwise("test"),
+    )
+    s1 = sp.select(F.col("doc_id").alias("id1"), F.col("split").alias("split1"))
+    s2 = sp.select(F.col("doc_id").alias("id2"), F.col("split").alias("split2"))
+    leak = (
+        pairs.join(s1, "id1").join(s2, "id2")
+        .where(F.col("split1") != F.col("split2"))
+        .groupBy(F.col("split1").alias("split"))
+        .agg(F.count("*").alias("leaked"))
+    )
+    p = F.lit(1000000007).cast("bigint")
+    return (
+        sp.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("rep").cast("bigint").alias("n_clusters"),
+            (F.sum(F.col("doc_id") % p) % p).cast("bigint").alias("id_checksum"),
+        )
+        .join(leak, "split", "left")
+        .select(
+            "split", "n_docs", "n_clusters", "id_checksum",
+            F.coalesce("leaked", F.lit(0)).cast("bigint").alias("leaked_pairs"),
+        )
+    )

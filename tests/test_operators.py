@@ -2641,3 +2641,45 @@ def test_length_bucketed_batches_cut_padding_vs_single_bucket(spark):
         batch = naive_lens[bi:bi + bs]
         naive_waste += len(batch) * max(batch) - sum(batch)
     assert waste_bucketed < naive_waste
+
+
+def test_leakage_free_split_keeps_clusters_whole(spark):
+    """Every near-dup cluster lands in ONE split (leaked == 0 computed,
+    not assumed), while the naive per-doc hash split on the same corpus
+    DOES leak — the property the operator exists for."""
+    import hashlib as _h
+
+    from rdkafka_streams_spark.llm.dedup import jaccard_pairs
+    from rdkafka_streams_spark.operators.graph import connected_components
+
+    # 30 clusters of 3 identical docs (guaranteed near-dups), distinct
+    # token sets per cluster so clusters never merge
+    rows = []
+    for c in range(30):
+        text = " ".join(f"tok{c}_{t}" for t in range(12))
+        for m in range(3):
+            rows.append((c * 10 + m, text, "en", len(text)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+    d = docs.withColumn(
+        "blk", F.concat_ws("|", F.col("lang"),
+                           F.expr("n_chars div 100").cast("string")))
+    pairs = jaccard_pairs(d, threshold=0.8, block_col="blk").select("id1", "id2")
+    comp = connected_components(pairs, "id1", "id2", dedupe_edges=False)
+    rep = {r["node"]: r["component"] for r in comp.collect()}
+    pair_rows = [(r["id1"], r["id2"]) for r in pairs.collect()]
+    assert pair_rows, "fixture must produce near-dup pairs"
+
+    def split_of(x: int) -> str:
+        b = int(_h.md5(str(x).encode()).hexdigest()[:2], 16)
+        return "train" if b < 204 else ("val" if b < 229 else "test")
+
+    # operator semantics: split by rep
+    cluster_split = {i: split_of(rep.get(i, i)) for i, _, _, _ in rows}
+    leaked = sum(1 for a, b in pair_rows
+                 if cluster_split[a] != cluster_split[b])
+    assert leaked == 0
+    # naive per-doc split leaks on this fixture
+    naive_leaked = sum(1 for a, b in pair_rows
+                       if split_of(a) != split_of(b))
+    assert naive_leaked > 0, "fixture too easy: naive split did not leak"
