@@ -6576,3 +6576,78 @@ def q356_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("leaked", F.lit(0)).cast("bigint").alias("leaked_pairs"),
         )
     )
+
+
+def _hamming_recall_oracle() -> str:
+    from rdkafka_streams_spark.llm.similarity import hyperplanes
+
+    planes = hyperplanes(_HAM_PLANES, EMB_DIM)
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> embedding[i]::DOUBLE * {p}[i])) >= 0 THEN {2**j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH qvv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings),
+sig AS MATERIALIZED (
+  SELECT vec_id, CAST({bits} AS BIGINT) AS code FROM embeddings),
+qs AS (SELECT vec_id AS q_id, code AS q_code FROM sig WHERE vec_id % 50 = 0),
+approx AS MATERIALIZED (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, s.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+             bit_count(xor(s.code, q.q_code)) ASC, s.vec_id ASC) AS rn
+    FROM sig s CROSS JOIN qs q WHERE s.vec_id <> q.q_id)
+  WHERE rn <= {_NSW_K}),
+exact AS MATERIALIZED (
+  SELECT q_id, vec_id FROM (
+    SELECT q.q_id, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+             {_int_l2_duck('c.qv', 'qq.qv')} ASC, c.vec_id ASC) AS rn
+    FROM qvv c CROSS JOIN (SELECT vec_id AS q_id FROM sig WHERE vec_id % 50 = 0) q
+    JOIN qvv qq ON qq.vec_id = q.q_id
+    WHERE c.vec_id <> q.q_id)
+  WHERE rn <= {_NSW_K}),
+hit AS (SELECT e.q_id, e.vec_id FROM exact e
+        JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id)
+SELECT CAST((SELECT COUNT(DISTINCT q_id) FROM exact) AS BIGINT) AS n_queries,
+       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+       CAST((SELECT COUNT(*) FROM hit) * 1000000
+            // greatest((SELECT COUNT(*) FROM exact), 1) AS BIGINT)
+         AS recall_ppm
+"""
+
+
+@query("q357_hamming_recall_audit", oracle=_hamming_recall_oracle(), tags=("L3",))
+def q357_hamming_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL AUDIT for the binary tier (the q217/q336 posture applied
+    to q352): Hamming top-5 over 32-bit codes vs the exact integer-L2
+    top-5 ground truth, one summary row in exact counts + integer ppm —
+    every approximate family in the engine ships with its measured,
+    HASH-GATED recall (LSH q217, NSW q336, and now binary codes), so
+    the accuracy cost of the 64×-cheaper scan is a recorded number a
+    tier-selection decision can cite, not a vibe. Deterministic on both
+    sides ⇒ the recall itself is oracle-checked; a broken plane or tie
+    rule shows up as a recall delta, never a silent quality loss."""
+    from rdkafka_streams_spark.llm.similarity import (
+        exact_knn_integer,
+        hamming_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    approx = hamming_topk(
+        emb, queries, k=_NSW_K, n_planes=_HAM_PLANES, dim=EMB_DIM,
+    ).select("q_id", "vec_id")
+    exact = exact_knn_integer(emb, queries, k=_NSW_K).select("q_id", "vec_id")
+    n_queries = exact.select("q_id").distinct().count()
+    n_truth = exact.count()
+    n_hit = exact.join(approx, ["q_id", "vec_id"]).count()
+    return spark.createDataFrame(
+        [(n_queries, n_truth, n_hit, n_hit * 1000000 // max(n_truth, 1))],
+        "n_queries bigint, n_truth bigint, n_hit bigint, recall_ppm bigint",
+    )
