@@ -644,21 +644,42 @@ def nb_quality_classifier(
     lbl = docs.withColumn("__tr", split_bkt < 204).withColumn(
         "__pos", target_filter
     )
-    feats = _doc_features(lbl, id_col, text_col, "__tr", "__pos")
+    w, prior = nb_train(
+        lbl.where("__tr"), F.col("__pos"), id_col, text_col, n_buckets
+    )
+    scored = nb_score(lbl.where(~F.col("__tr")), w, prior, id_col, text_col)
+    actual = lbl.select(id_col, F.col("__pos").cast("int").alias("actual"))
+    return scored.join(actual, id_col).select(
+        id_col, "n_feats", "margin", "pred", "actual"
+    )
+
+
+def nb_train(
+    train: DataFrame,
+    target_filter: F.Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """TRAIN half of the NB filter — the saved-artifact surface: returns
+    (weights, prior) as plain DataFrames the caller persists (the
+    artifact is n_buckets + 1 rows — the q326 save/load posture).
+    Weights are the DENSE per-bucket Laplace log-likelihood ratios in
+    integer micro-nats; prior is the 1-row class log-odds. Scoring any
+    later increment against the saved tables (``nb_score``) is
+    bit-identical to in-session scoring."""
+    lbl = train.withColumn("__pos", target_filter)
+    feats = _doc_features(lbl, id_col, text_col, "__pos")
     fb = feats.withColumn("bkt", _md5_bucket("feat"))
-    cnt = (
-        fb.where("__tr")
-        .groupBy("bkt")
-        .agg(
-            F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("c_pos"),
-            F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("c_neg"),
-        )
+    cnt = fb.groupBy("bkt").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("c_neg"),
     )
     tot = cnt.agg(
         F.coalesce(F.sum("c_pos"), F.lit(0)).alias("n_pos"),
         F.coalesce(F.sum("c_neg"), F.lit(0)).alias("n_neg"),
     )
-    spark = docs.sparkSession
+    spark = train.sparkSession
     dense = spark.range(n_buckets).select(F.col("id").cast("int").alias("bkt"))
     b = float(n_buckets)
     w = (
@@ -678,32 +699,44 @@ def nb_quality_classifier(
             .alias("w_micro"),
         )
     )
-    docprior = (
-        lbl.where("__tr")
-        .agg(
-            F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("d_pos"),
-            F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("d_neg"),
+    prior = lbl.agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("d_pos"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("d_neg"),
+    ).select(
+        F.floor(
+            (F.log(F.col("d_pos") + 1) - F.log(F.col("d_neg") + 1)) * 1000000 + 0.5
         )
-        .select(
-            F.floor(
-                (F.log(F.col("d_pos") + 1) - F.log(F.col("d_neg") + 1)) * 1000000 + 0.5
-            )
-            .cast("long")
-            .alias("prior_micro")
-        )
+        .cast("long")
+        .alias("prior_micro")
+    )
+    return w, prior
+
+
+def nb_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    prior: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SCORE half: per-doc signed margin against SAVED (weights, prior)
+    tables — a broadcast join + one per-doc integer sum, the shape that
+    scores a stream increment without touching the training corpus.
+    Output (id, n_feats, margin, pred); docs with zero features drop
+    (no evidence, no score — same as the self-trained path)."""
+    fb = _doc_features(docs, id_col, text_col).withColumn(
+        "bkt", _md5_bucket("feat")
     )
     return (
-        fb.where(~F.col("__tr"))
-        .join(F.broadcast(w), "bkt")
-        .groupBy(id_col, "__pos")
+        fb.join(F.broadcast(weights), "bkt")
+        .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_feats"), F.sum("w_micro").alias("s"))
-        .crossJoin(F.broadcast(docprior))
+        .crossJoin(F.broadcast(prior))
         .select(
             id_col,
             "n_feats",
             F.round((F.col("s") + F.col("prior_micro")) / 1000000.0, 6).alias("margin"),
             (F.col("s") + F.col("prior_micro") > 0).cast("int").alias("pred"),
-            F.col("__pos").cast("int").alias("actual"),
         )
     )
 

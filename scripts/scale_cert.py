@@ -130,6 +130,12 @@ MULT_CAPS: dict[str, tuple[int, str]] = {
         "shares q352's corpus-growing query fixture; the refine tier "
         "itself is shortlist-bounded (32 rows/query)",
     ),
+    "q357_hamming_recall_audit": (
+        8,
+        "shares q352's corpus-growing query fixture AND runs the exact "
+        "brute-force ground truth over it — (N/50)·N by construction; "
+        "audits run on bounded query samples in production",
+    ),
 }
 
 SHIFT = 1_000_000_000

@@ -4639,3 +4639,55 @@ def test_dataloader_resume_drill_over_transport(spark, tmp_path):
     assert min(t[1] for t in want if t[0] == 1) == 4
     # and the union of consumed-prefix + remainder is the full order
     assert len(want) == len(full) - sum(consumed.values())
+
+
+def test_nb_scoring_drill_over_transport(spark, tmp_path):
+    """r14 drill: the trained-filter artifact over the transport (the
+    q345 contract in the daily-ingest posture) — NB weights train ONCE
+    on the static corpus and persist as parquet (4096 + 1 rows); a doc
+    increment arrives over the topiclog, is decoded from the stream,
+    and scores against the RELOADED artifact. Scores must equal direct
+    in-session scoring of the same docs row for row — the saved-table
+    path and the transport hop change nothing."""
+    from rdkafka_streams_spark.llm.text import nb_score, nb_train
+
+    train_rows = [
+        (i, "good clean prose here" if i % 2 == 0 else "junk spam noise blob",
+         "en" if i % 2 == 0 else "xx")
+        for i in range(40)
+    ]
+    train = spark.createDataFrame(
+        train_rows, "doc_id long, text string, lang string")
+    w, prior = nb_train(train, F.col("lang") == "en")
+    art = str(tmp_path / "nb_art")
+    w.write.parquet(art + "/w")
+    prior.write.parquet(art + "/prior")
+
+    inc_rows = [(100 + i, "good clean prose arrives" if i % 3 == 0
+                 else "spam junk blob noise") for i in range(9)]
+    root = str(tmp_path / "log")
+    log = TopicLog(root)
+    log.create_topic("docs", partitions=2)
+    log.append_json(
+        "docs",
+        [{"doc_id": i, "text": t} for i, t in inc_rows],
+        partition=0,
+    )
+
+    streamed = (
+        read_topic(spark, root, "docs")
+        .select(F.from_json(F.col("value").cast("string"),
+                            "doc_id bigint, text string").alias("r"))
+        .select("r.doc_id", "r.text")
+    )
+    w2 = spark.read.parquet(art + "/w")
+    prior2 = spark.read.parquet(art + "/prior")
+    got = sorted(
+        tuple(r) for r in nb_score(streamed, w2, prior2).collect()
+    )
+    direct = spark.createDataFrame(inc_rows, "doc_id long, text string")
+    want = sorted(tuple(r) for r in nb_score(direct, w, prior).collect())
+    assert got == want and len(got) == 9
+    # the artifact separates the increment's classes
+    preds = {r[0]: r[3] for r in got}
+    assert all(preds[100 + i] == (1 if i % 3 == 0 else 0) for i in range(9))
