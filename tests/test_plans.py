@@ -787,3 +787,37 @@ def test_nsw_partitioned_serve_prunes_per_hop(spark, sf_dir, tmp_path):
         n_assign=2, n_cells=4, n_iters=2,
     ).collect())
     assert served == mem and len(served) > 0
+
+
+def test_q345_weight_join_broadcasts_and_counts_bound_exchanges(spark, sf_dir):
+    """The NB scorer's per-feature weight lookup must be a broadcast
+    join (the weight table is 4096 rows BY CONSTRUCTION), and the whole
+    train+score plan keeps a data-independent exchange count."""
+    df = REGISTRY["q345_nb_quality_classifier"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 6
+
+
+def test_q347_pca_stats_pass_zero_exchanges(spark, sf_dir):
+    """The PCA loadings frame is a driver literal built from ONE
+    partially-aggregated stats pass — the returned plan must carry no
+    exchange at all (the corpus work happened in the stats collect)."""
+    df = REGISTRY["q347_pca_power_iteration"].fn(spark, sf_dir)
+    assert count_exchanges(df) == 0
+
+
+def test_q352_code_scan_single_topk_exchange(spark, sf_dir):
+    """Binary-code serving: codes build map-side (literal hyperplanes),
+    queries broadcast — the ONLY exchange is the per-query top-k
+    window."""
+    df = REGISTRY["q352_hamming_topk"].fn(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) == 1
+
+
+def test_q354_prefix_is_take_ordered_not_global_sort(spark, sf_dir):
+    """The WFQ schedule prefix must materialize via TakeOrderedAndProject
+    (per-partition top-P + merge), never a full global Sort+Exchange of
+    the corpus."""
+    df = REGISTRY["q354_mixture_interleave"].fn(spark, sf_dir)
+    assert has_operator(df, "TakeOrderedAndProject")
