@@ -2285,3 +2285,96 @@ def hdr_quantiles_grouped(
             + F.expr(hdr_width_expr("idx", sub_bits)) - 1
         ).cast("bigint").alias("est_hi"),
     )
+
+
+def trigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    l3: float = 0.6,
+    l2: float = 0.3,
+    l1: float = 0.1,
+) -> DataFrame:
+    """Interpolated (Jelinek-Mercer) TRIGRAM LM cross-entropy per doc —
+    the order-3 upgrade of ``bigram_lm_scores``' add-one bigram model,
+    the smoothing family real n-gram scorers (KenLM-class) interpolate:
+
+        p(w3|w1w2) = λ3·c(w1w2w3)/c(w1w2·) + λ2·c(w2w3)/c(w2·) + λ1·c(w3)/N
+
+    with each ratio defined 0 when its context count is 0 (a fresh
+    context backs off to the lower orders; λ1·c(w3)/N > 0 whenever the
+    token exists, so self-trained scoring never hits log 0). Count
+    tables: trigram and trigram-context from one trigram explode,
+    bigram and bigram-context from one bigram explode, unigram + total
+    from one token explode — all exact bigint.
+
+    Determinism: each ratio is ONE IEEE double division of exact
+    integers and the interpolation is three multiply-adds with shared
+    literal λs — bit-identical across engines; the per-trigram NLL
+    snaps to integer micro-nats and the per-doc mean is
+    floor(sum/n + 0.5) on the exact integer sum.
+
+    Scale shape: three count aggregations keyed on high-cardinality
+    n-grams, keyed joins back to the doc trigrams, one per-doc sum —
+    the q96 plan one order higher; nothing collected, the only
+    broadcast is the 1-row token total."""
+    toks = F.split(F.col(text_col), " ")
+    n2 = F.greatest(F.size(toks) - 2, F.lit(0))
+    trigrams = F.zip_with(
+        F.slice(toks, 1, n2),
+        F.zip_with(
+            F.slice(toks, 2, n2),
+            F.slice(toks, 3, n2),
+            lambda y, z: F.struct(y.alias("w2"), z.alias("w3")),
+        ),
+        lambda x, yz: F.struct(
+            x.alias("w1"), yz["w2"].alias("w2"), yz["w3"].alias("w3")
+        ),
+    )
+    dt = docs.select(id_col, F.explode(trigrams).alias("tg")).select(
+        id_col, "tg.w1", "tg.w2", "tg.w3"
+    )
+    c3 = dt.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    cx3 = dt.groupBy("w1", "w2").agg(F.count("*").alias("cx3"))
+    db = _bigram_explode(docs, id_col, text_col)
+    c2 = (
+        db.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .withColumnRenamed("w1", "b1")
+        .withColumnRenamed("w2", "b2")
+    )
+    cx2 = db.groupBy("w1").agg(F.count("*").alias("cx2")).withColumnRenamed(
+        "w1", "x2"
+    )
+    tok = docs.select(F.explode(toks).alias("t")).where(F.col("t") != "")
+    c1 = tok.groupBy("t").agg(F.count("*").alias("c1"))
+    tot = tok.agg(F.count("*").cast("bigint").alias("n_tok"))
+    r3 = F.when(
+        F.coalesce("cx3", F.lit(0)) > 0,
+        F.coalesce("c3", F.lit(0)).cast("double") / F.col("cx3"),
+    ).otherwise(F.lit(0.0))
+    r2 = F.when(
+        F.coalesce("cx2", F.lit(0)) > 0,
+        F.coalesce("c2", F.lit(0)).cast("double") / F.col("cx2"),
+    ).otherwise(F.lit(0.0))
+    r1 = F.coalesce("c1", F.lit(0)).cast("double") / F.col("n_tok")
+    p = F.lit(l3) * r3 + F.lit(l2) * r2 + F.lit(l1) * r1
+    return (
+        dt.join(c3, ["w1", "w2", "w3"], "left")
+        .join(cx3, ["w1", "w2"], "left")
+        .join(c2, (F.col("w2") == F.col("b1")) & (F.col("w3") == F.col("b2")), "left")
+        .join(cx2, F.col("w2") == F.col("x2"), "left")
+        .join(c1, F.col("w3") == F.col("t"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            id_col,
+            F.floor(-F.log(p) * 1000000 + 0.5).cast("long").alias("nll_micro"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.round(
+                F.floor(F.sum("nll_micro") / F.count("*") + 0.5) / 1000000.0, 6
+            ).alias("xent"),
+        )
+    )

@@ -6651,3 +6651,60 @@ def q357_hamming_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_queries, n_truth, n_hit, n_hit * 1000000 // max(n_truth, 1))],
         "n_queries bigint, n_truth bigint, n_hit bigint, recall_ppm bigint",
     )
+
+
+@query(
+    "q358_trigram_lm",
+    oracle="""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+dt AS MATERIALIZED (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+  FROM tk, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM dt GROUP BY w1, w2, w3),
+cx3 AS (SELECT w1, w2, COUNT(*) AS cx3 FROM dt GROUP BY w1, w2),
+db AS (SELECT t[i] AS w1, t[i+1] AS w2
+       FROM tk, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+c2 AS (SELECT w1 AS b1, w2 AS b2, COUNT(*) AS c2 FROM db GROUP BY w1, w2),
+cx2 AS (SELECT w1 AS x2, COUNT(*) AS cx2 FROM db GROUP BY w1),
+tok AS (SELECT unnest(t) AS tkn FROM tk),
+c1 AS (SELECT tkn AS t1, COUNT(*) AS c1 FROM tok WHERE tkn <> '' GROUP BY tkn),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok WHERE tkn <> ''),
+scored AS (
+  SELECT dt.doc_id,
+    CAST(floor(-ln(
+        0.6::DOUBLE * (CASE WHEN COALESCE(cx3.cx3, 0) > 0
+          THEN CAST(COALESCE(c3.c3, 0) AS DOUBLE) / cx3.cx3 ELSE 0.0 END)
+      + 0.3::DOUBLE * (CASE WHEN COALESCE(cx2.cx2, 0) > 0
+          THEN CAST(COALESCE(c2.c2, 0) AS DOUBLE) / cx2.cx2 ELSE 0.0 END)
+      + 0.1::DOUBLE * (CAST(COALESCE(c1.c1, 0) AS DOUBLE) / tot.n_tok)
+    ) * 1000000 + 0.5) AS BIGINT) AS nll
+  FROM dt
+  LEFT JOIN c3 USING (w1, w2, w3)
+  LEFT JOIN cx3 USING (w1, w2)
+  LEFT JOIN c2 ON c2.b1 = dt.w2 AND c2.b2 = dt.w3
+  LEFT JOIN cx2 ON cx2.x2 = dt.w2
+  LEFT JOIN c1 ON c1.t1 = dt.w3
+  CROSS JOIN tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       ROUND(CAST(floor(SUM(nll) / COUNT(*) + 0.5) AS BIGINT) / 1000000.0, 6)
+         AS xent
+FROM scored GROUP BY doc_id
+""",
+    tags=("L4",),
+)
+def q358_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATED TRIGRAM LM (llm/text.py trigram_lm_scores) — the
+    order-3 upgrade of q96's add-one bigram scorer, using the smoothing
+    family real n-gram scorers interpolate (Jelinek-Mercer): p(w3|w1w2)
+    = 0.6·c(w1w2w3)/c(w1w2·) + 0.3·c(w2w3)/c(w2·) + 0.1·c(w3)/N, each
+    ratio 0 when its context is fresh (backing off to the lower
+    orders). Self-trained on the corpus, so the top term is always
+    positive — no log 0, no epsilon. Every ratio is one IEEE double
+    division of exact counts, the interpolation shares literal λs, and
+    the per-trigram NLL snaps to integer micro-nats — the whole model
+    (five count tables + interpolation + scoring) is one hash gate.
+    Scale: three n-gram count aggregations + keyed joins + one per-doc
+    sum — the q96 plan one order higher, nothing collected."""
+    from rdkafka_streams_spark.llm.text import trigram_lm_scores
+
+    return trigram_lm_scores(_t(spark, sf_dir, "documents"))

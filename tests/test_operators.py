@@ -2683,3 +2683,22 @@ def test_leakage_free_split_keeps_clusters_whole(spark):
     naive_leaked = sum(1 for a, b in pair_rows
                        if split_of(a) != split_of(b))
     assert naive_leaked > 0, "fixture too easy: naive split did not leak"
+
+
+def test_trigram_lm_orders_and_backoff(spark):
+    """Order-3 evidence must price a corpus-dominant trigram below a
+    doc whose trigrams are novel but whose bigrams/unigrams are seen
+    (the interpolation's backoff), and both below token soup."""
+    from rdkafka_streams_spark.llm.text import trigram_lm_scores
+
+    rows = [
+        (0, "a b c a b c a b c"),   # dominant trigrams
+        (1, "a b c a b c a b c"),
+        (2, "c a b c a b c a b"),   # same bigrams, shifted trigrams (seen)
+        (3, "b a c b a c b a c"),   # seen unigrams, novel bi/trigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    x = {r["doc_id"]: r["xent"] for r in trigram_lm_scores(docs).collect()}
+    assert x[0] == x[1] < x[3], x
+    # doc 3 is finite (unigram floor), not an error
+    assert x[3] > 0
