@@ -2702,3 +2702,19 @@ def test_trigram_lm_orders_and_backoff(spark):
     assert x[0] == x[1] < x[3], x
     # doc 3 is finite (unigram floor), not an error
     assert x[3] > 0
+
+
+def test_length_bucketed_batches_fewer_docs_than_buckets(spark):
+    """total < n_buckets edge: every doc is its own bucket (ntile
+    semantics), size==0 arithmetic branch never divides by zero."""
+    from rdkafka_streams_spark.operators.ranking import length_bucketed_batches
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["bucket"], r["batch"], r["n_docs"], r["max_len"], r["padding_waste"])
+        for r in length_bucketed_batches(docs, n_buckets=8, batch_size=4).collect()
+    )
+    assert got == [(b, 1, 1, 3 + b - 1, 0) for b in range(1, 6)]
