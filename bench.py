@@ -54,6 +54,9 @@ LLM_HEADLINE = [
     # the binary serving tier — get tracked wall-time rows
     "q347_pca_power_iteration",    # one-pass integer co-moment + driver fit
     "q352_hamming_topk",           # 32-bit code build + XOR/popcount top-k
+    # r15 (verdict-r14 ask #7): the registry's heaviest query — two-layer
+    # graph-ANN descent — tracked so its wall is a visible number
+    "q349_hierarchical_graph_ann", # two-layer NSW build + layer descent
 ]
 LLM_RUNS = 3
 
@@ -110,6 +113,7 @@ def main() -> None:
     (produce_rps, consume_wall_rps, consume_best_rps,
      consume_latency, produce_latency) = _topiclog_roundtrip_throughput(spark)
     calibration = _calibration_marker(spark)
+    io_calibration = _io_calibration_marker(spark)
 
     total = round(sum(times.values()), 3)
     total_median = round(sum(medians.values()), 3)
@@ -145,6 +149,21 @@ def main() -> None:
                 "calibration_normalized_total": (
                     round(total / calibration, 2) if calibration else None
                 ),
+                # fixed I/O-bound probe (parquet write+fsync+read of a fixed
+                # corpus): the CPU marker missed a 40% topiclog throughput
+                # swing on unchanged code in r14 — disk/page-cache/GC drift
+                # is invisible to a single-task hash fold. Compare THIS to
+                # attribute transport-row drift to the box's I/O state.
+                "io_calibration_sec": io_calibration,
+                # transport rows/sec × io-probe sec — rows per I/O-probe-unit,
+                # a box-I/O-speed-normalized transport number: compare these
+                # across rounds; raw rows/sec confound disk drift with code
+                "io_normalized_produce": (
+                    int(produce_rps * io_calibration) if io_calibration else None
+                ),
+                "io_normalized_consume": (
+                    int(consume_wall_rps * io_calibration) if io_calibration else None
+                ),
                 "stream_decode_rows_per_sec": stream_rps,
                 # produce = end-to-end wall; consume reported both ways so
                 # the JSON is self-describing (wall includes trigger idle
@@ -175,6 +194,47 @@ def _calibration_marker(spark, runs: int = 3) -> float:
         t0 = time.perf_counter()
         spark.range(50_000_000).selectExpr("bit_xor(xxhash64(id)) as s").collect()
         best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _io_calibration_marker(spark, runs: int = 3) -> float:
+    """Fixed I/O-bound probe: min wall over ``runs`` of writing a 4M-row
+    2-column parquet corpus (8 files), fsync-ing every data file, and
+    reading it back with a count + a column aggregate (footer decode +
+    vectorized read). Deliberately shaped like the transport's work —
+    many small-ish files, write-then-read — so disk/page-cache/GC drift
+    that the CPU marker can't see (r14: −40% topiclog rows/s on unchanged
+    code, CPU marker +5%) shows up here. Round-over-round transport
+    comparisons divide by this before reading deltas as code changes."""
+    import shutil
+    import tempfile
+
+    best = float("inf")
+    for _ in range(runs):
+        d = tempfile.mkdtemp(prefix="bench_io_probe")
+        try:
+            t0 = time.perf_counter()
+            (
+                spark.range(4_000_000)
+                .selectExpr("id", "xxhash64(id) as h")
+                .repartition(8)
+                .write.mode("overwrite")
+                .parquet(d)
+            )
+            for root, _dirs, files in os.walk(d):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        fd = os.open(os.path.join(root, fn), os.O_RDONLY)
+                        try:
+                            os.fsync(fd)
+                        finally:
+                            os.close(fd)
+            spark.read.parquet(d).selectExpr(
+                "count(*) as n", "bit_xor(h) as x"
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
     return round(best, 3)
 
 

@@ -57,6 +57,13 @@ def _comoment(emb: DataFrame, dim: int, scale: int,
     the incremental path (``pca_top_component_incremental``) rests on,
     with the co-moment M = N·G − S·ST built only at fit time."""
     q = emb.select(quantize_global(vec_col, scale).alias("__v"))
+    # int64 headroom for the Gram accumulation: every G entry is
+    # |Σ q_i·q_j| ≤ N·max|q|² summed map-side in numpy int64 AND again in
+    # Spark's long SUM — neither raises on wrap (non-ANSI), so the bound
+    # is enforced explicitly: partition-locally before each matmul, and
+    # globally on the driver after the reduce (max|q| rides along with
+    # the partials, reduced by MAX). 2^62 leaves a 2× safety margin.
+    headroom = 1 << 62
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -64,32 +71,54 @@ def _comoment(emb: DataFrame, dim: int, scale: int,
         g = np.zeros((dim, dim), dtype=np.int64)
         s = np.zeros(dim, dtype=np.int64)
         n = 0
+        maxq = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             m = np.array(pdf["__v"].tolist(), dtype=np.int64)
+            maxq = max(maxq, int(np.abs(m).max()))
+            # exact Python-int check BEFORE the int64 matmul can wrap
+            if (n + len(pdf)) * maxq * maxq >= headroom:
+                raise ValueError(
+                    "integer-exact PCA overflow guard: partition Gram "
+                    f"bound n·max|q|² = {(n + len(pdf))} · {maxq}² exceeds "
+                    "int64 headroom (2^62) — embeddings are not "
+                    "unit-normalized at this scale; lower `scale` or "
+                    "normalize vectors first"
+                )
             g += m.T @ m
             s += m.sum(axis=0)
             n += len(pdf)
         if n:
-            flat = list(g.reshape(-1)) + list(s) + [n]
+            flat = list(g.reshape(-1)) + list(s) + [n, maxq]
             yield pd.DataFrame({"vals": [flat]})
 
     parts = q.mapInPandas(part, schema="vals array<long>")
     red = (
         parts.select(F.posexplode("vals").alias("i", "v"))
         .groupBy("i")
-        .agg(F.sum("v").alias("v"))
+        .agg(F.sum("v").alias("v"), F.max("v").alias("mx"))
         .collect()
     )
-    acc = [0] * (dim * dim + dim + 1)
+    acc = [0] * (dim * dim + dim + 2)
     for r in red:
-        acc[r["i"]] = int(r["v"])
+        # the last slot is the per-partition max|q| — reduce by MAX, not SUM
+        acc[r["i"]] = int(r["mx"] if r["i"] == dim * dim + dim + 1 else r["v"])
     gm = [acc[i * dim:(i + 1) * dim] for i in range(dim)]
     sv = acc[dim * dim:dim * dim + dim]
-    n = acc[-1]
+    n = acc[dim * dim + dim]
+    maxq = acc[-1]
     if n == 0:
         raise ValueError("no vectors (empty corpus?)")
+    # global bound: the Spark long SUM of partition partials is exact iff
+    # the TOTAL |Σ q_i·q_j| ≤ N·max|q|² fits — checked in Python ints
+    if n * maxq * maxq >= headroom:
+        raise ValueError(
+            "integer-exact PCA overflow guard: global Gram bound "
+            f"N·max|q|² = {n} · {maxq}² exceeds int64 headroom (2^62) — "
+            "embeddings are not unit-normalized at this scale; lower "
+            "`scale` or normalize vectors first"
+        )
     return gm, sv, n
 
 
@@ -175,9 +204,23 @@ def pca_top_component_incremental(
     gm = [[0] * dim for _ in range(dim)]
     sv = [0] * dim
     n = 0
-    for p in parts:
-        if p.select(vec_col).first() is None:
-            continue
+    for idx, p in enumerate(parts):
+        r = p.select(vec_col).first()
+        if r is None:
+            continue  # empty increment — contributes nothing
+        # validate the part's contract BEFORE _comoment, so a NULL or
+        # dimension-mismatched embedding fails with the part index, not
+        # an opaque numpy shape / Spark executor error
+        if r[0] is None:
+            raise ValueError(
+                f"part {idx}: first embedding is NULL — incremental PCA "
+                "requires non-null vectors (filter NULLs upstream)"
+            )
+        if len(r[0]) != dim:
+            raise ValueError(
+                f"part {idx}: embedding dim {len(r[0])} != part 0's dim "
+                f"{dim} — all increments must share the fit's dimension"
+            )
         g1, s1, n1 = _comoment(p, dim, scale, vec_col)
         for i in range(dim):
             sv[i] += s1[i]
@@ -203,8 +246,11 @@ def project_stats(
     literal expression — whole-stage codegen, no UDF) aggregated per
     group: (group, n_vecs, min_proj, max_proj, sum_proj). One scan, one
     small-key aggregation; sum_proj is int64-exact to ~1e7 vectors per
-    group at scale=1000 — beyond that the projection sum (a diagnostic,
-    not the projection itself) moves to decimal."""
+    group at scale=1000. BEYOND that bound the CALLER must switch the
+    sum to decimal (``sum(__p cast decimal(38,0))``) — this function
+    keeps the long sum, which wraps silently in non-ANSI Spark while a
+    HUGEINT oracle stays exact, so past the bound the engines diverge.
+    The per-vector projections (min/max) are exact regardless."""
     proj = F.expr(
         " + ".join(f"__v[{i}] * {int(v[i])}L" for i in range(len(v)))
     ).cast("long")

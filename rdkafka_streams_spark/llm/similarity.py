@@ -1903,6 +1903,31 @@ def nsw_graph_integer(
             id_col=id_col, vec_col=vec_col,
         )[1]
     )
+    local = _nsw_local_edges(
+        emb, cents, r=r, n_assign=n_assign, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    reps = _nsw_reps(
+        emb, cents, n_assign=n_assign, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return local.unionByName(_nsw_bridges(reps))
+
+
+def _nsw_local_edges(
+    emb: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    r: int,
+    n_assign: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The LOCAL half of ``nsw_graph_integer``: top-``r`` integer-L2
+    out-edges among nodes sharing any assigned cell (dense_rank over the
+    blocked pair stage, duplicates collapsed). Returns (src, dst) —
+    bridges are a separate union so the incremental path can re-rank
+    local candidates without bridge edges polluting the top-r slots."""
     base = emb.select(
         F.col(id_col).alias("src"),
         quantize_global(vec_col, scale).alias("__v"),
@@ -1955,27 +1980,47 @@ def nsw_graph_integer(
     # so the corpus-sized dedup shuffle collapses to a dedup over the
     # <= 2·r·N survivors
     w = Window.partitionBy("src").orderBy("__d", "dst")
-    local = (
+    return (
         pairs.withColumn("__rk", F.dense_rank().over(w))
         .where(F.col("__rk") <= r)
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
+
+
+def _nsw_reps(
+    emb: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    n_assign: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Cell representatives for the star bridges: min-id node per RANK-1
+    cell. Returns (__c1, rep) — metadata-sized (≤ n_cells rows)."""
+    base = emb.select(
+        F.col(id_col).alias("src"),
+        quantize_global(vec_col, scale).alias("__v"),
+    ).withColumn("__cids", _arg_top_cids("__v", cents, n_assign))
     first = base.select(
         "src", F.element_at("__cids", 1).alias("__c1")
     )
-    reps = first.groupBy("__c1").agg(F.min("src").alias("rep"))
-    hub = reps.agg(F.min("rep").alias("hub"))  # == global min id
+    return first.groupBy("__c1").agg(F.min("src").alias("rep"))
+
+
+def _nsw_bridges(reps: DataFrame) -> DataFrame:
+    """Star bridges hub ↔ cell representative from a (__c1, rep) frame:
+    hub = min rep (== the global min id, since every node lives in some
+    rank-1 cell). Returns (src, dst) — 2·(n_cells−1) rows."""
+    hub = reps.agg(F.min("rep").alias("hub"))
     bridges = (
         reps.crossJoin(F.broadcast(hub))  # n_cells × 1 rows
         .where(F.col("rep") != F.col("hub"))
     )
-    return (
-        local
-        .unionByName(bridges.select(F.col("hub").alias("src"),
-                                    F.col("rep").alias("dst")))
-        .unionByName(bridges.select(F.col("rep").alias("src"),
-                                    F.col("hub").alias("dst")))
+    return bridges.select(
+        F.col("hub").alias("src"), F.col("rep").alias("dst")
+    ).unionByName(
+        bridges.select(F.col("rep").alias("src"), F.col("hub").alias("dst"))
     )
 
 
@@ -2055,6 +2100,14 @@ def beam_search_integer(
         )
     bw = Window.partitionBy("q_id").orderBy("dist", "node")
     for _ in range(hops):
+        # Truncate lineage every hop: ``bm`` is referenced twice below
+        # (once as the carried beam, once as the frontier driving the
+        # neighbor expansion), so without a checkpoint the logical plan
+        # doubles per hop — 2^hops copies of the seed subtree by the
+        # last iteration (Catalyst analysis then dominates wall-clock).
+        # The beam is nq × beam rows, so the checkpoint is trivially
+        # cheap; beam_search_partitioned (below) uses the same idiom.
+        bm = bm.localCheckpoint(eager=True)
         nbrs = (
             adj.join(F.broadcast(bm.select("q_id", "__q_qv", "node")),
                      F.col("src") == F.col("node"))
@@ -2131,7 +2184,7 @@ def hierarchical_beam_search(
     entries = beam_search_integer(
         upper, queries, k=1, beam=up_beam, hops=up_hops, scale=scale,
         id_col=id_col, vec_col=vec_col, edges=up_edges, exclude_self=False,
-    ).select("q_id", F.col(id_col).alias("node"))
+    ).select("q_id", F.col(id_col).alias("node")).localCheckpoint(eager=True)
     low_edges = nsw_graph_integer(
         emb, r=r, n_assign=n_assign, n_cells=n_cells, n_iters=n_iters,
         scale=scale, id_col=id_col, vec_col=vec_col, coarse=cents,
@@ -2306,6 +2359,226 @@ def beam_search_partitioned(
                 F.col("dist").alias("dist_sq"))
     )
     return out.localCheckpoint(eager=True)
+
+
+def build_nsw_insert_layout(
+    emb: DataFrame,
+    path: str,
+    cents: list[tuple[int, list[int]]],
+    r: int = 8,
+    n_assign: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INDEX-BUILD DAY for the INCREMENTAL graph-ANN posture
+    (``nsw_insert_integer``) — the cell-keyed twin of
+    ``build_nsw_corpus``'s bucket layout, organized so an insert batch
+    touches only ITS cells:
+
+    - ``<path>/nodes``: (node, qv) replicated once per ASSIGNED cell,
+      parquet-partitioned by ``cell`` — the pruned read that serves both
+      "which standing nodes does the delta pair with" and "which
+      standing srcs must re-rank" (they are the same set: every node in
+      a touched cell, and only those).
+    - ``<path>/edges``: the LOCAL adjacency (src, dst, dv, cells) with
+      the destination vector attached (the DiskANN node record),
+      replicated once per SRC-assigned cell (``pos`` marks the copy;
+      ``pos = 0`` is canonical), partitioned by ``cell`` — so an
+      affected src's FULL edge list is readable from any one of its
+      touched cells with static PartitionFilters, and the unaffected
+      remainder filters on the carried ``cells`` array without a join.
+      Bridges are NOT stored here (they are derived metadata and would
+      pollute the local top-r re-rank).
+    - ``<path>/reps``: (__c1, rep) — the rank-1 cell representatives,
+      ≤ n_cells rows, from which bridges and the hub re-derive after
+      any insert.
+
+    The quantizer (``cents``) trains ONCE on the standing corpus — the
+    q343 contract; inserts must pass the SAME centroids."""
+    base = emb.select(
+        F.col(id_col).alias("node"),
+        quantize_global(vec_col, scale).alias("qv"),
+    ).withColumn("cells", _arg_top_cids("qv", cents, n_assign))
+    nodes = base.select("node", "qv", F.explode("cells").alias("cell"))
+    nodes.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/nodes"
+    )
+    local = _nsw_local_edges(
+        emb, cents, r=r, n_assign=n_assign, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    src_cells = base.select(F.col("node").alias("src"), "cells")
+    dst_vecs = base.select(
+        F.col("node").alias("__dn"), F.col("qv").alias("dv")
+    )
+    adj = (
+        local.join(src_cells, "src")
+        .join(dst_vecs, F.col("dst") == F.col("__dn"))
+        .select(
+            "src", "dst", "dv", "cells",
+            F.posexplode("cells").alias("pos", "cell"),
+        )
+    )
+    adj.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/edges"
+    )
+    reps = _nsw_reps(
+        emb, cents, n_assign=n_assign, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    reps.write.mode("overwrite").parquet(f"{path}/reps")
+
+
+def nsw_insert_integer(
+    spark,
+    path: str,
+    cents: list[tuple[int, list[int]]],
+    delta: DataFrame,
+    r: int = 8,
+    n_assign: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL GRAPH INSERT — the last cell of the incremental
+    matrix (MinHash, ExactSubstr, decontamination, fingerprints,
+    vectors, PCA — and now the navigable graph): merge a delta batch
+    into a ``build_nsw_insert_layout`` standing index and return the
+    merged (src, dst) edge set, PROVABLY IDENTICAL to
+    ``nsw_graph_integer(standing ∪ delta, coarse=cents)`` — the
+    merge ≡ retrain posture applied to the graph. Identity argument:
+
+    - Assignments are per-node functions of the FIXED centroids, so no
+      standing node changes cells when the delta lands.
+    - A delta src's rebuild candidates are exactly the union members of
+      its cells — read here as the delta's TOUCHED-cell node partitions
+      (static PartitionFilters; the touched set is ≤ n_cells driver
+      literals) plus the delta itself.
+    - A standing src re-ranks iff a delta node shares one of its cells;
+      those srcs are exactly the members of touched cells. dense_rank
+      over (its SAVED top-r survivors ∪ its delta candidates) equals
+      the rebuild's dense_rank over all union candidates: any dropped
+      base candidate had > r distinct values below it among SURVIVORS
+      alone, so it can neither re-enter nor shift a survivor's rank.
+    - Bridges re-derive from reps merged as per-cell MIN(standing rep,
+      delta min-id) — MIN is associative, so merged reps ≡ union reps.
+
+    The standing CORPUS is never read outside the touched cells (plan
+    test pins the PartitionFilters); the unaffected edge remainder is a
+    column filter on the canonical copies — no join, no corpus access.
+    At 100 TB the production write-back is dynamic partition overwrite
+    of the touched cell directories + append of the delta's; here the
+    merged frame is returned for the gate to walk."""
+    dim = len(cents[0][1])
+    d = (
+        delta.select(
+            F.col(id_col).alias("node"),
+            quantize_global(vec_col, scale).alias("qv"),
+        )
+        .withColumn("cells", _arg_top_cids("qv", cents, n_assign))
+        .localCheckpoint(eager=True)  # batch-sized; referenced 4×
+    )
+    touched = sorted(
+        r0["c"] for r0 in
+        d.select(F.explode("cells").alias("c")).distinct().collect()
+    )
+    if not touched:  # empty delta: the standing index IS the merge
+        return (
+            spark.read.parquet(f"{path}/edges")
+            .where(F.col("pos") == 0)
+            .select("src", "dst")
+            .unionByName(_nsw_bridges(spark.read.parquet(f"{path}/reps")))
+        )
+    dx = d.select("node", "qv", F.explode("cells").alias("cell"))
+    bnodes = (
+        spark.read.parquet(f"{path}/nodes")
+        .where(F.col("cell").isin(touched))  # static partition pruning
+    )
+    d_unrolled = F.expr(
+        " + ".join(
+            f"(__v[{i}] - __w[{i}]) * (__v[{i}] - __w[{i}])"
+            for i in range(dim)
+        )
+    ).cast("long")
+    w = Window.partitionBy("src").orderBy("__d", "dst")
+
+    def _top_r(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn("__d", d_unrolled)
+            .withColumn("__rk", F.dense_rank().over(w))
+            .where(F.col("__rk") <= r)
+            .select("src", "dst")
+            .dropDuplicates(["src", "dst"])
+        )
+
+    # delta srcs: candidates = (standing ∪ delta) members of their cells
+    cand_dst = bnodes.select(
+        F.col("node").alias("dst"), F.col("qv").alias("__w"), "cell"
+    ).unionByName(
+        dx.select(F.col("node").alias("dst"), F.col("qv").alias("__w"),
+                  "cell")
+    )
+    delta_edges = _top_r(
+        dx.select(F.col("node").alias("src"), F.col("qv").alias("__v"),
+                  "cell")
+        .join(cand_dst, "cell")
+        .where(F.col("src") != F.col("dst"))
+    )
+
+    # affected standing srcs: saved survivors ∪ delta cell-mates
+    aedges = (
+        spark.read.parquet(f"{path}/edges")
+        .where(F.col("cell").isin(touched))  # static partition pruning
+        .select("src", "dst", "dv")
+        .dropDuplicates(["src", "dst"])  # both-cells-touched srcs: 2 copies
+    )
+    svecs = bnodes.select(
+        F.col("node").alias("src"), F.col("qv").alias("__v")
+    ).dropDuplicates(["src"])
+    old_cand = aedges.join(svecs, "src").select(
+        "src", "__v", "dst", F.col("dv").alias("__w")
+    )
+    new_cand = (
+        bnodes.select(F.col("node").alias("src"),
+                      F.col("qv").alias("__v"), "cell")
+        .join(
+            dx.select(F.col("node").alias("dst"),
+                      F.col("qv").alias("__w"), "cell"),
+            "cell",
+        )
+        .select("src", "__v", "dst", "__w")
+    )
+    relinked = _top_r(old_cand.unionByName(new_cand))
+
+    # unaffected remainder: canonical copies whose src shares NO touched
+    # cell — a column filter on the carried cells array, no join
+    untouched = F.lit(True) if not touched else ~F.arrays_overlap(
+        F.col("cells"), F.array(*[F.lit(int(c)) for c in touched])
+    )
+    unaffected = (
+        spark.read.parquet(f"{path}/edges")
+        .where((F.col("pos") == 0) & untouched)
+        .select("src", "dst")
+    )
+
+    # bridges from merged reps: per-cell MIN(standing rep, delta min-id)
+    old_reps = spark.read.parquet(f"{path}/reps")
+    delta_reps = (
+        d.select(F.element_at("cells", 1).alias("__c1"),
+                 F.col("node").alias("rep"))
+        .groupBy("__c1").agg(F.min("rep").alias("rep"))
+    )
+    reps = (
+        old_reps.unionByName(delta_reps)
+        .groupBy("__c1").agg(F.min("rep").alias("rep"))
+    )
+    return (
+        unaffected
+        .unionByName(relinked)
+        .unionByName(delta_edges)
+        .unionByName(_nsw_bridges(reps))
+    )
 
 
 def embedding_neardup_incremental(

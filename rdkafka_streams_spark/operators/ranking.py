@@ -105,11 +105,32 @@ def global_rank(
         off_col = F.lit(0)
 
     local_w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
+    ranked = (
         with_pid.withColumn("__lrn", F.row_number().over(local_w))
         .withColumn(rank_col, (off_col + F.col("__lrn")).cast("bigint"))
         .drop("__pid", "__lrn")
     )
+    # total row count is a free by-product of the counts job (acc is the
+    # sum of every partition's count) — expose it so callers that need
+    # the cardinality (e.g. ntile bucketing) don't pay a second full scan
+    ranked._global_rank_total = acc  # type: ignore[attr-defined]
+    return ranked
+
+
+def global_rank_with_total(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rn",
+    num_partitions: int | None = None,
+    materialize: bool | None = None,
+) -> tuple[DataFrame, int]:
+    """``global_rank`` plus the input's total row count — the count comes
+    from the SAME eager per-partition counts job the rank already runs
+    (the pid→offset fold ends at the total), so callers needing the
+    cardinality (ntile-style bucketing, batch sizing) avoid a second
+    full-corpus pass."""
+    ranked = global_rank(df, order_cols, rank_col, num_partitions, materialize)
+    return ranked, int(getattr(ranked, "_global_rank_total", 0))
 
 
 def global_cumsum(
@@ -274,7 +295,8 @@ def mixture_interleave(
     q100 quota rule) and deal documents in order of VIRTUAL FINISH TIME
     vt = r_s / m_s — in-source shuffle rank over weight, the WFQ/start-
     time-fair-queuing discipline — so every PREFIX of the schedule
-    honors the mixture proportions to ±1 doc per source (the property a
+    honors the mixture proportions to within the WFQ lag bound — ±O(1)
+    docs per source, pinned at ±2 by the unit test (the property a
     trainer needs: stopping at any step saw the intended mixture, no
     "source A first, source B never"). Ties (vt, group, r) — total
     order, engine-exact: vt is ONE IEEE double division of exact
@@ -332,8 +354,7 @@ def length_bucketed_batches(
         F.col(id_col),
         F.size(F.split(text_col, " ")).cast("bigint").alias("n_tok"),
     )
-    ranked = global_rank(d, ["n_tok", id_col], rank_col="__r")
-    total = d.count()
+    ranked, total = global_rank_with_total(d, ["n_tok", id_col], rank_col="__r")
     size, extra = divmod(total, n_buckets)
     r0 = F.col("__r") - 1
     bucket = F.when(

@@ -5187,20 +5187,34 @@ def _int_l2_duck(a: str, b: str) -> str:
             f"x -> (x[1]-x[2])*(x[1]-x[2]))) AS BIGINT)")
 
 
-def _nsw_oracle_ctes() -> str:
+def _nsw_oracle_ctes(km_src: str = "embeddings",
+                     nodes_src: str | None = None) -> str:
     """Unrolled beam-search CTE chain (the q221 BFS pattern applied to
     distance frontiers), generated from the SAME constants as the Spark
     operator: the q304 kmeans chain → multi-assign each node to its NA
     nearest cells → top-R edges among cell-mates + star bridges →
     b0 = hub → H rounds of (expand ∪ keep, score, top-W) → CTEs
-    ``bs{H}``/``b{H}`` hold the final scored candidates and beam."""
-    parts = [_kmeans_oracle_ctes(k=_KM_K, n_iters=_KM_N_ITERS, bare=True),
-             f"""asg AS MATERIALIZED (
+    ``bs{H}``/``b{H}`` hold the final scored candidates and beam.
+
+    ``km_src`` is the kmeans trainer's source relation; pass
+    ``nodes_src`` to build/walk the graph over a DIFFERENT node set than
+    the trainer saw (the q343 "quantizer trains once" posture — e.g.
+    centroids from the standing corpus, graph over standing ∪ delta:
+    the q359 incremental-insert rebuild oracle)."""
+    nr = "q" if nodes_src is None else "qall"
+    parts = [_kmeans_oracle_ctes(k=_KM_K, n_iters=_KM_N_ITERS, bare=True,
+                                 src=km_src)]
+    if nodes_src is not None:
+        parts.append(f"""qall AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qv
+  FROM {nodes_src})""")
+    parts.append(f"""asg AS MATERIALIZED (
   SELECT vec_id, qv, cid FROM (
-    SELECT q.vec_id, q.qv, c.cid,
-      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        {_int_l2_duck('q.qv', 'c.qc')} ASC, c.cid ASC) AS rn
-    FROM q CROSS JOIN c{_KM_N_ITERS} c) WHERE rn <= {_NSW_NA}),
+    SELECT {nr}.vec_id, {nr}.qv, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY {nr}.vec_id ORDER BY
+        {_int_l2_duck(f'{nr}.qv', 'c.qc')} ASC, c.cid ASC) AS rn
+    FROM {nr} CROSS JOIN c{_KM_N_ITERS} c) WHERE rn <= {_NSW_NA}),
 loc AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -5211,10 +5225,10 @@ loc AS MATERIALIZED (
   WHERE rn <= {_NSW_R}),
 a1st AS (
   SELECT vec_id, cid FROM (
-    SELECT q.vec_id, c.cid,
-      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        {_int_l2_duck('q.qv', 'c.qc')} ASC, c.cid ASC) AS rn
-    FROM q CROSS JOIN c{_KM_N_ITERS} c) WHERE rn = 1),
+    SELECT {nr}.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY {nr}.vec_id ORDER BY
+        {_int_l2_duck(f'{nr}.qv', 'c.qc')} ASC, c.cid ASC) AS rn
+    FROM {nr} CROSS JOIN c{_KM_N_ITERS} c) WHERE rn = 1),
 reps AS (SELECT cid, MIN(vec_id) AS rep FROM a1st GROUP BY cid),
 hub AS (SELECT MIN(rep) AS h FROM reps),
 edges AS MATERIALIZED (
@@ -5223,8 +5237,8 @@ edges AS MATERIALIZED (
   WHERE rp.rep <> h.h
   UNION ALL SELECT rp.rep AS src, h.h AS dst FROM reps rp, hub h
   WHERE rp.rep <> h.h),
-qs AS (SELECT vec_id AS q_id, qv AS q_qv FROM q WHERE vec_id % 50 = 0),
-b0 AS MATERIALIZED (SELECT qs.q_id, hub.h AS node FROM qs, hub)"""]
+qs AS (SELECT vec_id AS q_id, qv AS q_qv FROM {nr} WHERE vec_id % 50 = 0),
+b0 AS MATERIALIZED (SELECT qs.q_id, hub.h AS node FROM qs, hub)""")
     for i in range(1, _NSW_HOPS + 1):
         parts.append(f"""bc{i} AS (
   SELECT q_id, node FROM b{i - 1}
@@ -5233,7 +5247,8 @@ b0 AS MATERIALIZED (SELECT qs.q_id, hub.h AS node FROM qs, hub)"""]
   ON e.src = b.node),
 bs{i} AS MATERIALIZED (
   SELECT c.q_id, c.node, {_int_l2_duck('qs.q_qv', 'n.qv')} AS dist
-  FROM bc{i} c JOIN qs ON qs.q_id = c.q_id JOIN q n ON n.vec_id = c.node),
+  FROM bc{i} c JOIN qs ON qs.q_id = c.q_id JOIN {nr} n
+  ON n.vec_id = c.node),
 b{i} AS MATERIALIZED (
   SELECT q_id, node FROM (
     SELECT q_id, node,
@@ -6708,3 +6723,144 @@ def q358_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdkafka_streams_spark.llm.text import trigram_lm_scores
 
     return trigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------- L3 (incremental graph insert)
+_INC_BASE_SRC = "(SELECT * FROM embeddings WHERE vec_id % 10 <> 0)"
+
+
+@query(
+    "q359_nsw_insert_search",
+    oracle=_nsw_oracle_ctes(km_src=_INC_BASE_SRC, nodes_src="embeddings")
+    + _NSW_FINAL,
+    tags=("L3",),
+)
+def q359_nsw_insert_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL GRAPH-ANN INSERT (llm/similarity.py
+    build_nsw_insert_layout / nsw_insert_integer) — the last missing
+    cell of the incremental matrix (MinHash q284, ExactSubstr q302,
+    decontamination q334, fingerprints q329, vectors q343, PCA q351 —
+    and now the navigable graph): the standing corpus (vec_id % 10 ≠ 0)
+    builds the cell-partitioned insert layout ONCE (nodes + local
+    adjacency replicated per assigned cell, reps as metadata — the
+    quantizer trains on the standing corpus only, the q343 contract);
+    the delta (every 10th vector) assigns to its 2 nearest cells
+    map-side, reads ONLY its touched cells' partitions (static
+    PartitionFilters, pinned by plan test), computes its own top-8
+    out-edges against just those cells' members, and RE-LINKS exactly
+    the affected standing srcs from their saved survivors ∪ the delta —
+    provably identical to full rebuild (dense_rank over survivors ∪
+    delta ≡ dense_rank over the union; a unit test asserts edge-set
+    equality). The gate then WALKS the merged graph with q335's exact
+    fixed-beam fixed-hop search over standing ∪ delta, hash-matched
+    against the FULL-REBUILD oracle on the union (kmeans CTEs on the
+    standing corpus, graph + walk CTEs on the union) — the q351
+    merge ≡ retrain posture applied to the graph index. HNSW's
+    production value IS incremental insertion; this is that posture
+    with a bit-exact contract."""
+    import shutil
+    import tempfile
+
+    from rdkafka_streams_spark.llm.similarity import (
+        beam_search_integer,
+        build_nsw_insert_layout,
+        kmeans_integer,
+        nsw_insert_integer,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.expr("vec_id % 10 <> 0"))
+    delta = emb.where(F.expr("vec_id % 10 = 0"))
+    cents = kmeans_integer(base, k=_KM_K, n_iters=_KM_N_ITERS)[1]
+    root = tempfile.mkdtemp(prefix="rdkafka_streams_nsw_insert_")
+    try:
+        build_nsw_insert_layout(
+            base, root, cents, r=_NSW_R, n_assign=_NSW_NA,
+        )
+        merged = nsw_insert_integer(
+            spark, root, cents, delta, r=_NSW_R, n_assign=_NSW_NA,
+        )
+        queries = emb.where(F.expr("vec_id % 50 = 0"))
+        return beam_search_integer(
+            emb, queries, k=_NSW_K, beam=_NSW_BEAM, hops=_NSW_HOPS,
+            edges=merged,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "q360_nsw_insert_recall_audit",
+    oracle=_nsw_oracle_ctes(km_src=_INC_BASE_SRC, nodes_src="embeddings")
+    + f""",
+approx AS ({_NSW_FINAL}),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT qs.q_id, c.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY qs.q_id ORDER BY
+        {_int_l2_duck('c.qv', 'qs.q_qv')} ASC, c.vec_id ASC) AS rn
+    FROM qall c JOIN qs ON c.vec_id <> qs.q_id) WHERE rn <= {_NSW_K}),
+hit AS (SELECT e.q_id, e.vec_id FROM exact e
+        JOIN approx a ON a.q_id = e.q_id AND a.vec_id = e.vec_id)
+SELECT CAST((SELECT COUNT(DISTINCT q_id) FROM exact) AS BIGINT)
+         AS n_queries,
+       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_truth,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+       CAST((SELECT COUNT(*) FROM hit) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM exact), 1) AS BIGINT)
+         AS recall_ppm
+""",
+    tags=("L3", "X"),
+)
+def q360_nsw_insert_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RECALL AUDIT for the insert-merged graph (the q336 posture
+    applied to q359): walk the incrementally merged index over
+    standing ∪ delta, compare to the exact integer-L2 top-5 on the
+    union, one summary row in exact counts + integer ppm. Because the
+    merge is bit-identical to rebuild, this recall should track q336's
+    at the same geometry — a drift between the two numbers is a merge
+    bug, caught by the gate rather than by degraded retrieval weeks
+    later. Both sides deterministic ⇒ the recall itself is
+    hash-gated."""
+    import shutil
+    import tempfile
+
+    from rdkafka_streams_spark.llm.similarity import (
+        beam_search_integer,
+        build_nsw_insert_layout,
+        exact_knn_integer,
+        kmeans_integer,
+        nsw_insert_integer,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.expr("vec_id % 10 <> 0"))
+    delta = emb.where(F.expr("vec_id % 10 = 0"))
+    cents = kmeans_integer(base, k=_KM_K, n_iters=_KM_N_ITERS)[1]
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    root = tempfile.mkdtemp(prefix="rdkafka_streams_nsw_insertra_")
+    try:
+        build_nsw_insert_layout(
+            base, root, cents, r=_NSW_R, n_assign=_NSW_NA,
+        )
+        merged = nsw_insert_integer(
+            spark, root, cents, delta, r=_NSW_R, n_assign=_NSW_NA,
+        )
+        approx = beam_search_integer(
+            emb, queries, k=_NSW_K, beam=_NSW_BEAM, hops=_NSW_HOPS,
+            edges=merged,
+        ).select("q_id", "vec_id")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    exact = exact_knn_integer(emb, queries, k=_NSW_K).select(
+        "q_id", "vec_id"
+    )
+    n_queries = exact.select("q_id").distinct().count()
+    n_truth = exact.count()
+    n_hit = exact.join(approx, ["q_id", "vec_id"]).count()
+    return spark.createDataFrame(
+        [(n_queries, n_truth, n_hit, n_hit * 1000000 // max(n_truth, 1))],
+        "n_queries bigint, n_truth bigint, n_hit bigint, recall_ppm bigint",
+    )

@@ -2718,3 +2718,134 @@ def test_length_bucketed_batches_fewer_docs_than_buckets(spark):
         for r in length_bucketed_batches(docs, n_buckets=8, batch_size=4).collect()
     )
     assert got == [(b, 1, 1, 3 + b - 1, 0) for b in range(1, 6)]
+
+
+def test_nsw_insert_empty_delta_is_identity(spark, tmp_path):
+    """An empty insert batch must return exactly the standing graph
+    (local edges + bridges re-derived from saved reps) — no touched
+    cells, no base read beyond the canonical edge copies."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.llm.similarity import (
+        build_nsw_insert_layout,
+        kmeans_integer,
+        nsw_graph_integer,
+        nsw_insert_integer,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 4).astype("float32")
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = kmeans_integer(emb, k=3, n_iters=2)[1]
+    path = str(tmp_path / "nsw_empty")
+    build_nsw_insert_layout(emb, path, cents, r=3, n_assign=2)
+    empty = emb.where(F.lit(False))
+    merged = sorted(tuple(r) for r in nsw_insert_integer(
+        spark, path, cents, empty, r=3, n_assign=2,
+    ).collect())
+    standing = sorted(tuple(r) for r in nsw_graph_integer(
+        emb, r=3, n_assign=2, coarse=cents,
+    ).collect())
+    assert merged == standing and len(merged) > 0
+
+
+def test_nsw_insert_delta_into_base_empty_cell(spark, tmp_path):
+    """A delta landing in a cell the standing corpus never populated
+    (possible: kmeans carries empty clusters' centroids forward) must
+    create that cell's representative + bridges and still equal the
+    full rebuild — handcrafted centroids force the geometry: base
+    clusters near two centroids, the delta alone near a third."""
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.llm.similarity import (
+        build_nsw_insert_layout,
+        nsw_graph_integer,
+        nsw_insert_integer,
+    )
+
+    # quantized space is x*1000: centroid qc values are ints there
+    cents = [(1, [0, 0]), (2, [100, 100]), (3, [100000, 100000]),
+             (4, [220000, 220000])]
+    base_pts = [(i, [0.001 * i, 0.002 * i]) for i in range(10)] + [
+        (10 + i, [0.1 + 0.001 * i, 0.1 - 0.001 * i]) for i in range(10)
+    ]
+    delta_pts = [(100, [100.0, 100.0]), (101, [100.05, 99.95])]
+    base = spark.createDataFrame(
+        base_pts, "vec_id bigint, embedding array<double>"
+    )
+    delta = spark.createDataFrame(
+        delta_pts, "vec_id bigint, embedding array<double>"
+    )
+    path = str(tmp_path / "nsw_newcell")
+    build_nsw_insert_layout(base, path, cents, r=3, n_assign=2)
+    merged = sorted(tuple(r) for r in nsw_insert_integer(
+        spark, path, cents, delta, r=3, n_assign=2,
+    ).collect())
+    union = base.unionByName(delta)
+    rebuilt = sorted(tuple(r) for r in nsw_graph_integer(
+        union, r=3, n_assign=2, coarse=cents,
+    ).collect())
+    assert merged == rebuilt and len(merged) > 0
+    # the new cell's rep (the delta min id) must appear as a bridge end
+    ends = {s for s, _ in merged} | {d for _, d in merged}
+    assert 100 in ends
+
+
+def test_pca_overflow_guard_raises_loudly(spark):
+    """Non-unit-normalized embeddings whose quantized magnitude breaks
+    the int64 Gram headroom must raise the contract error, not wrap
+    silently (ADVICE r14: the documented N≈9e12 bound assumed |x|<=1)."""
+    import pytest
+
+    from rdkafka_streams_spark.llm.pca import pca_top_component
+
+    emb = spark.createDataFrame(
+        [(0, [4.0e6, 1.0]), (1, [3.9e6, 2.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(Exception) as ei:
+        pca_top_component(emb)
+    assert "overflow guard" in str(ei.value)
+
+
+def test_pca_incremental_part_validation(spark):
+    """A later increment with a different embedding dim (or a NULL
+    first vector) must fail with the part index in the message, not an
+    opaque numpy shape error (ADVICE r14)."""
+    import pytest
+
+    from rdkafka_streams_spark.llm.pca import pca_top_component_incremental
+
+    a = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [0.5, 0.1])],
+        "vec_id bigint, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(2, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="part 1"):
+        pca_top_component_incremental([a, b])
+    c = spark.createDataFrame(
+        [(3, None)], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="part 1"):
+        pca_top_component_incremental([a, c])
+
+
+def test_global_rank_with_total_no_second_scan(spark):
+    """global_rank_with_total's total must equal the input cardinality —
+    it rides out of the SAME per-partition counts job the rank already
+    runs (the ADVICE-r14 fix for length_bucketed_batches' second full
+    scan)."""
+    from rdkafka_streams_spark.operators.ranking import (
+        global_rank_with_total,
+    )
+
+    df = spark.range(0, 1234).selectExpr("id", "id % 7 as k")
+    ranked, total = global_rank_with_total(df, ["k", "id"])
+    assert total == 1234
+    assert ranked.count() == 1234

@@ -821,3 +821,52 @@ def test_q354_prefix_is_take_ordered_not_global_sort(spark, sf_dir):
     the corpus."""
     df = REGISTRY["q354_mixture_interleave"].fn(spark, sf_dir)
     assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_nsw_insert_layout_prunes_and_merge_equals_rebuild(
+    spark, sf_dir, tmp_path
+):
+    """q359's standing claims made real at unit scale: (a) the insert
+    layout's nodes AND edges reads carry cell PartitionFilters when the
+    touched set is literal (the exact shape nsw_insert_integer issues —
+    the standing corpus is never read outside the delta's cells), and
+    (b) the merged edge set is IDENTICAL to a full rebuild on the union
+    with the same standing-trained centroids (merge ≡ retrain for the
+    graph index)."""
+    from rdkafka_streams_spark.core.plan import partition_filters
+    from rdkafka_streams_spark.llm.similarity import (
+        build_nsw_insert_layout,
+        kmeans_integer,
+        nsw_graph_integer,
+        nsw_insert_integer,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 400
+    )
+    base = emb.where(F.col("vec_id") % 7 != 0)
+    delta = emb.where(F.col("vec_id") % 7 == 0)
+    cents = kmeans_integer(base, k=4, n_iters=2)[1]
+    path = str(tmp_path / "nsw_insert")
+    build_nsw_insert_layout(base, path, cents, r=4, n_assign=2)
+
+    # (a) the pruned-read shape: touched cells are literals by scan time
+    nodes = spark.read.parquet(f"{path}/nodes").where(
+        F.col("cell").isin([1, 3])
+    )
+    pf = " ".join(partition_filters(nodes))
+    assert "cell" in pf, f"no partition pruning on nodes cell: {pf}"
+    edges = spark.read.parquet(f"{path}/edges").where(
+        F.col("cell").isin([1, 3])
+    )
+    pf = " ".join(partition_filters(edges))
+    assert "cell" in pf, f"no partition pruning on edges cell: {pf}"
+
+    # (b) merge ≡ retrain, exactly
+    merged = sorted(tuple(r) for r in nsw_insert_integer(
+        spark, path, cents, delta, r=4, n_assign=2,
+    ).collect())
+    rebuilt = sorted(tuple(r) for r in nsw_graph_integer(
+        emb, r=4, n_assign=2, coarse=cents,
+    ).collect())
+    assert merged == rebuilt and len(merged) > 0
