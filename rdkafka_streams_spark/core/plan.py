@@ -54,3 +54,15 @@ def partition_filters(df: DataFrame) -> list[str]:
         if line.startswith("PartitionFilters:"):
             out.append(line[len("PartitionFilters:") :].strip())
     return out
+
+
+def scan_read_schemas(df: DataFrame) -> list[str]:
+    """The ReadSchema of every file scan in the plan — what column
+    pruning actually reached the reader. A scan whose ReadSchema lists
+    columns the query never touches reads those bytes at 100 TB."""
+    out = []
+    for line in plan_string(df, "formatted").splitlines():
+        line = line.strip()
+        if line.startswith("ReadSchema:"):
+            out.append(line[len("ReadSchema:") :].strip())
+    return out

@@ -2361,6 +2361,104 @@ def beam_search_partitioned(
     return out.localCheckpoint(eager=True)
 
 
+def build_binary_corpus(
+    emb: DataFrame,
+    path: str,
+    n_planes: int = 32,
+    dim: int = 64,
+    n_buckets: int = 8,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INDEX-BUILD DAY for two-tier binary serving: write the corpus
+    with the ``n_planes``-bit sign code AS A COLUMN beside the
+    quantized vector, parquet-partitioned by ``bucket = id %
+    n_buckets`` (the q342 layout discipline). Parquet is columnar, so
+    the binary pre-filter reads ONLY (id, code) — ~4 bytes of payload
+    per row out of the same files — while the exact re-rank reads the
+    vector column for just the shortlist's buckets (PartitionFilters)
+    and rows (id IN → row-group min/max skip). One layout serves both
+    tiers; no second copy of the corpus."""
+    planes = hyperplanes(n_planes, dim)
+    (
+        emb.select(
+            F.col(id_col),
+            quantize_global(vec_col, scale).alias("qv"),
+            hyperplane_signature(vec_col, planes).alias("code"),
+            (F.col(id_col) % n_buckets).cast("int").alias("bucket"),
+        )
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    )
+
+
+def hamming_refine_partitioned(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 32,
+    n_planes: int = 32,
+    dim: int = 64,
+    n_buckets: int = 8,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SERVE DAY for the two-tier binary → exact stack against the
+    ``build_binary_corpus`` layout — bit-identical to the in-memory
+    ``hamming_topk`` + ``exact_rerank_integer`` composition (the q353
+    gate) with the production I/O profile:
+
+    1. the PRE-FILTER scans only the (id, code) columns of the whole
+       corpus (Parquet column pruning — 4 code bytes per row, 1/64 of
+       a float32 vector), XOR+popcount against the broadcast query
+       codes, keeps the Hamming top-``shortlist`` per query;
+    2. the RE-RANK collects the shortlist ids (nq × shortlist ints —
+       driver metadata, the q331/q342 posture), re-reads ONLY their
+       buckets (static PartitionFilters) and rows (id IN → row-group
+       min/max skip) for the vector column, and orders the exact
+       integer-L2 top-``k`` with (edist, id) ties.
+
+    The float-width column is touched for ~shortlist rows per query;
+    everything else reads the 4-byte tier. Returns (q_id, id, edist)."""
+    planes = hyperplanes(n_planes, dim)
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        hyperplane_signature(vec_col, planes).alias("q_code"),
+        quantize_global(vec_col, scale).alias("q_qv"),
+    ).localCheckpoint(eager=True)
+    codes = spark.read.parquet(path).select(id_col, "code")
+    hw = Window.partitionBy("q_id").orderBy("dist", id_col)
+    short = (
+        codes.join(F.broadcast(qs.select("q_id", "q_code")),
+                   F.col(id_col) != F.col("q_id"))
+        .withColumn("dist", F.expr("bit_count(code ^ q_code)").cast("int"))
+        .withColumn("__rk", F.row_number().over(hw))
+        .where(F.col("__rk") <= shortlist)
+        .select("q_id", id_col)
+        .localCheckpoint(eager=True)  # nq × shortlist rows; read twice
+    )
+    ids = sorted(r[id_col] for r in short.select(id_col).distinct().collect())
+    buckets = sorted({int(i) % n_buckets for i in ids})
+    cand = (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(buckets))   # partition pruning
+        .where(F.col(id_col).isin([int(i) for i in ids]))  # row-group skip
+        .select(id_col, "qv")
+    )
+    kw = Window.partitionBy("q_id").orderBy("edist", id_col)
+    out = (
+        cand.join(F.broadcast(short), id_col)
+        .join(F.broadcast(qs.select("q_id", "q_qv")), "q_id")
+        .withColumn("edist", _int_l2("qv", "q_qv"))
+        .withColumn("__rk", F.row_number().over(kw))
+        .where(F.col("__rk") <= k)
+        .select("q_id", F.col(id_col), F.col("edist"))
+    )
+    return out.localCheckpoint(eager=True)
+
+
 def build_nsw_insert_layout(
     emb: DataFrame,
     path: str,

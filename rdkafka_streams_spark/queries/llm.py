@@ -6864,3 +6864,51 @@ def q360_nsw_insert_recall_audit(
         [(n_queries, n_truth, n_hit, n_hit * 1000000 // max(n_truth, 1))],
         "n_queries bigint, n_truth bigint, n_hit bigint, recall_ppm bigint",
     )
+
+
+@query(
+    "q361_hamming_refine_partitioned",
+    oracle=REGISTRY["q353_hamming_refine_search"].oracle,
+    tags=("L3",),
+)
+def q361_hamming_refine_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO-TIER BINARY SERVING AGAINST THE ON-DISK LAYOUT
+    (llm/similarity.py build_binary_corpus / hamming_refine_partitioned)
+    — q353's binary→exact stack composed with q342's layout contract:
+    index-build day writes the 32-bit sign code AS A COLUMN beside the
+    quantized vector, partitioned by id bucket, so SERVE day's
+    pre-filter reads ONLY the (id, code) columns of the same files
+    (Parquet column pruning — 4 payload bytes/row, 1/64 of float32)
+    and the exact re-rank re-reads the vector column for just the
+    shortlist's buckets (static PartitionFilters) and rows (id IN →
+    row-group min/max skip). Gated against q353's OWN oracle: the
+    on-disk two-tier serve must be bit-identical to the in-memory
+    composition — same codes, same Hamming top-32 cut, same exact
+    (edist, id) final order. Plan test pins both I/O claims. The
+    corpus lives in a per-process mkdtemp and is removed after the
+    localCheckpointed result (the q331 hygiene)."""
+    import shutil
+    import tempfile
+
+    from rdkafka_streams_spark.llm.similarity import (
+        build_binary_corpus,
+        hamming_refine_partitioned,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="rdkafka_streams_bincorpus_")
+    try:
+        build_binary_corpus(
+            emb, f"{root}/corpus", n_planes=_HAM_PLANES, dim=EMB_DIM,
+            n_buckets=8,
+        )
+        queries = emb.where(F.expr("vec_id % 50 = 0"))
+        return hamming_refine_partitioned(
+            spark, f"{root}/corpus", queries, k=_NSW_K,
+            shortlist=_HAM_SHORTLIST, n_planes=_HAM_PLANES, dim=EMB_DIM,
+            n_buckets=8,
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -870,3 +870,56 @@ def test_nsw_insert_layout_prunes_and_merge_equals_rebuild(
         emb, r=4, n_assign=2, coarse=cents,
     ).collect())
     assert merged == rebuilt and len(merged) > 0
+
+
+def test_binary_corpus_code_scan_prunes_columns_and_rerank_prunes_rows(
+    spark, sf_dir, tmp_path
+):
+    """q361's two I/O claims made real: (a) the binary pre-filter's scan
+    must carry a ReadSchema WITHOUT the vector column (Parquet column
+    pruning — the tier reads 4 code bytes/row, not the float corpus),
+    and (b) the re-rank's scan must carry bucket PartitionFilters (it
+    touches only the shortlist's directories). Also pins on-disk serve
+    ≡ in-memory hamming_topk + exact_rerank_integer equality."""
+    from rdkafka_streams_spark.core.plan import (
+        partition_filters,
+        scan_read_schemas,
+    )
+    from rdkafka_streams_spark.llm.similarity import (
+        build_binary_corpus,
+        exact_rerank_integer,
+        hamming_refine_partitioned,
+        hamming_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    path = str(tmp_path / "bin_corpus")
+    build_binary_corpus(emb, path, n_planes=16, dim=64, n_buckets=4)
+
+    # (a) code-scan shape: only (vec_id, code) reach the reader
+    codes = spark.read.parquet(path).select("vec_id", "code")
+    rs = " ".join(scan_read_schemas(codes))
+    assert "code" in rs and "qv" not in rs, f"vector column not pruned: {rs}"
+
+    # (b) re-rank shape: shortlist buckets are literals by scan time
+    rer = (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin([0, 2]))
+        .where(F.col("vec_id").isin([0, 2, 50]))
+        .select("vec_id", "qv")
+    )
+    pf = " ".join(partition_filters(rer))
+    assert "bucket" in pf, f"no partition pruning on bucket: {pf}"
+
+    queries = emb.where(F.col("vec_id") % 60 == 0)
+    served = sorted(tuple(r) for r in hamming_refine_partitioned(
+        spark, path, queries, k=3, shortlist=8, n_planes=16, dim=64,
+        n_buckets=4,
+    ).collect())
+    short = hamming_topk(emb, queries, k=8, n_planes=16, dim=64)
+    mem = sorted(tuple(r) for r in exact_rerank_integer(
+        emb, queries, short, k=3,
+    ).collect())
+    assert served == mem and len(served) > 0
