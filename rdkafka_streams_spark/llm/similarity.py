@@ -2498,7 +2498,12 @@ def build_nsw_insert_layout(
         F.col(id_col).alias("node"),
         quantize_global(vec_col, scale).alias("qv"),
     ).withColumn("cells", _arg_top_cids("qv", cents, n_assign))
-    nodes = base.select("node", "qv", F.explode("cells").alias("cell"))
+    # each copy carries the node's FULL ordered cell list (cells[0] is the
+    # rank-1 cell) — the delete path re-derives reps and candidate cells
+    # from it without a second assignment pass
+    nodes = base.select(
+        "node", "qv", "cells", F.explode("cells").alias("cell")
+    )
     nodes.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/nodes"
     )
@@ -2676,6 +2681,140 @@ def nsw_insert_integer(
         .unionByName(relinked)
         .unionByName(delta_edges)
         .unionByName(_nsw_bridges(reps))
+    )
+
+
+def nsw_delete_integer(
+    spark,
+    path: str,
+    cents: list[tuple[int, list[int]]],
+    deleted: DataFrame,
+    r: int = 8,
+    n_assign: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """INCREMENTAL GRAPH DELETE — the other half of index maintenance
+    (``nsw_insert_integer`` adds, this removes): drop a tombstone batch
+    from a ``build_nsw_insert_layout`` standing index and return the
+    merged (src, dst) edge set, PROVABLY IDENTICAL to
+    ``nsw_graph_integer(standing ∖ deleted, coarse=cents)``. Identity
+    argument (symmetric to the insert's):
+
+    - a standing src's edge set changes iff some candidate of its was
+      deleted; candidates are cell-mates, so the AFFECTED srcs are
+      exactly the surviving members of the deleted nodes' cells
+      (``touched`` — ≤ n_cells driver literals, PartitionFilters);
+    - a deletion can PROMOTE a candidate that was never in the saved
+      top-r, so affected srcs re-rank from their cells' full surviving
+      membership — read from the nodes layout pruned to the affected
+      srcs' OWN cells (``cand_cells``, a superset of touched but still
+      a literal cell list; the carried ``cells`` array supplies it
+      without a second assignment pass) — NOT from saved survivors;
+    - unaffected srcs share no cell with any deleted node, so none of
+      their edges point into the tombstones — their canonical copies
+      pass through on a column filter;
+    - a touched cell's rep re-derives from its surviving rank-1 members
+      (``cells[0]``); an untouched cell's membership didn't change and
+      its saved rep cannot have been deleted (a deleted node's rank-1
+      cell is touched by construction), so saved reps pass through.
+
+    The tombstone batch is checkpointed once (batch-sized) and joined,
+    never collected — a large purge (GDPR sweep) stays distributed.
+    Production write-back = dynamic partition overwrite of the touched
+    cell directories; here the merged frame is returned for the gate."""
+    d = (
+        deleted.select(
+            F.col(id_col).alias("node"),
+            quantize_global(vec_col, scale).alias("qv"),
+        )
+        .withColumn("cells", _arg_top_cids("qv", cents, n_assign))
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted(
+        r0["c"] for r0 in
+        d.select(F.explode("cells").alias("c")).distinct().collect()
+    )
+    if not touched:  # empty tombstone batch: the standing index stands
+        return (
+            spark.read.parquet(f"{path}/edges")
+            .where(F.col("pos") == 0)
+            .select("src", "dst")
+            .unionByName(_nsw_bridges(spark.read.parquet(f"{path}/reps")))
+        )
+    dim = len(cents[0][1])
+    tomb = d.select("node")
+    bnodes_t = (
+        spark.read.parquet(f"{path}/nodes")
+        .where(F.col("cell").isin(touched))  # static partition pruning
+    )
+    # affected srcs = surviving members of touched cells, deduped across
+    # the (≤ n_assign) copies; their cells arrays give the candidate cells
+    affected = (
+        bnodes_t.select("node", "qv", "cells")
+        .dropDuplicates(["node"])
+        .join(tomb, "node", "left_anti")
+        .localCheckpoint(eager=True)  # consumed 3×: cells collect + pairs
+    )
+    cand_cells = sorted(
+        r0["c"] for r0 in
+        affected.select(F.explode("cells").alias("c")).distinct().collect()
+    )
+    members = (
+        spark.read.parquet(f"{path}/nodes")
+        .where(F.col("cell").isin(cand_cells))  # static partition pruning
+        .select("node", "qv", "cell")
+        .join(tomb, "node", "left_anti")
+    )
+    d_unrolled = F.expr(
+        " + ".join(
+            f"(__v[{i}] - __w[{i}]) * (__v[{i}] - __w[{i}])"
+            for i in range(dim)
+        )
+    ).cast("long")
+    w = Window.partitionBy("src").orderBy("__d", "dst")
+    pairs = (
+        affected.select(
+            F.col("node").alias("src"), F.col("qv").alias("__v"),
+            F.explode("cells").alias("cell"),
+        )
+        .join(
+            members.select(F.col("node").alias("dst"),
+                           F.col("qv").alias("__w"), "cell"),
+            "cell",
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    relinked = (
+        pairs.withColumn("__d", d_unrolled)
+        .withColumn("__rk", F.dense_rank().over(w))
+        .where(F.col("__rk") <= r)
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    untouched = ~F.arrays_overlap(
+        F.col("cells"), F.array(*[F.lit(int(c)) for c in touched])
+    )
+    unaffected = (
+        spark.read.parquet(f"{path}/edges")
+        .where((F.col("pos") == 0) & untouched)
+        .select("src", "dst")
+    )
+    touched_reps = (
+        bnodes_t.where(F.element_at("cells", 1) == F.col("cell"))
+        .join(tomb, "node", "left_anti")
+        .groupBy(F.col("cell").alias("__c1"))
+        .agg(F.min("node").alias("rep"))
+    )
+    kept_reps = (
+        spark.read.parquet(f"{path}/reps")
+        .where(~F.col("__c1").isin(touched))
+    )
+    return (
+        unaffected
+        .unionByName(relinked)
+        .unionByName(_nsw_bridges(kept_reps.unionByName(touched_reps)))
     )
 
 

@@ -6912,3 +6912,60 @@ def q361_hamming_refine_partitioned(
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "q362_nsw_delete_search",
+    oracle=_nsw_oracle_ctes(
+        km_src="embeddings",
+        nodes_src="(SELECT * FROM embeddings WHERE vec_id % 20 <> 0)",
+    ) + _NSW_FINAL,
+    tags=("L3",),
+)
+def q362_nsw_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL GRAPH-ANN DELETE (llm/similarity.py
+    nsw_delete_integer) — the other half of q359's index maintenance,
+    and the GDPR/right-to-be-forgotten posture a production vector
+    store must serve without a full rebuild: tombstone every 20th
+    vector (including vec_id 0 — the HUB, so the hardest case: entry
+    point and cell representatives re-derive), re-link exactly the
+    surviving members of the tombstones' cells from their cells' full
+    surviving membership (a deletion can PROMOTE a candidate the saved
+    top-r never held, so affected srcs re-rank from the pruned nodes
+    layout, not from survivors), pass every unaffected src through on
+    a column filter — provably identical to a full rebuild on the
+    remaining corpus (unit test asserts edge-set equality; the
+    quantizer stays the standing corpus's, the q343 contract). The
+    gate walks the post-delete graph with q335's exact search over the
+    survivors, hash-matched against the FULL-REBUILD oracle on
+    standing ∖ deleted. Tombstones stay DISTRIBUTED (joined, never
+    collected) — a mass purge scales."""
+    import shutil
+    import tempfile
+
+    from rdkafka_streams_spark.llm.similarity import (
+        beam_search_integer,
+        build_nsw_insert_layout,
+        kmeans_integer,
+        nsw_delete_integer,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_integer(emb, k=_KM_K, n_iters=_KM_N_ITERS)[1]
+    deleted = emb.where(F.expr("vec_id % 20 = 0"))
+    remaining = emb.where(F.expr("vec_id % 20 <> 0"))
+    root = tempfile.mkdtemp(prefix="rdkafka_streams_nsw_delete_")
+    try:
+        build_nsw_insert_layout(
+            emb, root, cents, r=_NSW_R, n_assign=_NSW_NA,
+        )
+        merged = nsw_delete_integer(
+            spark, root, cents, deleted, r=_NSW_R, n_assign=_NSW_NA,
+        )
+        queries = remaining.where(F.expr("vec_id % 50 = 0"))
+        return beam_search_integer(
+            remaining, queries, k=_NSW_K, beam=_NSW_BEAM, hops=_NSW_HOPS,
+            edges=merged,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -90,11 +90,11 @@ MULT_CAPS: dict[str, tuple[int, str]] = {
         "certifies flat per-batch cost at 1600 batches instead",
     ),
     "q335_beam_search_graph_ann": (
-        8,
-        "gate keeps n_cells=8 fixed (the q304 trainer constants), so the "
-        "blocked pair stage grows as N^2/n_cells when cells are not "
-        "re-sized with the corpus; production re-trains n_cells ∝ N "
-        "(bounded cells) and the stage is Σ(2·|cell|)² by design",
+        32,
+        "r15: cap lifted to 32x after the per-hop lineage fix; gate keeps "
+        "n_cells=8 fixed (the q304 trainer constants), so the blocked pair "
+        "stage grows as N^2/n_cells by construction — production re-trains "
+        "n_cells ∝ N (bounded cells) and the stage is Σ(2·|cell|)² by design",
     ),
     "q336_beam_search_recall_audit": (
         8,
@@ -107,34 +107,38 @@ MULT_CAPS: dict[str, tuple[int, str]] = {
         "serve-day walk itself reads only the frontier's buckets",
     ),
     "q343_embedding_neardup_incremental": (
-        8,
-        "delta grows with N while the gate keeps n_cells=8 fixed, so "
-        "candidates grow as N^2·nprobe/n_cells; production re-trains "
+        32,
+        "r15: cap lifted to 32x (verdict-r14 ask #4); delta grows with N "
+        "while the gate keeps n_cells=8 fixed, so candidates grow as "
+        "N^2·nprobe/n_cells by construction; production re-trains "
         "n_cells ∝ N and the probe stays increment × bounded-cell",
     ),
     "q349_hierarchical_graph_ann": (
-        8,
-        "builds BOTH layers' graphs under q335's fixed-n_cells pair "
-        "stage (upper at 1/16 of the full stage's pairs); same cap, "
-        "same re-train-n_cells-with-N production posture",
+        32,
+        "r15: cap lifted to 32x after the per-hop lineage fix; builds "
+        "BOTH layers' graphs under q335's fixed-n_cells pair stage "
+        "(upper at 1/16 of the full stage's pairs); same "
+        "re-train-n_cells-with-N production posture",
     ),
     "q352_hamming_topk": (
-        8,
-        "the gate's query set is vec_id % 50 = 0, so query COUNT grows "
-        "with the corpus and the flat scan is (N/50)·N XORs by "
-        "construction; production serves a bounded query batch against "
-        "the linear-size code table",
+        32,
+        "r15: cap lifted to 32x (verdict-r14 ask #4); the gate's query "
+        "set is vec_id % 50 = 0, so query COUNT grows with the corpus "
+        "and the flat scan is (N/50)·N XORs by construction; production "
+        "serves a bounded query batch against the linear-size code table",
     ),
     "q353_hamming_refine_search": (
-        8,
-        "shares q352's corpus-growing query fixture; the refine tier "
-        "itself is shortlist-bounded (32 rows/query)",
+        32,
+        "r15: cap lifted to 32x (verdict-r14 ask #4); shares q352's "
+        "corpus-growing query fixture; the refine tier itself is "
+        "shortlist-bounded (32 rows/query)",
     ),
     "q357_hamming_recall_audit": (
-        8,
-        "shares q352's corpus-growing query fixture AND runs the exact "
-        "brute-force ground truth over it — (N/50)·N by construction; "
-        "audits run on bounded query samples in production",
+        32,
+        "r15: cap lifted to 32x (verdict-r14 ask #4); shares q352's "
+        "corpus-growing query fixture AND runs the exact brute-force "
+        "ground truth over it — (N/50)·N by construction; audits run on "
+        "bounded query samples in production",
     ),
 }
 

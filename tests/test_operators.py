@@ -2849,3 +2849,70 @@ def test_global_rank_with_total_no_second_scan(spark):
     ranked, total = global_rank_with_total(df, ["k", "id"])
     assert total == 1234
     assert ranked.count() == 1234
+
+
+def test_nsw_delete_merge_equals_rebuild_including_hub(spark, tmp_path):
+    """Deleting a tombstone batch that INCLUDES the hub (global min id)
+    and at least one cell representative must still equal the full
+    rebuild on the survivors — reps and the entry point re-derive from
+    the touched cells' surviving rank-1 members."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.llm.similarity import (
+        build_nsw_insert_layout,
+        kmeans_integer,
+        nsw_delete_integer,
+        nsw_graph_integer,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 4).astype("float32")
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = kmeans_integer(emb, k=4, n_iters=2)[1]
+    path = str(tmp_path / "nsw_del")
+    build_nsw_insert_layout(emb, path, cents, r=4, n_assign=2)
+    deleted = emb.where(F.col("vec_id") % 5 == 0)  # includes id 0 = hub
+    remaining = emb.where(F.col("vec_id") % 5 != 0)
+    merged = sorted(tuple(r) for r in nsw_delete_integer(
+        spark, path, cents, deleted, r=4, n_assign=2,
+    ).collect())
+    rebuilt = sorted(tuple(r) for r in nsw_graph_integer(
+        remaining, r=4, n_assign=2, coarse=cents,
+    ).collect())
+    assert merged == rebuilt and len(merged) > 0
+    ends = {s for s, _ in merged} | {d for _, d in merged}
+    assert 0 not in ends, "tombstoned hub still reachable"
+
+
+def test_nsw_delete_empty_tombstone_is_identity(spark, tmp_path):
+    """An empty tombstone batch must return exactly the standing graph."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.llm.similarity import (
+        build_nsw_insert_layout,
+        kmeans_integer,
+        nsw_delete_integer,
+        nsw_graph_integer,
+    )
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(30, 4).astype("float32")
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(30)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = kmeans_integer(emb, k=3, n_iters=2)[1]
+    path = str(tmp_path / "nsw_del_empty")
+    build_nsw_insert_layout(emb, path, cents, r=3, n_assign=2)
+    merged = sorted(tuple(r) for r in nsw_delete_integer(
+        spark, path, cents, emb.where(F.lit(False)), r=3, n_assign=2,
+    ).collect())
+    standing = sorted(tuple(r) for r in nsw_graph_integer(
+        emb, r=3, n_assign=2, coarse=cents,
+    ).collect())
+    assert merged == standing and len(merged) > 0
