@@ -140,6 +140,30 @@ MULT_CAPS: dict[str, tuple[int, str]] = {
         "ground truth over it — (N/50)·N by construction; audits run on "
         "bounded query samples in production",
     ),
+    "q359_nsw_insert_search": (
+        8,
+        "gate rebuilds the STANDING layout from scratch each run (q335's "
+        "fixed-n_cells pair stage) before the insert; the insert itself "
+        "touches only the delta's cells — the build-day cost dominates "
+        "the fixture, not the incremental path being certified",
+    ),
+    "q360_nsw_insert_recall_audit": (
+        8,
+        "runs q359's standing build + the exact brute-force union ground "
+        "truth under the same corpus-growing query fixture",
+    ),
+    "q361_hamming_refine_partitioned": (
+        8,
+        "shares q352's corpus-growing query fixture (vec_id % 50 = 0 "
+        "queries grow with the corpus); the layout's code scan is "
+        "(N/50)·N XORs by construction",
+    ),
+    "q362_nsw_delete_search": (
+        8,
+        "gate rebuilds the standing layout from scratch each run (q335's "
+        "fixed-n_cells pair stage) before the delete; the delete "
+        "re-links only the tombstones' cells",
+    ),
 }
 
 SHIFT = 1_000_000_000
