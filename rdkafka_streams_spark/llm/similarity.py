@@ -2587,12 +2587,58 @@ def nsw_insert_integer(
         d.select(F.explode("cells").alias("c")).distinct().collect()
     )
     if not touched:  # empty delta: the standing index IS the merge
-        return (
-            spark.read.parquet(f"{path}/edges")
-            .where(F.col("pos") == 0)
-            .select("src", "dst")
-            .unionByName(_nsw_bridges(spark.read.parquet(f"{path}/reps")))
-        )
+        return nsw_layout_edges(spark, path)
+    new_edges, reps = _nsw_insert_new_edges(
+        spark, path, cents, d, touched, r=r, n_assign=n_assign,
+    )
+    # unaffected remainder: canonical copies whose src shares NO touched
+    # cell — a column filter on the carried cells array, no join
+    untouched = ~F.arrays_overlap(
+        F.col("cells"), F.array(*[F.lit(int(c)) for c in touched])
+    )
+    unaffected = (
+        spark.read.parquet(f"{path}/edges")
+        .where((F.col("pos") == 0) & untouched)
+        .select("src", "dst")
+    )
+    return (
+        unaffected
+        .unionByName(new_edges)
+        .unionByName(_nsw_bridges(reps))
+    )
+
+
+def nsw_layout_edges(spark, path: str) -> DataFrame:
+    """The standing graph as stored in a ``build_nsw_insert_layout``
+    root: the canonical (pos = 0) local-edge copies plus the bridges
+    re-derived from the saved reps — exactly what ``nsw_graph_integer``
+    returned at build day."""
+    return (
+        spark.read.parquet(f"{path}/edges")
+        .where(F.col("pos") == 0)
+        .select("src", "dst")
+        .unionByName(_nsw_bridges(spark.read.parquet(f"{path}/reps")))
+    )
+
+
+def _nsw_insert_new_edges(
+    spark,
+    path: str,
+    cents: list[tuple[int, list[int]]],
+    d: DataFrame,
+    touched: list[int],
+    r: int,
+    n_assign: int,
+) -> tuple[DataFrame, DataFrame]:
+    """The insert's re-rank core, shared by the gate path
+    (``nsw_insert_integer``) and the write-back path
+    (``nsw_insert_writeback``): given the checkpointed assigned delta
+    ``d`` (node, qv, cells) and its touched cell list, return
+    (new_edges, merged_reps) where ``new_edges`` holds the (src, dst)
+    top-r sets of every DELTA src and every AFFECTED standing src, and
+    ``merged_reps`` is the post-insert (__c1, rep) table. Only the
+    touched cells' partitions of the standing layout are read."""
+    dim = len(cents[0][1])
     dx = d.select("node", "qv", F.explode("cells").alias("cell"))
     bnodes = (
         spark.read.parquet(f"{path}/nodes")
@@ -2654,18 +2700,7 @@ def nsw_insert_integer(
     )
     relinked = _top_r(old_cand.unionByName(new_cand))
 
-    # unaffected remainder: canonical copies whose src shares NO touched
-    # cell — a column filter on the carried cells array, no join
-    untouched = F.lit(True) if not touched else ~F.arrays_overlap(
-        F.col("cells"), F.array(*[F.lit(int(c)) for c in touched])
-    )
-    unaffected = (
-        spark.read.parquet(f"{path}/edges")
-        .where((F.col("pos") == 0) & untouched)
-        .select("src", "dst")
-    )
-
-    # bridges from merged reps: per-cell MIN(standing rep, delta min-id)
+    # merged reps: per-cell MIN(standing rep, delta min-id)
     old_reps = spark.read.parquet(f"{path}/reps")
     delta_reps = (
         d.select(F.element_at("cells", 1).alias("__c1"),
@@ -2676,12 +2711,124 @@ def nsw_insert_integer(
         old_reps.unionByName(delta_reps)
         .groupBy("__c1").agg(F.min("rep").alias("rep"))
     )
-    return (
-        unaffected
-        .unionByName(relinked)
-        .unionByName(delta_edges)
-        .unionByName(_nsw_bridges(reps))
+    return relinked.unionByName(delta_edges), reps
+
+
+def nsw_insert_writeback(
+    spark,
+    path: str,
+    cents: list[tuple[int, list[int]]],
+    delta: DataFrame,
+    r: int = 8,
+    n_assign: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """PRODUCTION WRITE-BACK for the graph insert: apply
+    ``nsw_insert_integer``'s merge to the ``build_nsw_insert_layout``
+    root IN PLACE via Spark's DYNAMIC PARTITION OVERWRITE — after this
+    returns, ``nsw_layout_edges(path)`` IS the merged graph (identical
+    to a full rebuild on standing ∪ delta) and a later batch inserts
+    against the updated standing state: the daily-ingest loop, closed.
+
+    What gets rewritten — and nothing else (unit test pins untouched
+    partition files byte-stable):
+
+    - ``nodes``: the TOUCHED cell partitions, rewritten as old rows ∪
+      the delta's (partition-pruned read-modify-write);
+    - ``edges``: every cell partition holding rows of an affected or
+      delta src (touched cells plus affected srcs' other cells — a
+      cell-list closure, still ≤ n_cells literals), rewritten as the
+      other srcs' preserved rows ∪ the re-ranked/new rows;
+    - ``reps``: the ≤ n_cells-row metadata table, overwritten.
+
+    Every frame is eagerly localCheckpointed before its write because
+    the write targets the same path the plan reads (Spark forbids
+    read-overwrite cycles); the checkpointed working set is bounded by
+    the touched partitions, i.e. proportional to the batch's cell
+    footprint, never the corpus. Returns the rewritten edge cell ids."""
+    d = (
+        delta.select(
+            F.col(id_col).alias("node"),
+            quantize_global(vec_col, scale).alias("qv"),
+        )
+        .withColumn("cells", _arg_top_cids("qv", cents, n_assign))
+        .localCheckpoint(eager=True)
     )
+    touched = sorted(
+        r0["c"] for r0 in
+        d.select(F.explode("cells").alias("c")).distinct().collect()
+    )
+    if not touched:
+        return []
+    new_edges, reps = _nsw_insert_new_edges(
+        spark, path, cents, d, touched, r=r, n_assign=n_assign,
+    )
+    bnodes = (
+        spark.read.parquet(f"{path}/nodes")
+        .where(F.col("cell").isin(touched))
+    )
+    # (node → cells, node → qv) lookups over affected ∪ delta — exactly
+    # the srcs whose edge rows are being replaced
+    cells_lookup = (
+        bnodes.select("node", "cells").dropDuplicates(["node"])
+        .unionByName(d.select("node", "cells"))
+    )
+    vec_lookup = (
+        bnodes.select("node", "qv").dropDuplicates(["node"])
+        .unionByName(d.select("node", "qv"))
+    )
+    new_rows = (
+        new_edges
+        .join(vec_lookup.select(F.col("node").alias("dst"),
+                                F.col("qv").alias("dv")), "dst")
+        .join(cells_lookup.select(F.col("node").alias("src"), "cells"),
+              "src")
+        .select("src", "dst", "dv", "cells",
+                F.posexplode("cells").alias("pos", "cell"))
+        .localCheckpoint(eager=True)
+    )
+    rewrite_cells = sorted(
+        r0["cell"] for r0 in new_rows.select("cell").distinct().collect()
+    )
+    replaced_srcs = cells_lookup.select(F.col("node").alias("src"))
+    preserved = (
+        spark.read.parquet(f"{path}/edges")
+        .where(F.col("cell").isin(rewrite_cells))  # pruned read
+        .join(replaced_srcs, "src", "left_anti")
+        .select("src", "dst", "dv", "cells", "pos", "cell")
+        .localCheckpoint(eager=True)
+    )
+    old_nodes = (
+        bnodes.select("node", "qv", "cells", "cell")
+        .localCheckpoint(eager=True)
+    )
+    new_nodes = d.select(
+        "node", "qv", "cells", F.explode("cells").alias("cell")
+    )
+    reps = reps.localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            old_nodes.unionByName(new_nodes)
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(f"{path}/nodes")
+        )
+        (
+            preserved.unionByName(new_rows)
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(f"{path}/edges")
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    reps.write.mode("overwrite").parquet(f"{path}/reps")
+    return [int(c) for c in rewrite_cells]
 
 
 def nsw_delete_integer(
@@ -2737,12 +2884,7 @@ def nsw_delete_integer(
         d.select(F.explode("cells").alias("c")).distinct().collect()
     )
     if not touched:  # empty tombstone batch: the standing index stands
-        return (
-            spark.read.parquet(f"{path}/edges")
-            .where(F.col("pos") == 0)
-            .select("src", "dst")
-            .unionByName(_nsw_bridges(spark.read.parquet(f"{path}/reps")))
-        )
+        return nsw_layout_edges(spark, path)
     dim = len(cents[0][1])
     tomb = d.select("node")
     bnodes_t = (

@@ -6969,3 +6969,57 @@ def q362_nsw_delete_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "q363_nsw_insert_writeback",
+    oracle=_nsw_oracle_ctes(km_src=_INC_BASE_SRC, nodes_src="embeddings")
+    + _NSW_FINAL,
+    tags=("L3",),
+)
+def q363_nsw_insert_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION WRITE-BACK for the graph insert (llm/similarity.py
+    nsw_insert_writeback) — q359 closed the MERGE contract; this closes
+    the LOOP: the insert is applied to the standing layout IN PLACE via
+    Spark's dynamic partition overwrite (touched nodes partitions
+    rewritten as old ∪ delta; the edge partitions holding affected/delta
+    srcs rewritten as preserved-others ∪ re-ranked rows; reps
+    overwritten), so the NEXT batch inserts against the updated standing
+    state — the daily-ingest loop a 100 TB vector store actually runs.
+    The gate then reads the graph BACK FROM THE UPDATED LAYOUT
+    (nsw_layout_edges: canonical copies + bridges from saved reps) and
+    walks it over standing ∪ delta, hash-matched against the same
+    full-rebuild oracle as q359 — storage round-trip included in the
+    contract. A unit test pins that partitions outside the rewrite set
+    stay byte-stable on disk (the write really is partial)."""
+    import shutil
+    import tempfile
+
+    from rdkafka_streams_spark.llm.similarity import (
+        beam_search_integer,
+        build_nsw_insert_layout,
+        kmeans_integer,
+        nsw_insert_writeback,
+        nsw_layout_edges,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.expr("vec_id % 10 <> 0"))
+    delta = emb.where(F.expr("vec_id % 10 = 0"))
+    cents = kmeans_integer(base, k=_KM_K, n_iters=_KM_N_ITERS)[1]
+    root = tempfile.mkdtemp(prefix="rdkafka_streams_nsw_wb_")
+    try:
+        build_nsw_insert_layout(
+            base, root, cents, r=_NSW_R, n_assign=_NSW_NA,
+        )
+        nsw_insert_writeback(
+            spark, root, cents, delta, r=_NSW_R, n_assign=_NSW_NA,
+        )
+        merged = nsw_layout_edges(spark, root)
+        queries = emb.where(F.expr("vec_id % 50 = 0"))
+        return beam_search_integer(
+            emb, queries, k=_NSW_K, beam=_NSW_BEAM, hops=_NSW_HOPS,
+            edges=merged,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

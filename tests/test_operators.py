@@ -2916,3 +2916,75 @@ def test_nsw_delete_empty_tombstone_is_identity(spark, tmp_path):
         emb, r=3, n_assign=2, coarse=cents,
     ).collect())
     assert merged == standing and len(merged) > 0
+
+
+def test_nsw_insert_writeback_partial_and_rebuild_exact(spark, tmp_path):
+    """The write-back must (a) leave every partition OUTSIDE the rewrite
+    set byte-stable on disk (same files, same bytes — the overwrite is
+    dynamic, not a table rewrite), and (b) leave the stored layout
+    reading back exactly the full-rebuild edge set. Handcrafted
+    centroids keep the delta far from two of the base's cells so a
+    genuinely untouched partition exists."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.llm.similarity import (
+        build_nsw_insert_layout,
+        nsw_graph_integer,
+        nsw_insert_writeback,
+        nsw_layout_edges,
+    )
+
+    # cluster A (ids 0-9, near origin) → cells (1, 2); cluster B (ids
+    # 10-19, near [200, 200]) → cells (3, 2); delta (near [500, 500]) →
+    # cells (4, 3). Touched = {3, 4}; affected = cluster B only; the
+    # rewrite closure = B∪delta's cells = {2, 3, 4} — cell 1 (cluster
+    # A's rank-1 partition) must stay byte-stable.
+    cents = [(1, [0, 0]), (2, [100000, 100000]), (3, [200000, 200000]),
+             (4, [500000, 500000])]
+    base_pts = [(i, [0.001 * i, 0.002 * i]) for i in range(10)] + [
+        (10 + i, [200.0 + 0.001 * i, 200.0 - 0.001 * i]) for i in range(10)
+    ]
+    delta_pts = [(100, [500.0, 500.0]), (101, [500.05, 499.95])]
+    base = spark.createDataFrame(
+        base_pts, "vec_id bigint, embedding array<double>"
+    )
+    delta = spark.createDataFrame(
+        delta_pts, "vec_id bigint, embedding array<double>"
+    )
+    path = str(tmp_path / "nsw_wb")
+    build_nsw_insert_layout(base, path, cents, r=3, n_assign=2)
+
+    def snap(sub):
+        return {
+            p: (os.path.getsize(p), os.path.getmtime(p))
+            for p in glob.glob(f"{path}/{sub}/cell=*/*.parquet")
+        }
+
+    e_before, n_before = snap("edges"), snap("nodes")
+    rewritten = nsw_insert_writeback(
+        spark, path, cents, delta, r=3, n_assign=2,
+    )
+    assert 1 not in rewritten and set(rewritten) <= {2, 3, 4}
+    for p, meta in e_before.items():
+        cell = int(p.split("cell=")[1].split("/")[0])
+        if cell not in rewritten:
+            assert os.path.exists(p) and (
+                os.path.getsize(p), os.path.getmtime(p)
+            ) == meta, f"untouched edge partition changed: {p}"
+    for p, meta in n_before.items():
+        cell = int(p.split("cell=")[1].split("/")[0])
+        if cell not in {3, 4}:
+            assert os.path.exists(p) and (
+                os.path.getsize(p), os.path.getmtime(p)
+            ) == meta, f"untouched node partition changed: {p}"
+
+    stored = sorted(
+        tuple(r) for r in nsw_layout_edges(spark, path).collect()
+    )
+    rebuilt = sorted(tuple(r) for r in nsw_graph_integer(
+        base.unionByName(delta), r=3, n_assign=2, coarse=cents,
+    ).collect())
+    assert stored == rebuilt and len(stored) > 0
