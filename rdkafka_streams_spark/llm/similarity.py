@@ -2885,6 +2885,40 @@ def nsw_delete_integer(
     )
     if not touched:  # empty tombstone batch: the standing index stands
         return nsw_layout_edges(spark, path)
+    relinked, reps, _affected, _cand_cells = _nsw_delete_parts(
+        spark, path, cents, d, touched, r=r,
+    )
+    untouched = ~F.arrays_overlap(
+        F.col("cells"), F.array(*[F.lit(int(c)) for c in touched])
+    )
+    unaffected = (
+        spark.read.parquet(f"{path}/edges")
+        .where((F.col("pos") == 0) & untouched)
+        .select("src", "dst")
+    )
+    return (
+        unaffected
+        .unionByName(relinked)
+        .unionByName(_nsw_bridges(reps))
+    )
+
+
+def _nsw_delete_parts(
+    spark,
+    path: str,
+    cents: list[tuple[int, list[int]]],
+    d: DataFrame,
+    touched: list[int],
+    r: int,
+) -> tuple[DataFrame, DataFrame, DataFrame, list[int]]:
+    """The delete's re-rank core, shared by the gate path
+    (``nsw_delete_integer``) and the write-back path
+    (``nsw_delete_writeback``): given the checkpointed assigned
+    tombstones ``d`` and their touched cell list, return (relinked,
+    merged_reps, affected, cand_cells) — the affected srcs' post-delete
+    top-r edges, the post-delete reps table, the affected-node frame
+    (node, qv, cells — eagerly checkpointed), and the candidate cell
+    closure the re-rank read."""
     dim = len(cents[0][1])
     tomb = d.select("node")
     bnodes_t = (
@@ -2935,14 +2969,6 @@ def nsw_delete_integer(
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
-    untouched = ~F.arrays_overlap(
-        F.col("cells"), F.array(*[F.lit(int(c)) for c in touched])
-    )
-    unaffected = (
-        spark.read.parquet(f"{path}/edges")
-        .where((F.col("pos") == 0) & untouched)
-        .select("src", "dst")
-    )
     touched_reps = (
         bnodes_t.where(F.element_at("cells", 1) == F.col("cell"))
         .join(tomb, "node", "left_anti")
@@ -2953,11 +2979,125 @@ def nsw_delete_integer(
         spark.read.parquet(f"{path}/reps")
         .where(~F.col("__c1").isin(touched))
     )
-    return (
-        unaffected
-        .unionByName(relinked)
-        .unionByName(_nsw_bridges(kept_reps.unionByName(touched_reps)))
+    return (relinked, kept_reps.unionByName(touched_reps), affected,
+            cand_cells)
+
+
+def nsw_delete_writeback(
+    spark,
+    path: str,
+    cents: list[tuple[int, list[int]]],
+    deleted: DataFrame,
+    r: int = 8,
+    n_assign: int = 2,
+    scale: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[int]:
+    """PRODUCTION WRITE-BACK for the graph delete — the purge applied
+    to the layout in place (the GDPR posture end to end): touched
+    nodes partitions rewrite WITHOUT the tombstoned rows; the edge
+    partitions in the rewrite closure (affected ∪ tombstoned srcs'
+    cells) rewrite as preserved-others ∪ the re-ranked rows; reps
+    overwrite. Dynamic partition overwrite leaves everything outside
+    the closure byte-stable (unit-pinned). A rewrite partition whose
+    content empties entirely (every member tombstoned) is REMOVED from
+    disk — dynamic overwrite only replaces partitions present in the
+    new data, so an emptied cell would otherwise serve stale rows; on
+    a real deployment a table format's delete (or an explicit FS
+    delete, as here) closes that gap. After this returns,
+    ``nsw_layout_edges(path)`` is the post-delete graph — identical to
+    a full rebuild on the survivors. Returns the rewritten edge cells."""
+    import shutil as _shutil
+
+    d = (
+        deleted.select(
+            F.col(id_col).alias("node"),
+            quantize_global(vec_col, scale).alias("qv"),
+        )
+        .withColumn("cells", _arg_top_cids("qv", cents, n_assign))
+        .localCheckpoint(eager=True)
     )
+    touched = sorted(
+        r0["c"] for r0 in
+        d.select(F.explode("cells").alias("c")).distinct().collect()
+    )
+    if not touched:
+        return []
+    relinked, reps, affected, cand_cells = _nsw_delete_parts(
+        spark, path, cents, d, touched, r=r,
+    )
+    rewrite_cells = sorted(set(cand_cells) | set(touched))
+    # dst vectors for the re-ranked rows: dsts are survivors of the
+    # candidate cell closure — the same pruned read the re-rank used
+    vec_lookup = (
+        spark.read.parquet(f"{path}/nodes")
+        .where(F.col("cell").isin(cand_cells))
+        .select("node", "qv").dropDuplicates(["node"])
+    )
+    new_rows = (
+        relinked
+        .join(vec_lookup.select(F.col("node").alias("dst"),
+                                F.col("qv").alias("dv")), "dst")
+        .join(affected.select(F.col("node").alias("src"), "cells"), "src")
+        .select("src", "dst", "dv", "cells",
+                F.posexplode("cells").alias("pos", "cell"))
+        .localCheckpoint(eager=True)
+    )
+    replaced_srcs = (
+        affected.select(F.col("node").alias("src"))
+        .unionByName(d.select(F.col("node").alias("src")))
+    )
+    preserved = (
+        spark.read.parquet(f"{path}/edges")
+        .where(F.col("cell").isin(rewrite_cells))  # pruned read
+        .join(replaced_srcs, "src", "left_anti")
+        .select("src", "dst", "dv", "cells", "pos", "cell")
+        .localCheckpoint(eager=True)
+    )
+    surviving_nodes = (
+        spark.read.parquet(f"{path}/nodes")
+        .where(F.col("cell").isin(touched))
+        .join(d.select("node"), "node", "left_anti")
+        .select("node", "qv", "cells", "cell")
+        .localCheckpoint(eager=True)
+    )
+    reps = reps.localCheckpoint(eager=True)
+
+    edge_out = preserved.unionByName(new_rows)
+    written_edge_cells = {
+        r0["cell"] for r0 in edge_out.select("cell").distinct().collect()
+    }
+    written_node_cells = {
+        r0["cell"]
+        for r0 in surviving_nodes.select("cell").distinct().collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            surviving_nodes
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(f"{path}/nodes")
+        )
+        (
+            edge_out
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(f"{path}/edges")
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # emptied partitions: present in the rewrite set but absent from the
+    # written data — remove, or stale rows would survive the purge
+    for c in set(rewrite_cells) - written_edge_cells:
+        _shutil.rmtree(f"{path}/edges/cell={c}", ignore_errors=True)
+    for c in set(touched) - written_node_cells:
+        _shutil.rmtree(f"{path}/nodes/cell={c}", ignore_errors=True)
+    reps.write.mode("overwrite").parquet(f"{path}/reps")
+    return [int(c) for c in rewrite_cells]
 
 
 def embedding_neardup_incremental(

@@ -7023,3 +7023,59 @@ def q363_nsw_insert_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "q364_nsw_delete_writeback",
+    oracle=_nsw_oracle_ctes(
+        km_src="embeddings",
+        nodes_src="(SELECT * FROM embeddings WHERE vec_id % 20 <> 0)",
+    ) + _NSW_FINAL,
+    tags=("L3",),
+)
+def q364_nsw_delete_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION WRITE-BACK for the graph delete (llm/similarity.py
+    nsw_delete_writeback) — q362's purge applied to the layout IN
+    PLACE, completing the maintenance loop in both directions (insert
+    write-back q363, delete write-back here): touched nodes partitions
+    rewrite without the tombstoned rows, the rewrite closure's edge
+    partitions rewrite as preserved-others ∪ re-ranked rows, reps
+    overwrite, and a partition whose membership empties entirely is
+    REMOVED (dynamic overwrite only replaces partitions present in the
+    new data — the stale-row gap a purge must close). The gate reads
+    the post-delete graph BACK FROM THE UPDATED LAYOUT and walks it
+    over the survivors, hash-matched against the full-rebuild oracle
+    on standing ∖ deleted — the same storage-round-trip contract as
+    q363, pointed at the GDPR path. Tombstones include vec_id 0 (the
+    hub) — the entry point re-derives from the rewritten reps."""
+    import shutil
+    import tempfile
+
+    from rdkafka_streams_spark.llm.similarity import (
+        beam_search_integer,
+        build_nsw_insert_layout,
+        kmeans_integer,
+        nsw_delete_writeback,
+        nsw_layout_edges,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_integer(emb, k=_KM_K, n_iters=_KM_N_ITERS)[1]
+    deleted = emb.where(F.expr("vec_id % 20 = 0"))
+    remaining = emb.where(F.expr("vec_id % 20 <> 0"))
+    root = tempfile.mkdtemp(prefix="rdkafka_streams_nsw_delwb_")
+    try:
+        build_nsw_insert_layout(
+            emb, root, cents, r=_NSW_R, n_assign=_NSW_NA,
+        )
+        nsw_delete_writeback(
+            spark, root, cents, deleted, r=_NSW_R, n_assign=_NSW_NA,
+        )
+        merged = nsw_layout_edges(spark, root)
+        queries = remaining.where(F.expr("vec_id % 50 = 0"))
+        return beam_search_integer(
+            remaining, queries, k=_NSW_K, beam=_NSW_BEAM, hops=_NSW_HOPS,
+            edges=merged,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -164,6 +164,17 @@ MULT_CAPS: dict[str, tuple[int, str]] = {
         "fixed-n_cells pair stage) before the delete; the delete "
         "re-links only the tombstones' cells",
     ),
+    "q363_nsw_insert_writeback": (
+        8,
+        "gate rebuilds the standing layout from scratch each run before "
+        "the write-back; the write-back itself touches only the rewrite "
+        "closure's partitions",
+    ),
+    "q364_nsw_delete_writeback": (
+        8,
+        "gate rebuilds the standing layout from scratch each run before "
+        "the purge; the purge rewrites only the closure's partitions",
+    ),
 }
 
 SHIFT = 1_000_000_000

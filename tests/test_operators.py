@@ -2988,3 +2988,67 @@ def test_nsw_insert_writeback_partial_and_rebuild_exact(spark, tmp_path):
         base.unionByName(delta), r=3, n_assign=2, coarse=cents,
     ).collect())
     assert stored == rebuilt and len(stored) > 0
+
+
+def test_nsw_delete_writeback_partial_removal_and_rebuild_exact(
+    spark, tmp_path
+):
+    """Delete write-back must (a) REMOVE a partition whose membership
+    empties entirely (stale tombstone rows must not survive the purge),
+    (b) leave partitions outside the rewrite closure byte-stable, and
+    (c) leave the stored layout reading back exactly the rebuild on
+    the survivors. Fixture: delete ALL of cluster B (cells 3/2) while
+    cluster A (cells 1/2) stands — cell 3 empties, cell 1 must not
+    change."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rdkafka_streams_spark.llm.similarity import (
+        build_nsw_insert_layout,
+        nsw_delete_writeback,
+        nsw_graph_integer,
+        nsw_layout_edges,
+    )
+
+    cents = [(1, [0, 0]), (2, [100000, 100000]), (3, [200000, 200000]),
+             (4, [500000, 500000])]
+    pts = [(i, [0.001 * i, 0.002 * i]) for i in range(10)] + [
+        (10 + i, [200.0 + 0.001 * i, 200.0 - 0.001 * i]) for i in range(10)
+    ]
+    emb = spark.createDataFrame(
+        pts, "vec_id bigint, embedding array<double>"
+    )
+    path = str(tmp_path / "nsw_delwb")
+    build_nsw_insert_layout(emb, path, cents, r=3, n_assign=2)
+
+    e_before = {
+        p: (os.path.getsize(p), os.path.getmtime(p))
+        for p in glob.glob(f"{path}/edges/cell=*/*.parquet")
+    }
+    deleted = emb.where(F.col("vec_id") >= 10)  # all of cluster B
+    remaining = emb.where(F.col("vec_id") < 10)
+    rewritten = nsw_delete_writeback(
+        spark, path, cents, deleted, r=3, n_assign=2,
+    )
+    # cluster B's cells are (3, 2); affected = cell-2/3 survivors =
+    # cluster A (cells 1, 2) → closure {1, 2, 3}... cell 4 never existed.
+    # cell 3 must be GONE (emptied); any cell outside the closure stable.
+    assert not os.path.exists(f"{path}/nodes/cell=3"), "emptied node cell kept"
+    assert not os.path.exists(f"{path}/edges/cell=3"), "emptied edge cell kept"
+    for p, meta in e_before.items():
+        cell = int(p.split("cell=")[1].split("/")[0])
+        if cell not in rewritten:
+            assert os.path.exists(p) and (
+                os.path.getsize(p), os.path.getmtime(p)
+            ) == meta, f"partition outside the closure changed: {p}"
+    stored = sorted(
+        tuple(r) for r in nsw_layout_edges(spark, path).collect()
+    )
+    rebuilt = sorted(tuple(r) for r in nsw_graph_integer(
+        remaining, r=3, n_assign=2, coarse=cents,
+    ).collect())
+    assert stored == rebuilt and len(stored) > 0
+    ends = {s for s, _ in stored} | {d for _, d in stored}
+    assert all(e < 10 for e in ends), "tombstoned node still in the layout"
