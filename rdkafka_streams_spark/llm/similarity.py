@@ -1747,6 +1747,7 @@ def build_ivf_corpus(
     scale: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> list[tuple[int, list[int]]]:
     """INDEX-BUILD DAY for partitioned IVF serving: train the integer
     coarse quantizer, write the assigned corpus (id, qv, cid) as parquet
@@ -1754,12 +1755,21 @@ def build_ivf_corpus(
     ``save_ann_index``). The cell directories ARE the inverted lists —
     at serve time a probe reads nprobe/n_cells of the directories
     instead of scanning the corpus (`PartitionFilters` on cid, pinned
-    by the plan test). Overwrite mode: rebuilds land atomically under
-    the same root, the layout every 100 TB vector store uses."""
+    by the plan test). ``keep_cols`` carries attribute columns (labels,
+    timestamps, source tags) into the layout beside the vector — the
+    storage contract FILTERED vector search needs: a metadata predicate
+    then pushes down to the same files the probe prunes
+    (``ivf_search_partitioned(predicate=...)``). Overwrite mode:
+    rebuilds land atomically under the same root, the layout every
+    100 TB vector store uses."""
     assigned, cents = kmeans_integer(
         emb, k=n_cells, n_iters=n_iters, scale=scale,
         id_col=id_col, vec_col=vec_col,
     )
+    if keep_cols:
+        assigned = assigned.join(
+            emb.select(id_col, *keep_cols), id_col
+        )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
     return cents
 
@@ -1775,6 +1785,7 @@ def ivf_search_partitioned(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: dict | None = None,
+    predicate: str | None = None,
 ) -> DataFrame:
     """SERVE DAY against the ``build_ivf_corpus`` layout: probe each
     query's ``nprobe`` nearest cells from the LOADED centroids (the
@@ -1788,7 +1799,18 @@ def ivf_search_partitioned(
     nprobe/n_cells of the data from disk. Pass ``index`` (the whole
     ``load_ann_index`` dict) to have scale and dim VALIDATED against
     the caller/queries — a forgotten ``idx['scale']`` raises instead of
-    returning silently wrong neighbors."""
+    returning silently wrong neighbors.
+
+    ``predicate`` (a SQL expression over the layout's ``keep_cols``
+    attributes, e.g. ``"label % 3 = 0"``) turns this into FILTERED
+    vector search — the metadata-constrained ANN every production
+    vector store serves. It is applied as a PRE-FILTER on the candidate
+    scan (the correct semantics: the top-k is over matching vectors,
+    not a post-hoc filter of the unconstrained top-k, which silently
+    under-returns), and because the attributes live in the same parquet
+    rows, Catalyst pushes it to the reader (PushedFilters beside the
+    cid PartitionFilters — row groups whose label stats exclude the
+    predicate never decompress; plan-test-pinned)."""
     coarse, _, _ = _resolve_serve_components(
         queries, vec_col, scale, index, coarse=coarse,
     )
@@ -1817,6 +1839,8 @@ def ivf_search_partitioned(
         corpus = spark.read.parquet(corpus_path).where(
             F.col("cid").isin(cells)  # literal -> static partition pruning
         )
+        if predicate is not None:
+            corpus = corpus.where(F.expr(predicate))  # -> PushedFilters
         cand = corpus.join(F.broadcast(probes), "cid").where(
             F.col(id_col) != F.col("q_id")
         )

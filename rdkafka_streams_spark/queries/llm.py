@@ -7079,3 +7079,64 @@ def q364_nsw_delete_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "q365_ivf_filtered_search",
+    oracle=_kmeans_oracle_ctes(k=_KM_K, n_iters=_KM_N_ITERS) + f""",
+qs AS (SELECT vec_id AS q_id, qv AS q_qv FROM q WHERE vec_id % 50 = 0),
+probes AS (SELECT q_id, q_qv, cid FROM (
+  SELECT s.q_id, s.q_qv, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY
+      {_int_l2_duck('s.q_qv', 'c.qc')} ASC, c.cid ASC) AS rn
+  FROM qs s CROSS JOIN c{_KM_N_ITERS} c) WHERE rn <= 2),
+cand AS (
+  SELECT p.q_id, a.vec_id, {_int_l2_duck('a.qv', 'p.q_qv')} AS d
+  FROM probes p JOIN a{_KM_N_ITERS} a USING (cid)
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE e.label % 3 = 0 AND a.vec_id <> p.q_id)
+SELECT q_id, vec_id, dist_sq FROM (
+  SELECT q_id, vec_id, d AS dist_sq,
+    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d ASC, vec_id ASC) AS rn
+  FROM cand) WHERE rn <= {_NSW_K}
+""",
+    tags=("L3",),
+)
+def q365_ivf_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATTRIBUTE-FILTERED VECTOR SEARCH (llm/similarity.py
+    build_ivf_corpus(keep_cols) / ivf_search_partitioned(predicate)) —
+    the metadata-constrained ANN every production vector store serves
+    ("nearest neighbors WHERE label ∈ …"), with the semantics done
+    RIGHT: the predicate PRE-filters the candidate scan, so the top-5
+    is over matching vectors — a post-filter of the unconstrained
+    top-5 silently under-returns whenever the filter is selective.
+    Storage contract: the attribute rides IN the cid-partitioned
+    layout's rows (keep_cols), so one scan carries BOTH the probed-cell
+    PartitionFilters AND the label PushedFilters (row groups whose
+    label stats exclude the predicate never decompress — plan test
+    pins both). The oracle re-derives trainer, probes, filter, and the
+    exact (dist, id) order — filtered serving is one hash gate.
+    Scale: identical geometry to q331 (nprobe/n_cells of the corpus
+    read) times the predicate's row-group selectivity."""
+    import shutil
+    import tempfile
+
+    from rdkafka_streams_spark.llm.similarity import (
+        build_ivf_corpus,
+        ivf_search_partitioned,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="rdkafka_streams_ivf_filtered_")
+    try:
+        cents = build_ivf_corpus(
+            emb, f"{root}/corpus", n_cells=_KM_K, n_iters=_KM_N_ITERS,
+            keep_cols=["label"],
+        )
+        queries = emb.where(F.expr("vec_id % 50 = 0"))
+        return ivf_search_partitioned(
+            spark, f"{root}/corpus", cents, queries,
+            k=_NSW_K, nprobe=2, predicate="label % 3 = 0",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

