@@ -6036,20 +6036,31 @@ _HNSW_UP_HOPS = 3   # upper expansion rounds
 _HNSW_HOPS = 4      # lower rounds (vs q335's flat 6)
 
 
-def _hnsw_oracle() -> str:
+def _hnsw_oracle(km_src: str = "embeddings",
+                 nodes_src: str | None = None) -> str:
     """Two-layer unrolled beam chain (llm/similarity.py
     hierarchical_beam_search): the q335 prefix (kmeans → multi-assign →
     full-layer edges), an UPPER subgraph over the id-sampled subset
     (filtered asg — blocking is per-node so the subset's assignments ARE
     the full table's rows), an upper greedy walk from the upper hub,
-    top-1 entry per query, then the lower walk SEEDED at the entry."""
-    parts = [_kmeans_oracle_ctes(k=_KM_K, n_iters=_KM_N_ITERS, bare=True),
-             f"""asg AS MATERIALIZED (
+    top-1 entry per query, then the lower walk SEEDED at the entry.
+    ``km_src``/``nodes_src`` parameterize trainer source vs node set
+    exactly as in ``_nsw_oracle_ctes`` (the q366 incremental gate:
+    kmeans on the standing corpus, both layers over the union)."""
+    nr = "q" if nodes_src is None else "qall"
+    parts = [_kmeans_oracle_ctes(k=_KM_K, n_iters=_KM_N_ITERS, bare=True,
+                                 src=km_src)]
+    if nodes_src is not None:
+        parts.append(f"""qall AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS qv
+  FROM {nodes_src})""")
+    parts.append(f"""asg AS MATERIALIZED (
   SELECT vec_id, qv, cid FROM (
-    SELECT q.vec_id, q.qv, c.cid,
-      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        {_int_l2_duck('q.qv', 'c.qc')} ASC, c.cid ASC) AS rn
-    FROM q CROSS JOIN c{_KM_N_ITERS} c) WHERE rn <= {_NSW_NA}),
+    SELECT {nr}.vec_id, {nr}.qv, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY {nr}.vec_id ORDER BY
+        {_int_l2_duck(f'{nr}.qv', 'c.qc')} ASC, c.cid ASC) AS rn
+    FROM {nr} CROSS JOIN c{_KM_N_ITERS} c) WHERE rn <= {_NSW_NA}),
 loc AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -6060,10 +6071,10 @@ loc AS MATERIALIZED (
   WHERE rn <= {_NSW_R}),
 a1st AS (
   SELECT vec_id, cid FROM (
-    SELECT q.vec_id, c.cid,
-      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        {_int_l2_duck('q.qv', 'c.qc')} ASC, c.cid ASC) AS rn
-    FROM q CROSS JOIN c{_KM_N_ITERS} c) WHERE rn = 1),
+    SELECT {nr}.vec_id, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY {nr}.vec_id ORDER BY
+        {_int_l2_duck(f'{nr}.qv', 'c.qc')} ASC, c.cid ASC) AS rn
+    FROM {nr} CROSS JOIN c{_KM_N_ITERS} c) WHERE rn = 1),
 reps AS (SELECT cid, MIN(vec_id) AS rep FROM a1st GROUP BY cid),
 hub AS (SELECT MIN(rep) AS h FROM reps),
 edges AS MATERIALIZED (
@@ -6090,8 +6101,8 @@ uedges AS MATERIALIZED (
   WHERE rp.rep <> h.h
   UNION ALL SELECT rp.rep AS src, h.h AS dst FROM ureps rp, uhub h
   WHERE rp.rep <> h.h),
-qs AS (SELECT vec_id AS q_id, qv AS q_qv FROM q WHERE vec_id % 50 = 0),
-ub0 AS MATERIALIZED (SELECT qs.q_id, uhub.h AS node FROM qs, uhub)"""]
+qs AS (SELECT vec_id AS q_id, qv AS q_qv FROM {nr} WHERE vec_id % 50 = 0),
+ub0 AS MATERIALIZED (SELECT qs.q_id, uhub.h AS node FROM qs, uhub)""")
     for i in range(1, _HNSW_UP_HOPS + 1):
         parts.append(f"""ubc{i} AS (
   SELECT q_id, node FROM ub{i - 1}
@@ -6100,7 +6111,7 @@ ub0 AS MATERIALIZED (SELECT qs.q_id, uhub.h AS node FROM qs, uhub)"""]
   ON e.src = b.node),
 ubs{i} AS MATERIALIZED (
   SELECT c.q_id, c.node, {_int_l2_duck('qs.q_qv', 'n.qv')} AS dist
-  FROM ubc{i} c JOIN qs ON qs.q_id = c.q_id JOIN q n ON n.vec_id = c.node),
+  FROM ubc{i} c JOIN qs ON qs.q_id = c.q_id JOIN {nr} n ON n.vec_id = c.node),
 ub{i} AS MATERIALIZED (
   SELECT q_id, node FROM (
     SELECT q_id, node,
@@ -6121,7 +6132,7 @@ ub{i} AS MATERIALIZED (
   ON e.src = b.node),
 bs{i} AS MATERIALIZED (
   SELECT c.q_id, c.node, {_int_l2_duck('qs.q_qv', 'n.qv')} AS dist
-  FROM bc{i} c JOIN qs ON qs.q_id = c.q_id JOIN q n ON n.vec_id = c.node),
+  FROM bc{i} c JOIN qs ON qs.q_id = c.q_id JOIN {nr} n ON n.vec_id = c.node),
 b{i} AS MATERIALIZED (
   SELECT q_id, node FROM (
     SELECT q_id, node,
@@ -7138,5 +7149,77 @@ def q365_ivf_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, f"{root}/corpus", cents, queries,
             k=_NSW_K, nprobe=2, predicate="label % 3 = 0",
         )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
+    "q366_hierarchical_insert_search",
+    oracle=_hnsw_oracle(km_src=_INC_BASE_SRC, nodes_src="embeddings"),
+    tags=("L3",),
+)
+def q366_hierarchical_insert_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL MAINTENANCE OF THE HIERARCHICAL INDEX — true HNSW
+    insertion touches EVERY layer; this composes q359's rebuild-exact
+    merge across the two-layer hierarchy: the standing corpus builds
+    BOTH layers' insert layouts (lower = all standing, upper = the
+    deterministic 1/4 id-sample, both blocked on the SAME standing-
+    trained centroids), the delta inserts into the lower layout and its
+    upper-sampled slice (vec_id % 4 = 0) into the upper layout — each
+    merge individually edge-set-identical to its layer's full rebuild —
+    and the layer-descent walk (upper greedy from the upper hub → top-1
+    entry seeds the lower beam) runs over the MERGED graphs. Because
+    both merges are rebuild-exact, the descent is bit-identical to
+    q349's walk on a full rebuild of the union, which is exactly what
+    the oracle computes (kmeans CTEs on the standing corpus, both
+    layers' graph + walk CTEs on the union). Scale: two touched-cell
+    merges (the upper's delta is 1/4 of the batch over 1/4 of the
+    corpus) + the q349 serve geometry — no layer ever rebuilds."""
+    import shutil
+    import tempfile
+
+    from rdkafka_streams_spark.llm.similarity import (
+        beam_search_integer,
+        build_nsw_insert_layout,
+        kmeans_integer,
+        nsw_insert_integer,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.where(F.expr("vec_id % 10 <> 0"))
+    delta = emb.where(F.expr("vec_id % 10 = 0"))
+    cents = kmeans_integer(base, k=_KM_K, n_iters=_KM_N_ITERS)[1]
+    up_base = base.where(F.expr(f"vec_id % {_HNSW_UP_MOD} = 0"))
+    up_delta = delta.where(F.expr(f"vec_id % {_HNSW_UP_MOD} = 0"))
+    upper_union = emb.where(F.expr(f"vec_id % {_HNSW_UP_MOD} = 0"))
+    queries = emb.where(F.expr("vec_id % 50 = 0"))
+    root = tempfile.mkdtemp(prefix="rdkafka_streams_hnsw_insert_")
+    try:
+        build_nsw_insert_layout(
+            base, f"{root}/low", cents, r=_NSW_R, n_assign=_NSW_NA,
+        )
+        build_nsw_insert_layout(
+            up_base, f"{root}/up", cents, r=_NSW_R, n_assign=_NSW_NA,
+        )
+        merged_low = nsw_insert_integer(
+            spark, f"{root}/low", cents, delta, r=_NSW_R,
+            n_assign=_NSW_NA,
+        )
+        merged_up = nsw_insert_integer(
+            spark, f"{root}/up", cents, up_delta, r=_NSW_R,
+            n_assign=_NSW_NA,
+        )
+        entries = beam_search_integer(
+            upper_union, queries, k=1, beam=_HNSW_UP_BEAM,
+            hops=_HNSW_UP_HOPS, edges=merged_up, exclude_self=False,
+        ).select(
+            "q_id", F.col("vec_id").alias("node")
+        ).localCheckpoint(eager=True)
+        return beam_search_integer(
+            emb, queries, k=_NSW_K, beam=_NSW_BEAM, hops=_HNSW_HOPS,
+            edges=merged_low, entry=entries,
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)

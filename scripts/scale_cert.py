@@ -175,6 +175,12 @@ MULT_CAPS: dict[str, tuple[int, str]] = {
         "gate rebuilds the standing layout from scratch each run before "
         "the purge; the purge rewrites only the closure's partitions",
     ),
+    "q366_hierarchical_insert_search": (
+        8,
+        "gate rebuilds BOTH layers' standing layouts from scratch each "
+        "run (q335's fixed-n_cells pair stage twice) before the "
+        "two-layer insert; the merges touch only the delta's cells",
+    ),
 }
 
 SHIFT = 1_000_000_000
