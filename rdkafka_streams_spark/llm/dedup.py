@@ -26,6 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# scale-adaptive parallelism guard: one-row-group scans serialize the
+# per-row token/window hashing onto one core; no-op at production scale
+# (see operators/spread.py)
+from rdkafka_streams_spark.operators.spread import spread as _spread
+
 # Shared constants — the SQL oracle generators in queries/llm.py use the same
 # values, keeping Spark and oracle in lockstep.
 N_HASHES = 8
@@ -39,8 +44,13 @@ MAX_BUCKET = 50
 
 
 def tokens_distinct(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, tok) pairs, one row per distinct whitespace token per doc."""
-    return docs.select(
+    """(id, tok) pairs, one row per distinct whitespace token per doc.
+
+    ``spread`` first: the tokenization explode and the per-token seed
+    hashes downstream are scan-side per-row work, and a one-row-group
+    parquet input would serialize all of it onto one core (no-op at
+    production scale — see operators/spread.py)."""
+    return _spread(docs.select(id_col, text_col)).select(
         id_col, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
     )
 
@@ -617,8 +627,15 @@ def _window_anchor_positions(
 ) -> DataFrame:
     """(id, i, h): md5 anchor of every ``n``-token window at 1-based
     position ``i`` (stride 1) — the k-mer anchor table both ExactSubstr
-    entry points below share. Pure higher-order functions inside
-    whole-stage codegen; docs shorter than ``n`` tokens emit nothing."""
+    entry points below share. Docs shorter than ``n`` tokens emit
+    nothing.
+
+    ``spread`` first: the window transform is a higher-order function
+    (interpreted, outside whole-stage codegen) evaluating one md5 per
+    window — heavy per-row work that a one-row-group parquet scan
+    serializes onto a single core (no-op at production scale;
+    operators/spread.py)."""
+    docs = _spread(docs.select(id_col, text_col))
     t = f"split({text_col}, ' ')"
     wins = F.expr(
         f"CASE WHEN size({t}) >= {n} THEN "

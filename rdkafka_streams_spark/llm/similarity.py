@@ -20,6 +20,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# scale-adaptive parallelism guard: one-row-group scans serialize the
+# per-row assignment folds onto one core; no-op at production scale
+# (see operators/spread.py)
+from rdkafka_streams_spark.operators.spread import spread as _spread
+
 
 def _dot(a: str | Column, b: str | Column) -> Column:
     a = F.col(a) if isinstance(a, str) else a
@@ -786,9 +791,9 @@ def kmeans_integer(
             "n_iters must be >= 1 (there is no assignment against raw "
             "seeds to return)"
         )
-    q = emb.select(
+    q = _spread(emb.select(
         F.col(id_col), quantize_global(vec_col, scale).alias("qv")
-    ).persist()
+    )).persist()
     seeds = (
         q.withColumn("__o", F.md5(F.col(id_col).cast("string")))
         .orderBy("__o", id_col)
@@ -904,20 +909,100 @@ def build_pq_codebooks_integer(
 
     Returns [(subspace, assignments df (id, code cid), centroids)] —
     per-block; the centroids are driver metadata (m × k × dim/m longs),
-    the same contract as the full-vector trainer."""
+    the same contract as the full-vector trainer.
+
+    LOCKSTEP TRAINING (r15): the m per-block Lloyd's runs are
+    independent but share every job boundary — the md5-ordered seed
+    rows are the SAME corpus rows for every block (the order is a
+    function of the id alone), and each iteration's truncating means
+    are per-(block, code, dim) groups — so all m blocks train in ONE
+    seeds job + ONE means job per iteration over a single persisted
+    frame carrying every block's quantized slice, instead of m
+    sequential ``kmeans_integer`` calls (m×(1+n_iters) barrier jobs →
+    1+n_iters; measured r15: q308's trainer segment was 12 of its 27
+    jobs). The arithmetic is the per-block trainer's, bit for bit:
+    same seeds, same argmin tie rule, same ``sum div count`` means,
+    same empty-cluster carry — q301/q307/q308's oracles (the unrolled
+    per-block CTE chains) gate the equality."""
+    if n_iters < 1:
+        raise ValueError(
+            "n_iters must be >= 1 (there is no assignment against raw "
+            "seeds to return)"
+        )
     sub = _pq_sub_width(emb, m, vec_col, strict=True)
-    out = []
-    for j in range(m):
-        block = emb.select(
-            F.col(id_col),
-            _pq_block_slice(vec_col, j, sub).alias(vec_col),
+    q = _spread(emb.select(
+        F.col(id_col),
+        *[
+            quantize_global(_pq_block_slice(vec_col, j, sub), scale)
+            .alias(f"__qv{j}")
+            for j in range(m)
+        ],
+    )).persist()
+    try:
+        seeds = (
+            q.withColumn("__o", F.md5(F.col(id_col).cast("string")))
+            .orderBy("__o", id_col)
+            .limit(n_codes)
+            .collect()
         )
-        assigned, cents = kmeans_integer(
-            block, k=n_codes, n_iters=n_iters, scale=scale,
-            id_col=id_col, vec_col=vec_col,
+        cents: dict[int, list[tuple[int, list[int]]]] = {
+            j: [
+                (i + 1, [int(v) for v in row[f"__qv{j}"]])
+                for i, row in enumerate(seeds)
+            ]
+            for j in range(m)
+        }
+        for _ in range(n_iters):
+            last_assign_cents = dict(cents)
+            stacked = q.select(
+                F.explode(F.array(*[
+                    F.struct(
+                        F.lit(j).alias("b"),
+                        _argmin_cid(f"__qv{j}", cents[j]).alias("cid"),
+                        F.col(f"__qv{j}").alias("qv"),
+                    )
+                    for j in range(m)
+                ])).alias("e")
+            ).select("e.b", "e.cid", F.posexplode("e.qv").alias("i0", "v"))
+            means = (
+                stacked.groupBy("b", "cid", F.expr("i0 + 1").alias("i"))
+                .agg(F.expr("sum(v) div count(*)").alias("val"))
+                .collect()
+            )
+            by_block: dict[int, dict[int, dict[int, int]]] = {}
+            for r in means:
+                by_block.setdefault(r["b"], {}).setdefault(
+                    r["cid"], {}
+                )[r["i"]] = int(r["val"])
+            cents = {
+                j: [
+                    (
+                        cid,
+                        [d[i] for i in sorted(d)]
+                        if (d := by_block.get(j, {}).get(cid)) is not None
+                        else prev,  # empty cluster keeps its centroid
+                    )
+                    for cid, prev in cents[j]
+                ]
+                for j in range(m)
+            }
+    finally:
+        q.unpersist()
+    return [
+        (
+            j,
+            emb.select(
+                F.col(id_col),
+                quantize_global(_pq_block_slice(vec_col, j, sub), scale)
+                .alias("qv"),
+            ).select(
+                id_col, "qv",
+                _argmin_cid("qv", last_assign_cents[j]).alias("cid"),
+            ),
+            cents[j],
         )
-        out.append((j, assigned, cents))
-    return out
+        for j in range(m)
+    ]
 
 
 def _lit_qc(qc: list[int]) -> Column:
@@ -1927,36 +2012,58 @@ def nsw_graph_integer(
             id_col=id_col, vec_col=vec_col,
         )[1]
     )
-    local = _nsw_local_edges(
-        emb, cents, r=r, n_assign=n_assign, scale=scale,
-        id_col=id_col, vec_col=vec_col,
-    )
-    reps = _nsw_reps(
+    base = _nsw_base(
         emb, cents, n_assign=n_assign, scale=scale,
         id_col=id_col, vec_col=vec_col,
     )
+    local = _nsw_local_edges(base, cents, r=r)
+    reps = _nsw_reps(base)
     return local.unionByName(_nsw_bridges(reps))
 
 
-def _nsw_local_edges(
+def _nsw_base(
     emb: DataFrame,
     cents: list[tuple[int, list[int]]],
-    r: int,
     n_assign: int,
     scale: int,
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """The LOCAL half of ``nsw_graph_integer``: top-``r`` integer-L2
-    out-edges among nodes sharing any assigned cell (dense_rank over the
-    blocked pair stage, duplicates collapsed). Returns (src, dst) —
-    bridges are a separate union so the incremental path can re-rank
-    local candidates without bridge edges polluting the top-r slots."""
-    base = emb.select(
+    """Shared assignment frame (src, __v, __cids) for the NSW build:
+    computed ONCE (one projection over a ``_spread`` corpus scan) and
+    consumed by both the local-edge pair stage and the cell-rep
+    bridge stage — previously each branch re-derived it from its own
+    scan, so the n_assign-of-k centroid sort fold ran three times over
+    the corpus (and serialized on one core for a single-row-group
+    parquet input)."""
+    if not cents:
+        raise ValueError("no centroids (empty corpus?)")
+    return _spread(emb.select(
         F.col(id_col).alias("src"),
         quantize_global(vec_col, scale).alias("__v"),
-    ).withColumn("__cids", _arg_top_cids("__v", cents, n_assign))
-    asg = base.select("src", "__v", F.explode("__cids").alias("__cid"))
+    )).withColumn("__cids", _arg_top_cids("__v", cents, n_assign))
+
+
+def _nsw_local_edges(
+    base: DataFrame,
+    cents: list[tuple[int, list[int]]],
+    r: int,
+) -> DataFrame:
+    """The LOCAL half of ``nsw_graph_integer``: top-``r`` integer-L2
+    out-edges among nodes sharing any assigned cell (dense_rank over the
+    blocked pair stage, duplicates collapsed). Takes the shared
+    ``_nsw_base`` frame (src, __v, __cids). Returns (src, dst) —
+    bridges are a separate union so the incremental path can re-rank
+    local candidates without bridge edges polluting the top-r slots.
+
+    ``explode_outer`` (not ``explode``): the optimizer infers a
+    ``size(__cids) > 0`` filter below a non-outer Generate, which
+    re-evaluates the whole n_assign-of-k centroid sort fold a second
+    time per row (the JVM twin of the UDF-duplication trap, guide
+    §4.4). ``__cids`` is always length n_assign by construction, so
+    outer semantics are identical — the inferred filter just
+    disappears and assignment is computed once per row."""
+    asg = base.select("src", "__v", F.explode_outer("__cids").alias("__cid"))
     asg2 = asg.select(
         F.col("src").alias("dst"),
         F.col("__v").alias("__w"),
@@ -1974,13 +2081,12 @@ def _nsw_local_edges(
     #     (cell, salt) with an EXPLICIT partition count (user-specified
     #     shuffles are exempt from AQE coalescing), so the distance
     #     stage runs wide at any input size.
-    row = emb.select(vec_col).first()
-    if row is None or row[0] is None:
-        raise ValueError("no vectors (empty corpus or NULL embedding?)")
-    dim = len(row[0])
+    # dim comes from the trained centroids (each IS a quantized corpus
+    # vector), so no extra first() job probes the corpus per build
+    dim = len(cents[0][1])
     n_salts = 16
     p = max(n_salts * 4,
-            emb.sparkSession.sparkContext.defaultParallelism * 2)
+            base.sparkSession.sparkContext.defaultParallelism * 2)
     la = asg.withColumn(
         "__salt", F.pmod(F.xxhash64("src"), F.lit(n_salts)).cast("int")
     ).repartition(p, "__cid", "__salt")
@@ -2012,20 +2118,10 @@ def _nsw_local_edges(
     )
 
 
-def _nsw_reps(
-    emb: DataFrame,
-    cents: list[tuple[int, list[int]]],
-    n_assign: int,
-    scale: int,
-    id_col: str,
-    vec_col: str,
-) -> DataFrame:
+def _nsw_reps(base: DataFrame) -> DataFrame:
     """Cell representatives for the star bridges: min-id node per RANK-1
-    cell. Returns (__c1, rep) — metadata-sized (≤ n_cells rows)."""
-    base = emb.select(
-        F.col(id_col).alias("src"),
-        quantize_global(vec_col, scale).alias("__v"),
-    ).withColumn("__cids", _arg_top_cids("__v", cents, n_assign))
+    cell, over the shared ``_nsw_base`` frame. Returns (__c1, rep) —
+    metadata-sized (≤ n_cells rows)."""
     first = base.select(
         "src", F.element_at("__cids", 1).alias("__c1")
     )
@@ -2131,6 +2227,10 @@ def beam_search_integer(
         # last iteration (Catalyst analysis then dominates wall-clock).
         # The beam is nq × beam rows, so the checkpoint is trivially
         # cheap; beam_search_partitioned (below) uses the same idiom.
+        # (r15 measured the every-2nd-hop variant: the barrier jobs it
+        # saves cost LESS than re-materializing the unchecked hop's
+        # window+exchange twice — stage count 58 → 84 — so cadence 1
+        # stays.)
         bm = bm.localCheckpoint(eager=True)
         nbrs = (
             adj.join(F.broadcast(bm.select("q_id", "__q_qv", "node")),
@@ -2518,10 +2618,15 @@ def build_nsw_insert_layout(
 
     The quantizer (``cents``) trains ONCE on the standing corpus — the
     q343 contract; inserts must pass the SAME centroids."""
-    base = emb.select(
-        F.col(id_col).alias("node"),
-        quantize_global(vec_col, scale).alias("qv"),
-    ).withColumn("cells", _arg_top_cids("qv", cents, n_assign))
+    shared = _nsw_base(
+        emb, cents, n_assign=n_assign, scale=scale,
+        id_col=id_col, vec_col=vec_col,
+    )
+    base = shared.select(
+        F.col("src").alias("node"),
+        F.col("__v").alias("qv"),
+        F.col("__cids").alias("cells"),
+    )
     # each copy carries the node's FULL ordered cell list (cells[0] is the
     # rank-1 cell) — the delete path re-derives reps and candidate cells
     # from it without a second assignment pass
@@ -2531,10 +2636,7 @@ def build_nsw_insert_layout(
     nodes.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/nodes"
     )
-    local = _nsw_local_edges(
-        emb, cents, r=r, n_assign=n_assign, scale=scale,
-        id_col=id_col, vec_col=vec_col,
-    )
+    local = _nsw_local_edges(shared, cents, r=r)
     src_cells = base.select(F.col("node").alias("src"), "cells")
     dst_vecs = base.select(
         F.col("node").alias("__dn"), F.col("qv").alias("dv")
@@ -2550,10 +2652,7 @@ def build_nsw_insert_layout(
     adj.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/edges"
     )
-    reps = _nsw_reps(
-        emb, cents, n_assign=n_assign, scale=scale,
-        id_col=id_col, vec_col=vec_col,
-    )
+    reps = _nsw_reps(shared)
     reps.write.mode("overwrite").parquet(f"{path}/reps")
 
 

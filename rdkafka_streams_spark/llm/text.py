@@ -15,6 +15,11 @@ import re
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# scale-adaptive parallelism guard: one-row-group scans serialize the
+# per-row tokenize/n-gram/hash work onto one core; no-op at production
+# scale (see operators/spread.py)
+from rdkafka_streams_spark.operators.spread import spread as _spread
+
 STOPWORDS = ("the", "a")
 BPE_ISH_RE = "[a-z]+|[0-9]+"
 FINGERPRINT_NGRAM = 8
@@ -178,7 +183,9 @@ def build_vocabulary(
 
 
 def _distinct_tokens(docs: DataFrame, id_col: str, text_col: str, *extra: str) -> DataFrame:
-    return docs.select(
+    # spread: the tokenization explode is scan-side per-row work (see
+    # operators/spread.py; identity at production scale)
+    return _spread(docs.select(id_col, *extra, text_col)).select(
         id_col, *extra, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
     )
 
@@ -284,7 +291,11 @@ def fingerprint(
         f"array_min(transform(sequence(1, greatest(length({text_col}) - {ngram - 1}, 1)), "
         f"i -> md5(substring({text_col}, i, {ngram}))))"
     )
-    return docs.select(id_col, F.expr(expr).alias("fp"))
+    # spread: one interpreted md5 per character window per row — a
+    # one-row-group scan would serialize it onto one core
+    return _spread(docs.select(id_col, text_col)).select(
+        id_col, F.expr(expr).alias("fp")
+    )
 
 
 def tfidf_top_terms(
