@@ -95,12 +95,18 @@ def tune_runtime(spark: SparkSession) -> SparkSession:
 
 
 def tune_for_bench(spark: SparkSession, cpus: int) -> SparkSession:
-    """Bench posture: shuffle parallelism sized to the machine, and scans
-    split to at least the core count — a single small parquet file would
-    otherwise occupy one 128 MB split = one task = one core (at 100 TB the
-    file count makes this moot; locally it's the difference between 1 and 32
-    cores scanning)."""
+    """Bench posture: shuffle parallelism sized to the machine.
+
+    ``spark.sql.files.minPartitionNum`` is deliberately NOT set (r15):
+    every fixture parquet file is a SINGLE row group, and scan splits
+    cannot cross a row-group boundary — so forcing 2×cpus splits
+    manufactured 2×cpus−1 EMPTY tasks per scan stage (pure scheduling
+    overhead on every query) while the one real task still carried all
+    rows. Worse, the inflated partition count masked the narrow input
+    from ``operators/spread.py``, whose scale-adaptive repartition is
+    the mechanism that actually widens the per-row-heavy stages. With
+    the conf gone, scans report their true width and ``spread`` fires
+    exactly where measured per-row work needs it."""
     tune_runtime(spark)
     spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-    spark.conf.set("spark.sql.files.minPartitionNum", str(cpus * 2))
     return spark

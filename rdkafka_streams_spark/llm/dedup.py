@@ -46,11 +46,11 @@ MAX_BUCKET = 50
 def tokens_distinct(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, tok) pairs, one row per distinct whitespace token per doc.
 
-    ``spread`` first: the tokenization explode and the per-token seed
-    hashes downstream are scan-side per-row work, and a one-row-group
-    parquet input would serialize all of it onto one core (no-op at
-    production scale — see operators/spread.py)."""
-    return _spread(docs.select(id_col, text_col)).select(
+    No ``spread`` here (r15 A/B): the explode and downstream seed-hash
+    mins are whole-stage codegen — a single-task pass at small scale is
+    already cheaper than the exchange the guard would insert (measured
+    q51 1.00 → 1.07 with it)."""
+    return docs.select(
         id_col, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
     )
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 # scale-adaptive parallelism guard: one-row-group scans serialize the
 # per-row assignment folds onto one core; no-op at production scale
 # (see operators/spread.py)
+from rdkafka_streams_spark.operators.spread import FOLD_MIN_BYTES
 from rdkafka_streams_spark.operators.spread import spread as _spread
 
 
@@ -793,7 +794,7 @@ def kmeans_integer(
         )
     q = _spread(emb.select(
         F.col(id_col), quantize_global(vec_col, scale).alias("qv")
-    )).persist()
+    ), min_bytes=FOLD_MIN_BYTES).persist()
     seeds = (
         q.withColumn("__o", F.md5(F.col(id_col).cast("string")))
         .orderBy("__o", id_col)
@@ -937,7 +938,7 @@ def build_pq_codebooks_integer(
             .alias(f"__qv{j}")
             for j in range(m)
         ],
-    )).persist()
+    ), min_bytes=FOLD_MIN_BYTES).persist()
     try:
         seeds = (
             q.withColumn("__o", F.md5(F.col(id_col).cast("string")))
@@ -2041,7 +2042,9 @@ def _nsw_base(
     return _spread(emb.select(
         F.col(id_col).alias("src"),
         quantize_global(vec_col, scale).alias("__v"),
-    )).withColumn("__cids", _arg_top_cids("__v", cents, n_assign))
+    ), min_bytes=FOLD_MIN_BYTES).withColumn(
+        "__cids", _arg_top_cids("__v", cents, n_assign)
+    )
 
 
 def _nsw_local_edges(

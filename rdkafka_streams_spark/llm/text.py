@@ -183,9 +183,9 @@ def build_vocabulary(
 
 
 def _distinct_tokens(docs: DataFrame, id_col: str, text_col: str, *extra: str) -> DataFrame:
-    # spread: the tokenization explode is scan-side per-row work (see
-    # operators/spread.py; identity at production scale)
-    return _spread(docs.select(id_col, *extra, text_col)).select(
+    # no spread (r15 A/B): the explode is whole-stage codegen; the
+    # exchange cost 1.5x on q57 against a fast single-task pass
+    return docs.select(
         id_col, *extra, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
     )
 
