@@ -109,14 +109,32 @@ def main() -> None:
     llm_times = {name: min(s) for name, s in llm_samples.items()}
     llm_total = round(sum(llm_times.values()), 3)
 
+    # r16 (verdict-r15 #8): a scan row the 8c/32c core-count probe can
+    # actually read. Every fixture parquet is ONE row group, so a scan's
+    # real work runs in ONE task at any core count and the driver's
+    # scaling ratios measure the scheduler, not the engine
+    # (PERF_r15 suspect_cpus_ignored). This row scans a multi-split
+    # rewrite of lineitem (64 files, built in an untimed prelude inside
+    # this same invocation — no cross-run caching) through a per-row
+    # md5-chain fold, so its 8c/32c ratio reflects genuine scan-side
+    # parallelism. Added to `queries` (additions allowed); NOT part of
+    # `value`, which stays the sum of the 10 relational headliners.
+    # `value`/`total_median` are frozen to the 10 relational headliners
+    # BEFORE the probe row is merged in, keeping the headline series
+    # comparable across rounds.
+    total = round(sum(times[n] for n in HEADLINE), 3)
+    total_median = round(sum(medians[n] for n in HEADLINE), 3)
+    scan_probe = _multirow_scan_probe(spark, sf_dir)
+    times["x00_multirow_scan"] = scan_probe["sec"]
+    medians["x00_multirow_scan"] = scan_probe["median"]
+    rows["x00_multirow_scan"] = scan_probe["rows"]
+
     stream_rps = _stream_decode_throughput(spark)
     (produce_rps, consume_wall_rps, consume_best_rps,
      consume_latency, produce_latency) = _topiclog_roundtrip_throughput(spark)
     calibration = _calibration_marker(spark)
     io_calibration = _io_calibration_marker(spark)
 
-    total = round(sum(times.values()), 3)
-    total_median = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
@@ -181,6 +199,54 @@ def main() -> None:
             }
         )
     )
+
+
+def _multirow_scan_probe(spark, sf_dir: str, runs: int = 3) -> dict:
+    """Scan-parallelism probe over a MULTI-SPLIT input (r16, verdict-r15
+    #8). Untimed prelude: rewrite lineitem into 64 parquet files (64
+    independent row groups — a fixed count, NOT tied to the core count,
+    so the 8-core and 32-core bench invocations scan the identical
+    layout). Timed: a per-row md5-chain fold + global aggregate over all
+    600k·sf rows — enough per-task work that the stage's wall tracks
+    available cores instead of fixed scheduling overhead. Everything is
+    computed inside this invocation from the parquet inputs and removed
+    after; min over ``runs`` like the headline rows."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bench_scan_probe")
+    try:
+        (
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .select("l_orderkey", "l_partkey", "l_suppkey", "l_comment")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        probe = spark.read.parquet(d).selectExpr(
+            "md5(concat_ws(',', cast(l_orderkey as string),"
+            " cast(l_partkey as string), cast(l_suppkey as string),"
+            " l_comment)) as h"
+        )
+        for _ in range(5):
+            probe = probe.selectExpr("md5(h) as h")
+        agg = probe.selectExpr(
+            "count(*) as n", "bit_xor(xxhash64(h)) as x"
+        )
+        samples = []
+        n_rows = 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            row = agg.collect()[0]
+            samples.append(round(time.perf_counter() - t0, 3))
+            n_rows = int(row["n"])
+        return {
+            "sec": min(samples),
+            "median": sorted(samples)[len(samples) // 2],
+            "rows": n_rows,
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _calibration_marker(spark, runs: int = 3) -> float:

@@ -45,6 +45,27 @@ def count_key_exchanges(df: DataFrame) -> int:
     )
 
 
+def count_rr_exchanges(df: DataFrame) -> int:
+    """Round-robin shuffle exchanges in the plan — the companion gate to
+    ``count_key_exchanges`` (r16, re-arming what the r15 split disarmed):
+    excluding round-robin from the keyed budgets was correct (the
+    ``operators/spread.py`` widening exchange is bounded and identity at
+    production scale), but it also blinded the budgets to any OTHER
+    round-robin shuffle — a plain ``.repartition(n)`` on a corpus-sized
+    frame, the classic scale-killer. The budget tests now bound THIS
+    count per query at its spread-site count, and the scale cert asserts
+    it is ZERO at the 8×/32× multi-split replicas (certifying spread's
+    identity-at-scale claim structurally instead of narratively)."""
+    plan = plan_string(df, "simple")
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line
+        and "BroadcastExchange" not in line
+        and "RoundRobinPartitioning" in line
+    )
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in plan_string(df, "simple") or "BroadcastNestedLoopJoin" in plan_string(df, "simple")
 

@@ -2039,6 +2039,18 @@ def _nsw_base(
     parquet input)."""
     if not cents:
         raise ValueError("no centroids (empty corpus?)")
+    # advice-r15: the pair stage's unrolled distance takes its dim from
+    # cents[0] (saving a per-build first() probe of the corpus), so a
+    # caller-supplied ragged/short ``coarse`` would silently truncate
+    # pair distances. Ragged is checkable for free; a uniform-but-wrong
+    # dim against the corpus is the caller's save_ann_index/
+    # load_ann_index contract (dim validated there at serve time).
+    dims = {len(qc) for _cid, qc in cents}
+    if len(dims) != 1:
+        raise ValueError(
+            f"ragged coarse centroids (dims {sorted(dims)}) — every "
+            "centroid must have the corpus vector width"
+        )
     return _spread(emb.select(
         F.col(id_col).alias("src"),
         quantize_global(vec_col, scale).alias("__v"),
@@ -2186,7 +2198,23 @@ def beam_search_integer(
     join + a top-``beam`` window over nq·beam·(r+1) rows — no
     corpus-sized shuffle anywhere after the build. At 100 TB the
     adjacency is bucketed by ``src`` so the per-hop scan prunes to the
-    frontier's buckets. Returns (q_id, <id_col>, dist_sq)."""
+    frontier's buckets. Returns (q_id, <id_col>, dist_sq).
+
+    ONE-ACTION WALK (r16): the adjacency carries a SELF-LOOP row per
+    node (src=dst=node, its own vector), so each hop's candidate set
+    ``beam ∪ neighbors(beam)`` is the single join adj ⨝ beam — the beam
+    frame is referenced ONCE per hop, the unrolled plan grows LINEARLY
+    in hops, and the per-hop ``localCheckpoint`` barrier (a full SQL
+    execution + eager materialization per hop — the dominant serve-day
+    cost at ~0.35 s of driver overhead per job, r15 profile) disappears:
+    the whole walk is one lazy plan executed by the caller's single
+    action. Candidate multisets are row-for-row identical to the
+    explicit union: the self-loop contributes exactly the carried beam
+    row (dist is a pure integer function of (query, node), so
+    recomputing it through the self-loop's vector equals the carried
+    value bit-for-bit), and a beam node with no out-edges still
+    survives via its self-loop — the property the union's preserved
+    side provided."""
     if edges is None:
         edges = nsw_graph_integer(
             emb, r=r, n_assign=n_assign, n_cells=n_cells,
@@ -2199,6 +2227,11 @@ def beam_search_integer(
     adj = (
         edges.join(corpus, edges["dst"] == F.col("__node"))
         .select("src", "dst", F.col("__nv").alias("__dv"))
+        .unionByName(corpus.select(
+            F.col("__node").alias("src"),
+            F.col("__node").alias("dst"),
+            F.col("__nv").alias("__dv"),
+        ))
         .localCheckpoint()
     )
     qs = queries.select(
@@ -2223,33 +2256,28 @@ def beam_search_integer(
         )
     bw = Window.partitionBy("q_id").orderBy("dist", "node")
     for _ in range(hops):
-        # Truncate lineage every hop: ``bm`` is referenced twice below
-        # (once as the carried beam, once as the frontier driving the
-        # neighbor expansion), so without a checkpoint the logical plan
-        # doubles per hop — 2^hops copies of the seed subtree by the
-        # last iteration (Catalyst analysis then dominates wall-clock).
-        # The beam is nq × beam rows, so the checkpoint is trivially
-        # cheap; beam_search_partitioned (below) uses the same idiom.
-        # (r15 measured the every-2nd-hop variant: the barrier jobs it
-        # saves cost LESS than re-materializing the unchecked hop's
-        # window+exchange twice — stage count 58 → 84 — so cadence 1
-        # stays.)
-        bm = bm.localCheckpoint(eager=True)
-        nbrs = (
-            adj.join(F.broadcast(bm.select("q_id", "__q_qv", "node")),
-                     F.col("src") == F.col("node"))
+        # candidates = adj ⨝ beam = beam ∪ neighbors(beam) via the
+        # self-loops (see docstring); dist is a pure function of
+        # (query, node), so duplicate (q_id, node) rows are identical
+        # row-for-row and the dedup cannot pick a "wrong" one.
+        # dense_rank FIRST (duplicates share a rank over the total
+        # (dist, node) order, so they cannot eat beam slots), dedup
+        # after — on <= nq·beam·(r+1) rows.
+        cand = (
+            adj.join(
+                F.broadcast(
+                    bm.select(
+                        "q_id", "__q_qv", F.col("node").alias("__bn")
+                    )
+                ),
+                F.col("src") == F.col("__bn"),
+            )
             .select(
                 "q_id", "__q_qv",
                 F.col("dst").alias("node"),
                 _int_l2("__q_qv", "__dv").alias("dist"),
             )
         )
-        # candidates = beam ∪ neighbors(beam); dist is a pure function
-        # of (query, node), so duplicate rows are identical row-for-row
-        # and the dedup cannot pick a "wrong" one. dense_rank FIRST
-        # (duplicates share a rank over the total (dist, node) order, so
-        # they cannot eat beam slots), dedup after — on <= nq·beam rows.
-        cand = bm.unionByName(nbrs)
         bm = (
             cand.withColumn("__rk", F.dense_rank().over(bw))
             .where(F.col("__rk") <= beam)
@@ -2308,10 +2336,15 @@ def hierarchical_beam_search(
         upper, r=r, n_assign=n_assign, n_cells=n_cells, n_iters=n_iters,
         scale=scale, id_col=id_col, vec_col=vec_col, coarse=cents,
     )
+    # no checkpoint: the entry frame is referenced ONCE (the lower
+    # walk's seed join), and the r16 one-action walk keeps plan growth
+    # linear — the whole two-layer descent is one lazy plan, executed
+    # by the caller's single action (upper/lower adjacencies are the
+    # only materialized intermediates, localCheckpoint-truncated).
     entries = beam_search_integer(
         upper, queries, k=1, beam=up_beam, hops=up_hops, scale=scale,
         id_col=id_col, vec_col=vec_col, edges=up_edges, exclude_self=False,
-    ).select("q_id", F.col(id_col).alias("node")).localCheckpoint(eager=True)
+    ).select("q_id", F.col(id_col).alias("node"))
     low_edges = nsw_graph_integer(
         emb, r=r, n_assign=n_assign, n_cells=n_cells, n_iters=n_iters,
         scale=scale, id_col=id_col, vec_col=vec_col, coarse=cents,
